@@ -1,0 +1,197 @@
+"""Cast expression library — the semantic core of the engine.
+
+The reference parses each message field into a destination column type with
+*saturating* (clamping) semantics, defaults on bad data, multi-layout
+datetime detection, epoch scaling and IP validation
+(parser/fastjson.go:129-188,582-621,739-785; parser/parser.go:31-65,160-226).
+
+Every function here returns a Spark ``Column`` built from JVM-side built-in
+functions only — no Python UDFs — so the whole projection stays inside
+whole-stage codegen and scales linearly on a cluster.
+
+Semantics preserved exactly (verified by tests/test_casts.py against the
+reference's parser_test matrix):
+
+- out-of-range numeric → clamp to type min/max, NOT null/error/wraparound
+  (parser/fastjson.go:129-173): ``saturating_cast``.
+- invalid/missing field → NULL if nullable else type default 0/""/false/Epoch
+  (parser/fastjson.go:582-621, docs/dev/introduction.md:46-57):
+  ``cast_with_default``.
+- datetime strings matched against many layouts, first hit wins; epoch
+  numbers scaled by a time unit; out-of-range → Epoch
+  (parser/parser.go:31-65,204-226): ``parse_datetime_any``,
+  ``epoch_to_timestamp``.
+- IP strings validated, invalid → 0.0.0.0 / :: (parser/fastjson.go:739-785):
+  ``valid_ip_or_default``.
+
+Works under ANSI mode (Spark 4 default): clamping happens *before* the cast
+so no overflow is possible, and error paths use ``try_*`` variants.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..typemap import INT_BOUNDS
+
+__all__ = [
+    "saturating_cast",
+    "cast_with_default",
+    "default_literal",
+    "parse_datetime_any",
+    "epoch_to_timestamp",
+    "valid_ip_or_default",
+    "DATETIME_LAYOUTS",
+]
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+# Spark SQL type name for each CH integer flavor
+_SPARK_INT_TYPE = {
+    "Int8": "tinyint",
+    "Int16": "smallint",
+    "Int32": "int",
+    "Int64": "bigint",
+    "UInt8": "smallint",
+    "UInt16": "int",
+    "UInt32": "bigint",
+    "UInt64": "decimal(20,0)",
+}
+
+_FLOAT_MAX32 = 3.4028234663852886e38
+
+
+def saturating_cast(col: Column | str, ch_int: str) -> Column:
+    """Clamp-then-cast a numeric column to an integer type.
+
+    Reference semantics (parser/fastjson.go:129-173): values outside the
+    destination range clamp to the type min/max — unlike Spark's CAST which
+    wraps (legacy) or errors (ANSI).  Expressed as
+    ``least(greatest(x, min), max)`` which Catalyst folds into codegen.
+
+    Non-numeric input should be pre-converted (``try_cast`` upstream);
+    NaN stays NaN→null on the final cast.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lo, hi = INT_BOUNDS[ch_int]
+    # compare in a domain wide enough for both bounds: decimal(38,0) covers
+    # UInt64; doubles would lose precision at 2^63.
+    wide = c.cast("decimal(38,0)")
+    clamped = F.least(F.greatest(wide, F.lit(lo).cast("decimal(38,0)")), F.lit(hi).cast("decimal(38,0)"))
+    return clamped.cast(_SPARK_INT_TYPE[ch_int])
+
+
+def saturating_cast_float32(col: Column | str) -> Column:
+    """Float64 → Float32 with clamp at ±max-float32 (parser/fastjson.go:175-188)."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("double")
+    return (
+        F.when(d > F.lit(_FLOAT_MAX32), F.lit(_FLOAT_MAX32))
+        .when(d < F.lit(-_FLOAT_MAX32), F.lit(-_FLOAT_MAX32))
+        .otherwise(d)
+        .cast("float")
+    )
+
+
+def default_literal(spark_type: str) -> Column:
+    """Type default used for non-nullable columns on bad/missing data
+    (parser/fastjson.go:582-621): 0 for numbers, "" for strings, false for
+    bool, Epoch for timestamps, [] for arrays."""
+    t = spark_type.lower()
+    if t.startswith("decimal"):
+        return F.lit(0).cast(spark_type)
+    if t in ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer"):
+        return F.lit(0).cast(spark_type)
+    if t in ("float", "double"):
+        return F.lit(0.0).cast(spark_type)
+    if t == "boolean":
+        return F.lit(False)
+    if t == "timestamp":
+        return F.lit(_EPOCH).cast("timestamp")
+    if t == "date":
+        return F.lit(_EPOCH.date())
+    if t.startswith("array"):
+        return F.array().cast(spark_type)
+    return F.lit("")
+
+
+def cast_with_default(col: Column | str, spark_type: str, nullable: bool) -> Column:
+    """``try_cast`` + default-on-error: NULL if nullable else type default.
+
+    Reference behavior table docs/dev/introduction.md:46-57 and
+    parser/fastjson.go:582-621.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tried = c.try_cast(spark_type)
+    if nullable:
+        return tried
+    return F.coalesce(tried, default_literal(spark_type))
+
+
+# The reference tries 25 Go layouts (parser/parser.go:31-65).  Expressed as
+# Spark datetime patterns, deduplicated where Spark's parser already accepts
+# variants (e.g. optional fractional seconds via [.SSSSSSSSS]).
+DATETIME_LAYOUTS = [
+    "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]XXX",   # RFC3339 with offset
+    "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]X",
+    "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]",
+    "yyyy-MM-dd HH:mm:ss[.SSSSSSSSS]XXX",
+    "yyyy-MM-dd HH:mm:ss[.SSSSSSSSS]",
+    "yyyy-MM-dd",
+    "dd/MM/yyyy",
+    "dd MMM yy HH:mm XXX",                    # RFC822Z-ish
+    "MM/dd/yyyy HH:mm:ss",
+    "yyyyMMdd HH:mm:ss",
+    # Note: the reference also tries ANSIC/RFC1123 day-name layouts
+    # ("Mon Jan 2 ..."); Spark ≥3 cannot parse EEE day-names — those
+    # layouts are handled by stripping the day-name prefix upstream.
+]
+
+
+def parse_datetime_any(col: Column | str, layouts: list[str] | None = None) -> Column:
+    """Try each layout in order; first parse wins (≙ parser/parser.go:160-202).
+
+    The reference memoizes the first successful layout per *field*; a
+    ``coalesce`` of ``try_to_timestamp`` gives the same result on homogeneous
+    fields (documented delta: heterogeneous fields parse per-value here).
+    Catalyst codegens the chain — no Python in the loop.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    layouts = layouts or DATETIME_LAYOUTS
+    attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in layouts]
+    return F.coalesce(*attempts)
+
+
+def epoch_to_timestamp(col: Column | str, time_unit: float = 1.0) -> Column:
+    """Numeric epoch → timestamp scaled by ``time_unit`` seconds
+    (≙ UnixFloat, parser/parser.go:204-226).  Out-of-range (before 1970 or
+    after 9999-12-31) → Epoch, matching the reference's guard.
+
+    The scaling is done in exact decimal arithmetic (time_unit rendered as
+    a 9-dp decimal literal) so results are bit-stable — double rounding at
+    the microsecond boundary would otherwise make replays non-idempotent.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    unit = F.lit(format(float(time_unit), ".9f")).cast("decimal(12,9)")
+    secs = c.cast("decimal(20,6)") * unit  # exact: decimal(33,15)
+    ts = F.timestamp_seconds(secs)
+    max_ok = F.lit(253402300799)  # 9999-12-31T23:59:59Z
+    return F.when((secs >= F.lit(0)) & (secs <= max_ok), ts).otherwise(
+        F.lit(_EPOCH).cast("timestamp")
+    )
+
+
+_IPV4_RE = r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+# pragmatic IPv6 matcher: hex groups with optional :: compression
+_IPV6_RE = r"^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,7}:|([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,5}(:[0-9a-fA-F]{1,4}){1,2}|([0-9a-fA-F]{1,4}:){1,4}(:[0-9a-fA-F]{1,4}){1,3}|([0-9a-fA-F]{1,4}:){1,3}(:[0-9a-fA-F]{1,4}){1,4}|([0-9a-fA-F]{1,4}:){1,2}(:[0-9a-fA-F]{1,4}){1,5}|[0-9a-fA-F]{1,4}:((:[0-9a-fA-F]{1,4}){1,6})|:((:[0-9a-fA-F]{1,4}){1,7}|:))$"
+
+
+def valid_ip_or_default(col: Column | str, v6: bool = False) -> Column:
+    """Validated IP string; invalid → zero IP (parser/fastjson.go:739-785)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if v6:
+        return F.when(c.rlike(_IPV6_RE), c).otherwise(F.lit("::"))
+    return F.when(c.rlike(_IPV4_RE), c).otherwise(F.lit("0.0.0.0"))

@@ -1,0 +1,149 @@
+"""Hashing, sharding, and sketch primitives.
+
+Sharding policies re-express task/sharding.go:61-118 and the
+ReplacingMergeTree sorting-key policy (output/clickhouse.go:724-799):
+
+- stripe:   numeric key → ``(value / stripe) % shards``
+- hash:     string key  → ``xxhash64(value) % shards`` (Spark has native
+            xxhash64 — same family the reference uses via cespare/xxhash)
+- sortingkey: ``xxhash64(concat_ws('.', keys...)) % shards`` persisted in a
+  ``__shardingkey`` column so duplicates co-locate (dedup stays shuffle-local).
+
+Sketches (beyond-reference, LLM-data-pipeline surface):
+
+- ``minhash_signature``: k permutation-hashes over a shingle set, built on
+  xxhash64 with per-permutation seeds — all JVM-side (no UDF).
+- ``simhash64``: 64-bit SimHash over token hashes via bit-vote aggregation
+  expressed with higher-order array functions.
+- ``fingerprint_md5``: deterministic document fingerprint (md5 exists in
+  both Spark and ANSI-SQL engines, so it is oracle-checkable).
+
+At 100 TB scale these matter because they are pure column expressions:
+map-side, codegen'd, no shuffle until the explicit groupBy/join that
+consumes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "shard_stripe",
+    "shard_hash",
+    "shard_knuth",
+    "sorting_key_shard",
+    "minhash_signature",
+    "simhash64",
+    "fingerprint_md5",
+]
+
+_MERSENNE = (1 << 61) - 1  # prime modulus for permutation hashing
+
+
+def shard_stripe(col: Column | str, stripe: int, shards: int) -> Column:
+    """Stripe policy (task/sharding.go:61-103): ``(uint64(v)/stripe)%shards``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod((c.cast("bigint") / F.lit(int(stripe))).cast("bigint"), F.lit(int(shards))).cast("int")
+
+
+def shard_hash(col: Column | str, shards: int) -> Column:
+    """Hash policy (task/sharding.go:104-117): ``xxhash64(v) % shards``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(int(shards))).cast("int")
+
+
+def shard_knuth(col: Column | str, shards: int) -> Column:
+    """Multiplicative (Knuth) hash shard for numeric keys — used where an
+    external ANSI-SQL oracle must reproduce the routing exactly (xxhash64 is
+    Spark/ClickHouse-specific).  ``((v * 2654435761) % 2^31) % shards``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.pmod(c.cast("bigint") * F.lit(2654435761), F.lit(2**31)), F.lit(int(shards))).cast("int")
+
+
+def sorting_key_shard(cols: list[Column | str], shards: int) -> Column:
+    """ReplacingMergeTree sorting-key sharding (output/clickhouse.go:724-799,
+    task/task.go:274-282): hash the concatenated sorting-key values so that
+    duplicate logical rows land on the same shard.  The result is the
+    ``__shardingkey`` column the reference persists."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.pmod(F.xxhash64(F.concat_ws(".", *[c.cast("string") for c in cs])), F.lit(int(shards))).cast("int")
+
+
+def minhash_signature(shingles: Column | str, num_perm: int = 64) -> Column:
+    """MinHash signature (array<bigint> of length ``num_perm``) over an
+    ``array<string>`` shingle column.
+
+    Carter-Wegman construction: two base hashes per shingle
+    (``h1 = xxhash64(s)``, ``h2 = xxhash64(s, 1)``), permutation i is
+    ``(h1' + i·h2') mod M`` with M = 2^31-1 (h' = h mod M, so the widest
+    intermediate is < 2^38 — no overflow even under ANSI).  One
+    ``aggregate`` pass keeps the running 64-slot minimum via ``zip_with
+    least`` — 2 hashes + 64 cheap ops per shingle instead of 64 hashes
+    and 64 array traversals.  Map-side only; zero shuffle at any scale.
+    Empty shingle sets yield M sentinels (never match anything).
+    """
+    c = F.col(shingles) if isinstance(shingles, str) else shingles
+    m = (1 << 31) - 1
+
+    def candidates(s: Column) -> Column:
+        h1 = F.pmod(F.xxhash64(s), F.lit(m))
+        h2 = F.pmod(F.xxhash64(s, F.lit(1)), F.lit(m)) + F.lit(1)  # avoid h2=0
+        return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(num_perm)])
+
+    return F.aggregate(
+        c,
+        F.array_repeat(F.lit(m).cast("long"), num_perm),
+        lambda acc, s: F.zip_with(acc, candidates(s), lambda a, b: F.least(a, b)),
+    )
+
+
+def simhash64(tokens: Column | str) -> Column:
+    """64-bit SimHash over an ``array<string>`` token column.
+
+    Classic Charikar construction: each token votes ±1 on each of 64 bit
+    positions according to its 64-bit hash; the final hash sets bit j iff
+    the vote sum is positive.  Expressed entirely with ``transform`` /
+    ``aggregate`` over a 64-slot vote array — JVM-side, no UDF.
+    """
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    hashes = F.transform(c, lambda t: F.xxhash64(t))
+    # votes[j] = sum over tokens of (bit j set ? +1 : -1); bit positions are
+    # unrolled in Python so shift amounts are literals (codegen-friendly).
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for j in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # fold votes into one long: OR of 2^j where votes[j] > 0 (bit 63 is the
+    # sign bit — OR-fold avoids ANSI overflow that a sum would hit).
+    powers = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    bits = F.zip_with(
+        votes,
+        F.array(*[F.lit(p).cast("long") for p in powers]),
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 hex of the column value.
+    md5() is available in Spark, DuckDB, ClickHouse — oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))

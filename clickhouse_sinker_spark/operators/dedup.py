@@ -1,0 +1,242 @@
+"""Deduplication operators (beyond-reference LLM-data-pipeline surface, plus
+the reference's at-least-once dedup contract W8).
+
+Scale notes (the point of each design):
+
+- ``dedup_exact``: groupBy on a fingerprint, keep min id.  One shuffle on the
+  fingerprint; with AQE the skew of popular duplicates is split.  Never uses
+  ``dropDuplicates`` in oracle-checked paths because its survivor choice is
+  nondeterministic under parallelism — min(id) per group is deterministic.
+- ``dedup_offsets``: the reference's exactly-once contract (duplicated Kafka
+  offsets collapse; docs/dev/design.md:5-12) = groupBy(topic,partition,offset).
+- ``minhash_lsh_pairs``: shingle → minhash signature (map-side) → band
+  buckets → join within buckets.  The only shuffle is on band keys whose
+  cardinality ~ O(docs·bands); candidate verification re-checks true Jaccard
+  so false positives from banding don't survive.
+- ``ngram_jaccard_pairs``: exact Jaccard via shingle explode + pair join —
+  quadratic within shared-shingle groups, used as ground truth / for small
+  sides; LSH is the scale path.
+- ``simhash_near_dup``: 64-bit simhash, near-dup = hamming ≤ k via banding
+  on 4×16-bit chunks (any chunk equal → candidate; k ≤ 3 guarantee).
+- ``embedding_near_dup``: cosine ≥ τ pairs via LSH-free blocking on
+  coarse quantization, exact re-check with F.zip_with dot products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import fingerprint_md5, minhash_signature, simhash64
+from ..functions.text import shingles_from_tokens
+
+__all__ = [
+    "dedup_exact",
+    "dedup_offsets",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_dup",
+    "embedding_near_dup",
+]
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content fingerprint: keep the min-id row per distinct
+    content.  Deterministic survivor (unlike dropDuplicates) → oracle-safe.
+    Plan: project fingerprint (map) → hash-agg (one shuffle) — partial
+    aggregation makes the shuffle carry one row per distinct doc per task."""
+    return (
+        df.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, F.col("__fp").alias("fingerprint"), "dup_count")
+    )
+
+
+def dedup_offsets(df: DataFrame, topic: str, partition: str, offset: str) -> DataFrame:
+    """At-least-once → effective exactly-once: collapse replayed offsets
+    (W8, docs/dev/design.md:5-12).  groupBy (t,p,o) keeping first payload."""
+    others = [c for c in df.columns if c not in (topic, partition, offset)]
+    aggs = [F.min(c).alias(c) for c in others]
+    return df.groupBy(topic, partition, offset).agg(*aggs)
+
+
+def _pair_join(left: DataFrame, right: DataFrame, id_col: str) -> Column:
+    return F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+
+    explode(shingles) → self-join on shingle → count shared per pair →
+    jaccard = shared / (|A| + |B| - shared).  Shuffles: one on shingle, one
+    on (id_a,id_b).  Candidate space is bounded by co-occurring shingles;
+    for 100 TB use ``minhash_lsh_pairs`` which replaces the shingle join
+    with constant-width band keys.
+    Output jaccard is exact rational arithmetic (ints divided once at the
+    end) → bit-equal in any SQL engine.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+        .select("id", shingles_from_tokens("toks", n).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+    return pairs
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs at scale.
+
+    Map-side: shingles → num_perm minhashes → ``bands`` band-keys
+    (hash of each rows-per-band slice).  Shuffle 1: explode band keys and
+    self-join on (band_idx, band_hash) — candidate pairs only.  Shuffle 2:
+    distinct pairs, then exact Jaccard re-verification on the candidate set
+    (joins back the shingle sets, array_intersect — no second explode).
+
+    rows_per_band = num_perm / bands controls the S-curve: 64/16 → r=4,
+    ~threshold 0.5.  All hashing is xxhash64 (JVM-side).
+
+    Shuffle hygiene at scale: the band self-join carries ONLY (id, band_hash)
+    — the fat shingle arrays stay out of that shuffle and are joined back
+    onto the (much smaller) candidate-pair set for verification.  The
+    signature table is cached: it feeds both sides of the self-join and
+    would otherwise be computed twice.
+    """
+    r = num_perm // bands
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+        .select("id", shingles_from_tokens("toks", n).alias("shingles"))
+    )
+    banded = (
+        sh.withColumn("sig", minhash_signature(F.col("shingles"), num_perm))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)), F.lit(b))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        .persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_near_dup(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sim_a, sim_b) ≤ max_hamming.
+
+    Banding on 4 × 16-bit chunks: pairs within hamming ≤ 3 must agree on at
+    least one chunk (pigeonhole), so candidates = equal-chunk joins — the
+    classic scalable simhash index.  Exact hamming re-check via bit_count.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), simhash64(toks).alias("sim"))
+    chunks = base.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sim", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding cosine near-dup pairs (cos ≥ threshold).
+
+    Blocking key: sign pattern of the first 8 dimensions (random-hyperplane
+    LSH with axis-aligned planes) — near-identical vectors share the block
+    with high probability; exact cosine re-check inside blocks via
+    ``zip_with`` dot products (JVM-side, vectorized)."""
+    sign_block = F.lit(0)
+    for i in range(1, 9):
+        sign_block = sign_block * 2 + F.when(F.element_at(F.col(vec_col), i) >= 0, F.lit(1)).otherwise(F.lit(0))
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sign_block.alias("blk"), norm.alias("nrm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -1,0 +1,163 @@
+"""Projection builder — the per-row "SELECT list" (≙ metric2Row,
+task/task.go:236-321 + GetValueByType, model/value.go:108-159).
+
+Given a destination schema (list of ``ColumnSpec``), build the list of cast
+expressions that turns a parsed message DataFrame into destination rows with
+reference semantics:
+
+- source-name mapping (ColumnWithType.SourceName, model/metric.go:57-62)
+- saturating integer casts / float clamp (P7)
+- default-on-bad-data vs NULL by nullability (P8)
+- datetime layouts + epoch scaling (P9/P10)
+- IP validation (P12)
+- Kafka metadata columns ``__kafka*`` (P6, task/task.go:285-298)
+- constant-field injection (P5, parser/parser.go:82-86)
+- null-reject filter on non-nullable columns (P16, task/task.go:303-314)
+
+Everything is a Column expression — one ``select`` that Catalyst folds into
+a single codegen stage; at 100 TB this is a pure map, no shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+
+from ..typemap import CHType, parse_ch_type, to_spark_type
+from ..functions.casts import (
+    cast_with_default,
+    default_literal,
+    epoch_to_timestamp,
+    parse_datetime_any,
+    saturating_cast,
+    saturating_cast_float32,
+    valid_ip_or_default,
+)
+
+__all__ = ["ColumnSpec", "build_projection", "apply_projection", "KAFKA_META_COLUMNS"]
+
+# Kafka metadata pseudo-columns (task/task.go:285-298): dest column name →
+# Kafka-source column expression.  Spark's Kafka source exposes exactly the
+# fields the reference's InputMessage carries (model/message.go:10-17).
+KAFKA_META_COLUMNS = {
+    "__kafka_topic": "topic",
+    "__kafka_partition": "partition",
+    "__kafka_offset": "offset",
+    "__kafka_key": "key",
+    "__kafka_timestamp": "timestamp",
+}
+
+
+@dataclass
+class ColumnSpec:
+    """≙ ColumnWithType (model/metric.go:57-62)."""
+
+    name: str
+    ch_type: str  # ClickHouse type string, parsed via typemap
+    source: str | None = None  # source field name; default = name
+    not_nullable: bool = False
+    constant: object = None  # constant-field injection (P5) when set
+    time_unit: float = 1.0  # epoch scaling for DateTime targets
+
+    @property
+    def parsed(self) -> CHType:
+        return parse_ch_type(self.ch_type)
+
+
+def _cast_expr(
+    src: Column,
+    t: CHType,
+    not_nullable: bool,
+    time_unit: float,
+    src_type: ST.DataType | None = None,
+) -> Column:
+    """Build the reference-semantics cast from a source column to a CH type.
+
+    ``src_type`` (when the source DataFrame schema is known) picks the
+    DateTime path statically — native timestamp passthrough vs epoch
+    scaling vs layout parsing — mirroring how the reference dispatches on
+    the parsed JSON value kind (parser/fastjson.go:457-510).
+    """
+    nullable = t.nullable and not not_nullable
+    name = t.name
+
+    if t.array:
+        # per-element coercion with the same clamping (parser/fastjson.go:212-325)
+        elem_t = CHType(**{**t.__dict__, "array": False})
+        arr = src.try_cast("array<string>")
+        return F.transform(arr, lambda e: _cast_expr(e, elem_t, True, time_unit))
+
+    if name in ("Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32", "UInt64"):
+        num = src.try_cast("decimal(38,9)")
+        out = saturating_cast(num, name)
+    elif name == "Float32":
+        out = saturating_cast_float32(src.try_cast("double"))
+    elif name == "Float64":
+        out = src.try_cast("double")
+    elif name == "Bool":
+        # accept true/false and 0/1 (parser/fastjson.go:134-138,730-737)
+        out = F.coalesce(src.try_cast("boolean"), (src.try_cast("double") != 0.0))
+    elif name == "Decimal":
+        out = src.try_cast(f"decimal({t.decimal_precision},{t.decimal_scale})")
+    elif name == "DateTime":
+        unit = time_unit if t.datetime_precision == 0 else 10.0 ** (-t.datetime_precision)
+        if isinstance(src_type, (ST.TimestampType, ST.TimestampNTZType, ST.DateType)):
+            out = src.cast("timestamp")  # native timestamp passthrough
+        elif isinstance(src_type, ST.NumericType):
+            out = epoch_to_timestamp(src, unit)  # epoch scaled (P10)
+        elif isinstance(src_type, ST.StringType):
+            out = parse_datetime_any(src)  # layout detection (P9)
+        else:
+            num = src.try_cast("double")
+            out = F.coalesce(
+                F.when(num.isNotNull(), epoch_to_timestamp(num, unit)),
+                parse_datetime_any(src.cast("string")),
+            )
+    elif name == "IPv4":
+        out = valid_ip_or_default(src.cast("string"), v6=False)
+    elif name == "IPv6":
+        out = valid_ip_or_default(src.cast("string"), v6=True)
+    elif name == "Map":
+        out = src  # maps arrive pre-shaped from from_json with a Map schema
+    elif name == "Object":
+        out = src.try_cast("map<string,string>")
+    else:  # String family
+        out = src.cast("string")
+
+    if nullable or name in ("Map",):
+        return out
+    spark_t = to_spark_type(t).simpleString()
+    return F.coalesce(out, default_literal(spark_t))
+
+
+def build_projection(specs: list[ColumnSpec], schema: ST.StructType | None = None) -> list[Column]:
+    """One aliased Column per destination column."""
+    src_types = {f.name: f.dataType for f in schema.fields} if schema is not None else {}
+    cols: list[Column] = []
+    for s in specs:
+        if s.constant is not None:  # P5 constant-field injection
+            cols.append(F.lit(s.constant).alias(s.name))
+            continue
+        if s.name in KAFKA_META_COLUMNS:  # P6
+            cols.append(F.col(KAFKA_META_COLUMNS[s.name]).alias(s.name))
+            continue
+        src_name = s.source or s.name
+        src = F.col(src_name)
+        cols.append(
+            _cast_expr(src, s.parsed, s.not_nullable, s.time_unit, src_types.get(src_name)).alias(s.name)
+        )
+    return cols
+
+
+def apply_projection(df: DataFrame, specs: list[ColumnSpec], null_reject: bool = True) -> DataFrame:
+    """select(cast exprs) + null-reject filter on NOT-NULL columns
+    (task/task.go:303-314: a null in a non-nullable column drops the row)."""
+    out = df.select(*build_projection(specs, df.schema))
+    if null_reject:
+        for s in specs:
+            if s.not_nullable and s.constant is None:
+                out = out.filter(F.col(s.name).isNotNull())
+    return out

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (beyond-reference surface).
+
+- ``cosine_topk``: brute-force exact top-k — crossJoin(broadcast(queries))
+  with zip_with dot products.  The query side is broadcast (small); the
+  corpus side streams map-side with NO shuffle except the final per-query
+  top-k (window on query_id).  At 100 TB the corpus scan is embarrassingly
+  parallel; cost is O(N·Q·d) flops in codegen.
+- ``ivf_topk``: IVF-style ANN — k-means-free variant using deterministic
+  coarse buckets (sign-pattern projection), probing the query's bucket and
+  its hamming-1 neighbors.  Trades recall for a ~2^b reduction in scanned
+  rows; recall is re-checkable against cosine_topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "ivf_topk", "dot", "l2_norm"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` must have columns (query_id, vec).  Plan: broadcast the
+    query set against the corpus (map-side nested loop — no shuffle of the
+    corpus), then one shuffle on query_id for the top-k window.  Ties break
+    on corpus id (deterministic / oracle-safe).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col("query_id"), F.col("vec").alias("qv"), l2_norm(F.col("vec")).alias("qn")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        (dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def _sign_bucket(v: Column, bits: int) -> Column:
+    out = F.lit(0)
+    for i in range(1, bits + 1):
+        out = out * 2 + F.when(F.element_at(v, i) >= 0, F.lit(1)).otherwise(F.lit(0))
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int = 10, bits: int = 6
+) -> DataFrame:
+    """Approximate top-k: partition the corpus into 2^bits coarse buckets by
+    sign-pattern projection; each query probes its own bucket plus all
+    hamming-1 neighbor buckets (bits+1 probes).  The bucketed equi-join
+    replaces the cross join — scanned fraction ≈ (bits+1)/2^bits.
+
+    Not SQL-oracle-checked for recall (approximate by construction); tests
+    measure recall against ``cosine_topk``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+        _sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    q = queries.select(
+        "query_id", F.col("vec").alias("qv"), l2_norm(F.col("vec")).alias("qn"),
+        _sign_bucket(F.col("vec"), bits).alias("qb"),
+    )
+    # probe set: own bucket + flip each of the `bits` sign bits
+    probes = q.select(
+        "query_id", "qv", "qn",
+        F.explode(
+            F.array_union(
+                F.array(F.col("qb")),
+                F.array(*[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]),
+            )
+        ).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(probes), "bucket").select(
+        "query_id",
+        "corpus_id",
+        (dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -1,0 +1,982 @@
+"""The engine's query surface, each entry paired with an ANSI-SQL oracle.
+
+``QUERIES[name](spark, sf_dir) -> DataFrame`` and ``ORACLES[name] -> SQL``
+(DuckDB-runnable over the same parquet tables).  Every operator from
+SURVEY.md §2 that is batch-expressible appears here; streaming-only
+semantics are exercised in tests/ (no SQL equivalent).
+
+Determinism rules (so the driver's value-hash matches bit-for-bit):
+
+- double aggregations go through exact decimal sums, cast to double at the
+  end (FP summation order would otherwise differ between engines);
+- embedding math is quantized to integers (floor(x*1000)) so dot products
+  are order-independent integer sums; norms/cosines derive from the same
+  ints → identical doubles;
+- survivor selection in dedup is min/max_by with unique tie-breakers,
+  never dropDuplicates;
+- session timezone is pinned to UTC.
+
+Scale notes are on each query: what shuffles, what broadcasts, what is
+map-side only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.casts import (
+    epoch_to_timestamp,
+    parse_datetime_any,
+    valid_ip_or_default,
+)
+from ..functions.hashing import fingerprint_md5, shard_knuth, shard_stripe
+from ..functions.text import STOPWORDS, langid_expr, langid_scores, quality_features, token_count
+from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_dup
+from ..operators.project import ColumnSpec, apply_projection
+from ..operators.sharding import ShardingPolicy, add_shard_column
+from ..operators.similarity import ivf_topk
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col: str | Column, p: int = 12, s: int = 4) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+def _one_minus(col: str) -> Column:
+    """(1 - x) as decimal(6,4): keeps multi-way decimal products inside
+    precision 38 in BOTH engines so no rounding ever occurs (Spark reduces
+    scale on precision overflow, DuckDB errors — tight factors avoid both)."""
+    return (F.lit(1) - _dec(col)).cast("decimal(6,4)")
+
+
+def _one_plus(col: str) -> Column:
+    return (F.lit(1) + _dec(col)).cast("decimal(6,4)")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational layer (SURVEY §2.7 — the capabilities the reference
+# delegates to ClickHouse, owned natively here)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))) * CAST(1 + CAST(l_tax AS DECIMAL(12,4)) AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (flagship).  Scale: filter pushed to parquet scan,
+    partial agg map-side, one shuffle on the 6-group key — the canonical
+    100 TB-safe aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(30,6)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(30,6)").cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_topk",
+    """
+    SELECT o.o_orderkey,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l.l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-k.  customer is tiny → broadcast; lineitem⋈orders
+    shuffles on orderkey; top-k via exact-decimal revenue with orderkey
+    tie-break (deterministic under parallelism)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(30,6)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l.l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey   = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey   = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation.  region/nation/supplier/customer are
+    dimension tables → broadcast joins (no shuffle of lineitem except the
+    orderkey join); one final small shuffle on n_name."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("decimal(30,6)").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "window_topk_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT c.c_custkey, o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(14,4)) AS DOUBLE) AS o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                ORDER BY CAST(o.o_totalprice AS DECIMAL(14,4)) DESC, o.o_orderkey) AS rnk
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ) WHERE rnk <= 3
+    """,
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — ranking window; one shuffle on custkey.
+    Decimal ordering key + orderkey tie-break keeps ranks deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    price = _dec("o_totalprice", 14, 4)
+    w = Window.partitionBy("c_custkey").orderBy(price.desc(), F.col("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", price.cast("double").alias("o_totalprice"),
+                F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "setop_except_distinct",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders via EXCEPT (set ops, SURVEY §2.7).  At scale
+    this is a shuffle-dedup on one bigint column — prefer it over NOT IN
+    (null-safe) and over anti-join when dedup is wanted anyway."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@query(
+    "agg_distinct_exact",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (reference uses SELECT DISTINCT only in
+    warm-up SQL, task/sinker.go:42-46; we own it).  Two-phase shuffle;
+    Catalyst expands to partial-distinct aggregation automatically."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct")  # no SQL oracle: HLL sketch is engine-specific
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB path where exact distinct
+    is a full shuffle; rows-only check (sketch values are engine-specific),
+    accuracy asserted against the exact count in tests/test_queries.py."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )
+
+
+@query(
+    "window_tumbling_1h",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (W1 batch form; the streaming form
+    with watermark lives in streaming/pipeline.py).  window() is a plain
+    grouping expression → one shuffle with map-side partials."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ETL surface (SURVEY §2.2-2.4): parse / project / cast / route on `events`
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "etl_parse_project",
+    """
+    SELECT ts AS time,
+           event_type AS name,
+           CAST(CAST(value AS FLOAT) AS DOUBLE) AS value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           'prod' AS env,
+           event_id AS __kafka_offset
+    FROM events
+    """,
+)
+def etl_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hot path as one projection (P1 parse → P4 project →
+    P5 constants → P6 kafka meta → Float32 clamp).  Uses the ColumnSpec
+    machinery end-to-end; all map-side codegen, zero shuffles."""
+    e = _t(spark, sf_dir, "events").withColumns(
+        {"k_raw": F.get_json_object("props", "$.k"), "offset": F.col("event_id")}
+    )
+    specs = [
+        ColumnSpec("time", "DateTime", source="ts"),
+        ColumnSpec("name", "String", source="event_type"),
+        ColumnSpec("value", "Nullable(Float32)", source="value"),
+        ColumnSpec("k", "Nullable(Int64)", source="k_raw"),
+        ColumnSpec("env", "String", constant="prod"),
+        ColumnSpec("__kafka_offset", "Int64"),
+    ]
+    out = apply_projection(e, specs)
+    return out.withColumn("value", F.col("value").cast("double"))
+
+
+@query(
+    "etl_saturating_cast",
+    """
+    SELECT event_id,
+           CAST(LEAST(GREATEST(FLOOR(value), -128), 127) AS TINYINT)  AS v_int8,
+           CAST(LEAST(GREATEST(FLOOR(value), 0), 255) AS SMALLINT)    AS v_uint8,
+           CAST(LEAST(GREATEST(FLOOR(value * 100), -32768), 32767) AS SMALLINT) AS v_int16,
+           CAST(LEAST(GREATEST(FLOOR(value), 0), 4294967295) AS BIGINT) AS v_uint32
+    FROM events
+    """,
+)
+def etl_saturating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saturating casts (P7, parser/fastjson.go:129-173): out-of-range clamps
+    to type min/max instead of ANSI error / legacy wraparound.  floor()
+    first so the oracle shares exact integer semantics."""
+    e = _t(spark, sf_dir, "events")
+    from ..functions.casts import saturating_cast
+
+    return e.select(
+        "event_id",
+        saturating_cast(F.floor("value"), "Int8").alias("v_int8"),
+        saturating_cast(F.floor("value"), "UInt8").alias("v_uint8"),
+        saturating_cast(F.floor(F.col("value") * 100), "Int16").alias("v_int16"),
+        saturating_cast(F.floor("value"), "UInt32").cast("bigint").alias("v_uint32"),
+    )
+
+
+@query(
+    "etl_default_on_error",
+    """
+    SELECT event_id,
+           COALESCE(TRY_CAST(event_type AS BIGINT), 0) AS bad_int_default,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_nullable,
+           COALESCE(TRY_CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0) AS missing_default
+    FROM events
+    """,
+)
+def etl_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-on-bad-data (P8, parser/fastjson.go:582-621): invalid/missing
+    → NULL if nullable else type default.  try_cast keeps ANSI mode safe."""
+    e = _t(spark, sf_dir, "events")
+    from ..functions.casts import cast_with_default
+
+    return e.select(
+        "event_id",
+        cast_with_default(F.col("event_type"), "bigint", nullable=False).alias("bad_int_default"),
+        cast_with_default(F.get_json_object("props", "$.k"), "bigint", nullable=True).alias("k_nullable"),
+        cast_with_default(F.get_json_object("props", "$.missing"), "double", nullable=False).alias("missing_default"),
+    )
+
+
+@query(
+    "etl_datetime_layouts",
+    """
+    SELECT event_id,
+           try_strptime(strftime(ts, '%d/%m/%Y'), '%d/%m/%Y') AS d_dmy,
+           try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS d_iso
+    FROM events
+    """,
+)
+def etl_datetime_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-layout datetime detection (P9, parser/parser.go:31-65): strings
+    in different layouts all parse through one coalesce chain of
+    try_to_timestamp — Catalyst codegens it; no Python."""
+    e = _t(spark, sf_dir, "events")
+    s_dmy = F.date_format("ts", "dd/MM/yyyy")
+    s_iso = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    return e.select(
+        "event_id",
+        parse_datetime_any(s_dmy).alias("d_dmy"),
+        parse_datetime_any(s_iso).alias("d_iso"),
+    )
+
+
+@query(
+    "etl_epoch_scale",
+    """
+    SELECT event_id,
+           TIMESTAMP '1970-01-01 00:00:00' + (epoch_us(ts) // 1000000) * INTERVAL 1 SECOND AS ts_sec,
+           TIMESTAMP '1970-01-01 00:00:00'
+             + ((epoch_us(ts) // 1000000) * 1000 + event_id % 1000) // 1000 * INTERVAL 1 SECOND
+             + ((epoch_us(ts) // 1000000) * 1000 + event_id % 1000) % 1000 * INTERVAL 1 MILLISECOND AS ts_scaled
+    FROM events
+    """,
+)
+def etl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-number → timestamp with time-unit scaling (P10,
+    parser/parser.go:204-226).  ts_scaled is a millisecond epoch through
+    unit 0.001 — exact decimal scaling, so it matches integer interval
+    arithmetic bit-for-bit."""
+    e = _t(spark, sf_dir, "events").withColumns(
+        {
+            "epoch_s": F.unix_timestamp("ts"),
+            "epoch_ms": F.unix_timestamp("ts") * 1000 + F.col("event_id") % 1000,
+        }
+    )
+    return e.select(
+        "event_id",
+        epoch_to_timestamp(F.col("epoch_s"), 1.0).alias("ts_sec"),
+        epoch_to_timestamp(F.col("epoch_ms"), 0.001).alias("ts_scaled"),
+    )
+
+
+@query(
+    "etl_ip_validate",
+    """
+    SELECT event_id, ip_raw,
+           CASE WHEN regexp_matches(ip_raw, '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+                THEN ip_raw ELSE '0.0.0.0' END AS ip
+    FROM (SELECT event_id, '10.' || CAST(user_id * 3 AS VARCHAR) || '.0.1' AS ip_raw FROM events)
+    """,
+)
+def etl_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP validation (P12, parser/fastjson.go:739-785): invalid → 0.0.0.0.
+    user_id*3 exceeds 255 for a third of rows → both branches exercised."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ip_raw", F.concat(F.lit("10."), (F.col("user_id") * 3).cast("string"), F.lit(".0.1"))
+    )
+    return e.select("event_id", "ip_raw", valid_ip_or_default(F.col("ip_raw")).alias("ip"))
+
+
+@query(
+    "etl_null_reject",
+    """
+    SELECT event_id, ts, NULLIF(event_type, 'error') AS event_type
+    FROM events
+    WHERE NULLIF(event_type, 'error') IS NOT NULL
+    """,
+)
+def etl_null_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-reject on NOT-NULL columns (P16, task/task.go:303-314): rows
+    whose non-nullable column resolves to null are dropped, not defaulted."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "event_type", F.nullif(F.col("event_type"), F.lit("error"))
+    )
+    return e.select("event_id", "ts", "event_type").filter(F.col("event_type").isNotNull())
+
+
+@query(
+    "etl_shard_stripe",
+    """
+    SELECT CAST((user_id // 16) % 8 AS INTEGER) AS shard,
+           COUNT(*) AS n,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY 1
+    """,
+)
+def etl_shard_stripe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripe sharding policy (R1, task/sharding.go:61-103).  The shard
+    column is what `repartition(n, col)` consumes — the shuffle IS the
+    reference's per-shard buffer fan-out."""
+    e = _t(spark, sf_dir, "events")
+    e = add_shard_column(e, ShardingPolicy(key="user_id", policy="stripe", stripe=16), 8, "shard")
+    return e.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+@query(
+    "etl_shard_knuth",
+    """
+    SELECT CAST(((user_id * 2654435761) % 2147483648) % 8 AS INTEGER) AS shard, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def etl_shard_knuth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative-hash sharding (R2 family) with an oracle-reproducible
+    hash; the xxhash64 production policy is etl_shard_hash_xx (rows-only —
+    xxhash64 is not ANSI SQL) and unit-tested against golden values."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(shard_knuth("user_id", 8).alias("shard")).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query("etl_shard_hash_xx")  # no oracle: xxhash64 is engine-native (golden-tested)
+def etl_shard_hash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hash sharding (R2, task/sharding.go:104-117):
+    xxhash64(key) % shards — same hash family as the reference (cespare/
+    xxhash) and ClickHouse.  Verified against golden xxhash64 values in
+    tests/test_sharding.py."""
+    e = _t(spark, sf_dir, "events")
+    e = add_shard_column(e, ShardingPolicy(key="event_type", policy="hash"), 8, "shard")
+    return e.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("etl_sortingkey_shard")  # no oracle: xxhash64-based (golden-tested)
+def etl_sortingkey_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree sorting-key sharding (R4, output/clickhouse.go:
+    724-799): __shardingkey = xxhash64(concat(sort keys)) % shards, so
+    replayed duplicates co-locate and dedup stays shuffle-local."""
+    e = _t(spark, sf_dir, "events")
+    e = add_shard_column(
+        e, ShardingPolicy(policy="sortingkey", sorting_keys=("user_id", "event_type")), 8, "__shardingkey"
+    )
+    return e.groupBy("__shardingkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "etl_dedup_offsets",
+    """
+    SELECT t, p, o, CAST(MIN(value) AS DOUBLE) AS value FROM (
+      SELECT event_type AS t, user_id % 4 AS p, event_id AS o, value FROM events
+      UNION ALL
+      SELECT event_type AS t, user_id % 4 AS p, event_id AS o, value FROM events
+    ) GROUP BY t, p, o
+    """,
+)
+def etl_dedup_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay → exactly-once (W8, docs/dev/design.md:5-12):
+    a doubled stream collapses to unique (topic,partition,offset).  One
+    shuffle; at scale the sortingkey shard keeps this co-located."""
+    from ..operators.dedup import dedup_offsets
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        (F.col("user_id") % 4).alias("p"),
+        F.col("event_id").alias("o"),
+        "value",
+    )
+    return dedup_offsets(e.unionAll(e), "t", "p", "o")
+
+
+@query(
+    "etl_schema_infer_keys",
+    """
+    SELECT k AS key_name, COUNT(*) AS n FROM (
+      SELECT unnest(json_keys(CASE WHEN event_id % 3 = 0
+                                   THEN '{"k": 1, "newkey00": true, "newkey01": 7}'
+                                   ELSE props END)) AS k
+      FROM events
+    ) GROUP BY k
+    """,
+)
+def etl_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema key detection (D4, parser/fastjson.go:512-536): the
+    distinct key set of the JSON payload vs the known columns.  Map-side
+    explode + tiny shuffle of distinct key strings."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "j",
+        F.when(F.col("event_id") % 3 == 0, F.lit('{"k": 1, "newkey00": true, "newkey01": 7}')).otherwise(
+            F.col("props")
+        ),
+    )
+    return (
+        e.select(F.explode(F.json_object_keys("j")).alias("key_name"))
+        .groupBy("key_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "series_latest_per_key",
+    """
+    SELECT user_id AS __series_id__,
+           CAST(MAX(event_id) AS BIGINT) AS __mgmt_id__,
+           arg_max(event_type, event_id) AS event_type,
+           arg_max(value, event_id) AS value
+    FROM events GROUP BY user_id
+    """,
+)
+def series_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series dedup, batch form (D1, output/clickhouse.go:163-228): keep the
+    latest mgmt-id state per series.  event_id is unique → max_by is
+    deterministic.  One shuffle on the series key (already co-located under
+    R4 sharding)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("__series_id__"),
+        F.col("event_id").alias("__mgmt_id__"),
+        "event_type",
+        "value",
+    )
+    from ..operators.series import dedup_series_latest
+
+    return dedup_series_latest(e)
+
+
+@query(
+    "series_labels_json",
+    """
+    SELECT user_id AS __series_id__,
+           '{' || '"instance":"' || CAST(user_id % 10 AS VARCHAR) || '"' ||
+           ',"job":"' || arg_min(event_type, event_id) || '"' || '}' AS labels
+    FROM events GROUP BY user_id
+    """,
+)
+def series_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labels-JSON construction for the series table (D3, task/task.go:
+    262-270): deterministic key order, __name__/le excluded.  Built by
+    concat so the byte layout is engine-independent."""
+    e = _t(spark, sf_dir, "events")
+    first_type = F.min_by("event_type", "event_id")
+    return e.groupBy(F.col("user_id").alias("__series_id__")).agg(
+        F.concat(
+            F.lit('{"instance":"'),
+            (F.col("user_id") % 10).cast("string"),
+            F.lit('","job":"'),
+            first_type,
+            F.lit('"}'),
+        ).alias("labels")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (north star: dedup / similarity / text /
+# multimodal) on documents + embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 fingerprint, deterministic min-id survivor.  The
+    shuffle carries one row per distinct document (map-side partial agg) —
+    at 100 TB this is the cheapest dedup and the baseline for the fuzzy
+    ones."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", fingerprint_md5(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id, sh.shingles, len(sh.shingles) AS n_sh
+      FROM documents,
+           LATERAL (SELECT CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                                ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+                           END AS shingles
+                    FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks)) sh
+    ), ex AS (
+      SELECT id, n_sh, unnest(shingles) AS shingle FROM sh
+    )
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared,
+           CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) >= 0.2
+    """,
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (ground truth for MinHash-LSH).
+    Shuffles on shingle then on pair; rational arithmetic → oracle-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2).select(
+        "id_a", "id_b", "shared", "jaccard"
+    )
+
+
+@query("dedup_minhash_lsh")  # no oracle: xxhash64-based; recall tested vs exact jaccard
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — the 100 TB path: signature is map-side,
+    the only joins are on constant-width band keys, candidates re-verified
+    with true Jaccard.  tests/test_dedup.py asserts recall vs
+    dedup_ngram_jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", n=3, num_perm=64, bands=16, threshold=0.2)
+
+
+@query("dedup_simhash")  # no oracle: xxhash64-based; hamming checked in tests
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit sketch + 4×16-bit band index (pigeonhole
+    guarantee for hamming ≤ 3)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup(d, "text", "doc_id", max_hamming=8)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id, [CAST(floor(u * 1000.0) AS BIGINT) FOR u IN embedding] AS qv,
+             list_aggregate([CAST(floor(u*1000.0) AS BIGINT) * CAST(floor(u*1000.0) AS BIGINT) FOR u IN embedding], 'sum') AS sq
+      FROM embeddings
+    ),
+    ex AS (SELECT vec_id, unnest(qv) AS q, generate_subscripts(qv, 1) AS i, sq FROM q)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(SUM(a.q * b.q) AS DOUBLE) / (sqrt(MIN(a.sq)) * sqrt(MIN(b.sq))) AS cosine
+    FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+    HAVING CAST(SUM(a.q * b.q) AS DOUBLE) / (sqrt(MIN(a.sq)) * sqrt(MIN(b.sq))) >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.35 — the synthetic embeddings
+    top out near 0.51 pairwise) with integer-quantized math
+    (floor(x*1000)): dot products become order-independent integer sums →
+    bit-identical across engines.  Spark plan is a block-free all-pairs at
+    sf (500 vecs); the LSH-blocked variant is `embedding_near_dup` in
+    operators/dedup.py (tests compare)."""
+    em = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding"), lambda x: F.floor(x * 1000.0).cast("bigint"))
+    base = em.select(F.col("vec_id").alias("id"), qv.alias("qv")).withColumn(
+        "sq",
+        F.aggregate(F.col("qv"), F.lit(0).cast("bigint"), lambda a, x: a + x * x),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dotq = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dotq.cast("double") / (F.sqrt(F.col("a.sq")) * F.sqrt(F.col("b.sq")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@query(
+    "knn_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id, [CAST(floor(u * 1000.0) AS BIGINT) FOR u IN embedding] AS qv,
+             list_aggregate([CAST(floor(u*1000.0) AS BIGINT) * CAST(floor(u*1000.0) AS BIGINT) FOR u IN embedding], 'sum') AS sq
+      FROM embeddings
+    ),
+    ex AS (SELECT vec_id, unnest(qv) AS q, generate_subscripts(qv, 1) AS i, sq FROM q),
+    scored AS (
+      SELECT qs.vec_id AS query_id, cs.vec_id AS corpus_id,
+             CAST(SUM(qs.q * cs.q) AS DOUBLE) / (sqrt(MIN(qs.sq)) * sqrt(MIN(cs.sq))) AS cosine
+      FROM ex qs JOIN ex cs ON qs.i = cs.i AND qs.vec_id < 5 AND qs.vec_id <> cs.vec_id
+      GROUP BY qs.vec_id, cs.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rnk FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors: broadcast the
+    queries against the corpus (map-side scoring, no corpus shuffle), one
+    window shuffle on query_id.  Quantized ints → oracle-exact."""
+    em = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding"), lambda x: F.floor(x * 1000.0).cast("bigint"))
+    base = em.select(F.col("vec_id"), qv.alias("qv")).withColumn(
+        "sq", F.aggregate(F.col("qv"), F.lit(0).cast("bigint"), lambda a, x: a + x * x)
+    )
+    queries = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"), F.col("sq").alias("qsq")
+    )
+    dotq = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            (dotq.cast("double") / (F.sqrt(F.col("qsq")) * F.sqrt(F.col("sq")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+@query("knn_ivf")  # no oracle: approximate by construction; recall tested vs knn_cosine_topk
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: sign-pattern coarse buckets + hamming-1 probing —
+    scanned fraction ≈ (bits+1)/2^bits of the corpus.  Recall measured in
+    tests/test_similarity.py against the exact top-k."""
+    em = _t(spark, sf_dir, "embeddings")
+    corpus = em.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = (
+        em.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("vec"))
+    )
+    return ivf_topk(corpus, queries, "embedding", "vec_id", k=10, bits=6)
+
+
+@query(
+    "text_langid",
+    """
+    SELECT doc_id, lang,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))) AS score_de,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))) AS score_en,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))) AS score_es,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des'))) AS score_fr,
+           CASE WHEN GREATEST(
+                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))),
+                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))),
+                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))),
+                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des')))) <= 0
+                THEN 'und'
+                ELSE CASE
+                  WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))) = GREATEST(
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))),
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))),
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))),
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des')))) THEN 'de'
+                  WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))) = GREATEST(
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))),
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))),
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))),
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des')))) THEN 'en'
+                  WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))) = GREATEST(
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))),
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))),
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))),
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des')))) THEN 'es'
+                  ELSE 'fr' END END AS pred_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword evidence (n-gram heuristic family): integer
+    token-match counts per language, argmax with deterministic tie-break.
+    Pure map-side codegen."""
+    d = _t(spark, sf_dir, "documents")
+    scores = langid_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        scores["de"].alias("score_de"),
+        scores["en"].alias("score_en"),
+        scores["es"].alias("score_es"),
+        scores["fr"].alias("score_fr"),
+        langid_expr(F.col("text")).alias("pred_lang"),
+    )
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t IN ('the','and','of','to','is','le','la','et','les','des','der','die','und','das','ist','el','los','las','una','es'))) AS stopword_hits,
+           CAST(length(text) AS DOUBLE) / (CASE WHEN trim(text) = '' THEN 1 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length/punct/stopword counts + ratio) —
+    integer counts and a ratio of those integers; map-side only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    n_tokens = token_count(F.col("text")).cast("bigint")
+    nzt = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(1.0))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[\.,;:!\?]", ""))).cast("bigint").alias("n_punct"),
+        F.size(F.filter(toks, lambda t: t.isin(all_stop))).cast("bigint").alias("stopword_hits"),
+        (F.length("text").cast("double") / nzt).alias("mean_token_len"),
+    )
+
+
+@query(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_unique,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+             / (CASE WHEN trim(text) = '' THEN 1 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS ttr
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type-token ratio (BPE-ish segmentation arrives with
+    a regex tokenizer in a later round; whitespace here)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = token_count(F.col("text")).cast("bigint")
+    n_unique = F.size(F.array_distinct(toks)).cast("bigint")
+    nzt = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(1.0))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        (n_unique.cast("double") / nzt).alias("ttr"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(text) AS fp_full,
+           md5(lower(trim(text))) AS fp_norm,
+           substr(md5(text), 1, 8) AS fp_short
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full + normalized + truncated md5 (the
+    rolling-hash variant is simhash/minhash territory — those are the
+    xxhash-based queries)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_full"),
+        fingerprint_md5(F.lower(F.trim(F.col("text")))).alias("fp_norm"),
+        F.substring(fingerprint_md5(F.col("text")), 1, 8).alias("fp_short"),
+    )
+
+
+@query(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_hash,
+           source, lang
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: payload treated as opaque binary with
+    typed metadata (byte length, content hash, source).  The decode /
+    feature-extract stage is the mapInPandas pipeline in
+    operators/multimodal.py (stubbed decode, real plumbing)."""
+    d = _t(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("bigint").alias("byte_len"),
+        F.md5(bin_col).alias("content_hash"),
+        "source",
+        "lang",
+    )
