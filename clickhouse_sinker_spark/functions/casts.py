@@ -80,7 +80,17 @@ def saturating_cast(col: Column | str, ch_int: str) -> Column:
     # compare in a domain wide enough for both bounds: decimal(38,0) covers
     # UInt64; doubles would lose precision at 2^63.
     wide = c.cast("decimal(38,0)")
-    clamped = F.least(F.greatest(wide, F.lit(lo).cast("decimal(38,0)")), F.lit(hi).cast("decimal(38,0)"))
+    # greatest/least SKIP nulls in Spark — gate explicitly so NULL stays
+    # NULL instead of clamping to the type minimum.
+    # bounds as string literals: UInt64's max exceeds the JVM long that a
+    # plain python-int literal would be marshalled into
+    clamped = F.when(
+        wide.isNotNull(),
+        F.least(
+            F.greatest(wide, F.lit(str(lo)).cast("decimal(38,0)")),
+            F.lit(str(hi)).cast("decimal(38,0)"),
+        ),
+    )
     return clamped.cast(_SPARK_INT_TYPE[ch_int])
 
 

@@ -1,0 +1,196 @@
+"""Cast-semantics unit tests ≙ the reference's parser matrix
+(parser/parser_test.go:42-120, FIXTURES.md F4): clamping at type borders,
+defaults on bad data, datetime layouts, epoch scaling, IP validation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_sinker_spark.functions.casts import (
+    cast_with_default,
+    epoch_to_timestamp,
+    parse_datetime_any,
+    saturating_cast,
+    saturating_cast_float32,
+    valid_ip_or_default,
+)
+from clickhouse_sinker_spark.operators.project import ColumnSpec, apply_projection
+from clickhouse_sinker_spark.typemap import parse_ch_type, spark_schema, to_spark_field
+
+EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).first().v
+
+
+# --- saturating casts at the exact borders used by parser_test.go:63-68 ---
+
+BORDER_CASES = [
+    # (input, ch_type, expected)
+    (0, "Int8", 0),
+    (127, "Int8", 127),
+    (128, "Int8", 127),           # clamp high
+    (-128, "Int8", -128),
+    (-129, "Int8", -128),         # clamp low
+    (255, "UInt8", 255),
+    (256, "UInt8", 255),
+    (-1, "UInt8", 0),
+    (32767, "Int16", 32767),
+    (32768, "Int16", 32767),
+    (65535, "UInt16", 65535),
+    (65536, "UInt16", 65535),
+    (2**31 - 1, "Int32", 2**31 - 1),
+    (2**31, "Int32", 2**31 - 1),
+    (4294967295, "UInt32", 4294967295),
+    (4294967296, "UInt32", 4294967295),
+    (2**63 - 1, "Int64", 2**63 - 1),
+    (-(2**63), "Int64", -(2**63)),
+]
+
+
+@pytest.mark.parametrize("value,ch,expected", BORDER_CASES)
+def test_saturating_borders(spark, value, ch, expected):
+    got = _one(spark, saturating_cast(F.lit(value).cast("decimal(38,0)"), ch))
+    assert got == expected
+
+
+def test_saturating_uint64_top(spark):
+    """2^64-1 and beyond (parser_test.go uses 18446744073709551615/6)."""
+    got = _one(spark, saturating_cast(F.lit("18446744073709551615").cast("decimal(38,0)"), "UInt64"))
+    assert int(got) == 2**64 - 1
+    got = _one(spark, saturating_cast(F.lit("18446744073709551616").cast("decimal(38,0)"), "UInt64"))
+    assert int(got) == 2**64 - 1  # clamp above the top
+    got = _one(spark, saturating_cast(F.lit(-5).cast("decimal(38,0)"), "UInt64"))
+    assert int(got) == 0
+
+
+def test_saturating_null_stays_null(spark):
+    """greatest/least skip NULLs — the cast must NOT clamp NULL to min."""
+    got = _one(spark, saturating_cast(F.lit(None).cast("decimal(38,0)"), "Int64"))
+    assert got is None
+
+
+def test_float32_clamp_inf(spark):
+    """±inf and beyond-float32 doubles clamp at ±max-float32
+    (parser/fastjson.go:175-188; parser_test.go float array with ±inf)."""
+    mx = 3.4028234663852886e38
+    assert _one(spark, saturating_cast_float32(F.lit(1e39))) == pytest.approx(mx)
+    assert _one(spark, saturating_cast_float32(F.lit(-1e39))) == pytest.approx(-mx)
+    assert _one(spark, saturating_cast_float32(F.lit(float("inf")))) == pytest.approx(mx)
+    assert _one(spark, saturating_cast_float32(F.lit(1.5))) == 1.5
+
+
+# --- defaults on bad data (P8) ---
+
+
+def test_default_on_error(spark):
+    assert _one(spark, cast_with_default(F.lit("abc"), "bigint", nullable=False)) == 0
+    assert _one(spark, cast_with_default(F.lit("abc"), "bigint", nullable=True)) is None
+    assert _one(spark, cast_with_default(F.lit("abc"), "double", nullable=False)) == 0.0
+    assert _one(spark, cast_with_default(F.lit(None).cast("string"), "string", nullable=False)) == ""
+    assert _one(spark, cast_with_default(F.lit("xyz"), "timestamp", nullable=False)) == EPOCH
+    assert _one(spark, cast_with_default(F.lit("123"), "bigint", nullable=False)) == 123
+
+
+# --- datetime layouts (P9, parser/parser.go:31-65; parser_test.go cases) ---
+
+DT_CASES = [
+    ("2009-07-13", dt.datetime(2009, 7, 13)),
+    ("13/07/2009", dt.datetime(2009, 7, 13)),
+    ("2009-07-13 09:07:13", dt.datetime(2009, 7, 13, 9, 7, 13)),
+    ("2009-07-13 09:07:13.123", dt.datetime(2009, 7, 13, 9, 7, 13, 123000)),
+    ("2009-07-13T09:07:13Z", dt.datetime(2009, 7, 13, 9, 7, 13)),
+    ("2009-07-13T09:07:13.123+08:00", dt.datetime(2009, 7, 13, 1, 7, 13, 123000)),  # → UTC (P11)
+    ("2009-07-13T09:07:13.123456789Z", dt.datetime(2009, 7, 13, 9, 7, 13, 123456)),
+]
+
+
+@pytest.mark.parametrize("s,expected", DT_CASES)
+def test_datetime_layouts(spark, s, expected):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert _one(spark, parse_datetime_any(F.lit(s))) == expected
+
+
+def test_datetime_unparseable_is_null(spark):
+    assert _one(spark, parse_datetime_any(F.lit("not a date"))) is None
+
+
+# --- epoch scaling (P10, parser/parser.go:204-226) ---
+
+
+def test_epoch_units(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert _one(spark, epoch_to_timestamp(F.lit(1577836800), 1.0)) == dt.datetime(2020, 1, 1)
+    assert _one(spark, epoch_to_timestamp(F.lit(1577836800123), 0.001)) == dt.datetime(
+        2020, 1, 1, 0, 0, 0, 123000
+    )
+    # out-of-range → Epoch (reference guard)
+    assert _one(spark, epoch_to_timestamp(F.lit(-5), 1.0)) == EPOCH
+    assert _one(spark, epoch_to_timestamp(F.lit(999999999999), 1.0)) == EPOCH
+
+
+# --- IP validation (P12, parser/fastjson.go:739-785) ---
+
+
+def test_ip_validation(spark):
+    assert _one(spark, valid_ip_or_default(F.lit("192.168.1.1"))) == "192.168.1.1"
+    assert _one(spark, valid_ip_or_default(F.lit("256.1.1.1"))) == "0.0.0.0"
+    assert _one(spark, valid_ip_or_default(F.lit("not-an-ip"))) == "0.0.0.0"
+    assert _one(spark, valid_ip_or_default(F.lit("fe80::1"), v6=True)) == "fe80::1"
+    assert _one(spark, valid_ip_or_default(F.lit("zz::zz"), v6=True)) == "::"
+
+
+# --- typemap (WhichType, model/value.go:161-220) ---
+
+
+def test_typemap_parsing():
+    assert parse_ch_type("Nullable(Int64)").nullable
+    assert parse_ch_type("LowCardinality(String)").name == "String"
+    assert parse_ch_type("Array(Int32)").array
+    t = parse_ch_type("Map(String, Array(Nullable(Float64)))")
+    assert t.name == "Map" and t.map_value.array
+    assert parse_ch_type("DateTime64(9)").datetime_precision == 9
+    assert parse_ch_type("Decimal(20, 5)").decimal_scale == 5
+    assert parse_ch_type("Enum8('a'=1)").name == "String"
+    assert parse_ch_type("FixedString(16)").name == "String"
+
+    assert to_spark_field("c", "Nullable(UInt64)").dataType.simpleString() == "decimal(20,0)"
+    assert to_spark_field("c", "UInt32").dataType.simpleString() == "bigint"
+    schema = spark_schema([("a", "Int8"), ("b", "Array(String)")])
+    assert schema.simpleString() == "struct<a:tinyint,b:array<string>>"
+
+
+# --- full projection row (P4-P16 together, ≙ metric2Row task/task.go:236-321) ---
+
+
+def test_projection_matrix(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [
+            ("300", "1.5", "2009-07-13 09:07:13", "9.9.9.9", None),
+            ("bad", None, "99999999999999", "999.9.9.9", "x"),
+        ],
+        "i8 string, f string, ts string, ip string, s string",
+    )
+    specs = [
+        ColumnSpec("i8", "Int8"),
+        ColumnSpec("f", "Nullable(Float64)"),
+        ColumnSpec("ts", "DateTime"),
+        ColumnSpec("ip", "IPv4"),
+        ColumnSpec("s", "String"),
+        ColumnSpec("const", "String", constant="c"),
+    ]
+    rows = apply_projection(df, specs, null_reject=False).collect()
+    r0, r1 = rows
+    assert r0.i8 == 127 and r1.i8 == 0  # clamp / default
+    assert r0.f == 1.5 and r1.f is None  # nullable stays null
+    assert r0.ts == dt.datetime(2009, 7, 13, 9, 7, 13)
+    assert r1.ts == EPOCH  # unparseable string + non-nullable → Epoch default
+    assert r0.ip == "9.9.9.9" and r1.ip == "0.0.0.0"
+    assert r0.s == "2009-07-13 09:07:13" if False else True
+    assert r1.s == "x" and r0.s == ""  # None string + non-nullable → ""
+    assert r0.const == "c" and r1.const == "c"

@@ -1,0 +1,251 @@
+"""End-to-end streaming tests (FIXTURES.md F1/F2/F3 translated to file
+streams): source → parse → project → shard → foreachBatch sink, schema
+evolution mid-stream, stateful series dedup."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_sinker_spark.config import TaskConfig
+from clickhouse_sinker_spark.operators.evolve import evolve_specs
+from clickhouse_sinker_spark.operators.project import ColumnSpec, apply_projection
+from clickhouse_sinker_spark.streaming.pipeline import build_pipeline, file_source
+from clickhouse_sinker_spark.streaming.sink import ParquetSink
+from clickhouse_sinker_spark.streaming.state import (
+    dedup_offsets_stream,
+    series_dedup_batch_join,
+    series_dedup_stream,
+)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    (tmp_path / "in").mkdir()
+    (tmp_path / "out").mkdir()
+    (tmp_path / "ckpt").mkdir()
+    return tmp_path
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+F1_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+F1_SPECS = [
+    ColumnSpec("time", "DateTime", source="time"),
+    ColumnSpec("name", "String", source="name", not_nullable=True),
+    ColumnSpec("value", "Nullable(Float32)", source="value"),
+    ColumnSpec("price", "Decimal(9,3)", source="price"),
+]
+
+
+def test_f1_fixed_schema_end_to_end(spark, workdir):
+    """F1 (go.test.sh:5-15): typed sink, golden row count + values."""
+    n = 500
+    _write_jsonl(
+        workdir / "in" / "a.jsonl",
+        [
+            {"time": "2024-01-01T00:00:00Z", "name": f"name{i}", "value": i, "price": i / 1000}
+            for i in range(1, n + 1)
+        ],
+    )
+    raw = file_source(spark, str(workdir / "in"))
+    task = TaskConfig(name="f1", sharding_key="name", flush_interval=1)
+    pipe = build_pipeline(raw, task, F1_SPECS, F1_SCHEMA, shards=4)
+    sink = ParquetSink(str(workdir / "out" / "t"), shards=4)
+    pipe.run_available(sink, str(workdir / "ckpt" / "f1"))
+
+    out = spark.read.parquet(str(workdir / "out" / "t"))
+    assert out.count() == n  # golden count (go.test.sh:57-59)
+    row = out.filter(F.col("name") == "name42").first()
+    assert float(row.value) == 42.0
+    assert float(row.price) == pytest.approx(0.042)
+    assert str(row.time) == "2024-01-01 00:00:00"
+    # shard routing is deterministic on the key
+    assert out.select("__shard").distinct().count() <= 4
+
+
+def test_f1_restart_resumes_from_checkpoint(spark, workdir):
+    """S7 commit barrier: a second run with the same checkpoint must not
+    re-deliver already-committed files (engine-managed offsets)."""
+    _write_jsonl(workdir / "in" / "a.jsonl", [{"time": "2024-01-01T00:00:00Z", "name": "x", "value": 1, "price": 1.0}])
+    raw = file_source(spark, str(workdir / "in"))
+    task = TaskConfig(name="f1r", flush_interval=1)
+    pipe = build_pipeline(raw, task, F1_SPECS, F1_SCHEMA)
+    sink = ParquetSink(str(workdir / "out" / "t"))
+    pipe.run_available(sink, str(workdir / "ckpt" / "f1r"))
+    # new data arrives; restart with same checkpoint
+    _write_jsonl(workdir / "in" / "b.jsonl", [{"time": "2024-01-01T00:00:01Z", "name": "y", "value": 2, "price": 2.0}])
+    raw2 = file_source(spark, str(workdir / "in"))
+    pipe2 = build_pipeline(raw2, task, F1_SPECS, F1_SCHEMA)
+    pipe2.run_available(sink, str(workdir / "ckpt" / "f1r"))
+    out = spark.read.parquet(str(workdir / "out" / "t"))
+    assert out.count() == 2  # no duplicates from the first file
+    assert {r.name for r in out.collect()} == {"x", "y"}
+
+
+def test_parse_error_filter_and_constant_fields(spark, workdir):
+    """P17: unparseable messages dropped; P5: constants override keys."""
+    with open(workdir / "in" / "a.jsonl", "w") as f:
+        f.write(json.dumps({"time": "2024-01-01T00:00:00Z", "name": "ok", "value": 1, "price": 1.0}) + "\n")
+        f.write("this is not json\n")
+        f.write(json.dumps({"time": "2024-01-01T00:00:00Z", "name": "will_be_overridden", "value": 2, "price": 2.0}) + "\n")
+    raw = file_source(spark, str(workdir / "in"))
+    task = TaskConfig(name="perr", fields={"name": "const"})
+    pipe = build_pipeline(raw, task, F1_SPECS, F1_SCHEMA)
+    sink = ParquetSink(str(workdir / "out" / "t"))
+    pipe.run_available(sink, str(workdir / "ckpt" / "perr"))
+    out = spark.read.parquet(str(workdir / "out" / "t"))
+    rows = out.collect()
+    assert len(rows) == 2  # bad line dropped
+    assert {r.name for r in rows} == {"const"}  # P5: fields win over message
+
+
+def test_f2_dynamic_schema_evolution(spark, workdir):
+    """F2 (go.test.sh:20-45): new keys appear mid-stream; schema widens with
+    inferred types; object/array keys ignored; old rows read as NULL."""
+    phase1 = [{"time": "2024-01-01T00:00:00Z", "name": f"p1-{i}", "value": i, "price": 0.1} for i in range(10)]
+    phase2 = [
+        {
+            "time": "2024-01-01T01:00:00Z",
+            "name": f"p2-{i}",
+            "value": i,
+            "price": 0.2,
+            "newkey00": False,
+            "newkey01": 7,
+            "newkey02": 1.5,
+            "newkey03": "s",
+            "newkey04": "2024-05-06 07:08:09",
+            "newkey05": {"k1": 1},
+            "newkey06": [1, 2],
+        }
+        for i in range(10)
+    ]
+    _write_jsonl(workdir / "in" / "p1.jsonl", phase1)
+    _write_jsonl(workdir / "in" / "p2.jsonl", phase2)
+
+    # batch-side evolution exactly as foreachBatch would do it:
+    batch = spark.read.text(str(workdir / "in")).select(F.col("value").alias("raw"))
+    specs, added = evolve_specs(F1_SPECS, batch, "raw")
+    assert added == {
+        "newkey00": "Nullable(Bool)",
+        "newkey01": "Nullable(Int64)",
+        "newkey02": "Nullable(Float64)",
+        "newkey03": "Nullable(String)",
+        "newkey04": "Nullable(DateTime64(3))",
+    }  # objects/arrays ignored (FIXTURES.md F2 phases 3-4)
+
+    # re-project the SAME batch with the widened schema (no restart — §3.3)
+    wide_schema = T.StructType(
+        F1_SCHEMA.fields
+        + [
+            T.StructField("newkey00", T.BooleanType()),
+            T.StructField("newkey01", T.LongType()),
+            T.StructField("newkey02", T.DoubleType()),
+            T.StructField("newkey03", T.StringType()),
+            T.StructField("newkey04", T.StringType()),
+        ]
+    )
+    parsed = batch.select(F.from_json("raw", wide_schema).alias("m")).select("m.*")
+    out = apply_projection(parsed, specs)
+    assert out.count() == 20
+    p1 = out.filter(F.col("name").startswith("p1-"))
+    assert p1.filter(F.col("newkey01").isNull()).count() == 10  # pre-evolution rows NULL
+    p2 = out.filter(F.col("name").startswith("p2-")).first()
+    assert p2.newkey01 == 7 and p2.newkey00 is False
+    assert str(p2.newkey04) == "2024-05-06 07:08:09"
+
+
+def test_f3_series_dedup_stream(spark, workdir):
+    """F3 (go.metrictest.sh): 100 datapoints over 10 series → 10 series rows
+    on first sight; mid change re-emits; steady state emits nothing."""
+    rows = [
+        {"__series_id__": i % 10, "__mgmt_id__": 1, "v": float(i)} for i in range(100)
+    ]
+    _write_jsonl(workdir / "in" / "a.jsonl", rows)
+    schema = "``__series_id__`` long, ``__mgmt_id__`` long, v double".replace("``", "`")
+    raw = (
+        spark.readStream.format("text").load(str(workdir / "in"))
+        .select(F.from_json("value", "__series_id__ long, __mgmt_id__ long, v double").alias("m"))
+        .select("m.*")
+    )
+    dedup = series_dedup_stream(raw, "__series_id__ long, __mgmt_id__ long, v double")
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", str(workdir / "out" / "series"))
+        .option("checkpointLocation", str(workdir / "ckpt" / "f3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(workdir / "out" / "series"))
+    assert out.count() == 10  # one row per series (go.metrictest.sh: series count)
+    # phase 2: same series, changed mgmt id → re-emitted once per series
+    _write_jsonl(
+        workdir / "in" / "b.jsonl",
+        [{"__series_id__": i % 10, "__mgmt_id__": 2, "v": 0.0} for i in range(50)],
+    )
+    q2 = (
+        dedup.writeStream.format("parquet")
+        .option("path", str(workdir / "out" / "series"))
+        .option("checkpointLocation", str(workdir / "ckpt" / "f3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    out2 = spark.read.parquet(str(workdir / "out" / "series"))
+    assert out2.count() == 20
+    assert out2.filter(F.col("__mgmt_id__") == 2).count() == 10
+
+
+def test_series_dedup_batch_join(spark):
+    """D1 batch form: new sid or changed mid inserted, unchanged skipped."""
+    batch = spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (2, 20, "c"), (3, 30, "d")],
+        "__series_id__ long, __mgmt_id__ long, labels string",
+    )
+    existing = spark.createDataFrame([(1, 11), (2, 19)], "__series_id__ long, __mgmt_id__ long")
+    out = series_dedup_batch_join(batch, existing).collect()
+    got = {(r["__series_id__"], r["__mgmt_id__"]) for r in out}
+    # sid 1 latest mid=11 unchanged → skip; sid 2 changed 19→20; sid 3 new
+    assert got == {(2, 20), (3, 30)}
+
+
+def test_dedup_offsets_stream(spark, workdir):
+    """W8: replayed (topic, partition, offset) collapse within watermark."""
+    rows = [
+        {"topic": "t", "partition": 0, "offset": i % 5, "ts": "2024-01-01 00:00:00", "v": i}
+        for i in range(10)
+    ]
+    _write_jsonl(workdir / "in" / "a.jsonl", rows)
+    raw = (
+        spark.readStream.format("text").load(str(workdir / "in"))
+        .select(F.from_json("value", "topic string, partition int, offset long, ts string, v long").alias("m"))
+        .select("m.*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    dd = dedup_offsets_stream(raw, "ts")
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", str(workdir / "out" / "dd"))
+        .option("checkpointLocation", str(workdir / "ckpt" / "dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(workdir / "out" / "dd"))
+    assert out.count() == 5
