@@ -1,0 +1,74 @@
+"""As-of join — for each left row, the latest right row with
+``right.ts <= left.ts`` per key (time-series point-in-time enrichment).
+
+Spark has no native as-of join (pandas-on-Spark's merge_asof collects per
+group); the scalable formulation here is the union-window linear scan:
+
+    tag left/right → union → window(partitionBy key, orderBy ts, side)
+    → last non-null right value seen so far → keep left rows
+
+One shuffle + one sort per side (the same cost as a sort-merge join), no
+row explosion, no per-key quadratic blowup — this is the plan you want at
+100 TB (a naive ``right.ts <= left.ts`` theta-join explodes quadratically
+per key).  At equal timestamps the right row sorts BEFORE the left row
+(side tag ascending), so a right update at exactly t matches a left probe
+at t — the standard ASOF semantics (DuckDB's ASOF JOIN matches this,
+which makes the operator oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row, enriched with the most recent
+    ``value_cols`` from ``right`` at or before its timestamp (NULL if no
+    prior right row).  ``left`` and ``right`` must both carry ``on`` and
+    ``ts`` columns."""
+    lcols = left.columns
+    l = left.select(*lcols, F.lit(1).alias("__side"))
+    r = right.select(
+        on,
+        ts,
+        *[F.col(c) for c in value_cols],
+        F.lit(0).alias("__side"),
+    )
+    # align schemas for the union: left gets null value slots, right gets
+    # null payload slots
+    for c in value_cols:
+        l = l.withColumn(f"__v_{c}", F.lit(None).cast(r.schema[c].dataType))
+    r = r.select(
+        on,
+        ts,
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        "__side",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in (on, ts)
+        ],
+    )
+    unioned = l.unionByName(r)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
+    return out.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"{c}{suffix}") for c in value_cols]
+    )

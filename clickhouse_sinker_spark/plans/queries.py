@@ -980,3 +980,165 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
     )
+
+
+@query(
+    "tpch_q6_forecast",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: pure filter + global agg.  The point at
+    scale: every predicate reaches the parquet scan (PushedFilters) and the
+    agg is a two-stage partial — zero wide shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 6, 4))
+            .cast("decimal(30,6)")
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT event_type, user_id % 4 AS ubucket, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY ROLLUP(event_type, user_id % 4)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (grouping-sets family; SURVEY §2.7 —
+    operators ClickHouse would own downstream).  One expand + shuffle."""
+    e = _t(spark, sf_dir, "events").withColumn("ubucket", F.col("user_id") % 4)
+    return e.rollup("event_type", "ubucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).cast("double").alias("sum_value")
+    )
+
+
+@query(
+    "etl_array_cast",
+    """
+    SELECT event_id,
+           [CAST(LEAST(GREATEST(x, -128), 127) AS TINYINT) FOR x IN [user_id, user_id * 100, -user_id * 3]] AS arr_int8,
+           [CAST(x AS DOUBLE) / 2 FOR x IN [user_id, user_id * 100]] AS arr_f64
+    FROM events
+    """,
+)
+def etl_array_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array(T) per-element coercion with clamping (P13,
+    parser/fastjson.go:212-325): elements outside Int8 clamp, same
+    saturating semantics as scalars, applied through transform()."""
+    from ..functions.casts import saturating_cast
+
+    e = _t(spark, sf_dir, "events")
+    src = F.array(F.col("user_id"), F.col("user_id") * 100, -F.col("user_id") * 3)
+    return e.select(
+        "event_id",
+        F.transform(src, lambda x: saturating_cast(x, "Int8")).alias("arr_int8"),
+        F.transform(
+            F.array(F.col("user_id"), F.col("user_id") * 100),
+            lambda x: x.cast("double") / 2,
+        ).alias("arr_f64"),
+    )
+
+
+@query(
+    "etl_map_explode",
+    """
+    SELECT event_id, k.key AS map_key,
+           CAST(json_extract_string(props, '$.' || k.key) AS BIGINT) AS map_value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events) t(event_id, props, key),
+         LATERAL (SELECT key) k
+    """,
+)
+def etl_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map(K,V) parsing with typed values (P14, parser/fastjson.go:327-455):
+    JSON object → map<string,string> → typed entries.  Emitted as exploded
+    (key, value) rows because map column hashing is order-sensitive across
+    engines; the map itself stays an intermediate."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select("event_id", F.explode(m)).select(
+        "event_id",
+        F.col("key").alias("map_key"),
+        F.col("value").cast("bigint").alias("map_value"),
+    )
+
+
+@query(
+    "asof_join_events",
+    """
+    SELECT a.event_id, a.ts, a.user_id, b.value AS last_purchase_value
+    FROM events a
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark lacks it natively): each event
+    enriched with the user's most recent purchase value at or before its
+    timestamp.  Union-window linear formulation (operators/asof.py): one
+    shuffle+sort, no per-key quadratic theta-join.  DuckDB's native ASOF
+    JOIN is the oracle."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "ts", "user_id")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    )
+    return asof_join(left, right, on="user_id", ts="ts", value_cols=["last_purchase_value"], suffix="")
+
+
+@query(
+    "mm_image_features",
+    """
+    SELECT doc_id,
+           64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 192 AS width,
+           64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 192 AS height,
+           3 AS channels,
+           CAST(( CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text), 7, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text), 9, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),11, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),13, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),15, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),17, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),19, 2)) AS INTEGER)) AS DOUBLE) / (8 * 255.0) AS mean_luma,
+           substr(sha256(text), 1, 16) AS phash
+    FROM documents
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing through Arrow-batched mapInPandas
+    (operators/multimodal.py): payload → (width, height, channels,
+    mean_luma, phash).  The decode kernel is the deterministic stub
+    (sha256-derived — no codecs in this container), so the full pipeline
+    — binary payload column, Arrow batch shape, output schema — is
+    oracle-verified even though the codec is fake."""
+    from ..operators.multimodal import decode_image_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_image_features(d, "payload", "doc_id", decoder="fake")

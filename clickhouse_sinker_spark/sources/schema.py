@@ -1,0 +1,120 @@
+"""Schema discovery (≙ S8/S9: output/clickhouse_util.go:17-67,
+output/clickhouse.go:41-58,472-488 AutoSchema).
+
+The reference fetches the destination table's columns from
+``system.columns`` and infers NOT-NULL-ness from DEFAULT-expression
+self-references; it then builds the projection from that schema.  Here:
+
+- ``system_columns_sql`` reproduces the exact discovery SQL (so a JDBC
+  read against ClickHouse returns the same rows the reference consumes).
+- ``specs_from_columns`` turns (name, type, default_kind) rows into
+  ColumnSpecs, applying the exclude/materialized rules (D7).
+- ``specs_from_parquet`` is the lakehouse-native AutoSchema: read the
+  destination parquet's StructType directly.
+
+JDBC is optional (no ClickHouse in the test container): ``jdbc_read`` is
+an import-gated helper the deployment uses; everything else is pure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.project import ColumnSpec
+from ..typemap import parse_ch_type
+
+__all__ = [
+    "system_columns_sql",
+    "specs_from_columns",
+    "specs_from_parquet",
+    "jdbc_read",
+]
+
+
+def system_columns_sql(database: str, table: str) -> str:
+    """Discovery query ≙ the reference's template (output/clickhouse.go:41-58):
+    name, type, default_kind per column, ordered by position."""
+    return (
+        "SELECT name, type, default_kind "
+        "FROM system.columns "
+        f"WHERE database = '{database}' AND table = '{table}' "
+        "ORDER BY position"
+    )
+
+
+def specs_from_columns(
+    rows: list[tuple[str, str, str]],
+    exclude: tuple[str, ...] = (),
+    source_names: dict[str, str] | None = None,
+) -> list[ColumnSpec]:
+    """(name, ch_type, default_kind) rows → ColumnSpecs.
+
+    Skips excluded and MATERIALIZED/ALIAS columns (D7,
+    output/clickhouse_util.go:49, config/config.go:163); non-Nullable
+    types become not_nullable specs (null-reject P16)."""
+    specs: list[ColumnSpec] = []
+    src = source_names or {}
+    for name, ch_type, default_kind in rows:
+        if name in exclude or default_kind in ("MATERIALIZED", "ALIAS"):
+            continue
+        t = parse_ch_type(ch_type)
+        specs.append(
+            ColumnSpec(
+                name,
+                ch_type,
+                source=src.get(name, name),
+                not_nullable=not t.nullable,
+            )
+        )
+    return specs
+
+
+_SPARK_TO_CH = {
+    "tinyint": "Int8",
+    "smallint": "Int16",
+    "int": "Int32",
+    "bigint": "Int64",
+    "float": "Float32",
+    "double": "Float64",
+    "string": "String",
+    "boolean": "Bool",
+    "timestamp": "DateTime",
+    "timestamp_ntz": "DateTime",
+    "date": "Date",
+    "binary": "String",
+}
+
+
+def specs_from_parquet(spark: SparkSession, path: str) -> list[ColumnSpec]:
+    """AutoSchema from an existing parquet destination: StructType →
+    ColumnSpecs (the lakehouse analogue of reading system.columns)."""
+    schema = spark.read.parquet(path).schema
+    specs = []
+    for f in schema.fields:
+        simple = f.dataType.simpleString()
+        ch = _SPARK_TO_CH.get(simple)
+        if ch is None:
+            if simple.startswith("decimal"):
+                p, s = simple[8:-1].split(",")
+                ch = f"Decimal({p},{s})"
+            elif simple.startswith("array<") or simple.startswith("map<"):
+                # recursive types: keep as string passthrough spec
+                ch = "String"
+            else:
+                ch = "String"
+        if f.nullable:
+            ch = f"Nullable({ch})"
+        specs.append(ColumnSpec(f.name, ch, not_nullable=not f.nullable))
+    return specs
+
+
+def jdbc_read(spark: SparkSession, url: str, query: str, **options: str) -> DataFrame:
+    """JDBC read wrapper (requires a ClickHouse JDBC driver on the
+    classpath in deployment; absent in the test container)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+        .options(**options)
+        .load()
+    )

@@ -26,6 +26,8 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm(x) for x in v)
     return v
 
 
