@@ -14,9 +14,12 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import tempfile
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 HEADLINE = [
     "tpch_q1_pricing",
@@ -32,6 +35,50 @@ HEADLINE = [
     "text_langid",
     "knn_cosine_topk",
 ]
+
+
+def _etl_pipeline_bench(spark: SparkSession, sf_dir: str, copies: int = 10) -> float:
+    """Full sinker hot path (SURVEY §3.2 steps 2-7) over sf events × copies:
+    serialize to JSON bytes (the Kafka payload), then parse → project with
+    clamping/default casts → hash-shard → shard-partitioned parquet write.
+    Returns wall seconds; rows/s = (n_events × copies) / value."""
+    from clickhouse_sinker_spark.operators.project import ColumnSpec, apply_projection
+    from clickhouse_sinker_spark.operators.sharding import ShardingPolicy, add_shard_column
+    from clickhouse_sinker_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    payload = (
+        events.withColumn("__copy", F.explode(F.array(*[F.lit(i) for i in range(copies)])))
+        .select(F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value", "props")).alias("value"))
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    specs = [
+        ColumnSpec("event_id", "Int64", not_nullable=True),
+        ColumnSpec("time", "DateTime", source="ts"),
+        ColumnSpec("name", "String", source="event_type"),
+        ColumnSpec("value", "Nullable(Float32)", source="value"),
+        ColumnSpec("v8", "UInt8", source="value"),
+        ColumnSpec("k", "Nullable(Int64)", source="k_raw"),
+        ColumnSpec("env", "String", constant="bench"),
+    ]
+    work = tempfile.mkdtemp(prefix="bench_etl_")
+    try:
+        # stage the JSON payloads first — the reference benchmark measures
+        # steady-state sink throughput with messages already in Kafka
+        payload.write.mode("overwrite").parquet(f"{work}/in")
+        staged = spark.read.parquet(f"{work}/in")
+        t0 = time.monotonic()
+        parsed = staged.select(F.from_json("value", schema).alias("m")).select("m.*")
+        parsed = parsed.withColumn("k_raw", F.get_json_object("props", "$.k"))
+        projected = apply_projection(parsed, specs)
+        sharded = add_shard_column(projected, ShardingPolicy(key="name", policy="hash"), 8)
+        sharded.write.mode("overwrite").partitionBy("__shard").parquet(f"{work}/out")
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -62,6 +109,12 @@ def main() -> None:
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
+
+    # The reference's headline metric is streaming-ETL rows/s (142K rows/s
+    # on 11 cpu — BASELINE.md).  Reproduce the full hot path at 1M rows:
+    # JSON bytes → parse → reference-semantics cast projection → shard
+    # route → parquet write (the sink stand-in), timed end to end.
+    timings["etl_pipeline_1m"] = round(_etl_pipeline_bench(spark, sf_dir, copies=10), 3)
 
     total = round(sum(timings.values()), 3)
     print(

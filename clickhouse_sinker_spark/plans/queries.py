@@ -1142,3 +1142,292 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return decode_image_features(d, "payload", "doc_id", decoder="fake")
+
+
+@query(
+    "etl_nested_path",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(j, '$.a.b.c') AS BIGINT) AS deep_val,
+           json_extract_string(j, '$.arr[0].x') AS first_x,
+           json_extract_string(j, '$.missing.path') AS absent
+    FROM (SELECT event_id,
+                 '{"a":{"b":{"c":' || json_extract_string(props, '$.k') || '}},"arr":[{"x":"v' || CAST(user_id AS VARCHAR) || '"}]}' AS j
+          FROM events)
+    """,
+)
+def etl_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gjson-style nested path access (P2, parser/gjson.go:42-58: paths like
+    ``a.b.c`` and array indexing).  get_json_object with JSONPath covers the
+    same surface; missing paths → NULL (default-on-missing, P8)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "j",
+        F.concat(
+            F.lit('{"a":{"b":{"c":'),
+            F.get_json_object("props", "$.k"),
+            F.lit('}},"arr":[{"x":"v'),
+            F.col("user_id").cast("string"),
+            F.lit('"}]}'),
+        ),
+    )
+    return e.select(
+        "event_id",
+        F.get_json_object("j", "$.a.b.c").cast("bigint").alias("deep_val"),
+        F.get_json_object("j", "$.arr[0].x").alias("first_x"),
+        F.get_json_object("j", "$.missing.path").alias("absent"),
+    )
+
+
+@query(
+    "etl_csv_parse",
+    """
+    SELECT event_id,
+           CAST(split_part(line, '|', 1) AS BIGINT) AS id,
+           NULLIF(split_part(line, '|', 2), 'null') AS name,
+           CAST(split_part(line, '|', 3) AS DOUBLE) AS val
+    FROM (SELECT event_id,
+                 CAST(event_id AS VARCHAR) || '|' ||
+                 CASE WHEN event_type = 'error' THEN 'null' ELSE event_type END || '|' ||
+                 CAST(value AS VARCHAR) AS line
+          FROM events)
+    """,
+)
+def etl_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV parsing with custom delimiter and 'null' literal (P3/F7,
+    parser/csv.go:46-63; config delimiter config/config.go:154-156).
+    from_csv with sep='|'; the 'null' literal maps to NULL per the
+    reference's csv semantics."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.when(F.col("event_type") == "error", "null").otherwise(F.col("event_type")),
+            F.col("value").cast("string"),
+        ),
+    )
+    parsed = F.from_csv(F.col("line"), "id bigint, name string, val double", {"sep": "|"})
+    return e.select(
+        "event_id",
+        F.col("line"),
+        parsed.alias("m"),
+    ).select(
+        "event_id",
+        F.col("m.id").alias("id"),
+        F.nullif(F.col("m.name"), F.lit("null")).alias("name"),
+        F.col("m.val").alias("val"),
+    )
+
+
+@query(
+    "tpch_q4_semijoin",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking via EXISTS → left-semi join.  Semi joins
+    never duplicate the probe side, so the agg input stays bounded by
+    |orders| — at 100 TB prefer this over join+distinct."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "tpch_q12_case_agg",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (CASE) aggregation over a join — shipping-modes analysis
+    shape of TPC-H Q12 on the available columns."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_having",
+    """
+    SELECT c.c_name, o.o_custkey, l.l_orderkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_name, o.o_custkey, l.l_orderkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,4))) > 150
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (HAVING over a join-agg).  The agg groups on
+    the join key first (pre-aggregation before the customer join would be
+    the 100 TB rewrite — Catalyst can't do it automatically with HAVING on
+    the agg; we keep it post-join here and document the variant)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_custkey", "l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("c_name", "o_custkey", "l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "window_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap starts a new session —
+    lag + running sum (the classic two-window linear plan; one shuffle on
+    user_id serves both windows).  The streaming analogue is
+    ``session_window`` in pipeline.py."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_start = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(is_start).over(wsum).alias("session_id"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 4-row sliding frame — decimal-exact sum over
+    the frame divided by the frame count (bit-stable in both engines)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("moving_avg"),
+    )
+
+
+@query(
+    "dedup_embedding_blocked",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(floor(u * 1000.0) AS BIGINT) FOR u IN embedding] AS qv,
+             list_aggregate([CAST(floor(u*1000.0) AS BIGINT) * CAST(floor(u*1000.0) AS BIGINT) FOR u IN embedding], 'sum') AS sq,
+             (CASE WHEN embedding[1] >= 0 THEN 128 ELSE 0 END +
+              CASE WHEN embedding[2] >= 0 THEN 64 ELSE 0 END +
+              CASE WHEN embedding[3] >= 0 THEN 32 ELSE 0 END +
+              CASE WHEN embedding[4] >= 0 THEN 16 ELSE 0 END +
+              CASE WHEN embedding[5] >= 0 THEN 8 ELSE 0 END +
+              CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END +
+              CASE WHEN embedding[7] >= 0 THEN 2 ELSE 0 END +
+              CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS blk
+      FROM embeddings
+    ),
+    ex AS (SELECT vec_id, blk, unnest(qv) AS v, generate_subscripts(qv, 1) AS i, sq FROM q)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(SUM(a.v * b.v) AS DOUBLE) / (sqrt(MIN(a.sq)) * sqrt(MIN(b.sq))) AS cosine
+    FROM ex a JOIN ex b ON a.i = b.i AND a.blk = b.blk AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+    HAVING CAST(SUM(a.v * b.v) AS DOUBLE) / (sqrt(MIN(a.sq)) * sqrt(MIN(b.sq))) >= 0.2
+    """,
+)
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with sign-pattern LSH blocking (the 100 TB path:
+    the 8-bit block key shrinks the pair space ~256× before any pair math).
+    The oracle reproduces the blocking exactly, so this checks both the
+    block assignment and the quantized cosine."""
+    em = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding"), lambda x: F.floor(x * 1000.0).cast("bigint"))
+    blk = F.lit(0)
+    for i in range(1, 9):
+        blk = blk + F.when(F.element_at(F.col("embedding"), i) >= 0, F.lit(1 << (8 - i))).otherwise(F.lit(0))
+    base = em.select(F.col("vec_id").alias("id"), qv.alias("qv"), blk.alias("blk")).withColumn(
+        "sq", F.aggregate(F.col("qv"), F.lit(0).cast("bigint"), lambda a, x: a + x * x)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dotq = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dotq.cast("double") / (F.sqrt(F.col("a.sq")) * F.sqrt(F.col("b.sq")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )
+
+
+@query(
+    "text_regex_tokens",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_pieces,
+           len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS n_vocab
+    FROM documents
+    """,
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization (alpha runs / digit runs / single
+    punctuation) — the standard pre-tokenizer shape; counts are exact in
+    any regex engine with the same pattern."""
+    d = _t(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("bigint").alias("n_vocab"),
+    )
