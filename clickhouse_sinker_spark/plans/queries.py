@@ -1431,3 +1431,474 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).cast("bigint").alias("n_pieces"),
         F.size(F.array_distinct(pieces)).cast("bigint").alias("n_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set (adapted to the driver's TPC-H-ish schemas: no
+# partsupp / commitdate / receiptdate columns, so q2/q9/q16/q17/q20-22 are
+# re-cut onto the available columns while keeping each query's operator
+# shape — correlated aggregate, disjunctive pushdown, anti-join, etc.).
+# All follow the determinism rules from the module docstring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l.l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+    FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                    JOIN customer c ON c.c_custkey = o.o_custkey
+                    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+                    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape).  nation is
+    broadcast twice under different aliases; the nation filter is applied
+    BEFORE broadcasting so only matching suppliers/customers survive, which
+    turns the big joins into semi-join-sized probes; lineitem date range is
+    pushed to the parquet scan.  One shuffle each for l⋈o and o⋈c on their
+    keys, final tiny shuffle on the 3-column group key."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))),
+                li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")),
+              o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("decimal(30,6)").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l.l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4)) AS DECIMAL(30,6)) AS volume,
+             n2.n_name AS nation
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+                  JOIN region r   ON r.r_regionkey = n1.n_regionkey
+                  JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share within a region (TPC-H Q8 shape).  Every
+    dimension (part-filtered, supplier, customer-in-region, both nation
+    aliases, region) broadcasts; lineitem⋈orders is the only big shuffle.
+    The share is a ratio of two exact-decimal sums → deterministic double."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("n1_key"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    volume = (_dec("l_extendedprice") * _one_minus("l_discount")).cast("decimal(30,6)")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))),
+              li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(n1), c.c_nationkey == F.col("n1_key")),
+              o.o_custkey == c.c_custkey)
+        .select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "nation")
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0).cast("decimal(30,6)"))).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_profit",
+    """
+    SELECT nation, o_year,
+           CAST(CAST(SUM(amount) AS DECIMAL(38,8)) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l.l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))
+               - CAST(p.p_retailprice AS DECIMAL(12,4)) * CAST(l.l_quantity AS DECIMAL(12,4)) AS amount
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by supplier nation × year (TPC-H Q9 shape; the
+    missing partsupp supply cost is replaced by p_retailprice × quantity).
+    part is pre-filtered on the LIKE before broadcasting; profit terms stay
+    exact decimals end-to-end so the grouped sum is order-independent."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = _dec("l_extendedprice") * _one_minus("l_discount") - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+              li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("decimal(38,8)").cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q10_returns",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l.l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders n_o ON c.c_custkey = n_o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = n_o.o_orderkey
+                    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE n_o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND n_o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting, top 20 customers (TPC-H Q10).  The quarter
+    filter prunes orders at the scan; returnflag prunes lineitem; nation
+    broadcasts; global top-k is a TakeOrderedAndProject (no full sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey),
+              o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("decimal(30,6)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13).  Two-level aggregation:
+    shuffle on custkey (partial counts map-side), then a tiny re-agg on the
+    distinct count values — the second shuffle moves ~hundreds of rows no
+    matter the scale factor."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q14_promo",
+    """
+    SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l.l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))
+                 ELSE CAST(0 AS DECIMAL(19,8)) END) AS DECIMAL(30,6)) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l.l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue percentage (TPC-H Q14).  One month of lineitem
+    (scan-pruned) ⋈ broadcast part; a single global agg row — partial
+    aggregation makes the final exchange one row per task."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(19,8)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("decimal(30,6)").cast("double")
+                / F.sum(revenue).cast("decimal(30,6)").cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15).  The revenue CTE is
+    computed ONCE and reused for both the max and the equality probe (in
+    Spark: a single DataFrame referenced twice — the scalar max is a 1-row
+    broadcast cross join, not a second scan).  The max equality compares
+    exact decimals, so ties are engine-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    rev0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue).cast("decimal(30,6)").alias("total_revenue")
+    )
+    maxrev = rev0.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev0.join(F.broadcast(maxrev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier count per part segment (TPC-H Q16 shape over lineitem in
+    place of partsupp).  Distinct-count expands to a two-phase aggregate
+    (dedup on group+suppkey, then count) — both shuffles are on the same
+    keys so AQE coalesces them; part filter broadcasts."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q17_small_qty",
+    """
+    WITH pq AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < pq.qty_limit
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17).  The correlated scalar
+    subquery (per-part avg quantity) is decorrelated into a groupBy + join
+    — the canonical Spark rewrite.  Quantities are integral doubles so the
+    avg is an exact integer sum / count in both engines.  At scale the
+    per-part agg shuffles on partkey, then joins lineitem on the same key
+    (no second shuffle of the agg side thanks to co-partitioning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == F.col("pq_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("decimal(30,6)").cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    """
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l.l_discount AS DECIMAL(12,4)) AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive predicate revenue (TPC-H Q19).  Catalyst extracts the
+    common sub-predicates: the part side of each disjunct
+    (brand ∧ size) is pushed below the join as
+    (b12∧s≤5) ∨ (b23∧s≤10) ∨ (b34∧s≤15), shrinking the broadcast; the
+    mixed part×lineitem residual evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(revenue).cast("decimal(30,6)").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    """
+    SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-balance customers (TPC-H Q22 shape; country code =
+    nationkey).  The above-average test is cross-multiplied
+    (bal × n > Σbal) so it compares exact decimals instead of a
+    float average — engine-independent at the boundary.  The scalar
+    aggregate broadcasts; the NOT EXISTS is a left-anti join shuffled on
+    custkey (at 100 TB: orders projected to the single join column first)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("sum_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("n_pos") > F.col("sum_pos"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@query(
+    "tpch_q2_top_supplier_region",
+    """
+    SELECT r_name, s_suppkey, s_name, s_acctbal FROM (
+      SELECT r.r_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY r.r_name
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ) WHERE rn = 1
+    ORDER BY r_name
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best supplier per region (TPC-H Q2 shape; the partsupp min-cost
+    correlation becomes a per-region argmax).  The correlated-min pattern
+    is a ranking window over the dimension join — at scale, a 5-partition
+    window over suppliers only (lineitem untouched).  suppkey tie-break
+    keeps the argmax deterministic."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    w = Window.partitionBy("r_name").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "s_suppkey", "s_name", "s_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .orderBy("r_name")
+        .select("r_name", "s_suppkey", "s_name", "s_acctbal")
+    )
