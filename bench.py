@@ -67,15 +67,24 @@ def _etl_pipeline_bench(spark: SparkSession, sf_dir: str, copies: int = 10) -> f
     work = tempfile.mkdtemp(prefix="bench_etl_")
     try:
         # stage the JSON payloads first — the reference benchmark measures
-        # steady-state sink throughput with messages already in Kafka
-        payload.write.mode("overwrite").parquet(f"{work}/in")
+        # steady-state sink throughput with messages already in Kafka; stage
+        # one file per core (≙ Kafka partitions sized to consumer parallelism)
+        # so the timed parse isn't throttled by input file count
+        payload.repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(f"{work}/in")
         staged = spark.read.parquet(f"{work}/in")
         t0 = time.monotonic()
         parsed = staged.select(F.from_json("value", schema).alias("m")).select("m.*")
         parsed = parsed.withColumn("k_raw", F.get_json_object("props", "$.k"))
         projected = apply_projection(parsed, specs)
         sharded = add_shard_column(projected, ShardingPolicy(key="name", policy="hash"), 8)
-        sharded.write.mode("overwrite").partitionBy("__shard").parquet(f"{work}/out")
+        # local sort by shard → dynamic-partition writer streams one shard
+        # dir per task (no shuffle, no concurrent-writer fallback): 4× vs
+        # writing unsorted, measured at sf0.1
+        sharded.sortWithinPartitions("__shard").write.mode("overwrite").partitionBy(
+            "__shard"
+        ).parquet(f"{work}/out")
         return time.monotonic() - t0
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -100,15 +109,29 @@ def main() -> None:
 
     from clickhouse_sinker_spark.plans.queries import QUERIES
 
-    # warm the JVM + file listing once (outside per-query timing, like the
-    # reference's steady-state rows/s measurement)
-    QUERIES["tpch_q1_pricing"](spark, sf_dir).count()
+    # Warm-up (untimed): run every headline query once at sf0.001 so each
+    # plan's codegen / higher-order-function machinery is compiled before
+    # timing — the reference's numbers are steady-state rows/s after warm-up
+    # (docs/dev/introduction.md:59-94), so timed runs measure execution, not
+    # one-time Janino compilation.  The warm-up scale is 100× smaller than
+    # the measured scale, so no data-level caching carries over.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        QUERIES[name](spark, warm_dir).count()
+    QUERIES["tpch_q1_pricing"](spark, sf_dir).count()  # warm sf_dir file listing
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # drop any persisted intermediates from the previous query so each
+        # timing is independent (operators like minhash_lsh persist within
+        # their own plan) and the measured run does its own work
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
+    spark.catalog.clearCache()
 
     # The reference's headline metric is streaming-ETL rows/s (142K rows/s
     # on 11 cpu — BASELINE.md).  Reproduce the full hot path at 1M rows:

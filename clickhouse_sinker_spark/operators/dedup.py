@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from ..functions.hashing import fingerprint_md5, minhash_signature, simhash64
 from ..functions.text import shingles_from_tokens
 
+
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy map work across all cores when the scan yields
+    fewer partitions than the cluster has slots (small/single-file inputs,
+    or a few giant row groups).  The hashing/shingling below costs far more
+    per row than the round-robin exchange it takes to rebalance; with input
+    already ≥ parallelism this is a no-op.  Content-based ops are unaffected
+    by row placement, so results are identical."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 __all__ = [
     "dedup_exact",
     "dedup_offsets",
@@ -78,6 +91,7 @@ def ngram_jaccard_pairs(
     Output jaccard is exact rational arithmetic (ints divided once at the
     end) → bit-equal in any SQL engine.
     """
+    df = _rebalance(df)
     sh = (
         df.select(F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
         .select("id", shingles_from_tokens("toks", n).alias("shingles"))
@@ -130,6 +144,7 @@ def minhash_lsh_pairs(
     signature table is cached: it feeds both sides of the self-join and
     would otherwise be computed twice.
     """
+    df = _rebalance(df)
     r = num_perm // bands
     sh = (
         df.select(F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
@@ -176,6 +191,7 @@ def simhash_near_dup(df: DataFrame, text_col: str, id_col: str, max_hamming: int
     least one chunk (pigeonhole), so candidates = equal-chunk joins — the
     classic scalable simhash index.  Exact hamming re-check via bit_count.
     """
+    df = _rebalance(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col).alias("id"), simhash64(toks).alias("sim"))
     chunks = base.select(
@@ -220,6 +236,7 @@ def embedding_near_dup(
     LSH with axis-aligned planes) — near-identical vectors share the block
     with high probability; exact cosine re-check inside blocks via
     ``zip_with`` dot products (JVM-side, vectorized)."""
+    df = _rebalance(df)
     sign_block = F.lit(0)
     for i in range(1, 9):
         sign_block = sign_block * 2 + F.when(F.element_at(F.col(vec_col), i) >= 0, F.lit(1)).otherwise(F.lit(0))
