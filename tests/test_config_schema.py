@@ -1,0 +1,101 @@
+"""Control-plane units: schema discovery (S8/D7), config normalization (C4),
+Kafka security passthrough (S2), JDBC endpoint rotation (S5), write retry
+(W4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_sinker_spark.config import (
+    ClickHouseConfig,
+    KafkaConfig,
+    TaskConfig,
+    normalize_tasks,
+)
+from clickhouse_sinker_spark.sources.schema import specs_from_columns, system_columns_sql
+from clickhouse_sinker_spark.streaming.sink import with_retry
+from clickhouse_sinker_spark.typemap import parse_ch_type
+
+
+def test_system_columns_sql_shape():
+    sql = system_columns_sql("db1", "t1")
+    assert "system.columns" in sql
+    assert "database = 'db1'" in sql and "table = 't1'" in sql
+    assert "default_kind" in sql and "ORDER BY position" in sql
+
+
+def test_specs_from_columns_rules():
+    rows = [
+        ("id", "Int64", ""),
+        ("name", "Nullable(String)", ""),
+        ("mat", "Float64", "MATERIALIZED"),
+        ("ali", "Float64", "ALIAS"),
+        ("skipme", "String", ""),
+        ("ts", "DateTime64(3)", "DEFAULT"),
+    ]
+    specs = specs_from_columns(rows, exclude=("skipme",), source_names={"name": "src_name"})
+    got = {s.name: s for s in specs}
+    # MATERIALIZED/ALIAS and excluded columns are dropped (D7)
+    assert set(got) == {"id", "name", "ts"}
+    # non-Nullable → null-reject spec (P16); Nullable stays nullable
+    assert got["id"].not_nullable and not got["name"].not_nullable
+    assert got["name"].source == "src_name" and got["id"].source == "id"
+
+
+def test_normalize_implication_chain():
+    t = TaskConfig(prometheus_schema=True, flush_interval=0, buffer_size=3000)
+    (t,) = normalize_tasks([t])
+    # Prometheus ⇒ Dynamic ⇒ Auto (config/config.go:259-445)
+    assert t.dynamic_schema and t.auto_schema
+    assert t.flush_interval == 1  # clamped to [1, 600]
+    assert t.buffer_size == 4096  # next power of two
+    big = TaskConfig(buffer_size=(1 << 30))
+    (big,) = normalize_tasks([big])
+    assert big.buffer_size == 1 << 27  # hard cap (W1)
+
+
+def test_kafka_security_passthrough():
+    k = KafkaConfig(brokers="b:9092", security={"security.protocol": "SASL_SSL"})
+    opts = k.spark_options()
+    assert opts["kafka.bootstrap.servers"] == "b:9092"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+
+def test_jdbc_url_rotates_hosts():
+    ch = ClickHouseConfig(hosts=("h0:8123", "h1:8123"), database="d")
+    assert ch.jdbc_url(0).endswith("h0:8123/d")
+    assert ch.jdbc_url(1).endswith("h1:8123/d")
+    assert ch.jdbc_url(2).endswith("h0:8123/d")
+
+
+def test_with_retry_succeeds_after_failures():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retry(flaky, retry_times=5, base_sleep=0.0) == "ok"
+    assert calls["n"] == 3
+
+
+def test_with_retry_exhausts():
+    def always_fail():
+        raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError):
+        with_retry(always_fail, retry_times=2, base_sleep=0.0)
+
+
+def test_parse_ch_type_matrix():
+    cases = {
+        "Int8": ("Int8", False, False),
+        "Nullable(UInt64)": ("UInt64", True, False),
+        "Array(Nullable(Float32))": ("Float32", True, True),
+        "LowCardinality(String)": ("String", False, False),
+    }
+    for s, (base, nullable, is_array) in cases.items():
+        t = parse_ch_type(s)
+        assert t.name == base and t.nullable == nullable and t.array == is_array

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the 100 TB posture is checkable locally —
+filters reach the parquet scan, dimensions broadcast, aggregates partial
+map-side, hot paths stay inside whole-stage codegen with no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_sinker_spark.plans.queries import QUERIES
+
+from .conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(QUERIES["tpch_q1_pricing"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = plan_of(QUERIES["tpch_q1_pricing"](spark, SF_DIR))
+    # 7 needed columns only — o_orderkey etc. never read
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"):
+        assert col in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = plan_of(QUERIES["tpch_q3_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # top-k compiles to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_no_cartesian_and_broadcast_dims(spark):
+    plan = plan_of(QUERIES["tpch_q5_region_revenue"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # region/nation/supplier at least
+
+
+def test_q19_part_predicates_pushed_below_join(spark):
+    plan = plan_of(QUERIES["tpch_q19_disjunctive"](spark, SF_DIR))
+    # the disjunction's part-only factors must prune the part scan
+    assert "PushedFilters" in plan
+    read = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in read)
+
+
+def test_etl_projection_has_no_python_udf(spark):
+    plan = plan_of(QUERIES["etl_parse_project"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_exact_partial_aggregation(spark):
+    plan = plan_of(QUERIES["dedup_exact_docs"](spark, SF_DIR))
+    # fingerprint dedup: partial agg before the single shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    plan = plan_of(QUERIES["knn_cosine_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
