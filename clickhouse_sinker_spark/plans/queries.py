@@ -1902,3 +1902,212 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("r_name")
         .select("r_name", "s_suppkey", "s_name", "s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics extensions: cumulative/offset windows, multi-dimensional
+# aggregation (cube/pivot), range joins, funnel/retention — the event-stream
+# query surface a sinker's landed tables serve in production.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_cumulative_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(30,6)) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend per customer — cumulative frame.  One shuffle on
+    custkey; within-partition sort on (date, orderkey) is the unique order
+    that makes the prefix sums engine-independent; sums stay decimal."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice", 14, 4)).over(w).cast("decimal(30,6)").cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id, value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value delta vs previous event — offset window (lag).  No
+    aggregation: raw-double subtraction of identical operands is exact in
+    any engine.  (event_id tie-break for equal timestamps.)"""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+@query(
+    "agg_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    Spark expands to a single shuffle with a grouping-id column, the same
+    physical shape ClickHouse's GROUP BY CUBE lowers to."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice", 14, 4)).cast("double").alias("total_spend"),
+    )
+
+
+@query(
+    "agg_pivot_status",
+    """
+    SELECT o_custkey,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status pivot per customer.  Spark's pivot() with an explicit value
+    list is a single-pass conditional aggregation (no second shuffle, no
+    value-discovery job) — same plan as the FILTER-ed counts the oracle
+    spells out."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_custkey",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+@query(
+    "range_join_recent_events",
+    """
+    SELECT a.event_id, COUNT(b.event_id) AS n_recent
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL 5 MINUTE
+     AND b.ts <  a.ts
+    GROUP BY a.event_id
+    """,
+)
+def range_join_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events the same user fired in the preceding
+    5 minutes — a range (interval) self-join.  Equi-key on user_id makes it
+    a hash join with a range residual, NOT a cartesian; at 100 TB bucket
+    both sides by user_id (co-located) and the residual stays partition-
+    local.  (Events with no precursor don't appear — inner join, matching
+    the oracle.)"""
+    e = _t(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("b.ts") < F.col("a.ts")),
+        )
+        .groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count(F.col("b.event_id")).alias("n_recent"))
+    )
+
+
+@query(
+    "funnel_signup_purchase",
+    """
+    SELECT COUNT(*) AS n_users,
+           COUNT(*) FILTER (WHERE first_purchase IS NOT NULL AND first_purchase > first_signup)
+             AS n_converted
+    FROM (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'signup')   AS first_signup,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    WHERE first_signup IS NOT NULL
+    """,
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (signup → later purchase): one shuffle on user_id
+    computing conditional MINs, then a global count — the standard funnel
+    shape that scales linearly (no self-join, no window)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.filter(F.col("first_signup").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(
+            F.when(
+                F.col("first_purchase").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                F.lit(1),
+            )
+        ).alias("n_converted"),
+    )
+
+
+@query(
+    "retention_next_day",
+    """
+    WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(a.d AS TIMESTAMP) AS day, COUNT(a.user_id) AS n_active, COUNT(r.user_id) AS n_retained
+    FROM active a LEFT JOIN active r
+      ON a.user_id = r.user_id AND r.d = a.d + INTERVAL 1 DAY
+    GROUP BY a.d
+    ORDER BY day
+    """,
+)
+def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: distinct (user, day) pairs self-joined one day
+    forward.  Both sides shuffle on user_id once (the dedup and the join
+    share the key); daily cardinality = users × days, tiny even at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    active = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    a = active.alias("a")
+    r = active.alias("r")
+    return (
+        a.join(
+            r,
+            (F.col("a.user_id") == F.col("r.user_id"))
+            & (F.col("r.d") == F.date_add(F.col("a.d"), 1)),
+            "left",
+        )
+        .groupBy(F.col("a.d").cast("timestamp").alias("day"))
+        .agg(
+            F.count(F.col("a.user_id")).alias("n_active"),
+            F.count(F.col("r.user_id")).alias("n_retained"),
+        )
+        .orderBy("day")
+    )
