@@ -2111,3 +2111,60 @@ def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_percentile_qty",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.9]) AS qty_quantiles
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.  Quantities are integral
+    doubles, so the (1-f)·a + f·b interpolation is exact and bit-equal
+    across engines.  At 100 TB prefer ``approx_percentile`` (mergeable
+    KLL-style sketch, map-side partials) — exact percentile materializes
+    per-group sorted arrays; both are exposed, only the exact one can be
+    oracle-hashed."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.9))").alias("qty_quantiles")
+    )
+
+
+@query(
+    "agg_salted_user_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MAX(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stats via explicit two-phase SALTED aggregation
+    (operators/skew.py): partial agg on (user_id, salt-of-event) spreads a
+    hot user over 16 reducers, re-agg on user_id moves 16 rows per user.
+    The oracle is the plain GROUP BY — salting must be result-identical
+    (sum/count/min/max are associative; decimal sums keep it exact)."""
+    from ..operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events").withColumn("value_dec", F.col("value").cast("decimal(18,6)"))
+    out = salted_agg(
+        e,
+        "user_id",
+        {
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "value_dec"),
+            "last_seen": ("max", "ts"),
+        },
+        salt=16,
+        salt_on="event_id",
+    )
+    return out.select(
+        "user_id", "n_events", F.col("total_value").cast("double").alias("total_value"), "last_seen"
+    )

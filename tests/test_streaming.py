@@ -249,3 +249,61 @@ def test_dedup_offsets_stream(spark, workdir):
     q.awaitTermination()
     out = spark.read.parquet(str(workdir / "out" / "dd"))
     assert out.count() == 5
+
+
+def test_watermarked_tumbling_agg_drops_late(spark, workdir):
+    """Streaming windowed aggregation with watermark (SURVEY §2.7 /
+    W1): tumbling 1-minute windows in update-less append mode; an event
+    older than the watermark after the stream has advanced past it is
+    dropped, on-time events aggregate per window."""
+    _write_jsonl(
+        workdir / "in" / "a.jsonl",
+        [
+            {"time": "2024-01-01T00:00:10Z", "name": "a", "value": 1, "price": 0.0},
+            {"time": "2024-01-01T00:00:50Z", "name": "a", "value": 2, "price": 0.0},
+            {"time": "2024-01-01T00:01:10Z", "name": "a", "value": 4, "price": 0.0},
+            # advance event time far enough that watermark (10s) passes
+            # the first window completely
+            {"time": "2024-01-01T00:10:00Z", "name": "a", "value": 8, "price": 0.0},
+        ],
+    )
+    out_path = str(workdir / "out" / "agg")
+
+    def run_batch(in_dir, ckpt):
+        raw = file_source(spark, in_dir)
+        parsed = raw.select(
+            F.from_json(F.col("value").cast("string"), F1_SCHEMA).alias("m")
+        ).select(
+            F.to_timestamp("m.time").alias("ts"),
+            F.col("m.name").alias("name"),
+            F.col("m.value").alias("value"),
+        )
+        agg = (
+            parsed.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "1 minute").alias("w"), "name")
+            .agg(F.sum("value").alias("total"))
+            .select(F.col("w.start").alias("w_start"), "name", "total")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(str(workdir / "in"), str(workdir / "ckpt" / "agg"))
+    # late event for the long-closed first window arrives in a second batch
+    _write_jsonl(
+        workdir / "in" / "b.jsonl",
+        [{"time": "2024-01-01T00:00:59Z", "name": "a", "value": 100, "price": 0.0}],
+    )
+    run_batch(str(workdir / "in"), str(workdir / "ckpt" / "agg"))
+
+    out = spark.read.parquet(out_path)
+    rows = {str(r.w_start): r.total for r in out.filter(F.col("name") == "a").collect()}
+    # first window closed with only the on-time rows; late +100 was dropped
+    assert rows.get("2024-01-01 00:00:00") == 3.0
+    assert rows.get("2024-01-01 00:01:00") == 4.0
