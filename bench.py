@@ -25,8 +25,11 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
+    "tpch_q9_profit",
+    "agg_cube_orders",
     "window_topk_per_customer",
     "window_tumbling_1h",
+    "range_join_recent_events",
     "etl_parse_project",
     "etl_dedup_offsets",
     "series_latest_per_key",
