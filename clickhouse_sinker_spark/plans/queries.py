@@ -2168,3 +2168,83 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.col("total_value").cast("double").alias("total_value"), "last_seen"
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM toks
+      WHERE lang IN ('en', 'de', 'fr') AND n_tokens BETWEEN 10 AND 5000
+    )
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count, MIN(n_tokens) AS n_tokens
+    FROM filtered
+    GROUP BY md5(text)
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data prep pipeline: language filter → length
+    filter → exact dedup, in ONE declarative plan.  Everything before the
+    single groupBy shuffle is map-side (filters fused into the scan stage);
+    the shuffle carries only surviving docs' (fingerprint, id, n_tokens).
+    This is the shape a 100 TB corpus-cleaning job takes: no intermediate
+    materialization, one pass over the data."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    filtered = toks.filter(
+        F.col("lang").isin("en", "de", "fr") & F.col("n_tokens").between(10, 5000)
+    )
+    return (
+        filtered.withColumn("fingerprint", F.md5(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "emb_centroid_per_label",
+    """
+    WITH q AS (
+      SELECT label, u.idx AS idx, CAST(floor(u.x * 1000) AS BIGINT) AS qv
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS idx) u
+    )
+    SELECT label, idx,
+           CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS centroid_component
+    FROM q GROUP BY label, idx
+    ORDER BY label, idx
+    """,
+)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (the k-means/IVF building block).
+    Embeddings quantized to ints (module determinism rule) so component
+    sums are order-independent; posexplode → (label, idx) agg is one
+    shuffle whose width is labels × dims regardless of row count."""
+    em = _t(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("idx"),
+        F.floor(F.col("x").cast("double") * 1000).cast("bigint").alias("qv"),
+    )
+    return (
+        ex.groupBy("label", "idx")
+        .agg((F.sum("qv").cast("double") / F.count(F.lit(1))).alias("centroid_component"))
+        .orderBy("label", "idx")
+    )

@@ -123,8 +123,10 @@ def route_by_table(raw: DataFrame, table_header: str = "__table_name") -> DataFr
     present, else the topic (task/consumer.go:233-255).  Requires the source
     to be read with includeHeaders=true; falls back to topic if absent."""
     if "headers" in raw.columns:
+        # get() is null-safe on the empty array (no header present) where
+        # [0] would raise under ANSI mode
         hdr = F.expr(
-            f"filter(headers, h -> h.key = '{table_header}')[0].value"
+            f"get(filter(headers, h -> h.key = '{table_header}'), 0).value"
         ).cast("string")
         return raw.withColumn("__route", F.coalesce(hdr, F.col("topic")))
     return raw.withColumn("__route", F.col("topic"))

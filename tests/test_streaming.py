@@ -307,3 +307,26 @@ def test_watermarked_tumbling_agg_drops_late(spark, workdir):
     # first window closed with only the on-time rows; late +100 was dropped
     assert rows.get("2024-01-01 00:00:00") == 3.0
     assert rows.get("2024-01-01 00:01:00") == 4.0
+
+
+def test_route_by_table_header_and_topic(spark):
+    """R6 message→task routing: Kafka header __table_name wins, topic is
+    the fallback (task/consumer.go:233-255)."""
+    from clickhouse_sinker_spark.streaming.pipeline import route_by_table
+
+    rows = [
+        ("topic_a", [{"key": "__table_name", "value": bytearray(b"t_override")}]),
+        ("topic_a", []),
+        ("topic_b", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "topic string, headers array<struct<key:string,value:binary>>",
+    )
+    routed = route_by_table(df)
+    got = [r["__route"] for r in routed.select("__route").collect()]
+    assert got == ["t_override", "topic_a", "topic_b"]
+
+    # without a headers column at all → pure topic routing
+    routed2 = route_by_table(df.select("topic"))
+    assert [r["__route"] for r in routed2.collect()] == ["topic_a", "topic_a", "topic_b"]
