@@ -118,3 +118,43 @@ def jdbc_read(spark: SparkSession, url: str, query: str, **options: str) -> Data
         .options(**options)
         .load()
     )
+
+
+def specs_from_task(task) -> list[ColumnSpec]:
+    """TaskConfig.dims → ColumnSpecs (the fixed-schema path, config
+    Dims — config/config.go:164-168).  Each dim is (name, ch_type,
+    source_name|None)."""
+    return [
+        ColumnSpec(name, ch_type, source=src or name, not_nullable=not parse_ch_type(ch_type).nullable)
+        for (name, ch_type, src) in task.dims
+        if name not in task.exclude_columns
+    ]
+
+
+def json_parse_schema(specs: list[ColumnSpec]):
+    """The permissive source-message schema to hand from_json for a given
+    projection: datetimes arrive as strings (25-layout auto-detection
+    happens in the cast layer, P9), numerics as doubles (clamping cast
+    narrows them, P7), everything else at its natural type.  Source-name
+    keyed — one struct field per distinct source field."""
+    from pyspark.sql import types as T
+
+    from ..typemap import to_spark_type
+
+    fields: dict[str, T.DataType] = {}
+    for s in specs:
+        t = s.parsed
+        if t.name in ("DateTime", "DateTime64", "Date"):
+            dt: T.DataType = T.StringType()
+        elif t.name in ("IPv4", "IPv6", "String", "FixedString", "UUID", "Enum8", "Enum16"):
+            dt = T.StringType()
+        elif t.name == "Bool":
+            dt = T.BooleanType()
+        elif t.map_key is not None or t.array:
+            dt = to_spark_type(t)
+        else:
+            dt = T.DoubleType()
+        if t.array and t.name not in ("Map",):
+            dt = T.ArrayType(dt) if not isinstance(dt, T.ArrayType) else dt
+        fields.setdefault(s.source, dt)
+    return T.StructType([T.StructField(k, v, True) for k, v in fields.items()])

@@ -99,3 +99,86 @@ def test_parse_ch_type_matrix():
     for s, (base, nullable, is_array) in cases.items():
         t = parse_ch_type(s)
         assert t.name == base and t.nullable == nullable and t.array == is_array
+
+
+HJSON_SAMPLE = """
+{
+    # cluster config
+    clickhouse: {
+        hosts: [
+            [
+                10.0.0.1
+                10.0.0.2
+            ]
+            [
+                10.0.0.3
+            ]
+        ]
+        port: 59000
+        db: metrics
+        username: ""
+        retryTimes: 2
+    }
+    kafka: {
+        brokers: broker1:9092,broker2:9092
+        version: 2.5.0
+        security.protocol: SASL_SSL
+    }
+    task: {
+        name: t1
+        topic: topic1
+        consumerGroup: cg1
+        earliest: true
+        parser: json
+        tableName: dst
+        dims: [
+            {
+                name: time
+                type: DateTime
+            }
+            {
+                name: val
+                type: Float32
+                sourceName: v
+            }
+        ]
+        fields: {"env": "prod", "dc": 3}
+        shardingKey: val
+        bufferSize: 50000
+        PrometheusSchema: true
+        DynamicSchema: {
+            Enable: true
+            MaxDims: 100
+            whiteList: ^(key_[0-9]?|value[1-4]?)$
+            blackList: ^(key_3)$
+      }
+    }
+    logLevel: info
+}
+"""
+
+
+def test_load_reference_style_hjson():
+    from clickhouse_sinker_spark.config_io import load_config
+
+    cfg = load_config(HJSON_SAMPLE)
+    # shards = outer hosts list; replicas joined into one endpoint string
+    assert cfg.clickhouse.shards == 2
+    assert cfg.clickhouse.hosts[0] == "10.0.0.1:59000,10.0.0.2:59000"
+    assert cfg.clickhouse.database == "metrics"
+    assert cfg.clickhouse.retry_times == 2
+    assert cfg.kafka.brokers == "broker1:9092,broker2:9092"
+    assert cfg.kafka.spark_options()["kafka.security.protocol"] == "SASL_SSL"
+
+    (t,) = cfg.tasks
+    assert t.name == "t1" and t.parser == "fastjson" and t.table_name == "dst"
+    assert t.dims == (("time", "DateTime", None), ("val", "Float32", "v"))
+    assert t.fields == {"env": "prod", "dc": 3}
+    assert t.sharding_key == "val"
+    # quoteless regex values keep their [ ] ( ) $ characters intact
+    assert t.white_list == "^(key_[0-9]?|value[1-4]?)$"
+    assert t.black_list == "^(key_3)$"
+    assert t.max_dims == 100
+    # normalization chain applied: Prometheus => Dynamic => Auto
+    assert t.prometheus_schema and t.dynamic_schema and t.auto_schema
+    assert t.buffer_size == 65536  # next power of two from 50000

@@ -330,3 +330,71 @@ def test_route_by_table_header_and_topic(spark):
     # without a headers column at all → pure topic routing
     routed2 = route_by_table(df.select("topic"))
     assert [r["__route"] for r in routed2.collect()] == ["topic_a", "topic_a", "topic_b"]
+
+
+def test_config_to_pipeline_switchover(spark, workdir):
+    """The reference-user switchover path end to end: an UNCHANGED
+    reference-style hjson task file → load_config → dims → parse schema →
+    pipeline → sharded sink.  (Kafka source swapped for the file source —
+    same message bytes.)"""
+    from clickhouse_sinker_spark.config_io import load_config
+    from clickhouse_sinker_spark.sources.schema import json_parse_schema, specs_from_task
+
+    hjson = """
+    {
+        clickhouse: {
+            hosts: [ [ 127.0.0.1 ] ]
+            port: 59000
+            db: default
+        }
+        kafka: {
+            brokers: 127.0.0.1:9093
+        }
+        task: {
+            name: test_fixed_schema
+            topic: topic1
+            consumerGroup: test_fixed_schema
+            earliest: true
+            parser: json
+            tableName: test_fixed_schema
+            dims: [
+                {
+                    name: time
+                    type: DateTime
+                }
+                {
+                    name: name
+                    type: String
+                }
+                {
+                    name: value
+                    type: Float32
+                }
+            ]
+            shardingKey: name
+            bufferSize: 50000
+        }
+    }
+    """
+    cfg = load_config(hjson)
+    task = cfg.tasks[0]
+    specs = specs_from_task(task)
+    schema = json_parse_schema(specs)
+
+    _write_jsonl(
+        workdir / "in" / "a.jsonl",
+        [
+            {"time": "2024-01-01 00:00:00", "name": f"n{i}", "value": i + 0.5}
+            for i in range(100)
+        ],
+    )
+    raw = file_source(spark, str(workdir / "in"))
+    pipe = build_pipeline(raw, task, specs, schema, shards=cfg.clickhouse.shards)
+    sink = ParquetSink(str(workdir / "out" / task.table_name), shards=cfg.clickhouse.shards)
+    pipe.run_available(sink, str(workdir / "ckpt" / task.name))
+
+    out = spark.read.parquet(str(workdir / "out" / task.table_name))
+    assert out.count() == 100
+    assert set(out.columns) >= {"time", "name", "value", "__shard"}
+    row = out.filter(F.col("name") == "n7").first()
+    assert float(row.value) == 7.5
