@@ -140,6 +140,9 @@ def main() -> None:
     # on 11 cpu — BASELINE.md).  Reproduce the full hot path at 1M rows:
     # JSON bytes → parse → reference-semantics cast projection → shard
     # route → parquet write (the sink stand-in), timed end to end.
+    # Same steady-state rule as above: warm the parse/projection codegen
+    # and the dynamic-partition writer on a 100×-smaller run first.
+    _etl_pipeline_bench(spark, warm_dir, copies=2)
     timings["etl_pipeline_1m"] = round(_etl_pipeline_bench(spark, sf_dir, copies=10), 3)
 
     total = round(sum(timings.values()), 3)
