@@ -105,3 +105,67 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Distributed Lloyd's k-means — the IVF coarse quantizer trained
+    in-engine.
+
+    Per iteration: ONE map over the corpus (assign to nearest centroid; the
+    k×dim centroid table is compiled into the plan as literals — it is
+    driver-tiny) and ONE shuffle (component sums per cluster via
+    posexplode → (cluster, idx) partial aggregation).  Centroids come back
+    to the driver (k×dim doubles).  That is the canonical 100 TB iteration
+    shape: data never moves except one narrow agg per pass.
+
+    Deterministic: seeds are the k lowest-``id_col`` vectors, assignment
+    ties break toward the lower cluster index, empty clusters keep their
+    previous centroid.  Returns (assignments, centroids, sse_per_iter);
+    ``sse_per_iter`` is the monotone objective trace (tested).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    seeds = base.orderBy("id").limit(k).collect()
+    centroids = [list(r["v"]) for r in seeds]
+    dim = len(centroids[0])
+
+    def dist2(vec: Column, cent: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in cent])
+        return F.aggregate(
+            F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    sse_trace: list[float] = []
+    for _ in range(iters):
+        dists = F.array(*[dist2(F.col("v"), c) for c in centroids])
+        best = F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        assigned = base.select("id", "v", best.alias("cluster"),
+                               F.array_min(dists).alias("d2"))
+        stats = (
+            assigned.select("cluster", "d2", F.posexplode("v").alias("idx", "x"))
+            .groupBy("cluster", "idx")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sd2"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        sse = 0.0
+        for r in stats:
+            sums.setdefault(r["cluster"], [0.0] * dim)[r["idx"]] = r["sx"]
+            counts[r["cluster"]] = r["n"]
+            if r["idx"] == 0:  # sd2 repeats identically per idx; count once
+                sse += r["sd2"]
+        sse_trace.append(round(sse, 6))
+        centroids = [
+            [s / counts[c] for s in sums[c]] if c in counts else centroids[c]
+            for c in range(k)
+        ]
+    return assigned, centroids, sse_trace

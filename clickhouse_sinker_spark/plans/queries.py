@@ -2248,3 +2248,17 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("qv").cast("double") / F.count(F.lit(1))).alias("centroid_component"))
         .orderBy("label", "idx")
     )
+
+
+@query("knn_kmeans_assign")
+def knn_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training in-engine: 3 Lloyd iterations over the
+    embedding corpus (k=8), returning (id, cluster, d2) assignments.
+    Iterative → no SQL oracle (driver records rows-only); the optimization
+    contract (monotone SSE, full coverage) is pytest-verified.  Per
+    iteration: one narrow shuffle — the 100 TB-safe k-means shape."""
+    from ..operators.similarity import kmeans_lloyd
+
+    em = _t(spark, sf_dir, "embeddings")
+    assigned, _, _ = kmeans_lloyd(em, "embedding", "vec_id", k=8, iters=3)
+    return assigned.select("id", "cluster", "d2")

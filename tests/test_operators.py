@@ -97,3 +97,23 @@ def test_observe_counters_batch(spark):
     observed = observe_counters(df, "t")
     # batch observe: metrics retrievable via DataFrame.observe on action
     assert observed.count() == 100
+
+
+def test_kmeans_lloyd_converges(spark):
+    """Lloyd objective (SSE) is non-increasing and strictly improves over
+    the seed assignment; every vector is assigned.  (The synthetic
+    embeddings are nearly isotropic — label purity is not a valid check:
+    even numpy k-means from oracle label-centroid seeds only reaches ~0.28
+    purity — so the test asserts the optimization contract instead.)"""
+    from clickhouse_sinker_spark.operators.similarity import kmeans_lloyd
+    from clickhouse_sinker_spark.sources.tables import load_table
+
+    em = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, centroids, sse = kmeans_lloyd(em, "embedding", "vec_id", k=10, iters=4)
+    assert len(sse) == 4
+    assert all(sse[i + 1] <= sse[i] + 1e-9 for i in range(3)), sse
+    assert sse[-1] < sse[0] * 0.9, sse  # real movement, not a no-op
+    assert assigned.count() == em.count()
+    assert len(centroids) == 10 and len(centroids[0]) == 64
+    # all k clusters alive on this data
+    assert assigned.select("cluster").distinct().count() == 10
