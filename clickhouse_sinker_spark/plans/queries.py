@@ -2262,3 +2262,162 @@ def knn_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     assigned, _, _ = kmeans_lloyd(em, "embedding", "vec_id", k=8, iters=3)
     return assigned.select("id", "cluster", "d2")
+
+
+@query(
+    "tpch_q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(CAST(p.p_retailprice AS DECIMAL(12,4)) * CAST(l.l_quantity AS DECIMAL(12,4))) AS part_value
+      FROM lineitem l JOIN part p     ON p.p_partkey = l.l_partkey
+                      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM pv
+    WHERE part_value * 1000 > (SELECT SUM(part_value) FROM pv)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (TPC-H Q11 shape; partsupp value → shipped retail
+    value from one nation's suppliers).  The HAVING-vs-global-fraction
+    threshold is cross-multiplied (value × 1000 > Σvalue) so the compare is
+    exact decimal — no float fraction.  The per-part agg is computed once
+    and reused for both the scalar total (1-row broadcast) and the probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = _dec("p_retailprice") * _dec("l_quantity")
+    pv = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(value).alias("part_value"))
+    )
+    total = pv.agg(F.sum("part_value").alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 1000 > F.col("total_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+        .select("partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q20_top_shippers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,4))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey FROM shipped sh
+      JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE p.p_name LIKE '%red%'
+        AND sh.qty * 2 > (SELECT SUM(qty) FROM shipped s2 WHERE s2.l_partkey = sh.l_partkey)
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant shippers (TPC-H Q20 shape; the partsupp availqty>half-
+    shipped test becomes supplier-shipped > half of the part's total).
+    The correlated scalar (per-part total) decorrelates into a groupBy
+    reused via a co-partitioned join on partkey; the IN becomes a
+    semi-join.  Cross-multiplied decimal compare, no float fraction."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(_dec("l_quantity")).alias("qty"))
+    per_part = shipped.groupBy(F.col("l_partkey").alias("pp_key")).agg(F.sum("qty").alias("part_total"))
+    dominant = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .join(per_part, shipped.l_partkey == F.col("pp_key"))
+        .filter(F.col("qty") * 2 > F.col("part_total"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "tpch_q21_last_shipper",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND (l3.l_shipdate > l1.l_shipdate
+               OR (l3.l_shipdate = l1.l_shipdate AND l3.l_linenumber > l1.l_linenumber))
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape; commit/receipt
+    lateness becomes last-to-ship in multi-supplier 'F' orders, with a
+    linenumber tie-break so 'last' is unique).  The EXISTS is a left-semi
+    and the NOT EXISTS a left-anti join, both shuffled on orderkey —
+    Spark's native decorrelation of Q21's double-correlated subqueries.
+    At 100 TB the probe side is projected to (orderkey, suppkey, shipdate,
+    linenumber) before the shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    has_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    not_last = has_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (
+            (F.col("l3.l_shipdate") > F.col("l1.l_shipdate"))
+            | (
+                (F.col("l3.l_shipdate") == F.col("l1.l_shipdate"))
+                & (F.col("l3.l_linenumber") > F.col("l1.l_linenumber"))
+            )
+        ),
+        "left_anti",
+    )
+    return (
+        not_last.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
