@@ -182,3 +182,15 @@ def test_load_reference_style_hjson():
     # normalization chain applied: Prometheus => Dynamic => Auto
     assert t.prometheus_schema and t.dynamic_schema and t.auto_schema
     assert t.buffer_size == 65536  # next power of two from 50000
+
+
+def test_jdbc_sink_options():
+    from clickhouse_sinker_spark.streaming.sink import JdbcSink
+
+    ch = ClickHouseConfig(hosts=("h0:8123", "h1:8123"), database="db", username="u",
+                          password="p", shards=2, retry_times=1)
+    sink = JdbcSink(ch, table="t", shards=2, batch_size=4096, async_insert=True)
+    o0, o1 = sink.jdbc_options(0), sink.jdbc_options(1)
+    assert o0["url"].endswith("h0:8123/db") and o1["url"].endswith("h1:8123/db")
+    assert o0["dbtable"] == "t" and o0["batchsize"] == "4096"
+    assert "async_insert=1" in o0["sessionInitStatement"]  # S4 passthrough

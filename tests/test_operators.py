@@ -117,3 +117,17 @@ def test_kmeans_lloyd_converges(spark):
     assert len(centroids) == 10 and len(centroids[0]) == 64
     # all k clusters alive on this data
     assert assigned.select("cluster").distinct().count() == 10
+
+
+def test_approx_distinct_within_error(spark):
+    """approx_count_distinct (HLL++) stays within its documented rsd on the
+    real tables — the mergeable sketch that replaces exact distinct at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = e.select(F.count_distinct("user_id")).first()[0]
+    approx = e.select(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.1

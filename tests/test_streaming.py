@@ -398,3 +398,38 @@ def test_config_to_pipeline_switchover(spark, workdir):
     assert set(out.columns) >= {"time", "name", "value", "__shard"}
     row = out.filter(F.col("name") == "n7").first()
     assert float(row.value) == 7.5
+
+
+def test_stream_static_enrichment_join(spark, workdir):
+    """Stream-static join (SURVEY §2.7): the parsed stream enriched with a
+    static dimension table inside the same micro-batch plan — the Spark
+    answer to the reference's series-id → labels lookup."""
+    dim = spark.createDataFrame(
+        [("n1", "tier-a"), ("n2", "tier-b")], "name string, tier string"
+    )
+    _write_jsonl(
+        workdir / "in" / "a.jsonl",
+        [
+            {"time": "2024-01-01 00:00:00", "name": "n1", "value": 1.0, "price": 0.0},
+            {"time": "2024-01-01 00:00:01", "name": "n2", "value": 2.0, "price": 0.0},
+            {"time": "2024-01-01 00:00:02", "name": "n3", "value": 3.0, "price": 0.0},
+        ],
+    )
+    raw = file_source(spark, str(workdir / "in"))
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), F1_SCHEMA).alias("m")
+    ).select("m.name", "m.value")
+    enriched = parsed.join(F.broadcast(dim), "name", "left")
+
+    out_path = str(workdir / "out" / "enriched")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(workdir / "ckpt" / "enr"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["name"]: r["tier"] for r in spark.read.parquet(out_path).collect()}
+    assert got == {"n1": "tier-a", "n2": "tier-b", "n3": None}
