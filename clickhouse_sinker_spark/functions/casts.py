@@ -44,6 +44,7 @@ __all__ = [
     "parse_datetime_any",
     "epoch_to_timestamp",
     "valid_ip_or_default",
+    "parse_datetime_adaptive",
     "DATETIME_LAYOUTS",
 ]
 
@@ -205,3 +206,63 @@ def valid_ip_or_default(col: Column | str, v6: bool = False) -> Column:
     if v6:
         return F.when(c.rlike(_IPV6_RE), c).otherwise(F.lit("::"))
     return F.when(c.rlike(_IPV4_RE), c).otherwise(F.lit("0.0.0.0"))
+
+
+def parse_datetime_adaptive(col: Column | str, layouts: list[str] | None = None) -> Column:
+    """Strict reference-mode P9: commit to the FIRST layout that matches a
+    field and use only it from then on (parser/parser.go:160-189 caches the
+    layout per field forever).
+
+    On heterogeneous fields this differs from ``parse_datetime_any`` (which
+    retries all layouts per value): once a batch has seen a layout, later
+    values in other layouts return NULL — exactly the reference's behavior.
+
+    Implementation: Arrow-batched pandas UDF with closure state (the one
+    place the semantics genuinely need per-field mutable state).  The cache
+    is per-executor-python-worker; workers converge after one batch each.
+    Use ``parse_datetime_any`` unless reference-exact heterogeneous
+    behavior is required — the coalesce chain stays JVM-side and faster.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    fmts = list(layouts or DATETIME_LAYOUTS)
+    # Java layout → Python strptime equivalents for the fixed list above
+    py_fmts = {
+        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]XXX": "%Y-%m-%dT%H:%M:%S%z",
+        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]X": "%Y-%m-%dT%H:%M:%S%z",
+        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]": "%Y-%m-%dT%H:%M:%S",
+        "yyyy-MM-dd HH:mm:ss[.SSSSSSSSS]XXX": "%Y-%m-%d %H:%M:%S%z",
+        "yyyy-MM-dd HH:mm:ss[.SSSSSSSSS]": "%Y-%m-%d %H:%M:%S",
+        "yyyy-MM-dd": "%Y-%m-%d",
+        "dd/MM/yyyy": "%d/%m/%Y",
+        "dd MMM yy HH:mm XXX": "%d %b %y %H:%M %z",
+        "MM/dd/yyyy HH:mm:ss": "%m/%d/%Y %H:%M:%S",
+        "yyyyMMdd HH:mm:ss": "%Y%m%d %H:%M:%S",
+    }
+    ordered = [py_fmts[f] for f in fmts if f in py_fmts]
+
+    _cache: dict[str, str] = {}
+
+    def _parse_fn(s):
+        state = _cache
+        committed = state.get("fmt")
+        if committed is None:
+            for fmt in ordered:
+                probe = s.dropna()
+                if probe.empty:
+                    break
+                try:
+                    pd.to_datetime(probe.iloc[0], format=fmt)
+                    committed = fmt
+                    state["fmt"] = fmt
+                    break
+                except (ValueError, TypeError):
+                    continue
+        if committed is None:
+            return pd.to_datetime(pd.Series([None] * len(s)))
+        return pd.to_datetime(s, format=committed, errors="coerce", utc=True).dt.tz_localize(None)
+
+    _parse = pandas_udf(_parse_fn, "timestamp")
+    c = F.col(col) if isinstance(col, str) else col
+    return _parse(c)

@@ -88,7 +88,10 @@ def _cast_expr(
         # per-element coercion with the same clamping (parser/fastjson.go:212-325)
         elem_t = CHType(**{**t.__dict__, "array": False})
         arr = src.try_cast("array<string>")
-        return F.transform(arr, lambda e: _cast_expr(e, elem_t, True, time_unit))
+        # element coercion always default-fills (parser/fastjson.go:212-325);
+        # the row-level NOT-NULL reject (P16) applies to the column, not
+        # inside the array
+        return F.transform(arr, lambda e: _cast_expr(e, elem_t, False, time_unit))
 
     if name in ("Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32", "UInt64"):
         num = src.try_cast("decimal(38,9)")
@@ -129,6 +132,11 @@ def _cast_expr(
 
     if nullable or name in ("Map",):
         return out
+    if not_nullable:
+        # NOT-NULL-inferred column (P16): keep the null so apply_projection
+        # / validate_rows can REJECT the row (task/task.go:303-314) — the
+        # reference drops these rows, it does not default-fill them
+        return out
     spark_t = to_spark_type(t).simpleString()
     return F.coalesce(out, default_literal(spark_t))
 
@@ -161,3 +169,28 @@ def apply_projection(df: DataFrame, specs: list[ColumnSpec], null_reject: bool =
             if s.not_nullable and s.constant is None:
                 out = out.filter(F.col(s.name).isNotNull())
     return out
+
+
+def validate_rows(df: DataFrame, specs: list[ColumnSpec]):
+    """Bad-row isolation, Spark-style (W5 ≙ pool/ck_cli.go:126-236).
+
+    The reference writes a batch, collects per-row Append failures in a
+    bitmap, and re-sends the batch without them.  Here casts are total
+    functions (clamp/default), so a row can only be "bad" by violating a
+    NOT-NULL contract after projection — detectable BEFORE the sink.
+    Returns ``(good, bad)``: ``bad`` carries a ``__reject_reason`` column
+    naming the violated columns.  Both splits come from one projection —
+    at scale this is a predicate fork, not a second pass.
+    """
+    projected = apply_projection(df, specs, null_reject=False)
+    required = [s.name for s in specs if s.not_nullable]
+    if not required:
+        return projected, projected.limit(0).withColumn("__reject_reason", F.lit(""))
+    reason = F.concat_ws(
+        ",",
+        *[F.when(F.col(c).isNull(), F.lit(c)) for c in required],
+    )
+    flagged = projected.withColumn("__reject_reason", reason)
+    good = flagged.filter(F.col("__reject_reason") == "").drop("__reject_reason")
+    bad = flagged.filter(F.col("__reject_reason") != "")
+    return good, bad

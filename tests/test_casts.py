@@ -194,3 +194,44 @@ def test_projection_matrix(spark):
     assert r0.s == "2009-07-13 09:07:13" if False else True
     assert r1.s == "x" and r0.s == ""  # None string + non-nullable → ""
     assert r0.const == "c" and r1.const == "c"
+
+
+def test_parse_datetime_adaptive_commits_first_layout(spark):
+    """Strict P9 mode: the first matching layout is committed per field;
+    later values in other layouts return NULL (parser/parser.go:160-189),
+    unlike parse_datetime_any which retries all layouts per value."""
+    from clickhouse_sinker_spark.functions.casts import (
+        parse_datetime_adaptive,
+        parse_datetime_any,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05",), ("07/06/2024",), ("2024-05-06 07:08:09",)],
+        "s string",
+    ).coalesce(1)
+    strict = [r[0] for r in df.select(parse_datetime_adaptive("s").alias("t")).collect()]
+    assert str(strict[0]) == "2024-01-02 03:04:05"
+    assert strict[1] is None  # dd/MM/yyyy rejected after committing to the first layout
+    assert str(strict[2]) == "2024-05-06 07:08:09"
+    # the lenient chain parses all three
+    lenient = [r[0] for r in df.select(parse_datetime_any("s").alias("t")).collect()]
+    assert all(v is not None for v in lenient)
+
+
+def test_validate_rows_splits_not_null_violations(spark):
+    """W5 bad-row isolation: NOT-NULL violations split into a reject side
+    with the offending columns named; the good side matches null_reject."""
+    from clickhouse_sinker_spark.operators.project import ColumnSpec, validate_rows
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, None), (None, None)],
+        "id bigint, name string",
+    )
+    specs = [
+        ColumnSpec("id", "Int64", not_nullable=True),
+        ColumnSpec("name", "String", not_nullable=True),
+    ]
+    good, bad = validate_rows(df, specs)
+    assert good.count() == 1
+    reasons = {r["__reject_reason"] for r in bad.collect()}
+    assert reasons == {"id", "name", "id,name"}
