@@ -33,8 +33,12 @@ __all__ = [
     "attach_binary_metadata",
     "decode_image_features",
     "sample_video_frames",
+    "resize_images",
+    "extract_audio_features",
     "IMAGE_FEATURE_SCHEMA",
     "FRAME_SCHEMA",
+    "RESIZED_SCHEMA",
+    "AUDIO_FEATURE_SCHEMA",
 ]
 
 IMAGE_FEATURE_SCHEMA = T.StructType(
@@ -144,3 +148,91 @@ def sample_video_frames(
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
 
     return slim.mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_windows", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, payload_col: str, id_col: str, width: int = 224, height: int = 224,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize plumbing: (id, payload) → (id, w, h, resized-bytes) through
+    Arrow batches, partition-local.  The stub emits a deterministic
+    byte-slice standing in for the re-encoded image; ``decoder='pil'`` is
+    the gated production contract."""
+    if decoder == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env without PIL
+            raise NotImplementedError(
+                "PIL resize requires pillow; use decoder='fake' for plumbing tests"
+            ) from e
+    elif decoder != "fake":
+        raise NotImplementedError(f"unknown decoder {decoder!r}")
+
+    slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    target = width * height // 64 or 1
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = (p or b"\x00") * (target // max(len(p or b"\x00"), 1) + 1)
+                rows.append((i, width, height, bytes(p[:target])))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "resized"])
+
+    return slim.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str, id_col: str, window_s: float = 0.5,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Audio feature plumbing: duration / sample-rate / RMS / window count
+    per payload.  Stub derives deterministic pseudo-features from the
+    bytes; ``decoder='librosa'`` is the gated production contract."""
+    if decoder == "librosa":
+        try:
+            import librosa  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env without librosa
+            raise NotImplementedError(
+                "librosa decoder not available in this container; "
+                "use decoder='fake' for plumbing tests"
+            ) from e
+    elif decoder != "fake":
+        raise NotImplementedError(f"unknown decoder {decoder!r}")
+
+    slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.sha256(p or b"").digest()
+                sr = 16000
+                duration = max(len(p or b""), 1) / 4096.0
+                rms = sum(h[:16]) / (16 * 255.0)
+                rows.append((i, duration, sr, rms, int(duration / window_s) + 1))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "duration_s", "sample_rate", "rms", "n_windows"]
+            )
+
+    return slim.mapInPandas(feats, AUDIO_FEATURE_SCHEMA)

@@ -2421,3 +2421,58 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@query(
+    "mm_audio_features",
+    """
+    SELECT doc_id,
+           CAST(GREATEST(octet_length(encode(text)), 1) AS DOUBLE) / 4096.0 AS duration_s,
+           16000 AS sample_rate,
+           CAST(( CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text), 7, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text), 9, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),11, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),13, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),15, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),17, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),19, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),21, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),23, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),25, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),27, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),29, 2)) AS INTEGER)
+                + CAST(('0x' || substr(sha256(text),31, 2)) AS INTEGER)
+               ) AS DOUBLE) / (16 * 255.0) AS rms,
+           CAST(CAST(GREATEST(octet_length(encode(text)), 1) AS DOUBLE) / 4096.0 / 0.5 AS INTEGER) + 1 AS n_windows
+    FROM documents
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing over Arrow batches
+    (operators/multimodal.py:extract_audio_features; decode stubbed — no
+    audio codecs in the container, features are deterministic functions of
+    the payload bytes so the mapInPandas output is oracle-checkable)."""
+    from ..operators.multimodal import extract_audio_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_audio_features(d, "payload", "doc_id")
+
+
+@query("mm_resize_images")
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (mapInPandas, partition-local, binary in/out).
+    Rows-only check: binary column equality is exercised in pytest
+    determinism tests instead of the SQL oracle."""
+    from ..operators.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return resize_images(d, "payload", "doc_id", width=64, height=64).select(
+        "doc_id", "width", "height", F.octet_length("resized").alias("n_bytes")
+    )

@@ -62,3 +62,35 @@ def test_frame_sampling_fanout(spark, blobs):
     assert len(by_doc[1]) == 3  # 120 bytes / 10 per frame, capped at 3
     assert bytes(by_doc[1][0].frame) == (b"\xff\xd8\xff\xe0JPEGDATA" * 10)[:10]
     assert len(by_doc[4]) == 1  # empty payload still yields one (empty) frame
+
+
+def test_resize_stub_shape_and_determinism(spark, blobs):
+    from clickhouse_sinker_spark.operators.multimodal import resize_images
+
+    out = resize_images(blobs, "payload", "doc_id", width=32, height=32)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == blobs.count()
+    again = {r["doc_id"]: r for r in resize_images(blobs, "payload", "doc_id", 32, 32).collect()}
+    for k in rows:
+        assert rows[k]["resized"] == again[k]["resized"]  # deterministic
+        assert rows[k]["width"] == 32 and len(rows[k]["resized"]) == 32 * 32 // 64
+
+
+def test_audio_features_stub(spark, blobs):
+    from clickhouse_sinker_spark.operators.multimodal import extract_audio_features
+
+    out = extract_audio_features(blobs, "payload", "doc_id").collect()
+    assert len(out) == blobs.count()
+    for r in out:
+        assert r["sample_rate"] == 16000 and 0.0 <= r["rms"] <= 1.0
+        assert r["n_windows"] >= 1
+
+
+def test_audio_missing_codec_raises(spark, blobs):
+    from clickhouse_sinker_spark.operators.multimodal import extract_audio_features
+
+    import importlib.util
+    if importlib.util.find_spec("librosa") is not None:
+        pytest.skip("librosa present")
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(blobs, "payload", "doc_id", decoder="librosa")
