@@ -70,27 +70,35 @@ def saturating_cast(col: Column | str, ch_int: str) -> Column:
 
     Reference semantics (parser/fastjson.go:129-173): values outside the
     destination range clamp to the type min/max — unlike Spark's CAST which
-    wraps (legacy) or errors (ANSI).  Expressed as
-    ``least(greatest(x, min), max)`` which Catalyst folds into codegen.
-
-    Non-numeric input should be pre-converted (``try_cast`` upstream);
-    NaN stays NaN→null on the final cast.
+    wraps (legacy) or errors (ANSI) — and fractional values truncate toward
+    zero (Go ``int64(float64)``), not round.  ±inf and magnitudes beyond
+    decimal(38) range clamp by sign; NaN → null.  Expressed as
+    ``least(greatest(trunc(x), min), max)`` which Catalyst folds into
+    codegen.  Non-numeric input should be pre-converted (``try_cast``
+    upstream).
     """
     c = F.col(col) if isinstance(col, str) else col
     lo, hi = INT_BOUNDS[ch_int]
-    # compare in a domain wide enough for both bounds: decimal(38,0) covers
-    # UInt64; doubles would lose precision at 2^63.
-    wide = c.cast("decimal(38,0)")
-    # greatest/least SKIP nulls in Spark — gate explicitly so NULL stays
-    # NULL instead of clamping to the type minimum.
     # bounds as string literals: UInt64's max exceeds the JVM long that a
     # plain python-int literal would be marshalled into
-    clamped = F.when(
-        wide.isNotNull(),
-        F.least(
-            F.greatest(wide, F.lit(str(lo)).cast("decimal(38,0)")),
-            F.lit(str(hi)).cast("decimal(38,0)"),
-        ),
+    lo_d = F.lit(str(lo)).cast("decimal(38,0)")
+    hi_d = F.lit(str(hi)).cast("decimal(38,0)")
+    # truncate toward zero (x % 1 keeps the dividend's sign in Spark), then
+    # compare in a domain wide enough for both bounds: decimal(38,0) covers
+    # UInt64; doubles would lose precision at 2^63.  try_cast: ±inf / NaN /
+    # beyond-decimal magnitudes become null here (ANSI would throw).
+    wide = (c - (c % F.lit(1))).try_cast("decimal(38,0)")
+    dbl = c.try_cast("double")
+    # greatest/least SKIP nulls in Spark — gate explicitly so NULL stays
+    # NULL instead of clamping to the type minimum.  When the wide path
+    # nulls out but the double view is a non-NaN number, the magnitude
+    # exceeds decimal(38) entirely — clamp by sign (NaN > 0 is TRUE in
+    # Spark's ordering, so it must be excluded explicitly).
+    clamped = (
+        F.when(wide.isNotNull(), F.least(F.greatest(wide, lo_d), hi_d))
+        .when(F.isnan(dbl), F.lit(None).cast("decimal(38,0)"))
+        .when(dbl > 0, hi_d)
+        .when(dbl < 0, lo_d)
     )
     return clamped.cast(_SPARK_INT_TYPE[ch_int])
 

@@ -94,8 +94,22 @@ def _cast_expr(
         return F.transform(arr, lambda e: _cast_expr(e, elem_t, False, time_unit))
 
     if name in ("Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32", "UInt64"):
-        num = src.try_cast("decimal(38,9)")
-        out = saturating_cast(num, name)
+        # Integral values take the decimal path (exact at 2^63/2^64 where a
+        # double would round — reference parses ints losslessly,
+        # parser/fastjson.go:129-151); fractional or beyond-decimal values
+        # take the double path, matching the reference's float64→int64
+        # truncate-toward-zero and ±huge→clamp (parser/fastjson.go:153-188).
+        # The reference parses plain integer literals losslessly but routes
+        # fractional / scientific-notation numbers through float64
+        # (parser/fastjson.go:129-151 Int64() vs Float64() fallback), so only
+        # a plain integer literal earns the exact decimal path — everything
+        # else (incl. 0.9999999999999999, which decimal(38,9) would round up
+        # before truncation could see it) goes through the double.
+        dec = src.try_cast("decimal(38,9)")
+        is_int_literal = src.cast("string").rlike(r"^-?\d+$")
+        out = F.when(
+            dec.isNotNull() & is_int_literal, saturating_cast(dec, name)
+        ).otherwise(saturating_cast(src.try_cast("double"), name))
     elif name == "Float32":
         out = saturating_cast_float32(src.try_cast("double"))
     elif name == "Float64":

@@ -433,3 +433,47 @@ def test_stream_static_enrichment_join(spark, workdir):
     q.awaitTermination(120)
     got = {r["name"]: r["tier"] for r in spark.read.parquet(out_path).collect()}
     assert got == {"n1": "tier-a", "n2": "tier-b", "n3": None}
+
+
+def test_multi_task_demux_one_source(spark, workdir):
+    """C3/R6: tasks sharing a consumer group = ONE source stream demuxed to
+    per-table sinks inside a single foreachBatch (the reference's
+    task-routing, task/consumer.go:233-255, without a second Kafka
+    consumer)."""
+    rows_a = [{"time": "2024-01-01 00:00:00", "name": f"a{i}", "value": 1.0, "price": 0.0} for i in range(5)]
+    rows_b = [{"time": "2024-01-01 00:00:00", "name": f"b{i}", "value": 2.0, "price": 0.0} for i in range(7)]
+    with open(workdir / "in" / "a.jsonl", "w") as f:
+        for r in rows_a:
+            f.write(json.dumps({"topic": "topic_a", **r}) + "\n")
+        for r in rows_b:
+            f.write(json.dumps({"topic": "topic_b", **r}) + "\n")
+
+    raw = file_source(spark, str(workdir / "in"))
+    schema = T.StructType([T.StructField("topic", T.StringType())] + list(F1_SCHEMA.fields))
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("m")
+    ).select("m.*")
+
+    out_root = workdir / "out"
+
+    def demux_sink(batch, epoch_id):
+        routed = batch.persist()
+        try:
+            for topic, table in [("topic_a", "table_a"), ("topic_b", "table_b")]:
+                routed.filter(F.col("topic") == topic).drop("topic").write.mode(
+                    "append"
+                ).parquet(str(out_root / table))
+        finally:
+            routed.unpersist()
+
+    q = (
+        parsed.writeStream.foreachBatch(demux_sink)
+        .option("checkpointLocation", str(workdir / "ckpt" / "demux"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    a = spark.read.parquet(str(out_root / "table_a"))
+    b = spark.read.parquet(str(out_root / "table_b"))
+    assert a.count() == 5 and b.count() == 7
+    assert all(r["name"].startswith("a") for r in a.collect())
