@@ -94,22 +94,27 @@ def _cast_expr(
         return F.transform(arr, lambda e: _cast_expr(e, elem_t, False, time_unit))
 
     if name in ("Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32", "UInt64"):
-        # Integral values take the decimal path (exact at 2^63/2^64 where a
-        # double would round — reference parses ints losslessly,
-        # parser/fastjson.go:129-151); fractional or beyond-decimal values
-        # take the double path, matching the reference's float64→int64
-        # truncate-toward-zero and ±huge→clamp (parser/fastjson.go:153-188).
         # The reference parses plain integer literals losslessly but routes
         # fractional / scientific-notation numbers through float64
-        # (parser/fastjson.go:129-151 Int64() vs Float64() fallback), so only
-        # a plain integer literal earns the exact decimal path — everything
-        # else (incl. 0.9999999999999999, which decimal(38,9) would round up
-        # before truncation could see it) goes through the double.
-        dec = src.try_cast("decimal(38,9)")
-        is_int_literal = src.cast("string").rlike(r"^-?\d+$")
-        out = F.when(
-            dec.isNotNull() & is_int_literal, saturating_cast(dec, name)
-        ).otherwise(saturating_cast(src.try_cast("double"), name))
+        # (parser/fastjson.go:129-151 Int64() vs Float64() fallback).
+        if src_type is not None and isinstance(src_type, ST.NumericType):
+            # Native numeric source: saturating_cast alone is already exact
+            # for integral types and truncate-toward-zero / ±inf-clamping
+            # for floats — no string inspection in the hot path.
+            out = saturating_cast(src, name)
+        elif isinstance(src_type, ST.BooleanType):
+            out = saturating_cast(src.cast("int"), name)
+        else:
+            # String (or unknown) source: only a plain integer literal earns
+            # the exact decimal path (lossless at 2^63/2^64 where a double
+            # would round); everything else (incl. 0.9999999999999999,
+            # which decimal(38,9) would round up before truncation could
+            # see it) goes through the double.
+            dec = src.try_cast("decimal(38,9)")
+            is_int_literal = src.cast("string").rlike(r"^-?\d+$")
+            out = F.when(
+                dec.isNotNull() & is_int_literal, saturating_cast(dec, name)
+            ).otherwise(saturating_cast(src.try_cast("double"), name))
     elif name == "Float32":
         out = saturating_cast_float32(src.try_cast("double"))
     elif name == "Float64":
