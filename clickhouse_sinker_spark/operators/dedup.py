@@ -78,6 +78,51 @@ def _pair_join(left: DataFrame, right: DataFrame, id_col: str) -> Column:
     return F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: tuple[str, ...] = (),
+    len_col: str | None = None,
+    bucket: int = 16,
+    max_dist: int = 24,
+) -> DataFrame:
+    """Edit-distance near-dup pairs (id_a < id_b, levenshtein ≤ max_dist)
+    within blocking buckets.
+
+    The self-join is equi-keyed on the blocking columns plus a length
+    bucket, so the shuffle is a plain hash join on small keys — no O(n²)
+    pair space.  A cheap ``|len_a − len_b| ≤ max_dist`` prefilter runs
+    before the O(len²) levenshtein (edit distance is lower-bounded by the
+    length difference, so this drops no true pair within a bucket).  At
+    100 TB, block on content-derived keys (lang, length bucket, source) so
+    bucket sizes stay bounded; skewed buckets split via salting upstream.
+    """
+    df = _rebalance(df)
+    lcol = F.col(len_col) if len_col else F.length(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        lcol.alias("n"),
+        F.expr(f"{len_col} div {bucket}" if len_col else f"length({text_col}) div {bucket}").alias("bk"),
+        *[F.col(c) for c in block_cols],
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (F.abs(F.col("a.n") - F.col("b.n")) <= F.lit(max_dist))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.txt", "b.txt").alias("dist"),
+        )
+        .filter(F.col("dist") <= F.lit(max_dist))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -957,6 +957,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_levenshtein",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.n_chars // 16 = b.n_chars // 16
+     AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 24
+    WHERE levenshtein(a.text, b.text) <= 24
+    """,
+)
+def dedup_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with (lang, length-bucket) blocking —
+    the fuzzy-dedup tier between exact-hash and token-set methods.  The
+    self-join is equi-keyed on the block so no O(n²) pair space; the
+    length-difference prefilter bounds levenshtein calls.  Integer output →
+    oracle-exact."""
+    from ..operators.dedup import levenshtein_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return levenshtein_pairs(
+        d, "text", "doc_id", block_cols=("lang",), len_col="n_chars", bucket=16, max_dist=24
+    ).select("id_a", "id_b", "dist")
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, score FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ((1000000 * n.n_docs) // dfreq.df) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((1000000 * n.n_docs) // dfreq.df) DESC, tf.term ASC
+             ) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document with an integer-quantized IDF
+    (tf × (1e6·N ÷ df), integer division) so every engine ranks identically
+    — float idf would make top-k ties engine-dependent.  Plan: tf hash-agg
+    on (doc_id, term), vocab-sized df agg broadcast back, window top-k on
+    doc_id.  At 100 TB the df table is still vocab-sized → broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.expr("(1000000 * n_docs) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+    )
+
+
+@query(
     "mm_binary_meta",
     """
     SELECT doc_id,
