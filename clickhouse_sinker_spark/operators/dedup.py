@@ -78,6 +78,55 @@ def _pair_join(left: DataFrame, right: DataFrame, id_col: str) -> Column:
     return F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → ``(id, component)``
+    with component = min member id.  This is the step that turns pairwise
+    dedup output into dedup GROUPS (pick one survivor per component).
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; converges in O(graph diameter)
+    rounds (near-dup components are shallow — dup clusters, not chains, so
+    a handful of rounds).  Each round is one shuffle on node id; labels are
+    localCheckpoint'ed so the plan/lineage stays constant-size across
+    rounds instead of doubling.  For graphs with huge diameters swap in
+    large-star/small-star; for near-dup clustering this plain loop is the
+    right cost.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).union(edges.select(F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst")))
+    labels = nodes.select(F.col(id_col).alias("__node"), F.col(id_col).alias("__comp"))
+    sym = sym.persist()
+    try:
+        for _ in range(max_iters):
+            prop = sym.join(labels, sym["__src"] == labels["__node"]).select(
+                F.col("__dst").alias("__node"), F.col("__comp")
+            )
+            new_labels = (
+                labels.union(prop).groupBy("__node").agg(F.min("__comp").alias("__comp"))
+            ).localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "__node")
+                .filter(F.col("n.__comp") != F.col("o.__comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels.select(F.col("__node").alias(id_col), F.col("__comp").alias("component"))
+
+
 def levenshtein_pairs(
     df: DataFrame,
     text_col: str,

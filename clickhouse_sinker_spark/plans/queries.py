@@ -982,6 +982,42 @@ def dedup_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.n_chars // 16 = b.n_chars // 16
+       AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 24
+      WHERE levenshtein(a.text, b.text) <= 24
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), cc AS (
+      SELECT doc_id AS node, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS node, cc.comp FROM cc JOIN edges e ON cc.node = e.src
+    )
+    SELECT node AS doc_id, MIN(comp) AS component FROM cc GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: levenshtein pair graph → connected components
+    (component id = min member doc_id), the step that turns pairwise dedup
+    into pick-one-survivor groups.  Spark side is iterative min-label
+    propagation (one shuffle per round, O(diameter) rounds); the oracle is
+    DuckDB's recursive CTE reachability closure — same fixpoint."""
+    from ..operators.dedup import connected_components, levenshtein_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = levenshtein_pairs(
+        d, "text", "doc_id", block_cols=("lang",), len_col="n_chars", bucket=16, max_dist=24
+    )
+    return connected_components(pairs, d, id_col="doc_id")
+
+
+@query(
     "text_tfidf_top_terms",
     """
     WITH toks AS (

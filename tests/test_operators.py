@@ -131,3 +131,17 @@ def test_approx_distinct_within_error(spark):
     exact = e.select(F.count_distinct("user_id")).first()[0]
     approx = e.select(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_connected_components_chain_and_isolate(spark):
+    """Min-label propagation must cross a multi-hop chain (diameter > 1)
+    and leave isolated nodes as their own component."""
+    from clickhouse_sinker_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id bigint")
+    # chain 4-3, 3-2, 2-1 (reversed src/dst order), pair 5-6, node 0 isolated
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (1, 2), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
