@@ -1018,6 +1018,47 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_dedup_survivors",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.n_chars // 16 = b.n_chars // 16
+       AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 24
+      WHERE levenshtein(a.text, b.text) <= 24
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), cc AS (
+      SELECT doc_id AS node, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS node, cc.comp FROM cc JOIN edges e ON cc.node = e.src
+    ), comp AS (
+      SELECT node AS doc_id, MIN(comp) AS component FROM cc GROUP BY node
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.component
+    """,
+)
+def pipeline_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: pair graph → connected components → keep the
+    min-id survivor per cluster — the full shape of a 100 TB corpus-dedup
+    stage (the survivors DataFrame feeds the next pipeline stage
+    directly)."""
+    from ..operators.dedup import connected_components, levenshtein_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = levenshtein_pairs(
+        d, "text", "doc_id", block_cols=("lang",), len_col="n_chars", bucket=16, max_dist=24
+    )
+    cc = connected_components(pairs, d, id_col="doc_id")
+    survivors = cc.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    return d.join(survivors, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@query(
     "text_tfidf_top_terms",
     """
     WITH toks AS (
