@@ -69,3 +69,40 @@ def test_shard_policies_in_range_and_stable(spark, keys):
     for r, r2 in zip(out, again):
         assert 0 <= r["s"] < 8 and 0 <= r["h"] < 8
         assert r["h"] == r2["h"]  # deterministic on content
+
+
+# (python strftime, spark layout, truncation) triples for the offset-less
+# members of DATETIME_LAYOUTS (P9, parser/parser.go:31-65)
+_DT_LAYOUTS = [
+    ("%Y-%m-%dT%H:%M:%S", "sec"),
+    ("%Y-%m-%d %H:%M:%S", "sec"),
+    ("%Y-%m-%d", "day"),
+    ("%d/%m/%Y", "day"),
+    ("%m/%d/%Y %H:%M:%S", "sec"),
+    ("%Y%m%d %H:%M:%S", "sec"),
+]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1900, 1, 1),
+            max_value=__import__("datetime").datetime(2260, 12, 31),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_datetime_layout_roundtrip(spark, dts):
+    """Any value formatted in any auto-detected layout parses back to the
+    same instant (truncated to the layout's precision) via the P9 chain."""
+    from clickhouse_sinker_spark.functions.casts import parse_datetime_any
+
+    for fmt, prec in _DT_LAYOUTS:
+        vals = [d.replace(microsecond=0) for d in dts]
+        df = spark.createDataFrame([(d.strftime(fmt),) for d in vals], "v string")
+        got = [r[0] for r in df.select(parse_datetime_any("v").alias("o")).collect()]
+        for d, g in zip(vals, got):
+            want = d.replace(hour=0, minute=0, second=0) if prec == "day" else d
+            assert g == want, (fmt, d, g)
