@@ -143,7 +143,23 @@ def _cast_expr(
     elif name == "IPv6":
         out = valid_ip_or_default(src.cast("string"), v6=True)
     elif name == "Map":
-        out = src  # maps arrive pre-shaped from from_json with a Map schema
+        # Maps arrive from from_json with STRING keys (JSON object keys);
+        # P14 (parser/fastjson.go:336-406): keys cast to the target key
+        # type with reference semantics — a bad key becomes the type
+        # default, never null (Spark maps cannot hold null keys) — and
+        # values recursively coerced.
+        out = src
+        if t.map_key is not None and t.map_value is not None:
+            key_t = to_spark_type(t.map_key).simpleString()
+            if key_t != "string":
+                out = F.transform_keys(
+                    out, lambda k, v: _cast_expr(k.cast("string"), t.map_key, False, time_unit)
+                )
+            # values always re-coerced: even when the parsed type matches,
+            # a JSON null under a non-nullable value type must default-fill
+            out = F.transform_values(
+                out, lambda k, v: _cast_expr(v, t.map_value, False, time_unit)
+            )
     elif name == "Object":
         out = src.try_cast("map<string,string>")
     else:  # String family

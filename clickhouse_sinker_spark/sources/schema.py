@@ -150,7 +150,12 @@ def json_parse_schema(specs: list[ColumnSpec]):
             dt = T.StringType()
         elif t.name == "Bool":
             dt = T.BooleanType()
-        elif t.map_key is not None or t.array:
+        elif t.map_key is not None:
+            # from_json only accepts STRING map keys (JSON object keys are
+            # strings); typed keys (P14, parser/fastjson.go:336-406) are
+            # produced by the projection's transform_keys cast.
+            dt = T.MapType(T.StringType(), to_spark_type(t.map_value))
+        elif t.array:
             dt = to_spark_type(t)
         else:
             dt = T.DoubleType()

@@ -235,3 +235,37 @@ def test_validate_rows_splits_not_null_violations(spark):
     assert good.count() == 1
     reasons = {r["__reject_reason"] for r in bad.collect()}
     assert reasons == {"id", "name", "id,name"}
+
+
+def test_map_typed_keys_and_values(spark):
+    """P14 (parser/fastjson.go:336-406): JSON object string keys cast to the
+    Map's key type (bad key → type default, never null); values recursively
+    coerced (JSON null under non-nullable value → default, under Nullable →
+    null)."""
+    import json
+
+    from clickhouse_sinker_spark.operators.project import ColumnSpec, apply_projection
+    from clickhouse_sinker_spark.sources.schema import json_parse_schema
+
+    specs = [
+        ColumnSpec("m_int", "Map(Int64, Float64)", source="mi"),
+        ColumnSpec("m_nullable", "Map(Int64, Nullable(Float64))", source="mn"),
+        ColumnSpec("m_str", "Map(String, String)", source="ms"),
+    ]
+    payload = json.dumps(
+        {
+            "mi": {"1": 1.5, "bad": 2.5, "2": None},
+            "mn": {"7": None, "8": 8.25},
+            "ms": {"a": "x", "b": 2},
+        }
+    )
+    schema = json_parse_schema(specs)
+    df = spark.createDataFrame([(payload,)], "value string").select(
+        F.from_json("value", schema).alias("m")
+    ).select("m.*")
+    row = apply_projection(df, specs).first()
+    assert row["m_int"] == {1: 1.5, 0: 2.5, 2: 0.0}  # bad key → 0; null value → 0.0
+    assert row["m_nullable"] == {7: None, 8: 8.25}
+    assert row["m_str"] == {"a": "x", "b": "2"}
+    got_t = apply_projection(df, specs).schema["m_int"].dataType.simpleString()
+    assert got_t == "map<bigint,double>"
