@@ -68,3 +68,37 @@ def test_dedup_exact_partial_aggregation(spark):
 def test_knn_broadcasts_queries_not_corpus(spark):
     plan = plan_of(QUERIES["knn_cosine_topk"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key with equal
+    bucket counts join with NO Exchange in the plan — the 100 TB answer to
+    recurring fact-to-fact joins (operators/bucketing.py)."""
+    from clickhouse_sinker_spark.operators.bucketing import (
+        bucketed_join_ready,
+        write_bucketed,
+    )
+    from clickhouse_sinker_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    facts = e.select("event_id", "user_id", "value")
+    users = e.groupBy("user_id").count()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale the small side would broadcast, hiding the layout;
+        # at 100 TB neither side broadcasts — that regime is what bucketing
+        # is for, so pin it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(facts, "bk_facts", ["user_id"], 8,
+                       path=str(tmp_path / "bk_facts"), sort_keys=["user_id"])
+        write_bucketed(users, "bk_users", ["user_id"], 8,
+                       path=str(tmp_path / "bk_users"), sort_keys=["user_id"])
+        joined = bucketed_join_ready(spark, "bk_facts", "bk_users", "user_id")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == facts.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_facts")
+        spark.sql("DROP TABLE IF EXISTS bk_users")
