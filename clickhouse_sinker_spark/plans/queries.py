@@ -1183,6 +1183,53 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    """
+    SELECT event_type, lang, COUNT(*) AS n
+    FROM (SELECT e.event_type, d.lang
+          FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id % 500
+          WHERE e.event_id < 1000 AND d.doc_id < 500)
+    GROUP BY GROUPING SETS ((event_type), (lang), (event_type, lang))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of cube/rollup): one Expand
+    + one shuffle regardless of how many sets."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    j = e.join(d, e["event_id"] % 500 == d["doc_id"] % 500).select("event_type", "lang")
+    return j.groupingSets(
+        [["event_type"], ["lang"], ["event_type", "lang"]], "event_type", "lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "window_rank_distribution",
+    """
+    SELECT event_id, event_type,
+           ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cd
+    FROM events WHERE event_id < 5000
+    """,
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist).
+    Total order inside each partition is pinned by the (value, event_id)
+    tiebreak so every engine assigns identical tiles; percent_rank is
+    (rank-1)/(n-1) exact rational → bit-stable."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
     "etl_array_cast",
     """
     SELECT event_id,
