@@ -477,3 +477,47 @@ def test_multi_task_demux_one_source(spark, workdir):
     b = spark.read.parquet(str(out_root / "table_b"))
     assert a.count() == 5 and b.count() == 7
     assert all(r["name"].startswith("a") for r in a.collect())
+
+
+def test_streaming_session_window(spark, workdir):
+    """Session windows in Structured Streaming (gap-based, the streaming
+    form of sessionize): two bursts for one key separated by more than the
+    gap close as two sessions once the watermark passes them."""
+    _write_jsonl(
+        workdir / "in" / "a.jsonl",
+        [
+            {"time": "2024-01-01T00:00:00Z", "name": "u1", "value": 1, "price": 0.0},
+            {"time": "2024-01-01T00:00:30Z", "name": "u1", "value": 1, "price": 0.0},
+            # > 5 min gap → new session
+            {"time": "2024-01-01T00:10:00Z", "name": "u1", "value": 1, "price": 0.0},
+            # sentinel far ahead pushes the watermark past both sessions
+            {"time": "2024-01-01T02:00:00Z", "name": "wm", "value": 0, "price": 0.0},
+        ],
+    )
+    raw = (
+        spark.readStream.format("text").load(str(workdir / "in"))
+        .select(F.from_json("value", F1_SCHEMA).alias("m")).select("m.*")
+        .withColumn("ts", F.col("time").cast("timestamp"))
+    )
+    agg = (
+        raw.withWatermark("ts", "10 seconds")
+        .groupBy(F.session_window("ts", "5 minutes").alias("sw"), "name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("name", F.col("sw.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", str(workdir / "out" / "sess"))
+        .option("checkpointLocation", str(workdir / "ckpt" / "sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["name"], str(r["start"])): r["n"]
+        for r in spark.read.parquet(str(workdir / "out" / "sess")).collect()
+    }
+    assert got == {
+        ("u1", "2024-01-01 00:00:00"): 2,
+        ("u1", "2024-01-01 00:10:00"): 1,
+    }, got
