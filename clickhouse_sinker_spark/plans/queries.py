@@ -1183,6 +1183,29 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 2654435761 % 4294967296) % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (training-data pipelines need
+    restart-safe, reproducible samples — rand() is neither).  The selector
+    is a Knuth multiplicative hash of the id, so the sample is stable
+    across engines, runs and partitionings, and the predicate pushes to
+    the scan (no shuffle at all)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "de", 25).otherwise(10)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+@query(
     "agg_grouping_sets",
     """
     SELECT event_type, lang, COUNT(*) AS n
