@@ -31,11 +31,17 @@ def asof_join(
     ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, enriched with the most recent
     ``value_cols`` from ``right`` at or before its timestamp (NULL if no
     prior right row).  ``left`` and ``right`` must both carry ``on`` and
-    ``ts`` columns."""
+    ``ts`` columns.
+
+    ``tolerance_s`` bounds staleness (pandas merge_asof's ``tolerance``):
+    a match older than ``tolerance_s`` seconds before the left timestamp
+    yields NULL instead — the matched right timestamp rides the same
+    window, so the bound costs no extra shuffle."""
     lcols = left.columns
     l = left.select(*lcols, F.lit(1).alias("__side"))
     r = right.select(
@@ -48,10 +54,12 @@ def asof_join(
     # null payload slots
     for c in value_cols:
         l = l.withColumn(f"__v_{c}", F.lit(None).cast(r.schema[c].dataType))
+    l = l.withColumn("__v_ts", F.lit(None).cast("timestamp"))
     r = r.select(
         on,
         ts,
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(ts).cast("timestamp").alias("__v_ts"),
         "__side",
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -69,6 +77,13 @@ def asof_join(
     out = unioned
     for c in value_cols:
         out = out.withColumn(f"{c}{suffix}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
+    if tolerance_s is not None:
+        matched_ts = F.last(F.col("__v_ts"), ignorenulls=True).over(w)
+        fresh = (
+            F.col(ts).cast("timestamp").cast("double") - matched_ts.cast("double")
+        ) <= F.lit(float(tolerance_s))
+        for c in value_cols:
+            out = out.withColumn(f"{c}{suffix}", F.when(fresh, F.col(f"{c}{suffix}")))
     return out.filter(F.col("__side") == 1).select(
         *lcols, *[F.col(f"{c}{suffix}") for c in value_cols]
     )

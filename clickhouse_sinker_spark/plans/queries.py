@@ -1329,6 +1329,34 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_tolerance",
+    """
+    SELECT a.event_id, a.ts, a.user_id,
+           CASE WHEN a.ts - b.bts <= INTERVAL 30 MINUTE THEN b.value END AS last_purchase_value
+    FROM events a
+    ASOF LEFT JOIN (SELECT user_id, ts AS bts, value FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND b.bts <= a.ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof ``tolerance``):
+    matches older than 30 minutes yield NULL.  The bound rides the same
+    union-window pass — no extra shuffle versus the unbounded as-of."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "ts", "user_id")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    )
+    return asof_join(
+        left, right, on="user_id", ts="ts",
+        value_cols=["last_purchase_value"], suffix="", tolerance_s=1800.0,
+    )
+
+
+@query(
     "mm_image_features",
     """
     SELECT doc_id,
