@@ -1329,6 +1329,32 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_frame_sample",
+    """
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+           CAST(LEAST(10, strlen(text) - k * 10) AS BIGINT) AS n_bytes
+    FROM documents,
+         UNNEST(range(0, LEAST(3, GREATEST(strlen(text) // 10, 1)))) AS t(k)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (mapInPandas fan-out, one row per
+    sampled frame, binary frame payload).  The deterministic stub slices
+    the payload, so the fan-out arithmetic (frame count, per-frame byte
+    length) is fully oracle-checkable even though the decode is fake."""
+    from ..operators.multimodal import sample_video_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_video_frames(d, "payload", "doc_id", every_n=10, max_frames=3).select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.octet_length("frame").cast("bigint").alias("n_bytes"),
+    )
+
+
+@query(
     "asof_join_tolerance",
     """
     SELECT a.event_id, a.ts, a.user_id,
