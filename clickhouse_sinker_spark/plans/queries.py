@@ -243,6 +243,25 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setop_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users present in both behavioral cohorts via INTERSECT — the
+    remaining set operation (union/except covered elsewhere).  One
+    shuffle-dedup on the key; both branches share the scan (Spark reuses
+    the exchange under AQE)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@query(
     "agg_distinct_exact",
     """
     SELECT event_type,
