@@ -16,7 +16,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "ivf_topk", "dot", "l2_norm"]
+__all__ = [
+    "cosine_topk",
+    "ivf_topk",
+    "dot",
+    "l2_norm",
+    "kmeans_lloyd",
+    "save_ivf_index",
+    "load_ivf_index",
+    "ivf_assign",
+    "ivf_search",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -100,6 +110,93 @@ def ivf_topk(
         (dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def save_ivf_index(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist trained coarse-quantizer centroids as a tiny parquet table
+    (cluster, centroid).  At 100 TB the index artifact is k×dim doubles —
+    train once (``kmeans_lloyd``), save, reuse across every search job."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cluster int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> list[list[float]]:
+    """Load centroids saved by ``save_ivf_index`` (driver-side, k×dim)."""
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    return [list(r["centroid"]) for r in rows]
+
+
+def _dist2_to(vec: Column, cent: list[float]) -> Column:
+    carr = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Attach the nearest-centroid ``cluster`` column (ties → lower index).
+    Run this once at landing time and partition/bucket the corpus by
+    ``cluster`` so searches only scan the probed partitions."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_dist2_to(v, c) for c in centroids])
+    return df.withColumn("cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Trained-IVF ANN: probe each query's ``nprobe`` nearest coarse cells
+    and rank candidates by cosine.
+
+    ``queries`` must carry (query_id, vec).  The corpus side may already
+    carry a ``cluster`` column (pre-assigned + partitioned at landing —
+    then the cell filter prunes partitions); otherwise it is assigned on
+    the fly.  Plan: probe list is computed per query (driver-free), the
+    only join is query⋈cell — a broadcast hash join on the tiny query
+    side — then one shuffle for the per-query top-k window.  Scanned rows
+    shrink by ~k/nprobe versus brute force; recall is re-checkable against
+    ``cosine_topk`` (tests pin it).
+    """
+    c = corpus if "cluster" in corpus.columns else ivf_assign(corpus, vec_col, centroids)
+    c = c.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("cv"), "cluster"
+    )
+    qv = F.col("vec").cast("array<double>")
+    qdists = F.array(*[_dist2_to(qv, cen) for cen in centroids])
+    # nprobe smallest cells: sort (dist, idx) structs, take the index field
+    cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(qdists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col("query_id"), qv.alias("qv"), F.explode(cells).alias("cluster")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .withColumn("cosine", dot(F.col("cv"), F.col("qv")) / (l2_norm(F.col("cv")) * l2_norm(F.col("qv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -1347,6 +1347,25 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, on="user_id", ts="ts", value_cols=["last_purchase_value"], suffix="")
 
 
+@query("knn_ivf_trained")  # no oracle: trained quantizer (iterative k-means)
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN end-to-end: Lloyd-trained coarse quantizer →
+    cluster-assigned corpus → nprobe=2 cell search.  The 100 TB shape:
+    train once on a sample, persist centroids (save_ivf_index), land the
+    corpus partitioned by cluster, probe a fraction of cells per query.
+    Recall vs exact cosine pinned in tests/test_operators.py."""
+    from ..operators.similarity import ivf_assign, ivf_search, kmeans_lloyd
+
+    em = _t(spark, sf_dir, "embeddings")
+    _, centroids, _ = kmeans_lloyd(em, "embedding", "vec_id", k=8, iters=3)
+    queries = (
+        em.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec"))
+    )
+    corpus = ivf_assign(em, "embedding", centroids)
+    return ivf_search(corpus, queries, centroids, "embedding", "vec_id", k=10, nprobe=2)
+
+
 @query(
     "mm_frame_sample",
     """

@@ -145,3 +145,34 @@ def test_connected_components_chain_and_isolate(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_trained_ivf_search_recall_and_persistence(spark, tmp_path):
+    """Train the coarse quantizer once, persist it, reload, search with
+    nprobe=2 — recall@10 vs exact cosine must stay high, and results are
+    identical before/after the save/load round-trip."""
+    from clickhouse_sinker_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_search,
+        kmeans_lloyd,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    em = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    _, centroids, _ = kmeans_lloyd(em, "embedding", "vec_id", k=8, iters=3)
+    save_ivf_index(spark, centroids, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert loaded == [[float(x) for x in c] for c in centroids]
+
+    queries = (
+        em.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec"))
+    )
+    corpus = ivf_assign(em, "embedding", loaded)
+    approx = ivf_search(corpus, queries, loaded, "embedding", "vec_id", k=10, nprobe=2)
+    exact = cosine_topk(em, queries, "embedding", "vec_id", k=10)
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.6, len(a & e) / len(e)
