@@ -164,10 +164,31 @@ DATETIME_LAYOUTS = [
     "dd MMM yy HH:mm XXX",                    # RFC822Z-ish
     "MM/dd/yyyy HH:mm:ss",
     "yyyyMMdd HH:mm:ss",
-    # Note: the reference also tries ANSIC/RFC1123 day-name layouts
-    # ("Mon Jan 2 ..."); Spark ≥3 cannot parse EEE day-names — those
-    # layouts are handled by stripping the day-name prefix upstream.
+    # ANSIC/RFC1123-family day-name layouts (parser/parser.go:31-44 tries
+    # "Mon Jan 2 15:04:05 2006" etc).  Spark cannot parse EEE day-names, so
+    # ``_prenormalize`` strips the day-name prefix, collapses runs of
+    # spaces (ANSIC pads the day: "Jan  2"), and maps the named zones
+    # GMT/UTC/UT to +00:00 before the chain runs; these layouts then match
+    # the stripped remainder.
+    "dd MMM yyyy HH:mm:ss XXX",               # RFC1123  (after strip)
+    "dd MMM yyyy HH:mm:ss X",                 # RFC1123Z (after strip)
+    "MMM d HH:mm:ss yyyy",                    # ANSIC    (after strip)
+    "MMM d HH:mm:ss zzz yyyy",                # UnixDate (after strip)
+    "dd-MMM-yy HH:mm:ss XXX",                 # RFC850   (after strip)
 ]
+
+_DAYNAME_RE = r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*,?\s+"
+
+
+def _prenormalize(c: Column) -> Column:
+    """Normalize day-name-family strings so the layout chain can parse them:
+    drop the (redundant) leading day name, collapse space runs, rewrite the
+    fixed named zones to an offset.  Strictly widening — strings that
+    already parse are untouched by every rule (\\bZ\\b cannot match the 'Z'
+    glued to a digit in ISO strings: no word boundary inside '0Z')."""
+    out = F.regexp_replace(c, _DAYNAME_RE, "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.regexp_replace(out, r"\b(GMT|UTC|UT)\b", "+00:00")
 
 
 def parse_datetime_any(col: Column | str, layouts: list[str] | None = None) -> Column:
@@ -180,7 +201,8 @@ def parse_datetime_any(col: Column | str, layouts: list[str] | None = None) -> C
     """
     c = F.col(col) if isinstance(col, str) else col
     layouts = layouts or DATETIME_LAYOUTS
-    attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in layouts]
+    pre = _prenormalize(c)
+    attempts = [F.try_to_timestamp(pre, F.lit(fmt)) for fmt in layouts]
     return F.coalesce(*attempts)
 
 
@@ -247,12 +269,30 @@ def parse_datetime_adaptive(col: Column | str, layouts: list[str] | None = None)
         "dd MMM yy HH:mm XXX": "%d %b %y %H:%M %z",
         "MM/dd/yyyy HH:mm:ss": "%m/%d/%Y %H:%M:%S",
         "yyyyMMdd HH:mm:ss": "%Y%m%d %H:%M:%S",
+        # day-name family — parsed after the same pre-normalization the
+        # JVM path applies (strip day name / collapse spaces / zone→offset).
+        # UnixDate's named zones (MST…) have no strptime equivalent: JVM
+        # path only.
+        "dd MMM yyyy HH:mm:ss XXX": "%d %b %Y %H:%M:%S %z",
+        "dd MMM yyyy HH:mm:ss X": "%d %b %Y %H:%M:%S %z",
+        "MMM d HH:mm:ss yyyy": "%b %d %H:%M:%S %Y",
+        "dd-MMM-yy HH:mm:ss XXX": "%d-%b-%y %H:%M:%S %z",
     }
-    ordered = [py_fmts[f] for f in fmts if f in py_fmts]
+    ordered = []
+    for f in fmts:
+        pf = py_fmts.get(f)
+        if pf is not None and pf not in ordered:
+            ordered.append(pf)
 
     _cache: dict[str, str] = {}
 
+    def _py_prenorm(s):
+        s = s.str.replace(r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*,?\s+", "", regex=True)
+        s = s.str.replace(r"\s+", " ", regex=True)
+        return s.str.replace(r"\b(GMT|UTC|UT)\b", "+0000", regex=True)
+
     def _parse_fn(s):
+        s = _py_prenorm(s)
         state = _cache
         committed = state.get("fmt")
         if committed is None:

@@ -38,10 +38,14 @@ def asof_join(
     prior right row).  ``left`` and ``right`` must both carry ``on`` and
     ``ts`` columns.
 
-    ``tolerance_s`` bounds staleness (pandas merge_asof's ``tolerance``):
-    a match older than ``tolerance_s`` seconds before the left timestamp
-    yields NULL instead — the matched right timestamp rides the same
-    window, so the bound costs no extra shuffle."""
+    ``tolerance_s`` bounds staleness per VALUE: each enriched column is
+    forward-filled from the newest right row where that column was non-null,
+    and the tolerance is judged against that column's own source timestamp
+    (the (ts, value) pair rides the window together as a struct — no extra
+    shuffle).  This is column-level staleness; pandas merge_asof instead
+    matches one whole right row per left row (its nulls included) and
+    applies tolerance to that row.  With right rows that are fully
+    populated — the common case — the two definitions coincide."""
     lcols = left.columns
     l = left.select(*lcols, F.lit(1).alias("__side"))
     r = right.select(
@@ -75,15 +79,26 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = unioned
-    for c in value_cols:
-        out = out.withColumn(f"{c}{suffix}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
-    if tolerance_s is not None:
-        matched_ts = F.last(F.col("__v_ts"), ignorenulls=True).over(w)
-        fresh = (
-            F.col(ts).cast("timestamp").cast("double") - matched_ts.cast("double")
-        ) <= F.lit(float(tolerance_s))
+    if tolerance_s is None:
         for c in value_cols:
-            out = out.withColumn(f"{c}{suffix}", F.when(fresh, F.col(f"{c}{suffix}")))
+            out = out.withColumn(
+                f"{c}{suffix}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w)
+            )
+    else:
+        # each column's (source ts, value) travels as one struct so the
+        # staleness check uses the timestamp of the row that VALUE came
+        # from — not the newest right row overall, whose null in this
+        # column may hide a much older fill.
+        for c in value_cols:
+            pair = F.when(
+                F.col(f"__v_{c}").isNotNull(),
+                F.struct(F.col("__v_ts").alias("t"), F.col(f"__v_{c}").alias("v")),
+            )
+            last_pair = F.last(pair, ignorenulls=True).over(w)
+            fresh = (
+                F.col(ts).cast("timestamp").cast("double") - last_pair["t"].cast("double")
+            ) <= F.lit(float(tolerance_s))
+            out = out.withColumn(f"{c}{suffix}", F.when(fresh, last_pair["v"]))
     return out.filter(F.col("__side") == 1).select(
         *lcols, *[F.col(f"{c}{suffix}") for c in value_cols]
     )

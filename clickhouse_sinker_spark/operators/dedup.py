@@ -68,10 +68,21 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def dedup_offsets(df: DataFrame, topic: str, partition: str, offset: str) -> DataFrame:
     """At-least-once → effective exactly-once: collapse replayed offsets
-    (W8, docs/dev/design.md:5-12).  groupBy (t,p,o) keeping first payload."""
+    (W8, docs/dev/design.md:5-12).  groupBy (t,p,o); the survivor is ONE
+    real payload row — min over the packed payload struct (lexicographic by
+    column order), never independent per-column mins, which would fuse two
+    conflicting payloads at the same offset into a row that never existed.
+    True replays carry identical payloads, so for them this is the same
+    one-shuffle plan with a slightly wider shuffle row."""
     others = [c for c in df.columns if c not in (topic, partition, offset)]
-    aggs = [F.min(c).alias(c) for c in others]
-    return df.groupBy(topic, partition, offset).agg(*aggs)
+    if not others:
+        return df.groupBy(topic, partition, offset).agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+    packed = F.struct(*[F.col(c) for c in others])
+    return (
+        df.groupBy(topic, partition, offset)
+        .agg(F.min(packed).alias("__payload"))
+        .select(topic, partition, offset, *[F.col(f"__payload.{c}").alias(c) for c in others])
+    )
 
 
 def _pair_join(left: DataFrame, right: DataFrame, id_col: str) -> Column:

@@ -57,41 +57,48 @@ def detect_new_keys(
     return out
 
 
-_INT_RE = re.compile(r"^-?\d+$")
-_FLOAT_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
-
-
 def infer_key_types(df: DataFrame, json_col: str, new_keys: list[str], sample: int = 100) -> dict[str, str]:
     """Infer a ClickHouse type string per new key from observed values
     (≙ fjDetectType, parser/fastjson.go:623-658).
 
-    Uses json_tuple-style extraction on a driver-side sample (typing needs
-    only a handful of rows; the sample is bounded so this never scales with
-    data size).  Objects/arrays → excluded (depth guard).
+    Dispatches on the actual JSON value KIND, like the reference: the raw
+    message sample is json-parsed driver-side, so a QUOTED scalar ("123",
+    "true", "1.5") stays String/DateTime — ``get_json_object`` would strip
+    the quotes and mistype it as Int64/Bool/Float64, corrupting e.g.
+    zero-padded string IDs.  The sample is bounded (``limit(sample)``), so
+    this never scales with data size.  Objects/arrays → excluded (depth
+    guard, FIXTURES.md F2 phases 3-4).
     """
     if not new_keys:
         return {}
-    exprs = [F.get_json_object(F.col(json_col), f"$.{k}").alias(k) for k in new_keys]
-    raw_exprs = [F.get_json_object(F.col(json_col), f"$.{k}").alias(f"__raw_{k}") for k in new_keys]
-    rows = df.select(*exprs, *raw_exprs).limit(sample).collect()
+    import json
+
+    rows = df.select(F.col(json_col).cast("string").alias("__raw")).limit(sample).collect()
     out: dict[str, str] = {}
-    for k in new_keys:
-        vals = [r[k] for r in rows if r[k] is not None]
-        if not vals:
+    remaining = set(new_keys)
+    for r in rows:
+        if not remaining:
+            break
+        try:
+            obj = json.loads(r["__raw"]) if r["__raw"] else None
+        except (ValueError, TypeError):
             continue
-        v = vals[0]
-        if v.startswith("[") or v.startswith("{"):
-            continue  # arrays/objects ignored (FIXTURES.md F2 phases 3-4)
-        if v in ("true", "false"):
-            out[k] = "Nullable(Bool)"
-        elif _INT_RE.match(v):
-            out[k] = "Nullable(Int64)"
-        elif _FLOAT_RE.match(v):
-            out[k] = "Nullable(Float64)"
-        elif _looks_datetime(v):
-            out[k] = "Nullable(DateTime64(3))"
-        else:
-            out[k] = "Nullable(String)"
+        if not isinstance(obj, dict):
+            continue
+        for k in list(remaining):
+            if k not in obj or obj[k] is None:
+                continue
+            v = obj[k]
+            remaining.discard(k)
+            if isinstance(v, bool):  # before int: bool is an int subclass
+                out[k] = "Nullable(Bool)"
+            elif isinstance(v, int):
+                out[k] = "Nullable(Int64)"
+            elif isinstance(v, float):
+                out[k] = "Nullable(Float64)"
+            elif isinstance(v, str):
+                out[k] = "Nullable(DateTime64(3))" if _looks_datetime(v) else "Nullable(String)"
+            # dict/list: excluded (depth guard) — key stays un-typed
     return out
 
 

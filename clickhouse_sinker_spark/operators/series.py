@@ -35,10 +35,20 @@ def labels_json(label_cols: list[str], blacklist: tuple[str, ...] = ()) -> F.Col
     keep = sorted(c for c in label_cols if c not in EXCLUDED_LABELS and c not in blacklist)
     parts = []
     for c in keep:
+        # JSON-escape the value (the reference JSON-encodes label values,
+        # task/task.go:262-270): backslash first, then quote, then control
+        # whitespace — otherwise a value containing " or \ emits malformed
+        # JSON.  Keys are trusted column names (no escaping needed).
+        v = F.col(c).cast("string")
+        v = F.regexp_replace(v, r"\\", r"\\\\")
+        v = F.regexp_replace(v, '"', '\\\\"')
+        v = F.regexp_replace(v, "\n", "\\\\n")
+        v = F.regexp_replace(v, "\t", "\\\\t")
+        v = F.regexp_replace(v, "\r", "\\\\r")
         parts.append(
             F.when(
                 F.col(c).isNotNull(),
-                F.concat(F.lit(f'"{c}":"'), F.col(c).cast("string"), F.lit('"')),
+                F.concat(F.lit(f'"{c}":"'), v, F.lit('"')),
             )
         )
     inner = F.concat_ws(",", *parts) if parts else F.lit("")

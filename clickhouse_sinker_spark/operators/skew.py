@@ -57,11 +57,11 @@ def salted_agg(
     basis = F.col(basis) if isinstance(basis, str) else basis
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(basis), F.lit(int(salt))))
 
+    # F.count(c) for the partial keeps null-skipping semantics identical to
+    # an unsalted groupBy().agg(count(c)); count(*) would silently count
+    # nulls of the requested column.
     partial = salted.groupBy(*keys, "__salt").agg(
-        *[
-            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(c)).alias(name)
-            for name, (fn, c) in aggs.items()
-        ]
+        *[getattr(F, fn)(c).alias(name) for name, (fn, c) in aggs.items()]
     )
     return partial.groupBy(*keys).agg(
         *[_MERGE[fn](name).alias(name) for name, (fn, _) in aggs.items()]
@@ -77,8 +77,12 @@ def broadcast_salted_join(
     replicas = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
+    # Salt from the row's own payload columns — deterministic across
+    # retries/repartitionings (monotonically_increasing_id is not: a retried
+    # or re-planned task renumbers rows, so any downstream use of the salt —
+    # or a speculative re-execution with side effects — would diverge).
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
     )
     out = salted_big.join(F.broadcast(replicas), [key, "__salt"])
     return out.drop("__salt")

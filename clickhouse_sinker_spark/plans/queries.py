@@ -406,21 +406,31 @@ def etl_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            try_strptime(strftime(ts, '%d/%m/%Y'), '%d/%m/%Y') AS d_dmy,
-           try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS d_iso
+           try_strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS d_iso,
+           date_trunc('second', ts) AS d_rfc1123,
+           date_trunc('second', ts) AS d_ansic
     FROM events
     """,
 )
 def etl_datetime_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-layout datetime detection (P9, parser/parser.go:31-65): strings
     in different layouts all parse through one coalesce chain of
-    try_to_timestamp — Catalyst codegens it; no Python."""
+    try_to_timestamp — Catalyst codegens it; no Python.  Includes the
+    day-name family (RFC1123 "Tue, 03 Jun 2025 10:00:00 GMT" and ANSIC
+    "Tue Jun 3 10:00:00 2025", parser/parser.go:31-44): the oracle holds
+    the second-truncated source timestamp, so a silent parse-to-null or a
+    shifted zone would hash-mismatch (round-trip check)."""
     e = _t(spark, sf_dir, "events")
     s_dmy = F.date_format("ts", "dd/MM/yyyy")
     s_iso = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    s_rfc1123 = F.concat(F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" GMT"))
+    s_ansic = F.date_format("ts", "EEE MMM d HH:mm:ss yyyy")
     return e.select(
         "event_id",
         parse_datetime_any(s_dmy).alias("d_dmy"),
         parse_datetime_any(s_iso).alias("d_iso"),
+        parse_datetime_any(s_rfc1123).alias("d_rfc1123"),
+        parse_datetime_any(s_ansic).alias("d_ansic"),
     )
 
 
@@ -1274,27 +1284,41 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl_array_cast",
     """
-    SELECT event_id,
-           [CAST(LEAST(GREATEST(x, -128), 127) AS TINYINT) FOR x IN [user_id, user_id * 100, -user_id * 3]] AS arr_int8,
-           [CAST(x AS DOUBLE) / 2 FOR x IN [user_id, user_id * 100]] AS arr_f64
-    FROM events
+    WITH base AS (
+      SELECT event_id,
+             [CAST(LEAST(GREATEST(x, -128), 127) AS TINYINT) FOR x IN [user_id, user_id * 100, -user_id * 3]] AS arr_int8,
+             [CAST(x AS DOUBLE) / 2 FOR x IN [user_id, user_id * 100]] AS arr_f64
+      FROM events
+    )
+    SELECT event_id, CAST(i - 1 AS INTEGER) AS idx, arr_int8[i] AS el_int8, arr_f64[i] AS el_f64
+    FROM base, generate_series(1, 3) t(i)
     """,
 )
 def etl_array_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array(T) per-element coercion with clamping (P13,
     parser/fastjson.go:212-325): elements outside Int8 clamp, same
-    saturating semantics as scalars, applied through transform()."""
+    saturating semantics as scalars, applied through transform().  The
+    arrays are emitted exploded to (event_id, idx, element) rows — scalar
+    cells hash portably in any comparison harness, where list-typed cells
+    do not (arrays_zip pads the shorter array with NULL, mirrored by
+    DuckDB's out-of-range list index)."""
     from ..functions.casts import saturating_cast
 
     e = _t(spark, sf_dir, "events")
     src = F.array(F.col("user_id"), F.col("user_id") * 100, -F.col("user_id") * 3)
-    return e.select(
+    arrs = e.select(
         "event_id",
         F.transform(src, lambda x: saturating_cast(x, "Int8")).alias("arr_int8"),
         F.transform(
             F.array(F.col("user_id"), F.col("user_id") * 100),
             lambda x: x.cast("double") / 2,
         ).alias("arr_f64"),
+    )
+    return arrs.select("event_id", F.posexplode(F.arrays_zip("arr_int8", "arr_f64"))).select(
+        "event_id",
+        F.col("pos").alias("idx"),
+        F.col("col.arr_int8").alias("el_int8"),
+        F.col("col.arr_f64").alias("el_f64"),
     )
 
 
@@ -2331,23 +2355,30 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_join_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event: how many events the same user fired in the preceding
-    5 minutes — a range (interval) self-join.  Equi-key on user_id makes it
-    a hash join with a range residual, NOT a cartesian; at 100 TB bucket
-    both sides by user_id (co-located) and the residual stays partition-
-    local.  (Events with no precursor don't appear — inner join, matching
-    the oracle.)"""
+    5 minutes — range-join SEMANTICS, computed as a range-frame window, not
+    a self-join.  The equi-join formulation materializes O(k²) pairs per
+    user before aggregating: one power-law user with 10⁵ events would emit
+    10¹⁰ intermediate rows on a single key at scale.  The window form is
+    one shuffle+sort on user_id and zero pair explosion: count over
+    RANGE [-300s, now] minus count over RANGE [now, now] (the equal-ts
+    frame, which also removes self) reproduces the strict ``b.ts < a.ts``
+    upper bound; ordering on unix micros keeps sub-second precision.
+    Events with no precursor are filtered (inner-join semantics, matching
+    the oracle)."""
     e = _t(spark, sf_dir, "events")
-    a = e.alias("a")
-    b = e.alias("b")
+    us = F.unix_micros(F.col("ts"))
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-300 * 1_000_000, Window.currentRow)
+    )
+    w_eq = Window.partitionBy("user_id").orderBy(us).rangeBetween(Window.currentRow, Window.currentRow)
     return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"))
-            & (F.col("b.ts") < F.col("a.ts")),
+        e.select(
+            "event_id",
+            (F.count(F.lit(1)).over(w_range) - F.count(F.lit(1)).over(w_eq)).alias("n_recent"),
         )
-        .groupBy(F.col("a.event_id").alias("event_id"))
-        .agg(F.count(F.col("b.event_id")).alias("n_recent"))
+        .filter(F.col("n_recent") > 0)
     )
 
 

@@ -106,6 +106,17 @@ DT_CASES = [
     ("2009-07-13T09:07:13Z", dt.datetime(2009, 7, 13, 9, 7, 13)),
     ("2009-07-13T09:07:13.123+08:00", dt.datetime(2009, 7, 13, 1, 7, 13, 123000)),  # → UTC (P11)
     ("2009-07-13T09:07:13.123456789Z", dt.datetime(2009, 7, 13, 9, 7, 13, 123456)),
+    # day-name family (parser/parser.go:31-44: RFC1123/RFC1123Z/ANSIC/
+    # UnixDate/RFC850) — prenormalized (day-name strip, zone map) then parsed
+    ("Mon, 13 Jul 2009 09:07:13 GMT", dt.datetime(2009, 7, 13, 9, 7, 13)),
+    ("Mon, 13 Jul 2009 09:07:13 +0200", dt.datetime(2009, 7, 13, 7, 7, 13)),  # → UTC
+    ("Mon Jul 13 09:07:13 2009", dt.datetime(2009, 7, 13, 9, 7, 13)),
+    ("Mon Jul  13 09:07:13 2009", dt.datetime(2009, 7, 13, 9, 7, 13)),  # ANSIC space-pad
+    ("Mon Jul 13 09:07:13 UTC 2009", dt.datetime(2009, 7, 13, 9, 7, 13)),
+    # UnixDate: Java maps the short name MST → America/Denver, which is on
+    # MDT (UTC-6) in July — hence 15:07, not the fixed-offset 16:07
+    ("Mon Jul 13 09:07:13 MST 2009", dt.datetime(2009, 7, 13, 15, 7, 13)),
+    ("Monday, 13-Jul-09 09:07:13 GMT", dt.datetime(2009, 7, 13, 9, 7, 13)),  # RFC850
 ]
 
 

@@ -176,3 +176,122 @@ def test_trained_ivf_search_recall_and_persistence(spark, tmp_path):
     a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
     e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.6, len(a & e) / len(e)
+
+
+def test_dedup_offsets_survivor_is_one_real_row(spark):
+    """Conflicting payloads at the same (t,p,o) must collapse to ONE of the
+    input rows (min packed struct), never a per-column-min chimera that
+    mixes fields from different rows."""
+    from clickhouse_sinker_spark.operators.dedup import dedup_offsets
+
+    df = spark.createDataFrame(
+        [
+            ("t", 0, 1, 1.0, "zzz"),
+            ("t", 0, 1, 2.0, "aaa"),  # conflicting replay payload
+            ("t", 0, 2, 9.0, "mmm"),
+        ],
+        "t string, p int, o long, v double, s string",
+    )
+    got = {r.o: (r.v, r.s) for r in dedup_offsets(df, "t", "p", "o").collect()}
+    # per-column min would produce the chimera (1.0, "aaa"); the packed
+    # struct min keeps row (1.0, "zzz") intact
+    assert got[1] == (1.0, "zzz")
+    assert got[2] == (9.0, "mmm")
+
+
+def test_broadcast_salted_join_deterministic_across_repartition(spark):
+    """The salt must derive from row content: output (and salt assignment)
+    identical no matter how the input is partitioned (retries/speculative
+    re-execution must not diverge)."""
+    from clickhouse_sinker_spark.operators.skew import broadcast_salted_join
+
+    big = spark.range(0, 500).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k long, name string")
+    out1 = sorted(
+        (r.k, r.payload, r.name)
+        for r in broadcast_salted_join(big, small, "k", salt=8).collect()
+    )
+    out2 = sorted(
+        (r.k, r.payload, r.name)
+        for r in broadcast_salted_join(big.repartition(7), small, "k", salt=8).collect()
+    )
+    assert out1 == out2
+    assert len(out1) == 500
+
+
+def test_salted_agg_count_skips_nulls(spark):
+    """('count', col) must match an unsalted F.count(col) — nulls excluded."""
+    from clickhouse_sinker_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)], "k string, v double"
+    )
+    got = {
+        r.k: (r.n, r.s)
+        for r in salted_agg(
+            df, "k", {"n": ("count", "v"), "s": ("sum", "v")}, salt=4
+        ).collect()
+    }
+    assert got["a"] == (2, 4.0)
+    assert got["b"][0] == 0
+
+
+def test_labels_json_escapes_values(spark):
+    """A label value containing quotes/backslashes/newlines must emit VALID
+    JSON (the reference JSON-encodes label values, task/task.go:262-270)."""
+    import json
+
+    from clickhouse_sinker_spark.operators.series import labels_json
+
+    df = spark.createDataFrame(
+        [('he said "hi"', "C:\\tmp\\x", "a\nb")], "l1 string, l2 string, l3 string"
+    )
+    out = df.select(labels_json(["l1", "l2", "l3"]).alias("j")).collect()[0].j
+    parsed = json.loads(out)
+    assert parsed == {"l1": 'he said "hi"', "l2": "C:\\tmp\\x", "l3": "a\nb"}
+
+
+def test_infer_key_types_dispatches_on_json_kind(spark):
+    """Quoted scalars must stay String (fjDetectType semantics,
+    parser/fastjson.go:623-658): "123" is a String, 123 is an Int64."""
+    from clickhouse_sinker_spark.operators.evolve import infer_key_types
+
+    df = spark.createDataFrame(
+        [
+            (
+                '{"qint": "00123", "qbool": "true", "qfloat": "1.5", '
+                '"i": 7, "f": 2.5, "b": true, '
+                '"dt": "2024-05-01 10:00:00", "arr": [1], "obj": {"x": 1}}',
+            )
+        ],
+        "j string",
+    )
+    keys = ["qint", "qbool", "qfloat", "i", "f", "b", "dt", "arr", "obj"]
+    got = infer_key_types(df, "j", keys)
+    assert got["qint"] == "Nullable(String)"  # zero-padded id preserved
+    assert got["qbool"] == "Nullable(String)"
+    assert got["qfloat"] == "Nullable(String)"
+    assert got["i"] == "Nullable(Int64)"
+    assert got["f"] == "Nullable(Float64)"
+    assert got["b"] == "Nullable(Bool)"
+    assert got["dt"] == "Nullable(DateTime64(3))"
+    assert "arr" not in got and "obj" not in got  # depth guard
+
+
+def test_asof_tolerance_is_per_value_column(spark):
+    """With tolerance, each value column's staleness is judged against the
+    timestamp of the right row that supplied THAT value — a newer right row
+    with a NULL in the column must not mark the older fill as fresh."""
+    left = spark.createDataFrame([(1, 100, "probe")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "old"), (1, 99, None, "new")],
+        "k long, ts long, v double, s string",
+    )
+    row = asof_join(
+        left, right, on="k", ts="ts", value_cols=["v", "s"], tolerance_s=50
+    ).collect()[0]
+    # s came from ts=99 (fresh, within 50s); v only exists at ts=10 (stale)
+    assert row.s_asof == "new"
+    assert row.v_asof is None

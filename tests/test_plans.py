@@ -102,3 +102,18 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_facts")
         spark.sql("DROP TABLE IF EXISTS bk_users")
+
+
+def test_range_join_is_window_not_self_join(spark):
+    """range_join_recent_events must be the range-frame window plan: one
+    Exchange (the user_id shuffle), a Window node, and NO join — the
+    self-join formulation explodes O(k²) pairs per user at scale."""
+    plan = plan_of(QUERIES["range_join_recent_events"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan, plan
+    # exactly one Exchange node (the hash partitioning on user_id for the
+    # window); count detail-section headers, the tree echoes names twice
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if l.startswith("(") and "Exchange" in l
+    )
+    assert n_exchanges == 1, plan
