@@ -35,6 +35,8 @@ __all__ = [
     "sorting_key_shard",
     "minhash_signature",
     "simhash64",
+    "simhash60_md5",
+    "md5_hash60",
     "fingerprint_md5",
 ]
 
@@ -140,6 +142,51 @@ def simhash64(tokens: Column | str) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit hashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def md5_hash60(col: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — the one hash
+    construction that is bit-identical in Spark, DuckDB and ClickHouse
+    (``conv(substr(md5(x),1,15),16,10)`` ≡ ``('0x'||substr(md5(x),1,15))::
+    BIGINT``), so sketches built on it are cross-engine oracle-checkable.
+    15 hex chars keep the value < 2^60: always positive in a signed int64,
+    no overflow under ANSI.  Use xxhash64 variants for production speed;
+    use this where an external SQL engine must reproduce the bits."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash60_md5(tokens: Column | str) -> Column:
+    """60-bit SimHash over an ``array<string>`` token column, built on
+    ``md5_hash60`` so an ANSI-SQL oracle can recompute the exact sketch
+    (unlike ``simhash64``, whose xxhash64 exists only engine-side).
+
+    Same Charikar bit-vote construction as ``simhash64``; 60 bits means all
+    powers are positive, so the fold is a plain sum — no sign-bit OR trick
+    needed.  Banding pairs with 4 × 15-bit chunks."""
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    hashes = F.transform(c, md5_hash60)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for j in range(60)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    bits = F.zip_with(
+        votes,
+        F.array(*[F.lit(1 << j).cast("long") for j in range(60)]),
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
 
 
 def fingerprint_md5(col: Column | str) -> Column:

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import fingerprint_md5, minhash_signature, simhash64
+from ..functions.hashing import fingerprint_md5, minhash_signature, simhash60_md5, simhash64
 from ..functions.text import shingles_from_tokens
 
 
@@ -289,16 +289,28 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_near_dup(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dup(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, sketch: str = "xx64"
+) -> DataFrame:
     """SimHash near-dup pairs: hamming(sim_a, sim_b) ≤ max_hamming.
 
-    Banding on 4 × 16-bit chunks: pairs within hamming ≤ 3 must agree on at
+    Banding on 4 equal chunks: pairs within hamming ≤ 3 must agree on at
     least one chunk (pigeonhole), so candidates = equal-chunk joins — the
     classic scalable simhash index.  Exact hamming re-check via bit_count.
+
+    ``sketch``: "xx64" (production — 64-bit xxhash64 tokens, 4×16-bit
+    chunks) or "md5_60" (60-bit md5-derived tokens, 4×15-bit chunks —
+    bit-identical in ANSI SQL engines, so the full output is
+    oracle-checkable; see functions/hashing.py:md5_hash60).
     """
     df = _rebalance(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col).alias("id"), simhash64(toks).alias("sim"))
+    if sketch == "md5_60":
+        sim_expr, chunk_bits, n_chunks = simhash60_md5(toks), 15, 4
+    else:
+        sim_expr, chunk_bits, n_chunks = simhash64(toks), 16, 4
+    mask = (1 << chunk_bits) - 1
+    base = df.select(F.col(id_col).alias("id"), sim_expr.alias("sim"))
     chunks = base.select(
         "id",
         "sim",
@@ -307,9 +319,9 @@ def simhash_near_dup(df: DataFrame, text_col: str, id_col: str, max_hamming: int
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                        F.shiftright(F.col("sim"), i * chunk_bits).bitwiseAND(F.lit(mask)).alias("ck"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
