@@ -42,7 +42,14 @@ class KafkaConfig:
 
 @dataclass
 class ClickHouseConfig:
-    """≙ ClickHouseConfig (config/config.go:109-135): JDBC endpoint family."""
+    """≙ ClickHouseConfig (config/config.go:109-135): JDBC endpoint family.
+
+    ``hosts`` carries one entry per shard; an entry may be a comma-separated
+    replica list (pool/conn.go topology: outer = shards, inner = replicas).
+    ``url_format`` / ``driver`` let tests and non-ClickHouse deployments
+    point the same sink at any JDBC engine (the smoke tests use Spark's
+    bundled embedded Derby).
+    """
 
     hosts: tuple[str, ...] = ("localhost:8123",)
     database: str = "default"
@@ -50,10 +57,21 @@ class ClickHouseConfig:
     password: str = ""
     shards: int = 1
     retry_times: int = 3  # ≙ RetryTimes (W4)
+    url_format: str = "jdbc:clickhouse://{host}/{db}"
+    driver: str = ""  # optional JDBC driver class override
+
+    def replica_urls(self, shard: int = 0) -> list[str]:
+        """One URL per replica of the shard (pool/conn.go:83-136 picks a
+        single replica at a time and fails over; we do the same)."""
+        entry = self.hosts[shard % len(self.hosts)]
+        return [
+            self.url_format.format(host=h.strip(), db=self.database)
+            for h in entry.split(",")
+            if h.strip()
+        ]
 
     def jdbc_url(self, shard: int = 0) -> str:
-        host = self.hosts[shard % len(self.hosts)]
-        return f"jdbc:clickhouse://{host}/{self.database}"
+        return self.replica_urls(shard)[0]
 
 
 @dataclass

@@ -223,9 +223,9 @@ def load_config(source: str | dict) -> SinkerConfig:
     ch_d = _ci(d, "clickhouse", default={}) or {}
     hosts_nested = _ci(ch_d, "hosts", default=[["localhost"]]) or [["localhost"]]
     port = _ci(ch_d, "port", default=8123)
-    # outer list = shards; inner = replicas (pool/conn.go topology).  Our
-    # JDBC URL takes one endpoint per shard; extra replicas join the same
-    # URL as failover endpoints.
+    # outer list = shards; inner = replicas (pool/conn.go topology).  Each
+    # shard keeps its comma-separated replica list; the sink connects to
+    # one replica at a time and fails over with version fencing (S5).
     hosts = tuple(
         ",".join(f"{h}:{port}" for h in (shard if isinstance(shard, list) else [shard]))
         for shard in hosts_nested

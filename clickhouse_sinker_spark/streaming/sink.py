@@ -29,15 +29,17 @@ rejected by null-reject are filtered before the sink with observe counters.
 
 from __future__ import annotations
 
+import threading
 import time
-from dataclasses import dataclass
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ClickHouseConfig
 
-__all__ = ["ParquetSink", "JdbcSink", "with_retry"]
+__all__ = ["ParquetSink", "JdbcSink", "ShardReplicas", "with_retry"]
 
 
 def with_retry(fn, retry_times: int, base_sleep: float = 1.0, max_sleep: float = 60.0):
@@ -79,6 +81,44 @@ class ParquetSink:
         writer.parquet(self.path)
 
 
+class ShardReplicas:
+    """Per-shard replica selection with failure-version fencing
+    (≙ ShardConn.NextGoodReplica, pool/conn.go:83-136).
+
+    Each shard has a sticky current replica and a monotonically increasing
+    ``version``.  A writer that fails reports the version it saw; the
+    replica advances only if no other writer already advanced past that
+    version — the reference's fencing rule (recording failure *versions*
+    rather than timestamps so a stale failure can't kill a fresh, good
+    connection).
+    """
+
+    def __init__(self, ch: ClickHouseConfig):
+        self._ch = ch
+        self._lock = threading.Lock()
+        self._idx: dict[int, int] = {}
+        self._ver: dict[int, int] = {}
+
+    def current(self, shard: int) -> tuple[str, int]:
+        """(replica URL, version) for the shard's current replica."""
+        urls = self._ch.replica_urls(shard)
+        with self._lock:
+            i = self._idx.get(shard, 0)
+            return urls[i % len(urls)], self._ver.get(shard, 0)
+
+    def next_good_replica(self, shard: int, failed_ver: int) -> tuple[str, int]:
+        """Advance past a failed replica — unless another writer already
+        did (version fencing).  Returns the new (URL, version)."""
+        urls = self._ch.replica_urls(shard)
+        with self._lock:
+            ver = self._ver.get(shard, 0)
+            if ver > failed_ver:  # someone else already moved on
+                return urls[self._idx.get(shard, 0) % len(urls)], ver
+            self._idx[shard] = (self._idx.get(shard, 0) + 1) % len(urls)
+            self._ver[shard] = ver + 1
+            return urls[self._idx[shard]], self._ver[shard]
+
+
 @dataclass
 class JdbcSink:
     """ClickHouse JDBC bulk-insert sink (S3).
@@ -88,6 +128,15 @@ class JdbcSink:
     (W8/R4): re-delivered rows land on the same shard and collapse on
     merge — the same contract the reference documents
     (docs/dev/design.md:5-12).
+
+    Per-shard writes run concurrently on driver threads (≙ the per-shard
+    worker pool, output/clickhouse.go:139-161) — each submit is a Spark
+    job over that shard's cached partitions, and Spark schedules jobs from
+    distinct driver threads in parallel.  A failed write fails over to the
+    shard's next replica with version fencing (S5, pool/conn.go:83-136)
+    and retries with backoff (W4, output/clickhouse.go:264-295).  The
+    batch commits (checkpoint advances) only after EVERY shard landed —
+    the reference's WaitGroup barrier, here the foreachBatch return.
     """
 
     ch: ClickHouseConfig
@@ -96,10 +145,15 @@ class JdbcSink:
     shard_col: str = "__shard"
     batch_size: int = 1 << 16
     async_insert: bool = False  # S4: session settings passthrough
+    max_parallel: int = 8  # concurrent shard writers (worker-pool width)
+    replicas: ShardReplicas = field(init=False)
 
-    def jdbc_options(self, shard: int) -> dict[str, str]:
+    def __post_init__(self) -> None:
+        self.replicas = ShardReplicas(self.ch)
+
+    def jdbc_options(self, url: str) -> dict[str, str]:
         opts = {
-            "url": self.ch.jdbc_url(shard),
+            "url": url,
             "dbtable": self.table,
             "user": self.ch.username,
             "password": self.ch.password,
@@ -107,37 +161,51 @@ class JdbcSink:
             "isolationLevel": "NONE",
             "numPartitions": "1",
         }
+        if self.ch.driver:
+            opts["driver"] = self.ch.driver
         if self.async_insert:  # S4 (config/config.go:422-441)
             opts["sessionInitStatement"] = (
                 "SET async_insert=1, wait_for_async_insert=1"
             )
         return opts
 
+    def _write_one(self, part: DataFrame, url: str) -> None:
+        """One bulk INSERT of one shard's rows to one replica endpoint."""
+        part.write.format("jdbc").options(**self.jdbc_options(url)).mode("append").save()
+
+    def _write_shard(self, part: DataFrame, shard: int) -> None:
+        """Write a shard's rows: retry w/ backoff, advancing to the next
+        good replica on each failure (loopWrite + NextGoodReplica)."""
+
+        def attempt():
+            url, ver = self.replicas.current(shard)
+            try:
+                self._write_one(part, url)
+            except Exception:
+                self.replicas.next_good_replica(shard, ver)
+                raise
+
+        with_retry(attempt, self.ch.retry_times)
+
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         cols = [c for c in batch.columns if c != self.shard_col]
         if self.shard_col in batch.columns and self.shards > 1:
-            # R5 fan-out: each shard's rows written to that shard's endpoint
-            # in parallel (driver threads over per-shard filtered writes —
-            # each is a distributed job of one shuffle partition).
+            # R5 fan-out: one shuffle clusters rows by shard; the persisted
+            # batch is scanned once into cache, then each shard's filter
+            # job reads only cached partitions.
             routed = batch.repartition(self.shards, F.col(self.shard_col)).persist()
             try:
-                for shard in range(self.shards):
-                    part = routed.filter(F.col(self.shard_col) % self.shards == shard).select(*cols)
-                    with_retry(
-                        lambda p=part, s=shard: p.write.format("jdbc")
-                        .options(**self.jdbc_options(s))
-                        .mode("append")
-                        .save(),
-                        self.ch.retry_times,
-                    )
+                parts = [
+                    routed.filter(F.col(self.shard_col) % self.shards == s).select(*cols)
+                    for s in range(self.shards)
+                ]
+                with ThreadPoolExecutor(max_workers=min(self.shards, self.max_parallel)) as ex:
+                    futures = [
+                        ex.submit(self._write_shard, p, s) for s, p in enumerate(parts)
+                    ]
+                    for f in futures:
+                        f.result()  # re-raise: all-or-nothing commit barrier
             finally:
                 routed.unpersist()
         else:
-            with_retry(
-                lambda: batch.select(*cols)
-                .write.format("jdbc")
-                .options(**self.jdbc_options(0))
-                .mode("append")
-                .save(),
-                self.ch.retry_times,
-            )
+            self._write_shard(batch.select(*cols), 0)

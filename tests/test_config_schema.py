@@ -190,7 +190,30 @@ def test_jdbc_sink_options():
     ch = ClickHouseConfig(hosts=("h0:8123", "h1:8123"), database="db", username="u",
                           password="p", shards=2, retry_times=1)
     sink = JdbcSink(ch, table="t", shards=2, batch_size=4096, async_insert=True)
-    o0, o1 = sink.jdbc_options(0), sink.jdbc_options(1)
+    o0, o1 = sink.jdbc_options(ch.jdbc_url(0)), sink.jdbc_options(ch.jdbc_url(1))
     assert o0["url"].endswith("h0:8123/db") and o1["url"].endswith("h1:8123/db")
     assert o0["dbtable"] == "t" and o0["batchsize"] == "4096"
     assert "async_insert=1" in o0["sessionInitStatement"]  # S4 passthrough
+
+
+def test_replica_urls_and_failover_fencing():
+    from clickhouse_sinker_spark.streaming.sink import ShardReplicas
+
+    # one shard, two replicas (pool/conn.go topology: inner list = replicas)
+    ch = ClickHouseConfig(hosts=("r0:8123,r1:8123",), database="db", shards=1)
+    assert ch.replica_urls(0) == [
+        "jdbc:clickhouse://r0:8123/db",
+        "jdbc:clickhouse://r1:8123/db",
+    ]
+    reps = ShardReplicas(ch)
+    url0, ver0 = reps.current(0)
+    assert url0.startswith("jdbc:clickhouse://r0") and ver0 == 0
+    # two writers saw version 0; both report failure — only ONE advance
+    # happens (failure-version fencing, pool/conn.go:83-136)
+    url1, ver1 = reps.next_good_replica(0, failed_ver=ver0)
+    assert url1.startswith("jdbc:clickhouse://r1") and ver1 == 1
+    url2, ver2 = reps.next_good_replica(0, failed_ver=ver0)  # stale failure
+    assert url2 == url1 and ver2 == 1  # fenced: no double-advance
+    # a failure at the CURRENT version does advance (wraps to r0)
+    url3, ver3 = reps.next_good_replica(0, failed_ver=ver1)
+    assert url3.startswith("jdbc:clickhouse://r0") and ver3 == 2

@@ -1,0 +1,204 @@
+"""JDBC sink smoke tests against Spark's bundled embedded Derby.
+
+The sandbox has no ClickHouse, but the sink's contract — per-shard bulk
+INSERT over JDBC, retry w/ backoff, replica failover, parallel shard
+writers, all-or-nothing barrier (S3/S4/S5/W4/R5; output/clickhouse.go:
+139-295, pool/conn.go:83-136) — is engine-agnostic.  Derby (on Spark's
+classpath) exercises the REAL JDBC write path end-to-end: DataFrameWriter
+→ JDBC driver → SQL engine → read-back.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_sinker_spark.config import ClickHouseConfig
+from clickhouse_sinker_spark.streaming.sink import JdbcSink, with_retry
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_cfg(root: str, hosts: tuple[str, ...], **kw) -> ClickHouseConfig:
+    """ClickHouseConfig pointed at per-'host' embedded Derby databases:
+    each pseudo-host name becomes its own database directory."""
+    return ClickHouseConfig(
+        hosts=hosts,
+        database="ignored",
+        username="",
+        password="",
+        shards=len(hosts),
+        url_format=f"jdbc:derby:{root}/{{host}};create=true",
+        driver=DERBY_DRIVER,
+        **kw,
+    )
+
+
+def read_back(spark, root: str, host: str, table: str):
+    return (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:derby:{root}/{host};create=true")
+        .option("dbtable", table)
+        .option("driver", DERBY_DRIVER)
+        .load()
+    )
+
+
+def test_jdbc_roundtrip_single_shard(spark, tmp_path):
+    """Rows land through a real JDBC endpoint and read back intact."""
+    cfg = derby_cfg(str(tmp_path), ("db0",), retry_times=1)
+    sink = JdbcSink(cfg, table="events", shards=1)
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 2).cast("double").alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    sink(df, epoch_id=0)
+    back = read_back(spark, str(tmp_path), "db0", "events")
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(100))
+
+
+def test_jdbc_shard_fanout_parallel(spark, tmp_path):
+    """Multi-shard fan-out: each shard's rows land in that shard's
+    database, writes run CONCURRENTLY (worker-pool semantics,
+    output/clickhouse.go:139-161), and no row is lost or duplicated."""
+    cfg = derby_cfg(str(tmp_path), ("db0", "db1"), retry_times=1)
+    sink = JdbcSink(cfg, table="t", shards=2)
+
+    # Concurrency probe: both shard writers must be inside _write_one at
+    # the same time or the barrier times out and the sink raises.
+    barrier = threading.Barrier(2, timeout=60)
+    inner = sink._write_one
+
+    def probed(part, url):
+        barrier.wait()
+        inner(part, url)
+
+    sink._write_one = probed
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("__shard")
+    )
+    sink(df, epoch_id=0)
+
+    b0 = read_back(spark, str(tmp_path), "db0", "t")
+    b1 = read_back(spark, str(tmp_path), "db1", "t")
+    assert b0.count() == 500 and b1.count() == 500
+    assert "__shard" not in b0.columns  # shard column stripped before insert
+    ids0 = {r[0] for r in b0.select("id").collect()}
+    ids1 = {r[0] for r in b1.select("id").collect()}
+    assert ids0 == set(range(0, 1000, 2)) and ids1 == set(range(1, 1000, 2))
+
+
+def test_jdbc_replica_failover(spark, tmp_path):
+    """S5: first replica down → sink fails over to the next replica and
+    the write succeeds (NextGoodReplica, pool/conn.go:83-136)."""
+    # replica 0's database path is blocked by a plain file → Derby cannot
+    # create/boot it (connection failure); replica 1 is a good database.
+    (tmp_path / "blocked").write_text("not a database")
+    cfg = ClickHouseConfig(
+        hosts=("blocked,good",),
+        database="ignored",
+        username="",  # Derby: empty user keeps the default APP schema
+        shards=1,
+        retry_times=3,
+        url_format=f"jdbc:derby:{tmp_path}/{{host}};create=true",
+        driver=DERBY_DRIVER,
+    )
+    sink = JdbcSink(cfg, table="t", shards=1)
+    df = spark.range(10).select(F.col("id"))
+    t0 = time.time()
+    sink(df, epoch_id=0)  # attempt 1 fails on bad replica, attempt 2 lands
+    assert time.time() - t0 < 120
+    back = read_back(spark, str(tmp_path), "good", "t")
+    assert back.count() == 10
+    # the failover is sticky: the shard's current replica is now the good one
+    url, _ = sink.replicas.current(0)
+    assert "good" in url
+
+
+def test_jdbc_all_replicas_down_raises(spark, tmp_path):
+    """W4 exhaustion: every replica bad → the sink raises (so foreachBatch
+    fails and the checkpoint does NOT advance — at-least-once preserved)."""
+    (tmp_path / "bad_a").write_text("x")
+    (tmp_path / "bad_b").write_text("x")
+    cfg = ClickHouseConfig(
+        hosts=("bad_a,bad_b",),
+        database="ignored",
+        username="",
+        shards=1,
+        retry_times=2,
+        url_format=f"jdbc:derby:{tmp_path}/{{host}};create=true",
+        driver=DERBY_DRIVER,
+    )
+    sink = JdbcSink(cfg, table="t", shards=1)
+    with pytest.raises(Exception):
+        sink(spark.range(5), epoch_id=0)
+
+
+def test_streaming_pipeline_lands_in_jdbc(spark, tmp_path):
+    """End-to-end S3: file-stream source → parse → project → shard →
+    foreachBatch(JdbcSink) → rows in a real JDBC database, offsets
+    checkpointed (the reference's whole hot path with a SQL engine as the
+    destination)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from clickhouse_sinker_spark.config import TaskConfig
+    from clickhouse_sinker_spark.operators.project import ColumnSpec
+    from clickhouse_sinker_spark.streaming.pipeline import build_pipeline, file_source
+
+    (tmp_path / "in").mkdir()
+    with open(tmp_path / "in" / "a.jsonl", "w") as f:
+        for i in range(200):
+            f.write(json.dumps({"name": f"n{i}", "value": float(i)}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    specs = [
+        ColumnSpec("name", "String", source="name", not_nullable=True),
+        ColumnSpec("value", "Nullable(Float64)", source="value"),
+    ]
+    raw = file_source(spark, str(tmp_path / "in"))
+    task = TaskConfig(name="jdbc_e2e", sharding_key="name", flush_interval=1)
+    pipe = build_pipeline(raw, task, specs, schema, shards=2)
+
+    cfg = derby_cfg(str(tmp_path), ("db0", "db1"), retry_times=2)
+    sink = JdbcSink(cfg, table="metrics", shards=2)
+    pipe.run_available(sink, str(tmp_path / "ckpt"))
+
+    b0 = read_back(spark, str(tmp_path), "db0", "metrics")
+    b1 = read_back(spark, str(tmp_path), "db1", "metrics")
+    assert b0.count() + b1.count() == 200
+    names = {r[0] for r in b0.select("name").collect()} | {
+        r[0] for r in b1.select("name").collect()
+    }
+    assert names == {f"n{i}" for i in range(200)}
+    # replaying the same source against the same checkpoint adds nothing
+    pipe2 = build_pipeline(
+        file_source(spark, str(tmp_path / "in")), task, specs, schema, shards=2
+    )
+    pipe2.run_available(sink, str(tmp_path / "ckpt"))
+    assert (
+        read_back(spark, str(tmp_path), "db0", "metrics").count()
+        + read_back(spark, str(tmp_path), "db1", "metrics").count()
+        == 200
+    )
+
+
+def test_with_retry_backoff_and_exhaustion():
+    calls = []
+
+    def fail():
+        calls.append(time.time())
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError):
+        with_retry(fail, retry_times=3, base_sleep=0.01)
+    assert len(calls) == 3
