@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> None:
     queries = []
     for task in cfg.tasks:
         specs = specs_from_task(task)
-        schema = json_parse_schema(specs)
+        schema = json_parse_schema(specs, parser=task.parser)
         raw = (
             file_source(spark, args.source_path)
             if args.source_path

@@ -20,6 +20,7 @@ a single codegen stage; at 100 TB this is a pure map, no shuffle.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -37,7 +38,72 @@ from ..functions.casts import (
     valid_ip_or_default,
 )
 
-__all__ = ["ColumnSpec", "build_projection", "apply_projection", "KAFKA_META_COLUMNS"]
+__all__ = [
+    "ColumnSpec",
+    "build_projection",
+    "apply_projection",
+    "source_col",
+    "gjson_segments",
+    "KAFKA_META_COLUMNS",
+]
+
+
+def gjson_segments(path: str) -> list[str]:
+    """Split a gjson path on unescaped dots; ``\\.`` addresses a key that
+    literally contains a dot (P2, util/common.go:90-97)."""
+    return [s.replace("\\.", ".") for s in re.split(r"(?<!\\)\.", path)]
+
+
+def _quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def source_col(name: str, parser: str = "fastjson") -> Column:
+    """Source-field access with the parser's path semantics.
+
+    - fastjson (P1): ``v.Get(key)`` — the source name is ONE literal key,
+      dots included (parser/fastjson.go:69-127); backtick-quote it so
+      Spark does not treat dots as struct access.
+    - gjson (P2): path syntax (parser/gjson.go:42-58) — plain dots
+      descend into objects, integer segments index arrays (0-based),
+      ``\\.`` escapes a literal dot inside a key (util/common.go:90-97).
+    """
+    if parser != "gjson":
+        return F.col(_quote(name))
+    segs = gjson_segments(name)
+    col = F.col(_quote(segs[0]))
+    for seg in segs[1:]:
+        col = F.get(col, F.lit(int(seg))) if seg.isdigit() else col.getItem(seg)
+    return col
+
+
+def _resolve_src_type(
+    schema: ST.StructType | None, name: str, parser: str
+) -> ST.DataType | None:
+    """Walk the parsed-message schema along the source path to find the
+    leaf type (drives the static DateTime/numeric dispatch in _cast_expr)."""
+    if schema is None:
+        return None
+    if parser != "gjson":
+        for f in schema.fields:
+            if f.name == name:
+                return f.dataType
+        return None
+    t: ST.DataType | None = schema
+    for seg in gjson_segments(name):
+        if isinstance(t, ST.ArrayType) and seg.isdigit():
+            t = t.elementType
+            continue
+        if isinstance(t, ST.MapType):
+            t = t.valueType
+            continue
+        if isinstance(t, ST.StructType):
+            t = next((f.dataType for f in t.fields if f.name == seg), None)
+            if t is None:
+                return None
+            continue
+        return None
+    return t
 
 # Kafka metadata pseudo-columns (task/task.go:285-298): dest column name →
 # Kafka-source column expression.  Spark's Kafka source exposes exactly the
@@ -176,9 +242,12 @@ def _cast_expr(
     return F.coalesce(out, default_literal(spark_t))
 
 
-def build_projection(specs: list[ColumnSpec], schema: ST.StructType | None = None) -> list[Column]:
+def build_projection(
+    specs: list[ColumnSpec],
+    schema: ST.StructType | None = None,
+    parser: str = "fastjson",
+) -> list[Column]:
     """One aliased Column per destination column."""
-    src_types = {f.name: f.dataType for f in schema.fields} if schema is not None else {}
     cols: list[Column] = []
     for s in specs:
         if s.constant is not None:  # P5 constant-field injection
@@ -188,17 +257,23 @@ def build_projection(specs: list[ColumnSpec], schema: ST.StructType | None = Non
             cols.append(F.col(KAFKA_META_COLUMNS[s.name]).alias(s.name))
             continue
         src_name = s.source or s.name
-        src = F.col(src_name)
+        src = source_col(src_name, parser)
+        src_type = _resolve_src_type(schema, src_name, parser)
         cols.append(
-            _cast_expr(src, s.parsed, s.not_nullable, s.time_unit, src_types.get(src_name)).alias(s.name)
+            _cast_expr(src, s.parsed, s.not_nullable, s.time_unit, src_type).alias(s.name)
         )
     return cols
 
 
-def apply_projection(df: DataFrame, specs: list[ColumnSpec], null_reject: bool = True) -> DataFrame:
+def apply_projection(
+    df: DataFrame,
+    specs: list[ColumnSpec],
+    null_reject: bool = True,
+    parser: str = "fastjson",
+) -> DataFrame:
     """select(cast exprs) + null-reject filter on NOT-NULL columns
     (task/task.go:303-314: a null in a non-nullable column drops the row)."""
-    out = df.select(*build_projection(specs, df.schema))
+    out = df.select(*build_projection(specs, df.schema, parser))
     if null_reject:
         for s in specs:
             if s.not_nullable and s.constant is None:
@@ -206,7 +281,7 @@ def apply_projection(df: DataFrame, specs: list[ColumnSpec], null_reject: bool =
     return out
 
 
-def validate_rows(df: DataFrame, specs: list[ColumnSpec]):
+def validate_rows(df: DataFrame, specs: list[ColumnSpec], parser: str = "fastjson"):
     """Bad-row isolation, Spark-style (W5 ≙ pool/ck_cli.go:126-236).
 
     The reference writes a batch, collects per-row Append failures in a
@@ -217,7 +292,7 @@ def validate_rows(df: DataFrame, specs: list[ColumnSpec]):
     naming the violated columns.  Both splits come from one projection —
     at scale this is a predicate fork, not a second pass.
     """
-    projected = apply_projection(df, specs, null_reject=False)
+    projected = apply_projection(df, specs, null_reject=False, parser=parser)
     required = [s.name for s in specs if s.not_nullable]
     if not required:
         return projected, projected.limit(0).withColumn("__reject_reason", F.lit(""))

@@ -1698,6 +1698,57 @@ def etl_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_nested_path_escaped",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(j, '$."a.b"') AS BIGINT) AS lit_val,
+           json_extract_string(j, '$.a.b') AS nested_str,
+           CAST(json_extract_string(j, '$.arr[0].x') AS BIGINT) AS first_x
+    FROM (SELECT event_id,
+                 '{"a.b": ' || CAST(event_id AS VARCHAR) ||
+                 ', "a": {"b": "' || event_type ||
+                 '"}, "arr": [{"x": ' || CAST(user_id AS VARCHAR) || '}]}' AS j
+          FROM events)
+    """,
+)
+def etl_nested_path_escaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gjson escaped-dot paths (P2, util/common.go:90-97): ``a\\.b``
+    addresses a key literally named ``a.b`` while plain ``a.b`` descends —
+    the reference's GetSourceName escaping for dotted ClickHouse column
+    names.  Exercises the REAL operator path: json_parse_schema builds the
+    nested from_json schema from the gjson paths, build_projection
+    resolves each path with source_col (backtick-quoted literal keys /
+    struct descent / 0-based array indexing)."""
+    from ..operators.project import build_projection
+    from ..sources.schema import json_parse_schema
+
+    specs = [
+        ColumnSpec("lit_val", "Nullable(Int64)", source="a\\.b"),
+        ColumnSpec("nested_str", "Nullable(String)", source="a.b"),
+        ColumnSpec("first_x", "Nullable(Int64)", source="arr.0.x"),
+    ]
+    schema = json_parse_schema(specs, parser="gjson")
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit('{"a.b": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "a": {"b": "'),
+            F.col("event_type"),
+            F.lit('"}, "arr": [{"x": '),
+            F.col("user_id").cast("string"),
+            F.lit("}]}"),
+        ).alias("j"),
+    )
+    parsed = e.withColumn("__parsed", F.from_json("j", schema)).select(
+        "event_id", "__parsed.*"
+    )
+    return parsed.select(
+        "event_id", *build_projection(specs, schema, parser="gjson")
+    )
+
+
+@query(
     "etl_csv_parse",
     """
     SELECT event_id,

@@ -131,14 +131,35 @@ def specs_from_task(task) -> list[ColumnSpec]:
     ]
 
 
-def json_parse_schema(specs: list[ColumnSpec]):
+def _merge_types(a, b):
+    """Structurally merge two inferred parse types (shared gjson path
+    prefixes); scalar conflicts resolve first-wins."""
+    from pyspark.sql import types as T
+
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        out = {f.name: f.dataType for f in a.fields}
+        for f in b.fields:
+            out[f.name] = _merge_types(out[f.name], f.dataType) if f.name in out else f.dataType
+        return T.StructType([T.StructField(k, v, True) for k, v in out.items()])
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_types(a.elementType, b.elementType))
+    return a
+
+
+def json_parse_schema(specs: list[ColumnSpec], parser: str = "fastjson"):
     """The permissive source-message schema to hand from_json for a given
     projection: datetimes arrive as strings (25-layout auto-detection
     happens in the cast layer, P9), numerics as doubles (clamping cast
     narrows them, P7), everything else at its natural type.  Source-name
-    keyed — one struct field per distinct source field."""
+    keyed — one struct field per distinct source field.
+
+    With ``parser="gjson"``, a source name is a gjson PATH (P2): plain
+    dots build nested struct fields, integer segments build arrays, and
+    ``\\.`` keeps a literal dot inside one key (util/common.go:90-97).
+    fastjson source names are single literal keys, dots included."""
     from pyspark.sql import types as T
 
+    from ..operators.project import gjson_segments
     from ..typemap import to_spark_type
 
     fields: dict[str, T.DataType] = {}
@@ -161,5 +182,16 @@ def json_parse_schema(specs: list[ColumnSpec]):
             dt = T.DoubleType()
         if t.array and t.name not in ("Map",):
             dt = T.ArrayType(dt) if not isinstance(dt, T.ArrayType) else dt
-        fields.setdefault(s.source, dt)
+        src = s.source or s.name
+        if parser == "gjson":
+            segs = gjson_segments(src)
+            # fold the path right-to-left into nested structs/arrays
+            for seg in reversed(segs[1:]):
+                dt = T.ArrayType(dt) if seg.isdigit() else T.StructType(
+                    [T.StructField(seg, dt, True)]
+                )
+            head = segs[0]
+            fields[head] = _merge_types(fields[head], dt) if head in fields else dt
+        else:
+            fields.setdefault(src, dt)
     return T.StructType([T.StructField(k, v, True) for k, v in fields.items()])

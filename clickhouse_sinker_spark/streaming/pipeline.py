@@ -183,7 +183,7 @@ def build_pipeline(
         delimiter=task.delimiter,
         fields=task.fields,
     )
-    projected = apply_projection(parsed, specs)
+    projected = apply_projection(parsed, specs, parser=task.parser)
     if shards > 0:
         policy = ShardingPolicy(
             key=task.sharding_key or None,

@@ -280,3 +280,59 @@ def test_map_typed_keys_and_values(spark):
     assert row["m_str"] == {"a": "x", "b": "2"}
     got_t = apply_projection(df, specs).schema["m_int"].dataType.simpleString()
     assert got_t == "map<bigint,double>"
+
+
+def test_gjson_escaped_dot_and_array_paths(spark):
+    """P2 path semantics (util/common.go:90-97, parser/gjson.go:42-58):
+    ``a\\.b`` = literal key "a.b"; plain ``a.b`` descends; integer
+    segments index arrays 0-based.  fastjson (parser/fastjson.go:69-127)
+    treats the whole source name as ONE literal key."""
+    import json
+
+    from clickhouse_sinker_spark.operators.project import (
+        ColumnSpec,
+        apply_projection,
+        gjson_segments,
+        source_col,
+    )
+    from clickhouse_sinker_spark.sources.schema import json_parse_schema
+
+    assert gjson_segments("a\\.b") == ["a.b"]
+    assert gjson_segments("a.b.c") == ["a", "b", "c"]
+    assert gjson_segments("x\\.y.z") == ["x.y", "z"]
+
+    specs = [
+        ColumnSpec("lit", "Nullable(Int64)", source="a\\.b"),
+        ColumnSpec("nested", "Nullable(String)", source="a.b"),
+        ColumnSpec("deep", "Nullable(Float64)", source="a.c.d"),
+        ColumnSpec("idx1", "Nullable(Int64)", source="arr.1.x"),
+    ]
+    schema = json_parse_schema(specs, parser="gjson")
+    # shared prefix "a" merged into ONE struct field; literal "a.b" separate
+    names = [f.name for f in schema.fields]
+    assert names.count("a") == 1 and "a.b" in names
+    payload = json.dumps(
+        {"a.b": 42, "a": {"b": "nested", "c": {"d": 2.5}}, "arr": [{"x": 1}, {"x": 7}]}
+    )
+    df = (
+        spark.createDataFrame([(payload,)], "value string")
+        .select(F.from_json("value", schema).alias("p"))
+        .select("p.*")
+    )
+    row = apply_projection(df, specs, parser="gjson").first()
+    assert row["lit"] == 42  # escaped dot: literal key, not path a->b
+    assert row["nested"] == "nested"
+    assert row["deep"] == 2.5
+    assert row["idx1"] == 7  # 0-based array index
+
+    # fastjson: the same dotted name is ONE literal key
+    fj_specs = [ColumnSpec("lit", "Nullable(Int64)", source="a.b")]
+    fj_schema = json_parse_schema(fj_specs, parser="fastjson")
+    fj_df = (
+        spark.createDataFrame([(json.dumps({"a.b": 9, "a": {"b": 1}}),)], "value string")
+        .select(F.from_json("value", fj_schema).alias("p"))
+        .select("p.*")
+    )
+    assert apply_projection(fj_df, fj_specs).first()["lit"] == 9
+    # source_col quoting survives backticks in names
+    assert source_col("weird`name").__class__ is F.col("x").__class__
