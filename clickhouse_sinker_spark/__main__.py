@@ -30,6 +30,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--checkpoint", default="/tmp/sinker_ckpt", help="checkpoint root")
     ap.add_argument("--master", default="local[*]")
     ap.add_argument("--once", action="store_true", help="drain available input, then exit")
+    ap.add_argument(
+        "--watch",
+        action="store_true",
+        help="poll --config for changes and hot-apply the diff (C2)",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -41,34 +46,49 @@ def main(argv: list[str] | None = None) -> None:
         .getOrCreate()
     )
 
-    queries = []
-    for task in cfg.tasks:
-        specs = specs_from_task(task)
-        schema = json_parse_schema(specs, parser=task.parser)
-        raw = (
-            file_source(spark, args.source_path)
+    def source_factory(sp, task, c):
+        return (
+            file_source(sp, args.source_path)
             if args.source_path
             else kafka_source(
-                spark,
-                cfg.kafka,
+                sp,
+                c.kafka,
                 task.topic,
                 earliest=task.earliest,
                 max_offsets_per_trigger=task.buffer_size,
             )
         )
-        pipe = build_pipeline(raw, task, specs, schema, shards=cfg.clickhouse.shards)
-        sink = (
-            ParquetSink(f"{args.sink_path}/{task.table_name}", shards=cfg.clickhouse.shards)
-            if args.sink_path
-            else JdbcSink(cfg.clickhouse, task.table_name, shards=cfg.clickhouse.shards)
-        )
-        ckpt = f"{args.checkpoint}/{task.name}"
-        if args.once:
-            pipe.run_available(sink, ckpt)
-        else:
-            queries.append(pipe.start(sink, ckpt, query_name=task.name))
 
-    for q in queries:
+    def sink_factory(task, c):
+        return (
+            ParquetSink(f"{args.sink_path}/{task.table_name}", shards=c.clickhouse.shards)
+            if args.sink_path
+            else JdbcSink(c.clickhouse, task.table_name, shards=c.clickhouse.shards)
+        )
+
+    if args.once:
+        for task in cfg.tasks:
+            specs = specs_from_task(task)
+            schema = json_parse_schema(specs, parser=task.parser)
+            pipe = build_pipeline(
+                source_factory(spark, task, cfg), task, specs, schema,
+                shards=cfg.clickhouse.shards,
+            )
+            pipe.run_available(sink_factory(task, cfg), f"{args.checkpoint}/{task.name}")
+        return
+
+    from .control import SinkerApp
+
+    app = SinkerApp(
+        spark=spark,
+        checkpoint_root=args.checkpoint,
+        source_factory=source_factory,
+        sink_factory=sink_factory,
+    )
+    app.apply_config(cfg)
+    if args.watch:  # C2 hot reload (task/sinker.go:340-519)
+        app.watch(args.config)
+    for q in list(app.queries.values()):
         q.awaitTermination()
 
 

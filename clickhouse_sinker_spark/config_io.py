@@ -230,6 +230,8 @@ def load_config(source: str | dict) -> SinkerConfig:
         ",".join(f"{h}:{port}" for h in (shard if isinstance(shard, list) else [shard]))
         for shard in hosts_nested
     )
+    from .gosypt import unmarshal
+
     ch = ClickHouseConfig(
         hosts=hosts,
         database=_ci(ch_d, "db", "database", default="default"),
@@ -238,6 +240,9 @@ def load_config(source: str | dict) -> SinkerConfig:
         shards=len(hosts),
         retry_times=int(_ci(ch_d, "retryTimes", default=3) or 0),
     )
+    # C5: decrypt ENC(...) credentials at config-apply time, clickhouse
+    # section only — matching applyConfig (task/sinker.go:345-349)
+    ch = unmarshal(ch)
     k_d = _ci(d, "kafka", default={}) or {}
     known = {"brokers", "version"}
     security = {k: str(v) for k, v in k_d.items() if k.lower() not in known}
