@@ -124,6 +124,45 @@ class SinkerApp:
         for name in list(self.queries):
             self._stop_task(name)
 
+    def watchdog(
+        self,
+        interval_s: float = 5.0,
+        stop_event: threading.Event | None = None,
+        backoff_s: float = 1.0,
+    ) -> threading.Thread:
+        """Auto-restart dead tasks (W7 ≙ the reference's run-loop guard:
+        a consumer that dies from a transient failure is restarted rather
+        than silently staying down).  A query that terminated WITH an
+        exception restarts from its checkpoint (at-least-once resume); a
+        query stopped cleanly (query.stop(), e.g. by apply_config) is
+        left alone.  Restart counts are kept in ``self.restarts``."""
+        stop = stop_event or threading.Event()
+        self.restarts: dict[str, int] = getattr(self, "restarts", {})
+
+        def loop():
+            while not stop.is_set():
+                cfg = self.cfg
+                if cfg is not None:
+                    by_name = {t.name: t for t in cfg.tasks}
+                    for name, q in list(self.queries.items()):
+                        try:
+                            dead = not q.isActive and q.exception() is not None
+                        except Exception:
+                            dead = True
+                        if dead and name in by_name:
+                            self.restarts[name] = self.restarts.get(name, 0) + 1
+                            try:
+                                self._start_task(by_name[name], cfg)
+                            except Exception:
+                                pass  # next tick retries
+                            stop.wait(backoff_s)
+                stop.wait(interval_s)
+
+        t = threading.Thread(target=loop, daemon=True, name="query-watchdog")
+        t.stop_event = stop  # type: ignore[attr-defined]
+        t.start()
+        return t
+
     def watch(
         self,
         config_path: str,

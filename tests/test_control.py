@@ -210,3 +210,45 @@ def test_hot_reload_watch_thread(spark, tmp_path):
     finally:
         stop.set()
         app.stop_all()
+
+
+def test_watchdog_restarts_failed_query(spark, tmp_path):
+    """W7: a query that dies with an exception is restarted from its
+    checkpoint; after the transient fault clears, data flows again."""
+    _write_rows(tmp_path, "w0.jsonl", 10)
+    fail = {"on": True}
+
+    def flaky_sink(task, cfg):
+        inner = ParquetSink(str(tmp_path / "out" / task.table_name))
+
+        def sink(batch, epoch_id):
+            if fail["on"]:
+                raise RuntimeError("transient sink outage")
+            inner(batch, epoch_id)
+
+        return sink
+
+    def source_factory(sp, task, cfg):
+        return file_source(sp, str(tmp_path / "in"))
+
+    app = SinkerApp(
+        spark=spark,
+        checkpoint_root=str(tmp_path / "ckpt"),
+        source_factory=source_factory,
+        sink_factory=flaky_sink,
+    )
+    stop = threading.Event()
+    try:
+        app.apply_config(load_config(_cfg_dict([_task_dict("ta")])))
+        app.watchdog(interval_s=0.5, stop_event=stop, backoff_s=0.2)
+        # the first batches fail -> query dies -> watchdog restarts it
+        assert _await(lambda: app.restarts.get("ta", 0) >= 1, timeout=60)
+        fail["on"] = False  # outage over; a restarted incarnation drains
+        assert _await(
+            lambda: any((tmp_path / "out").rglob("*.parquet")), timeout=90
+        )
+        q = app.queries["ta"]
+        assert _await(lambda: q.isActive or app.queries["ta"] is not q, timeout=30)
+    finally:
+        stop.set()
+        app.stop_all()
