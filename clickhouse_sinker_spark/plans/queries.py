@@ -1014,70 +1014,122 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, queries, "embedding", "vec_id", k=10, bits=6)
 
 
-@query(
-    "text_langid",
+def _langid_oracle_sql() -> str:
+    """DuckDB mirror of langid_expr, generated from the SAME stopword /
+    script tables (functions/text.py) so the two sides cannot drift."""
+    from ..functions.text import SCRIPT_LANGS, SCRIPT_RANGES, STOPWORDS
+
+    def score(words):
+        lst = ",".join(f"'{w}'" for w in words)
+        return (
+            "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            f" t -> t IN ({lst})))"
+        )
+
+    def script(s):
+        cls = "".join(
+            f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in SCRIPT_RANGES[s]
+        )
+        return f"length(text) - length(regexp_replace(text, '[{cls}]', '', 'g'))"
+
+    langs = sorted(STOPWORDS)
+    scores_sql = ",\n           ".join(
+        f"{score(STOPWORDS[l])} AS score_{l}" for l in langs
+    )
+    scripts_sql = ",\n           ".join(
+        f"{script(s)} AS sc_{s}" for s in SCRIPT_RANGES
+    )
+    max_all = "GREATEST(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    stop_case = "CASE WHEN " + max_all + " <= 0 THEN 'und' ELSE CASE "
+    stop_case += " ".join(
+        f"WHEN score_{l} = {max_all} THEN '{l}'" for l in langs
+    )
+    stop_case += " END END"
+    total = " + ".join(f"sc_{s}" for s in SCRIPT_RANGES)
+    cascade = [(s, l) for s, l in SCRIPT_LANGS if s != "kana"]
+    branches = []
+    for i, (s, lang) in enumerate(cascade):
+        rest = [f"sc_{s2}" for s2, _ in cascade[i + 1 :]]
+        if rest:
+            cond = f"sc_{s} >= " + (
+                f"GREATEST({', '.join(rest)})" if len(rest) > 1 else rest[0]
+            )
+            branches.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            branches.append(f"ELSE '{lang}'")
+    script_case = "CASE WHEN sc_kana > 0 THEN 'ja' ELSE CASE " + " ".join(branches) + " END END"
+    pred = (
+        f"CASE WHEN ({total}) > 0 AND ({total}) * 5 >= length(text) "
+        f"THEN {script_case} ELSE {stop_case} END"
+    )
+    return f"""
+    SELECT doc_id, lang, score_en, score_fr, score_de, score_es,
+           CAST(({total}) AS INTEGER) AS n_script,
+           {pred} AS pred_lang
+    FROM (SELECT doc_id, lang, text,
+           {scores_sql},
+           {scripts_sql}
+          FROM documents)
     """
-    SELECT doc_id, lang,
-           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))) AS score_de,
-           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))) AS score_en,
-           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))) AS score_es,
-           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des'))) AS score_fr,
-           CASE WHEN GREATEST(
-                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))),
-                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))),
-                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))),
-                  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des')))) <= 0
-                THEN 'und'
-                ELSE CASE
-                  WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))) = GREATEST(
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))),
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))),
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))),
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des')))) THEN 'de'
-                  WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))) = GREATEST(
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))),
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))),
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))),
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des')))) THEN 'en'
-                  WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))) = GREATEST(
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))),
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))),
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','las','una','es'))),
-                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des')))) THEN 'es'
-                  ELSE 'fr' END END AS pred_lang
-    FROM documents
-    """,
-)
+
+
+@query("text_langid", _langid_oracle_sql())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID by stopword evidence (n-gram heuristic family): integer
-    token-match counts per language, argmax with deterministic tie-break.
-    Pure map-side codegen."""
+    """Language ID, two-stage heuristic (functions/text.py langid_expr):
+    Unicode-script charset evidence for 9 non-Latin-script languages
+    (zh/ja/ko/ru/ar/hi/el/he/th), stopword-token argmax over 12
+    Latin-script languages, integer-only decisions, deterministic
+    tie-breaks.  Pure map-side codegen; the DuckDB oracle is GENERATED
+    from the same stopword/script tables."""
+    from ..functions.text import SCRIPT_RANGES, langid_pred, script_counts
+
     d = _t(spark, sf_dir, "documents")
+    # evidence columns FIRST, pred from the columns (langid_pred scale
+    # note: no CSE across HOF expressions; this is ~3× vs inlining)
     scores = langid_scores(F.col("text"))
-    return d.select(
+    sc = script_counts(F.col("text"))
+    ev = d.select(
         "doc_id",
         "lang",
-        scores["de"].alias("score_de"),
-        scores["en"].alias("score_en"),
-        scores["es"].alias("score_es"),
-        scores["fr"].alias("score_fr"),
-        langid_expr(F.col("text")).alias("pred_lang"),
+        F.length("text").alias("__n"),
+        *[scores[l].alias(f"score_{l}") for l in sorted(scores)],
+        *[sc[s].alias(f"sc_{s}") for s in SCRIPT_RANGES],
+    )
+    col_scores = {l: F.col(f"score_{l}") for l in scores}
+    col_sc = {s: F.col(f"sc_{s}") for s in SCRIPT_RANGES}
+    return ev.select(
+        "doc_id",
+        "lang",
+        "score_en",
+        "score_fr",
+        "score_de",
+        "score_es",
+        sum(col_sc.values(), F.lit(0)).cast("int").alias("n_script"),
+        langid_pred(col_scores, col_sc, F.col("__n")).alias("pred_lang"),
     )
 
 
-@query(
-    "text_quality",
-    """
+def _quality_oracle_sql() -> str:
+    """DuckDB mirror of the quality features; the stopword union is
+    generated from functions/text.py STOPWORDS (de-duplicated, sorted) so
+    both sides count the same token set."""
+    from ..functions.text import STOPWORDS
+
+    union = sorted({w for ws in STOPWORDS.values() for w in ws})
+    lst = ",".join(f"'{w}'" for w in union)
+    return f"""
     SELECT doc_id,
            length(text) AS n_chars,
            CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
            length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
            len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-               t -> t IN ('the','and','of','to','is','le','la','et','les','des','der','die','und','das','ist','el','los','las','una','es'))) AS stopword_hits,
+               t -> t IN ({lst}))) AS stopword_hits,
            CAST(length(text) AS DOUBLE) / (CASE WHEN trim(text) = '' THEN 1 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS mean_token_len
     FROM documents
-    """,
-)
+    """
+
+
+@query("text_quality", _quality_oracle_sql())
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features (length/punct/stopword counts + ratio) —
     integer counts and a ratio of those integers; map-side only."""

@@ -295,3 +295,44 @@ def test_asof_tolerance_is_per_value_column(spark):
     # s came from ts=99 (fresh, within 50s); v only exists at ts=10 (stale)
     assert row.s_asof == "new"
     assert row.v_asof is None
+
+
+def test_langid_scripts_and_languages(spark):
+    """Broadened langid: Unicode-script stage (zh/ja/ko/ru/ar/hi/el/he/th)
+    + 12-language stopword stage, integer-only rules."""
+    from clickhouse_sinker_spark.functions.text import langid_expr
+
+    cases = [
+        ("the cat sat on the mat and it was good", "en"),
+        ("le chat est sur la table et il ne dort pas", "fr"),
+        ("der hund und die katze sind nicht auf dem tisch", "de"),
+        ("el perro y el gato no se ven por la noche", "es"),
+        ("il gatto e il cane non sono una cosa sola ma due", "it"),
+        ("o cachorro e o gato não são um problema para nós", "pt"),
+        ("de hond en de kat zijn niet met een bal aan het spelen", "nl"),
+        ("och det är en katt som inte har varit med om det här", "sv"),
+        ("yang penting adalah bahwa mereka tidak ada di dalam rumah itu", "id"),
+        ("bu bir kedi ve o çok daha iyi bir köpek için geldi", "tr"),
+        ("Это просто русский текст для проверки", "ru"),
+        ("这是一个中文测试文本", "zh"),
+        ("これは日本語のテストです", "ja"),  # kana beats han
+        ("한국어 테스트 문장입니다", "ko"),
+        ("هذا نص عربي للاختبار", "ar"),
+        ("यह एक हिंदी परीक्षण वाक्य है", "hi"),
+        ("αυτό είναι ένα ελληνικό κείμενο", "el"),
+        ("זהו טקסט בעברית לבדיקה", "he"),
+        ("นี่คือข้อความภาษาไทยสำหรับการทดสอบ", "th"),
+        ("zxqj wvk ppt qqq", "und"),  # no evidence anywhere
+        ("", "und"),
+    ]
+    df = spark.createDataFrame([(t, e) for t, e in cases], "text string, expected string")
+    got = df.select("expected", langid_expr("text").alias("pred")).collect()
+    wrong = [(r["expected"], r["pred"]) for r in got if r["expected"] != r["pred"]]
+    assert not wrong, f"mispredicted: {wrong}"
+    # script stage needs >=20% non-Latin chars: a long English text with one
+    # CJK char stays English
+    mostly_en = "the quick brown fox jumps over the lazy dog again 字"
+    row = spark.createDataFrame([(mostly_en,)], "text string").select(
+        langid_expr("text").alias("p")
+    ).first()
+    assert row["p"] == "en"
