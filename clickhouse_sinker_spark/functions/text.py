@@ -23,9 +23,12 @@ __all__ = [
     "langid_scores",
     "script_counts",
     "script_char_count",
+    "bpe_pretokens",
+    "winnow_fingerprints",
     "STOPWORDS",
     "SCRIPT_RANGES",
     "SCRIPT_LANGS",
+    "BPE_PRETOKEN_RE",
 ]
 
 # Per-language stopword evidence sets (public knowledge: high-frequency
@@ -229,6 +232,59 @@ def langid_expr(col: Column | str) -> Column:
     evidence columns first, see langid_pred's scale note)."""
     c = F.col(col) if isinstance(col, str) else col
     return langid_pred(langid_scores(c), script_counts(c), F.length(c))
+
+
+# GPT-2-style pre-tokenizer split pattern, restricted to the syntax subset
+# shared by Java regex (Spark) and RE2 (DuckDB/ClickHouse): no lookahead, so
+# the original pattern's `\s+(?!\S)` trailing-space rule is dropped — a
+# space run before a word attaches to the word (` ?\p{L}+`), other space
+# runs become their own tokens.  Both engines use leftmost-FIRST alternation
+# (RE2's default mode), so alternative order is semantic: contractions
+# before letter runs.  Known (accepted) engine delta: Java's `\s` includes
+# \x0B, RE2's does not — vertical tabs don't occur in the corpus.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    """BPE-ish sub-word pre-tokenization (the merge-free first stage every
+    BPE tokenizer runs): split text into contraction / letter-run /
+    digit-run / punctuation-run / whitespace pieces with one
+    ``regexp_extract_all`` pass.  Pure column expression — JVM-side, no
+    UDF; the pattern is RE2-compatible so a SQL oracle reproduces the
+    exact token sequence."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def winnow_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local fingerprinting algorithm — public, SIGMOD'03): hash every char
+    ``k``-gram, slide a window of ``w`` consecutive hashes, keep the
+    minimum of each window, return the DISTINCT selected hashes as
+    ``array<bigint>``.  Guarantees: any shared substring of length
+    ``k + w - 1`` between two documents yields at least one shared
+    fingerprint, so matching on fingerprint overlap finds local (partial)
+    duplication that whole-document hashing misses.
+
+    Built on :func:`~..functions.hashing.md5_hash60` so DuckDB recomputes
+    identical hashes.  All array ops are codegen'd higher-order functions —
+    map-side only, O(len·w) per row, no shuffle.  Texts shorter than ``k``
+    hash as a single gram; fewer than ``w`` grams collapse to one window.
+    """
+    from .hashing import md5_hash60
+
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
+    n = F.length(c) - F.lit(k - 1)
+    grams = F.when(n <= 0, F.array(c)).otherwise(
+        F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+    )
+    hashes = F.transform(grams, md5_hash60)
+    m = F.size(hashes) - F.lit(w - 1)
+    wins = F.when(m <= 0, F.array(F.array_min(hashes))).otherwise(
+        F.transform(F.sequence(F.lit(1), m), lambda j: F.array_min(F.slice(hashes, j, w)))
+    )
+    return F.array_distinct(wins)
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:

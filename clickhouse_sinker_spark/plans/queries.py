@@ -33,7 +33,16 @@ from ..functions.casts import (
     valid_ip_or_default,
 )
 from ..functions.hashing import fingerprint_md5, shard_knuth, shard_stripe
-from ..functions.text import STOPWORDS, langid_expr, langid_scores, quality_features, token_count
+from ..functions.text import (
+    BPE_PRETOKEN_RE,
+    STOPWORDS,
+    bpe_pretokens,
+    langid_expr,
+    langid_scores,
+    quality_features,
+    token_count,
+    winnow_fingerprints,
+)
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_dup
 from ..operators.project import ColumnSpec, apply_projection
 from ..operators.sharding import ShardingPolicy, add_shard_column
@@ -1195,6 +1204,108 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5(F.col("text")).alias("fp_full"),
         fingerprint_md5(F.lower(F.trim(F.col("text")))).alias("fp_norm"),
         F.substring(fingerprint_md5(F.col("text")), 1, 8).alias("fp_short"),
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB mirror of the BPE pre-tokenizer — the same RE2-safe pattern
+    (single quotes doubled for the SQL literal), same leftmost-first
+    alternation semantics."""
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '{pat}') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ts) AS n_bpe,
+           len(list_distinct(ts)) AS n_unique_bpe,
+           len(list_filter(ts, t -> regexp_matches(t, '^ ?[\\p{{L}}]+$'))) AS n_word,
+           len(list_filter(ts, t -> regexp_matches(t, '^ ?[\\p{{N}}]+$'))) AS n_num,
+           len(list_filter(ts, t -> regexp_matches(t, '^''(s|t|re|ve|m|ll|d)$'))) AS n_contraction,
+           CAST(len(list_distinct(ts)) AS DOUBLE)
+             / (CASE WHEN len(ts) > 0 THEN len(ts) ELSE 1 END) AS bpe_ttr
+    FROM toks
+    """
+
+
+@query("text_bpe_tokens", _bpe_oracle_sql())
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word tokenization stats: GPT-2-style regex pre-split
+    (contractions / letter runs / digit runs / punct runs / whitespace),
+    counted by category.  One regexp_extract_all pass materialized as a
+    column, then pure integer list ops — map-side only, codegen'd, no UDF.
+    The token-class filters re-anchor on the same RE2-safe classes so the
+    DuckDB oracle reproduces every count."""
+    d = _t(spark, sf_dir, "documents")
+    ts = d.select("doc_id", bpe_pretokens("text").alias("__ts"))
+    n_bpe = F.size("__ts").cast("bigint")
+    nz = F.when(n_bpe > 0, n_bpe).otherwise(F.lit(1)).cast("double")
+    return ts.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        F.size(F.array_distinct("__ts")).cast("bigint").alias("n_unique_bpe"),
+        F.size(F.filter("__ts", lambda t: t.rlike(r"^ ?[\p{L}]+$"))).cast("bigint").alias("n_word"),
+        F.size(F.filter("__ts", lambda t: t.rlike(r"^ ?[\p{N}]+$"))).cast("bigint").alias("n_num"),
+        F.size(F.filter("__ts", lambda t: t.rlike(r"^'(s|t|re|ve|m|ll|d)$"))).cast("bigint").alias("n_contraction"),
+        (F.size(F.array_distinct("__ts")).cast("double") / nz).alias("bpe_ttr"),
+    )
+
+
+@query(
+    "text_winnow_fingerprint",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), hs AS (
+      SELECT doc_id, length(t) AS n_chars_norm,
+             CASE WHEN length(t) - 4 <= 0
+                  THEN [('0x' || substr(md5(t), 1, 15))::BIGINT]
+                  ELSE list_transform(range(1, length(t) - 3),
+                         i -> ('0x' || substr(md5(substr(t, i::INT, 5)), 1, 15))::BIGINT)
+             END AS h
+      FROM norm
+    ), fps AS (
+      SELECT doc_id, n_chars_norm,
+             list_distinct(CASE WHEN len(h) - 3 <= 0
+                  THEN [list_min(h)]
+                  ELSE list_transform(range(1, len(h) - 2), j -> list_min(h[j:j+3]))
+             END) AS f
+      FROM hs
+    )
+    SELECT doc_id, n_chars_norm,
+           len(f) AS n_fps,
+           list_min(f) AS min_fp,
+           list_reduce(f, (a, b) -> xor(a, b)) AS xor_fp
+    FROM fps
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints over whitespace-normalized
+    text: char 5-gram md5_hash60 hashes, window-of-4 minima, distinct
+    selection — any shared substring of length 8 between two docs shares a
+    fingerprint.  Output is the hashable per-doc summary (count / min /
+    xor-fold of the selected set); the array itself stays engine-side for
+    overlap joins.  Map-side only, no shuffle, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+        ).alias("__t"),
+    )
+    fps = norm.select(
+        "doc_id",
+        F.length("__t").cast("bigint").alias("n_chars_norm"),
+        winnow_fingerprints(F.col("__t"), k=5, w=4).alias("__fps"),
+    )
+    return fps.select(
+        "doc_id",
+        "n_chars_norm",
+        F.size("__fps").cast("bigint").alias("n_fps"),
+        F.array_min("__fps").alias("min_fp"),
+        F.aggregate("__fps", F.lit(0).cast("long"), lambda a, b: a.bitwiseXOR(b)).alias("xor_fp"),
     )
 
 
