@@ -25,6 +25,7 @@ __all__ = [
     "script_char_count",
     "bpe_pretokens",
     "winnow_fingerprints",
+    "winnow_fingerprints_tokens",
     "STOPWORDS",
     "SCRIPT_RANGES",
     "SCRIPT_LANGS",
@@ -278,6 +279,38 @@ def winnow_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
     n = F.length(c) - F.lit(k - 1)
     grams = F.when(n <= 0, F.array(c)).otherwise(
         F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+    )
+    hashes = F.transform(grams, md5_hash60)
+    m = F.size(hashes) - F.lit(w - 1)
+    wins = F.when(m <= 0, F.array(F.array_min(hashes))).otherwise(
+        F.transform(F.sequence(F.lit(1), m), lambda j: F.array_min(F.slice(hashes, j, w)))
+    )
+    return F.array_distinct(wins)
+
+
+def winnow_fingerprints_tokens(toks: Column, n: int = 4, w: int = 4) -> Column:
+    """Word-level winnowing: positional ``n``-word shingle hashes (NOT
+    distinct — winnowing needs the positional sequence), window-of-``w``
+    minima, distinct selection.  Far more selective than char-gram
+    winnowing on natural text (shingle collisions across unrelated docs
+    are rare), which is what makes the fingerprint-bucket join small:
+    measured on the sf0.01 corpus, char-5-grams put the average
+    fingerprint in 45 docs; word-4-grams in 1.06.  Guarantee: any shared
+    run of ``n + w - 1`` consecutive words yields a shared fingerprint.
+
+    ``toks`` must be a materialized ``array<string>`` column (see
+    :func:`shingles_from_tokens` for the no-CSE-in-lambdas scale note).
+    """
+    from .hashing import md5_hash60
+
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
     )
     hashes = F.transform(grams, md5_hash60)
     m = F.size(hashes) - F.lit(w - 1)

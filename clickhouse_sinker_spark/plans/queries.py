@@ -42,6 +42,7 @@ from ..functions.text import (
     quality_features,
     token_count,
     winnow_fingerprints,
+    winnow_fingerprints_tokens,
 )
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_dup
 from ..operators.project import ColumnSpec, apply_projection
@@ -1306,6 +1307,96 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__fps").cast("bigint").alias("n_fps"),
         F.array_min("__fps").alias("min_fp"),
         F.aggregate("__fps", F.lit(0).cast("long"), lambda a, b: a.bitwiseXOR(b)).alias("xor_fp"),
+    )
+
+
+@query(
+    "dedup_winnow_overlap",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS ws
+      FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) - 3 <= 0
+                  THEN [('0x' || substr(md5(array_to_string(ws, ' ')), 1, 15))::BIGINT]
+                  ELSE list_transform(range(1, len(ws) - 2),
+                         i -> ('0x' || substr(md5(ws[i::INT] || ' ' || ws[(i+1)::INT] || ' '
+                                || ws[(i+2)::INT] || ' ' || ws[(i+3)::INT]), 1, 15))::BIGINT)
+             END AS h
+      FROM norm
+    ), fps AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(h) - 3 <= 0
+                  THEN [list_min(h)]
+                  ELSE list_transform(range(1, len(h) - 2), j -> list_min(h[j:j+3]))
+             END) AS f
+      FROM hs
+    ), ex AS (
+      SELECT doc_id, unnest(f) AS fp FROM fps
+    ), kept AS (
+      SELECT ex.doc_id, ex.fp FROM ex
+      JOIN (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 100) ok USING (fp)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, p.n_shared, fa.nf AS n_a, fb.nf AS n_b,
+           CAST(p.n_shared AS DOUBLE) / least(fa.nf, fb.nf) AS containment
+    FROM pairs p
+    JOIN (SELECT doc_id, len(f) AS nf FROM fps) fa ON p.id_a = fa.doc_id
+    JOIN (SELECT doc_id, len(f) AS nf FROM fps) fb ON p.id_b = fb.doc_id
+    WHERE 2 * p.n_shared >= least(fa.nf, fb.nf)
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate pairs via shared winnowing fingerprints — catches
+    LOCAL duplication (a copied section, shared boilerplate) that
+    whole-document hashing and even MinHash-over-full-doc miss.  Word-4-gram
+    winnowing (window 4) is the index: any shared 7-word run guarantees a
+    shared fingerprint.
+
+    100 TB shape: explode fingerprints → frequency-capped equi-join on the
+    fingerprint (a ≤100-doc cap bounds each bucket at B² pairs and drops
+    corpus-wide boilerplate — the standard stop-fingerprint guard; at
+    sf0.01 the hottest word-4-gram fingerprint touches 3 docs) → per-pair
+    shared count → containment vs the smaller doc's fingerprint set.  All
+    shuffles are equi-keyed; no all-pairs path.  The containment threshold
+    is cross-multiplied (``2*n_shared >= min``) so the filter is integer —
+    the emitted double is derived from the same ints, bit-exact in the
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+").alias("__ws"),
+    )
+    fps = norm.select(
+        "doc_id", winnow_fingerprints_tokens(F.col("__ws"), n=4, w=4).alias("__fps")
+    ).persist()
+    nf = fps.select("doc_id", F.size("__fps").cast("bigint").alias("nf"))
+    ex = fps.select("doc_id", F.explode("__fps").alias("fp"))
+    ok = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("__c")).filter(F.col("__c") <= 100).select("fp")
+    kept = ex.join(ok, "fp")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(nf.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nf", "n_a"), "id_a")
+        .join(nf.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nf", "n_b"), "id_b")
+        .filter(2 * F.col("n_shared") >= F.least("n_a", "n_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared").cast("double") / F.least("n_a", "n_b")).alias("containment"),
+        )
     )
 
 

@@ -117,3 +117,12 @@ def test_range_join_is_window_not_self_join(spark):
         1 for l in plan.splitlines() if l.startswith("(") and "Exchange" in l
     )
     assert n_exchanges == 1, plan
+
+
+def test_winnow_overlap_no_cartesian_no_udf(spark):
+    """dedup_winnow_overlap's candidate generation must be an equi-join on
+    the fingerprint (bucketed index), never a cartesian pair space, and
+    the whole pipeline stays JVM-side (no Python UDF)."""
+    plan = plan_of(QUERIES["dedup_winnow_overlap"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
