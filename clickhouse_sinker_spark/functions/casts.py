@@ -201,9 +201,17 @@ def parse_datetime_any(col: Column | str, layouts: list[str] | None = None) -> C
     """
     c = F.col(col) if isinstance(col, str) else col
     layouts = layouts or DATETIME_LAYOUTS
+    # Fast path: try the raw string first.  ``_prenormalize`` is strictly
+    # widening (strings that parse raw are untouched by every rule), so a
+    # raw success is always the same result the normalized chain would give
+    # — but the common case (well-formed RFC3339, the ETL hot path) now
+    # costs one try_to_timestamp instead of three regexp_replaces plus one.
+    # Day-name/GMT/padded strings fail every raw attempt (no layout admits
+    # an EEE prefix) and fall through to the normalized chain unchanged.
+    raw = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in layouts]
     pre = _prenormalize(c)
-    attempts = [F.try_to_timestamp(pre, F.lit(fmt)) for fmt in layouts]
-    return F.coalesce(*attempts)
+    normalized = [F.try_to_timestamp(pre, F.lit(fmt)) for fmt in layouts]
+    return F.coalesce(*raw, *normalized)
 
 
 def epoch_to_timestamp(col: Column | str, time_unit: float = 1.0) -> Column:

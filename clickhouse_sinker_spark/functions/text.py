@@ -17,6 +17,9 @@ __all__ = [
     "char_ngrams",
     "word_shingles",
     "shingles_from_tokens",
+    "positional_ngrams",
+    "pii_patterns",
+    "pii_scrub",
     "token_count",
     "quality_features",
     "langid_expr",
@@ -120,6 +123,55 @@ def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
             )
         )
     )
+
+
+def positional_ngrams(toks: Column | str, n: int = 2) -> Column:
+    """Word n-grams WITH repeats (positional, not the distinct shingle set)
+    — the unit for repetition-quality stats (Gopher-style "fraction of
+    characters in the most common n-gram" rules count every occurrence).
+    Fewer than ``n`` tokens → empty array.  Same no-CSE-in-lambdas caveat
+    as :func:`shingles_from_tokens`: pass a materialized token column."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, and \b word boundaries
+# only — no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "longnum": r"\b\d{9,}\b",  # id/phone/account-shaped digit runs
+}
+
+
+def pii_patterns() -> dict[str, str]:
+    """The engine-portable PII regex set (email / IPv4 / long digit run)."""
+    return dict(PII_PATTERNS)
+
+
+def pii_scrub(col: Column | str) -> dict[str, Column]:
+    """PII detection + redaction as pure column expressions: per-category
+    match counts on the original text plus a ``scrubbed`` column with each
+    match replaced by its ``[CATEGORY]`` tag.  Redaction order is fixed
+    (email → ipv4 → longnum) so nested-ish matches resolve identically on
+    every engine.  Map-side only — no shuffle, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    scrubbed = c
+    for name, pat in PII_PATTERNS.items():
+        out[f"n_{name}"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("bigint")
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{name.upper()}]")
+    out["scrubbed"] = scrubbed
+    return out
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

@@ -39,7 +39,9 @@ from ..functions.text import (
     bpe_pretokens,
     langid_expr,
     langid_scores,
+    positional_ngrams,
     quality_features,
+    shingles_from_tokens,
     token_count,
     winnow_fingerprints,
     winnow_fingerprints_tokens,
@@ -1159,6 +1161,235 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS w FROM t
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+    ), per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+             CAST(MAX(c) AS BIGINT) AS top_word_n
+      FROM wc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+               ELSE [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] END) AS g
+      FROM t
+    ), bgt AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+      FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g) GROUP BY doc_id
+    ), tg AS (
+      SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+               ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)] END) AS g
+      FROM t
+    ), tgt AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_trigram_n
+      FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g) GROUP BY doc_id
+    )
+    SELECT per.doc_id, n_words, n_distinct_words, top_word_n,
+           coalesce(top_bigram_n, 0) AS top_bigram_n,
+           coalesce(top_trigram_n, 0) AS top_trigram_n,
+           CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+           CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+           CASE WHEN n_words >= 2
+                THEN CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / CAST(n_words - 1 AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN n_words >= 3
+                THEN CAST(coalesce(top_trigram_n, 0) AS DOUBLE) / CAST(n_words - 2 AS DOUBLE)
+                ELSE 0.0 END AS top_trigram_frac
+    FROM per LEFT JOIN bgt USING (doc_id) LEFT JOIN tgt USING (doc_id)
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality stats (Rae et al. 2021 §A1.1 rules,
+    word-level): most-common word / bigram / trigram occurrence fractions
+    and duplicate-word fraction — the filters that catch boilerplate and
+    degenerate repetition in a pretraining corpus.  Shape at scale: two
+    narrow groupBys per n-gram order keyed by (doc_id, gram) then doc_id —
+    partial aggregation everywhere, group sizes bounded by document length,
+    no joins wider than doc_id.  All fractions are ratios of exact integer
+    counts → bit-stable on any engine."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+            lambda w: w != "",
+        ).alias("__ws"),
+    )
+    words = base.select("doc_id", F.explode("__ws").alias("w"))
+    per = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("top_word_n"),
+        )
+    )
+
+    def _top_ngram(n: int, alias: str) -> DataFrame:
+        grams = base.select("doc_id", F.explode(positional_ngrams(F.col("__ws"), n)).alias("g"))
+        return (
+            grams.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(alias))
+        )
+
+    joined = per.join(_top_ngram(2, "top_bigram_n"), "doc_id", "left").join(
+        _top_ngram(3, "top_trigram_n"), "doc_id", "left"
+    )
+    nw = F.col("n_words")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "top_word_n",
+        F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+        F.coalesce("top_trigram_n", F.lit(0)).alias("top_trigram_n"),
+        (F.col("top_word_n").cast("double") / nw.cast("double")).alias("top_word_frac"),
+        ((nw - F.col("n_distinct_words")).cast("double") / nw.cast("double")).alias("dup_word_frac"),
+        F.when(
+            nw >= 2,
+            F.coalesce("top_bigram_n", F.lit(0)).cast("double") / (nw - 1).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(
+            nw >= 3,
+            F.coalesce("top_trigram_n", F.lit(0)).cast("double") / (nw - 2).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("top_trigram_frac"),
+    )
+
+
+@query(
+    "decontam_ngram_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                    ELSE [array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws) - 3)] END)) AS s
+      FROM t
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+    ), cand AS (
+      SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(b.s) AS BIGINT) AS n_overlap,
+           count(b.s) > 0 AS contaminated
+    FROM cand c LEFT JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    5-gram with a held-out benchmark set (here: every 50th doc stands in
+    for the benchmark) — the standard n-gram-overlap decontamination step
+    of pretraining pipelines (GPT-3 appendix C / PaLM §6.1 methodology).
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (real benchmark suites are thousands of docs), so it broadcasts; the
+    corpus side is one narrow groupBy on doc_id — no corpus-wide shuffle
+    on shingles."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+            lambda w: w != "",
+        ).alias("__ws"),
+    )
+    sh = base.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("__ws"), 5)).alias("s")
+    )
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct().withColumn("__hit", F.lit(1))
+    )
+    cand = sh.filter(F.col("doc_id") % 50 != 0)
+    return (
+        cand.join(bench, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "etl_pii_scrub",
+    """
+    WITH src AS (
+      SELECT event_id,
+             'contact user' || CAST(user_id AS VARCHAR) || '@example.com from 10.0.'
+               || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR)
+               || ' acct ' || CAST(900000000 + event_id AS VARCHAR) || ' ref ' || props AS txt
+      FROM events WHERE event_id < 20000
+    )
+    SELECT event_id,
+           CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(txt, '\\b\\d{9,}\\b')) AS BIGINT) AS n_longnum,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IPV4]', 'g'),
+             '\\b\\d{9,}\\b', '[LONGNUM]', 'g') AS scrubbed
+    FROM src
+    """,
+)
+def etl_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email / IPv4 / long digit runs) over a
+    deterministically constructed payload — both engines synthesize the
+    same PII-bearing string from event columns, so the regex-dialect
+    equivalence (Java vs RE2) is exercised on real matches, not vacuous
+    zero counts.  Pure map-side column expressions; the redaction chain is
+    order-fixed (email → ipv4 → longnum)."""
+    from ..functions.text import pii_scrub
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    txt = F.concat(
+        F.lit("contact user"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(" acct "),
+        (F.lit(900000000) + F.col("event_id")).cast("string"),
+        F.lit(" ref "),
+        F.col("props"),
+    )
+    src = e.select("event_id", txt.alias("txt"))
+    cols = pii_scrub("txt")
+    return src.select(
+        "event_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_longnum"].alias("n_longnum"),
+        cols["scrubbed"].alias("scrubbed"),
+    )
+
+
+@query(
     "text_tokens",
     """
     SELECT doc_id,
@@ -1459,6 +1690,46 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", block_cols=("lang",), len_col="n_chars", bucket=16, max_dist=24
     )
     return connected_components(pairs, d, id_col="doc_id")
+
+
+@query(
+    "dedup_components_star",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 1 AND a.doc_id // 100 = b.doc_id // 100
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), cc AS (
+      SELECT doc_id AS node, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS node, cc.comp FROM cc JOIN edges e ON cc.node = e.src
+    )
+    SELECT node AS doc_id, MIN(comp) AS component FROM cc GROUP BY node
+    """,
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al. SoCC'14) — the O(log n)-round swap for
+    HIGH-DIAMETER graphs where min-label propagation needs O(diameter)
+    rounds.  Driven here over a worst-case input for the plain loop:
+    chain edges (doc_id → doc_id+1 within blocks of 100), i.e. path
+    components of diameter ~99 that star contraction collapses in ~7
+    rounds.  The oracle is the same recursive-CTE reachability fixpoint
+    as ``dedup_components`` — both algorithms must land on identical
+    (node, min-member) labels."""
+    from ..operators.dedup import connected_components_star
+
+    d = _t(spark, sf_dir, "documents")
+    chain = d.alias("a").join(
+        d.alias("b"),
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.floor(F.col("a.doc_id") / 100) == F.floor(F.col("b.doc_id") / 100)),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return connected_components_star(chain, d, id_col="doc_id")
 
 
 @query(
@@ -3294,11 +3565,21 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(d, "payload", "doc_id")
 
 
-@query("mm_resize_images")
+@query(
+    "mm_resize_images",
+    """
+    SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+           CAST(64 AS INTEGER) AS n_bytes
+    FROM documents
+    """,
+)
 def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (mapInPandas, partition-local, binary in/out).
-    Rows-only check: binary column equality is exercised in pytest
-    determinism tests instead of the SQL oracle."""
+    The deterministic fake re-encoder emits exactly width*height//64 bytes
+    per row (64 for the 64x64 contract), so the scalar projection
+    (id, w, h, octet_length) IS SQL-expressible — the oracle pins row
+    coverage, constants, and output length; binary-content equality is
+    exercised in pytest determinism tests."""
     from ..operators.multimodal import resize_images
 
     d = _t(spark, sf_dir, "documents").select(

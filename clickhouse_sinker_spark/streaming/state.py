@@ -38,6 +38,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 __all__ = [
     "series_dedup_stream",
+    "series_dedup_stream_tws",
     "series_dedup_batch_join",
     "dedup_offsets_stream",
 ]
@@ -77,6 +78,64 @@ def series_dedup_stream(df: DataFrame, output_schema: str | StructType) -> DataF
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def series_dedup_stream_tws(
+    df: DataFrame,
+    output_schema: str | StructType,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Series dedup on the ``transformWithStateInPandas`` API (Spark 4's
+    successor to ``applyInPandasWithState``): same (sid, mid)-transition
+    semantics as :func:`series_dedup_stream`, plus native per-state TTL —
+    the direct analogue of the reference's ActiveSeriesRange eviction
+    (task/sinker.go:561-718) without a timer loop: pass ``ttl_ms`` and the
+    state store expires idle series itself, so a series returning after
+    the window re-emits (exactly the reference's re-announce behavior).
+
+    Requires the RocksDB state store provider (the scale-path provider
+    anyway: changelog-checkpointed, spills to disk, per-key TTL is O(1))
+    and the ``protobuf`` package (the API's state-server wire protocol) —
+    a gated contract in containers without it, same pattern as the
+    optional multimodal decoders; :func:`series_dedup_stream` is the
+    always-available fallback with identical transition semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SeriesDedup(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mid = handle.getValueState("mid", _STATE_SCHEMA, ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prior = self._mid.get()
+            last_mid = prior[0] if prior is not None else None
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values("__mgmt_id__")
+                changed = (
+                    pdf[pdf["__mgmt_id__"] != last_mid] if last_mid is not None else pdf
+                )
+                changed = changed.drop_duplicates(subset=["__mgmt_id__"], keep="first")
+                if len(changed):
+                    last_mid = int(changed["__mgmt_id__"].iloc[-1])
+                    out.append(changed)
+            if last_mid is not None:
+                self._mid.update((last_mid,))
+            if out:
+                yield pd.concat(out)
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy("__series_id__").transformWithStateInPandas(
+        statefulProcessor=_SeriesDedup(),
+        outputStructType=output_schema,
+        outputMode="append",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
 
 

@@ -147,6 +147,55 @@ def test_connected_components_chain_and_isolate(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
 
 
+def test_connected_components_star_matches_plain(spark):
+    """Large-star/small-star contraction must produce the same
+    (node, min-member) labels as min-label propagation — checked on a
+    40-hop path (worst case for label propagation), a pair, an isolated
+    node, and a triangle merged with the chain's tail."""
+    import random
+
+    from clickhouse_sinker_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 50
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    chain = [(i, i + 1) for i in range(2, 42)]  # path 2..42, diameter 40
+    extra = [(45, 46), (42, 47), (47, 48), (48, 42)]  # pair + triangle on tail
+    rng = random.Random(7)
+    edges_rows = chain + extra
+    rng.shuffle(edges_rows)
+    edges = spark.createDataFrame(edges_rows, "id_a bigint, id_b bigint")
+
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(edges, nodes).collect()
+    }
+    plain = {
+        r["id"]: r["component"] for r in connected_components(edges, nodes).collect()
+    }
+    assert star == plain
+    assert star[42] == 2 and star[48] == 2 and star[46] == 45 and star[0] == 0
+
+
+def test_connected_components_star_round_count(spark):
+    """The point of the star swap: a diameter-d path must converge in
+    O(log d) contraction rounds, not O(d) — pin it well under d."""
+    from clickhouse_sinker_spark.operators import dedup as dd
+
+    nodes = spark.createDataFrame([(i,) for i in range(64)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a bigint, id_b bigint"
+    )
+    # cap the loop at 8 rounds: converging on a diameter-63 path inside
+    # that budget is only possible with logarithmic contraction (label
+    # propagation would need 63 rounds and return wrong labels here)
+    got = dd.connected_components_star(edges, nodes, max_iters=8)
+    labels = {r["id"]: r["component"] for r in got.collect()}
+    assert labels == {i: 0 for i in range(64)}
+
+
 def test_trained_ivf_search_recall_and_persistence(spark, tmp_path):
     """Train the coarse quantizer once, persist it, reload, search with
     nprobe=2 — recall@10 vs exact cosine must stay high, and results are
@@ -336,3 +385,61 @@ def test_langid_scripts_and_languages(spark):
         langid_expr("text").alias("p")
     ).first()
     assert row["p"] == "en"
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    """Crafted PII edge cases: emails with subdomains/plus-tags, IPv4 vs
+    version-string lookalikes, long digit runs vs short ids — counts and
+    redaction must agree with hand-computed expectations."""
+    from clickhouse_sinker_spark.functions.text import pii_scrub
+
+    cases = [
+        # (text, n_email, n_ipv4, n_longnum, scrubbed)
+        (
+            "mail a.b+tag@sub.example.co.uk now",
+            1, 0, 0, "mail [EMAIL] now",
+        ),
+        (
+            "hosts 10.0.0.1 and 192.168.255.254, version 1.2.3 stays",
+            0, 2, 0, "hosts [IPV4] and [IPV4], version 1.2.3 stays",
+        ),
+        (
+            "acct 123456789 short 12345678 ssn-ish 987654321",
+            0, 0, 2, "acct [LONGNUM] short 12345678 ssn-ish [LONGNUM]",
+        ),
+        (
+            "x@y.io at 8.8.8.8 ref 9999999999",
+            1, 1, 1, "[EMAIL] at [IPV4] ref [LONGNUM]",
+        ),
+        ("no pii here", 0, 0, 0, "no pii here"),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in cases], "txt string")
+    cols = pii_scrub("txt")
+    got = df.select(
+        "txt",
+        cols["n_email"].alias("e"),
+        cols["n_ipv4"].alias("i"),
+        cols["n_longnum"].alias("l"),
+        cols["scrubbed"].alias("s"),
+    ).collect()
+    by_txt = {r["txt"]: r for r in got}
+    for txt, e, i, l, s in cases:
+        r = by_txt[txt]
+        assert (r["e"], r["i"], r["l"], r["s"]) == (e, i, l, s), (
+            f"{txt!r}: got {(r['e'], r['i'], r['l'], r['s'])}"
+        )
+
+
+def test_positional_ngrams_counts_repeats(spark):
+    """Positional n-grams keep every occurrence (unlike the distinct
+    shingle set) and go empty below n tokens."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.functions.text import positional_ngrams
+
+    df = spark.createDataFrame(
+        [("a b a b a",), ("solo",), ("",)], "txt string"
+    ).select(F.filter(F.split("txt", " "), lambda w: w != "").alias("ws"))
+    got = [r["g"] for r in df.select(positional_ngrams("ws", 2).alias("g")).collect()]
+    assert got[0] == ["a b", "b a", "a b", "b a"]  # repeats preserved
+    assert got[1] == [] and got[2] == []

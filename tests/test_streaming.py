@@ -521,3 +521,71 @@ def test_streaming_session_window(spark, workdir):
         ("u1", "2024-01-01 00:00:00"): 2,
         ("u1", "2024-01-01 00:10:00"): 1,
     }, got
+
+
+def test_f3_series_dedup_transform_with_state(spark, workdir):
+    """Same F3 contract on the transformWithStateInPandas API (Spark 4
+    stateful processor + RocksDB state store): 100 datapoints over 10
+    series → 10 rows; a mid change re-emits each series once across a
+    checkpointed restart of the query.
+
+    The API's state-server protocol needs protobuf, which this container
+    does not ship — skipped here, exercised wherever protobuf exists
+    (same gated-contract pattern as the PIL/librosa decoders)."""
+    pytest.importorskip("google.protobuf")
+    from clickhouse_sinker_spark.streaming.state import series_dedup_stream_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = [
+            {"__series_id__": i % 10, "__mgmt_id__": 1, "v": float(i)}
+            for i in range(100)
+        ]
+        _write_jsonl(workdir / "in" / "a.jsonl", rows)
+        raw = (
+            spark.readStream.format("text").load(str(workdir / "in"))
+            .select(F.from_json("value", "__series_id__ long, __mgmt_id__ long, v double").alias("m"))
+            .select("m.*")
+        )
+        dedup = series_dedup_stream_tws(
+            raw, "__series_id__ long, __mgmt_id__ long, v double"
+        )
+
+        def run_once():
+            q = (
+                dedup.writeStream.format("parquet")
+                .option("path", str(workdir / "out" / "series_tws"))
+                .option("checkpointLocation", str(workdir / "ckpt" / "f3tws"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        out = spark.read.parquet(str(workdir / "out" / "series_tws"))
+        assert out.count() == 10
+        # mid change re-emits once per series, state survives the restart
+        _write_jsonl(
+            workdir / "in" / "b.jsonl",
+            [{"__series_id__": i % 10, "__mgmt_id__": 2, "v": 0.0} for i in range(50)],
+        )
+        run_once()
+        out2 = spark.read.parquet(str(workdir / "out" / "series_tws"))
+        assert out2.count() == 20
+        assert out2.filter(F.col("__mgmt_id__") == 2).count() == 10
+        # steady state: replaying unchanged mids emits nothing
+        _write_jsonl(
+            workdir / "in" / "c.jsonl",
+            [{"__series_id__": i % 10, "__mgmt_id__": 2, "v": 1.0} for i in range(30)],
+        )
+        run_once()
+        assert spark.read.parquet(str(workdir / "out" / "series_tws")).count() == 20
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
