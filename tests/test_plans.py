@@ -126,3 +126,30 @@ def test_winnow_overlap_no_cartesian_no_udf(spark):
     plan = plan_of(QUERIES["dedup_winnow_overlap"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontam_broadcasts_benchmark_side(spark):
+    """decontam_ngram_overlap must broadcast the (small) benchmark shingle
+    set — the corpus side must NOT shuffle on shingle — and stay JVM-side."""
+    plan = plan_of(QUERIES["decontam_ngram_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_quality_partial_agg_no_join_wider_than_doc(spark):
+    """text_repetition_quality: every join key is doc_id (no gram-keyed
+    join), aggregation is partial (map-side combine before each shuffle),
+    and no Python UDF."""
+    plan = plan_of(QUERIES["text_repetition_quality"](spark, SF_DIR))
+    assert "partial" in plan.lower(), plan  # HashAggregate(partial) stages
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_scrub_is_single_stage_map(spark):
+    """etl_pii_scrub is pure projection: no Exchange, no aggregate, no UDF
+    — one codegen'd map stage over the scan."""
+    plan = plan_of(QUERIES["etl_pii_scrub"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
