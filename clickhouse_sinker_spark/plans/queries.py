@@ -1390,6 +1390,96 @@ def etl_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mix_sample",
+    """
+    WITH rates AS (
+      SELECT * FROM (VALUES ('en', 500000), ('zh', 1000000), ('de', 1000000),
+                            ('es', 1000000), ('fr', 1000000)) r(lang, keep_ppm)
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u_ppm
+    FROM documents d JOIN rates USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < rates.keep_ppm
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing / language rebalancing: per-language
+    keep rates (here: downsample English to 50%, keep the rest) applied by
+    hash-Bernoulli — a doc survives iff md5(doc_id) mod 1e6 < rate_ppm.
+    This is the standard reproducible sampling step of pretraining data
+    mixes: no RNG state, identical output on every run/engine/partition
+    layout, and sampling decisions are local (pure filter + broadcast of
+    the tiny rate table — no shuffle of the corpus).  Languages absent
+    from the rate table drop out (inner join), mirroring an explicit data
+    budget."""
+    from ..functions.hashing import md5_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 500000), ("zh", 1000000), ("de", 1000000), ("es", 1000000), ("fr", 1000000)],
+        "lang string, keep_ppm bigint",
+    )
+    u = md5_hash60(F.col("doc_id").cast("string")) % 1000000
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .withColumn("u_ppm", u)
+        .filter(F.col("u_ppm") < F.col("keep_ppm"))
+        .select("doc_id", "lang", "source", "u_ppm")
+    )
+
+
+@query(
+    "pack_token_budget",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_before,
+           cum_before // 512 AS bin_id,
+           cum_before % 512 AS bin_offset
+    FROM c
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents per source
+    stream in doc_id order and chunk into fixed 512-token bins — each doc
+    gets (bin_id, bin_offset) from the running token count, the
+    concat-then-chunk packing used to build fixed-length training
+    sequences.  One shuffle+sort on the partition key; at 100 TB the
+    partition key becomes (source, shard) so each sort stays
+    executor-sized and bin ids are shard-local — the packing contract is
+    unchanged because the running sum never crosses partition keys."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / 512).alias("bin_id"),
+        (F.col("cum_before") % 512).alias("bin_offset"),
+    )
+
+
+@query(
     "text_tokens",
     """
     SELECT doc_id,
