@@ -1390,6 +1390,65 @@ def etl_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_exact",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0
+    ), new AS (
+      SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0
+    ), firsts AS (
+      SELECT fp, MIN(doc_id) AS first_id FROM new GROUP BY fp
+    )
+    SELECT n.doc_id,
+           (h.fp IS NOT NULL) AS dup_of_history,
+           (n.doc_id > fs.first_id) AS dup_within_new,
+           (h.fp IS NULL AND n.doc_id = fs.first_id) AS survivor
+    FROM new n
+    LEFT JOIN hist h ON n.fp = h.fp
+    JOIN firsts fs ON n.fp = fs.fp
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a NEW batch of documents (doc_id % 3 != 0
+    stands in for today's crawl) deduped against the ALREADY-INGESTED
+    corpus (doc_id % 3 == 0) — the anti-join shape a continuously-fed
+    training pipeline runs on every ingest, instead of re-grouping the
+    full corpus.  A new doc survives iff its normalized-text fingerprint
+    is absent from history AND it is the first occurrence within the
+    batch.  Scale shape: history is represented only by its DISTINCT
+    fingerprint column (the persisted dedup index), the join key is the
+    fingerprint hash → uniform shuffle, and the batch-internal first-
+    occurrence is one groupBy on the same key — both co-partition, no
+    corpus-wide re-shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " ")
+    )
+    f = d.select("doc_id", fp.alias("fp"))
+    hist = f.filter(F.col("doc_id") % 3 == 0).select("fp").distinct().withColumn(
+        "__in_hist", F.lit(1)
+    )
+    new = f.filter(F.col("doc_id") % 3 != 0)
+    firsts = new.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    return (
+        new.join(hist, "fp", "left")
+        .join(firsts, "fp")
+        .select(
+            "doc_id",
+            F.col("__in_hist").isNotNull().alias("dup_of_history"),
+            (F.col("doc_id") > F.col("first_id")).alias("dup_within_new"),
+            (F.col("__in_hist").isNull() & (F.col("doc_id") == F.col("first_id"))).alias(
+                "survivor"
+            ),
+        )
+    )
+
+
+@query(
     "corpus_mix_sample",
     """
     WITH rates AS (

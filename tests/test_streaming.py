@@ -589,3 +589,61 @@ def test_f3_series_dedup_transform_with_state(spark, workdir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_interval_join(spark, workdir):
+    """Stream-stream inner join with an event-time interval: purchases
+    correlated to the user's clicks at most 5 minutes earlier.  Both sides
+    are watermarked so the join state is bounded — the Spark-native
+    operator for cross-stream correlation (no reference counterpart: the
+    sinker delegates joins to ClickHouse; this is part of owning the
+    relational layer natively)."""
+    (workdir / "in2").mkdir()
+    clicks = [
+        {"user": 1, "ts": "2024-01-01 00:00:00", "page": "a"},
+        {"user": 1, "ts": "2024-01-01 00:07:00", "page": "b"},
+        {"user": 2, "ts": "2024-01-01 00:01:00", "page": "c"},
+    ]
+    purchases = [
+        {"user": 1, "pts": "2024-01-01 00:04:00", "amount": 10.0},  # joins click a
+        {"user": 1, "pts": "2024-01-01 00:20:00", "amount": 20.0},  # too late for a/b
+        {"user": 2, "pts": "2024-01-01 00:03:00", "amount": 30.0},  # joins click c
+    ]
+    _write_jsonl(workdir / "in" / "clicks.jsonl", clicks)
+    _write_jsonl(workdir / "in2" / "purchases.jsonl", purchases)
+
+    c = (
+        spark.readStream.format("text").load(str(workdir / "in"))
+        .select(F.from_json("value", "user long, ts string, page string").alias("m"))
+        .select("m.user", F.col("m.ts").cast("timestamp").alias("ts"), "m.page")
+        .withWatermark("ts", "10 minutes")
+    )
+    p = (
+        spark.readStream.format("text").load(str(workdir / "in2"))
+        .select(F.from_json("value", "user long, pts string, amount double").alias("m"))
+        .select(
+            F.col("m.user").alias("puser"),
+            F.col("m.pts").cast("timestamp").alias("pts"),
+            "m.amount",
+        )
+        .withWatermark("pts", "10 minutes")
+    )
+    joined = c.join(
+        p,
+        (F.col("user") == F.col("puser"))
+        & (F.col("pts") >= F.col("ts"))
+        & (F.col("pts") <= F.col("ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("user", "page", "amount")
+
+    out_path = str(workdir / "out" / "ssjoin")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(workdir / "ckpt" / "ssj"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user"], r["page"], r["amount"]) for r in spark.read.parquet(out_path).collect()}
+    assert got == {(1, "a", 10.0), (2, "c", 30.0)}
