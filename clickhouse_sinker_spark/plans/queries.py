@@ -327,6 +327,51 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile_approx",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Greenwald-Khanna / KLL-family sketch) — the
+    mergeable quantile structure that replaces a full per-group sort at
+    100 TB.  The sketch values are engine-specific, so the checkable
+    output is the RANK-ERROR INVARIANT: for each target quantile q the
+    approx value's true rank must lie within n/accuracy of q·n (the
+    documented GK bound; accuracy=1000 here).  Both the approx value and
+    its true rank are computed in one pass — the rank via exact
+    ``count_if(value <= approx)``, a second narrow agg on the same key."""
+    e = _t(spark, sf_dir, "events")
+    appr = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 1000).alias("__a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = e.join(F.broadcast(appr), "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        *[
+            F.sum(
+                F.when(F.col("value") <= F.get(F.col("__a"), i), 1).otherwise(0)
+            ).alias(f"__r{i}")
+            for i in range(3)
+        ],
+        F.first("n").alias("n"),
+    )
+    eps = F.col("n").cast("double") / 1000.0 + 1.0  # GK bound + rank-tie slack
+    out_cols = []
+    for i, q in enumerate([0.5, 0.95, 0.99]):
+        target = F.col("n").cast("double") * F.lit(q)
+        out_cols.append(
+            (F.abs(F.col(f"__r{i}").cast("double") - target) <= eps).alias(
+                f"p{int(q * 100)}_ok"
+            )
+        )
+    return ranks.select("event_type", "n", *out_cols)
+
+
+@query(
     "window_tumbling_1h",
     """
     SELECT date_trunc('hour', ts) AS window_start,
@@ -1484,6 +1529,122 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("u_ppm", u)
         .filter(F.col("u_ppm") < F.col("keep_ppm"))
         .select("doc_id", "lang", "source", "u_ppm")
+    )
+
+
+@query(
+    "corpus_temperature_mix",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+    ), mn AS (
+      SELECT MIN(n_lang) AS n_min FROM counts
+    ), rates AS (
+      SELECT lang, n_lang,
+             CAST(floor(1000000.0 * sqrt(CAST(mn.n_min AS DOUBLE) / CAST(n_lang AS DOUBLE))) AS BIGINT) AS keep_ppm
+      FROM counts, mn
+    )
+    SELECT d.doc_id, d.lang, rates.n_lang, rates.keep_ppm
+    FROM documents d JOIN rates USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < rates.keep_ppm
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing with DATA-DERIVED rates:
+    keep_rate(lang) = sqrt(n_min / n_lang) (temperature T=0.5 between
+    natural and uniform), applied via the same deterministic md5-Bernoulli
+    as ``corpus_mix_sample``.  The rate math stays bit-exact across
+    engines because every step is IEEE-correctly-rounded (bigint ratio →
+    double divide → sqrt → floor to ppm) — no libm-dependent pow.  Scale
+    shape: the per-language histogram is a tiny agg broadcast back onto
+    the corpus; sampling stays a local filter."""
+    from ..functions.hashing import md5_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_min = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_lang",
+        F.floor(
+            1000000.0 * F.sqrt(F.col("n_min").cast("double") / F.col("n_lang").cast("double"))
+        ).alias("keep_ppm"),
+    )
+    u = md5_hash60(F.col("doc_id").cast("string")) % 1000000
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("keep_ppm"))
+        .select("doc_id", "lang", "n_lang", "keep_ppm")
+    )
+
+
+@query(
+    "pipeline_quality_gate",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS w FROM t
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+    ), per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+             CAST(MAX(c) AS BIGINT) AS top_word_n
+      FROM wc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           (per.n_words < 5) AS fail_too_short,
+           (per.n_words > 1000) AS fail_too_long,
+           (per.top_word_n * 10 > per.n_words) AS fail_top_word,
+           ((per.n_words - per.n_distinct_words) * 2 > per.n_words) AS fail_dup_words,
+           NOT ((per.n_words < 5) OR (per.n_words > 1000)
+                OR (per.top_word_n * 10 > per.n_words)
+                OR ((per.n_words - per.n_distinct_words) * 2 > per.n_words)) AS keep
+    FROM t JOIN per USING (doc_id)
+    """,
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate (Gopher-rule composition): length bounds,
+    most-common-word dominance (>10%), and duplicate-word mass (>50%) each
+    produce a named fail flag plus the final keep decision — the
+    filter-with-provenance shape real cleaning pipelines need (reasons are
+    kept for audit, not just the surviving rows).  Thresholds are
+    cross-multiplied integer comparisons (top·10 > n), never float
+    fractions → engine-exact.  One word-count groupBy chain, same scale
+    shape as ``text_repetition_quality``."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+            lambda w: w != "",
+        ).alias("__ws"),
+    )
+    per = (
+        base.select("doc_id", F.explode("__ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("top_word_n"),
+        )
+    )
+    nw, nd, tw = F.col("n_words"), F.col("n_distinct_words"), F.col("top_word_n")
+    fails = {
+        "fail_too_short": nw < 5,
+        "fail_too_long": nw > 1000,
+        "fail_top_word": tw * 10 > nw,
+        "fail_dup_words": (nw - nd) * 2 > nw,
+    }
+    keep = ~(fails["fail_too_short"] | fails["fail_too_long"] | fails["fail_top_word"] | fails["fail_dup_words"])
+    return base.select("doc_id").join(per, "doc_id").select(
+        "doc_id", *[c.alias(n) for n, c in fails.items()], keep.alias("keep")
     )
 
 
