@@ -393,6 +393,65 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ts_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS hour_sum
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+    )
+    SELECT s.user_id, s.h,
+           COALESCE(hy.n_events, 0) AS n_events,
+           (hy.n_events IS NULL) AS is_filled,
+           last_value(hy.hour_sum IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM spine s LEFT JOIN hourly hy ON s.user_id = hy.user_id AND s.h = hy.h
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling — the ClickHouse ``ORDER BY ... WITH FILL``
+    capability the reference relies on downstream, owned natively: build
+    the dense hourly spine per key (sequence between the key's own min/max
+    hour), left-join the sparse aggregates onto it, and forward-fill
+    values with a last-non-null window (``INTERPOLATE``-style carry).
+    Missing hours are flagged, counts fill with 0.  Scale shape: the spine
+    explode is proportional to output (dense series), bounds is a tiny
+    agg, and the fill is one window over the same user_id partitioning
+    the join already established — one effective shuffle."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("hour_sum"),
+    )
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("is_filled"),
+            F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ETL surface (SURVEY §2.2-2.4): parse / project / cast / route on `events`
 # ---------------------------------------------------------------------------

@@ -153,3 +153,44 @@ def test_pii_scrub_is_single_stage_map(spark):
     plan = plan_of(QUERIES["etl_pii_scrub"](spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_sample_broadcasts_rates_no_corpus_shuffle(spark):
+    """corpus_mix_sample must broadcast the 5-row rate table and keep the
+    corpus scan shuffle-free (pure filter)."""
+    plan = plan_of(QUERIES["corpus_mix_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges == 0, plan
+
+
+def test_pack_token_budget_single_window_shuffle(spark):
+    """pack_token_budget: one hash Exchange (the source partitioning for
+    the running-sum window), no join, no Python UDF."""
+    plan = plan_of(QUERIES["pack_token_budget"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_joins_on_fingerprint_only(spark):
+    """dedup_incremental_exact joins slim (doc_id, fp) projections — the
+    text column must not survive past the scan into the joins."""
+    plan = plan_of(QUERIES["dedup_incremental_exact"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # join keys are the fingerprint hash; text is consumed by the md5
+    # projection and never a join attribute
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "text" in l]
+    assert not join_lines, join_lines
+
+
+def test_gap_fill_window_reuses_join_partitioning(spark):
+    """ts_gap_fill's forward-fill window runs on the same user_id keying
+    as the spine join — no cartesian, no Python UDF."""
+    plan = plan_of(QUERIES["ts_gap_fill"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
