@@ -3550,6 +3550,78 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_window_3step",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s1 ON e.user_id = s1.user_id JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS level
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_window_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-window multi-step funnel — ClickHouse's ``windowFunnel`` shape
+    (signup → click → purchase, all within 7 days of the anchor): per user
+    the reached level is the longest step chain with strictly increasing
+    timestamps inside the window.  Documented delta vs ClickHouse: the
+    chain anchors at the user's EARLIEST step-1 event (deterministic,
+    oracle-expressible) rather than maximizing over every candidate
+    anchor.  Scale shape: three conditional-min aggregations all keyed on
+    user_id — they co-partition into one effective shuffle, no window
+    function, no per-user event materialization."""
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.join(s1, "user_id")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("level"),
+        )
+    )
+
+
+@query(
     "retention_next_day",
     """
     WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
