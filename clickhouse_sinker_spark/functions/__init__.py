@@ -20,6 +20,9 @@ from .hashing import (  # noqa: F401
 from .text import (  # noqa: F401
     char_ngrams,
     word_shingles,
+    positional_ngrams,
+    pii_patterns,
+    pii_scrub,
     token_count,
     quality_features,
     langid_expr,

@@ -106,3 +106,95 @@ def test_datetime_layout_roundtrip(spark, dts):
         for d, g in zip(vals, got):
             want = d.replace(hour=0, minute=0, second=0) if prec == "day" else d
             assert g == want, (fmt, d, g)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # source bucket
+            st.text(alphabet="ab c", min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pack_token_budget_invariants(spark, rows):
+    """Packing contract on arbitrary corpora: offsets stay inside the bin,
+    bin_id is exactly cum_before // budget, and the running sum is the
+    prefix sum of token counts in (source, doc_id) order."""
+    from pyspark.sql import Window
+    from clickhouse_sinker_spark.functions.text import token_count
+
+    df = spark.createDataFrame(
+        [(i, f"s{s}", t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        df.select("doc_id", "source", token_count(F.col("text")).cast("bigint").alias("n"))
+        .withColumn("cum", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .withColumn("bin_id", F.floor(F.col("cum") / 16))
+        .withColumn("off", F.col("cum") % 16)
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        by_src.setdefault(r["source"], []).append(r)
+    for rs in by_src.values():
+        cum = 0
+        for r in rs:
+            assert r["cum"] == cum
+            assert r["bin_id"] == cum // 16
+            assert 0 <= r["off"] < 16
+            cum += r["n"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_components_star_equals_plain_on_random_graphs(spark, raw_edges):
+    """Star contraction and min-label propagation must agree on arbitrary
+    random graphs (self-loops dropped, any density, any diameter)."""
+    from clickhouse_sinker_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(25)], "id bigint")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in raw_edges] or [(0, 0)], "id_a bigint, id_b bigint"
+    )
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(edges, nodes).collect()
+    }
+    plain = {
+        r["id"]: r["component"] for r in connected_components(edges, nodes).collect()
+    }
+    assert star == plain
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text changes nothing: the [TAG] markers
+    must not themselves match any PII pattern."""
+    from clickhouse_sinker_spark.functions.text import pii_scrub
+
+    texts = [
+        "a.b+tag@sub.example.co.uk at 10.0.0.1 ref 900000123 and x@y.io",
+        "plain text",
+        "8.8.8.8 8.8.8.9 999999999999",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "txt string")
+    once = df.select(pii_scrub("txt")["scrubbed"].alias("txt"))
+    twice = once.select(pii_scrub("txt")["scrubbed"].alias("txt"))
+    assert [r["txt"] for r in once.collect()] == [r["txt"] for r in twice.collect()]
