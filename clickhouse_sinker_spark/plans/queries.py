@@ -3660,7 +3660,9 @@ def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile_qty",
     """
     SELECT l_returnflag,
-           quantile_cont(l_quantity, [0.25, 0.5, 0.9]) AS qty_quantiles
+           quantile_cont(l_quantity, 0.25) AS qty_p25,
+           quantile_cont(l_quantity, 0.5)  AS qty_p50,
+           quantile_cont(l_quantity, 0.9)  AS qty_p90
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -3668,13 +3670,18 @@ def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group.  Quantities are integral
     doubles, so the (1-f)·a + f·b interpolation is exact and bit-equal
-    across engines.  At 100 TB prefer ``approx_percentile`` (mergeable
-    KLL-style sketch, map-side partials) — exact percentile materializes
-    per-group sorted arrays; both are exposed, only the exact one can be
-    oracle-hashed."""
+    across engines.  Emitted as one scalar column per quantile — array
+    cells don't survive every comparison harness's hasher (the
+    etl_array_cast lesson).  At 100 TB prefer ``approx_percentile``
+    (mergeable KLL-style sketch, map-side partials) — exact percentile
+    materializes per-group sorted arrays; both are exposed
+    (``agg_percentile_approx`` carries the sketch's rank-error oracle)."""
     li = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_quantity, array(0.25, 0.5, 0.9))")
     return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.9))").alias("qty_quantiles")
+        F.get(q, 0).alias("qty_p25"),
+        F.get(q, 1).alias("qty_p50"),
+        F.get(q, 2).alias("qty_p90"),
     )
 
 
