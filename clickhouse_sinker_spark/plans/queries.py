@@ -327,6 +327,44 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_rollup",
+    """
+    SELECT date_trunc('week', ts) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS merge_ok
+    FROM events GROUP BY 1
+    """,
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup — the tiered-materialization
+    pattern at 100 TB: build one HLL sketch per DAY (persistable,
+    mergeable partial), then union-merge the daily sketches into the
+    WEEKLY estimate without touching raw rows again (hll_sketch_agg →
+    hll_union_agg → hll_sketch_estimate, Datasketches HLL).  The sketch
+    bytes are engine-specific, so the checkable output is the merge
+    INVARIANT: the merged weekly estimate must sit within max(5%, 5) of
+    the exact weekly distinct the oracle computes."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily.groupBy(F.date_trunc("week", "d").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+    )
+    weekly_exact = e.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return weekly_exact.join(weekly_est, "week").select(
+        "week",
+        "n_exact",
+        (
+            F.abs(F.col("__est") - F.col("n_exact"))
+            <= F.greatest(F.col("n_exact") * F.lit(0.05), F.lit(5.0))
+        ).alias("merge_ok"),
+    )
+
+
+@query(
     "agg_percentile_approx",
     """
     SELECT event_type,
