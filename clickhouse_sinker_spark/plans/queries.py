@@ -432,6 +432,132 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_pretraining_corpus",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS w FROM t
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+    ), per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+             CAST(MAX(c) AS BIGINT) AS top_word_n
+      FROM wc GROUP BY doc_id
+    ), gated AS (
+      SELECT t.doc_id, t.lang, t.fp, per.n_words
+      FROM t JOIN per ON t.doc_id = per.doc_id
+      WHERE NOT (per.n_words < 5 OR per.n_words > 1000
+                 OR per.top_word_n * 10 > per.n_words
+                 OR (per.n_words - per.n_distinct_words) * 2 > per.n_words)
+    ), surv AS (
+      SELECT g.doc_id, g.lang, g.n_words
+      FROM gated g JOIN (SELECT fp, MIN(doc_id) AS first_id FROM gated GROUP BY fp) f
+        ON g.fp = f.fp AND g.doc_id = f.first_id
+    ), counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM surv GROUP BY lang
+    ), mn AS (
+      SELECT MIN(n_lang) AS n_min FROM counts
+    ), rates AS (
+      SELECT lang,
+             CAST(floor(1000000.0 * sqrt(CAST(mn.n_min AS DOUBLE) / CAST(n_lang AS DOUBLE))) AS BIGINT) AS keep_ppm
+      FROM counts, mn
+    ), mixed AS (
+      SELECT s.doc_id, s.lang, s.n_words
+      FROM surv s JOIN rates ON s.lang = rates.lang
+      WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < rates.keep_ppm
+    )
+    SELECT doc_id, lang, n_words,
+           CAST(COALESCE(SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512 AS bin_id,
+           CAST(COALESCE(SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) % 512 AS bin_offset
+    FROM mixed
+    """,
+)
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-corpus build as ONE Spark plan: Gopher
+    quality gate → exact-dedup survivors (first occurrence per normalized
+    fingerprint among gated docs) → temperature (T=0.5) language
+    rebalancing with data-derived rates → 512-token sequence packing per
+    language stream.  Every stage is the already-oracled operator
+    composed, so the full pipeline itself is bit-checkable — the property
+    a production corpus build needs (rerun == identical corpus).  Scale
+    shape: stages key on doc_id, fp, lang in turn — each a narrow
+    shuffle, the rate table broadcasts, packing reuses the lang
+    partitioning; nothing materializes per-doc token arrays past the
+    word-count agg."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import md5_hash60
+
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " ")
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        fp.alias("fp"),
+        F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+            lambda w: w != "",
+        ).alias("__ws"),
+    )
+    per = (
+        base.select("doc_id", F.explode("__ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("top_word_n"),
+        )
+    )
+    nw, nd, tw = F.col("n_words"), F.col("n_distinct_words"), F.col("top_word_n")
+    gated = (
+        base.select("doc_id", "lang", "fp")
+        .join(per, "doc_id")
+        .filter(
+            ~((nw < 5) | (nw > 1000) | (tw * 10 > nw) | ((nw - nd) * 2 > nw))
+        )
+        .select("doc_id", "lang", "fp", "n_words")
+    )
+    firsts = gated.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    surv = gated.join(firsts, "fp").filter(F.col("doc_id") == F.col("first_id")).select(
+        "doc_id", "lang", "n_words"
+    )
+    counts = surv.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_min = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            1000000.0
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_lang").cast("double"))
+        ).alias("keep_ppm"),
+    )
+    u = md5_hash60(F.col("doc_id").cast("string")) % 1000000
+    mixed = surv.join(F.broadcast(rates), "lang").filter(u < F.col("keep_ppm"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_words").over(w), F.lit(0)).cast("bigint")
+    return mixed.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.floor(cum / 512).alias("bin_id"),
+        (cum % 512).alias("bin_offset"),
+    )
+
+
+@query(
     "ts_gap_fill",
     """
     WITH hourly AS (
