@@ -194,3 +194,13 @@ def test_gap_fill_window_reuses_join_partitioning(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pretraining_pipeline_plan_shape(spark):
+    """The end-to-end corpus build must broadcast the rate table, never go
+    cartesian, and stay entirely JVM-side across all four stages."""
+    plan = plan_of(QUERIES["pipeline_pretraining_corpus"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan  # the packing stage
