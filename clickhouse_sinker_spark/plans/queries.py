@@ -4200,3 +4200,100 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(d, "payload", "doc_id", width=64, height=64).select(
         "doc_id", "width", "height", F.octet_length("resized").alias("n_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-verification window ordering (VERDICT r3 item 3b)
+#
+# The correctness driver hashes only the FIRST 50 entries of ``queries()``
+# each round.  To make that window deliberate instead of accidental:
+#
+# - ``CORE_WINDOW`` (40 names) is a fixed prefix covering every SURVEY §2
+#   core operator family — parse/cast (P1-P16), sharding (R1-R4), dedup/
+#   series state (D1-D4, W8), schema discovery (S8), the relational layer
+#   (joins incl. asof+range, windows incl. sessionize, set ops, rollup/
+#   grouping-sets/percentile/HLL aggs), the LLM-pipeline headliners, and
+#   one multimodal query.  These get a fresh driver hash EVERY round.
+# - The remaining queries form a tail rotated by 10 slots per round (the
+#   offset is derived from how many CORRECTNESS_r*.json artifacts earlier
+#   rounds already produced), so every registered query re-enters the
+#   50-slot window every ~7 rounds.  Nothing is ever unregistered — all
+#   queries stay pytest-oracle-checked every run regardless of position.
+# ---------------------------------------------------------------------------
+
+CORE_WINDOW: list[str] = [
+    # relational flagship + joins
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "asof_join_events",
+    "range_join_recent_events",
+    # windows / time series
+    "window_topk_per_customer",
+    "window_sessionize",
+    "window_tumbling_1h",
+    "ts_gap_fill",
+    # set ops
+    "setop_except_distinct",
+    "setop_intersect",
+    # aggregation families
+    "agg_distinct_exact",
+    "agg_approx_distinct",
+    "agg_hll_rollup",
+    "agg_percentile_approx",
+    "agg_rollup",
+    "agg_grouping_sets",
+    # parse / project / cast (§2.2)
+    "etl_parse_project",
+    "etl_csv_parse",
+    "etl_saturating_cast",
+    "etl_default_on_error",
+    "etl_datetime_layouts",
+    "etl_epoch_scale",
+    "etl_ip_validate",
+    "etl_array_cast",
+    "etl_map_explode",
+    "etl_null_reject",
+    # routing / sharding (§2.3)
+    "etl_shard_stripe",
+    "etl_shard_hash_xx",
+    "etl_sortingkey_shard",
+    # batching / state (§2.4-2.5)
+    "etl_dedup_offsets",
+    "etl_schema_infer_keys",
+    "series_latest_per_key",
+    "series_labels_json",
+    # LLM-pipeline headliners
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "text_quality",
+    "pipeline_pretraining_corpus",
+    # multimodal
+    "mm_binary_meta",
+]
+
+DRIVER_WINDOW = 50
+
+
+def _completed_rounds() -> int:
+    """Number of CORRECTNESS_r*.json artifacts the driver has written so
+    far (repo root, two levels above this package) — a monotone per-round
+    counter that needs no clock or env var."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
+def ordered_query_names() -> list[str]:
+    """All registered query names: fixed CORE_WINDOW prefix, then the tail
+    rotated so a fresh 10-query slice fills the driver window each round."""
+    core = [n for n in CORE_WINDOW if n in QUERIES]
+    tail = [n for n in QUERIES if n not in CORE_WINDOW]
+    slots = max(DRIVER_WINDOW - len(core), 1)
+    if not tail:
+        return core
+    off = (_completed_rounds() * slots) % len(tail)
+    return core + tail[off:] + tail[:off]

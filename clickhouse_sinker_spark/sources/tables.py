@@ -32,4 +32,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in NANOS_TS_COLUMNS.get(name, ()):
         if types.get(c) == "bigint":  # robust if data is regenerated at µs
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Parquet timestamp[us] without UTC adjustment arrives as TIMESTAMP_NTZ,
+    # which rejects instant functions like unix_micros(). Under the UTC session
+    # pin the cast to TIMESTAMP is value-identical (same wall-clock, same
+    # collected naive datetime, same DuckDB comparison), so normalize every
+    # NTZ column once here and let all queries inherit instant semantics.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

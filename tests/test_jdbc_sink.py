@@ -202,3 +202,67 @@ def test_with_retry_backoff_and_exhaustion():
     with pytest.raises(ValueError):
         with_retry(fail, retry_times=3, base_sleep=0.01)
     assert len(calls) == 3
+
+
+def test_jdbc_retry_then_succeed_injected_first_failure(spark, tmp_path):
+    """W4+S5 together (output/clickhouse.go:264-295): an injected FIRST-
+    attempt failure must trigger exactly one replica advance + one retry,
+    and the batch lands exactly once on the surviving replica — mid-batch
+    failover, not just boot-time bad replicas."""
+    cfg = ClickHouseConfig(
+        hosts=("r0,r1",),  # one shard, two replicas — both real databases
+        database="ignored",
+        username="",
+        shards=1,
+        retry_times=3,
+        url_format=f"jdbc:derby:{tmp_path}/{{host}};create=true",
+        driver=DERBY_DRIVER,
+    )
+    sink = JdbcSink(cfg, table="t", shards=1)
+    attempts: list[str] = []
+    inner = sink._write_one
+
+    def flaky(part, url):
+        attempts.append(url)
+        if len(attempts) == 1:
+            raise RuntimeError("injected mid-batch connection drop")
+        inner(part, url)
+
+    sink._write_one = flaky
+    sink(spark.range(50).select(F.col("id")), epoch_id=0)
+
+    assert len(attempts) == 2, attempts
+    assert "r0" in attempts[0] and "r1" in attempts[1]  # failover happened
+    assert read_back(spark, str(tmp_path), "r1", "t").count() == 50
+    url, ver = sink.replicas.current(0)
+    assert "r1" in url and ver == 1  # advance recorded exactly once
+
+
+def test_replica_fencing_stale_failure_does_not_double_advance(tmp_path):
+    """S5 fencing rule (pool/conn.go:83-136): two writers observe replica 0
+    at version 0; the first failure advances to replica 1 (version 1); the
+    second writer's STALE failure report (still version 0) must NOT advance
+    again — otherwise a single outage would burn through every replica."""
+    from clickhouse_sinker_spark.streaming.sink import ShardReplicas
+
+    cfg = ClickHouseConfig(
+        hosts=("a,b,c",),
+        database="d",
+        username="",
+        shards=1,
+        url_format="jdbc:derby:{host}",
+    )
+    reps = ShardReplicas(cfg)
+    url_a, ver_a = reps.current(0)
+    url_b, ver_b = reps.current(0)
+    assert "a" in url_a and ver_a == ver_b == 0
+
+    # writer A's failure advances a → b
+    url1, ver1 = reps.next_good_replica(0, ver_a)
+    assert "b" in url1 and ver1 == 1
+    # writer B's stale report is fenced: stays on b, version unchanged
+    url2, ver2 = reps.next_good_replica(0, ver_b)
+    assert "b" in url2 and ver2 == 1
+    # a FRESH failure at the current version does advance b → c
+    url3, ver3 = reps.next_good_replica(0, ver2)
+    assert "c" in url3 and ver3 == 2

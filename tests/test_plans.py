@@ -204,3 +204,33 @@ def test_pretraining_pipeline_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" in plan  # the packing stage
+
+
+def test_sessionize_single_exchange_two_windows(spark):
+    """window_sessionize must keep the classic linear shape: lag + running
+    sum share ONE Exchange (the user_id shuffle) across both Window nodes,
+    and no join — a second shuffle or a self-join would double the cost of
+    the dominant stage at 100 TB.  Also pins that the ordering key is
+    NTZ-safe (this exact query was the round-2/3 bench blocker)."""
+    plan = plan_of(QUERIES["window_sessionize"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan, plan
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if l.startswith("(") and "Exchange" in l
+    )
+    assert n_exchanges == 1, plan
+
+
+def test_all_queries_analyze_all_scale_dirs(spark):
+    """Every registered query must at least ANALYZE against the real
+    testdata schema at every scale dir (df.schema forces analysis without
+    execution).  This is the guard that would have caught the
+    unix_micros-on-TIMESTAMP_NTZ crash for all 108 queries at once."""
+    failures = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        for name, fn in QUERIES.items():
+            try:
+                fn(spark, sf_dir).schema
+            except Exception as exc:  # noqa: BLE001 — collect every failure
+                failures.append(f"{name}@{sf_dir}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)
