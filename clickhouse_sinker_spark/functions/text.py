@@ -40,6 +40,10 @@ __all__ = [
 # integer counts so any SQL engine reproduces them.  This is heuristic
 # "langid-lite" — calibrated for pipeline filtering, not a trained model.
 STOPWORDS = {
+    "ca": ["i", "de", "la", "el", "que", "en", "un", "per", "amb", "una",
+           "és", "no", "els", "al", "les", "dels", "com", "més", "seu", "ha"],
+    "cs": ["a", "se", "na", "je", "že", "o", "s", "z", "do", "i",
+           "to", "k", "ve", "by", "ale", "jako", "za", "po", "co", "jsem"],
     "da": ["og", "i", "det", "at", "en", "den", "til", "er", "som", "på",
            "de", "med", "han", "af", "ikke", "der", "var", "om", "et", "men"],
     "de": ["der", "die", "und", "das", "ist", "den", "von", "zu", "mit", "sich",
@@ -48,8 +52,14 @@ STOPWORDS = {
            "on", "are", "with", "as", "be", "at", "this", "have", "from", "not"],
     "es": ["el", "los", "las", "una", "es", "de", "que", "y", "en", "un",
            "del", "se", "no", "por", "con", "para", "su", "al", "lo", "como"],
+    "fi": ["ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "kun", "ne",
+           "niin", "myös", "jos", "mitä", "tai", "hänen", "siitä", "joka",
+           "kuin", "nyt"],
     "fr": ["le", "la", "et", "les", "des", "de", "du", "en", "un", "une",
            "est", "que", "qui", "dans", "pour", "sur", "pas", "au", "ce", "il"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "van", "de", "ha",
+           "meg", "mint", "csak", "már", "el", "volt", "vagy", "ki", "még",
+           "mert"],
     "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari",
            "dalam", "akan", "pada", "juga", "saya", "ke", "karena", "ada",
            "mereka", "sudah", "atau"],
@@ -57,15 +67,23 @@ STOPWORDS = {
            "del", "non", "si", "da", "come", "anche", "ma", "le", "dei", "nel"],
     "nl": ["de", "het", "een", "en", "van", "in", "is", "dat", "op", "te",
            "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als", "bij"],
+    "no": ["og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er",
+           "som", "på", "de", "med", "han", "av", "ikke", "der", "så", "å"],
     "pl": ["i", "w", "nie", "na", "się", "z", "do", "to", "że", "jest",
            "po", "co", "jak", "ale", "za", "od", "przez", "tak", "czy", "być"],
     "pt": ["o", "a", "os", "as", "de", "que", "e", "em", "um", "uma",
            "do", "da", "não", "para", "com", "por", "se", "no", "na", "mais"],
+    "ro": ["și", "de", "la", "a", "în", "o", "pe", "un", "cu", "ce",
+           "este", "nu", "mai", "se", "din", "care", "sau", "dar", "sunt",
+           "fost"],
     "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
            "den", "till", "inte", "om", "han", "de", "ett", "har", "var", "vi"],
     "tr": ["bir", "ve", "bu", "da", "de", "için", "ile", "mi", "ne", "o",
            "ama", "gibi", "daha", "çok", "en", "ki", "ya", "olan", "olarak",
            "sonra"],
+    "vi": ["của", "và", "là", "có", "được", "trong", "đã", "cho", "không",
+           "người", "này", "những", "với", "các", "để", "một", "khi", "cũng",
+           "như", "từ"],
 }
 
 # Unicode script blocks (BMP only — identical code-point semantics in Java

@@ -1,16 +1,20 @@
 """Multimodal column operators (beyond-reference north-star surface).
 
 Treats image/audio/video payloads as opaque ``binary`` columns with typed
-metadata, processed through Arrow-batched ``mapInPandas`` pipelines.  The
-container has no image/audio codecs, so the decode kernels are STUBS with
-two modes:
+metadata, processed through Arrow-batched ``mapInPandas`` pipelines.  Decode
+kernels come in three tiers:
 
 - ``decoder="fake"`` (default): deterministic synthetic features derived
   from the payload bytes — real Spark plumbing (schema, batching,
-  partitioning) with testable outputs.
-- ``decoder="pil"`` / ``decoder="librosa"``: gated imports that raise
-  ``NotImplementedError`` with a clear message when the library is absent;
-  the call signature and output schema are the production contract.
+  partitioning) with testable outputs, no codec needed.
+- ``decoder="bmp"`` / ``decoder="wav"``: REAL decoders for the uncompressed
+  formats, pure stdlib+numpy (struct-parsed 24-bit BMP; ``wave``-module PCM
+  WAV) — actual pixels/samples in, actual features/resizes out, fully
+  exercised in tests.
+- ``decoder="pil"`` / ``decoder="librosa"``: gated imports for compressed
+  formats (JPEG/PNG/MP3/...) that raise ``NotImplementedError`` with a clear
+  message when the library is absent; the call signature and output schema
+  are the production contract.
 
 Scale design: mapInPandas streams Arrow record batches — payload bytes
 never materialize on the driver; ``spark.sql.execution.arrow.
@@ -22,8 +26,12 @@ embarrassingly-parallel with zero shuffle.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,11 +43,101 @@ __all__ = [
     "sample_video_frames",
     "resize_images",
     "extract_audio_features",
+    "encode_bmp",
+    "decode_bmp",
     "IMAGE_FEATURE_SCHEMA",
     "FRAME_SCHEMA",
     "RESIZED_SCHEMA",
     "AUDIO_FEATURE_SCHEMA",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Real codecs for the uncompressed formats (pure stdlib + numpy)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, BGR order)."""
+    h, w, _ = rgb.shape
+    row = w * 3
+    pad = (-row) % 4
+    image_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+    if pad:
+        rows = np.zeros((h, row + pad), dtype=np.uint8)
+        rows[:, :row] = bgr.reshape(h, row)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BITMAPINFOHEADER BMP to (H, W, 3)
+    uint8 RGB.  Raises ValueError on anything else (compressed/paletted
+    BMPs are out of scope — that is the PIL tier)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    img = data.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR→RGB
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM WAV bytes → (float samples in [-1, 1], sample_rate).
+    Multi-channel audio is mixed down to mono (mean across channels)."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        sr = wf.getframerate()
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, sr
+
+
+def _nearest_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of (H, W, C) to (height, width, C) —
+    pure integer index math, bit-deterministic everywhere."""
+    h, w = img.shape[:2]
+    yy = (np.arange(height) * h) // height
+    xx = (np.arange(width) * w) // width
+    return img[yy][:, xx]
+
+
+def _average_hash(rgb: np.ndarray) -> str:
+    """Classic 64-bit average hash: luma → 8×8 nearest downsample → bit per
+    cell (≥ mean), hex string.  Deterministic, near-dup-stable."""
+    luma = (
+        0.299 * rgb[:, :, 0].astype(np.float64)
+        + 0.587 * rgb[:, :, 1].astype(np.float64)
+        + 0.114 * rgb[:, :, 2].astype(np.float64)
+    )
+    small = _nearest_resize(luma[:, :, None], 8, 8)[:, :, 0]
+    bits = (small >= small.mean()).flatten()
+    return bytes(np.packbits(bits)).hex()
 
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
@@ -109,17 +207,35 @@ def decode_image_features(
             import PIL  # noqa: F401
         except ImportError as e:  # pragma: no cover - env without PIL
             raise NotImplementedError(
-                "PIL decoder requires pillow; this container has no image "
-                "codecs — use decoder='fake' for plumbing tests"
+                "PIL decoder requires pillow; this container has no compressed-"
+                "image codecs — use decoder='bmp' (real, stdlib) or 'fake'"
             ) from e
-    elif decoder != "fake":
+    elif decoder not in ("fake", "bmp"):
         raise NotImplementedError(f"unknown decoder {decoder!r}")
 
     slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
+    def decode_one(doc_id: int, payload: bytes) -> tuple:
+        if decoder == "bmp":
+            rgb = decode_bmp(payload)
+            luma = (
+                0.299 * rgb[:, :, 0].astype(np.float64)
+                + 0.587 * rgb[:, :, 1].astype(np.float64)
+                + 0.114 * rgb[:, :, 2].astype(np.float64)
+            )
+            return (
+                doc_id,
+                rgb.shape[1],
+                rgb.shape[0],
+                rgb.shape[2],
+                float(luma.mean() / 255.0),
+                _average_hash(rgb),
+            )
+        return _fake_image_decode(doc_id, payload)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_fake_image_decode(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])]
+            rows = [decode_one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])]
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "mean_luma", "phash"]
             )
@@ -183,20 +299,25 @@ def resize_images(
             import PIL  # noqa: F401
         except ImportError as e:  # pragma: no cover - env without PIL
             raise NotImplementedError(
-                "PIL resize requires pillow; use decoder='fake' for plumbing tests"
+                "PIL resize requires pillow; use decoder='bmp' (real, stdlib) "
+                "or 'fake' for plumbing tests"
             ) from e
-    elif decoder != "fake":
+    elif decoder not in ("fake", "bmp"):
         raise NotImplementedError(f"unknown decoder {decoder!r}")
 
     slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     target = width * height // 64 or 1
 
+    def resize_one(doc_id: int, payload: bytes) -> tuple:
+        if decoder == "bmp":
+            out = _nearest_resize(decode_bmp(payload), width, height)
+            return (doc_id, width, height, encode_bmp(out))
+        p = (payload or b"\x00") * (target // max(len(payload or b"\x00"), 1) + 1)
+        return (doc_id, width, height, bytes(p[:target]))
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i, p in zip(pdf["doc_id"], pdf["payload"]):
-                p = (p or b"\x00") * (target // max(len(p or b"\x00"), 1) + 1)
-                rows.append((i, width, height, bytes(p[:target])))
+            rows = [resize_one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])]
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "resized"])
 
     return slim.mapInPandas(resize, RESIZED_SCHEMA)
@@ -215,22 +336,27 @@ def extract_audio_features(
         except ImportError as e:  # pragma: no cover - env without librosa
             raise NotImplementedError(
                 "librosa decoder not available in this container; "
-                "use decoder='fake' for plumbing tests"
+                "use decoder='wav' (real, stdlib) or 'fake' for plumbing tests"
             ) from e
-    elif decoder != "fake":
+    elif decoder not in ("fake", "wav"):
         raise NotImplementedError(f"unknown decoder {decoder!r}")
 
     slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
+    def feats_one(doc_id: int, payload: bytes) -> tuple:
+        if decoder == "wav":
+            x, sr = _decode_wav(payload)
+            duration = len(x) / sr if sr else 0.0
+            rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+            return (doc_id, duration, sr, rms, int(duration / window_s) + 1)
+        h = hashlib.sha256(payload or b"").digest()
+        duration = max(len(payload or b""), 1) / 4096.0
+        rms = sum(h[:16]) / (16 * 255.0)
+        return (doc_id, duration, 16000, rms, int(duration / window_s) + 1)
+
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i, p in zip(pdf["doc_id"], pdf["payload"]):
-                h = hashlib.sha256(p or b"").digest()
-                sr = 16000
-                duration = max(len(p or b""), 1) / 4096.0
-                rms = sum(h[:16]) / (16 * 255.0)
-                rows.append((i, duration, sr, rms, int(duration / window_s) + 1))
+            rows = [feats_one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])]
             yield pd.DataFrame(
                 rows, columns=["doc_id", "duration_s", "sample_rate", "rms", "n_windows"]
             )

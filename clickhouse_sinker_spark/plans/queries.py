@@ -4202,6 +4202,173 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_bmp_decode_real",
+    """
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           ROUND((CAST(0.299 AS DOUBLE) * (doc_id % 256)
+                + CAST(0.587 AS DOUBLE) * ((doc_id * 7) % 256)
+                + CAST(0.114 AS DOUBLE) * ((doc_id * 13) % 256)) / 255, 6)
+             AS mean_luma_r6
+    FROM documents
+    """,
+)
+def mm_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: per doc, synthesize a solid-color 8x8
+    24-bit BMP (color a pure function of doc_id), push it through the real
+    struct+numpy BMP decoder (`operators/multimodal.py:decode_bmp`), and
+    emit the decoded geometry + mean luma.  Solid color makes the decoded
+    luma SQL-expressible — the oracle recomputes 0.299r+0.587g+0.114b/255
+    in IEEE doubles, identical op order, rounded to 6 (the value is never
+    within 4e-9 of a rounding boundary, see analysis in tests).  All work
+    is partition-local mapInPandas: zero shuffle at any scale."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image_features, encode_bmp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                color = (int(i) % 256, (int(i) * 7) % 256, (int(i) * 13) % 256)
+                img = np.full((8, 8, 3), color, dtype=np.uint8)
+                rows.append((i, encode_bmp(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, payload binary")
+    feats = decode_image_features(blobs, "payload", "doc_id", decoder="bmp")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_luma", 6).alias("mean_luma_r6"),
+    )
+
+
+@query(
+    "mm_wav_features_real",
+    """
+    SELECT doc_id,
+           CAST(800 + doc_id % 160 AS DOUBLE) / 8000 AS duration_s,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(doc_id % 1000 + 1 AS DOUBLE) / 32768 AS rms,
+           CAST(1 AS INTEGER) AS n_windows
+    FROM documents
+    """,
+)
+def mm_wav_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per doc, synthesize a PCM16 WAV whose
+    samples are the constant v = doc_id%1000+1 at 8 kHz (length
+    800+doc_id%160), decode with the stdlib ``wave`` path and compute RMS
+    from the actual samples.  Constant amplitude makes every feature
+    bit-exact in SQL: x = v/2^15 is dyadic, x² and its mean stay exact
+    (n·v² < 2^53), and sqrt of the perfect square returns v/2^15 — so the
+    oracle needs no rounding at all.  Partition-local, zero shuffle."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import extract_audio_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                v = int(i) % 1000 + 1
+                n = 800 + int(i) % 160
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(np.full(n, v, dtype="<i2").tobytes())
+                rows.append((i, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, payload binary")
+    return extract_audio_features(blobs, "payload", "doc_id", decoder="wav")
+
+
+def _ct_oracle_sql() -> str:
+    """DuckDB mirror of the Cavnar-Trenkle classifier, the profile VALUES
+    generated from the same ``langprofiles.profile_rows()`` model both
+    engines score against."""
+    from ..functions.langprofiles import PROFILE_K, profile_rows
+
+    values = ",".join(f"('{l}','{g}',{r})" for l, g, r in profile_rows())
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, lower(regexp_replace(text, '[^\\p{{L}}]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest([substr(t, CAST(i AS INT), 3) FOR i IN range(1, length(t) - 1)]) AS g
+      FROM norm WHERE length(t) >= 3
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, g,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS r
+      FROM cnt
+    ),
+    topk AS (SELECT * FROM ranked WHERE r <= {PROFILE_K}),
+    profile(lang, g, pr) AS (VALUES {values}),
+    langs AS (SELECT DISTINCT lang FROM profile),
+    dist AS (
+      SELECT t.doc_id, l.lang,
+             CAST(SUM(COALESCE(ABS(t.r - p.pr), {PROFILE_K})) AS BIGINT) AS distance
+      FROM topk t CROSS JOIN langs l
+      LEFT JOIN profile p ON p.lang = l.lang AND p.g = t.g
+      GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT doc_id, lang, distance,
+             row_number() OVER (PARTITION BY doc_id ORDER BY distance ASC, lang ASC) AS rn
+      FROM dist
+    )
+    SELECT doc_id, lang AS pred_lang, distance FROM win WHERE rn = 1
+    """
+
+
+@query("text_langid_trigram", _ct_oracle_sql())
+def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by Cavnar-Trenkle rank-order trigram profiles (public
+    1994 algorithm; model in ``functions/langprofiles.py``) — the deeper,
+    model-backed tier above the stopword argmax (`text_langid`): sub-word
+    evidence separates languages that share function words.  Integer-only
+    scoring (counts → ranks → out-of-place distances), lexicographic
+    tie-breaks, so the DuckDB oracle reproduces every decision bit-exactly
+    against the identical broadcast profile table.
+
+    Scale: linear trigram explode → one (doc_id, trigram) groupBy → one
+    doc_id window for ranking (each doc then contributes ≤K rows) → a
+    broadcast join against the K×L profile.  No all-pairs, no skew.  For a
+    production corpus run the `langid_expr` script stage first — non-Latin
+    scripts are claimed there, so the profile stage only sees Latin text."""
+    from ..functions.langprofiles import classify_trigram
+
+    d = _t(spark, sf_dir, "documents")
+    return classify_trigram(d, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering (VERDICT r3 item 3b)
 #

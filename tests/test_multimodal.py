@@ -94,3 +94,103 @@ def test_audio_missing_codec_raises(spark, blobs):
         pytest.skip("librosa present")
     with pytest.raises(NotImplementedError):
         extract_audio_features(blobs, "payload", "doc_id", decoder="librosa")
+
+
+# ---------------------------------------------------------------------------
+# Real-codec tier: uncompressed BMP (struct+numpy) and PCM WAV (stdlib wave)
+# ---------------------------------------------------------------------------
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 255 // max(w - 1, 1)), (y * 255 // max(h - 1, 1)), ((x + y) % 256)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _wav_bytes(freq_sr=(440, 8000), seconds=0.5, amp=0.5):
+    import io
+    import math
+    import struct as st
+    import wave
+
+    freq, sr = freq_sr
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        n = int(sr * seconds)
+        frames = b"".join(
+            st.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr)))
+            for i in range(n)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from clickhouse_sinker_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    for h, w in [(4, 6), (3, 3), (5, 7)]:  # odd widths exercise row padding
+        img = _gradient_rgb(h, w)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_decode_image_features_real(spark):
+    import numpy as np
+
+    from clickhouse_sinker_spark.operators.multimodal import decode_image_features
+
+    img = _gradient_rgb(16, 24)
+    from clickhouse_sinker_spark.operators.multimodal import encode_bmp
+
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(img)))], "doc_id long, payload binary")
+    row = decode_image_features(df, "payload", "doc_id", decoder="bmp").collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (24, 16, 3)
+    luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    assert abs(row["mean_luma"] - luma.mean() / 255.0) < 1e-9
+    assert len(row["phash"]) == 16  # 64-bit hex
+
+    # near-dup stability: +1 brightness barely moves the average hash
+    img2 = np.clip(img.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+    df2 = spark.createDataFrame([(2, bytearray(encode_bmp(img2)))], "doc_id long, payload binary")
+    row2 = decode_image_features(df2, "payload", "doc_id", decoder="bmp").collect()[0]
+    ham = bin(int(row["phash"], 16) ^ int(row2["phash"], 16)).count("1")
+    assert ham <= 4
+
+
+def test_bmp_resize_real_nearest_neighbor(spark):
+    import numpy as np
+
+    from clickhouse_sinker_spark.operators.multimodal import (
+        _nearest_resize,
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+    )
+
+    img = _gradient_rgb(8, 12)
+    df = spark.createDataFrame([(7, bytearray(encode_bmp(img)))], "doc_id long, payload binary")
+    row = resize_images(df, "payload", "doc_id", width=6, height=4, decoder="bmp").collect()[0]
+    assert (row["width"], row["height"]) == (6, 4)
+    out = decode_bmp(bytes(row["resized"]))
+    assert np.array_equal(out, _nearest_resize(img, 6, 4))
+
+
+def test_wav_audio_features_real(spark):
+    from clickhouse_sinker_spark.operators.multimodal import extract_audio_features
+
+    payload = _wav_bytes(freq_sr=(440, 8000), seconds=0.5, amp=0.5)
+    df = spark.createDataFrame([(3, bytearray(payload))], "doc_id long, payload binary")
+    row = extract_audio_features(df, "payload", "doc_id", decoder="wav").collect()[0]
+    assert row["sample_rate"] == 8000
+    assert abs(row["duration_s"] - 0.5) < 1e-3
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ≈ 0.3536
+    assert abs(row["rms"] - 0.35355) < 0.01
+    assert row["n_windows"] == 2  # 0.5s / 0.5s windows + 1

@@ -348,7 +348,7 @@ def test_asof_tolerance_is_per_value_column(spark):
 
 def test_langid_scripts_and_languages(spark):
     """Broadened langid: Unicode-script stage (zh/ja/ko/ru/ar/hi/el/he/th)
-    + 12-language stopword stage, integer-only rules."""
+    + 19-language stopword stage, integer-only rules."""
     from clickhouse_sinker_spark.functions.text import langid_expr
 
     cases = [
@@ -362,6 +362,13 @@ def test_langid_scripts_and_languages(spark):
         ("och det är en katt som inte har varit med om det här", "sv"),
         ("yang penting adalah bahwa mereka tidak ada di dalam rumah itu", "id"),
         ("bu bir kedi ve o çok daha iyi bir köpek için geldi", "tr"),
+        ("és una cosa que no es pot fer amb els seus amics", "ca"),
+        ("to je ale jsem se na to že po co jako", "cs"),
+        ("hän on mutta ei se että kun niin myös oli", "fi"),
+        ("az és hogy nem egy van csak már volt még", "hu"),
+        ("jeg er ikke så glad i å være der med han", "no"),
+        ("și este nu mai din care sau dar sunt fost", "ro"),
+        ("của và là có được trong đã cho không người", "vi"),
         ("Это просто русский текст для проверки", "ru"),
         ("这是一个中文测试文本", "zh"),
         ("これは日本語のテストです", "ja"),  # kana beats han
@@ -443,3 +450,54 @@ def test_positional_ngrams_counts_repeats(spark):
     got = [r["g"] for r in df.select(positional_ngrams("ws", 2).alias("g")).collect()]
     assert got[0] == ["a b", "b a", "a b", "b a"]  # repeats preserved
     assert got[1] == [] and got[2] == []
+
+
+def test_ct_trigram_langid_held_out_sentences(spark):
+    """Cavnar-Trenkle profile classifier must identify held-out natural
+    sentences (content unrelated to the seed passages) in all 10 profile
+    languages — sub-word evidence, not word lookup: none of these
+    sentences shares more than function words with the seeds."""
+    from clickhouse_sinker_spark.functions.langprofiles import classify_trigram
+
+    cases = [
+        ("we should think about what the weather will be like this evening", "en"),
+        ("wir müssen heute über die zukunft unserer kinder sprechen", "de"),
+        ("los estudiantes tienen que aprender estas palabras antes del examen", "es"),
+        ("les enfants jouent dans la rue pendant que leurs parents travaillent", "fr"),
+        ("i bambini giocano nella strada mentre i loro genitori lavorano", "it"),
+        ("as crianças brincam na rua enquanto os seus pais trabalham", "pt"),
+        ("de kinderen spelen op straat terwijl hun ouders werken", "nl"),
+        ("barnen leker på gatan medan deras föräldrar arbetar", "sv"),
+        ("børnene leger på gaden mens deres forældre arbejder", "da"),
+        ("çocuklar anne ve babaları çalışırken sokakta oynuyorlar", "tr"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, e) for i, (t, e) in enumerate(cases)], "id long, text string, expected string"
+    )
+    preds = {r["id"]: r["pred_lang"] for r in classify_trigram(df, "text", "id").collect()}
+    wrong = [
+        (cases[i][1], preds.get(i)) for i in range(len(cases)) if preds.get(i) != cases[i][1]
+    ]
+    assert not wrong, f"mispredicted: {wrong}"
+
+
+def test_ct_profile_deterministic_and_ranked():
+    """Profile building is a pure function: stable across calls, ranks are
+    1..K dense per language, trigrams are 3 chars over letters/spaces."""
+    from clickhouse_sinker_spark.functions.langprofiles import (
+        LANG_SEEDS,
+        PROFILE_K,
+        profile_rows,
+    )
+
+    rows = profile_rows()
+    assert rows == profile_rows()
+    by_lang = {}
+    for lang, g, r in rows:
+        by_lang.setdefault(lang, []).append((g, r))
+        assert len(g) == 3 and all(c.isalpha() or c == " " for c in g)
+    assert set(by_lang) == set(LANG_SEEDS)
+    for lang, pairs in by_lang.items():
+        ranks = [r for _, r in pairs]
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= PROFILE_K
