@@ -1357,18 +1357,31 @@ def _langid_oracle_sql() -> str:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID, two-stage heuristic (functions/text.py langid_expr):
     Unicode-script charset evidence for 9 non-Latin-script languages
-    (zh/ja/ko/ru/ar/hi/el/he/th), stopword-token argmax over 12
+    (zh/ja/ko/ru/ar/hi/el/he/th), stopword-token argmax over 19
     Latin-script languages, integer-only decisions, deterministic
     tie-breaks.  Pure map-side codegen; the DuckDB oracle is GENERATED
     from the same stopword/script tables."""
-    from ..functions.text import SCRIPT_RANGES, langid_pred, script_counts
+    from ..functions.text import (
+        SCRIPT_RANGES,
+        langid_pred,
+        langid_scores_from_tokens,
+        script_counts,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    # evidence columns FIRST, pred from the columns (langid_pred scale
-    # note: no CSE across HOF expressions; this is ~3× vs inlining)
-    scores = langid_scores(F.col("text"))
+    # token array materialized ONCE, then evidence columns, then the pred
+    # from the columns — no CSE across HOF expressions, so both the split
+    # and each score must be a bound column before reuse (19 languages ×
+    # inline split measured 1.6 s vs 0.6 s at sf0.1)
+    toked = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks"),
+    )
+    scores = langid_scores_from_tokens(F.col("__toks"))
     sc = script_counts(F.col("text"))
-    ev = d.select(
+    ev = toked.select(
         "doc_id",
         "lang",
         F.length("text").alias("__n"),
@@ -2944,8 +2957,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap starts a new session —
     lag + running sum (the classic two-window linear plan; one shuffle on
-    user_id serves both windows).  The streaming analogue is
-    ``session_window`` in pipeline.py."""
+    user_id serves both windows).  The streaming analogue
+    (``F.session_window`` + watermark) is exercised in
+    tests/test_streaming.py::test_streaming_session_window."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
@@ -4304,6 +4318,196 @@ def mm_wav_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = d.mapInPandas(gen, "doc_id long, payload binary")
     return extract_audio_features(blobs, "payload", "doc_id", decoder="wav")
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB mirror of the Gopher rule battery; the stopword list is the
+    same 8-word Gopher set on both sides."""
+    lst = ",".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             length(replace(text, ' ', '')) AS n_alpha_chars,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 t -> t IN ({lst}))) AS n_gopher_stop,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_tokens,
+             length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS n_symbols
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_alpha_chars AS DOUBLE) / (CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END), 6) AS mean_word_len_r6,
+           (n_tokens >= 50 AND n_tokens <= 100000) AS r_wordcount,
+           (n_alpha_chars >= 3 * n_tokens AND n_alpha_chars <= 10 * n_tokens AND n_tokens > 0) AS r_meanlen,
+           (n_gopher_stop >= 2) AS r_stopwords,
+           (10 * n_alpha_tokens >= 8 * n_tokens AND n_tokens > 0) AS r_alpha,
+           (10 * n_symbols <= n_tokens) AS r_symbol,
+           ((n_tokens >= 50 AND n_tokens <= 100000)
+            AND (n_alpha_chars >= 3 * n_tokens AND n_alpha_chars <= 10 * n_tokens AND n_tokens > 0)
+            AND (n_gopher_stop >= 2)
+            AND (10 * n_alpha_tokens >= 8 * n_tokens AND n_tokens > 0)
+            AND (10 * n_symbols <= n_tokens)) AS passes
+    FROM f
+    """
+
+
+# Gopher's document-quality stopword presence list (Rae et al. 2021, public:
+# "must contain ≥2 of the, be, to, of, and, that, have, with").
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@query("quality_gopher_rules", _gopher_oracle_sql())
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rule battery (Rae et al. 2021 §A1.1,
+    public), each rule an integer-arithmetic boolean so both engines decide
+    identically: word count in [50, 100k]; mean word length in [3, 10]
+    (compared as ``3·n ≤ chars ≤ 10·n`` — no division); ≥2 of the 8 Gopher
+    stopwords; ≥80 % of words contain a letter (``10·alpha ≥ 8·n``);
+    symbol-to-word ratio ≤ 0.1.  Pure map-side column expressions — the
+    classic first gate of a pretraining corpus at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks_l = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks)).cast("int")
+    f = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_alpha_chars"),
+        F.size(F.filter(toks_l, lambda t: t.isin(GOPHER_STOPWORDS))).alias("n_gopher_stop"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).alias("n_alpha_tokens"),
+        (
+            F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), "[#…]", ""))
+        ).alias("n_symbols"),
+    )
+    r_wordcount = (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000)
+    r_meanlen = (
+        (F.col("n_alpha_chars") >= 3 * F.col("n_tokens"))
+        & (F.col("n_alpha_chars") <= 10 * F.col("n_tokens"))
+        & (F.col("n_tokens") > 0)
+    )
+    r_stopwords = F.col("n_gopher_stop") >= 2
+    r_alpha = (10 * F.col("n_alpha_tokens") >= 8 * F.col("n_tokens")) & (F.col("n_tokens") > 0)
+    r_symbol = 10 * F.col("n_symbols") <= F.col("n_tokens")
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("n_alpha_chars").cast("double")
+            / F.when(F.col("n_tokens") == 0, 1).otherwise(F.col("n_tokens")),
+            6,
+        ).alias("mean_word_len_r6"),
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_stopwords.alias("r_stopwords"),
+        r_alpha.alias("r_alpha"),
+        r_symbol.alias("r_symbol"),
+        (r_wordcount & r_meanlen & r_stopwords & r_alpha & r_symbol).alias("passes"),
+    )
+
+
+@query(
+    "dedup_passage_ccnet",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents WHERE trim(text) <> ''
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(tk[i*10+1 : i*10+10], ' '))
+                     FOR i IN range(0, CAST(ceil(len(tk) / 10.0) AS INT))]) AS fp
+      FROM toks
+    ),
+    shared AS (
+      SELECT fp, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+           ROUND(CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac_dup_r6
+    FROM chunks c JOIN shared s ON c.fp = s.fp
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_passage_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style passage-level duplication stats (Wenzek et al. 2020,
+    public: dedup at paragraph granularity before document filters).  The
+    corpus has no newlines, so a passage = a 10-token chunk; a passage is
+    "duplicated" when its fingerprint occurs in more than one document.
+
+    Scale: one explode (linear), one groupBy on the md5 fingerprint (the
+    dedup shuffle — uniformly distributed keys, no skew), one fingerprint
+    equi-join back (same partitioning reused), one doc_id groupBy.  This
+    is the identical shape CCNet runs over Common Crawl; nothing is
+    quadratic and nothing materializes on the driver."""
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    withtoks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
+    n_chunks = F.ceil(F.size("tk") / F.lit(10.0)).cast("int")
+    chunks = withtoks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i * 10 + 1, 10))),
+            )
+        ).alias("fp"),
+    )
+    shared = chunks.groupBy("fp").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        chunks.join(shared, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_passages"),
+            dup.cast("long").alias("n_dup_passages"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("frac_dup_r6"),
+        )
+    )
+
+
+@query(
+    "corpus_stats_per_lang",
+    """
+    WITH f AS (
+      SELECT lang, source, n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           quantile_cont(n_tokens, 0.5) AS p50_tokens,
+           quantile_cont(n_tokens, 0.95) AS p95_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars_r6
+    FROM f
+    GROUP BY lang, source
+    """,
+)
+def corpus_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(language, source) corpus report: doc/token totals, exact
+    interpolated token-count percentiles (integral inputs → interpolation
+    exact in both engines), mean chars.  The routine mixing-audit query a
+    corpus build runs after every stage; one shuffle on the tiny group
+    key, partial aggregation map-side."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks)).cast("int")
+    f = d.select("lang", "source", "n_chars", n_tokens.alias("n_tokens"))
+    q = F.expr("percentile(n_tokens, array(0.5, 0.95))")
+    return f.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.get(q, 0).alias("p50_tokens"),
+        F.get(q, 1).alias("p95_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("mean_chars_r6"),
+    )
 
 
 def _ct_oracle_sql() -> str:

@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 
 from ..config import ClickHouseConfig
 
-__all__ = ["ParquetSink", "JdbcSink", "ShardReplicas", "with_retry"]
+__all__ = [
+    "ParquetSink",
+    "ManifestParquetSink",
+    "JdbcSink",
+    "ShardReplicas",
+    "with_retry",
+]
 
 
 def with_retry(fn, retry_times: int, base_sleep: float = 1.0, max_sleep: float = 60.0):
@@ -79,6 +85,69 @@ class ParquetSink:
         if self.merge_schema:
             writer = writer.option("mergeSchema", "true")
         writer.parquet(self.path)
+
+
+@dataclass
+class ManifestParquetSink:
+    """Exactly-once-per-epoch parquet landing via an epoch-keyed commit
+    manifest — the upgrade from the engine's at-least-once contract (S7)
+    to effective exactly-once on files, the standard transactional
+    foreachBatch pattern.
+
+    Each epoch writes to its own directory ``<path>/epoch=<id>`` and then
+    atomically records a manifest ``<path>/_manifests/<id>.json``.  A
+    replayed epoch (same id — exactly what Structured Streaming re-delivers
+    after a crash between sink-write and checkpoint-commit) is SKIPPED when
+    its manifest already exists, so re-delivery cannot duplicate rows.
+    Readers take only manifested epochs: ``read_committed``.
+
+    At 100 TB the manifest write is a single tiny driver-side file per
+    epoch (no file listing, no rename of data files), and data writes keep
+    full executor parallelism — the same layout ``ParquetSink`` uses.
+    """
+
+    path: str
+    shard_col: str = "__shard"
+
+    def _manifest_dir(self) -> str:
+        return f"{self.path}/_manifests"
+
+    def _manifest_file(self, epoch_id: int) -> str:
+        return f"{self._manifest_dir()}/{epoch_id}.json"
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        import json
+        import os
+
+        mf = self._manifest_file(epoch_id)
+        if os.path.exists(mf):  # replayed epoch: already committed, no-op
+            return
+        epoch_dir = f"{self.path}/epoch={epoch_id}"
+        out = batch
+        writer = out.write.mode("overwrite")  # overwrite: partial retry debris
+        if self.shard_col in out.columns:
+            out = out.sortWithinPartitions(self.shard_col)
+            writer = out.write.mode("overwrite").partitionBy(self.shard_col)
+        writer.parquet(epoch_dir)
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        tmp = f"{mf}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch_id, "dir": epoch_dir}, f)
+        os.replace(tmp, mf)  # atomic: manifest IS the commit point
+
+    def read_committed(self, spark) -> DataFrame:
+        """Read only epochs whose manifest exists (uncommitted epoch dirs —
+        crash debris — are invisible)."""
+        import glob
+        import json
+
+        dirs = []
+        for mf in sorted(glob.glob(f"{self._manifest_dir()}/*.json")):
+            with open(mf) as f:
+                dirs.append(json.load(f)["dir"])
+        if not dirs:
+            return spark.createDataFrame([], "id long")
+        return spark.read.option("basePath", self.path).parquet(*dirs)
 
 
 class ShardReplicas:

@@ -234,3 +234,30 @@ def test_all_queries_analyze_all_scale_dirs(spark):
             except Exception as exc:  # noqa: BLE001 — collect every failure
                 failures.append(f"{name}@{sf_dir}: {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures)
+
+
+def test_gopher_rules_map_side_only(spark):
+    """quality_gopher_rules is the first gate of a corpus build — it must
+    be a pure map (no Exchange, no join, no Python UDF): at 100 TB it
+    should stream through the scan at I/O speed."""
+    plan = plan_of(QUERIES["quality_gopher_rules"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_passage_dedup_no_cartesian_fp_equi_join(spark):
+    """dedup_passage_ccnet joins chunks back to fingerprint counts — must
+    be an equi-join on the fingerprint, never a cartesian pair space, and
+    JVM-side end to end."""
+    plan = plan_of(QUERIES["dedup_passage_ccnet"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ct_langid_broadcasts_profile(spark):
+    """text_langid_trigram's K×L profile model must broadcast (it is tiny
+    and fixed); the corpus side must never shuffle against it."""
+    plan = plan_of(QUERIES["text_langid_trigram"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -198,3 +198,62 @@ def test_pii_scrub_idempotent(spark):
     once = df.select(pii_scrub("txt")["scrubbed"].alias("txt"))
     twice = once.select(pii_scrub("txt")["scrubbed"].alias("txt"))
     assert [r["txt"] for r in once.collect()] == [r["txt"] for r in twice.collect()]
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_random_images(h, w, seed):
+    """encode_bmp/decode_bmp are exact inverses for every image shape —
+    including the odd widths that exercise 4-byte row padding."""
+    import numpy as np
+
+    from clickhouse_sinker_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_decode_matches_direct_numpy(samples, sr):
+    """The stdlib-wave decode path must reproduce duration/RMS computed
+    directly from the raw samples, for any PCM16 content at any rate."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from clickhouse_sinker_spark.operators.multimodal import _decode_wav
+
+    raw = np.array(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(raw.tobytes())
+    x, got_sr = _decode_wav(buf.getvalue())
+    assert got_sr == sr and len(x) == len(samples)
+    expect = raw.astype(np.float64) / 32768.0
+    assert np.array_equal(x, expect)
+
+
+@given(st.text(alphabet="abcdefgh çéü ", min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_ct_profile_ranks_dense_any_text(text):
+    """trigram_profile yields dense ranks 1..n with unique trigrams for
+    arbitrary text (including empty / all-space edge cases)."""
+    from clickhouse_sinker_spark.functions.langprofiles import trigram_profile
+
+    prof = trigram_profile(text)
+    grams = [g for g, _ in prof]
+    assert len(set(grams)) == len(grams)
+    assert [r for _, r in prof] == list(range(1, len(prof) + 1))

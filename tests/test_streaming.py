@@ -647,3 +647,33 @@ def test_stream_stream_interval_join(spark, workdir):
     q.awaitTermination(120)
     got = {(r["user"], r["page"], r["amount"]) for r in spark.read.parquet(out_path).collect()}
     assert got == {(1, "a", 10.0), (2, "c", 30.0)}
+
+
+def test_manifest_sink_exactly_once_on_replay(spark, tmp_path):
+    """ManifestParquetSink (S7→exactly-once upgrade): a replayed epoch —
+    Structured Streaming's re-delivery after a crash between sink write
+    and checkpoint commit — must be a no-op, and uncommitted crash debris
+    must be invisible to readers."""
+    from clickhouse_sinker_spark.streaming.sink import ManifestParquetSink
+
+    sink = ManifestParquetSink(str(tmp_path / "land"))
+    df1 = spark.range(100).withColumn("__shard", (F.col("id") % 4).cast("int"))
+    sink(df1, epoch_id=0)
+    sink(df1, epoch_id=0)  # replay: same epoch re-delivered → skipped
+    assert sink.read_committed(spark).count() == 100
+
+    # second epoch lands additively
+    df2 = spark.range(100, 150).withColumn("__shard", (F.col("id") % 4).cast("int"))
+    sink(df2, epoch_id=1)
+    got = sink.read_committed(spark)
+    assert got.count() == 150
+    assert {r[0] for r in got.select("id").collect()} == set(range(150))
+
+    # crash debris: an epoch dir WITHOUT a manifest is not readable
+    df3 = spark.range(150, 160).withColumn("__shard", F.lit(0))
+    df3.write.mode("overwrite").parquet(str(tmp_path / "land" / "epoch=2"))
+    assert sink.read_committed(spark).count() == 150
+
+    # ...and a later successful write of that epoch commits it exactly once
+    sink(df3, epoch_id=2)
+    assert sink.read_committed(spark).count() == 160
