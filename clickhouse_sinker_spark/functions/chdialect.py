@@ -1,0 +1,315 @@
+"""ClickHouse SQL dialect → Spark SQL translation (documented subset).
+
+The reference's users write ClickHouse SQL against the tables the sinker
+loads (docs/dev/design.md; the query layer this repo owns natively per
+SURVEY §2.7).  ``translate_ch_sql`` rewrites the common ClickHouse-isms to
+Spark SQL so those queries run unchanged on this engine:
+
+===========================  =========================================
+ClickHouse                   Spark SQL
+===========================  =========================================
+toStartOfMinute/Hour/Day...  date_trunc('MINUTE'/'HOUR'/..., x)
+toMonday(x)                  date_trunc('WEEK', x)
+toDate(x) / toDateTime(x)    to_date(x) / to_timestamp(x)
+toYYYYMM(x)                  CAST(date_format(x, 'yyyyMM') AS INT)
+toUInt*/toInt*(x)            CAST(x AS BIGINT)   (toUInt64 → DECIMAL(20,0))
+toFloat32/64(x)              CAST(x AS DOUBLE)
+toString(x)                  CAST(x AS STRING)
+uniq(x)                      approx_count_distinct(x)
+uniqExact(x)                 count(DISTINCT x)
+countIf(c)                   count_if(c)
+sumIf(x, c) / avgIf / minIf  sum(x) FILTER (WHERE c) / avg / min / max
+quantile(p)(x)               percentile_approx(x, p)
+quantileExact(p)(x)          percentile(x, p)
+argMax(a, b) / argMin(a, b)  max_by(a, b) / min_by(a, b)
+any(x) / anyLast(x)          first(x) / last(x)
+groupArray(x)                collect_list(x)
+groupUniqArray(x)            collect_set(x)
+arrayJoin(x)                 explode(x)
+has(arr, x)                  array_contains(arr, x)
+empty(x) / notEmpty(x)       (length(x) = 0) / (length(x) > 0)
+splitByChar(sep, s)          split(s, sep)    (sep regex-escaped)
+intDiv(a, b)                 (a DIV b)
+modulo(a, b)                 (a % b)
+multiIf(c1, v1, ..., e)      CASE WHEN c1 THEN v1 ... ELSE e END
+ifNull(a, b)                 coalesce(a, b)
+now() / today()              current_timestamp() / current_date()
+xxHash64(x)                  xxhash64(x)
+PREWHERE c                   WHERE c   (merged with AND if WHERE exists)
+FROM t FINAL                 FROM t    (noted: engine has no merge state)
+===========================  =========================================
+
+Functions that change value semantics under translation (``uniq`` is a
+different approximation algorithm; ``any`` is an arbitrary-row pick in
+both engines) are flagged in the returned notes.  Anything outside the
+table raises ``ChTranslationError`` with the offending name rather than
+silently producing wrong results.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["translate_ch_sql", "ChTranslationError", "ch_sql"]
+
+
+class ChTranslationError(ValueError):
+    """A ClickHouse construct with no faithful Spark translation."""
+
+
+# simple name-for-name renames (textual, applied at call sites ``name(``)
+_RENAMES = {
+    "toDate": "to_date",
+    "toDateTime": "to_timestamp",
+    "uniq": "approx_count_distinct",
+    "countIf": "count_if",
+    "arrayJoin": "explode",
+    "has": "array_contains",
+    "ifNull": "coalesce",
+    "xxHash64": "xxhash64",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "any": "first",
+    "anyLast": "last",
+    "lcase": "lower",
+    "ucase": "upper",
+}
+
+_TRUNCS = {
+    "toStartOfMinute": "MINUTE",
+    "toStartOfHour": "HOUR",
+    "toStartOfDay": "DAY",
+    "toStartOfMonth": "MONTH",
+    "toStartOfQuarter": "QUARTER",
+    "toStartOfYear": "YEAR",
+    "toMonday": "WEEK",
+}
+
+_CASTS = {
+    "toUInt8": "BIGINT",
+    "toUInt16": "BIGINT",
+    "toUInt32": "BIGINT",
+    "toUInt64": "DECIMAL(20,0)",
+    "toInt8": "BIGINT",
+    "toInt16": "BIGINT",
+    "toInt32": "BIGINT",
+    "toInt64": "BIGINT",
+    "toFloat32": "DOUBLE",
+    "toFloat64": "DOUBLE",
+    "toString": "STRING",
+}
+
+# aggregate-with-condition combinators → FILTER (WHERE ...) clause
+_AGG_IF = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+
+# known-ClickHouse names we refuse rather than mistranslate
+_UNSUPPORTED = {
+    "cityHash64",
+    "sipHash64",
+    "halfMD5",
+    "topK",
+    "uniqCombined",
+    "sequenceMatch",
+    "windowFunnel",
+    "neighbor",
+    "runningDifference",
+    "arrayEnumerate",
+    "sample",
+}
+
+_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _find_call(sql: str, name: str) -> int:
+    """Index of the next ``name(`` call site (word-boundary match), or -1."""
+    for m in re.finditer(rf"\b{re.escape(name)}\s*\(", sql):
+        return m.start()
+    return -1
+
+
+def _balanced(sql: str, open_idx: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at open_idx (respects
+    nesting and single-quoted strings)."""
+    depth = 0
+    i = open_idx
+    in_str = False
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ChTranslationError(f"unbalanced parentheses after index {open_idx}")
+
+
+def _split_args(arglist: str) -> list[str]:
+    """Split a call's argument list on top-level commas."""
+    out, depth, in_str, cur = [], 0, False, []
+    for c in arglist:
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            cur.append(c)
+            in_str = True
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _rewrite_calls(sql: str, name: str, emit) -> str:
+    """Rewrite every ``name(args)`` call via ``emit(args: list[str]) -> str``,
+    innermost-safe (args are recursively translated before emission)."""
+    while True:
+        at = _find_call(sql, name)
+        if at < 0:
+            return sql
+        open_idx = sql.index("(", at)
+        end = _balanced(sql, open_idx)
+        args = [_translate_functions(a) for a in _split_args(sql[open_idx + 1 : end - 1])]
+        sql = sql[:at] + emit(args) + sql[end:]
+
+
+def _rewrite_quantile(sql: str, name: str, spark_fn: str) -> str:
+    """``quantile(p)(x)`` two-group combinator → ``spark_fn(x, p)``."""
+    while True:
+        at = _find_call(sql, name)
+        if at < 0:
+            return sql
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError(f"{name} requires the (p)(x) combinator form")
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        p = _translate_functions(sql[open1 + 1 : end1 - 1]).strip()
+        x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
+        sql = sql[:at] + f"{spark_fn}({x}, {p})" + sql[end2:]
+
+
+def _translate_functions(sql: str) -> str:
+    for ch, unit in _TRUNCS.items():
+        sql = _rewrite_calls(sql, ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})")
+    for ch, ty in _CASTS.items():
+        sql = _rewrite_calls(sql, ch, lambda a, t=ty: f"CAST({a[0]} AS {t})")
+    for ch, agg in _AGG_IF.items():
+        sql = _rewrite_calls(
+            sql, ch, lambda a, g=agg: f"{g}({a[0]}) FILTER (WHERE {a[1]})"
+        )
+    sql = _rewrite_quantile(sql, "quantileExact", "percentile")
+    sql = _rewrite_quantile(sql, "quantile", "percentile_approx")
+    sql = _rewrite_calls(sql, "toYYYYMM", lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)")
+    sql = _rewrite_calls(sql, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
+    sql = _rewrite_calls(sql, "intDiv", lambda a: f"(({a[0]}) DIV ({a[1]}))")
+    sql = _rewrite_calls(sql, "modulo", lambda a: f"(({a[0]}) % ({a[1]}))")
+    sql = _rewrite_calls(sql, "empty", lambda a: f"(length({a[0]}) = 0)")
+    sql = _rewrite_calls(sql, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
+    sql = _rewrite_calls(sql, "splitByChar", lambda a: _split_by_char(a))
+
+    def _multi_if(args: list[str]) -> str:
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise ChTranslationError("multiIf needs cond/value pairs + else")
+        parts = ["CASE"]
+        for i in range(0, len(args) - 1, 2):
+            parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        parts.append(f"ELSE {args[-1]} END")
+        return " ".join(parts)
+
+    sql = _rewrite_calls(sql, "multiIf", _multi_if)
+    for ch, spark in _RENAMES.items():
+        sql = re.sub(rf"\b{re.escape(ch)}\s*\(", f"{spark}(", sql)
+    return sql
+
+
+def _split_by_char(args: list[str]) -> str:
+    sep, s = args[0], args[1]
+    if sep.startswith("'") and sep.endswith("'"):
+        lit = re.escape(sep[1:-1]).replace("\\", "\\\\")
+        return f"split({s}, '{lit}')"
+    raise ChTranslationError("splitByChar requires a literal separator")
+
+
+def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
+    """Translate a ClickHouse SQL query to Spark SQL.
+
+    Returns ``(spark_sql, notes)`` — notes record semantic deltas (FINAL
+    stripped, uniq approximation differs).  Raises ChTranslationError on
+    constructs outside the documented subset.
+    """
+    notes: list[str] = []
+    for bad in _UNSUPPORTED:
+        if re.search(rf"\b{bad}\s*\(", sql):
+            raise ChTranslationError(f"no faithful Spark translation for {bad}()")
+
+    if re.search(r"\bFINAL\b", sql, re.IGNORECASE):
+        sql = re.sub(r"\s+FINAL\b", "", sql, flags=re.IGNORECASE)
+        notes.append(
+            "FINAL stripped: no merge-tree state here; run dedup explicitly "
+            "(operators/dedup.py) if the table is a ReplacingMergeTree"
+        )
+
+    m = re.search(r"\bPREWHERE\b", sql, re.IGNORECASE)
+    if m:
+        if re.search(r"\bWHERE\b", sql, re.IGNORECASE):
+            # merge: PREWHERE c1 ... WHERE c2 → WHERE (c1) AND (c2).
+            pre = re.search(
+                r"\bPREWHERE\b(.*?)(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|$)",
+                sql,
+                re.IGNORECASE | re.DOTALL,
+            )
+            cond = pre.group(1).strip()
+            sql = sql[: pre.start()] + sql[pre.end() :]
+            sql = re.sub(
+                r"\bWHERE\b", f"WHERE ({cond}) AND ", sql, count=1, flags=re.IGNORECASE
+            )
+        else:
+            sql = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
+        notes.append("PREWHERE → WHERE (Spark pushes predicates itself)")
+
+    if re.search(r"\buniq\s*\(", sql):
+        notes.append("uniq() → approx_count_distinct(): HLL++ differs from "
+                     "ClickHouse's uniq estimator; use uniqExact for exact counts")
+    if re.search(r"\b(any|anyLast)\s*\(", sql):
+        notes.append("any()/anyLast() → first()/last(): arbitrary-row pick in "
+                     "both engines, value may differ")
+
+    return _translate_functions(sql), notes
+
+
+def ch_sql(spark, sql: str, sf_dir: str):
+    """Run a ClickHouse-dialect query against the testdata tables: registers
+    each table as a temp view (via load_table's timestamp normalization)
+    and executes the translated SQL."""
+    from ..sources.tables import load_table
+
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    translated, _notes = translate_ch_sql(sql)
+    return spark.sql(translated)

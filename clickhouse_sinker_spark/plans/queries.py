@@ -4510,6 +4510,47 @@ def corpus_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CH_DIALECT_HOURLY = """
+    SELECT toStartOfHour(ts) AS h,
+           count(*) AS n,
+           countIf(value > 100) AS big,
+           uniqExact(user_id) AS users,
+           intDiv(uniqExact(event_type) + 1, 2) AS half_types,
+           multiIf(count(*) > 100, 'hot', 'cold') AS bucket
+    FROM events
+    WHERE user_id < 5000
+    GROUP BY h
+"""
+
+
+@query(
+    "ch_dialect_hourly_stats",
+    """
+    SELECT date_trunc('hour', ts) AS h,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS big,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           CAST((count(DISTINCT event_type) + 1) // 2 AS BIGINT) AS half_types,
+           CASE WHEN count(*) > 100 THEN 'hot' ELSE 'cold' END AS bucket
+    FROM events
+    WHERE user_id < 5000
+    GROUP BY h
+    """,
+)
+def ch_dialect_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ClickHouse-dialect monitoring query run THROUGH the translation
+    layer (functions/chdialect.py): toStartOfHour / countIf / uniqExact /
+    intDiv / multiIf are rewritten to Spark SQL and executed; the DuckDB
+    oracle is the hand-written ANSI equivalent.  Proves the dialect subset
+    end-to-end under the correctness gate — a reference user's ClickHouse
+    query runs unchanged.  Integer-only outputs, so hashes are bit-stable.
+    Plan: same single-shuffle grouped aggregate Spark produces for native
+    SQL (translation is text-level; Catalyst sees ordinary expressions)."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_HOURLY, sf_dir)
+
+
 def _ct_oracle_sql() -> str:
     """DuckDB mirror of the Cavnar-Trenkle classifier, the profile VALUES
     generated from the same ``langprofiles.profile_rows()`` model both

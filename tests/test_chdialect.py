@@ -1,0 +1,140 @@
+"""ClickHouse-dialect translation: text-level rewrites + end-to-end runs
+against the testdata with hand-computed or DuckDB-mirrored expectations."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_sinker_spark.functions.chdialect import (
+    ChTranslationError,
+    ch_sql,
+    translate_ch_sql,
+)
+
+from .conftest import SF_DIR
+
+
+def T(sql: str) -> str:
+    return translate_ch_sql(sql)[0]
+
+
+def test_rename_and_trunc_rewrites():
+    assert T("SELECT toStartOfHour(ts) FROM events") == (
+        "SELECT date_trunc('HOUR', ts) FROM events"
+    )
+    assert T("SELECT uniq(user_id), countIf(value > 1) FROM events") == (
+        "SELECT approx_count_distinct(user_id), count_if(value > 1) FROM events"
+    )
+    assert T("SELECT argMax(event_type, value) FROM events") == (
+        "SELECT max_by(event_type, value) FROM events"
+    )
+    assert T("SELECT toMonday(toDate(ts)) FROM events") == (
+        "SELECT date_trunc('WEEK', to_date(ts)) FROM events"
+    )
+
+
+def test_cast_and_arith_rewrites():
+    assert T("SELECT toInt64(value) FROM events") == (
+        "SELECT CAST(value AS BIGINT) FROM events"
+    )
+    assert T("SELECT toUInt64(value)") == "SELECT CAST(value AS DECIMAL(20,0))"
+    assert T("SELECT intDiv(user_id, 10), modulo(user_id, 7)") == (
+        "SELECT ((user_id) DIV (10)), ((user_id) % (7))"
+    )
+    # operand parenthesization: DIV binds tighter than + in Spark SQL
+    assert T("SELECT intDiv(n + 1, 2)") == "SELECT ((n + 1) DIV (2))"
+    assert T("SELECT toYYYYMM(ts)") == "SELECT CAST(date_format(ts, 'yyyyMM') AS INT)"
+
+
+def test_agg_if_combinators_become_filter_clause():
+    assert T("SELECT sumIf(value, value > 0) FROM events") == (
+        "SELECT sum(value) FILTER (WHERE value > 0) FROM events"
+    )
+    assert T("SELECT avgIf(value, event_type = 'click')") == (
+        "SELECT avg(value) FILTER (WHERE event_type = 'click')"
+    )
+
+
+def test_quantile_combinator_two_group_form():
+    assert T("SELECT quantile(0.5)(value) FROM events") == (
+        "SELECT percentile_approx(value, 0.5) FROM events"
+    )
+    assert T("SELECT quantileExact(0.9)(value)") == "SELECT percentile(value, 0.9)"
+    with pytest.raises(ChTranslationError):
+        T("SELECT quantile(value)")  # missing combinator group
+
+
+def test_multi_if_and_nested_calls():
+    got = T("SELECT multiIf(value > 1, 'hi', empty(event_type), 'none', 'lo')")
+    assert got == (
+        "SELECT CASE WHEN value > 1 THEN 'hi' "
+        "WHEN (length(event_type) = 0) THEN 'none' ELSE 'lo' END"
+    )
+    # nested translation inside arguments
+    assert T("SELECT sumIf(toFloat64(value), toInt32(user_id) > 5)") == (
+        "SELECT sum(CAST(value AS DOUBLE)) FILTER (WHERE CAST(user_id AS BIGINT) > 5)"
+    )
+
+
+def test_prewhere_and_final():
+    sql, notes = translate_ch_sql(
+        "SELECT count(*) FROM events FINAL PREWHERE value > 0 WHERE user_id < 10"
+    )
+    assert "FINAL" not in sql and "PREWHERE" not in sql
+    assert "WHERE (value > 0) AND  user_id < 10" in sql
+    assert any("FINAL" in n for n in notes)
+
+    sql2, _ = translate_ch_sql("SELECT count(*) FROM events PREWHERE value > 0")
+    assert "WHERE value > 0" in sql2
+
+
+def test_unsupported_raises_not_mistranslates():
+    with pytest.raises(ChTranslationError):
+        T("SELECT cityHash64(event_type) FROM events")
+    with pytest.raises(ChTranslationError):
+        T("SELECT windowFunnel(3600)(ts, event_type = 'a') FROM events")
+
+
+def test_end_to_end_against_spark(spark):
+    """A realistic ClickHouse monitoring query runs translated on the real
+    tables and matches the directly-written Spark SQL answer."""
+    ch = """
+        SELECT toStartOfHour(ts) AS h,
+               count(*) AS n,
+               countIf(value > 100) AS big,
+               uniqExact(user_id) AS users,
+               sumIf(value, event_type = 'click') AS click_value
+        FROM events
+        WHERE user_id < 500
+        GROUP BY h
+        ORDER BY h
+        LIMIT 5
+    """
+    got = ch_sql(spark, ch, SF_DIR).collect()
+    from clickhouse_sinker_spark.sources.tables import load_table
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    want = spark.sql("""
+        SELECT date_trunc('HOUR', ts) AS h,
+               count(*) AS n,
+               count_if(value > 100) AS big,
+               count(DISTINCT user_id) AS users,
+               sum(value) FILTER (WHERE event_type = 'click') AS click_value
+        FROM events
+        WHERE user_id < 500
+        GROUP BY h ORDER BY h LIMIT 5
+    """).collect()
+    assert got == want and len(got) == 5
+
+
+def test_end_to_end_array_join_and_split(spark):
+    ch = """
+        SELECT doc_id, arrayJoin(splitByChar(' ', text)) AS tok
+        FROM documents
+        WHERE doc_id < 3
+    """
+    rows = ch_sql(spark, ch, SF_DIR).collect()
+    assert len(rows) > 3  # exploded: one row per token
+    assert all(" " not in r["tok"] for r in rows)
+    docs = {r["doc_id"] for r in rows}
+    assert docs == {0, 1, 2}
