@@ -26,6 +26,9 @@ __all__ = [
     "load_ivf_index",
     "ivf_assign",
     "ivf_search",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -266,3 +269,101 @@ def kmeans_lloyd(
             for c in range(k)
         ]
     return assigned, centroids, sse_trace
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, public): the 100 TB memory play.
+# A 64-dim float corpus (256 B/vector as float32) compresses to m=8 one-byte
+# codes (32×); search scans codes with per-query distance lookup tables
+# (ADC) instead of touching raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame, vec_col: str, id_col: str, m: int = 8, k: int = 16, iters: int = 3
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: split dim into ``m`` equal subvectors,
+    run the deterministic in-engine Lloyd's k-means on each.  Returns
+    ``codebooks[s][j] = centroid j of subspace s`` (driver-tiny: m·k·(d/m)
+    doubles).  Training cost: m × iters narrow aggregations over the
+    corpus — a one-time index build, persisted like the IVF centroids."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    dim = len(base.select("v").first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = []
+    for s in range(m):
+        sliced = base.select("id", F.slice("v", s * sub + 1, sub).alias("v"))
+        _, cents, _ = kmeans_lloyd(sliced, "v", "id", k=k, iters=iters)
+        codebooks.append(cents)
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Encode each vector as ``array<int>`` of m nearest-centroid ids —
+    pure column expressions (the codebooks compile into the plan as
+    literals), zero shuffle: run once at landing time and store the code
+    column next to the corpus.  Ties break toward the lower centroid id
+    (same rule as kmeans_lloyd / ivf_assign — deterministic)."""
+    v = F.col(vec_col).cast("array<double>")
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sv = F.slice(v, s * sub + 1, sub)
+        dists = F.array(*[_dist2_to(sv, c) for c in cb])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.select(
+        F.col(id_col).alias("corpus_id"), F.array(*codes).alias("pq_code")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    ``queries`` carries (query_id, vec) and is the SMALL side: its rows are
+    collected driver-side to build each query's m×K distance lookup table
+    (numpy, tiny), which broadcasts as a literal-free array column.  The
+    scan side touches ONLY the code column: distance = Σ_s LUT[s, code_s]
+    — m array lookups per (row, query), no raw vectors, no shuffle except
+    the final per-query top-k window.  Approximate by construction: recall
+    is pinned against cosine_topk in tests (run on L2-normalized vectors
+    so ADC-L2 ranking ≈ cosine ranking)."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    qrows = queries.select("query_id", F.col("vec").cast("array<double>").alias("v")).collect()
+    spark = codes.sparkSession
+    lut_rows = []
+    for r in qrows:
+        qv = r["v"]
+        sub = len(codebooks[0][0])
+        lut = []
+        for s in range(m):
+            qs = qv[s * sub : (s + 1) * sub]
+            for j in range(kk):
+                c = codebooks[s][j]
+                lut.append(float(sum((a - b) * (a - b) for a, b in zip(qs, c))))
+        lut_rows.append((r["query_id"], lut))
+    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"), F.element_at(F.col("pq_code"), s + 1) + F.lit(s * kk) + 1
+        )
+        dist = term if dist is None else dist + term
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        "query_id", "corpus_id", dist.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "adc_dist", "rank")
+    )

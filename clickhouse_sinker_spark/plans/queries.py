@@ -4510,6 +4510,27 @@ def corpus_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_pq_topk")  # no SQL oracle: trained codebooks (approximate ANN);
+# recall + determinism pinned in tests/test_operators.py::test_pq_*
+def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end (Jégou et al. 2011, public):
+    train m=8/K=16 codebooks in-engine (deterministic Lloyd per subspace),
+    encode the corpus to 8-byte codes (32× smaller than raw float32), and
+    ADC-search 3 queries via per-query distance lookup tables.  The scan
+    side touches only the code column — at 100 TB this is the difference
+    between scanning 100 TB of vectors and ~3 TB of codes.  Rows-only
+    driver check; recall-vs-exact is pinned in pytest."""
+    from ..operators.similarity import pq_encode, pq_topk, pq_train
+
+    em = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(em, "embedding", "vec_id", m=8, k=16, iters=2)
+    codes = pq_encode(em, "embedding", "vec_id", cb)
+    queries_df = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return pq_topk(codes, queries_df, cb, k=10)
+
+
 CH_DIALECT_HOURLY = """
     SELECT toStartOfHour(ts) AS h,
            count(*) AS n,

@@ -501,3 +501,64 @@ def test_ct_profile_deterministic_and_ranked():
         ranks = [r for _, r in pairs]
         assert ranks == list(range(1, len(ranks) + 1))
         assert len(ranks) <= PROFILE_K
+
+
+def test_pq_encode_decode_shapes_and_determinism(spark):
+    """PQ codebooks train deterministically; codes are m ints in [0, k)."""
+    from clickhouse_sinker_spark.operators.similarity import pq_encode, pq_train
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    cb1 = pq_train(em, "embedding", "vec_id", m=8, k=4, iters=2)
+    cb2 = pq_train(em, "embedding", "vec_id", m=8, k=4, iters=2)
+    assert cb1 == cb2  # deterministic seeds + deterministic Lloyd
+    assert len(cb1) == 8 and len(cb1[0]) == 4 and len(cb1[0][0]) == 8
+
+    codes = pq_encode(em, "embedding", "vec_id", cb1)
+    rows = codes.collect()
+    assert len(rows) == em.count()
+    for r in rows[:20]:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 4 for c in r["pq_code"])
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """ADC top-k over PQ codes must overlap the exact cosine top-k on
+    L2-normalized vectors (where L2 ranking = cosine ranking).  PQ at
+    m=8, k=16 on 64-dim synthetic noise is a coarse sketch — the test pins
+    recall@10 above the level random scoring could reach (expected random
+    recall at sf0.001: 10/600)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.operators.similarity import (
+        cosine_topk,
+        l2_norm,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    unit = em.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
+        ).alias("embedding"),
+    )
+    queries = unit.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    exact = cosine_topk(unit, queries, "embedding", "vec_id", k=10)
+    cb = pq_train(unit, "embedding", "vec_id", m=8, k=16, iters=2)
+    codes = pq_encode(unit, "embedding", "vec_id", cb)
+    approx = pq_topk(codes, queries, cb, k=10)
+
+    ex = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    ap = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3, recall
+    # every query returns exactly k ranked rows
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in ap)
+    assert all(v == 10 for v in per_q.values())
