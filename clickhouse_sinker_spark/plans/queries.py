@@ -4641,16 +4641,17 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver hashes only the FIRST 50 entries of ``queries()``
 # each round.  To make that window deliberate instead of accidental:
 #
-# - ``CORE_WINDOW`` (40 names) is a fixed prefix covering every SURVEY §2
+# - ``CORE_WINDOW`` (45 names) is a fixed prefix covering every SURVEY §2
 #   core operator family — parse/cast (P1-P16), sharding (R1-R4), dedup/
 #   series state (D1-D4, W8), schema discovery (S8), the relational layer
 #   (joins incl. asof+range, windows incl. sessionize, set ops, rollup/
 #   grouping-sets/percentile/HLL aggs), the LLM-pipeline headliners, and
-#   one multimodal query.  These get a fresh driver hash EVERY round.
-# - The remaining queries form a tail rotated by 10 slots per round (the
+#   the CH-dialect layer, and the real-codec multimodal queries.  These
+#   get a fresh driver hash EVERY round.
+# - The remaining queries form a tail rotated by 5 slots per round (the
 #   offset is derived from how many CORRECTNESS_r*.json artifacts earlier
 #   rounds already produced), so every registered query re-enters the
-#   50-slot window every ~7 rounds.  Nothing is ever unregistered — all
+#   50-slot window periodically.  Nothing is ever unregistered — all
 #   queries stay pytest-oracle-checked every run regardless of position.
 # ---------------------------------------------------------------------------
 
@@ -4702,8 +4703,14 @@ CORE_WINDOW: list[str] = [
     "knn_cosine_topk",
     "text_quality",
     "pipeline_pretraining_corpus",
+    "quality_gopher_rules",
+    "dedup_passage_ccnet",
+    "text_langid_trigram",
+    # CH-dialect layer
+    "ch_dialect_hourly_stats",
     # multimodal
     "mm_binary_meta",
+    "mm_bmp_decode_real",
 ]
 
 DRIVER_WINDOW = 50
@@ -4722,7 +4729,8 @@ def _completed_rounds() -> int:
 
 def ordered_query_names() -> list[str]:
     """All registered query names: fixed CORE_WINDOW prefix, then the tail
-    rotated so a fresh 10-query slice fills the driver window each round."""
+    rotated so a fresh slice fills the remaining driver-window slots each
+    round."""
     core = [n for n in CORE_WINDOW if n in QUERIES]
     tail = [n for n in QUERIES if n not in CORE_WINDOW]
     slots = max(DRIVER_WINDOW - len(core), 1)
