@@ -4531,6 +4531,97 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, queries_df, cb, k=10)
 
 
+@query(
+    "seq_match_funnel",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           regexp_matches(seq, 'signup.*purchase') AS matched_eventually,
+           regexp_matches(seq, 'signup>purchase') AS matched_adjacent
+    FROM seqs
+    """,
+)
+def seq_match_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch`` semantics (parametric_functions docs,
+    public): per user, the time-ordered event sequence is tested against a
+    pattern — ``(?1).*(?2)`` (signup eventually followed by purchase) and
+    the strict-adjacency form.  Implemented as one groupBy building the
+    ordered sequence string (array_sort on (ts, event_id, type) structs —
+    deterministic total order both engines reproduce), then plain regex.
+    One shuffle on user_id; the per-user sequence is bounded by that
+    user's event count, so at 100 TB this is the same shape as any
+    per-entity aggregation (skew → AQE split)."""
+    e = _t(spark, sf_dir, "events")
+    seq = F.concat_ws(
+        ">",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"), seq.alias("seq"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("seq").rlike("signup.*purchase").alias("matched_eventually"),
+            F.col("seq").rlike("signup>purchase").alias("matched_adjacent"),
+        )
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic product-analytics
+    workload the reference's users run in ClickHouse: cohort = the week of
+    a user's first event; each (cohort, week_offset) cell counts users
+    still active that week.  Both engines truncate weeks to Monday and
+    compute the offset as integer day-diff // 7 — exact.  Plan: one
+    user_id groupBy for cohorts, one distinct on (user, week), one
+    broadcast-or-shuffle join back on user_id, one final groupBy on the
+    tiny (cohort, offset) key — all partial-aggregated."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("WEEK", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("WEEK", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
 CH_DIALECT_HOURLY = """
     SELECT toStartOfHour(ts) AS h,
            count(*) AS n,
