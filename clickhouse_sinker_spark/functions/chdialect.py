@@ -261,9 +261,18 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
     constructs outside the documented subset.
     """
     notes: list[str] = []
+    _redirect = {
+        "windowFunnel": "plans/queries.py:funnel_window_3step (native windowFunnel shape)",
+        "sequenceMatch": "plans/queries.py:seq_match_funnel (native sequenceMatch shape)",
+        "topK": "window_topk_per_customer (exact per-group top-k)",
+        "uniqCombined": "uniq()/uniqExact() (HLL++ / exact)",
+    }
     for bad in _UNSUPPORTED:
         if re.search(rf"\b{bad}\s*\(", sql):
-            raise ChTranslationError(f"no faithful Spark translation for {bad}()")
+            hint = f"; use {_redirect[bad]}" if bad in _redirect else ""
+            raise ChTranslationError(
+                f"no faithful Spark translation for {bad}(){hint}"
+            )
 
     if re.search(r"\bFINAL\b", sql, re.IGNORECASE):
         sql = re.sub(r"\s+FINAL\b", "", sql, flags=re.IGNORECASE)

@@ -261,3 +261,27 @@ def test_ct_langid_broadcasts_profile(spark):
     plan = plan_of(QUERIES["text_langid_trigram"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_driver_window_policy(monkeypatch):
+    """The driver-window ordering contract: CORE_WINDOW is a fixed prefix
+    (every SURVEY §2 family stays checked every round), the tail rotates
+    when a round completes, and no query is ever dropped or duplicated."""
+    import clickhouse_sinker_spark.plans.queries as qmod
+
+    core_len = len(qmod.CORE_WINDOW)
+    assert core_len <= qmod.DRIVER_WINDOW
+
+    monkeypatch.setattr(qmod, "_completed_rounds", lambda: 4)
+    r4 = qmod.ordered_query_names()
+    monkeypatch.setattr(qmod, "_completed_rounds", lambda: 5)
+    r5 = qmod.ordered_query_names()
+
+    assert r4[:core_len] == qmod.CORE_WINDOW == r5[:core_len]
+    assert sorted(r4) == sorted(r5) == sorted(qmod.QUERIES)
+    assert len(set(r4)) == len(r4)
+    slots = qmod.DRIVER_WINDOW - core_len
+    # the rotating slice advances by exactly `slots` between rounds
+    tail4 = r4[core_len:]
+    tail5 = r5[core_len:]
+    assert tail5[: len(tail4) - slots] == tail4[slots:]
