@@ -285,3 +285,22 @@ def test_driver_window_policy(monkeypatch):
     tail4 = r4[core_len:]
     tail5 = r5[core_len:]
     assert tail5[: len(tail4) - slots] == tail4[slots:]
+
+
+def test_seq_match_single_user_shuffle(spark):
+    """seq_match_funnel: one hash Exchange (the user_id groupBy), no join
+    — the sequence build must not add extra shuffles."""
+    plan = plan_of(QUERIES["seq_match_funnel"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if l.startswith("(") and "Exchange" in l
+    )
+    assert n_exchanges == 1, plan
+
+
+def test_cohort_retention_partial_aggs_no_cartesian(spark):
+    """cohort_weekly_retention: user_id-keyed join only, partial
+    aggregation before every shuffle, no cartesian."""
+    plan = plan_of(QUERIES["cohort_weekly_retention"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan

@@ -677,3 +677,48 @@ def test_manifest_sink_exactly_once_on_replay(spark, tmp_path):
     # ...and a later successful write of that epoch commits it exactly once
     sink(df3, epoch_id=2)
     assert sink.read_committed(spark).count() == 160
+
+
+def test_streaming_pipeline_into_manifest_sink(spark, tmp_path):
+    """Full streaming path into the exactly-once sink: file-stream source →
+    parse → project → shard → foreachBatch(ManifestParquetSink), then the
+    same source replayed against the same checkpoint adds nothing — and a
+    FRESH checkpoint replaying the same data also adds nothing, because
+    the epoch manifest (not just the offset log) dedups the re-delivery."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from clickhouse_sinker_spark.config import TaskConfig
+    from clickhouse_sinker_spark.operators.project import ColumnSpec
+    from clickhouse_sinker_spark.streaming.pipeline import build_pipeline, file_source
+    from clickhouse_sinker_spark.streaming.sink import ManifestParquetSink
+
+    (tmp_path / "in").mkdir()
+    with open(tmp_path / "in" / "a.jsonl", "w") as f:
+        for i in range(120):
+            f.write(json.dumps({"name": f"n{i}", "value": float(i)}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    specs = [
+        ColumnSpec("name", "String", source="name", not_nullable=True),
+        ColumnSpec("value", "Nullable(Float64)", source="value"),
+    ]
+    task = TaskConfig(name="manifest_e2e", sharding_key="name", flush_interval=1)
+    sink = ManifestParquetSink(str(tmp_path / "land"))
+
+    pipe = build_pipeline(file_source(spark, str(tmp_path / "in")), task, specs, schema, shards=2)
+    pipe.run_available(sink, str(tmp_path / "ckpt"))
+    assert sink.read_committed(spark).count() == 120
+
+    # replay 1: same checkpoint — engine offset log skips the batch
+    pipe2 = build_pipeline(file_source(spark, str(tmp_path / "in")), task, specs, schema, shards=2)
+    pipe2.run_available(sink, str(tmp_path / "ckpt"))
+    assert sink.read_committed(spark).count() == 120
+
+    # replay 2: FRESH checkpoint — epoch 0 re-delivered; manifest dedups it
+    pipe3 = build_pipeline(file_source(spark, str(tmp_path / "in")), task, specs, schema, shards=2)
+    pipe3.run_available(sink, str(tmp_path / "ckpt2"))
+    assert sink.read_committed(spark).count() == 120
