@@ -22,10 +22,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Deliberate ordering: a fixed 40-query core window covering every
-    # SURVEY §2 operator family, then the tail rotated 10 slots per round so
-    # each registered query re-enters the driver's 50-query check window
-    # every ~7 rounds (see plans/queries.py:ordered_query_names).
+    # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER): a fixed
+    # 50-name prefix — 40 queries covering every SURVEY §2 operator family
+    # plus 10 queries receiving their first driver hash — then every
+    # remaining registered query in source order.  Deterministic; no runtime
+    # state feeds the ordering.
     return {n: QUERIES[n] for n in ordered_query_names()}
 
 

@@ -2888,8 +2888,8 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_case_agg",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_returnflag
     """,
@@ -2949,8 +2949,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
-           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM gaps
     """,
 )
@@ -3978,18 +3978,70 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_kmeans_assign")
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled relational Lloyd's k-means for DuckDB — reproduces
+    ``kmeans_lloyd`` bit-for-bit at the rounded-output level: identical
+    seeding (k lowest vec_ids), tie-break (lower cluster index first) and
+    empty-cluster rule (COALESCE keeps the previous centroid).  Each
+    iteration is one explode-join-agg (assignment) plus one agg (means) —
+    pure SQL, no procedural state, so the driver can hash an *iterative*
+    training algorithm against a relational oracle."""
+    sql = [f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ed AS (
+  SELECT id, UNNEST(v) AS x, generate_subscripts(v, 1) AS idx FROM e
+),
+cd0 AS (
+  SELECT sd.cluster, d.idx, d.x AS cx
+  FROM (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster
+        FROM (SELECT id FROM e ORDER BY id LIMIT {k})) sd
+  JOIN ed d ON d.id = sd.id
+)"""]
+    for i in range(iters):
+        sql.append(f""",
+a{i} AS (
+  SELECT id, cluster, d2 FROM (
+    SELECT id, cluster, d2,
+           row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM (
+      SELECT ed.id, cd.cluster, SUM((ed.x - cd.cx) * (ed.x - cd.cx)) AS d2
+      FROM ed JOIN cd{i} cd ON ed.idx = cd.idx
+      GROUP BY ed.id, cd.cluster
+    )
+  ) WHERE rn = 1
+)""")
+        if i < iters - 1:
+            sql.append(f""",
+cd{i + 1} AS (
+  SELECT cd.cluster, cd.idx, COALESCE(m.mx, cd.cx) AS cx
+  FROM cd{i} cd LEFT JOIN (
+    SELECT a.cluster, ed.idx, SUM(ed.x) / COUNT(*) AS mx
+    FROM a{i} a JOIN ed ON ed.id = a.id
+    GROUP BY a.cluster, ed.idx
+  ) m ON m.cluster = cd.cluster AND m.idx = cd.idx
+)""")
+    sql.append(f"""
+SELECT id, cluster, ROUND(d2, 6) AS d2 FROM a{iters - 1}""")
+    return "".join(sql)
+
+
+@query("knn_kmeans_assign", _kmeans_oracle_sql())
 def knn_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer training in-engine: 3 Lloyd iterations over the
     embedding corpus (k=8), returning (id, cluster, d2) assignments.
-    Iterative → no SQL oracle (driver records rows-only); the optimization
-    contract (monotone SSE, full coverage) is pytest-verified.  Per
-    iteration: one narrow shuffle — the 100 TB-safe k-means shape."""
+    Fully deterministic (seeds = k lowest vec_ids, ties to lower cluster,
+    empty clusters keep their centroid), so the DuckDB oracle replays the
+    whole training relationally (unrolled iterations) and the driver hash
+    covers an *iterative* algorithm end-to-end; d2 is rounded to 6 decimals
+    on both sides to absorb summation-order float noise.  Per iteration:
+    one narrow shuffle — the 100 TB-safe k-means shape."""
     from ..operators.similarity import kmeans_lloyd
 
     em = _t(spark, sf_dir, "embeddings")
     assigned, _, _ = kmeans_lloyd(em, "embedding", "vec_id", k=8, iters=3)
-    return assigned.select("id", "cluster", "d2")
+    return assigned.select("id", "cluster", F.round(F.col("d2"), 6).alias("d2"))
 
 
 @query(
@@ -4510,16 +4562,87 @@ def corpus_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_pq_topk")  # no SQL oracle: trained codebooks (approximate ANN);
-# recall + determinism pinned in tests/test_operators.py::test_pq_*
+def _pq_oracle_sql(m: int = 8, kc: int = 16, iters: int = 2, topk: int = 10) -> str:
+    """Unrolled relational product quantization for DuckDB — replays the
+    whole ``pq_train`` → ``pq_encode`` → ADC ``pq_topk`` pipeline in SQL:
+    per-subspace Lloyd's k-means (all m subspaces trained at once by
+    carrying a subspace column through the same explode-join-agg shape as
+    ``_kmeans_oracle_sql``), argmin encoding against the final codebooks,
+    per-query LUT distances, and the rank window with the same (dist,
+    corpus_id) tie-break.  Distances rounded to 6 decimals on both sides."""
+    sub = 64 // m
+    sql = [f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+eds AS (
+  SELECT id, x, idx, CAST((idx - 1) // {sub} AS INTEGER) AS s FROM (
+    SELECT id, UNNEST(v) AS x, generate_subscripts(v, 1) AS idx FROM e
+  )
+),
+cd0 AS (
+  SELECT sd.cluster, d.s, d.idx, d.x AS cx
+  FROM (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster
+        FROM (SELECT id FROM e ORDER BY id LIMIT {kc})) sd
+  JOIN eds d ON d.id = sd.id
+)"""]
+    for i in range(iters + 1):
+        # iters assignment+update passes, plus one extra assignment (i ==
+        # iters) that is the encoding step against the final codebooks.
+        sql.append(f""",
+a{i} AS (
+  SELECT id, s, cluster, d2 FROM (
+    SELECT id, s, cluster, d2,
+           row_number() OVER (PARTITION BY id, s ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM (
+      SELECT ed.id, ed.s, cd.cluster, SUM((ed.x - cd.cx) * (ed.x - cd.cx)) AS d2
+      FROM eds ed JOIN cd{i} cd ON ed.idx = cd.idx
+      GROUP BY ed.id, ed.s, cd.cluster
+    )
+  ) WHERE rn = 1
+)""")
+        if i < iters:
+            sql.append(f""",
+cd{i + 1} AS (
+  SELECT cd.cluster, cd.s, cd.idx, COALESCE(m.mx, cd.cx) AS cx
+  FROM cd{i} cd LEFT JOIN (
+    SELECT a.cluster, ed.idx, SUM(ed.x) / COUNT(*) AS mx
+    FROM a{i} a JOIN eds ed ON ed.id = a.id AND ed.s = a.s
+    GROUP BY a.cluster, ed.idx
+  ) m ON m.cluster = cd.cluster AND m.idx = cd.idx
+)""")
+    sql.append(f""",
+lut AS (
+  SELECT qe.id AS query_id, cd.s, cd.cluster, SUM((qe.x - cd.cx) * (qe.x - cd.cx)) AS qd2
+  FROM eds qe JOIN cd{iters} cd ON qe.idx = cd.idx
+  WHERE qe.id < 3
+  GROUP BY qe.id, cd.s, cd.cluster
+),
+adc AS (
+  SELECT l.query_id, enc.id AS corpus_id, SUM(l.qd2) AS adc_dist
+  FROM a{iters} enc JOIN lut l ON l.s = enc.s AND l.cluster = enc.cluster
+  GROUP BY l.query_id, enc.id
+)
+SELECT query_id, corpus_id, ROUND(adc_dist, 6) AS adc_dist, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT query_id, corpus_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, corpus_id ASC) AS rn
+  FROM adc
+) WHERE rn <= {topk}""")
+    return "".join(sql)
+
+
+@query("knn_pq_topk", _pq_oracle_sql())
 def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN end-to-end (Jégou et al. 2011, public):
     train m=8/K=16 codebooks in-engine (deterministic Lloyd per subspace),
     encode the corpus to 8-byte codes (32× smaller than raw float32), and
     ADC-search 3 queries via per-query distance lookup tables.  The scan
     side touches only the code column — at 100 TB this is the difference
-    between scanning 100 TB of vectors and ~3 TB of codes.  Rows-only
-    driver check; recall-vs-exact is pinned in pytest."""
+    between scanning 100 TB of vectors and ~3 TB of codes.  The DuckDB
+    oracle replays train/encode/search relationally (see ``_pq_oracle_sql``)
+    so even the trained-approximate path gets a full driver hash;
+    recall-vs-exact is additionally pinned in pytest."""
     from ..operators.similarity import pq_encode, pq_topk, pq_train
 
     em = _t(spark, sf_dir, "embeddings")
@@ -4528,7 +4651,10 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = em.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("vec")
     )
-    return pq_topk(codes, queries_df, cb, k=10)
+    out = pq_topk(codes, queries_df, cb, k=10)
+    return out.select(
+        "query_id", "corpus_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank"
+    )
 
 
 @query(
@@ -4727,68 +4853,67 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification window ordering (VERDICT r3 item 3b)
+# Driver-verification window ordering
 #
-# The correctness driver hashes only the FIRST 50 entries of ``queries()``
-# each round.  To make that window deliberate instead of accidental:
+# The correctness driver hashes only the FIRST 50 entries of ``queries()``.
+# The ordering below is a SINGLE STATIC CONSTANT — fully deterministic,
+# independent of any runtime state, environment, clock, or files on disk.
+# It never changes between two calls in the same checkout; any change to it
+# is an ordinary reviewed source edit.
 #
-# - ``CORE_WINDOW`` (45 names) is a fixed prefix covering every SURVEY §2
-#   core operator family — parse/cast (P1-P16), sharding (R1-R4), dedup/
-#   series state (D1-D4, W8), schema discovery (S8), the relational layer
-#   (joins incl. asof+range, windows incl. sessionize, set ops, rollup/
-#   grouping-sets/percentile/HLL aggs), the LLM-pipeline headliners, and
-#   the CH-dialect layer, and the real-codec multimodal queries.  These
-#   get a fresh driver hash EVERY round.
-# - The remaining queries form a tail rotated by 5 slots per round (the
-#   offset is derived from how many CORRECTNESS_r*.json artifacts earlier
-#   rounds already produced), so every registered query re-enters the
-#   50-slot window periodically.  Nothing is ever unregistered — all
-#   queries stay pytest-oracle-checked every run regardless of position.
+# Layout of ``DRIVER_ORDER``:
+# 1. A 40-name core covering every SURVEY §2 operator family — parse/cast
+#    (P1-P16), sharding (R1-R4), dedup/series state (D1-D4, W8), schema
+#    discovery (S8), the relational layer (joins incl. asof+range, windows
+#    incl. sessionize, set ops, rollup/grouping-sets/percentile/HLL aggs),
+#    the LLM-pipeline headliners, the CH-dialect layer, and the real-codec
+#    multimodal queries.
+# 2. Ten queries that had not yet received a driver hash as of round 4
+#    (funnels, cohorts, the ANN invariant oracles, the rewritten Q18, the
+#    salted-skew agg, real WAV features) — positions 41-50.
+# 3. Every remaining registered query in registration (source) order.
+# Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
+# every test run regardless of their position in this list.
 # ---------------------------------------------------------------------------
 
-CORE_WINDOW: list[str] = [
-    # relational flagship + joins
+DRIVER_ORDER: list[str] = [
+    # --- core: relational flagship + joins ---
     "tpch_q1_pricing",
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
     "asof_join_events",
     "range_join_recent_events",
-    # windows / time series
+    # --- core: windows / time series ---
     "window_topk_per_customer",
     "window_sessionize",
     "window_tumbling_1h",
     "ts_gap_fill",
-    # set ops
-    "setop_except_distinct",
+    # --- core: set ops ---
     "setop_intersect",
-    # aggregation families
+    # --- core: aggregation families ---
     "agg_distinct_exact",
     "agg_approx_distinct",
     "agg_hll_rollup",
     "agg_percentile_approx",
     "agg_rollup",
     "agg_grouping_sets",
-    # parse / project / cast (§2.2)
+    # --- core: parse / project / cast (§2.2) ---
     "etl_parse_project",
     "etl_csv_parse",
     "etl_saturating_cast",
     "etl_default_on_error",
     "etl_datetime_layouts",
-    "etl_epoch_scale",
-    "etl_ip_validate",
     "etl_array_cast",
     "etl_map_explode",
     "etl_null_reject",
-    # routing / sharding (§2.3)
-    "etl_shard_stripe",
+    # --- core: routing / sharding (§2.3) ---
     "etl_shard_hash_xx",
-    "etl_sortingkey_shard",
-    # batching / state (§2.4-2.5)
+    # --- core: batching / state (§2.4-2.5) ---
     "etl_dedup_offsets",
     "etl_schema_infer_keys",
     "series_latest_per_key",
     "series_labels_json",
-    # LLM-pipeline headliners
+    # --- core: LLM-pipeline headliners ---
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "knn_cosine_topk",
@@ -4797,35 +4922,30 @@ CORE_WINDOW: list[str] = [
     "quality_gopher_rules",
     "dedup_passage_ccnet",
     "text_langid_trigram",
-    # CH-dialect layer
+    # --- core: CH-dialect layer ---
     "ch_dialect_hourly_stats",
-    # multimodal
+    # --- core: multimodal ---
     "mm_binary_meta",
     "mm_bmp_decode_real",
+    # --- slots 41-50: first driver hash for these (never checked r1-r4) ---
+    "seq_match_funnel",
+    "cohort_weekly_retention",
+    "funnel_window_3step",
+    "knn_kmeans_assign",
+    "knn_pq_topk",
+    "window_moving_avg",
+    "tpch_q18_having",
+    "tpch_q9_profit",
+    "agg_salted_user_stats",
+    "mm_wav_features_real",
 ]
 
 DRIVER_WINDOW = 50
 
 
-def _completed_rounds() -> int:
-    """Number of CORRECTNESS_r*.json artifacts the driver has written so
-    far (repo root, two levels above this package) — a monotone per-round
-    counter that needs no clock or env var."""
-    import glob
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-
-
 def ordered_query_names() -> list[str]:
-    """All registered query names: fixed CORE_WINDOW prefix, then the tail
-    rotated so a fresh slice fills the remaining driver-window slots each
-    round."""
-    core = [n for n in CORE_WINDOW if n in QUERIES]
-    tail = [n for n in QUERIES if n not in CORE_WINDOW]
-    slots = max(DRIVER_WINDOW - len(core), 1)
-    if not tail:
-        return core
-    off = (_completed_rounds() * slots) % len(tail)
-    return core + tail[off:] + tail[:off]
+    """All registered query names: the static ``DRIVER_ORDER`` prefix, then
+    every remaining registered query in registration (source) order.
+    Deterministic — no runtime state of any kind feeds this ordering."""
+    head = [n for n in DRIVER_ORDER if n in QUERIES]
+    return head + [n for n in QUERIES if n not in DRIVER_ORDER]
