@@ -144,14 +144,16 @@ def main() -> None:
     # on 11 cpu — BASELINE.md).  Reproduce the full hot path at 1M rows:
     # JSON bytes → parse → reference-semantics cast projection → shard
     # route → parquet write (the sink stand-in), timed end to end.
-    # Same steady-state rule: the C2 JIT threshold for the generated
-    # parse/projection/writer code crosses after ~4 full-size runs
+    # Report BOTH regimes honestly: the C2 JIT threshold for the generated
+    # parse/projection/writer code crosses after ~3 full-size runs
     # (measured: 5.9s, 6.8s, 3.6s, 2.1s, 1.8s back-to-back), so run five
-    # times and report the min — that IS the steady-state rows/s the
-    # reference reports, with each run staging and writing its own data.
-    timings["etl_pipeline_1m"] = round(
-        min(_etl_pipeline_bench(spark, sf_dir, copies=10) for _ in range(5)), 3
-    )
+    # times and report run 1 as the cold number and the MEDIAN of runs 3-5
+    # as the steady-state number.  `queries.etl_pipeline_1m` carries the
+    # steady-state median (comparable to the reference's steady-state
+    # rows/s); the raw per-run trace ships alongside so nothing is hidden.
+    etl_runs = [round(_etl_pipeline_bench(spark, sf_dir, copies=10), 3) for _ in range(5)]
+    steady = sorted(etl_runs[2:])[len(etl_runs[2:]) // 2]
+    timings["etl_pipeline_1m"] = steady
 
     total = round(sum(timings.values()), 3)
     print(
@@ -162,6 +164,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "etl_pipeline_1m_runs": etl_runs,
+                "etl_pipeline_1m_cold": etl_runs[0],
+                "methodology": (
+                    "queries: min of 2 post-warmup runs (cache cleared between); "
+                    "etl_pipeline_1m: median of runs 3-5 of 5 (steady-state, "
+                    "post-JIT), cold first run reported separately in "
+                    "etl_pipeline_1m_cold/_runs"
+                ),
             }
         )
     )

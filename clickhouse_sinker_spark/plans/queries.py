@@ -2922,19 +2922,28 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large-volume customers (HAVING over a join-agg).  The agg groups on
-    the join key first (pre-aggregation before the customer join would be
-    the 100 TB rewrite — Catalyst can't do it automatically with HAVING on
-    the agg; we keep it post-join here and document the variant)."""
+    """Large-volume customers (HAVING over a join-agg), pre-aggregated: the
+    quantity sum groups on ``l_orderkey`` alone BEFORE any join, the >150
+    filter then shrinks lineitem to a handful of hot orders, and only those
+    survivors join orders and (broadcast) customer.  Catalyst can't push an
+    aggregation below a join on its own when the HAVING references the agg,
+    so the rewrite is done here in the logical plan — at 100 TB this turns
+    a full lineitem⋈orders shuffle join into one narrow groupBy plus a join
+    on ~0.01% of orders.  Grouping by (c_name, o_custkey, l_orderkey) in
+    the reference SQL is equivalent because l_orderkey is already unique
+    per group (orders→customer is N:1).  Plan shape pinned in
+    tests/test_plans.py::test_q18_preaggregates_below_join."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "o_custkey", "l_orderkey")
+    hot = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 150)
+    )
+    return (
+        hot.join(o, hot.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_name", "o_custkey", "l_orderkey", F.col("q").cast("double").alias("total_qty"))
     )
 

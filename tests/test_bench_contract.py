@@ -45,3 +45,9 @@ def test_bench_emits_one_json_line_and_contract():
     }
     assert all(v >= 0 for v in payload["queries"].values())
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01
+    # methodology transparency (ADVICE r4): cold + steady both reported,
+    # steady = median of runs 3-5, never the overall min
+    runs = payload["etl_pipeline_1m_runs"]
+    assert len(runs) == 5 and payload["etl_pipeline_1m_cold"] == runs[0]
+    assert payload["queries"]["etl_pipeline_1m"] == sorted(runs[2:])[1]
+    assert "median of runs 3-5" in payload["methodology"]

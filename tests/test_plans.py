@@ -263,28 +263,40 @@ def test_ct_langid_broadcasts_profile(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_driver_window_policy(monkeypatch):
-    """The driver-window ordering contract: CORE_WINDOW is a fixed prefix
-    (every SURVEY §2 family stays checked every round), the tail rotates
-    when a round completes, and no query is ever dropped or duplicated."""
+def test_driver_window_policy():
+    """The driver-window ordering contract: a single static DRIVER_ORDER
+    prefix (deterministic — NO runtime state feeds the ordering), every
+    window query has an oracle, no query dropped or duplicated."""
     import clickhouse_sinker_spark.plans.queries as qmod
 
-    core_len = len(qmod.CORE_WINDOW)
-    assert core_len <= qmod.DRIVER_WINDOW
+    assert len(qmod.DRIVER_ORDER) == qmod.DRIVER_WINDOW
+    a = qmod.ordered_query_names()
+    b = qmod.ordered_query_names()
+    assert a == b  # deterministic, call-to-call stable
+    assert a[: qmod.DRIVER_WINDOW] == qmod.DRIVER_ORDER
+    assert sorted(a) == sorted(qmod.QUERIES)
+    assert len(set(a)) == len(a)
+    # every driver-hashed query must carry a value oracle
+    assert all(n in qmod.ORACLES for n in qmod.DRIVER_ORDER)
 
-    monkeypatch.setattr(qmod, "_completed_rounds", lambda: 4)
-    r4 = qmod.ordered_query_names()
-    monkeypatch.setattr(qmod, "_completed_rounds", lambda: 5)
-    r5 = qmod.ordered_query_names()
 
-    assert r4[:core_len] == qmod.CORE_WINDOW == r5[:core_len]
-    assert sorted(r4) == sorted(r5) == sorted(qmod.QUERIES)
-    assert len(set(r4)) == len(r4)
-    slots = qmod.DRIVER_WINDOW - core_len
-    # the rotating slice advances by exactly `slots` between rounds
-    tail4 = r4[core_len:]
-    tail5 = r5[core_len:]
-    assert tail5[: len(tail4) - slots] == tail4[slots:]
+def test_q18_preaggregates_below_join(spark):
+    """The 100 TB Q18 shape: the l_orderkey quantity sum (and its >150
+    filter) must sit BELOW both joins, so lineitem is aggregated before any
+    join and customer broadcasts."""
+    plan = plan_of(QUERIES["tpch_q18_having"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    first_join = min(i for i, l in enumerate(lines) if "Join" in l)
+    # the plan header lists operators in execution order in the tree dump;
+    # assert an aggregate on l_quantity appears after (deeper than) the
+    # first join in the formatted operator list
+    agg_ids = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert agg_ids and max(agg_ids) > first_join
+    # and the filter on the aggregate result exists pre-join: the agg +
+    # filter subtree feeds the join's left side, so no join output column
+    # (c_name) may appear in any aggregate's grouping expressions
+    assert not any("c_name" in l for l in lines if "HashAggregate" in l)
 
 
 def test_seq_match_single_user_shuffle(spark):
