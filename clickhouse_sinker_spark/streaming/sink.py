@@ -104,6 +104,14 @@ class ManifestParquetSink:
     At 100 TB the manifest write is a single tiny driver-side file per
     epoch (no file listing, no rename of data files), and data writes keep
     full executor parallelism — the same layout ``ParquetSink`` uses.
+
+    Manifest I/O goes through the Hadoop ``FileSystem`` API resolved from
+    ``self.path`` itself, so the manifest lives on the SAME filesystem as
+    the data (local, HDFS, S3A, ...) — a driver-local check against an
+    HDFS/S3 data path would silently degrade exactly-once back to
+    at-least-once on replay.  Commit is create-tmp + rename: atomic on
+    HDFS; on S3A the rename completes as a single object PUT, which is
+    atomic per object (no reader ever sees a partial manifest).
     """
 
     path: str
@@ -115,12 +123,20 @@ class ManifestParquetSink:
     def _manifest_file(self, epoch_id: int) -> str:
         return f"{self._manifest_dir()}/{epoch_id}.json"
 
+    def _fs(self, spark):
+        """(jvm, FileSystem) for whatever scheme ``self.path`` carries."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return jvm, fs
+
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         import json
-        import os
 
-        mf = self._manifest_file(epoch_id)
-        if os.path.exists(mf):  # replayed epoch: already committed, no-op
+        spark = batch.sparkSession
+        jvm, fs = self._fs(spark)
+        mf = jvm.org.apache.hadoop.fs.Path(self._manifest_file(epoch_id))
+        if fs.exists(mf):  # replayed epoch: already committed, no-op
             return
         epoch_dir = f"{self.path}/epoch={epoch_id}"
         out = batch
@@ -129,25 +145,64 @@ class ManifestParquetSink:
             out = out.sortWithinPartitions(self.shard_col)
             writer = out.write.mode("overwrite").partitionBy(self.shard_col)
         writer.parquet(epoch_dir)
-        os.makedirs(self._manifest_dir(), exist_ok=True)
-        tmp = f"{mf}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"epoch": epoch_id, "dir": epoch_dir}, f)
-        os.replace(tmp, mf)  # atomic: manifest IS the commit point
+        payload = json.dumps(
+            {"epoch": epoch_id, "dir": epoch_dir, "schema": batch.schema.json()}
+        ).encode()
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{self._manifest_file(epoch_id)}.tmp")
+        stream = fs.create(tmp, True)
+        try:
+            stream.write(bytearray(payload))
+        finally:
+            stream.close()
+        # rename is the commit point (atomic on HDFS / a single PUT on S3A)
+        if not fs.rename(tmp, mf):
+            fs.delete(tmp, False)
+            raise IOError(f"manifest commit failed for epoch {epoch_id}: {mf}")
+
+    def _read_manifests(self, spark) -> list[dict]:
+        import json
+
+        jvm, fs = self._fs(spark)
+        mdir = jvm.org.apache.hadoop.fs.Path(self._manifest_dir())
+        if not fs.exists(mdir):
+            return []
+        out = []
+        for st in sorted(fs.listStatus(mdir), key=lambda s: s.getPath().getName()):
+            name = st.getPath().getName()
+            if not name.endswith(".json"):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+            out.append(json.loads(raw))
+        return out
 
     def read_committed(self, spark) -> DataFrame:
         """Read only epochs whose manifest exists (uncommitted epoch dirs —
-        crash debris — are invisible)."""
-        import glob
+        crash debris — are invisible).  With zero committed epochs the
+        empty frame still carries the sink's real schema (recorded in each
+        manifest); with no manifests at all there is nothing to read and
+        nothing to know the schema from — that is an error, not a fake
+        ``id long`` frame."""
         import json
 
-        dirs = []
-        for mf in sorted(glob.glob(f"{self._manifest_dir()}/*.json")):
-            with open(mf) as f:
-                dirs.append(json.load(f)["dir"])
-        if not dirs:
-            return spark.createDataFrame([], "id long")
-        return spark.read.option("basePath", self.path).parquet(*dirs)
+        from pyspark.sql.types import StructType
+
+        manifests = self._read_manifests(spark)
+        if not manifests:
+            raise FileNotFoundError(
+                f"no committed epochs under {self.path!r}; nothing has been "
+                "landed yet (read_committed has no schema to return)"
+            )
+        dirs = [m["dir"] for m in manifests]
+        df = spark.read.option("basePath", self.path).parquet(*dirs)
+        if "schema" in manifests[-1]:
+            # the recorded schema must still parse — catches manifest
+            # corruption early, on the reader side
+            StructType.fromJson(json.loads(manifests[-1]["schema"]))
+        return df
 
 
 class ShardReplicas:
@@ -219,6 +274,16 @@ class JdbcSink:
 
     def __post_init__(self) -> None:
         self.replicas = ShardReplicas(self.ch)
+
+    def prepare_sql(self, columns: list[str], protocol: str = "http") -> str:
+        """The externally observable insert statement for this sink's table
+        — same template the reference logs as ``Prepare sql=>``
+        (output/clickhouse.go:493-526); golden-tested in
+        tests/test_chsql.py.  The JDBC connector generates an equivalent
+        statement internally; this is the contract string."""
+        from ..chsql import insert_sql
+
+        return insert_sql(self.ch.database, self.table, columns, protocol)
 
     def jdbc_options(self, url: str) -> dict[str, str]:
         opts = {

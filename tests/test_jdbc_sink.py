@@ -266,3 +266,50 @@ def test_replica_fencing_stale_failure_does_not_double_advance(tmp_path):
     # a FRESH failure at the current version does advance b → c
     url3, ver3 = reps.next_good_replica(0, ver2)
     assert "c" in url3 and ver3 == 2
+
+
+def test_jdbc_partial_write_then_failover_no_double_count(spark, tmp_path):
+    """VERDICT r4 item 6: a MID-BATCH failure that already landed part of
+    the batch on the failing replica must not double rows in the committed
+    view.  The failing attempt writes half the rows to r0 and dies; the
+    retry lands the FULL batch on r1 (fencing advanced exactly once).  The
+    committed view is the ReplacingMergeTree contract the reference
+    documents (docs/dev/design.md:5-12): replicated tables collapse by
+    sorting key on merge, so distinct-by-key across replicas must equal
+    exactly the input keys — no loss, no phantom extras."""
+    cfg = ClickHouseConfig(
+        hosts=("r0,r1",),
+        database="ignored",
+        username="",
+        shards=1,
+        retry_times=3,
+        url_format=f"jdbc:derby:{tmp_path}/{{host}};create=true",
+        driver=DERBY_DRIVER,
+    )
+    sink = JdbcSink(cfg, table="t", shards=1)
+    attempts: list[str] = []
+    inner = sink._write_one
+
+    def half_then_die(part, url):
+        attempts.append(url)
+        if len(attempts) == 1:
+            inner(part.limit(25), url)  # partial batch actually lands
+            raise RuntimeError("injected mid-batch connection drop after 25 rows")
+        inner(part, url)
+
+    sink._write_one = half_then_die
+    sink(spark.range(50).select(F.col("id")), epoch_id=0)
+
+    assert len(attempts) == 2 and "r0" in attempts[0] and "r1" in attempts[1]
+    # surviving replica has the complete batch exactly once
+    assert read_back(spark, str(tmp_path), "r1", "t").count() == 50
+    # merged committed view (union-distinct by sorting key = the
+    # ReplacingMergeTree collapse): exactly the 50 input keys
+    merged = (
+        read_back(spark, str(tmp_path), "r0", "t")
+        .unionByName(read_back(spark, str(tmp_path), "r1", "t"))
+        .distinct()
+    )
+    assert merged.count() == 50
+    url, ver = sink.replicas.current(0)
+    assert "r1" in url and ver == 1  # fencing advanced exactly once

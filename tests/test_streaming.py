@@ -722,3 +722,44 @@ def test_streaming_pipeline_into_manifest_sink(spark, tmp_path):
     pipe3 = build_pipeline(file_source(spark, str(tmp_path / "in")), task, specs, schema, shards=2)
     pipe3.run_available(sink, str(tmp_path / "ckpt2"))
     assert sink.read_committed(spark).count() == 120
+
+
+def test_manifest_sink_midepoch_crash_retry_exact(spark, tmp_path):
+    """A crash AFTER partial epoch data landed but BEFORE the manifest
+    commit: the retry of the same epoch must overwrite the debris and the
+    committed view must hold exactly the batch — the manifest (not the
+    data files) is the commit point."""
+    from clickhouse_sinker_spark.streaming.sink import ManifestParquetSink
+
+    sink = ManifestParquetSink(str(tmp_path / "land"))
+    df = spark.range(80).withColumn("__shard", (F.col("id") % 4).cast("int"))
+
+    # simulate the crash: partial data for epoch 0 lands, no manifest
+    df.limit(30).write.mode("overwrite").parquet(str(tmp_path / "land" / "epoch=0"))
+    with pytest.raises(FileNotFoundError):
+        sink.read_committed(spark)  # zero committed epochs → explicit error
+
+    sink(df, epoch_id=0)  # re-delivery of the full epoch
+    got = sink.read_committed(spark)
+    assert got.count() == 80
+    assert {r[0] for r in got.select("id").collect()} == set(range(80))
+
+
+def test_manifest_sink_uses_hadoop_fs_not_local_paths(spark, tmp_path):
+    """ADVICE r4: manifest I/O must resolve through the Hadoop FileSystem
+    of the DATA path, not driver-local os.path — otherwise an HDFS/S3
+    deployment silently degrades to at-least-once.  Drive the sink through
+    an explicit file:// URI (a non-local scheme string that os.path would
+    treat as a relative path and mis-handle) and prove commit + replay
+    dedup + read-back all work through the FS API."""
+    from clickhouse_sinker_spark.streaming.sink import ManifestParquetSink
+
+    sink = ManifestParquetSink(f"file://{tmp_path}/land_uri")
+    df = spark.range(40).withColumn("__shard", (F.col("id") % 2).cast("int"))
+    sink(df, epoch_id=0)
+    sink(df, epoch_id=0)  # replay skipped via fs.exists on the URI
+    assert sink.read_committed(spark).count() == 40
+    # the manifest physically exists under the URI's local mapping
+    import os
+
+    assert os.path.exists(f"{tmp_path}/land_uri/_manifests/0.json")
