@@ -27,7 +27,8 @@ groupArray(x)                collect_list(x)
 groupUniqArray(x)            collect_set(x)
 arrayJoin(x)                 explode(x)
 has(arr, x)                  array_contains(arr, x)
-empty(x) / notEmpty(x)       (length(x) = 0) / (length(x) > 0)
+empty(x) / notEmpty(x)       (length|size(x) = 0) / (... > 0)  (size when
+                             x is an array-producing expression)
 splitByChar(sep, s)          split(s, sep)    (sep regex-escaped)
 intDiv(a, b)                 (a DIV b)
 modulo(a, b)                 (a % b)
@@ -122,10 +123,25 @@ _UNSUPPORTED = {
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
-def _find_call(sql: str, name: str) -> int:
-    """Index of the next ``name(`` call site (word-boundary match), or -1."""
-    for m in re.finditer(rf"\b{re.escape(name)}\s*\(", sql):
-        return m.start()
+def _in_string(sql: str, idx: int) -> bool:
+    """Whether position ``idx`` falls inside a single-quoted SQL literal
+    (a doubled '' reads as close+reopen — same net state, so the simple
+    toggle is correct for containment checks)."""
+    in_str = False
+    for i in range(idx):
+        if sql[i] == "'":
+            in_str = not in_str
+    return in_str
+
+
+def _find_call(sql: str, name: str, start: int = 0) -> int:
+    """Index of the next ``name(`` call site (word-boundary match) at or
+    after ``start`` that is OUTSIDE string literals, or -1.  Matching
+    inside a literal would corrupt data values — e.g. a row containing
+    the text ``any(`` must never be rewritten."""
+    for m in re.finditer(rf"\b{re.escape(name)}\s*\(", sql[start:]):
+        if not _in_string(sql, start + m.start()):
+            return start + m.start()
     return -1
 
 
@@ -226,8 +242,8 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
     sql = _rewrite_calls(sql, "intDiv", lambda a: f"(({a[0]}) DIV ({a[1]}))")
     sql = _rewrite_calls(sql, "modulo", lambda a: f"(({a[0]}) % ({a[1]}))")
-    sql = _rewrite_calls(sql, "empty", lambda a: f"(length({a[0]}) = 0)")
-    sql = _rewrite_calls(sql, "notEmpty", lambda a: f"(length({a[0]}) > 0)")
+    sql = _rewrite_calls(sql, "empty", lambda a: f"({_len_expr(a[0])} = 0)")
+    sql = _rewrite_calls(sql, "notEmpty", lambda a: f"({_len_expr(a[0])} > 0)")
     sql = _rewrite_calls(sql, "splitByChar", lambda a: _split_by_char(a))
 
     def _multi_if(args: list[str]) -> str:
@@ -241,8 +257,44 @@ def _translate_functions(sql: str) -> str:
 
     sql = _rewrite_calls(sql, "multiIf", _multi_if)
     for ch, spark in _RENAMES.items():
-        sql = re.sub(rf"\b{re.escape(ch)}\s*\(", f"{spark}(", sql)
+        sql = _rename_calls(sql, ch, spark)
     return sql
+
+
+def _rename_calls(sql: str, name: str, new: str) -> str:
+    """Rename ``name(`` call sites to ``new(`` using the same
+    string-literal-aware scanner as every other rewrite — a bare re.sub
+    would also rewrite occurrences INSIDE quoted data values."""
+    pos = 0
+    while True:
+        at = _find_call(sql, name, pos)
+        if at < 0:
+            return sql
+        end = at + len(name)
+        while sql[end] != "(":  # skip whitespace between name and paren
+            end += 1
+        sql = sql[:at] + new + sql[end:]
+        pos = at + len(new)
+
+
+# textual array-producer patterns: when empty()/notEmpty()'s argument is
+# one of these, the value is an array and Spark needs size(), not length()
+_ARRAY_PRODUCERS = re.compile(
+    r"^\s*(split|collect_list|collect_set|array|sequence|slice|array_distinct|"
+    r"array_sort|sort_array|transform|filter|flatten|explode)\s*\(",
+)
+
+
+def _len_expr(arg: str) -> str:
+    """ClickHouse ``empty()`` is polymorphic (strings AND arrays); Spark's
+    ``length`` is string-only and ``size`` is array-only.  Pick by
+    sniffing the (already translated) argument: expressions built by
+    array-producing functions get ``size``, everything else ``length``.
+    A bare array COLUMN cannot be detected textually — Spark then fails
+    analysis loudly (length over array), never silently mis-answers;
+    write ``size(col) = 0`` directly in that case."""
+    fn = "size" if _ARRAY_PRODUCERS.match(arg) else "length"
+    return f"{fn}({arg})"
 
 
 def _split_by_char(args: list[str]) -> str:

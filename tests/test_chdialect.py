@@ -138,3 +138,36 @@ def test_end_to_end_array_join_and_split(spark):
     assert all(" " not in r["tok"] for r in rows)
     docs = {r["doc_id"] for r in rows}
     assert docs == {0, 1, 2}
+
+
+def test_renames_do_not_touch_string_literals():
+    """ADVICE r4: a data value containing text like "any(" or "has(" must
+    survive translation byte-identical — renames go through the same
+    string-aware scanner as structural rewrites."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    sql = "SELECT any(x), 'call any(thing) or has(stuff)' AS lit FROM t"
+    got, _ = translate_ch_sql(sql)
+    assert "first(x)" in got
+    assert "'call any(thing) or has(stuff)'" in got
+
+    sql2 = "SELECT 'empty(' , notEmpty(name) FROM t"
+    got2, _ = translate_ch_sql(sql2)
+    assert "'empty('" in got2 and "(length(name) > 0)" in got2
+
+
+def test_empty_on_array_expression_uses_size(spark):
+    """ClickHouse empty() over an array: array-producing arguments
+    translate to size(), and the result executes on Spark."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT notEmpty(splitByChar(',', tags)) AS has_tags, empty(name) AS noname FROM t"
+    )
+    assert "(size(split(tags, ',')) > 0)" in got
+    assert "(length(name) = 0)" in got
+
+    spark.createDataFrame([("a,b", ""), ("", "x")], "tags string, name string") \
+        .createOrReplaceTempView("t")
+    rows = spark.sql(got).collect()
+    assert [(r["has_tags"], r["noname"]) for r in rows] == [(True, True), (True, False)]
