@@ -15,7 +15,11 @@ normalization rules (config/config.go:259-522 ``Normallize``):
 Kafka security options (TLS/SASL/GSSAPI — S2) are passthrough strings: the
 Spark Kafka source accepts ``kafka.security.protocol``/``kafka.sasl.*``
 directly (input/kafka_franz.go:125-187 builds the same client options in
-code; here it's config, not code).
+code; here it's config, not code).  Set ``normalize_security=True`` to run
+the reference's convertKfkSecurity semantics instead (security.py):
+JKS stores convert to PEM and a missing ``sasl.jaas.config`` is
+synthesized from the mechanism + credentials (config/config.go:525-567,
+util/common.go:168-213).
 """
 
 from __future__ import annotations
@@ -32,9 +36,16 @@ class KafkaConfig:
     brokers: str = "localhost:9092"
     # security passthrough → spark options `kafka.*`
     security: dict[str, str] = field(default_factory=dict)
+    # run convertKfkSecurity-style normalization (JKS→PEM, jaas synthesis)
+    normalize_security: bool = False
 
     def spark_options(self) -> dict[str, str]:
         opts = {"kafka.bootstrap.servers": self.brokers}
+        if self.normalize_security:
+            from .security import kafka_security_options
+
+            opts.update(kafka_security_options(self.security))
+            return opts
         for k, v in self.security.items():
             opts[k if k.startswith("kafka.") else f"kafka.{k}"] = v
         return opts
