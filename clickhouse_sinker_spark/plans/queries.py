@@ -2982,6 +2982,58 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_session_agg",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregation via the engine's native ``F.session_window``
+    (the same construct the STREAMING path uses with a watermark —
+    tests/test_streaming.py::test_streaming_session_window), run in batch
+    mode so the driver can hash it against a gaps-and-islands oracle.
+    Spark's session semantics: an event merges into a session while its
+    gap to the previous event is strictly under the 30-minute timeout
+    (window end is exclusive), and ``session.end`` = last event + timeout
+    — the oracle mirrors both (``>=`` split, ``MAX(ts) + 30 min``).
+    One shuffle on user_id; the session merge is a map-side sort-merge
+    within each user partition — the 100 TB-safe sessionization shape."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("tv"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            F.col("tv").cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
     "window_moving_avg",
     """
     SELECT user_id, event_id,
@@ -4942,7 +4994,7 @@ DRIVER_ORDER: list[str] = [
     "funnel_window_3step",
     "knn_kmeans_assign",
     "knn_pq_topk",
-    "window_moving_avg",
+    "window_session_agg",
     "tpch_q18_having",
     "tpch_q9_profit",
     "agg_salted_user_stats",
