@@ -282,21 +282,55 @@ def kmeans_lloyd(
 def pq_train(
     df: DataFrame, vec_col: str, id_col: str, m: int = 8, k: int = 16, iters: int = 3
 ) -> list[list[list[float]]]:
-    """Train per-subspace codebooks: split dim into ``m`` equal subvectors,
-    run the deterministic in-engine Lloyd's k-means on each.  Returns
-    ``codebooks[s][j] = centroid j of subspace s`` (driver-tiny: m·k·(d/m)
-    doubles).  Training cost: m × iters narrow aggregations over the
-    corpus — a one-time index build, persisted like the IVF centroids."""
+    """Train per-subspace codebooks: split dim into ``m`` equal subvectors
+    and Lloyd-iterate ALL subspaces in one fused pass — per iteration ONE
+    map over the corpus (each row emits its m (cluster, subvector) picks)
+    and ONE narrow aggregation keyed (subspace, cluster, dim), instead of
+    m independent k-means jobs.  At 100 TB that is ``iters`` corpus scans
+    total rather than ``m × iters``.  Same deterministic contract as
+    ``kmeans_lloyd``: seeds are the k lowest-``id_col`` vectors (sliced
+    per subspace), ties break toward the lower centroid id, empty clusters
+    keep their previous centroid.  Returns ``codebooks[s][j]`` (driver-
+    tiny: m·k·(d/m) doubles) — a one-time index build, persisted like the
+    IVF centroids."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     dim = len(base.select("v").first()["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    codebooks = []
-    for s in range(m):
-        sliced = base.select("id", F.slice("v", s * sub + 1, sub).alias("v"))
-        _, cents, _ = kmeans_lloyd(sliced, "v", "id", k=k, iters=iters)
-        codebooks.append(cents)
+    seeds = base.orderBy("id").limit(k).collect()
+    codebooks = [
+        [list(r["v"])[s * sub : (s + 1) * sub] for r in seeds] for s in range(m)
+    ]
+    for _ in range(iters):
+        entries = []
+        for s in range(m):
+            sv = F.slice("v", s * sub + 1, sub)
+            dists = F.array(*[_dist2_to(sv, c) for c in codebooks[s]])
+            best = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            entries.append(F.struct(best.alias("cluster"), sv.alias("sv")))
+        stats = (
+            base.select(F.posexplode(F.array(*entries)).alias("s", "e"))
+            .select("s", F.col("e.cluster").alias("cluster"),
+                    F.posexplode("e.sv").alias("idx", "x"))
+            .groupBy("s", "cluster", "idx")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[tuple[int, int], list[float]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in stats:
+            sums.setdefault((r["s"], r["cluster"]), [0.0] * sub)[r["idx"]] = r["sx"]
+            counts[(r["s"], r["cluster"])] = r["n"]
+        codebooks = [
+            [
+                [sums[(s, j)][d] / counts[(s, j)] for d in range(sub)]
+                if (s, j) in counts
+                else codebooks[s][j]
+                for j in range(k)
+            ]
+            for s in range(m)
+        ]
     return codebooks
 
 
