@@ -26,7 +26,20 @@ any(x) / anyLast(x)          first(x) / last(x)
 groupArray(x)                collect_list(x)
 groupUniqArray(x)            collect_set(x)
 arrayJoin(x)                 explode(x)
+arrayMap(f, a)               transform(a, f)       (CH lambda syntax ==
+arrayFilter(f, a)            filter(a, f)           Spark lambda syntax)
+arrayExists(f, a)            exists(a, f)
+arrayAll(f, a)               forall(a, f)
+arrayCount(f, a)             size(filter(a, f))
+arraySum(a) / arraySum(f,a)  aggregate(a|transform(a,f), 0D, (s,x)->s+x)
+arrayEnumerate(a)            sequence(1, size(a))
+arrayDistinct/Sort/Reverse   array_distinct / array_sort / reverse
+arrayConcat / arrayFlatten   concat / flatten
+arrayMin / arrayMax          array_min / array_max
+arrayStringConcat(a[, sep])  array_join(a, sep|'')
+indexOf(arr, x)              array_position(arr, x)
 has(arr, x)                  array_contains(arr, x)
+hasAny(a, b) / hasAll(a, b)  arrays_overlap(a,b) / forall(b, contains a)
 empty(x) / notEmpty(x)       (length|size(x) = 0) / (... > 0)  (size when
                              x is an array-producing expression)
 splitByChar(sep, s)          split(s, sep)    (sep regex-escaped)
@@ -68,6 +81,14 @@ _RENAMES = {
     "has": "array_contains",
     "ifNull": "coalesce",
     "xxHash64": "xxhash64",
+    "arrayDistinct": "array_distinct",
+    "arraySort": "array_sort",
+    "arrayReverse": "reverse",
+    "arrayConcat": "concat",
+    "arrayFlatten": "flatten",
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "arrayZip": "arrays_zip",
     "groupArray": "collect_list",
     "groupUniqArray": "collect_set",
     "argMax": "max_by",
@@ -116,7 +137,6 @@ _UNSUPPORTED = {
     "windowFunnel",
     "neighbor",
     "runningDifference",
-    "arrayEnumerate",
     "sample",
 }
 
@@ -244,6 +264,26 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "modulo", lambda a: f"(({a[0]}) % ({a[1]}))")
     sql = _rewrite_calls(sql, "empty", lambda a: f"({_len_expr(a[0])} = 0)")
     sql = _rewrite_calls(sql, "notEmpty", lambda a: f"({_len_expr(a[0])} > 0)")
+    # higher-order array functions: ClickHouse puts the lambda FIRST
+    # (arrayMap(x -> ..., arr)); Spark puts the collection first — and the
+    # lambda syntax itself (x -> expr, (x, y) -> expr) is identical in both
+    sql = _rewrite_calls(sql, "arrayMap", lambda a: f"transform({a[1]}, {a[0]})")
+    sql = _rewrite_calls(sql, "arrayFilter", lambda a: f"filter({a[1]}, {a[0]})")
+    sql = _rewrite_calls(sql, "arrayExists", lambda a: f"exists({a[1]}, {a[0]})")
+    sql = _rewrite_calls(sql, "arrayAll", lambda a: f"forall({a[1]}, {a[0]})")
+    sql = _rewrite_calls(sql, "arrayCount", lambda a: f"size(filter({a[1]}, {a[0]}))")
+    sql = _rewrite_calls(sql, "arraySum", _array_sum)
+    sql = _rewrite_calls(sql, "arrayEnumerate", lambda a: f"sequence(1, size({a[0]}))")
+    sql = _rewrite_calls(sql, "indexOf", lambda a: f"array_position({a[0]}, {a[1]})")
+    sql = _rewrite_calls(
+        sql, "arrayStringConcat",
+        lambda a: f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})",
+    )
+    sql = _rewrite_calls(sql, "hasAny", lambda a: f"arrays_overlap({a[0]}, {a[1]})")
+    sql = _rewrite_calls(
+        sql, "hasAll",
+        lambda a: f"forall({a[1]}, __ha_x -> array_contains({a[0]}, __ha_x))",
+    )
     sql = _rewrite_calls(sql, "splitByChar", lambda a: _split_by_char(a))
 
     def _multi_if(args: list[str]) -> str:
@@ -295,6 +335,13 @@ def _len_expr(arg: str) -> str:
     write ``size(col) = 0`` directly in that case."""
     fn = "size" if _ARRAY_PRODUCERS.match(arg) else "length"
     return f"{fn}({arg})"
+
+
+def _array_sum(args: list[str]) -> str:
+    """``arraySum(arr)`` or ``arraySum(f, arr)`` → Spark ``aggregate``
+    fold with a DOUBLE accumulator (ClickHouse widens too)."""
+    src = args[0] if len(args) == 1 else f"transform({args[1]}, {args[0]})"
+    return f"aggregate({src}, CAST(0 AS DOUBLE), (__as_acc, __as_x) -> __as_acc + __as_x)"
 
 
 def _split_by_char(args: list[str]) -> str:

@@ -171,3 +171,52 @@ def test_empty_on_array_expression_uses_size(spark):
         .createOrReplaceTempView("t")
     rows = spark.sql(got).collect()
     assert [(r["has_tags"], r["noname"]) for r in rows] == [(True, True), (True, False)]
+
+
+def test_array_lambda_functions_translate_and_execute(spark):
+    """CH higher-order array functions: lambda-first argument order flips
+    to Spark's collection-first; lambda syntax is shared verbatim."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    sql = """
+    SELECT arrayMap(x -> x * 2, xs) AS doubled,
+           arrayFilter(x -> x > 1, xs) AS big,
+           arrayExists(x -> x = 3, xs) AS has3,
+           arrayAll(x -> x > 0, xs) AS all_pos,
+           arrayCount(x -> x % 2 = 0, xs) AS n_even,
+           arraySum(xs) AS s,
+           arraySum(x -> x * x, xs) AS sq,
+           arrayEnumerate(xs) AS idxs,
+           indexOf(xs, 3) AS pos3,
+           arrayStringConcat(arrayMap(x -> toString(x), xs), '-') AS joined,
+           hasAny(xs, arrayConcat(arrayFilter(x -> x > 2, xs))) AS any_big,
+           hasAll(xs, arrayFilter(x -> x < 3, xs)) AS all_small
+    FROM t
+    """
+    got, _ = translate_ch_sql(sql)
+    assert "transform(xs, x -> x * 2)" in got
+    assert "filter(xs, x -> x > 1)" in got
+    assert "sequence(1, size(xs))" in got
+    spark.createDataFrame([([1, 2, 3],)], "xs array<int>").createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["doubled"] == [2, 4, 6]
+    assert row["big"] == [2, 3]
+    assert row["has3"] is True and row["all_pos"] is True
+    assert row["n_even"] == 1
+    assert row["s"] == 6.0 and row["sq"] == 14.0
+    assert row["idxs"] == [1, 2, 3]
+    assert row["pos3"] == 3
+    assert row["joined"] == "1-2-3"
+    assert row["any_big"] is True and row["all_small"] is True
+
+
+def test_array_renames_execute(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT arrayDistinct(arraySort(arrayReverse(xs))) AS d, "
+        "arrayMin(xs) AS lo, arrayMax(xs) AS hi FROM t"
+    )
+    spark.createDataFrame([([3, 1, 3, 2],)], "xs array<int>").createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["d"] == [1, 2, 3] and row["lo"] == 1 and row["hi"] == 3
