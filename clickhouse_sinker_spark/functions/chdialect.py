@@ -11,7 +11,23 @@ ClickHouse                   Spark SQL
 toStartOfMinute/Hour/Day...  date_trunc('MINUTE'/'HOUR'/..., x)
 toMonday(x)                  date_trunc('WEEK', x)
 toDate(x) / toDateTime(x)    to_date(x) / to_timestamp(x)
-toYYYYMM(x)                  CAST(date_format(x, 'yyyyMM') AS INT)
+toYYYYMM(x) / toYYYYMMDD(x)  CAST(date_format(x, 'yyyyMM[dd]') AS INT)
+toHour/Minute/Second(x)      hour/minute/second(x)
+toYear/Month/Quarter(x)      year/month/quarter(x)
+toDayOfMonth(x)              day(x)
+toDayOfWeek(x)               ((dayofweek(x) + 5) % 7) + 1   (CH: 1=Mon)
+toUnixTimestamp(x)           unix_timestamp(x)
+fromUnixTimestamp(x)         timestamp_seconds(x)
+dateDiff('u', a, b)          timestampdiff(U, a, b)
+addDays/Hours/...(x, n)      timestampadd(DAY/HOUR/..., n, x)
+subtractDays/...(x, n)       timestampadd(DAY/..., -(n), x)
+formatDateTime(x, '%Y-%m')   date_format(x, 'yyyy-MM')  (%-tokens mapped)
+position(h, n)               instr(h, n)      (1-based in both)
+startsWith/endsWith(s, p)    startswith/endswith(s, p)
+leftPad/rightPad(s, n, p)    lpad/rpad(s, n, p)
+trimLeft/trimRight/trimBoth  ltrim/rtrim/trim
+replaceAll(s, a, b)          replace(s, a, b)
+lengthUTF8/lowerUTF8/...     length/lower/upper
 toUInt*/toInt*(x)            CAST(x AS BIGINT)   (toUInt64 → DECIMAL(20,0))
 toFloat32/64(x)              CAST(x AS DOUBLE)
 toString(x)                  CAST(x AS STRING)
@@ -97,6 +113,56 @@ _RENAMES = {
     "anyLast": "last",
     "lcase": "lower",
     "ucase": "upper",
+    # date/time part extraction (CH to* family → Spark part functions)
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toSecond": "second",
+    "toYear": "year",
+    "toMonth": "month",
+    "toQuarter": "quarter",
+    "toDayOfMonth": "day",
+    "toUnixTimestamp": "unix_timestamp",
+    "fromUnixTimestamp": "timestamp_seconds",
+    # string functions
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "trimBoth": "trim",
+    "replaceAll": "replace",
+    "lengthUTF8": "length",
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+}
+
+# addUnit(x, n) / subtractUnit(x, n) → timestampadd(UNIT, ±n, x)
+_ADD_UNITS = {
+    "addSeconds": "SECOND",
+    "addMinutes": "MINUTE",
+    "addHours": "HOUR",
+    "addDays": "DAY",
+    "addWeeks": "WEEK",
+    "addMonths": "MONTH",
+    "addYears": "YEAR",
+}
+_SUB_UNITS = {
+    "subtractSeconds": "SECOND",
+    "subtractMinutes": "MINUTE",
+    "subtractHours": "HOUR",
+    "subtractDays": "DAY",
+    "subtractWeeks": "WEEK",
+    "subtractMonths": "MONTH",
+    "subtractYears": "YEAR",
+}
+
+# formatDateTime %-tokens → Spark date_format pattern letters (the common
+# MySQL-style subset ClickHouse documents; unknown tokens raise)
+_FMT_TOKENS = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%M": "mm", "%i": "mm", "%S": "ss", "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss", "%e": "d", "%j": "DDD", "%V": "ww", "%%": "%",
 }
 
 _TRUNCS = {
@@ -258,7 +324,26 @@ def _translate_functions(sql: str) -> str:
         )
     sql = _rewrite_quantile(sql, "quantileExact", "percentile")
     sql = _rewrite_quantile(sql, "quantile", "percentile_approx")
+    sql = _rewrite_calls(sql, "toYYYYMMDD", lambda a: f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)")
     sql = _rewrite_calls(sql, "toYYYYMM", lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)")
+    # CH toDayOfWeek: 1=Monday..7=Sunday; Spark dayofweek: 1=Sunday..7
+    sql = _rewrite_calls(
+        sql, "toDayOfWeek", lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)"
+    )
+    for ch, unit in _ADD_UNITS.items():
+        sql = _rewrite_calls(
+            sql, ch, lambda a, u=unit: f"timestampadd({u}, {a[1]}, {a[0]})"
+        )
+    for ch, unit in _SUB_UNITS.items():
+        sql = _rewrite_calls(
+            sql, ch, lambda a, u=unit: f"timestampadd({u}, -({a[1]}), {a[0]})"
+        )
+    sql = _rewrite_calls(sql, "dateDiff", _date_diff)
+    sql = _rewrite_calls(sql, "formatDateTime", _format_datetime)
+    sql = _rewrite_calls(
+        sql, "position",
+        lambda a: f"instr({a[0]}, {a[1]})" if len(a) == 2 else f"position({a[0]})",
+    )
     sql = _rewrite_calls(sql, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
     sql = _rewrite_calls(sql, "intDiv", lambda a: f"(({a[0]}) DIV ({a[1]}))")
     sql = _rewrite_calls(sql, "modulo", lambda a: f"(({a[0]}) % ({a[1]}))")
@@ -335,6 +420,46 @@ def _len_expr(arg: str) -> str:
     write ``size(col) = 0`` directly in that case."""
     fn = "size" if _ARRAY_PRODUCERS.match(arg) else "length"
     return f"{fn}({arg})"
+
+
+def _date_diff(args: list[str]) -> str:
+    """``dateDiff('unit', start, end)`` → ``timestampdiff(UNIT, start,
+    end)`` — both count crossed unit boundaries from start to end."""
+    if len(args) != 3:
+        raise ChTranslationError("dateDiff needs ('unit', start, end)")
+    unit = args[0].strip()
+    if not (unit.startswith("'") and unit.endswith("'")):
+        raise ChTranslationError("dateDiff requires a literal unit")
+    return f"timestampdiff({unit[1:-1].upper()}, {args[1]}, {args[2]})"
+
+
+def _format_datetime(args: list[str]) -> str:
+    """``formatDateTime(x, '%Y-%m-%d')`` → ``date_format(x, 'yyyy-MM-dd')``
+    via the documented %-token subset (pre-v23 semantics: %M = minute)."""
+    if len(args) < 2:
+        raise ChTranslationError("formatDateTime needs (x, 'format')")
+    fmt = args[1].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'")):
+        raise ChTranslationError("formatDateTime requires a literal format")
+    src = fmt[1:-1]
+    out = []
+    i = 0
+    while i < len(src):
+        if src[i] == "%":
+            tok = src[i : i + 2]
+            if tok not in _FMT_TOKENS:
+                raise ChTranslationError(f"formatDateTime token {tok} unsupported")
+            out.append(_FMT_TOKENS[tok])
+            i += 2
+        elif src[i].isalpha():
+            # literal letters must be quoted in the Java pattern; the
+            # pattern lives inside a SQL string, so the quotes double up
+            out.append(f"''{src[i]}''")
+            i += 1
+        else:
+            out.append(src[i])
+            i += 1
+    return f"date_format({args[0]}, '{''.join(out)}')"
 
 
 def _array_sum(args: list[str]) -> str:

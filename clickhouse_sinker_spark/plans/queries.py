@@ -4850,6 +4850,46 @@ def ch_dialect_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_HOURLY, sf_dir)
 
 
+CH_DIALECT_ARRAYS = """
+    SELECT user_id,
+           arrayCount(x -> x = 'click', groupArray(event_type)) AS clicks,
+           arraySum(arrayMap(x -> lengthUTF8(x),
+                             arraySort(groupUniqArray(event_type)))) AS type_len_sum,
+           arrayStringConcat(arraySort(groupUniqArray(event_type)), '|') AS type_key
+    FROM events
+    WHERE user_id < 2000
+    GROUP BY user_id
+"""
+
+
+@query(
+    "ch_dialect_array_profile",
+    """
+    SELECT user_id,
+           len(list_filter(list(event_type), x -> x = 'click')) AS clicks,
+           CAST(list_sum(list_transform(list_sort(list_distinct(list(event_type))),
+                                        x -> length(x))) AS DOUBLE) AS type_len_sum,
+           array_to_string(list_sort(list_distinct(list(event_type))), '|') AS type_key
+    FROM events
+    WHERE user_id < 2000
+    GROUP BY user_id
+    """,
+)
+def ch_dialect_array_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ClickHouse-dialect per-user profile built from the higher-order
+    array family — groupArray / groupUniqArray / arrayCount / arrayMap /
+    arraySum / arraySort / arrayStringConcat / lengthUTF8 — run THROUGH
+    the translation layer (functions/chdialect.py) and hash-checked
+    against a DuckDB list-function oracle.  Every array is sorted (or the
+    operation is order-insensitive, like arrayCount) before leaving the
+    aggregate, so collect_list's nondeterministic ordering never reaches
+    the output.  Plan: one grouped aggregate on user_id — the array ops
+    are post-aggregation column expressions, zero extra shuffles."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_ARRAYS, sf_dir)
+
+
 def _ct_oracle_sql() -> str:
     """DuckDB mirror of the Cavnar-Trenkle classifier, the profile VALUES
     generated from the same ``langprofiles.profile_rows()`` model both

@@ -220,3 +220,54 @@ def test_array_renames_execute(spark):
     spark.createDataFrame([([3, 1, 3, 2],)], "xs array<int>").createOrReplaceTempView("t")
     row = spark.sql(got).first()
     assert row["d"] == [1, 2, 3] and row["lo"] == 1 and row["hi"] == 3
+
+
+def test_datetime_part_functions_execute(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT toHour(ts) AS h, toYear(ts) AS y, toDayOfMonth(ts) AS dom, "
+        "toDayOfWeek(ts) AS dow, toYYYYMMDD(ts) AS ymd, "
+        "toUnixTimestamp(ts) AS ut, formatDateTime(ts, '%Y-%m-%dT%H:%M:%S') AS s, "
+        "dateDiff('hour', ts, addDays(ts, 1)) AS dh, "
+        "subtractHours(ts, 2) AS back2 FROM t"
+    )
+    import datetime
+
+    spark.createDataFrame(
+        [(datetime.datetime(2024, 5, 6, 13, 45, 7),)], "ts timestamp"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["h"] == 13 and row["y"] == 2024 and row["dom"] == 6
+    assert row["dow"] == 1  # 2024-05-06 is a Monday; CH numbering 1=Mon
+    assert row["ymd"] == 20240506
+    assert row["s"] == "2024-05-06T13:45:07"
+    assert row["dh"] == 24
+    assert row["back2"] == datetime.datetime(2024, 5, 6, 11, 45, 7)
+
+
+def test_string_functions_execute(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT position(name, 'lo') AS p, startsWith(name, 'he') AS sw, "
+        "endsWith(name, 'lo') AS ew, leftPad(name, 7, '*') AS lp, "
+        "trimBoth(pad) AS tb, replaceAll(name, 'l', 'L') AS rep, "
+        "lengthUTF8(name) AS n FROM t"
+    )
+    spark.createDataFrame([("hello", "  x  ")], "name string, pad string") \
+        .createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["p"] == 4 and row["sw"] is True and row["ew"] is True
+    assert row["lp"] == "**hello" and row["tb"] == "x"
+    assert row["rep"] == "heLLo" and row["n"] == 5
+
+
+def test_format_datetime_unknown_token_raises():
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    with pytest.raises(ChTranslationError, match="token"):
+        translate_ch_sql("SELECT formatDateTime(ts, '%Q') FROM t")

@@ -316,3 +316,12 @@ def test_cohort_retention_partial_aggs_no_cartesian(spark):
     plan = plan_of(QUERIES["cohort_weekly_retention"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_session_agg_single_exchange(spark):
+    """window_session_agg: one shuffle on the grouping key serves the
+    session merge + aggregation; no Python UDF, no extra exchange."""
+    plan = plan_of(QUERIES["window_session_agg"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2  # partial->final agg pair at most
+    assert "session_window" in plan.lower() or "SessionWindow" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
