@@ -379,6 +379,74 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an ALREADY-INGESTED corpus —
+    the per-ingest shape of ``minhash_lsh_pairs``: instead of a self-join
+    over everything, only the batch's band keys probe the corpus's band
+    index.  Returns (id_new, id_corpus, jaccard) for exact Jaccard ≥
+    ``threshold`` among LSH candidates.
+
+    Scale: at 100 TB the corpus's (band_hash → id) index is computed ONCE
+    at landing time and stored bucketed by band_hash; each daily batch
+    then shuffles only its own band keys into that layout.  Batch shingle
+    arrays re-join only onto the candidate pairs — the fat columns never
+    enter the band shuffle (same hygiene as the self-join variant).
+    """
+    r = num_perm // bands
+
+    def prep(df: DataFrame, label: str):
+        sh = (
+            df.select(
+                F.col(id_col).alias(label),
+                F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+            )
+            .select(label, shingles_from_tokens("toks", n).alias(f"sh_{label}"))
+        )
+        banded = sh.withColumn(
+            "sig", minhash_signature(F.col(f"sh_{label}"), num_perm)
+        ).select(
+            label,
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)),
+                            F.lit(b),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        return sh, banded
+
+    sh_new, band_new = prep(_rebalance(batch), "id_new")
+    sh_old, band_old = prep(_rebalance(corpus), "id_corpus")
+    cand = (
+        band_new.join(band_old, "bh")
+        .select("id_new", "id_corpus")
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_id_new"), F.col("sh_id_corpus"))).cast("double")
+    union = (F.size("sh_id_new") + F.size("sh_id_corpus")).cast("double") - inter
+    return (
+        cand.join(sh_new, "id_new")
+        .join(sh_old, "id_corpus")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_new", "id_corpus", "jaccard")
+    )
+
+
 def simhash_near_dup(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, sketch: str = "xx64"
 ) -> DataFrame:

@@ -1730,6 +1730,165 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_minhash",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id, sh.shingles, len(sh.shingles) AS n_sh
+      FROM documents,
+           LATERAL (SELECT CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                                ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+                           END AS shingles
+                    FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks)) sh
+    ), ex AS (
+      SELECT id, n_sh, unnest(shingles) AS shingle FROM sh
+    )
+    SELECT n.id AS id_new, o.id AS id_corpus,
+           CAST(COUNT(*) AS DOUBLE) / (MIN(n.n_sh) + MIN(o.n_sh) - COUNT(*)) AS jaccard
+    FROM ex n JOIN ex o ON n.shingle = o.shingle
+    WHERE n.id % 3 <> 0 AND o.id % 3 = 0
+    GROUP BY n.id, o.id
+    HAVING CAST(COUNT(*) AS DOUBLE) / (MIN(n.n_sh) + MIN(o.n_sh) - COUNT(*)) >= 0.2
+    """,
+)
+def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: today's batch (doc_id % 3 != 0) probes the
+    already-ingested corpus's MinHash band index (doc_id % 3 == 0) —
+    ``minhash_lsh_incremental`` (operators/dedup.py).  Completes the
+    incremental-ingest story: `dedup_incremental_exact` catches byte
+    duplicates, this catches near-duplicates, both without re-processing
+    the corpus.  The oracle is the exact cross-set Jaccard (shingle
+    equi-join) — LSH at 64 perms / 16 bands has full recall at the 0.2
+    threshold on this corpus (same contract the self-join variant pins)."""
+    from ..operators.dedup import minhash_lsh_incremental
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 == 0)
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    return minhash_lsh_incremental(corpus, batch, "text", "doc_id", threshold=0.2)
+
+
+@query(
+    "pipeline_split_assign",
+    """
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             ((doc_id * 2654435761) % 2147483648) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM b GROUP BY split
+    """,
+)
+def pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — the Knuth
+    multiplicative hash over doc_id (the same engine-agnostic arithmetic
+    ``knuth_shard`` uses for routing, so the oracle reproduces every
+    assignment bit-exactly), summarized per split.  A reproducible split
+    that never moves a document between splits as the corpus grows is
+    table stakes for a training pipeline; hash-of-id (not random()) makes
+    it stable across runs AND engines.  Map-side bucket arithmetic + one
+    grouped aggregate — no shuffle other than the 3-key groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2**31)), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks))
+    return (
+        d.select(
+            split.alias("split"),
+            n_tokens.alias("n_tokens"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "quality_charlm_score",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, unnest([substr(t, CAST(i AS INT), 2) FOR i IN range(1, length(t))]) AS g
+      FROM norm
+    ),
+    lm2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+    lm1 AS (SELECT substr(g, 1, 1) AS p, count(*) AS c1 FROM bg GROUP BY p)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(ln(CAST(lm2.c2 AS DOUBLE)) - ln(CAST(lm1.c1 AS DOUBLE)))
+                 / COUNT(*), 6) AS avg_logp
+    FROM bg b
+    JOIN lm2 ON lm2.g = b.g
+    JOIN lm1 ON lm1.p = substr(b.g, 1, 1)
+    GROUP BY b.doc_id
+    """,
+)
+def quality_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model scoring trained IN-ENGINE on the
+    corpus itself (the classic CCNet/KenLM-style perplexity gate, reduced
+    to a relational char-bigram LM so the oracle replays it exactly):
+    p(c_i | c_{i-1}) = count(bigram) / count(prefix), each document scored
+    by its mean log-probability.  Low scorers are gibberish / boilerplate
+    — the standard second gate after the Gopher rules.
+
+    Scale: the bigram explode is linear in corpus bytes; both count
+    tables are tiny (|charset|² keys) and partial aggregation absorbs the
+    extreme key skew map-side; scoring joins are broadcasts.  One doc_id
+    shuffle for the final mean.  avg_logp rounds to 6dp on both sides to
+    absorb summation-order float noise."""
+    d = _t(spark, sf_dir, "documents")
+    norm = d.filter(F.length("text") >= 2).select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    bg = norm.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("g"),
+    )
+    lm2 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    lm1 = (
+        bg.select(F.substring("g", 1, 1).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    logp = F.log(F.col("c2").cast("double")) - F.log(F.col("c1").cast("double"))
+    return (
+        bg.join(F.broadcast(lm2), "g")
+        .join(F.broadcast(lm1), F.substring(F.col("g"), 1, 1) == F.col("p"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logp"),
+        )
+    )
+
+
+@query(
     "corpus_mix_sample",
     """
     WITH rates AS (
