@@ -59,6 +59,15 @@ hasAny(a, b) / hasAll(a, b)  arrays_overlap(a,b) / forall(b, contains a)
 empty(x) / notEmpty(x)       (length|size(x) = 0) / (... > 0)  (size when
                              x is an array-producing expression)
 splitByChar(sep, s)          split(s, sep)    (sep regex-escaped)
+splitByString(sep, s)        split(s, sep)    (sep regex-escaped)
+JSONExtractString(j, k...)   get_json_object(j, '$.k...')
+JSONExtractInt/Float/Bool    CAST(get_json_object(...) AS BIGINT/DOUBLE/BOOLEAN)
+JSONExtractRaw(j, k...)      get_json_object(j, '$.k...')
+JSONHas(j, k...)             (get_json_object(...) IS NOT NULL)
+JSONLength(j, k...)          json_array_length(get_json_object(...))
+visitParamExtractString/Has  same as the JSONExtract forms (legacy names)
+extract(s, 're')             regexp_extract(s, 're', 1|0)  (1 if the
+                             pattern has a capture group, else 0)
 intDiv(a, b)                 (a DIV b)
 modulo(a, b)                 (a % b)
 multiIf(c1, v1, ..., e)      CASE WHEN c1 THEN v1 ... ELSE e END
@@ -284,15 +293,21 @@ def _split_args(arglist: str) -> list[str]:
 
 def _rewrite_calls(sql: str, name: str, emit) -> str:
     """Rewrite every ``name(args)`` call via ``emit(args: list[str]) -> str``,
-    innermost-safe (args are recursively translated before emission)."""
+    innermost-safe (args are recursively translated before emission).  An
+    emitter may RECONSTRUCT the call unchanged (``name(...)``) to decline a
+    form it doesn't own — e.g. ANSI ``EXTRACT(unit FROM x)`` vs ClickHouse
+    ``extract(s, 're')``; the scan then advances past it instead of looping."""
+    pos = 0
     while True:
-        at = _find_call(sql, name)
+        at = _find_call(sql, name, pos)
         if at < 0:
             return sql
         open_idx = sql.index("(", at)
         end = _balanced(sql, open_idx)
         args = [_translate_functions(a) for a in _split_args(sql[open_idx + 1 : end - 1])]
-        sql = sql[:at] + emit(args) + sql[end:]
+        rep = emit(args)
+        sql = sql[:at] + rep + sql[end:]
+        pos = at + len(rep) if rep.startswith(f"{name}(") else at
 
 
 def _rewrite_quantile(sql: str, name: str, spark_fn: str) -> str:
@@ -370,6 +385,27 @@ def _translate_functions(sql: str) -> str:
         lambda a: f"forall({a[1]}, __ha_x -> array_contains({a[0]}, __ha_x))",
     )
     sql = _rewrite_calls(sql, "splitByChar", lambda a: _split_by_char(a))
+    sql = _rewrite_calls(sql, "splitByString", lambda a: _split_by_char(a))
+    for ch, cast in [
+        ("JSONExtractString", None),
+        ("JSONExtractRaw", None),
+        ("visitParamExtractString", None),
+        ("JSONExtractInt", "BIGINT"),
+        ("JSONExtractUInt", "BIGINT"),
+        ("JSONExtractFloat", "DOUBLE"),
+        ("JSONExtractBool", "BOOLEAN"),
+    ]:
+        sql = _rewrite_calls(sql, ch, lambda a, c=cast: _json_extract(a, c))
+    sql = _rewrite_calls(
+        sql, "JSONHas", lambda a: f"({_json_extract(a, None)} IS NOT NULL)"
+    )
+    sql = _rewrite_calls(
+        sql, "visitParamHas", lambda a: f"({_json_extract(a, None)} IS NOT NULL)"
+    )
+    sql = _rewrite_calls(
+        sql, "JSONLength", lambda a: f"json_array_length({_json_extract(a, None)})"
+    )
+    sql = _rewrite_calls(sql, "extract", _extract_regex)
 
     def _multi_if(args: list[str]) -> str:
         if len(args) < 3 or len(args) % 2 == 0:
@@ -467,6 +503,48 @@ def _array_sum(args: list[str]) -> str:
     fold with a DOUBLE accumulator (ClickHouse widens too)."""
     src = args[0] if len(args) == 1 else f"transform({args[1]}, {args[0]})"
     return f"aggregate({src}, CAST(0 AS DOUBLE), (__as_acc, __as_x) -> __as_acc + __as_x)"
+
+
+def _json_extract(args: list[str], cast: str | None) -> str:
+    """``JSONExtract*(json, 'a', 2, 'b')`` → ``get_json_object(json,
+    '$.a[1].b')`` — literal string keys become members, literal integer
+    indices (ClickHouse 1-based) become 0-based JSONPath subscripts."""
+    if len(args) < 2:
+        raise ChTranslationError("JSONExtract* needs (json, key...) arguments")
+    path = "$"
+    for key in args[1:]:
+        k = key.strip()
+        if k.startswith("'") and k.endswith("'"):
+            path += f".{k[1:-1]}"
+        elif re.fullmatch(r"-?\d+", k):
+            idx = int(k)
+            if idx < 1:
+                raise ChTranslationError("JSON path indices are 1-based in ClickHouse")
+            path += f"[{idx - 1}]"
+        else:
+            raise ChTranslationError(
+                f"JSONExtract* requires literal keys/indices, got {k!r}"
+            )
+    expr = f"get_json_object({args[0]}, '{path}')"
+    return f"CAST({expr} AS {cast})" if cast else expr
+
+
+def _extract_regex(args: list[str]) -> str:
+    """``extract(s, 're')`` → ``regexp_extract(s, 're', g)`` where g = 1
+    when the literal pattern contains an unescaped capture group (ClickHouse
+    returns the first group if present, else the whole match)."""
+    if len(args) == 1:
+        # ANSI EXTRACT(unit FROM expr) — not the ClickHouse regex form;
+        # reconstruct untouched
+        return f"extract({args[0]})"
+    if len(args) != 2:
+        raise ChTranslationError("extract needs (haystack, 'pattern')")
+    pat = args[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ChTranslationError("extract requires a literal pattern")
+    body = pat[1:-1]
+    has_group = bool(re.search(r"(?<!\\)\((?!\?)", body))
+    return f"regexp_extract({args[0]}, {pat}, {1 if has_group else 0})"
 
 
 def _split_by_char(args: list[str]) -> str:

@@ -271,3 +271,58 @@ def test_format_datetime_unknown_token_raises():
 
     with pytest.raises(ChTranslationError, match="token"):
         translate_ch_sql("SELECT formatDateTime(ts, '%Q') FROM t")
+
+
+def test_json_extract_family(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT JSONExtractString(j, 'name') AS nm, "
+        "JSONExtractInt(j, 'meta', 'n') AS n, "
+        "JSONExtractFloat(j, 'v') AS v, "
+        "JSONExtractString(j, 'tags', 2) AS tag2, "
+        "JSONHas(j, 'meta') AS has_meta, JSONHas(j, 'nope') AS has_nope, "
+        "JSONLength(j, 'tags') AS n_tags FROM t"
+    )
+    assert "get_json_object(j, '$.name')" in got
+    assert "CAST(get_json_object(j, '$.meta.n') AS BIGINT)" in got
+    assert "get_json_object(j, '$.tags[1]')" in got
+    spark.createDataFrame(
+        [('{"name":"a","v":1.5,"meta":{"n":7},"tags":["x","y","z"]}',)], "j string"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["nm"] == "a" and row["n"] == 7 and row["v"] == 1.5
+    assert row["tag2"] == "y"
+    assert row["has_meta"] is True and row["has_nope"] is False
+    assert row["n_tags"] == 3
+
+
+def test_extract_regex_vs_ansi_extract(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    # a real ClickHouse user writes '\\d' — both CH and Spark lexers
+    # process backslash escapes in string literals, so the literal passes
+    # through unchanged and stays faithful
+    got, _ = translate_ch_sql(
+        "SELECT extract(name, 'id=(\\\\d+)') AS gid, "
+        "extract(name, '\\\\d+') AS whole, "
+        "extract(YEAR FROM ts) AS yr FROM t"
+    )
+    assert "regexp_extract(name, 'id=(\\\\d+)', 1)" in got
+    assert "regexp_extract(name, '\\\\d+', 0)" in got
+    assert "extract(YEAR FROM ts)" in got
+    import datetime
+
+    spark.createDataFrame(
+        [("id=42x", datetime.datetime(2023, 3, 1))], "name string, ts timestamp"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["gid"] == "42" and row["whole"] == "42" and row["yr"] == 2023
+
+
+def test_split_by_string(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql("SELECT splitByString('::', name) AS parts FROM t")
+    spark.createDataFrame([("a::b::c",)], "name string").createOrReplaceTempView("t")
+    assert spark.sql(got).first()["parts"] == ["a", "b", "c"]
