@@ -5049,6 +5049,43 @@ def ch_dialect_array_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ARRAYS, sf_dir)
 
 
+CH_DIALECT_JSON = """
+    SELECT modulo(JSONExtractInt(props, 'k'), 10) AS k_mod,
+           count(*) AS n,
+           countIf(JSONHas(props, 'k')) AS with_k,
+           uniqExact(JSONExtractInt(props, 'k')) AS uniq_k
+    FROM events
+    GROUP BY k_mod
+"""
+
+
+@query(
+    "ch_dialect_json_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+                AS BIGINT) AS with_k,
+           CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS uniq_k
+    FROM events
+    GROUP BY k_mod
+    """,
+)
+def ch_dialect_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse JSON-extraction functions over the events ``props``
+    column, through the translator (JSONExtractInt → get_json_object +
+    cast, JSONHas, countIf, uniqExact, modulo) and hash-checked against a
+    DuckDB json_extract_string oracle.  The reference's users keep
+    semi-structured payload columns exactly like this (gjson paths in the
+    sinker config; ad-hoc JSONExtract in their CH queries) — this proves
+    the read side of that contract.  Integer-only outputs; one grouped
+    aggregate, JSON parsing is map-side."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_JSON, sf_dir)
+
+
 def _ct_oracle_sql() -> str:
     """DuckDB mirror of the Cavnar-Trenkle classifier, the profile VALUES
     generated from the same ``langprofiles.profile_rows()`` model both
