@@ -7,14 +7,15 @@ kernels come in three tiers:
 - ``decoder="fake"`` (default): deterministic synthetic features derived
   from the payload bytes — real Spark plumbing (schema, batching,
   partitioning) with testable outputs, no codec needed.
-- ``decoder="bmp"`` / ``decoder="wav"``: REAL decoders for the uncompressed
-  formats, pure stdlib+numpy (struct-parsed 24-bit BMP; ``wave``-module PCM
-  WAV) — actual pixels/samples in, actual features/resizes out, fully
+- ``decoder="bmp"`` / ``decoder="png"`` / ``decoder="wav"``: REAL decoders,
+  pure stdlib+numpy (struct-parsed 24-bit BMP; RFC 2083 PNG with zlib
+  inflate, CRC checks and all five reverse scanline filters; ``wave``-module
+  PCM WAV) — actual pixels/samples in, actual features/resizes out, fully
   exercised in tests.
-- ``decoder="pil"`` / ``decoder="librosa"``: gated imports for compressed
-  formats (JPEG/PNG/MP3/...) that raise ``NotImplementedError`` with a clear
-  message when the library is absent; the call signature and output schema
-  are the production contract.
+- ``decoder="pil"`` / ``decoder="librosa"``: gated imports for the remaining
+  compressed formats (JPEG/MP3/...) that raise ``NotImplementedError`` with a
+  clear message when the library is absent; the call signature and output
+  schema are the production contract.
 
 Scale design: mapInPandas streams Arrow record batches — payload bytes
 never materialize on the driver; ``spark.sql.execution.arrow.
@@ -45,6 +46,8 @@ __all__ = [
     "extract_audio_features",
     "encode_bmp",
     "decode_bmp",
+    "encode_png",
+    "decode_png",
     "IMAGE_FEATURE_SCHEMA",
     "FRAME_SCHEMA",
     "RESIZED_SCHEMA",
@@ -95,6 +98,142 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if bottom_up:
         img = img[::-1]
     return img[:, :, ::-1]  # BGR→RGB
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (RFC 2083 §6.6), vectorized."""
+    a, b, c = a.astype(np.int32), b.astype(np.int32), c.astype(np.int32)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb: np.ndarray, varied_filters: bool = True) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a real PNG (RFC 2083):
+    8-bit truecolor, non-interlaced, zlib-deflated scanlines.  With
+    ``varied_filters`` each row uses filter type ``row % 5`` (None / Sub /
+    Up / Average / Paeth), so a round-trip exercises every reverse-filter
+    path in ``decode_png`` — not just the trivial one."""
+    import zlib
+
+    h, w, _ = rgb.shape
+    bpp = 3
+    raw = rgb.astype(np.uint8)
+    lines = []
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        cur = raw[y].reshape(-1)
+        ft = y % 5 if varied_filters else 0
+        a = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+        c = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        ci = cur.astype(np.int32)
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = (ci - a) % 256
+        elif ft == 2:
+            f = (ci - prev) % 256
+        elif ft == 3:
+            f = (ci - (a.astype(np.int32) + prev.astype(np.int32)) // 2) % 256
+        else:
+            f = (ci - _paeth(a, prev, c)) % 256
+        lines.append(bytes([ft]) + f.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor non-interlaced PNG to (H, W, 3) uint8 RGB
+    — a real decoder: chunk walk with CRC verification, zlib inflate, and
+    all five reverse scanline filters (None/Sub/Up/Average/Paeth).
+    Palette/alpha/16-bit/interlaced PNGs raise ValueError (the PIL tier
+    owns those)."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color != 2 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prev) % 256
+        else:
+            # Sub/Average/Paeth need the already-reconstructed left
+            # neighbor — sequential per byte (rows are short; big images
+            # belong to the PIL tier anyway)
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if ft == 1:
+                    x = row[i] + a
+                elif ft == 3:
+                    x = row[i] + (a + b) // 2
+                elif ft == 4:
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    x = row[i] + pred
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+                cur[i] = x % 256
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, 3)
 
 
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -208,16 +347,16 @@ def decode_image_features(
         except ImportError as e:  # pragma: no cover - env without PIL
             raise NotImplementedError(
                 "PIL decoder requires pillow; this container has no compressed-"
-                "image codecs — use decoder='bmp' (real, stdlib) or 'fake'"
+                "image codecs — use decoder='bmp'/'png' (real, stdlib) or 'fake'"
             ) from e
-    elif decoder not in ("fake", "bmp"):
+    elif decoder not in ("fake", "bmp", "png"):
         raise NotImplementedError(f"unknown decoder {decoder!r}")
 
     slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
     def decode_one(doc_id: int, payload: bytes) -> tuple:
-        if decoder == "bmp":
-            rgb = decode_bmp(payload)
+        if decoder in ("bmp", "png"):
+            rgb = decode_bmp(payload) if decoder == "bmp" else decode_png(payload)
             luma = (
                 0.299 * rgb[:, :, 0].astype(np.float64)
                 + 0.587 * rgb[:, :, 1].astype(np.float64)
@@ -299,10 +438,10 @@ def resize_images(
             import PIL  # noqa: F401
         except ImportError as e:  # pragma: no cover - env without PIL
             raise NotImplementedError(
-                "PIL resize requires pillow; use decoder='bmp' (real, stdlib) "
-                "or 'fake' for plumbing tests"
+                "PIL resize requires pillow; use decoder='bmp'/'png' (real, "
+                "stdlib) or 'fake' for plumbing tests"
             ) from e
-    elif decoder not in ("fake", "bmp"):
+    elif decoder not in ("fake", "bmp", "png"):
         raise NotImplementedError(f"unknown decoder {decoder!r}")
 
     slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
@@ -312,6 +451,9 @@ def resize_images(
         if decoder == "bmp":
             out = _nearest_resize(decode_bmp(payload), width, height)
             return (doc_id, width, height, encode_bmp(out))
+        if decoder == "png":
+            out = _nearest_resize(decode_png(payload), width, height)
+            return (doc_id, width, height, encode_png(out))
         p = (payload or b"\x00") * (target // max(len(payload or b"\x00"), 1) + 1)
         return (doc_id, width, height, bytes(p[:target]))
 

@@ -4542,6 +4542,75 @@ def mm_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_png_decode_real",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             (d.doc_id + 3 * tx.x + 5 * ty.y) % 256 AS r,
+             (d.doc_id * 7 + 2 * tx.x + ty.y) % 256 AS g,
+             (d.doc_id * 13 + tx.x + 4 * ty.y) % 256 AS b
+      FROM documents d, range(8) tx(x), range(8) ty(y)
+    )
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           ROUND(AVG(CAST(0.299 AS DOUBLE) * r
+                   + CAST(0.587 AS DOUBLE) * g
+                   + CAST(0.114 AS DOUBLE) * b) / 255, 6) AS mean_luma_r6
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: per doc, synthesize an 8x8 GRADIENT
+    image (each pixel a function of doc_id and its coordinates), encode it
+    as a real PNG with zlib-deflated scanlines using a DIFFERENT filter
+    type per row (None/Sub/Up/Average/Paeth — every reverse-filter path in
+    ``decode_png`` runs on every image), then decode and emit geometry +
+    mean luma.  The gradient (unlike the solid-color BMP query) puts real
+    per-pixel signal through the filter arithmetic; the oracle recomputes
+    the luma mean relationally over the same 64 pixels, rounded to 6dp to
+    absorb numpy-pairwise vs SQL-sequential summation noise.  All work is
+    partition-local mapInPandas: zero shuffle at any scale."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image_features, encode_png
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x = np.mgrid[0:8, 0:8]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rgb = np.stack(
+                    [
+                        (i + 3 * x + 5 * y) % 256,
+                        (i * 7 + 2 * x + y) % 256,
+                        (i * 13 + x + 4 * y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                rows.append((i, encode_png(rgb)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, payload binary")
+    feats = decode_image_features(blobs, "payload", "doc_id", decoder="png")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_luma", 6).alias("mean_luma_r6"),
+    )
+
+
+@query(
     "mm_wav_features_real",
     """
     SELECT doc_id,

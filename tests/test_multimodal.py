@@ -194,3 +194,95 @@ def test_wav_audio_features_real(spark):
     # RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ≈ 0.3536
     assert abs(row["rms"] - 0.35355) < 0.01
     assert row["n_windows"] == 2  # 0.5s / 0.5s windows + 1
+
+
+class TestPngCodec:
+    """Real PNG codec (RFC 2083 subset): round-trip across shapes and all
+    five scanline filters, CRC/truncation/unsupported-form rejection."""
+
+    def test_round_trip_all_filters(self):
+        import numpy as np
+
+        from clickhouse_sinker_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(7)
+        for shape in [(8, 8, 3), (5, 7, 3), (16, 3, 3), (1, 1, 3), (11, 13, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            for varied in (True, False):
+                assert np.array_equal(img, decode_png(encode_png(img, varied)))
+
+    def test_varied_filters_actually_vary(self):
+        import zlib
+
+        import numpy as np
+
+        from clickhouse_sinker_spark.operators.multimodal import encode_png
+
+        img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        enc = encode_png(img, varied_filters=True)
+        # pull the IDAT payload and check the per-row filter bytes 0..4
+        pos = 8
+        raw = b""
+        while pos + 8 <= len(enc):
+            import struct
+
+            (length,) = struct.unpack_from(">I", enc, pos)
+            if enc[pos + 4 : pos + 8] == b"IDAT":
+                raw += enc[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        lines = zlib.decompress(raw)
+        stride = 8 * 3 + 1
+        fts = [lines[y * stride] for y in range(8)]
+        assert fts == [0, 1, 2, 3, 4, 0, 1, 2]
+
+    def test_corruption_rejected(self):
+        import numpy as np
+        import pytest
+
+        from clickhouse_sinker_spark.operators.multimodal import decode_png, encode_png
+
+        enc = encode_png(np.zeros((4, 4, 3), np.uint8))
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"BM123456")
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(enc[:20])
+        bad = bytearray(enc)
+        bad[40] ^= 1
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(bad))
+
+    def test_decode_image_features_png_path(self, spark):
+        import numpy as np
+
+        from clickhouse_sinker_spark.operators.multimodal import (
+            decode_image_features,
+            encode_png,
+        )
+
+        img = np.full((4, 4, 3), (10, 20, 30), dtype=np.uint8)
+        payload = encode_png(img)
+        df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+        row = decode_image_features(df, "payload", "doc_id", decoder="png").first()
+        assert (row["width"], row["height"], row["channels"]) == (4, 4, 3)
+        expect = (0.299 * 10 + 0.587 * 20 + 0.114 * 30) / 255
+        assert abs(row["mean_luma"] - expect) < 1e-12
+
+    def test_resize_png_path(self, spark):
+        import numpy as np
+
+        from clickhouse_sinker_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            resize_images,
+        )
+
+        img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(img)))], "doc_id long, payload binary"
+        )
+        row = resize_images(df, "payload", "doc_id", width=4, height=4, decoder="png").first()
+        out = decode_png(bytes(row["resized"]))
+        assert out.shape == (4, 4, 3)
+        # nearest-neighbor: every output pixel exists in the source
+        src = {tuple(p) for p in img.reshape(-1, 3)}
+        assert all(tuple(p) in src for p in out.reshape(-1, 3))
