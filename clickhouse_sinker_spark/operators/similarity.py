@@ -69,6 +69,40 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str
     )
 
 
+def cosine_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """All (query, corpus) pairs with cosine ≥ threshold — the RANGE
+    variant of ``cosine_topk``.  Membership is decided on the cosine
+    ROUNDED to ``round_to`` decimals so an external engine recomputing
+    the same IEEE arithmetic in a different summation order reaches the
+    identical yes/no on every pair (oracle-stable thresholds).
+
+    Plan: broadcast the query set, score map-side, filter — ZERO shuffle
+    at any corpus size (top-k needs a per-query window shuffle; a range
+    predicate does not).  At 100 TB this is a single embarrassingly
+    parallel scan."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("cn"),
+    )
+    q = queries.select(
+        F.col("query_id"), F.col("vec").alias("qv"), l2_norm(F.col("vec")).alias("qn")
+    )
+    cos = F.round(dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), round_to)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "corpus_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _sign_bucket(v: Column, bits: int) -> Column:
     out = F.lit(0)
     for i in range(1, bits + 1):

@@ -1200,6 +1200,44 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rnk <= 10
     """,
 )
+@query(
+    "knn_range_search",
+    """
+    WITH q AS (
+      SELECT vec_id, [CAST(floor(u * 1000.0) AS BIGINT) FOR u IN embedding] AS qv,
+             list_aggregate([CAST(floor(u*1000.0) AS BIGINT) * CAST(floor(u*1000.0) AS BIGINT) FOR u IN embedding], 'sum') AS sq
+      FROM embeddings
+    ),
+    ex AS (SELECT vec_id, unnest(qv) AS q, generate_subscripts(qv, 1) AS i, sq FROM q)
+    SELECT qs.vec_id AS query_id, cs.vec_id AS corpus_id,
+           ROUND(CAST(SUM(qs.q * cs.q) AS DOUBLE)
+                 / (sqrt(MIN(cs.sq)) * sqrt(MIN(qs.sq))), 6) AS cosine
+    FROM ex qs JOIN ex cs ON qs.i = cs.i AND qs.vec_id < 5 AND qs.vec_id <> cs.vec_id
+    GROUP BY qs.vec_id, cs.vec_id
+    HAVING ROUND(CAST(SUM(qs.q * cs.q) AS DOUBLE)
+                 / (sqrt(MIN(cs.sq)) * sqrt(MIN(qs.sq))), 6) >= 0.2
+    """,
+)
+def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity search: ALL corpus vectors with cosine ≥ 0.2 of
+    each of 5 query vectors (``cosine_range``, operators/similarity.py) —
+    the radius-query sibling of top-k.  Unlike top-k there is NO window
+    shuffle: broadcast queries, map-side score, filter — zero shuffle at
+    any corpus size.  Quantized int vectors make the dot products exact
+    and the cosine bit-identical across engines (same sqrt/division
+    structure on both sides)."""
+    from ..operators.similarity import cosine_range
+
+    em = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding"), lambda x: F.floor(x * 1000.0).cast("bigint"))
+    base = em.select("vec_id", qv.alias("v"))
+    queries_df = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").cast("array<double>").alias("vec")
+    )
+    out = cosine_range(base, queries_df, "v", "vec_id", threshold=0.2)
+    return out.filter(F.col("corpus_id") != F.col("query_id"))
+
+
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for 5 query vectors: broadcast the
     queries against the corpus (map-side scoring, no corpus shuffle), one
