@@ -1179,28 +1179,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "knn_cosine_topk",
-    """
-    WITH q AS (
-      SELECT vec_id, [CAST(floor(u * 1000.0) AS BIGINT) FOR u IN embedding] AS qv,
-             list_aggregate([CAST(floor(u*1000.0) AS BIGINT) * CAST(floor(u*1000.0) AS BIGINT) FOR u IN embedding], 'sum') AS sq
-      FROM embeddings
-    ),
-    ex AS (SELECT vec_id, unnest(qv) AS q, generate_subscripts(qv, 1) AS i, sq FROM q),
-    scored AS (
-      SELECT qs.vec_id AS query_id, cs.vec_id AS corpus_id,
-             CAST(SUM(qs.q * cs.q) AS DOUBLE) / (sqrt(MIN(qs.sq)) * sqrt(MIN(cs.sq))) AS cosine
-      FROM ex qs JOIN ex cs ON qs.i = cs.i AND qs.vec_id < 5 AND qs.vec_id <> cs.vec_id
-      GROUP BY qs.vec_id, cs.vec_id
-    )
-    SELECT query_id, corpus_id, cosine, rnk FROM (
-      SELECT query_id, corpus_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rnk
-      FROM scored
-    ) WHERE rnk <= 10
-    """,
-)
-@query(
     "knn_range_search",
     """
     WITH q AS (
@@ -1238,6 +1216,28 @@ def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("corpus_id") != F.col("query_id"))
 
 
+@query(
+    "knn_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id, [CAST(floor(u * 1000.0) AS BIGINT) FOR u IN embedding] AS qv,
+             list_aggregate([CAST(floor(u*1000.0) AS BIGINT) * CAST(floor(u*1000.0) AS BIGINT) FOR u IN embedding], 'sum') AS sq
+      FROM embeddings
+    ),
+    ex AS (SELECT vec_id, unnest(qv) AS q, generate_subscripts(qv, 1) AS i, sq FROM q),
+    scored AS (
+      SELECT qs.vec_id AS query_id, cs.vec_id AS corpus_id,
+             CAST(SUM(qs.q * cs.q) AS DOUBLE) / (sqrt(MIN(qs.sq)) * sqrt(MIN(cs.sq))) AS cosine
+      FROM ex qs JOIN ex cs ON qs.i = cs.i AND qs.vec_id < 5 AND qs.vec_id <> cs.vec_id
+      GROUP BY qs.vec_id, cs.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rnk FROM (
+      SELECT query_id, corpus_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for 5 query vectors: broadcast the
     queries against the corpus (map-side scoring, no corpus shuffle), one
