@@ -325,3 +325,42 @@ def test_session_agg_single_exchange(spark):
     assert plan.count("Exchange") <= 2  # partial->final agg pair at most
     assert "session_window" in plan.lower() or "SessionWindow" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_charlm_broadcasts_lm_tables(spark):
+    """quality_charlm_score: both LM count tables join back by broadcast —
+    the exploded bigram stream must not shuffle for scoring (only the
+    final doc_id aggregate)."""
+    plan = plan_of(QUERIES["quality_charlm_score"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_assign_single_aggregate(spark):
+    """pipeline_split_assign: map-side bucket arithmetic + one grouped
+    aggregate — no join, no UDF."""
+    plan = plan_of(QUERIES["pipeline_split_assign"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_incremental_minhash_band_equi_join(spark):
+    """dedup_incremental_minhash: candidate generation must be an
+    equi-join on the band hash (batch probes the corpus index), never a
+    cartesian pair space."""
+    plan = plan_of(QUERIES["dedup_incremental_minhash"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_search_zero_shuffle(spark):
+    """knn_range_search: broadcast queries + map-side filter — NO
+    non-broadcast exchange anywhere (the whole point vs top-k)."""
+    plan = plan_of(QUERIES["knn_range_search"](spark, SF_DIR))
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges == 0, plan
