@@ -558,6 +558,90 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_ohlc_hourly",
+    """
+    WITH r AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, h,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, h
+    """,
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (user, hour) — the classic ClickHouse time-series
+    rollup (argMin/argMax shape; expressed as two row_number windows over
+    ONE (user, hour) partitioning so both engines pick the identical open/
+    close row under (ts, event_id) tie-break).  No float arithmetic at
+    all: open/high/low/close are raw stored values, so the hash is exact.
+    One shuffle serves both windows and the final aggregate."""
+    e = _t(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts")).alias("h")
+    base = e.select("user_id", h, "ts", "event_id", "value")
+    wa = Window.partitionBy("user_id", "h").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy("user_id", "h").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("user_id", "h").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "ts_counter_increase",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(value AS DECIMAL(12,4)) AS v,
+             LAG(CAST(value AS DECIMAL(12,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                         WHEN v >= prev THEN v - prev
+                         ELSE v END) AS DOUBLE) AS increase,
+           CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM o GROUP BY user_id
+    """,
+)
+def ts_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style counter ``increase()`` with reset detection — the
+    metric semantics of the reference's Prometheus schema (SURVEY §2.5):
+    per series (user), sum consecutive deltas, and when a sample DROPS the
+    counter has reset, so the post-reset absolute value is counted instead
+    of the negative delta.  Decimal-exact deltas (cast once, lag the cast
+    value) so both engines sum identically; one shuffle on the series key
+    serves the lag window and the aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    v = _dec("value")
+    o = e.select("user_id", v.alias("v"), F.lag(v).over(w).alias("prev"))
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("v") >= F.col("prev"), F.col("v") - F.col("prev"))
+        .otherwise(F.col("v"))
+    )
+    return o.groupBy("user_id").agg(
+        F.sum(inc).cast("double").alias("increase"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+@query(
     "ts_gap_fill",
     """
     WITH hourly AS (
