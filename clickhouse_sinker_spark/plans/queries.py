@@ -642,6 +642,40 @@ def ts_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_trailing_hour",
+    """
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS trailing_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per event, the
+    count and decimal-exact sum of the user's events in the trailing hour
+    INCLUDING peers at the same timestamp — the frame family
+    ``window_moving_avg`` (ROWS) doesn't cover.  Spark expresses the
+    interval as ``rangeBetween`` over epoch microseconds, bit-equivalent
+    to DuckDB's ``RANGE INTERVAL 1 HOUR PRECEDING`` over the timestamp
+    (both ends inclusive, peers share frames in both engines).  One
+    shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(_dec("value")).over(w).cast("double").alias("trailing_sum"),
+    )
+
+
+@query(
     "ts_gap_fill",
     """
     WITH hourly AS (
