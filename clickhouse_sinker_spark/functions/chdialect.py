@@ -72,6 +72,9 @@ intDiv(a, b)                 (a DIV b)
 modulo(a, b)                 (a % b)
 multiIf(c1, v1, ..., e)      CASE WHEN c1 THEN v1 ... ELSE e END
 ifNull(a, b)                 coalesce(a, b)
+isNull(x) / isNotNull(x)     (x IS NULL) / (x IS NOT NULL)
+assumeNotNull/toNullable/    (x)   (identity — CH engine artifacts)
+materialize(x)
 now() / today()              current_timestamp() / current_date()
 xxHash64(x)                  xxhash64(x)
 PREWHERE c                   WHERE c   (merged with AND if WHERE exists)
@@ -406,6 +409,11 @@ def _translate_functions(sql: str) -> str:
         sql, "JSONLength", lambda a: f"json_array_length({_json_extract(a, None)})"
     )
     sql = _rewrite_calls(sql, "extract", _extract_regex)
+    sql = _rewrite_calls(sql, "isNull", lambda a: f"({a[0]} IS NULL)")
+    sql = _rewrite_calls(sql, "isNotNull", lambda a: f"({a[0]} IS NOT NULL)")
+    # identity wrappers: CH-engine artifacts with no Spark meaning
+    for noop in ("assumeNotNull", "toNullable", "materialize"):
+        sql = _rewrite_calls(sql, noop, lambda a: f"({a[0]})")
 
     def _multi_if(args: list[str]) -> str:
         if len(args) < 3 or len(args) % 2 == 0:

@@ -326,3 +326,18 @@ def test_split_by_string(spark):
     got, _ = translate_ch_sql("SELECT splitByString('::', name) AS parts FROM t")
     spark.createDataFrame([("a::b::c",)], "name string").createOrReplaceTempView("t")
     assert spark.sql(got).first()["parts"] == ["a", "b", "c"]
+
+
+def test_null_helpers_and_identity_wrappers(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT isNull(a) AS isn, isNotNull(a) AS inn, "
+        "assumeNotNull(a) AS an, toNullable(b) AS tn, materialize(b) AS mz FROM t"
+    )
+    assert "(a IS NULL)" in got and "(a IS NOT NULL)" in got
+    spark.createDataFrame([(None, 5), ("x", 6)], "a string, b int") \
+        .createOrReplaceTempView("t")
+    rows = spark.sql(got).collect()
+    assert [(r["isn"], r["inn"], r["tn"]) for r in rows] == [
+        (True, False, 5), (False, True, 6)]
