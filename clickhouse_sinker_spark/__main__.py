@@ -24,7 +24,7 @@ from .streaming.sink import JdbcSink, ParquetSink
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="clickhouse_sinker_spark")
-    ap.add_argument("--config", required=True, help="hjson/json task config (reference-compatible)")
+    ap.add_argument("--config", help="hjson/json task config (reference-compatible); omit in --nacos-addr mode")
     ap.add_argument("--source-path", help="read JSONL files from this dir instead of Kafka")
     ap.add_argument("--sink-path", help="write shard-partitioned parquet here instead of JDBC")
     ap.add_argument("--checkpoint", default="/tmp/sinker_ckpt", help="checkpoint root")
@@ -35,9 +35,48 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="poll --config for changes and hot-apply the diff (C2)",
     )
+    # Registry mode (cmd/clickhouse_sinker/main.go:103-110 flag parity):
+    # with --nacos-addr set, --config is ignored — the config document and
+    # the task-assignment map come from the registry, and this instance
+    # runs only its published share.
+    ap.add_argument("--nacos-addr", help="comma-separated nacos server addresses")
+    ap.add_argument("--nacos-username", default="nacos")
+    ap.add_argument("--nacos-password", default="nacos")
+    ap.add_argument("--nacos-namespace-id", default="")
+    ap.add_argument("--nacos-group", default="DEFAULT_GROUP")
+    ap.add_argument("--nacos-dataid", default="")
+    ap.add_argument("--nacos-service-name", default="clickhouse_sinker")
+    ap.add_argument("--instance-ip", default="127.0.0.1", help="registry instance ip")
+    ap.add_argument("--instance-port", type=int, default=2112, help="registry instance port")
     args = ap.parse_args(argv)
 
-    cfg = load_config(args.config)
+    rcm = None
+    if args.nacos_addr:
+        from .registry import NacosConfManager
+
+        rcm = NacosConfManager()
+        rcm.init(
+            {
+                "serverAddrs": args.nacos_addr,
+                "username": args.nacos_username,
+                "password": args.nacos_password,
+                "namespaceId": args.nacos_namespace_id,
+                "group": args.nacos_group,
+                "dataId": args.nacos_dataid,
+                "serviceName": args.nacos_service_name,
+            }
+        )
+        rcm.register(args.instance_ip, args.instance_port)
+        rcm.run()  # scheduler loop: leader publishes assignments
+        cfg_doc = rcm.get_config()
+        mine = set(rcm.assigned_tasks(cfg_doc))
+        cfg = load_config(cfg_doc)
+        if mine:
+            cfg.tasks = [t for t in cfg.tasks if t.name in mine]
+    else:
+        if not args.config:
+            ap.error("--config is required unless --nacos-addr is set")
+        cfg = load_config(args.config)
     spark = (
         SparkSession.builder.master(args.master)
         .appName("clickhouse_sinker_spark")
@@ -66,30 +105,35 @@ def main(argv: list[str] | None = None) -> None:
             else JdbcSink(c.clickhouse, task.table_name, shards=c.clickhouse.shards)
         )
 
-    if args.once:
-        for task in cfg.tasks:
-            specs = specs_from_task(task)
-            schema = json_parse_schema(specs, parser=task.parser)
-            pipe = build_pipeline(
-                source_factory(spark, task, cfg), task, specs, schema,
-                shards=cfg.clickhouse.shards,
-            )
-            pipe.run_available(sink_factory(task, cfg), f"{args.checkpoint}/{task.name}")
-        return
+    try:
+        if args.once:
+            for task in cfg.tasks:
+                specs = specs_from_task(task)
+                schema = json_parse_schema(specs, parser=task.parser)
+                pipe = build_pipeline(
+                    source_factory(spark, task, cfg), task, specs, schema,
+                    shards=cfg.clickhouse.shards,
+                )
+                pipe.run_available(sink_factory(task, cfg), f"{args.checkpoint}/{task.name}")
+            return
 
-    from .control import SinkerApp
+        from .control import SinkerApp
 
-    app = SinkerApp(
-        spark=spark,
-        checkpoint_root=args.checkpoint,
-        source_factory=source_factory,
-        sink_factory=sink_factory,
-    )
-    app.apply_config(cfg)
-    if args.watch:  # C2 hot reload (task/sinker.go:340-519)
-        app.watch(args.config)
-    for q in list(app.queries.values()):
-        q.awaitTermination()
+        app = SinkerApp(
+            spark=spark,
+            checkpoint_root=args.checkpoint,
+            source_factory=source_factory,
+            sink_factory=sink_factory,
+        )
+        app.apply_config(cfg)
+        if args.watch:  # C2 hot reload (task/sinker.go:340-519)
+            app.watch(args.config)
+        for q in list(app.queries.values()):
+            q.awaitTermination()
+    finally:
+        if rcm is not None:  # graceful dereg (cmd/clickhouse_sinker/main.go)
+            rcm.stop()
+            rcm.deregister(args.instance_ip, args.instance_port)
 
 
 if __name__ == "__main__":
