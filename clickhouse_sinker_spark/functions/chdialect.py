@@ -147,7 +147,40 @@ _RENAMES = {
     "lengthUTF8": "length",
     "lowerUTF8": "lower",
     "upperUTF8": "upper",
+    "substringUTF8": "substring",
+    "concatWithSeparator": "concat_ws",
+    "match": "regexp_like",
+    "base64Encode": "base64",
+    # statistics aggregates (identical math, snake_case names in Spark)
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
+    "uniqHLL12": "approx_count_distinct",
+    "uniqTheta": "approx_count_distinct",
+    # arrays / bits
+    "arraySlice": "slice",
+    "bitShiftLeft": "shiftleft",
+    "bitShiftRight": "shiftright",
+    "toDayOfYear": "dayofyear",
+    "toDateTime64": "to_timestamp",
 }
+
+# toStartOf<fixed bucket> shorthands → bucket length in seconds
+_FIXED_BUCKETS = {
+    "toStartOfFiveMinute": 300,
+    "toStartOfFiveMinutes": 300,
+    "toStartOfTenMinutes": 600,
+    "toStartOfFifteenMinutes": 900,
+    "timeSlot": 1800,
+}
+
+_INTERVAL_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 # addUnit(x, n) / subtractUnit(x, n) → timestampadd(UNIT, ±n, x)
 _ADD_UNITS = {
@@ -277,10 +310,10 @@ def _split_args(arglist: str) -> list[str]:
         elif c == "'":
             cur.append(c)
             in_str = True
-        elif c == "(":
+        elif c in "([":  # CH array literals [..] nest like parens
             depth += 1
             cur.append(c)
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
             cur.append(c)
         elif c == "," and depth == 0:
@@ -313,8 +346,10 @@ def _rewrite_calls(sql: str, name: str, emit) -> str:
         pos = at + len(rep) if rep.startswith(f"{name}(") else at
 
 
-def _rewrite_quantile(sql: str, name: str, spark_fn: str) -> str:
-    """``quantile(p)(x)`` two-group combinator → ``spark_fn(x, p)``."""
+def _rewrite_quantile(sql: str, name: str, spark_fn: str, wrap_array: bool = False) -> str:
+    """``quantile(p)(x)`` two-group combinator → ``spark_fn(x, p)``; with
+    ``wrap_array`` the plural ``quantiles(p1, p2, …)(x)`` form becomes
+    ``spark_fn(x, array(p1, p2, …))`` (one sketch, many cut points)."""
     while True:
         at = _find_call(sql, name)
         if at < 0:
@@ -328,6 +363,8 @@ def _rewrite_quantile(sql: str, name: str, spark_fn: str) -> str:
         end2 = _balanced(sql, open2)
         p = _translate_functions(sql[open1 + 1 : end1 - 1]).strip()
         x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
+        if wrap_array:
+            p = f"array({p})"
         sql = sql[:at] + f"{spark_fn}({x}, {p})" + sql[end2:]
 
 
@@ -340,8 +377,13 @@ def _translate_functions(sql: str) -> str:
         sql = _rewrite_calls(
             sql, ch, lambda a, g=agg: f"{g}({a[0]}) FILTER (WHERE {a[1]})"
         )
+    sql = _rewrite_quantile(sql, "quantilesExact", "percentile", wrap_array=True)
+    sql = _rewrite_quantile(sql, "quantiles", "percentile_approx", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantileExact", "percentile")
     sql = _rewrite_quantile(sql, "quantile", "percentile_approx")
+    sql = _rewrite_calls(sql, "medianExact", lambda a: f"percentile({a[0]}, 0.5)")
+    sql = _rewrite_calls(sql, "median", lambda a: f"percentile_approx({a[0]}, 0.5)")
+    sql = _rewrite_calls(sql, "sumDistinct", lambda a: f"sum(DISTINCT {a[0]})")
     sql = _rewrite_calls(sql, "toYYYYMMDD", lambda a: f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)")
     sql = _rewrite_calls(sql, "toYYYYMM", lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)")
     # CH toDayOfWeek: 1=Monday..7=Sunday; Spark dayofweek: 1=Sunday..7
@@ -411,6 +453,57 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "extract", _extract_regex)
     sql = _rewrite_calls(sql, "isNull", lambda a: f"({a[0]} IS NULL)")
     sql = _rewrite_calls(sql, "isNotNull", lambda a: f"({a[0]} IS NOT NULL)")
+    # fixed-width time buckets: epoch floor-division keeps the arithmetic
+    # JVM-side and partition-prunable (same shape CH uses internally)
+    for ch, secs in _FIXED_BUCKETS.items():
+        sql = _rewrite_calls(sql, ch, lambda a, s=secs: _bucket_expr(a[0], s))
+    sql = _rewrite_calls(sql, "toStartOfInterval", _to_start_of_interval)
+    # URL dissection → Spark parse_url parts
+    for ch, part in [
+        ("domain", "HOST"),
+        ("path", "PATH"),
+        ("queryString", "QUERY"),
+        ("protocol", "PROTOCOL"),
+        ("fragment", "REF"),
+    ]:
+        sql = _rewrite_calls(sql, ch, lambda a, p=part: f"parse_url({a[0]}, '{p}')")
+    sql = _rewrite_calls(
+        sql, "extractURLParameter",
+        lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
+    )
+    sql = _rewrite_calls(
+        sql, "base64Decode", lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+    )
+    # float classification
+    sql = _rewrite_calls(sql, "isNaN", lambda a: f"isnan({a[0]})")
+    sql = _rewrite_calls(
+        sql, "isInfinite",
+        lambda a: f"(abs({a[0]}) = CAST('Infinity' AS DOUBLE))",
+    )
+    sql = _rewrite_calls(
+        sql, "isFinite",
+        lambda a: f"(NOT isnan({a[0]}) AND abs({a[0]}) <> CAST('Infinity' AS DOUBLE))",
+    )
+    sql = _rewrite_calls(
+        sql, "ifNotFinite",
+        lambda a: (
+            f"(CASE WHEN isnan({a[0]}) OR abs({a[0]}) = CAST('Infinity' AS DOUBLE)"
+            f" THEN {a[1]} ELSE {a[0]} END)"
+        ),
+    )
+    # more array helpers
+    sql = _rewrite_calls(sql, "arrayUniq", lambda a: f"size(array_distinct({a[0]}))")
+    sql = _rewrite_calls(
+        sql, "countEqual",
+        lambda a: f"size(filter({a[0]}, __ce -> __ce = {a[1]}))",
+    )
+    sql = _rewrite_calls(sql, "arrayAvg", _array_avg)
+    sql = _rewrite_calls(sql, "arrayDifference", _array_difference)
+    sql = _rewrite_calls(sql, "range", _range_seq)
+    for ch, dec in [("toDecimal32", 9), ("toDecimal64", 18), ("toDecimal128", 38)]:
+        sql = _rewrite_calls(
+            sql, ch, lambda a, p=dec: f"CAST({a[0]} AS DECIMAL({p}, {a[1].strip()}))"
+        )
     # identity wrappers: CH-engine artifacts with no Spark meaning
     for noop in ("assumeNotNull", "toNullable", "materialize"):
         sql = _rewrite_calls(sql, noop, lambda a: f"({a[0]})")
@@ -513,6 +606,63 @@ def _array_sum(args: list[str]) -> str:
     return f"aggregate({src}, CAST(0 AS DOUBLE), (__as_acc, __as_x) -> __as_acc + __as_x)"
 
 
+def _bucket_expr(t: str, secs: int) -> str:
+    """Floor a timestamp to a fixed N-second bucket via epoch arithmetic."""
+    return (
+        f"timestamp_seconds(CAST(floor(unix_timestamp({t}) / {secs}) * {secs} AS BIGINT))"
+    )
+
+
+_INTERVAL_RE = re.compile(
+    r"^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$", re.IGNORECASE
+)
+
+
+def _to_start_of_interval(args: list[str]) -> str:
+    """``toStartOfInterval(t, INTERVAL n unit)``.  Sub-day units become one
+    epoch floor-division (arbitrary n); week/month/year only support n=1
+    (→ date_trunc) because variable-length calendar buckets have no closed
+    epoch form."""
+    if len(args) != 2:
+        raise ChTranslationError("toStartOfInterval(t, INTERVAL n unit)")
+    m = _INTERVAL_RE.match(args[1])
+    if m:
+        n, unit = int(m.group(1)), m.group(2).lower()
+        return _bucket_expr(args[0], n * _INTERVAL_SECS[unit])
+    m1 = re.match(r"^\s*INTERVAL\s+1\s+(WEEK|MONTH|QUARTER|YEAR)S?\s*$", args[1], re.I)
+    if m1:
+        return f"date_trunc('{m1.group(1).upper()}', {args[0]})"
+    raise ChTranslationError(f"unsupported toStartOfInterval step: {args[1]!r}")
+
+
+def _array_avg(args: list[str]) -> str:
+    arr = args[0]
+    if len(args) != 1:
+        raise ChTranslationError("arrayAvg lambda form not supported")
+    return (
+        f"(aggregate({arr}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)"
+        f" / size({arr}))"
+    )
+
+
+def _array_difference(args: list[str]) -> str:
+    """CH semantics: first element 0, then a[i] - a[i-1] (1-indexed)."""
+    arr = args[0]
+    return (
+        f"transform(sequence(1, size({arr})), __i -> CASE WHEN __i = 1 THEN 0"
+        f" ELSE element_at({arr}, __i) - element_at({arr}, __i - 1) END)"
+    )
+
+
+def _range_seq(args: list[str]) -> str:
+    """CH range: [start,) end-EXCLUSIVE; Spark sequence is end-inclusive."""
+    if len(args) == 1:
+        return f"sequence(0, ({args[0]}) - 1)"
+    if len(args) == 2:
+        return f"sequence({args[0]}, ({args[1]}) - 1)"
+    raise ChTranslationError("range with explicit step not supported")
+
+
 def _json_extract(args: list[str], cast: str | None) -> str:
     """``JSONExtract*(json, 'a', 2, 'b')`` → ``get_json_object(json,
     '$.a[1].b')`` — literal string keys become members, literal integer
@@ -561,6 +711,95 @@ def _split_by_char(args: list[str]) -> str:
         lit = re.escape(sep[1:-1]).replace("\\", "\\\\")
         return f"split({s}, '{lit}')"
     raise ChTranslationError("splitByChar requires a literal separator")
+
+
+# words that can directly precede a bare `[` literal (vs. a subscript base)
+_PRE_LITERAL_KEYWORDS = frozenset(
+    "SELECT WHERE WHEN THEN ELSE AND OR NOT IN ON HAVING BY UNION ALL "
+    "DISTINCT AS CASE END RETURN VALUES SET".split()
+)
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """ClickHouse bracket syntax → portable calls.
+
+    * Array literals ``[1, 2]`` → ``array(1, 2)`` (Spark has no bracket
+      literals).
+    * Subscripts ``expr[k]`` → ``element_at(expr, k)`` — CH arrays are
+      1-indexed and CH map access is by key; ``element_at`` has exactly
+      those semantics for both types, whereas Spark's native ``a[i]``
+      subscript is 0-based for arrays (a silent off-by-one if left alone).
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        c = sql[i]
+        if in_str:
+            out.append(c)
+            if c == "'":
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            out.append(c)
+            in_str = True
+            i += 1
+            continue
+        if c != "[":
+            out.append(c)
+            i += 1
+            continue
+        # find the matching ']' (strings + nested ()/[] aware)
+        depth, j, s2 = 1, i + 1, False
+        while j < n and depth:
+            ch = sql[j]
+            if s2:
+                s2 = ch != "'"
+            elif ch == "'":
+                s2 = True
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            j += 1
+        inner = _rewrite_brackets(sql[i + 1 : j - 1])
+        emitted = "".join(out)
+        trimmed = emitted.rstrip()
+        prev = trimmed[-1:] if trimmed else ""
+        word = re.search(r"([A-Za-z_]\w*)$", trimmed)
+        is_literal = (
+            not prev
+            or prev in "(,[+-*/%<>=|&!"
+            or (word and word.group(1).upper() in _PRE_LITERAL_KEYWORDS)
+        )
+        if is_literal:
+            out = [emitted + f"array({inner})"]
+        else:
+            # pop the base expression: trailing call/paren group and/or
+            # dotted identifier chain, e.g. `t.arr`, `f(x)`, `m['k']`-chain
+            k = len(trimmed)
+            while k > 0:
+                ch = trimmed[k - 1]
+                if ch in ")]":
+                    d = 1
+                    k -= 1
+                    while k > 0 and d:
+                        k -= 1
+                        if trimmed[k] in ")]":
+                            d += 1
+                        elif trimmed[k] in "([":
+                            d -= 1
+                elif ch.isalnum() or ch in "_.`":
+                    k -= 1
+                else:
+                    break
+            base = trimmed[k:]
+            if not base:
+                raise ChTranslationError(f"cannot find subscript base before [{inner}]")
+            out = [trimmed[:k] + f"element_at({base}, {inner})"]
+        i = j
+    return "".join(out)
 
 
 def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
@@ -616,7 +855,7 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
         notes.append("any()/anyLast() → first()/last(): arbitrary-row pick in "
                      "both engines, value may differ")
 
-    return _translate_functions(sql), notes
+    return _translate_functions(_rewrite_brackets(sql)), notes
 
 
 def ch_sql(spark, sql: str, sf_dir: str):

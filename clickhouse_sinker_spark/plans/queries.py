@@ -5376,6 +5376,53 @@ def ch_dialect_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_JSON, sf_dir)
 
 
+CH_DIALECT_STATS = """
+    SELECT toStartOfInterval(ts, INTERVAL 6 HOUR) AS bucket,
+           count(*) AS n,
+           sumDistinct(intDiv(user_id, 10)) AS sum_dist,
+           medianExact(user_id) AS med_uid,
+           quantilesExact(0.25, 0.75)(user_id)[1] AS uid_p25,
+           quantilesExact(0.25, 0.75)(user_id)[2] AS uid_p75,
+           uniqExact(event_type) AS types
+    FROM events
+    WHERE isFinite(value)
+    GROUP BY bucket
+"""
+
+
+@query(
+    "ch_dialect_stats_buckets",
+    """
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(DISTINCT user_id // 10) AS BIGINT) AS sum_dist,
+           quantile_cont(user_id, 0.5) AS med_uid,
+           quantile_cont(user_id, 0.25) AS uid_p25,
+           quantile_cont(user_id, 0.75) AS uid_p75,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS types
+    FROM events
+    WHERE isfinite(value)
+    GROUP BY bucket
+    """,
+)
+def ch_dialect_stats_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse statistics/combinator surface through the translator:
+    ``toStartOfInterval(…, INTERVAL 6 HOUR)`` (→ epoch floor-division, the
+    same closed form CH uses), ``sumDistinct``, ``medianExact``, the
+    ``quantilesExact(p…)(x)`` parameterized-aggregate combinator with
+    CH 1-based ``[k]`` subscripting (→ ``element_at`` — Spark's native
+    bracket subscript is 0-based, a silent off-by-one the translator must
+    not fall into), ``isFinite`` and ``uniqExact``.  Percentiles run over
+    integral user_ids so interpolation is bit-equal across engines (the
+    agg_percentile_qty convention); distinct-sum is cast to BIGINT on the
+    oracle side (DuckDB SUM→HUGEINT, the window_sessionize lesson).
+    Plan: one grouped aggregate; the bucket expression is pure epoch
+    arithmetic — JVM-side, no UDF."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_STATS, sf_dir)
+
+
 def _ct_oracle_sql() -> str:
     """DuckDB mirror of the Cavnar-Trenkle classifier, the profile VALUES
     generated from the same ``langprofiles.profile_rows()`` model both

@@ -341,3 +341,130 @@ def test_null_helpers_and_identity_wrappers(spark):
     rows = spark.sql(got).collect()
     assert [(r["isn"], r["inn"], r["tn"]) for r in rows] == [
         (True, False, 5), (False, True, 6)]
+
+
+def test_bracket_literals_and_subscripts(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    # CH array subscripts are 1-based; Spark's native a[i] is 0-based —
+    # the translator must emit element_at (1-based, and map-key access)
+    got, _ = translate_ch_sql(
+        "SELECT xs[1] AS first_el, xs[i] AS ith, [10, 20, 30] AS lit, "
+        "splitByChar(',', s)[2] AS second_tok, "
+        "has([1, 2], n) AS in_set, '[not] an array' AS strlit FROM t"
+    )
+    assert "element_at(xs, 1)" in got
+    assert "element_at(xs, i)" in got
+    assert "array(10, 20, 30)" in got
+    assert "element_at(split(s, ','), 2)" in got
+    assert "'[not] an array'" in got
+    spark.createDataFrame(
+        [([7, 8, 9], 3, "a,b,c", 2)], "xs array<int>, i int, s string, n int"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["first_el"] == 7 and row["ith"] == 9
+    assert row["lit"] == [10, 20, 30]
+    assert row["second_tok"] == "b" and row["in_set"] is True
+
+
+def test_stats_aggregate_renames(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT varPop(v) AS vp, stddevSamp(v) AS ss, covarPop(v, w) AS cv, "
+        "sumDistinct(n) AS sd, medianExact(n) AS med FROM t"
+    )
+    assert "var_pop(v)" in got and "stddev_samp(v)" in got
+    assert "covar_pop(v, w)" in got and "sum(DISTINCT n)" in got
+    assert "percentile(n, 0.5)" in got
+    spark.createDataFrame(
+        [(1.0, 2.0, 5), (3.0, 6.0, 5), (5.0, 10.0, 7)], "v double, w double, n int"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert abs(row["vp"] - 8 / 3) < 1e-12 and row["sd"] == 12 and row["med"] == 5.0
+
+
+def test_quantiles_combinator_plural(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT quantilesExact(0.25, 0.75)(n)[1] AS p25, "
+        "quantilesExact(0.25, 0.75)(n)[2] AS p75 FROM t"
+    )
+    assert "percentile(n, array(0.25, 0.75))" in got
+    spark.createDataFrame([(i,) for i in range(1, 6)], "n int") \
+        .createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["p25"] == 2.0 and row["p75"] == 4.0
+
+
+def test_interval_buckets(spark):
+    import datetime
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT toStartOfFiveMinutes(ts) AS b5, "
+        "toStartOfInterval(ts, INTERVAL 90 SECOND) AS b90, "
+        "toStartOfInterval(ts, INTERVAL 1 MONTH) AS bm FROM t"
+    )
+    assert "/ 300" in got and "/ 90" in got and "date_trunc('MONTH'" in got
+    spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 15, 10, 7, 31),)], "ts timestamp"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["b5"] == datetime.datetime(2024, 3, 15, 10, 5, 0)
+    # 90 s buckets align to epoch multiples (CH toStartOfInterval likewise)
+    assert row["b90"] == datetime.datetime(2024, 3, 15, 10, 7, 30)
+    assert row["bm"] == datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def test_url_functions(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT domain(u) AS d, path(u) AS p, protocol(u) AS pr, "
+        "extractURLParameter(u, 'k') AS k FROM t"
+    )
+    assert "parse_url(u, 'HOST')" in got and "parse_url(u, 'QUERY', 'k')" in got
+    spark.createDataFrame(
+        [("https://ex.org/a/b?k=v&z=1",)], "u string"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["d"] == "ex.org" and row["p"] == "/a/b"
+    assert row["pr"] == "https" and row["k"] == "v"
+
+
+def test_float_classification(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT isNaN(v) AS nan, isFinite(v) AS fin, isInfinite(v) AS inf, "
+        "ifNotFinite(v, -1.0) AS safe FROM t"
+    )
+    spark.createDataFrame(
+        [(1.5,), (float("nan"),), (float("inf"),)], "v double"
+    ).createOrReplaceTempView("t")
+    rows = spark.sql(got + " ORDER BY nan, inf").collect()
+    assert [(r["nan"], r["fin"], r["inf"], r["safe"]) for r in rows] == [
+        (False, True, False, 1.5),
+        (False, False, True, -1.0),
+        (True, False, False, -1.0),
+    ]
+
+
+def test_array_helpers_batch2(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT arrayUniq(xs) AS u, countEqual(xs, 2) AS ce, arrayAvg(xs) AS av, "
+        "arrayDifference(xs) AS ad, range(4) AS r1, range(2, 5) AS r2, "
+        "arraySlice(xs, 2, 2) AS sl FROM t"
+    )
+    spark.createDataFrame([([1, 2, 2, 5],)], "xs array<int>") \
+        .createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["u"] == 3 and row["ce"] == 2 and row["av"] == 2.5
+    assert row["ad"] == [0, 1, 0, 3]
+    assert row["r1"] == [0, 1, 2, 3] and row["r2"] == [2, 3, 4]
+    assert row["sl"] == [2, 2]
