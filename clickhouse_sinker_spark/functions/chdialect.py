@@ -713,6 +713,59 @@ def _split_by_char(args: list[str]) -> str:
     raise ChTranslationError("splitByChar requires a literal separator")
 
 
+def _top_level_spans(sql: str, word_re: str) -> list[re.Match]:
+    """Matches of ``word_re`` at paren-depth 0, outside string literals."""
+    out = []
+    depth, in_str = 0, False
+    for m in re.finditer(word_re, sql, re.IGNORECASE):
+        d, s = 0, False
+        for c in sql[: m.start()]:
+            if s:
+                s = c != "'"
+            elif c == "'":
+                s = True
+            elif c in "([":
+                d += 1
+            elif c in ")]":
+                d -= 1
+        if d == 0 and not s:
+            out.append(m)
+    return out
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """ClickHouse ``ORDER BY … LIMIT n BY c1[, c2] [LIMIT m]`` → ranked
+    subquery (``row_number() OVER (PARTITION BY cols ORDER BY order) <= n``).
+    CH applies ORDER BY before LIMIT BY and the plain LIMIT after; the
+    rewrite preserves exactly that sequencing.  An ORDER BY is required —
+    without one CH's per-group pick is arbitrary, which no deterministic
+    engine translation should reproduce silently."""
+    lb = _top_level_spans(sql, r"\bLIMIT\s+(\d+)\s+BY\s+")
+    if not lb:
+        return sql
+    if len(lb) > 1:
+        raise ChTranslationError("multiple LIMIT BY clauses")
+    m = lb[0]
+    n = int(m.group(1))
+    ob = _top_level_spans(sql, r"\bORDER\s+BY\s+")
+    if not ob or ob[0].start() > m.start():
+        raise ChTranslationError("LIMIT BY requires a top-level ORDER BY")
+    order = sql[ob[0].end() : m.start()].strip()
+    inner = sql[: ob[0].start()].strip()
+    rest = sql[m.end() :]
+    tail = re.match(r"^(.*?)(?:\s+LIMIT\s+(\d+))?\s*$", rest, re.IGNORECASE | re.DOTALL)
+    cols = tail.group(1).strip()
+    outer_limit = tail.group(2)
+    out = (
+        f"SELECT * EXCEPT (__rn) FROM (SELECT __q.*, row_number() OVER "
+        f"(PARTITION BY {cols} ORDER BY {order}) AS __rn FROM ({inner}) AS __q) "
+        f"WHERE __rn <= {n} ORDER BY {order}"
+    )
+    if outer_limit:
+        out += f" LIMIT {outer_limit}"
+    return out
+
+
 # words that can directly precede a bare `[` literal (vs. a subscript base)
 _PRE_LITERAL_KEYWORDS = frozenset(
     "SELECT WHERE WHEN THEN ELSE AND OR NOT IN ON HAVING BY UNION ALL "
@@ -855,7 +908,7 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
         notes.append("any()/anyLast() → first()/last(): arbitrary-row pick in "
                      "both engines, value may differ")
 
-    return _translate_functions(_rewrite_brackets(sql)), notes
+    return _translate_functions(_rewrite_brackets(_rewrite_limit_by(sql))), notes
 
 
 def ch_sql(spark, sql: str, sf_dir: str):

@@ -50,6 +50,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_near_dup",
     "embedding_near_dup",
+    "semantic_dedup_pairs",
 ]
 
 
@@ -529,6 +530,57 @@ def embedding_near_dup(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, public):
+    k-means clusters are the dedup blocks, so the quadratic pair join runs
+    only WITHIN a cluster — the clustering bounds the all-pairs blowup the
+    same way LSH bands do for MinHash.
+
+    Composition: ``kmeans_lloyd`` (one narrow shuffle per iteration) →
+    self-join on ``cluster`` (one shuffle; AQE splits a skewed mega-
+    cluster) → integer-quantized cosine (floor(x·1000) dot products are
+    order-independent integer sums → bit-identical across engines, the
+    ``dedup_embedding_cosine`` trick).  At 100 TB: k scales with corpus
+    size so mean cluster population stays bounded, and the pair join
+    carries only (id, cluster, qv) — raw float vectors never shuffle."""
+    from .similarity import kmeans_lloyd
+
+    assigned, _, _ = kmeans_lloyd(df, vec_col, id_col, k=k, iters=iters)
+    qv = F.transform(F.col("v"), lambda x: F.floor(x * 1000.0).cast("bigint"))
+    base = assigned.select("id", "cluster", qv.alias("qv")).withColumn(
+        "sq", F.aggregate(F.col("qv"), F.lit(0).cast("bigint"), lambda a, x: a + x * x)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dotq = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+            (
+                dotq.cast("double")
+                / (F.sqrt(F.col("a.sq")) * F.sqrt(F.col("b.sq")))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )

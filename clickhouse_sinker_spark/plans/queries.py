@@ -4419,7 +4419,7 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, final_select: str | None = None) -> str:
     """Unrolled relational Lloyd's k-means for DuckDB — reproduces
     ``kmeans_lloyd`` bit-for-bit at the rounded-output level: identical
     seeding (k lowest vec_ids), tie-break (lower cluster index first) and
@@ -4463,9 +4463,54 @@ cd{i + 1} AS (
     GROUP BY a.cluster, ed.idx
   ) m ON m.cluster = cd.cluster AND m.idx = cd.idx
 )""")
-    sql.append(f"""
-SELECT id, cluster, ROUND(d2, 6) AS d2 FROM a{iters - 1}""")
+    sql.append(
+        final_select.format(last=f"a{iters - 1}")
+        if final_select
+        else f"""
+SELECT id, cluster, ROUND(d2, 6) AS d2 FROM a{iters - 1}"""
+    )
     return "".join(sql)
+
+
+_SEMDEDUP_FINAL = """,
+qe AS (
+  SELECT vec_id AS id,
+         [CAST(floor(u * 1000.0) AS BIGINT) FOR u IN embedding] AS qv,
+         list_aggregate([CAST(floor(u * 1000.0) AS BIGINT) * CAST(floor(u * 1000.0) AS BIGINT)
+                         FOR u IN embedding], 'sum') AS sq
+  FROM embeddings
+),
+qx AS (SELECT id, unnest(qv) AS q, generate_subscripts(qv, 1) AS i, sq FROM qe),
+prs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.cluster
+  FROM {last} a JOIN {last} b ON a.cluster = b.cluster AND a.id < b.id
+)
+SELECT p.id_a, p.id_b, p.cluster,
+       CAST(SUM(xa.q * xb.q) AS DOUBLE) / (sqrt(MIN(xa.sq)) * sqrt(MIN(xb.sq))) AS cosine
+FROM prs p
+JOIN qx xa ON xa.id = p.id_a
+JOIN qx xb ON xb.id = p.id_b AND xb.i = xa.i
+GROUP BY p.id_a, p.id_b, p.cluster
+HAVING CAST(SUM(xa.q * xb.q) AS DOUBLE) / (sqrt(MIN(xa.sq)) * sqrt(MIN(xb.sq))) >= 0.35
+"""
+
+
+@query("dedup_semantic_clusters", _kmeans_oracle_sql(final_select=_SEMDEDUP_FINAL))
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): k-means
+    clusters (the deterministic in-engine ``kmeans_lloyd``, k=8×3 iters —
+    same training the ``knn_kmeans_assign`` oracle replays relationally)
+    serve as dedup BLOCKS; cosine runs only within a cluster, with the
+    integer-quantized dot products that make the hash engine-exact.  The
+    oracle unrolls the full clustering in DuckDB and joins pairs inside
+    clusters — an iterative-training + blocked-pair pipeline verified
+    end-to-end under the driver hash.  Scale shape: pair join carries
+    (id, cluster, qv) only; k grows with the corpus so cluster population
+    (and the quadratic term) stays bounded."""
+    from ..operators.dedup import semantic_dedup_pairs
+
+    em = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(em, "embedding", "vec_id", k=8, iters=3, threshold=0.35)
 
 
 @query("knn_kmeans_assign", _kmeans_oracle_sql())
@@ -5421,6 +5466,38 @@ def ch_dialect_stats_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.chdialect import ch_sql
 
     return ch_sql(spark, CH_DIALECT_STATS, sf_dir)
+
+
+CH_DIALECT_LIMIT_BY = """
+    SELECT event_type, event_id, value
+    FROM events
+    WHERE user_id < 100
+    ORDER BY value DESC, event_id
+    LIMIT 2 BY event_type
+"""
+
+
+@query(
+    "ch_dialect_limit_by",
+    """
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE user_id < 100) WHERE rn <= 2
+    """,
+)
+def ch_dialect_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's ``LIMIT n BY cols`` clause (top-n-per-group in one
+    clause — a CH-only construct reference users lean on constantly)
+    through the translator: rewritten to a ``row_number() OVER (PARTITION
+    BY …)`` ranked subquery preserving CH's ORDER-BY-before-LIMIT-BY
+    sequencing, with a deterministic (value, event_id) tiebreak so the
+    hash is stable.  Plan: single window over the event_type partition —
+    the filter pushes below the window into the scan."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_LIMIT_BY, sf_dir)
 
 
 def _ct_oracle_sql() -> str:

@@ -468,3 +468,27 @@ def test_array_helpers_batch2(spark):
     assert row["ad"] == [0, 1, 0, 3]
     assert row["r1"] == [0, 1, 2, 3] and row["r2"] == [2, 3, 4]
     assert row["sl"] == [2, 2]
+
+
+def test_limit_by_clause(spark):
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, _ = translate_ch_sql(
+        "SELECT g, v FROM t ORDER BY v DESC, g LIMIT 2 BY g LIMIT 3"
+    )
+    assert "row_number() OVER (PARTITION BY g ORDER BY v DESC, g)" in got
+    assert got.rstrip().endswith("LIMIT 3")
+    spark.createDataFrame(
+        [("a", 5), ("a", 4), ("a", 3), ("b", 9), ("b", 1)], "g string, v int"
+    ).createOrReplaceTempView("t")
+    rows = [(r["g"], r["v"]) for r in spark.sql(got).collect()]
+    assert rows == [("b", 9), ("a", 5), ("a", 4)]  # top-2 per g, outer LIMIT 3
+
+    # LIMIT BY without ORDER BY is nondeterministic in CH — refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT g, v FROM t LIMIT 2 BY g")
