@@ -901,6 +901,49 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
             sql = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
         notes.append("PREWHERE → WHERE (Spark pushes predicates itself)")
 
+    if re.search(r"\bGLOBAL\s+(ANY\s+|ALL\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN)\b", sql, re.IGNORECASE):
+        # CH's GLOBAL modifier forces the subquery to be computed once and
+        # broadcast to all shards — a distributed-execution hint.  Spark
+        # plans its own exchanges (broadcast vs shuffle via AQE), so the
+        # modifier is dropped, not translated.
+        sql = re.sub(
+            r"\bGLOBAL\s+(?=(ANY|ALL|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN)\b)",
+            "",
+            sql,
+            flags=re.IGNORECASE,
+        )
+        notes.append(
+            "GLOBAL join/IN modifier dropped: Spark chooses broadcast vs "
+            "shuffle itself (AQE); semantics are unchanged"
+        )
+
+    if re.search(r"\bANY\s+(LEFT|INNER|RIGHT)\s+JOIN\b", sql, re.IGNORECASE):
+        # ANY JOIN keeps at most one right-side match per left row — a
+        # text-level rewrite can't know the join keys reliably, and
+        # silently running it as ALL JOIN would duplicate rows.
+        raise ChTranslationError(
+            "ANY JOIN has no faithful text-level translation: deduplicate "
+            "the right side first (row_number() = 1 per join key) and use a "
+            "plain JOIN"
+        )
+
+    tot = _top_level_spans(sql, r"\bWITH\s+TOTALS\b")
+    if tot:
+        gb = _top_level_spans(sql, r"\bGROUP\s+BY\b")
+        if not gb or gb[-1].start() > tot[0].start():
+            raise ChTranslationError("WITH TOTALS without a GROUP BY")
+        g = gb[-1]
+        cols = sql[g.end() : tot[0].start()].strip()
+        sql = (
+            sql[: g.start()]
+            + f"GROUP BY GROUPING SETS (({cols}), ())"
+            + sql[tot[0].end() :]
+        )
+        notes.append(
+            "WITH TOTALS → GROUPING SETS ((keys), ()): the totals row "
+            "carries NULL group keys (ClickHouse shows type defaults: 0/'')"
+        )
+
     if re.search(r"\buniq\s*\(", sql):
         notes.append("uniq() → approx_count_distinct(): HLL++ differs from "
                      "ClickHouse's uniq estimator; use uniqExact for exact counts")

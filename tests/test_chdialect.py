@@ -492,3 +492,28 @@ def test_limit_by_clause(spark):
 
     with _pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT g, v FROM t LIMIT 2 BY g")
+
+
+def test_global_modifier_and_with_totals(spark):
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, notes = translate_ch_sql(
+        "SELECT a.g, count(*) AS n FROM t a GLOBAL LEFT JOIN u b ON a.g = b.g "
+        "GROUP BY a.g WITH TOTALS"
+    )
+    assert "GLOBAL" not in got
+    assert "GROUP BY GROUPING SETS ((a.g), ())" in got
+    assert any("GLOBAL" in n for n in notes) and any("TOTALS" in n for n in notes)
+    spark.createDataFrame([("x",), ("x",), ("y",)], "g string") \
+        .createOrReplaceTempView("t")
+    spark.createDataFrame([("x",), ("y",)], "g string").createOrReplaceTempView("u")
+    rows = {(r["g"], r["n"]) for r in spark.sql(got).collect()}
+    assert rows == {("x", 2), ("y", 1), (None, 3)}  # totals row: NULL key
+
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT * FROM t ANY LEFT JOIN u ON t.g = u.g")
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT g FROM t WITH TOTALS")
