@@ -235,7 +235,15 @@ _CASTS = {
 }
 
 # aggregate-with-condition combinators → FILTER (WHERE ...) clause
-_AGG_IF = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+_AGG_IF = {
+    "sumIf": "sum",
+    "avgIf": "avg",
+    "minIf": "min",
+    "maxIf": "max",
+    "anyIf": "first",
+    "anyLastIf": "last",
+    "uniqIf": "approx_count_distinct",
+}
 
 # known-ClickHouse names we refuse rather than mistranslate
 _UNSUPPORTED = {
@@ -377,9 +385,16 @@ def _translate_functions(sql: str) -> str:
         sql = _rewrite_calls(
             sql, ch, lambda a, g=agg: f"{g}({a[0]}) FILTER (WHERE {a[1]})"
         )
+    sql = _rewrite_calls(
+        sql, "uniqExactIf",
+        lambda a: f"count(DISTINCT {a[0]}) FILTER (WHERE {a[1]})",
+    )
     sql = _rewrite_quantile(sql, "quantilesExact", "percentile", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantiles", "percentile_approx", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantileExact", "percentile")
+    # sketch-estimator variants share Spark's one approx-percentile sketch
+    for qname in ("quantileTDigest", "quantileDeterministic", "quantileBFloat16"):
+        sql = _rewrite_quantile(sql, qname, "percentile_approx")
     sql = _rewrite_quantile(sql, "quantile", "percentile_approx")
     sql = _rewrite_calls(sql, "medianExact", lambda a: f"percentile({a[0]}, 0.5)")
     sql = _rewrite_calls(sql, "median", lambda a: f"percentile_approx({a[0]}, 0.5)")

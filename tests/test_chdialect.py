@@ -517,3 +517,20 @@ def test_global_modifier_and_with_totals(spark):
         translate_ch_sql("SELECT * FROM t ANY LEFT JOIN u ON t.g = u.g")
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT g FROM t WITH TOTALS")
+
+
+def test_if_combinator_extensions(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT anyIf(v, g = 'a') AS a1, uniqExactIf(v, v > 1) AS u, "
+        "quantileTDigest(0.5)(v) AS qt FROM t"
+    )
+    assert "first(v) FILTER (WHERE g = 'a')" in got
+    assert "count(DISTINCT v) FILTER (WHERE v > 1)" in got
+    assert "percentile_approx(v, 0.5)" in got
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], "g string, v int"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["a1"] == 1 and row["u"] == 2
