@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--nacos-service-name", default="clickhouse_sinker")
     ap.add_argument("--instance-ip", default="127.0.0.1", help="registry instance ip")
     ap.add_argument("--instance-port", type=int, default=2112, help="registry instance port")
+    # observability (cmd/clickhouse_sinker/main.go:97-100 flag parity)
+    ap.add_argument("--http-port", type=int, default=0,
+                    help="serve / /state /ready /live /metrics on this port (0 = off)")
+    ap.add_argument("--metric-push-gateway-addrs",
+                    help="comma-separated prometheus pushgateway addresses")
+    ap.add_argument("--push-interval", type=int, default=10, help="push interval seconds")
     args = ap.parse_args(argv)
 
     rcm = None
@@ -105,6 +111,37 @@ def main(argv: list[str] | None = None) -> None:
             else JdbcSink(c.clickhouse, task.table_name, shards=c.clickhouse.shards)
         )
 
+    health = pusher = None
+    if args.http_port or args.metric_push_gateway_addrs:
+        from .assignment import task_lags_from_progress
+        from .streaming.http_health import HealthServer, MetricsPusher, prometheus_text
+        from .streaming.metrics import CounterListener
+
+        listener = CounterListener()
+        spark.streams.addListener(listener)
+
+        def state_fn():
+            qs = getattr(state_fn, "queries", {})
+            lags = task_lags_from_progress(
+                {n: (q.lastProgress or {}) for n, q in qs.items()}
+            )
+            return {
+                n: {"state": "RUN" if q.isActive else "DEAD", "lag": lags.get(n, 0)}
+                for n, q in qs.items()
+            }
+
+        if args.http_port:
+            health = HealthServer(listener.snapshot, state_fn, port=args.http_port)
+            health.start()
+        if args.metric_push_gateway_addrs:
+            pusher = MetricsPusher(
+                args.metric_push_gateway_addrs.split(","),
+                args.push_interval,
+                f"{args.instance_ip}:{args.instance_port}",
+                lambda: prometheus_text(listener.snapshot()),
+            )
+            pusher.start()
+
     try:
         if args.once:
             for task in cfg.tasks:
@@ -126,11 +163,17 @@ def main(argv: list[str] | None = None) -> None:
             sink_factory=sink_factory,
         )
         app.apply_config(cfg)
+        if health is not None or pusher is not None:
+            state_fn.queries = app.queries  # live view for /state and /ready
         if args.watch:  # C2 hot reload (task/sinker.go:340-519)
             app.watch(args.config)
         for q in list(app.queries.values()):
             q.awaitTermination()
     finally:
+        if pusher is not None:
+            pusher.stop()
+        if health is not None:
+            health.stop()
         if rcm is not None:  # graceful dereg (cmd/clickhouse_sinker/main.go)
             rcm.stop()
             rcm.deregister(args.instance_ip, args.instance_port)
