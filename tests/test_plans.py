@@ -364,3 +364,34 @@ def test_range_search_zero_shuffle(spark):
         if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
     )
     assert n_exchanges == 0, plan
+
+
+def test_semantic_dedup_blocked_join_no_cartesian(spark):
+    """dedup_semantic_clusters: the pair join must be an equi-join on the
+    cluster id (the SemDeDup block), never a cartesian product, and no
+    Python UDF may appear — clustering + scoring are column expressions."""
+    plan = plan_of(QUERIES["dedup_semantic_clusters"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "cluster" in plan  # join key visible in the plan
+
+
+def test_limit_by_pushes_filter_below_window(spark):
+    """ch_dialect_limit_by: the user_id predicate must reach the scan —
+    the ranked-window rewrite may not trap it above the window."""
+    plan = plan_of(QUERIES["ch_dialect_limit_by"](spark, SF_DIR))
+    assert "PushedFilters" in plan and "LessThan(user_id" in plan
+    # Spark applies the rank-limit pushdown: per-group top-n is pre-pruned
+    # map-side (WindowGroupLimit) before the window exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_stats_buckets_single_aggregate(spark):
+    """ch_dialect_stats_buckets: one grouped aggregate (bucket expression
+    is epoch arithmetic in the grouping key), no UDFs, no extra shuffles
+    beyond the group-by exchange plus AQE reads."""
+    plan = plan_of(QUERIES["ch_dialect_stats_buckets"](spark, SF_DIR))
+    assert "PythonUDF" not in plan
+    # partial->final agg exchange plus the sum(DISTINCT) expand exchange —
+    # both map-side-combined; nothing else may shuffle
+    assert sum(l.strip().startswith("(") and "Exchange" in l for l in plan.splitlines()) <= 3
