@@ -748,6 +748,46 @@ def _top_level_spans(sql: str, word_re: str) -> list[re.Match]:
     return out
 
 
+def _rewrite_array_join(sql: str) -> str:
+    """ClickHouse's ``[LEFT] ARRAY JOIN expr AS alias`` clause → Spark
+    ``LATERAL VIEW explode[_outer](expr) __aj_alias AS alias``.
+
+    LEFT ARRAY JOIN keeps rows with empty/NULL arrays (→ explode_outer).
+    The alias-less form (``ARRAY JOIN xs``, where CH rebinds the column
+    name to the element) is refused: in Spark the generated column would
+    be ambiguous against the still-visible array column.  Multi-array
+    zipping (``ARRAY JOIN xs AS x, ys AS y``) is refused with a zip_with
+    hint rather than mistranslated as a cartesian."""
+    pat = (
+        r"(?s)\b(LEFT\s+)?ARRAY\s+JOIN\s+(.*?)"
+        r"(?=\b(?:WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS)\b|$)"
+    )
+    spans = _top_level_spans(sql, pat)
+    if not spans:
+        return sql
+    out = sql
+    for m in reversed(spans):
+        outer = bool(m.group(1))
+        clause = m.group(2).strip().rstrip(",")
+        args = _split_args(clause)
+        if len(args) != 1:
+            raise ChTranslationError(
+                "multi-array ARRAY JOIN zips element-wise; rewrite as "
+                "explode(zip_with(a, b, (x, y) -> struct(x, y)))"
+            )
+        am = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)$", args[0], re.IGNORECASE | re.DOTALL)
+        if not am:
+            raise ChTranslationError(
+                "ARRAY JOIN without AS rebinds the source column name; give "
+                "the element an alias (ARRAY JOIN xs AS x)"
+            )
+        expr, alias = am.group(1).strip(), am.group(2)
+        fn = "explode_outer" if outer else "explode"
+        rep = f" LATERAL VIEW {fn}({expr}) __aj_{alias} AS {alias} "
+        out = out[: m.start()] + rep + out[m.end() :]
+    return out
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """ClickHouse ``ORDER BY … LIMIT n BY c1[, c2] [LIMIT m]`` → ranked
     subquery (``row_number() OVER (PARTITION BY cols ORDER BY order) <= n``).
@@ -966,6 +1006,7 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
         notes.append("any()/anyLast() → first()/last(): arbitrary-row pick in "
                      "both engines, value may differ")
 
+    sql = _rewrite_array_join(sql)
     return _translate_functions(_rewrite_brackets(_rewrite_limit_by(sql))), notes
 
 

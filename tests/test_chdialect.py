@@ -534,3 +534,31 @@ def test_if_combinator_extensions(spark):
     ).createOrReplaceTempView("t")
     row = spark.sql(got).first()
     assert row["a1"] == 1 and row["u"] == 2
+
+
+def test_array_join_clause(spark):
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, _ = translate_ch_sql(
+        "SELECT g, x FROM t ARRAY JOIN xs AS x WHERE x > 1 ORDER BY g, x"
+    )
+    assert "LATERAL VIEW explode(xs) __aj_x AS x" in got
+    spark.createDataFrame(
+        [("a", [1, 2]), ("b", [3]), ("c", [])], "g string, xs array<int>"
+    ).createOrReplaceTempView("t")
+    rows = [(r["g"], r["x"]) for r in spark.sql(got).collect()]
+    assert rows == [("a", 2), ("b", 3)]
+
+    # LEFT ARRAY JOIN keeps empty-array rows (explode_outer)
+    got2, _ = translate_ch_sql("SELECT g, x FROM t LEFT ARRAY JOIN xs AS x ORDER BY g, x")
+    assert "explode_outer(xs)" in got2
+    rows2 = [(r["g"], r["x"]) for r in spark.sql(got2).collect()]
+    assert ("c", None) in rows2 and len(rows2) == 4
+
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT g, xs FROM t ARRAY JOIN xs")  # no alias
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT * FROM t ARRAY JOIN xs AS x, ys AS y")
