@@ -5468,6 +5468,42 @@ def ch_dialect_stats_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_STATS, sf_dir)
 
 
+CH_DIALECT_ARRAY_JOIN = """
+    SELECT tok,
+           count(*) AS n,
+           uniqExact(doc_id) AS docs
+    FROM (SELECT doc_id, splitByChar(' ', text) AS toks
+          FROM documents WHERE doc_id < 200)
+    ARRAY JOIN toks AS tok
+    WHERE lengthUTF8(tok) >= 6
+    GROUP BY tok
+"""
+
+
+@query(
+    "ch_dialect_array_join",
+    """
+    SELECT tok, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id < 200)
+    WHERE length(tok) >= 6
+    GROUP BY tok
+    """,
+)
+def ch_dialect_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's ``ARRAY JOIN`` clause (the unnest idiom every CH
+    time-series/token query uses) through the translator: rewritten to
+    ``LATERAL VIEW explode``, with splitByChar/lengthUTF8/uniqExact riding
+    along.  6+-char-token term frequencies over the document corpus — the
+    doc_id filter pushes to the parquet scan BELOW the generator, and the
+    grouped aggregate shuffles post-explode tokens only (map-side
+    partials).  Integer outputs → bit-stable hash."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_ARRAY_JOIN, sf_dir)
+
+
 CH_DIALECT_LIMIT_BY = """
     SELECT event_type, event_id, value
     FROM events
