@@ -972,6 +972,14 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
             "shuffle itself (AQE); semantics are unchanged"
         )
 
+    if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
+        # CH ASOF JOIN (nearest-past match) has no Spark SQL counterpart;
+        # the engine owns it natively as a composed plan.
+        raise ChTranslationError(
+            "ASOF JOIN: use operators/asof.py:asof_join (nearest-past via "
+            "union + last() over ordered window — the asof_join_events plan)"
+        )
+
     if re.search(r"\bANY\s+(LEFT|INNER|RIGHT)\s+JOIN\b", sql, re.IGNORECASE):
         # ANY JOIN keeps at most one right-side match per left row — a
         # text-level rewrite can't know the join keys reliably, and

@@ -562,3 +562,15 @@ def test_array_join_clause(spark):
         translate_ch_sql("SELECT g, xs FROM t ARRAY JOIN xs")  # no alias
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT * FROM t ARRAY JOIN xs AS x, ys AS y")
+
+
+def test_asof_join_redirects():
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    with pytest.raises(ChTranslationError, match="asof_join"):
+        translate_ch_sql(
+            "SELECT * FROM e ASOF JOIN r ON e.id = r.id AND e.ts >= r.ts"
+        )
