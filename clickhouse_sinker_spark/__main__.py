@@ -49,12 +49,21 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--instance-ip", default="127.0.0.1", help="registry instance ip")
     ap.add_argument("--instance-port", type=int, default=2112, help="registry instance port")
     # observability (cmd/clickhouse_sinker/main.go:97-100 flag parity)
+    ap.add_argument("-e", "--encrypt", metavar="PASSWORD",
+                    help="print the gosypt ENC(...) form of PASSWORD and exit "
+                         "(cmd/clickhouse_sinker/main.go:94)")
     ap.add_argument("--http-port", type=int, default=0,
                     help="serve / /state /ready /live /metrics on this port (0 = off)")
     ap.add_argument("--metric-push-gateway-addrs",
                     help="comma-separated prometheus pushgateway addresses")
     ap.add_argument("--push-interval", type=int, default=10, help="push interval seconds")
     args = ap.parse_args(argv)
+
+    if args.encrypt:
+        from .gosypt import aes_encrypt_ecb
+
+        print(f"ENC({aes_encrypt_ecb(args.encrypt)})")
+        return
 
     rcm = None
     if args.nacos_addr:
