@@ -972,6 +972,21 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
             "shuffle itself (AQE); semantics are unchanged"
         )
 
+    # trailing SETTINGS key=value[, ...] — CH per-query engine knobs
+    # (max_threads, max_memory_usage…); Spark's equivalents are session
+    # confs, not query syntax, so the clause is stripped with a note
+    st = _top_level_spans(sql, r"(?s)\bSETTINGS\s+\w+\s*=.*$")
+    if st:
+        sql = sql[: st[0].start()].rstrip()
+        notes.append("SETTINGS clause dropped: use Spark session confs instead")
+
+    # trailing FORMAT <name> — an output-serialization directive; result
+    # shape is unchanged, the sink decides serialization here
+    fm = _top_level_spans(sql, r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$")
+    if fm:
+        sql = sql[: fm[0].start()].rstrip()
+        notes.append("FORMAT clause dropped: serialization belongs to the sink")
+
     if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
         # CH ASOF JOIN (nearest-past match) has no Spark SQL counterpart;
         # the engine owns it natively as a composed plan.

@@ -574,3 +574,23 @@ def test_asof_join_redirects():
         translate_ch_sql(
             "SELECT * FROM e ASOF JOIN r ON e.id = r.id AND e.ts >= r.ts"
         )
+
+
+def test_settings_and_format_clauses_stripped():
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, notes = translate_ch_sql(
+        "SELECT count(*) FROM events WHERE value > 0 "
+        "SETTINGS max_threads = 4, max_memory_usage = 10000000 FORMAT JSON"
+    )
+    assert "SETTINGS" not in got and "FORMAT" not in got
+    assert got.strip().endswith("WHERE value > 0")
+    assert any("SETTINGS" in n for n in notes)
+
+    got2, notes2 = translate_ch_sql("SELECT 1 FORMAT TabSeparated")
+    assert got2.strip() == "SELECT 1"
+    assert any("FORMAT" in n for n in notes2)
+
+    # date_format() and similar function names must not be eaten
+    got3, _ = translate_ch_sql("SELECT formatDateTime(ts, '%Y') FROM events")
+    assert "date_format(ts" in got3
