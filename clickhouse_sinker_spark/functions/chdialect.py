@@ -79,6 +79,48 @@ now() / today()              current_timestamp() / current_date()
 xxHash64(x)                  xxhash64(x)
 PREWHERE c                   WHERE c   (merged with AND if WHERE exists)
 FROM t FINAL                 FROM t    (noted: engine has no merge state)
+quantiles(p…)(x)             percentile_approx(x, array(p…))
+quantilesExact(p…)(x)        percentile(x, array(p…))
+quantileTDigest/Determi-     percentile_approx(x, p)   (one sketch impl)
+nistic/BFloat16(p)(x)
+median(x) / medianExact(x)   percentile_approx(x, 0.5) / percentile(x, 0.5)
+sumDistinct(x)               sum(DISTINCT x)
+anyIf/anyLastIf/uniqIf       first/last/approx_count_distinct … FILTER
+uniqExactIf(x, c)            count(DISTINCT x) FILTER (WHERE c)
+varPop/varSamp/stddev*/      var_pop/var_samp/stddev_pop/stddev_samp/
+covarPop/covarSamp/corr      covar_pop/covar_samp/corr
+groupBitAnd/Or/Xor(x)        bit_and/bit_or/bit_xor(x)
+[1, 2, 3]                    array(1, 2, 3)
+expr[k]                      element_at(expr, k)  (CH arrays 1-based; map
+                             key access — Spark's native a[i] is 0-based)
+toStartOfInterval(t, I n u)  epoch floor-division (sub-day n); date_trunc
+toStartOfFiveMinutes etc.    epoch floor-division buckets
+timeSlot(t)                  1800 s bucket
+domain/path/protocol/        parse_url(u, 'HOST'/'PATH'/'PROTOCOL'/
+queryString/fragment(u)      'QUERY'/'REF')
+extractURLParameter(u, k)    parse_url(u, 'QUERY', k)
+isNaN/isFinite/isInfinite    isnan / NOT isnan AND |x|≠inf / |x|=inf
+ifNotFinite(x, y)            CASE WHEN nan-or-inf THEN y ELSE x END
+arrayUniq(a)                 size(array_distinct(a))
+countEqual(a, x)             size(filter(a, e -> e = x))
+arrayAvg(a)                  aggregate-sum / size
+arrayDifference(a)           transform with element_at deltas (first 0)
+arraySlice(a, o, l)          slice(a, o, l)
+range(n) / range(a, b)       sequence(0, n-1) / sequence(a, b-1)
+toDecimal32/64/128(x, s)     CAST(x AS DECIMAL(9|18|38, s))
+base64Encode/Decode(s)       base64 / CAST(unbase64 AS STRING)
+match(s, re)                 regexp_like(s, re)
+bitShiftLeft/Right(x, n)     shiftleft/shiftright(x, n)
+ORDER BY … LIMIT n BY cols   ranked-window subquery (row_number ≤ n),
+                             ORDER-BY-before-LIMIT-BY sequencing kept
+[LEFT] ARRAY JOIN a AS x     LATERAL VIEW explode[_outer](a) … AS x
+GLOBAL JOIN / GLOBAL IN      JOIN / IN  (noted: Spark plans exchanges)
+GROUP BY k WITH TOTALS       GROUP BY GROUPING SETS ((k), ())  (noted:
+                             totals row keys are NULL, not CH defaults)
+SETTINGS k=v, …              stripped (noted: use session confs)
+FORMAT Name                  stripped (noted: sink owns serialization)
+ANY JOIN / ASOF JOIN         refused with a rewrite hint (dedup-first /
+                             operators/asof.py) — never mistranslated
 ===========================  =========================================
 
 Functions that change value semantics under translation (``uniq`` is a
