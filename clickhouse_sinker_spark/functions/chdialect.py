@@ -431,6 +431,21 @@ def _translate_functions(sql: str) -> str:
         sql, "uniqExactIf",
         lambda a: f"count(DISTINCT {a[0]}) FILTER (WHERE {a[1]})",
     )
+    # uniqUpTo(N)(x): exact distinct count while ≤ N, pinned at N+1 beyond
+    while True:
+        at = _find_call(sql, "uniqUpTo")
+        if at < 0:
+            break
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError("uniqUpTo requires the (N)(x) combinator form")
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        n = int(sql[open1 + 1 : end1 - 1].strip())
+        x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
+        sql = sql[:at] + f"least(count(DISTINCT {x}), {n + 1})" + sql[end2:]
     sql = _rewrite_quantile(sql, "quantilesExact", "percentile", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantiles", "percentile_approx", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantileExact", "percentile")

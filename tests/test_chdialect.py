@@ -594,3 +594,13 @@ def test_settings_and_format_clauses_stripped():
     # date_format() and similar function names must not be eaten
     got3, _ = translate_ch_sql("SELECT formatDateTime(ts, '%Y') FROM events")
     assert "date_format(ts" in got3
+
+
+def test_uniq_up_to(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql("SELECT uniqUpTo(3)(v) AS u FROM t")
+    assert "least(count(DISTINCT v), 4)" in got
+    spark.createDataFrame([(i % 6,) for i in range(20)], "v int") \
+        .createOrReplaceTempView("t")
+    assert spark.sql(got).first()["u"] == 4  # 6 distinct > N=3 → pinned at 4
