@@ -22,6 +22,44 @@ from .streaming.pipeline import build_pipeline, file_source, kafka_source
 from .streaming.sink import JdbcSink, ParquetSink
 
 
+def _run_query(args) -> None:
+    """Ad-hoc ClickHouse-dialect query over a directory of parquet tables
+    — the clickhouse-client seam for this engine: a reference user's CH
+    SQL runs unchanged (functions/chdialect.py subset), semantic deltas
+    are printed as notes on stderr."""
+    import glob
+    import os
+    import sys
+
+    from .functions.chdialect import translate_ch_sql
+    from .sources.tables import load_table
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("clickhouse_sinker_spark_query")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    for f in sorted(glob.glob(os.path.join(args.data_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(f))[0]
+        load_table(spark, args.data_dir, name).createOrReplaceTempView(name)
+    translated, notes = translate_ch_sql(args.query)
+    for n in notes:
+        print(f"-- note: {n}", file=sys.stderr)
+    df = spark.sql(translated)
+    if args.query_format == "json":
+        for line in df.toJSON().collect():
+            print(line)
+    elif args.query_format == "csv":
+        cols = df.columns
+        print(",".join(cols))
+        for row in df.collect():
+            print(",".join("" if row[c] is None else str(row[c]) for c in cols))
+    else:
+        df.show(100, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="clickhouse_sinker_spark")
     ap.add_argument("--config", help="hjson/json task config (reference-compatible); omit in --nacos-addr mode")
@@ -49,6 +87,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--instance-ip", default="127.0.0.1", help="registry instance ip")
     ap.add_argument("--instance-port", type=int, default=2112, help="registry instance port")
     # observability (cmd/clickhouse_sinker/main.go:97-100 flag parity)
+    # ad-hoc query mode: the clickhouse-client replacement for this engine
+    ap.add_argument("--query", metavar="SQL",
+                    help="run a ClickHouse-dialect query against --data-dir "
+                         "parquet tables and print the result, then exit")
+    ap.add_argument("--data-dir", default=".",
+                    help="directory of <table>.parquet files for --query mode")
+    ap.add_argument("--query-format", choices=("table", "json", "csv"),
+                    default="table", help="--query output format")
     ap.add_argument("-e", "--encrypt", metavar="PASSWORD",
                     help="print the gosypt ENC(...) form of PASSWORD and exit "
                          "(cmd/clickhouse_sinker/main.go:94)")
@@ -63,6 +109,10 @@ def main(argv: list[str] | None = None) -> None:
         from .gosypt import aes_encrypt_ecb
 
         print(f"ENC({aes_encrypt_ecb(args.encrypt)})")
+        return
+
+    if args.query:
+        _run_query(args)
         return
 
     rcm = None

@@ -604,3 +604,21 @@ def test_uniq_up_to(spark):
     spark.createDataFrame([(i % 6,) for i in range(20)], "v int") \
         .createOrReplaceTempView("t")
     assert spark.sql(got).first()["u"] == 4  # 6 distinct > N=3 → pinned at 4
+
+
+def test_cli_query_mode(capsys):
+    """`python -m clickhouse_sinker_spark --query ...` — the
+    clickhouse-client seam: CH SQL over a parquet dir, CSV out."""
+    from clickhouse_sinker_spark.__main__ import main
+
+    main([
+        "--query",
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE user_id < 50 GROUP BY event_type ORDER BY n DESC LIMIT 2",
+        "--data-dir", SF_DIR,
+        "--query-format", "csv",
+        "--master", "local[4]",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "event_type,n"
+    assert len(out) == 3 and all("," in l for l in out[1:])
