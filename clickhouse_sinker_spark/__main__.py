@@ -52,10 +52,13 @@ def _run_query(args) -> None:
         for line in df.toJSON().collect():
             print(line)
     elif args.query_format == "csv":
+        import csv
+
+        w = csv.writer(sys.stdout)
         cols = df.columns
-        print(",".join(cols))
+        w.writerow(cols)
         for row in df.collect():
-            print(",".join("" if row[c] is None else str(row[c]) for c in cols))
+            w.writerow(["" if row[c] is None else row[c] for c in cols])
     else:
         df.show(100, truncate=False)
 
@@ -133,15 +136,33 @@ def main(argv: list[str] | None = None) -> None:
         )
         rcm.register(args.instance_ip, args.instance_port)
         rcm.run()  # scheduler loop: leader publishes assignments
-        cfg_doc = rcm.get_config()
-        mine = set(rcm.assigned_tasks(cfg_doc))
+        # Wait for this instance to appear in the published assignment map
+        # (the leader's loop may not have re-assigned yet).  ALWAYS filter
+        # to the published share — running unassigned tasks would consume
+        # the same data as the instance they are assigned to.  Assignment
+        # changes after startup require a restart (the reference restarts
+        # affected tasks via its config listener; see control.SinkerApp
+        # for the in-process diff/hot-apply seam).
+        import time as _time
+
+        cfg_doc, mine = None, set()
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            cfg_doc = rcm.get_config()
+            asg_map = (cfg_doc.get("assignment") or {}).get("map", {})
+            if rcm.instance in asg_map:
+                mine = set(asg_map[rcm.instance])
+                break
+            _time.sleep(1.0)
         cfg = load_config(cfg_doc)
-        if mine:
-            cfg.tasks = [t for t in cfg.tasks if t.name in mine]
+        cfg.tasks = [t for t in cfg.tasks if t.name in mine]
     else:
         if not args.config:
             ap.error("--config is required unless --nacos-addr is set")
         cfg = load_config(args.config)
+    if args.watch and not args.config:
+        ap.error("--watch polls a --config file; in --nacos-addr mode the "
+                 "registry loop already re-assigns on config change")
     spark = (
         SparkSession.builder.master(args.master)
         .appName("clickhouse_sinker_spark")

@@ -443,7 +443,13 @@ def _translate_functions(sql: str) -> str:
             raise ChTranslationError("uniqUpTo requires the (N)(x) combinator form")
         open2 = end1 + (len(sql[end1:]) - len(rest))
         end2 = _balanced(sql, open2)
-        n = int(sql[open1 + 1 : end1 - 1].strip())
+        n_raw = sql[open1 + 1 : end1 - 1].strip()
+        try:
+            n = int(n_raw)
+        except ValueError as e:
+            raise ChTranslationError(
+                f"uniqUpTo requires an integer literal N, got {n_raw!r}"
+            ) from e
         x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
         sql = sql[:at] + f"least(count(DISTINCT {x}), {n + 1})" + sql[end2:]
     sql = _rewrite_quantile(sql, "quantilesExact", "percentile", wrap_array=True)
@@ -718,20 +724,33 @@ def _array_avg(args: list[str]) -> str:
 
 
 def _array_difference(args: list[str]) -> str:
-    """CH semantics: first element 0, then a[i] - a[i-1] (1-indexed)."""
+    """CH semantics: first element 0, then a[i] - a[i-1] (1-indexed).
+    Spark ``sequence(1, 0)`` auto-DESCENDS to [1, 0] instead of being
+    empty, so the index sequence is floored at one element and the final
+    ``slice(..., 1, size)`` restores [] for empty inputs."""
     arr = args[0]
     return (
-        f"transform(sequence(1, size({arr})), __i -> CASE WHEN __i = 1 THEN 0"
-        f" ELSE element_at({arr}, __i) - element_at({arr}, __i - 1) END)"
+        f"slice(transform(sequence(1, greatest(size({arr}), 1)),"
+        f" __i -> CASE WHEN __i = 1 THEN 0"
+        f" ELSE element_at({arr}, __i) - element_at({arr}, __i - 1) END),"
+        f" 1, size({arr}))"
     )
 
 
 def _range_seq(args: list[str]) -> str:
-    """CH range: [start,) end-EXCLUSIVE; Spark sequence is end-inclusive."""
+    """CH range: end-EXCLUSIVE, and an empty range is [].  Spark
+    ``sequence(a, b)`` auto-descends when a > b (range(0) would become
+    [0, -1]), so the end is clamped and the slice trims to the true
+    length (0 when empty)."""
     if len(args) == 1:
-        return f"sequence(0, ({args[0]}) - 1)"
+        n = f"({args[0]})"
+        return f"slice(sequence(0, greatest({n} - 1, 0)), 1, greatest({n}, 0))"
     if len(args) == 2:
-        return f"sequence({args[0]}, ({args[1]}) - 1)"
+        a, b = f"({args[0]})", f"({args[1]})"
+        return (
+            f"slice(sequence({a}, greatest({b} - 1, {a})), 1, "
+            f"greatest({b} - {a}, 0))"
+        )
     raise ChTranslationError("range with explicit step not supported")
 
 
@@ -785,6 +804,24 @@ def _split_by_char(args: list[str]) -> str:
     raise ChTranslationError("splitByChar requires a literal separator")
 
 
+def _spans_outside_strings(sql: str, word_re: str) -> list[re.Match]:
+    """Matches of ``word_re`` whose start lies outside string literals
+    (any paren depth — for keywords that are legal inside subqueries)."""
+    return [
+        m
+        for m in re.finditer(word_re, sql, re.IGNORECASE)
+        if not _in_string(sql, m.start())
+    ]
+
+
+def _sub_outside_strings(sql: str, word_re: str, repl: str) -> str:
+    """Like re.sub, but leaves matches inside string literals untouched."""
+    out = sql
+    for m in reversed(_spans_outside_strings(sql, word_re)):
+        out = out[: m.start()] + repl + out[m.end() :]
+    return out
+
+
 def _top_level_spans(sql: str, word_re: str) -> list[re.Match]:
     """Matches of ``word_re`` at paren-depth 0, outside string literals."""
     out = []
@@ -817,7 +854,9 @@ def _rewrite_array_join(sql: str) -> str:
     hint rather than mistranslated as a cartesian."""
     pat = (
         r"(?s)\b(LEFT\s+)?ARRAY\s+JOIN\s+(.*?)"
-        r"(?=\b(?:WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS)\b|$)"
+        r"(?=\b(?:WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION|JOIN)\b"
+        r"|\b(?:INNER|LEFT|RIGHT|FULL|CROSS)\s+(?:ARRAY\s+)?JOIN\b"
+        r"|$)"
     )
     spans = _top_level_spans(sql, pat)
     if not spans:
@@ -841,8 +880,55 @@ def _rewrite_array_join(sql: str) -> str:
         expr, alias = am.group(1).strip(), am.group(2)
         fn = "explode_outer" if outer else "explode"
         rep = f" LATERAL VIEW {fn}({expr}) __aj_{alias} AS {alias} "
-        out = out[: m.start()] + rep + out[m.end() :]
+        # Spark's FROM grammar puts lateral views AFTER all join clauses
+        # (CH allows ARRAY JOIN before a regular JOIN), so the clause is
+        # removed here and the LATERAL VIEW inserted at the end of the
+        # FROM section — before the first top-level WHERE/GROUP/…
+        out = out[: m.start()] + " " + out[m.end() :]
+        after = _top_level_spans(
+            out, r"\b(WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION)\b"
+        )
+        ins = next((s.start() for s in after if s.start() >= m.start()), len(out))
+        out = out[:ins] + rep + out[ins:]
     return out
+
+
+_ORDER_KEYWORDS = frozenset(
+    "ASC DESC NULLS FIRST LAST AND OR NOT CASE WHEN THEN ELSE END IS NULL "
+    "IN LIKE BETWEEN TRUE FALSE INTERVAL AS DISTINCT".split()
+)
+
+
+def _check_limit_by_columns(inner: str, refs: str) -> None:
+    """The LIMIT BY rewrite runs the ranked window over the ORIGINAL
+    query's output, so every column the ORDER BY / BY list references must
+    appear in its SELECT list (ClickHouse can reach table columns there;
+    the subquery cannot).  Raise the module's contractual error with the
+    fix instead of letting Spark fail analysis with UNRESOLVED_COLUMN."""
+    fr = _top_level_spans(inner, r"\bFROM\b")
+    sm = re.match(r"(?is)^\s*SELECT\s+", inner)
+    if not sm or not fr:
+        return  # unusual shape: let the engine report
+    sel = inner[sm.end() : fr[0].start()]
+    if re.search(r"(^|[\s,])\*", sel):
+        return  # SELECT * exposes everything
+    outputs: set[str] = set()
+    for item in _split_args(sel):
+        am = re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)\s*$", item)
+        tm = am or re.search(r"([A-Za-z_]\w*)\s*$", item)
+        if tm:
+            outputs.add(tm.group(1).lower())
+    refs = re.sub(r"'[^']*'", "", refs)  # ignore identifiers inside literals
+    for im in re.finditer(r"\b([A-Za-z_]\w*)\b(\s*\()?", refs):
+        name = im.group(1)
+        if im.group(2) or name.upper() in _ORDER_KEYWORDS:
+            continue  # function call or syntax keyword
+        if name.lower() not in outputs:
+            raise ChTranslationError(
+                f"LIMIT BY: column {name!r} is not in the SELECT list — the "
+                "ranked-window rewrite can only order/partition by selected "
+                f"columns; add {name!r} to the SELECT"
+            )
 
 
 def _rewrite_limit_by(sql: str) -> str:
@@ -868,6 +954,7 @@ def _rewrite_limit_by(sql: str) -> str:
     tail = re.match(r"^(.*?)(?:\s+LIMIT\s+(\d+))?\s*$", rest, re.IGNORECASE | re.DOTALL)
     cols = tail.group(1).strip()
     outer_limit = tail.group(2)
+    _check_limit_by_columns(inner, f"{order}, {cols}")
     out = (
         f"SELECT * EXCEPT (__rn) FROM (SELECT __q.*, row_number() OVER "
         f"(PARTITION BY {cols} ORDER BY {order}) AS __rn FROM ({inner}) AS __q) "
@@ -1013,16 +1100,18 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
             sql = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
         notes.append("PREWHERE → WHERE (Spark pushes predicates itself)")
 
-    if re.search(r"\bGLOBAL\s+(ANY\s+|ALL\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN)\b", sql, re.IGNORECASE):
+    if _spans_outside_strings(
+        sql, r"\bGLOBAL\s+(ANY\s+|ALL\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN)\b"
+    ):
         # CH's GLOBAL modifier forces the subquery to be computed once and
         # broadcast to all shards — a distributed-execution hint.  Spark
         # plans its own exchanges (broadcast vs shuffle via AQE), so the
-        # modifier is dropped, not translated.
-        sql = re.sub(
+        # modifier is dropped, not translated.  String-literal-aware: a
+        # data value mentioning 'GLOBAL JOIN' is not rewritten.
+        sql = _sub_outside_strings(
+            sql,
             r"\bGLOBAL\s+(?=(ANY|ALL|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN)\b)",
             "",
-            sql,
-            flags=re.IGNORECASE,
         )
         notes.append(
             "GLOBAL join/IN modifier dropped: Spark chooses broadcast vs "
@@ -1044,7 +1133,7 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
         sql = sql[: fm[0].start()].rstrip()
         notes.append("FORMAT clause dropped: serialization belongs to the sink")
 
-    if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
+    if _spans_outside_strings(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
         # CH ASOF JOIN (nearest-past match) has no Spark SQL counterpart;
         # the engine owns it natively as a composed plan.
         raise ChTranslationError(
@@ -1052,7 +1141,7 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
             "union + last() over ordered window — the asof_join_events plan)"
         )
 
-    if re.search(r"\bANY\s+(LEFT|INNER|RIGHT)\s+JOIN\b", sql, re.IGNORECASE):
+    if _spans_outside_strings(sql, r"\bANY\s+(LEFT|INNER|RIGHT)\s+JOIN\b"):
         # ANY JOIN keeps at most one right-side match per left row — a
         # text-level rewrite can't know the join keys reliably, and
         # silently running it as ALL JOIN would duplicate rows.

@@ -384,8 +384,14 @@ class NacosConfManager:
                 if seen != last_seen:
                     self.assign_once()
                     last_seen = seen
-            except RegistryError:
-                pass  # registry briefly down: keep polling (reference retries too)
+            except Exception:  # noqa: BLE001 — the daemon loop must survive
+                # anything: a registry outage (RegistryError), a malformed
+                # published config (parse error), unexpected JSON.  Dying
+                # here would stop heartbeats → the ephemeral entry expires
+                # → tasks get REASSIGNED while this instance still runs
+                # them (double consumption).  The reference's SDK listener
+                # likewise logs and keeps going.
+                last_seen = None  # re-evaluate once the registry recovers
             self._stop_evt.wait(poll_interval)
 
     # -- helpers -----------------------------------------------------------

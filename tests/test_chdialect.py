@@ -622,3 +622,80 @@ def test_cli_query_mode(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0] == "event_type,n"
     assert len(out) == 3 and all("," in l for l in out[1:])
+
+
+def test_range_and_array_difference_empty_inputs(spark):
+    """Review findings: Spark sequence() auto-descends when start > stop,
+    so empty CH ranges/arrays must not fabricate [0, -1]-style elements."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT range(n) AS r, range(a, b) AS r2, arrayDifference(xs) AS d FROM t"
+    )
+    spark.createDataFrame(
+        [(0, 5, 5, []), (3, 2, 5, [4, 7])],
+        "n int, a int, b int, xs array<int>",
+    ).createOrReplaceTempView("t")
+    rows = spark.sql(got + " ORDER BY n").collect()
+    assert rows[0]["r"] == [] and rows[0]["r2"] == [] and rows[0]["d"] == []
+    assert rows[1]["r"] == [0, 1, 2]
+    assert rows[1]["r2"] == [2, 3, 4] and rows[1]["d"] == [0, 3]
+
+
+def test_global_strip_is_string_aware():
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT 'uses GLOBAL JOIN hint' AS lit FROM a GLOBAL LEFT JOIN b ON a.k = b.k"
+    )
+    assert "'uses GLOBAL JOIN hint'" in got  # literal untouched
+    assert "FROM a LEFT JOIN b" in got  # real modifier stripped
+
+    # literals mentioning ASOF/ANY JOIN must not trigger the refusals
+    got2, _ = translate_ch_sql("SELECT 'try ASOF JOIN or ANY LEFT JOIN' AS s FROM t")
+    assert "ASOF JOIN" in got2
+
+
+def test_array_join_followed_by_regular_join(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT t.g AS g, x, lbl FROM t ARRAY JOIN xs AS x "
+        "INNER JOIN u ON t.g = u.g WHERE x > 0"
+    )
+    # Spark's FROM grammar wants lateral views AFTER join clauses
+    assert got.index("INNER JOIN u") < got.index("LATERAL VIEW explode(xs) __aj_x AS x")
+    spark.createDataFrame([("a", [1, 2])], "g string, xs array<int>") \
+        .createOrReplaceTempView("t")
+    spark.createDataFrame([("a", "L")], "g string, lbl string") \
+        .createOrReplaceTempView("u")
+    rows = [(r["g"], r["x"], r["lbl"]) for r in spark.sql(got).collect()]
+    assert sorted(rows) == [("a", 1, "L"), ("a", 2, "L")]
+
+
+def test_limit_by_unselected_column_raises():
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    with pytest.raises(ChTranslationError, match="not in the SELECT list"):
+        translate_ch_sql(
+            "SELECT event_type, event_id FROM events "
+            "ORDER BY value DESC LIMIT 2 BY event_type"
+        )
+    # SELECT * exposes every column — no false refusal
+    got, _ = translate_ch_sql(
+        "SELECT * FROM events ORDER BY value DESC LIMIT 2 BY event_type"
+    )
+    assert "row_number()" in got
+
+
+def test_uniq_up_to_non_literal_raises():
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    with pytest.raises(ChTranslationError, match="integer literal"):
+        translate_ch_sql("SELECT uniqUpTo(k)(v) FROM t")
