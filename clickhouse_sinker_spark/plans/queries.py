@@ -5504,6 +5504,34 @@ def ch_dialect_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ARRAY_JOIN, sf_dir)
 
 
+CH_DIALECT_TOTALS = """
+    SELECT event_type, count(*) AS n, uniqExact(user_id) AS users
+    FROM events
+    WHERE user_id < 500
+    GROUP BY event_type WITH TOTALS
+"""
+
+
+@query(
+    "ch_dialect_with_totals",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    WHERE user_id < 500
+    GROUP BY GROUPING SETS ((event_type), ())
+    """,
+)
+def ch_dialect_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``WITH TOTALS`` through the translator → ``GROUPING
+    SETS ((keys), ())``: per-type counts plus the one totals row (NULL
+    key — the documented semantic delta vs CH's type-default key).  One
+    expand + grouped aggregate; integer outputs → bit-stable hash."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_TOTALS, sf_dir)
+
+
 CH_DIALECT_LIMIT_BY = """
     SELECT event_type, event_id, value
     FROM events
