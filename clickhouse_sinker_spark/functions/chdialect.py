@@ -938,13 +938,14 @@ def _rewrite_limit_by(sql: str) -> str:
     rewrite preserves exactly that sequencing.  An ORDER BY is required —
     without one CH's per-group pick is arbitrary, which no deterministic
     engine translation should reproduce silently."""
-    lb = _top_level_spans(sql, r"\bLIMIT\s+(\d+)\s+BY\s+")
+    lb = _top_level_spans(sql, r"\bLIMIT\s+(?:(\d+)\s*,\s*)?(\d+)\s+BY\s+")
     if not lb:
         return sql
     if len(lb) > 1:
         raise ChTranslationError("multiple LIMIT BY clauses")
     m = lb[0]
-    n = int(m.group(1))
+    off = int(m.group(1) or 0)  # CH `LIMIT offset, n BY` skips the first rows
+    n = int(m.group(2))
     ob = _top_level_spans(sql, r"\bORDER\s+BY\s+")
     if not ob or ob[0].start() > m.start():
         raise ChTranslationError("LIMIT BY requires a top-level ORDER BY")
@@ -955,10 +956,11 @@ def _rewrite_limit_by(sql: str) -> str:
     cols = tail.group(1).strip()
     outer_limit = tail.group(2)
     _check_limit_by_columns(inner, f"{order}, {cols}")
+    cond = f"__rn <= {n}" if not off else f"__rn BETWEEN {off + 1} AND {off + n}"
     out = (
         f"SELECT * EXCEPT (__rn) FROM (SELECT __q.*, row_number() OVER "
         f"(PARTITION BY {cols} ORDER BY {order}) AS __rn FROM ({inner}) AS __q) "
-        f"WHERE __rn <= {n} ORDER BY {order}"
+        f"WHERE {cond} ORDER BY {order}"
     )
     if outer_limit:
         out += f" LIMIT {outer_limit}"
@@ -1132,6 +1134,15 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
     if fm:
         sql = sql[: fm[0].start()].rstrip()
         notes.append("FORMAT clause dropped: serialization belongs to the sink")
+
+    if _spans_outside_strings(sql, r"\bWITH\s+FILL\b"):
+        # ORDER BY … WITH FILL generates missing rows — a gap-filling
+        # operator, not an expression rewrite; the engine owns it natively.
+        raise ChTranslationError(
+            "WITH FILL: use the native gap-fill plan "
+            "(plans/queries.py:ts_gap_fill — sequence() spine + left join "
+            "+ forward fill)"
+        )
 
     if _spans_outside_strings(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
         # CH ASOF JOIN (nearest-past match) has no Spark SQL counterpart;

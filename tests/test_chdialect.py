@@ -699,3 +699,25 @@ def test_uniq_up_to_non_literal_raises():
 
     with pytest.raises(ChTranslationError, match="integer literal"):
         translate_ch_sql("SELECT uniqUpTo(k)(v) FROM t")
+
+
+def test_limit_by_with_offset(spark):
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, _ = translate_ch_sql(
+        "SELECT g, v FROM t ORDER BY v DESC, g LIMIT 1, 2 BY g"
+    )
+    assert "__rn BETWEEN 2 AND 3" in got
+    spark.createDataFrame(
+        [("a", 5), ("a", 4), ("a", 3), ("b", 9)], "g string, v int"
+    ).createOrReplaceTempView("t")
+    rows = sorted((r["g"], r["v"]) for r in spark.sql(got).collect())
+    assert rows == [("a", 4), ("a", 3)][::-1]  # skip top-1 per group
+
+    with pytest.raises(ChTranslationError, match="ts_gap_fill"):
+        translate_ch_sql(
+            "SELECT t, v FROM m ORDER BY t WITH FILL FROM 0 TO 10"
+        )
