@@ -209,6 +209,9 @@ _RENAMES = {
     "arraySlice": "slice",
     "bitShiftLeft": "shiftleft",
     "bitShiftRight": "shiftright",
+    "reverseUTF8": "reverse",
+    "concatAssumeInjective": "concat",
+    "replaceRegexpAll": "regexp_replace",
     "toDayOfYear": "dayofyear",
     "toDateTime64": "to_timestamp",
 }
@@ -253,6 +256,7 @@ _FMT_TOKENS = {
 }
 
 _TRUNCS = {
+    "toStartOfSecond": "SECOND",
     "toStartOfMinute": "MINUTE",
     "toStartOfHour": "HOUR",
     "toStartOfDay": "DAY",
@@ -569,7 +573,32 @@ def _translate_functions(sql: str) -> str:
             f" THEN {a[1]} ELSE {a[0]} END)"
         ),
     )
+    sql = _rewrite_calls(
+        sql, "positionCaseInsensitive",
+        lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+    )
+    sql = _rewrite_calls(
+        sql, "countMatches",
+        lambda a: f"size(regexp_extract_all({a[0]}, {a[1]}, 0))",
+    )
+    sql = _rewrite_calls(
+        sql, "countSubstrings",
+        lambda a: (
+            f"(CASE WHEN length({a[1]}) = 0 THEN 0 ELSE "
+            f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
+            f"/ length({a[1]}) AS BIGINT) END)"
+        ),
+    )
     # more array helpers
+    sql = _rewrite_calls(sql, "arrayPushBack", lambda a: f"concat({a[0]}, array({a[1]}))")
+    sql = _rewrite_calls(sql, "arrayPushFront", lambda a: f"concat(array({a[1]}), {a[0]})")
+    sql = _rewrite_calls(
+        sql, "arrayPopBack", lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+    )
+    sql = _rewrite_calls(
+        sql, "arrayPopFront",
+        lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
+    )
     sql = _rewrite_calls(sql, "arrayUniq", lambda a: f"size(array_distinct({a[0]}))")
     sql = _rewrite_calls(
         sql, "countEqual",

@@ -721,3 +721,26 @@ def test_limit_by_with_offset(spark):
         translate_ch_sql(
             "SELECT t, v FROM m ORDER BY t WITH FILL FROM 0 TO 10"
         )
+
+
+def test_string_and_array_helpers_batch3(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT toStartOfSecond(ts) AS s, positionCaseInsensitive(h, 'AB') AS p, "
+        "countMatches(h, 'a.') AS cm, countSubstrings(h, 'ab') AS cs, "
+        "replaceRegexpAll(h, '[0-9]+', '#') AS rr, reverseUTF8(h) AS rev, "
+        "arrayPushBack(xs, 9) AS pb, arrayPushFront(xs, 0) AS pf, "
+        "arrayPopBack(xs) AS ob, arrayPopFront(xs) AS of_ FROM t"
+    )
+    import datetime
+    spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 1, 2, 3, 500000), "xAB1ab2ab", [1, 2, 3])],
+        "ts timestamp, h string, xs array<int>",
+    ).createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert row["s"] == datetime.datetime(2024, 1, 1, 1, 2, 3)
+    assert row["p"] == 2 and row["cm"] == 2 and row["cs"] == 2
+    assert row["rr"] == "xAB#ab#ab" and row["rev"] == "ba2ba1BAx"
+    assert row["pb"] == [1, 2, 3, 9] and row["pf"] == [0, 1, 2, 3]
+    assert row["ob"] == [1, 2] and row["of_"] == [2, 3]
