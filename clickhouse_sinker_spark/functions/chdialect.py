@@ -119,8 +119,20 @@ GROUP BY k WITH TOTALS       GROUP BY GROUPING SETS ((k), ())  (noted:
                              totals row keys are NULL, not CH defaults)
 SETTINGS k=v, …              stripped (noted: use session confs)
 FORMAT Name                  stripped (noted: sink owns serialization)
-ANY JOIN / ASOF JOIN         refused with a rewrite hint (dedup-first /
-                             operators/asof.py) — never mistranslated
+uniqUpTo(N)(x)               least(count(DISTINCT x), N+1)
+LIMIT off, n BY cols         ranked window BETWEEN off+1 AND off+n
+countMatches(h, re)          size(regexp_extract_all(h, re, 0))
+countSubstrings(h, n)        length-difference division (0 for empty n)
+positionCaseInsensitive      instr(lower(h), lower(n))
+replaceRegexpAll             regexp_replace
+reverseUTF8 / concatAssume-  reverse / concat
+Injective
+arrayPushBack/Front(a, x)    concat(a, array(x)) / concat(array(x), a)
+arrayPopBack/Front(a)        slice(a, 1|2, size-1)
+toStartOfSecond(t)           date_trunc('SECOND', t)
+ANY JOIN / ASOF JOIN /       refused with a rewrite hint (dedup-first /
+ORDER BY … WITH FILL         operators/asof.py / ts_gap_fill plan) —
+                             never mistranslated
 ===========================  =========================================
 
 Functions that change value semantics under translation (``uniq`` is a
