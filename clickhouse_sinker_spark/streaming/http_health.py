@@ -23,10 +23,6 @@ __all__ = ["prometheus_text", "HealthServer", "MetricsPusher"]
 
 _PREFIX = "clickhouse_sinker_"  # statistics/statistics.go:33
 
-# observe-counter names → Prometheus type (statistics.go:36-66)
-_COUNTERS = ("consume_msgs_total", "parse_msgs_error_total", "flush_msgs_total")
-_GAUGES = ("num_input_rows", "input_rows_per_second", "processed_rows_per_second")
-
 
 def _san(v) -> str:
     return "NaN" if v is None else repr(float(v))
