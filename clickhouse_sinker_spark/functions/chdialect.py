@@ -972,6 +972,30 @@ def _check_limit_by_columns(inner: str, refs: str) -> None:
             )
 
 
+def _rewrite_limit_with_ties(sql: str) -> str:
+    """``ORDER BY … LIMIT n WITH TIES`` → ``rank() OVER (ORDER BY …) <= n``
+    — rank() (not row_number) extends the cut to every row tying with the
+    n-th, which is exactly the WITH TIES contract."""
+    wt = _top_level_spans(sql, r"\bLIMIT\s+(\d+)\s+WITH\s+TIES\b")
+    if not wt:
+        return sql
+    m = wt[0]
+    n = int(m.group(1))
+    ob = _top_level_spans(sql, r"\bORDER\s+BY\s+")
+    if not ob or ob[0].start() > m.start():
+        raise ChTranslationError("LIMIT WITH TIES requires a top-level ORDER BY")
+    order = sql[ob[0].end() : m.start()].strip()
+    inner = sql[: ob[0].start()].strip()
+    if sql[m.end() :].strip():
+        raise ChTranslationError("LIMIT WITH TIES must be the final clause")
+    _check_limit_by_columns(inner, order)
+    return (
+        f"SELECT * EXCEPT (__rk) FROM (SELECT __q.*, rank() OVER "
+        f"(ORDER BY {order}) AS __rk FROM ({inner}) AS __q) "
+        f"WHERE __rk <= {n} ORDER BY {order}"
+    )
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """ClickHouse ``ORDER BY … LIMIT n BY c1[, c2] [LIMIT m]`` → ranked
     subquery (``row_number() OVER (PARTITION BY cols ORDER BY order) <= n``).
@@ -1228,7 +1252,8 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
                      "both engines, value may differ")
 
     sql = _rewrite_array_join(sql)
-    return _translate_functions(_rewrite_brackets(_rewrite_limit_by(sql))), notes
+    sql = _rewrite_limit_with_ties(_rewrite_limit_by(sql))
+    return _translate_functions(_rewrite_brackets(sql)), notes
 
 
 def ch_sql(spark, sql: str, sf_dir: str):

@@ -744,3 +744,21 @@ def test_string_and_array_helpers_batch3(spark):
     assert row["rr"] == "xAB#ab#ab" and row["rev"] == "ba2ba1BAx"
     assert row["pb"] == [1, 2, 3, 9] and row["pf"] == [0, 1, 2, 3]
     assert row["ob"] == [1, 2] and row["of_"] == [2, 3]
+
+
+def test_limit_with_ties(spark):
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, _ = translate_ch_sql("SELECT g, v FROM t ORDER BY v LIMIT 3 WITH TIES")
+    assert "rank() OVER (ORDER BY v)" in got and "__rk <= 3" in got
+    spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2), ("e", 3)], "g string, v int"
+    ).createOrReplaceTempView("t")
+    rows = sorted(r["g"] for r in spark.sql(got).collect())
+    assert rows == ["a", "b", "c", "d"]  # the 3rd row's tie (v=2) extends the cut
+
+    with pytest.raises(ChTranslationError, match="ORDER BY"):
+        translate_ch_sql("SELECT g FROM t LIMIT 3 WITH TIES")
