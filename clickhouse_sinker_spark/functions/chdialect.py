@@ -499,8 +499,22 @@ def _translate_functions(sql: str) -> str:
         lambda a: f"instr({a[0]}, {a[1]})" if len(a) == 2 else f"position({a[0]})",
     )
     sql = _rewrite_calls(sql, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
+    sql = _rewrite_calls(
+        sql, "intDivOrZero",
+        lambda a: f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) DIV ({a[1]}) END)",
+    )
+    sql = _rewrite_calls(
+        sql, "moduloOrZero",
+        lambda a: f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) % ({a[1]}) END)",
+    )
     sql = _rewrite_calls(sql, "intDiv", lambda a: f"(({a[0]}) DIV ({a[1]}))")
     sql = _rewrite_calls(sql, "modulo", lambda a: f"(({a[0]}) % ({a[1]}))")
+    # named arithmetic (CH operator-function aliases)
+    sql = _rewrite_calls(sql, "plus", lambda a: f"(({a[0]}) + ({a[1]}))")
+    sql = _rewrite_calls(sql, "minus", lambda a: f"(({a[0]}) - ({a[1]}))")
+    sql = _rewrite_calls(sql, "multiply", lambda a: f"(({a[0]}) * ({a[1]}))")
+    sql = _rewrite_calls(sql, "divide", lambda a: f"(({a[0]}) / ({a[1]}))")
+    sql = _rewrite_calls(sql, "negate", lambda a: f"(-({a[0]}))")
     sql = _rewrite_calls(sql, "empty", lambda a: f"({_len_expr(a[0])} = 0)")
     sql = _rewrite_calls(sql, "notEmpty", lambda a: f"({_len_expr(a[0])} > 0)")
     # higher-order array functions: ClickHouse puts the lambda FIRST

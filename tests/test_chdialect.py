@@ -762,3 +762,18 @@ def test_limit_with_ties(spark):
 
     with pytest.raises(ChTranslationError, match="ORDER BY"):
         translate_ch_sql("SELECT g FROM t LIMIT 3 WITH TIES")
+
+
+def test_arithmetic_function_aliases(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT plus(a, 2) AS p, minus(a, b) AS m, multiply(a, b) AS x, "
+        "divide(a, 2) AS d, negate(b) AS neg, "
+        "intDivOrZero(a, b - b) AS z, moduloOrZero(a, b - b) AS mz, "
+        "intDivOrZero(a, b) AS iz FROM t"
+    )
+    spark.createDataFrame([(10, 4)], "a int, b int").createOrReplaceTempView("t")
+    row = spark.sql(got).first()
+    assert (row["p"], row["m"], row["x"], row["d"], row["neg"]) == (12, 6, 40, 5.0, -4)
+    assert row["z"] == 0 and row["mz"] == 0 and row["iz"] == 2
