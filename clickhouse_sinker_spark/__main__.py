@@ -135,94 +135,114 @@ def main(argv: list[str] | None = None) -> None:
             }
         )
         rcm.register(args.instance_ip, args.instance_port)
-        rcm.run()  # scheduler loop: leader publishes assignments
-        # Wait for this instance to appear in the published assignment map
-        # (the leader's loop may not have re-assigned yet).  ALWAYS filter
-        # to the published share — running unassigned tasks would consume
-        # the same data as the instance they are assigned to.  Assignment
-        # changes after startup require a restart (the reference restarts
-        # affected tasks via its config listener; see control.SinkerApp
-        # for the in-process diff/hot-apply seam).
-        import time as _time
+        # From here on a failure must still deregister: an exception after
+        # register() (config not yet published, registry blip, bad config)
+        # would otherwise leave a ghost ephemeral instance kept alive by
+        # run()'s heartbeats until the registry times it out.
+        try:
+            rcm.run()  # scheduler loop: leader publishes assignments
+            # Wait for this instance to appear in the published assignment
+            # map (the leader's loop may not have re-assigned yet).  ALWAYS
+            # filter to the published share — running unassigned tasks would
+            # consume the same data as the instance they are assigned to.
+            # Assignment changes after startup require a restart (the
+            # reference restarts affected tasks via its config listener; see
+            # control.SinkerApp for the in-process diff/hot-apply seam).
+            import time as _time
 
-        cfg_doc, mine = None, set()
-        deadline = _time.monotonic() + 60
-        while _time.monotonic() < deadline:
-            cfg_doc = rcm.get_config()
-            asg_map = (cfg_doc.get("assignment") or {}).get("map", {})
-            if rcm.instance in asg_map:
-                mine = set(asg_map[rcm.instance])
-                break
-            _time.sleep(1.0)
-        cfg = load_config(cfg_doc)
-        cfg.tasks = [t for t in cfg.tasks if t.name in mine]
+            cfg_doc, mine = None, set()
+            deadline = _time.monotonic() + 60
+            while _time.monotonic() < deadline:
+                try:
+                    cfg_doc = rcm.get_config()
+                except Exception:
+                    # config not yet published / transient registry error —
+                    # retryable within the startup window, not a crash
+                    cfg_doc = None
+                if cfg_doc is not None:
+                    asg_map = (cfg_doc.get("assignment") or {}).get("map", {})
+                    if rcm.instance in asg_map:
+                        mine = set(asg_map[rcm.instance])
+                        break
+                _time.sleep(1.0)
+            if cfg_doc is None:
+                raise RuntimeError(
+                    "no config published under "
+                    f"dataId={args.nacos_dataid!r} within 60s"
+                )
+            cfg = load_config(cfg_doc)
+            cfg.tasks = [t for t in cfg.tasks if t.name in mine]
+        except BaseException:
+            rcm.stop()
+            rcm.deregister(args.instance_ip, args.instance_port)
+            raise
     else:
         if not args.config:
             ap.error("--config is required unless --nacos-addr is set")
         cfg = load_config(args.config)
-    if args.watch and not args.config:
-        ap.error("--watch polls a --config file; in --nacos-addr mode the "
-                 "registry loop already re-assigns on config change")
-    spark = (
-        SparkSession.builder.master(args.master)
-        .appName("clickhouse_sinker_spark")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
-    )
-
-    def source_factory(sp, task, c):
-        return (
-            file_source(sp, args.source_path)
-            if args.source_path
-            else kafka_source(
-                sp,
-                c.kafka,
-                task.topic,
-                earliest=task.earliest,
-                max_offsets_per_trigger=task.buffer_size,
-            )
-        )
-
-    def sink_factory(task, c):
-        return (
-            ParquetSink(f"{args.sink_path}/{task.table_name}", shards=c.clickhouse.shards)
-            if args.sink_path
-            else JdbcSink(c.clickhouse, task.table_name, shards=c.clickhouse.shards)
-        )
-
-    health = pusher = None
-    if args.http_port or args.metric_push_gateway_addrs:
-        from .assignment import task_lags_from_progress
-        from .streaming.http_health import HealthServer, MetricsPusher, prometheus_text
-        from .streaming.metrics import CounterListener
-
-        listener = CounterListener()
-        spark.streams.addListener(listener)
-
-        def state_fn():
-            qs = getattr(state_fn, "queries", {})
-            lags = task_lags_from_progress(
-                {n: (q.lastProgress or {}) for n, q in qs.items()}
-            )
-            return {
-                n: {"state": "RUN" if q.isActive else "DEAD", "lag": lags.get(n, 0)}
-                for n, q in qs.items()
-            }
-
-        if args.http_port:
-            health = HealthServer(listener.snapshot, state_fn, port=args.http_port)
-            health.start()
-        if args.metric_push_gateway_addrs:
-            pusher = MetricsPusher(
-                args.metric_push_gateway_addrs.split(","),
-                args.push_interval,
-                f"{args.instance_ip}:{args.instance_port}",
-                lambda: prometheus_text(listener.snapshot()),
-            )
-            pusher.start()
-
     try:
+        health = pusher = None
+        if args.watch and not args.config:
+            ap.error("--watch polls a --config file; in --nacos-addr mode the "
+                     "registry loop already re-assigns on config change")
+        spark = (
+            SparkSession.builder.master(args.master)
+            .appName("clickhouse_sinker_spark")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.adaptive.enabled", "true")
+            .getOrCreate()
+        )
+
+        def source_factory(sp, task, c):
+            return (
+                file_source(sp, args.source_path)
+                if args.source_path
+                else kafka_source(
+                    sp,
+                    c.kafka,
+                    task.topic,
+                    earliest=task.earliest,
+                    max_offsets_per_trigger=task.buffer_size,
+                )
+            )
+
+        def sink_factory(task, c):
+            return (
+                ParquetSink(f"{args.sink_path}/{task.table_name}", shards=c.clickhouse.shards)
+                if args.sink_path
+                else JdbcSink(c.clickhouse, task.table_name, shards=c.clickhouse.shards)
+            )
+
+        if args.http_port or args.metric_push_gateway_addrs:
+            from .assignment import task_lags_from_progress
+            from .streaming.http_health import HealthServer, MetricsPusher, prometheus_text
+            from .streaming.metrics import CounterListener
+
+            listener = CounterListener()
+            spark.streams.addListener(listener)
+
+            def state_fn():
+                qs = getattr(state_fn, "queries", {})
+                lags = task_lags_from_progress(
+                    {n: (q.lastProgress or {}) for n, q in qs.items()}
+                )
+                return {
+                    n: {"state": "RUN" if q.isActive else "DEAD", "lag": lags.get(n, 0)}
+                    for n, q in qs.items()
+                }
+
+            if args.http_port:
+                health = HealthServer(listener.snapshot, state_fn, port=args.http_port)
+                health.start()
+            if args.metric_push_gateway_addrs:
+                pusher = MetricsPusher(
+                    args.metric_push_gateway_addrs.split(","),
+                    args.push_interval,
+                    f"{args.instance_ip}:{args.instance_port}",
+                    lambda: prometheus_text(listener.snapshot()),
+                )
+                pusher.start()
+
         if args.once:
             for task in cfg.tasks:
                 specs = specs_from_task(task)

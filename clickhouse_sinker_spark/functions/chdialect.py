@@ -225,7 +225,6 @@ _RENAMES = {
     "concatAssumeInjective": "concat",
     "replaceRegexpAll": "regexp_replace",
     "toDayOfYear": "dayofyear",
-    "toDateTime64": "to_timestamp",
 }
 
 # toStartOf<fixed bucket> shorthands → bucket length in seconds
@@ -434,6 +433,20 @@ def _rewrite_quantile(sql: str, name: str, spark_fn: str, wrap_array: bool = Fal
         sql = sql[:at] + f"{spark_fn}({x}, {p})" + sql[end2:]
 
 
+def _to_datetime64(a: list[str]) -> str:
+    """``toDateTime64(x, scale[, tz])``: CH's second argument is a sub-second
+    precision SCALE (0..9), not a format string.  Spark TIMESTAMP is fixed at
+    microsecond precision, so the scale is dropped and the value cast; the
+    3-arg timezone form is refused (Spark pins one session timezone)."""
+    if len(a) >= 3:
+        raise ChTranslationError(
+            "toDateTime64 with an explicit timezone is not supported: Spark "
+            "uses the single session timezone (spark.sql.session.timeZone); "
+            "drop the third argument"
+        )
+    return f"CAST({a[0]} AS TIMESTAMP)"
+
+
 def _translate_functions(sql: str) -> str:
     for ch, unit in _TRUNCS.items():
         sql = _rewrite_calls(sql, ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})")
@@ -478,6 +491,7 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "medianExact", lambda a: f"percentile({a[0]}, 0.5)")
     sql = _rewrite_calls(sql, "median", lambda a: f"percentile_approx({a[0]}, 0.5)")
     sql = _rewrite_calls(sql, "sumDistinct", lambda a: f"sum(DISTINCT {a[0]})")
+    sql = _rewrite_calls(sql, "toDateTime64", _to_datetime64)
     sql = _rewrite_calls(sql, "toYYYYMMDD", lambda a: f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)")
     sql = _rewrite_calls(sql, "toYYYYMM", lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)")
     # CH toDayOfWeek: 1=Monday..7=Sunday; Spark dayofweek: 1=Sunday..7
@@ -954,36 +968,149 @@ _ORDER_KEYWORDS = frozenset(
 )
 
 
-def _check_limit_by_columns(inner: str, refs: str) -> None:
+def _check_limit_by_columns(inner: str, refs: str) -> str:
     """The LIMIT BY rewrite runs the ranked window over the ORIGINAL
     query's output, so every column the ORDER BY / BY list references must
     appear in its SELECT list (ClickHouse can reach table columns there;
     the subquery cannot).  Raise the module's contractual error with the
-    fix instead of letting Spark fail analysis with UNRESOLVED_COLUMN."""
+    fix instead of letting Spark fail analysis with UNRESOLVED_COLUMN.
+
+    Returns ``refs`` with table qualifiers stripped from top-level dotted
+    chains (``t.col`` → ``col``): the subquery alias ``__q`` hides the
+    inner table aliases, so the qualified form would never resolve in the
+    window clause."""
     fr = _top_level_spans(inner, r"\bFROM\b")
     sm = re.match(r"(?is)^\s*SELECT\s+", inner)
-    if not sm or not fr:
-        return  # unusual shape: let the engine report
-    sel = inner[sm.end() : fr[0].start()]
-    if re.search(r"(^|[\s,])\*", sel):
-        return  # SELECT * exposes everything
-    outputs: set[str] = set()
-    for item in _split_args(sel):
-        am = re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)\s*$", item)
-        tm = am or re.search(r"([A-Za-z_]\w*)\s*$", item)
-        if tm:
-            outputs.add(tm.group(1).lower())
-    refs = re.sub(r"'[^']*'", "", refs)  # ignore identifiers inside literals
-    for im in re.finditer(r"\b([A-Za-z_]\w*)\b(\s*\()?", refs):
-        name = im.group(1)
+    outputs: set[str] | None = None  # None → membership unknown, don't raise
+    if sm and fr:
+        sel = inner[sm.end() : fr[0].start()]
+        if not re.search(r"(^|[\s,])\*", sel):  # SELECT * exposes everything
+            outputs = set()
+            for item in _split_args(sel):
+                am = re.search(r"(?is)\bAS\s+([A-Za-z_]\w*)\s*$", item)
+                tm = am or re.search(r"([A-Za-z_]\w*)\s*$", item)
+                if tm:
+                    outputs.add(tm.group(1).lower())
+    # same-length scrub with string-literal contents blanked: identifiers
+    # inside literals are data, never rewritten or checked
+    scrub = re.sub(
+        r"'[^']*'", lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", refs
+    )
+    # prefix paren depth: identifiers INSIDE a call's argument list (abs(v))
+    # are expression inputs, not required output columns — skip them; if the
+    # expression truly references a missing column Spark still fails loudly
+    # with UNRESOLVED_COLUMN (never a silent wrong answer).
+    depth_at = []
+    d = 0
+    for c in scrub:
+        depth_at.append(d)
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d = max(0, d - 1)
+    edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
+    for im in re.finditer(
+        r"\b([A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*)\b(\s*\()?", scrub
+    ):
+        chain = im.group(1)
+        # table-qualified t.col: the subquery alias __q hides inner table
+        # aliases, so only the trailing component resolves — check it, and
+        # collapse the chain to it in the returned refs
+        name = re.split(r"\s*\.\s*", chain)[-1]
         if im.group(2) or name.upper() in _ORDER_KEYWORDS:
             continue  # function call or syntax keyword
-        if name.lower() not in outputs:
+        if depth_at[im.start()] > 0:
+            continue  # inside a function call's argument list
+        if outputs is not None and name.lower() not in outputs:
             raise ChTranslationError(
                 f"LIMIT BY: column {name!r} is not in the SELECT list — the "
                 "ranked-window rewrite can only order/partition by selected "
                 f"columns; add {name!r} to the SELECT"
             )
+        if "." in chain:
+            edits.append((im.start(1), im.end(1), name))
+    for s, e, rep in reversed(edits):
+        refs = refs[:s] + rep + refs[e:]
+    return refs
+
+
+def _inner_is_plain_projection(inner: str) -> bool:
+    """True when ``inner`` is a simple ``SELECT <exprs> FROM …`` with no
+    top-level GROUP BY / HAVING / DISTINCT / set operation — the shapes
+    where a window expression can be injected into the SELECT list and
+    still see the base-table columns."""
+    if _top_level_spans(
+        inner,
+        r"\b(GROUP\s+BY|HAVING|UNION|INTERSECT|EXCEPT)\b",
+    ):
+        return False
+    if re.match(r"(?is)^\s*SELECT\s+DISTINCT\b", inner):
+        return False
+    return bool(_top_level_spans(inner, r"\bFROM\b")) and bool(
+        re.match(r"(?is)^\s*SELECT\s+", inner)
+    )
+
+
+def _split_order_keys(order: str) -> list[tuple[str, str]]:
+    """Split an ORDER BY list into ``(expr, direction-suffix)`` pairs."""
+    out = []
+    for item in _split_args(order):
+        m = re.match(
+            r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+            item,
+        )
+        out.append((m.group(1).strip(), m.group(2).strip()))
+    return out
+
+
+def _ranked_rewrite(
+    inner: str, order: str, partition: str | None, rank_fn: str, cond: str
+) -> str:
+    """Shared core of the LIMIT BY / LIMIT WITH TIES rewrites: rank rows of
+    ``inner`` by a window and keep those satisfying ``cond`` (over ``__rn``),
+    preserving the ORDER BY output ordering.
+
+    Two strategies:
+
+    * plain projection — the window (and ``__ord<i>`` copies of the ORDER BY
+      keys) is injected into the ORIGINAL select list, so ORDER BY / BY
+      expressions over unselected table columns (``abs(v)``, ``t.col``)
+      resolve exactly as ClickHouse resolves them;
+    * otherwise (GROUP BY / DISTINCT / set ops) — the original query is
+      wrapped as subquery ``__q`` and every referenced column must be in its
+      SELECT list (checked, with qualifiers stripped, by
+      ``_check_limit_by_columns``)."""
+    over = f"PARTITION BY {partition} ORDER BY {order}" if partition else f"ORDER BY {order}"
+    if _inner_is_plain_projection(inner):
+        keys = _split_order_keys(order)
+        helpers = [f"({e}) AS __ord{i}" for i, (e, _) in enumerate(keys)]
+        outer_order = ", ".join(
+            f"__ord{i} {sfx}".strip() for i, (_, sfx) in enumerate(keys)
+        )
+        fr = _top_level_spans(inner, r"\bFROM\b")[0]
+        injected = (
+            inner[: fr.start()]
+            + ", "
+            + ", ".join(helpers)
+            + f", {rank_fn}() OVER ({over}) AS __rn "
+            + inner[fr.start() :]
+        )
+        dropped = ", ".join(["__rn"] + [f"__ord{i}" for i in range(len(keys))])
+        return (
+            f"SELECT * EXCEPT ({dropped}) FROM ({injected}) "
+            f"WHERE {cond} ORDER BY {outer_order}"
+        )
+    order = _check_limit_by_columns(inner, order)
+    if partition:
+        partition = _check_limit_by_columns(inner, partition)
+        over = f"PARTITION BY {partition} ORDER BY {order}"
+    else:
+        over = f"ORDER BY {order}"
+    return (
+        f"SELECT * EXCEPT (__rn) FROM (SELECT __q.*, {rank_fn}() OVER "
+        f"({over}) AS __rn FROM ({inner}) AS __q) "
+        f"WHERE {cond} ORDER BY {order}"
+    )
 
 
 def _rewrite_limit_with_ties(sql: str) -> str:
@@ -1002,12 +1129,7 @@ def _rewrite_limit_with_ties(sql: str) -> str:
     inner = sql[: ob[0].start()].strip()
     if sql[m.end() :].strip():
         raise ChTranslationError("LIMIT WITH TIES must be the final clause")
-    _check_limit_by_columns(inner, order)
-    return (
-        f"SELECT * EXCEPT (__rk) FROM (SELECT __q.*, rank() OVER "
-        f"(ORDER BY {order}) AS __rk FROM ({inner}) AS __q) "
-        f"WHERE __rk <= {n} ORDER BY {order}"
-    )
+    return _ranked_rewrite(inner, order, None, "rank", f"__rn <= {n}")
 
 
 def _rewrite_limit_by(sql: str) -> str:
@@ -1034,13 +1156,8 @@ def _rewrite_limit_by(sql: str) -> str:
     tail = re.match(r"^(.*?)(?:\s+LIMIT\s+(\d+))?\s*$", rest, re.IGNORECASE | re.DOTALL)
     cols = tail.group(1).strip()
     outer_limit = tail.group(2)
-    _check_limit_by_columns(inner, f"{order}, {cols}")
     cond = f"__rn <= {n}" if not off else f"__rn BETWEEN {off + 1} AND {off + n}"
-    out = (
-        f"SELECT * EXCEPT (__rn) FROM (SELECT __q.*, row_number() OVER "
-        f"(PARTITION BY {cols} ORDER BY {order}) AS __rn FROM ({inner}) AS __q) "
-        f"WHERE {cond} ORDER BY {order}"
-    )
+    out = _ranked_rewrite(inner, order, cols, "row_number", cond)
     if outer_limit:
         out += f" LIMIT {outer_limit}"
     return out
@@ -1182,7 +1299,8 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
         notes.append("PREWHERE → WHERE (Spark pushes predicates itself)")
 
     if _spans_outside_strings(
-        sql, r"\bGLOBAL\s+(ANY\s+|ALL\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN)\b"
+        sql,
+        r"\bGLOBAL\s+(ANY\s+|ALL\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN|NOT\s+IN)\b",
     ):
         # CH's GLOBAL modifier forces the subquery to be computed once and
         # broadcast to all shards — a distributed-execution hint.  Spark
@@ -1191,7 +1309,7 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
         # data value mentioning 'GLOBAL JOIN' is not rewritten.
         sql = _sub_outside_strings(
             sql,
-            r"\bGLOBAL\s+(?=(ANY|ALL|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN)\b)",
+            r"\bGLOBAL\s+(?=(ANY|ALL|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN|NOT)\b)",
             "",
         )
         notes.append(

@@ -31,29 +31,36 @@ def _san(v) -> str:
 def prometheus_text(snapshot: Mapping) -> str:
     """Render a ``CounterListener.snapshot()`` in the Prometheus text
     exposition format, metric names matching the reference's
-    (``clickhouse_sinker_consume_msgs_total`` etc., labeled by task)."""
+    (``clickhouse_sinker_consume_msgs_total`` etc., labeled by task).
+
+    The exposition format requires every line of a metric family to form
+    one contiguous group after its ``# TYPE`` line, so samples are pivoted
+    metric-first (a task-first loop would interleave families and strict
+    parsers reject the payload)."""
     out: list[str] = []
-    totals = snapshot.get("totals", {})
-    seen: set[str] = set()
-    for task, counters in sorted(totals.items()):
-        for name, value in sorted(counters.items()):
-            if name not in seen:
-                out.append(f"# TYPE {_PREFIX}{name} counter")
-                seen.add(name)
+    # metric → [(task, value)], grouped so each family is contiguous
+    counters_by_name: dict[str, list[tuple[str, object]]] = {}
+    for task, counters in sorted(snapshot.get("totals", {}).items()):
+        for name, value in counters.items():
+            counters_by_name.setdefault(name, []).append((task, value))
+    for name in sorted(counters_by_name):
+        out.append(f"# TYPE {_PREFIX}{name} counter")
+        for task, value in counters_by_name[name]:
             out.append(f'{_PREFIX}{name}{{task="{task}"}} {_san(value)}')
-    progress = snapshot.get("progress", {})
     gauge_map = {
         "numInputRows": "num_input_rows",
         "inputRowsPerSecond": "input_rows_per_second",
         "processedRowsPerSecond": "processed_rows_per_second",
     }
-    for task, prog in sorted(progress.items()):
+    gauges_by_name: dict[str, list[tuple[str, object]]] = {}
+    for task, prog in sorted(snapshot.get("progress", {}).items()):
         for src, name in gauge_map.items():
             if src in prog:
-                if name not in seen:
-                    out.append(f"# TYPE {_PREFIX}{name} gauge")
-                    seen.add(name)
-                out.append(f'{_PREFIX}{name}{{task="{task}"}} {_san(prog[src])}')
+                gauges_by_name.setdefault(name, []).append((task, prog[src]))
+    for name in sorted(gauges_by_name):
+        out.append(f"# TYPE {_PREFIX}{name} gauge")
+        for task, value in gauges_by_name[name]:
+            out.append(f'{_PREFIX}{name}{{task="{task}"}} {_san(value)}')
     return "\n".join(out) + "\n"
 
 

@@ -679,16 +679,26 @@ def test_limit_by_unselected_column_raises():
         translate_ch_sql,
     )
 
+    # plain projection: ORDER BY over an unselected table column is valid
+    # ClickHouse and now supported — the window is injected into the
+    # original SELECT scope where `value` resolves
+    got, _ = translate_ch_sql(
+        "SELECT event_type, event_id FROM events "
+        "ORDER BY value DESC LIMIT 2 BY event_type"
+    )
+    assert "row_number()" in got and "__ord0" in got
+    # aggregated shape: the subquery wrap can only reach SELECT-list
+    # columns, so an unselected reference is still a loud refusal
     with pytest.raises(ChTranslationError, match="not in the SELECT list"):
         translate_ch_sql(
-            "SELECT event_type, event_id FROM events "
+            "SELECT event_type, count(*) AS c FROM events GROUP BY event_type "
             "ORDER BY value DESC LIMIT 2 BY event_type"
         )
     # SELECT * exposes every column — no false refusal
-    got, _ = translate_ch_sql(
+    got2, _ = translate_ch_sql(
         "SELECT * FROM events ORDER BY value DESC LIMIT 2 BY event_type"
     )
-    assert "row_number()" in got
+    assert "row_number()" in got2
 
 
 def test_uniq_up_to_non_literal_raises():
@@ -753,7 +763,7 @@ def test_limit_with_ties(spark):
     )
 
     got, _ = translate_ch_sql("SELECT g, v FROM t ORDER BY v LIMIT 3 WITH TIES")
-    assert "rank() OVER (ORDER BY v)" in got and "__rk <= 3" in got
+    assert "rank() OVER (ORDER BY v)" in got and "__rn <= 3" in got
     spark.createDataFrame(
         [("a", 1), ("b", 1), ("c", 2), ("d", 2), ("e", 3)], "g string, v int"
     ).createOrReplaceTempView("t")
@@ -777,3 +787,64 @@ def test_arithmetic_function_aliases(spark):
     row = spark.sql(got).first()
     assert (row["p"], row["m"], row["x"], row["d"], row["neg"]) == (12, 6, 40, 5.0, -4)
     assert row["z"] == 0 and row["mz"] == 0 and row["iz"] == 2
+
+
+def test_to_datetime64_scale_dropped(spark):
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    # CH's second argument is a precision SCALE, not a Spark format string:
+    # it must be dropped, never forwarded to to_timestamp (advice r5)
+    got, _ = translate_ch_sql(
+        "SELECT toDateTime64('2024-03-01 10:00:00', 3) AS ts"
+    )
+    assert "to_timestamp(" not in got or ", 3" not in got
+    row = spark.sql(got).first()
+    assert str(row["ts"]).startswith("2024-03-01 10:00:00")
+    # 1-arg lenient form also casts
+    got1, _ = translate_ch_sql("SELECT toDateTime64('2024-03-01 10:00:00') AS ts")
+    assert spark.sql(got1).first()["ts"] is not None
+    # timezone form: refuse loudly, not an arity error at the engine
+    with pytest.raises(ChTranslationError, match="timezone"):
+        translate_ch_sql(
+            "SELECT toDateTime64('2024-03-01 10:00:00', 3, 'UTC') AS ts"
+        )
+
+
+def test_global_not_in_stripped(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, notes = translate_ch_sql(
+        "SELECT g FROM t WHERE g GLOBAL NOT IN (SELECT g FROM t WHERE v > 5)"
+    )
+    assert "GLOBAL" not in got
+    assert any("GLOBAL" in n for n in notes)
+    spark.createDataFrame(
+        [("a", 9), ("b", 1)], "g string, v int"
+    ).createOrReplaceTempView("t")
+    assert [r["g"] for r in spark.sql(got).collect()] == ["b"]
+
+
+def test_limit_by_function_args_and_qualifiers(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    # abs(v): 'v' is a function argument, not a required output column —
+    # must not trip the membership check (advice r5 false positive)
+    got, _ = translate_ch_sql(
+        "SELECT g, abs(v) AS a FROM t ORDER BY abs(v) DESC LIMIT 1 BY g"
+    )
+    spark.createDataFrame(
+        [("a", -5), ("a", 3), ("b", 2)], "g string, v int"
+    ).createOrReplaceTempView("t")
+    rows = sorted((r["g"], r["a"]) for r in spark.sql(got).collect())
+    assert rows == [("a", 5), ("b", 2)]
+
+    # t.col qualifier: collapsed to the bare name so it resolves through
+    # the __q subquery alias
+    got2, _ = translate_ch_sql(
+        "SELECT g, v FROM t ORDER BY t.v DESC LIMIT 1 BY t.g"
+    )
+    rows2 = sorted((r["g"], r["v"]) for r in spark.sql(got2).collect())
+    assert rows2 == [("a", 3), ("b", 2)]

@@ -127,3 +127,34 @@ def test_pusher_validates_config():
         MetricsPusher([], 10, "i", lambda: "")
     with pytest.raises(ValueError):
         MetricsPusher(["a"], 0, "i", lambda: "")
+
+
+def test_prometheus_families_are_contiguous():
+    """Exposition format: all samples of a metric family must form one
+    contiguous block after its # TYPE line (strict parsers reject
+    interleaved families) — advice r5."""
+    snap = {
+        "totals": {
+            "task_a": {"consume_msgs_total": 1, "flush_msgs_total": 2},
+            "task_b": {"consume_msgs_total": 3, "flush_msgs_total": 4},
+        },
+        "progress": {
+            "task_a": {"numInputRows": 10},
+            "task_b": {"numInputRows": 20},
+        },
+    }
+    lines = prometheus_text(snap).strip().split("\n")
+    current = None
+    seen_families = []
+    for ln in lines:
+        if ln.startswith("# TYPE "):
+            current = ln.split()[2]
+            assert current not in seen_families, f"family {current} split"
+            seen_families.append(current)
+        else:
+            name = ln.split("{")[0]
+            assert name == current, f"sample {name} outside its family block"
+    # both tasks present for each family
+    text = prometheus_text(snap)
+    assert text.count('consume_msgs_total{task=') == 2
+    assert text.count('num_input_rows{task=') == 2
