@@ -44,7 +44,21 @@ def _run_query(args) -> None:
     for f in sorted(glob.glob(os.path.join(args.data_dir, "*.parquet"))):
         name = os.path.splitext(os.path.basename(f))[0]
         load_table(spark, args.data_dir, name).createOrReplaceTempView(name)
-    translated, notes = translate_ch_sql(args.query)
+    # --final-key table:k1,k2:v1,v2 → ReplacingMergeTree merge-on-read
+    # config for FROM t FINAL (sorting key + ordered version columns)
+    table_keys = None
+    for spec in args.final_key or []:
+        parts = spec.split(":")
+        if len(parts) != 3:
+            raise SystemExit(
+                f"--final-key {spec!r}: expected table:key1,key2:ver1,ver2"
+            )
+        table_keys = table_keys or {}
+        table_keys[parts[0]] = (
+            [c for c in parts[1].split(",") if c],
+            [c for c in parts[2].split(",") if c],
+        )
+    translated, notes = translate_ch_sql(args.query, table_keys=table_keys)
     for n in notes:
         print(f"-- note: {n}", file=sys.stderr)
     df = spark.sql(translated)
@@ -98,6 +112,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="directory of <table>.parquet files for --query mode")
     ap.add_argument("--query-format", choices=("table", "json", "csv"),
                     default="table", help="--query output format")
+    ap.add_argument("--final-key", action="append", metavar="TBL:KEYS:VERS",
+                    help="table:key1,key2:ver1,ver2 — sorting key + ordered "
+                         "version columns enabling FROM t FINAL merge-on-read "
+                         "in --query mode (repeatable)")
     ap.add_argument("-e", "--encrypt", metavar="PASSWORD",
                     help="print the gosypt ENC(...) form of PASSWORD and exit "
                          "(cmd/clickhouse_sinker/main.go:94)")

@@ -1252,13 +1252,84 @@ def _rewrite_brackets(sql: str) -> str:
     return "".join(out)
 
 
-def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
+def _rewrite_final(sql: str, table_keys, notes: list[str]) -> str:
+    """``FROM t FINAL`` → ReplacingMergeTree merge-on-read semantics: the
+    newest-version row per sorting key survives (reference:
+    docs/dev/design.md:5-12 — the sinker's exactly-once story lands
+    duplicates and relies on FINAL/merges to collapse them;
+    output/clickhouse.go:724-799 builds the ReplacingMergeTree DDL).
+
+    ``table_keys`` maps table name → ``(sorting_key_cols, version_cols)``;
+    version_cols is an ordered list — later entries break ties of earlier
+    ones, so callers get a DETERMINISTIC survivor by listing a unique
+    column last (CH itself keeps an arbitrary last-merged row on full
+    ties, which no deterministic translation should reproduce).  Tables
+    with a FINAL but no entry raise; without any ``table_keys`` the
+    modifier is stripped with a note (legacy behavior, still loud)."""
+    pat = re.compile(
+        r"(\bFROM\s+|\bJOIN\s+|,\s*)([A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?(?!FINAL\b)([A-Za-z_]\w*))?\s+FINAL\b",
+        re.IGNORECASE,
+    )
+    while True:
+        m = None
+        for cand in pat.finditer(sql):
+            if not _in_string(sql, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return sql
+        prefix, tbl, alias = m.group(1), m.group(2), m.group(3)
+        if table_keys is None:
+            sql = (
+                sql[: m.start()]
+                + prefix
+                + (f"{tbl} {alias}" if alias else tbl)
+                + sql[m.end() :]
+            )
+            notes.append(
+                "FINAL stripped: no sorting-key/version config passed; supply "
+                "table_keys={table: (key_cols, version_cols)} for "
+                "ReplacingMergeTree merge-on-read semantics"
+            )
+            continue
+        keys = table_keys.get(tbl)
+        if keys is None:
+            raise ChTranslationError(
+                f"FROM {tbl} FINAL: no sorting key configured for {tbl!r} — "
+                "add it to table_keys as (key_cols, version_cols)"
+            )
+        key_cols, ver_cols = keys
+        if not ver_cols:
+            raise ChTranslationError(
+                f"FROM {tbl} FINAL: {tbl!r} has no version column configured; "
+                "a deterministic merge-on-read needs an ordered version list "
+                "(append a unique column to break ties)"
+            )
+        order = ", ".join(f"{v} DESC" for v in ver_cols)
+        part = ", ".join(key_cols)
+        rep = (
+            f"(SELECT * EXCEPT (__final_rn) FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {part} ORDER BY {order}) AS __final_rn FROM {tbl}) "
+            f"WHERE __final_rn = 1) AS {alias or tbl}"
+        )
+        sql = sql[: m.start()] + prefix + rep + sql[m.end() :]
+        notes.append(
+            f"FINAL on {tbl}: rewritten to newest-version-per-({part}) "
+            f"survivor (ReplacingMergeTree merge-on-read)"
+        )
+
+
+def translate_ch_sql(sql: str, table_keys=None) -> tuple[str, list[str]]:
     """Translate a ClickHouse SQL query to Spark SQL.
 
     Returns ``(spark_sql, notes)`` — notes record semantic deltas (FINAL
-    stripped, uniq approximation differs).  Raises ChTranslationError on
-    constructs outside the documented subset.
-    """
+    rewrite/strip, uniq approximation differs).  Raises ChTranslationError
+    on constructs outside the documented subset.
+
+    ``table_keys`` (optional): ``{table: (sorting_key_cols, version_cols)}``
+    — enables the real ``FROM t FINAL`` merge-on-read rewrite; without it
+    FINAL is stripped with a note."""
     notes: list[str] = []
     _redirect = {
         "windowFunnel": "plans/queries.py:funnel_window_3step (native windowFunnel shape)",
@@ -1274,11 +1345,7 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
             )
 
     if re.search(r"\bFINAL\b", sql, re.IGNORECASE):
-        sql = re.sub(r"\s+FINAL\b", "", sql, flags=re.IGNORECASE)
-        notes.append(
-            "FINAL stripped: no merge-tree state here; run dedup explicitly "
-            "(operators/dedup.py) if the table is a ReplacingMergeTree"
-        )
+        sql = _rewrite_final(sql, table_keys, notes)
 
     m = re.search(r"\bPREWHERE\b", sql, re.IGNORECASE)
     if m:
@@ -1388,7 +1455,7 @@ def translate_ch_sql(sql: str) -> tuple[str, list[str]]:
     return _translate_functions(_rewrite_brackets(sql)), notes
 
 
-def ch_sql(spark, sql: str, sf_dir: str):
+def ch_sql(spark, sql: str, sf_dir: str, table_keys=None):
     """Run a ClickHouse-dialect query against the testdata tables: registers
     each table as a temp view (via load_table's timestamp normalization)
     and executes the translated SQL."""
@@ -1399,5 +1466,5 @@ def ch_sql(spark, sql: str, sf_dir: str):
         "orders", "lineitem", "events", "documents", "embeddings",
     ):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    translated, _notes = translate_ch_sql(sql)
+    translated, _notes = translate_ch_sql(sql, table_keys=table_keys)
     return spark.sql(translated)

@@ -5564,6 +5564,53 @@ def ch_dialect_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_LIMIT_BY, sf_dir)
 
 
+CH_DIALECT_FINAL = """
+    SELECT event_type,
+           count(*) AS n,
+           sum(event_id) AS id_sum,
+           uniqExact(user_id) AS users
+    FROM events FINAL
+    WHERE user_id < 3000
+    GROUP BY event_type
+"""
+
+
+@query(
+    "ch_dialect_final",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1)
+    WHERE user_id < 3000
+    GROUP BY event_type
+    """,
+)
+def ch_dialect_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM events FINAL`` through the translator with a configured
+    sorting key — ReplacingMergeTree merge-on-read (the reference's
+    exactly-once story: duplicates land and FINAL collapses them at read;
+    docs/dev/design.md:5-12, output/clickhouse.go:724-799).  The rewrite
+    keeps the newest-version row per (user_id, event_type) with the unique
+    event_id as a deterministic tiebreak, so both engines pick the same
+    survivor.  Plan: one window shuffle on the sorting key, then the
+    grouped aggregate reuses nothing extra — exactly the plan a hand-rolled
+    latest-per-key query gets."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(
+        spark,
+        CH_DIALECT_FINAL,
+        sf_dir,
+        table_keys={"events": (["user_id", "event_type"], ["ts", "event_id"])},
+    )
+
+
 def _ct_oracle_sql() -> str:
     """DuckDB mirror of the Cavnar-Trenkle classifier, the profile VALUES
     generated from the same ``langprofiles.profile_rows()`` model both

@@ -848,3 +848,39 @@ def test_limit_by_function_args_and_qualifiers(spark):
     )
     rows2 = sorted((r["g"], r["v"]) for r in spark.sql(got2).collect())
     assert rows2 == [("a", 3), ("b", 2)]
+
+
+def test_final_rewrite_merge_on_read(spark):
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    keys = {"t": (["k"], ["ver", "uid"])}
+    got, notes = translate_ch_sql("SELECT k, v FROM t FINAL", table_keys=keys)
+    assert "row_number() OVER (PARTITION BY k ORDER BY ver DESC, uid DESC)" in got
+    assert any("newest-version" in n for n in notes)
+    spark.createDataFrame(
+        [("a", 1, 10, "old"), ("a", 2, 11, "new"), ("b", 1, 12, "only")],
+        "k string, ver int, uid int, v string",
+    ).createOrReplaceTempView("t")
+    rows = sorted((r["k"], r["v"]) for r in spark.sql(got).collect())
+    assert rows == [("a", "new"), ("b", "only")]
+
+    # alias form keeps the alias usable
+    got2, _ = translate_ch_sql(
+        "SELECT x.k FROM t AS x FINAL WHERE x.ver > 0", table_keys=keys
+    )
+    assert sorted(r["k"] for r in spark.sql(got2).collect()) == ["a", "b"]
+
+    # unconfigured table: loud refusal with guidance
+    with pytest.raises(ChTranslationError, match="sorting key"):
+        translate_ch_sql("SELECT * FROM u FINAL", table_keys=keys)
+    # configured but no version columns: refuse (nondeterministic survivor)
+    with pytest.raises(ChTranslationError, match="version"):
+        translate_ch_sql(
+            "SELECT * FROM t FINAL", table_keys={"t": (["k"], [])}
+        )
+    # no table_keys at all: legacy strip-with-note
+    got3, notes3 = translate_ch_sql("SELECT k FROM t FINAL")
+    assert "FINAL" not in got3 and any("stripped" in n for n in notes3)
