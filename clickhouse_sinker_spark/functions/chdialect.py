@@ -310,7 +310,6 @@ _UNSUPPORTED = {
     "topK",
     "uniqCombined",
     "sequenceMatch",
-    "windowFunnel",
     "neighbor",
     "runningDifference",
     "sample",
@@ -447,7 +446,112 @@ def _to_datetime64(a: list[str]) -> str:
     return f"CAST({a[0]} AS TIMESTAMP)"
 
 
+_FUNNEL_MODES = {"strict_order", "strict_deduplication"}
+
+
+def _rewrite_window_funnel(sql: str) -> str:
+    """``windowFunnel(W[, 'mode'])(ts, c1, …, cn)`` → a JVM-side fold:
+    ``aggregate()`` over the group's time-sorted ``(t, condition-bitmask)``
+    events, running ClickHouse's chain algorithm
+    (AggregateFunctionWindowFunnel.h, public source): state keeps the
+    chain-start timestamp per reached level; an event matching condition
+    ``i`` extends a chain whose level ``i-1`` start is within ``W`` seconds.
+    Returns the max level reached (INT).
+
+    Modes: default; ``'strict_order'`` — once a chain has started, an
+    event matching NO condition stops processing; ``'strict_deduplication'``
+    — an event re-matching an already-reached condition stops processing.
+    (``strict_increase`` would need per-level last-event timestamps —
+    refused.)
+
+    Delta vs CH: within a single event all matching conditions update
+    against the PRE-event state (simultaneous), where CH applies them in
+    condition order — identical whenever conditions are mutually
+    exclusive, the overwhelmingly common case (``event_type = '…'``).
+    Scale: one ``collect_list`` per group (the same O(group-size) state
+    CH's aggregate holds), zero extra shuffles, no Python."""
+    while True:
+        at = _find_call(sql, "windowFunnel")
+        if at < 0:
+            return sql
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError(
+                "windowFunnel requires the (window)(ts, cond, …) combinator form"
+            )
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        head = _split_args(sql[open1 + 1 : end1 - 1])
+        try:
+            window_s = int(head[0])
+        except (ValueError, IndexError) as e:
+            raise ChTranslationError(
+                "windowFunnel requires an integer-literal window (seconds)"
+            ) from e
+        modes = [h.strip().strip("'") for h in head[1:]]
+        for mo in modes:
+            if mo not in _FUNNEL_MODES:
+                raise ChTranslationError(
+                    f"windowFunnel mode {mo!r} not supported "
+                    f"(supported: {sorted(_FUNNEL_MODES)})"
+                )
+        body = [_translate_functions(a) for a in _split_args(sql[open2 + 1 : end2 - 1])]
+        if len(body) < 2:
+            raise ChTranslationError("windowFunnel needs a timestamp and ≥1 condition")
+        ts, conds = body[0], body[1:]
+        n = len(conds)
+        w_us = window_s * 1_000_000
+        mask = " + ".join(
+            f"CASE WHEN {c} THEN {1 << i}L ELSE 0L END" for i, c in enumerate(conds)
+        )
+        stop = ""
+        if "strict_order" in modes:
+            stop += (
+                f" WHEN e.m = 0 AND element_at(acc, 1) <> -1L"
+                f" THEN concat(slice(acc, 1, {n}), array(1L))"
+            )
+        if "strict_deduplication" in modes:
+            stop += (
+                f" WHEN exists(sequence(0, {n - 1}), i ->"
+                f" (shiftright(e.m, i) & 1) = 1 AND element_at(acc, i + 1) <> -1L)"
+                f" THEN concat(slice(acc, 1, {n}), array(1L))"
+            )
+        rep = (
+            f"aggregate("
+            f"sort_array(collect_list(named_struct("
+            f"'t', unix_micros({ts}), 'm', CAST({mask} AS BIGINT)))), "
+            f"array_repeat(-1L, {n + 1}), "
+            f"(acc, e) -> CASE WHEN element_at(acc, {n + 1}) = 1L THEN acc{stop} "
+            f"ELSE concat(transform(slice(acc, 1, {n}), (v, i) -> CASE "
+            f"WHEN i = 0 THEN IF((e.m & 1) = 1, e.t, v) "
+            f"WHEN (shiftright(e.m, i) & 1) = 1 AND element_at(acc, i) <> -1L "
+            f"AND e.t - element_at(acc, i) <= {w_us}L THEN element_at(acc, i) "
+            f"ELSE v END), slice(acc, {n + 1}, 1)) END, "
+            f"acc -> CAST(size(filter(slice(acc, 1, {n}), v -> v <> -1L)) AS INT))"
+        )
+        sql = sql[:at] + rep + sql[end2:]
+
+
+def _retention(a: list[str]) -> str:
+    """``retention(c1, …, cn)`` → array of n 0/1 INTs: element 1 is
+    whether ``c1`` ever held in the group; element i is whether BOTH
+    ``c1`` and ``ci`` ever held (ClickHouse retention() contract — the
+    conditions need not hold on the same row)."""
+    if len(a) < 2:
+        raise ChTranslationError("retention requires at least 2 conditions")
+    first = f"max(CASE WHEN {a[0]} THEN 1 ELSE 0 END)"
+    elems = [f"CAST({first} AS INT)"] + [
+        f"CAST(least({first}, max(CASE WHEN {c} THEN 1 ELSE 0 END)) AS INT)"
+        for c in a[1:]
+    ]
+    return f"array({', '.join(elems)})"
+
+
 def _translate_functions(sql: str) -> str:
+    sql = _rewrite_window_funnel(sql)
+    sql = _rewrite_calls(sql, "retention", _retention)
     for ch, unit in _TRUNCS.items():
         sql = _rewrite_calls(sql, ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})")
     for ch, ty in _CASTS.items():
@@ -1332,7 +1436,6 @@ def translate_ch_sql(sql: str, table_keys=None) -> tuple[str, list[str]]:
     FINAL is stripped with a note."""
     notes: list[str] = []
     _redirect = {
-        "windowFunnel": "plans/queries.py:funnel_window_3step (native windowFunnel shape)",
         "sequenceMatch": "plans/queries.py:seq_match_funnel (native sequenceMatch shape)",
         "topK": "window_topk_per_customer (exact per-group top-k)",
         "uniqCombined": "uniq()/uniqExact() (HLL++ / exact)",

@@ -5611,6 +5611,100 @@ def ch_dialect_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CH_DIALECT_FUNNEL = """
+    SELECT user_id,
+           windowFunnel(3600)(ts, event_type = 'signup',
+                              event_type = 'click',
+                              event_type = 'purchase') AS lvl
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query(
+    "ch_dialect_window_funnel",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+    u AS (SELECT DISTINCT user_id FROM e),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'),
+    l2 AS (
+      SELECT DISTINCT s.user_id
+      FROM e s JOIN e c ON c.user_id = s.user_id AND c.event_type = 'click'
+        AND c.t >= s.t AND c.t <= s.t + 3600000000
+      WHERE s.event_type = 'signup'
+    ),
+    l3 AS (
+      SELECT DISTINCT s.user_id
+      FROM e s
+      JOIN e c ON c.user_id = s.user_id AND c.event_type = 'click'
+        AND c.t >= s.t AND c.t <= s.t + 3600000000
+      JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        AND p.t >= c.t AND p.t <= s.t + 3600000000
+      WHERE s.event_type = 'signup'
+    )
+    SELECT u.user_id AS user_id,
+           CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                     WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                     WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+                     ELSE 0 END AS INT) AS lvl
+    FROM u
+    """,
+)
+def ch_dialect_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(W)(ts, c1, c2, c3)`` through the
+    translator: the chain algorithm of the reference ecosystem's most-used
+    funnel aggregate (AggregateFunctionWindowFunnel.h semantics) as a pure
+    JVM-side ``aggregate()`` fold over each group's time-sorted events.
+    The DuckDB oracle is the independent reachability formulation (exists
+    signup ≤ click ≤ purchase ≤ signup + W) — provably equivalent to the
+    greedy chain scan when conditions are mutually exclusive, so agreement
+    is a real two-implementation check, not a mirrored fold.  Plan: one
+    groupBy(user_id) shuffle carrying (t, mask) structs; funnel state is
+    O(levels) per group exactly like CH's aggregate state — no pair
+    joins, no Python, scales as a plain grouped aggregate."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_FUNNEL, sf_dir)
+
+
+CH_DIALECT_RETENTION = """
+    SELECT user_id,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               retention(toDayOfMonth(ts) = 1,
+                         toDayOfMonth(ts) = 2,
+                         toDayOfMonth(ts) = 8)), '') AS r
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query(
+    "ch_dialect_retention",
+    """
+    SELECT user_id,
+           CAST(m1 AS VARCHAR) || CAST(least(m1, m2) AS VARCHAR)
+             || CAST(least(m1, m3) AS VARCHAR) AS r
+    FROM (
+      SELECT user_id,
+             max(CASE WHEN day(ts) = 1 THEN 1 ELSE 0 END) AS m1,
+             max(CASE WHEN day(ts) = 2 THEN 1 ELSE 0 END) AS m2,
+             max(CASE WHEN day(ts) = 8 THEN 1 ELSE 0 END) AS m3
+      FROM events GROUP BY user_id)
+    """,
+)
+def ch_dialect_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond1, …, condn)`` through the translator —
+    the cohort-retention aggregate (element i = did cond1 AND condi both
+    ever hold for the group): day-1 signup cohort retained on day 2 and
+    day 8, rendered as a '101'-style flag string (also exercising
+    arrayMap/arrayStringConcat over the aggregate's array result).
+    Rewrite is pure column expressions — n conditional-max aggregates and
+    a least() lattice, one grouped-aggregate shuffle, no state at all."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_RETENTION, sf_dir)
+
+
 def _ct_oracle_sql() -> str:
     """DuckDB mirror of the Cavnar-Trenkle classifier, the profile VALUES
     generated from the same ``langprofiles.profile_rows()`` model both

@@ -92,7 +92,7 @@ def test_unsupported_raises_not_mistranslates():
     with pytest.raises(ChTranslationError):
         T("SELECT cityHash64(event_type) FROM events")
     with pytest.raises(ChTranslationError):
-        T("SELECT windowFunnel(3600)(ts, event_type = 'a') FROM events")
+        T("SELECT sequenceMatch('(?1)(?2)')(ts, event_type = 'a', event_type = 'b') FROM events")
 
 
 def test_end_to_end_against_spark(spark):
@@ -884,3 +884,85 @@ def test_final_rewrite_merge_on_read(spark):
     # no table_keys at all: legacy strip-with-note
     got3, notes3 = translate_ch_sql("SELECT k FROM t FINAL")
     assert "FINAL" not in got3 and any("stripped" in n for n in notes3)
+
+
+def _funnel_view(spark, rows):
+    spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string"
+    ).createOrReplaceTempView("t")
+
+
+def test_window_funnel_modes(spark):
+    """windowFunnel default / strict_order / strict_deduplication — CH
+    chain semantics (AggregateFunctionWindowFunnel.h) via a JVM-side
+    aggregate() fold; hand-computed expectations."""
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    mins = lambda m: T0 + dt.timedelta(minutes=m)
+
+    got, _ = translate_ch_sql(
+        "SELECT user_id, windowFunnel(3600)(ts, event_type = 'a', "
+        "event_type = 'b', event_type = 'c') AS lvl FROM t GROUP BY user_id"
+    )
+    _funnel_view(spark, [
+        (1, mins(0), 'a'), (1, mins(10), 'b'), (1, mins(20), 'c'),  # full chain
+        (2, mins(0), 'a'), (2, mins(30), 'b'), (2, mins(90), 'c'),  # c outside W
+        (3, mins(0), 'b'), (3, mins(5), 'a'),                       # b before a
+        (4, mins(0), 'b'), (4, mins(0), 'c'),                       # never starts
+        (5, mins(0), 'a'), (5, mins(40), 'a'), (5, mins(70), 'b'),  # restart helps
+    ])
+    out = {r["user_id"]: r["lvl"] for r in spark.sql(got).collect()}
+    assert out == {1: 3, 2: 2, 3: 1, 4: 0, 5: 2}
+
+    got2, _ = translate_ch_sql(
+        "SELECT user_id, windowFunnel(3600, 'strict_order')(ts, "
+        "event_type = 'a', event_type = 'b') AS lvl FROM t GROUP BY user_id"
+    )
+    _funnel_view(spark, [
+        (1, mins(0), 'a'), (1, mins(1), 'x'), (1, mins(2), 'b'),  # x interrupts
+        (2, mins(0), 'a'), (2, mins(2), 'b'), (2, mins(3), 'x'),  # done before x
+    ])
+    out2 = {r["user_id"]: r["lvl"] for r in spark.sql(got2).collect()}
+    assert out2 == {1: 1, 2: 2}
+
+    got3, _ = translate_ch_sql(
+        "SELECT user_id, windowFunnel(3600, 'strict_deduplication')(ts, "
+        "event_type = 'a', event_type = 'b') AS lvl FROM t GROUP BY user_id"
+    )
+    _funnel_view(spark, [
+        (1, mins(0), 'a'), (1, mins(1), 'a'), (1, mins(2), 'b'),  # repeat stops
+        (2, mins(0), 'a'), (2, mins(2), 'b'),
+    ])
+    out3 = {r["user_id"]: r["lvl"] for r in spark.sql(got3).collect()}
+    assert out3 == {1: 1, 2: 2}
+
+    with pytest.raises(ChTranslationError, match="mode"):
+        translate_ch_sql(
+            "SELECT windowFunnel(60, 'strict_increase')(ts, x = 1) FROM t"
+        )
+    with pytest.raises(ChTranslationError, match="combinator"):
+        translate_ch_sql("SELECT windowFunnel(ts, x = 1) FROM t")
+
+
+def test_retention_aggregate(spark):
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT user_id, retention(event_type = 'a', event_type = 'b', "
+        "event_type = 'z') AS r FROM t GROUP BY user_id"
+    )
+    T0 = dt.datetime(2024, 1, 1)
+    _funnel_view(spark, [
+        (1, T0, 'a'), (1, T0, 'b'),
+        (2, T0, 'b'), (2, T0, 'z'),  # no cond1 → all zero
+    ])
+    out = {r["user_id"]: list(r["r"]) for r in spark.sql(got).collect()}
+    assert out == {1: [1, 1, 0], 2: [0, 0, 0]}
