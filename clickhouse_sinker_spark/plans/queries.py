@@ -5777,83 +5777,78 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # It never changes between two calls in the same checkout; any change to it
 # is an ordinary reviewed source edit.
 #
-# Layout of ``DRIVER_ORDER``:
-# 1. A 40-name core covering every SURVEY §2 operator family — parse/cast
-#    (P1-P16), sharding (R1-R4), dedup/series state (D1-D4, W8), schema
-#    discovery (S8), the relational layer (joins incl. asof+range, windows
-#    incl. sessionize, set ops, rollup/grouping-sets/percentile/HLL aggs),
-#    the LLM-pipeline headliners, the CH-dialect layer, and the real-codec
-#    multimodal queries.
-# 2. Ten queries that had not yet received a driver hash as of round 4
-#    (funnels, cohorts, the ANN invariant oracles, the rewritten Q18, the
-#    salted-skew agg, real WAV features) — positions 41-50.
+# Layout of ``DRIVER_ORDER`` (round 6: drain the never-driver-hashed tail,
+# per VERDICT r5 "next round" item 1):
+# 1. A 12-name anchor set — one representative per §2 / LLM-pipeline
+#    family that has repeatedly hashed green (regression canaries).
+# 2. 38 fresh slots: ``knn_ivf_trained`` first (its only driver row ever
+#    is the r1 failure, pre-rewrite), then the 16 never-hashed TPC-H
+#    shapes, the window/time-series family, ANN/embedding/dedup tails,
+#    agg/funnel/cohort shapes, and the three round-6 dialect queries
+#    (FINAL, windowFunnel, retention).
 # 3. Every remaining registered query in registration (source) order.
 # Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
 # every test run regardless of their position in this list.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
-    # --- core: relational flagship + joins ---
+    # --- anchors: one long-green canary per family ---
     "tpch_q1_pricing",
     "tpch_q3_topk",
-    "tpch_q5_region_revenue",
-    "asof_join_events",
-    "range_join_recent_events",
-    # --- core: windows / time series ---
+    "tpch_q9_profit",
     "window_topk_per_customer",
     "window_sessionize",
-    "window_tumbling_1h",
-    "ts_gap_fill",
-    # --- core: set ops ---
-    "setop_intersect",
-    # --- core: aggregation families ---
-    "agg_distinct_exact",
-    "agg_approx_distinct",
-    "agg_hll_rollup",
-    "agg_percentile_approx",
-    "agg_rollup",
     "agg_grouping_sets",
-    # --- core: parse / project / cast (§2.2) ---
     "etl_parse_project",
-    "etl_csv_parse",
-    "etl_saturating_cast",
-    "etl_default_on_error",
-    "etl_datetime_layouts",
-    "etl_array_cast",
-    "etl_map_explode",
-    "etl_null_reject",
-    # --- core: routing / sharding (§2.3) ---
-    "etl_shard_hash_xx",
-    # --- core: batching / state (§2.4-2.5) ---
-    "etl_dedup_offsets",
-    "etl_schema_infer_keys",
-    "series_latest_per_key",
-    "series_labels_json",
-    # --- core: LLM-pipeline headliners ---
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "knn_cosine_topk",
-    "text_quality",
-    "pipeline_pretraining_corpus",
-    "quality_gopher_rules",
-    "dedup_passage_ccnet",
-    "text_langid_trigram",
-    # --- core: CH-dialect layer ---
     "ch_dialect_hourly_stats",
-    # --- core: multimodal ---
     "mm_binary_meta",
-    "mm_bmp_decode_real",
-    # --- slots 41-50: first driver hash for these (never checked r1-r4) ---
-    "seq_match_funnel",
-    "cohort_weekly_retention",
-    "funnel_window_3step",
-    "knn_kmeans_assign",
-    "knn_pq_topk",
-    "window_session_agg",
-    "tpch_q18_having",
-    "tpch_q9_profit",
-    "agg_salted_user_stats",
-    "mm_wav_features_real",
+    # --- fresh slot: the one query whose last driver row is a failure ---
+    "knn_ivf_trained",
+    # --- fresh slots: never-hashed TPC-H shapes ---
+    "tpch_q2_top_supplier_region",
+    "tpch_q4_semijoin",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q12_case_agg",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q20_top_shippers",
+    "tpch_q21_last_shipper",
+    "tpch_q22_idle_customers",
+    # --- fresh slots: window / time-series family ---
+    "window_moving_avg",
+    "window_lag_delta",
+    "window_cumulative_revenue",
+    "window_range_trailing_hour",
+    "ts_ohlc_hourly",
+    "ts_counter_increase",
+    # --- fresh slots: ANN / embeddings / dedup tail ---
+    "emb_quantize_int8",
+    "knn_range_search",
+    "dedup_incremental_minhash",
+    "dedup_semantic_clusters",
+    "dedup_components_star",
+    # --- fresh slots: agg / funnel / cohort / pipeline shapes ---
+    "agg_cube_orders",
+    "agg_pivot_status",
+    "agg_percentile_qty",
+    "funnel_signup_purchase",
+    "retention_next_day",
+    "asof_join_tolerance",
+    "pipeline_split_assign",
+    # --- fresh slots: round-6 dialect queries ---
+    "ch_dialect_final",
+    "ch_dialect_window_funnel",
+    "ch_dialect_retention",
 ]
 
 DRIVER_WINDOW = 50
