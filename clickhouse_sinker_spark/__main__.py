@@ -31,7 +31,7 @@ def _run_query(args) -> None:
     import os
     import sys
 
-    from .functions.chdialect import translate_ch_sql
+    from .functions.chdialect import spark_array_columns, translate_ch_sql
     from .sources.tables import load_table
 
     spark = (
@@ -41,9 +41,11 @@ def _run_query(args) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
+    views = []
     for f in sorted(glob.glob(os.path.join(args.data_dir, "*.parquet"))):
         name = os.path.splitext(os.path.basename(f))[0]
         load_table(spark, args.data_dir, name).createOrReplaceTempView(name)
+        views.append(name)
     # --final-key table:k1,k2:v1,v2 → ReplacingMergeTree merge-on-read
     # config for FROM t FINAL (sorting key + ordered version columns)
     table_keys = None
@@ -58,7 +60,11 @@ def _run_query(args) -> None:
             [c for c in parts[1].split(",") if c],
             [c for c in parts[2].split(",") if c],
         )
-    translated, notes = translate_ch_sql(args.query, table_keys=table_keys)
+    translated, notes = translate_ch_sql(
+        args.query,
+        table_keys=table_keys,
+        array_columns=spark_array_columns(spark, views),
+    )
     for n in notes:
         print(f"-- note: {n}", file=sys.stderr)
     df = spark.sql(translated)

@@ -798,16 +798,45 @@ _ARRAY_PRODUCERS = re.compile(
 )
 
 
+# catalog context for the current translate_ch_sql call: lower-cased names
+# of columns KNOWN (from registered table schemas) to be arrays — lets
+# empty()/notEmpty() pick size() for bare array columns, which pure text
+# sniffing cannot type.  Set/reset by translate_ch_sql; single-threaded per
+# call like the rest of this text pipeline.
+_ARRAY_COLUMNS: frozenset[str] = frozenset()
+
+
+def spark_array_columns(spark, tables) -> frozenset[str]:
+    """Column names (lower-cased, unqualified) that are arrays in EVERY
+    registered table that has them — a name that is an array in one table
+    but scalar in another is ambiguous and excluded (falls back to
+    ``length``, which fails loudly rather than silently mis-answering)."""
+    arrays: set[str] = set()
+    scalars: set[str] = set()
+    for t in tables:
+        for f in spark.table(t).schema.fields:
+            name = f.name.lower()
+            if f.dataType.typeName() == "array":
+                arrays.add(name)
+            else:
+                scalars.add(name)
+    return frozenset(arrays - scalars)
+
+
 def _len_expr(arg: str) -> str:
     """ClickHouse ``empty()`` is polymorphic (strings AND arrays); Spark's
     ``length`` is string-only and ``size`` is array-only.  Pick by
     sniffing the (already translated) argument: expressions built by
-    array-producing functions get ``size``, everything else ``length``.
-    A bare array COLUMN cannot be detected textually — Spark then fails
-    analysis loudly (length over array), never silently mis-answers;
-    write ``size(col) = 0`` directly in that case."""
-    fn = "size" if _ARRAY_PRODUCERS.match(arg) else "length"
-    return f"{fn}({arg})"
+    array-producing functions get ``size``, bare columns the catalog
+    context (``_ARRAY_COLUMNS``) knows to be arrays get ``size``,
+    everything else ``length``.  An untyped bare array column then fails
+    analysis loudly (length over array), never silently mis-answers."""
+    if _ARRAY_PRODUCERS.match(arg):
+        return f"size({arg})"
+    bare = re.match(r"^\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*$", arg)
+    if bare and bare.group(1).lower() in _ARRAY_COLUMNS:
+        return f"size({arg})"
+    return f"length({arg})"
 
 
 def _date_diff(args: list[str]) -> str:
@@ -1424,7 +1453,9 @@ def _rewrite_final(sql: str, table_keys, notes: list[str]) -> str:
         )
 
 
-def translate_ch_sql(sql: str, table_keys=None) -> tuple[str, list[str]]:
+def translate_ch_sql(
+    sql: str, table_keys=None, array_columns=None
+) -> tuple[str, list[str]]:
     """Translate a ClickHouse SQL query to Spark SQL.
 
     Returns ``(spark_sql, notes)`` — notes record semantic deltas (FINAL
@@ -1433,7 +1464,20 @@ def translate_ch_sql(sql: str, table_keys=None) -> tuple[str, list[str]]:
 
     ``table_keys`` (optional): ``{table: (sorting_key_cols, version_cols)}``
     — enables the real ``FROM t FINAL`` merge-on-read rewrite; without it
-    FINAL is stripped with a note."""
+    FINAL is stripped with a note.
+
+    ``array_columns`` (optional): column names known from the catalog to be
+    arrays (see ``spark_array_columns``) — types bare columns under
+    ``empty()``/``notEmpty()``."""
+    global _ARRAY_COLUMNS
+    _ARRAY_COLUMNS = frozenset(c.lower() for c in (array_columns or ()))
+    try:
+        return _translate_ch_sql_inner(sql, table_keys)
+    finally:
+        _ARRAY_COLUMNS = frozenset()
+
+
+def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     notes: list[str] = []
     _redirect = {
         "sequenceMatch": "plans/queries.py:seq_match_funnel (native sequenceMatch shape)",
@@ -1564,10 +1608,15 @@ def ch_sql(spark, sql: str, sf_dir: str, table_keys=None):
     and executes the translated SQL."""
     from ..sources.tables import load_table
 
-    for t in (
+    tables = (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
-    ):
+    )
+    for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    translated, _notes = translate_ch_sql(sql, table_keys=table_keys)
+    translated, _notes = translate_ch_sql(
+        sql,
+        table_keys=table_keys,
+        array_columns=spark_array_columns(spark, tables),
+    )
     return spark.sql(translated)

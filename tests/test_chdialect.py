@@ -966,3 +966,30 @@ def test_retention_aggregate(spark):
     ])
     out = {r["user_id"]: list(r["r"]) for r in spark.sql(got).collect()}
     assert out == {1: [1, 1, 0], 2: [0, 0, 0]}
+
+
+def test_empty_on_bare_array_column_catalog_aware(spark):
+    """A bare array COLUMN under empty()/notEmpty() cannot be typed from
+    text alone — the catalog context (spark_array_columns) supplies it, so
+    the translation emits size() instead of the string-only length()."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        spark_array_columns,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, ["a"], "x"), (2, [], "")],
+        "id int, tags array<string>, name string",
+    ).createOrReplaceTempView("t")
+    cols = spark_array_columns(spark, ["t"])
+    assert cols == frozenset({"tags"})
+    got, _ = translate_ch_sql(
+        "SELECT id, empty(tags) AS no_tags, empty(name) AS no_name FROM t",
+        array_columns=cols,
+    )
+    assert "(size(tags) = 0)" in got and "(length(name) = 0)" in got
+    out = {r["id"]: (r["no_tags"], r["no_name"]) for r in spark.sql(got).collect()}
+    assert out == {1: (False, False), 2: (True, True)}
+    # context resets between calls — without the catalog, back to length()
+    got2, _ = translate_ch_sql("SELECT empty(tags) FROM t")
+    assert "length(tags)" in got2
