@@ -8,6 +8,14 @@ value = total wall-clock of the headline query set (lower is better).
 Each query is fully materialized via count() on the result (no collect of
 payload — mirrors the reference's sink-side accounting, where throughput
 is rows landed per second, docs/dev/introduction.md:59-94).
+
+Cross-ROUND comparisons need the ``env`` block: the sandbox host's
+absolute speed drifts between rounds.  Measured r6: the UNCHANGED round-4
+checkout re-benched on the round-6 host scored 14.375 s against its
+recorded 9.321 s (+54% on identical code and data, idle host both times)
+— so only same-host same-day numbers are comparable, and the honest
+cross-round signal is A/B of two checkouts on one host, which
+``tools/driver_sim.py`` and a ``git worktree`` of the prior round give.
 """
 
 from __future__ import annotations
@@ -93,10 +101,49 @@ def _etl_pipeline_bench(spark: SparkSession, sf_dir: str, copies: int = 10) -> f
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _host_cpu_snapshot() -> tuple[float, float]:
+    """(host_busy_jiffies, self+children_jiffies) from /proc — the delta
+    across the bench separates our own CPU use from other load on a shared
+    host (the r5→r4 +8% question was exactly this ambiguity)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [float(x) for x in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle + iowait
+    busy = sum(vals) - idle
+    t = os.times()
+    self_j = (t.user + t.system + t.children_user + t.children_system) * float(
+        os.sysconf("SC_CLK_TCK")
+    )
+    return busy, self_j
+
+
+def _env_stats(start_loadavg, start_snap, start_wall) -> dict:
+    """Environment block for the bench JSON: load averages at start/end and
+    the average count of busy host cores over the whole bench window.  If
+    host_cores_busy_avg materially exceeds what this bench itself can use
+    (bounded by SPARK_GRAFT_CPUS), other load shared the host and the
+    timings carry that noise — the r4→r5 +8% question made this
+    distinction mandatory (VERDICT r5 item 3)."""
+    busy0, _self0 = start_snap
+    busy1, _self1 = _host_cpu_snapshot()
+    wall = max(time.monotonic() - start_wall, 1e-9)
+    tck = float(os.sysconf("SC_CLK_TCK"))
+    return {
+        "loadavg_start": [round(x, 2) for x in start_loadavg],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "host_cpus": os.cpu_count() or 1,
+        "host_cores_busy_avg": round((busy1 - busy0) / tck / wall, 2),
+        "bench_wall_s": round(wall, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    start_loadavg = os.getloadavg()
+    start_snap = _host_cpu_snapshot()
+    start_wall = time.monotonic()
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("clickhouse_sinker_spark-bench")
@@ -172,6 +219,7 @@ def main() -> None:
                     "post-JIT), cold first run reported separately in "
                     "etl_pipeline_1m_cold/_runs"
                 ),
+                "env": _env_stats(start_loadavg, start_snap, start_wall),
             }
         )
     )
