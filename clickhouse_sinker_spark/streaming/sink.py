@@ -343,3 +343,69 @@ class JdbcSink:
                 routed.unpersist()
         else:
             self._write_shard(batch.select(*cols), 0)
+
+
+@dataclass
+class NativeHttpSink(JdbcSink):
+    """ClickHouse bulk-insert over the HTTP interface with Native-format
+    blocks (S3, transport #2) — the closest server-optional stand-in for
+    the reference's pooled native-protocol batch writer
+    (pool/ck_cli.go:126-247): the same column-oriented block layout
+    (chproto.py, golden-byte-tested) POSTed as ``INSERT INTO t FORMAT
+    Native``.
+
+    Inherits JdbcSink's entire shard fan-out / retry / replica-failover
+    machinery (R5, W4, S5) and swaps only the per-replica transport:
+    ``foreachPartition`` on the EXECUTORS — each partition frames its own
+    rows into ≤ ``batch_size``-row blocks and streams them out, so at
+    1000 executors there are 1000 concurrent framers and zero
+    driver-side row movement (the reference's per-shard goroutine
+    equivalent, scaled out instead of up).
+
+    ``ch.url_format`` must yield http(s) endpoints, e.g.
+    ``"http://{host}"`` — asserted loudly per write.
+    """
+
+    def _write_one(self, part: DataFrame, url: str) -> None:
+        if not url.startswith(("http://", "https://")):
+            raise ValueError(
+                f"NativeHttpSink needs an http(s) url_format, got {url!r} — "
+                'set ClickHouseConfig(url_format="http://{host}")'
+            )
+        from ..chproto import ch_type_for_spark
+
+        fields = [
+            (f.name, ch_type_for_spark(f.dataType.simpleString(), f.nullable))
+            for f in part.schema.fields
+        ]
+        table = f"{self.ch.database}.{self.table}"
+        user, password, max_rows = self.ch.username, self.ch.password, self.batch_size
+
+        def send_partition(rows) -> None:
+            # runs on the executor: local imports only, no driver state
+            from clickhouse_sinker_spark.chproto import (
+                encode_block,
+                insert_native_http,
+            )
+
+            buf: list[tuple] = []
+
+            def flush() -> None:
+                if not buf:
+                    return
+                cols = [
+                    (n, t, [r[i] for r in buf])
+                    for i, (n, t) in enumerate(fields)
+                ]
+                insert_native_http(
+                    url, table, encode_block(cols), user=user, password=password
+                )
+                buf.clear()
+
+            for row in rows:
+                buf.append(tuple(row))
+                if len(buf) >= max_rows:
+                    flush()
+            flush()
+
+        part.foreachPartition(send_partition)

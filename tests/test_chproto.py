@@ -1,0 +1,228 @@
+"""Native-format block codec: golden byte pins (hand-derived from the
+public FORMAT Native spec), round-trip properties, and the HTTP insert
+transport against a local capture server."""
+
+from __future__ import annotations
+
+import threading
+from datetime import date, datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clickhouse_sinker_spark.chproto import (
+    ch_type_for_spark,
+    decode_block,
+    encode_block,
+    insert_native_http,
+)
+
+
+def test_golden_block_bytes():
+    """Byte-exact pin: column order, varint lengths, LE values, null-mask
+    placement BEFORE Nullable inner data — the exact layout the reference
+    ships per batch (output/clickhouse.go:139-295 column build order)."""
+    block = encode_block([
+        ("id", "Int32", [1, 2]),
+        ("name", "String", ["ab", ""]),
+        ("v", "Nullable(Float64)", [1.5, None]),
+    ])
+    want = (
+        b"\x03"            # 3 columns
+        b"\x02"            # 2 rows
+        b"\x02id" b"\x05Int32"
+        b"\x01\x00\x00\x00" b"\x02\x00\x00\x00"          # 1, 2 LE
+        b"\x04name" b"\x06String"
+        b"\x02ab" b"\x00"                                # "ab", ""
+        b"\x01v" b"\x11Nullable(Float64)"
+        b"\x00\x01"                                      # null mask: row2 NULL
+        b"\x00\x00\x00\x00\x00\x00\xf8\x3f"              # 1.5 LE double
+        b"\x00\x00\x00\x00\x00\x00\x00\x00"              # null backfill 0.0
+    )
+    assert block == want
+
+
+def test_golden_array_offsets():
+    """Array(T): cumulative UInt64 end-offsets then flattened inner."""
+    block = encode_block([("xs", "Array(Int8)", [[1, 2], [], [3]])])
+    want = (
+        b"\x01\x03"
+        b"\x02xs" b"\x0bArray(Int8)"
+        b"\x02\x00\x00\x00\x00\x00\x00\x00"  # end of row 1 = 2
+        b"\x02\x00\x00\x00\x00\x00\x00\x00"  # end of row 2 = 2
+        b"\x03\x00\x00\x00\x00\x00\x00\x00"  # end of row 3 = 3
+        b"\x01\x02\x03"
+    )
+    assert block == want
+
+
+def test_golden_temporal_and_fixed():
+    d = date(1970, 1, 11)           # 10 days
+    dt = datetime(1970, 1, 1, 0, 2, 5, tzinfo=timezone.utc)  # 125 s
+    block = encode_block([
+        ("d", "Date", [d]),
+        ("t", "DateTime", [dt]),
+        ("t6", "DateTime64(6)", [dt]),
+        ("f", "FixedString(4)", ["ab"]),
+    ])
+    want = (
+        b"\x04\x01"
+        b"\x01d" b"\x04Date" b"\x0a\x00"
+        b"\x01t" b"\x08DateTime" b"\x7d\x00\x00\x00"
+        b"\x02t6" b"\x0dDateTime64(6)"
+        + (125 * 10**6).to_bytes(8, "little")
+        + b"\x01f" b"\x0eFixedString(4)" b"ab\x00\x00"
+    )
+    assert block == want
+
+
+def test_varint_multibyte():
+    """200 rows → 0xC8 0x01 (ULEB128 continuation)."""
+    block = encode_block([("x", "UInt8", [0] * 200)])
+    assert block[:3] == b"\x01\xc8\x01"
+    assert decode_block(block)[0][2] == [0] * 200
+
+
+_SCALARS = {
+    "Int8": st.integers(-128, 127),
+    "Int64": st.integers(-(2**63), 2**63 - 1),
+    "UInt32": st.integers(0, 2**32 - 1),
+    "Float64": st.floats(allow_nan=False, allow_infinity=False),
+    "String": st.text(max_size=20),
+}
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.data())
+def test_round_trip_property(data):
+    """encode→decode is identity for every supported scalar, Nullable of
+    it, and Array of it (the decoder is an independent second reading of
+    the spec — agreement pins both)."""
+    t = data.draw(st.sampled_from(sorted(_SCALARS)))
+    base = _SCALARS[t]
+    n = data.draw(st.integers(0, 12))
+    plain = data.draw(st.lists(base, min_size=n, max_size=n))
+    nullable = data.draw(
+        st.lists(st.one_of(st.none(), base), min_size=n, max_size=n)
+    )
+    arrays = data.draw(
+        st.lists(st.lists(base, max_size=4), min_size=n, max_size=n)
+    )
+    cols = [
+        ("a", t, plain),
+        ("b", f"Nullable({t})", nullable),
+        ("c", f"Array({t})", arrays),
+    ]
+    out = decode_block(encode_block(cols))
+    assert out == cols
+
+
+def test_lowcardinality_encodes_as_plain():
+    block = encode_block([("s", "LowCardinality(String)", ["x", "y"])])
+    # type string preserved verbatim; data laid out as plain String
+    name, t, vals = decode_block(block)[0]
+    assert (name, t, vals) == ("s", "LowCardinality(String)", ["x", "y"])
+
+
+def test_mismatched_row_counts_raise():
+    with pytest.raises(ValueError, match="rows"):
+        encode_block([("a", "Int8", [1]), ("b", "Int8", [1, 2])])
+
+
+def test_ch_type_for_spark():
+    assert ch_type_for_spark("bigint") == "Int64"
+    assert ch_type_for_spark("string", nullable=True) == "Nullable(String)"
+    assert ch_type_for_spark("timestamp") == "DateTime64(6)"
+    assert ch_type_for_spark("array<float>") == "Array(Float32)"
+    with pytest.raises(ValueError):
+        ch_type_for_spark("interval")
+
+
+class _Capture(BaseHTTPRequestHandler):
+    body = None
+    path_seen = None
+    headers_seen = None
+    status = 200
+
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers.get("Content-Length", 0))
+        _Capture.body = self.rfile.read(n)
+        _Capture.path_seen = self.path
+        _Capture.headers_seen = dict(self.headers)
+        self.send_response(_Capture.status)
+        self.end_headers()
+        self.wfile.write(b"")
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture()
+def capture_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Capture)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_insert_native_http(capture_server):
+    block = encode_block([("id", "Int32", [7])])
+    insert_native_http(capture_server, "db.t", block, user="u", password="p")
+    assert _Capture.body == block
+    assert "INSERT+INTO+db.t+FORMAT+Native" in _Capture.path_seen
+    hdrs = {k.lower(): v for k, v in _Capture.headers_seen.items()}
+    assert hdrs["x-clickhouse-user"] == "u"
+    assert hdrs["x-clickhouse-key"] == "p"
+
+
+def test_insert_native_http_error_raises(capture_server):
+    import urllib.error
+
+    _Capture.status = 500
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            insert_native_http(capture_server, "t", b"\x00\x00")
+    finally:
+        _Capture.status = 200
+
+
+def test_native_http_sink_end_to_end(capture_server, spark):
+    """NativeHttpSink: a real DataFrame lands as decodable Native blocks
+    on the HTTP endpoint — executor-side framing, driver-side failover
+    config reused from JdbcSink."""
+    from clickhouse_sinker_spark.config import ClickHouseConfig
+    from clickhouse_sinker_spark.streaming.sink import NativeHttpSink
+
+    host = capture_server.removeprefix("http://")
+    ch = ClickHouseConfig(
+        hosts=(host,), database="db", url_format="http://{host}"
+    )
+    sink = NativeHttpSink(ch=ch, table="t", shards=1)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id bigint, s string, v double"
+    ).coalesce(1)
+    sink(df, epoch_id=0)
+    assert _Capture.body is not None
+    cols = decode_block(_Capture.body)
+    assert [(n, t) for n, t, _ in cols] == [
+        ("id", "Nullable(Int64)"),
+        ("s", "Nullable(String)"),
+        ("v", "Nullable(Float64)"),
+    ]
+    landed = sorted(zip(cols[0][2], cols[1][2], cols[2][2]))
+    assert landed == [(1, "a", 1.5), (2, "b", None)]
+    assert "INSERT+INTO+db.t+FORMAT+Native" in _Capture.path_seen
+
+
+def test_native_http_sink_rejects_jdbc_url(spark):
+    from clickhouse_sinker_spark.config import ClickHouseConfig
+    from clickhouse_sinker_spark.streaming.sink import NativeHttpSink
+
+    ch = ClickHouseConfig(hosts=("h:8123",), retry_times=1)
+    sink = NativeHttpSink(ch=ch, table="t")
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(Exception, match="http"):
+        sink(df, epoch_id=0)
