@@ -179,13 +179,80 @@ def _dist2_to(vec: Column, cent: list[float]) -> Column:
     )
 
 
-def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+# Above this many centroids the k×dim literal array stops being a sane
+# plan (codegen size, plan serialization); switch to a broadcast centroid
+# matrix + argmin fold (VERDICT r5 item 6).  Both paths are property-tested
+# equal at k=8 (tests/test_operators.py).
+BROADCAST_CENTROID_THRESHOLD = 256
+
+
+def _assign_with_dist(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: int = BROADCAST_CENTROID_THRESHOLD,
+) -> DataFrame:
+    """Add ``cluster`` (nearest centroid, ties → lower index) and ``d2``
+    (squared distance to it).
+
+    k ≤ threshold — centroids compiled into the plan as literals: zero
+    joins, pure map.  k > threshold — the centroid matrix rides a
+    broadcast single-row DataFrame (array<array<double>>) cross-joined in
+    (BroadcastNestedLoopJoin of exactly one row), and the argmin is an
+    ``aggregate`` fold over ``transform(matrix)`` — the transform
+    materializes each centroid's distance ONCE (the lambda-no-CSE trap),
+    and the strict ``<`` keeps the earliest minimum, reproducing the
+    literal path's lower-index tie-break exactly.  The fold result is
+    bound via a one-element explode (a Generate node CollapseProject
+    cannot cross), so the fold runs once per row, not once per output
+    column."""
+    v = F.col(vec_col).cast("array<double>")
+    if len(centroids) <= threshold:
+        dists = F.array(*[_dist2_to(v, c) for c in centroids])
+        return df.withColumn("d2", F.array_min(dists)).withColumn(
+            "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        )
+    spark = df.sparkSession
+    matrix = [[float(x) for x in c] for c in centroids]
+    mdf = spark.createDataFrame([(matrix,)], "__cmat: array<array<double>>")
+    best = F.aggregate(
+        F.transform(
+            F.col("__cmat"),
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                i.alias("idx"),
+            ),
+        ),
+        F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).alias("idx")
+        ),
+        lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
+    )
+    return (
+        df.crossJoin(F.broadcast(mdf))
+        .select("*", F.explode(F.array(best)).alias("__best"))
+        .withColumn("d2", F.col("__best.d2"))
+        .withColumn("cluster", F.col("__best.idx").cast("int"))
+        .drop("__cmat", "__best")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: int = BROADCAST_CENTROID_THRESHOLD,
+) -> DataFrame:
     """Attach the nearest-centroid ``cluster`` column (ties → lower index).
     Run this once at landing time and partition/bucket the corpus by
-    ``cluster`` so searches only scan the probed partitions."""
-    v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[_dist2_to(v, c) for c in centroids])
-    return df.withColumn("cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+    ``cluster`` so searches only scan the probed partitions.  Above
+    ``threshold`` centroids the plan switches from compiled literals to a
+    broadcast centroid matrix (see ``_assign_with_dist``)."""
+    return _assign_with_dist(df, vec_col, centroids, threshold).drop("d2")
 
 
 def ivf_search(
@@ -247,6 +314,7 @@ def kmeans_lloyd(
     id_col: str,
     k: int = 8,
     iters: int = 5,
+    threshold: int = BROADCAST_CENTROID_THRESHOLD,
 ) -> tuple[DataFrame, list[list[float]], list[float]]:
     """Distributed Lloyd's k-means — the IVF coarse quantizer trained
     in-engine.
@@ -268,21 +336,13 @@ def kmeans_lloyd(
     centroids = [list(r["v"]) for r in seeds]
     dim = len(centroids[0])
 
-    def dist2(vec: Column, cent: list[float]) -> Column:
-        carr = F.array(*[F.lit(float(x)) for x in cent])
-        return F.aggregate(
-            F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     assigned = None
     sse_trace: list[float] = []
     for _ in range(iters):
-        dists = F.array(*[dist2(F.col("v"), c) for c in centroids])
-        best = F.array_position(dists, F.array_min(dists)).cast("int") - 1
-        assigned = base.select("id", "v", best.alias("cluster"),
-                               F.array_min(dists).alias("d2"))
+        # literal or broadcast-matrix assignment by k (see _assign_with_dist)
+        assigned = _assign_with_dist(base, "v", centroids, threshold).select(
+            "id", "v", "cluster", "d2"
+        )
         stats = (
             assigned.select("cluster", "d2", F.posexplode("v").alias("idx", "x"))
             .groupBy("cluster", "idx")

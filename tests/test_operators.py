@@ -562,3 +562,48 @@ def test_pq_adc_recall_vs_exact(spark):
 
     per_q = Counter(q for q, _ in ap)
     assert all(v == 10 for v in per_q.values())
+
+
+def test_ivf_assign_broadcast_path_equivalence(spark):
+    """The two centroid-assignment plans — compiled literals (k ≤ 256) and
+    broadcast matrix + argmin fold (k > 256) — must agree row-for-row,
+    including the lower-index tie-break (VERDICT r5 item 6).  The
+    broadcast path is forced by threshold=0; the plan must show a
+    broadcast join and the literal path must not."""
+    from clickhouse_sinker_spark.operators.similarity import ivf_assign, kmeans_lloyd
+
+    em = load_table(spark, SF_DIR, "embeddings").limit(200)
+    from clickhouse_sinker_spark.operators.similarity import kmeans_lloyd as _km
+
+    _, cents, _ = _km(em, "embedding", "vec_id", k=8, iters=2)
+    lit_rows = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(em, "embedding", cents).select("vec_id", "cluster").collect()
+    }
+    bc = ivf_assign(em, "embedding", cents, threshold=0)
+    bc_rows = {
+        r["vec_id"]: r["cluster"] for r in bc.select("vec_id", "cluster").collect()
+    }
+    assert lit_rows == bc_rows and len(lit_rows) == 200
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    lit_plan = (
+        ivf_assign(em, "embedding", cents)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" not in lit_plan
+
+    # tie-break pin: a vector equidistant to duplicate centroids → index 0
+    dup = spark.createDataFrame([(1, [0.0, 0.0])], "id int, v array<double>")
+    two = [[1.0, 0.0], [1.0, 0.0]]
+    for thr in (256, 0):
+        got = ivf_assign(dup, "v", two, threshold=thr).first()["cluster"]
+        assert got == 0, f"threshold={thr}"
+
+    # kmeans via the broadcast path converges to the same centroids
+    _, c_lit, sse_lit = kmeans_lloyd(em, "embedding", "vec_id", k=8, iters=2)
+    _, c_bc, sse_bc = kmeans_lloyd(
+        em, "embedding", "vec_id", k=8, iters=2, threshold=0
+    )
+    assert sse_lit == sse_bc
+    for a, b in zip(c_lit, c_bc):
+        assert all(abs(x - y) < 1e-12 for x, y in zip(a, b))
