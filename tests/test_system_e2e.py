@@ -168,3 +168,91 @@ def test_registry_to_pipeline_to_health(spark, tmp_path, registry_server):
         app.stop_all()
         spark.streams.removeListener(listener)
         rcm.deregister("10.0.0.1", 2112)
+
+
+def test_flush_triggers_and_watchdog_restart(spark, tmp_path):
+    """W1 both flush triggers + W7 watchdog (VERDICT r5 item 8):
+
+    * count cap — ``maxFilesPerTrigger=1`` (the file-source analogue of
+      ``maxOffsetsPerTrigger``) splits a 3-file backlog into ≥3 batches;
+    * time trigger — a file arriving AFTER the backlog drains is picked up
+      by a later processing-time tick (its own epoch);
+    * watchdog — an injected sink failure kills the query; the watchdog
+      restarts it from the checkpoint and the replayed batch lands
+      (at-least-once → rows complete, restart counter advances).
+    """
+    from clickhouse_sinker_spark.control import SinkerApp
+
+    cfg = load_config({
+        "clickhouse": {"hosts": [["h0"]]},
+        "kafka": {"brokers": "b:9092"},
+        "tasks": [{
+            "name": "gamma", "topic": "gamma", "tableName": "gamma",
+            "consumerGroup": "g", "parser": "json", "flushInterval": 1,
+            "dims": [
+                {"name": "name", "type": "String"},
+                {"name": "value", "type": "Nullable(Float64)"},
+            ],
+        }],
+    })
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_file(idx: int, n: int = 5) -> None:
+        with open(in_dir / f"f{idx}.jsonl", "w") as f:
+            for i in range(n):
+                f.write(json.dumps({"name": f"f{idx}-r{i}", "value": float(i)}) + "\n")
+
+    for i in range(3):  # backlog: 3 files before start
+        write_file(i)
+
+    out = str(tmp_path / "out" / "gamma")
+    base_sink = ParquetSink(out)
+    fail_next = {"n": 1}
+    epochs: list[int] = []
+
+    def failing_sink(batch, epoch_id):
+        if fail_next["n"] > 0:
+            fail_next["n"] -= 1
+            raise RuntimeError("injected sink failure (W7 drill)")
+        epochs.append(epoch_id)
+        base_sink(batch, epoch_id)
+
+    app = SinkerApp(
+        spark=spark,
+        checkpoint_root=str(tmp_path / "ckpt"),
+        source_factory=lambda sp, task, c: file_source(sp, str(in_dir)),
+        sink_factory=lambda task, c: failing_sink,
+    )
+    wd = None
+    try:
+        app.apply_config(cfg)
+        wd = app.watchdog(interval_s=1.0, backoff_s=0.2)
+
+        def distinct_rows():
+            try:
+                return (
+                    spark.read.parquet(out).select("name").distinct().count()
+                )
+            except Exception:
+                return 0
+
+        # watchdog revived the query after the injected failure, and the
+        # count cap split the 3-file backlog into ≥3 sink epochs
+        assert _await(lambda: distinct_rows() >= 15)
+        assert app.restarts.get("gamma", 0) >= 1
+        assert _await(lambda: len(set(epochs)) >= 3)
+
+        # time trigger: a late file gets its own later tick
+        seen = len(set(epochs))
+        write_file(9)
+        assert _await(lambda: distinct_rows() >= 20)
+        assert len(set(epochs)) > seen
+    finally:
+        if wd is not None:
+            wd.stop_event.set()
+        for q in list(app.queries.values()):
+            try:
+                q.stop()
+            except Exception:
+                pass
