@@ -309,7 +309,6 @@ _UNSUPPORTED = {
     "halfMD5",
     "topK",
     "uniqCombined",
-    "sequenceMatch",
     "neighbor",
     "runningDifference",
     "sample",
@@ -534,6 +533,103 @@ def _rewrite_window_funnel(sql: str) -> str:
         sql = sql[:at] + rep + sql[end2:]
 
 
+def _seq_pattern_to_regex(pattern: str, n_conds: int) -> str:
+    """Parse a ClickHouse sequence pattern literal into a character regex.
+
+    Supported atoms (the documented grammar minus time constraints):
+    ``(?N)`` — one event satisfying condition N; ``.*`` — any number of
+    events.  ``(?t…)`` time constraints are refused with a pointer to
+    windowFunnel (whose window covers the common time-bound funnels).
+    Condition N maps to character ``chr(96+N)`` — safe, never a regex
+    metacharacter (N ≤ 26 enforced)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        if pattern.startswith("(?t", i):
+            raise ChTranslationError(
+                "sequenceMatch/sequenceCount (?t…) time constraints are not "
+                "supported — use windowFunnel(W) for time-bound chains"
+            )
+        if pattern.startswith("(?", i):
+            j = pattern.index(")", i)
+            num = pattern[i + 2 : j]
+            if not num.isdigit() or not (1 <= int(num) <= n_conds):
+                raise ChTranslationError(
+                    f"sequence pattern atom (?{num}) out of range 1..{n_conds}"
+                )
+            if n_conds > 26:
+                raise ChTranslationError("sequence patterns support ≤ 26 conditions")
+            out.append(chr(96 + int(num)))
+            i = j + 1
+        elif pattern.startswith(".*", i):
+            out.append(".*")
+            i += 2
+        else:
+            raise ChTranslationError(
+                f"unsupported sequence pattern syntax at {pattern[i:]!r} "
+                "(supported: (?N) and .*)"
+            )
+    return "".join(out)
+
+
+def _rewrite_sequence(sql: str, name: str, emit) -> str:
+    """Shared combinator handling for ``sequenceMatch('pat')(ts, c1, …)``
+    and ``sequenceCount``: the group's events that satisfy ≥1 condition
+    are time-sorted and rendered as a character string (condition i →
+    letter i), then the pattern runs as an ordinary regex — CH's exact
+    contract that non-matching events are EXCLUDED from the sequence and
+    un-separated atoms must be ADJACENT in what remains
+    (AggregateFunctionSequenceMatch.h).
+
+    Delta vs CH: conditions must be mutually exclusive per event — an
+    event satisfying several conditions is one sequence entry with
+    several flags in CH, which a character string cannot carry; such data
+    raises at RUNTIME via raise_error() (loud, never a silent wrong
+    answer).  Same-timestamp events order by condition index
+    (deterministic; CH leaves it undefined).
+    Scale: one collect_list per group — the same O(group) state CH's
+    aggregate holds; regex runs once per group, JVM-side."""
+    while True:
+        at = _find_call(sql, name)
+        if at < 0:
+            return sql
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError(
+                f"{name} requires the ('pattern')(ts, cond, …) combinator form"
+            )
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        pat_raw = sql[open1 + 1 : end1 - 1].strip()
+        if not (pat_raw.startswith("'") and pat_raw.endswith("'")):
+            raise ChTranslationError(f"{name} requires a literal pattern string")
+        body = [_translate_functions(a) for a in _split_args(sql[open2 + 1 : end2 - 1])]
+        if len(body) < 2:
+            raise ChTranslationError(f"{name} needs a timestamp and ≥1 condition")
+        ts, conds = body[0], body[1:]
+        regex = _seq_pattern_to_regex(pat_raw[1:-1], len(conds))
+        nmatch = " + ".join(f"CASE WHEN {c} THEN 1 ELSE 0 END" for c in conds)
+        midx = (
+            "CASE "
+            + " ".join(f"WHEN {c} THEN {i + 1}" for i, c in enumerate(conds))
+            + " END"
+        )
+        seq = (
+            f"concat_ws('', transform(sort_array(collect_list("
+            f"CASE WHEN ({nmatch}) >= 1 THEN named_struct("
+            f"'t', {ts}, 'c', char(96 + ({midx}))) END)), e -> e.c))"
+        )
+        guard = (
+            f"CASE WHEN max({nmatch}) > 1 THEN "
+            f"raise_error('sequence conditions must be mutually exclusive "
+            f"per event (CH multi-flag events are untranslatable)') "
+        )
+        rep = guard + f"ELSE {emit(seq, regex)} END"
+        sql = sql[:at] + rep + sql[end2:]
+
+
 def _retention(a: list[str]) -> str:
     """``retention(c1, …, cn)`` → array of n 0/1 INTs: element 1 is
     whether ``c1`` ever held in the group; element i is whether BOTH
@@ -551,6 +647,14 @@ def _retention(a: list[str]) -> str:
 
 def _translate_functions(sql: str) -> str:
     sql = _rewrite_window_funnel(sql)
+    sql = _rewrite_sequence(
+        sql, "sequenceMatch",
+        lambda seq, rx: f"CAST({seq} RLIKE '{rx}' AS INT)",
+    )
+    sql = _rewrite_sequence(
+        sql, "sequenceCount",
+        lambda seq, rx: f"CAST(regexp_count({seq}, '{rx}') AS INT)",
+    )
     sql = _rewrite_calls(sql, "retention", _retention)
     for ch, unit in _TRUNCS.items():
         sql = _rewrite_calls(sql, ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})")
@@ -1480,7 +1584,6 @@ def translate_ch_sql(
 def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     notes: list[str] = []
     _redirect = {
-        "sequenceMatch": "plans/queries.py:seq_match_funnel (native sequenceMatch shape)",
         "topK": "window_topk_per_customer (exact per-group top-k)",
         "uniqCombined": "uniq()/uniqExact() (HLL++ / exact)",
     }

@@ -5705,6 +5705,56 @@ def ch_dialect_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_RETENTION, sf_dir)
 
 
+CH_DIALECT_SEQ = """
+    SELECT user_id,
+           sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup',
+                                       event_type = 'purchase') AS sp,
+           sequenceCount('(?1)(?2)')(ts, event_type = 'click',
+                                     event_type = 'purchase') AS cp
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query(
+    "ch_dialect_sequence_match",
+    """
+    WITH s AS (
+      SELECT user_id,
+        string_agg(CASE event_type WHEN 'signup' THEN 'a'
+                                   WHEN 'purchase' THEN 'b' END, ''
+                   ORDER BY ts, CASE event_type WHEN 'signup' THEN 'a'
+                                                WHEN 'purchase' THEN 'b' END
+                  ) AS s_sp,
+        string_agg(CASE event_type WHEN 'click' THEN 'a'
+                                   WHEN 'purchase' THEN 'b' END, ''
+                   ORDER BY ts, CASE event_type WHEN 'click' THEN 'a'
+                                                WHEN 'purchase' THEN 'b' END
+                  ) AS s_cp
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(CASE WHEN regexp_matches(coalesce(s_sp, ''), 'a.*b')
+                     THEN 1 ELSE 0 END AS INT) AS sp,
+           CAST(len(regexp_extract_all(coalesce(s_cp, ''), 'ab')) AS INT) AS cp
+    FROM s
+    """,
+)
+def ch_dialect_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)')`` + ``sequenceCount``
+    through the translator — the reference ecosystem's event-chain
+    aggregate (AggregateFunctionSequenceMatch.h semantics: only events
+    satisfying a condition enter the sequence; bare atoms are adjacent in
+    what remains; ``.*`` lifts adjacency).  Engine side renders each
+    group's matching events as a time-sorted character string and runs the
+    pattern as a regex; the DuckDB oracle builds the same string with
+    ``string_agg(… ORDER BY ts)`` and matches independently.  Plan: one
+    grouped collect_list shuffle, regex JVM-side per group — the same
+    O(group) aggregate state CH holds."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_SEQ, sf_dir)
+
+
 def _ct_oracle_sql() -> str:
     """DuckDB mirror of the Cavnar-Trenkle classifier, the profile VALUES
     generated from the same ``langprofiles.profile_rows()`` model both
@@ -5800,7 +5850,6 @@ DRIVER_ORDER: list[str] = [
     "window_sessionize",
     "agg_grouping_sets",
     "etl_parse_project",
-    "dedup_exact_docs",
     "dedup_minhash_lsh",
     "knn_cosine_topk",
     "ch_dialect_hourly_stats",
@@ -5849,6 +5898,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_final",
     "ch_dialect_window_funnel",
     "ch_dialect_retention",
+    "ch_dialect_sequence_match",
 ]
 
 DRIVER_WINDOW = 50

@@ -92,7 +92,7 @@ def test_unsupported_raises_not_mistranslates():
     with pytest.raises(ChTranslationError):
         T("SELECT cityHash64(event_type) FROM events")
     with pytest.raises(ChTranslationError):
-        T("SELECT sequenceMatch('(?1)(?2)')(ts, event_type = 'a', event_type = 'b') FROM events")
+        T("SELECT topK(3)(event_type) FROM events")
 
 
 def test_end_to_end_against_spark(spark):
@@ -993,3 +993,51 @@ def test_empty_on_bare_array_column_catalog_aware(spark):
     # context resets between calls — without the catalog, back to length()
     got2, _ = translate_ch_sql("SELECT empty(tags) FROM t")
     assert "length(tags)" in got2
+
+
+def test_sequence_match_and_count(spark):
+    """sequenceMatch/sequenceCount — the documented pattern subset as a
+    regex over the per-group event string.  Expectations mirror the
+    ClickHouse docs example: events NOT matching any condition are
+    excluded, bare adjacency is strict in what remains."""
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    m = lambda x: T0 + dt.timedelta(minutes=x)
+    spark.createDataFrame(
+        [(1, m(0), 1), (1, m(1), 3), (1, m(2), 2),
+         (2, m(0), 1), (2, m(1), 2), (2, m(2), 1), (2, m(3), 2)],
+        "user_id int, ts timestamp, v int",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT user_id, "
+        "sequenceMatch('(?1)(?2)')(ts, v = 1, v = 2, v = 3) AS m, "
+        "sequenceMatch('(?1).*(?2)')(ts, v = 1, v = 2, v = 3) AS m2, "
+        "sequenceCount('(?1)(?2)')(ts, v = 1, v = 2) AS c "
+        "FROM t GROUP BY user_id"
+    )
+    out = {r["user_id"]: (r["m"], r["m2"], r["c"]) for r in spark.sql(got).collect()}
+    # user 1 = the CH docs case: 1,3,2 — strict (?1)(?2) fails (3 sits
+    # between), (?1).*(?2) matches; with only (v=1,v=2) conditions the 3
+    # is excluded so the count query sees "ab" once
+    assert out == {1: (0, 1, 1), 2: (1, 1, 2)}
+
+    # overlapping conditions: loud runtime raise, never a silent answer
+    got2, _ = translate_ch_sql(
+        "SELECT sequenceMatch('(?1)(?2)')(ts, v >= 1, v >= 2) AS m FROM t"
+    )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        spark.sql(got2).collect()
+
+    # (?t…) and malformed atoms refuse at translation time
+    with pytest.raises(ChTranslationError, match="windowFunnel"):
+        translate_ch_sql("SELECT sequenceMatch('(?1)(?t<=36)(?2)')(ts, a, b) FROM t")
+    with pytest.raises(ChTranslationError, match="out of range"):
+        translate_ch_sql("SELECT sequenceMatch('(?3)')(ts, a, b) FROM t")
+    with pytest.raises(ChTranslationError, match="combinator"):
+        translate_ch_sql("SELECT sequenceMatch(ts, a) FROM t")
