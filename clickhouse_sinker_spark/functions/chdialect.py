@@ -216,6 +216,8 @@ _RENAMES = {
     "groupBitOr": "bit_or",
     "groupBitXor": "bit_xor",
     "uniqHLL12": "approx_count_distinct",
+    "uniqCombined64": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
     "uniqTheta": "approx_count_distinct",
     # arrays / bits
     "arraySlice": "slice",
@@ -308,7 +310,6 @@ _UNSUPPORTED = {
     "sipHash64",
     "halfMD5",
     "topK",
-    "uniqCombined",
     "neighbor",
     "runningDifference",
     "sample",
@@ -1585,7 +1586,6 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     notes: list[str] = []
     _redirect = {
         "topK": "window_topk_per_customer (exact per-group top-k)",
-        "uniqCombined": "uniq()/uniqExact() (HLL++ / exact)",
     }
     for bad in _UNSUPPORTED:
         if re.search(rf"\b{bad}\s*\(", sql):
@@ -1632,6 +1632,39 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
         notes.append(
             "GLOBAL join/IN modifier dropped: Spark chooses broadcast vs "
             "shuffle itself (AQE); semantics are unchanged"
+        )
+
+    # SAMPLE k after a table ref (docs: ClickHouse sampling clause) →
+    # Spark TABLESAMPLE.  Fraction (0.3, 3/10) → PERCENT; integer ≥ 1 →
+    # ROWS.  CH samples deterministically by the table's sample key, Spark
+    # by per-split Bernoulli — WHICH rows differ, so a note flags it;
+    # SAMPLE … OFFSET has no Spark equivalent and is refused.
+    while True:
+        sm2 = _top_level_spans(
+            sql,
+            r"\bSAMPLE\s+(\d+(?:\.\d+)?)(\s*/\s*(\d+))?(\s+OFFSET\s+[\d./]+)?",
+        )
+        if not sm2:
+            break
+        m2 = sm2[0]
+        if m2.group(4):
+            raise ChTranslationError(
+                "SAMPLE … OFFSET is not translatable: Spark TABLESAMPLE has "
+                "no offset notion — drop the OFFSET or sample by filter"
+            )
+        num = float(m2.group(1))
+        if m2.group(3):
+            frac = num / float(m2.group(3))
+            rep = f"TABLESAMPLE ({frac * 100:g} PERCENT)"
+        elif num < 1:
+            rep = f"TABLESAMPLE ({num * 100:g} PERCENT)"
+        else:
+            rep = f"TABLESAMPLE ({int(num)} ROWS)"
+        sql = sql[: m2.start()] + rep + sql[m2.end() :]
+        notes.append(
+            "SAMPLE → TABLESAMPLE: Spark samples per-split Bernoulli, not "
+            "by ClickHouse's deterministic sample key — row membership "
+            "differs between engines"
         )
 
     # trailing SETTINGS key=value[, ...] — CH per-query engine knobs

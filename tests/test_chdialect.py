@@ -1041,3 +1041,32 @@ def test_sequence_match_and_count(spark):
         translate_ch_sql("SELECT sequenceMatch('(?3)')(ts, a, b) FROM t")
     with pytest.raises(ChTranslationError, match="combinator"):
         translate_ch_sql("SELECT sequenceMatch(ts, a) FROM t")
+
+
+def test_sample_clause_and_uniq_combined(spark):
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, notes = translate_ch_sql("SELECT count(*) AS n FROM t SAMPLE 0.1")
+    assert "TABLESAMPLE (10 PERCENT)" in got and any("SAMPLE" in n for n in notes)
+    got2, _ = translate_ch_sql("SELECT count(*) AS n FROM t SAMPLE 1/10")
+    assert "TABLESAMPLE (10 PERCENT)" in got2
+    got3, _ = translate_ch_sql("SELECT count(*) AS n FROM t SAMPLE 50")
+    assert "TABLESAMPLE (50 ROWS)" in got3
+    with pytest.raises(ChTranslationError, match="OFFSET"):
+        translate_ch_sql("SELECT 1 FROM t SAMPLE 0.1 OFFSET 0.5")
+
+    spark.createDataFrame(
+        [(i,) for i in range(100)], "user_id int"
+    ).createOrReplaceTempView("t")
+    assert spark.sql(got3).first()["n"] == 50  # ROWS cap is exact
+    assert 0 <= spark.sql(got).first()["n"] <= 100  # Bernoulli: bounded only
+
+    got4, _ = translate_ch_sql(
+        "SELECT uniqCombined(user_id) AS u, uniqCombined64(user_id) AS u2 FROM t"
+    )
+    assert got4.count("approx_count_distinct") == 2
+    r = spark.sql(got4).first()  # HLL++ sketch: approximate by design
+    assert 95 <= r["u"] <= 105 and 95 <= r["u2"] <= 105
