@@ -1156,9 +1156,14 @@ def _rewrite_array_join(sql: str) -> str:
     LEFT ARRAY JOIN keeps rows with empty/NULL arrays (→ explode_outer).
     The alias-less form (``ARRAY JOIN xs``, where CH rebinds the column
     name to the element) is refused: in Spark the generated column would
-    be ambiguous against the still-visible array column.  Multi-array
-    zipping (``ARRAY JOIN xs AS x, ys AS y``) is refused with a zip_with
-    hint rather than mistranslated as a cartesian."""
+    be ambiguous against the still-visible array column.
+
+    Multi-array zipping (``ARRAY JOIN xs AS x, ys AS y``) — CH pairs the
+    arrays element-wise — becomes ``posexplode`` of the FIRST array plus
+    one single-element lateral per further array binding its alias to
+    ``element_at(arr, pos + 1)``.  Equal lengths are a CH precondition
+    (it errors otherwise); here a shorter later array yields NULLs
+    (ANSI mode: an error) rather than dropping rows — documented delta."""
     pat = (
         r"(?s)\b(LEFT\s+)?ARRAY\s+JOIN\s+(.*?)"
         r"(?=\b(?:WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION|JOIN)\b"
@@ -1173,20 +1178,31 @@ def _rewrite_array_join(sql: str) -> str:
         outer = bool(m.group(1))
         clause = m.group(2).strip().rstrip(",")
         args = _split_args(clause)
-        if len(args) != 1:
-            raise ChTranslationError(
-                "multi-array ARRAY JOIN zips element-wise; rewrite as "
-                "explode(zip_with(a, b, (x, y) -> struct(x, y)))"
-            )
-        am = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)$", args[0], re.IGNORECASE | re.DOTALL)
-        if not am:
-            raise ChTranslationError(
-                "ARRAY JOIN without AS rebinds the source column name; give "
-                "the element an alias (ARRAY JOIN xs AS x)"
-            )
-        expr, alias = am.group(1).strip(), am.group(2)
-        fn = "explode_outer" if outer else "explode"
-        rep = f" LATERAL VIEW {fn}({expr}) __aj_{alias} AS {alias} "
+        parsed = []
+        for a in args:
+            am = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)$", a, re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise ChTranslationError(
+                    "ARRAY JOIN without AS rebinds the source column name; "
+                    "give the element an alias (ARRAY JOIN xs AS x)"
+                )
+            parsed.append((am.group(1).strip(), am.group(2)))
+        expr, alias = parsed[0]
+        if len(parsed) == 1:
+            fn = "explode_outer" if outer else "explode"
+            rep = f" LATERAL VIEW {fn}({expr}) __aj_{alias} AS {alias} "
+        else:
+            # element-wise zip: posexplode the first array, bind each
+            # further alias to element_at(arr, pos + 1) via a one-element
+            # lateral (laterals may reference earlier laterals' columns)
+            fn = "posexplode_outer" if outer else "posexplode"
+            pos = f"__aj_pos_{alias}"
+            rep = f" LATERAL VIEW {fn}({expr}) __aj_{alias} AS {pos}, {alias} "
+            for e_i, a_i in parsed[1:]:
+                rep += (
+                    f"LATERAL VIEW explode(array(element_at({e_i}, {pos} + 1))) "
+                    f"__aj_{a_i} AS {a_i} "
+                )
         # Spark's FROM grammar puts lateral views AFTER all join clauses
         # (CH allows ARRAY JOIN before a regular JOIN), so the clause is
         # removed here and the LATERAL VIEW inserted at the end of the

@@ -560,8 +560,10 @@ def test_array_join_clause(spark):
 
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT g, xs FROM t ARRAY JOIN xs")  # no alias
+    # multi-array form zips element-wise (r6) — see
+    # test_multi_array_join_zips_elementwise; alias-less multi still refuses
     with pytest.raises(ChTranslationError):
-        translate_ch_sql("SELECT * FROM t ARRAY JOIN xs AS x, ys AS y")
+        translate_ch_sql("SELECT * FROM t ARRAY JOIN xs AS x, ys")
 
 
 def test_asof_join_redirects():
@@ -1070,3 +1072,29 @@ def test_sample_clause_and_uniq_combined(spark):
     assert got4.count("approx_count_distinct") == 2
     r = spark.sql(got4).first()  # HLL++ sketch: approximate by design
     assert 95 <= r["u"] <= 105 and 95 <= r["u2"] <= 105
+
+
+def test_multi_array_join_zips_elementwise(spark):
+    """ARRAY JOIN xs AS x, ys AS y — CH pairs arrays element-wise: the
+    rewrite posexplodes the first array and binds each further alias via
+    element_at at the shared position (never a cartesian)."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    spark.createDataFrame(
+        [(1, [1, 2, 3], ["a", "b", "c"]), (2, [5], ["z"])],
+        "id int, xs array<int>, ys array<string>",
+    ).createOrReplaceTempView("zt")
+    got, _ = translate_ch_sql(
+        "SELECT id, x, y FROM zt ARRAY JOIN xs AS x, ys AS y WHERE x > 0"
+    )
+    rows = sorted((r["id"], r["x"], r["y"]) for r in spark.sql(got).collect())
+    assert rows == [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 5, "z")]
+
+    spark.createDataFrame(
+        [(1, [], []), (2, [7], ["q"])], "id int, xs array<int>, ys array<string>"
+    ).createOrReplaceTempView("zt2")
+    got2, _ = translate_ch_sql(
+        "SELECT id, x, y FROM zt2 LEFT ARRAY JOIN xs AS x, ys AS y"
+    )
+    rows2 = sorted((r["id"], r["x"], r["y"]) for r in spark.sql(got2).collect())
+    assert rows2 == [(1, None, None), (2, 7, "q")]
