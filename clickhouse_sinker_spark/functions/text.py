@@ -21,6 +21,7 @@ __all__ = [
     "pii_patterns",
     "pii_scrub",
     "token_count",
+    "chunk_spans",
     "quality_features",
     "langid_expr",
     "langid_scores",
@@ -445,3 +446,35 @@ def quality_features(col: Column | str) -> dict[str, Column]:
         "stopword_ratio": (stop_hits.cast("double") / nzt),
         "mean_token_len": (n_chars.cast("double") / nzt),
     }
+
+
+def chunk_spans(toks: Column | str, chunk: int = 128, overlap: int = 16) -> Column:
+    """Fixed-size token-window chunking with overlap — the standard
+    pretraining-data segmentation (long document → ``chunk``-token windows
+    advancing by ``chunk - overlap``).  Returns
+    ``array<struct<start int, text string, n_tokens int>>`` (``start`` is
+    the 0-based token offset; empty/blank input → empty array).
+
+    Pass a MATERIALIZED token-array column (the ``shingles_from_tokens``
+    no-CSE rule): each window slices the same array, so an inline
+    ``split()`` would re-tokenize per window.  Pure column expressions —
+    per row O(n_tokens), no shuffle, no Python; at 100 TB the downstream
+    ``posexplode`` is a Generate inside the same stage."""
+    if overlap >= chunk:
+        raise ValueError(f"overlap {overlap} must be < chunk {chunk}")
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    stride = chunk - overlap
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return F.when(n <= 0, F.array().cast(
+        "array<struct<start:int,text:string,n_tokens:int>>"
+    )).otherwise(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("int").alias("start"),
+                F.concat_ws(" ", F.slice(toks, s + 1, chunk)).alias("text"),
+                F.least(F.lit(chunk), n - s).cast("int").alias("n_tokens"),
+            ),
+        )
+    )

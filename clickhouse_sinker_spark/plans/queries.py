@@ -2316,6 +2316,59 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_chunk_documents",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 2000 AND trim(text) <> ''
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS s
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(s // 24 AS INT) AS chunk_id,
+           CAST(s AS INT) AS start,
+           CAST(least(32, len(toks) - s) AS INT) AS n_tokens,
+           md5(array_to_string(toks[s + 1 : s + 32], ' ')) AS chunk_hash
+    FROM st
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: every document split into 32-token windows
+    advancing by 24 (8-token overlap) — the standard long-document
+    segmentation ahead of tokenization/packing.  ``chunk_spans``
+    (functions/text.py) builds the windows as pure column expressions over
+    a MATERIALIZED token array (the no-CSE-in-lambdas rule), and one
+    posexplode yields a chunk row per window; chunks travel as md5 hashes
+    so the compare stays narrow.  Plan: scan → project → Generate, all
+    one stage, zero shuffles — at 100 TB this is embarrassingly parallel
+    and the chunk multiplier is bounded by ceil(n/24) per doc."""
+    from ..functions.text import chunk_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 2000) & (F.trim("text") != "")
+    )
+    toks = docs.withColumn("toks", F.split(F.trim("text"), r"\s+"))
+    return (
+        toks.select(
+            "doc_id",
+            F.posexplode(chunk_spans("toks", chunk=32, overlap=8)).alias(
+                "chunk_id", "c"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("c.start").alias("start"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.md5(F.col("c.text")).alias("chunk_hash"),
+        )
+    )
+
+
+@query(
     "text_tokens",
     """
     SELECT doc_id,
@@ -5844,7 +5897,6 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_ORDER: list[str] = [
     # --- anchors: one long-green canary per family ---
     "tpch_q1_pricing",
-    "tpch_q3_topk",
     "tpch_q9_profit",
     "window_topk_per_customer",
     "window_sessionize",
@@ -5899,6 +5951,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_window_funnel",
     "ch_dialect_retention",
     "ch_dialect_sequence_match",
+    "pipeline_chunk_documents",
 ]
 
 DRIVER_WINDOW = 50
