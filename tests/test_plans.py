@@ -395,3 +395,49 @@ def test_stats_buckets_single_aggregate(spark):
     # partial->final agg exchange plus the sum(DISTINCT) expand exchange —
     # both map-side-combined; nothing else may shuffle
     assert sum(l.strip().startswith("(") and "Exchange" in l for l in plan.splitlines()) <= 3
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """pipeline_chunk_documents: scan → project → Generate, one stage —
+    no Exchange of any kind (chunking is embarrassingly parallel)."""
+    plan = plan_of(QUERIES["pipeline_chunk_documents"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the posexplode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_window_funnel_single_shuffle_no_join(spark):
+    """ch_dialect_window_funnel: ONE hash exchange (the user_id groupBy);
+    the chain fold is a post-aggregation expression — no join, no window,
+    no Python."""
+    plan = plan_of(QUERIES["ch_dialect_window_funnel"](spark, SF_DIR))
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequence_match_single_shuffle_no_join(spark):
+    plan = plan_of(QUERIES["ch_dialect_sequence_match"](spark, SF_DIR))
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
+
+
+def test_final_rewrite_single_window_shuffle(spark):
+    """ch_dialect_final: the merge-on-read survivor is one window over the
+    sorting key, then the grouped aggregate — two hash exchanges total,
+    no join."""
+    plan = plan_of(QUERIES["ch_dialect_final"](spark, SF_DIR))
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges <= 2, plan
+    assert "Window" in plan and "Join" not in plan
