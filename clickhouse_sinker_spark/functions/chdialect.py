@@ -856,6 +856,14 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "arrayAvg", _array_avg)
     sql = _rewrite_calls(sql, "arrayDifference", _array_difference)
     sql = _rewrite_calls(sql, "range", _range_seq)
+    # splitByRegexp(re, s): CH puts the pattern FIRST (like splitByChar)
+    sql = _rewrite_calls(sql, "splitByRegexp", lambda a: f"split({a[1]}, {a[0]})")
+    sql = _rewrite_calls(sql, "arrayWithConstant", lambda a: f"array_repeat({a[1]}, {a[0]})")
+    sql = _rewrite_calls(sql, "arrayIntersect", _array_intersect)
+    sql = _rewrite_calls(sql, "arrayCompact", _array_compact)
+    sql = _rewrite_calls(sql, "arrayResize", _array_resize)
+    sql = _rewrite_calls(sql, "arrayCumSum", _array_cumsum)
+    sql = _rewrite_calls(sql, "arrayReduce", _array_reduce)
     for ch, dec in [("toDecimal32", 9), ("toDecimal64", 18), ("toDecimal128", 38)]:
         sql = _rewrite_calls(
             sql, ch, lambda a, p=dec: f"CAST({a[0]} AS DECIMAL({p}, {a[1].strip()}))"
@@ -1018,6 +1026,108 @@ def _to_start_of_interval(args: list[str]) -> str:
     if m1:
         return f"date_trunc('{m1.group(1).upper()}', {args[0]})"
     raise ChTranslationError(f"unsupported toStartOfInterval step: {args[1]!r}")
+
+
+def _bind_arr(arg: str, body) -> str:
+    """Let-bind an array EXPRESSION once for a lambda body that references
+    it repeatedly (``element_at(arr, i)`` per element): the one-element
+    transform trick — Spark does no CSE inside HOF lambdas, so inlining
+    the expression would re-evaluate it per element."""
+    return f"element_at(transform(array({arg}), __arr -> {body('__arr')}), 1)"
+
+
+def _array_intersect(a: list[str]) -> str:
+    """CH arrayIntersect is n-ary; Spark's array_intersect is binary —
+    left-fold the call chain."""
+    if len(a) < 2:
+        raise ChTranslationError("arrayIntersect needs at least 2 arrays")
+    out = a[0]
+    for nxt in a[1:]:
+        out = f"array_intersect({out}, {nxt})"
+    return out
+
+
+def _array_compact(a: list[str]) -> str:
+    """Remove CONSECUTIVE duplicates (not a distinct): keep element i when
+    i = 0 or it differs (null-safely) from element i-1."""
+    return _bind_arr(
+        a[0],
+        lambda v: (
+            f"filter({v}, (__x, __i) -> __i = 0 OR "
+            f"NOT (__x <=> element_at({v}, __i)))"
+        ),
+    )
+
+
+def _array_resize(a: list[str]) -> str:
+    """arrayResize(a, n[, fill]): truncate always works; EXTENDING needs
+    the explicit fill element (CH pads with the type default, which a
+    text-level translator cannot know — refused without the 3rd arg)."""
+    if len(a) == 2:
+        err = (
+            "raise_error('arrayResize extending beyond size needs the "
+            "explicit fill argument: arrayResize(a, n, fill)')"
+        )
+        return _bind_arr(
+            a[0],
+            lambda v: (
+                f"CASE WHEN size({v}) >= ({a[1]}) THEN slice({v}, 1, {a[1]}) "
+                f"ELSE {err} END"
+            ),
+        )
+    return _bind_arr(
+        a[0],
+        lambda v: (
+            f"CASE WHEN size({v}) >= ({a[1]}) THEN slice({v}, 1, {a[1]}) "
+            f"ELSE concat({v}, array_repeat({a[2]}, ({a[1]}) - size({v}))) END"
+        ),
+    )
+
+
+def _array_cumsum(a: list[str]) -> str:
+    """Running prefix sums, same element type as the input (init =
+    zero-length slice of the input keeps the array type).  The fold
+    appends per element — O(n²) array copying, fine for the row-level
+    array sizes this function exists for (CH's is equally per-row)."""
+    return _bind_arr(
+        a[0],
+        lambda v: (
+            f"aggregate({v}, slice({v}, 1, 0), (__acc, __x) -> concat(__acc, "
+            f"array(CASE WHEN size(__acc) = 0 THEN __x "
+            f"ELSE element_at(__acc, size(__acc)) + __x END)))"
+        ),
+    )
+
+
+_ARRAY_REDUCE_FNS = {
+    "sum": lambda v: f"aggregate({v}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)",
+    "min": lambda v: f"array_min({v})",
+    "max": lambda v: f"array_max({v})",
+    "count": lambda v: f"size({v})",
+    "avg": lambda v: (
+        f"(aggregate({v}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) "
+        f"/ size({v}))"
+    ),
+    "any": lambda v: f"element_at({v}, 1)",
+}
+
+
+def _array_reduce(a: list[str]) -> str:
+    """arrayReduce('agg', arr) for the scalar-aggregate subset (sum/min/
+    max/count/avg/any); parameterized or multi-array aggregates are
+    refused loudly."""
+    if len(a) != 2:
+        raise ChTranslationError(
+            "arrayReduce: only the ('agg', array) two-argument form is supported"
+        )
+    name = a[0].strip().strip("'").lower()
+    fn = _ARRAY_REDUCE_FNS.get(name)
+    if fn is None:
+        raise ChTranslationError(
+            f"arrayReduce aggregate {name!r} unsupported "
+            f"(supported: {sorted(_ARRAY_REDUCE_FNS)})"
+        )
+    return _bind_arr(a[1], fn)
 
 
 def _array_avg(args: list[str]) -> str:

@@ -1098,3 +1098,39 @@ def test_multi_array_join_zips_elementwise(spark):
     )
     rows2 = sorted((r["id"], r["x"], r["y"]) for r in spark.sql(got2).collect())
     assert rows2 == [(1, None, None), (2, 7, "q")]
+
+
+def test_array_helpers_batch3(spark):
+    """r6 array-family additions: compact/cumsum/reduce/resize/intersect/
+    with-constant/splitByRegexp — all let-bound via the one-element
+    transform trick so array EXPRESSIONS evaluate once."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, [1, 1, 2, 2, 3, 1], "a b,c")], "id int, xs array<int>, s string"
+    ).createOrReplaceTempView("ah3")
+    got, _ = translate_ch_sql(
+        "SELECT arrayCompact(xs) AS compact, arrayCumSum(xs) AS cum, "
+        "arrayReduce('sum', xs) AS rsum, arrayReduce('avg', xs) AS ravg, "
+        "arrayResize(xs, 3) AS cut, arrayResize(xs, 8, 0) AS pad, "
+        "arrayIntersect(xs, [1, 3, 9]) AS inter, "
+        "arrayWithConstant(3, 7) AS rep, "
+        "splitByRegexp('[ ,]', s) AS toks FROM ah3"
+    )
+    r = spark.sql(got).first()
+    assert r["compact"] == [1, 2, 3, 1]
+    assert r["cum"] == [1, 2, 4, 6, 9, 10]
+    assert r["rsum"] == 10.0 and abs(r["ravg"] - 10.0 / 6) < 1e-12
+    assert r["cut"] == [1, 1, 2] and r["pad"] == [1, 1, 2, 2, 3, 1, 0, 0]
+    assert sorted(r["inter"]) == [1, 3] and r["rep"] == [7, 7, 7]
+    assert r["toks"] == ["a", "b", "c"]
+
+    # 2-arg resize can only truncate; extending demands the fill arg (loud)
+    got2, _ = translate_ch_sql("SELECT arrayResize(xs, 99) AS x FROM ah3")
+    with pytest.raises(Exception, match="fill argument"):
+        spark.sql(got2).collect()
+    with pytest.raises(ChTranslationError, match="unsupported"):
+        translate_ch_sql("SELECT arrayReduce('quantile(0.5)', xs) FROM ah3")
