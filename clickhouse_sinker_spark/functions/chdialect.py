@@ -188,6 +188,7 @@ _RENAMES = {
     "toQuarter": "quarter",
     "toDayOfMonth": "day",
     "toUnixTimestamp": "unix_timestamp",
+    "toISOWeek": "weekofyear",
     "fromUnixTimestamp": "timestamp_seconds",
     # string functions
     "startsWith": "startswith",
@@ -799,6 +800,32 @@ def _translate_functions(sql: str) -> str:
     ]:
         sql = _rewrite_calls(sql, ch, lambda a, p=part: f"parse_url({a[0]}, '{p}')")
     sql = _rewrite_calls(
+        sql, "domainWithoutWWW",
+        lambda a: f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')",
+    )
+    # maps
+    sql = _rewrite_calls(sql, "mapKeys", lambda a: f"map_keys({a[0]})")
+    sql = _rewrite_calls(sql, "mapValues", lambda a: f"map_values({a[0]})")
+    sql = _rewrite_calls(
+        sql, "mapContains", lambda a: f"map_contains_key({a[0]}, {a[1]})"
+    )
+    # calendar names and relative-epoch unit counters
+    sql = _rewrite_calls(sql, "monthName", lambda a: f"date_format({a[0]}, 'MMMM')")
+    sql = _rewrite_calls(sql, "dateName", _date_name)
+    sql = _rewrite_calls(sql, "toStartOfWeek", _to_start_of_week)
+    for ch, secs in [
+        ("toRelativeSecondNum", 1),
+        ("toRelativeMinuteNum", 60),
+        ("toRelativeHourNum", 3600),
+        ("toRelativeDayNum", 86400),
+    ]:
+        sql = _rewrite_calls(
+            sql, ch,
+            lambda a, s=secs: f"CAST(floor(unix_timestamp({a[0]}) / {s}) AS BIGINT)",
+        )
+    sql = _rewrite_calls(sql, "greatCircleDistance", _great_circle)
+    sql = _rewrite_calls(sql, "extractAll", _extract_all)
+    sql = _rewrite_calls(
         sql, "extractURLParameter",
         lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
     )
@@ -1128,6 +1155,87 @@ def _array_reduce(a: list[str]) -> str:
             f"(supported: {sorted(_ARRAY_REDUCE_FNS)})"
         )
     return _bind_arr(a[1], fn)
+
+
+# dateName parts → (how to render as the String CH returns)
+_DATE_NAME_PARTS = {
+    "year": "date_format({x}, 'yyyy')",
+    "quarter": "CAST(quarter({x}) AS STRING)",
+    "month": "date_format({x}, 'MMMM')",
+    "dayofyear": "CAST(dayofyear({x}) AS STRING)",
+    "day": "CAST(day({x}) AS STRING)",
+    "weekday": "date_format({x}, 'EEEE')",
+    "hour": "CAST(hour({x}) AS STRING)",
+    "minute": "CAST(minute({x}) AS STRING)",
+    "second": "CAST(second({x}) AS STRING)",
+}
+
+
+def _date_name(a: list[str]) -> str:
+    """``dateName('part', x)`` → the part rendered as a STRING (CH's
+    return type).  'week' is refused: its value depends on CH's week-mode
+    setting, which has no faithful static translation."""
+    part = a[0].strip().strip("'").lower()
+    tmpl = _DATE_NAME_PARTS.get(part)
+    if tmpl is None:
+        raise ChTranslationError(
+            f"dateName part {part!r} unsupported "
+            f"(supported: {sorted(_DATE_NAME_PARTS)})"
+        )
+    return tmpl.format(x=a[1])
+
+
+def _to_start_of_week(a: list[str]) -> str:
+    """``toStartOfWeek(d[, mode])``: CH's DEFAULT mode 0 starts weeks on
+    SUNDAY — Spark's date_trunc('WEEK') is Monday, so the default emits
+    the Sunday formula (back up dayofweek-1 days; Spark dayofweek:
+    Sunday=1).  Modes 1/3 (Monday-start) map to date_trunc.  Other modes
+    (first-week-of-year variations don't affect the week START) collapse
+    to the same two cases by parity."""
+    mode = 0
+    if len(a) >= 2:
+        m = a[1].strip()
+        if not m.isdigit():
+            raise ChTranslationError("toStartOfWeek mode must be an integer literal")
+        mode = int(m)
+    if mode % 2 == 1:  # Monday-start family
+        return f"CAST(date_trunc('WEEK', {a[0]}) AS DATE)"
+    return f"date_sub(CAST({a[0]} AS DATE), dayofweek({a[0]}) - 1)"
+
+
+def _great_circle(a: list[str]) -> str:
+    """``greatCircleDistance(lon1, lat1, lon2, lat2)`` → meters via the
+    haversine formula on CH's sphere radius (6372797.560856 m — the value
+    in its implementation, public source)."""
+    if len(a) != 4:
+        raise ChTranslationError("greatCircleDistance needs (lon1, lat1, lon2, lat2)")
+    lon1, lat1, lon2, lat2 = a
+    return (
+        f"(2 * 6372797.560856 * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+    )
+
+
+def _extract_all(a: list[str]) -> str:
+    """``extractAll(s, 're')`` → array of matches.  CH returns the first
+    capture group when the pattern has one, else the whole match — the
+    group index must be picked at translation time, so the pattern must
+    be a literal."""
+    pat = a[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ChTranslationError("extractAll requires a literal pattern")
+    body = pat[1:-1]
+    # '(' opens a group iff the REGEX ENGINE sees an even number of
+    # backslashes before it; the SQL literal layer halves backslash runs
+    # (the input passed _reescape_literals, so runs are even) — hence
+    # group-open ⟺ run length % 4 == 0, and not '(?'
+    has_group = any(
+        len(m.group(1)) % 4 == 0
+        for m in re.finditer(r"(\\*)\((?!\?)", body)
+    )
+    return f"regexp_extract_all({a[0]}, {pat}, {1 if has_group else 0})"
 
 
 def _array_avg(args: list[str]) -> str:
@@ -1684,6 +1792,51 @@ def _rewrite_final(sql: str, table_keys, notes: list[str]) -> str:
         )
 
 
+# escape sequences that BOTH engines' string literals interpret identically
+_SHARED_ESCAPES = frozenset("\\'\"ntrb0")
+
+
+def _reescape_literals(sql: str) -> str:
+    """Align string-literal escape semantics: ClickHouse KEEPS the
+    backslash for unrecognized escapes (``'\\d'`` is the two characters
+    backslash-d — how every CH user writes regexes), while Spark DROPS it
+    (``'\\d'`` → ``d`` — silently breaking every ``match``/
+    ``replaceRegexpAll``/``extractAll`` pattern).  Inside each literal, a
+    lone backslash before a character outside the shared escape set is
+    doubled so Spark reproduces CH's reading.  Shared escapes
+    (``\\\\ \\' \\" \\n \\t \\r \\b \\0``) pass through.  Delta: CH's
+    ``\\f \\a \\v \\xHH`` control-character escapes become literal
+    backslash-letter here (regex usage unaffected)."""
+    out = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        c = sql[i]
+        if not in_str:
+            out.append(c)
+            if c == "'":
+                in_str = True
+            i += 1
+            continue
+        if c == "'":
+            out.append(c)
+            in_str = False
+            i += 1
+        elif c == "\\" and i + 1 < n:
+            nxt = sql[i + 1]
+            if nxt in _SHARED_ESCAPES:
+                out.append(c)
+                out.append(nxt)
+            else:
+                out.append("\\\\")
+                out.append(nxt)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def translate_ch_sql(
     sql: str, table_keys=None, array_columns=None
 ) -> tuple[str, list[str]]:
@@ -1703,7 +1856,9 @@ def translate_ch_sql(
     global _ARRAY_COLUMNS
     _ARRAY_COLUMNS = frozenset(c.lower() for c in (array_columns or ()))
     try:
-        return _translate_ch_sql_inner(sql, table_keys)
+        # FIRST, on the raw input only: rewrites below inject their own
+        # (Spark-convention) literals, which must not be re-escaped
+        return _translate_ch_sql_inner(_reescape_literals(sql), table_keys)
     finally:
         _ARRAY_COLUMNS = frozenset()
 

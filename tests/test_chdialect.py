@@ -1134,3 +1134,64 @@ def test_array_helpers_batch3(spark):
         spark.sql(got2).collect()
     with pytest.raises(ChTranslationError, match="unsupported"):
         translate_ch_sql("SELECT arrayReduce('quantile(0.5)', xs) FROM ah3")
+
+
+def test_calendar_map_geo_functions(spark):
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [(dt.datetime(2024, 4, 10, 15, 30, 45), {"a": 1, "b": 2},
+          "http://www.example.com/x")],
+        "ts timestamp, m map<string,int>, url string",
+    ).createOrReplaceTempView("cal")
+    got, _ = translate_ch_sql(
+        "SELECT mapKeys(m) AS ks, mapContains(m, 'a') AS has_a, "
+        "monthName(ts) AS mn, dateName('weekday', ts) AS wd, "
+        "toISOWeek(ts) AS iw, toStartOfWeek(ts) AS sun0, "
+        "toStartOfWeek(ts, 1) AS mon1, toRelativeHourNum(ts) AS rh, "
+        "domainWithoutWWW(url) AS dom, "
+        "greatCircleDistance(-86.5, 38.8, -77.1, 38.9) AS gcd FROM cal"
+    )
+    r = spark.sql(got).first()
+    assert sorted(r["ks"]) == ["a", "b"] and r["has_a"]
+    assert r["mn"] == "April" and r["wd"] == "Wednesday" and r["iw"] == 15
+    # CH default week mode 0 = SUNDAY start; mode 1 = Monday
+    assert str(r["sun0"]) == "2024-04-07" and str(r["mon1"]) == "2024-04-08"
+    assert r["rh"] == 475767 and r["dom"] == "example.com"
+    assert abs(r["gcd"] - 810000) < 10000  # CH docs example distance
+    with pytest.raises(ChTranslationError, match="week"):
+        translate_ch_sql("SELECT dateName('week', ts) FROM cal")
+
+
+def test_literal_reescape_regex_compat(spark):
+    r"""CH keeps the backslash for unknown escapes ('\d' IS backslash-d);
+    Spark drops it — the re-escape pass makes CH-style regex literals run
+    correctly, while shared escapes and pre-doubled backslashes pass
+    through untouched."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    spark.createDataFrame(
+        [("k1=3 k2=77",)], "kv string"
+    ).createOrReplaceTempView("rt")
+    got, _ = translate_ch_sql(
+        r"SELECT extractAll(kv, 'k\d=(\d+)') AS nums, "
+        r"extractAll(kv, '\d+') AS all_nums, "
+        r"match(kv, 'k\d') AS m, "
+        r"replaceRegexpAll(kv, '\s+', '_') AS u FROM rt"
+    )
+    assert r"'k\\d=(\\d+)'" in got  # literal doubled for Spark
+    r_ = spark.sql(got).first()
+    assert r_["nums"] == ["3", "77"]          # capturing group → index 1
+    assert r_["all_nums"] == ["1", "3", "2", "77"]  # no group → whole match
+    assert r_["m"] is True and r_["u"] == "k1=3_k2=77"
+    # already-doubled input stays semantically identical
+    got2, _ = translate_ch_sql(r"SELECT match(kv, 'k\\d') AS m FROM rt")
+    assert spark.sql(got2).first()["m"] is True
+    # escaped paren is NOT a capturing group → whole-match index 0
+    got3, _ = translate_ch_sql(r"SELECT extractAll(kv, '=\(?(\d)') AS g FROM rt")
+    assert ", 1)" in got3
