@@ -749,6 +749,19 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "arrayExists", lambda a: f"exists({a[1]}, {a[0]})")
     sql = _rewrite_calls(sql, "arrayAll", lambda a: f"forall({a[1]}, {a[0]})")
     sql = _rewrite_calls(sql, "arrayCount", lambda a: f"size(filter({a[1]}, {a[0]}))")
+    # -Array aggregate combinators: aggregate over every element of the
+    # rows' arrays — per-row array fold composed with the row aggregate
+    # (same DOUBLE widening note as arraySum)
+    sql = _rewrite_calls(sql, "sumArray", lambda a: f"sum({_array_sum([a[0]])})")
+    sql = _rewrite_calls(sql, "minArray", lambda a: f"min(array_min({a[0]}))")
+    sql = _rewrite_calls(sql, "maxArray", lambda a: f"max(array_max({a[0]}))")
+    sql = _rewrite_calls(sql, "countArray", lambda a: f"sum(size({a[0]}))")
+    sql = _rewrite_calls(
+        sql, "avgArray",
+        # try_divide: zero total elements → NULL (CH yields NaN; NULL is
+        # the ANSI-safe reading — never a runtime error)
+        lambda a: f"try_divide(sum({_array_sum([a[0]])}), sum(size({a[0]})))",
+    )
     sql = _rewrite_calls(sql, "arraySum", _array_sum)
     sql = _rewrite_calls(sql, "arrayEnumerate", lambda a: f"sequence(1, size({a[0]}))")
     sql = _rewrite_calls(sql, "indexOf", lambda a: f"array_position({a[0]}, {a[1]})")
@@ -909,6 +922,36 @@ def _translate_functions(sql: str) -> str:
         return " ".join(parts)
 
     sql = _rewrite_calls(sql, "multiIf", _multi_if)
+    # groupArray(N)(x) / groupUniqArray(N)(x): the capped combinator form
+    # → slice of the full aggregate.  Plain one-group calls fall through
+    # to the rename below.  (Element order matches CH's contract exactly:
+    # both leave it unspecified under parallel aggregation.)
+    for ch, spark_agg in (
+        ("groupArray", "collect_list"),
+        ("groupUniqArray", "collect_set"),
+    ):
+        pos = 0
+        while True:
+            at = _find_call(sql, ch, pos)
+            if at < 0:
+                break
+            open1 = sql.index("(", at)
+            end1 = _balanced(sql, open1)
+            rest = sql[end1:].lstrip()
+            if not rest.startswith("("):
+                pos = end1
+                continue
+            open2 = end1 + (len(sql[end1:]) - len(rest))
+            end2 = _balanced(sql, open2)
+            n_raw = sql[open1 + 1 : end1 - 1].strip()
+            if not n_raw.isdigit():
+                raise ChTranslationError(
+                    f"{ch}(N)(x) requires an integer literal N, got {n_raw!r}"
+                )
+            x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
+            rep = f"slice({spark_agg}({x}), 1, {n_raw})"
+            sql = sql[:at] + rep + sql[end2:]
+            pos = at + len(rep)
     for ch, spark in _RENAMES.items():
         sql = _rename_calls(sql, ch, spark)
     return sql

@@ -1195,3 +1195,32 @@ def test_literal_reescape_regex_compat(spark):
     # escaped paren is NOT a capturing group → whole-match index 0
     got3, _ = translate_ch_sql(r"SELECT extractAll(kv, '=\(?(\d)') AS g FROM rt")
     assert ", 1)" in got3
+
+
+def test_array_aggregate_combinators(spark):
+    """-Array combinators (sumArray/minArray/maxArray/countArray/avgArray)
+    and the capped groupArray(N)(x) form."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0]), (2, [])],
+        "g int, xs array<double>",
+    ).createOrReplaceTempView("agc")
+    got, _ = translate_ch_sql(
+        "SELECT g, sumArray(xs) AS s, minArray(xs) AS mn, maxArray(xs) AS mx, "
+        "countArray(xs) AS c, avgArray(xs) AS a, "
+        "groupArray(2)(g) AS g2 FROM agc GROUP BY g"
+    )
+    out = {r["g"]: (r["s"], r["mn"], r["mx"], r["c"], r["a"], len(r["g2"]))
+           for r in spark.sql(got).collect()}
+    assert out[1] == (6.0, 1.0, 3.0, 3, 2.0, 2)
+    # empty arrays: sum 0 per CH; min/max over nothing → NULL; avg NULL
+    assert out[2][0] == 0.0 and out[2][1] is None and out[2][3] == 0
+    # plain one-group groupArray still renames
+    got2, _ = translate_ch_sql("SELECT groupArray(g) AS gs FROM agc")
+    assert "collect_list(g)" in got2
+    with pytest.raises(ChTranslationError, match="integer literal"):
+        translate_ch_sql("SELECT groupArray(x)(g) FROM agc")
