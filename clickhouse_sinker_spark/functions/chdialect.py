@@ -78,7 +78,10 @@ materialize(x)
 now() / today()              current_timestamp() / current_date()
 xxHash64(x)                  xxhash64(x)
 PREWHERE c                   WHERE c   (merged with AND if WHERE exists)
-FROM t FINAL                 FROM t    (noted: engine has no merge state)
+FROM t FINAL                 ReplacingMergeTree merge-on-read: newest-
+                             version row per sorting key via row_number
+                             (needs table_keys config; stripped with a
+                             note when no config is supplied)
 quantiles(p…)(x)             percentile_approx(x, array(p…))
 quantilesExact(p…)(x)        percentile(x, array(p…))
 quantileTDigest/Determi-     percentile_approx(x, p)   (one sketch impl)
@@ -130,6 +133,36 @@ Injective
 arrayPushBack/Front(a, x)    concat(a, array(x)) / concat(array(x), a)
 arrayPopBack/Front(a)        slice(a, 1|2, size-1)
 toStartOfSecond(t)           date_trunc('SECOND', t)
+windowFunnel(W[,mode])(…)    aggregate() chain fold over time-sorted
+                             (t, cond-mask) events; strict_order and
+                             strict_deduplication modes supported
+retention(c1, …, cn)         array of max(c1)/least(max(c1), max(ci))
+sequenceMatch('pat')(…)      per-group event string + regex (atoms (?N)
+sequenceCount('pat')(…)      and .*; (?t…) refused → windowFunnel)
+SAMPLE k / k/n / N           TABLESAMPLE (PERCENT | N ROWS)  (noted:
+                             row membership differs between engines)
+uniqCombined[64](x)          approx_count_distinct(x)
+ARRAY JOIN a AS x, b AS y    posexplode(a) + element_at(b, pos+1) zip
+mapKeys/mapValues/Contains   map_keys / map_values / map_contains_key
+monthName/dateName           date_format tokens ('week' part refused)
+toStartOfWeek(d[, mode])     Sunday formula (mode 0) / date_trunc WEEK
+toISOWeek(d)                 weekofyear(d)
+toRelative*Num(t)            floor(unix_timestamp / unit-seconds)
+greatCircleDistance          haversine on CH's sphere radius
+domainWithoutWWW(u)          parse_url HOST minus leading www.
+extractAll(s, 're')          regexp_extract_all (group index sniffed)
+splitByRegexp(re, s)         split(s, re)
+arrayCompact/CumSum/Reduce/  filter-with-index / fold-append / named
+Resize/Intersect/WithConst   aggregate subset / slice-or-pad / n-ary
+                             array_intersect / array_repeat
+sumArray/minArray/maxArray/  per-row array fold composed with the row
+countArray/avgArray          aggregate (try_divide for avg)
+groupArray(N)(x)             slice(collect_list(x), 1, N)
+string literals              re-escaped: CH keeps the backslash on
+                             unknown escapes ('\\d' is backslash-d),
+                             Spark drops it — lone backslashes outside
+                             the shared escape set are doubled so every
+                             regex literal reads identically
 ANY JOIN / ASOF JOIN /       refused with a rewrite hint (dedup-first /
 ORDER BY … WITH FILL         operators/asof.py / ts_gap_fill plan) —
                              never mistranslated
