@@ -60,14 +60,43 @@ def _run_query(args) -> None:
             [c for c in parts[1].split(",") if c],
             [c for c in parts[2].split(",") if c],
         )
+    # system.* emulation: the reference's schema/discovery SQL
+    # (output/clickhouse.go:41-58, discovery/discovery.go:15) and users'
+    # DESCRIBE/SHOW habits work against the registered views
+    from .sources.systemviews import register_system_views
+
+    sorting_keys = {t: k for t, (k, _v) in (table_keys or {}).items()}
+    register_system_views(spark, views, sorting_keys=sorting_keys)
+
+    import re as _re
+
+    q = args.query.strip().rstrip(";")
+    # clickhouse-client conveniences: SHOW TABLES / DESCRIBE / EXPLAIN
+    if _re.fullmatch(r"(?is)SHOW\s+TABLES", q):
+        q = "SELECT name FROM system.tables ORDER BY name"
+    dm = _re.fullmatch(r"(?is)(?:DESCRIBE|DESC)(?:\s+TABLE)?\s+(\w+)", q)
+    if dm:
+        q = (
+            "SELECT name, type, default_kind FROM system.columns "
+            f"WHERE table = '{dm.group(1)}' ORDER BY position"
+        )
+    explain = False
+    em = _re.match(r"(?is)^EXPLAIN\s+(?:PLAN\s+)?(SELECT\b.*)$", q, _re.DOTALL)
+    if em:
+        explain, q = True, em.group(1)
+
     translated, notes = translate_ch_sql(
-        args.query,
+        q,
         table_keys=table_keys,
         array_columns=spark_array_columns(spark, views),
     )
     for n in notes:
         print(f"-- note: {n}", file=sys.stderr)
     df = spark.sql(translated)
+    if explain:
+        print(df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"))
+        return
     if args.query_format == "json":
         for line in df.toJSON().collect():
             print(line)

@@ -1991,6 +1991,19 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
             "shuffle itself (AQE); semantics are unchanged"
         )
 
+    # system.<table> → system_<table>: Spark temp views cannot live in a
+    # `system` database; sources/systemviews.py registers the flattened
+    # names with the reference's column layout
+    if _spans_outside_strings(sql, r"\bsystem\.(columns|tables|clusters)\b"):
+        for m in reversed(
+            _spans_outside_strings(sql, r"\bsystem\.(columns|tables|clusters)\b")
+        ):
+            sql = sql[: m.start()] + f"system_{m.group(1).lower()}" + sql[m.end() :]
+        notes.append(
+            "system.* → system_* views (register via "
+            "sources/systemviews.register_system_views)"
+        )
+
     # SAMPLE k after a table ref (docs: ClickHouse sampling clause) →
     # Spark TABLESAMPLE.  Fraction (0.3, 3/10) → PERCENT; integer ≥ 1 →
     # ROWS.  CH samples deterministically by the table's sample key, Spark

@@ -1224,3 +1224,60 @@ def test_array_aggregate_combinators(spark):
     assert "collect_list(g)" in got2
     with pytest.raises(ChTranslationError, match="integer literal"):
         translate_ch_sql("SELECT groupArray(x)(g) FROM agc")
+
+
+def test_system_views_and_cli_conveniences(spark, capsys):
+    """system.columns/tables/clusters emulation + SHOW TABLES / DESCRIBE /
+    EXPLAIN in --query mode — the reference's own discovery SQL
+    (output/clickhouse.go:41-58, discovery/discovery.go:15) runs
+    unchanged."""
+    from clickhouse_sinker_spark.__main__ import main
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+    from clickhouse_sinker_spark.sources.systemviews import register_system_views
+    from clickhouse_sinker_spark.sources.tables import load_table
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    register_system_views(
+        spark, ["events"], sorting_keys={"events": ["user_id", "event_type"]},
+        hosts=["h0:9000,h0r2:9000", "h1:9000"],
+    )
+    # the reference's dims-discovery query, byte-for-byte shape
+    got, notes = translate_ch_sql(
+        "select name, type, default_kind from system.columns "
+        "where database = 'default' and table = 'events'"
+    )
+    assert "system_columns" in got and any("system" in n for n in notes)
+    rows = {r["name"]: r["type"] for r in spark.sql(got).collect()}
+    assert rows["user_id"] == "Nullable(Int64)"
+    assert rows["ts"] == "Nullable(DateTime)"
+    # sorting-key discovery (output/clickhouse.go:742)
+    got2, _ = translate_ch_sql(
+        "SELECT name FROM system.columns WHERE table = 'events' "
+        "AND is_in_sorting_key = 1 ORDER BY position"
+    )
+    assert [r["name"] for r in spark.sql(got2).collect()] == [
+        "user_id", "event_type",
+    ]
+    # topology (discovery/discovery.go:15)
+    got3, _ = translate_ch_sql(
+        "SELECT shard_num, replica_num, host_name FROM system.clusters "
+        "WHERE cluster = 'default' ORDER BY shard_num, replica_num"
+    )
+    assert [(r[0], r[1], r[2]) for r in spark.sql(got3).collect()] == [
+        (1, 1, "h0"), (1, 2, "h0r2"), (2, 1, "h1"),
+    ]
+
+    # CLI conveniences
+    main(["--query", "SHOW TABLES", "--data-dir", SF_DIR,
+          "--query-format", "csv", "--master", "local[4]"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert "events" in out and "lineitem" in out
+    main(["--query", "DESCRIBE events", "--data-dir", SF_DIR,
+          "--query-format", "csv", "--master", "local[4]"])
+    out2 = capsys.readouterr().out.strip().splitlines()
+    assert out2[0] == "name,type,default_kind"
+    assert any(l.startswith("event_id,") for l in out2)
+    main(["--query", "EXPLAIN SELECT count(*) FROM events",
+          "--data-dir", SF_DIR, "--master", "local[4]"])
+    out3 = capsys.readouterr().out
+    assert "Physical Plan" in out3
