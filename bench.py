@@ -107,7 +107,10 @@ def _host_cpu_snapshot() -> tuple[float, float]:
     host (the r5→r4 +8% question was exactly this ambiguity)."""
     with open("/proc/stat") as f:
         parts = f.readline().split()[1:]
-    vals = [float(x) for x in parts]
+    # fields: user nice system idle iowait irq softirq steal [guest ...];
+    # guest/guest_nice are ALREADY counted inside user/nice — summing them
+    # again would double-count VM time, so only the first 8 fields count
+    vals = [float(x) for x in parts[:8]]
     idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle + iowait
     busy = sum(vals) - idle
     t = os.times()

@@ -94,8 +94,7 @@ def _run_query(args) -> None:
         print(f"-- note: {n}", file=sys.stderr)
     df = spark.sql(translated)
     if explain:
-        print(df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"))
+        df.explain(mode="formatted")
         return
     if args.query_format == "json":
         for line in df.toJSON().collect():

@@ -43,19 +43,20 @@ from __future__ import annotations
 import struct
 import urllib.parse
 import urllib.request
-from datetime import date, datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 
 __all__ = [
     "encode_block",
     "decode_block",
     "insert_native_http",
-    "ch_type_for_spark",
 ]
 
 _EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 # fixed-width numeric types: struct format char (little-endian applied at
-# pack time) and a zero default for null backfill
+# pack time) and a zero default for null backfill.  Bool is wire-identical
+# to UInt8 (the server serializes it as one byte).
 _FIXED = {
     "Int8": ("b", 0),
     "Int16": ("h", 0),
@@ -67,6 +68,7 @@ _FIXED = {
     "UInt64": ("Q", 0),
     "Float32": ("f", 0.0),
     "Float64": ("d", 0.0),
+    "Bool": ("B", 0),
 }
 
 
@@ -101,11 +103,21 @@ def _enc_str(s: str | bytes) -> bytes:
     return _varint(len(b)) + b
 
 
+def _to_epoch_micros(v) -> int:
+    """Exact integer µs since epoch via timedelta arithmetic — no float
+    round-trip, sign-correct for pre-epoch values (``int(ts.timestamp())``
+    truncates toward zero and flips sub-second fractions before 1970).
+    A NAIVE datetime is read as UTC — callers on hosts with another OS
+    timezone must convert first (NativeHttpSink ships epoch integers from
+    the JVM for exactly this reason)."""
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=timezone.utc)
+    return (v - _EPOCH_DT) // timedelta(microseconds=1)
+
+
 def _to_epoch_seconds(v) -> int:
     if isinstance(v, datetime):
-        if v.tzinfo is None:
-            v = v.replace(tzinfo=timezone.utc)  # naive ⇒ UTC (P11 pin)
-        return int(v.timestamp())
+        return _to_epoch_micros(v) // 1_000_000
     return int(v)
 
 
@@ -153,17 +165,26 @@ def _encode_data(ch_type: str, values: list) -> bytes:
     if t.startswith("DateTime64(") and t.endswith(")"):
         p = int(t[len("DateTime64(") : -1].split(",")[0])
         scale = 10**p
-        out = []
-        for v in values:
-            if isinstance(v, datetime):
-                if v.tzinfo is None:
-                    v = v.replace(tzinfo=timezone.utc)
-                out.append(
-                    int(v.timestamp()) * scale
-                    + v.microsecond * scale // 1_000_000
-                )
-            else:
-                out.append(int(v))
+        out = [
+            _to_epoch_micros(v) * scale // 1_000_000
+            if isinstance(v, datetime)
+            else int(v)  # raw ints are pre-scaled per the type's contract
+            for v in values
+        ]
+        return struct.pack(f"<{len(values)}q", *out)
+    if t.startswith("Decimal(") and t.endswith(")"):
+        p, s = _decimal_args(t)
+        if p > 18:
+            raise ValueError(
+                f"Decimal precision {p} > 18 needs Int128 column layout — "
+                "not supported by this encoder"
+            )
+        from decimal import Decimal
+
+        scale = 10**s
+        out = [
+            int((Decimal(str(v)) * scale).to_integral_value()) for v in values
+        ]
         return struct.pack(f"<{len(values)}q", *out)
     if t.startswith("Array(") and t.endswith(")"):
         inner = t[len("Array(") : -1].strip()
@@ -175,6 +196,11 @@ def _encode_data(ch_type: str, values: list) -> bytes:
             flat.extend(v)
         return struct.pack(f"<{len(offsets)}Q", *offsets) + _encode_data(inner, flat)
     raise ValueError(f"unsupported ClickHouse type for Native encoding: {ch_type!r}")
+
+
+def _decimal_args(t: str) -> tuple[int, int]:
+    p, s = (x.strip() for x in t[len("Decimal(") : -1].split(","))
+    return int(p), int(s)
 
 
 def _default_for(ch_type: str):
@@ -245,6 +271,12 @@ def _decode_data(ch_type: str, buf: bytes, pos: int, n: int) -> tuple[list, int]
     if t.startswith("DateTime64("):
         vals = list(struct.unpack_from(f"<{n}q", buf, pos))
         return vals, pos + 8 * n
+    if t.startswith("Decimal(") and t.endswith(")"):
+        from decimal import Decimal
+
+        _p, s = _decimal_args(t)
+        raw = struct.unpack_from(f"<{n}q", buf, pos)
+        return [Decimal(v) / 10**s for v in raw], pos + 8 * n
     if t.startswith("Array(") and t.endswith(")"):
         inner = t[len("Array(") : -1].strip()
         offsets = list(struct.unpack_from(f"<{n}Q", buf, pos))
@@ -281,36 +313,10 @@ def decode_block(buf: bytes) -> list[tuple[str, str, list]]:
     return cols
 
 
-# Spark SQL type name → Native type for the insert path (inverse direction
-# of typemap.parse_ch_type; unsigned widths cannot round-trip, so signed
-# types are emitted — the server widens on insert)
-_SPARK_TO_CH = {
-    "tinyint": "Int8",
-    "smallint": "Int16",
-    "int": "Int32",
-    "integer": "Int32",
-    "bigint": "Int64",
-    "float": "Float32",
-    "double": "Float64",
-    "string": "String",
-    "date": "Date",
-    "timestamp": "DateTime64(6)",
-    "boolean": "UInt8",
-}
-
-
-def ch_type_for_spark(spark_type: str, nullable: bool = False) -> str:
-    """Spark simple type name → Native block type (arrays recurse)."""
-    s = spark_type.strip().lower()
-    if s.startswith("array<") and s.endswith(">"):
-        inner = ch_type_for_spark(s[6:-1])
-        base = f"Array({inner})"
-    else:
-        try:
-            base = _SPARK_TO_CH[s]
-        except KeyError:
-            raise ValueError(f"no Native mapping for Spark type {spark_type!r}") from None
-    return f"Nullable({base})" if nullable and not base.startswith("Array(") else base
+# NOTE: the Spark-type → ClickHouse-type mapping lives in ONE place —
+# sources/systemviews.spark_to_ch_type — shared by the system.columns
+# emulation and NativeHttpSink (timestamp_as='DateTime64(6)' on the
+# insert path).  This module only consumes the resulting type strings.
 
 
 def insert_native_http(

@@ -2026,7 +2026,9 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
         if m2.group(3):
             frac = num / float(m2.group(3))
             rep = f"TABLESAMPLE ({frac * 100:g} PERCENT)"
-        elif num < 1:
+        elif num <= 1:
+            # CH: k in [0, 1] is a FRACTION — SAMPLE 1 is the whole table,
+            # never a 1-row quota
             rep = f"TABLESAMPLE ({num * 100:g} PERCENT)"
         else:
             rep = f"TABLESAMPLE ({int(num)} ROWS)"

@@ -464,7 +464,9 @@ def chunk_spans(toks: Column | str, chunk: int = 128, overlap: int = 16) -> Colu
         raise ValueError(f"overlap {overlap} must be < chunk {chunk}")
     toks = F.col(toks) if isinstance(toks, str) else toks
     stride = chunk - overlap
-    n = F.size(toks)
+    # coalesce: size(NULL) is NULL, which would fall past the <= 0 guard
+    # and fabricate one phantom chunk for NULL-text rows
+    n = F.coalesce(F.size(toks), F.lit(0))
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
     return F.when(n <= 0, F.array().cast(
         "array<struct<start:int,text:string,n_tokens:int>>"

@@ -191,9 +191,10 @@ def _assign_with_dist(
     vec_col: str,
     centroids: list[list[float]],
     threshold: int = BROADCAST_CENTROID_THRESHOLD,
+    d2_col: str = "d2",
 ) -> DataFrame:
-    """Add ``cluster`` (nearest centroid, ties → lower index) and ``d2``
-    (squared distance to it).
+    """Add ``cluster`` (nearest centroid, ties → lower index) and
+    ``d2_col`` (squared distance to it).
 
     k ≤ threshold — centroids compiled into the plan as literals: zero
     joins, pure map.  k > threshold — the centroid matrix rides a
@@ -209,7 +210,7 @@ def _assign_with_dist(
     v = F.col(vec_col).cast("array<double>")
     if len(centroids) <= threshold:
         dists = F.array(*[_dist2_to(v, c) for c in centroids])
-        return df.withColumn("d2", F.array_min(dists)).withColumn(
+        return df.withColumn(d2_col, F.array_min(dists)).withColumn(
             "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1
         )
     spark = df.sparkSession
@@ -235,7 +236,7 @@ def _assign_with_dist(
     return (
         df.crossJoin(F.broadcast(mdf))
         .select("*", F.explode(F.array(best)).alias("__best"))
-        .withColumn("d2", F.col("__best.d2"))
+        .withColumn(d2_col, F.col("__best.d2"))
         .withColumn("cluster", F.col("__best.idx").cast("int"))
         .drop("__cmat", "__best")
     )
@@ -251,8 +252,13 @@ def ivf_assign(
     Run this once at landing time and partition/bucket the corpus by
     ``cluster`` so searches only scan the probed partitions.  Above
     ``threshold`` centroids the plan switches from compiled literals to a
-    broadcast centroid matrix (see ``_assign_with_dist``)."""
-    return _assign_with_dist(df, vec_col, centroids, threshold).drop("d2")
+    broadcast centroid matrix (see ``_assign_with_dist``).  Only the
+    ``cluster`` column is added — a pre-existing ``d2`` column on the
+    input survives untouched (the helper's distance uses a private name
+    here)."""
+    return _assign_with_dist(
+        df, vec_col, centroids, threshold, d2_col="__ivf_d2"
+    ).drop("__ivf_d2")
 
 
 def ivf_search(

@@ -5882,13 +5882,15 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Layout of ``DRIVER_ORDER`` (round 6: drain the never-driver-hashed tail,
 # per VERDICT r5 "next round" item 1):
-# 1. A 12-name anchor set — one representative per §2 / LLM-pipeline
+# 1. A 10-name anchor set — one representative per §2 / LLM-pipeline
 #    family that has repeatedly hashed green (regression canaries).
-# 2. 38 fresh slots: ``knn_ivf_trained`` first (its only driver row ever
-#    is the r1 failure, pre-rewrite), then the 16 never-hashed TPC-H
-#    shapes, the window/time-series family, ANN/embedding/dedup tails,
-#    agg/funnel/cohort shapes, and the three round-6 dialect queries
-#    (FINAL, windowFunnel, retention).
+# 2. 40 fresh slots: ``knn_ivf_trained`` first (already-hashed, but its
+#    only driver row ever is the r1 failure, pre-rewrite), then 39
+#    first-time hashes — the 16 never-hashed TPC-H shapes, the
+#    window/time-series family, ANN/embedding/dedup tails,
+#    agg/funnel/cohort shapes, and the five round-6 additions
+#    (ch_dialect_final, ch_dialect_window_funnel, ch_dialect_retention,
+#    ch_dialect_sequence_match, pipeline_chunk_documents).
 # 3. Every remaining registered query in registration (source) order.
 # Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
 # every test run regardless of their position in this list.

@@ -39,20 +39,32 @@ _SIMPLE = {
 }
 
 
-def spark_to_ch_type(dt: T.DataType, nullable: bool = False) -> str:
-    """Spark DataType → ClickHouse type string (inverse of
-    typemap.parse_ch_type; lossy where Spark lacks the distinction —
-    unsigned widths come back signed, Enum/UUID/IP come back String)."""
+def spark_to_ch_type(
+    dt: T.DataType, nullable: bool = False, timestamp_as: str = "DateTime"
+) -> str:
+    """Spark DataType → ClickHouse type string — THE single source for
+    this direction (inverse of typemap.parse_ch_type; lossy where Spark
+    lacks the distinction — unsigned widths come back signed,
+    Enum/UUID/IP come back String).  Shared by the system.columns
+    emulation (``timestamp_as='DateTime'``, the reference's table
+    convention) and NativeHttpSink (``'DateTime64(6)'`` — Spark
+    timestamps are µs)."""
     if isinstance(dt, T.DecimalType):
         base = f"Decimal({dt.precision}, {dt.scale})"
     elif isinstance(dt, T.ArrayType):
         # CH arrays are never Nullable at the outer level
-        return f"Array({spark_to_ch_type(dt.elementType, dt.containsNull)})"
+        return (
+            "Array("
+            + spark_to_ch_type(dt.elementType, dt.containsNull, timestamp_as)
+            + ")"
+        )
     elif isinstance(dt, T.MapType):
         base = (
-            f"Map({spark_to_ch_type(dt.keyType)}, "
-            f"{spark_to_ch_type(dt.valueType, dt.valueContainsNull)})"
+            f"Map({spark_to_ch_type(dt.keyType, timestamp_as=timestamp_as)}, "
+            f"{spark_to_ch_type(dt.valueType, dt.valueContainsNull, timestamp_as)})"
         )
+    elif dt.typeName() in ("timestamp", "timestamp_ntz"):
+        base = timestamp_as
     else:
         base = _SIMPLE.get(dt.typeName(), "String")
     return f"Nullable({base})" if nullable else base

@@ -372,12 +372,26 @@ class NativeHttpSink(JdbcSink):
                 f"NativeHttpSink needs an http(s) url_format, got {url!r} — "
                 'set ClickHouseConfig(url_format="http://{host}")'
             )
-        from ..chproto import ch_type_for_spark
+        from ..sources.systemviews import spark_to_ch_type
 
-        fields = [
-            (f.name, ch_type_for_spark(f.dataType.simpleString(), f.nullable))
-            for f in part.schema.fields
-        ]
+        # Timestamps cross to Python as NAIVE datetimes in the EXECUTOR
+        # OS timezone (not the session timeZone) — converting them
+        # Python-side would shift every value by the host's UTC offset.
+        # Convert JVM-side to exact epoch microseconds instead; the
+        # encoder's DateTime64 int path passes them through unscaled.
+        exprs = []
+        fields = []
+        for f in part.schema.fields:
+            ch_t = spark_to_ch_type(f.dataType, f.nullable, "DateTime64(6)")
+            if f.dataType.typeName() in ("timestamp", "timestamp_ntz"):
+                # NTZ → instant under the session timeZone (pipelines pin UTC)
+                exprs.append(
+                    F.unix_micros(F.col(f.name).cast("timestamp")).alias(f.name)
+                )
+            else:
+                exprs.append(F.col(f.name))
+            fields.append((f.name, ch_t))
+        part = part.select(*exprs)
         table = f"{self.ch.database}.{self.table}"
         user, password, max_rows = self.ch.username, self.ch.password, self.batch_size
 

@@ -1281,3 +1281,15 @@ def test_system_views_and_cli_conveniences(spark, capsys):
           "--data-dir", SF_DIR, "--master", "local[4]"])
     out3 = capsys.readouterr().out
     assert "Physical Plan" in out3
+
+
+def test_sample_one_is_whole_table(spark):
+    """SAMPLE 1 is the fraction 1 (whole table) in ClickHouse — never a
+    1-row quota (code-review r6 finding)."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql("SELECT count(*) AS n FROM st1 SAMPLE 1")
+    assert "TABLESAMPLE (100 PERCENT)" in got
+    spark.createDataFrame([(i,) for i in range(25)], "x int") \
+        .createOrReplaceTempView("st1")
+    assert spark.sql(got).first()["n"] == 25

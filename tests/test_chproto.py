@@ -13,7 +13,6 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from clickhouse_sinker_spark.chproto import (
-    ch_type_for_spark,
     decode_block,
     encode_block,
     insert_native_http,
@@ -131,13 +130,43 @@ def test_mismatched_row_counts_raise():
         encode_block([("a", "Int8", [1]), ("b", "Int8", [1, 2])])
 
 
-def test_ch_type_for_spark():
-    assert ch_type_for_spark("bigint") == "Int64"
-    assert ch_type_for_spark("string", nullable=True) == "Nullable(String)"
-    assert ch_type_for_spark("timestamp") == "DateTime64(6)"
-    assert ch_type_for_spark("array<float>") == "Array(Float32)"
-    with pytest.raises(ValueError):
-        ch_type_for_spark("interval")
+def test_spark_to_ch_type_single_source():
+    """ONE Spark→CH type map (sources/systemviews.spark_to_ch_type) serves
+    both system.columns and the Native insert path."""
+    from pyspark.sql import types as T
+
+    from clickhouse_sinker_spark.sources.systemviews import spark_to_ch_type
+
+    assert spark_to_ch_type(T.LongType()) == "Int64"
+    assert spark_to_ch_type(T.StringType(), nullable=True) == "Nullable(String)"
+    assert spark_to_ch_type(T.TimestampType()) == "DateTime"
+    assert (
+        spark_to_ch_type(T.TimestampType(), timestamp_as="DateTime64(6)")
+        == "DateTime64(6)"
+    )
+    assert spark_to_ch_type(T.ArrayType(T.FloatType(), False)) == "Array(Float32)"
+    assert spark_to_ch_type(T.BooleanType()) == "Bool"
+    assert spark_to_ch_type(T.DecimalType(12, 4)) == "Decimal(12, 4)"
+
+
+def test_bool_decimal_and_pre_epoch_datetime():
+    from decimal import Decimal
+
+    cols = [
+        ("b", "Bool", [1, 0, 1]),
+        ("d", "Decimal(12, 4)", [Decimal("1.5"), Decimal("-0.0001"), Decimal("0")]),
+    ]
+    out = decode_block(encode_block(cols))
+    assert out[0][2] == [1, 0, 1]
+    assert out[1][2] == [Decimal("1.5"), Decimal("-0.0001"), Decimal("0")]
+    with pytest.raises(ValueError, match="Int128"):
+        encode_block([("x", "Decimal(38, 9)", [Decimal(1)])])
+
+    # pre-epoch sub-second timestamps: sign-correct scaled integer
+    dt_neg = datetime(1969, 12, 31, 23, 59, 59, 500000, tzinfo=timezone.utc)
+    blk = encode_block([("t", "DateTime64(6)", [dt_neg])])
+    (_, _, vals), = decode_block(blk)
+    assert vals == [-500000]  # -0.5 s in µs, NOT +0.5
 
 
 class _Capture(BaseHTTPRequestHandler):
@@ -201,8 +230,12 @@ def test_native_http_sink_end_to_end(capture_server, spark):
         hosts=(host,), database="db", url_format="http://{host}"
     )
     sink = NativeHttpSink(ch=ch, table="t", shards=1)
+    from datetime import datetime
+
+    ts = datetime(2024, 3, 1, 10, 0, 0)  # UTC under the session pin
     df = spark.createDataFrame(
-        [(1, "a", 1.5), (2, "b", None)], "id bigint, s string, v double"
+        [(1, "a", 1.5, ts), (2, "b", None, ts)],
+        "id bigint, s string, v double, ts timestamp",
     ).coalesce(1)
     sink(df, epoch_id=0)
     assert _Capture.body is not None
@@ -211,9 +244,17 @@ def test_native_http_sink_end_to_end(capture_server, spark):
         ("id", "Nullable(Int64)"),
         ("s", "Nullable(String)"),
         ("v", "Nullable(Float64)"),
+        ("ts", "Nullable(DateTime64(6))"),
     ]
     landed = sorted(zip(cols[0][2], cols[1][2], cols[2][2]))
     assert landed == [(1, "a", 1.5), (2, "b", None)]
+    # timestamps are converted to epoch µs ON THE JVM (session-timeZone
+    # aware) — never through Python's OS-local naive datetimes, which
+    # would shift by the executor host's UTC offset
+    from datetime import timezone as _tz
+
+    want_us = int(ts.replace(tzinfo=_tz.utc).timestamp() * 1_000_000)
+    assert cols[3][2] == [want_us, want_us]
     assert "INSERT+INTO+db.t+FORMAT+Native" in _Capture.path_seen
 
 
