@@ -80,10 +80,15 @@ def _run_query(args) -> None:
             "SELECT name, type, default_kind FROM system.columns "
             f"WHERE table = '{dm.group(1)}' ORDER BY position"
         )
-    explain = False
-    em = _re.match(r"(?is)^EXPLAIN\s+(?:PLAN\s+)?(SELECT\b.*)$", q, _re.DOTALL)
+    explain = syntax_only = False
+    em = _re.match(
+        r"(?is)^EXPLAIN\s+(SYNTAX\s+|PLAN\s+)?(SELECT\b.*)$", q, _re.DOTALL
+    )
     if em:
-        explain, q = True, em.group(1)
+        explain, q = True, em.group(2)
+        # EXPLAIN SYNTAX: CH prints the rewritten query — here, the
+        # translated Spark SQL (the most useful translation-debug view)
+        syntax_only = (em.group(1) or "").strip().upper() == "SYNTAX"
 
     translated, notes = translate_ch_sql(
         q,
@@ -92,6 +97,9 @@ def _run_query(args) -> None:
     )
     for n in notes:
         print(f"-- note: {n}", file=sys.stderr)
+    if explain and syntax_only:
+        print(translated)
+        return
     df = spark.sql(translated)
     if explain:
         df.explain(mode="formatted")

@@ -1293,3 +1293,14 @@ def test_sample_one_is_whole_table(spark):
     spark.createDataFrame([(i,) for i in range(25)], "x int") \
         .createOrReplaceTempView("st1")
     assert spark.sql(got).first()["n"] == 25
+
+
+def test_cli_explain_syntax(capsys):
+    """EXPLAIN SYNTAX prints the translated Spark SQL (CH parity: the
+    rewritten-query view) without executing it."""
+    from clickhouse_sinker_spark.__main__ import main
+
+    main(["--query", "EXPLAIN SYNTAX SELECT countIf(value > 1) AS c FROM events",
+          "--data-dir", SF_DIR, "--master", "local[4]"])
+    out = capsys.readouterr().out.strip()
+    assert out == "SELECT count_if(value > 1) AS c FROM events"
