@@ -5720,6 +5720,79 @@ def ch_dialect_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_FUNNEL, sf_dir)
 
 
+CH_DIALECT_FUNNEL_STRICT = """
+    SELECT user_id,
+           windowFunnel(7200, 'strict_order')(ts, event_type = 'signup',
+                                              event_type = 'click',
+                                              event_type = 'purchase') AS lvl
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query(
+    "ch_dialect_funnel_strict",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             event_type IN ('signup', 'click', 'purchase') AS matched,
+             event_type
+      FROM events
+    ),
+    ta AS (
+      SELECT user_id, min(t) AS ta FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    tx AS (
+      SELECT e.user_id, min(e.t) AS tx
+      FROM e JOIN ta USING (user_id)
+      WHERE NOT e.matched AND e.t > ta.ta
+      GROUP BY e.user_id
+    ),
+    trunc AS (
+      SELECT e.user_id, e.t, e.event_type
+      FROM e LEFT JOIN tx USING (user_id)
+      WHERE e.matched AND (tx.tx IS NULL OR e.t < tx.tx)
+    ),
+    u AS (SELECT DISTINCT user_id FROM e),
+    l1 AS (SELECT DISTINCT user_id FROM trunc WHERE event_type = 'signup'),
+    l2 AS (
+      SELECT DISTINCT s.user_id
+      FROM trunc s JOIN trunc c ON c.user_id = s.user_id
+        AND c.event_type = 'click' AND c.t >= s.t AND c.t <= s.t + 7200000000
+      WHERE s.event_type = 'signup'
+    ),
+    l3 AS (
+      SELECT DISTINCT s.user_id
+      FROM trunc s
+      JOIN trunc c ON c.user_id = s.user_id AND c.event_type = 'click'
+        AND c.t >= s.t AND c.t <= s.t + 7200000000
+      JOIN trunc p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        AND p.t >= c.t AND p.t <= s.t + 7200000000
+      WHERE s.event_type = 'signup'
+    )
+    SELECT u.user_id AS user_id,
+           CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                     WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                     WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+                     ELSE 0 END AS INT) AS lvl
+    FROM u
+    """,
+)
+def ch_dialect_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(W, 'strict_order')`` through the translator under
+    the hard gate: once a chain has started, the first event matching NO
+    condition stops processing entirely (CH strict_order contract).  The
+    DuckDB oracle is an independent formulation — truncate each user's
+    stream at the first non-matching event after their first signup, then
+    run the plain reachability chains on what remains; equivalent because
+    the engine-side fold's stop flag freezes exactly that prefix.  Same
+    single-groupBy plan as the default-mode funnel."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_FUNNEL_STRICT, sf_dir)
+
+
 CH_DIALECT_RETENTION = """
     SELECT user_id,
            arrayStringConcat(arrayMap(x -> toString(x),
@@ -5882,15 +5955,16 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Layout of ``DRIVER_ORDER`` (round 6: drain the never-driver-hashed tail,
 # per VERDICT r5 "next round" item 1):
-# 1. A 10-name anchor set — one representative per §2 / LLM-pipeline
+# 1. A 9-name anchor set — one representative per §2 / LLM-pipeline
 #    family that has repeatedly hashed green (regression canaries).
-# 2. 40 fresh slots: ``knn_ivf_trained`` first (already-hashed, but its
-#    only driver row ever is the r1 failure, pre-rewrite), then 39
+# 2. 41 fresh slots: ``knn_ivf_trained`` first (already-hashed, but its
+#    only driver row ever is the r1 failure, pre-rewrite), then 40
 #    first-time hashes — the 16 never-hashed TPC-H shapes, the
 #    window/time-series family, ANN/embedding/dedup tails,
-#    agg/funnel/cohort shapes, and the five round-6 additions
+#    agg/funnel/cohort shapes, and the six round-6 additions
 #    (ch_dialect_final, ch_dialect_window_funnel, ch_dialect_retention,
-#    ch_dialect_sequence_match, pipeline_chunk_documents).
+#    ch_dialect_sequence_match, ch_dialect_funnel_strict,
+#    pipeline_chunk_documents).
 # 3. Every remaining registered query in registration (source) order.
 # Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
 # every test run regardless of their position in this list.
@@ -5900,7 +5974,6 @@ DRIVER_ORDER: list[str] = [
     # --- anchors: one long-green canary per family ---
     "tpch_q1_pricing",
     "tpch_q9_profit",
-    "window_topk_per_customer",
     "window_sessionize",
     "agg_grouping_sets",
     "etl_parse_project",
@@ -5953,6 +6026,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_window_funnel",
     "ch_dialect_retention",
     "ch_dialect_sequence_match",
+    "ch_dialect_funnel_strict",
     "pipeline_chunk_documents",
 ]
 
