@@ -71,9 +71,29 @@ def _run_query(args) -> None:
     import re as _re
 
     q = args.query.strip().rstrip(";")
-    # clickhouse-client conveniences: SHOW TABLES / DESCRIBE / EXPLAIN
+    # clickhouse-client conveniences: SHOW TABLES / SHOW CREATE TABLE /
+    # DESCRIBE / EXPLAIN [SYNTAX]
     if _re.fullmatch(r"(?is)SHOW\s+TABLES", q):
         q = "SELECT name FROM system.tables ORDER BY name"
+    sc = _re.fullmatch(r"(?is)SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)", q)
+    if sc:
+        t = sc.group(1)
+        if t not in views:
+            raise SystemExit(f"unknown table {t!r} (have: {', '.join(views)})")
+        from .sources.systemviews import spark_to_ch_type
+
+        cols = ",\n    ".join(
+            f"`{f.name}` {spark_to_ch_type(f.dataType, f.nullable)}"
+            for f in spark.table(t).schema.fields
+        )
+        keys = (table_keys or {}).get(t, (None, None))[0]
+        order = ", ".join(keys) if keys else "tuple()"
+        engine = "ReplacingMergeTree" if keys else "MergeTree"
+        print(
+            f"CREATE TABLE {t}\n(\n    {cols}\n)\n"
+            f"ENGINE = {engine}\nORDER BY ({order})"
+        )
+        return
     dm = _re.fullmatch(r"(?is)(?:DESCRIBE|DESC)(?:\s+TABLE)?\s+(\w+)", q)
     if dm:
         q = (

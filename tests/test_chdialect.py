@@ -1304,3 +1304,21 @@ def test_cli_explain_syntax(capsys):
           "--data-dir", SF_DIR, "--master", "local[4]"])
     out = capsys.readouterr().out.strip()
     assert out == "SELECT count_if(value > 1) AS c FROM events"
+
+
+def test_cli_show_create_table(capsys):
+    from clickhouse_sinker_spark.__main__ import main
+
+    main(["--query", "SHOW CREATE TABLE events", "--data-dir", SF_DIR,
+          "--final-key", "events:user_id,event_type:ts,event_id",
+          "--master", "local[4]"])
+    out = capsys.readouterr().out
+    assert "CREATE TABLE events" in out
+    assert "`user_id` Nullable(Int64)" in out
+    assert "ENGINE = ReplacingMergeTree" in out
+    assert "ORDER BY (user_id, event_type)" in out
+    # without a sorting key: plain MergeTree ORDER BY tuple()
+    main(["--query", "SHOW CREATE region", "--data-dir", SF_DIR,
+          "--master", "local[4]"])
+    out2 = capsys.readouterr().out
+    assert "ENGINE = MergeTree" in out2 and "ORDER BY (tuple())" in out2
