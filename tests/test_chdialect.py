@@ -4,6 +4,9 @@ against the testdata with hand-computed or DuckDB-mirrored expectations."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given as given_chd
+from hypothesis import settings as settings_chd
+from hypothesis import strategies as st_chd
 
 from clickhouse_sinker_spark.functions.chdialect import (
     ChTranslationError,
@@ -1322,3 +1325,61 @@ def test_cli_show_create_table(capsys):
           "--master", "local[4]"])
     out2 = capsys.readouterr().out
     assert "ENGINE = MergeTree" in out2 and "ORDER BY (tuple())" in out2
+
+
+def _ch_read_literal(body: str) -> str:
+    """Reference reading of a CH single-quoted literal body: known escapes
+    decode, unknown escapes KEEP the backslash."""
+    out, i = [], 0
+    known = {"\\": "\\", "'": "'", '"': '"', "n": "\n", "t": "\t",
+             "r": "\r", "b": "\b", "0": "\0"}
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            out.append(known.get(nxt, "\\" + nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _spark_read_literal(body: str) -> str:
+    """Spark's reading: known escapes decode, unknown escapes DROP the
+    backslash (the mismatch _reescape_literals exists to fix)."""
+    out, i = [], 0
+    known = {"\\": "\\", "'": "'", '"': '"', "n": "\n", "t": "\t",
+             "r": "\r", "b": "\b", "0": "\0"}
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            out.append(known.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+@settings_chd(max_examples=200, deadline=None)
+@given_chd(
+    st_chd.text(
+        alphabet="abcXYZ0123456789 .*+?()[]{}\\dswWS$^|%_#@!-=/<>,;:\n\t",
+        max_size=30,
+    )
+)
+def test_literal_reescape_property(body):
+    """PROPERTY: for any literal body, Spark's reading of the TRANSLATED
+    literal equals ClickHouse's reading of the ORIGINAL — i.e. the
+    re-escape pass makes both engines see the same string value."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    if body.endswith("\\"):  # a trailing lone backslash would escape the
+        body = body + "x"    # closing quote — not a parseable literal
+    sql = f"SELECT '{body}' AS lit FROM t"
+    got, _ = translate_ch_sql(sql)
+    m = __import__("re").search(r"SELECT '(.*)' AS lit FROM t", got, 16)
+    assert m is not None, got
+    assert _spark_read_literal(m.group(1)) == _ch_read_literal(body)

@@ -36,6 +36,15 @@ def main() -> None:
     never = [n for n in order if n not in seen]
     print(f"registered: {len(QUERIES)}  ever-driver-checked: {len(seen)}  "
           f"never: {len(never)}")
+
+    # current-window audit: how many of the 50 slots are first-time hashes
+    from clickhouse_sinker_spark.plans.queries import DRIVER_ORDER, DRIVER_WINDOW
+
+    window = [n for n in DRIVER_ORDER if n in QUERIES][:DRIVER_WINDOW]
+    fresh = [n for n in window if n not in seen]
+    print(f"window: {len(window)} slots, {len(fresh)} first-time hashes, "
+          f"{len(window) - len(fresh)} anchors/re-hashes; "
+          f"never after this round's run: {len(never) - len(fresh)}")
     print("\n-- never checked (in current order; front-load these next round) --")
     for n in never:
         print(f"  {n}")
