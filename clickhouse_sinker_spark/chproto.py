@@ -174,18 +174,28 @@ def _encode_data(ch_type: str, values: list) -> bytes:
         return struct.pack(f"<{len(values)}q", *out)
     if t.startswith("Decimal(") and t.endswith(")"):
         p, s = _decimal_args(t)
-        if p > 18:
-            raise ValueError(
-                f"Decimal precision {p} > 18 needs Int128 column layout — "
-                "not supported by this encoder"
-            )
-        from decimal import Decimal
+        from decimal import Context, Decimal
 
-        scale = 10**s
-        out = [
-            int((Decimal(str(v)) * scale).to_integral_value()) for v in values
+        # default context is 28 significant digits — a Decimal(38, 9)
+        # value would silently round during scaling; use 50
+        ctx = Context(prec=50)
+        scale = Decimal(10) ** s
+        ints = [
+            int(ctx.to_integral_value(ctx.multiply(Decimal(str(v)), scale)))
+            for v in values
         ]
-        return struct.pack(f"<{len(values)}q", *out)
+        if p <= 18:  # Decimal64 column layout
+            return struct.pack(f"<{len(values)}q", *ints)
+        # Decimal128: 16-byte little-endian two's-complement per value
+        return b"".join(v.to_bytes(16, "little", signed=True) for v in ints)
+    if t == "Date32":
+        return struct.pack(
+            f"<{len(values)}i",
+            *[
+                (v - _EPOCH_DATE).days if isinstance(v, date) else int(v)
+                for v in values
+            ],
+        )
     if t.startswith("Array(") and t.endswith(")"):
         inner = t[len("Array(") : -1].strip()
         offsets, flat, total = [], [], 0
@@ -274,9 +284,19 @@ def _decode_data(ch_type: str, buf: bytes, pos: int, n: int) -> tuple[list, int]
     if t.startswith("Decimal(") and t.endswith(")"):
         from decimal import Decimal
 
-        _p, s = _decimal_args(t)
-        raw = struct.unpack_from(f"<{n}q", buf, pos)
-        return [Decimal(v) / 10**s for v in raw], pos + 8 * n
+        p, s = _decimal_args(t)
+        if p <= 18:
+            raw = struct.unpack_from(f"<{n}q", buf, pos)
+            return [Decimal(v).scaleb(-s) for v in raw], pos + 8 * n
+        vals = [
+            Decimal(int.from_bytes(buf[pos + i * 16 : pos + (i + 1) * 16],
+                                   "little", signed=True)).scaleb(-s)
+            for i in range(n)
+        ]
+        return vals, pos + 16 * n
+    if t == "Date32":
+        vals = list(struct.unpack_from(f"<{n}i", buf, pos))
+        return vals, pos + 4 * n
     if t.startswith("Array(") and t.endswith(")"):
         inner = t[len("Array(") : -1].strip()
         offsets = list(struct.unpack_from(f"<{n}Q", buf, pos))

@@ -159,8 +159,13 @@ def test_bool_decimal_and_pre_epoch_datetime():
     out = decode_block(encode_block(cols))
     assert out[0][2] == [1, 0, 1]
     assert out[1][2] == [Decimal("1.5"), Decimal("-0.0001"), Decimal("0")]
-    with pytest.raises(ValueError, match="Int128"):
-        encode_block([("x", "Decimal(38, 9)", [Decimal(1)])])
+    # Decimal128 (the typemap default Decimal(38,9)): 16-byte LE layout
+    big = [Decimal("123456789012345678901.123456789"), Decimal("-1.000000001")]
+    out128 = decode_block(encode_block([("x", "Decimal(38, 9)", big)]))
+    assert out128[0][2] == big
+    # Date32: signed Int32 days (pre-1970 representable)
+    d32 = decode_block(encode_block([("d", "Date32", [date(1969, 12, 31)])]))
+    assert d32[0][2] == [-1]
 
     # pre-epoch sub-second timestamps: sign-correct scaled integer
     dt_neg = datetime(1969, 12, 31, 23, 59, 59, 500000, tzinfo=timezone.utc)
