@@ -282,15 +282,16 @@ def _decode_data(ch_type: str, buf: bytes, pos: int, n: int) -> tuple[list, int]
         vals = list(struct.unpack_from(f"<{n}q", buf, pos))
         return vals, pos + 8 * n
     if t.startswith("Decimal(") and t.endswith(")"):
-        from decimal import Decimal
+        from decimal import Context, Decimal
 
         p, s = _decimal_args(t)
+        ctx = Context(prec=50)  # default 28 digits would round Decimal128
         if p <= 18:
             raw = struct.unpack_from(f"<{n}q", buf, pos)
-            return [Decimal(v).scaleb(-s) for v in raw], pos + 8 * n
+            return [Decimal(v).scaleb(-s, context=ctx) for v in raw], pos + 8 * n
         vals = [
             Decimal(int.from_bytes(buf[pos + i * 16 : pos + (i + 1) * 16],
-                                   "little", signed=True)).scaleb(-s)
+                                   "little", signed=True)).scaleb(-s, context=ctx)
             for i in range(n)
         ]
         return vals, pos + 16 * n
