@@ -90,6 +90,11 @@ _SCALARS = {
     "UInt32": st.integers(0, 2**32 - 1),
     "Float64": st.floats(allow_nan=False, allow_infinity=False),
     "String": st.text(max_size=20),
+    "Bool": st.integers(0, 1),
+    "Date32": st.integers(-(2**31), 2**31 - 1),
+    "Decimal(38, 9)": st.decimals(
+        min_value=-(10**28), max_value=10**28, places=9, allow_nan=False
+    ),
 }
 
 
