@@ -31,7 +31,11 @@ def _run_query(args) -> None:
     import os
     import sys
 
-    from .functions.chdialect import spark_array_columns, translate_ch_sql
+    from .functions.chdialect import (
+        spark_array_columns,
+        spark_table_columns,
+        translate_ch_sql,
+    )
     from .sources.tables import load_table
 
     spark = (
@@ -114,6 +118,7 @@ def _run_query(args) -> None:
         q,
         table_keys=table_keys,
         array_columns=spark_array_columns(spark, views),
+        table_columns=spark_table_columns(spark, views),
     )
     for n in notes:
         print(f"-- note: {n}", file=sys.stderr)

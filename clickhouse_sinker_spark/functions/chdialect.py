@@ -1021,6 +1021,24 @@ _ARRAY_PRODUCERS = re.compile(
 # call like the rest of this text pipeline.
 _ARRAY_COLUMNS: frozenset[str] = frozenset()
 
+# catalog context #2: table → ORDERABLE column names in schema order (maps
+# excluded — Spark cannot sort them), for the ANY JOIN survivor tie-break
+_TABLE_COLUMNS: dict[str, list[str]] = {}
+
+
+def spark_table_columns(spark, tables) -> dict[str, list[str]]:
+    """{table: [orderable column names, schema order]} for the registered
+    views — feeds translate_ch_sql(table_columns=...) so the ANY JOIN
+    rewrite can pick a deterministic survivor."""
+    out: dict[str, list[str]] = {}
+    for t in tables:
+        out[t] = [
+            f.name
+            for f in spark.table(t).schema.fields
+            if f.dataType.typeName() != "map"
+        ]
+    return out
+
 
 def spark_array_columns(spark, tables) -> frozenset[str]:
     """Column names (lower-cased, unqualified) that are arrays in EVERY
@@ -1800,6 +1818,54 @@ def _rewrite_brackets(sql: str) -> str:
     return "".join(out)
 
 
+def _rewrite_any_join(sql: str, notes: list[str]) -> str:
+    """``ANY LEFT/INNER JOIN t [AS a] USING (k…)`` (either keyword order)
+    → plain join against the keyed SURVIVOR subquery: one right row per
+    join key, picked as the row_number()=1 row ordered by the table's
+    remaining orderable columns (catalog context ``_TABLE_COLUMNS``).
+    ClickHouse's ANY keeps an arbitrary match; a deterministic engine
+    must pin one, and min-by-remaining-columns is a valid instance of
+    that contract (and the identity when keys are unique — the dimension
+    -table case ANY JOIN exists for).  Tables without catalog info, ON
+    conditions, and RIGHT ANY fall through to the loud refusal."""
+    pat = re.compile(
+        r"\b(?:ANY\s+(LEFT|INNER)\s+|(LEFT|INNER)\s+ANY\s+)JOIN\s+"
+        r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?"
+        r"\s+USING\s*\(([^()]*)\)",
+        re.IGNORECASE,
+    )
+    while True:
+        m = None
+        for cand in pat.finditer(sql):
+            if not _in_string(sql, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return sql
+        kind = (m.group(1) or m.group(2)).upper()
+        tbl, alias = m.group(3), m.group(4)
+        keys = [k.strip() for k in m.group(5).split(",") if k.strip()]
+        cols = _TABLE_COLUMNS.get(tbl)
+        if cols is None:
+            return sql  # unknown table → the refusal below reports it
+        keyset = {k.lower() for k in keys}
+        order = [c for c in cols if c.lower() not in keyset]
+        if not order:
+            # key-only table: duplicate-key rows are identical → any order
+            order = keys
+        rep = (
+            f"{kind} JOIN (SELECT * EXCEPT (__any_rn) FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
+            f"ORDER BY {', '.join(order)}) AS __any_rn FROM {tbl}) "
+            f"WHERE __any_rn = 1) AS {alias or tbl} USING ({', '.join(keys)})"
+        )
+        sql = sql[: m.start()] + rep + sql[m.end() :]
+        notes.append(
+            f"ANY JOIN on {tbl}: survivor = first row per ({', '.join(keys)}) "
+            f"ordered by ({', '.join(order)}) — CH leaves the pick arbitrary"
+        )
+
+
 def _rewrite_final(sql: str, table_keys, notes: list[str]) -> str:
     """``FROM t FINAL`` → ReplacingMergeTree merge-on-read semantics: the
     newest-version row per sorting key survives (reference:
@@ -1914,7 +1980,7 @@ def _reescape_literals(sql: str) -> str:
 
 
 def translate_ch_sql(
-    sql: str, table_keys=None, array_columns=None
+    sql: str, table_keys=None, array_columns=None, table_columns=None
 ) -> tuple[str, list[str]]:
     """Translate a ClickHouse SQL query to Spark SQL.
 
@@ -1928,15 +1994,20 @@ def translate_ch_sql(
 
     ``array_columns`` (optional): column names known from the catalog to be
     arrays (see ``spark_array_columns``) — types bare columns under
-    ``empty()``/``notEmpty()``."""
-    global _ARRAY_COLUMNS
+    ``empty()``/``notEmpty()``.
+
+    ``table_columns`` (optional): ``{table: [orderable columns]}`` (see
+    ``spark_table_columns``) — enables the ANY JOIN … USING rewrite."""
+    global _ARRAY_COLUMNS, _TABLE_COLUMNS
     _ARRAY_COLUMNS = frozenset(c.lower() for c in (array_columns or ()))
+    _TABLE_COLUMNS = dict(table_columns or {})
     try:
         # FIRST, on the raw input only: rewrites below inject their own
         # (Spark-convention) literals, which must not be re-escaped
         return _translate_ch_sql_inner(_reescape_literals(sql), table_keys)
     finally:
         _ARRAY_COLUMNS = frozenset()
+        _TABLE_COLUMNS = {}
 
 
 def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
@@ -2071,14 +2142,19 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
             "union + last() over ordered window — the asof_join_events plan)"
         )
 
-    if _spans_outside_strings(sql, r"\bANY\s+(LEFT|INNER|RIGHT)\s+JOIN\b"):
-        # ANY JOIN keeps at most one right-side match per left row — a
-        # text-level rewrite can't know the join keys reliably, and
-        # silently running it as ALL JOIN would duplicate rows.
+    sql = _rewrite_any_join(sql, notes)
+    if _spans_outside_strings(
+        sql, r"\b(?:ANY\s+(?:LEFT|INNER|RIGHT)|(?:LEFT|INNER|RIGHT)\s+ANY)\s+JOIN\b"
+    ):
+        # remaining ANY forms (ON-condition joins, RIGHT ANY, unknown
+        # tables) — a text-level rewrite can't know the join keys or the
+        # survivor ordering, and silently running as ALL JOIN would
+        # duplicate rows.
         raise ChTranslationError(
-            "ANY JOIN has no faithful text-level translation: deduplicate "
-            "the right side first (row_number() = 1 per join key) and use a "
-            "plain JOIN"
+            "this ANY JOIN form has no faithful translation (supported: "
+            "ANY LEFT/INNER JOIN <table> USING (...) with the table's "
+            "columns known via table_columns); deduplicate the right side "
+            "first (row_number() = 1 per join key) and use a plain JOIN"
         )
 
     tot = _top_level_spans(sql, r"\bWITH\s+TOTALS\b")
@@ -2126,5 +2202,6 @@ def ch_sql(spark, sql: str, sf_dir: str, table_keys=None):
         sql,
         table_keys=table_keys,
         array_columns=spark_array_columns(spark, tables),
+        table_columns=spark_table_columns(spark, tables),
     )
     return spark.sql(translated)

@@ -1383,3 +1383,47 @@ def test_literal_reescape_property(body):
     m = __import__("re").search(r"SELECT '(.*)' AS lit FROM t", got, 16)
     assert m is not None, got
     assert _spark_read_literal(m.group(1)) == _ch_read_literal(body)
+
+
+def test_any_join_using_rewrite(spark):
+    """ANY LEFT/INNER JOIN … USING: rewritten to a plain join against the
+    keyed survivor subquery (row_number()=1 ordered by the table's
+    remaining orderable columns — deterministic, a valid instance of CH's
+    arbitrary-pick contract; identity when keys are unique)."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame([(1, "x"), (2, "y")], "k int, lv string") \
+        .createOrReplaceTempView("ajl")
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 5), (3, "c", 1)], "k int, rv string, n int"
+    ).createOrReplaceTempView("ajr")
+    tc = {"ajl": ["k", "lv"], "ajr": ["k", "rv", "n"]}
+    got, notes = translate_ch_sql(
+        "SELECT k, lv, rv FROM ajl ANY LEFT JOIN ajr USING (k) ORDER BY k",
+        table_columns=tc,
+    )
+    assert any("ANY JOIN" in n for n in notes)
+    rows = [(r["k"], r["lv"], r["rv"]) for r in spark.sql(got).collect()]
+    assert rows == [(1, "x", "a"), (2, "y", None)]  # min (rv, n) survivor
+    # standard keyword order + INNER
+    got2, _ = translate_ch_sql(
+        "SELECT k, rv FROM ajl LEFT ANY JOIN ajr USING (k)", table_columns=tc
+    )
+    assert "row_number()" in got2
+    got3, _ = translate_ch_sql(
+        "SELECT ajl.k FROM ajl INNER ANY JOIN ajr USING (k)", table_columns=tc
+    )
+    assert "INNER JOIN (SELECT" in got3
+    # ON-form and unknown tables still refuse loudly
+    with pytest.raises(ChTranslationError, match="ANY JOIN"):
+        translate_ch_sql(
+            "SELECT 1 FROM ajl ANY LEFT JOIN ajr ON ajl.k = ajr.k",
+            table_columns=tc,
+        )
+    with pytest.raises(ChTranslationError, match="ANY JOIN"):
+        translate_ch_sql(
+            "SELECT 1 FROM ajl ANY LEFT JOIN nosuch USING (k)", table_columns=tc
+        )
