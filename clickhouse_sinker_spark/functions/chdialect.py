@@ -163,9 +163,13 @@ string literals              re-escaped: CH keeps the backslash on
                              Spark drops it — lone backslashes outside
                              the shared escape set are doubled so every
                              regex literal reads identically
-ANY JOIN / ASOF JOIN /       refused with a rewrite hint (dedup-first /
-ORDER BY … WITH FILL         operators/asof.py / ts_gap_fill plan) —
-                             never mistranslated
+ANY LEFT/INNER JOIN t        plain join against the keyed survivor
+  USING (k…)                 subquery (row_number()=1, tie-break by the
+                             table's remaining orderable columns —
+                             needs table_columns catalog context)
+ANY JOIN … ON / RIGHT ANY /  refused with a rewrite hint (dedup-first /
+ASOF JOIN /                  operators/asof.py / ts_gap_fill plan) —
+ORDER BY … WITH FILL         never mistranslated
 ===========================  =========================================
 
 Functions that change value semantics under translation (``uniq`` is a
