@@ -757,7 +757,20 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "formatDateTime", _format_datetime)
     sql = _rewrite_calls(
         sql, "position",
-        lambda a: f"instr({a[0]}, {a[1]})" if len(a) == 2 else f"position({a[0]})",
+        # CH: position(haystack, needle[, start]); Spark locate flips args
+        lambda a: f"instr({a[0]}, {a[1]})" if len(a) == 2
+        else f"locate({a[1]}, {a[0]}, {a[2]})" if len(a) == 3
+        else f"position({a[0]})",
+    )
+    # scalar bit ops (CH function aliases of the operators)
+    sql = _rewrite_calls(sql, "bitAnd", lambda a: f"(({a[0]}) & ({a[1]}))")
+    sql = _rewrite_calls(sql, "bitOr", lambda a: f"(({a[0]}) | ({a[1]}))")
+    sql = _rewrite_calls(sql, "bitXor", lambda a: f"(({a[0]}) ^ ({a[1]}))")
+    sql = _rewrite_calls(sql, "bitNot", lambda a: f"(~({a[0]}))")
+    sql = _rewrite_calls(sql, "bitCount", lambda a: f"bit_count({a[0]})")
+    sql = _rewrite_calls(
+        sql, "bitTest",
+        lambda a: f"((shiftright({a[0]}, {a[1]}) & 1) = 1)",
     )
     sql = _rewrite_calls(sql, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
     sql = _rewrite_calls(

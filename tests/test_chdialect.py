@@ -1427,3 +1427,21 @@ def test_any_join_using_rewrite(spark):
         translate_ch_sql(
             "SELECT 1 FROM ajl ANY LEFT JOIN nosuch USING (k)", table_columns=tc
         )
+
+
+def test_bit_functions_and_position_start(spark):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    spark.createDataFrame([(12, 10, "abcabc")], "a int, b int, s string") \
+        .createOrReplaceTempView("bt")
+    got, _ = translate_ch_sql(
+        "SELECT bitAnd(a, b) AS ba, bitOr(a, b) AS bo, bitXor(a, b) AS bx, "
+        "bitNot(a) AS bn, bitCount(a) AS bc, bitTest(a, 2) AS b2, "
+        "bitTest(a, 0) AS b0, position(s, 'bc') AS p, "
+        "position(s, 'bc', 3) AS p3 FROM bt"
+    )
+    r = spark.sql(got).first()
+    assert (r["ba"], r["bo"], r["bx"], r["bn"]) == (8, 14, 6, -13)
+    assert r["bc"] == 2            # 12 = 0b1100
+    assert r["b2"] is True and r["b0"] is False
+    assert r["p"] == 2 and r["p3"] == 5  # 1-based; start=3 skips first hit
