@@ -31,11 +31,7 @@ def _run_query(args) -> None:
     import os
     import sys
 
-    from .functions.chdialect import (
-        spark_array_columns,
-        spark_table_columns,
-        translate_ch_sql,
-    )
+    from .functions.chdialect import spark_catalog_info, translate_ch_sql
     from .sources.tables import load_table
 
     spark = (
@@ -90,9 +86,15 @@ def _run_query(args) -> None:
             f"`{f.name}` {spark_to_ch_type(f.dataType, f.nullable)}"
             for f in spark.table(t).schema.fields
         )
-        keys = (table_keys or {}).get(t, (None, None))[0]
+        keys, vers = (table_keys or {}).get(t, (None, None))
         order = ", ".join(keys) if keys else "tuple()"
-        engine = "ReplacingMergeTree" if keys else "MergeTree"
+        # ReplacingMergeTree takes ONE version column; the first configured
+        # version is it (later entries are engine-side tie-breaks only)
+        engine = (
+            f"ReplacingMergeTree({vers[0]})" if keys and vers
+            else "ReplacingMergeTree" if keys
+            else "MergeTree"
+        )
         print(
             f"CREATE TABLE {t}\n(\n    {cols}\n)\n"
             f"ENGINE = {engine}\nORDER BY ({order})"
@@ -114,11 +116,12 @@ def _run_query(args) -> None:
         # translated Spark SQL (the most useful translation-debug view)
         syntax_only = (em.group(1) or "").strip().upper() == "SYNTAX"
 
+    _arr_cols, _tbl_cols = spark_catalog_info(spark, views)
     translated, notes = translate_ch_sql(
         q,
         table_keys=table_keys,
-        array_columns=spark_array_columns(spark, views),
-        table_columns=spark_table_columns(spark, views),
+        array_columns=_arr_cols,
+        table_columns=_tbl_cols,
     )
     for n in notes:
         print(f"-- note: {n}", file=sys.stderr)

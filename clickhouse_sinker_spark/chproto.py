@@ -174,6 +174,11 @@ def _encode_data(ch_type: str, values: list) -> bytes:
         return struct.pack(f"<{len(values)}q", *out)
     if t.startswith("Decimal(") and t.endswith(")"):
         p, s = _decimal_args(t)
+        if p > 38:
+            raise ValueError(
+                f"Decimal precision {p} > 38 needs the 32-byte Int256 "
+                "column layout — not supported by this encoder"
+            )
         from decimal import Context, Decimal
 
         # default context is 28 significant digits — a Decimal(38, 9)
@@ -285,6 +290,11 @@ def _decode_data(ch_type: str, buf: bytes, pos: int, n: int) -> tuple[list, int]
         from decimal import Context, Decimal
 
         p, s = _decimal_args(t)
+        if p > 38:
+            raise ValueError(
+                f"Decimal precision {p} > 38 needs the 32-byte Int256 "
+                "column layout — not supported by this decoder"
+            )
         ctx = Context(prec=50)  # default 28 digits would round Decimal128
         if p <= 18:
             raw = struct.unpack_from(f"<{n}q", buf, pos)

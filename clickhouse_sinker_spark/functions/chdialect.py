@@ -768,9 +768,10 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "bitXor", lambda a: f"(({a[0]}) ^ ({a[1]}))")
     sql = _rewrite_calls(sql, "bitNot", lambda a: f"(~({a[0]}))")
     sql = _rewrite_calls(sql, "bitCount", lambda a: f"bit_count({a[0]})")
+    # bitTest returns UInt8 0/1 in CH (summable), not a boolean
     sql = _rewrite_calls(
         sql, "bitTest",
-        lambda a: f"((shiftright({a[0]}, {a[1]}) & 1) = 1)",
+        lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)",
     )
     sql = _rewrite_calls(sql, "uniqExact", lambda a: f"count(DISTINCT {', '.join(a)})")
     sql = _rewrite_calls(
@@ -1043,6 +1044,20 @@ _ARRAY_COLUMNS: frozenset[str] = frozenset()
 _TABLE_COLUMNS: dict[str, list[str]] = {}
 
 
+def _orderable(dt) -> bool:
+    """True when Spark can ORDER BY the type — no MapType anywhere in it
+    (a top-level check would wave through array<map<…>> and structs with
+    map fields, which fail at analysis)."""
+    name = dt.typeName()
+    if name == "map":
+        return False
+    if name == "array":
+        return _orderable(dt.elementType)
+    if name == "struct":
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def spark_table_columns(spark, tables) -> dict[str, list[str]]:
     """{table: [orderable column names, schema order]} for the registered
     views — feeds translate_ch_sql(table_columns=...) so the ANY JOIN
@@ -1050,11 +1065,26 @@ def spark_table_columns(spark, tables) -> dict[str, list[str]]:
     out: dict[str, list[str]] = {}
     for t in tables:
         out[t] = [
-            f.name
-            for f in spark.table(t).schema.fields
-            if f.dataType.typeName() != "map"
+            f.name for f in spark.table(t).schema.fields if _orderable(f.dataType)
         ]
     return out
+
+
+def spark_catalog_info(spark, tables) -> tuple[frozenset[str], dict[str, list[str]]]:
+    """One schema walk producing BOTH catalog contexts:
+    (array_columns for empty()/notEmpty() typing, table_columns for the
+    ANY JOIN survivor tie-break)."""
+    arrays: set[str] = set()
+    scalars: set[str] = set()
+    cols: dict[str, list[str]] = {}
+    for t in tables:
+        fields = spark.table(t).schema.fields
+        cols[t] = [f.name for f in fields if _orderable(f.dataType)]
+        for f in fields:
+            (arrays if f.dataType.typeName() == "array" else scalars).add(
+                f.name.lower()
+            )
+    return frozenset(arrays - scalars), cols
 
 
 def spark_array_columns(spark, tables) -> frozenset[str]:
@@ -1835,6 +1865,19 @@ def _rewrite_brackets(sql: str) -> str:
     return "".join(out)
 
 
+def _survivor_subquery(
+    tbl: str, partition: str, order: str, alias: str, rn: str
+) -> str:
+    """One-row-per-key survivor subquery shared by the FINAL and ANY JOIN
+    rewrites: row_number() over (partition, order), keep rank 1, hide the
+    rank column."""
+    return (
+        f"(SELECT * EXCEPT ({rn}) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {partition} ORDER BY {order}) AS {rn} FROM {tbl}) "
+        f"WHERE {rn} = 1) AS {alias}"
+    )
+
+
 def _rewrite_any_join(sql: str, notes: list[str]) -> str:
     """``ANY LEFT/INNER JOIN t [AS a] USING (k…)`` (either keyword order)
     → plain join against the keyed SURVIVOR subquery: one right row per
@@ -1846,20 +1889,33 @@ def _rewrite_any_join(sql: str, notes: list[str]) -> str:
     -table case ANY JOIN exists for).  Tables without catalog info, ON
     conditions, and RIGHT ANY fall through to the loud refusal."""
     pat = re.compile(
-        r"\b(?:ANY\s+(LEFT|INNER)\s+|(LEFT|INNER)\s+ANY\s+)JOIN\s+"
+        r"\b(?:ANY\s+(?:(LEFT|INNER)\s+)?(?:OUTER\s+)?"
+        r"|(?:(LEFT|INNER)\s+)(?:OUTER\s+)?ANY\s+)JOIN\s+"
         r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?"
         r"\s+USING\s*\(([^()]*)\)",
         re.IGNORECASE,
     )
+    unsupported_prefix = re.compile(
+        r"(?is)\b(LEFT|RIGHT|FULL|INNER|OUTER|CROSS|SEMI|ANTI)\s*$"
+    )
     while True:
         m = None
         for cand in pat.finditer(sql):
-            if not _in_string(sql, cand.start()):
-                m = cand
-                break
+            if _in_string(sql, cand.start()):
+                continue
+            # `FULL ANY JOIN` etc.: the bare-ANY branch must not swallow
+            # the tail of a direction we don't support — leave the whole
+            # form for the refusal below
+            if cand.group(1) is None and cand.group(2) is None and (
+                unsupported_prefix.search(sql[: cand.start()])
+            ):
+                continue
+            m = cand
+            break
         if m is None:
             return sql
-        kind = (m.group(1) or m.group(2)).upper()
+        # bare `ANY JOIN` is ANY INNER (ClickHouse's default join kind)
+        kind = (m.group(1) or m.group(2) or "INNER").upper()
         tbl, alias = m.group(3), m.group(4)
         keys = [k.strip() for k in m.group(5).split(",") if k.strip()]
         cols = _TABLE_COLUMNS.get(tbl)
@@ -1871,10 +1927,11 @@ def _rewrite_any_join(sql: str, notes: list[str]) -> str:
             # key-only table: duplicate-key rows are identical → any order
             order = keys
         rep = (
-            f"{kind} JOIN (SELECT * EXCEPT (__any_rn) FROM ("
-            f"SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
-            f"ORDER BY {', '.join(order)}) AS __any_rn FROM {tbl}) "
-            f"WHERE __any_rn = 1) AS {alias or tbl} USING ({', '.join(keys)})"
+            f"{kind} JOIN "
+            + _survivor_subquery(
+                tbl, ", ".join(keys), ", ".join(order), alias or tbl, "__any_rn"
+            )
+            + f" USING ({', '.join(keys)})"
         )
         sql = sql[: m.start()] + rep + sql[m.end() :]
         notes.append(
@@ -1939,11 +1996,7 @@ def _rewrite_final(sql: str, table_keys, notes: list[str]) -> str:
             )
         order = ", ".join(f"{v} DESC" for v in ver_cols)
         part = ", ".join(key_cols)
-        rep = (
-            f"(SELECT * EXCEPT (__final_rn) FROM (SELECT *, row_number() OVER "
-            f"(PARTITION BY {part} ORDER BY {order}) AS __final_rn FROM {tbl}) "
-            f"WHERE __final_rn = 1) AS {alias or tbl}"
-        )
+        rep = _survivor_subquery(tbl, part, order, alias or tbl, "__final_rn")
         sql = sql[: m.start()] + prefix + rep + sql[m.end() :]
         notes.append(
             f"FINAL on {tbl}: rewritten to newest-version-per-({part}) "
@@ -2161,7 +2214,11 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
 
     sql = _rewrite_any_join(sql, notes)
     if _spans_outside_strings(
-        sql, r"\b(?:ANY\s+(?:LEFT|INNER|RIGHT)|(?:LEFT|INNER|RIGHT)\s+ANY)\s+JOIN\b"
+        sql,
+        # catch every strictness placement CH accepts — a missed form
+        # would run as an ALL join and silently duplicate rows
+        r"\bANY(?:\s+(?:LEFT|RIGHT|FULL|INNER|OUTER|SEMI|ANTI)){0,2}\s+JOIN\b"
+        r"|\b(?:LEFT|RIGHT|FULL|INNER)(?:\s+OUTER)?\s+ANY\s+JOIN\b",
     ):
         # remaining ANY forms (ON-condition joins, RIGHT ANY, unknown
         # tables) — a text-level rewrite can't know the join keys or the
@@ -2215,10 +2272,11 @@ def ch_sql(spark, sql: str, sf_dir: str, table_keys=None):
     )
     for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    arr_cols, tbl_cols = spark_catalog_info(spark, tables)
     translated, _notes = translate_ch_sql(
         sql,
         table_keys=table_keys,
-        array_columns=spark_array_columns(spark, tables),
-        table_columns=spark_table_columns(spark, tables),
+        array_columns=arr_cols,
+        table_columns=tbl_cols,
     )
     return spark.sql(translated)

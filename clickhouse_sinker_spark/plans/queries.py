@@ -5746,7 +5746,9 @@ CH_DIALECT_FUNNEL_STRICT = """
     tx AS (
       SELECT e.user_id, min(e.t) AS tx
       FROM e JOIN ta USING (user_id)
-      WHERE NOT e.matched AND e.t > ta.ta
+      -- IS NOT TRUE: a NULL event_type matches no condition (the engine
+      -- fold's mask is 0 there), so it must truncate too
+      WHERE e.matched IS NOT TRUE AND e.t > ta.ta
       GROUP BY e.user_id
     ),
     trunc AS (

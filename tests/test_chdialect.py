@@ -1417,16 +1417,26 @@ def test_any_join_using_rewrite(spark):
         "SELECT ajl.k FROM ajl INNER ANY JOIN ajr USING (k)", table_columns=tc
     )
     assert "INNER JOIN (SELECT" in got3
-    # ON-form and unknown tables still refuse loudly
-    with pytest.raises(ChTranslationError, match="ANY JOIN"):
-        translate_ch_sql(
-            "SELECT 1 FROM ajl ANY LEFT JOIN ajr ON ajl.k = ajr.k",
-            table_columns=tc,
-        )
-    with pytest.raises(ChTranslationError, match="ANY JOIN"):
-        translate_ch_sql(
-            "SELECT 1 FROM ajl ANY LEFT JOIN nosuch USING (k)", table_columns=tc
-        )
+    # bare ANY (CH default = INNER) and OUTER-suffixed forms translate too
+    got4, _ = translate_ch_sql(
+        "SELECT k FROM ajl ANY JOIN ajr USING (k)", table_columns=tc
+    )
+    assert "INNER JOIN (SELECT" in got4
+    got5, _ = translate_ch_sql(
+        "SELECT k FROM ajl ANY LEFT OUTER JOIN ajr USING (k)", table_columns=tc
+    )
+    assert "LEFT JOIN (SELECT" in got5
+    # ON-form, unknown tables, and unsupported directions refuse loudly —
+    # never run as a silent ALL join
+    for bad in (
+        "SELECT 1 FROM ajl ANY LEFT JOIN ajr ON ajl.k = ajr.k",
+        "SELECT 1 FROM ajl ANY LEFT JOIN nosuch USING (k)",
+        "SELECT 1 FROM ajl FULL ANY JOIN ajr USING (k)",
+        "SELECT 1 FROM ajl RIGHT ANY JOIN ajr USING (k)",
+        "SELECT 1 FROM ajl ANY RIGHT JOIN ajr USING (k)",
+    ):
+        with pytest.raises(ChTranslationError, match="ANY JOIN"):
+            translate_ch_sql(bad, table_columns=tc)
 
 
 def test_bit_functions_and_position_start(spark):
@@ -1443,5 +1453,5 @@ def test_bit_functions_and_position_start(spark):
     r = spark.sql(got).first()
     assert (r["ba"], r["bo"], r["bx"], r["bn"]) == (8, 14, 6, -13)
     assert r["bc"] == 2            # 12 = 0b1100
-    assert r["b2"] is True and r["b0"] is False
+    assert r["b2"] == 1 and r["b0"] == 0  # UInt8 0/1, summable like CH
     assert r["p"] == 2 and r["p3"] == 5  # 1-based; start=3 skips first hit

@@ -38,9 +38,9 @@ def main() -> None:
           f"never: {len(never)}")
 
     # current-window audit: how many of the 50 slots are first-time hashes
-    from clickhouse_sinker_spark.plans.queries import DRIVER_ORDER, DRIVER_WINDOW
+    from clickhouse_sinker_spark.plans.queries import DRIVER_WINDOW
 
-    window = [n for n in DRIVER_ORDER if n in QUERIES][:DRIVER_WINDOW]
+    window = order[:DRIVER_WINDOW]  # the driver's real selection
     fresh = [n for n in window if n not in seen]
     print(f"window: {len(window)} slots, {len(fresh)} first-time hashes, "
           f"{len(window) - len(fresh)} anchors/re-hashes; "
