@@ -1058,20 +1058,9 @@ def _orderable(dt) -> bool:
     return True
 
 
-def spark_table_columns(spark, tables) -> dict[str, list[str]]:
-    """{table: [orderable column names, schema order]} for the registered
-    views — feeds translate_ch_sql(table_columns=...) so the ANY JOIN
-    rewrite can pick a deterministic survivor."""
-    out: dict[str, list[str]] = {}
-    for t in tables:
-        out[t] = [
-            f.name for f in spark.table(t).schema.fields if _orderable(f.dataType)
-        ]
-    return out
-
-
 def spark_catalog_info(spark, tables) -> tuple[frozenset[str], dict[str, list[str]]]:
-    """One schema walk producing BOTH catalog contexts:
+    """One schema walk producing BOTH catalog contexts — THE single
+    classification source (the helpers below are thin views of it):
     (array_columns for empty()/notEmpty() typing, table_columns for the
     ANY JOIN survivor tie-break)."""
     arrays: set[str] = set()
@@ -1087,21 +1076,18 @@ def spark_catalog_info(spark, tables) -> tuple[frozenset[str], dict[str, list[st
     return frozenset(arrays - scalars), cols
 
 
+def spark_table_columns(spark, tables) -> dict[str, list[str]]:
+    """{table: [orderable column names, schema order]} — view of
+    ``spark_catalog_info``."""
+    return spark_catalog_info(spark, tables)[1]
+
+
 def spark_array_columns(spark, tables) -> frozenset[str]:
     """Column names (lower-cased, unqualified) that are arrays in EVERY
-    registered table that has them — a name that is an array in one table
-    but scalar in another is ambiguous and excluded (falls back to
-    ``length``, which fails loudly rather than silently mis-answering)."""
-    arrays: set[str] = set()
-    scalars: set[str] = set()
-    for t in tables:
-        for f in spark.table(t).schema.fields:
-            name = f.name.lower()
-            if f.dataType.typeName() == "array":
-                arrays.add(name)
-            else:
-                scalars.add(name)
-    return frozenset(arrays - scalars)
+    registered table that has them — view of ``spark_catalog_info``
+    (ambiguous names fall back to ``length``, which fails loudly rather
+    than silently mis-answering)."""
+    return spark_catalog_info(spark, tables)[0]
 
 
 def _len_expr(arg: str) -> str:
@@ -1895,21 +1881,24 @@ def _rewrite_any_join(sql: str, notes: list[str]) -> str:
         r"\s+USING\s*\(([^()]*)\)",
         re.IGNORECASE,
     )
+    # A direction keyword right before the match means `FULL ANY JOIN`
+    # etc. — UNLESS that word is itself a table/alias (preceded by FROM,
+    # AS, JOIN or a comma: `FROM anti ANY JOIN …` is a table named anti)
     unsupported_prefix = re.compile(
-        r"(?is)\b(LEFT|RIGHT|FULL|INNER|OUTER|CROSS|SEMI|ANTI)\s*$"
+        r"(?is)(?:\b(FROM|AS|JOIN|ON|USING)\s+|(,)\s*)?"
+        r"\b(LEFT|RIGHT|FULL|INNER|OUTER|CROSS|SEMI|ANTI)\s*$"
     )
     while True:
         m = None
         for cand in pat.finditer(sql):
             if _in_string(sql, cand.start()):
                 continue
-            # `FULL ANY JOIN` etc.: the bare-ANY branch must not swallow
-            # the tail of a direction we don't support — leave the whole
-            # form for the refusal below
-            if cand.group(1) is None and cand.group(2) is None and (
-                unsupported_prefix.search(sql[: cand.start()])
-            ):
-                continue
+            # the bare-ANY branch must not swallow the tail of a direction
+            # we don't support — leave the whole form for the refusal below
+            if cand.group(1) is None and cand.group(2) is None:
+                pm = unsupported_prefix.search(sql[: cand.start()])
+                if pm and not (pm.group(1) or pm.group(2)):
+                    continue
             m = cand
             break
         if m is None:
@@ -2036,7 +2025,15 @@ def _reescape_literals(sql: str) -> str:
             i += 1
         elif c == "\\" and i + 1 < n:
             nxt = sql[i + 1]
-            if nxt in _SHARED_ESCAPES:
+            if nxt == "'":
+                # normalize \' to the SQL-standard '' — the module's
+                # string-aware scanners are simple quote-togglers that a
+                # backslash-escaped quote would silently desynchronize
+                # (every rewrite after this point would then misjudge
+                # what is inside a literal); '' reads identically in
+                # Spark and keeps every toggle-walk consistent
+                out.append("''")
+            elif nxt in _SHARED_ESCAPES:
                 out.append(c)
                 out.append(nxt)
             else:
@@ -2217,8 +2214,8 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
         sql,
         # catch every strictness placement CH accepts — a missed form
         # would run as an ALL join and silently duplicate rows
-        r"\bANY(?:\s+(?:LEFT|RIGHT|FULL|INNER|OUTER|SEMI|ANTI)){0,2}\s+JOIN\b"
-        r"|\b(?:LEFT|RIGHT|FULL|INNER)(?:\s+OUTER)?\s+ANY\s+JOIN\b",
+        r"\bANY(?:\s+(?:LEFT|RIGHT|FULL|INNER|OUTER|CROSS|SEMI|ANTI)){0,2}\s+JOIN\b"
+        r"|\b(?:LEFT|RIGHT|FULL|INNER|CROSS)(?:\s+OUTER)?\s+ANY\s+JOIN\b",
     ):
         # remaining ANY forms (ON-condition joins, RIGHT ANY, unknown
         # tables) — a text-level rewrite can't know the join keys or the

@@ -1455,3 +1455,47 @@ def test_bit_functions_and_position_start(spark):
     assert r["bc"] == 2            # 12 = 0b1100
     assert r["b2"] == 1 and r["b0"] == 0  # UInt8 0/1, summable like CH
     assert r["p"] == 2 and r["p3"] == 5  # 1-based; start=3 skips first hit
+
+
+def test_escaped_quote_literals_do_not_blind_scanners(spark):
+    r"""A \'-escaped quote inside an earlier literal must not flip the
+    string-aware scanners' state (review r6 batch 3): the re-escape pass
+    normalizes \' to the SQL-standard '' so every toggle-walk stays
+    synchronized, and constructs AFTER such a literal still rewrite."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    tc = {"eq1": ["k", "v"], "eq2": ["k", "w"]}
+    got, _ = translate_ch_sql(
+        "SELECT 'it\\'s fine' AS s, countIf(k > 0) AS c, k "
+        "FROM eq1 ANY JOIN eq2 USING (k) GROUP BY k",
+        table_columns=tc,
+    )
+    assert "''s fine'" in got            # \' → '' (value preserved)
+    assert "count_if(k > 0)" in got      # rewrites after the literal fire
+    assert "INNER JOIN (SELECT" in got   # ANY JOIN rewrite fires too
+    spark.createDataFrame([(1, "x")], "k int, v string") \
+        .createOrReplaceTempView("eq1")
+    spark.createDataFrame([(1, "w")], "k int, w string") \
+        .createOrReplaceTempView("eq2")
+    r = spark.sql(got).first()
+    assert r["s"] == "it's fine" and r["c"] == 1
+
+
+def test_any_join_keyword_named_table_and_cross():
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    tc = {"anti": ["k", "z"], "ajr": ["k", "w"], "ajl": ["k", "v"]}
+    # a table literally named like a join keyword is still a bare ANY JOIN
+    got, _ = translate_ch_sql(
+        "SELECT k FROM anti ANY JOIN ajr USING (k)", table_columns=tc
+    )
+    assert "INNER JOIN (SELECT" in got
+    for bad in (
+        "SELECT k FROM ajl ANY CROSS JOIN ajr",
+        "SELECT k FROM ajl CROSS ANY JOIN ajr",
+    ):
+        with pytest.raises(ChTranslationError, match="ANY JOIN"):
+            translate_ch_sql(bad, table_columns=tc)
