@@ -947,6 +947,37 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "arrayAvg", _array_avg)
     sql = _rewrite_calls(sql, "arrayDifference", _array_difference)
     sql = _rewrite_calls(sql, "range", _range_seq)
+    # weighted mean: sum(x·w)/sum(w); try_divide → NULL on zero weight
+    # (never an ANSI runtime error)
+    sql = _rewrite_calls(
+        sql, "avgWeighted",
+        lambda a: f"try_divide(sum(({a[0]}) * ({a[1]})), sum({a[1]}))",
+    )
+    # argMin/argMax -If combinators (CH's most-used conditional arg aggs)
+    sql = _rewrite_calls(
+        sql, "argMaxIf",
+        lambda a: f"max_by({a[0]}, {a[1]}) FILTER (WHERE {a[2]})",
+    )
+    sql = _rewrite_calls(
+        sql, "argMinIf",
+        lambda a: f"min_by({a[0]}, {a[1]}) FILTER (WHERE {a[2]})",
+    )
+    # arrayFirst/arrayLast/arrayFirstIndex: CH lambda-first order
+    sql = _rewrite_calls(
+        sql, "arrayFirstIndex",
+        lambda a: (
+            f"coalesce(array_position(transform({a[1]}, {a[0]}), true), 0)"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "arrayFirst",
+        lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
+    )
+    sql = _rewrite_calls(
+        sql, "arrayLast",
+        lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)",
+    )
+    sql = _rewrite_calls(sql, "toDate32", lambda a: f"CAST({a[0]} AS DATE)")
     # splitByRegexp(re, s): CH puts the pattern FIRST (like splitByChar)
     sql = _rewrite_calls(sql, "splitByRegexp", lambda a: f"split({a[1]}, {a[0]})")
     sql = _rewrite_calls(sql, "arrayWithConstant", lambda a: f"array_repeat({a[1]}, {a[0]})")

@@ -1499,3 +1499,34 @@ def test_any_join_keyword_named_table_and_cross():
     ):
         with pytest.raises(ChTranslationError, match="ANY JOIN"):
             translate_ch_sql(bad, table_columns=tc)
+
+
+def test_weighted_arg_and_array_first_last(spark):
+    """avgWeighted / argMaxIf / argMinIf / arrayFirst / arrayLast /
+    arrayFirstIndex / toDate32 — ANSI-safe (try_divide, try_element_at;
+    delta: arrayFirst with no match yields NULL where CH yields the
+    element type's default)."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    spark.createDataFrame(
+        [(1, [1, 5, 2], 10.0, 2.0), (1, [3], 20.0, 0.0), (2, [], 5.0, 0.0)],
+        "g int, xs array<int>, x double, w double",
+    ).createOrReplaceTempView("wt")
+    got, _ = translate_ch_sql(
+        "SELECT g, avgWeighted(x, w) AS aw, argMaxIf(x, w, w > 0) AS amx, "
+        "argMinIf(x, w, w > 0) AS amn FROM wt GROUP BY g"
+    )
+    out = {r["g"]: (r["aw"], r["amx"], r["amn"]) for r in spark.sql(got).collect()}
+    assert out[1] == (10.0, 10.0, 10.0)
+    assert out[2] == (None, None, None)  # zero weight → NULL, no ANSI error
+    got2, _ = translate_ch_sql(
+        "SELECT arrayFirst(x -> x > 1, xs) AS f, arrayLast(x -> x > 1, xs) AS l, "
+        "arrayFirstIndex(x -> x > 1, xs) AS fi, toDate32('2024-01-05') AS d "
+        "FROM wt WHERE g = 1 ORDER BY size(xs) DESC"
+    )
+    rows = [(r["f"], r["l"], r["fi"], str(r["d"])) for r in spark.sql(got2).collect()]
+    assert rows == [(5, 2, 2, "2024-01-05"), (3, 3, 1, "2024-01-05")]
+    got3, _ = translate_ch_sql(
+        "SELECT arrayFirstIndex(x -> x > 1, xs) AS fi FROM wt WHERE g = 2"
+    )
+    assert spark.sql(got3).first()["fi"] == 0  # CH contract: 0 when absent
