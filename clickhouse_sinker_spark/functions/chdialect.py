@@ -163,6 +163,15 @@ string literals              re-escaped: CH keeps the backslash on
                              Spark drops it — lone backslashes outside
                              the shared escape set are doubled so every
                              regex literal reads identically
+bitAnd/Or/Xor/Not/Count/     & | ^ ~ bit_count; bitTest → UInt8 0/1
+Test
+position(h, n, start)        locate(n, h, start)
+avgWeighted(x, w)            try_divide(sum(x·w), sum(w))
+argMinIf/argMaxIf(a, b, c)   min_by/max_by(a, b) FILTER (WHERE c)
+arrayFirst/Last(f, a)        try_element_at(filter(a, f), 1|-1)
+                             (delta: no match → NULL, CH → type default)
+arrayFirstIndex(f, a)        coalesce(array_position(transform), 0)
+toDate32(x)                  CAST(x AS DATE)
 ANY LEFT/INNER JOIN t        plain join against the keyed survivor
   USING (k…)                 subquery (row_number()=1, tie-break by the
                              table's remaining orderable columns —
