@@ -277,3 +277,21 @@ def test_native_http_sink_rejects_jdbc_url(spark):
     df = spark.createDataFrame([(1,)], "id bigint")
     with pytest.raises(Exception, match="http"):
         sink(df, epoch_id=0)
+
+
+def test_golden_bool_decimal64_bytes():
+    """Byte pins for the r6 type additions: Bool as one byte, Decimal64
+    as scaled LE Int64, Date32 as signed LE Int32."""
+    from decimal import Decimal
+
+    blk = encode_block([("b", "Bool", [1, 0])])
+    assert blk == b"\x01\x02" b"\x01b" b"\x04Bool" b"\x01\x00"
+    blk2 = encode_block([("d", "Decimal(10, 2)", [Decimal("1.50")])])
+    assert blk2 == (
+        b"\x01\x01" b"\x01d" b"\x0eDecimal(10, 2)"
+        + (150).to_bytes(8, "little", signed=True)
+    )
+    blk3 = encode_block([("d3", "Date32", [-1])])
+    assert blk3 == (
+        b"\x01\x01" b"\x02d3" b"\x06Date32" + (-1).to_bytes(4, "little", signed=True)
+    )
