@@ -84,11 +84,44 @@ def saturating_cast(col: Column | str, ch_int: str) -> Column:
     lo_d = F.lit(str(lo)).cast("decimal(38,0)")
     hi_d = F.lit(str(hi)).cast("decimal(38,0)")
     # truncate toward zero (x % 1 keeps the dividend's sign in Spark), then
-    # compare in a domain wide enough for both bounds: decimal(38,0) covers
-    # UInt64; doubles would lose precision at 2^63.  try_cast: ±inf / NaN /
-    # beyond-decimal magnitudes become null here (ANSI would throw).
-    wide = (c - (c % F.lit(1))).try_cast("decimal(38,0)")
+    # widen EXACTLY into decimal(38,0).  The naive double→decimal(38,0)
+    # cast goes through the double's shortest decimal repr (17 significant
+    # digits) and silently loses low bits for |x| in [2^53, 2^63) — e.g.
+    # int64(double(2^58)) must be 288230376151711744 (Go truncation,
+    # parser/fastjson.go:129-151) not ...740.  So:
+    #   |t| < 2^63      → try_cast("long"): exact binary truncation for
+    #                     doubles (Java (long)(double)) AND exact for
+    #                     decimal/integer sources.
+    #   t ∈ [2^63,2^64) → offset trick: t - 2^63 is computed in the
+    #                     SOURCE type (double subtraction is exact there —
+    #                     aligned exponents; decimal subtraction is always
+    #                     exact), lands in long range, widen the long and
+    #                     add 2^63 back as decimal.
+    #   beyond          → decimal try_cast (exact for decimal sources;
+    #                     doubles of that magnitude clamp for every target
+    #                     type anyway, so shortest-repr wobble is harmless).
+    # try_cast always applies ANSI semantics (null on overflow/NaN/±inf)
+    # regardless of session mode.
+    t = c - (c % F.lit(1))
+    off = F.lit(str(1 << 63)).cast("decimal(38,0)")
+    lng = t.try_cast("long")
+    lng_hi = (t - off).try_cast("long")
     dbl = c.try_cast("double")
+    # dbl < 2^63 gate: Spark's try_cast(double→long) range check compares
+    # against Long.MAX.toDouble == 2^63 exactly, so double(2^63) SATURATES
+    # to Long.MAX instead of nulling — route every value whose double view
+    # reaches 2^63 through the offset branch (still exact: the subtraction
+    # happens in the source type, and e.g. long(2^63-1) whose double view
+    # rounds UP to 2^63 yields lng_hi = -1 → 2^63-1).  NaN compares greater
+    # than everything in Spark, so it skips both guarded branches.
+    wide = (
+        F.when(
+            lng.isNotNull() & (dbl < F.lit(float(1 << 63))),
+            lng.cast("decimal(38,0)"),
+        )
+        .when((dbl >= 0) & lng_hi.isNotNull(), lng_hi.cast("decimal(38,0)") + off)
+        .otherwise(t.try_cast("decimal(38,0)"))
+    )
     # greatest/least SKIP nulls in Spark — gate explicitly so NULL stays
     # NULL instead of clamping to the type minimum.  When the wide path
     # nulls out but the double view is a non-NaN number, the magnitude

@@ -777,23 +777,35 @@ def etl_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEAST(GREATEST(FLOOR(value), -128), 127) AS TINYINT)  AS v_int8,
            CAST(LEAST(GREATEST(FLOOR(value), 0), 255) AS SMALLINT)    AS v_uint8,
            CAST(LEAST(GREATEST(FLOOR(value * 100), -32768), 32767) AS SMALLINT) AS v_int16,
-           CAST(LEAST(GREATEST(FLOOR(value), 0), 4294967295) AS BIGINT) AS v_uint32
+           CAST(LEAST(GREATEST(FLOOR(value), 0), 4294967295) AS BIGINT) AS v_uint32,
+           CAST(CAST(288230376151711744 + event_id * 64 AS DOUBLE) AS BIGINT) AS v_int64_big,
+           CAST(CAST(CAST(9223372036854775808 + event_id * 2048 AS DOUBLE) AS HUGEINT) AS VARCHAR) AS v_uint64_hi
     FROM events
     """,
 )
 def etl_saturating(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Saturating casts (P7, parser/fastjson.go:129-173): out-of-range clamps
     to type min/max instead of ANSI error / legacy wraparound.  floor()
-    first so the oracle shares exact integer semantics."""
+    first so the oracle shares exact integer semantics.  v_int64_big /
+    v_uint64_hi exercise the NON-clamping high-magnitude double zones
+    [2^53, 2^63) and [2^63, 2^64) — the r6 precision bug — with values
+    constructed exactly representable in double (spacing ≥ the local ulp:
+    64 at 2^58, 2048 at 2^63) so Spark and the oracle agree bit-for-bit."""
     e = _t(spark, sf_dir, "events")
     from ..functions.casts import saturating_cast
 
+    big_i64 = (F.lit(288230376151711744) + F.col("event_id") * 64).cast("double")
+    big_u64 = (
+        F.lit("9223372036854775808").cast("decimal(38,0)") + F.col("event_id") * 2048
+    ).cast("double")
     return e.select(
         "event_id",
         saturating_cast(F.floor("value"), "Int8").alias("v_int8"),
         saturating_cast(F.floor("value"), "UInt8").alias("v_uint8"),
         saturating_cast(F.floor(F.col("value") * 100), "Int16").alias("v_int16"),
         saturating_cast(F.floor("value"), "UInt32").cast("bigint").alias("v_uint32"),
+        saturating_cast(big_i64, "Int64").alias("v_int64_big"),
+        saturating_cast(big_u64, "UInt64").cast("string").alias("v_uint64_hi"),
     )
 
 

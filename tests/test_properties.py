@@ -35,7 +35,30 @@ def _projection_int_expr(ch: str):
     ).otherwise(saturating_cast(F.col("v").try_cast("double"), ch))
 
 
-@settings(max_examples=12, deadline=None)
+def test_saturating_cast_high_magnitude_regression(spark):
+    """Pin the r6 wrong-answer zone: doubles in [2^53, 2^63) must truncate
+    with exact binary semantics (Go ``int64(float64)``), not through the
+    17-digit shortest decimal repr, and the UInt64 offset zone [2^63, 2^64)
+    must be exact too.  2^63-1025 rides the exact-decimal branch."""
+    cases = [
+        float(2**58),            # 288230376151711744 — the falsifying example
+        float(2**62 - 2**10),    # largest exact double below 2^62
+        -float(2**58),
+        float(2**63),            # UInt64 zone start (clamps for Int64)
+        float(2**63 + 2**11),    # exact double inside the UInt64 zone
+        float(2**64 - 2**12),    # largest exact double below 2^64
+        2**63 - 1025,            # integer: exact-decimal branch
+        2**64 - 1,               # UInt64 max as integer
+    ]
+    for ch in ("Int64", "UInt64"):
+        lo, hi = INT_BOUNDS[ch]
+        df = spark.createDataFrame([(str(v),) for v in cases], "v string")
+        got = [r[0] for r in df.select(_projection_int_expr(ch).alias("o")).collect()]
+        for v, g in zip(cases, got):
+            assert int(g) == _model_saturate(v, lo, hi), (ch, v, g)
+
+
+@settings(max_examples=200, deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -47,12 +70,16 @@ def _projection_int_expr(ch: str):
     )
 )
 def test_saturating_cast_matches_model(spark, values):
-    for ch in ("Int8", "Int32", "Int64", "UInt16", "UInt64"):
-        lo, hi = INT_BOUNDS[ch]
-        df = spark.createDataFrame([(str(v),) for v in values], "v string")
-        got = [r[0] for r in df.select(_projection_int_expr(ch).alias("o")).collect()]
-        for v, g in zip(values, got):
+    types = ("Int8", "Int32", "Int64", "UInt16", "UInt64")
+    df = spark.createDataFrame([(str(v),) for v in values], "v string")
+    rows = df.select(
+        *[_projection_int_expr(ch).alias(ch) for ch in types]
+    ).collect()
+    for v, row in zip(values, rows):
+        for ch in types:
+            lo, hi = INT_BOUNDS[ch]
             expect = _model_saturate(v, lo, hi)
+            g = row[ch]
             assert g is not None, (ch, v)
             assert int(g) == expect, (ch, v, g, expect)
 
