@@ -5967,19 +5967,23 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # It never changes between two calls in the same checkout; any change to it
 # is an ordinary reviewed source edit.
 #
-# Layout of ``DRIVER_ORDER`` (round 6: drain the never-driver-hashed tail,
-# per VERDICT r5 "next round" item 1):
-# 1. A 9-name anchor set — one representative per §2 / LLM-pipeline
-#    family that has repeatedly hashed green (regression canaries).
-# 2. 41 fresh slots: ``knn_ivf_trained`` first (already-hashed, but its
-#    only driver row ever is the r1 failure, pre-rewrite), then 40
-#    first-time hashes — the 16 never-hashed TPC-H shapes, the
-#    window/time-series family, ANN/embedding/dedup tails,
-#    agg/funnel/cohort shapes, and the six round-6 additions
-#    (ch_dialect_final, ch_dialect_window_funnel, ch_dialect_retention,
-#    ch_dialect_sequence_match, ch_dialect_funnel_strict,
-#    pipeline_chunk_documents).
-# 3. Every remaining registered query in registration (source) order.
+# Layout of ``DRIVER_ORDER`` (round 7: close the never-driver-hashed set
+# to ZERO, per VERDICT r6 "next round" item 2):
+# 1. The same 9-name anchor set as r6 — one long-green regression canary
+#    per §2 / LLM-pipeline family.
+# 2. ``etl_saturating_cast`` — re-hash required by the P7 fix: the query
+#    gained non-clamping high-magnitude columns covering the repaired
+#    [2^53, 2^64) double zones.
+# 3. The 18 queries that have NEVER had a driver hash
+#    (tools/driver_coverage.py r6 list) — after this window runs,
+#    never-hashed = 0 and the SURVEY §2 bar ("every operator has a passing
+#    CORRECTNESS entry") closes.
+# 4. Oldest-hash re-confirmations: the r1-era and r2/r3-era greens whose
+#    last driver row predates the r4 engine rewrites, plus
+#    ``etl_array_cast`` (last rows r04/r05, carries an r1 failure).
+# Round-7 additions (new dialect translations etc.) displace entries from
+# group 4 when registered — see the swap note below.
+# Every remaining registered query follows in registration (source) order.
 # Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
 # every test run regardless of their position in this list.
 # ---------------------------------------------------------------------------
@@ -5995,53 +5999,52 @@ DRIVER_ORDER: list[str] = [
     "knn_cosine_topk",
     "ch_dialect_hourly_stats",
     "mm_binary_meta",
-    # --- fresh slot: the one query whose last driver row is a failure ---
-    "knn_ivf_trained",
-    # --- fresh slots: never-hashed TPC-H shapes ---
-    "tpch_q2_top_supplier_region",
-    "tpch_q4_semijoin",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q12_case_agg",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q20_top_shippers",
-    "tpch_q21_last_shipper",
-    "tpch_q22_idle_customers",
-    # --- fresh slots: window / time-series family ---
-    "window_moving_avg",
-    "window_lag_delta",
-    "window_cumulative_revenue",
-    "window_range_trailing_hour",
-    "ts_ohlc_hourly",
-    "ts_counter_increase",
-    # --- fresh slots: ANN / embeddings / dedup tail ---
-    "emb_quantize_int8",
-    "knn_range_search",
-    "dedup_incremental_minhash",
-    "dedup_semantic_clusters",
-    "dedup_components_star",
-    # --- fresh slots: agg / funnel / cohort / pipeline shapes ---
-    "agg_cube_orders",
-    "agg_pivot_status",
-    "agg_percentile_qty",
-    "funnel_signup_purchase",
-    "retention_next_day",
-    "asof_join_tolerance",
-    "pipeline_split_assign",
-    # --- fresh slots: round-6 dialect queries ---
-    "ch_dialect_final",
-    "ch_dialect_window_funnel",
-    "ch_dialect_retention",
-    "ch_dialect_sequence_match",
-    "ch_dialect_funnel_strict",
-    "pipeline_chunk_documents",
+    # --- P7 re-hash: new high-magnitude columns in this query ---
+    "etl_saturating_cast",
+    # --- fresh slots: the 18 never-driver-hashed queries ---
+    "quality_charlm_score",
+    "mm_image_features",
+    "etl_nested_path",
+    "etl_nested_path_escaped",
+    "dedup_embedding_blocked",
+    "text_regex_tokens",
+    "pipeline_clean_corpus",
+    "emb_centroid_per_label",
+    "mm_audio_features",
+    "mm_resize_images",
+    "mm_png_decode_real",
+    "corpus_stats_per_lang",
+    "ch_dialect_array_profile",
+    "ch_dialect_json_props",
+    "ch_dialect_stats_buckets",
+    "ch_dialect_array_join",
+    "ch_dialect_with_totals",
+    "ch_dialect_limit_by",
+    # --- oldest-hash re-confirmations (r1-only greens first) ---
+    "dedup_components",
+    "pipeline_dedup_survivors",
+    "text_tfidf_top_terms",
+    "tpch_q6_forecast",
+    "sample_stratified",
+    "window_rank_distribution",
+    "mm_frame_sample",
+    "text_tokens",
+    "dedup_levenshtein",
+    # --- oldest-hash re-confirmations (r2/r3-era greens) ---
+    "text_repetition_quality",
+    "decontam_ngram_overlap",
+    "etl_pii_scrub",
+    "dedup_incremental_exact",
+    "corpus_mix_sample",
+    "corpus_temperature_mix",
+    "pipeline_quality_gate",
+    "pack_token_budget",
+    # --- re-confirmations displaced first by r7 additions ---
+    "text_fingerprint",
+    "text_bpe_tokens",
+    "text_winnow_fingerprint",
+    "dedup_winnow_overlap",
+    "etl_array_cast",
 ]
 
 DRIVER_WINDOW = 50
