@@ -25,9 +25,23 @@ Per-type data layout (all little-endian):
                                    row FIRST, then T data with a default
                                    at null positions
     Array(T)                       UInt64 cumulative end-offsets, one per
-                                   row, then the flattened T data
-    LowCardinality(T)              encoded as plain T (valid Native input:
-                                   the server converts to the column type)
+                                   row, then the flattened T data (works
+                                   recursively: Array(Nullable(T)) puts the
+                                   flattened-size null mask after offsets)
+    Tuple(T1, ..., Tn)             element columns back to back
+    Map(K, V)                      like Array(Tuple(K, V)): UInt64
+                                   cumulative end-offsets, then all keys,
+                                   then all values
+    Enum8/Enum16('a' = 1, ...)     Int8/Int16 codes per row
+    LowCardinality(T)              dictionary encoding ("additional keys"
+                                   serialization): UInt64 keys-version (1),
+                                   then UInt64 serialization flags
+                                   (HasAdditionalKeys | index width),
+                                   UInt64 dict size, dictionary values as
+                                   plain T (slot 0 = default when T is
+                                   Nullable), UInt64 row count, and the
+                                   per-row indexes in the smallest UInt
+                                   width that fits the dictionary
 
 The wire protocol wraps the same block in a BlockInfo envelope after the
 hello/query handshake; the HTTP interface accepts the bare format via
@@ -128,8 +142,132 @@ def _strip_lc(ch_type: str) -> str:
     return t
 
 
+def _split_args(args: str) -> list[str]:
+    """Split a type-argument list on top-level commas, respecting nested
+    parens and quoted Enum names (``Map(String, Array(Int32))``,
+    ``Enum8('a,b' = 1)``)."""
+    out, depth, start, i, n = [], 0, 0, 0, len(args)
+    while i < n:
+        ch = args[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if args[i] == "\\":
+                    i += 2
+                    continue
+                if args[i] == "'":
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(args[start:i].strip())
+            start = i + 1
+        i += 1
+    out.append(args[start:].strip())
+    return out
+
+
+def _enum_map(t: str) -> tuple[str, dict[str, int]]:
+    """``Enum8('a' = 1, 'b' = 2)`` → ('Int8', {'a': 1, 'b': 2}).
+    Escaped quotes inside names (``\\'``) are unescaped."""
+    width = "Int8" if t.startswith("Enum8(") else "Int16"
+    body = t[t.index("(") + 1 : -1]
+    mapping: dict[str, int] = {}
+    for entry in _split_args(body):
+        if not entry:
+            continue
+        name_part, _, num = entry.rpartition("=")
+        name_part = name_part.strip()
+        if not (name_part.startswith("'") and name_part.endswith("'")):
+            raise ValueError(f"malformed Enum entry: {entry!r}")
+        name = name_part[1:-1].replace("\\'", "'").replace("\\\\", "\\")
+        mapping[name] = int(num.strip())
+    return width, mapping
+
+
+# LowCardinality "additional keys" serialization flags
+# (ClickHouse SerializationLowCardinality, public source/docs)
+_LC_VERSION = 1  # SharedDictionariesWithAdditionalKeys
+_LC_HAS_ADDITIONAL_KEYS = 1 << 9
+_LC_INDEX_FMT = ["B", "H", "I", "Q"]  # UInt8/16/32/64 row-index widths
+
+
+def _lc_index_type(dict_size: int) -> int:
+    if dict_size <= 0xFF:
+        return 0
+    if dict_size <= 0xFFFF:
+        return 1
+    if dict_size <= 0xFFFFFFFF:
+        return 2
+    return 3
+
+
+def _encode_lowcardinality(inner: str, values: list) -> bytes:
+    """Dictionary-encode one LC column: distinct values in first-seen
+    order become the dictionary (slot 0 reserved for the inner default
+    when the inner type is Nullable), rows become fixed-width indexes."""
+    nullable = inner.startswith("Nullable(")
+    base = inner[len("Nullable(") : -1].strip() if nullable else inner
+    out = bytearray(struct.pack("<Q", _LC_VERSION))
+    if not values:
+        return bytes(out)
+    dict_vals: list = []
+    slot: dict = {}
+    if nullable:
+        dict_vals.append(_default_for(base))  # slot 0 ≡ NULL
+    indexes = []
+    for v in values:
+        if nullable and v is None:
+            indexes.append(0)
+            continue
+        key = v
+        if key not in slot:
+            slot[key] = len(dict_vals)
+            dict_vals.append(v)
+        indexes.append(slot[key])
+    ix = _lc_index_type(len(dict_vals))
+    out += struct.pack("<Q", _LC_HAS_ADDITIONAL_KEYS | ix)
+    out += struct.pack("<Q", len(dict_vals))
+    out += _encode_data(base, dict_vals)  # dictionary: plain inner, no mask
+    out += struct.pack("<Q", len(values))
+    out += struct.pack(f"<{len(values)}{_LC_INDEX_FMT[ix]}", *indexes)
+    return bytes(out)
+
+
+def _decode_lowcardinality(inner: str, buf: bytes, pos: int, n: int) -> tuple[list, int]:
+    nullable = inner.startswith("Nullable(")
+    base = inner[len("Nullable(") : -1].strip() if nullable else inner
+    (version,) = struct.unpack_from("<Q", buf, pos)
+    pos += 8
+    if version != _LC_VERSION:
+        raise ValueError(f"unsupported LowCardinality keys version {version}")
+    if n == 0:
+        return [], pos
+    (flags,) = struct.unpack_from("<Q", buf, pos)
+    pos += 8
+    if not flags & _LC_HAS_ADDITIONAL_KEYS:
+        raise ValueError("LowCardinality without additional keys not supported")
+    ix = flags & 0xFF
+    (dict_size,) = struct.unpack_from("<Q", buf, pos)
+    pos += 8
+    dict_vals, pos = _decode_data(base, buf, pos, dict_size)
+    (n_rows,) = struct.unpack_from("<Q", buf, pos)
+    pos += 8
+    if n_rows != n:
+        raise ValueError(f"LowCardinality row count {n_rows} != block rows {n}")
+    fmt = _LC_INDEX_FMT[ix]
+    idx = struct.unpack_from(f"<{n}{fmt}", buf, pos)
+    pos += n * struct.calcsize(fmt)
+    return [None if (nullable and i == 0) else dict_vals[i] for i in idx], pos
+
+
 def _encode_data(ch_type: str, values: list) -> bytes:
-    t = _strip_lc(ch_type)
+    t = ch_type.strip()
+    if t.startswith("LowCardinality(") and t.endswith(")"):
+        return _encode_lowcardinality(_strip_lc(t), values)
     if t.startswith("Nullable(") and t.endswith(")"):
         inner = t[len("Nullable(") : -1].strip()
         mask = bytes(1 if v is None else 0 for v in values)
@@ -210,6 +348,34 @@ def _encode_data(ch_type: str, values: list) -> bytes:
             offsets.append(total)
             flat.extend(v)
         return struct.pack(f"<{len(offsets)}Q", *offsets) + _encode_data(inner, flat)
+    if t.startswith("Tuple(") and t.endswith(")"):
+        elems = _split_args(t[len("Tuple(") : -1])
+        out = bytearray()
+        for i, et in enumerate(elems):
+            out += _encode_data(et, [v[i] for v in values])
+        return bytes(out)
+    if t.startswith("Map(") and t.endswith(")"):
+        kt, vt = _split_args(t[len("Map(") : -1])
+        offsets, keys, vals, total = [], [], [], 0
+        for v in values:
+            items = list(v.items()) if isinstance(v, dict) else list(v or [])
+            total += len(items)
+            offsets.append(total)
+            keys.extend(k for k, _ in items)
+            vals.extend(x for _, x in items)
+        return (
+            struct.pack(f"<{len(offsets)}Q", *offsets)
+            + _encode_data(kt, keys)
+            + _encode_data(vt, vals)
+        )
+    if t.startswith(("Enum8(", "Enum16(")) and t.endswith(")"):
+        width, mapping = _enum_map(t)
+        valid = set(mapping.values())
+        codes = [mapping[v] if isinstance(v, str) else int(v) for v in values]
+        bad = [c for c in codes if c not in valid]
+        if bad:
+            raise ValueError(f"value(s) {bad!r} not in {t}")
+        return _encode_data(width, codes)
     raise ValueError(f"unsupported ClickHouse type for Native encoding: {ch_type!r}")
 
 
@@ -230,6 +396,16 @@ def _default_for(ch_type: str):
         return 0
     if t.startswith("Array("):
         return []
+    if t.startswith("Tuple("):
+        return tuple(
+            _default_for(et) for et in _split_args(t[len("Tuple(") : -1])
+        )
+    if t.startswith("Map("):
+        return {}
+    if t.startswith(("Enum8(", "Enum16(")):
+        # CH's Enum default is the first listed name
+        _, mapping = _enum_map(t)
+        return next(iter(mapping)) if mapping else 0
     return 0
 
 
@@ -251,7 +427,9 @@ def encode_block(columns: list[tuple[str, str, list]]) -> bytes:
 
 
 def _decode_data(ch_type: str, buf: bytes, pos: int, n: int) -> tuple[list, int]:
-    t = _strip_lc(ch_type)
+    t = ch_type.strip()
+    if t.startswith("LowCardinality(") and t.endswith(")"):
+        return _decode_lowcardinality(_strip_lc(t), buf, pos, n)
     if t.startswith("Nullable(") and t.endswith(")"):
         inner = t[len("Nullable(") : -1].strip()
         mask = buf[pos : pos + n]
@@ -318,6 +496,30 @@ def _decode_data(ch_type: str, buf: bytes, pos: int, n: int) -> tuple[list, int]
             vals.append(flat[prev:off])
             prev = off
         return vals, pos
+    if t.startswith("Tuple(") and t.endswith(")"):
+        elems = _split_args(t[len("Tuple(") : -1])
+        cols = []
+        for et in elems:
+            col, pos = _decode_data(et, buf, pos, n)
+            cols.append(col)
+        return [tuple(row) for row in zip(*cols)] if cols else [()] * n, pos
+    if t.startswith("Map(") and t.endswith(")"):
+        kt, vt = _split_args(t[len("Map(") : -1])
+        offsets = list(struct.unpack_from(f"<{n}Q", buf, pos))
+        pos += 8 * n
+        total = offsets[-1] if offsets else 0
+        keys, pos = _decode_data(kt, buf, pos, total)
+        vals, pos = _decode_data(vt, buf, pos, total)
+        out, prev = [], 0
+        for off in offsets:
+            out.append(dict(zip(keys[prev:off], vals[prev:off])))
+            prev = off
+        return out, pos
+    if t.startswith(("Enum8(", "Enum16(")) and t.endswith(")"):
+        width, mapping = _enum_map(t)
+        rev = {c: name for name, c in mapping.items()}
+        codes, pos = _decode_data(width, buf, pos, n)
+        return [rev[c] for c in codes], pos
     raise ValueError(f"unsupported ClickHouse type for Native decoding: {ch_type!r}")
 
 

@@ -59,7 +59,8 @@ def spark_to_ch_type(
             + ")"
         )
     elif isinstance(dt, T.MapType):
-        base = (
+        # like arrays, CH maps are never Nullable at the outer level
+        return (
             f"Map({spark_to_ch_type(dt.keyType, timestamp_as=timestamp_as)}, "
             f"{spark_to_ch_type(dt.valueType, dt.valueContainsNull, timestamp_as)})"
         )

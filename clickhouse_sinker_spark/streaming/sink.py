@@ -39,6 +39,36 @@ from pyspark.sql import functions as F
 
 from ..config import ClickHouseConfig
 
+
+def _epochize(col, dt):
+    """Rewrite ``col`` so every timestamp anywhere in ``dt`` — top level or
+    nested inside arrays/maps — becomes exact epoch microseconds, computed
+    on the JVM (session-timeZone-aware).  Returns (column, changed)."""
+    from pyspark.sql import types as T
+
+    def has_ts(d) -> bool:
+        if d.typeName() in ("timestamp", "timestamp_ntz"):
+            return True
+        if isinstance(d, T.ArrayType):
+            return has_ts(d.elementType)
+        if isinstance(d, T.MapType):
+            return has_ts(d.keyType) or has_ts(d.valueType)
+        return False
+
+    if dt.typeName() in ("timestamp", "timestamp_ntz"):
+        # NTZ → instant under the session timeZone (pipelines pin UTC)
+        return F.unix_micros(col.cast("timestamp")), True
+    if isinstance(dt, T.ArrayType) and has_ts(dt.elementType):
+        return F.transform(col, lambda x: _epochize(x, dt.elementType)[0]), True
+    if isinstance(dt, T.MapType) and (has_ts(dt.keyType) or has_ts(dt.valueType)):
+        out = col
+        if has_ts(dt.keyType):
+            out = F.transform_keys(out, lambda k, _v: _epochize(k, dt.keyType)[0])
+        if has_ts(dt.valueType):
+            out = F.transform_values(out, lambda _k, v: _epochize(v, dt.valueType)[0])
+        return out, True
+    return col, False
+
 __all__ = [
     "ParquetSink",
     "ManifestParquetSink",
@@ -377,19 +407,17 @@ class NativeHttpSink(JdbcSink):
         # Timestamps cross to Python as NAIVE datetimes in the EXECUTOR
         # OS timezone (not the session timeZone) — converting them
         # Python-side would shift every value by the host's UTC offset.
-        # Convert JVM-side to exact epoch microseconds instead; the
-        # encoder's DateTime64 int path passes them through unscaled.
+        # Convert JVM-side to exact epoch microseconds instead — including
+        # timestamps NESTED in arrays/maps (transform/transform_*), which
+        # otherwise arrive as naive element datetimes with the same
+        # executor-TZ skew; the encoder's DateTime64 int path passes the
+        # integers through unscaled.
         exprs = []
         fields = []
         for f in part.schema.fields:
             ch_t = spark_to_ch_type(f.dataType, f.nullable, "DateTime64(6)")
-            if f.dataType.typeName() in ("timestamp", "timestamp_ntz"):
-                # NTZ → instant under the session timeZone (pipelines pin UTC)
-                exprs.append(
-                    F.unix_micros(F.col(f.name).cast("timestamp")).alias(f.name)
-                )
-            else:
-                exprs.append(F.col(f.name))
+            conv, _ = _epochize(F.col(f.name), f.dataType)
+            exprs.append(conv.alias(f.name))
             fields.append((f.name, ch_t))
         part = part.select(*exprs)
         table = f"{self.ch.database}.{self.table}"

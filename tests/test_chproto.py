@@ -114,20 +114,119 @@ def test_round_trip_property(data):
     arrays = data.draw(
         st.lists(st.lists(base, max_size=4), min_size=n, max_size=n)
     )
+    lc = data.draw(
+        st.lists(st.one_of(st.none(), base), min_size=n, max_size=n)
+    )
+    maps = data.draw(
+        st.lists(
+            st.dictionaries(st.text(max_size=6), base, max_size=4),
+            min_size=n,
+            max_size=n,
+        )
+    )
     cols = [
         ("a", t, plain),
         ("b", f"Nullable({t})", nullable),
         ("c", f"Array({t})", arrays),
+        ("d", f"Array(Nullable({t}))", [
+            [None if i % 2 else x for i, x in enumerate(xs)] for xs in arrays
+        ]),
+        ("e", f"LowCardinality(Nullable({t}))", lc),
+        ("f", f"Map(String, {t})", maps),
+        ("g", f"Tuple({t}, String)", [(x, "s") for x in plain]),
     ]
     out = decode_block(encode_block(cols))
     assert out == cols
 
 
-def test_lowcardinality_encodes_as_plain():
-    block = encode_block([("s", "LowCardinality(String)", ["x", "y"])])
-    # type string preserved verbatim; data laid out as plain String
-    name, t, vals = decode_block(block)[0]
-    assert (name, t, vals) == ("s", "LowCardinality(String)", ["x", "y"])
+def test_golden_lowcardinality_dictionary():
+    """Real LC "additional keys" serialization (SerializationLowCardinality,
+    public CH source): UInt64 keys-version 1, UInt64 flags
+    (HasAdditionalKeys=1<<9 | UInt8 index width), UInt64 dict size, the
+    dictionary as plain inner values, UInt64 row count, per-row indexes."""
+    block = encode_block([("s", "LowCardinality(String)", ["x", "y", "x"])])
+    want = (
+        b"\x01\x03"
+        b"\x01s" + bytes([22]) + b"LowCardinality(String)"
+        + (1).to_bytes(8, "little")          # keys serialization version
+        + (512).to_bytes(8, "little")        # HasAdditionalKeys | UInt8 idx
+        + (2).to_bytes(8, "little")          # dictionary size
+        + b"\x01x\x01y"                      # dict values as plain String
+        + (3).to_bytes(8, "little")          # row count
+        + b"\x00\x01\x00"                    # indexes
+    )
+    assert block == want
+    assert decode_block(block) == [("s", "LowCardinality(String)", ["x", "y", "x"])]
+
+
+def test_golden_lowcardinality_nullable_slot_zero():
+    """LC(Nullable(T)): dictionary slot 0 is the inner default and means
+    NULL; real values start at slot 1."""
+    col = ("s", "LowCardinality(Nullable(String))", [None, "x", None, "x"])
+    block = encode_block([col])
+    body = block[2 + 2 + 1 + 32:]  # header, name, type-len prefix, type str
+    assert body == (
+        (1).to_bytes(8, "little")
+        + (512).to_bytes(8, "little")
+        + (2).to_bytes(8, "little")          # dict: [default "", "x"]
+        + b"\x00\x01x"                       # "" then "x"
+        + (4).to_bytes(8, "little")
+        + b"\x00\x01\x00\x01"
+    )
+    assert decode_block(block) == [col]
+
+
+def test_golden_map_layout():
+    """Map(K,V) serializes like Array(Tuple(K,V)): cumulative UInt64
+    end-offsets, then ALL keys, then ALL values (model/value.go:202-213
+    lists Map as first-class in the reference's type surface)."""
+    block = encode_block(
+        [("m", "Map(String, Int32)", [{"a": 1}, {}, {"b": 2, "c": 3}])]
+    )
+    want = (
+        b"\x01\x03"
+        b"\x01m" + bytes([18]) + b"Map(String, Int32)"
+        + (1).to_bytes(8, "little")
+        + (1).to_bytes(8, "little")
+        + (3).to_bytes(8, "little")
+        + b"\x01a\x01b\x01c"
+        + (1).to_bytes(4, "little")
+        + (2).to_bytes(4, "little")
+        + (3).to_bytes(4, "little")
+    )
+    assert block == want
+    assert decode_block(block) == [
+        ("m", "Map(String, Int32)", [{"a": 1}, {}, {"b": 2, "c": 3}])
+    ]
+
+
+def test_golden_enum_and_array_nullable():
+    block = encode_block([("e", "Enum8('a' = 1, 'b' = 2)", ["a", "b"])])
+    assert block.endswith(b"\x01\x02")
+    assert decode_block(block)[0][2] == ["a", "b"]
+    e16 = encode_block([("e", "Enum16('lo' = -300, 'hi' = 300)", ["hi", "lo"])])
+    assert e16.endswith((300).to_bytes(2, "little", signed=True)
+                        + (-300).to_bytes(2, "little", signed=True))
+    # Array(Nullable(T)): offsets first, then the FLATTENED null mask,
+    # then inner data with defaults at null slots
+    arr = encode_block([("xs", "Array(Nullable(Int8))", [[1, None], [2]])])
+    want = (
+        b"\x01\x02"
+        b"\x02xs" + bytes([21]) + b"Array(Nullable(Int8))"
+        + (2).to_bytes(8, "little") + (3).to_bytes(8, "little")
+        + b"\x00\x01\x00"            # flattened mask
+        + b"\x01\x00\x02"            # data, null backfilled with 0
+    )
+    assert arr == want
+    assert decode_block(arr)[0][2] == [[1, None], [2]]
+
+
+def test_tuple_roundtrip_and_enum_rejects_unknown():
+    col = ("t", "Tuple(Int32, String, Nullable(Float64))",
+           [(1, "a", 1.5), (2, "", None)])
+    assert decode_block(encode_block([col])) == [col]
+    with pytest.raises(ValueError, match="not in"):
+        encode_block([("e", "Enum8('a' = 1)", [9])])
 
 
 def test_mismatched_row_counts_raise():
@@ -266,6 +365,38 @@ def test_native_http_sink_end_to_end(capture_server, spark):
     want_us = int(ts.replace(tzinfo=_tz.utc).timestamp() * 1_000_000)
     assert cols[3][2] == [want_us, want_us]
     assert "INSERT+INTO+db.t+FORMAT+Native" in _Capture.path_seen
+
+
+def test_native_http_sink_nested_types_and_timestamps(capture_server, spark):
+    """One frame carrying every codec family the reference's type surface
+    lists first-class (model/value.go:202-213): arrays of nullable ints,
+    a map, and — the executor-TZ trap — timestamps NESTED inside an
+    array, which must be epochized on the JVM like top-level ones."""
+    from datetime import datetime, timezone as _tz
+
+    from clickhouse_sinker_spark.config import ClickHouseConfig
+    from clickhouse_sinker_spark.streaming.sink import NativeHttpSink
+
+    host = capture_server.removeprefix("http://")
+    ch = ClickHouseConfig(hosts=(host,), database="db", url_format="http://{host}")
+    sink = NativeHttpSink(ch=ch, table="t", shards=1)
+    ts = datetime(2024, 3, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [(1, [1, None], {"a": 2}, [ts, ts]), (2, [], {}, [])],
+        "id bigint, xs array<int>, m map<string,int>, tss array<timestamp>",
+    ).coalesce(1)
+    sink(df, epoch_id=0)
+    cols = decode_block(_Capture.body)
+    assert [(n, t) for n, t, _ in cols] == [
+        ("id", "Nullable(Int64)"),
+        ("xs", "Array(Nullable(Int32))"),
+        ("m", "Map(String, Nullable(Int32))"),
+        ("tss", "Array(Nullable(DateTime64(6)))"),
+    ]
+    rows = sorted(zip(*[c[2] for c in cols]))
+    want_us = int(ts.replace(tzinfo=_tz.utc).timestamp() * 1_000_000)
+    assert rows[0] == (1, [1, None], {"a": 2}, [want_us, want_us])
+    assert rows[1] == (2, [], {}, [])
 
 
 def test_native_http_sink_rejects_jdbc_url(spark):
