@@ -493,28 +493,39 @@ def _to_datetime64(a: list[str]) -> str:
     return f"CAST({a[0]} AS TIMESTAMP)"
 
 
-_FUNNEL_MODES = {"strict_order", "strict_deduplication"}
+_FUNNEL_MODES = {"strict_order", "strict_deduplication", "strict_increase"}
 
 
 def _rewrite_window_funnel(sql: str) -> str:
-    """``windowFunnel(W[, 'mode'])(ts, c1, …, cn)`` → a JVM-side fold:
-    ``aggregate()`` over the group's time-sorted ``(t, condition-bitmask)``
-    events, running ClickHouse's chain algorithm
-    (AggregateFunctionWindowFunnel.h, public source): state keeps the
-    chain-start timestamp per reached level; an event matching condition
-    ``i`` extends a chain whose level ``i-1`` start is within ``W`` seconds.
+    """``windowFunnel(W[, 'mode'])(ts, c1, …, cn)`` → a JVM-side fold
+    running ClickHouse's exact chain algorithm
+    (AggregateFunctionWindowFunnel.h, public source), CONDITION-ORDER
+    EXACT: like CH's ``add()``, each event expands into one ``(t, i)``
+    entry per condition it matches, the entries are processed in
+    (timestamp, condition-index) order, and each entry sees the state
+    updates of the same event's earlier entries — so one event matching
+    both step i and step i+1 climbs two levels, exactly as in CH.
+
+    State per level: the chain-START timestamp (window checks measure
+    from it) and the previous step's OWN timestamp (``strict_increase``
+    compares against it).  A ``c1`` entry (re)opens the chain
+    unconditionally — CH overwrites slot 0 with the latest start.
     Returns the max level reached (INT).
 
-    Modes: default; ``'strict_order'`` — once a chain has started, an
-    event matching NO condition stops processing; ``'strict_deduplication'``
-    — an event re-matching an already-reached condition stops processing.
-    (``strict_increase`` would need per-level last-event timestamps —
-    refused.)
+    Modes (combinable, as in CH): ``'strict_order'`` — an event matching
+    NO condition freezes the state once a chain has started (the
+    documented "A->B->D->C stops at D" contract; an out-of-order MATCHED
+    event is a no-op here, a documented delta from CH's
+    freeze-at-first-unset-level code path);
+    ``'strict_deduplication'`` — an entry re-matching ANY already-reached
+    level (including the first) freezes, per the documented "repeating
+    event interrupts further processing" contract;
+    ``'strict_increase'`` — a step only advances if its timestamp
+    strictly exceeds the previous level's last event.
 
-    Delta vs CH: within a single event all matching conditions update
-    against the PRE-event state (simultaneous), where CH applies them in
-    condition order — identical whenever conditions are mutually
-    exclusive, the overwhelmingly common case (``event_type = '…'``).
+    Deterministic tie-break: entries with equal timestamps order by
+    condition index (CH's stable sort keeps block insertion order there —
+    undefined under distribution).
     Scale: one ``collect_list`` per group (the same O(group-size) state
     CH's aggregate holds), zero extra shuffles, no Python."""
     while True:
@@ -550,32 +561,62 @@ def _rewrite_window_funnel(sql: str) -> str:
         ts, conds = body[0], body[1:]
         n = len(conds)
         w_us = window_s * 1_000_000
-        mask = " + ".join(
-            f"CASE WHEN {c} THEN {1 << i}L ELSE 0L END" for i, c in enumerate(conds)
+        # acc layout (1-based element_at): [1..n] chain-start per level,
+        # [n+1..2n] last-event per level, [2n+1] freeze flag (1 = stopped)
+        size = 2 * n + 1
+        t_us = f"unix_micros({ts})"
+        matched = (
+            "filter(array("
+            + ", ".join(
+                f"IF({c}, named_struct('t', {t_us}, 'e', {i + 1}L), NULL)"
+                for i, c in enumerate(conds)
+            )
+            + "), x -> x IS NOT NULL)"
         )
-        stop = ""
         if "strict_order" in modes:
-            stop += (
-                f" WHEN e.m = 0 AND element_at(acc, 1) <> -1L"
-                f" THEN concat(slice(acc, 1, {n}), array(1L))"
+            # CH inserts a (t, 0) sentinel for events matching nothing
+            entries = (
+                f"CASE WHEN size({matched}) = 0 "
+                f"THEN array(named_struct('t', {t_us}, 'e', 0L)) "
+                f"ELSE {matched} END"
+            )
+        else:
+            entries = matched
+        stopped = f"transform(acc, (v, i) -> IF(i = {size - 1}, 1L, v))"
+        branches = [f"WHEN element_at(acc, {size}) = 1L THEN acc"]
+        if "strict_order" in modes:
+            branches.append(
+                f"WHEN e.e = 0L THEN IF(element_at(acc, 1) <> -1L, {stopped}, acc)"
             )
         if "strict_deduplication" in modes:
-            stop += (
-                f" WHEN exists(sequence(0, {n - 1}), i ->"
-                f" (shiftright(e.m, i) & 1) = 1 AND element_at(acc, i + 1) <> -1L)"
-                f" THEN concat(slice(acc, 1, {n}), array(1L))"
+            # documented CH semantics: a repeat of ANY already-reached
+            # condition (including the first) interrupts further processing
+            branches.append(
+                f"WHEN element_at(acc, CAST(e.e AS INT)) <> -1L THEN {stopped}"
             )
+        branches.append(
+            f"WHEN e.e = 1L THEN transform(acc, (v, i) -> "
+            f"CASE WHEN i = 0 OR i = {n} THEN e.t ELSE v END)"
+        )
+        increase = (
+            f" AND element_at(acc, {n} + CAST(e.e AS INT) - 1) < e.t"
+            if "strict_increase" in modes
+            else ""
+        )
+        branches.append(
+            f"WHEN element_at(acc, CAST(e.e AS INT) - 1) <> -1L "
+            f"AND e.t - element_at(acc, CAST(e.e AS INT) - 1) <= {w_us}L{increase} "
+            f"THEN transform(acc, (v, i) -> CASE "
+            f"WHEN i = CAST(e.e AS INT) - 1 "
+            f"THEN element_at(acc, CAST(e.e AS INT) - 1) "
+            f"WHEN i = {n} + CAST(e.e AS INT) - 1 THEN e.t "
+            f"ELSE v END)"
+        )
         rep = (
             f"aggregate("
-            f"sort_array(collect_list(named_struct("
-            f"'t', unix_micros({ts}), 'm', CAST({mask} AS BIGINT)))), "
-            f"array_repeat(-1L, {n + 1}), "
-            f"(acc, e) -> CASE WHEN element_at(acc, {n + 1}) = 1L THEN acc{stop} "
-            f"ELSE concat(transform(slice(acc, 1, {n}), (v, i) -> CASE "
-            f"WHEN i = 0 THEN IF((e.m & 1) = 1, e.t, v) "
-            f"WHEN (shiftright(e.m, i) & 1) = 1 AND element_at(acc, i) <> -1L "
-            f"AND e.t - element_at(acc, i) <= {w_us}L THEN element_at(acc, i) "
-            f"ELSE v END), slice(acc, {n + 1}, 1)) END, "
+            f"sort_array(flatten(collect_list({entries}))), "
+            f"array_repeat(-1L, {size}), "
+            f"(acc, e) -> CASE {' '.join(branches)} ELSE acc END, "
             f"acc -> CAST(size(filter(slice(acc, 1, {n}), v -> v <> -1L)) AS INT))"
         )
         sql = sql[:at] + rep + sql[end2:]

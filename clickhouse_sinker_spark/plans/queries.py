@@ -5807,6 +5807,65 @@ def ch_dialect_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_FUNNEL_STRICT, sf_dir)
 
 
+CH_DIALECT_FUNNEL_INCREASE = """
+    SELECT user_id,
+           windowFunnel(7200, 'strict_increase')(ts, et = 'signup',
+                                                 et = 'click',
+                                                 et = 'purchase') AS lvl
+    FROM (SELECT user_id, ts, min(event_type) AS et
+          FROM events GROUP BY user_id, ts)
+    GROUP BY user_id
+"""
+
+
+@query(
+    "ch_dialect_funnel_increase",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, min(event_type) AS et
+      FROM events GROUP BY user_id, ts
+    ),
+    u AS (SELECT DISTINCT user_id FROM e),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE et = 'signup'),
+    l2 AS (
+      SELECT DISTINCT s.user_id
+      FROM e s JOIN e c ON c.user_id = s.user_id AND c.et = 'click'
+        AND c.t > s.t AND c.t <= s.t + 7200000000
+      WHERE s.et = 'signup'
+    ),
+    l3 AS (
+      SELECT DISTINCT s.user_id
+      FROM e s
+      JOIN e c ON c.user_id = s.user_id AND c.et = 'click'
+        AND c.t > s.t AND c.t <= s.t + 7200000000
+      JOIN e p ON p.user_id = s.user_id AND p.et = 'purchase'
+        AND p.t > c.t AND p.t <= s.t + 7200000000
+      WHERE s.et = 'signup'
+    )
+    SELECT u.user_id AS user_id,
+           CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+                     WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+                     WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+                     ELSE 0 END AS INT) AS lvl
+    FROM u
+    """,
+)
+def ch_dialect_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(W, 'strict_increase')`` through the translator (the
+    r6 refusal, now a real mode): a step advances only when its timestamp
+    STRICTLY exceeds the previous level's last event.  The stream is
+    pre-deduplicated to one event per (user, ts) — CH leaves
+    same-timestamp ordering undefined (block order), so unique timestamps
+    make the independent strict-reachability oracle (s < c < p within W
+    of s) exact; the tie-break semantics themselves are pinned by
+    hand-computed pytest cases.  Plan: one groupBy(user_id, ts) dedup
+    shuffle feeding one groupBy(user_id) fold — both partial-aggregated
+    map-side."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_FUNNEL_INCREASE, sf_dir)
+
+
 CH_DIALECT_RETENTION = """
     SELECT user_id,
            arrayStringConcat(arrayMap(x -> toString(x),
@@ -6039,12 +6098,13 @@ DRIVER_ORDER: list[str] = [
     "corpus_temperature_mix",
     "pipeline_quality_gate",
     "pack_token_budget",
-    # --- re-confirmations displaced first by r7 additions ---
+    # --- r7 additions (displacing the youngest re-confirmations) ---
+    "ch_dialect_funnel_increase",
+    # --- re-confirmations displaced first by further r7 additions ---
     "text_fingerprint",
     "text_bpe_tokens",
     "text_winnow_fingerprint",
     "dedup_winnow_overlap",
-    "etl_array_cast",
 ]
 
 DRIVER_WINDOW = 50

@@ -949,10 +949,66 @@ def test_window_funnel_modes(spark):
 
     with pytest.raises(ChTranslationError, match="mode"):
         translate_ch_sql(
-            "SELECT windowFunnel(60, 'strict_increase')(ts, x = 1) FROM t"
+            "SELECT windowFunnel(60, 'strictly_whatever')(ts, x = 1) FROM t"
         )
     with pytest.raises(ChTranslationError, match="combinator"):
         translate_ch_sql("SELECT windowFunnel(ts, x = 1) FROM t")
+
+
+def test_window_funnel_strict_increase(spark):
+    """strict_increase (AggregateFunctionWindowFunnel.h): a step advances
+    only when its timestamp STRICTLY exceeds the previous level's last
+    event — same-timestamp steps stall the chain."""
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    T0 = dt.datetime(2024, 1, 1)
+    mins = lambda m: T0 + dt.timedelta(minutes=m)
+    got, _ = translate_ch_sql(
+        "SELECT user_id, windowFunnel(3600, 'strict_increase')(ts, "
+        "event_type = 'a', event_type = 'b', event_type = 'c') AS lvl "
+        "FROM t GROUP BY user_id"
+    )
+    _funnel_view(spark, [
+        (1, mins(0), 'a'), (1, mins(0), 'b'), (1, mins(5), 'c'),  # b same-ts as a
+        (2, mins(0), 'a'), (2, mins(1), 'b'), (2, mins(2), 'c'),  # increasing
+        (3, mins(0), 'a'), (3, mins(1), 'b'), (3, mins(1), 'c'),  # c same-ts as b
+    ])
+    out = {r["user_id"]: r["lvl"] for r in spark.sql(got).collect()}
+    assert out == {1: 1, 2: 3, 3: 2}
+    # default mode: same-timestamp steps DO advance (tie-break by cond idx)
+    got2, _ = translate_ch_sql(
+        "SELECT user_id, windowFunnel(3600)(ts, event_type = 'a', "
+        "event_type = 'b', event_type = 'c') AS lvl FROM t GROUP BY user_id"
+    )
+    out2 = {r["user_id"]: r["lvl"] for r in spark.sql(got2).collect()}
+    assert out2 == {1: 3, 2: 3, 3: 3}
+
+
+def test_window_funnel_condition_order_exact(spark):
+    """Overlapping conditions — CH expands each event into one entry per
+    matched condition and applies them IN CONDITION ORDER, so a single
+    event matching step i and step i+1 climbs both levels (the r6
+    simultaneous-update delta, now closed)."""
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    T0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, T0, 5), (2, T0, 1), (2, T0 + dt.timedelta(minutes=1), 5)],
+        "user_id int, ts timestamp, v int",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT user_id, windowFunnel(3600)(ts, v >= 1, v >= 2, v >= 10) "
+        "AS lvl FROM t GROUP BY user_id"
+    )
+    out = {r["user_id"]: r["lvl"] for r in spark.sql(got).collect()}
+    # user 1: one event v=5 matches steps 1 AND 2 → level 2 in one event
+    # user 2: v=1 opens, v=5 matches steps 1,2: step-1 entry REOPENS the
+    # chain at t1, then its own step-2 entry chains off it → level 2
+    assert out == {1: 2, 2: 2}
 
 
 def test_retention_aggregate(spark):
