@@ -622,42 +622,139 @@ def _rewrite_window_funnel(sql: str) -> str:
         sql = sql[:at] + rep + sql[end2:]
 
 
-def _seq_pattern_to_regex(pattern: str, n_conds: int) -> str:
-    """Parse a ClickHouse sequence pattern literal into a character regex.
+def _parse_seq_pattern(pattern: str, n_conds: int) -> list[tuple]:
+    """Parse a ClickHouse sequence pattern literal into items:
+    ``('ev', n)`` — one event satisfying condition n; ``('any',)`` — any
+    number of events; ``('t', op, seconds)`` — a time constraint between
+    the two NEIGHBORING event atoms (the documented grammar,
+    AggregateFunctionSequenceMatch.h)."""
+    import re as _re
 
-    Supported atoms (the documented grammar minus time constraints):
-    ``(?N)`` — one event satisfying condition N; ``.*`` — any number of
-    events.  ``(?t…)`` time constraints are refused with a pointer to
-    windowFunnel (whose window covers the common time-bound funnels).
-    Condition N maps to character ``chr(96+N)`` — safe, never a regex
-    metacharacter (N ≤ 26 enforced)."""
-    out = []
+    if n_conds > 26:
+        raise ChTranslationError("sequence patterns support ≤ 26 conditions")
+    items: list[tuple] = []
     i = 0
     while i < len(pattern):
         if pattern.startswith("(?t", i):
-            raise ChTranslationError(
-                "sequenceMatch/sequenceCount (?t…) time constraints are not "
-                "supported — use windowFunnel(W) for time-bound chains"
-            )
-        if pattern.startswith("(?", i):
+            j = pattern.index(")", i)
+            m = _re.fullmatch(r"\s*(<=|>=|==|!=|<|>)\s*(\d+)\s*", pattern[i + 3 : j])
+            if not m:
+                raise ChTranslationError(
+                    f"malformed time constraint {pattern[i : j + 1]!r} "
+                    "(supported: (?t OP seconds) with OP in <,>,<=,>=,==)"
+                )
+            if m.group(1) == "!=":
+                raise ChTranslationError(
+                    "(?t != N) is not supported (a disjunctive gap constraint)"
+                )
+            items.append(("t", m.group(1), int(m.group(2))))
+            i = j + 1
+        elif pattern.startswith("(?", i):
             j = pattern.index(")", i)
             num = pattern[i + 2 : j]
             if not num.isdigit() or not (1 <= int(num) <= n_conds):
                 raise ChTranslationError(
                     f"sequence pattern atom (?{num}) out of range 1..{n_conds}"
                 )
-            if n_conds > 26:
-                raise ChTranslationError("sequence patterns support ≤ 26 conditions")
-            out.append(chr(96 + int(num)))
+            items.append(("ev", int(num)))
             i = j + 1
         elif pattern.startswith(".*", i):
-            out.append(".*")
+            items.append(("any",))
             i += 2
         else:
             raise ChTranslationError(
                 f"unsupported sequence pattern syntax at {pattern[i:]!r} "
-                "(supported: (?N) and .*)"
+                "(supported: (?N), .* and (?t OP N))"
             )
+    for idx, it in enumerate(items):
+        if it[0] == "t" and (
+            idx == 0
+            or idx == len(items) - 1
+            or items[idx - 1][0] != "ev"
+            or items[idx + 1][0] != "ev"
+        ):
+            raise ChTranslationError(
+                "(?t…) must sit directly between two event atoms"
+            )
+    return items
+
+
+def _seq_markers(items: list[tuple]) -> list[tuple[str, int]]:
+    """The distinct gap-threshold markers a pattern needs, sorted so that
+    marker presence is MONOTONE in the gap (a marker is present iff the
+    gap clears its threshold, and clearing a threshold implies clearing
+    every smaller one).  ``('ge', v)`` fires at gap ≥ v, ``('gt', v)`` at
+    gap > v — at equal v, ge precedes gt."""
+    need: set[tuple[str, int]] = set()
+    for it in items:
+        if it[0] != "t":
+            continue
+        _, op, v = it
+        if op in ("<=", ">"):
+            need.add(("gt", v))
+        elif op in ("<", ">="):
+            need.add(("ge", v))
+        else:  # ==
+            need.add(("ge", v))
+            need.add(("gt", v))
+    markers = sorted(need, key=lambda kv: (kv[1], 0 if kv[0] == "ge" else 1))
+    if len(markers) > 26:
+        raise ChTranslationError("sequence patterns support ≤ 26 time thresholds")
+    return markers
+
+
+def _seq_regex(items: list[tuple], markers: list[tuple[str, int]]) -> str:
+    """Render the pattern as a regex over the event string: events are
+    lowercase chars, gap markers uppercase (inserted between consecutive
+    kept events, in threshold order).  A time constraint between two
+    atoms becomes a marker segment — e.g. with markers [A=ge(v), B=gt(v)]
+    ``(?t<=v)`` is ``A?`` (B must be absent: any unmatched marker char
+    kills the match), ``(?t>v)`` is ``A?B`` …optional-tail, ``(?t==v)``
+    is ``A`` exactly."""
+    mchar = {m: chr(65 + i) for i, m in enumerate(markers)}
+    all_opt = "".join(f"{mchar[m]}?" for m in markers)
+
+    def segment(op: str, v: int) -> str:
+        def opt(until: int) -> str:
+            return "".join(f"{mchar[m]}?" for m in markers[:until])
+
+        if op == "<=":
+            return opt(markers.index(("gt", v)))
+        if op == "<":
+            return opt(markers.index(("ge", v)))
+        if op == ">":
+            i = markers.index(("gt", v))
+            return opt(i) + mchar[("gt", v)] + "".join(
+                f"{mchar[m]}?" for m in markers[i + 1 :]
+            )
+        if op == ">=":
+            i = markers.index(("ge", v))
+            return opt(i) + mchar[("ge", v)] + "".join(
+                f"{mchar[m]}?" for m in markers[i + 1 :]
+            )
+        # ==: gap ≥ v and not gap > v — ge(v) mandatory, nothing after it
+        return opt(markers.index(("ge", v))) + mchar[("ge", v)]
+
+    out: list[str] = []
+    prev_ev = False
+    i = 0
+    while i < len(items):
+        it = items[i]
+        if it[0] == "any":
+            out.append(".*")
+            prev_ev = False
+            i += 1
+        elif it[0] == "t":
+            out.append(segment(it[1], it[2]))
+            out.append(chr(96 + items[i + 1][1]))
+            prev_ev = True
+            i += 2
+        else:
+            if prev_ev and markers:
+                out.append(all_opt)  # unconstrained adjacency: any gap
+            out.append(chr(96 + it[1]))
+            prev_ev = True
+            i += 1
     return "".join(out)
 
 
@@ -698,18 +795,41 @@ def _rewrite_sequence(sql: str, name: str, emit) -> str:
         if len(body) < 2:
             raise ChTranslationError(f"{name} needs a timestamp and ≥1 condition")
         ts, conds = body[0], body[1:]
-        regex = _seq_pattern_to_regex(pat_raw[1:-1], len(conds))
+        items = _parse_seq_pattern(pat_raw[1:-1], len(conds))
+        markers = _seq_markers(items)
+        regex = _seq_regex(items, markers)
         nmatch = " + ".join(f"CASE WHEN {c} THEN 1 ELSE 0 END" for c in conds)
         midx = (
             "CASE "
             + " ".join(f"WHEN {c} THEN {i + 1}" for i, c in enumerate(conds))
             + " END"
         )
-        seq = (
-            f"concat_ws('', transform(sort_array(collect_list("
+        sorted_arr = (
+            f"sort_array(collect_list("
             f"CASE WHEN ({nmatch}) >= 1 THEN named_struct("
-            f"'t', {ts}, 'c', char(96 + ({midx}))) END)), e -> e.c))"
+            f"'t', unix_micros({ts}), 'c', char(96 + ({midx}))) END))"
         )
+        if not markers:
+            seq = f"concat_ws('', transform({sorted_arr}, e -> e.c))"
+        else:
+            # (?t…) thresholds: insert one uppercase marker char per
+            # cleared threshold between consecutive kept events, in
+            # threshold order (presence monotone in gap — see _seq_markers)
+            gap = "(element_at(__a, __i).t - element_at(__a, __i - 1).t)"
+            mk = "".join(
+                f"IF({gap} {'>' if kind == 'gt' else '>='} "
+                f"{v * 1_000_000}L, '{chr(65 + i)}', '') || "
+                for i, (kind, v) in enumerate(markers)
+            )
+            seq = _bind_arr(
+                sorted_arr,
+                lambda a: (
+                    f"IF(size({a}) = 0, '', concat_ws('', "
+                    f"transform(sequence(1, size({a})), __i -> "
+                    f"CASE WHEN __i = 1 THEN element_at({a}, 1).c "
+                    f"ELSE {{mk}}element_at({a}, __i).c END)))"
+                ).format(mk=mk.replace("__a", a)),
+            )
         guard = (
             f"CASE WHEN max({nmatch}) > 1 THEN "
             f"raise_error('sequence conditions must be mutually exclusive "

@@ -5866,6 +5866,55 @@ def ch_dialect_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_FUNNEL_INCREASE, sf_dir)
 
 
+CH_DIALECT_SEQUENCE_TIMED = """
+    SELECT user_id,
+           sequenceMatch('(?1)(?t<=3600)(?2)')(ts, event_type = 'signup',
+                                               event_type = 'purchase') AS fast,
+           sequenceMatch('(?1)(?t>7200)(?2)')(ts, event_type = 'signup',
+                                              event_type = 'purchase') AS slow
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query(
+    "ch_dialect_sequence_timed",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 2 END AS c
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, t, c,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, c) AS nt,
+             lead(c) OVER (PARTITION BY user_id ORDER BY t, c) AS nc
+      FROM e
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id AS user_id,
+           CAST(u.user_id IN (SELECT user_id FROM w WHERE c = 1 AND nc = 2
+                              AND nt - t <= 3600000000) AS INT) AS fast,
+           CAST(u.user_id IN (SELECT user_id FROM w WHERE c = 1 AND nc = 2
+                              AND nt - t > 7200000000) AS INT) AS slow
+    FROM u
+    """,
+)
+def ch_dialect_sequence_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceMatch`` with ``(?t OP N)`` time constraints (the r6
+    refusal, now translated): gap thresholds become monotone marker chars
+    in the per-group event string, the constraint a marker segment in the
+    regex.  The DuckDB oracle is an independent ``lead()``-adjacency
+    formulation — a kept signup whose NEXT kept event is a purchase
+    within/beyond the bound — equivalent because ``(?1)(?t…)(?2)`` means
+    adjacency in the filtered stream plus the gap predicate, with the
+    same (t, condition) tie order on both sides.  Plan: one
+    groupBy(user_id) fold, no joins, no Python."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_SEQUENCE_TIMED, sf_dir)
+
+
 CH_DIALECT_RETENTION = """
     SELECT user_id,
            arrayStringConcat(arrayMap(x -> toString(x),
@@ -6100,11 +6149,11 @@ DRIVER_ORDER: list[str] = [
     "pack_token_budget",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
+    "ch_dialect_sequence_timed",
     # --- re-confirmations displaced first by further r7 additions ---
     "text_fingerprint",
     "text_bpe_tokens",
     "text_winnow_fingerprint",
-    "dedup_winnow_overlap",
 ]
 
 DRIVER_WINDOW = 50

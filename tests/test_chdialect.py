@@ -1095,13 +1095,71 @@ def test_sequence_match_and_count(spark):
     with pytest.raises(Exception, match="mutually exclusive"):
         spark.sql(got2).collect()
 
-    # (?t…) and malformed atoms refuse at translation time
-    with pytest.raises(ChTranslationError, match="windowFunnel"):
-        translate_ch_sql("SELECT sequenceMatch('(?1)(?t<=36)(?2)')(ts, a, b) FROM t")
+    # malformed atoms refuse at translation time
     with pytest.raises(ChTranslationError, match="out of range"):
         translate_ch_sql("SELECT sequenceMatch('(?3)')(ts, a, b) FROM t")
     with pytest.raises(ChTranslationError, match="combinator"):
         translate_ch_sql("SELECT sequenceMatch(ts, a) FROM t")
+
+
+def test_sequence_match_time_constraints(spark):
+    """``(?t OP N)`` time constraints (the r6 refusal, now translated):
+    gap thresholds become monotone marker characters between consecutive
+    kept events, and each constraint a marker segment in the regex.
+    Expectations hand-computed from the documented CH grammar."""
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    s = lambda x: T0 + dt.timedelta(seconds=x)
+    spark.createDataFrame(
+        [
+            (1, s(0), 1), (1, s(1000), 2),                  # gap 1000 s
+            (2, s(0), 1), (2, s(5000), 2),                  # gap 5000 s
+            (3, s(0), 1), (3, s(60), 2),                    # gap == 60 s
+            (4, s(0), 1), (4, s(10), 3), (4, s(20), 2),     # excluded 3 between
+        ],
+        "user_id int, ts timestamp, v int",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT user_id, "
+        "sequenceMatch('(?1)(?t<=3600)(?2)')(ts, v = 1, v = 2) AS le, "
+        "sequenceMatch('(?1)(?t>1800)(?2)')(ts, v = 1, v = 2) AS gt, "
+        "sequenceMatch('(?1)(?t==60)(?2)')(ts, v = 1, v = 2) AS eq, "
+        "sequenceMatch('(?1)(?t>=1000)(?2)')(ts, v = 1, v = 2) AS ge, "
+        "sequenceMatch('(?1)(?t<60)(?2)')(ts, v = 1, v = 2) AS lt "
+        "FROM t GROUP BY user_id"
+    )
+    out = {
+        r["user_id"]: (r["le"], r["gt"], r["eq"], r["ge"], r["lt"])
+        for r in spark.sql(got).collect()
+    }
+    # user 4: the v=3 event matches no condition → excluded; the kept
+    # events (1@0, 2@20) are adjacent with gap 20
+    assert out == {
+        1: (1, 0, 0, 1, 0),
+        2: (0, 1, 0, 1, 0),
+        3: (1, 0, 1, 0, 0),
+        4: (1, 0, 0, 0, 1),
+    }
+    # sequenceCount composes with the same machinery
+    got2, _ = translate_ch_sql(
+        "SELECT user_id, sequenceCount('(?1)(?t<=100)(?2)')(ts, v = 1, v = 2) "
+        "AS c FROM t GROUP BY user_id"
+    )
+    out2 = {r["user_id"]: r["c"] for r in spark.sql(got2).collect()}
+    assert out2 == {1: 0, 2: 0, 3: 1, 4: 1}
+    # constraints must sit between two event atoms; != is disjunctive
+    with pytest.raises(ChTranslationError, match="between two event atoms"):
+        translate_ch_sql("SELECT sequenceMatch('(?t<=36)(?2)')(ts, a, b) FROM t")
+    with pytest.raises(ChTranslationError, match="between two event atoms"):
+        translate_ch_sql("SELECT sequenceMatch('(?1)(?t<=36).*(?2)')(ts, a, b) FROM t")
+    with pytest.raises(ChTranslationError, match="not supported"):
+        translate_ch_sql("SELECT sequenceMatch('(?1)(?t!=36)(?2)')(ts, a, b) FROM t")
 
 
 def test_sample_clause_and_uniq_combined(spark):
