@@ -176,7 +176,9 @@ ANY LEFT/INNER JOIN t        plain join against the keyed survivor
   USING (k…)                 subquery (row_number()=1, tie-break by the
                              table's remaining orderable columns —
                              needs table_columns catalog context)
-ANY JOIN … ON / RIGHT ANY /  refused with a rewrite hint (dedup-first /
+lt RIGHT ANY JOIN rt         the mirror: survivor subquery on the LEFT
+  USING (k…)                 table, then a plain RIGHT JOIN
+ANY JOIN … ON / FULL ANY /   refused with a rewrite hint (dedup-first /
 ASOF JOIN /                  operators/asof.py / ts_gap_fill plan) —
 ORDER BY … WITH FILL         never mistranslated
 ===========================  =========================================
@@ -2073,8 +2075,14 @@ def _rewrite_any_join(sql: str, notes: list[str]) -> str:
     ClickHouse's ANY keeps an arbitrary match; a deterministic engine
     must pin one, and min-by-remaining-columns is a valid instance of
     that contract (and the identity when keys are unique — the dimension
-    -table case ANY JOIN exists for).  Tables without catalog info, ON
-    conditions, and RIGHT ANY fall through to the loud refusal."""
+    -table case ANY JOIN exists for).
+
+    ``lt RIGHT ANY JOIN rt USING (k…)`` (and the ``ANY RIGHT`` order) is
+    the mirror: every right row survives, matched against at most one
+    LEFT row — the survivor subquery applied to the LEFT table, then a
+    plain RIGHT JOIN.  Needs the left side to be a catalog-known table
+    directly before the join.  Tables without catalog info, ON
+    conditions, and other directions fall through to the loud refusal."""
     pat = re.compile(
         r"\b(?:ANY\s+(?:(LEFT|INNER)\s+)?(?:OUTER\s+)?"
         r"|(?:(LEFT|INNER)\s+)(?:OUTER\s+)?ANY\s+)JOIN\s+"
@@ -2127,6 +2135,47 @@ def _rewrite_any_join(sql: str, notes: list[str]) -> str:
         notes.append(
             f"ANY JOIN on {tbl}: survivor = first row per ({', '.join(keys)}) "
             f"ordered by ({', '.join(order)}) — CH leaves the pick arbitrary"
+        )
+
+
+def _rewrite_right_any_join(sql: str, notes: list[str]) -> str:
+    """``FROM lt [AS a] RIGHT ANY JOIN rt USING (k…)`` → survivor on the
+    LEFT table + plain RIGHT JOIN (see _rewrite_any_join docstring)."""
+    pat = re.compile(
+        r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)"
+        r"(?:\s+(?:AS\s+)?(?!RIGHT\b|ANY\b)([A-Za-z_]\w*))?\s+"
+        r"(?:RIGHT\s+(?:OUTER\s+)?ANY\s+|ANY\s+RIGHT\s+(?:OUTER\s+)?)JOIN\s+"
+        r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?"
+        r"\s+USING\s*\(([^()]*)\)",
+        re.IGNORECASE,
+    )
+    while True:
+        m = next(
+            (c for c in pat.finditer(sql) if not _in_string(sql, c.start())), None
+        )
+        if m is None:
+            return sql
+        kw, ltbl, lalias, rtbl, ralias, keystr = m.groups()
+        keys = [k.strip() for k in keystr.split(",") if k.strip()]
+        cols = _TABLE_COLUMNS.get(ltbl)
+        if cols is None:
+            return sql  # unknown left table → the refusal below reports it
+        keyset = {k.lower() for k in keys}
+        order = [c for c in cols if c.lower() not in keyset] or keys
+        rep = (
+            f"{kw} "
+            + _survivor_subquery(
+                ltbl, ", ".join(keys), ", ".join(order), lalias or ltbl, "__any_rn"
+            )
+            + f" RIGHT JOIN {rtbl}"
+            + (f" AS {ralias}" if ralias else "")
+            + f" USING ({', '.join(keys)})"
+        )
+        sql = sql[: m.start()] + rep + sql[m.end() :]
+        notes.append(
+            f"RIGHT ANY JOIN: left survivor = first {ltbl} row per "
+            f"({', '.join(keys)}) ordered by ({', '.join(order)}) — CH "
+            f"leaves the pick arbitrary"
         )
 
 
@@ -2411,6 +2460,7 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
         )
 
     sql = _rewrite_any_join(sql, notes)
+    sql = _rewrite_right_any_join(sql, notes)
     if _spans_outside_strings(
         sql,
         # catch every strictness placement CH accepts — a missed form
@@ -2418,15 +2468,16 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
         r"\bANY(?:\s+(?:LEFT|RIGHT|FULL|INNER|OUTER|CROSS|SEMI|ANTI)){0,2}\s+JOIN\b"
         r"|\b(?:LEFT|RIGHT|FULL|INNER|CROSS)(?:\s+OUTER)?\s+ANY\s+JOIN\b",
     ):
-        # remaining ANY forms (ON-condition joins, RIGHT ANY, unknown
-        # tables) — a text-level rewrite can't know the join keys or the
-        # survivor ordering, and silently running as ALL JOIN would
-        # duplicate rows.
+        # remaining ANY forms (ON-condition joins, FULL ANY, unknown
+        # tables, non-table left side before RIGHT ANY) — a text-level
+        # rewrite can't know the join keys or the survivor ordering, and
+        # silently running as ALL JOIN would duplicate rows.
         raise ChTranslationError(
             "this ANY JOIN form has no faithful translation (supported: "
-            "ANY LEFT/INNER JOIN <table> USING (...) with the table's "
-            "columns known via table_columns); deduplicate the right side "
-            "first (row_number() = 1 per join key) and use a plain JOIN"
+            "ANY LEFT/INNER JOIN <table> USING (...), and <table> RIGHT "
+            "ANY JOIN <table> USING (...), with columns known via "
+            "table_columns); deduplicate the keyed side first "
+            "(row_number() = 1 per join key) and use a plain JOIN"
         )
 
     tot = _top_level_spans(sql, r"\bWITH\s+TOTALS\b")

@@ -5866,6 +5866,46 @@ def ch_dialect_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_FUNNEL_INCREASE, sf_dir)
 
 
+CH_DIALECT_RIGHT_ANY = """
+    SELECT e2.event_id AS event_id,
+           e1.event_type AS any_type,
+           e1.value AS any_value
+    FROM events AS e1 ANY RIGHT JOIN events AS e2 USING (user_id)
+"""
+
+
+@query(
+    "ch_dialect_right_any_join",
+    """
+    WITH srv AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT e2.event_id AS event_id,
+           srv.event_type AS any_type,
+           srv.value AS any_value
+    FROM srv RIGHT JOIN events e2 USING (user_id)
+    """,
+)
+def ch_dialect_right_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RIGHT ANY JOIN`` through the translator (the r6 refusal, now
+    translated): every right row survives, matched against at most one
+    left row — the keyed survivor subquery applied to the LEFT side, then
+    a plain RIGHT JOIN (mirror of the LEFT ANY rewrite).  The survivor
+    tie-break orders by the table's remaining columns, which event_id
+    (unique, first) fully decides — so the independent oracle needs only
+    row_number() by event_id.  Scale: the survivor is one
+    window-per-key pass (partial row_number, no extra shuffle beyond the
+    join's own user_id exchange); at 100 TB both sides hash-partition on
+    user_id once."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_RIGHT_ANY, sf_dir)
+
+
 CH_DIALECT_SEQUENCE_TIMED = """
     SELECT user_id,
            sequenceMatch('(?1)(?t<=3600)(?2)')(ts, event_type = 'signup',
@@ -6150,10 +6190,10 @@ DRIVER_ORDER: list[str] = [
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",
+    "ch_dialect_right_any_join",
     # --- re-confirmations displaced first by further r7 additions ---
     "text_fingerprint",
     "text_bpe_tokens",
-    "text_winnow_fingerprint",
 ]
 
 DRIVER_WINDOW = 50

@@ -1540,14 +1540,33 @@ def test_any_join_using_rewrite(spark):
         "SELECT k FROM ajl ANY LEFT OUTER JOIN ajr USING (k)", table_columns=tc
     )
     assert "LEFT JOIN (SELECT" in got5
+    # RIGHT ANY (both keyword orders): survivor on the LEFT table, plain
+    # RIGHT JOIN — every right row survives, ≤1 left match
+    spark.createDataFrame(
+        [(1, "x", 2), (1, "y", 1), (2, "z", 3)], "k int, lv string, m int"
+    ).createOrReplaceTempView("ajl2")
+    tc2 = dict(tc, ajl2=["k", "lv", "m"])
+    got6, notes6 = translate_ch_sql(
+        "SELECT k, lv, rv FROM ajl2 RIGHT ANY JOIN ajr USING (k) ORDER BY k, rv",
+        table_columns=tc2,
+    )
+    assert any("RIGHT ANY" in n for n in notes6)
+    rows6 = [(r["k"], r["lv"], r["rv"]) for r in spark.sql(got6).collect()]
+    # left survivor per k=1 is ('x', 2) — min by (lv, m); k=3 right row
+    # survives unmatched
+    assert rows6 == [(1, "x", "a"), (1, "x", "b"), (3, None, "c")]
+    got7, _ = translate_ch_sql(
+        "SELECT k, rv FROM ajl2 ANY RIGHT JOIN ajr AS r USING (k)",
+        table_columns=tc2,
+    )
+    assert "RIGHT JOIN ajr AS r" in got7 and "row_number()" in got7
     # ON-form, unknown tables, and unsupported directions refuse loudly —
     # never run as a silent ALL join
     for bad in (
         "SELECT 1 FROM ajl ANY LEFT JOIN ajr ON ajl.k = ajr.k",
         "SELECT 1 FROM ajl ANY LEFT JOIN nosuch USING (k)",
+        "SELECT 1 FROM nosuch RIGHT ANY JOIN ajr USING (k)",
         "SELECT 1 FROM ajl FULL ANY JOIN ajr USING (k)",
-        "SELECT 1 FROM ajl RIGHT ANY JOIN ajr USING (k)",
-        "SELECT 1 FROM ajl ANY RIGHT JOIN ajr USING (k)",
     ):
         with pytest.raises(ChTranslationError, match="ANY JOIN"):
             translate_ch_sql(bad, table_columns=tc)
