@@ -45,6 +45,8 @@ __all__ = [
     "epoch_to_timestamp",
     "valid_ip_or_default",
     "parse_datetime_adaptive",
+    "detect_datetime_layout",
+    "parse_datetime_bound",
     "DATETIME_LAYOUTS",
 ]
 
@@ -277,6 +279,55 @@ def valid_ip_or_default(col: Column | str, v6: bool = False) -> Column:
     if v6:
         return F.when(c.rlike(_IPV6_RE), c).otherwise(F.lit("::"))
     return F.when(c.rlike(_IPV4_RE), c).otherwise(F.lit("0.0.0.0"))
+
+
+def detect_datetime_layout(
+    df, col: str, layouts: list[str] | None = None
+) -> str | None:
+    """Phase 1 of the two-phase strict P9 mode: find the layout the
+    reference would memoize for this field — the FIRST layout (in list
+    order) that parses the field's first non-null value
+    (parser/parser.go:160-189 walks the layout table once and caches the
+    winner per field forever).
+
+    Driver-side control-plane sampling (two one-row jobs, like schema
+    inference) — the detected layout is then BOUND into the plan by
+    ``parse_datetime_bound``, keeping the hot path fully JVM-side and the
+    commitment deterministic across executors (unlike a per-worker
+    cache).  Returns None when the field has no non-null values or none
+    of the layouts match."""
+    layouts = layouts or DATETIME_LAYOUTS
+    first = (
+        df.select(F.col(col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return None
+    probe = df.sparkSession.createDataFrame([(str(first[0][0]),)], "v string")
+    hits = probe.select(
+        *[
+            parse_datetime_bound("v", fmt).isNotNull().alias(f"f{i}")
+            for i, fmt in enumerate(layouts)
+        ]
+    ).first()
+    for i, fmt in enumerate(layouts):
+        if hits[f"f{i}"]:
+            return fmt
+    return None
+
+
+def parse_datetime_bound(col: Column | str, fmt: str) -> Column:
+    """Phase 2 of the strict P9 mode: parse with ONE committed layout —
+    values in any other layout return NULL, exactly the reference's
+    post-memoization behavior.  Raw try first, then the day-name
+    pre-normalized form (same widening as parse_datetime_any)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit(fmt)),
+        F.try_to_timestamp(_prenormalize(c), F.lit(fmt)),
+    )
 
 
 def parse_datetime_adaptive(col: Column | str, layouts: list[str] | None = None) -> Column:

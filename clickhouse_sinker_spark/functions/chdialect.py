@@ -2421,11 +2421,22 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
         else:
             rep = f"TABLESAMPLE ({int(num)} ROWS)"
         sql = sql[: m2.start()] + rep + sql[m2.end() :]
-        notes.append(
-            "SAMPLE → TABLESAMPLE: Spark samples per-split Bernoulli, not "
-            "by ClickHouse's deterministic sample key — row membership "
-            "differs between engines"
-        )
+        if rep.endswith("ROWS)"):
+            # Spark's (N ROWS) is a LIMIT-like deterministic prefix of the
+            # scan — it performs NO sampling at all, unlike CH's
+            # sample-key-spread row quota
+            notes.append(
+                "SAMPLE N → TABLESAMPLE (N ROWS): Spark takes a "
+                "DETERMINISTIC first-N prefix of the scan, not a random or "
+                "key-spread sample — use SAMPLE with a fraction (or ORDER "
+                "BY rand() LIMIT N) if you need approximate randomness"
+            )
+        else:
+            notes.append(
+                "SAMPLE → TABLESAMPLE: Spark samples per-split Bernoulli, "
+                "not by ClickHouse's deterministic sample key — row "
+                "membership differs between engines"
+            )
 
     # trailing SETTINGS key=value[, ...] — CH per-query engine knobs
     # (max_threads, max_memory_usage…); Spark's equivalents are session

@@ -1172,8 +1172,10 @@ def test_sample_clause_and_uniq_combined(spark):
     assert "TABLESAMPLE (10 PERCENT)" in got and any("SAMPLE" in n for n in notes)
     got2, _ = translate_ch_sql("SELECT count(*) AS n FROM t SAMPLE 1/10")
     assert "TABLESAMPLE (10 PERCENT)" in got2
-    got3, _ = translate_ch_sql("SELECT count(*) AS n FROM t SAMPLE 50")
+    got3, notes3 = translate_ch_sql("SELECT count(*) AS n FROM t SAMPLE 50")
     assert "TABLESAMPLE (50 ROWS)" in got3
+    # the ROWS branch performs NO sampling — the note must say so
+    assert any("DETERMINISTIC first-N prefix" in n for n in notes3)
     with pytest.raises(ChTranslationError, match="OFFSET"):
         translate_ch_sql("SELECT 1 FROM t SAMPLE 0.1 OFFSET 0.5")
 

@@ -135,6 +135,63 @@ def test_datetime_layout_roundtrip(spark, dts):
             assert g == want, (fmt, d, g)
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_strict_layout_detect_then_bind(spark, data):
+    """Strict P9 mode (two-phase detect-then-bind) on HETEROGENEOUS
+    fields: the layout committed is the first in DATETIME_LAYOUTS order
+    that parses the field's first value, and every later value parses iff
+    it matches THAT layout — values in other layouts go NULL (reference
+    first-match-per-field memoization, parser/parser.go:160-189).  The
+    coalesce-chain parse_datetime_any stays the lenient default."""
+    import datetime as _d
+
+    from clickhouse_sinker_spark.functions.casts import (
+        detect_datetime_layout,
+        parse_datetime_bound,
+    )
+
+    # (strftime, spark layout) pairs — a heterogeneous field mixes these
+    pairs = [
+        ("%Y-%m-%d %H:%M:%S", "yyyy-MM-dd HH:mm:ss[.SSSSSSSSS]"),
+        ("%Y-%m-%d", "yyyy-MM-dd"),
+        ("%d/%m/%Y", "dd/MM/yyyy"),
+        ("%m/%d/%Y %H:%M:%S", "MM/dd/yyyy HH:mm:ss"),
+        ("%Y%m%d %H:%M:%S", "yyyyMMdd HH:mm:ss"),
+    ]
+    n = data.draw(st.integers(1, 10))
+    idxs = [data.draw(st.integers(0, len(pairs) - 1)) for _ in range(n)]
+    dts = [
+        data.draw(
+            st.datetimes(
+                min_value=_d.datetime(1971, 1, 1),
+                max_value=_d.datetime(2200, 12, 31),
+            )
+        ).replace(microsecond=0)
+        for _ in range(n)
+    ]
+    strings = [d.strftime(pairs[i][0]) for d, i in zip(dts, idxs)]
+    df = spark.createDataFrame([(s,) for s in strings], "s string").coalesce(1)
+    committed = detect_datetime_layout(df, "s")
+    # model: the committed layout is the one the FIRST value was written
+    # in (these five layouts are mutually non-accepting, and list order
+    # here mirrors DATETIME_LAYOUTS order)
+    assert committed == pairs[idxs[0]][1]
+    got = [
+        r[0] for r in df.select(parse_datetime_bound("s", committed).alias("t")).collect()
+    ]
+    for s, i, d, g in zip(strings, idxs, dts, got):
+        if i == idxs[0]:
+            want = (
+                d.replace(hour=0, minute=0, second=0)
+                if "%H" not in pairs[i][0]
+                else d
+            )
+            assert g == want, (s, committed, g)
+        else:
+            assert g is None, (s, committed, g)
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
