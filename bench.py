@@ -23,11 +23,19 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
+import sys
 import tempfile
 import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+# The honest cross-round signal (see module docstring): bench a PRIOR
+# checkout back-to-back on the same host and report the ratio.  Updated
+# each round to the previous round's final commit.  Disable with
+# SPARK_GRAFT_AB=0 or --no-ab; override the ref with --ab <git-ref>.
+AB_BASELINE_REF = "6c61fda"  # round-6 final checkout
 
 HEADLINE = [
     "tpch_q1_pricing",
@@ -140,9 +148,56 @@ def _env_stats(start_loadavg, start_snap, start_wall) -> dict:
     }
 
 
+def _run_ab_baseline(ref: str, sf_dir: str, cpus: str) -> dict:
+    """Bench a prior checkout in a temporary git worktree, same host, same
+    env, immediately after the HEAD measurements — the r6 host-drift
+    analysis (an unchanged r4 checkout re-benching +54%) as a standing
+    feature.  The child runs with SPARK_GRAFT_AB=0 so it never recurses."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    try:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
+            check=True, capture_output=True, text=True,
+        )
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_CPUS=cpus,
+            SPARK_GRAFT_AB="0",
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            capture_output=True, text=True, env=env, cwd=wt, timeout=3600,
+        )
+        lines = [
+            l for l in proc.stdout.splitlines()
+            if l.startswith("{") and l.endswith("}")
+        ]
+        if proc.returncode != 0 or not lines:
+            return {"ref": ref, "error": (proc.stderr or proc.stdout)[-300:]}
+        payload = json.loads(lines[-1])
+        return {
+            "ref": ref,
+            "ref_value": payload["value"],
+            "ref_queries": payload.get("queries", {}),
+        }
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    ab_ref: str | None = AB_BASELINE_REF
+    if os.environ.get("SPARK_GRAFT_AB", "1") == "0" or "--no-ab" in sys.argv:
+        ab_ref = None
+    if "--ab" in sys.argv:
+        ab_ref = sys.argv[sys.argv.index("--ab") + 1]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     start_loadavg = os.getloadavg()
     start_snap = _host_cpu_snapshot()
@@ -206,27 +261,41 @@ def main() -> None:
     timings["etl_pipeline_1m"] = steady
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "etl_pipeline_1m_runs": etl_runs,
-                "etl_pipeline_1m_cold": etl_runs[0],
-                "methodology": (
-                    "queries: min of 2 post-warmup runs (cache cleared between); "
-                    "etl_pipeline_1m: median of runs 3-5 of 5 (steady-state, "
-                    "post-JIT), cold first run reported separately in "
-                    "etl_pipeline_1m_cold/_runs"
-                ),
-                "env": _env_stats(start_loadavg, start_snap, start_wall),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_set_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "etl_pipeline_1m_runs": etl_runs,
+        "etl_pipeline_1m_cold": etl_runs[0],
+        "methodology": (
+            "queries: min of 2 post-warmup runs (cache cleared between); "
+            "etl_pipeline_1m: median of runs 3-5 of 5 (steady-state, "
+            "post-JIT), cold first run reported separately in "
+            "etl_pipeline_1m_cold/_runs; ab_ratio: HEAD / baseline-ref "
+            "wall over the query keys both checkouts share, measured "
+            "back-to-back on this host (cross-round absolute numbers are "
+            "not comparable — the host itself drifts)"
+        ),
+        "env": _env_stats(start_loadavg, start_snap, start_wall),
+    }
     spark.stop()
+    if ab_ref is not None:
+        try:
+            ab = _run_ab_baseline(ab_ref, sf_dir, cpus)
+        except Exception as e:  # noqa: BLE001 — A/B must never kill the bench line
+            ab = {"ref": ab_ref, "error": f"{type(e).__name__}: {e}"[:300]}
+        if "ref_queries" in ab:
+            common = sorted(set(timings) & set(ab["ref_queries"]))
+            head_sum = sum(timings[k] for k in common)
+            ref_sum = sum(ab["ref_queries"][k] for k in common)
+            if ref_sum > 0:
+                payload["ab_ratio"] = round(head_sum / ref_sum, 3)
+                ab["common_queries"] = len(common)
+            del ab["ref_queries"]
+        payload["ab"] = ab
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -423,31 +423,55 @@ class NativeHttpSink(JdbcSink):
         table = f"{self.ch.database}.{self.table}"
         user, password, max_rows = self.ch.username, self.ch.password, self.batch_size
 
-        def send_partition(rows) -> None:
-            # runs on the executor: local imports only, no driver state
+        def send_batches(batches):
+            # runs on the executor: local imports only, no driver state.
+            # Arrow batches frame COLUMN-WISE (encode_block_arrow: numpy
+            # tobytes for fixed-width columns) instead of a per-row Python
+            # append loop — the rows never materialize as Python objects
+            # except for variable-width columns' own value framing.
+            import pyarrow as pa
+
             from clickhouse_sinker_spark.chproto import (
-                encode_block,
+                encode_block_arrow,
                 insert_native_http,
             )
 
-            buf: list[tuple] = []
+            buf: list = []
+            buffered = 0
 
-            def flush() -> None:
+            def flush() -> int:
+                nonlocal buffered
                 if not buf:
-                    return
-                cols = [
-                    (n, t, [r[i] for r in buf])
-                    for i, (n, t) in enumerate(fields)
-                ]
-                insert_native_http(
-                    url, table, encode_block(cols), user=user, password=password
-                )
+                    return 0
+                tbl = pa.Table.from_batches(buf)
                 buf.clear()
+                buffered = 0
+                sent = 0
+                for off in range(0, tbl.num_rows, max_rows):
+                    chunk = tbl.slice(off, max_rows).combine_chunks()
+                    insert_native_http(
+                        url,
+                        table,
+                        encode_block_arrow(fields, chunk),
+                        user=user,
+                        password=password,
+                    )
+                    sent += chunk.num_rows
+                return sent
 
-            for row in rows:
-                buf.append(tuple(row))
-                if len(buf) >= max_rows:
-                    flush()
-            flush()
+            total = 0
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                buf.append(b)
+                buffered += b.num_rows
+                if buffered >= max_rows:
+                    total += flush()
+            total += flush()
+            yield pa.RecordBatch.from_pydict(
+                {"sent": [total]}, schema=pa.schema([("sent", pa.int64())])
+            )
 
-        part.foreachPartition(send_partition)
+        # count() drives the plan; the tiny per-partition "sent" batches
+        # are the only thing that crosses back to the driver
+        part.mapInArrow(send_batches, "sent long").count()

@@ -19,6 +19,7 @@ def test_bench_emits_one_json_line_and_contract():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_GRAFT_AB"] = "0"  # the A/B leg has its own test below
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True,
@@ -51,3 +52,38 @@ def test_bench_emits_one_json_line_and_contract():
     assert len(runs) == 5 and payload["etl_pipeline_1m_cold"] == runs[0]
     assert payload["queries"]["etl_pipeline_1m"] == sorted(runs[2:])[1]
     assert "median of runs 3-5" in payload["methodology"]
+    assert "ab" not in payload  # disabled via env
+
+
+def test_bench_ab_leg_emits_ratio():
+    """--ab <ref>: the baseline checkout benches in a worktree on the same
+    host and the JSON carries ab_ratio over the shared query keys — the
+    standing cross-round drift control (VERDICT r6 item 7).  HEAD is used
+    as its own baseline ref here so the test stays hermetic."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "4"
+    head = subprocess.run(
+        ["git", "-C", str(REPO), "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--ab", head],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(REPO),
+        timeout=1080,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [
+        l for l in proc.stdout.splitlines() if l.startswith("{") and l.endswith("}")
+    ]
+    assert len(json_lines) == 1, proc.stdout[-2000:]
+    payload = json.loads(json_lines[0])
+    assert payload["ab"]["ref"] == head
+    assert "error" not in payload["ab"], payload["ab"]
+    assert payload["ab"]["ref_value"] > 0
+    assert payload["ab"]["common_queries"] >= 4
+    assert payload["ab_ratio"] > 0
+    assert "ab_ratio" in payload["methodology"]

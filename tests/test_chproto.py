@@ -221,6 +221,56 @@ def test_golden_enum_and_array_nullable():
     assert decode_block(arr)[0][2] == [[1, None], [2]]
 
 
+def test_encode_block_arrow_byte_identical():
+    """The sink's Arrow-columnar framing must produce byte-identical
+    blocks to the row-wise encoder — including nullable columns, empty
+    strings, non-ASCII utf-8, ≥128-byte strings (multi-byte varint
+    fallback), pre-epochized DateTime64 ints, and sliced batches."""
+    import pyarrow as pa
+
+    from clickhouse_sinker_spark.chproto import encode_block_arrow
+
+    fields = [
+        ("id", "Int64"),
+        ("v", "Nullable(Float64)"),
+        ("s", "Nullable(String)"),
+        ("ts", "Nullable(DateTime64(6))"),
+    ]
+    strs = ["", "héllo", "x" * 200, None, "plain", "日本語", "y" * 127]
+    ids = list(range(7))
+    vals = [1.5, None, -2.25, 0.0, None, 3.5, 4.5]
+    tss = [1_700_000_000_000_000 + i for i in range(6)] + [None]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(vals, pa.float64()),
+            pa.array(strs),
+            pa.array(tss, pa.int64()),
+        ],
+        names=[f[0] for f in fields],
+    )
+    rowwise = encode_block(
+        [
+            ("id", "Int64", ids),
+            ("v", "Nullable(Float64)", vals),
+            ("s", "Nullable(String)", strs),
+            ("ts", "Nullable(DateTime64(6))", tss),
+        ]
+    )
+    assert encode_block_arrow(fields, batch) == rowwise
+    # sliced batch (non-zero arrow offset) frames its own rows only
+    sl = batch.slice(2, 3)
+    want = encode_block(
+        [
+            ("id", "Int64", ids[2:5]),
+            ("v", "Nullable(Float64)", vals[2:5]),
+            ("s", "Nullable(String)", strs[2:5]),
+            ("ts", "Nullable(DateTime64(6))", tss[2:5]),
+        ]
+    )
+    assert encode_block_arrow(fields, sl) == want
+
+
 def test_tuple_roundtrip_and_enum_rejects_unknown():
     col = ("t", "Tuple(Int32, String, Nullable(Float64))",
            [(1, "a", 1.5), (2, "", None)])
