@@ -441,3 +441,44 @@ def test_final_rewrite_single_window_shuffle(spark):
     )
     assert n_exchanges <= 2, plan
     assert "Window" in plan and "Join" not in plan
+
+
+def test_funnel_increase_two_aggregates_no_join(spark):
+    """ch_dialect_funnel_increase: the (user_id, ts) dedup groupBy feeds
+    the user_id fold groupBy — at most two hash exchanges, both
+    partial-aggregated map-side; no join, no Python."""
+    plan = plan_of(QUERIES["ch_dialect_funnel_increase"](spark, SF_DIR))
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges <= 2, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequence_timed_single_shuffle_no_join(spark):
+    """ch_dialect_sequence_timed: gap markers are expressions inside the
+    same single-groupBy fold — ONE hash exchange, no join, no Python."""
+    plan = plan_of(QUERIES["ch_dialect_sequence_timed"](spark, SF_DIR))
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_right_any_join_one_window_one_join_key(spark):
+    """ch_dialect_right_any_join: left survivor = one window over user_id
+    then the RIGHT join on the same key — both sides hash-partition on
+    user_id once; no extra exchanges beyond window + join, no Python."""
+    plan = plan_of(QUERIES["ch_dialect_right_any_join"](spark, SF_DIR))
+    assert "Window" in plan
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
