@@ -29,6 +29,11 @@ Per-type data layout (all little-endian):
                                    recursively: Array(Nullable(T)) puts the
                                    flattened-size null mask after offsets)
     Tuple(T1, ..., Tn)             element columns back to back
+    UUID                           two UInt64 halves per value, high
+                                   half first, each little-endian
+    IPv4                           UInt32 per value (integer form of the
+                                   dotted quad)
+    IPv6                           16 network-order bytes per value
     Map(K, V)                      like Array(Tuple(K, V)): UInt64
                                    cumulative end-offsets, then all keys,
                                    then all values
@@ -349,6 +354,38 @@ def _encode_data(ch_type: str, values: list) -> bytes:
             offsets.append(total)
             flat.extend(v)
         return struct.pack(f"<{len(offsets)}Q", *offsets) + _encode_data(inner, flat)
+    if t == "UUID":
+        # two UInt64 halves, high first, each little-endian
+        # (the reference maps UUID columns from string metrics,
+        # model/value.go:232-234)
+        import uuid as _uuid
+
+        out = bytearray()
+        for v in values:
+            u = v if isinstance(v, _uuid.UUID) else _uuid.UUID(str(v) if v else "00000000-0000-0000-0000-000000000000")
+            out += struct.pack("<QQ", u.int >> 64, u.int & 0xFFFFFFFFFFFFFFFF)
+        return bytes(out)
+    if t == "IPv4":
+        # UInt32 host-order int of the dotted quad (parser/fastjson.go:739)
+        import ipaddress as _ip
+
+        return struct.pack(
+            f"<{len(values)}I",
+            *[
+                int(_ip.IPv4Address(v)) if not isinstance(v, int) else v
+                for v in values
+            ],
+        )
+    if t == "IPv6":
+        # 16 raw network-order bytes (FixedString(16) layout)
+        import ipaddress as _ip
+
+        out = bytearray()
+        for v in values:
+            out += (
+                v if isinstance(v, (bytes, bytearray)) else _ip.IPv6Address(v).packed
+            )
+        return bytes(out)
     if t.startswith("Tuple(") and t.endswith(")"):
         elems = _split_args(t[len("Tuple(") : -1])
         out = bytearray()
@@ -407,6 +444,12 @@ def _default_for(ch_type: str):
         # CH's Enum default is the first listed name
         _, mapping = _enum_map(t)
         return next(iter(mapping)) if mapping else 0
+    if t == "UUID":
+        return "00000000-0000-0000-0000-000000000000"
+    if t == "IPv4":
+        return 0
+    if t == "IPv6":
+        return "::"
     return 0
 
 
@@ -594,6 +637,27 @@ def _decode_data(ch_type: str, buf: bytes, pos: int, n: int) -> tuple[list, int]
             vals.append(flat[prev:off])
             prev = off
         return vals, pos
+    if t == "UUID":
+        import uuid as _uuid
+
+        vals = []
+        for i in range(n):
+            hi, lo = struct.unpack_from("<QQ", buf, pos + 16 * i)
+            vals.append(str(_uuid.UUID(int=(hi << 64) | lo)))
+        return vals, pos + 16 * n
+    if t == "IPv4":
+        import ipaddress as _ip
+
+        raw = struct.unpack_from(f"<{n}I", buf, pos)
+        return [str(_ip.IPv4Address(v)) for v in raw], pos + 4 * n
+    if t == "IPv6":
+        import ipaddress as _ip
+
+        vals = [
+            str(_ip.IPv6Address(bytes(buf[pos + 16 * i : pos + 16 * (i + 1)])))
+            for i in range(n)
+        ]
+        return vals, pos + 16 * n
     if t.startswith("Tuple(") and t.endswith(")"):
         elems = _split_args(t[len("Tuple(") : -1])
         cols = []

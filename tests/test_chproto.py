@@ -221,6 +221,41 @@ def test_golden_enum_and_array_nullable():
     assert decode_block(arr)[0][2] == [[1, None], [2]]
 
 
+def test_golden_uuid_ip_layouts():
+    """UUID = two LE UInt64 halves (high first); IPv4 = LE UInt32 of the
+    dotted quad; IPv6 = 16 network-order bytes.  The reference treats all
+    three as first-class column types fed from string metrics
+    (model/value.go:45-46,232-234)."""
+    u = "12345678-9abc-def0-1122-334455667788"
+    blk = encode_block([("u", "UUID", [u])])
+    assert blk.endswith(
+        (0x123456789ABCDEF0).to_bytes(8, "little")
+        + (0x1122334455667788).to_bytes(8, "little")
+    )
+    assert decode_block(blk)[0][2] == [u]
+
+    ip4 = encode_block([("a", "IPv4", ["1.2.3.4"])])
+    assert ip4.endswith((0x01020304).to_bytes(4, "little"))
+    assert decode_block(ip4)[0][2] == ["1.2.3.4"]
+
+    ip6 = encode_block([("a", "IPv6", ["2001:db8::1"])])
+    assert ip6.endswith(
+        bytes.fromhex("20010db8000000000000000000000001")
+    )
+    assert decode_block(ip6)[0][2] == ["2001:db8::1"]
+
+    # Nullable backfills: zero-uuid / 0.0.0.0 / ::
+    cols = [
+        ("u", "Nullable(UUID)", [None, u]),
+        ("a4", "Nullable(IPv4)", ["5.6.7.8", None]),
+        ("a6", "Nullable(IPv6)", [None, "::1"]),
+    ]
+    out = decode_block(encode_block(cols))
+    assert out[0][2] == [None, u]
+    assert out[1][2] == ["5.6.7.8", None]
+    assert out[2][2] == [None, "::1"]
+
+
 def test_encode_block_arrow_byte_identical():
     """The sink's Arrow-columnar framing must produce byte-identical
     blocks to the row-wise encoder — including nullable columns, empty
