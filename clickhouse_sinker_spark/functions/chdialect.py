@@ -238,6 +238,11 @@ _RENAMES = {
     "toUnixTimestamp": "unix_timestamp",
     "toISOWeek": "weekofyear",
     "fromUnixTimestamp": "timestamp_seconds",
+    "toUnixTimestamp64Milli": "unix_millis",
+    "toUnixTimestamp64Micro": "unix_micros",
+    "fromUnixTimestamp64Milli": "timestamp_millis",
+    "fromUnixTimestamp64Micro": "timestamp_micros",
+    "anyHeavy": "first",
     # string functions
     "startsWith": "startswith",
     "endsWith": "endswith",
@@ -359,9 +364,24 @@ _UNSUPPORTED = {
     "sipHash64",
     "halfMD5",
     "topK",
+    "topKWeighted",
     "neighbor",
     "runningDifference",
+    "runningAccumulate",
+    "rowNumberInBlock",
+    "rowNumberInAllBlocks",
     "sample",
+    "histogram",
+    "sparkBar",
+    "sparkbar",
+    "bar",
+    "formatReadableSize",
+    "formatReadableQuantity",
+    "formatReadableTimeDelta",
+    "dictGet",
+    "dictGetOrDefault",
+    "dictGetOrNull",
+    "dictHas",
 }
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -901,15 +921,41 @@ def _translate_functions(sql: str) -> str:
         x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
         sql = sql[:at] + f"least(count(DISTINCT {x}), {n + 1})" + sql[end2:]
     sql = _rewrite_quantile(sql, "quantilesExact", "percentile", wrap_array=True)
+    sql = _rewrite_quantile(sql, "quantilesTiming", "percentile_approx", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantiles", "percentile_approx", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantileExact", "percentile")
     # sketch-estimator variants share Spark's one approx-percentile sketch
-    for qname in ("quantileTDigest", "quantileDeterministic", "quantileBFloat16"):
+    for qname in (
+        "quantileTDigest",
+        "quantileDeterministic",
+        "quantileBFloat16",
+        "quantileTiming",
+    ):
         sql = _rewrite_quantile(sql, qname, "percentile_approx")
     sql = _rewrite_quantile(sql, "quantile", "percentile_approx")
     sql = _rewrite_calls(sql, "medianExact", lambda a: f"percentile({a[0]}, 0.5)")
     sql = _rewrite_calls(sql, "median", lambda a: f"percentile_approx({a[0]}, 0.5)")
     sql = _rewrite_calls(sql, "sumDistinct", lambda a: f"sum(DISTINCT {a[0]})")
+    # groupBitmap(x) returns the CARDINALITY of the bitmap — exact distinct
+    sql = _rewrite_calls(sql, "groupBitmap", lambda a: f"count(DISTINCT {a[0]})")
+    # nanosecond epoch forms: Spark timestamps are µs — ns scale by 1000
+    sql = _rewrite_calls(
+        sql, "toUnixTimestamp64Nano", lambda a: f"(unix_micros({a[0]}) * 1000)"
+    )
+    sql = _rewrite_calls(
+        sql,
+        "fromUnixTimestamp64Nano",
+        lambda a: f"timestamp_micros(CAST(({a[0]}) DIV 1000 AS BIGINT))",
+    )
+    sql = _rewrite_calls(sql, "caseWithExpression", _case_with_expression)
+    for mname, combine in (
+        ("sumMap", "coalesce(__a, 0) + coalesce(__b, 0)"),
+        ("minMap", "least(__a, __b)"),
+        ("maxMap", "greatest(__a, __b)"),
+    ):
+        sql = _rewrite_calls(
+            sql, mname, lambda a, c=combine, n=mname: _agg_map(a, c, n)
+        )
     sql = _rewrite_calls(sql, "toDateTime64", _to_datetime64)
     sql = _rewrite_calls(sql, "toYYYYMMDD", lambda a: f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)")
     sql = _rewrite_calls(sql, "toYYYYMM", lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)")
@@ -1060,6 +1106,10 @@ def _translate_functions(sql: str) -> str:
             lambda a, s=secs: f"CAST(floor(unix_timestamp({a[0]}) / {s}) AS BIGINT)",
         )
     sql = _rewrite_calls(sql, "greatCircleDistance", _great_circle)
+    # geoDistance: CH corrects for the ellipsoid (~0.3% vs the sphere);
+    # mapped to the same haversine — documented delta, not a wrong shape
+    sql = _rewrite_calls(sql, "geoDistance", _great_circle)
+    sql = _rewrite_calls(sql, "transform", _transform_value_map)
     sql = _rewrite_calls(sql, "extractAll", _extract_all)
     sql = _rewrite_calls(
         sql, "extractURLParameter",
@@ -1566,6 +1616,79 @@ def _extract_all(a: list[str]) -> str:
         for m in re.finditer(r"(\\*)\((?!\?)", body)
     )
     return f"regexp_extract_all({a[0]}, {pat}, {1 if has_group else 0})"
+
+
+def _case_with_expression(a: list[str]) -> str:
+    """``caseWithExpression(x, w1, r1, …, default)`` — the function form
+    of ``CASE x WHEN … END``."""
+    if len(a) < 4 or len(a) % 2 != 0:
+        raise ChTranslationError(
+            "caseWithExpression needs (x, when1, then1, …, default)"
+        )
+    whens = " ".join(
+        f"WHEN {w} THEN {r}" for w, r in zip(a[1:-1:2], a[2:-1:2])
+    )
+    return f"CASE {a[0]} {whens} ELSE {a[-1]} END"
+
+
+def _transform_value_map(a: list[str]) -> str:
+    """CH value-mapping ``transform(x, from[], to[][, default])`` → a
+    map_from_arrays lookup (3-arg keeps x when unmatched, per CH docs).
+    The 2-arg form is Spark's own higher-order transform — reconstructed
+    unchanged so the scan advances past it."""
+    if len(a) == 2:
+        return f"transform({a[0]}, {a[1]})"
+    if len(a) == 3:
+        return (
+            f"coalesce(try_element_at(map_from_arrays({a[1]}, {a[2]}), "
+            f"{a[0]}), {a[0]})"
+        )
+    if len(a) == 4:
+        return (
+            f"coalesce(try_element_at(map_from_arrays({a[1]}, {a[2]}), "
+            f"{a[0]}), {a[3]})"
+        )
+    raise ChTranslationError(
+        "transform() takes (x, from, to[, default]) — or 2 args as the "
+        "Spark higher-order function"
+    )
+
+
+def _agg_map(a: list[str], combine: str, name: str) -> str:
+    """``sumMap/minMap/maxMap(keys, values)`` (or one map argument) →
+    per-row maps merged with a ``map_zip_with`` fold, returned as CH's
+    tuple-of-arrays shape ``(keys sorted ascending, aggregated values)``.
+    Scale: the fold runs inside one grouped aggregate — state is one map
+    per group (exactly CH's aggregate state), no extra shuffle."""
+    if len(a) == 1:
+        row = a[0]
+    elif len(a) == 2:
+        row = f"map_from_arrays({a[0]}, {a[1]})"
+    else:
+        raise ChTranslationError(
+            f"{name} supports {name}(keys, values) or {name}(map) — "
+            "multi-value-array forms are not translatable"
+        )
+    merged = _bind_arr(
+        f"collect_list({row})",
+        lambda lst: (
+            f"CASE WHEN size({lst}) = 0 THEN NULL "
+            f"ELSE aggregate(slice({lst}, 2, size({lst}) - 1), "
+            f"element_at({lst}, 1), "
+            f"(__acc, __m) -> map_zip_with(__acc, __m, "
+            f"(__k, __a, __b) -> {combine})) END"
+        ),
+    )
+    return _bind_arr(
+        merged,
+        lambda m: _bind_arr(
+            f"sort_array(map_entries({m}))",
+            lambda ent: (
+                f"named_struct('keys', transform({ent}, __e -> __e.key), "
+                f"'values', transform({ent}, __e -> __e.value))"
+            ),
+        ),
+    )
 
 
 def _array_avg(args: list[str]) -> str:
@@ -2331,6 +2454,16 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     notes: list[str] = []
     _redirect = {
         "topK": "window_topk_per_customer (exact per-group top-k)",
+        "topKWeighted": "window_topk_per_customer (exact per-group top-k)",
+        "neighbor": "lag()/lead() OVER an explicit ORDER BY",
+        "runningDifference": "v - lag(v) OVER an explicit ORDER BY",
+        "runningAccumulate": "sum() OVER an explicit ORDER BY",
+        "rowNumberInBlock": "row_number() OVER an explicit ORDER BY",
+        "rowNumberInAllBlocks": "row_number() OVER an explicit ORDER BY",
+        "histogram": "explicit width_bucket/floor bucketing "
+                     "(ch_dialect_stats_buckets shape)",
+        "dictGet": "a broadcast JOIN against the dimension table "
+                   "(no external dictionaries in Spark)",
     }
     for bad in _UNSUPPORTED:
         if re.search(rf"\b{bad}\s*\(", sql):

@@ -1665,3 +1665,63 @@ def test_weighted_arg_and_array_first_last(spark):
         "SELECT arrayFirstIndex(x -> x > 1, xs) AS fi FROM wt WHERE g = 2"
     )
     assert spark.sql(got3).first()["fi"] == 0  # CH contract: 0 when absent
+
+
+def test_map_aggregates_and_value_transform(spark):
+    """sumMap/minMap/maxMap → map_zip_with fold returning CH's
+    tuple-of-arrays shape (keys ascending); value-mapping transform();
+    caseWithExpression; groupBitmap = exact bitmap cardinality;
+    quantileTiming via the shared approx sketch; timestamp64 epoch
+    family; geoDistance via haversine (ellipsoid delta documented)."""
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, ["a", "b"], [1.0, 2.0], 5, dt.datetime(2024, 1, 1)),
+            (1, ["b", "c"], [10.0, 3.0], 2, dt.datetime(2024, 1, 1, 0, 0, 1)),
+            (2, ["a"], [7.0], 9, dt.datetime(2024, 1, 1)),
+        ],
+        "g int, ks array<string>, vs array<double>, v int, ts timestamp",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT g, sumMap(ks, vs) AS sm, minMap(ks, vs) AS mn, "
+        "maxMap(ks, vs) AS mx, groupBitmap(v) AS gb FROM t GROUP BY g"
+    )
+    out = {r["g"]: r for r in spark.sql(got).collect()}
+    assert out[1]["sm"]["keys"] == ["a", "b", "c"]
+    assert out[1]["sm"]["values"] == [1.0, 12.0, 3.0]
+    assert out[1]["mn"]["values"] == [1.0, 2.0, 3.0]
+    assert out[1]["mx"]["values"] == [1.0, 10.0, 3.0]
+    assert out[1]["gb"] == 2 and out[2]["gb"] == 1
+
+    got2, _ = translate_ch_sql(
+        "SELECT transform(v, [2, 5], [20, 50], -1) AS t4, "
+        "transform(v, [2], [20]) AS t3, "
+        "caseWithExpression(v, 2, 'two', 5, 'five', 'other') AS cw, "
+        "toUnixTimestamp64Milli(ts) AS ms, toUnixTimestamp64Nano(ts) AS ns, "
+        "fromUnixTimestamp64Micro(1700000000000000) AS ft "
+        "FROM t WHERE v = 5"
+    )
+    r = spark.sql(got2).first()
+    assert (r["t4"], r["t3"], r["cw"]) == (50, 5, "five")
+    assert r["ms"] == 1704067200000 and r["ns"] == 1704067200000000000
+    assert r["ft"] == dt.datetime(2023, 11, 14, 22, 13, 20)
+
+    # the 2-arg Spark higher-order transform passes through untouched
+    got3, _ = translate_ch_sql("SELECT transform(ks, x -> upper(x)) AS u FROM t")
+    assert "transform(ks, x -> upper(x))" in got3
+
+    for bad, hint in (
+        ("SELECT dictGet('d', 'a', v) FROM t", "broadcast JOIN"),
+        ("SELECT histogram(5)(v) FROM t", "bucketing"),
+        ("SELECT topKWeighted(3)(v, 2) FROM t", "top-k"),
+        ("SELECT rowNumberInAllBlocks() FROM t", "row_number"),
+        ("SELECT formatReadableSize(v) FROM t", "no faithful"),
+    ):
+        with pytest.raises(ChTranslationError, match="no faithful"):
+            translate_ch_sql(bad)
