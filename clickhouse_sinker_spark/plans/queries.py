@@ -5866,6 +5866,48 @@ def ch_dialect_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_FUNNEL_INCREASE, sf_dir)
 
 
+CH_DIALECT_SUM_MAP = """
+    SELECT user_id,
+           arrayStringConcat(
+             sumMap([event_type], [toInt64(floor(ifNull(value, 0) * 100))]).keys,
+             ',') AS ks,
+           arrayStringConcat(arrayMap(x -> toString(x),
+             sumMap([event_type], [toInt64(floor(ifNull(value, 0) * 100))]).values),
+             ',') AS vs
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query(
+    "ch_dialect_sum_map",
+    """
+    WITH kv AS (
+      SELECT user_id, event_type AS k,
+             SUM(CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT)) AS v
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           string_agg(k, ',' ORDER BY k) AS ks,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS vs
+    FROM kv GROUP BY user_id
+    """,
+)
+def ch_dialect_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sumMap`` through the translator: per-row (key, value) maps merge
+    with one ``map_zip_with`` fold inside the grouped aggregate and come
+    back as CH's tuple-of-arrays shape, keys ascending.  Values are
+    scaled to exact integers so the fold's merge order (collect_list is
+    partition-order-dependent) cannot produce FP drift.  The DuckDB
+    oracle is the independent relational formulation — a per-(user, key)
+    pre-aggregate re-assembled with ordered string_agg.  Plan: one
+    groupBy(user_id) shuffle; fold state is one small map per group,
+    exactly CH's sumMap aggregate state."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_SUM_MAP, sf_dir)
+
+
 CH_DIALECT_RIGHT_ANY = """
     SELECT e2.event_id AS event_id,
            e1.event_type AS any_type,
@@ -6191,9 +6233,9 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",
     "ch_dialect_right_any_join",
+    "ch_dialect_sum_map",
     # --- re-confirmations displaced first by further r7 additions ---
     "text_fingerprint",
-    "text_bpe_tokens",
 ]
 
 DRIVER_WINDOW = 50
