@@ -2471,6 +2471,17 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
             raise ChTranslationError(
                 f"no faithful Spark translation for {bad}(){hint}"
             )
+    # -State / -Merge / -SimpleState combinators carry engine-internal
+    # aggregate states (AggregateFunction columns) — nothing on the Spark
+    # side can hold or merge them
+    st = re.search(r"\b([a-z]\w*?(?:State|Merge|SimpleState))\s*\(", sql)
+    if st and not _in_string(sql, st.start()):
+        raise ChTranslationError(
+            f"{st.group(1)}(): -State/-Merge combinators carry ClickHouse "
+            "aggregate-function states, which have no Spark representation "
+            "— aggregate the raw values instead (e.g. sum() over the "
+            "source rows)"
+        )
 
     if re.search(r"\bFINAL\b", sql, re.IGNORECASE):
         sql = _rewrite_final(sql, table_keys, notes)

@@ -1725,3 +1725,46 @@ def test_map_aggregates_and_value_transform(spark):
     ):
         with pytest.raises(ChTranslationError, match="no faithful"):
             translate_ch_sql(bad)
+
+
+def test_state_merge_combinators_refused():
+    """-State/-Merge combinators carry AggregateFunction states — refused
+    loudly, never passed through to a confusing Spark analysis error."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    for bad in (
+        "SELECT sumState(v) FROM t",
+        "SELECT uniqMerge(s) FROM t",
+        "SELECT countSimpleState(v) FROM t",
+    ):
+        with pytest.raises(ChTranslationError, match="State/-Merge"):
+            translate_ch_sql(bad)
+    # ...but ordinary names and literals stay untouched
+    got, _ = translate_ch_sql("SELECT 'sumState(x)' AS s, sumMap(k, v) FROM t")
+    assert "sumState(x)" in got
+
+
+def test_window_funnel_combined_modes(spark):
+    """Modes combine as in CH: strict_order + strict_increase together —
+    an unmatched event freezes AND same-timestamp steps stall."""
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    T0 = dt.datetime(2024, 1, 1)
+    mins = lambda m: T0 + dt.timedelta(minutes=m)
+    _funnel_view(spark, [
+        (1, mins(0), 'a'), (1, mins(1), 'b'), (1, mins(2), 'c'),   # clean chain
+        (2, mins(0), 'a'), (2, mins(1), 'x'), (2, mins(2), 'b'),   # x freezes
+        (3, mins(0), 'a'), (3, mins(0), 'b'), (3, mins(1), 'c'),   # b stalls (same ts)
+    ])
+    got, _ = translate_ch_sql(
+        "SELECT user_id, windowFunnel(3600, 'strict_order', 'strict_increase')"
+        "(ts, event_type = 'a', event_type = 'b', event_type = 'c') AS lvl "
+        "FROM t GROUP BY user_id"
+    )
+    out = {r["user_id"]: r["lvl"] for r in spark.sql(got).collect()}
+    assert out == {1: 3, 2: 1, 3: 1}
