@@ -276,7 +276,11 @@ def main() -> None:
             "etl_pipeline_1m_cold/_runs; ab_ratio: HEAD / baseline-ref "
             "wall over the query keys both checkouts share, measured "
             "back-to-back on this host (cross-round absolute numbers are "
-            "not comparable — the host itself drifts)"
+            "not comparable — the host itself drifts); the ref leg runs "
+            "SECOND and inherits a warmer OS page cache, so ab_ratio is "
+            "biased against HEAD by up to ~10% — treat ratios <= 1.15 as "
+            "parity (verified r7: a manual order swap turned a 1.12 "
+            "'regression' into a dead heat, 12.78 vs 12.79)"
         ),
         "env": _env_stats(start_loadavg, start_snap, start_wall),
     }
