@@ -365,6 +365,7 @@ def test_bool_decimal_and_pre_epoch_datetime():
 
 class _Capture(BaseHTTPRequestHandler):
     body = None
+    bodies: list = []
     path_seen = None
     headers_seen = None
     status = 200
@@ -372,6 +373,7 @@ class _Capture(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802
         n = int(self.headers.get("Content-Length", 0))
         _Capture.body = self.rfile.read(n)
+        _Capture.bodies.append(_Capture.body)
         _Capture.path_seen = self.path
         _Capture.headers_seen = dict(self.headers)
         self.send_response(_Capture.status)
@@ -482,6 +484,30 @@ def test_native_http_sink_nested_types_and_timestamps(capture_server, spark):
     want_us = int(ts.replace(tzinfo=_tz.utc).timestamp() * 1_000_000)
     assert rows[0] == (1, [1, None], {"a": 2}, [want_us, want_us])
     assert rows[1] == (2, [], {}, [])
+
+
+def test_native_http_sink_many_partitions_and_blocks(capture_server, spark):
+    """Concurrent executor-side framing: 4 partitions × batch_size 25 over
+    200 rows → ≥8 independent POSTs, every block ≤ 25 rows, and the union
+    of decoded rows equals the input exactly (no loss, no duplication)."""
+    from clickhouse_sinker_spark.config import ClickHouseConfig
+    from clickhouse_sinker_spark.streaming.sink import NativeHttpSink
+
+    host = capture_server.removeprefix("http://")
+    ch = ClickHouseConfig(hosts=(host,), database="db", url_format="http://{host}")
+    sink = NativeHttpSink(ch=ch, table="t", shards=1, batch_size=25)
+    _Capture.bodies.clear()
+    df = spark.range(200).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS s"
+    ).repartition(4)
+    sink(df, epoch_id=0)
+    assert len(_Capture.bodies) >= 8
+    landed = []
+    for body in _Capture.bodies:
+        cols = decode_block(body)
+        assert len(cols[0][2]) <= 25
+        landed.extend(zip(cols[0][2], cols[1][2]))
+    assert sorted(landed) == [(i, str(i % 7)) for i in range(200)]
 
 
 def test_native_http_sink_rejects_jdbc_url(spark):
