@@ -281,6 +281,12 @@ _RENAMES = {
     "concatAssumeInjective": "concat",
     "replaceRegexpAll": "regexp_replace",
     "toDayOfYear": "dayofyear",
+    "substringIndex": "substring_index",
+    "editDistance": "levenshtein",
+    "levenshteinDistance": "levenshtein",
+    "mapFromArrays": "map_from_arrays",
+    "generateUUIDv4": "uuid",
+    "toLastDayOfMonth": "last_day",
 }
 
 # toStartOf<fixed bucket> shorthands → bucket length in seconds
@@ -382,6 +388,9 @@ _UNSUPPORTED = {
     "dictGetOrDefault",
     "dictGetOrNull",
     "dictHas",
+    "arrayShuffle",   # nondeterministic by definition
+    "toWeek",         # CH mode-0 week numbering has no Spark equivalent
+    "stringJaccardIndex",
 }
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -1110,6 +1119,68 @@ def _translate_functions(sql: str) -> str:
     # mapped to the same haversine — documented delta, not a wrong shape
     sql = _rewrite_calls(sql, "geoDistance", _great_circle)
     sql = _rewrite_calls(sql, "transform", _transform_value_map)
+    # text tokenization / search
+    sql = _rewrite_calls(
+        sql,
+        "alphaTokens",
+        lambda a: f"filter(split({a[0]}, '[^A-Za-z]+'), __x -> __x != '')",
+    )
+    sql = _rewrite_calls(
+        sql,
+        "multiSearchAny",
+        lambda a: f"exists({a[1]}, __p -> contains({a[0]}, __p))",
+    )
+    sql = _rewrite_calls(sql, "extractGroups", _extract_groups)
+    sql = _rewrite_calls(
+        sql,
+        "isValidJSON",
+        lambda a: f"(get_json_object({a[0]}, '$') IS NOT NULL)",
+    )
+    # time arithmetic
+    sql = _rewrite_calls(sql, "age", _age)
+    sql = _rewrite_calls(
+        sql,
+        "timeDiff",
+        lambda a: f"(unix_timestamp({a[1]}) - unix_timestamp({a[0]}))",
+    )
+    sql = _rewrite_calls(
+        sql,
+        "toModifiedJulianDay",
+        lambda a: f"datediff(CAST({a[0]} AS DATE), DATE '1858-11-17')",
+    )
+    # array utilities
+    sql = _rewrite_calls(sql, "arrayEnumerateDense", _array_enumerate_dense)
+    sql = _rewrite_calls(sql, "arrayRotateLeft", _array_rotate_left)
+    # IP / UUID conversions (CH's dedicated types come back as their
+    # canonical STRING forms — the reference itself maps them from string
+    # metrics, model/value.go:232-234 / parser/fastjson.go:739-785)
+    sql = _rewrite_calls(
+        sql,
+        "toIPv4OrNull",
+        lambda a: f"CASE WHEN {a[0]} RLIKE '{_IPV4_RE_SQL}' THEN {a[0]} END",
+    )
+    sql = _rewrite_calls(
+        sql,
+        "toUUIDOrNull",
+        lambda a: (
+            f"CASE WHEN {a[0]} RLIKE "
+            + "'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            + "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$' "
+            + f"THEN lower({a[0]}) END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "IPv4NumToString",
+        lambda a: (
+            f"concat_ws('.', "
+            f"CAST((CAST({a[0]} AS BIGINT) DIV 16777216) % 256 AS STRING), "
+            f"CAST((CAST({a[0]} AS BIGINT) DIV 65536) % 256 AS STRING), "
+            f"CAST((CAST({a[0]} AS BIGINT) DIV 256) % 256 AS STRING), "
+            f"CAST(CAST({a[0]} AS BIGINT) % 256 AS STRING))"
+        ),
+    )
+    sql = _rewrite_calls(sql, "IPv4StringToNum", _ipv4_string_to_num)
     sql = _rewrite_calls(sql, "extractAll", _extract_all)
     sql = _rewrite_calls(
         sql, "extractURLParameter",
@@ -1616,6 +1687,93 @@ def _extract_all(a: list[str]) -> str:
         for m in re.finditer(r"(\\*)\((?!\?)", body)
     )
     return f"regexp_extract_all({a[0]}, {pat}, {1 if has_group else 0})"
+
+
+# the IPv4 validation regex from functions/casts, re-escaped for a Spark
+# SQL string literal (Spark drops lone backslashes in literals)
+from .casts import _IPV4_RE as _IPV4_RE_RAW
+
+_IPV4_RE_SQL = _IPV4_RE_RAW.replace("\\", "\\\\")
+
+_AGE_UNITS = {
+    "microsecond", "millisecond", "second", "minute", "hour",
+    "day", "week", "month", "quarter", "year",
+}
+
+
+def _age(a: list[str]) -> str:
+    """``age('unit', t1, t2)`` → ``timestampdiff(UNIT, t1, t2)`` — both
+    return the number of COMPLETE units between the instants."""
+    if len(a) != 3:
+        raise ChTranslationError("age needs ('unit', start, end)")
+    unit = a[0].strip().strip("'").lower()
+    if unit not in _AGE_UNITS:
+        raise ChTranslationError(f"age unit {unit!r} not supported")
+    return f"timestampdiff({unit.upper()}, {a[1]}, {a[2]})"
+
+
+def _extract_groups(a: list[str]) -> str:
+    """``extractGroups(s, 're')`` → array of every capture group of the
+    FIRST match (pattern must be literal so the group count is known)."""
+    if len(a) != 2:
+        raise ChTranslationError("extractGroups needs (s, 'pattern')")
+    pat = a[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ChTranslationError("extractGroups requires a literal pattern")
+    body = pat[1:-1]
+    n_groups = sum(
+        1
+        for m in re.finditer(r"(\\*)\((?!\?)", body)
+        if len(m.group(1)) % 4 == 0  # same literal-layer halving as extractAll
+    )
+    if n_groups == 0:
+        raise ChTranslationError("extractGroups pattern has no capture groups")
+    elems = ", ".join(
+        f"regexp_extract({a[0]}, {pat}, {i + 1})" for i in range(n_groups)
+    )
+    return f"array({elems})"
+
+
+def _array_enumerate_dense(a: list[str]) -> str:
+    """``arrayEnumerateDense(a)`` → rank of each element's FIRST
+    occurrence (1-based), CH's dense enumeration."""
+    return _bind_arr(
+        a[0],
+        lambda v: (
+            f"transform({v}, __x -> array_position(array_distinct({v}), __x))"
+        ),
+    )
+
+
+def _array_rotate_left(a: list[str]) -> str:
+    """``arrayRotateLeft(a, n)`` — negative n rotates right; pmod keeps
+    the split point in range; empty arrays pass through."""
+    if len(a) != 2:
+        raise ChTranslationError("arrayRotateLeft needs (array, n)")
+    return _bind_arr(
+        a[0],
+        lambda v: (
+            f"CASE WHEN size({v}) <= 1 THEN {v} ELSE concat("
+            f"slice({v}, pmod({a[1]}, size({v})) + 1, "
+            f"size({v}) - pmod({a[1]}, size({v}))), "
+            f"slice({v}, 1, pmod({a[1]}, size({v})))) END"
+        ),
+    )
+
+
+def _ipv4_string_to_num(a: list[str]) -> str:
+    """``IPv4StringToNum(s)`` → the UInt32 integer of the dotted quad
+    (invalid input → 0, the reference's zero-IP default,
+    parser/fastjson.go:739-785)."""
+    return _bind_arr(
+        f"CASE WHEN {a[0]} RLIKE '{_IPV4_RE_SQL}' "
+        f"THEN transform(split({a[0]}, '\\\\.'), __o -> CAST(__o AS BIGINT)) "
+        f"ELSE array(0L, 0L, 0L, 0L) END",
+        lambda v: (
+            f"(element_at({v}, 1) * 16777216 + element_at({v}, 2) * 65536 "
+            f"+ element_at({v}, 3) * 256 + element_at({v}, 4))"
+        ),
+    )
 
 
 def _case_with_expression(a: list[str]) -> str:
@@ -2464,6 +2622,7 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
                      "(ch_dialect_stats_buckets shape)",
         "dictGet": "a broadcast JOIN against the dimension table "
                    "(no external dictionaries in Spark)",
+        "toWeek": "toISOWeek (ISO week numbering, exact on both engines)",
     }
     for bad in _UNSUPPORTED:
         if re.search(rf"\b{bad}\s*\(", sql):

@@ -1768,3 +1768,63 @@ def test_window_funnel_combined_modes(spark):
     )
     out = {r["user_id"]: r["lvl"] for r in spark.sql(got).collect()}
     assert out == {1: 3, 2: 1, 3: 1}
+
+
+def test_text_time_array_ip_uuid_batch(spark):
+    """r7 batch: alphaTokens/multiSearchAny/extractGroups/isValidJSON,
+    age/timeDiff/toModifiedJulianDay, arrayEnumerateDense/arrayRotateLeft,
+    IP and UUID conversions (canonical-string forms, matching how the
+    reference maps those CH types from string metrics), plus the simple
+    renames (substringIndex, editDistance, mapFromArrays,
+    toLastDayOfMonth)."""
+    import datetime as dt
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [("ab, cd! ef", "10.1.2.3", "12345678-9ABC-def0-1122-334455667788",
+          [5, 3, 5, 7], dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2, 3),
+          16909060)],
+        "s string, ip string, u string, xs array<int>, "
+        "t1 timestamp, t2 timestamp, n bigint",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT alphaTokens(s) AS at, multiSearchAny(s, ['zz','cd']) AS ms, "
+        "extractGroups(s, '([a-z]+), ([a-z]+)') AS eg, "
+        "isValidJSON(s) AS vj, "
+        "age('hour', t1, t2) AS ah, timeDiff(t1, t2) AS td, "
+        "toModifiedJulianDay(t1) AS mj, "
+        "arrayEnumerateDense(xs) AS ed, arrayRotateLeft(xs, 1) AS rl, "
+        "arrayRotateLeft(xs, -1) AS rr, "
+        "toIPv4OrNull(ip) AS v4, toIPv4OrNull(s) AS v4bad, "
+        "toUUIDOrNull(u) AS uu, IPv4NumToString(n) AS n2s, "
+        "IPv4StringToNum(ip) AS s2n, "
+        "substringIndex('a.b.c', '.', 2) AS si, "
+        "editDistance('kitten', 'sitting') AS lev, "
+        "toLastDayOfMonth(t1) AS ld FROM t"
+    )
+    r = spark.sql(got).first()
+    assert r["at"] == ["ab", "cd", "ef"]
+    assert r["ms"] is True
+    assert r["eg"] == ["ab", "cd"]
+    assert r["vj"] is False
+    assert r["ah"] == 27 and r["td"] == 97200
+    assert r["mj"] == 60310  # 2024-01-01 in Modified Julian Days
+    assert r["ed"] == [1, 2, 1, 3]
+    assert r["rl"] == [3, 5, 7, 5] and r["rr"] == [7, 5, 3, 5]
+    assert r["v4"] == "10.1.2.3" and r["v4bad"] is None
+    assert r["uu"] == "12345678-9abc-def0-1122-334455667788"
+    assert r["n2s"] == "1.2.3.4"
+    assert r["s2n"] == 10 * 16777216 + 1 * 65536 + 2 * 256 + 3
+    assert r["si"] == "a.b" and r["lev"] == 3
+    assert str(r["ld"]) == "2024-01-31"
+    for bad in (
+        "SELECT arrayShuffle(xs) FROM t",       # nondeterministic
+        "SELECT toWeek(t1) FROM t",             # CH mode-0 week numbering
+        "SELECT stringJaccardIndex(s, s) FROM t",
+    ):
+        with pytest.raises(ChTranslationError, match="no faithful"):
+            translate_ch_sql(bad)
