@@ -898,6 +898,39 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "retention", _retention)
     for ch, unit in _TRUNCS.items():
         sql = _rewrite_calls(sql, ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})")
+    # -OrNull / -OrZero safe-cast variants: OrNull → TRY_CAST; OrZero →
+    # the reference's bad-data type default (0 / '' / Epoch —
+    # parser/fastjson.go:582-621)
+    for ch, ty in _CASTS.items():
+        sql = _rewrite_calls(
+            sql, f"{ch}OrNull", lambda a, t=ty: f"TRY_CAST({a[0]} AS {t})"
+        )
+        zero = "''" if ty == "STRING" else "0"
+        sql = _rewrite_calls(
+            sql,
+            f"{ch}OrZero",
+            lambda a, t=ty, z=zero: f"COALESCE(TRY_CAST({a[0]} AS {t}), {z})",
+        )
+    sql = _rewrite_calls(
+        sql, "toDateOrNull", lambda a: f"TRY_CAST({a[0]} AS DATE)"
+    )
+    sql = _rewrite_calls(
+        sql,
+        "toDateOrZero",
+        lambda a: f"COALESCE(TRY_CAST({a[0]} AS DATE), DATE '1970-01-01')",
+    )
+    sql = _rewrite_calls(
+        sql, "toDateTimeOrNull", lambda a: f"TRY_CAST({a[0]} AS TIMESTAMP)"
+    )
+    sql = _rewrite_calls(
+        sql,
+        "toDateTimeOrZero",
+        lambda a: (
+            f"COALESCE(TRY_CAST({a[0]} AS TIMESTAMP), "
+            "TIMESTAMP '1970-01-01 00:00:00')"
+        ),
+    )
+    sql = _rewrite_calls(sql, "accurateCastOrNull", _accurate_cast_or_null)
     for ch, ty in _CASTS.items():
         sql = _rewrite_calls(sql, ch, lambda a, t=ty: f"CAST({a[0]} AS {t})")
     for ch, agg in _AGG_IF.items():
@@ -1776,6 +1809,36 @@ def _ipv4_string_to_num(a: list[str]) -> str:
     )
 
 
+# accurateCastOrNull targets: the NARROW Spark type whose TRY_CAST
+# range/format check reproduces CH's accuracy check for string input
+# (numeric input differs on fractions: TRY_CAST truncates 1.5→1 where CH
+# nulls — string metrics, the sinker case, behave identically)
+_ACCURATE_TYPES = {
+    "Int8": "TINYINT",
+    "Int16": "SMALLINT",
+    "Int32": "INT",
+    "Int64": "BIGINT",
+    "Float32": "FLOAT",
+    "Float64": "DOUBLE",
+    "String": "STRING",
+    "Date": "DATE",
+    "DateTime": "TIMESTAMP",
+}
+
+
+def _accurate_cast_or_null(a: list[str]) -> str:
+    if len(a) != 2:
+        raise ChTranslationError("accurateCastOrNull needs (x, 'Type')")
+    t = a[1].strip().strip("'")
+    sp = _ACCURATE_TYPES.get(t)
+    if sp is None:
+        raise ChTranslationError(
+            f"accurateCastOrNull target {t!r} not supported "
+            f"(supported: {sorted(_ACCURATE_TYPES)})"
+        )
+    return f"TRY_CAST({a[0]} AS {sp})"
+
+
 def _case_with_expression(a: list[str]) -> str:
     """``caseWithExpression(x, w1, r1, …, default)`` — the function form
     of ``CASE x WHEN … END``."""
@@ -2640,6 +2703,12 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
             "aggregate-function states, which have no Spark representation "
             "— aggregate the raw values instead (e.g. sum() over the "
             "source rows)"
+        )
+    ri = re.search(r"\b(reinterpretAs\w+|reinterpret)\s*\(", sql)
+    if ri and not _in_string(sql, ri.start()):
+        raise ChTranslationError(
+            f"{ri.group(1)}(): raw-byte reinterpretation depends on CH's "
+            "in-memory layouts — use an explicit CAST/conversion instead"
         )
 
     if re.search(r"\bFINAL\b", sql, re.IGNORECASE):

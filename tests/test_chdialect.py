@@ -1828,3 +1828,36 @@ def test_text_time_array_ip_uuid_batch(spark):
     ):
         with pytest.raises(ChTranslationError, match="no faithful"):
             translate_ch_sql(bad)
+
+
+def test_or_null_or_zero_cast_family(spark):
+    """to<T>OrNull/OrZero → TRY_CAST (+ the reference's bad-data default);
+    accurateCastOrNull range-checks through the narrow Spark type."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [("42", "bad", "300", "2024-01-02", "2024-01-02 03:04:05")],
+        "ok string, bad string, big string, d string, ts string",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT toInt64OrNull(ok) AS a, toInt64OrNull(bad) AS b, "
+        "toInt64OrZero(bad) AS c, toFloat64OrNull(bad) AS f, "
+        "toDateOrNull(d) AS dd, toDateOrZero(bad) AS dz, "
+        "toDateTimeOrNull(ts) AS tt, toDateTimeOrZero(bad) AS tz, "
+        "accurateCastOrNull(big, 'Int8') AS a8, "
+        "accurateCastOrNull(big, 'Int64') AS a64 FROM t"
+    )
+    import datetime as dt
+
+    r = spark.sql(got).first()
+    assert (r["a"], r["b"], r["c"], r["f"]) == (42, None, 0, None)
+    assert str(r["dd"]) == "2024-01-02" and str(r["dz"]) == "1970-01-01"
+    assert r["tt"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert r["tz"] == dt.datetime(1970, 1, 1)
+    assert r["a8"] is None          # 300 overflows Int8 → accurate NULL
+    assert r["a64"] == 300
+    with pytest.raises(ChTranslationError, match="not supported"):
+        translate_ch_sql("SELECT accurateCastOrNull(x, 'UInt256') FROM t")
