@@ -133,14 +133,19 @@ Injective
 arrayPushBack/Front(a, x)    concat(a, array(x)) / concat(array(x), a)
 arrayPopBack/Front(a)        slice(a, 1|2, size-1)
 toStartOfSecond(t)           date_trunc('SECOND', t)
-windowFunnel(W[,mode])(…)    aggregate() chain fold over time-sorted
-                             (t, cond-mask) events; strict_order and
-                             strict_deduplication modes supported
+windowFunnel(W[,mode])(…)    aggregate() chain fold over per-condition
+                             (t, idx) entries in CH's condition order
+                             (one event can climb several levels);
+                             strict_order, strict_deduplication and
+                             strict_increase modes, combinable
 retention(c1, …, cn)         array of max(c1)/least(max(c1), max(ci))
-sequenceMatch('pat')(…)      per-group event string + regex (atoms (?N)
-sequenceCount('pat')(…)      and .*; (?t…) refused → windowFunnel)
+sequenceMatch('pat')(…)      per-group event string + regex (atoms (?N),
+sequenceCount('pat')(…)      .*, and (?t OP N) gap constraints encoded
+                             as monotone threshold marker characters)
 SAMPLE k / k/n / N           TABLESAMPLE (PERCENT | N ROWS)  (noted:
-                             row membership differs between engines)
+                             PERCENT membership differs between engines;
+                             N ROWS is a deterministic scan prefix, no
+                             sampling at all)
 uniqCombined[64](x)          approx_count_distinct(x)
 ARRAY JOIN a AS x, b AS y    posexplode(a) + element_at(b, pos+1) zip
 mapKeys/mapValues/Contains   map_keys / map_values / map_contains_key
@@ -172,6 +177,41 @@ arrayFirst/Last(f, a)        try_element_at(filter(a, f), 1|-1)
                              (delta: no match → NULL, CH → type default)
 arrayFirstIndex(f, a)        coalesce(array_position(transform), 0)
 toDate32(x)                  CAST(x AS DATE)
+to<T>OrNull/OrZero(x)        TRY_CAST / COALESCE(TRY_CAST, type default)
+accurateCastOrNull(x, 'T')   TRY_CAST through the narrow Spark type
+                             (string input exact; numeric fractions
+                             truncate where CH nulls — documented)
+sumMap/minMap/maxMap(k, v)   map_zip_with fold over per-row maps →
+                             (sorted keys, values) struct
+transform(x, from, to[, d])  map_from_arrays lookup (2-arg form stays
+                             Spark's higher-order transform)
+caseWithExpression(x, …)     CASE x WHEN … END
+groupBitmap(x)               count(DISTINCT x)  (bitmap cardinality)
+quantile[s]Timing(p)(x)      percentile_approx (shared sketch, noted)
+to/fromUnixTimestamp64*      unix_/timestamp_ millis/micros (ns ×1000)
+anyHeavy(x)                  first(x)  (heavy-hitter pick ≈ arbitrary)
+geoDistance(…)               haversine (ellipsoid delta ~0.3%, doc'd)
+age('unit', t1, t2)          timestampdiff(UNIT, t1, t2)
+timeDiff(t1, t2)             unix_timestamp delta (seconds)
+toModifiedJulianDay(d)       datediff from 1858-11-17
+toLastDayOfMonth(d)          last_day(d)
+alphaTokens(s)               filter(split(s, '[^A-Za-z]+'), ≠ '')
+multiSearchAny(s, [p…])      exists(patterns, p -> contains(s, p))
+extractGroups(s, 're')       array(regexp_extract per literal group)
+isValidJSON(s)               get_json_object(s, '$') IS NOT NULL
+arrayEnumerateDense(a)       first-occurrence dense ranks
+arrayRotateLeft(a, n)        pmod-split slice concat (negative n → right)
+substringIndex / edit-       substring_index / levenshtein /
+Distance / mapFromArrays /   map_from_arrays / uuid() / last_day
+generateUUIDv4
+toIPv4OrNull / IPv4Num-      canonical-string IP forms (zero-IP default
+ToString / IPv4StringToNum   on invalid, parser/fastjson.go:739-785)
+toUUIDOrNull(s)              validated lowercase UUID string
+-State/-Merge combinators /  refused loudly (engine-internal states /
+reinterpret* / dictGet /     no dictionaries / nondeterministic /
+arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output)
+histogram / bar / format-
+Readable* / topK[Weighted]
 ANY LEFT/INNER JOIN t        plain join against the keyed survivor
   USING (k…)                 subquery (row_number()=1, tie-break by the
                              table's remaining orderable columns —
