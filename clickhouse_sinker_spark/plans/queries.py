@@ -5866,6 +5866,49 @@ def ch_dialect_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_FUNNEL_INCREASE, sf_dir)
 
 
+CH_DIALECT_TEXT_FUNCS = """
+    SELECT doc_id,
+           editDistance(lang, source) AS lv,
+           toUInt8(multiSearchAny(text, ['the', 'and'])) AS has_common,
+           arrayStringConcat(arraySort(alphaTokens(substring(text, 1, 40))),
+                             '-') AS alpha_sig,
+           toInt64OrZero(lang) AS lang_num,
+           IPv4NumToString(toUInt32(doc_id % 4294967296)) AS ip_str
+    FROM documents
+"""
+
+
+@query(
+    "ch_dialect_text_funcs",
+    """
+    SELECT doc_id,
+           levenshtein(lang, source) AS lv,
+           CAST((text LIKE '%the%' OR text LIKE '%and%') AS BIGINT)
+             AS has_common,
+           array_to_string(list_sort(list_filter(
+             regexp_split_to_array(substring(text, 1, 40), '[^A-Za-z]+'),
+             x -> x <> '')), '-') AS alpha_sig,
+           COALESCE(TRY_CAST(lang AS BIGINT), 0) AS lang_num,
+           CAST((doc_id % 4294967296) // 16777216 % 256 AS VARCHAR) || '.' ||
+           CAST((doc_id % 4294967296) // 65536 % 256 AS VARCHAR) || '.' ||
+           CAST((doc_id % 4294967296) // 256 % 256 AS VARCHAR) || '.' ||
+           CAST((doc_id % 4294967296) % 256 AS VARCHAR) AS ip_str
+    FROM documents
+    """,
+)
+def ch_dialect_text_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7 dialect text/conversion batch under the hard gate:
+    editDistance (levenshtein), multiSearchAny (substring any-match),
+    alphaTokens (letter runs, sorted + joined into a deterministic
+    signature), toInt64OrZero (safe-cast family), IPv4NumToString.  The
+    DuckDB oracle re-expresses each independently (regexp_split + list
+    lambdas, LIKE disjunction, integer arithmetic octets).  Plan: pure
+    map-side projection — zero shuffles."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_TEXT_FUNCS, sf_dir)
+
+
 CH_DIALECT_SUM_MAP = """
     SELECT user_id,
            arrayStringConcat(
@@ -6234,8 +6277,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_sequence_timed",
     "ch_dialect_right_any_join",
     "ch_dialect_sum_map",
-    # --- re-confirmations displaced first by further r7 additions ---
-    "text_fingerprint",
+    "ch_dialect_text_funcs",
 ]
 
 DRIVER_WINDOW = 50
