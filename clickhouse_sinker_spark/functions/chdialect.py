@@ -218,8 +218,12 @@ ANY LEFT/INNER JOIN t        plain join against the keyed survivor
                              needs table_columns catalog context)
 lt RIGHT ANY JOIN rt         the mirror: survivor subquery on the LEFT
   USING (k…)                 table, then a plain RIGHT JOIN
+a ASOF [LEFT] JOIN b         nearest-past match (>= incl. equality):
+  USING (k…, t)              union + ignore-nulls last() carry + keyed
+                             join-back against the (k, t)-deduped b —
+                             needs table_columns, no aliases
 ANY JOIN … ON / FULL ANY /   refused with a rewrite hint (dedup-first /
-ASOF JOIN /                  operators/asof.py / ts_gap_fill plan) —
+ASOF … ON /                  operators/asof.py / ts_gap_fill plan) —
 ORDER BY … WITH FILL         never mistranslated
 ===========================  =========================================
 
@@ -2563,6 +2567,107 @@ def _rewrite_right_any_join(sql: str, notes: list[str]) -> str:
         )
 
 
+def _rewrite_asof_join(sql: str, notes: list[str]) -> str:
+    """``FROM a ASOF [LEFT] JOIN b USING (k…, t)`` → the nearest-past
+    match as pure Spark SQL (the same union + ignore-nulls ``last()``
+    carry the native ``operators/asof.py`` plan uses):
+
+    1. b is deduplicated to one row per (k…, t) — CH picks an arbitrary
+       row among exact ties; the keyed survivor pins a deterministic one;
+    2. a-rows (src 1) and b-rows (src 0) union on (k…, t), b rows
+       carrying their own t; ``last(…, true)`` over (PARTITION BY k
+       ORDER BY t, src) gives every a-row the greatest b-t ≤ its t
+       (src 0 sorts first, so equal timestamps match — CH's ``>=``);
+    3. the matched b row joins back by (k…, matched-t) — inner drops
+       unmatched a-rows, LEFT keeps them null-padded.
+
+    Scale: window and join both hash-partition on the keys — the shape
+    survives 100 TB exactly like the native plan.  Requires both sides
+    to be catalog-known plain tables with no aliases and no b-qualified
+    references downstream; everything else falls through to the loud
+    refusal."""
+    pat = re.compile(
+        r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s+"
+        r"ASOF\s+(LEFT\s+)?JOIN\s+([A-Za-z_]\w*)"
+        r"\s+USING\s*\(([^()]*)\)",
+        re.IGNORECASE,
+    )
+    while True:
+        m = next(
+            (c for c in pat.finditer(sql) if not _in_string(sql, c.start())), None
+        )
+        if m is None:
+            return sql
+        kw, ltbl, left_kw, rtbl, colstr = m.groups()
+        cols = [c.strip() for c in colstr.split(",") if c.strip()]
+        if len(cols) < 2:
+            return sql  # need at least one equi-key plus the asof column
+        *keys, t = cols
+        a_cols, b_cols = _TABLE_COLUMNS.get(ltbl), _TABLE_COLUMNS.get(rtbl)
+        if a_cols is None or b_cols is None:
+            return sql
+        lowkeys = {k.lower() for k in keys} | {t.lower()}
+        if not lowkeys <= {c.lower() for c in a_cols} or not lowkeys <= {
+            c.lower() for c in b_cols
+        }:
+            return sql
+        a_other = [c for c in a_cols if c.lower() not in lowkeys]
+        b_payload = [c for c in b_cols if c.lower() not in lowkeys]
+        clash = {c.lower() for c in a_other} & {c.lower() for c in b_payload}
+        if clash:
+            raise ChTranslationError(
+                f"ASOF JOIN: columns {sorted(clash)} exist on both sides — "
+                "the flattened result cannot hold both; project/rename first"
+            )
+        if re.search(rf"\b{re.escape(rtbl)}\s*\.", sql):
+            return sql  # b-qualified refs would dangle after flattening
+        ks = ", ".join(keys)
+        bsrv = _survivor_subquery(
+            rtbl, f"{ks}, {t}", ", ".join(b_payload) or ks, "__asof_bd", "__asof_rn"
+        )
+        a_branch = (
+            f"SELECT {ks}, {t}, 1 AS __asof_src"
+            + "".join(f", {c}" for c in a_other)
+            + ", NULL AS __asof_bt"
+            + f" FROM {ltbl}"
+        )
+        b_branch = (
+            f"SELECT {ks}, {t}, 0 AS __asof_src"
+            + "".join(f", NULL AS {c}" for c in a_other)
+            + f", {t} AS __asof_bt"
+            + f" FROM {bsrv}"
+        )
+        win = (
+            f"SELECT *, last(__asof_bt, true) OVER (PARTITION BY {ks} "
+            f"ORDER BY {t}, __asof_src "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __asof_mt "
+            f"FROM ({a_branch} UNION ALL {b_branch}) __asof_u"
+        )
+        on = " AND ".join(
+            [f"__asof_b.{k} = __asof_w.{k}" for k in keys]
+            + [f"__asof_b.{t} = __asof_w.__asof_mt"]
+        )
+        sel = ", ".join(
+            [f"__asof_w.{c}" for c in [*keys, t, *a_other]]
+            + [f"__asof_b.{c}" for c in b_payload]
+        )
+        join_kind = "LEFT JOIN" if left_kw else "JOIN"
+        bsrv2 = _survivor_subquery(
+            rtbl, f"{ks}, {t}", ", ".join(b_payload) or ks, "__asof_b", "__asof_rn"
+        )
+        rep = (
+            f"{kw} (SELECT {sel} FROM ({win}) __asof_w "
+            f"{join_kind} {bsrv2} ON {on} "
+            f"WHERE __asof_w.__asof_src = 1) AS {ltbl}"
+        )
+        sql = sql[: m.start()] + rep + sql[m.end() :]
+        notes.append(
+            f"ASOF JOIN → union + last() carry on ({ks}; {t}); ties among "
+            f"{rtbl} rows at one (key, t) resolve to the first row by "
+            f"({', '.join(b_payload) or ks}) — CH leaves that pick arbitrary"
+        )
+
+
 def _rewrite_final(sql: str, table_keys, notes: list[str]) -> str:
     """``FROM t FINAL`` → ReplacingMergeTree merge-on-read semantics: the
     newest-version row per sorting key survives (reference:
@@ -2874,12 +2979,17 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
             "+ forward fill)"
         )
 
+    sql = _rewrite_asof_join(sql, notes)
     if _spans_outside_strings(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
-        # CH ASOF JOIN (nearest-past match) has no Spark SQL counterpart;
-        # the engine owns it natively as a composed plan.
+        # remaining forms (ON conditions, aliased/subquery sides, unknown
+        # tables) — the engine owns the operator natively as a composed
+        # plan; never mistranslated.
         raise ChTranslationError(
-            "ASOF JOIN: use operators/asof.py:asof_join (nearest-past via "
-            "union + last() over ordered window — the asof_join_events plan)"
+            "this ASOF JOIN form is not translatable at the SQL level "
+            "(supported: <table> ASOF [LEFT] JOIN <table> USING (k…, t) "
+            "with both tables' columns known via table_columns); use "
+            "operators/asof.py:asof_join (nearest-past via union + last() "
+            "over ordered window — the asof_join_events plan)"
         )
 
     sql = _rewrite_any_join(sql, notes)

@@ -5866,6 +5866,55 @@ def ch_dialect_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_FUNNEL_INCREASE, sf_dir)
 
 
+@query(
+    "ch_dialect_asof_join",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts,
+             CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT) AS amount
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts,
+             MIN(CAST(FLOOR(COALESCE(value, 0) * 100) AS BIGINT)) AS click_val
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.user_id AS user_id, p.ts AS ts, p.amount AS amount,
+           c.click_val AS click_val
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def ch_dialect_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ASOF LEFT JOIN … USING (k, t)`` through the
+    translator (the r6 refusal, now a real rewrite): nearest-past match
+    as a union + ignore-nulls ``last()`` carry + keyed join-back — the
+    same shape the native operators/asof.py plan uses, all hash-
+    partitioned on user_id.  The oracle is DuckDB's NATIVE ASOF JOIN —
+    a fully independent second engine implementation of the operator.
+    The click side is pre-aggregated to one row per (user, ts) so both
+    engines' arbitrary-tie semantics coincide."""
+    from ..functions.chdialect import translate_ch_sql
+
+    e = _t(spark, sf_dir, "events")
+    amount = F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100).cast("bigint")
+    e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", amount.alias("amount")
+    ).createOrReplaceTempView("purchases")
+    e.filter(F.col("event_type") == "click").groupBy("user_id", "ts").agg(
+        F.min(amount).alias("click_val")
+    ).createOrReplaceTempView("clicks")
+    translated, _notes = translate_ch_sql(
+        "SELECT user_id, ts, amount, click_val "
+        "FROM purchases ASOF LEFT JOIN clicks USING (user_id, ts)",
+        table_columns={
+            "purchases": ["user_id", "ts", "amount"],
+            "clicks": ["user_id", "ts", "click_val"],
+        },
+    )
+    return spark.sql(translated)
+
+
 CH_DIALECT_TEXT_FUNCS = """
     SELECT doc_id,
            editDistance(lang, source) AS lv,
@@ -6262,7 +6311,6 @@ DRIVER_ORDER: list[str] = [
     "window_rank_distribution",
     "mm_frame_sample",
     "text_tokens",
-    "dedup_levenshtein",
     # --- oldest-hash re-confirmations (r2/r3-era greens) ---
     "text_repetition_quality",
     "decontam_ngram_overlap",
@@ -6278,6 +6326,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_right_any_join",
     "ch_dialect_sum_map",
     "ch_dialect_text_funcs",
+    "ch_dialect_asof_join",
 ]
 
 DRIVER_WINDOW = 50

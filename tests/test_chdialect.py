@@ -1861,3 +1861,59 @@ def test_or_null_or_zero_cast_family(spark):
     assert r["a64"] == 300
     with pytest.raises(ChTranslationError, match="not supported"):
         translate_ch_sql("SELECT accurateCastOrNull(x, 'UInt256') FROM t")
+
+
+def test_asof_join_using_rewrite(spark):
+    """ASOF [LEFT] JOIN … USING (k, t) → union + ignore-nulls last()
+    carry + keyed join-back; >= includes equal timestamps; inner drops
+    unmatched left rows, LEFT null-pads; other forms refuse."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, 10, 100.0), (1, 25, 101.0), (1, 4, 99.0), (2, 7, 50.0)],
+        "k int, t int, price double",
+    ).createOrReplaceTempView("trades")
+    spark.createDataFrame(
+        [(1, 5, 1.5), (1, 10, 2.5), (1, 20, 3.5), (3, 1, 9.9)],
+        "k int, t int, bid double",
+    ).createOrReplaceTempView("quotes")
+    tc = {"trades": ["k", "t", "price"], "quotes": ["k", "t", "bid"]}
+    got, notes = translate_ch_sql(
+        "SELECT k, t, price, bid FROM trades ASOF JOIN quotes USING (k, t) "
+        "ORDER BY k, t",
+        table_columns=tc,
+    )
+    assert any("ASOF JOIN" in n for n in notes)
+    rows = [tuple(r) for r in spark.sql(got).collect()]
+    # t=4 has no quote ≤ 4 → dropped; t=10 matches the equal-ts quote
+    assert rows == [(1, 10, 100.0, 2.5), (1, 25, 101.0, 3.5)]
+    got2, _ = translate_ch_sql(
+        "SELECT k, t, price, bid FROM trades ASOF LEFT JOIN quotes "
+        "USING (k, t) ORDER BY k, t",
+        table_columns=tc,
+    )
+    rows2 = [tuple(r) for r in spark.sql(got2).collect()]
+    assert rows2 == [
+        (1, 4, 99.0, None),
+        (1, 10, 100.0, 2.5),
+        (1, 25, 101.0, 3.5),
+        (2, 7, 50.0, None),
+    ]
+    for bad in (
+        "SELECT 1 FROM trades ASOF JOIN quotes ON trades.k = quotes.k "
+        "AND trades.t >= quotes.t",
+        "SELECT 1 FROM trades ASOF JOIN nosuch USING (k, t)",
+        "SELECT 1 FROM trades ASOF JOIN quotes USING (t)",  # no equi-key
+    ):
+        with pytest.raises(ChTranslationError, match="ASOF"):
+            translate_ch_sql(bad, table_columns=tc)
+    # overlapping non-key columns cannot flatten
+    tc2 = {"trades": ["k", "t", "v"], "quotes": ["k", "t", "v"]}
+    with pytest.raises(ChTranslationError, match="both sides"):
+        translate_ch_sql(
+            "SELECT 1 FROM trades ASOF JOIN quotes USING (k, t)",
+            table_columns=tc2,
+        )
