@@ -2567,6 +2567,57 @@ def _rewrite_right_any_join(sql: str, notes: list[str]) -> str:
         )
 
 
+def _rewrite_with_fill(sql: str, notes: list[str]) -> str:
+    """Trailing ``ORDER BY x WITH FILL [FROM a] [TO b] [STEP s]`` over an
+    integer column → a sequence() spine UNIONed with the actual values
+    (off-grid rows survive, as in CH), LEFT-JOINed back to the query.
+
+    Deltas (noted): filler rows carry NULL in the other columns where CH
+    shows type defaults (same convention as the WITH TOTALS rewrite),
+    and the fill column moves to the first output position.  CH's TO
+    bound is EXCLUSIVE — the spine filters ``< TO``.  Without FROM/TO
+    the spine spans the result's own min..max (inclusive), matching CH.
+    Scale: one scalar-subquery pass for the bounds (absent only when
+    FROM and TO are literal) and one join on the fill column."""
+    m = re.search(
+        r"\bORDER\s+BY\s+([A-Za-z_]\w*)\s+WITH\s+FILL"
+        r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?"
+        r"\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m is None or _in_string(sql, m.start()):
+        return sql
+    x, frm, to, step = m.groups()
+    step_i = int(step) if step else 1
+    if step_i <= 0:
+        raise ChTranslationError("WITH FILL STEP must be a positive integer")
+    inner = sql[: m.start()].rstrip()
+    f_expr = frm if frm else f"(SELECT min({x}) FROM __fill_q)"
+    if to:
+        seq = (
+            f"filter(sequence({f_expr}, {to}, {step_i}), "
+            f"__v -> __v < {to})"
+        )
+    else:
+        seq = f"sequence({f_expr}, (SELECT max({x}) FROM __fill_q), {step_i})"
+    out = (
+        f"WITH __fill_q AS ({inner}) "
+        f"SELECT __fill_s.__fill_x AS {x}, __fill_q.* EXCEPT ({x}) "
+        f"FROM (SELECT DISTINCT __fill_x FROM ("
+        f"SELECT explode({seq}) AS __fill_x "
+        f"UNION ALL SELECT {x} FROM __fill_q)) __fill_s "
+        f"LEFT JOIN __fill_q ON __fill_q.{x} = __fill_s.__fill_x "
+        f"ORDER BY __fill_x"
+    )
+    notes.append(
+        f"WITH FILL → sequence spine ∪ actual {x} values + left join: "
+        "filler rows carry NULL in the other columns (ClickHouse shows "
+        f"type defaults), and {x} moves to the first output column"
+    )
+    return out
+
+
 def _rewrite_asof_join(sql: str, notes: list[str]) -> str:
     """``FROM a ASOF [LEFT] JOIN b USING (k…, t)`` → the nearest-past
     match as pure Spark SQL (the same union + ignore-nulls ``last()``
@@ -2970,13 +3021,17 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
         sql = sql[: fm[0].start()].rstrip()
         notes.append("FORMAT clause dropped: serialization belongs to the sink")
 
+    sql = _rewrite_with_fill(sql, notes)
     if _spans_outside_strings(sql, r"\bWITH\s+FILL\b"):
-        # ORDER BY … WITH FILL generates missing rows — a gap-filling
-        # operator, not an expression rewrite; the engine owns it natively.
+        # remaining forms (non-trailing clause, multi-column fill,
+        # INTERPOLATE, expression steps) — the engine owns gap filling
+        # natively as a composed plan.
         raise ChTranslationError(
-            "WITH FILL: use the native gap-fill plan "
-            "(plans/queries.py:ts_gap_fill — sequence() spine + left join "
-            "+ forward fill)"
+            "this WITH FILL form is not translatable at the SQL level "
+            "(supported: a trailing ORDER BY <col> WITH FILL "
+            "[FROM i] [TO i] [STEP i] over an integer column); use the "
+            "native gap-fill plan (plans/queries.py:ts_gap_fill — "
+            "sequence() spine + left join + forward fill)"
         )
 
     sql = _rewrite_asof_join(sql, notes)

@@ -5866,6 +5866,43 @@ def ch_dialect_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_FUNNEL_INCREASE, sf_dir)
 
 
+CH_DIALECT_WITH_FILL = """
+    SELECT toDayOfMonth(ts) AS d, count(*) AS n
+    FROM events WHERE user_id = 7
+    GROUP BY toDayOfMonth(ts)
+    ORDER BY d WITH FILL FROM 1 TO 32
+"""
+
+
+@query(
+    "ch_dialect_with_fill",
+    """
+    WITH q AS (
+      SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id = 7 GROUP BY 1
+    ),
+    s AS (
+      SELECT DISTINCT d FROM (
+        SELECT UNNEST(range(1, 32)) AS d UNION ALL SELECT d FROM q
+      )
+    )
+    SELECT s.d AS d, q.n AS n FROM s LEFT JOIN q USING (d) ORDER BY d
+    """,
+)
+def ch_dialect_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY … WITH FILL FROM/TO`` through the translator (the r6
+    refusal, now a scoped rewrite): a sequence() spine unioned with the
+    actual values (off-grid rows survive), left-joined back — TO is
+    exclusive as in CH; filler rows NULL-pad the aggregate (documented
+    delta: CH shows type defaults).  The DuckDB oracle builds the same
+    spine independently with range()+UNNEST.  Plan: the day aggregate is
+    one groupBy shuffle; the spine is 31 rows broadcast into the join."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_WITH_FILL, sf_dir)
+
+
 @query(
     "ch_dialect_asof_join",
     """
@@ -6310,7 +6347,6 @@ DRIVER_ORDER: list[str] = [
     "sample_stratified",
     "window_rank_distribution",
     "mm_frame_sample",
-    "text_tokens",
     # --- oldest-hash re-confirmations (r2/r3-era greens) ---
     "text_repetition_quality",
     "decontam_ngram_overlap",
@@ -6327,6 +6363,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_sum_map",
     "ch_dialect_text_funcs",
     "ch_dialect_asof_join",
+    "ch_dialect_with_fill",
 ]
 
 DRIVER_WINDOW = 50

@@ -1917,3 +1917,33 @@ def test_asof_join_using_rewrite(spark):
             "SELECT 1 FROM trades ASOF JOIN quotes USING (k, t)",
             table_columns=tc2,
         )
+
+
+def test_with_fill_rewrite(spark):
+    """Trailing ORDER BY x WITH FILL: sequence spine ∪ actual values,
+    TO exclusive, off-grid originals survive, filler rows NULL-padded
+    (noted delta vs CH's type defaults); non-simple forms refuse."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, "a"), (3, "b"), (7, "c")], "x int, s string"
+    ).createOrReplaceTempView("t")
+    got, notes = translate_ch_sql("SELECT x, s FROM t ORDER BY x WITH FILL")
+    assert any("WITH FILL" in n for n in notes)
+    rows = [tuple(r) for r in spark.sql(got).collect()]
+    assert rows == [(i, {1: "a", 3: "b", 7: "c"}.get(i)) for i in range(1, 8)]
+    got2, _ = translate_ch_sql(
+        "SELECT x, s FROM t ORDER BY x WITH FILL FROM 0 TO 10 STEP 2"
+    )
+    rows2 = [tuple(r) for r in spark.sql(got2).collect()]
+    assert [r[0] for r in rows2] == [0, 1, 2, 3, 4, 6, 7, 8]  # TO exclusive
+    for bad in (
+        "SELECT x FROM t ORDER BY a, x WITH FILL",
+        "SELECT x FROM t ORDER BY x WITH FILL INTERPOLATE (s)",
+        "SELECT x FROM t ORDER BY x WITH FILL STEP 0",
+    ):
+        with pytest.raises(ChTranslationError, match="WITH FILL"):
+            translate_ch_sql(bad)
