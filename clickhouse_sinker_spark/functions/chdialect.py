@@ -222,9 +222,12 @@ a ASOF [LEFT] JOIN b         nearest-past match (>= incl. equality):
   USING (k…, t)              union + ignore-nulls last() carry + keyed
                              join-back against the (k, t)-deduped b —
                              needs table_columns, no aliases
+ORDER BY x WITH FILL         sequence spine ∪ actual values + left join
+  [FROM a] [TO b] [STEP s]   (TO exclusive; filler rows NULL where CH
+                             shows type defaults — noted)
 ANY JOIN … ON / FULL ANY /   refused with a rewrite hint (dedup-first /
-ASOF … ON /                  operators/asof.py / ts_gap_fill plan) —
-ORDER BY … WITH FILL         never mistranslated
+ASOF … ON / WITH FILL        operators/asof.py / ts_gap_fill plan) —
+  INTERPOLATE / multi-col    never mistranslated
 ===========================  =========================================
 
 Functions that change value semantics under translation (``uniq`` is a
