@@ -732,9 +732,15 @@ def test_limit_by_with_offset(spark):
     rows = sorted((r["g"], r["v"]) for r in spark.sql(got).collect())
     assert rows == [("a", 4), ("a", 3)][::-1]  # skip top-1 per group
 
+    # the simple trailing WITH FILL form now TRANSLATES (r7); only the
+    # non-simple forms still point at the native gap-fill plan
+    got_fill, notes_fill = translate_ch_sql(
+        "SELECT t, v FROM m ORDER BY t WITH FILL FROM 0 TO 10"
+    )
+    assert "sequence(" in got_fill and any("WITH FILL" in n for n in notes_fill)
     with pytest.raises(ChTranslationError, match="ts_gap_fill"):
         translate_ch_sql(
-            "SELECT t, v FROM m ORDER BY t WITH FILL FROM 0 TO 10"
+            "SELECT t, v FROM m ORDER BY t WITH FILL INTERPOLATE (v)"
         )
 
 
