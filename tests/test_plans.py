@@ -482,3 +482,34 @@ def test_right_any_join_one_window_one_join_key(spark):
     )
     assert n_exchanges <= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sum_map_single_aggregate_no_join(spark):
+    """ch_dialect_sum_map: the map_zip_with fold lives inside ONE grouped
+    aggregate — a single hash exchange, no join, no Python."""
+    plan = plan_of(QUERIES["ch_dialect_sum_map"](spark, SF_DIR))
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_funcs_zero_shuffle(spark):
+    """ch_dialect_text_funcs: pure map-side projection — no exchange of
+    any kind, no Python."""
+    plan = plan_of(QUERIES["ch_dialect_text_funcs"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_translation_partitions_on_keys(spark):
+    """ch_dialect_asof_join: the union+last() carry windows on user_id and
+    the join-back keys on user_id too — hash exchanges only on the join
+    key family, no Python, no cartesian."""
+    plan = plan_of(QUERIES["ch_dialect_asof_join"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
