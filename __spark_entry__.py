@@ -23,10 +23,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER): a fixed
-    # 50-name prefix — 40 queries covering every SURVEY §2 operator family
-    # plus 10 queries receiving their first driver hash — then every
-    # remaining registered query in source order.  Deterministic; no runtime
-    # state feeds the ordering.
+    # 50-name prefix — 25 queries receiving their first driver hash (the
+    # r6-era never-checked tail plus the r7 additions) and 25 anchors /
+    # oldest-hash re-confirmations — then every remaining registered query
+    # in source order.  Deterministic; no runtime state feeds the ordering.
     return {n: QUERIES[n] for n in ordered_query_names()}
 
 
