@@ -2865,6 +2865,15 @@ def translate_ch_sql(
         # FIRST, on the raw input only: rewrites below inject their own
         # (Spark-convention) literals, which must not be re-escaped
         return _translate_ch_sql_inner(_reescape_literals(sql), table_keys)
+    except ChTranslationError:
+        raise
+    except (IndexError, ValueError, KeyError) as e:
+        # totality: malformed input (unbalanced parens, truncated arg
+        # lists, dangling combinators) becomes a typed refusal, never an
+        # internal parser crash
+        raise ChTranslationError(
+            f"malformed ClickHouse SQL ({type(e).__name__}: {e})"
+        ) from e
     finally:
         _ARRAY_COLUMNS = frozenset()
         _TABLE_COLUMNS = {}

@@ -1953,3 +1953,32 @@ def test_with_fill_rewrite(spark):
     ):
         with pytest.raises(ChTranslationError, match="WITH FILL"):
             translate_ch_sql(bad)
+
+
+def test_translator_is_total_on_garbage():
+    """The translation contract is TOTAL: any input either translates or
+    raises ChTranslationError — malformed SQL (unbalanced parens,
+    truncated combinators, dangling arg lists) must never escape as an
+    internal IndexError/KeyError (distilled from a 6k-case fuzz)."""
+    import random
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    frags = [
+        "windowFunnel(3600)(", "quantile(0.5)", "sumMap(", "(?1)(?t<=",
+        "'", "''", "\\'", "((", "))", "SELECT", "FROM t", "arrayMap(x ->",
+        "[1,2", "x[", "USING (", "ASOF JOIN t", "WITH FILL STEP",
+        "LIMIT 1 BY", "toInt64OrNull(", "CAST(", "extract(",
+        "sequenceMatch('", "')(ts, a)", "GLOBAL", "ANY LEFT JOIN u",
+        "FINAL", "PREWHERE", "SAMPLE 0.1 OFFSET", "-- cmt", "/*", "*/",
+    ]
+    rng = random.Random(11)
+    for _ in range(6000):
+        s = " ".join(rng.choice(frags) for _ in range(rng.randint(1, 10)))
+        try:
+            translate_ch_sql(s)
+        except ChTranslationError:
+            pass  # the only permitted failure mode
