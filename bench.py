@@ -197,7 +197,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_AB", "1") == "0" or "--no-ab" in sys.argv:
         ab_ref = None
     if "--ab" in sys.argv:
-        ab_ref = sys.argv[sys.argv.index("--ab") + 1]
+        i = sys.argv.index("--ab")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: bench.py [--ab <git-ref>] [--no-ab]")
+        ab_ref = sys.argv[i + 1]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     start_loadavg = os.getloadavg()
     start_snap = _host_cpu_snapshot()

@@ -514,7 +514,19 @@ def _encode_arrow_data(ch_type: str, col) -> bytes:
     )
     if fixed is not None and numeric:
         np_col = col.to_numpy(zero_copy_only=False)
-        return np.ascontiguousarray(np_col.astype(_NP_DTYPE[fixed[0]])).tobytes()
+        dt_s = _NP_DTYPE[fixed[0]]
+        # astype would WRAP out-of-range integers where the row-wise
+        # struct.pack path raises — keep the byte-identical contract by
+        # checking bounds first
+        if fixed[0] not in ("f", "d") and np_col.size and np_col.dtype.kind in "iu":
+            info = np.iinfo(dt_s)
+            lo, hi = int(np_col.min()), int(np_col.max())
+            if lo < info.min or hi > info.max:
+                raise ValueError(
+                    f"value out of range for {t}: [{lo}, {hi}] exceeds "
+                    f"[{info.min}, {info.max}]"
+                )
+        return np.ascontiguousarray(np_col.astype(dt_s)).tobytes()
     if t == "String" and (
         pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
     ):

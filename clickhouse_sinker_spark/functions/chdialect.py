@@ -882,10 +882,14 @@ def _rewrite_sequence(sql: str, name: str, emit) -> str:
             + " ".join(f"WHEN {c} THEN {i + 1}" for i, c in enumerate(conds))
             + " END"
         )
+        # no-marker path keeps the RAW ts expression (any orderable type —
+        # CH accepts UInt* epoch event times); only the gap-marker path
+        # needs numeric micros, via CAST so integer epochs (seconds) work
+        ts_sort = ts if not markers else f"unix_micros(CAST({ts} AS TIMESTAMP))"
         sorted_arr = (
             f"sort_array(collect_list("
             f"CASE WHEN ({nmatch}) >= 1 THEN named_struct("
-            f"'t', unix_micros({ts}), 'c', char(96 + ({midx}))) END))"
+            f"'t', {ts_sort}, 'c', char(96 + ({midx}))) END))"
         )
         if not markers:
             seq = f"concat_ws('', transform({sorted_arr}, e -> e.c))"
@@ -2445,17 +2449,21 @@ def _rewrite_brackets(sql: str) -> str:
     return "".join(out)
 
 
-def _survivor_subquery(
-    tbl: str, partition: str, order: str, alias: str, rn: str
-) -> str:
-    """One-row-per-key survivor subquery shared by the FINAL and ANY JOIN
-    rewrites: row_number() over (partition, order), keep rank 1, hide the
-    rank column."""
+def _survivor_body(tbl: str, partition: str, order: str, rn: str) -> str:
+    """One-row-per-key survivor: row_number() over (partition, order),
+    keep rank 1, hide the rank column — shared by the FINAL, ANY JOIN and
+    ASOF JOIN rewrites."""
     return (
         f"(SELECT * EXCEPT ({rn}) FROM (SELECT *, row_number() OVER "
         f"(PARTITION BY {partition} ORDER BY {order}) AS {rn} FROM {tbl}) "
-        f"WHERE {rn} = 1) AS {alias}"
+        f"WHERE {rn} = 1)"
     )
+
+
+def _survivor_subquery(
+    tbl: str, partition: str, order: str, alias: str, rn: str
+) -> str:
+    return _survivor_body(tbl, partition, order, rn) + f" AS {alias}"
 
 
 def _rewrite_any_join(sql: str, notes: list[str]) -> str:
@@ -2597,20 +2605,36 @@ def _rewrite_with_fill(sql: str, notes: list[str]) -> str:
         raise ChTranslationError("WITH FILL STEP must be a positive integer")
     inner = sql[: m.start()].rstrip()
     f_expr = frm if frm else f"(SELECT min({x}) FROM __fill_q)"
+    # TO is exclusive → upper bound TO-1 (integer grid).  sequence()
+    # DESCENDS when start > stop, so an empty range must short-circuit —
+    # statically when both bounds are literal, with a CASE otherwise
+    # (Spark's ReuseSubquery evaluates the repeated scalar subquery once).
+    # No expression may land inside a higher-order-function lambda: a
+    # scalar subquery there is rejected by the analyzer.
     if to:
-        seq = (
-            f"filter(sequence({f_expr}, {to}, {step_i}), "
-            f"__v -> __v < {to})"
-        )
+        t_expr = f"({to} - 1)"
+        if frm and int(frm) > int(to) - 1:
+            seq = "CAST(array() AS ARRAY<BIGINT>)"  # empty range: no filler
+        else:
+            seq = (
+                f"CASE WHEN {f_expr} > {t_expr} THEN array() "
+                f"ELSE sequence({f_expr}, {t_expr}, {step_i}) END"
+            )
     else:
-        seq = f"sequence({f_expr}, (SELECT max({x}) FROM __fill_q), {step_i})"
+        seq = (
+            f"CASE WHEN {f_expr} IS NULL THEN array() "
+            f"ELSE sequence({f_expr}, (SELECT max({x}) FROM __fill_q), "
+            f"{step_i}) END"
+        )
     out = (
         f"WITH __fill_q AS ({inner}) "
         f"SELECT __fill_s.__fill_x AS {x}, __fill_q.* EXCEPT ({x}) "
         f"FROM (SELECT DISTINCT __fill_x FROM ("
         f"SELECT explode({seq}) AS __fill_x "
         f"UNION ALL SELECT {x} FROM __fill_q)) __fill_s "
-        f"LEFT JOIN __fill_q ON __fill_q.{x} = __fill_s.__fill_x "
+        # null-safe join: rows whose fill-column value is NULL must keep
+        # their payload (the spine carries the NULL through the union)
+        f"LEFT JOIN __fill_q ON __fill_q.{x} <=> __fill_s.__fill_x "
         f"ORDER BY __fill_x"
     )
     notes.append(
@@ -2676,8 +2700,13 @@ def _rewrite_asof_join(sql: str, notes: list[str]) -> str:
         if re.search(rf"\b{re.escape(rtbl)}\s*\.", sql):
             return sql  # b-qualified refs would dangle after flattening
         ks = ", ".join(keys)
-        bsrv = _survivor_subquery(
-            rtbl, f"{ks}, {t}", ", ".join(b_payload) or ks, "__asof_bd", "__asof_rn"
+        # the deduped right side is computed ONCE as a top-level CTE and
+        # referenced by both the union branch and the join-back (Spark
+        # does not reuse textually-duplicated subquery plans)
+        n_cte = len(re.findall(r"__asof_bd\d+", sql))
+        cte_name = f"__asof_bd{n_cte}"
+        cte = cte_name + " AS " + _survivor_body(
+            rtbl, f"{ks}, {t}", ", ".join(b_payload) or ks, "__asof_rn"
         )
         a_branch = (
             f"SELECT {ks}, {t}, 1 AS __asof_src"
@@ -2689,7 +2718,7 @@ def _rewrite_asof_join(sql: str, notes: list[str]) -> str:
             f"SELECT {ks}, {t}, 0 AS __asof_src"
             + "".join(f", NULL AS {c}" for c in a_other)
             + f", {t} AS __asof_bt"
-            + f" FROM {bsrv}"
+            + f" FROM {cte_name}"
         )
         win = (
             f"SELECT *, last(__asof_bt, true) OVER (PARTITION BY {ks} "
@@ -2706,15 +2735,21 @@ def _rewrite_asof_join(sql: str, notes: list[str]) -> str:
             + [f"__asof_b.{c}" for c in b_payload]
         )
         join_kind = "LEFT JOIN" if left_kw else "JOIN"
-        bsrv2 = _survivor_subquery(
-            rtbl, f"{ks}, {t}", ", ".join(b_payload) or ks, "__asof_b", "__asof_rn"
-        )
         rep = (
             f"{kw} (SELECT {sel} FROM ({win}) __asof_w "
-            f"{join_kind} {bsrv2} ON {on} "
+            f"{join_kind} {cte_name} AS __asof_b ON {on} "
             f"WHERE __asof_w.__asof_src = 1) AS {ltbl}"
         )
         sql = sql[: m.start()] + rep + sql[m.end() :]
+        # hoist the survivor CTE to the statement's top level (CTEs are
+        # visible inside subqueries, so this is correct even when the
+        # ASOF join sits nested)
+        lead = len(sql) - len(sql.lstrip())
+        body = sql[lead:]
+        if re.match(r"WITH\b", body, re.IGNORECASE):
+            sql = sql[:lead] + "WITH " + cte + ", " + body[len("WITH") :].lstrip()
+        else:
+            sql = sql[:lead] + "WITH " + cte + " " + body
         notes.append(
             f"ASOF JOIN → union + last() carry on ({ks}; {t}); ties among "
             f"{rtbl} rows at one (key, t) resolve to the first row by "
@@ -2895,8 +2930,21 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
                    "(no external dictionaries in Spark)",
         "toWeek": "toISOWeek (ISO week numbering, exact on both engines)",
     }
+    def _first_real(pattern: str):
+        """First match OUTSIDE string literals — a literal containing the
+        pattern must neither trigger a false refusal nor MASK a real call
+        occurring later in the query."""
+        return next(
+            (
+                m
+                for m in re.finditer(pattern, sql)
+                if not _in_string(sql, m.start())
+            ),
+            None,
+        )
+
     for bad in _UNSUPPORTED:
-        if re.search(rf"\b{bad}\s*\(", sql):
+        if _first_real(rf"\b{bad}\s*\("):
             hint = f"; use {_redirect[bad]}" if bad in _redirect else ""
             raise ChTranslationError(
                 f"no faithful Spark translation for {bad}(){hint}"
@@ -2904,16 +2952,16 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     # -State / -Merge / -SimpleState combinators carry engine-internal
     # aggregate states (AggregateFunction columns) — nothing on the Spark
     # side can hold or merge them
-    st = re.search(r"\b([a-z]\w*?(?:State|Merge|SimpleState))\s*\(", sql)
-    if st and not _in_string(sql, st.start()):
+    st = _first_real(r"\b([a-z]\w*?(?:State|Merge|SimpleState))\s*\(")
+    if st:
         raise ChTranslationError(
             f"{st.group(1)}(): -State/-Merge combinators carry ClickHouse "
             "aggregate-function states, which have no Spark representation "
             "— aggregate the raw values instead (e.g. sum() over the "
             "source rows)"
         )
-    ri = re.search(r"\b(reinterpretAs\w+|reinterpret)\s*\(", sql)
-    if ri and not _in_string(sql, ri.start()):
+    ri = _first_real(r"\b(reinterpretAs\w+|reinterpret)\s*\(")
+    if ri:
         raise ChTranslationError(
             f"{ri.group(1)}(): raw-byte reinterpretation depends on CH's "
             "in-memory layouts — use an explicit CAST/conversion instead"

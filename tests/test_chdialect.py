@@ -1751,6 +1751,12 @@ def test_state_merge_combinators_refused():
     # ...but ordinary names and literals stay untouched
     got, _ = translate_ch_sql("SELECT 'sumState(x)' AS s, sumMap(k, v) FROM t")
     assert "sumState(x)" in got
+    # a literal occurrence must not MASK a real combinator call later in
+    # the query (review r7: first-match-only scan let it slip through)
+    with pytest.raises(ChTranslationError, match="State/-Merge"):
+        translate_ch_sql("SELECT 'sumState(x)' AS lbl, sumState(v) FROM t")
+    with pytest.raises(ChTranslationError, match="no faithful"):
+        translate_ch_sql("SELECT 'topK(' AS lbl, topK(3)(v) FROM t")
 
 
 def test_window_funnel_combined_modes(spark):
@@ -1982,3 +1988,39 @@ def test_translator_is_total_on_garbage():
             translate_ch_sql(s)
         except ChTranslationError:
             pass  # the only permitted failure mode
+
+
+def test_with_fill_to_without_from_and_null_rows(spark):
+    """Review r7 fixes: TO without FROM must execute (the bound may not
+    land inside a higher-order-function lambda), and rows whose
+    fill-column value is NULL keep their payload (null-safe join)."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    spark.createDataFrame(
+        [(1, 100), (None, 200), (3, 300)], "d int, n int"
+    ).createOrReplaceTempView("m")
+    got, _ = translate_ch_sql("SELECT d, n FROM m ORDER BY d WITH FILL TO 5")
+    rows = [tuple(r) for r in spark.sql(got).collect()]
+    # spine = min(d)=1 .. 4 (TO exclusive) ∪ originals incl. the NULL row
+    assert rows == [(None, 200), (1, 100), (2, None), (3, 300), (4, None)], rows
+    # FROM > TO: empty filler, originals survive
+    got2, _ = translate_ch_sql(
+        "SELECT d, n FROM m ORDER BY d WITH FILL FROM 9 TO 5"
+    )
+    rows2 = [tuple(r) for r in spark.sql(got2).collect()]
+    assert rows2 == [(None, 200), (1, 100), (3, 300)], rows2
+
+
+def test_asof_join_survivor_single_cte(spark):
+    """Review r7: the deduped right side is ONE top-level CTE referenced
+    twice, not two textually-duplicated survivor subqueries."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    tc = {"trades": ["k", "t", "price"], "quotes": ["k", "t", "bid"]}
+    got, _ = translate_ch_sql(
+        "SELECT k, t, price, bid FROM trades ASOF JOIN quotes USING (k, t)",
+        table_columns=tc,
+    )
+    assert got.lstrip().upper().startswith("WITH __ASOF_BD0")
+    assert got.count("row_number()") == 1
+    assert got.count("__asof_bd0") >= 3  # definition + union + join-back
