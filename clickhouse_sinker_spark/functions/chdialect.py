@@ -3157,19 +3157,34 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     return _translate_functions(_rewrite_brackets(sql)), notes
 
 
+_CH_SQL_CATALOG: "weakref.WeakKeyDictionary" = None  # lazy-initialized
+
+
 def ch_sql(spark, sql: str, sf_dir: str, table_keys=None):
     """Run a ClickHouse-dialect query against the testdata tables: registers
     each table as a temp view (via load_table's timestamp normalization)
-    and executes the translated SQL."""
+    and executes the translated SQL.  View registration and the catalog
+    walk are cached per (session, sf_dir) — both are pure functions of the
+    parquet schemas, and re-registering 10 views per query dominated the
+    translation cost in multi-query runs."""
+    global _CH_SQL_CATALOG
+    import weakref
+
     from ..sources.tables import load_table
 
+    if _CH_SQL_CATALOG is None:
+        _CH_SQL_CATALOG = weakref.WeakKeyDictionary()
     tables = (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     )
-    for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    arr_cols, tbl_cols = spark_catalog_info(spark, tables)
+    per_session = _CH_SQL_CATALOG.setdefault(spark, {})
+    if sf_dir not in per_session or per_session.get("__last__") != sf_dir:
+        for t in tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        per_session[sf_dir] = spark_catalog_info(spark, tables)
+        per_session["__last__"] = sf_dir
+    arr_cols, tbl_cols = per_session[sf_dir]
     translated, _notes = translate_ch_sql(
         sql,
         table_keys=table_keys,
