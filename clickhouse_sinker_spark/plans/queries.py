@@ -6287,21 +6287,23 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is an ordinary reviewed source edit.
 #
 # Layout of ``DRIVER_ORDER`` (round 7: close the never-driver-hashed set
-# to ZERO, per VERDICT r6 "next round" item 2):
+# to ZERO, per VERDICT r6 "next round" item 2) — 50 slots:
 # 1. The same 9-name anchor set as r6 — one long-green regression canary
 #    per §2 / LLM-pipeline family.
 # 2. ``etl_saturating_cast`` — re-hash required by the P7 fix: the query
 #    gained non-clamping high-magnitude columns covering the repaired
 #    [2^53, 2^64) double zones.
-# 3. The 18 queries that have NEVER had a driver hash
+# 3. The 18 queries that had NEVER had a driver hash
 #    (tools/driver_coverage.py r6 list) — after this window runs,
 #    never-hashed = 0 and the SURVEY §2 bar ("every operator has a passing
 #    CORRECTNESS entry") closes.
-# 4. Oldest-hash re-confirmations: the r1-era and r2/r3-era greens whose
-#    last driver row predates the r4 engine rewrites, plus
-#    ``etl_array_cast`` (last rows r04/r05, carries an r1 failure).
-# Round-7 additions (new dialect translations etc.) displace entries from
-# group 4 when registered — see the swap note below.
+# 4. Oldest-hash re-confirmations: r1-era (7) and r2/r3-era (8) greens
+#    whose last driver row predates the r4 engine rewrites.
+# 5. The 7 round-7 additions (strict_increase funnel, timed sequence,
+#    RIGHT ANY, sumMap, text-funcs batch, ASOF USING, WITH FILL) — these
+#    displaced dedup_levenshtein / text_tokens / text_fingerprint /
+#    text_bpe_tokens / text_winnow_fingerprint / dedup_winnow_overlap /
+#    etl_array_cast from group 4 (restore them in the r8 rotation).
 # Every remaining registered query follows in registration (source) order.
 # Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
 # every test run regardless of their position in this list.
