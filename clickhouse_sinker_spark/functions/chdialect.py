@@ -329,6 +329,7 @@ _RENAMES = {
     "replaceRegexpAll": "regexp_replace",
     "toDayOfYear": "dayofyear",
     "substringIndex": "substring_index",
+    "roundBankers": "bround",   # both are HALF_EVEN
     "editDistance": "levenshtein",
     "levenshteinDistance": "levenshtein",
     "mapFromArrays": "map_from_arrays",
@@ -397,6 +398,7 @@ _CASTS = {
     "toInt64": "BIGINT",
     "toFloat32": "DOUBLE",
     "toFloat64": "DOUBLE",
+    "toBool": "BOOLEAN",
     "toString": "STRING",
 }
 
@@ -438,6 +440,17 @@ _UNSUPPORTED = {
     "arrayShuffle",   # nondeterministic by definition
     "toWeek",         # CH mode-0 week numbering has no Spark equivalent
     "stringJaccardIndex",
+    "JSONExtractArrayRaw",  # raw-JSON element slicing has no Spark form
+    "JSONType",
+    "toTypeName",     # engine introspection
+    "toFixedString",  # Spark strings are unsized; drop the fixed width
+    "wordShingleSimHash",
+    "ngramDistance",
+    "multiFuzzyMatchAny",
+    "intExp2",        # use pow()/shiftleft explicitly
+    "intExp10",
+    "roundToExp2",
+    "roundDown",      # use width_bucket / CASE bucketing
 }
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -1146,8 +1159,34 @@ def _translate_functions(sql: str) -> str:
         ("JSONExtractUInt", "BIGINT"),
         ("JSONExtractFloat", "DOUBLE"),
         ("JSONExtractBool", "BOOLEAN"),
+        # simpleJSON* (aka visitParam*): the fast flat-document scanners —
+        # same results as the general forms on the flat metrics the
+        # reference parses (parser/gjson.go paths)
+        ("simpleJSONExtractString", None),
+        ("simpleJSONExtractRaw", None),
+        ("simpleJSONExtractInt", "BIGINT"),
+        ("simpleJSONExtractUInt", "BIGINT"),
+        ("simpleJSONExtractFloat", "DOUBLE"),
+        ("simpleJSONExtractBool", "BOOLEAN"),
     ]:
         sql = _rewrite_calls(sql, ch, lambda a, c=cast: _json_extract(a, c))
+    sql = _rewrite_calls(
+        sql, "simpleJSONHas", lambda a: f"({_json_extract(a, None)} IS NOT NULL)"
+    )
+    sql = _rewrite_calls(
+        sql,
+        "JSONExtractKeys",
+        lambda a: (
+            f"json_object_keys({a[0]})"
+            if len(a) == 1
+            else f"json_object_keys({_json_extract(a, None)})"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "toStringCutToZero",
+        lambda a: f"substring_index({a[0]}, char(0), 1)",
+    )
     sql = _rewrite_calls(
         sql, "JSONHas", lambda a: f"({_json_extract(a, None)} IS NOT NULL)"
     )

@@ -2024,3 +2024,38 @@ def test_asof_join_survivor_single_cte(spark):
     assert got.lstrip().upper().startswith("WITH __ASOF_BD0")
     assert got.count("row_number()") == 1
     assert got.count("__asof_bd0") >= 3  # definition + union + join-back
+
+
+def test_simple_json_keys_and_round_batch(spark):
+    """simpleJSON*/visitParam family, JSONExtractKeys (json_object_keys),
+    toStringCutToZero, roundBankers (both HALF_EVEN), toBool and its
+    auto-derived OrNull variant; introspection/sketch functions refuse."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [('{"a": 3, "b": {"c": 1.5}, "ok": true}', "x\x00y", 2.5)],
+        "j string, s string, v double",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT simpleJSONExtractInt(j, 'a') AS i, simpleJSONHas(j, 'b') AS h, "
+        "JSONExtractKeys(j) AS ks, JSONExtractKeys(j, 'b') AS kb, "
+        "toStringCutToZero(s) AS cz, roundBankers(v, 0) AS rb, "
+        "toBoolOrNull('zzz') AS tbn FROM t"
+    )
+    r = spark.sql(got).first()
+    assert r["i"] == 3 and r["h"] is True
+    assert r["ks"] == ["a", "b", "ok"] and r["kb"] == ["c"]
+    assert r["cz"] == "x"
+    assert r["rb"] == 2.0  # banker's rounding: 2.5 → 2
+    assert r["tbn"] is None
+    for bad in (
+        "SELECT toFixedString(s, 8) FROM t",
+        "SELECT toTypeName(v) FROM t",
+        "SELECT ngramDistance(s, s) FROM t",
+        "SELECT JSONType(j, 'a') FROM t",
+    ):
+        with pytest.raises(ChTranslationError, match="no faithful"):
+            translate_ch_sql(bad)
