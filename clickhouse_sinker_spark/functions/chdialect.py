@@ -207,6 +207,11 @@ generateUUIDv4
 toIPv4OrNull / IPv4Num-      canonical-string IP forms (zero-IP default
 ToString / IPv4StringToNum   on invalid, parser/fastjson.go:739-785)
 toUUIDOrNull(s)              validated lowercase UUID string
+simpleJSON*/visitParam*      same machinery as JSONExtract* (flat docs)
+JSONExtractKeys(j[, k])      json_object_keys([get_json_object])
+toStringCutToZero(s)         substring_index(s, char(0), 1)
+roundBankers(x[, n])         bround  (both HALF_EVEN)
+toBool[OrNull/OrZero](x)     CAST / TRY_CAST AS BOOLEAN
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output)
