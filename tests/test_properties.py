@@ -268,6 +268,57 @@ def test_components_star_equals_plain_on_random_graphs(spark, raw_edges):
     assert star == plain
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(0, 99)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_sql_translation_matches_native_operator(spark, lrows, rrows):
+    """Two independent in-repo implementations of the as-of join — the
+    CH-dialect SQL rewrite (union + last() carry + join-back) and the
+    native operators/asof.py plan — must agree on arbitrary random
+    trades/quotes, including equal timestamps, duplicate left rows, and
+    keys with no match.  The right side is pre-deduped per (k, t) with a
+    deterministic min so both tie conventions coincide."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+    from clickhouse_sinker_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, v) for k, t, v in lrows], "k int, t int, price int"
+    )
+    rdata = [(k, t, v) for k, t, v in rrows]
+    right = (
+        spark.createDataFrame(rdata or [(0, 0, 0)], "k int, t int, bid int")
+        .limit(len(rdata))
+        .groupBy("k", "t")
+        .agg(F.min("bid").alias("bid"))
+    )
+    left.createOrReplaceTempView("pa_trades")
+    right.createOrReplaceTempView("pa_quotes")
+    got, _ = translate_ch_sql(
+        "SELECT k, t, price, bid FROM pa_trades ASOF LEFT JOIN pa_quotes "
+        "USING (k, t)",
+        table_columns={
+            "pa_trades": ["k", "t", "price"],
+            "pa_quotes": ["k", "t", "bid"],
+        },
+    )
+    via_sql = sorted(tuple(r) for r in spark.sql(got).collect())
+    via_op = sorted(
+        (r["k"], r["t"], r["price"], r["bid_asof"])
+        for r in asof_join(left, right, on="k", ts="t", value_cols=["bid"]).collect()
+    )
+    assert via_sql == via_op
+
+
 def test_pii_scrub_idempotent(spark):
     """Scrubbing already-scrubbed text changes nothing: the [TAG] markers
     must not themselves match any PII pattern."""
