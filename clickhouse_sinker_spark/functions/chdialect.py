@@ -974,7 +974,7 @@ def _translate_functions(sql: str) -> str:
         sql = _rewrite_calls(
             sql, f"{ch}OrNull", lambda a, t=ty: f"TRY_CAST({a[0]} AS {t})"
         )
-        zero = "''" if ty == "STRING" else "0"
+        zero = {"STRING": "''", "BOOLEAN": "FALSE"}.get(ty, "0")
         sql = _rewrite_calls(
             sql,
             f"{ch}OrZero",
@@ -1173,6 +1173,14 @@ def _translate_functions(sql: str) -> str:
         ("simpleJSONExtractUInt", "BIGINT"),
         ("simpleJSONExtractFloat", "DOUBLE"),
         ("simpleJSONExtractBool", "BOOLEAN"),
+        # legacy visitParam* aliases of the simpleJSON family
+        # (ClickHouse docs list them 1:1; only the String/Has forms were
+        # covered before — the numeric tail fell through untranslated)
+        ("visitParamExtractRaw", None),
+        ("visitParamExtractInt", "BIGINT"),
+        ("visitParamExtractUInt", "BIGINT"),
+        ("visitParamExtractFloat", "DOUBLE"),
+        ("visitParamExtractBool", "BOOLEAN"),
     ]:
         sql = _rewrite_calls(sql, ch, lambda a, c=cast: _json_extract(a, c))
     sql = _rewrite_calls(
@@ -1181,10 +1189,12 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(
         sql,
         "JSONExtractKeys",
+        # CH returns [] (not NULL) for malformed / non-object input;
+        # Spark's json_object_keys yields NULL there — coalesce to match
         lambda a: (
-            f"json_object_keys({a[0]})"
-            if len(a) == 1
-            else f"json_object_keys({_json_extract(a, None)})"
+            "COALESCE(json_object_keys("
+            + (a[0] if len(a) == 1 else _json_extract(a, None))
+            + "), CAST(array() AS ARRAY<STRING>))"
         ),
     )
     sql = _rewrite_calls(
@@ -3207,10 +3217,15 @@ _CH_SQL_CATALOG: "weakref.WeakKeyDictionary" = None  # lazy-initialized
 def ch_sql(spark, sql: str, sf_dir: str, table_keys=None):
     """Run a ClickHouse-dialect query against the testdata tables: registers
     each table as a temp view (via load_table's timestamp normalization)
-    and executes the translated SQL.  View registration and the catalog
-    walk are cached per (session, sf_dir) — both are pure functions of the
-    parquet schemas, and re-registering 10 views per query dominated the
-    translation cost in multi-query runs."""
+    and executes the translated SQL.  The parquet loads and the catalog
+    walk are cached per session as a single ``(sf_dir, dfs, info)`` tuple —
+    both are pure functions of the parquet schemas, and re-loading 10
+    tables per query dominated the translation cost in multi-query runs.
+    The temp views themselves are re-asserted from the cached DataFrames on
+    EVERY call (a cheap driver-side catalog op), so an interleaved
+    ``createOrReplaceTempView`` of one of these names by other code cannot
+    silently leak into later ch_sql results.  Rewriting the parquet files
+    under ``sf_dir`` mid-session is not detected."""
     global _CH_SQL_CATALOG
     import weakref
 
@@ -3222,13 +3237,17 @@ def ch_sql(spark, sql: str, sf_dir: str, table_keys=None):
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     )
-    per_session = _CH_SQL_CATALOG.setdefault(spark, {})
-    if sf_dir not in per_session or per_session.get("__last__") != sf_dir:
-        for t in tables:
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-        per_session[sf_dir] = spark_catalog_info(spark, tables)
-        per_session["__last__"] = sf_dir
-    arr_cols, tbl_cols = per_session[sf_dir]
+    cached = _CH_SQL_CATALOG.get(spark)
+    if cached is None or cached[0] != sf_dir:
+        dfs = {t: load_table(spark, sf_dir, t) for t in tables}
+        for t, df in dfs.items():
+            df.createOrReplaceTempView(t)
+        cached = (sf_dir, dfs, spark_catalog_info(spark, tables))
+        _CH_SQL_CATALOG[spark] = cached
+    else:
+        for t, df in cached[1].items():
+            df.createOrReplaceTempView(t)
+    arr_cols, tbl_cols = cached[2]
     translated, _notes = translate_ch_sql(
         sql,
         table_keys=table_keys,

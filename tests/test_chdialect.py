@@ -130,6 +130,17 @@ def test_end_to_end_against_spark(spark):
     assert got == want and len(got) == 5
 
 
+def test_ch_sql_reasserts_views_over_foreign_registrations(spark):
+    """The per-session cache must not let an interleaved
+    createOrReplaceTempView of one of the ten table names leak into a
+    later ch_sql call — views are re-asserted from the cached DataFrames
+    on every invocation."""
+    n1 = ch_sql(spark, "SELECT count(*) AS n FROM events", SF_DIR).first()["n"]
+    spark.createDataFrame([(1,)], "user_id int").createOrReplaceTempView("events")
+    n2 = ch_sql(spark, "SELECT count(*) AS n FROM events", SF_DIR).first()["n"]
+    assert n1 == n2 and n1 > 1
+
+
 def test_end_to_end_array_join_and_split(spark):
     ch = """
         SELECT doc_id, arrayJoin(splitByChar(' ', text)) AS tok
@@ -2051,6 +2062,22 @@ def test_simple_json_keys_and_round_batch(spark):
     assert r["cz"] == "x"
     assert r["rb"] == 2.0  # banker's rounding: 2.5 → 2
     assert r["tbn"] is None
+    # review batch: toBoolOrZero must default to FALSE (not INT 0 — that
+    # fails COALESCE type unification); the legacy visitParam* numeric
+    # aliases share the simpleJSON machinery; JSONExtractKeys on
+    # non-object input yields [] like CH, not Spark's NULL
+    got2, _ = translate_ch_sql(
+        "SELECT toBoolOrZero('zzz') AS tbz, toBoolOrZero('true') AS tbt, "
+        "visitParamExtractInt(j, 'a') AS vi, "
+        "visitParamExtractFloat(j, 'a') AS vf, "
+        "visitParamExtractBool(j, 'ok') AS vb, "
+        "JSONExtractKeys('[1,2]') AS knb, "
+        "JSONExtractKeys('not json') AS kmal FROM t"
+    )
+    r2 = spark.sql(got2).first()
+    assert r2["tbz"] is False and r2["tbt"] is True
+    assert r2["vi"] == 3 and r2["vf"] == 3.0 and r2["vb"] is True
+    assert r2["knb"] == [] and r2["kmal"] == []
     for bad in (
         "SELECT toFixedString(s, 8) FROM t",
         "SELECT toTypeName(v) FROM t",
