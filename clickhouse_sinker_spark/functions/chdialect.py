@@ -212,11 +212,41 @@ JSONExtractKeys(j[, k])      json_object_keys([get_json_object])
 toStringCutToZero(s)         substring_index(s, char(0), 1)
 roundBankers(x[, n])         bround  (both HALF_EVEN)
 toBool[OrNull/OrZero](x)     CAST / TRY_CAST AS BOOLEAN
+URLDomain/topLevelDomain/    parse_url compositions (TLD '' on IP hosts
+pathFull/cutQueryString/     like CH; cutQueryString keeps #fragment;
+cutFragment/cut…AndFragment  '?' inside a fragment is data, not a cut)
+de/encodeURLComponent        url_decode / url_encode ('+'→'%20' fixup;
+                             residual form-encoding deltas noted)
+toInterval{Second…Year}(n)   make_interval slot forms (Quarter = 3 mo)
+exp2/exp10 / intExp2/10      power(2|10, x) / shiftleft(1L, x) and
+                             exact double→BIGINT power (≤2^62 / 10^18)
+parseDateTime[64]BestEffort  TRY_CAST ∪ try_to_timestamp layout chain ∪
+  [OrNull/OrZero](s)         9-10-digit epoch; NULL on no-match where
+                             base form in CH throws (noted)
+format('{} {N}', …)          format_string('%s %N$s', …), {{}} escapes,
+                             mixed auto+indexed refused (CH forbids too)
+replaceOne(s, a, b)          first-occurrence locate() splice
+toYYYYMMDDhhmmss(t)          date_format 'yyyyMMddHHmmss' → BIGINT
+wordCount(s)                 size(split(trim(s), '\\s+')), '' → 0
+skewPop/kurtPop(x)           skewness / kurtosis + 3 (Spark kurtosis is
+                             excess; sample forms refused)
+emptyArray<T>()              CAST(array() AS ARRAY<T>)
+formatReadableSize/Quantity  nested-CASE '%.2f' + unit tier
+tuple(…)/tupleElement(t, i)  named_struct('_1', …) / field access by
+                             position (_N names) or literal name
+topK(N)(x)                   EXACT heavy-hitters: frequency fold over
+                             one collect_list, ties by value asc (CH
+                             order unspecified)
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
-arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output)
-histogram / bar / format-
-Readable* / topK[Weighted]
+arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output /
+histogram / bar / format-    no Spark builtin: gcd lcm erf lgamma
+ReadableTimeDelta / topK-    tgamma punycode* normalizeUTF8* Farm/Java/
+Weighted / deltaSum* /       Hive hashes / order-dependent aggregates /
+replaceRegexpOne / skew-     replace-first regex / sample moments /
+Samp / kurtSamp / running-   public-suffix list (firstSignificant-
+Concurrency / sumWith-       Subdomain)
+Overflow / gcd / lcm
 ANY LEFT/INNER JOIN t        plain join against the keyed survivor
   USING (k…)                 subquery (row_number()=1, tie-break by the
                              table's remaining orderable columns —
@@ -423,7 +453,9 @@ _UNSUPPORTED = {
     "cityHash64",
     "sipHash64",
     "halfMD5",
-    "topK",
+    "farmHash64",     # CH/Farm/Java/Hive hash families have no Spark twin
+    "javaHash",
+    "hiveHash",
     "topKWeighted",
     "neighbor",
     "runningDifference",
@@ -435,8 +467,6 @@ _UNSUPPORTED = {
     "sparkBar",
     "sparkbar",
     "bar",
-    "formatReadableSize",
-    "formatReadableQuantity",
     "formatReadableTimeDelta",
     "dictGet",
     "dictGetOrDefault",
@@ -452,10 +482,32 @@ _UNSUPPORTED = {
     "wordShingleSimHash",
     "ngramDistance",
     "multiFuzzyMatchAny",
-    "intExp2",        # use pow()/shiftleft explicitly
-    "intExp10",
-    "roundToExp2",
+    "roundToExp2",    # floor-to-power-of-2: log2 boundary rounding unsafe
     "roundDown",      # use width_bucket / CASE bucketing
+    "gcd",            # no Spark builtin; no closed-form SQL expression
+    "lcm",
+    "erf",            # special functions absent from Spark SQL
+    "erfc",
+    "lgamma",
+    "tgamma",
+    "normalizeQuery",        # CH query-text fingerprinting — engine-internal
+    "normalizeQueryKeepNames",
+    "normalizeUTF8NFC",      # Spark has no Unicode-normalization builtin
+    "normalizeUTF8NFD",
+    "normalizeUTF8NFKC",
+    "normalizeUTF8NFKD",
+    "punycodeEncode",
+    "punycodeDecode",
+    "bitmaskToList",
+    "runningConcurrency",    # block-order-dependent, like runningDifference
+    "deltaSum",              # order-dependent aggregate: use window lag()
+    "deltaSumTimestamp",
+    "sumWithOverflow",       # wrapping sum vs Spark ANSI overflow error
+    "replaceRegexpOne",      # Spark regexp_replace is always replace-ALL
+    "skewSamp",              # Spark exposes population moments only
+    "kurtSamp",
+    "firstSignificantSubdomain",   # needs CH's public-suffix list
+    "cutToFirstSignificantSubdomain",
 }
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -587,6 +639,115 @@ def _to_datetime64(a: list[str]) -> str:
             "drop the third argument"
         )
     return f"CAST({a[0]} AS TIMESTAMP)"
+
+
+def _ch_format(a: list[str]) -> str:
+    """``format('pat', args…)`` → ``format_string``: CH patterns use ``{}``
+    (sequential) or ``{N}`` (0-based positional) placeholders with ``{{``/
+    ``}}`` brace escapes; Java's Formatter equivalents are ``%s`` and
+    ``%{N+1}$s``.  Mixing the two placeholder styles is an error in CH
+    itself, so it refuses here too.  Literal ``%`` is escaped to ``%%``."""
+    if len(a) < 2:
+        raise ChTranslationError("format() requires a pattern and ≥1 argument")
+    fmt = a[0].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'")):
+        raise ChTranslationError("format() requires a string-literal pattern")
+    body, out, i, saw_auto, saw_idx = fmt[1:-1], [], 0, False, False
+    while i < len(body):
+        c = body[i]
+        if c == "{" and i + 1 < len(body) and body[i + 1] == "{":
+            out.append("{")
+            i += 2
+        elif c == "}" and i + 1 < len(body) and body[i + 1] == "}":
+            out.append("}")
+            i += 2
+        elif c == "{":
+            j = body.find("}", i)
+            if j < 0:
+                raise ChTranslationError(f"format(): unbalanced '{{' in {fmt}")
+            inner = body[i + 1 : j].strip()
+            if inner == "":
+                saw_auto = True
+                out.append("%s")
+            elif inner.isdigit():
+                saw_idx = True
+                out.append(f"%{int(inner) + 1}$s")
+            else:
+                raise ChTranslationError(
+                    f"format(): unsupported placeholder {{{inner}}} (only "
+                    "{} and {N} exist in ClickHouse format())"
+                )
+            i = j + 1
+        elif c == "%":
+            out.append("%%")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    if saw_auto and saw_idx:
+        raise ChTranslationError(
+            "format(): cannot mix {} and {N} placeholders (CH forbids it too)"
+        )
+    return f"format_string('{''.join(out)}', {', '.join(a[1:])})"
+
+
+# parseDateTimeBestEffort: practical subset of CH's best-effort grammar —
+# ISO forms via TRY_CAST, the common non-ISO layouts the reference's own
+# 25-layout chain covers (parser/parser.go:31-65), and bare 9-10-digit
+# strings read as epoch seconds.  NULL on no-match in the base form (CH
+# throws; Spark SQL rewrites cannot throw data-dependent errors — noted).
+_BEST_EFFORT_FMTS = (
+    "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy", "MM/dd/yyyy HH:mm:ss",
+    "yyyyMMdd HH:mm:ss", "yyyyMMddHHmmss", "yyyyMMdd",
+    "dd MMM yyyy HH:mm:ss", "dd-MMM-yyyy HH:mm:ss",
+)
+
+
+def _parse_best_effort(x: str) -> str:
+    chain = ", ".join(
+        [f"TRY_CAST({x} AS TIMESTAMP)"]
+        + [f"try_to_timestamp({x}, '{f}')" for f in _BEST_EFFORT_FMTS]
+        + [
+            f"CASE WHEN {x} RLIKE '^[0-9]{{9,10}}$' "
+            f"THEN to_timestamp(CAST({x} AS BIGINT)) END"
+        ]
+    )
+    return f"coalesce({chain})"
+
+
+def _format_readable(x: str, base: float, units) -> str:
+    """Nested-CASE human formatter ('%.2f' + unit at the first tier where
+    the scaled magnitude fits) — formatReadableSize / -Quantity.  Callers
+    embed the unit separator in the unit strings."""
+    xd = f"CAST({x} AS DOUBLE)"
+    branches = [
+        f"WHEN abs({xd}) < {base ** (i + 1)!r} "
+        f"THEN format_string('%.2f{u}', {xd} / {base ** i!r})"
+        for i, u in enumerate(units[:-1])
+    ]
+    branches.append(
+        f"ELSE format_string('%.2f{units[-1]}', "
+        f"{xd} / {base ** (len(units) - 1)!r})"
+    )
+    return f"(CASE {' '.join(branches)} END)"
+
+
+def _tuple_element(a: list[str]) -> str:
+    """``tupleElement(t, N)`` → ``t._N`` (the 1-based names our ``tuple()``
+    rewrite assigns via named_struct); ``tupleElement(t, 'name')`` →
+    ``t.name`` (structs from real data keep their field names).  Dynamic
+    (non-literal) element selectors have no Spark form."""
+    if len(a) != 2:
+        raise ChTranslationError("tupleElement requires (tuple, index-or-name)")
+    idx = a[1].strip()
+    if idx.isdigit():
+        return f"({a[0]}).`_{idx}`"
+    if idx.startswith("'") and idx.endswith("'"):
+        return f"({a[0]}).`{idx[1:-1]}`"
+    raise ChTranslationError(
+        "tupleElement needs an integer or string literal selector "
+        "(dynamic element access has no Spark equivalent)"
+    )
 
 
 _FUNNEL_MODES = {"strict_order", "strict_deduplication", "strict_increase"}
@@ -1031,6 +1192,37 @@ def _translate_functions(sql: str) -> str:
             ) from e
         x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
         sql = sql[:at] + f"least(count(DISTINCT {x}), {n + 1})" + sql[end2:]
+    # topK(N)(x): CH's approximate heavy-hitters list, computed EXACTLY
+    # here — per-group frequency fold over one collect_list (Spark dedups
+    # the two textually identical aggregate calls into a single buffer);
+    # ties broken by value ascending where CH's order is unspecified
+    while True:
+        at = _find_call(sql, "topK")
+        if at < 0:
+            break
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError("topK requires the (N)(x) combinator form")
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        n_raw = sql[open1 + 1 : end1 - 1].strip()
+        try:
+            n = int(n_raw)
+        except ValueError as e:
+            raise ChTranslationError(
+                f"topK requires an integer literal N, got {n_raw!r}"
+            ) from e
+        x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
+        cl = f"collect_list({x})"
+        expr = (
+            f"slice(transform(array_sort(transform(array_distinct({cl}), "
+            f"__tk_v -> struct(-size(filter({cl}, "
+            f"__tk_e -> __tk_e <=> __tk_v)) AS __tk_c, __tk_v AS __tk_v))), "
+            f"__tk_s -> __tk_s.__tk_v), 1, {n})"
+        )
+        sql = sql[:at] + expr + sql[end2:]
     sql = _rewrite_quantile(sql, "quantilesExact", "percentile", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantilesTiming", "percentile_approx", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantiles", "percentile_approx", wrap_array=True)
@@ -1232,6 +1424,150 @@ def _translate_functions(sql: str) -> str:
         sql, "domainWithoutWWW",
         lambda a: f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')",
     )
+    sql = _rewrite_calls(sql, "URLDomain", lambda a: f"parse_url({a[0]}, 'HOST')")
+    sql = _rewrite_calls(
+        sql, "topLevelDomain",
+        # CH yields '' for IP-literal / invalid hosts; the letters-only
+        # last-label guard keeps IPs and bare names out, matching that
+        lambda a: (
+            f"CASE WHEN parse_url({a[0]}, 'HOST') RLIKE "
+            "'\\\\.[A-Za-z][A-Za-z0-9-]*$' "
+            f"THEN substring_index(parse_url({a[0]}, 'HOST'), '.', -1) "
+            "ELSE '' END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "pathFull",
+        # CH pathFull = path + ?query + #fragment
+        lambda a: (
+            f"concat(parse_url({a[0]}, 'PATH'), "
+            f"coalesce(concat('?', parse_url({a[0]}, 'QUERY')), ''), "
+            f"coalesce(concat('#', parse_url({a[0]}, 'REF')), ''))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "cutQueryString",
+        # CH drops '?query' but KEEPS '#fragment'.  A '?' is only a query
+        # delimiter when it precedes any '#' (a '?' inside the fragment is
+        # data); when cutting, re-append the fragment the cut removed.
+        lambda a: (
+            f"CASE WHEN locate('?', {a[0]}) > 0 AND (locate('#', {a[0]}) = 0 "
+            f"OR locate('?', {a[0]}) < locate('#', {a[0]})) "
+            f"THEN concat(substring_index({a[0]}, '?', 1), "
+            f"coalesce(concat('#', parse_url({a[0]}, 'REF')), '')) "
+            f"ELSE {a[0]} END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "cutFragment", lambda a: f"substring_index({a[0]}, '#', 1)"
+    )
+    sql = _rewrite_calls(
+        sql, "cutQueryStringAndFragment",
+        lambda a: f"substring_index(substring_index({a[0]}, '#', 1), '?', 1)",
+    )
+    sql = _rewrite_calls(sql, "decodeURLComponent", lambda a: f"url_decode({a[0]})")
+    sql = _rewrite_calls(
+        sql, "encodeURLComponent",
+        # url_encode is form-encoding (space → '+'); CH percent-encodes —
+        # the '+'→'%20' fixup covers the one divergent character class
+        lambda a: f"replace(url_encode({a[0]}), '+', '%20')",
+    )
+    # interval constructors (date arithmetic: ts + toIntervalDay(3))
+    for ch, slot in [
+        ("toIntervalYear", 0), ("toIntervalMonth", 1), ("toIntervalWeek", 2),
+        ("toIntervalDay", 3), ("toIntervalHour", 4), ("toIntervalMinute", 5),
+        ("toIntervalSecond", 6),
+    ]:
+        def _mk(a, s=slot):
+            parts = ["0"] * 7
+            parts[s] = f"({a[0]})"
+            return f"make_interval({', '.join(parts)})"
+        sql = _rewrite_calls(sql, ch, _mk)
+    sql = _rewrite_calls(
+        sql, "toIntervalQuarter",
+        lambda a: f"make_interval(0, ({a[0]}) * 3, 0, 0, 0, 0, 0)",
+    )
+    # power-of-base shortcuts; the int forms stay exact in the Int64 range
+    # (doubles represent every power of 2 ≤ 2^62 and of 10 ≤ 10^18 exactly)
+    sql = _rewrite_calls(sql, "exp2", lambda a: f"power(2, {a[0]})")
+    sql = _rewrite_calls(sql, "exp10", lambda a: f"power(10, {a[0]})")
+    sql = _rewrite_calls(
+        sql, "intExp2", lambda a: f"shiftleft(CAST(1 AS BIGINT), {a[0]})"
+    )
+    sql = _rewrite_calls(
+        sql, "intExp10", lambda a: f"CAST(power(10, {a[0]}) AS BIGINT)"
+    )
+    for be in ("parseDateTimeBestEffortOrNull", "parseDateTime64BestEffortOrNull"):
+        sql = _rewrite_calls(sql, be, lambda a: _parse_best_effort(a[0]))
+    for be in ("parseDateTimeBestEffortOrZero", "parseDateTime64BestEffortOrZero"):
+        sql = _rewrite_calls(
+            sql, be,
+            lambda a: (
+                f"coalesce({_parse_best_effort(a[0])}, "
+                "TIMESTAMP '1970-01-01 00:00:00')"
+            ),
+        )
+    for be in ("parseDateTimeBestEffort", "parseDateTime64BestEffort"):
+        sql = _rewrite_calls(sql, be, lambda a: _parse_best_effort(a[0]))
+    sql = _rewrite_calls(sql, "format", _ch_format)
+    sql = _rewrite_calls(
+        sql, "replaceOne",
+        # first-occurrence splice; locate() is re-evaluated but cheap
+        lambda a: (
+            f"CASE WHEN locate({a[1]}, {a[0]}) > 0 "
+            f"THEN concat(substring({a[0]}, 1, locate({a[1]}, {a[0]}) - 1), "
+            f"{a[2]}, substring({a[0]}, locate({a[1]}, {a[0]}) + length({a[1]}))) "
+            f"ELSE {a[0]} END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "toYYYYMMDDhhmmss",
+        lambda a: f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)",
+    )
+    sql = _rewrite_calls(
+        sql, "wordCount",
+        lambda a: (
+            f"CASE WHEN trim({a[0]}) = '' THEN 0 "
+            f"ELSE size(split(trim({a[0]}), '\\\\s+')) END"
+        ),
+    )
+    # population moments: Spark skewness/kurtosis ARE the population forms
+    # (kurtosis is excess — CH kurtPop is not, hence the +3)
+    sql = _rewrite_calls(sql, "skewPop", lambda a: f"skewness({a[0]})")
+    sql = _rewrite_calls(sql, "kurtPop", lambda a: f"(kurtosis({a[0]}) + 3)")
+    for suffix, ty in [
+        ("UInt8", "BIGINT"), ("UInt16", "BIGINT"), ("UInt32", "BIGINT"),
+        ("UInt64", "DECIMAL(20,0)"), ("Int8", "BIGINT"), ("Int16", "BIGINT"),
+        ("Int32", "BIGINT"), ("Int64", "BIGINT"), ("Float32", "DOUBLE"),
+        ("Float64", "DOUBLE"), ("String", "STRING"), ("Date", "DATE"),
+        ("DateTime", "TIMESTAMP"),
+    ]:
+        sql = _rewrite_calls(
+            sql, f"emptyArray{suffix}",
+            lambda a, t=ty: f"CAST(array() AS ARRAY<{t}>)",
+        )
+    sql = _rewrite_calls(
+        sql, "formatReadableSize",
+        lambda a: _format_readable(
+            a[0], 1024.0,
+            [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB"],
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "formatReadableQuantity",
+        lambda a: _format_readable(
+            a[0], 1000.0, ["", " thousand", " million", " billion", " trillion"],
+        ),
+    )
+    # tuple → named_struct with CH-style 1-based element names, so both
+    # tupleElement(t, N) and tupleElement(t, 'name') become field access
+    sql = _rewrite_calls(
+        sql, "tuple",
+        lambda a: "named_struct("
+        + ", ".join(f"'_{i + 1}', {x}" for i, x in enumerate(a))
+        + ")",
+    )
+    sql = _rewrite_calls(sql, "tupleElement", _tuple_element)
     # maps
     sql = _rewrite_calls(sql, "mapKeys", lambda a: f"map_keys({a[0]})")
     sql = _rewrite_calls(sql, "mapValues", lambda a: f"map_values({a[0]})")

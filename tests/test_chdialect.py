@@ -95,7 +95,7 @@ def test_unsupported_raises_not_mistranslates():
     with pytest.raises(ChTranslationError):
         T("SELECT cityHash64(event_type) FROM events")
     with pytest.raises(ChTranslationError):
-        T("SELECT topK(3)(event_type) FROM events")
+        T("SELECT topKWeighted(3)(event_type, value) FROM events")
 
 
 def test_end_to_end_against_spark(spark):
@@ -1738,7 +1738,7 @@ def test_map_aggregates_and_value_transform(spark):
         ("SELECT histogram(5)(v) FROM t", "bucketing"),
         ("SELECT topKWeighted(3)(v, 2) FROM t", "top-k"),
         ("SELECT rowNumberInAllBlocks() FROM t", "row_number"),
-        ("SELECT formatReadableSize(v) FROM t", "no faithful"),
+        ("SELECT formatReadableTimeDelta(v) FROM t", "no faithful"),
     ):
         with pytest.raises(ChTranslationError, match="no faithful"):
             translate_ch_sql(bad)
@@ -1767,7 +1767,10 @@ def test_state_merge_combinators_refused():
     with pytest.raises(ChTranslationError, match="State/-Merge"):
         translate_ch_sql("SELECT 'sumState(x)' AS lbl, sumState(v) FROM t")
     with pytest.raises(ChTranslationError, match="no faithful"):
-        translate_ch_sql("SELECT 'topK(' AS lbl, topK(3)(v) FROM t")
+        translate_ch_sql("SELECT 'deltaSum(' AS lbl, deltaSum(v) FROM t")
+    # a now-TRANSLATED combinator behind a literal decoy still rewrites
+    got2, _ = translate_ch_sql("SELECT 'topK(' AS lbl, topK(3)(v) FROM t")
+    assert "'topK('" in got2 and "collect_list(v)" in got2
 
 
 def test_window_funnel_combined_modes(spark):
@@ -2085,4 +2088,125 @@ def test_simple_json_keys_and_round_batch(spark):
         "SELECT JSONType(j, 'a') FROM t",
     ):
         with pytest.raises(ChTranslationError, match="no faithful"):
+            translate_ch_sql(bad)
+
+
+def test_url_tail_batch(spark):
+    """URLDomain/topLevelDomain/pathFull/cutQueryString/cutFragment/
+    cutQueryStringAndFragment/decodeURLComponent/encodeURLComponent."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    spark.createDataFrame(
+        [
+            ("http://www.ex.com/a/b?x=1&y=2#frag",),
+            ("http://127.0.0.1/q?z=9",),
+            ("http://ex.net/#only",),
+        ],
+        "u string",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT URLDomain(u) AS d, topLevelDomain(u) AS tld, "
+        "pathFull(u) AS pf, cutQueryString(u) AS cq, cutFragment(u) AS cf, "
+        "cutQueryStringAndFragment(u) AS cqf FROM t"
+    )
+    r = spark.sql(got).collect()
+    assert r[0]["d"] == "www.ex.com" and r[0]["tld"] == "com"
+    assert r[0]["pf"] == "/a/b?x=1&y=2#frag"
+    # the '?' cut keeps the fragment like ClickHouse
+    assert r[0]["cq"] == "http://www.ex.com/a/b#frag"
+    assert r[0]["cf"] == "http://www.ex.com/a/b?x=1&y=2"
+    assert r[0]["cqf"] == "http://www.ex.com/a/b"
+    assert r[1]["tld"] == ""  # IP-literal host → '' like CH
+    assert r[2]["cq"] == "http://ex.net/#only"  # no query → unchanged
+    enc, _ = translate_ch_sql(
+        "SELECT decodeURLComponent('a%20b%26c') AS d, "
+        "encodeURLComponent('a b&c') AS e"
+    )
+    row = spark.sql(enc).first()
+    assert row["d"] == "a b&c" and row["e"] == "a%20b%26c"
+
+
+def test_intervals_exp_datetime_format_batch(spark):
+    """toInterval* family, exp2/exp10/intExp2/intExp10 (exactness in the
+    2^53+ zone), parseDateTimeBestEffort chain, format() placeholders,
+    replaceOne, toYYYYMMDDhhmmss, wordCount."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, _ = translate_ch_sql(
+        "SELECT CAST(TIMESTAMP'2020-01-01 00:00:00' + toIntervalDay(3) AS STRING) AS d3, "
+        "CAST(TIMESTAMP'2020-01-01 00:00:00' + toIntervalQuarter(1) AS STRING) AS q1, "
+        "exp2(3) AS e2, intExp2(58) AS i2, intExp10(18) AS i10, "
+        "parseDateTimeBestEffort('15/08/2021 10:00:00') AS pb, "
+        "parseDateTimeBestEffortOrNull('garbage') AS pn, "
+        "CAST(parseDateTimeBestEffortOrZero('garbage') AS STRING) AS pz, "
+        "parseDateTimeBestEffort('1600000000') AS pe, "
+        "format('{} has {} items', 'cart', 5) AS f1, "
+        "format('{1} then {0}', 'a', 'b') AS f2, "
+        "replaceOne('aXbXc', 'X', '-') AS r1, "
+        "toYYYYMMDDhhmmss(TIMESTAMP'2021-08-15 10:20:30') AS ymd, "
+        "wordCount('  two  words ') AS wc, wordCount('') AS wc0"
+    )
+    r = spark.sql(got).first()
+    assert r["d3"] == "2020-01-04 00:00:00" and r["q1"] == "2020-04-01 00:00:00"
+    assert r["e2"] == 8.0
+    assert r["i2"] == 2**58 and r["i10"] == 10**18  # exact, not shortest-repr
+    assert str(r["pb"]).startswith("2021-08-15 10:00")
+    assert r["pn"] is None and r["pz"].startswith("1970-01-01")
+    assert str(r["pe"]).startswith("2020-09-13")
+    assert r["f1"] == "cart has 5 items" and r["f2"] == "b then a"
+    assert r["r1"] == "a-bXc"
+    assert r["ymd"] == 20210815102030
+    assert r["wc"] == 2 and r["wc0"] == 0
+    with pytest.raises(ChTranslationError, match="mix"):
+        translate_ch_sql("SELECT format('{} {0}', 'a', 'b')")
+
+
+def test_topk_moments_readable_tuple_batch(spark):
+    """topK exact heavy-hitters, skewPop/kurtPop, formatReadableSize/
+    Quantity, emptyArray*, tuple/tupleElement; new refusals are loud."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [(x,) for x in [1, 1, 1, 2, 2, 3]], "n int"
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql("SELECT topK(2)(n) AS tk FROM t")
+    assert spark.sql(got).first()["tk"] == [1, 2]
+    got, _ = translate_ch_sql(
+        "SELECT skewPop(n) AS sk, kurtPop(n) AS ku FROM t"
+    )
+    r = spark.sql(got).first()
+    # population moments for [1,1,1,2,2,3]: computed against closed form
+    import statistics
+
+    data = [1, 1, 1, 2, 2, 3]
+    m = statistics.fmean(data)
+    m2 = statistics.fmean([(x - m) ** 2 for x in data])
+    m3 = statistics.fmean([(x - m) ** 3 for x in data])
+    m4 = statistics.fmean([(x - m) ** 4 for x in data])
+    assert abs(r["sk"] - m3 / m2**1.5) < 1e-9
+    assert abs(r["ku"] - m4 / m2**2) < 1e-9
+    got, _ = translate_ch_sql(
+        "SELECT formatReadableSize(1536) AS s, "
+        "formatReadableQuantity(1234567) AS q, "
+        "emptyArrayInt64() AS ea, "
+        "tupleElement(tuple(1, 'x'), 2) AS te"
+    )
+    r = spark.sql(got).first()
+    assert r["s"] == "1.50 KiB" and r["q"] == "1.23 million"
+    assert r["ea"] == [] and r["te"] == "x"
+    for bad in (
+        "SELECT gcd(n, 3) FROM t",
+        "SELECT deltaSum(n) FROM t",
+        "SELECT replaceRegexpOne('a', 'b', 'c')",
+        "SELECT skewSamp(n) FROM t",
+        "SELECT topKWeighted(2)(n, n) FROM t",
+        "SELECT sumWithOverflow(n) FROM t",
+    ):
+        with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
