@@ -716,19 +716,33 @@ def _parse_best_effort(x: str) -> str:
 
 
 def _format_readable(x: str, base: float, units) -> str:
-    """Nested-CASE human formatter ('%.2f' + unit at the first tier where
-    the scaled magnitude fits) — formatReadableSize / -Quantity.  Callers
-    embed the unit separator in the unit strings."""
+    """Nested-CASE human formatter (two decimals + unit at the first tier
+    where the scaled magnitude fits) — formatReadableSize / -Quantity.
+    Callers embed the unit separator in the unit strings.
+
+    Rounding is integer cents = floor(scaled * 100 + 0.5): half-up ON THE
+    BINARY double, so the result is a pure function of the IEEE value and
+    any engine (Spark, DuckDB, CH) reproduces it bit-for-bit.  Java's
+    format_string('%.2f') is NOT — it half-ups the shortest decimal repr
+    (19.525 stored as 19.52499…98 still prints '19.53'), which diverges
+    from C printf's exact-binary rounding on every shortest-repr .xx5."""
     xd = f"CAST({x} AS DOUBLE)"
+
+    def tier(i: int, u: str) -> str:
+        cents = (
+            f"CAST(floor(abs({xd}) / {base ** i!r} * 100 + 0.5) AS BIGINT)"
+        )
+        return (
+            f"concat(CASE WHEN {xd} < 0 THEN '-' ELSE '' END, "
+            f"CAST({cents} DIV 100 AS STRING), '.', "
+            f"lpad(CAST({cents} % 100 AS STRING), 2, '0'), '{u}')"
+        )
+
     branches = [
-        f"WHEN abs({xd}) < {base ** (i + 1)!r} "
-        f"THEN format_string('%.2f{u}', {xd} / {base ** i!r})"
+        f"WHEN abs({xd}) < {base ** (i + 1)!r} THEN {tier(i, u)}"
         for i, u in enumerate(units[:-1])
     ]
-    branches.append(
-        f"ELSE format_string('%.2f{units[-1]}', "
-        f"{xd} / {base ** (len(units) - 1)!r})"
-    )
+    branches.append(f"ELSE {tier(len(units) - 1, units[-1])}")
     return f"(CASE {' '.join(branches)} END)"
 
 

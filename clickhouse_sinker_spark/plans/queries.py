@@ -5995,6 +5995,101 @@ def ch_dialect_text_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_TEXT_FUNCS, sf_dir)
 
 
+CH_DIALECT_URL_READABLE = """
+    SELECT lang,
+           count(*) AS n_docs,
+           arrayStringConcat(topK(3)(source), ',') AS top_sources,
+           formatReadableQuantity(sum(n_chars)) AS chars_readable,
+           formatReadableSize(max(n_chars)) AS max_readable,
+           format('{} docs in {}', toString(count(*)), lang) AS label,
+           intExp2(58) AS pin_exp2,
+           URLDomain(concat('http://www.', min(source), '.com/a/b?x=1#f'))
+             AS dom,
+           topLevelDomain(concat('http://www.', min(source), '.com/a/b?x=1#f'))
+             AS tld,
+           cutQueryString(concat('http://www.', min(source), '.com/a/b?x=1#f'))
+             AS cut,
+           toYYYYMMDDhhmmss(parseDateTimeBestEffort('15/08/2021 10:20:30'))
+             AS pin_ts
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@query(
+    "ch_dialect_url_readable",
+    """
+    WITH cnt AS (
+      SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source
+    ), tops AS (
+      SELECT lang,
+             array_to_string((list(source ORDER BY c DESC, source ASC))[:3],
+                             ',') AS top_sources
+      FROM cnt GROUP BY lang
+    ), agg AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS DOUBLE) AS sum_chars,
+             CAST(max(n_chars) AS DOUBLE) AS max_chars,
+             min(source) AS min_src
+      FROM documents GROUP BY lang
+    )
+    SELECT a.lang AS lang, a.n_docs AS n_docs, t.top_sources AS top_sources,
+      -- cents = floor(scaled*100 + 0.5) on the identical IEEE double:
+      -- the engine-independent half-up-on-binary rule the translation uses
+      CASE WHEN abs(sum_chars) < 1000 THEN
+             CAST(CAST(floor(sum_chars * 100 + 0.5) AS BIGINT) // 100
+                  AS VARCHAR) || '.' ||
+             lpad(CAST(CAST(floor(sum_chars * 100 + 0.5) AS BIGINT) % 100
+                  AS VARCHAR), 2, '0')
+           WHEN abs(sum_chars) < 1000000 THEN
+             CAST(CAST(floor(sum_chars / 1000.0 * 100 + 0.5) AS BIGINT) // 100
+                  AS VARCHAR) || '.' ||
+             lpad(CAST(CAST(floor(sum_chars / 1000.0 * 100 + 0.5) AS BIGINT)
+                  % 100 AS VARCHAR), 2, '0') || ' thousand'
+           ELSE
+             CAST(CAST(floor(sum_chars / 1000000.0 * 100 + 0.5) AS BIGINT)
+                  // 100 AS VARCHAR) || '.' ||
+             lpad(CAST(CAST(floor(sum_chars / 1000000.0 * 100 + 0.5)
+                  AS BIGINT) % 100 AS VARCHAR), 2, '0') || ' million'
+      END AS chars_readable,
+      CASE WHEN abs(max_chars) < 1024 THEN
+             CAST(CAST(floor(max_chars * 100 + 0.5) AS BIGINT) // 100
+                  AS VARCHAR) || '.' ||
+             lpad(CAST(CAST(floor(max_chars * 100 + 0.5) AS BIGINT) % 100
+                  AS VARCHAR), 2, '0') || ' B'
+           ELSE
+             CAST(CAST(floor(max_chars / 1024.0 * 100 + 0.5) AS BIGINT) // 100
+                  AS VARCHAR) || '.' ||
+             lpad(CAST(CAST(floor(max_chars / 1024.0 * 100 + 0.5) AS BIGINT)
+                  % 100 AS VARCHAR), 2, '0') || ' KiB'
+      END AS max_readable,
+      CAST(a.n_docs AS VARCHAR) || ' docs in ' || a.lang AS label,
+      (CAST(1 AS BIGINT) << 58) AS pin_exp2,
+      'www.' || min_src || '.com' AS dom,
+      'com' AS tld,
+      'http://www.' || min_src || '.com/a/b#f' AS cut,
+      CAST(20210815102030 AS BIGINT) AS pin_ts
+    FROM agg a JOIN tops t USING (lang)
+    """,
+)
+def ch_dialect_url_readable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-r7 dialect scalar batch under the hard gate: exact topK
+    (frequency fold, ties by value asc), formatReadableQuantity/-Size
+    (integer-cents half-up-on-binary rounding — Java's '%.2f' half-ups
+    the SHORTEST REPR and silently disagrees with C printf on every
+    .xx5-looking value, so the formatter never uses it), format()
+    placeholders, intExp2 exactness in the >2^53 zone, URLDomain/
+    topLevelDomain/cutQueryString (fragment kept), parseDateTimeBestEffort
+    layout chain → toYYYYMMDDhhmmss.  The DuckDB oracle recomputes each
+    via independent machinery (window-free list() slices, the same
+    engine-independent cents rule, string splices); its readable tiers
+    cover the magnitudes the sf-0.01 data reaches.  Plan: one
+    groupBy(lang) shuffle; everything else is map-side projection."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_URL_READABLE, sf_dir)
+
+
 CH_DIALECT_SUM_MAP = """
     SELECT user_id,
            arrayStringConcat(
@@ -6299,11 +6394,12 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    CORRECTNESS entry") closes.
 # 4. Oldest-hash re-confirmations: r1-era (7) and r2/r3-era (8) greens
 #    whose last driver row predates the r4 engine rewrites.
-# 5. The 7 round-7 additions (strict_increase funnel, timed sequence,
-#    RIGHT ANY, sumMap, text-funcs batch, ASOF USING, WITH FILL) — these
-#    displaced dedup_levenshtein / text_tokens / text_fingerprint /
-#    text_bpe_tokens / text_winnow_fingerprint / dedup_winnow_overlap /
-#    etl_array_cast from group 4 (restore them in the r8 rotation).
+# 5. The 8 round-7 additions (strict_increase funnel, timed sequence,
+#    RIGHT ANY, sumMap, text-funcs batch, ASOF USING, WITH FILL, and the
+#    url/readable/topK scalar batch) — these displaced dedup_levenshtein /
+#    text_tokens / text_fingerprint / text_bpe_tokens /
+#    text_winnow_fingerprint / dedup_winnow_overlap / etl_array_cast /
+#    pack_token_budget from group 4 (restore them in the r8 rotation).
 # Every remaining registered query follows in registration (source) order.
 # Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
 # every test run regardless of their position in this list.
@@ -6357,7 +6453,6 @@ DRIVER_ORDER: list[str] = [
     "corpus_mix_sample",
     "corpus_temperature_mix",
     "pipeline_quality_gate",
-    "pack_token_budget",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",
@@ -6366,6 +6461,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_text_funcs",
     "ch_dialect_asof_join",
     "ch_dialect_with_fill",
+    "ch_dialect_url_readable",
 ]
 
 DRIVER_WINDOW = 50
