@@ -439,3 +439,91 @@ def test_int8_quantize_reconstruction_property(n, seed):
         # float division may land a hair under, so floor can yield 126
         # (or -128 on the negative side) — identically in every engine
         assert codes[i] in (126, 127, -128, -127)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-(10**14), max_value=10**14),
+            st.floats(
+                min_value=-1e15, max_value=1e15,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_format_readable_matches_binary_halfup_model(spark, values):
+    """formatReadableSize/-Quantity implement EXACTLY the documented
+    engine-independent rule — cents = floor(scaled·100 + 0.5) computed on
+    the IEEE double — reproduced here in pure Python (identical IEEE ops,
+    identical association).  A Java-%.2f-based translation would fail
+    this on every shortest-repr .xx5 value (e.g. 19525 → '19.53 thousand'
+    vs the binary-exact '19.52 thousand')."""
+    import math
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    def model(x, base, units):
+        xd = float(x)
+        for i, u in enumerate(units):
+            if i == len(units) - 1 or abs(xd) < base ** (i + 1):
+                c = math.floor(abs(xd) / base**i * 100 + 0.5)
+                return f"{'-' if xd < 0 else ''}{c // 100}.{c % 100:02d}{u}"
+
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    df.createOrReplaceTempView("fr_t")
+    got, _ = translate_ch_sql(
+        "SELECT formatReadableSize(v) AS s, formatReadableQuantity(v) AS q "
+        "FROM fr_t"
+    )
+    rows = spark.sql(got).collect()
+    size_u = [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB"]
+    qty_u = ["", " thousand", " million", " billion", " trillion"]
+    for v, r in zip(values, rows):
+        assert r["s"] == model(v, 1024.0, size_u), (v, r["s"])
+        assert r["q"] == model(v, 1000.0, qty_u), (v, r["q"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=5),
+)
+def test_topk_exact_matches_counter_model(spark, values, k):
+    """topK(N)(x) — the exact heavy-hitters fold — equals the Counter
+    model with the documented tie-break (count desc, value asc),
+    regardless of row order or duplicate density."""
+    from collections import Counter
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    df = spark.createDataFrame([(v,) for v in values], "v int")
+    df.createOrReplaceTempView("tk_t")
+    got, _ = translate_ch_sql(f"SELECT topK({k})(v) AS tk FROM tk_t")
+    res = spark.sql(got).first()["tk"]
+    cnt = Counter(values)
+    want = [v for v, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))][:k]
+    assert res == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.text(alphabet="abcX", max_size=12),
+    st.text(alphabet="abX", min_size=1, max_size=3),
+    st.text(alphabet="yz", max_size=3),
+)
+def test_replace_one_matches_python(spark, s, find, rep):
+    """replaceOne's locate() splice equals Python str.replace(…, 1) —
+    first occurrence only, untouched when absent, empty-replacement
+    deletes."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    df = spark.createDataFrame([(s,)], "s string")
+    df.createOrReplaceTempView("ro_t")
+    got, _ = translate_ch_sql(
+        f"SELECT replaceOne(s, '{find}', '{rep}') AS r FROM ro_t"
+    )
+    assert spark.sql(got).first()["r"] == s.replace(find, rep, 1)
