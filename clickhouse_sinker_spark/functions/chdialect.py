@@ -188,6 +188,9 @@ transform(x, from, to[, d])  map_from_arrays lookup (2-arg form stays
 caseWithExpression(x, …)     CASE x WHEN … END
 groupBitmap(x)               count(DISTINCT x)  (bitmap cardinality)
 quantile[s]Timing(p)(x)      percentile_approx (shared sketch, noted)
+quantile[s]ExactWeighted     percentile(x, p[, w]) — Spark's exact
+  (p)(x, w) / medianExact-   percentile takes a native frequency arg
+  Weighted(x, w)
 to/fromUnixTimestamp64*      unix_/timestamp_ millis/micros (ns ×1000)
 anyHeavy(x)                  first(x)  (heavy-hitter pick ≈ arbitrary)
 geoDistance(…)               haversine (ellipsoid delta ~0.3%, doc'd)
@@ -605,10 +608,18 @@ def _rewrite_calls(sql: str, name: str, emit) -> str:
         pos = at + len(rep) if rep.startswith(f"{name}(") else at
 
 
-def _rewrite_quantile(sql: str, name: str, spark_fn: str, wrap_array: bool = False) -> str:
+def _rewrite_quantile(
+    sql: str,
+    name: str,
+    spark_fn: str,
+    wrap_array: bool = False,
+    weighted: bool = False,
+) -> str:
     """``quantile(p)(x)`` two-group combinator → ``spark_fn(x, p)``; with
     ``wrap_array`` the plural ``quantiles(p1, p2, …)(x)`` form becomes
-    ``spark_fn(x, array(p1, p2, …))`` (one sketch, many cut points)."""
+    ``spark_fn(x, array(p1, p2, …))`` (one sketch, many cut points); with
+    ``weighted`` the ``(p)(x, w)`` form becomes ``spark_fn(x, p, w)``
+    (Spark's exact percentile takes a native frequency argument)."""
     while True:
         at = _find_call(sql, name)
         if at < 0:
@@ -624,7 +635,16 @@ def _rewrite_quantile(sql: str, name: str, spark_fn: str, wrap_array: bool = Fal
         x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
         if wrap_array:
             p = f"array({p})"
-        sql = sql[:at] + f"{spark_fn}({x}, {p})" + sql[end2:]
+        if weighted:
+            xs = _split_args(x)
+            if len(xs) != 2:
+                raise ChTranslationError(
+                    f"{name} requires the (p)(x, weight) combinator form"
+                )
+            rep = f"{spark_fn}({xs[0].strip()}, {p}, {xs[1].strip()})"
+        else:
+            rep = f"{spark_fn}({x}, {p})"
+        sql = sql[:at] + rep + sql[end2:]
 
 
 def _to_datetime64(a: list[str]) -> str:
@@ -1237,6 +1257,12 @@ def _translate_functions(sql: str) -> str:
             f"__tk_s -> __tk_s.__tk_v), 1, {n})"
         )
         sql = sql[:at] + expr + sql[end2:]
+    sql = _rewrite_quantile(
+        sql, "quantilesExactWeighted", "percentile", wrap_array=True, weighted=True
+    )
+    sql = _rewrite_quantile(
+        sql, "quantileExactWeighted", "percentile", weighted=True
+    )
     sql = _rewrite_quantile(sql, "quantilesExact", "percentile", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantilesTiming", "percentile_approx", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantiles", "percentile_approx", wrap_array=True)
@@ -1250,6 +1276,10 @@ def _translate_functions(sql: str) -> str:
     ):
         sql = _rewrite_quantile(sql, qname, "percentile_approx")
     sql = _rewrite_quantile(sql, "quantile", "percentile_approx")
+    sql = _rewrite_calls(
+        sql, "medianExactWeighted",
+        lambda a: f"percentile({a[0]}, 0.5, {a[1]})",
+    )
     sql = _rewrite_calls(sql, "medianExact", lambda a: f"percentile({a[0]}, 0.5)")
     sql = _rewrite_calls(sql, "median", lambda a: f"percentile_approx({a[0]}, 0.5)")
     sql = _rewrite_calls(sql, "sumDistinct", lambda a: f"sum(DISTINCT {a[0]})")

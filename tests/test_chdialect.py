@@ -2210,3 +2210,22 @@ def test_topk_moments_readable_tuple_batch(spark):
     ):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_quantile_exact_weighted(spark):
+    """quantileExactWeighted(p)(x, w) → percentile(x, p, w): weights are
+    exact row frequencies, so the answer equals the unrolled repetition."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    spark.createDataFrame(
+        [(1.0, 1), (2.0, 3), (10.0, 1)], "x double, w int"
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT quantileExactWeighted(0.5)(x, w) AS med, "
+        "medianExactWeighted(x, w) AS med2, "
+        "quantilesExactWeighted(0.0, 1.0)(x, w) AS qs FROM t"
+    )
+    r = spark.sql(got).first()
+    # unrolled multiset {1, 2, 2, 2, 10}: median 2, min 1, max 10
+    assert r["med"] == 2.0 and r["med2"] == 2.0
+    assert r["qs"] == [1.0, 10.0]

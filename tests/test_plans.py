@@ -513,3 +513,18 @@ def test_asof_translation_partitions_on_keys(spark):
     assert "Window" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_readable_single_shuffle_no_join(spark):
+    """ch_dialect_url_readable: one groupBy(lang) hash exchange carries
+    every aggregate (count/sum/max/min/collect_list) in a single pass;
+    the URL/format/readable scalar work is post-aggregation projection —
+    no join, no Python."""
+    plan = plan_of(QUERIES["ch_dialect_url_readable"](spark, SF_DIR))
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
