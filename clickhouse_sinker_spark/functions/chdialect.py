@@ -240,6 +240,31 @@ tuple(…)/tupleElement(t, i)  named_struct('_1', …) / field access by
 topK(N)(x)                   EXACT heavy-hitters: frequency fold over
                              one collect_list, ties by value asc (CH
                              order unspecified)
+mid(s, a, n)                 substring
+arrayProduct / arrayFold /   double-product aggregate / aggregate(arr,
+arrayReverseSort             init, λ) reorder / reverse(array_sort)
+mapAdd/Subtract/Update/      map_zip_with folds (Concat: FIRST map's key
+Concat / mapFilter           wins, as CH) / map_filter arg swap
+simpleLinearRegression(x,y)  (regr_slope, regr_intercept) tuple (y,x)
+boundingRatio(x, y)          Δmax_by/min_by over Δmax/min (group slope)
+bitHammingDistance(a, b)     bit_count(a ^ b)
+isIPv4String/isIPv6String    validation-regex RLIKE → 0/1
+UUIDStringToNum/NumToString  unhex strip-dashes / hyphenated lower hex
+snowflakeToDateTime /        id >> 22 ± Twitter epoch 1288834974657 ms
+dateTimeToSnowflake
+randCanonical/Normal/        rand() / m + s·randn() / rand() < p
+Bernoulli
+toTime(t)                    1970-01-02 + pmod(µs, 86400e6)
+timezone()/timeZoneOf/…      current_timezone() (one session TZ)
+nowInBlock()                 current_timestamp() (per-query, noted)
+identity/materialize/ignore  (x) / (x) / 0
+throwIf(c[, msg])            IF(c, raise_error(msg)::INT, 0) — lazy
+sumKahan(x)                  sum(x) (Spark sum is uncompensated; noted)
+timeSlots(t, dur[, size])    slot-start sequence, end clamped ≥ start
+                             (Spark sequence() auto-descends otherwise)
+groupConcat[('sep')](x)      array_join(collect_list(x), sep) — order
+                             engine-dependent in BOTH engines
+quantile[s]ExactWeighted     percentile(x, p, w) native frequency arg
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output /
@@ -511,6 +536,55 @@ _UNSUPPORTED = {
     "kurtSamp",
     "firstSignificantSubdomain",   # needs CH's public-suffix list
     "cutToFirstSignificantSubdomain",
+    "sleep",                 # deliberate no-op denial: no sleeping in plans
+    "sleepEachRow",
+    "hostName",              # engine introspection
+    "uptime",
+    "blockSize",
+    "byteSize",
+    "entropy",               # accumulation-order-dependent float sum;
+                             # compute via an explicit groupBy count plan
+    "rankCorr",              # no closed-form single-aggregate Spark expr
+    "studentTTest",          # p-values need distribution functions
+    "welchTTest",
+    "mannWhitneyUTest",
+    "meanZTest",
+    "stochasticLinearRegression",   # iterative trainers, not aggregates
+    "stochasticLogisticRegression",
+    "maxIntersections",
+    "maxIntersectionsPosition",
+    "groupArrayMovingAvg",   # block-order-dependent, like deltaSum
+    "groupArrayMovingSum",
+    "groupArrayInsertAt",
+    "sumMapFiltered",        # use sumMap over arrayFilter'ed inputs
+    "mapApply",              # tuple-valued lambda: use map_from_entries +
+                             # transform(map_entries(m), …) directly
+    "mapPopulateSeries",
+    "IPv6NumToString",       # binary IPv6 forms need inet codecs
+    "IPv6StringToNum",
+    "IPv4ToIPv6",
+    "cutIPv6",
+    "IPv4CIDRToRange",
+    "IPv6CIDRToRange",
+    "MACNumToString",
+    "MACStringToNum",
+    "pointInPolygon",        # no geo engine
+    "geohashEncode",
+    "geohashDecode",
+    "h3ToGeo",
+    "geoToH3",
+    "regionToName",
+    "polygonAreaCartesian",
+    "svg",
+    "detectLanguage",        # model-backed NLP: the repo's text_langid
+    "detectCharset",         # operator is the supported path
+    "lemmatize",
+    "stem",
+    "synonyms",
+    "bitRotateLeft",         # rotation width depends on the CH arg type,
+    "bitRotateRight",        # unknowable at SQL-text level
+    "unbin",
+    "arrayReduceInRanges",
 }
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -733,6 +807,31 @@ def _parse_best_effort(x: str) -> str:
         ]
     )
     return f"coalesce({chain})"
+
+
+def _refuse(what: str) -> str:
+    """Raise the standard typed refusal from inside a rewrite lambda —
+    used for arity/variant forms of otherwise-translated functions."""
+    raise ChTranslationError(f"no faithful Spark translation for {what}")
+
+
+def _time_slots(a: list[str]) -> str:
+    """``timeSlots(t, duration[, size=1800])`` → array of slot-start
+    timestamps covering [t, t+duration] on ``size``-second boundaries.
+    The sequence end is clamped to ≥ start (Spark's sequence() silently
+    DESCENDS when end < start — a negative duration must yield one slot,
+    not a reversed range)."""
+    if not 2 <= len(a) <= 3:
+        raise ChTranslationError("timeSlots requires (t, duration[, size])")
+    sz = a[2] if len(a) == 3 else "1800"
+    start = f"CAST(floor(unix_timestamp({a[0]}) / ({sz})) AS BIGINT)"
+    end = (
+        f"CAST(floor((unix_timestamp({a[0]}) + ({a[1]})) / ({sz})) AS BIGINT)"
+    )
+    return (
+        f"transform(sequence({start}, greatest({start}, {end})), "
+        f"__tsl_i -> timestamp_seconds(__tsl_i * ({sz})))"
+    )
 
 
 def _format_readable(x: str, base: float, units) -> str:
@@ -1612,6 +1711,190 @@ def _translate_functions(sql: str) -> str:
         + ")",
     )
     sql = _rewrite_calls(sql, "tupleElement", _tuple_element)
+    # --- batch 3: string/array/map/stat/ip/uuid/time tail ---
+    sql = _rewrite_calls(
+        sql, "mid", lambda a: f"substring({', '.join(a)})"
+    )
+    sql = _rewrite_calls(
+        sql, "arrayProduct",
+        lambda a: (
+            f"aggregate({a[0]}, CAST(1 AS DOUBLE), "
+            "(__ap_a, __ap_x) -> __ap_a * CAST(__ap_x AS DOUBLE))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "arrayReverseSort",
+        lambda a: (
+            f"reverse(array_sort({a[0]}))"
+            if len(a) == 1
+            else _refuse("arrayReverseSort with a custom comparator "
+                         "(rewrite as reverse(array_sort(..)) or sort by a "
+                         "transformed key column)")
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "arrayFold",
+        # CH arrayFold(λ(acc, x), arr, init) → aggregate(arr, init, λ)
+        lambda a: (
+            f"aggregate({a[1]}, {a[2]}, {a[0]})"
+            if len(a) == 3
+            else _refuse("arrayFold over multiple arrays (zip with "
+                         "arrays_zip first)")
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "mapFilter", lambda a: f"map_filter({a[1]}, {a[0]})"
+    )
+    for mfn, combine in (
+        ("mapAdd", "coalesce(__m1, 0) + coalesce(__m2, 0)"),
+        ("mapSubtract", "coalesce(__m1, 0) - coalesce(__m2, 0)"),
+        ("mapUpdate", "coalesce(__m2, __m1)"),
+        ("mapConcat", "coalesce(__m1, __m2)"),  # CH: FIRST map's key wins
+    ):
+        sql = _rewrite_calls(
+            sql, mfn,
+            lambda a, c=combine, n=mfn: (
+                f"map_zip_with({a[0]}, {a[1]}, (__mk, __m1, __m2) -> {c})"
+                if len(a) == 2
+                else _refuse(f"{n} with more than two maps (chain the "
+                             "two-map form)")
+            ),
+        )
+    sql = _rewrite_calls(
+        sql, "simpleLinearRegression",
+        # CH (x, y) → (k, b) for y = kx + b; Spark regr_* take (y, x)
+        lambda a: (
+            f"named_struct('_1', regr_slope({a[1]}, {a[0]}), "
+            f"'_2', regr_intercept({a[1]}, {a[0]}))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "boundingRatio",
+        # slope between the leftmost and rightmost points of the group
+        lambda a: (
+            f"try_divide(max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}), "
+            f"max({a[0]}) - min({a[0]}))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "bitHammingDistance", lambda a: f"bit_count(({a[0]}) ^ ({a[1]}))"
+    )
+    sql = _rewrite_calls(
+        sql, "isIPv4String",
+        lambda a: f"CAST({a[0]} RLIKE '{_IPV4_RE_SQL}' AS INT)",
+    )
+    sql = _rewrite_calls(
+        sql, "isIPv6String",
+        lambda a: f"CAST({a[0]} RLIKE '{_IPV6_RE_SQL}' AS INT)",
+    )
+    sql = _rewrite_calls(
+        sql, "UUIDStringToNum",
+        lambda a: (
+            f"unhex(replace({a[0]}, '-', ''))"
+            if len(a) == 1
+            else _refuse("UUIDStringToNum variant argument")
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "UUIDNumToString",
+        lambda a: (
+            f"lower(concat(substring(hex({a[0]}), 1, 8), '-', "
+            f"substring(hex({a[0]}), 9, 4), '-', "
+            f"substring(hex({a[0]}), 13, 4), '-', "
+            f"substring(hex({a[0]}), 17, 4), '-', "
+            f"substring(hex({a[0]}), 21, 12)))"
+            if len(a) == 1
+            else _refuse("UUIDNumToString variant argument")
+        ),
+    )
+    # Twitter snowflake epoch = 1288834974657 ms; id >> 22 is the ms offset
+    sql = _rewrite_calls(
+        sql, "snowflakeToDateTime",
+        lambda a: (
+            f"timestamp_millis(shiftright(CAST({a[0]} AS BIGINT), 22) "
+            "+ 1288834974657)"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "dateTimeToSnowflake",
+        lambda a: f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)",
+    )
+    sql = _rewrite_calls(sql, "randCanonical", lambda a: "rand()")
+    sql = _rewrite_calls(
+        sql, "randNormal", lambda a: f"(({a[0]}) + ({a[1]}) * randn())"
+    )
+    sql = _rewrite_calls(
+        sql, "randBernoulli",
+        lambda a: f"CAST(rand() < ({a[0]}) AS BIGINT)",
+    )
+    # toTime: keep time-of-day, pin the date to 1970-01-02 (CH contract);
+    # pmod keeps pre-1970 timestamps on the positive side
+    sql = _rewrite_calls(
+        sql, "toTime",
+        lambda a: (
+            f"timestamp_micros(86400000000 + "
+            f"pmod(unix_micros({a[0]}), 86400000000))"
+        ),
+    )
+    for tzf in ("timezone", "serverTimezone", "timeZoneOf", "timezoneOf"):
+        sql = _rewrite_calls(sql, tzf, lambda a: "current_timezone()")
+    sql = _rewrite_calls(sql, "nowInBlock", lambda a: "current_timestamp()")
+    sql = _rewrite_calls(sql, "identity", lambda a: f"({a[0]})")
+    sql = _rewrite_calls(sql, "materialize", lambda a: f"({a[0]})")
+    sql = _rewrite_calls(sql, "ignore", lambda a: "0")
+    sql = _rewrite_calls(
+        sql, "throwIf",
+        # IF evaluates lazily under ANSI, so the error only fires when the
+        # condition holds; CH returns 0 otherwise
+        lambda a: (
+            f"IF({a[0]}, CAST(raise_error("
+            + (a[1] if len(a) > 1
+               else "'Value passed to throwIf function is non-zero'")
+            + ") AS INT), 0)"
+        ),
+    )
+    sql = _rewrite_calls(sql, "sumKahan", lambda a: f"sum({a[0]})")
+    sql = _rewrite_calls(sql, "timeSlots", _time_slots)
+    # groupConcat: simple groupConcat(x) and the parameterized
+    # groupConcat('sep'[, limit])(x) combinator form.  Concatenation order
+    # is engine-dependent in BOTH engines (CH reads blocks in arrival
+    # order; collect_list is partition-order-dependent) — results are only
+    # stable under a deterministic upstream ORDER BY.
+    while True:
+        at = _find_call(sql, "groupConcat")
+        if at < 0:
+            break
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        g1 = [
+            _translate_functions(x).strip()
+            for x in _split_args(sql[open1 + 1 : end1 - 1])
+        ]
+        if rest.startswith("("):  # parameterized (sep[, limit])(x)
+            if len(g1) > 1:
+                raise ChTranslationError(
+                    "groupConcat(sep, limit)(x): the element limit has no "
+                    "Spark aggregate form — slice after collect_list instead"
+                )
+            open2 = end1 + (len(sql[end1:]) - len(rest))
+            end2 = _balanced(sql, open2)
+            x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
+            sep = g1[0] if g1 else "''"
+            sql = (
+                sql[:at] + f"array_join(collect_list({x}), {sep})" + sql[end2:]
+            )
+        else:
+            if len(g1) != 1:
+                raise ChTranslationError(
+                    "groupConcat takes one expression (delimiter goes in "
+                    "the parameter group: groupConcat('sep')(x))"
+                )
+            sql = (
+                sql[:at]
+                + f"array_join(collect_list({g1[0]}), '')"
+                + sql[end1:]
+            )
     # maps
     sql = _rewrite_calls(sql, "mapKeys", lambda a: f"map_keys({a[0]})")
     sql = _rewrite_calls(sql, "mapValues", lambda a: f"map_values({a[0]})")
@@ -2210,8 +2493,10 @@ def _extract_all(a: list[str]) -> str:
 # the IPv4 validation regex from functions/casts, re-escaped for a Spark
 # SQL string literal (Spark drops lone backslashes in literals)
 from .casts import _IPV4_RE as _IPV4_RE_RAW
+from .casts import _IPV6_RE as _IPV6_RE_RAW
 
 _IPV4_RE_SQL = _IPV4_RE_RAW.replace("\\", "\\\\")
+_IPV6_RE_SQL = _IPV6_RE_RAW.replace("\\", "\\\\")
 
 _AGE_UNITS = {
     "microsecond", "millisecond", "second", "minute", "hour",

@@ -2229,3 +2229,74 @@ def test_quantile_exact_weighted(spark):
     # unrolled multiset {1, 2, 2, 2, 10}: median 2, min 1, max 10
     assert r["med"] == 2.0 and r["med2"] == 2.0
     assert r["qs"] == [1.0, 10.0]
+
+
+def test_batch3_array_map_stat_tail(spark):
+    """Batch-3 translations: array folds, map_zip_with families,
+    simpleLinearRegression/boundingRatio aggregates, IP/UUID string
+    forms, snowflake ids, toTime, timeSlots clamping, groupConcat forms,
+    throwIf laziness; the untranslatable tail refuses loudly."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, 2.0, "a", [1, 2, 3], {"k": 1}), (5, 3.0, "b", [4], {"k": 2, "j": 5})],
+        "n int, v double, s string, arr array<int>, m map<string,int>",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT arrayProduct(arr) AS ap, arrayReverseSort(arr) AS ars, "
+        "arrayFold((acc, x) -> acc + x, arr, 0) AS af, "
+        "mapAdd(m, m) AS ma, mapUpdate(m, m) AS mu, mapFilter((k, v) -> v > 1, m) AS mf, "
+        "bitHammingDistance(n, 7) AS hd, mid(s, 1, 1) AS md FROM t"
+    )
+    r = spark.sql(got).collect()
+    assert r[0]["ap"] == 6.0 and r[0]["ars"] == [3, 2, 1] and r[0]["af"] == 6
+    assert r[0]["ma"] == {"k": 2} and r[1]["mf"] == {"j": 5, "k": 2}
+    assert r[0]["hd"] == 2 and r[0]["md"] == "a"
+    got, _ = translate_ch_sql(
+        "SELECT tupleElement(simpleLinearRegression(n, v), 1) AS k, "
+        "tupleElement(simpleLinearRegression(n, v), 2) AS b, "
+        "boundingRatio(n, v) AS br FROM t"
+    )
+    r = spark.sql(got).first()
+    # points (1,2) and (5,3): slope 0.25, intercept 1.75
+    assert r["k"] == 0.25 and r["b"] == 1.75 and r["br"] == 0.25
+    got, _ = translate_ch_sql(
+        "SELECT isIPv4String('1.2.3.4') AS i4, isIPv4String('999.1.1.1') AS i4b, "
+        "isIPv6String('::1') AS i6, "
+        "UUIDNumToString(UUIDStringToNum('01234567-89ab-cdef-0123-456789abcdef')) AS u, "
+        "CAST(snowflakeToDateTime(1426860702735536128) AS STRING) AS sf, "
+        "CAST(toTime(TIMESTAMP'2021-08-15 10:20:30') AS STRING) AS tt, "
+        "size(timeSlots(TIMESTAMP'2021-08-15 10:20:30', 3600)) AS nsl, "
+        "size(timeSlots(TIMESTAMP'2021-08-15 10:20:30', -50)) AS nneg"
+    )
+    r = spark.sql(got).first()
+    assert (r["i4"], r["i4b"], r["i6"]) == (1, 0, 1)
+    assert r["u"] == "01234567-89ab-cdef-0123-456789abcdef"
+    assert r["sf"].startswith("2021-08-15 10:57:55")
+    assert r["tt"] == "1970-01-02 10:20:30"
+    assert r["nsl"] == 3  # 10:00, 10:30, 11:00
+    assert r["nneg"] == 1  # clamped, not a descending sequence
+    got, _ = translate_ch_sql(
+        "SELECT groupConcat(s) AS g1, groupConcat('|')(s) AS g2, "
+        "throwIf(1 > 2) AS ok FROM t"
+    )
+    r = spark.sql(got).first()
+    assert sorted(r["g1"]) == ["a", "b"] and sorted(r["g2"].split("|")) == ["a", "b"]
+    assert r["ok"] == 0
+    with pytest.raises(Exception, match="boom"):
+        g, _ = translate_ch_sql("SELECT throwIf(n > 2, 'boom') FROM t")
+        spark.sql(g).collect()
+    for bad in (
+        "SELECT entropy(v) FROM t",
+        "SELECT lemmatize('en', s) FROM t",
+        "SELECT mapApply((k, v) -> (k, v), m) FROM t",
+        "SELECT geohashEncode(1.0, 2.0)",
+        "SELECT groupArrayMovingSum(v) FROM t",
+        "SELECT IPv6StringToNum(s) FROM t",
+        "SELECT arrayFold((a, x, y) -> a, arr, arr, 0) FROM t",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
