@@ -1554,7 +1554,10 @@ def _translate_functions(sql: str) -> str:
     for ch, secs in _FIXED_BUCKETS.items():
         sql = _rewrite_calls(sql, ch, lambda a, s=secs: _bucket_expr(a[0], s))
     sql = _rewrite_calls(sql, "toStartOfInterval", _to_start_of_interval)
-    # URL dissection → Spark parse_url parts
+    # URL dissection → Spark try_parse_url parts.  Spark 4's parse_url
+    # THROWS [INVALID_URL] on any malformed row; ClickHouse's URL getters
+    # never fail and return '' for invalid input — so every rewrite here
+    # must use the try_ form and coalesce NULL to ''.
     for ch, part in [
         ("domain", "HOST"),
         ("path", "PATH"),
@@ -1562,20 +1565,29 @@ def _translate_functions(sql: str) -> str:
         ("protocol", "PROTOCOL"),
         ("fragment", "REF"),
     ]:
-        sql = _rewrite_calls(sql, ch, lambda a, p=part: f"parse_url({a[0]}, '{p}')")
+        sql = _rewrite_calls(
+            sql, ch,
+            lambda a, p=part: f"coalesce(try_parse_url({a[0]}, '{p}'), '')",
+        )
     sql = _rewrite_calls(
         sql, "domainWithoutWWW",
-        lambda a: f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')",
+        lambda a: (
+            "regexp_replace(coalesce("
+            f"try_parse_url({a[0]}, 'HOST'), ''), '^www\\\\.', '')"
+        ),
     )
-    sql = _rewrite_calls(sql, "URLDomain", lambda a: f"parse_url({a[0]}, 'HOST')")
+    sql = _rewrite_calls(
+        sql, "URLDomain",
+        lambda a: f"coalesce(try_parse_url({a[0]}, 'HOST'), '')",
+    )
     sql = _rewrite_calls(
         sql, "topLevelDomain",
         # CH yields '' for IP-literal / invalid hosts; the letters-only
         # last-label guard keeps IPs and bare names out, matching that
         lambda a: (
-            f"CASE WHEN parse_url({a[0]}, 'HOST') RLIKE "
+            f"CASE WHEN try_parse_url({a[0]}, 'HOST') RLIKE "
             "'\\\\.[A-Za-z][A-Za-z0-9-]*$' "
-            f"THEN substring_index(parse_url({a[0]}, 'HOST'), '.', -1) "
+            f"THEN substring_index(try_parse_url({a[0]}, 'HOST'), '.', -1) "
             "ELSE '' END"
         ),
     )
@@ -1583,21 +1595,24 @@ def _translate_functions(sql: str) -> str:
         sql, "pathFull",
         # CH pathFull = path + ?query + #fragment
         lambda a: (
-            f"concat(parse_url({a[0]}, 'PATH'), "
-            f"coalesce(concat('?', parse_url({a[0]}, 'QUERY')), ''), "
-            f"coalesce(concat('#', parse_url({a[0]}, 'REF')), ''))"
+            f"concat(coalesce(try_parse_url({a[0]}, 'PATH'), ''), "
+            f"coalesce(concat('?', try_parse_url({a[0]}, 'QUERY')), ''), "
+            f"coalesce(concat('#', try_parse_url({a[0]}, 'REF')), ''))"
         ),
     )
     sql = _rewrite_calls(
         sql, "cutQueryString",
         # CH drops '?query' but KEEPS '#fragment'.  A '?' is only a query
         # delimiter when it precedes any '#' (a '?' inside the fragment is
-        # data); when cutting, re-append the fragment the cut removed.
+        # data); when cutting, re-append everything from the first '#' on.
+        # Pure string splices — never parses, so malformed rows cannot
+        # abort the query (CH's getters are string cuts too).
         lambda a: (
             f"CASE WHEN locate('?', {a[0]}) > 0 AND (locate('#', {a[0]}) = 0 "
             f"OR locate('?', {a[0]}) < locate('#', {a[0]})) "
             f"THEN concat(substring_index({a[0]}, '?', 1), "
-            f"coalesce(concat('#', parse_url({a[0]}, 'REF')), '')) "
+            f"CASE WHEN locate('#', {a[0]}) > 0 "
+            f"THEN substring({a[0]}, locate('#', {a[0]})) ELSE '' END) "
             f"ELSE {a[0]} END"
         ),
     )
@@ -1608,7 +1623,12 @@ def _translate_functions(sql: str) -> str:
         sql, "cutQueryStringAndFragment",
         lambda a: f"substring_index(substring_index({a[0]}, '#', 1), '?', 1)",
     )
-    sql = _rewrite_calls(sql, "decodeURLComponent", lambda a: f"url_decode({a[0]})")
+    sql = _rewrite_calls(
+        sql, "decodeURLComponent",
+        # url_decode is FORM decoding ('+' → space); CH percent-decodes
+        # only — protect literal '+' before decoding
+        lambda a: f"url_decode(replace({a[0]}, '+', '%2B'))",
+    )
     sql = _rewrite_calls(
         sql, "encodeURLComponent",
         # url_encode is form-encoding (space → '+'); CH percent-encodes —
@@ -1634,11 +1654,28 @@ def _translate_functions(sql: str) -> str:
     # (doubles represent every power of 2 ≤ 2^62 and of 10 ≤ 10^18 exactly)
     sql = _rewrite_calls(sql, "exp2", lambda a: f"power(2, {a[0]})")
     sql = _rewrite_calls(sql, "exp10", lambda a: f"power(10, {a[0]})")
+    # exponent range guards: Java shiftleft wraps the shift mod 64 and
+    # power() overflow saturates — out-of-range must ERROR like CH, not
+    # silently wrap (raise_error branch is lazy under CASE)
     sql = _rewrite_calls(
-        sql, "intExp2", lambda a: f"shiftleft(CAST(1 AS BIGINT), {a[0]})"
+        sql, "intExp2",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) >= 0 AND ({a[0]}) <= 62 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {a[0]}) "
+            f"ELSE CAST(raise_error(concat('intExp2 exponent outside the "
+            f"Int64-exact range [0, 62]: ', CAST({a[0]} AS STRING))) "
+            "AS BIGINT) END"
+        ),
     )
     sql = _rewrite_calls(
-        sql, "intExp10", lambda a: f"CAST(power(10, {a[0]}) AS BIGINT)"
+        sql, "intExp10",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) >= 0 AND ({a[0]}) <= 18 "
+            f"THEN CAST(power(10, {a[0]}) AS BIGINT) "
+            f"ELSE CAST(raise_error(concat('intExp10 exponent outside the "
+            f"Int64-exact range [0, 18]: ', CAST({a[0]} AS STRING))) "
+            "AS BIGINT) END"
+        ),
     )
     for be in ("parseDateTimeBestEffortOrNull", "parseDateTime64BestEffortOrNull"):
         sql = _rewrite_calls(sql, be, lambda a: _parse_best_effort(a[0]))
@@ -1669,9 +1706,12 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(
         sql, "wordCount",
+        # regexp trim, NOT trim(): Spark trim strips only ASCII spaces, so
+        # a leading tab/newline would leave an empty first token
         lambda a: (
-            f"CASE WHEN trim({a[0]}) = '' THEN 0 "
-            f"ELSE size(split(trim({a[0]}), '\\\\s+')) END"
+            f"CASE WHEN regexp_replace({a[0]}, '^\\\\s+|\\\\s+$', '') = '' "
+            "THEN 0 ELSE size(split("
+            f"regexp_replace({a[0]}, '^\\\\s+|\\\\s+$', ''), '\\\\s+')) END"
         ),
     )
     # population moments: Spark skewness/kurtosis ARE the population forms
@@ -1693,13 +1733,16 @@ def _translate_functions(sql: str) -> str:
         sql, "formatReadableSize",
         lambda a: _format_readable(
             a[0], 1024.0,
-            [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB"],
+            [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB", " ZiB",
+             " YiB"],
         ),
     )
     sql = _rewrite_calls(
         sql, "formatReadableQuantity",
         lambda a: _format_readable(
-            a[0], 1000.0, ["", " thousand", " million", " billion", " trillion"],
+            a[0], 1000.0,
+            ["", " thousand", " million", " billion", " trillion",
+             " quadrillion"],
         ),
     )
     # tuple → named_struct with CH-style 1-based element names, so both
@@ -1813,6 +1856,11 @@ def _translate_functions(sql: str) -> str:
         lambda a: (
             f"timestamp_millis(shiftright(CAST({a[0]} AS BIGINT), 22) "
             "+ 1288834974657)"
+            if len(a) == 1
+            else _refuse(
+                "snowflakeToDateTime with an explicit timezone (Spark uses "
+                "the single session timezone — drop the second argument)"
+            )
         ),
     )
     sql = _rewrite_calls(
@@ -1846,8 +1894,10 @@ def _translate_functions(sql: str) -> str:
         sql, "throwIf",
         # IF evaluates lazily under ANSI, so the error only fires when the
         # condition holds; CH returns 0 otherwise
+        # CAST AS BOOLEAN accepts CH's numeric conditions too (nonzero →
+        # true); Spark IF does not coerce INT to BOOLEAN by itself
         lambda a: (
-            f"IF({a[0]}, CAST(raise_error("
+            f"IF(CAST(({a[0]}) AS BOOLEAN), CAST(raise_error("
             + (a[1] if len(a) > 1
                else "'Value passed to throwIf function is non-zero'")
             + ") AS INT), 0)"
@@ -1985,7 +2035,7 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "extractAll", _extract_all)
     sql = _rewrite_calls(
         sql, "extractURLParameter",
-        lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
+        lambda a: f"coalesce(try_parse_url({a[0]}, 'QUERY', {a[1]}), '')",
     )
     sql = _rewrite_calls(
         sql, "base64Decode", lambda a: f"CAST(unbase64({a[0]}) AS STRING)"

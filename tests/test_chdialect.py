@@ -440,13 +440,19 @@ def test_url_functions(spark):
         "SELECT domain(u) AS d, path(u) AS p, protocol(u) AS pr, "
         "extractURLParameter(u, 'k') AS k FROM t"
     )
-    assert "parse_url(u, 'HOST')" in got and "parse_url(u, 'QUERY', 'k')" in got
+    # try_ forms only: Spark 4's parse_url THROWS on malformed rows where
+    # every CH URL getter returns ''
+    assert "try_parse_url(u, 'HOST')" in got
+    assert "try_parse_url(u, 'QUERY', 'k')" in got
+    assert "parse_url(u, 'HOST')" not in got.replace("try_parse_url", "")
     spark.createDataFrame(
-        [("https://ex.org/a/b?k=v&z=1",)], "u string"
+        [("https://ex.org/a/b?k=v&z=1",), ("not a url at all",)], "u string"
     ).createOrReplaceTempView("t")
-    row = spark.sql(got).first()
+    rows = spark.sql(got).collect()  # malformed row must not abort
+    row = rows[0]
     assert row["d"] == "ex.org" and row["p"] == "/a/b"
     assert row["pr"] == "https" and row["k"] == "v"
+    assert tuple(rows[1]) == ("", "", "", "")  # CH: '' on invalid, not NULL
 
 
 def test_float_classification(spark):
@@ -2120,10 +2126,20 @@ def test_url_tail_batch(spark):
     assert r[2]["cq"] == "http://ex.net/#only"  # no query → unchanged
     enc, _ = translate_ch_sql(
         "SELECT decodeURLComponent('a%20b%26c') AS d, "
+        "decodeURLComponent('c++') AS dp, "
         "encodeURLComponent('a b&c') AS e"
     )
     row = spark.sql(enc).first()
     assert row["d"] == "a b&c" and row["e"] == "a%20b%26c"
+    assert row["dp"] == "c++"  # percent-decode only: '+' is NOT a space
+    # malformed URLs flow through the whole tail without aborting
+    bad, _ = translate_ch_sql(
+        "SELECT pathFull('::bad url::') AS pf, URLDomain('::bad::') AS d, "
+        "topLevelDomain('::bad::') AS tld, cutQueryString('a?b#c') AS cq"
+    )
+    r = spark.sql(bad).first()
+    assert (r["pf"], r["d"], r["tld"]) == ("", "", "")
+    assert r["cq"] == "a#c"
 
 
 def test_intervals_exp_datetime_format_batch(spark):
@@ -2162,6 +2178,28 @@ def test_intervals_exp_datetime_format_batch(spark):
     assert r["wc"] == 2 and r["wc0"] == 0
     with pytest.raises(ChTranslationError, match="mix"):
         translate_ch_sql("SELECT format('{} {0}', 'a', 'b')")
+    # review batch: tab/newline edges (trim() strips only spaces), exact
+    # readable tail units, out-of-range exponents ERROR instead of
+    # wrapping, IPv4-mapped IPv6 validates
+    got2, _ = translate_ch_sql(
+        "SELECT wordCount('\\tfoo') AS wt, wordCount('\\t') AS wtab, "
+        "formatReadableQuantity(2000000000000000.0) AS quad, "
+        "formatReadableSize(2361183241434822606848.0) AS zib, "
+        "isIPv6String('::ffff:192.168.0.1') AS v6m"
+    )
+    r2 = spark.sql(got2).first()
+    assert r2["wt"] == 1 and r2["wtab"] == 0
+    assert r2["quad"] == "2.00 quadrillion" and r2["zib"] == "2.00 ZiB"
+    assert r2["v6m"] == 1
+    gbad, _ = translate_ch_sql("SELECT intExp2(63) AS x")
+    with pytest.raises(Exception, match="intExp2 exponent"):
+        spark.sql(gbad).collect()
+    gbad10, _ = translate_ch_sql("SELECT intExp10(19) AS x")
+    with pytest.raises(Exception, match="intExp10 exponent"):
+        spark.sql(gbad10).collect()
+    from clickhouse_sinker_spark.functions.chdialect import ChTranslationError as _E
+    with pytest.raises(_E, match="timezone"):
+        translate_ch_sql("SELECT snowflakeToDateTime(1, 'Asia/Tokyo')")
 
 
 def test_topk_moments_readable_tuple_batch(spark):

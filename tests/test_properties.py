@@ -447,7 +447,7 @@ def test_int8_quantize_reconstruction_property(n, seed):
         st.one_of(
             st.integers(min_value=-(10**14), max_value=10**14),
             st.floats(
-                min_value=-1e15, max_value=1e15,
+                min_value=-1e26, max_value=1e26,
                 allow_nan=False, allow_infinity=False,
             ),
         ),
@@ -480,8 +480,10 @@ def test_format_readable_matches_binary_halfup_model(spark, values):
         "FROM fr_t"
     )
     rows = spark.sql(got).collect()
-    size_u = [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB"]
-    qty_u = ["", " thousand", " million", " billion", " trillion"]
+    size_u = [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB", " ZiB",
+              " YiB"]
+    qty_u = ["", " thousand", " million", " billion", " trillion",
+             " quadrillion"]
     for v, r in zip(values, rows):
         assert r["s"] == model(v, 1024.0, size_u), (v, r["s"])
         assert r["q"] == model(v, 1000.0, qty_u), (v, r["q"])
