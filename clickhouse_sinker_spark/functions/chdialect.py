@@ -64,7 +64,7 @@ JSONExtractString(j, k...)   get_json_object(j, '$.k...')
 JSONExtractInt/Float/Bool    CAST(get_json_object(...) AS BIGINT/DOUBLE/BOOLEAN)
 JSONExtractRaw(j, k...)      get_json_object(j, '$.k...')
 JSONHas(j, k...)             (get_json_object(...) IS NOT NULL)
-JSONLength(j, k...)          json_array_length(get_json_object(...))
+JSONLength(j[, k...])        json_array_length ∪ object key count ∪ 0
 visitParamExtractString/Has  same as the JSONExtract forms (legacy names)
 extract(s, 're')             regexp_extract(s, 're', 1|0)  (1 if the
                              pattern has a capture group, else 0)
@@ -1544,7 +1544,16 @@ def _translate_functions(sql: str) -> str:
         sql, "visitParamHas", lambda a: f"({_json_extract(a, None)} IS NOT NULL)"
     )
     sql = _rewrite_calls(
-        sql, "JSONLength", lambda a: f"json_array_length({_json_extract(a, None)})"
+        sql, "JSONLength",
+        # CH: array → element count, object → key count, else 0; the
+        # 1-arg form measures the whole document
+        lambda a: (
+            "coalesce(json_array_length("
+            + (a[0] if len(a) == 1 else _json_extract(a, None))
+            + "), size(json_object_keys("
+            + (a[0] if len(a) == 1 else _json_extract(a, None))
+            + ")), 0)"
+        ),
     )
     sql = _rewrite_calls(sql, "extract", _extract_regex)
     sql = _rewrite_calls(sql, "isNull", lambda a: f"({a[0]} IS NULL)")

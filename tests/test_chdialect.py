@@ -296,7 +296,9 @@ def test_json_extract_family(spark):
         "JSONExtractFloat(j, 'v') AS v, "
         "JSONExtractString(j, 'tags', 2) AS tag2, "
         "JSONHas(j, 'meta') AS has_meta, JSONHas(j, 'nope') AS has_nope, "
-        "JSONLength(j, 'tags') AS n_tags FROM t"
+        "JSONLength(j, 'tags') AS n_tags, "
+        "JSONLength(j) AS n_keys, JSONLength(j, 'meta') AS n_meta, "
+        "JSONLength(j, 'name') AS n_scalar FROM t"
     )
     assert "get_json_object(j, '$.name')" in got
     assert "CAST(get_json_object(j, '$.meta.n') AS BIGINT)" in got
@@ -308,6 +310,9 @@ def test_json_extract_family(spark):
     assert row["nm"] == "a" and row["n"] == 7 and row["v"] == 1.5
     assert row["tag2"] == "y"
     assert row["has_meta"] is True and row["has_nope"] is False
+    # CH JSONLength: array → elements, object → keys, scalar/missing → 0
+    assert row["n_tags"] == 3 and row["n_keys"] == 4
+    assert row["n_meta"] == 1 and row["n_scalar"] == 0
     assert row["n_tags"] == 3
 
 
