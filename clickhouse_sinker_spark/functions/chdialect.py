@@ -264,7 +264,18 @@ timeSlots(t, dur[, size])    slot-start sequence, end clamped ≥ start
                              (Spark sequence() auto-descends otherwise)
 groupConcat[('sep')](x)      array_join(collect_list(x), sep) — order
                              engine-dependent in BOTH engines
-quantile[s]ExactWeighted     percentile(x, p, w) native frequency arg
+<agg>If(args…, cond)         GENERIC -If combinator: base(args) FILTER
+                             (WHERE cond) for every translated aggregate
+                             (countIf keeps its 1-arg count_if form;
+                             2-arg countIf(x, c) → count(x) FILTER);
+                             quantile[Exact/Timing]If(p)(x, c) likewise
+<agg>OrNull / <agg>OrDefault NULL-on-empty is Spark's native behavior
+                             (identity) for value aggregates; counting
+                             aggregates get nullif(·, 0); -OrDefault is
+                             coalesce(·, 0) for numerics, identity for
+                             count/arrays; any/argM*OrDefault refused
+                             (result-type default unknowable)
+countDistinct(x…)            count(DISTINCT …)
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output /
@@ -316,7 +327,6 @@ _RENAMES = {
     "toDate": "to_date",
     "toDateTime": "to_timestamp",
     "uniq": "approx_count_distinct",
-    "countIf": "count_if",
     "arrayJoin": "explode",
     "has": "array_contains",
     "ifNull": "coalesce",
@@ -688,12 +698,15 @@ def _rewrite_quantile(
     spark_fn: str,
     wrap_array: bool = False,
     weighted: bool = False,
+    agg_if: bool = False,
 ) -> str:
     """``quantile(p)(x)`` two-group combinator → ``spark_fn(x, p)``; with
     ``wrap_array`` the plural ``quantiles(p1, p2, …)(x)`` form becomes
     ``spark_fn(x, array(p1, p2, …))`` (one sketch, many cut points); with
     ``weighted`` the ``(p)(x, w)`` form becomes ``spark_fn(x, p, w)``
-    (Spark's exact percentile takes a native frequency argument)."""
+    (Spark's exact percentile takes a native frequency argument); with
+    ``agg_if`` the ``(p)(x, cond)`` -If combinator form becomes
+    ``spark_fn(x, p) FILTER (WHERE cond)``."""
     while True:
         at = _find_call(sql, name)
         if at < 0:
@@ -716,6 +729,16 @@ def _rewrite_quantile(
                     f"{name} requires the (p)(x, weight) combinator form"
                 )
             rep = f"{spark_fn}({xs[0].strip()}, {p}, {xs[1].strip()})"
+        elif agg_if:
+            xs = _split_args(x)
+            if len(xs) != 2:
+                raise ChTranslationError(
+                    f"{name} requires the (p)(x, cond) combinator form"
+                )
+            rep = (
+                f"{spark_fn}({xs[0].strip()}, {p}) "
+                f"FILTER (WHERE {xs[1].strip()})"
+            )
         else:
             rep = f"{spark_fn}({x}, {p})"
         sql = sql[:at] + rep + sql[end2:]
@@ -1248,6 +1271,38 @@ def _retention(a: list[str]) -> str:
     return f"array({', '.join(elems)})"
 
 
+# Aggregate bases accepted by the GENERIC CH combinators below.  CH lets
+# -If / -OrNull / -OrDefault attach to any aggregate; these are the bases
+# this translator itself knows how to translate afterwards.
+_COMBINATOR_BASES = (
+    "sum", "min", "max", "avg", "any", "anyLast", "count", "median",
+    "medianExact", "stddevPop", "stddevSamp", "varPop", "varSamp",
+    "covarPop", "covarSamp", "corr", "skewPop", "kurtPop", "groupArray",
+    "groupUniqArray", "uniq", "uniqExact", "avgWeighted", "argMin",
+    "argMax", "sumKahan", "countDistinct", "sumDistinct",
+)
+
+# aggregates Spark already returns NULL for on an empty/all-filtered group
+# — their -OrNull form is the plain call
+_ORNULL_IDENTITY = (
+    "sum", "min", "max", "avg", "any", "anyLast", "median", "medianExact",
+    "stddevPop", "stddevSamp", "varPop", "varSamp", "covarPop", "covarSamp",
+    "corr", "skewPop", "kurtPop", "argMin", "argMax", "avgWeighted",
+    "sumKahan", "sumDistinct",
+)
+
+# counting aggregates return 0 on empty — -OrNull needs a nullif(·, 0)
+_ORNULL_COUNTING = ("count", "uniq", "uniqExact", "countDistinct")
+
+# numeric aggregates whose CH result-type default is 0 — -OrDefault is a
+# coalesce(·, 0)
+_ORDEFAULT_ZERO = (
+    "sum", "min", "max", "avg", "median", "medianExact", "stddevPop",
+    "stddevSamp", "varPop", "varSamp", "covarPop", "covarSamp", "corr",
+    "skewPop", "kurtPop", "avgWeighted", "sumKahan", "sumDistinct",
+)
+
+
 def _translate_functions(sql: str) -> str:
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence(
@@ -1259,6 +1314,86 @@ def _translate_functions(sql: str) -> str:
         lambda seq, rx: f"CAST(regexp_count({seq}, '{rx}') AS INT)",
     )
     sql = _rewrite_calls(sql, "retention", _retention)
+    # --- generic aggregate combinators: expand STRUCTURALLY first, so the
+    # emitted base call is translated by its own rule further down ---
+    for base in _COMBINATOR_BASES:
+        if base in ("count", "avgWeighted", "kurtPop"):
+            # countIf(cond) is 1-arg with its own rule; avgWeighted and
+            # kurtPop translate to COMPOSITE expressions (try_divide /
+            # kurtosis+3) that cannot take a trailing FILTER — dedicated
+            # rules below push the FILTER onto the inner aggregates
+            continue
+        sql = _rewrite_calls(
+            sql, f"{base}If",
+            lambda a, b=base: (
+                f"{b}({', '.join(a[:-1])}) FILTER (WHERE {a[-1]})"
+                if len(a) >= 2
+                else _refuse(f"{b}If without a condition argument")
+            ),
+        )
+    sql = _rewrite_calls(
+        sql, "avgWeightedIf",
+        lambda a: (
+            f"try_divide(sum(({a[0]}) * ({a[1]})) FILTER (WHERE {a[2]}), "
+            f"sum({a[1]}) FILTER (WHERE {a[2]}))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "kurtPopIf",
+        lambda a: f"(kurtosis({a[0]}) FILTER (WHERE {a[1]}) + 3)",
+    )
+    for base in _ORNULL_IDENTITY:
+        sql = _rewrite_calls(
+            sql, f"{base}OrNull", lambda a, b=base: f"{b}({', '.join(a)})"
+        )
+    for base in _ORNULL_COUNTING:
+        sql = _rewrite_calls(
+            sql, f"{base}OrNull",
+            lambda a, b=base: f"nullif({b}({', '.join(a)}), 0)",
+        )
+    for base in ("groupArray", "groupUniqArray"):
+        sql = _rewrite_calls(
+            sql, f"{base}OrNull",
+            # the duplicated aggregate call dedups into one buffer
+            lambda a, b=base: (
+                f"IF(size({b}({', '.join(a)})) = 0, NULL, "
+                f"{b}({', '.join(a)}))"
+            ),
+        )
+    for base in _ORDEFAULT_ZERO:
+        sql = _rewrite_calls(
+            sql, f"{base}OrDefault",
+            lambda a, b=base: f"coalesce({b}({', '.join(a)}), 0)",
+        )
+    for base in ("count", "uniq", "uniqExact", "countDistinct",
+                 "groupArray", "groupUniqArray"):
+        # already 0 / [] on empty groups — -OrDefault is the plain call
+        sql = _rewrite_calls(
+            sql, f"{base}OrDefault", lambda a, b=base: f"{b}({', '.join(a)})"
+        )
+    for nm in ("anyOrDefault", "anyLastOrDefault", "argMinOrDefault",
+               "argMaxOrDefault"):
+        sql = _rewrite_calls(
+            sql, nm,
+            lambda a, n=nm: _refuse(
+                f"{n} (the CH default depends on the argument's type, "
+                "unknowable at SQL-text level — use coalesce(...OrNull, "
+                "<literal default>))"
+            ),
+        )
+    # countIf: CH's 1-arg form counts rows where cond; the 2-arg form
+    # counts non-NULL x where cond (Spark's count_if is 1-arg only)
+    sql = _rewrite_calls(
+        sql, "countIf",
+        lambda a: (
+            f"count_if({a[0]})"
+            if len(a) == 1
+            else f"count({a[0]}) FILTER (WHERE {a[1]})"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "countDistinct", lambda a: f"count(DISTINCT {', '.join(a)})"
+    )
     for ch, unit in _TRUNCS.items():
         sql = _rewrite_calls(sql, ch, lambda a, u=unit: f"date_trunc('{u}', {a[0]})")
     # -OrNull / -OrZero safe-cast variants: OrNull → TRY_CAST; OrZero →
@@ -1356,6 +1491,11 @@ def _translate_functions(sql: str) -> str:
             f"__tk_s -> __tk_s.__tk_v), 1, {n})"
         )
         sql = sql[:at] + expr + sql[end2:]
+    sql = _rewrite_quantile(sql, "quantileExactIf", "percentile", agg_if=True)
+    sql = _rewrite_quantile(
+        sql, "quantileTimingIf", "percentile_approx", agg_if=True
+    )
+    sql = _rewrite_quantile(sql, "quantileIf", "percentile_approx", agg_if=True)
     sql = _rewrite_quantile(
         sql, "quantilesExactWeighted", "percentile", wrap_array=True, weighted=True
     )

@@ -2343,3 +2343,44 @@ def test_batch3_array_map_stat_tail(spark):
     ):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_generic_aggregate_combinators(spark):
+    """CH's generic -If / -OrNull / -OrDefault combinators attach to any
+    aggregate: structural expansion to FILTER (WHERE …) / nullif /
+    coalesce, with dedicated pushdown for composite bases (avgWeighted,
+    kurtPop) whose translations cannot take a trailing FILTER."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, 1.0, 2, "a"), (1, 3.0, 1, "b"), (1, -1.0, 4, "c"), (1, 2.0, 1, "a")],
+        "k int, v double, w int, s string",
+    ).createOrReplaceTempView("t")
+    got, _ = translate_ch_sql(
+        "SELECT medianIf(v, v > 0) AS md, stddevPopIf(v, v > 0) AS sp, "
+        "groupArrayIf(s, v > 2) AS ga, quantileExactIf(0.5)(v, v > 0) AS qe, "
+        "countDistinctIf(s, v > 0) AS cd, avgWeightedIf(v, w, v > 0) AS aw, "
+        "kurtPopIf(v, v > 0) AS kp, countIf(s, v > 0) AS c2 FROM t GROUP BY k"
+    )
+    r = spark.sql(got).first()
+    assert r["md"] == 2.0 and abs(r["sp"] - 0.816496580927726) < 1e-12
+    assert r["ga"] == ["b"] and r["qe"] == 2.0 and r["cd"] == 2
+    assert abs(r["aw"] - 1.75) < 1e-12 and r["c2"] == 3
+    # empty-group semantics: plain Spark NULL vs CH's OrNull/OrDefault
+    got, _ = translate_ch_sql(
+        "SELECT sumOrDefault(v) AS sd, avgOrDefault(v) AS ad, "
+        "countOrNull(v) AS cn, uniqExactOrNull(s) AS un, "
+        "groupArrayOrNull(s) AS gn, groupArrayOrDefault(s) AS gd, "
+        "minOrNull(v) AS mn FROM t WHERE v > 100"
+    )
+    r = spark.sql(got).first()
+    assert (r["sd"], r["ad"]) == (0.0, 0.0)
+    assert r["cn"] is None and r["un"] is None and r["gn"] is None
+    assert r["gd"] == [] and r["mn"] is None
+    with pytest.raises(ChTranslationError, match="unknowable"):
+        translate_ch_sql("SELECT anyOrDefault(s) FROM t")
+    with pytest.raises(ChTranslationError, match="condition"):
+        translate_ch_sql("SELECT sumIf(v) FROM t")
