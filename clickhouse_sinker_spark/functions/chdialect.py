@@ -276,16 +276,32 @@ groupConcat[('sep')](x)      array_join(collect_list(x), sep) — order
                              count/arrays; any/argM*OrDefault refused
                              (result-type default unknowable)
 countDistinct(x…)            count(DISTINCT …)
+gcd/lcm(a, b)                bounded Euclid aggregate() fold (92 iters =
+                             64-bit Fibonacci worst case); zero args
+                             raise, as CH
+roundToExp2(x)               <1 → 0 else largest 2^k ≤ x, exact via
+                             length(bin(x)) — never a float log2
+roundDown(x, [b…])           sorted-boundary fold; below lowest → lowest
+stringJaccardIndex[UTF8]     char-set Jaccard via array_intersect/union
+entropy(x)                   -Σ p·log2 p over SORTED distinct values —
+                             deterministic where CH is order-dependent
+topKWeighted(N)(x, w)        exact: ranked by per-value weight sums,
+                             ties by value asc (like topK)
+sumMapFiltered([ks])(k, v)   per-row map_filter before the sumMap fold
+mapPopulateSeries(k, v[, m]) sequence(min, max) fill, absent keys → 0;
+                             keys widened to BIGINT (noted)
+replaceRegexpOne(s, p, r)    first-match regexp_instr/extract splice;
+                             literal \\N backrefs expand to group
+                             extracts of that same match
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output /
-histogram / bar / format-    no Spark builtin: gcd lcm erf lgamma
-ReadableTimeDelta / topK-    tgamma punycode* normalizeUTF8* Farm/Java/
-Weighted / deltaSum* /       Hive hashes / order-dependent aggregates /
-replaceRegexpOne / skew-     replace-first regex / sample moments /
-Samp / kurtSamp / running-   public-suffix list (firstSignificant-
-Concurrency / sumWith-       Subdomain)
-Overflow / gcd / lcm
+histogram / bar / format-    no Spark builtin: erf lgamma
+ReadableTimeDelta /          tgamma punycode* normalizeUTF8* Farm/Java/
+deltaSum* /                  Hive hashes / order-dependent aggregates /
+skewSamp / kurtSamp /        sample moments /
+runningConcurrency /         public-suffix list (firstSignificant-
+sumWithOverflow              Subdomain)
 ANY LEFT/INNER JOIN t        plain join against the keyed survivor
   USING (k…)                 subquery (row_number()=1, tie-break by the
                              table's remaining orderable columns —
@@ -494,7 +510,6 @@ _UNSUPPORTED = {
     "farmHash64",     # CH/Farm/Java/Hive hash families have no Spark twin
     "javaHash",
     "hiveHash",
-    "topKWeighted",
     "neighbor",
     "runningDifference",
     "runningAccumulate",
@@ -512,7 +527,6 @@ _UNSUPPORTED = {
     "dictHas",
     "arrayShuffle",   # nondeterministic by definition
     "toWeek",         # CH mode-0 week numbering has no Spark equivalent
-    "stringJaccardIndex",
     "JSONExtractArrayRaw",  # raw-JSON element slicing has no Spark form
     "JSONType",
     "toTypeName",     # engine introspection
@@ -520,10 +534,6 @@ _UNSUPPORTED = {
     "wordShingleSimHash",
     "ngramDistance",
     "multiFuzzyMatchAny",
-    "roundToExp2",    # floor-to-power-of-2: log2 boundary rounding unsafe
-    "roundDown",      # use width_bucket / CASE bucketing
-    "gcd",            # no Spark builtin; no closed-form SQL expression
-    "lcm",
     "erf",            # special functions absent from Spark SQL
     "erfc",
     "lgamma",
@@ -541,7 +551,6 @@ _UNSUPPORTED = {
     "deltaSum",              # order-dependent aggregate: use window lag()
     "deltaSumTimestamp",
     "sumWithOverflow",       # wrapping sum vs Spark ANSI overflow error
-    "replaceRegexpOne",      # Spark regexp_replace is always replace-ALL
     "skewSamp",              # Spark exposes population moments only
     "kurtSamp",
     "firstSignificantSubdomain",   # needs CH's public-suffix list
@@ -552,8 +561,6 @@ _UNSUPPORTED = {
     "uptime",
     "blockSize",
     "byteSize",
-    "entropy",               # accumulation-order-dependent float sum;
-                             # compute via an explicit groupBy count plan
     "rankCorr",              # no closed-form single-aggregate Spark expr
     "studentTTest",          # p-values need distribution functions
     "welchTTest",
@@ -566,10 +573,8 @@ _UNSUPPORTED = {
     "groupArrayMovingAvg",   # block-order-dependent, like deltaSum
     "groupArrayMovingSum",
     "groupArrayInsertAt",
-    "sumMapFiltered",        # use sumMap over arrayFilter'ed inputs
     "mapApply",              # tuple-valued lambda: use map_from_entries +
                              # transform(map_entries(m), …) directly
-    "mapPopulateSeries",
     "IPv6NumToString",       # binary IPv6 forms need inet codecs
     "IPv6StringToNum",
     "IPv4ToIPv6",
@@ -1491,6 +1496,82 @@ def _translate_functions(sql: str) -> str:
             f"__tk_s -> __tk_s.__tk_v), 1, {n})"
         )
         sql = sql[:at] + expr + sql[end2:]
+    # topKWeighted(N)(x, w): like topK but ranked by the SUM OF WEIGHTS
+    # per value (CH AggregateFunctionTopK weighted variant), computed
+    # exactly over one collect_list of (value, weight) structs; ties by
+    # value ascending, as the repo's topK
+    while True:
+        at = _find_call(sql, "topKWeighted")
+        if at < 0:
+            break
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError(
+                "topKWeighted requires the (N)(x, weight) combinator form"
+            )
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        n_raw = sql[open1 + 1 : end1 - 1].strip()
+        try:
+            n = int(n_raw)
+        except ValueError as e:
+            raise ChTranslationError(
+                f"topKWeighted requires an integer literal N, got {n_raw!r}"
+            ) from e
+        inner = _split_args(sql[open2 + 1 : end2 - 1])
+        if len(inner) != 2:
+            raise ChTranslationError("topKWeighted takes (N)(x, weight)")
+        x = _translate_functions(inner[0]).strip()
+        w = _translate_functions(inner[1]).strip()
+        cl = (
+            f"collect_list(named_struct('v', {x}, "
+            f"'w', CAST({w} AS BIGINT)))"
+        )
+        expr = (
+            f"slice(transform(array_sort(transform("
+            f"array_distinct(transform({cl}, __tw_e -> __tw_e.v)), "
+            f"__tw_v -> struct(-aggregate(filter({cl}, "
+            f"__tw_f -> __tw_f.v <=> __tw_v), CAST(0 AS BIGINT), "
+            f"(__tw_s, __tw_g) -> __tw_s + __tw_g.w) AS __tw_c, "
+            f"__tw_v AS __tw_v))), "
+            f"__tw_o -> __tw_o.__tw_v), 1, {n})"
+        )
+        sql = sql[:at] + expr + sql[end2:]
+    # sumMapFiltered([keys])(k, v): sumMap restricted to the listed keys —
+    # the per-row map is filtered BEFORE the merge fold, so dropped keys
+    # never enter the aggregate state (same shape CH builds)
+    while True:
+        at = _find_call(sql, "sumMapFiltered")
+        if at < 0:
+            break
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError(
+                "sumMapFiltered requires the (keys_to_keep)(keys, values) "
+                "combinator form"
+            )
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        keep = _translate_functions(sql[open1 + 1 : end1 - 1]).strip()
+        inner = _split_args(sql[open2 + 1 : end2 - 1])
+        if len(inner) != 2:
+            raise ChTranslationError(
+                "sumMapFiltered takes (keys_to_keep)(keys, values)"
+            )
+        k = _translate_functions(inner[0]).strip()
+        v = _translate_functions(inner[1]).strip()
+        row = (
+            f"map_filter(map_from_arrays({k}, {v}), "
+            f"(__mk, __mv) -> array_contains({keep}, __mk))"
+        )
+        expr = _agg_map(
+            [row], "coalesce(__a, 0) + coalesce(__b, 0)", "sumMapFiltered"
+        )
+        sql = sql[:at] + expr + sql[end2:]
     sql = _rewrite_quantile(sql, "quantileExactIf", "percentile", agg_if=True)
     sql = _rewrite_quantile(
         sql, "quantileTimingIf", "percentile_approx", agg_if=True
@@ -1867,6 +1948,15 @@ def _translate_functions(sql: str) -> str:
     # (kurtosis is excess — CH kurtPop is not, hence the +3)
     sql = _rewrite_calls(sql, "skewPop", lambda a: f"skewness({a[0]})")
     sql = _rewrite_calls(sql, "kurtPop", lambda a: f"(kurtosis({a[0]}) + 3)")
+    sql = _rewrite_calls(sql, "gcd", _gcd)
+    sql = _rewrite_calls(sql, "lcm", _lcm)
+    sql = _rewrite_calls(sql, "roundToExp2", _round_to_exp2)
+    sql = _rewrite_calls(sql, "roundDown", _round_down)
+    sql = _rewrite_calls(sql, "stringJaccardIndexUTF8", _string_jaccard)
+    sql = _rewrite_calls(sql, "stringJaccardIndex", _string_jaccard)
+    sql = _rewrite_calls(sql, "entropy", _entropy)
+    sql = _rewrite_calls(sql, "mapPopulateSeries", _map_populate_series)
+    sql = _rewrite_calls(sql, "replaceRegexpOne", _replace_regexp_one)
     for suffix, ty in [
         ("UInt8", "BIGINT"), ("UInt16", "BIGINT"), ("UInt32", "BIGINT"),
         ("UInt64", "DECIMAL(20,0)"), ("Int8", "BIGINT"), ("Int16", "BIGINT"),
@@ -2922,6 +3012,277 @@ def _range_seq(args: list[str]) -> str:
     raise ChTranslationError("range with explicit step not supported")
 
 
+def _gcd_fold(x: str, y: str) -> str:
+    """Bounded Euclid as a JVM-side ``aggregate`` fold: 92 iterations
+    cover the 64-bit worst case (consecutive Fibonacci numbers — the
+    slowest-converging gcd inputs, log_phi(2^63) ≈ 91 steps)."""
+    a = f"CAST(abs(CAST({x} AS BIGINT)) AS BIGINT)"
+    b = f"CAST(abs(CAST({y} AS BIGINT)) AS BIGINT)"
+    return (
+        f"aggregate(sequence(1, 92), named_struct('a', {a}, 'b', {b}), "
+        f"(__g, __i) -> CASE WHEN __g.b = 0 THEN __g "
+        f"ELSE named_struct('a', __g.b, 'b', __g.a % __g.b) END).a"
+    )
+
+
+def _gcd(args: list[str]) -> str:
+    """CH ``gcd(a, b)`` THROWS on a zero argument (GCDLCMImpl calls
+    throwIfDivisionLeadsToFPE both ways — ClickHouse
+    src/Functions/gcd.cpp); mirrored with a lazily-evaluated
+    raise_error branch.  Negatives via abs (boost::integer::gcd
+    convention, same as DuckDB)."""
+    if len(args) != 2:
+        raise ChTranslationError("gcd takes exactly 2 arguments")
+    x, y = f"({args[0]})", f"({args[1]})"
+    return (
+        f"CASE WHEN {x} = 0 OR {y} = 0 THEN "
+        f"CAST(raise_error('gcd: division by zero "
+        f"(ClickHouse throws on zero arguments)') AS BIGINT) "
+        f"ELSE {_gcd_fold(x, y)} END"
+    )
+
+
+def _lcm(args: list[str]) -> str:
+    """``lcm(a, b)`` = |a / gcd(a,b) * b| — dividing FIRST keeps the
+    intermediate inside 64 bits whenever the result fits (CH wraps
+    silently on overflow; Spark would error under ANSI — noted delta).
+    Zero arguments throw, as in CH."""
+    if len(args) != 2:
+        raise ChTranslationError("lcm takes exactly 2 arguments")
+    x, y = f"({args[0]})", f"({args[1]})"
+    body = _bind_arr(
+        _gcd_fold(x, y),
+        lambda g: (
+            f"abs((CAST({x} AS BIGINT) DIV {g}) * CAST({y} AS BIGINT))"
+        ),
+    )
+    return (
+        f"CASE WHEN {x} = 0 OR {y} = 0 THEN "
+        f"CAST(raise_error('lcm: division by zero "
+        f"(ClickHouse throws on zero arguments)') AS BIGINT) "
+        f"ELSE {body} END"
+    )
+
+
+def _round_to_exp2(args: list[str]) -> str:
+    """``roundToExp2(x)``: below 1 → 0, else the largest power of two
+    ≤ x (docs/en/sql-reference/functions/rounding-functions).  Exact
+    bit arithmetic — floor(log2) read off the BINARY STRING length of
+    the truncated value, never a float log2 whose boundary rounding
+    could land on the wrong side at exact powers of two."""
+    if len(args) != 1:
+        raise ChTranslationError("roundToExp2 takes exactly 1 argument")
+    x = f"({args[0]})"
+    return (
+        f"CASE WHEN {x} < 1 THEN CAST(0 AS BIGINT) "
+        f"ELSE shiftleft(CAST(1 AS BIGINT), "
+        f"length(bin(CAST({x} AS BIGINT))) - 1) END"
+    )
+
+
+def _round_down(args: list[str]) -> str:
+    """``roundDown(x, [b1, b2, …])``: largest boundary ≤ x; below the
+    lowest boundary, the lowest boundary itself (CH contract).  The
+    boundary array is sorted once and folded ascending — boundaries
+    need not be pre-sorted in the source query."""
+    if len(args) != 2:
+        raise ChTranslationError("roundDown takes (x, boundary_array)")
+    x = f"({args[0]})"
+    return _bind_arr(
+        f"array_sort({args[1]})",
+        lambda s: (
+            f"aggregate(slice({s}, 2, size({s}) - 1), element_at({s}, 1), "
+            f"(__rd, __b) -> CASE WHEN {x} >= __b THEN __b ELSE __rd END)"
+        ),
+    )
+
+
+def _string_jaccard(args: list[str]) -> str:
+    """``stringJaccardIndex[UTF8](s1, s2)``: Jaccard similarity of the
+    two strings' character sets.  Spark strings are UTF-8/code-point
+    native, so this matches CH's UTF8 variant exactly (and the byte
+    variant on ASCII data; supplementary-plane chars split into
+    surrogate halves — noted).  Both-empty → 1.0 (equal empty sets).
+    ``split(s, '')`` yields [''] for the empty string, hence the
+    empty-element filter."""
+    if len(args) != 2:
+        raise ChTranslationError("stringJaccardIndex takes (s1, s2)")
+    sets = (
+        f"named_struct("
+        f"'x', array_distinct(filter(split({args[0]}, ''), __c -> __c != '')), "
+        f"'y', array_distinct(filter(split({args[1]}, ''), __c -> __c != '')))"
+    )
+    return _bind_arr(
+        sets,
+        lambda st: (
+            f"CASE WHEN size(array_union({st}.x, {st}.y)) = 0 "
+            f"THEN CAST(1.0 AS DOUBLE) "
+            f"ELSE size(array_intersect({st}.x, {st}.y)) "
+            f"/ CAST(size(array_union({st}.x, {st}.y)) AS DOUBLE) END"
+        ),
+    )
+
+
+def _entropy(args: list[str]) -> str:
+    """``entropy(x)`` aggregate: Shannon entropy -Σ p·log2(p) over the
+    value distribution.  Deterministic where CH's float accumulation is
+    order-dependent: per-value counts are exact integers and the final
+    float sum folds over the SORTED distinct values, so repeated runs
+    hash identically (cross-engine agreement still needs rounding, as
+    any float aggregate here does)."""
+    if len(args) != 1:
+        raise ChTranslationError("entropy takes exactly 1 argument")
+    cl = f"collect_list({args[0]})"
+    st = (
+        f"named_struct('l', {cl}, 'd', array_sort(array_distinct({cl})))"
+    )
+    return _bind_arr(
+        st,
+        lambda s: (
+            f"aggregate(transform({s}.d, __v -> "
+            f"size(filter({s}.l, __e -> __e <=> __v)) "
+            f"/ CAST(size({s}.l) AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (__en, __p) -> __en - __p * log2(__p))"
+        ),
+    )
+
+
+def _map_populate_series(args: list[str]) -> str:
+    """``mapPopulateSeries(keys, values[, max])`` → CH's tuple-of-arrays
+    shape ``(keys, values)`` with every integer key from min(keys) to
+    max filled in, absent keys valued 0; the 1-arg Map form returns a
+    Map.  Keys are widened to BIGINT (CH preserves the input width —
+    noted).  Spark ``sequence`` auto-descends when max < min, so the
+    series is clamp+sliced to empty instead (matching CH's empty
+    result), and map lookups go through try_element_at (plain
+    element_at ERRORS on absent keys under ANSI mode)."""
+    if len(args) == 1:
+        m = args[0]
+        return _bind_arr(
+            m,
+            lambda mm: _bind_arr(
+                f"named_struct('m', {mm}, "
+                f"'s', sequence(CAST(array_min(map_keys({mm})) AS BIGINT), "
+                f"CAST(array_max(map_keys({mm})) AS BIGINT)))",
+                lambda s: (
+                    f"CASE WHEN cardinality({s}.m) = 0 THEN {s}.m "
+                    f"ELSE map_from_arrays({s}.s, transform({s}.s, "
+                    f"__i -> coalesce(try_element_at({s}.m, __i), 0))) END"
+                ),
+            ),
+        )
+    if len(args) in (2, 3):
+        k, v = args[0], args[1]
+
+        def _series(kk: str) -> str:
+            # evaluated in the OUTER bind's scope (kk = the cast keys);
+            # only two nesting levels total — a third _bind_arr would
+            # shadow __arr and silently rebind earlier references
+            lo = f"CAST(array_min({kk}) AS BIGINT)"
+            hi = (
+                f"CAST(({args[2]}) AS BIGINT)"
+                if len(args) == 3
+                else f"CAST(array_max({kk}) AS BIGINT)"
+            )
+            return (
+                f"slice(sequence({lo}, greatest({hi}, {lo})), 1, "
+                f"CAST(greatest({hi} - {lo} + 1, 0) AS INT))"
+            )
+
+        return _bind_arr(
+            f"transform({k}, __x -> CAST(__x AS BIGINT))",
+            lambda kk: _bind_arr(
+                f"named_struct('m', map_from_arrays({kk}, {v}), "
+                f"'s', {_series(kk)})",
+                lambda s: (
+                    f"CASE WHEN {s}.s IS NULL THEN named_struct("
+                    f"'keys', CAST(array() AS ARRAY<BIGINT>), "
+                    f"'values', slice({v}, 1, 0)) "
+                    f"ELSE named_struct('keys', {s}.s, "
+                    f"'values', transform({s}.s, __i -> "
+                    f"coalesce(try_element_at({s}.m, __i), 0))) END"
+                ),
+            ),
+        )
+    raise ChTranslationError(
+        "mapPopulateSeries takes (keys, values[, max]) or (map)"
+    )
+
+
+def _replace_regexp_one(args: list[str]) -> str:
+    """``replaceRegexpOne(s, pattern, repl)``: replace only the FIRST
+    regex match — Spark's regexp_replace is always replace-all, so the
+    first match is located with regexp_instr/regexp_extract (same
+    leftmost-first semantics) and spliced out.  CH backreferences
+    ``\\0``–``\\9`` in a LITERAL replacement expand to
+    regexp_extract(s, p, N) of that same first match; non-literal
+    replacements pass through verbatim (backrefs in them are not
+    expanded — noted)."""
+    if len(args) != 3:
+        raise ChTranslationError("replaceRegexpOne takes (s, pattern, repl)")
+    s, p, r = args
+
+    def _repl_expr(st: str) -> str:
+        if not (len(r) >= 2 and r[0] == "'" and r[-1] == "'"):
+            return r  # non-literal replacement: no backref expansion
+        # body is Spark-escaped TEXT: each replacement-VALUE backslash is
+        # the text pair ``\\``.  re2 rewrite semantics on the value:
+        # backslash+digit = group ref, backslash+backslash = literal
+        # backslash in the output.
+        body = r[1:-1]
+        parts: list[str] = []  # quoted chunks and extract() calls
+        cur: list[str] = []
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c == "\\" and i + 1 < len(body):
+                if body[i + 1] == "\\":
+                    # value backslash — what does it escape in re2?
+                    if i + 2 < len(body) and body[i + 2].isdigit():
+                        # value \N = backref to group N of the SAME match
+                        if cur:
+                            parts.append("'" + "".join(cur) + "'")
+                            cur = []
+                        parts.append(
+                            f"regexp_extract({st}.s, {p}, {body[i + 2]})"
+                        )
+                        i += 3
+                        continue
+                    if body[i + 2 : i + 4] == "\\\\":
+                        # value \\ = one literal backslash in the output
+                        cur.append("\\\\")
+                        i += 4
+                        continue
+                    # lone value backslash (re2 would reject) — keep it
+                    cur.append("\\\\")
+                    i += 2
+                    continue
+                # other escape pair (\n, \t, …): copy atomically
+                cur.append(body[i : i + 2])
+                i += 2
+                continue
+            cur.append(c)
+            i += 1
+        if cur:
+            parts.append("'" + "".join(cur) + "'")
+        if not parts:
+            return "''"
+        if len(parts) == 1:
+            return parts[0]
+        return "concat(" + ", ".join(parts) + ")"
+
+    return _bind_arr(
+        f"named_struct('s', {s}, 'i', regexp_instr({s}, {p}), "
+        f"'m', regexp_extract({s}, {p}, 0))",
+        lambda st: (
+            f"CASE WHEN {st}.i = 0 OR {st}.i IS NULL THEN {st}.s "
+            f"ELSE concat(substring({st}.s, 1, {st}.i - 1), "
+            f"{_repl_expr(st)}, "
+            f"substring({st}.s, {st}.i + length({st}.m))) END"
+        ),
+    )
+
+
 def _json_extract(args: list[str], cast: str | None) -> str:
     """``JSONExtract*(json, 'a', 2, 'b')`` → ``get_json_object(json,
     '$.a[1].b')`` — literal string keys become members, literal integer
@@ -3836,7 +4197,6 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     notes: list[str] = []
     _redirect = {
         "topK": "window_topk_per_customer (exact per-group top-k)",
-        "topKWeighted": "window_topk_per_customer (exact per-group top-k)",
         "neighbor": "lag()/lead() OVER an explicit ORDER BY",
         "runningDifference": "v - lag(v) OVER an explicit ORDER BY",
         "runningAccumulate": "sum() OVER an explicit ORDER BY",

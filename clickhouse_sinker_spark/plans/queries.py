@@ -6132,6 +6132,153 @@ def ch_dialect_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_SUM_MAP, sf_dir)
 
 
+CH_DIALECT_AGG_COMBINATORS = """
+    SELECT event_type,
+           round(quantileExactIf(0.5)(value, value > 50), 6) AS med_hi,
+           round(stddevPopIf(value, value > 0), 6) AS sdev,
+           countDistinctIf(user_id, value > 100) AS cd,
+           countIf(props, value > 120) AS cp,
+           round(avgWeightedIf(value, modulo(user_id, 10) + 1, value > 10), 6)
+             AS aw,
+           (SELECT countOrNull(event_id) FROM events
+             WHERE value > 1000000000000) AS cn,
+           (SELECT sumOrDefault(value) FROM events
+             WHERE value > 1000000000000) AS sd
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query(
+    "ch_dialect_agg_combinators",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5) FILTER (WHERE value > 50), 6)
+             AS med_hi,
+           round(stddev_pop(value) FILTER (WHERE value > 0), 6) AS sdev,
+           count(DISTINCT user_id) FILTER (WHERE value > 100) AS cd,
+           count(props) FILTER (WHERE value > 120) AS cp,
+           round(CAST(sum(value * (user_id % 10 + 1))
+                        FILTER (WHERE value > 10) AS DOUBLE)
+                 / CAST(sum(user_id % 10 + 1)
+                        FILTER (WHERE value > 10) AS DOUBLE), 6) AS aw,
+           (SELECT NULLIF(count(event_id), 0) FROM events
+             WHERE value > 1000000000000) AS cn,
+           (SELECT COALESCE(CAST(sum(value) AS DOUBLE), 0) FROM events
+             WHERE value > 1000000000000) AS sd
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ch_dialect_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic aggregate-combinator machinery under the hard gate:
+    -If on a quantile (two-group ``quantileExactIf(0.5)(x, cond)``), on a
+    moment (``stddevPopIf``), on distinct counting (``countDistinctIf``),
+    the 2-arg ``countIf(x, cond)`` form, the composite-base pushdown
+    (``avgWeightedIf`` — its translation is a sum ratio, so the FILTER
+    is pushed into BOTH component sums), and the empty-input combinators
+    ``countOrNull`` / ``sumOrDefault`` exercised against a genuinely
+    empty scalar-subquery input (CH: count→NULL, sum→0).  The DuckDB
+    oracle re-expresses each via native FILTER clauses and
+    NULLIF/COALESCE.  Plan: one groupBy(event_type) shuffle; the two
+    scalar subqueries are their own tiny aggregations, broadcast as
+    literals by AQE."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_AGG_COMBINATORS, sf_dir)
+
+
+CH_DIALECT_MATH_ENTROPY = """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(entropy(source), 6) AS src_entropy,
+           arrayStringConcat(topKWeighted(3)(source, n_chars), ',') AS top_w,
+           gcd(sum(n_chars), 3600) AS g,
+           lcm(modulo(max(n_chars), 97) + 1, 6) AS l,
+           roundToExp2(max(n_chars)) AS r2,
+           roundDown(max(n_chars), [64, 256, 1024, 4096]) AS rd,
+           round(stringJaccardIndex(min(source), max(source)), 6) AS jac,
+           replaceRegexpOne(min(source), '([a-z])([0-9])', '\\2\\1') AS rr,
+           arrayStringConcat(
+             sumMapFiltered(['src1', 'src2', 'src3'])([source], [n_chars]).keys,
+             ',') AS smf_keys,
+           arrayStringConcat(arrayMap(x -> toString(x),
+             sumMapFiltered(['src1', 'src2', 'src3'])([source], [n_chars]).values),
+             ',') AS smf_vals,
+           arrayStringConcat(arrayMap(x -> toString(x),
+             mapPopulateSeries([1, 3], [count(*), 2]).values), ',') AS mps
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@query(
+    "ch_dialect_math_entropy",
+    """
+    WITH kv AS (
+      SELECT lang, source AS k, CAST(SUM(n_chars) AS BIGINT) AS v
+      FROM documents WHERE source IN ('src1', 'src2', 'src3')
+      GROUP BY lang, source
+    ), smf AS (
+      SELECT lang,
+             string_agg(k, ',' ORDER BY k) AS smf_keys,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS smf_vals
+      FROM kv GROUP BY lang
+    ), w AS (
+      SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS tw
+      FROM documents GROUP BY lang, source
+    ), tops AS (
+      SELECT lang,
+             array_to_string((list(source ORDER BY tw DESC, source ASC))[:3],
+                             ',') AS top_w
+      FROM w GROUP BY lang
+    ), agg AS (
+      SELECT lang, count(*) AS n_docs,
+             round(entropy(source), 6) AS src_entropy,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars,
+             min(source) AS min_src, max(source) AS max_src
+      FROM documents GROUP BY lang
+    )
+    SELECT a.lang AS lang, a.n_docs AS n_docs, a.src_entropy AS src_entropy,
+           t.top_w AS top_w,
+           gcd(a.sum_chars, 3600) AS g,
+           lcm(a.max_chars % 97 + 1, 6) AS l,
+           (CAST(1 AS BIGINT) << (length(bin(a.max_chars)) - 1)) AS r2,
+           CASE WHEN a.max_chars >= 4096 THEN 4096
+                WHEN a.max_chars >= 1024 THEN 1024
+                WHEN a.max_chars >= 256 THEN 256
+                ELSE 64 END AS rd,
+           round(jaccard(a.min_src, a.max_src), 6) AS jac,
+           regexp_replace(a.min_src, '([a-z])([0-9])', '\\2\\1') AS rr,
+           COALESCE(s.smf_keys, '') AS smf_keys,
+           COALESCE(s.smf_vals, '') AS smf_vals,
+           CAST(a.n_docs AS VARCHAR) || ',0,2' AS mps
+    FROM agg a
+    JOIN tops t USING (lang)
+    LEFT JOIN smf s USING (lang)
+    """,
+)
+def ch_dialect_math_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-r7 math/entropy dialect batch under the hard gate:
+    entropy (deterministic sorted-distinct fold — CH's own float
+    accumulation is order-dependent, so both sides round to 6),
+    topKWeighted (exact per-value weight sums, ties by value asc),
+    gcd/lcm (bounded-Euclid aggregate() folds, 92 iterations = the
+    64-bit Fibonacci worst case), roundToExp2 (exact via length(bin) —
+    never a float log2, mirrored bit-for-bit by the oracle's shift),
+    roundDown (sorted-boundary fold vs the oracle's CASE ladder),
+    stringJaccardIndex (char-set Jaccard vs DuckDB's native jaccard),
+    replaceRegexpOne (first-match splice with \\\\N backref expansion vs
+    DuckDB's native first-match regexp_replace), sumMapFiltered
+    (pre-fold map_filter vs the relational re-aggregation), and
+    mapPopulateSeries (sequence fill).  Plan: one groupBy(lang) shuffle;
+    every scalar is a map-side expression over aggregate results."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_MATH_ENTROPY, sf_dir)
+
+
 CH_DIALECT_RIGHT_ANY = """
     SELECT e2.event_id AS event_id,
            e1.event_type AS any_type,
@@ -6451,8 +6598,6 @@ DRIVER_ORDER: list[str] = [
     "etl_pii_scrub",
     "dedup_incremental_exact",
     "corpus_mix_sample",
-    "corpus_temperature_mix",
-    "pipeline_quality_gate",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",
@@ -6462,6 +6607,8 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_asof_join",
     "ch_dialect_with_fill",
     "ch_dialect_url_readable",
+    "ch_dialect_agg_combinators",
+    "ch_dialect_math_entropy",
 ]
 
 DRIVER_WINDOW = 50

@@ -95,7 +95,7 @@ def test_unsupported_raises_not_mistranslates():
     with pytest.raises(ChTranslationError):
         T("SELECT cityHash64(event_type) FROM events")
     with pytest.raises(ChTranslationError):
-        T("SELECT topKWeighted(3)(event_type, value) FROM events")
+        T("SELECT sparkBar(10)(ts, value) FROM events")
 
 
 def test_end_to_end_against_spark(spark):
@@ -1747,7 +1747,6 @@ def test_map_aggregates_and_value_transform(spark):
     for bad, hint in (
         ("SELECT dictGet('d', 'a', v) FROM t", "broadcast JOIN"),
         ("SELECT histogram(5)(v) FROM t", "bucketing"),
-        ("SELECT topKWeighted(3)(v, 2) FROM t", "top-k"),
         ("SELECT rowNumberInAllBlocks() FROM t", "row_number"),
         ("SELECT formatReadableTimeDelta(v) FROM t", "no faithful"),
     ):
@@ -1861,7 +1860,6 @@ def test_text_time_array_ip_uuid_batch(spark):
     for bad in (
         "SELECT arrayShuffle(xs) FROM t",       # nondeterministic
         "SELECT toWeek(t1) FROM t",             # CH mode-0 week numbering
-        "SELECT stringJaccardIndex(s, s) FROM t",
     ):
         with pytest.raises(ChTranslationError, match="no faithful"):
             translate_ch_sql(bad)
@@ -2244,11 +2242,9 @@ def test_topk_moments_readable_tuple_batch(spark):
     assert r["s"] == "1.50 KiB" and r["q"] == "1.23 million"
     assert r["ea"] == [] and r["te"] == "x"
     for bad in (
-        "SELECT gcd(n, 3) FROM t",
+        "SELECT erf(n) FROM t",
         "SELECT deltaSum(n) FROM t",
-        "SELECT replaceRegexpOne('a', 'b', 'c')",
         "SELECT skewSamp(n) FROM t",
-        "SELECT topKWeighted(2)(n, n) FROM t",
         "SELECT sumWithOverflow(n) FROM t",
     ):
         with pytest.raises(ChTranslationError):
@@ -2333,7 +2329,7 @@ def test_batch3_array_map_stat_tail(spark):
         g, _ = translate_ch_sql("SELECT throwIf(n > 2, 'boom') FROM t")
         spark.sql(g).collect()
     for bad in (
-        "SELECT entropy(v) FROM t",
+        "SELECT rankCorr(v, v) FROM t",
         "SELECT lemmatize('en', s) FROM t",
         "SELECT mapApply((k, v) -> (k, v), m) FROM t",
         "SELECT geohashEncode(1.0, 2.0)",
@@ -2384,3 +2380,96 @@ def test_generic_aggregate_combinators(spark):
         translate_ch_sql("SELECT anyOrDefault(s) FROM t")
     with pytest.raises(ChTranslationError, match="condition"):
         translate_ch_sql("SELECT sumIf(v) FROM t")
+
+
+def test_math_round_string_batch(spark):
+    """gcd/lcm (bounded-Euclid folds, CH's throw-on-zero), roundToExp2
+    (exact bit arithmetic via bin()), roundDown (sorted-boundary fold),
+    stringJaccardIndex[UTF8] (char-set Jaccard), replaceRegexpOne
+    (first-match splice with backref expansion).  Cross-checked against
+    DuckDB's native gcd/lcm/jaccard/first-match regexp_replace."""
+    import duckdb
+
+    r = spark.sql(T(
+        "SELECT gcd(36, 60) AS g, lcm(4, 6) AS l, gcd(-12, 18) AS gn, "
+        "gcd(270, 192) AS gf, "
+        "roundToExp2(36) AS r2, roundToExp2(64) AS r2p, roundToExp2(1) AS r21, "
+        "roundToExp2(0.7) AS r2f, roundToExp2(-5) AS r2n, "
+        "roundDown(7, [2, 4, 8, 16]) AS rd, roundDown(100, [8, 2, 4]) AS rdh, "
+        "roundDown(1, [2, 4, 8]) AS rdl, "
+        "stringJaccardIndex('abc', 'bcd') AS j1, "
+        "stringJaccardIndexUTF8('', '') AS j2, "
+        "stringJaccardIndex('aab', 'ab') AS j3, "
+        "replaceRegexpOne('xx-12-34', '[0-9]+', 'N') AS rr, "
+        "replaceRegexpOne('ab-12-34', '([0-9])([0-9])', '\\2\\1') AS rb, "
+        "replaceRegexpOne('nohit', '[0-9]+', 'N') AS rn"
+    )).first()
+    assert (r["g"], r["l"], r["gn"], r["gf"]) == (12, 12, 6, 6)
+    # exact powers of two must stay put — the float-log2 failure mode
+    assert (r["r2"], r["r2p"], r["r21"], r["r2f"], r["r2n"]) == (32, 64, 1, 0, 0)
+    # boundary array need not be pre-sorted; below-lowest clamps up
+    assert (r["rd"], r["rdh"], r["rdl"]) == (4, 8, 2)
+    assert abs(r["j1"] - 0.5) < 1e-15 and r["j2"] == 1.0 and r["j3"] == 1.0
+    assert (r["rr"], r["rb"], r["rn"]) == ("xx-N-34", "ab-21-34", "nohit")
+    dd = duckdb.sql(
+        "SELECT gcd(36, 60), lcm(4, 6), gcd(-12, 18), jaccard('abc', 'bcd'), "
+        "regexp_replace('xx-12-34', '[0-9]+', 'N')"
+    ).fetchone()
+    assert dd == (12, 12, 6, 0.5, "xx-N-34")
+    # CH throws on zero args to gcd/lcm — mirrored as a lazy raise_error
+    with pytest.raises(Exception, match="division by zero"):
+        spark.sql(T("SELECT gcd(0, 5) AS g")).collect()
+    # a literal \\1 (escaped backslash + digit) is NOT a backref
+    r = spark.sql(T(
+        r"SELECT replaceRegexpOne('a1b', '([0-9])', '\\\1') AS x"
+    )).first()
+    assert r["x"] == "a\\1b"
+
+
+def test_entropy_topk_weighted_map_series(spark):
+    """entropy (deterministic sorted-distinct fold), topKWeighted
+    (exact weight-sum ranking), sumMapFiltered (pre-fold map_filter),
+    mapPopulateSeries (array and map forms, max clamp, empty input)."""
+    import duckdb
+
+    spark.createDataFrame(
+        [(1,), (1,), (2,), (4,)], "x int"
+    ).createOrReplaceTempView("ent_t")
+    e = spark.sql(T("SELECT entropy(x) AS e FROM ent_t")).first()["e"]
+    assert abs(e - 1.5) < 1e-12
+    assert abs(duckdb.sql(
+        "SELECT entropy(x) FROM (VALUES (1),(1),(2),(4)) t(x)"
+    ).fetchone()[0] - e) < 1e-12
+
+    spark.createDataFrame(
+        [("a", 1), ("b", 5), ("a", 2), ("c", 4)], "v string, w int"
+    ).createOrReplaceTempView("tkw_t")
+    assert spark.sql(
+        T("SELECT topKWeighted(2)(v, w) AS t FROM tkw_t")
+    ).first()["t"] == ["b", "c"]  # b:5 > c:4 > a:3
+    with pytest.raises(ChTranslationError, match="combinator"):
+        T("SELECT topKWeighted(v, w) FROM tkw_t")
+
+    spark.createDataFrame(
+        [([1, 2], [10, 20]), ([2, 3], [1, 2])],
+        "k array<int>, v array<int>",
+    ).createOrReplaceTempView("smf_t")
+    s = spark.sql(
+        T("SELECT sumMapFiltered([2, 3])(k, v) AS s FROM smf_t")
+    ).first()["s"]
+    assert s["keys"] == [2, 3] and s["values"] == [21, 2]
+
+    r = spark.sql(T(
+        "SELECT mapPopulateSeries([1, 4], [11, 44]) AS m, "
+        "mapPopulateSeries([1, 4], [11, 44], 6) AS m6, "
+        "mapPopulateSeries([4, 1], [44, 11], 2) AS mc, "
+        "mapPopulateSeries(map(1, 5)) AS mm, "
+        "mapPopulateSeries(slice([1], 1, 0), slice([1], 1, 0)) AS me"
+    )).first()
+    assert r["m"]["keys"] == [1, 2, 3, 4] and r["m"]["values"] == [11, 0, 0, 44]
+    assert r["m6"]["keys"] == [1, 2, 3, 4, 5, 6]
+    assert r["m6"]["values"] == [11, 0, 0, 44, 0, 0]
+    # explicit max BELOW some keys drops them (series is min..max)
+    assert r["mc"]["keys"] == [1, 2] and r["mc"]["values"] == [11, 0]
+    assert dict(r["mm"]) == {1: 5}
+    assert list(r["me"]["keys"]) == [] and list(r["me"]["values"]) == []
