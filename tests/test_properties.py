@@ -529,3 +529,176 @@ def test_replace_one_matches_python(spark, s, find, rep):
         f"SELECT replaceOne(s, '{find}', '{rep}') AS r FROM ro_t"
     )
     assert spark.sql(got).first()["r"] == s.replace(find, rep, 1)
+
+
+# --- post-r7 dialect batch: math/string/aggregate models --------------------
+
+
+def _run_ch(spark, sql: str):
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    return spark.sql(translate_ch_sql(sql)[0])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10**6, max_value=10**6).filter(lambda x: x != 0),
+            st.integers(min_value=-10**6, max_value=10**6).filter(lambda x: x != 0),
+            st.integers(min_value=-10**4, max_value=10**7),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_gcd_lcm_exp2_match_python_model(spark, rows):
+    """gcd/lcm vs math.gcd/math.lcm (the bounded-Euclid fold must agree
+    everywhere, including Fibonacci-adjacent worst cases hypothesis finds),
+    roundToExp2 vs the bit-length model 1 << (bit_length - 1)."""
+    vals = ", ".join(f"({a}, {b}, {c})" for a, b, c in rows)
+    got = _run_ch(
+        spark,
+        f"SELECT a, b, c, gcd(a, b) AS g, lcm(a, b) AS l, roundToExp2(c) AS r "
+        f"FROM (VALUES {vals}) AS t(a, b, c)",
+    ).collect()
+    for r in got:
+        assert r["g"] == math.gcd(r["a"], r["b"])
+        assert r["l"] == math.lcm(r["a"], r["b"])
+        want = 0 if r["c"] < 1 else 1 << (int(r["c"]).bit_length() - 1)
+        assert r["r"] == want, (r["c"], r["r"], want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=-1000, max_value=5000),
+    st.lists(
+        st.integers(min_value=-500, max_value=4000),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+)
+def test_round_down_matches_model(spark, x, bounds):
+    """roundDown: largest boundary ≤ x, else the lowest boundary —
+    boundary list in ANY order (the translation sorts)."""
+    arr = ", ".join(str(b) for b in bounds)
+    got = _run_ch(spark, f"SELECT roundDown({x}, [{arr}]) AS r").first()["r"]
+    s = sorted(bounds)
+    want = max((b for b in s if b <= x), default=s[0])
+    assert got == want, (x, bounds, got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcxyz019 .-", min_size=0, max_size=12),
+            st.text(alphabet="abcxyz019 .-", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_string_jaccard_matches_set_model(spark, pairs):
+    """stringJaccardIndex vs the Python char-set model; both-empty → 1.0."""
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    got = _run_ch(
+        spark,
+        f"SELECT a, b, stringJaccardIndex(a, b) AS j "
+        f"FROM (VALUES {vals}) AS t(a, b)",
+    ).collect()
+    for r in got:
+        sa, sb = set(r["a"]), set(r["b"])
+        want = 1.0 if not (sa | sb) else len(sa & sb) / len(sa | sb)
+        assert abs(r["j"] - want) < 1e-12, (r["a"], r["b"], r["j"], want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab xy12-", min_size=0, max_size=20),
+             min_size=1, max_size=12),
+    st.sampled_from([
+        ("[0-9]+", "N", "N"),
+        ("([a-z])([0-9])", "<\\\\2\\\\1>", "<\\2\\1>"),
+        ("(aa|b)", "[\\\\1]", "[\\1]"),
+        ("x+y", "_", "_"),
+    ]),
+)
+def test_replace_regexp_one_matches_re_sub(spark, strings, pat):
+    """replaceRegexpOne vs Python re.sub(count=1) — same leftmost-first
+    match, same group expansion, untouched when no match."""
+    import re as _re
+
+    pattern, ch_repl, py_repl = pat
+    vals = ", ".join(f"('{s}')" for s in strings)
+    got = _run_ch(
+        spark,
+        f"SELECT s, replaceRegexpOne(s, '{pattern}', '{ch_repl}') AS r "
+        f"FROM (VALUES {vals}) AS t(s)",
+    ).collect()
+    for r in got:
+        want = _re.sub(pattern, py_repl, r["s"], count=1)
+        assert r["r"] == want, (r["s"], pattern, r["r"], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("abcdef"),
+            st.integers(min_value=1, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_entropy_topk_weighted_match_counter_model(spark, rows):
+    """entropy vs the Counter model (-Σ p·log2 p); topKWeighted vs the
+    weight-sum model sorted by (-weight, value)."""
+    from collections import Counter
+
+    vals = ", ".join(f"('{v}', {w})" for v, w in rows)
+    r = _run_ch(
+        spark,
+        f"SELECT entropy(v) AS e, topKWeighted(3)(v, w) AS t "
+        f"FROM (VALUES {vals}) AS t(v, w)",
+    ).first()
+    counts = Counter(v for v, _ in rows)
+    n = len(rows)
+    want_e = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    assert abs(r["e"] - want_e) < 1e-9, (r["e"], want_e)
+    weights = Counter()
+    for v, w in rows:
+        weights[v] += w
+    want_t = [v for v, _ in sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))][:3]
+    assert r["t"] == want_t, (r["t"], want_t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=6,
+             unique=True),
+    st.data(),
+)
+def test_map_populate_series_matches_dict_model(spark, keys, data):
+    """mapPopulateSeries vs the dict-fill model, with and without an
+    explicit max (max below some keys DROPS them — series is min..max)."""
+    vals = [data.draw(st.integers(min_value=-50, max_value=50))
+            for _ in keys]
+    use_max = data.draw(st.booleans())
+    mx = data.draw(st.integers(min_value=-2, max_value=20)) if use_max else None
+    k_lit = ", ".join(str(k) for k in keys)
+    v_lit = ", ".join(str(v) for v in vals)
+    call = (
+        f"mapPopulateSeries([{k_lit}], [{v_lit}], {mx})"
+        if use_max
+        else f"mapPopulateSeries([{k_lit}], [{v_lit}])"
+    )
+    r = _run_ch(spark, f"SELECT {call} AS m").first()["m"]
+    m = dict(zip(keys, vals))
+    lo = min(keys)
+    hi = mx if use_max else max(keys)
+    want_keys = list(range(lo, hi + 1)) if hi >= lo else []
+    assert list(r["keys"]) == want_keys, (keys, mx, r)
+    assert list(r["values"]) == [m.get(k, 0) for k in want_keys], (keys, mx, r)
