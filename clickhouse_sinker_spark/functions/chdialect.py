@@ -293,13 +293,25 @@ mapPopulateSeries(k, v[, m]) sequence(min, max) fill, absent keys → 0;
 replaceRegexpOne(s, p, r)    first-match regexp_instr/extract splice;
                              literal \\N backrefs expand to group
                              extracts of that same match
+skewSamp/kurtSamp(x)         population builtins × ((n-1)/n)^{3/2, 2}
+                             (exact sample-moment rescaling)
+bitmaskToList(n)             ascending power-of-two decomposition as a
+                             joined string; negative input raises
+mapApply((k,v)->(a,b), m)    tuple lambda → map_entries transform with
+                             word-boundary var substitution
+MACNumToString/StringToNum   uppercase hex-pair splice / conv(16); bad
+                             format → 0 as CH
+IPv4CIDRToRange(ip, cidr)    subnet (low, high) tuple via block-size
+                             integer arithmetic (works at /0)
+maxIntersections[Position]   sweep-line sort_array fold, ends close
+                             before starts open (half-open intervals);
+                             Position returned as DOUBLE (noted)
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output /
 histogram / bar / format-    no Spark builtin: erf lgamma
 ReadableTimeDelta /          tgamma punycode* normalizeUTF8* Farm/Java/
 deltaSum* /                  Hive hashes / order-dependent aggregates /
-skewSamp / kurtSamp /        sample moments /
 runningConcurrency /         public-suffix list (firstSignificant-
 sumWithOverflow              Subdomain)
 ANY LEFT/INNER JOIN t        plain join against the keyed survivor
@@ -546,13 +558,10 @@ _UNSUPPORTED = {
     "normalizeUTF8NFKD",
     "punycodeEncode",
     "punycodeDecode",
-    "bitmaskToList",
     "runningConcurrency",    # block-order-dependent, like runningDifference
     "deltaSum",              # order-dependent aggregate: use window lag()
     "deltaSumTimestamp",
     "sumWithOverflow",       # wrapping sum vs Spark ANSI overflow error
-    "skewSamp",              # Spark exposes population moments only
-    "kurtSamp",
     "firstSignificantSubdomain",   # needs CH's public-suffix list
     "cutToFirstSignificantSubdomain",
     "sleep",                 # deliberate no-op denial: no sleeping in plans
@@ -568,21 +577,14 @@ _UNSUPPORTED = {
     "meanZTest",
     "stochasticLinearRegression",   # iterative trainers, not aggregates
     "stochasticLogisticRegression",
-    "maxIntersections",
-    "maxIntersectionsPosition",
     "groupArrayMovingAvg",   # block-order-dependent, like deltaSum
     "groupArrayMovingSum",
     "groupArrayInsertAt",
-    "mapApply",              # tuple-valued lambda: use map_from_entries +
-                             # transform(map_entries(m), …) directly
     "IPv6NumToString",       # binary IPv6 forms need inet codecs
     "IPv6StringToNum",
     "IPv4ToIPv6",
     "cutIPv6",
-    "IPv4CIDRToRange",
     "IPv6CIDRToRange",
-    "MACNumToString",
-    "MACStringToNum",
     "pointInPolygon",        # no geo engine
     "geohashEncode",
     "geohashDecode",
@@ -2260,17 +2262,39 @@ def _translate_functions(sql: str) -> str:
         ),
     )
     sql = _rewrite_calls(
-        sql,
-        "IPv4NumToString",
-        lambda a: (
-            f"concat_ws('.', "
-            f"CAST((CAST({a[0]} AS BIGINT) DIV 16777216) % 256 AS STRING), "
-            f"CAST((CAST({a[0]} AS BIGINT) DIV 65536) % 256 AS STRING), "
-            f"CAST((CAST({a[0]} AS BIGINT) DIV 256) % 256 AS STRING), "
-            f"CAST(CAST({a[0]} AS BIGINT) % 256 AS STRING))"
-        ),
+        sql, "IPv4NumToString", lambda a: _ipv4_num_to_string(a[0])
     )
     sql = _rewrite_calls(sql, "IPv4StringToNum", _ipv4_string_to_num)
+    sql = _rewrite_calls(sql, "IPv4CIDRToRange", _ipv4_cidr_to_range)
+    sql = _rewrite_calls(sql, "MACNumToString", _mac_num_to_string)
+    sql = _rewrite_calls(sql, "MACStringToNum", _mac_string_to_num)
+    sql = _rewrite_calls(sql, "bitmaskToList", _bitmask_to_list)
+    sql = _rewrite_calls(sql, "mapApply", _map_apply)
+    sql = _rewrite_calls(
+        sql, "maxIntersectionsPosition",
+        lambda a: _max_intersections(a, position=True),
+    )
+    sql = _rewrite_calls(
+        sql, "maxIntersections",
+        lambda a: _max_intersections(a, position=False),
+    )
+    # sample moments from the population builtins: m3c/svar^1.5 and
+    # m4c/svar^2 where svar = n/(n-1)·pvar — so the sample forms are the
+    # population forms scaled by ((n-1)/n)^{3/2} and ((n-1)/n)^2
+    sql = _rewrite_calls(
+        sql, "skewSamp",
+        lambda a: (
+            f"(skewness({a[0]}) * pow((count({a[0]}) - 1) "
+            f"/ CAST(count({a[0]}) AS DOUBLE), 1.5))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "kurtSamp",
+        lambda a: (
+            f"((kurtosis({a[0]}) + 3) * pow((count({a[0]}) - 1) "
+            f"/ CAST(count({a[0]}) AS DOUBLE), 2))"
+        ),
+    )
     sql = _rewrite_calls(sql, "extractAll", _extract_all)
     sql = _rewrite_calls(
         sql, "extractURLParameter",
@@ -3010,6 +3034,149 @@ def _range_seq(args: list[str]) -> str:
             f"greatest({b} - {a}, 0))"
         )
     raise ChTranslationError("range with explicit step not supported")
+
+
+def _ipv4_num_to_string(x: str) -> str:
+    """UInt32 → dotted-quad string (shared by IPv4NumToString and
+    IPv4CIDRToRange)."""
+    return (
+        f"concat_ws('.', "
+        f"CAST((CAST({x} AS BIGINT) DIV 16777216) % 256 AS STRING), "
+        f"CAST((CAST({x} AS BIGINT) DIV 65536) % 256 AS STRING), "
+        f"CAST((CAST({x} AS BIGINT) DIV 256) % 256 AS STRING), "
+        f"CAST(CAST({x} AS BIGINT) % 256 AS STRING))"
+    )
+
+
+def _ipv4_cidr_to_range(a: list[str]) -> str:
+    """``IPv4CIDRToRange(ip, cidr)`` → CH's tuple ``(low, high)`` of
+    dotted-quad strings: the subnet's first and last address.  Pure
+    integer arithmetic on the UInt32 form — DIV/multiply by the block
+    size instead of bit masks so cidr 0 (block 2^32) stays inside
+    BIGINT."""
+    if len(a) != 2:
+        raise ChTranslationError("IPv4CIDRToRange takes (ip, cidr)")
+    sh = f"shiftleft(CAST(1 AS BIGINT), CAST(32 - ({a[1]}) AS INT))"
+    return _bind_arr(
+        _ipv4_string_to_num([a[0]]),
+        lambda nn: _bind_arr(
+            f"named_struct('lo', (({nn}) DIV {sh}) * {sh}, "
+            f"'hi', (({nn}) DIV {sh}) * {sh} + {sh} - 1)",
+            lambda s: (
+                f"named_struct('_1', {_ipv4_num_to_string(f'{s}.lo')}, "
+                f"'_2', {_ipv4_num_to_string(f'{s}.hi')})"
+            ),
+        ),
+    )
+
+
+def _bitmask_to_list(a: list[str]) -> str:
+    """``bitmaskToList(n)``: the powers of two summing to n, ascending,
+    as a comma-joined string ('50' → '2,16,32'; 0 → '').  Negative
+    input raises loudly (two's-complement sign bits have no UInt power
+    decomposition)."""
+    if len(a) != 1:
+        raise ChTranslationError("bitmaskToList takes exactly 1 argument")
+    n = f"CAST({a[0]} AS BIGINT)"
+    return (
+        f"CASE WHEN {n} < 0 THEN CAST(raise_error('bitmaskToList: negative "
+        f"input has no unsigned power-of-two decomposition') AS STRING) "
+        f"ELSE array_join(transform(filter("
+        f"transform(sequence(0, 62), __i -> "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(__i AS INT))), "
+        f"__p -> ({n} & __p) <> 0), "
+        f"__q -> CAST(__q AS STRING)), ',') END"
+    )
+
+
+def _mac_num_to_string(a: list[str]) -> str:
+    """``MACNumToString(n)``: lower 6 bytes as colon-separated uppercase
+    hex pairs (CH formatMAC writes uppercase digits)."""
+    if len(a) != 1:
+        raise ChTranslationError("MACNumToString takes exactly 1 argument")
+    n = f"CAST({a[0]} AS BIGINT)"
+    octets = ", ".join(
+        f"lpad(hex(({n} DIV {1 << s}) % 256), 2, '0')"
+        for s in (40, 32, 24, 16, 8, 0)
+    )
+    return f"concat_ws(':', {octets})"
+
+
+def _mac_string_to_num(a: list[str]) -> str:
+    """``MACStringToNum(s)``: 'AB:CD:…' → UInt48 integer; malformed
+    input → 0 (the CH contract)."""
+    if len(a) != 1:
+        raise ChTranslationError("MACStringToNum takes exactly 1 argument")
+    return (
+        f"CASE WHEN {a[0]} RLIKE '^([0-9A-Fa-f]{{2}}:){{5}}[0-9A-Fa-f]{{2}}$' "
+        f"THEN CAST(conv(replace({a[0]}, ':', ''), 16, 10) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+def _map_apply(a: list[str]) -> str:
+    """``mapApply((k, v) -> (keyExpr, valueExpr), m)``: CH's tuple-valued
+    map lambda → transform over map_entries rebuilt with
+    map_from_entries.  The lambda variables are substituted textually
+    (word-boundary, outside string literals) with the entry's key/value
+    fields — the same lexical scoping CH applies."""
+    if len(a) != 2:
+        raise ChTranslationError("mapApply takes (lambda, map)")
+    lam = a[0].strip()
+    mm = re.match(
+        r"^\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->\s*\((.*)\)\s*$",
+        lam,
+        re.S,
+    )
+    if not mm:
+        raise ChTranslationError(
+            "mapApply requires a ((k, v) -> (keyExpr, valueExpr)) lambda"
+        )
+    kvar, vvar, body = mm.group(1), mm.group(2), mm.group(3)
+    parts = _split_args(body)
+    if len(parts) != 2:
+        raise ChTranslationError(
+            "mapApply lambda must return a 2-tuple (keyExpr, valueExpr)"
+        )
+
+    def sub(expr: str) -> str:
+        expr = _sub_outside_strings(expr, rf"\b{re.escape(kvar)}\b", "__ma.key")
+        expr = _sub_outside_strings(expr, rf"\b{re.escape(vvar)}\b", "__ma.value")
+        return expr
+
+    return (
+        f"map_from_entries(transform(map_entries({a[1]}), __ma -> "
+        f"struct({sub(parts[0])} AS key, {sub(parts[1])} AS value)))"
+    )
+
+
+def _max_intersections(a: list[str], position: bool) -> str:
+    """``maxIntersections[Position](start, end)``: sweep-line over
+    (position, ±1) boundary events — sort_array orders ties with the
+    closing −1 BEFORE the opening +1 at equal positions (struct field
+    order), giving CH's half-open [start, end) overlap count.  Position
+    returns the first coordinate where the maximum is reached, as
+    DOUBLE (noted: CH preserves the argument type)."""
+    if len(a) != 2:
+        raise ChTranslationError(
+            "maxIntersections takes (interval_start, interval_end)"
+        )
+    lst = (
+        f"flatten(collect_list(array("
+        f"named_struct('p', CAST({a[0]} AS DOUBLE), 'w', 1), "
+        f"named_struct('p', CAST({a[1]} AS DOUBLE), 'w', -1))))"
+    )
+    field = "pos" if position else "best"
+    return (
+        f"aggregate(sort_array({lst}), "
+        f"named_struct('cur', 0L, 'best', 0L, 'pos', CAST(NULL AS DOUBLE)), "
+        f"(__mi, __e) -> CASE WHEN __mi.cur + __e.w > __mi.best "
+        f"THEN named_struct('cur', __mi.cur + __e.w, "
+        f"'best', __mi.cur + __e.w, 'pos', __e.p) "
+        f"ELSE named_struct('cur', __mi.cur + __e.w, "
+        f"'best', __mi.best, 'pos', __mi.pos) END, "
+        f"__mi -> __mi.{field})"
+    )
 
 
 def _gcd_fold(x: str, y: str) -> str:

@@ -6279,6 +6279,133 @@ def ch_dialect_math_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_MATH_ENTROPY, sf_dir)
 
 
+CH_DIALECT_NET_MOMENTS = """
+    SELECT event_type,
+           round(skewSamp(value), 6) AS sk,
+           round(kurtSamp(value), 6) AS ku,
+           maxIntersections(toInt64(floor(ifNull(value, 0) * 100)),
+                            toInt64(floor(ifNull(value, 0) * 100))
+                              + modulo(user_id, 1000) + 100) AS mi,
+           maxIntersectionsPosition(toInt64(floor(ifNull(value, 0) * 100)),
+                                    toInt64(floor(ifNull(value, 0) * 100))
+                                      + modulo(user_id, 1000) + 100) AS mip,
+           MACNumToString(modulo(min(user_id) * 1103515245,
+                                 281474976710656)) AS mac,
+           MACStringToNum(MACNumToString(modulo(max(user_id),
+                                                281474976710656))) AS mac_rt,
+           bitmaskToList(modulo(max(user_id), 1024)) AS bm,
+           tupleElement(IPv4CIDRToRange(IPv4NumToString(
+             modulo(max(user_id) * 2654435761, 4294967296)), 20), 1)
+             AS cidr_lo,
+           tupleElement(IPv4CIDRToRange(IPv4NumToString(
+             modulo(max(user_id) * 2654435761, 4294967296)), 20), 2)
+             AS cidr_hi
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query(
+    "ch_dialect_net_moments",
+    """
+    WITH st AS (
+      SELECT event_type, count(value) AS n, avg(value) AS mu,
+             min(user_id) AS min_u, max(user_id) AS max_u
+      FROM events GROUP BY event_type
+    ), mo AS (
+      SELECT e.event_type,
+             sum(pow(e.value - st.mu, 2)) / max(st.n) AS m2,
+             sum(pow(e.value - st.mu, 3)) / max(st.n) AS m3,
+             sum(pow(e.value - st.mu, 4)) / max(st.n) AS m4,
+             max(st.n) AS n
+      FROM events e JOIN st USING (event_type)
+      WHERE e.value IS NOT NULL
+      GROUP BY e.event_type
+    ), b AS (
+      SELECT event_type,
+             CAST(floor(COALESCE(value, 0) * 100) AS BIGINT) AS p,
+             1 AS w
+      FROM events
+      UNION ALL
+      SELECT event_type,
+             CAST(floor(COALESCE(value, 0) * 100) AS BIGINT)
+               + user_id % 1000 + 100 AS p,
+             -1 AS w
+      FROM events
+    ), r AS (
+      SELECT event_type, p, w,
+             sum(w) OVER (PARTITION BY event_type ORDER BY p, w
+                          ROWS UNBOUNDED PRECEDING) AS run
+      FROM b
+    ), sweep AS (
+      SELECT event_type, max(run) AS mi FROM r GROUP BY event_type
+    ), sweep_pos AS (
+      SELECT r.event_type,
+             CAST(min(r.p) AS DOUBLE) AS mip
+      FROM r JOIN sweep USING (event_type)
+      WHERE r.run = sweep.mi
+      GROUP BY r.event_type
+    )
+    SELECT st.event_type AS event_type,
+           round(mo.m3 / pow(mo.m2 * mo.n / (mo.n - 1), 1.5), 6) AS sk,
+           round(mo.m4 / pow(mo.m2 * mo.n / (mo.n - 1), 2), 6) AS ku,
+           CAST(sweep.mi AS INT) AS mi,
+           sweep_pos.mip AS mip,
+           upper(lpad(to_hex(((st.min_u * 1103515245) % 281474976710656)
+                             // 1099511627776 % 256), 2, '0')) || ':' ||
+           upper(lpad(to_hex(((st.min_u * 1103515245) % 281474976710656)
+                             // 4294967296 % 256), 2, '0')) || ':' ||
+           upper(lpad(to_hex(((st.min_u * 1103515245) % 281474976710656)
+                             // 16777216 % 256), 2, '0')) || ':' ||
+           upper(lpad(to_hex(((st.min_u * 1103515245) % 281474976710656)
+                             // 65536 % 256), 2, '0')) || ':' ||
+           upper(lpad(to_hex(((st.min_u * 1103515245) % 281474976710656)
+                             // 256 % 256), 2, '0')) || ':' ||
+           upper(lpad(to_hex(((st.min_u * 1103515245) % 281474976710656)
+                             % 256), 2, '0')) AS mac,
+           CAST(st.max_u % 281474976710656 AS BIGINT) AS mac_rt,
+           array_to_string(list_transform(list_filter(
+             [1, 2, 4, 8, 16, 32, 64, 128, 256, 512],
+             p -> ((st.max_u % 1024) & p) != 0), p -> CAST(p AS VARCHAR)),
+             ',') AS bm,
+           CAST(((st.max_u * 2654435761) % 4294967296 // 4096 * 4096)
+                // 16777216 % 256 AS VARCHAR) || '.' ||
+           CAST(((st.max_u * 2654435761) % 4294967296 // 4096 * 4096)
+                // 65536 % 256 AS VARCHAR) || '.' ||
+           CAST(((st.max_u * 2654435761) % 4294967296 // 4096 * 4096)
+                // 256 % 256 AS VARCHAR) || '.' ||
+           CAST(((st.max_u * 2654435761) % 4294967296 // 4096 * 4096)
+                % 256 AS VARCHAR) AS cidr_lo,
+           CAST(((st.max_u * 2654435761) % 4294967296 // 4096 * 4096 + 4095)
+                // 16777216 % 256 AS VARCHAR) || '.' ||
+           CAST(((st.max_u * 2654435761) % 4294967296 // 4096 * 4096 + 4095)
+                // 65536 % 256 AS VARCHAR) || '.' ||
+           CAST(((st.max_u * 2654435761) % 4294967296 // 4096 * 4096 + 4095)
+                // 256 % 256 AS VARCHAR) || '.' ||
+           CAST(((st.max_u * 2654435761) % 4294967296 // 4096 * 4096 + 4095)
+                % 256 AS VARCHAR) AS cidr_hi
+    FROM st
+    JOIN mo USING (event_type)
+    JOIN sweep USING (event_type)
+    JOIN sweep_pos USING (event_type)
+    """,
+)
+def ch_dialect_net_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-2 dialect constructs under the hard gate: skewSamp/kurtSamp
+    (population builtins rescaled by the exact ((n-1)/n)^k factors; the
+    oracle recomputes from raw central-moment sums — both sides round to
+    6), maxIntersections[Position] (the engine's sweep-line sort_array
+    fold vs the oracle's windowed running-sum sweep — ties close ends
+    before opening starts on both sides), MACNumToString (+ the
+    round-trip through MACStringToNum), bitmaskToList, and
+    IPv4CIDRToRange via tupleElement (subnet arithmetic mirrored as
+    integer block math).  Plan: one groupBy(event_type) shuffle; the
+    interval fold's state is one (cur, best, pos) struct per group."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_NET_MOMENTS, sf_dir)
+
+
 CH_DIALECT_RIGHT_ANY = """
     SELECT e2.event_id AS event_id,
            e1.event_type AS any_type,
@@ -6597,7 +6724,6 @@ DRIVER_ORDER: list[str] = [
     "decontam_ngram_overlap",
     "etl_pii_scrub",
     "dedup_incremental_exact",
-    "corpus_mix_sample",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",
@@ -6609,6 +6735,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_url_readable",
     "ch_dialect_agg_combinators",
     "ch_dialect_math_entropy",
+    "ch_dialect_net_moments",
 ]
 
 DRIVER_WINDOW = 50

@@ -2244,7 +2244,7 @@ def test_topk_moments_readable_tuple_batch(spark):
     for bad in (
         "SELECT erf(n) FROM t",
         "SELECT deltaSum(n) FROM t",
-        "SELECT skewSamp(n) FROM t",
+        "SELECT runningConcurrency(n, n) FROM t",
         "SELECT sumWithOverflow(n) FROM t",
     ):
         with pytest.raises(ChTranslationError):
@@ -2331,7 +2331,7 @@ def test_batch3_array_map_stat_tail(spark):
     for bad in (
         "SELECT rankCorr(v, v) FROM t",
         "SELECT lemmatize('en', s) FROM t",
-        "SELECT mapApply((k, v) -> (k, v), m) FROM t",
+        "SELECT normalizeUTF8NFC(s) FROM t",
         "SELECT geohashEncode(1.0, 2.0)",
         "SELECT groupArrayMovingSum(v) FROM t",
         "SELECT IPv6StringToNum(s) FROM t",
@@ -2473,3 +2473,62 @@ def test_entropy_topk_weighted_map_series(spark):
     assert r["mc"]["keys"] == [1, 2] and r["mc"]["values"] == [11, 0]
     assert dict(r["mm"]) == {1: 5}
     assert list(r["me"]["keys"]) == [] and list(r["me"]["values"]) == []
+
+
+def test_batch2_mac_cidr_bitmask_moments(spark):
+    """Batch-2 translations: bitmaskToList (power-of-two decomposition),
+    MACNumToString/MACStringToNum (round-trip + malformed→0),
+    IPv4CIDRToRange (subnet bounds incl. the /0 and /32 edges), mapApply
+    (tuple-valued lambda via map_entries), skewSamp/kurtSamp (population
+    builtins scaled by the exact ((n-1)/n)^k factors), and
+    maxIntersections[Position] (sweep-line fold, half-open intervals)."""
+    r = spark.sql(T(
+        "SELECT bitmaskToList(50) AS b, bitmaskToList(0) AS b0, "
+        "MACNumToString(1108152157446) AS mn, "
+        "MACStringToNum('01:02:03:04:05:06') AS ms, "
+        "MACStringToNum('zz:bad') AS msb, "
+        "IPv4CIDRToRange('192.168.5.2', 16) AS cr, "
+        "IPv4CIDRToRange('10.1.2.3', 32) AS cr32, "
+        "IPv4CIDRToRange('10.1.2.3', 0) AS cr0, "
+        "mapApply((k, v) -> (upper(k), v * 2), map('a', 1, 'b', 2)) AS ma"
+    )).first()
+    assert r["b"] == "2,16,32" and r["b0"] == ""
+    assert r["mn"] == "01:02:03:04:05:06"
+    assert r["ms"] == 1108152157446 and r["msb"] == 0
+    assert (r["cr"]["_1"], r["cr"]["_2"]) == ("192.168.0.0", "192.168.255.255")
+    assert (r["cr32"]["_1"], r["cr32"]["_2"]) == ("10.1.2.3", "10.1.2.3")
+    assert (r["cr0"]["_1"], r["cr0"]["_2"]) == ("0.0.0.0", "255.255.255.255")
+    assert dict(r["ma"]) == {"A": 2, "B": 4}
+
+    import math
+    xs = [1.0, 2.0, 4.0, 8.0, 3.0]
+    spark.createDataFrame([(x,) for x in xs], "v double") \
+        .createOrReplaceTempView("sk_t")
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum((x - mu) ** 2 for x in xs) / n
+    m3 = sum((x - mu) ** 3 for x in xs) / n
+    m4 = sum((x - mu) ** 4 for x in xs) / n
+    svar = m2 * n / (n - 1)
+    row = spark.sql(T("SELECT skewSamp(v) AS s, kurtSamp(v) AS k FROM sk_t")).first()
+    assert abs(row["s"] - m3 / svar ** 1.5) < 1e-12
+    assert abs(row["k"] - m4 / svar ** 2) < 1e-12
+
+    spark.createDataFrame(
+        [(1, 5), (2, 6), (3, 4), (10, 12)], "s int, e int"
+    ).createOrReplaceTempView("iv_t")
+    row = spark.sql(T(
+        "SELECT maxIntersections(s, e) AS m, "
+        "maxIntersectionsPosition(s, e) AS p FROM iv_t"
+    )).first()
+    # [1,5) [2,6) [3,4) [10,12): overlap reaches 3 first at coordinate 3;
+    # ends close BEFORE starts open at equal coordinates (half-open)
+    assert row["m"] == 3 and row["p"] == 3.0
+    row = spark.sql(T(
+        "SELECT maxIntersections(s, e) AS m FROM iv_t WHERE s = 1 OR s = 10"
+    )).first()
+    assert row["m"] == 1  # touching [1,5) and [10,12) never overlap
+    with pytest.raises(Exception, match="negative"):
+        spark.sql(T("SELECT bitmaskToList(-1) AS x")).collect()
+    with pytest.raises(ChTranslationError, match="lambda"):
+        T("SELECT mapApply(k -> k, map('a', 1))")
