@@ -528,3 +528,31 @@ def test_url_readable_single_shuffle_no_join(spark):
     assert n_exchanges == 1, plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dialect_agg_combinator_queries_single_shuffle(spark):
+    """The three post-r7 dialect driver queries are each one grouped
+    aggregation: exactly one non-broadcast Exchange for the GROUP BY
+    (plus reused subquery exchanges for agg_combinators' two scalar
+    subqueries over the same empty filter), partial aggregation
+    map-side, and NO Python UDF — every fold (Euclid gcd, entropy,
+    sweep-line maxIntersections, topKWeighted) is a JVM-side
+    higher-order expression."""
+    for name, max_exchanges in (
+        ("ch_dialect_math_entropy", 1),
+        ("ch_dialect_net_moments", 1),
+        # countDistinctIf forces the two-phase distinct plan (2 exchanges
+        # on the grouping key — no extra at scale, same key both times);
+        # the two uncorrelated scalar subqueries add one single-partition
+        # exchange each over a near-empty filtered input
+        ("ch_dialect_agg_combinators", 4),
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        shuffles = sum(
+            1 for l in plan.splitlines()
+            if l.startswith("(") and "Exchange" in l and "Broadcast" not in l
+        )
+        assert shuffles <= max_exchanges, (name, shuffles, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("HashAggregate") >= 2, name  # partial + final
