@@ -306,6 +306,9 @@ IPv4CIDRToRange(ip, cidr)    subnet (low, high) tuple via block-size
 maxIntersections[Position]   sweep-line sort_array fold, ends close
                              before starts open (half-open intervals);
                              Position returned as DOUBLE (noted)
+groupArrayInsertAt           positional array build, explicit default
+  (def[, size])(x, pos)      required (type default unknowable); dup
+                             positions keep MIN (CH keeps 'any')
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output /
@@ -579,7 +582,6 @@ _UNSUPPORTED = {
     "stochasticLogisticRegression",
     "groupArrayMovingAvg",   # block-order-dependent, like deltaSum
     "groupArrayMovingSum",
-    "groupArrayInsertAt",
     "IPv6NumToString",       # binary IPv6 forms need inet codecs
     "IPv6StringToNum",
     "IPv4ToIPv6",
@@ -1539,6 +1541,59 @@ def _translate_functions(sql: str) -> str:
             f"(__tw_s, __tw_g) -> __tw_s + __tw_g.w) AS __tw_c, "
             f"__tw_v AS __tw_v))), "
             f"__tw_o -> __tw_o.__tw_v), 1, {n})"
+        )
+        sql = sql[:at] + expr + sql[end2:]
+    # groupArrayInsertAt(default[, size])(x, pos): place x at position pos
+    # (0-based), holes filled with the explicit default.  CH's bare form
+    # fills holes with the TYPE default, which is unknowable at SQL-text
+    # level — that form is refused with a rewrite hint.  Duplicate
+    # positions: CH keeps "any" value; here the minimum non-null value
+    # survives (deterministic where CH is not — noted)
+    while True:
+        at = _find_call(sql, "groupArrayInsertAt")
+        if at < 0:
+            break
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError(
+                "groupArrayInsertAt needs the parameterized "
+                "groupArrayInsertAt(default[, size])(x, pos) form — the "
+                "bare form's hole filler is the column TYPE's default, "
+                "unknowable at SQL-text level; pass it explicitly"
+            )
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        params = [
+            _translate_functions(p)
+            for p in _split_args(sql[open1 + 1 : end1 - 1])
+        ]
+        if len(params) not in (1, 2):
+            raise ChTranslationError(
+                "groupArrayInsertAt takes (default[, size]) parameters"
+            )
+        inner = _split_args(sql[open2 + 1 : end2 - 1])
+        if len(inner) != 2:
+            raise ChTranslationError("groupArrayInsertAt takes (x, pos)")
+        x = _translate_functions(inner[0]).strip()
+        pos = _translate_functions(inner[1]).strip()
+        default = params[0]
+        cl = f"collect_list(named_struct('p', CAST({pos} AS INT), 'x', {x}))"
+        sz = (
+            f"CAST({params[1]} AS INT)"
+            if len(params) == 2
+            else f"aggregate({cl}, 0, (__gm, __ge) -> "
+                 f"greatest(__gm, __ge.p + 1))"
+        )
+        expr = _bind_arr(
+            f"named_struct('l', {cl}, 's', {sz})",
+            lambda st: (
+                f"transform(slice(sequence(0, greatest({st}.s - 1, 0)), 1, "
+                f"greatest({st}.s, 0)), __gi -> coalesce(array_min("
+                f"transform(filter({st}.l, __ge -> __ge.p = __gi), "
+                f"__gx -> __gx.x)), {default}))"
+            ),
         )
         sql = sql[:at] + expr + sql[end2:]
     # sumMapFiltered([keys])(k, v): sumMap restricted to the listed keys —

@@ -2532,3 +2532,21 @@ def test_batch2_mac_cidr_bitmask_moments(spark):
         spark.sql(T("SELECT bitmaskToList(-1) AS x")).collect()
     with pytest.raises(ChTranslationError, match="lambda"):
         T("SELECT mapApply(k -> k, map('a', 1))")
+
+
+def test_group_array_insert_at(spark):
+    """groupArrayInsertAt(default[, size])(x, pos): positional array
+    build with explicit hole filler; duplicate positions keep the
+    MINIMUM value (deterministic where CH keeps 'any'); the bare form
+    is refused (type default unknowable at SQL-text level)."""
+    spark.createDataFrame(
+        [("a", 0), ("b", 2), ("c", 2), ("d", 5)], "x string, p int"
+    ).createOrReplaceTempView("gai_t")
+    r = spark.sql(T(
+        "SELECT groupArrayInsertAt('-')(x, p) AS a, "
+        "groupArrayInsertAt('-', 4)(x, p) AS a4 FROM gai_t"
+    )).first()
+    assert r["a"] == ["a", "-", "b", "-", "-", "d"]
+    assert r["a4"] == ["a", "-", "b", "-"]
+    with pytest.raises(ChTranslationError, match="parameterized"):
+        T("SELECT groupArrayInsertAt(x, p) FROM gai_t")
