@@ -152,6 +152,8 @@ mapKeys/mapValues/Contains   map_keys / map_values / map_contains_key
 monthName/dateName           date_format tokens ('week' part refused)
 toStartOfWeek(d[, mode])     Sunday formula (mode 0) / date_trunc WEEK
 toISOWeek(d)                 weekofyear(d)
+toWeek(d[, 0|3])             mode 0 = MySQL WEEK() Sunday-start exact
+                             integer arithmetic; mode 3 = ISO
 toRelative*Num(t)            floor(unix_timestamp / unit-seconds)
 greatCircleDistance          haversine on CH's sphere radius
 domainWithoutWWW(u)          parse_url HOST minus leading www.
@@ -311,7 +313,7 @@ groupArrayInsertAt           positional array build, explicit default
                              positions keep MIN (CH keeps 'any')
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
-arrayShuffle / toWeek /      mode-0 week numbering / cosmetic output /
+arrayShuffle /               cosmetic output /
 histogram / bar / format-    no Spark builtin: erf lgamma
 ReadableTimeDelta /          tgamma punycode* normalizeUTF8* Farm/Java/
 deltaSum* /                  Hive hashes / order-dependent aggregates /
@@ -541,7 +543,6 @@ _UNSUPPORTED = {
     "dictGetOrNull",
     "dictHas",
     "arrayShuffle",   # nondeterministic by definition
-    "toWeek",         # CH mode-0 week numbering has no Spark equivalent
     "JSONExtractArrayRaw",  # raw-JSON element slicing has no Spark form
     "JSONType",
     "toTypeName",     # engine introspection
@@ -2005,6 +2006,7 @@ def _translate_functions(sql: str) -> str:
     # (kurtosis is excess — CH kurtPop is not, hence the +3)
     sql = _rewrite_calls(sql, "skewPop", lambda a: f"skewness({a[0]})")
     sql = _rewrite_calls(sql, "kurtPop", lambda a: f"(kurtosis({a[0]}) + 3)")
+    sql = _rewrite_calls(sql, "toWeek", _to_week)
     sql = _rewrite_calls(sql, "gcd", _gcd)
     sql = _rewrite_calls(sql, "lcm", _lcm)
     sql = _rewrite_calls(sql, "roundToExp2", _round_to_exp2)
@@ -3234,6 +3236,31 @@ def _max_intersections(a: list[str], position: bool) -> str:
     )
 
 
+def _to_week(a: list[str]) -> str:
+    """``toWeek(d[, mode])`` mode 0 (the default): Sunday-start weeks,
+    week 1 = the first week containing a Sunday, earlier days are week 0
+    (MySQL WEEK() mode-0).  Exact integer arithmetic: with
+    days_before = (8 - jan1_dow) % 7 (jan1_dow in 1=Sunday..7 form),
+    week = (dayofyear - days_before + 6) div 7.  Mode 3 is ISO —
+    already covered by toISOWeek; other modes refused."""
+    if len(a) not in (1, 2):
+        raise ChTranslationError("toWeek takes (date[, mode])")
+    if len(a) == 2:
+        mode = a[1].strip()
+        if mode == "3":
+            return f"weekofyear({a[0]})"
+        if mode != "0":
+            raise ChTranslationError(
+                f"toWeek mode {mode} is not translatable — only mode 0 "
+                "(Sunday-start) and mode 3 (ISO, = toISOWeek) are supported"
+            )
+    d = f"({a[0]})"
+    return (
+        f"CAST((dayofyear({d}) "
+        f"- (8 - dayofweek(trunc({d}, 'year'))) % 7 + 6) DIV 7 AS INT)"
+    )
+
+
 def _gcd_fold(x: str, y: str) -> str:
     """Bounded Euclid as a JVM-side ``aggregate`` fold: 92 iterations
     cover the 64-bit worst case (consecutive Fibonacci numbers — the
@@ -4428,7 +4455,6 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
                      "(ch_dialect_stats_buckets shape)",
         "dictGet": "a broadcast JOIN against the dimension table "
                    "(no external dictionaries in Spark)",
-        "toWeek": "toISOWeek (ISO week numbering, exact on both engines)",
     }
     def _first_real(pattern: str):
         """First match OUTSIDE string literals — a literal containing the

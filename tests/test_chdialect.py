@@ -1859,7 +1859,7 @@ def test_text_time_array_ip_uuid_batch(spark):
     assert str(r["ld"]) == "2024-01-31"
     for bad in (
         "SELECT arrayShuffle(xs) FROM t",       # nondeterministic
-        "SELECT toWeek(t1) FROM t",             # CH mode-0 week numbering
+        "SELECT punycodeEncode(s) FROM t",      # no Unicode builtin
     ):
         with pytest.raises(ChTranslationError, match="no faithful"):
             translate_ch_sql(bad)
@@ -2550,3 +2550,27 @@ def test_group_array_insert_at(spark):
     assert r["a4"] == ["a", "-", "b", "-"]
     with pytest.raises(ChTranslationError, match="parameterized"):
         T("SELECT groupArrayInsertAt(x, p) FROM gai_t")
+
+
+def test_to_week_mode0(spark):
+    """toWeek mode 0 (the CH default): Sunday-start weeks, week 1 = the
+    first week containing a Sunday, pre-Sunday days week 0 — pinned
+    against hand-checked MySQL WEEK(d, 0) values across Jan-1 weekday
+    shapes (Sunday/Monday/Friday/Saturday years) and the 53-week tail."""
+    cases = {
+        "2024-01-01": 0, "2024-01-07": 1, "2024-01-14": 2,   # Jan 1 Monday
+        "2023-01-01": 1, "2023-12-31": 53,                   # Jan 1 Sunday
+        "2021-01-01": 0, "2021-01-03": 1,                    # Jan 1 Friday
+        "2022-01-01": 0, "2022-01-02": 1,                    # Jan 1 Saturday
+    }
+    sel = ", ".join(
+        f"toWeek(toDate('{d}')) AS w{i}" for i, d in enumerate(cases)
+    )
+    r = spark.sql(T(f"SELECT {sel}")).first()
+    for i, (d, want) in enumerate(cases.items()):
+        assert r[f"w{i}"] == want, (d, r[f"w{i}"], want)
+    assert spark.sql(
+        T("SELECT toWeek(toDate('2024-01-01'), 3) AS w")
+    ).first()["w"] == 1
+    with pytest.raises(ChTranslationError, match="mode"):
+        T("SELECT toWeek(toDate('2024-01-01'), 2)")
