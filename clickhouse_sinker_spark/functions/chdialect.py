@@ -1530,9 +1530,14 @@ def _translate_functions(sql: str) -> str:
             raise ChTranslationError("topKWeighted takes (N)(x, weight)")
         x = _translate_functions(inner[0]).strip()
         w = _translate_functions(inner[1]).strip()
+        # a row with a NULL value OR weight is skipped entirely (CH
+        # aggregate-argument semantics); collect_list drops the NULL the
+        # CASE produces.  Without this, a NULL weight-sum struct would
+        # sort FIRST (nulls-first) and wrongly top the list.
         cl = (
-            f"collect_list(named_struct('v', {x}, "
-            f"'w', CAST({w} AS BIGINT)))"
+            f"collect_list(CASE WHEN ({x}) IS NOT NULL "
+            f"AND ({w}) IS NOT NULL THEN named_struct('v', {x}, "
+            f"'w', CAST({w} AS BIGINT)) END)"
         )
         expr = (
             f"slice(transform(array_sort(transform("
@@ -3113,7 +3118,13 @@ def _ipv4_cidr_to_range(a: list[str]) -> str:
     BIGINT."""
     if len(a) != 2:
         raise ChTranslationError("IPv4CIDRToRange takes (ip, cidr)")
-    sh = f"shiftleft(CAST(1 AS BIGINT), CAST(32 - ({a[1]}) AS INT))"
+    # clamp the host-bit count to [0, 32]: cidr ≥ 32 → block of 1 (the
+    # address itself, as CH), cidr ≤ 0 → the whole space; an unclamped
+    # negative shift would wrap mod 64 in the JVM
+    sh = (
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"least(greatest(32 - ({a[1]}), 0), 32))"
+    )
     return _bind_arr(
         _ipv4_string_to_num([a[0]]),
         lambda nn: _bind_arr(
@@ -3136,7 +3147,8 @@ def _bitmask_to_list(a: list[str]) -> str:
         raise ChTranslationError("bitmaskToList takes exactly 1 argument")
     n = f"CAST({a[0]} AS BIGINT)"
     return (
-        f"CASE WHEN {n} < 0 THEN CAST(raise_error('bitmaskToList: negative "
+        f"CASE WHEN {n} IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN {n} < 0 THEN CAST(raise_error('bitmaskToList: negative "
         f"input has no unsigned power-of-two decomposition') AS STRING) "
         f"ELSE array_join(transform(filter("
         f"transform(sequence(0, 62), __i -> "
@@ -3165,7 +3177,8 @@ def _mac_string_to_num(a: list[str]) -> str:
     if len(a) != 1:
         raise ChTranslationError("MACStringToNum takes exactly 1 argument")
     return (
-        f"CASE WHEN {a[0]} RLIKE '^([0-9A-Fa-f]{{2}}:){{5}}[0-9A-Fa-f]{{2}}$' "
+        f"CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN {a[0]} RLIKE '^([0-9A-Fa-f]{{2}}:){{5}}[0-9A-Fa-f]{{2}}$' "
         f"THEN CAST(conv(replace({a[0]}, ':', ''), 16, 10) AS BIGINT) "
         f"ELSE CAST(0 AS BIGINT) END"
     )
@@ -3190,16 +3203,24 @@ def _map_apply(a: list[str]) -> str:
             "mapApply requires a ((k, v) -> (keyExpr, valueExpr)) lambda"
         )
     kvar, vvar, body = mm.group(1), mm.group(2), mm.group(3)
+    if kvar == vvar:
+        raise ChTranslationError("mapApply lambda variables must be distinct")
     parts = _split_args(body)
     if len(parts) != 2:
         raise ChTranslationError(
             "mapApply lambda must return a 2-tuple (keyExpr, valueExpr)"
         )
+    repl_by_var = {kvar: "__ma.key", vvar: "__ma.value"}
 
     def sub(expr: str) -> str:
-        expr = _sub_outside_strings(expr, rf"\b{re.escape(kvar)}\b", "__ma.key")
-        expr = _sub_outside_strings(expr, rf"\b{re.escape(vvar)}\b", "__ma.value")
-        return expr
+        # ONE combined pass — two sequential substitutions would rewrite
+        # text the first one inserted (e.g. a value variable named 'key'
+        # matching inside the freshly-placed '__ma.key')
+        word = rf"\b({re.escape(kvar)}|{re.escape(vvar)})\b"
+        out = expr
+        for m in reversed(_spans_outside_strings(expr, word)):
+            out = out[: m.start()] + repl_by_var[m.group(1)] + out[m.end() :]
+        return out
 
     return (
         f"map_from_entries(transform(map_entries({a[1]}), __ma -> "
@@ -3340,8 +3361,12 @@ def _round_down(args: list[str]) -> str:
     return _bind_arr(
         f"array_sort({args[1]})",
         lambda s: (
+            # NULL x must propagate — without the guard, every NULL >= b
+            # comparison falls to ELSE and the fold returns the LOWEST
+            # boundary instead of NULL
+            f"CASE WHEN {x} IS NULL THEN NULL ELSE "
             f"aggregate(slice({s}, 2, size({s}) - 1), element_at({s}, 1), "
-            f"(__rd, __b) -> CASE WHEN {x} >= __b THEN __b ELSE __rd END)"
+            f"(__rd, __b) -> CASE WHEN {x} >= __b THEN __b ELSE __rd END) END"
         ),
     )
 
@@ -3351,7 +3376,9 @@ def _string_jaccard(args: list[str]) -> str:
     two strings' character sets.  Spark strings are UTF-8/code-point
     native, so this matches CH's UTF8 variant exactly (and the byte
     variant on ASCII data; supplementary-plane chars split into
-    surrogate halves — noted).  Both-empty → 1.0 (equal empty sets).
+    surrogate halves — noted).  An EMPTY input on either side → 0.0
+    (the CH implementation early-returns 0 for an empty haystack or
+    needle — deliberately NOT the set-theoretic J(∅,∅)=1).
     ``split(s, '')`` yields [''] for the empty string, hence the
     empty-element filter."""
     if len(args) != 2:
@@ -3364,8 +3391,8 @@ def _string_jaccard(args: list[str]) -> str:
     return _bind_arr(
         sets,
         lambda st: (
-            f"CASE WHEN size(array_union({st}.x, {st}.y)) = 0 "
-            f"THEN CAST(1.0 AS DOUBLE) "
+            f"CASE WHEN size({st}.x) = 0 OR size({st}.y) = 0 "
+            f"THEN CAST(0.0 AS DOUBLE) "
             f"ELSE size(array_intersect({st}.x, {st}.y)) "
             f"/ CAST(size(array_union({st}.x, {st}.y)) AS DOUBLE) END"
         ),

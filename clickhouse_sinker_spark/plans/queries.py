@@ -6666,14 +6666,17 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    (tools/driver_coverage.py r6 list) — after this window runs,
 #    never-hashed = 0 and the SURVEY §2 bar ("every operator has a passing
 #    CORRECTNESS entry") closes.
-# 4. Oldest-hash re-confirmations: r1-era (7) and r2/r3-era (8) greens
+# 4. Oldest-hash re-confirmations: r1-era (7) and r2/r3-era (4) greens
 #    whose last driver row predates the r4 engine rewrites.
-# 5. The 8 round-7 additions (strict_increase funnel, timed sequence,
-#    RIGHT ANY, sumMap, text-funcs batch, ASOF USING, WITH FILL, and the
-#    url/readable/topK scalar batch) — these displaced dedup_levenshtein /
-#    text_tokens / text_fingerprint / text_bpe_tokens /
-#    text_winnow_fingerprint / dedup_winnow_overlap / etl_array_cast /
-#    pack_token_budget from group 4 (restore them in the r8 rotation).
+# 5. The 11 round-7 additions (strict_increase funnel, timed sequence,
+#    RIGHT ANY, sumMap, text-funcs batch, ASOF USING, WITH FILL, the
+#    url/readable/topK scalar batch, and the late dialect batches
+#    agg_combinators / math_entropy / net_moments) — these displaced
+#    dedup_levenshtein / text_tokens / text_fingerprint /
+#    text_bpe_tokens / text_winnow_fingerprint / dedup_winnow_overlap /
+#    etl_array_cast / pack_token_budget / corpus_temperature_mix /
+#    pipeline_quality_gate / corpus_mix_sample from group 4 (restore
+#    them in the r8 rotation).
 # Every remaining registered query follows in registration (source) order.
 # Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
 # every test run regardless of their position in this list.

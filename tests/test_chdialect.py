@@ -2399,6 +2399,7 @@ def test_math_round_string_batch(spark):
         "roundDown(1, [2, 4, 8]) AS rdl, "
         "stringJaccardIndex('abc', 'bcd') AS j1, "
         "stringJaccardIndexUTF8('', '') AS j2, "
+        "stringJaccardIndex('abc', '') AS j4, "
         "stringJaccardIndex('aab', 'ab') AS j3, "
         "replaceRegexpOne('xx-12-34', '[0-9]+', 'N') AS rr, "
         "replaceRegexpOne('ab-12-34', '([0-9])([0-9])', '\\2\\1') AS rb, "
@@ -2409,7 +2410,9 @@ def test_math_round_string_batch(spark):
     assert (r["r2"], r["r2p"], r["r21"], r["r2f"], r["r2n"]) == (32, 64, 1, 0, 0)
     # boundary array need not be pre-sorted; below-lowest clamps up
     assert (r["rd"], r["rdh"], r["rdl"]) == (4, 8, 2)
-    assert abs(r["j1"] - 0.5) < 1e-15 and r["j2"] == 1.0 and r["j3"] == 1.0
+    # CH early-returns 0 for an empty haystack or needle (NOT J(∅,∅)=1)
+    assert abs(r["j1"] - 0.5) < 1e-15 and r["j2"] == 0.0 and r["j3"] == 1.0
+    assert r["j4"] == 0.0
     assert (r["rr"], r["rb"], r["rn"]) == ("xx-N-34", "ab-21-34", "nohit")
     dd = duckdb.sql(
         "SELECT gcd(36, 60), lcm(4, 6), gcd(-12, 18), jaccard('abc', 'bcd'), "

@@ -601,7 +601,8 @@ def test_round_down_matches_model(spark, x, bounds):
     )
 )
 def test_string_jaccard_matches_set_model(spark, pairs):
-    """stringJaccardIndex vs the Python char-set model; both-empty → 1.0."""
+    """stringJaccardIndex vs the Python char-set model; an empty side → 0
+    (the CH early-return, not the set-theoretic convention)."""
     vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
     got = _run_ch(
         spark,
@@ -610,7 +611,8 @@ def test_string_jaccard_matches_set_model(spark, pairs):
     ).collect()
     for r in got:
         sa, sb = set(r["a"]), set(r["b"])
-        want = 1.0 if not (sa | sb) else len(sa & sb) / len(sa | sb)
+        # CH contract: either side empty -> 0 (never the set-theoretic 1)
+        want = 0.0 if not sa or not sb else len(sa & sb) / len(sa | sb)
         assert abs(r["j"] - want) < 1e-12, (r["a"], r["b"], r["j"], want)
 
 
