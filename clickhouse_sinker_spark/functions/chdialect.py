@@ -4472,7 +4472,6 @@ def translate_ch_sql(
 def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     notes: list[str] = []
     _redirect = {
-        "topK": "window_topk_per_customer (exact per-group top-k)",
         "neighbor": "lag()/lead() OVER an explicit ORDER BY",
         "runningDifference": "v - lag(v) OVER an explicit ORDER BY",
         "runningAccumulate": "sum() OVER an explicit ORDER BY",
