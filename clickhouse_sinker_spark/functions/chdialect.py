@@ -311,6 +311,12 @@ maxIntersections[Position]   sweep-line sort_array fold, ends close
 groupArrayInsertAt           positional array build, explicit default
   (def[, size])(x, pos)      required (type default unknowable); dup
                              positions keep MIN (CH keeps 'any')
+QUALIFY pred                 hoisted helper column + outer WHERE;
+                             * EXCEPT (__q) drops it (same eval order)
+untuple(col)                 col.* struct star expansion (plain column
+                             refs only)
+SELECT * EXCEPT (cols)       passthrough — Spark 4 supports it natively
+* APPLY(fn) / COLUMNS('re')  refused loudly (no Spark column matchers)
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle /               cosmetic output /
@@ -2057,6 +2063,21 @@ def _translate_functions(sql: str) -> str:
         + ")",
     )
     sql = _rewrite_calls(sql, "tupleElement", _tuple_element)
+
+    def _untuple(a: list[str]) -> str:
+        # untuple(t) expands a tuple column into its fields — Spark's
+        # struct star expansion, valid only on a (possibly qualified)
+        # column reference; arbitrary expressions would need a subquery
+        if len(a) == 1 and re.fullmatch(
+            r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)?", a[0].strip()
+        ):
+            return f"{a[0].strip()}.*"
+        raise ChTranslationError(
+            "untuple() is only translatable on a plain column reference "
+            "(becomes col.*) — alias the expression in a subquery first"
+        )
+
+    sql = _rewrite_calls(sql, "untuple", _untuple)
     # --- batch 3: string/array/map/stat/ip/uuid/time tail ---
     sql = _rewrite_calls(
         sql, "mid", lambda a: f"substring({', '.join(a)})"
@@ -4200,6 +4221,64 @@ def _rewrite_with_fill(sql: str, notes: list[str]) -> str:
     return out
 
 
+def _rewrite_qualify(sql: str, notes: list[str]) -> str:
+    """ClickHouse ``QUALIFY`` (post-grouping filter on window-function
+    results) — Spark has no QUALIFY clause, so the predicate is hoisted
+    into the select list of a subquery as a helper column and filtered
+    outside; Spark 4's ``* EXCEPT (__q)`` drops the helper from the
+    result shape.  Refused for SELECT DISTINCT (the helper column would
+    change DISTINCT semantics) and compound set operations."""
+    spans = _top_level_spans(sql, r"\bQUALIFY\b")
+    if not spans:
+        return sql
+    if len(spans) > 1:
+        raise ChTranslationError("multiple top-level QUALIFY clauses")
+    q = spans[0]
+    head = sql[: q.start()].rstrip()
+    rest = sql[q.end() :]
+    tail_m = _top_level_spans(
+        rest, r"\b(ORDER\s+BY|LIMIT|SETTINGS|FORMAT)\b"
+    )
+    if tail_m:
+        pred = rest[: tail_m[0].start()].strip()
+        tail = rest[tail_m[0].start() :].strip()
+    else:
+        pred, tail = rest.strip(), ""
+    if not pred:
+        raise ChTranslationError("QUALIFY requires a predicate")
+    if _top_level_spans(head, r"\bSELECT\s+DISTINCT\b"):
+        raise ChTranslationError(
+            "QUALIFY with SELECT DISTINCT is not supported (the hoisted "
+            "helper column would change DISTINCT semantics) — apply "
+            "DISTINCT in an outer query"
+        )
+    if _top_level_spans(
+        head,
+        r"\bUNION\b|\bINTERSECT\b|\bEXCEPT\s+(ALL\s+|DISTINCT\s+)?SELECT\b",
+    ):
+        raise ChTranslationError(
+            "QUALIFY on a compound set operation is not supported — "
+            "wrap the last SELECT in a subquery"
+        )
+    froms = _top_level_spans(head, r"\bFROM\b")
+    if not froms:
+        raise ChTranslationError("QUALIFY requires a FROM clause")
+    f0 = froms[0]
+    inner = (
+        head[: f0.start()].rstrip()
+        + f", ({pred}) AS __q "
+        + head[f0.start() :]
+    )
+    out = f"SELECT * EXCEPT (__q) FROM ({inner}) WHERE __q"
+    if tail:
+        out += f" {tail}"
+    notes.append(
+        "QUALIFY → hoisted helper column + outer WHERE "
+        "(* EXCEPT drops it; evaluation order identical)"
+    )
+    return out
+
+
 def _rewrite_asof_join(sql: str, notes: list[str]) -> str:
     """``FROM a ASOF [LEFT] JOIN b USING (k…, t)`` → the nearest-past
     match as pure Spark SQL (the same union + ignore-nulls ``last()``
@@ -4633,6 +4712,23 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
         sql = sql[: fm[0].start()].rstrip()
         notes.append("FORMAT clause dropped: serialization belongs to the sink")
 
+    sql = _rewrite_qualify(sql, notes)
+    if _spans_outside_strings(sql, r"\bQUALIFY\b"):
+        # remaining forms (QUALIFY inside a subquery) — never hand Spark
+        # a clause it cannot parse
+        raise ChTranslationError(
+            "QUALIFY inside a subquery is not translatable — hoist the "
+            "window predicate into the subquery's select list and filter "
+            "on it in the enclosing query"
+        )
+    if _spans_outside_strings(sql, r"\*\s*APPLY\s*\(") or _spans_outside_strings(
+        sql, r"\bCOLUMNS\s*\("
+    ):
+        raise ChTranslationError(
+            "the * APPLY(fn) / COLUMNS('re') column-matcher modifiers "
+            "have no Spark SQL form — enumerate the columns explicitly "
+            "(Spark 4 supports * EXCEPT (cols), which IS translated)"
+        )
     sql = _rewrite_with_fill(sql, notes)
     if _spans_outside_strings(sql, r"\bWITH\s+FILL\b"):
         # remaining forms (non-trailing clause, multi-column fill,

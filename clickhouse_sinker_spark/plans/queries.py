@@ -6406,6 +6406,39 @@ def ch_dialect_net_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_NET_MOMENTS, sf_dir)
 
 
+CH_DIALECT_QUALIFY = """
+    SELECT user_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id) = 1
+"""
+
+
+@query(
+    "ch_dialect_qualify",
+    """
+    SELECT user_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id) = 1
+    """,
+)
+def ch_dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``QUALIFY`` (latest-event-per-user shape) through the
+    translator: Spark has no QUALIFY clause, so the window predicate is
+    hoisted into a subquery select list as a helper column, filtered
+    outside, and dropped from the shape with Spark 4's ``* EXCEPT`` —
+    evaluation order (windows after grouping, filter after windows)
+    identical to CH's.  The oracle is DuckDB's NATIVE QUALIFY clause —
+    a fully independent implementation of the same semantics.
+    Determinism: row_number ties broken by unique event_id.  Plan: one
+    user_id exchange feeding the Window, filter on top — the same plan
+    the hand-written latest-per-key queries compile to."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_QUALIFY, sf_dir)
+
+
 CH_DIALECT_RIGHT_ANY = """
     SELECT e2.event_id AS event_id,
            e1.event_type AS any_type,
@@ -6666,17 +6699,17 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    (tools/driver_coverage.py r6 list) — after this window runs,
 #    never-hashed = 0 and the SURVEY §2 bar ("every operator has a passing
 #    CORRECTNESS entry") closes.
-# 4. Oldest-hash re-confirmations: r1-era (7) and r2/r3-era (4) greens
+# 4. Oldest-hash re-confirmations: r1-era (7) and r2/r3-era (3) greens
 #    whose last driver row predates the r4 engine rewrites.
-# 5. The 11 round-7 additions (strict_increase funnel, timed sequence,
+# 5. The 12 round-7 additions (strict_increase funnel, timed sequence,
 #    RIGHT ANY, sumMap, text-funcs batch, ASOF USING, WITH FILL, the
 #    url/readable/topK scalar batch, and the late dialect batches
 #    agg_combinators / math_entropy / net_moments) — these displaced
 #    dedup_levenshtein / text_tokens / text_fingerprint /
 #    text_bpe_tokens / text_winnow_fingerprint / dedup_winnow_overlap /
 #    etl_array_cast / pack_token_budget / corpus_temperature_mix /
-#    pipeline_quality_gate / corpus_mix_sample from group 4 (restore
-#    them in the r8 rotation).
+#    pipeline_quality_gate / corpus_mix_sample / dedup_incremental_exact
+#    from group 4 (restore them in the r8 rotation).
 # Every remaining registered query follows in registration (source) order.
 # Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
 # every test run regardless of their position in this list.
@@ -6726,7 +6759,6 @@ DRIVER_ORDER: list[str] = [
     "text_repetition_quality",
     "decontam_ngram_overlap",
     "etl_pii_scrub",
-    "dedup_incremental_exact",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",
@@ -6739,6 +6771,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_agg_combinators",
     "ch_dialect_math_entropy",
     "ch_dialect_net_moments",
+    "ch_dialect_qualify",
 ]
 
 DRIVER_WINDOW = 50

@@ -2577,3 +2577,44 @@ def test_to_week_mode0(spark):
     ).first()["w"] == 1
     with pytest.raises(ChTranslationError, match="mode"):
         T("SELECT toWeek(toDate('2024-01-01'), 2)")
+
+
+def test_qualify_untuple_apply_columns(spark):
+    """QUALIFY → hoisted helper column + outer WHERE with * EXCEPT
+    (identical evaluation order: windows after grouping, filter after
+    windows); untuple(col) → struct star expansion; * APPLY / COLUMNS
+    matchers refuse loudly instead of reaching Spark's parser."""
+    spark.createDataFrame(
+        [(1, 2.0), (1, 3.0), (2, 1.0)], "u int, v double"
+    ).createOrReplaceTempView("q_t")
+    got, notes = translate_ch_sql(
+        "SELECT u, v FROM q_t QUALIFY row_number() OVER "
+        "(PARTITION BY u ORDER BY v DESC) = 1 ORDER BY u"
+    )
+    assert [(r["u"], r["v"]) for r in spark.sql(got).collect()] == [
+        (1, 3.0), (2, 1.0)
+    ]
+    assert any("QUALIFY" in n for n in notes)
+    # post-aggregation window predicate
+    got, _ = translate_ch_sql(
+        "SELECT u, sum(v) AS sv FROM q_t GROUP BY u "
+        "QUALIFY rank() OVER (ORDER BY sum(v) DESC) = 1"
+    )
+    assert [(r["u"], r["sv"]) for r in spark.sql(got).collect()] == [(1, 5.0)]
+    spark.sql("SELECT named_struct('a', 1, 'b', 2) AS st").createOrReplaceTempView(
+        "q_tt"
+    )
+    got, _ = translate_ch_sql("SELECT untuple(st) FROM q_tt")
+    r = spark.sql(got).first()
+    assert (r["a"], r["b"]) == (1, 2)
+    for bad, frag in [
+        ("SELECT * APPLY(sum) FROM q_t", "APPLY"),
+        ("SELECT COLUMNS('v.*') FROM q_t", "COLUMNS"),
+        ("SELECT DISTINCT u FROM q_t QUALIFY row_number() OVER (ORDER BY u) = 1",
+         "DISTINCT"),
+        ("SELECT untuple(u + 1) FROM q_t", "column reference"),
+        ("SELECT * FROM (SELECT u FROM q_t QUALIFY row_number() OVER (ORDER BY u) = 1)",
+         "subquery"),
+    ]:
+        with pytest.raises(ChTranslationError, match=frag):
+            translate_ch_sql(bad)

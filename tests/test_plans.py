@@ -546,6 +546,8 @@ def test_dialect_agg_combinator_queries_single_shuffle(spark):
         # the two uncorrelated scalar subqueries add one single-partition
         # exchange each over a near-empty filtered input
         ("ch_dialect_agg_combinators", 4),
+        # QUALIFY rewrite: one user_id exchange feeding a Window + filter
+        ("ch_dialect_qualify", 1),
     ):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         shuffles = sum(
@@ -555,4 +557,7 @@ def test_dialect_agg_combinator_queries_single_shuffle(spark):
         assert shuffles <= max_exchanges, (name, shuffles, plan)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan, name
-        assert plan.count("HashAggregate") >= 2, name  # partial + final
+        if name != "ch_dialect_qualify":
+            assert plan.count("HashAggregate") >= 2, name  # partial + final
+        else:
+            assert "Window" in plan and "Filter" in plan, name
