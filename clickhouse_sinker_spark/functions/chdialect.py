@@ -317,6 +317,37 @@ untuple(col)                 col.* struct star expansion (plain column
                              refs only)
 SELECT * EXCEPT (cols)       passthrough — Spark 4 supports it natively
 * APPLY(fn) / COLUMNS('re')  refused loudly (no Spark column matchers)
+toRelative{Year,Quarter,     year/quarter/month arithmetic (WeekNum
+  Month}Num / today /        refused: DateLUT-internal origin);
+  yesterday / now64 /        current_date/timestamp; date_trunc;
+  dateTrunc / fromModified-  MJD epoch date_add
+  JulianDay
+hasSubstr / arrayElement /   slice-compare fold / element_at / last
+  arrayLastIndex /           match via index transform / set Jaccard /
+  arrayJaccardIndex /        full sort (CH's tail order unspecified)
+  arrayPartialSort
+bitTestAll/Any(n, b…)        AND/OR chain of shiftright bit probes
+*UTF8 string forms (left,    the plain Spark builtins — Spark strings
+  right, pads, position,     are code-point native, so UTF8 semantics
+  translate, toValidUTF8)    are the default
+multiSearchFirstPosition /   locate() transforms: leftmost position /
+  FirstIndex / AllPositions  its needle index (ties by order) / all
+countSubstringsCaseInsens.   replace-count on lowered strings
+splitByWhitespace            filter(split '\\s+') drops empties
+tryBase64Decode              alphabet+padding validation, '' on bad
+regexpExtract / regexp-      smart group default like extract() /
+  QuoteMeta                  metachar-class escape
+mapContainsKeyLike /         exists / map_filter over LIKE
+  mapExtractKeyLike
+-Stable aggregate suffixes   renames (Spark's single-pass moments ARE
+                             the stable algorithm)
+greatCircleAngle             haversine central angle in degrees
+roundAge / roundDuration     CH's fixed bucket ladders
+truncate(x[, n])             toward-zero floor/ceil at scale n
+dotProduct / L{1,2,inf}Norm  zip_with/aggregate folds, array order
+  / *Distance / L2Squared-   deterministic; cosineDistance via
+  Distance / normalizeL1/L2  try_divide (NULL on zero norm)
+currentDatabase/currentUser  current_database() / current_user()
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle /               cosmetic output /
@@ -611,6 +642,39 @@ _UNSUPPORTED = {
     "bitRotateRight",        # unknowable at SQL-text level
     "unbin",
     "arrayReduceInRanges",
+    "toRelativeWeekNum",     # CH's epoch-week numbering origin is
+                             # DateLUT-internal; use toStartOfWeek buckets
+    "arrayAUC",              # tie-handling of CH's AUC is unspecified
+    "arraySplit",            # subarray-of-subarrays lambda splitting
+    "arrayReverseSplit",
+    "arrayZipUnaligned",
+    "bitSlice",              # bit-level string slicing
+    "ngramSimHash",          # CH-specific text-hash families
+    "wordShingleMinHash",
+    "ngramMinHash",
+    "JSONExtractKeysAndValues",
+    "dictGetString",         # no external dictionaries in Spark
+    "dictGetFloat64",
+    "dictGetInt64",
+    "dictIsIn",
+    "generateUUIDv7",        # time-ordered UUIDs: uuid() loses the
+                             # sortability that IS the point of v7
+    "serverUUID",            # engine introspection
+    "initialQueryID",
+    "queryID",
+    "buildId",
+    "tcpPort",
+    "httpPort",
+    "getMacro",
+    "getSetting",
+    "filesystemAvailable",
+    "filesystemCapacity",
+    "tupleHammingDistance",  # tuple arity unknowable at SQL-text level
+    "tuplePlus",
+    "tupleMinus",
+    "tupleMultiply",
+    "tupleDivide",
+    "tupleNegate",
 }
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -2468,6 +2532,206 @@ def _translate_functions(sql: str) -> str:
         lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)",
     )
     sql = _rewrite_calls(sql, "toDate32", lambda a: f"CAST({a[0]} AS DATE)")
+    # --- batch 3: silent-passthrough sweep (names that would otherwise
+    # reach Spark's parser as unresolved routines) ---
+    sql = _rewrite_calls(
+        sql, "toRelativeYearNum", lambda a: f"year({a[0]})"
+    )
+    sql = _rewrite_calls(
+        sql, "toRelativeQuarterNum",
+        lambda a: f"(year({a[0]}) * 4 + quarter({a[0]}) - 1)",
+    )
+    sql = _rewrite_calls(
+        sql, "toRelativeMonthNum",
+        lambda a: f"(year({a[0]}) * 12 + month({a[0]}))",
+    )
+    sql = _rewrite_calls(sql, "today", lambda a: "current_date()")
+    sql = _rewrite_calls(
+        sql, "yesterday", lambda a: "date_sub(current_date(), 1)"
+    )
+    sql = _rewrite_calls(
+        sql, "now64",
+        # Spark timestamps are µs; CH precisions > 6 are unrepresentable
+        lambda a: "current_timestamp()",
+    )
+    sql = _rewrite_calls(
+        sql, "dateTrunc", lambda a: f"date_trunc({a[0]}, {a[1]})"
+    )
+    sql = _rewrite_calls(
+        sql, "fromModifiedJulianDay",
+        lambda a: f"date_add(DATE '1858-11-17', CAST({a[0]} AS INT))",
+    )
+    sql = _rewrite_calls(
+        sql, "arrayLastIndex",
+        # CH lambda-first order; last matching 1-based index, 0 if none
+        lambda a: (
+            f"coalesce(array_max(filter(transform(transform({a[1]}, {a[0]}), "
+            f"(__ali, __aj) -> IF(__ali, __aj + 1, 0)), __ak -> __ak > 0)), 0)"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "arrayElement",
+        # same emission as the [k] subscript rewrite (negative k from the
+        # end); CH's out-of-range → type default becomes NULL/error (noted
+        # delta shared with the bracket form)
+        lambda a: f"element_at({a[0]}, {a[1]})",
+    )
+    sql = _rewrite_calls(sql, "hasSubstr", _has_substr)
+    sql = _rewrite_calls(
+        sql, "bitTestAll",
+        lambda a: "(" + " AND ".join(
+            f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]
+        ) + ")",
+    )
+    sql = _rewrite_calls(
+        sql, "bitTestAny",
+        lambda a: "(" + " OR ".join(
+            f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]
+        ) + ")",
+    )
+    # UTF8-suffixed string forms: Spark strings are code-point native, so
+    # the plain builtins ARE the UTF8 semantics
+    sql = _rewrite_calls(sql, "leftUTF8", lambda a: f"left({a[0]}, {a[1]})")
+    sql = _rewrite_calls(sql, "rightUTF8", lambda a: f"right({a[0]}, {a[1]})")
+    sql = _rewrite_calls(
+        sql, "leftPadUTF8", lambda a: f"lpad({', '.join(a)})"
+    )
+    sql = _rewrite_calls(
+        sql, "rightPadUTF8", lambda a: f"rpad({', '.join(a)})"
+    )
+    sql = _rewrite_calls(
+        sql, "positionUTF8",
+        lambda a: f"instr({a[0]}, {a[1]})" if len(a) == 2
+        else f"locate({a[1]}, {a[0]}, {a[2]})",
+    )
+    sql = _rewrite_calls(
+        sql, "multiSearchFirstPosition", _multi_search_first_position
+    )
+    sql = _rewrite_calls(
+        sql, "multiSearchFirstIndex", _multi_search_first_index
+    )
+    sql = _rewrite_calls(
+        sql, "multiSearchAllPositions",
+        lambda a: f"transform({a[1]}, __msn -> locate(__msn, {a[0]}))",
+    )
+    sql = _rewrite_calls(
+        sql, "countSubstringsCaseInsensitive",
+        # all lengths measured on the LOWERED strings (case folding can
+        # change code-point counts, e.g. İ)
+        lambda a: (
+            f"(CASE WHEN length(lower({a[1]})) = 0 THEN 0 ELSE "
+            f"CAST((length(lower({a[0]})) - length(replace(lower({a[0]}), "
+            f"lower({a[1]}), ''))) / length(lower({a[1]})) AS BIGINT) END)"
+        ),
+    )
+    # Spark strings cannot hold invalid UTF-8 — already valid by type
+    sql = _rewrite_calls(sql, "toValidUTF8", lambda a: f"({a[0]})")
+    sql = _rewrite_calls(
+        sql, "splitByWhitespace",
+        lambda a: f"filter(split({a[0]}, '\\\\s+'), __sw -> __sw != '')",
+    )
+    sql = _rewrite_calls(
+        sql, "tryBase64Decode",
+        # CH: '' on malformed input — validate the alphabet/padding first
+        # (Spark unbase64 is lenient and would emit garbage bytes)
+        lambda a: (
+            f"CASE WHEN {a[0]} RLIKE '^[A-Za-z0-9+/]*={{0,2}}$' "
+            f"AND length({a[0]}) % 4 = 0 "
+            f"THEN CAST(unbase64({a[0]}) AS STRING) ELSE '' END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "regexpExtract",
+        # 2-arg form: first group if the literal pattern has one, else
+        # the whole match (same smart default as CH extract())
+        lambda a: _extract_regex(a) if len(a) == 2
+        else f"regexp_extract({', '.join(a)})",
+    )
+    sql = _rewrite_calls(
+        sql, "regexpQuoteMeta",
+        # class escapes only backslash and brackets; Spark-literal
+        # doubling applies on top (4 backslashes in SQL = 1 in the regex
+        # class twice over)
+        lambda a: (
+            f"regexp_replace({a[0]}, "
+            "'([\\\\\\\\.^$+*?()\\\\[\\\\]{}|])', '\\\\\\\\$1')"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "translateUTF8", lambda a: f"translate({', '.join(a)})"
+    )
+    sql = _rewrite_calls(
+        sql, "mapContainsKeyLike",
+        lambda a: f"exists(map_keys({a[0]}), __mk -> __mk LIKE {a[1]})",
+    )
+    sql = _rewrite_calls(
+        sql, "mapExtractKeyLike",
+        lambda a: f"map_filter({a[0]}, (__mk, __mv) -> __mk LIKE {a[1]})",
+    )
+    # -Stable aggregate variants: same math, numerically-stable algorithm
+    # (Spark's single-pass moment aggregates are already the stable form)
+    for ch_stable, spark_agg in (
+        ("corrStable", "corr"),
+        ("covarPopStable", "covar_pop"),
+        ("covarSampStable", "covar_samp"),
+        ("varPopStable", "var_pop"),
+        ("varSampStable", "var_samp"),
+        ("stddevPopStable", "stddev_pop"),
+        ("stddevSampStable", "stddev_samp"),
+    ):
+        sql = _rewrite_calls(
+            sql, ch_stable, lambda a, s=spark_agg: f"{s}({', '.join(a)})"
+        )
+    sql = _rewrite_calls(
+        sql, "greatCircleAngle",
+        # central angle in degrees: the haversine arc without the radius
+        lambda a: (
+            f"degrees(2 * asin(sqrt("
+            f"pow(sin(radians(({a[3]}) - ({a[1]})) / 2), 2) + "
+            f"cos(radians({a[1]})) * cos(radians({a[3]})) * "
+            f"pow(sin(radians(({a[2]}) - ({a[0]})) / 2), 2))))"
+        ),
+    )
+    sql = _rewrite_calls(sql, "roundAge", _round_age)
+    sql = _rewrite_calls(sql, "roundDuration", _round_duration)
+    sql = _rewrite_calls(sql, "truncate", _truncate_scale)
+    sql = _rewrite_calls(sql, "caseWithExpr", _case_with_expression)
+    sql = _rewrite_calls(sql, "currentDatabase", lambda a: "current_database()")
+    sql = _rewrite_calls(sql, "currentUser", lambda a: "current_user()")
+    sql = _rewrite_calls(sql, "dotProduct", _dot_product)
+    for norm_kind in ("L1", "L2", "Linf"):
+        sql = _rewrite_calls(
+            sql, f"{norm_kind}Norm",
+            lambda a, k=norm_kind: _vector_norm(a, k),
+        )
+        sql = _rewrite_calls(
+            sql, f"{norm_kind}Distance",
+            lambda a, k=norm_kind: _vector_distance(a, k),
+        )
+    sql = _rewrite_calls(
+        sql, "L2SquaredDistance",
+        lambda a: _vector_distance(a, "L2Squared"),
+    )
+    sql = _rewrite_calls(sql, "cosineDistance", _cosine_distance)
+    sql = _rewrite_calls(
+        sql, "normalizeL1", lambda a: _normalize_vec(a, "L1")
+    )
+    sql = _rewrite_calls(
+        sql, "normalizeL2", lambda a: _normalize_vec(a, "L2")
+    )
+    sql = _rewrite_calls(
+        sql, "arrayJaccardIndex",
+        lambda a: (
+            f"(size(array_intersect({a[0]}, {a[1]})) "
+            f"/ CAST(size(array_union({a[0]}, {a[1]})) AS DOUBLE))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "arrayPartialSort",
+        # CH sorts the first N and leaves the tail in UNSPECIFIED order —
+        # a full sort is a valid (and deterministic) instance of that
+        lambda a: f"array_sort({a[1]})",
+    )
     # splitByRegexp(re, s): CH puts the pattern FIRST (like splitByChar)
     sql = _rewrite_calls(sql, "splitByRegexp", lambda a: f"split({a[1]}, {a[0]})")
     sql = _rewrite_calls(sql, "arrayWithConstant", lambda a: f"array_repeat({a[1]}, {a[0]})")
@@ -3275,6 +3539,175 @@ def _max_intersections(a: list[str], position: bool) -> str:
         f"ELSE named_struct('cur', __mi.cur + __e.w, "
         f"'best', __mi.best, 'pos', __mi.pos) END, "
         f"__mi -> __mi.{field})"
+    )
+
+
+def _has_substr(a: list[str]) -> str:
+    """``hasSubstr(a, b)``: whether array b appears as a CONTIGUOUS
+    subsequence of array a (empty b → true, the CH contract) — slice
+    comparison over every start offset, JVM-side."""
+    if len(a) != 2:
+        raise ChTranslationError("hasSubstr takes (array, subarray)")
+    return _bind_arr(
+        f"named_struct('a', {a[0]}, 'b', {a[1]})",
+        lambda st: (
+            f"CASE WHEN size({st}.b) = 0 THEN size({st}.a) >= 0 "
+            f"ELSE exists(transform(sequence(1, "
+            f"greatest(size({st}.a) - size({st}.b) + 1, 1)), "
+            f"__hs -> slice({st}.a, __hs, size({st}.b))), "
+            f"__sl -> __sl = {st}.b) END"
+        ),
+    )
+
+
+def _multi_search_first_position(a: list[str]) -> str:
+    """``multiSearchFirstPosition(h, [needles])``: 1-based position of
+    the leftmost occurrence of any needle, 0 when none match."""
+    if len(a) != 2:
+        raise ChTranslationError(
+            "multiSearchFirstPosition takes (haystack, [needles])"
+        )
+    return _bind_arr(
+        f"transform({a[1]}, __msn -> locate(__msn, {a[0]}))",
+        lambda ps: (
+            f"coalesce(array_min(filter({ps}, __msp -> __msp > 0)), 0)"
+        ),
+    )
+
+
+def _multi_search_first_index(a: list[str]) -> str:
+    """``multiSearchFirstIndex(h, [needles])``: 1-based index of the
+    needle with the LEFTMOST occurrence (ties by needle order), 0 when
+    none match — min over (position, index) pairs."""
+    if len(a) != 2:
+        raise ChTranslationError(
+            "multiSearchFirstIndex takes (haystack, [needles])"
+        )
+    pairs = (
+        f"filter(transform({a[1]}, (__msn, __msi) -> "
+        f"named_struct('p', locate(__msn, {a[0]}), 'i', __msi + 1)), "
+        f"__mse -> __mse.p > 0)"
+    )
+    return _bind_arr(
+        pairs,
+        lambda ps: (
+            f"CASE WHEN size({ps}) = 0 THEN 0 "
+            f"ELSE array_min({ps}).i END"
+        ),
+    )
+
+
+def _round_duration(a: list[str]) -> str:
+    """``roundDuration(x)``: CH's fixed duration buckets — below 1 → 0,
+    else the largest bucket ≤ x."""
+    if len(a) != 1:
+        raise ChTranslationError("roundDuration takes exactly 1 argument")
+    buckets = "array(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, " \
+              "3600, 7200, 18000, 36000)"
+    x = f"({a[0]})"
+    return (
+        f"CASE WHEN {x} IS NULL THEN NULL WHEN {x} < 1 THEN 0 "
+        f"ELSE aggregate({buckets}, 1, "
+        f"(__rdu, __b) -> CASE WHEN {x} >= __b THEN __b ELSE __rdu END) END"
+    )
+
+
+def _round_age(a: list[str]) -> str:
+    """``roundAge(x)``: CH's fixed age buckets 0/17/18/25/35/45/55."""
+    if len(a) != 1:
+        raise ChTranslationError("roundAge takes exactly 1 argument")
+    x = f"({a[0]})"
+    return (
+        f"CASE WHEN {x} IS NULL THEN NULL WHEN {x} < 1 THEN 0 "
+        f"WHEN {x} < 18 THEN 17 WHEN {x} < 25 THEN 18 "
+        f"WHEN {x} < 35 THEN 25 WHEN {x} < 45 THEN 35 "
+        f"WHEN {x} < 55 THEN 45 ELSE 55 END"
+    )
+
+
+def _truncate_scale(a: list[str]) -> str:
+    """``truncate(x[, n])``: round toward zero to n decimal places —
+    floor for positives, ceil for negatives (Spark trunc() is
+    date-only)."""
+    if len(a) not in (1, 2):
+        raise ChTranslationError("truncate takes (x[, n])")
+    x = f"({a[0]})"
+    if len(a) == 1:
+        return (
+            f"(CASE WHEN {x} >= 0 THEN floor({x}) ELSE ceil({x}) END)"
+        )
+    p = f"pow(10, ({a[1]}))"
+    return (
+        f"((CASE WHEN {x} >= 0 THEN floor({x} * {p}) "
+        f"ELSE ceil({x} * {p}) END) / {p})"
+    )
+
+
+def _vector_norm(a: list[str], kind: str) -> str:
+    """L1/L2/Linf norms over array columns (CH vector functions):
+    deterministic left-to-right folds in array order."""
+    if len(a) != 1:
+        raise ChTranslationError(f"{kind}Norm takes exactly 1 array")
+    arr = a[0]
+    if kind == "L1":
+        return (
+            f"aggregate({arr}, CAST(0 AS DOUBLE), "
+            f"(__vn, __vx) -> __vn + abs(__vx))"
+        )
+    if kind == "L2":
+        return (
+            f"sqrt(aggregate({arr}, CAST(0 AS DOUBLE), "
+            f"(__vn, __vx) -> __vn + __vx * __vx))"
+        )
+    return f"array_max(transform({arr}, __vx -> abs(CAST(__vx AS DOUBLE))))"
+
+
+def _vector_distance(a: list[str], kind: str) -> str:
+    """L1/L2/Linf/L2Squared distances: norm of the element-wise
+    difference via zip_with."""
+    if len(a) != 2:
+        raise ChTranslationError(f"{kind}Distance takes exactly 2 arrays")
+    diff = f"zip_with({a[0]}, {a[1]}, (__va, __vb) -> __va - __vb)"
+    if kind == "L2Squared":
+        return (
+            f"aggregate({diff}, CAST(0 AS DOUBLE), "
+            f"(__vn, __vx) -> __vn + __vx * __vx)"
+        )
+    return _vector_norm([diff], kind)
+
+
+def _dot_product(a: list[str]) -> str:
+    if len(a) != 2:
+        raise ChTranslationError("dotProduct takes exactly 2 arrays")
+    return (
+        f"aggregate(zip_with({a[0]}, {a[1]}, "
+        f"(__va, __vb) -> CAST(__va AS DOUBLE) * __vb), "
+        f"CAST(0 AS DOUBLE), (__dp, __vx) -> __dp + __vx)"
+    )
+
+
+def _cosine_distance(a: list[str]) -> str:
+    """``cosineDistance(a, b)`` = 1 − dot/(‖a‖·‖b‖); try_divide → NULL
+    on a zero-norm side instead of an ANSI division error."""
+    if len(a) != 2:
+        raise ChTranslationError("cosineDistance takes exactly 2 arrays")
+    return (
+        f"(1 - try_divide({_dot_product(a)}, "
+        f"{_vector_norm([a[0]], 'L2')} * {_vector_norm([a[1]], 'L2')}))"
+    )
+
+
+def _normalize_vec(a: list[str], kind: str) -> str:
+    if len(a) != 1:
+        raise ChTranslationError(f"normalize{kind} takes exactly 1 array")
+    # the norm must be bound OUTSIDE the per-element lambda (no CSE
+    # inside HOF lambdas — inlining it would recompute the fold per
+    # element, O(n²))
+    return _bind_arr(
+        f"named_struct('a', {a[0]}, 'n', {_vector_norm([a[0]], kind)})",
+        lambda st: (
+            f"transform({st}.a, __vx -> try_divide(__vx, {st}.n))"
+        ),
     )
 
 
@@ -4560,6 +4993,11 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
                      "(ch_dialect_stats_buckets shape)",
         "dictGet": "a broadcast JOIN against the dimension table "
                    "(no external dictionaries in Spark)",
+        "dictGetString": "a broadcast JOIN against the dimension table",
+        "dictGetFloat64": "a broadcast JOIN against the dimension table",
+        "dictGetInt64": "a broadcast JOIN against the dimension table",
+        "dictIsIn": "a broadcast semi-join against the dimension table",
+        "toRelativeWeekNum": "toStartOfWeek(d) bucketing",
     }
     def _first_real(pattern: str):
         """First match OUTSIDE string literals — a literal containing the

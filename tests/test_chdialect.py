@@ -2618,3 +2618,64 @@ def test_qualify_untuple_apply_columns(spark):
     ]:
         with pytest.raises(ChTranslationError, match=frag):
             translate_ch_sql(bad)
+
+
+def test_batch3_passthrough_sweep(spark):
+    """The silent-passthrough sweep batch: names that previously reached
+    Spark's parser as unresolved routines now either translate exactly
+    (relative date numbers, UTF8 string forms — Spark strings ARE
+    code-point native, multiSearch family, vector norms/distances,
+    -Stable aggregate renames, fixed CH buckets) or refuse loudly
+    (engine introspection, tuple arithmetic, dict getters)."""
+    r = spark.sql(T(
+        "SELECT toRelativeMonthNum(toDate('2024-03-05')) AS rm, "
+        "toRelativeQuarterNum(toDate('2024-03-05')) AS rq, "
+        "dateTrunc('month', toDate('2024-03-05')) AS dt, "
+        "fromModifiedJulianDay(60310) AS mj, "
+        "arrayLastIndex(x -> x > 1, [3, 1, 2, 1]) AS ali, "
+        "arrayElement([10, 20, 30], -1) AS aen, "
+        "hasSubstr([1, 2, 3, 4], [2, 3]) AS hs1, "
+        "hasSubstr([1, 2, 3], [2, 4]) AS hs0, "
+        "bitTestAll(7, 0, 1, 2) AS bta, bitTestAny(2, 0, 2) AS btn0, "
+        "leftUTF8('héllo', 2) AS lu, positionUTF8('héllo', 'llo') AS pu, "
+        "multiSearchFirstPosition('hello world', ['xx', 'wor', 'llo']) AS mfp, "
+        "multiSearchFirstIndex('hello world', ['xx', 'wor', 'llo']) AS mfi, "
+        "countSubstringsCaseInsensitive('AbabAB', 'ab') AS cs, "
+        "splitByWhitespace('  a  bb c ') AS sw, "
+        "tryBase64Decode('YWJj') AS b64, tryBase64Decode('!bad!') AS b64b, "
+        "regexpExtract('a12b', '[0-9]+') AS rex, "
+        "regexpQuoteMeta('a.b*c') AS rqm, "
+        "dotProduct([1.0, 2.0], [3.0, 4.0]) AS dp, "
+        "L2Distance([0.0, 0.0], [3.0, 4.0]) AS d2, "
+        "round(cosineDistance([1.0, 0.0], [0.0, 1.0]), 6) AS cd, "
+        "normalizeL2([3.0, 4.0]) AS nl2, "
+        "round(arrayJaccardIndex([1, 2, 3], [2, 3, 4]), 6) AS aj, "
+        "roundAge(22) AS ra, roundDuration(95) AS rd, "
+        "truncate(-1.57, 1) AS tn, "
+        "varPopStable(x) AS vp "
+        "FROM (SELECT explode(array(1.0, 3.0)) AS x)"
+    )).first()
+    assert r["rm"] == 2024 * 12 + 3 and r["rq"] == 2024 * 4
+    assert str(r["dt"])[:10] == "2024-03-01" and str(r["mj"]) == "2024-01-01"
+    assert r["ali"] == 3 and r["aen"] == 30
+    assert r["hs1"] is True and r["hs0"] is False
+    assert r["bta"] is True and r["btn0"] is False
+    assert (r["lu"], r["pu"]) == ("hé", 3)
+    assert (r["mfp"], r["mfi"]) == (3, 3)  # leftmost occurrence wins
+    assert r["cs"] == 3 and r["sw"] == ["a", "bb", "c"]
+    assert (r["b64"], r["b64b"]) == ("abc", "")
+    assert r["rex"] == "12" and r["rqm"] == "a\\.b\\*c"
+    assert (r["dp"], r["d2"], r["cd"]) == (11.0, 5.0, 1.0)
+    assert r["nl2"] == [0.6, 0.8] and r["aj"] == 0.5
+    assert (r["ra"], r["rd"]) == (18, 60)
+    assert abs(r["tn"] - (-1.5)) < 1e-12 and r["vp"] == 1.0
+    for bad in (
+        "SELECT toRelativeWeekNum(ts) FROM events",
+        "SELECT queryID()",
+        "SELECT tuplePlus(a, b) FROM t",
+        "SELECT dictGetString('d', 'a', k) FROM t",
+        "SELECT arrayAUC(s, l) FROM t",
+        "SELECT generateUUIDv7()",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
