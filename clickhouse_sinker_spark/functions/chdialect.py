@@ -348,6 +348,31 @@ dotProduct / L{1,2,inf}Norm  zip_with/aggregate folds, array order
   / *Distance / L2Squared-   deterministic; cosineDistance via
   Distance / normalizeL1/L2  try_divide (NULL on zero norm)
 currentDatabase/currentUser  current_database() / current_user()
+toISOYear/toStartOfISOYear   Thursday-rule arithmetic (Spark forbids
+                             the 'Y' week-year format pattern)
+to/fromDaysSinceYearZero     datediff ± 719528 (1970-01-01 pin)
+toLastDayOfWeek              toStartOfWeek + 6 (same mode handling)
+makeDate[32]/makeDateTime    make_date / make_timestamp
+  [64]
+YYYYMMDD[hhmmss]To…          try_to_date/timestamp (NULL on invalid)
+timestampSub                 timestampadd with negated count
+sumCount(x)                  (sum, count) named-struct tuple
+quantile[s]GK(acc, p…)(x)    percentile_approx — Spark's sketch IS
+                             Greenwald-Khanna
+arrayShingles / arrayFill /  window slices / nearest-preceding-true
+  arrayReverseFill /         fold / per-element occurrence counter /
+  arrayEnumerateUniq /       zero-clamped running sum
+  arrayCumSumNonNegative
+isIPAddressInRange(ip, c)    IPv4 prefix equality via block DIV (IPv6
+                             raises lazily at runtime)
+bitmaskToArray /             power/position decompositions, negative
+  bitPositionsToArray        input raises
+toDecimal32/64/128(x, s)     CAST to DECIMAL(9|18|38, s)
+widthBucket / editDistance-  width_bucket / levenshtein renames;
+  UTF8 / initcapUTF8 /       pmod; exists/forall over map_entries
+  positiveModulo /           with mapApply's var substitution
+  mapExists / mapAll
+isZeroOrNull(x)              (x = 0 OR x IS NULL)
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle /               cosmetic output /
@@ -642,6 +667,47 @@ _UNSUPPORTED = {
     "bitRotateRight",        # unknowable at SQL-text level
     "unbin",
     "arrayReduceInRanges",
+    "groupArrayLast",        # insertion-order-dependent aggregates
+    "groupArraySample",      # nondeterministic sampling
+    "largestTriangleThreeBuckets",  # LTTB bucket boundaries are
+                             # implementation-defined
+    "arrayRandomSample",     # nondeterministic
+    "idnaEncode",            # punycode family
+    "idnaDecode",
+    "divideDecimal",         # explicit-result-scale decimal arithmetic:
+    "multiplyDecimal",       # CH truncates on scale cut, Spark HALF_UPs
+    "byteSwap",              # result width depends on the CH arg type
+    "toDecimalString",       # fixed-scale formatting: rounding mode
+                             # differs (see formatReadable cents rule)
+    "proportionsZTest",      # stat tests need distribution functions
+    "kolmogorovSmirnovTest",
+    "cramersV",
+    "cramersVBiasCorrected",
+    "theilsU",
+    "contingency",
+    "damerauLevenshteinDistance",  # no Spark builtin (only Levenshtein)
+    "jaroSimilarity",
+    "jaroWinklerSimilarity",
+    "tumble",                # CH experimental window-view TVFs: use
+    "hop",                   # Spark's window()/session_window() instead
+    "tumbleStart",
+    "tumbleEnd",
+    "hopStart",
+    "hopEnd",
+    "lowCardinalityKeys",    # engine introspection
+    "lowCardinalityIndices",
+    "toIntervalNanosecond",  # Spark intervals are microsecond-resolution
+    "flattenTuple",          # tuple introspection
+    "tupleToNameValuePairs",
+    "tupleNames",
+    "mapSort",               # Spark maps have no defined entry order to
+    "mapReverseSort",        # preserve a sort in
+    "mapPartialSort",
+    "mapPartialReverseSort",
+    "nothing",               # engine internals
+    "zeroField",
+    "defaultValueOfArgumentType",
+    "defaultValueOfTypeName",
     "toRelativeWeekNum",     # CH's epoch-week numbering origin is
                              # DateLUT-internal; use toStartOfWeek buckets
     "arrayAUC",              # tie-handling of CH's AUC is unspecified
@@ -2732,6 +2798,152 @@ def _translate_functions(sql: str) -> str:
         # a full sort is a valid (and deterministic) instance of that
         lambda a: f"array_sort({a[1]})",
     )
+    # --- sweep tranche 2 ---
+    sql = _rewrite_calls(sql, "toISOYear", _to_iso_year)
+    sql = _rewrite_calls(sql, "toStartOfISOYear", _to_start_of_iso_year)
+    sql = _rewrite_calls(
+        sql, "toDaysSinceYearZero",
+        # proleptic-Gregorian day count: 1970-01-01 is day 719528 (CH pin)
+        lambda a: f"(datediff(CAST({a[0]} AS DATE), DATE '1970-01-01') + 719528)",
+    )
+    sql = _rewrite_calls(
+        sql, "fromDaysSinceYearZero",
+        lambda a: f"date_add(DATE '1970-01-01', CAST(({a[0]}) - 719528 AS INT))",
+    )
+    sql = _rewrite_calls(
+        sql, "toLastDayOfWeek",
+        # start-of-week + 6, inheriting toStartOfWeek's mode handling
+        lambda a: f"date_add({_to_start_of_week(a)}, 6)",
+    )
+    sql = _rewrite_calls(sql, "makeDate32", lambda a: f"make_date({', '.join(a)})")
+    sql = _rewrite_calls(sql, "makeDate", lambda a: f"make_date({', '.join(a)})")
+    sql = _rewrite_calls(
+        sql, "makeDateTime64",
+        # Spark timestamps are µs; a 7th precision arg beyond 6 is
+        # unrepresentable, so only (y,m,d,h,mi,s[,tz]) forms translate
+        lambda a: f"make_timestamp({', '.join(a[:6])})" if len(a) >= 6
+        else _refuse("makeDateTime64 needs at least (y, m, d, h, mi, s)"),
+    )
+    sql = _rewrite_calls(
+        sql, "makeDateTime", lambda a: f"make_timestamp({', '.join(a)})"
+    )
+    sql = _rewrite_calls(
+        sql, "YYYYMMDDToDate",
+        lambda a: (
+            f"try_to_date(CAST(CAST({a[0]} AS BIGINT) AS STRING), 'yyyyMMdd')"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "YYYYMMDDhhmmssToDateTime",
+        lambda a: (
+            f"try_to_timestamp(CAST(CAST({a[0]} AS BIGINT) AS STRING), "
+            f"'yyyyMMddHHmmss')"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "timestampSub",
+        lambda a: f"timestampadd({a[0]}, -({a[1]}), {a[2]})",
+    )
+    sql = _rewrite_calls(
+        sql, "sumCount",
+        # CH's (sum, count) tuple in the repo's tuple shape
+        lambda a: (
+            f"named_struct('_1', sum({a[0]}), '_2', count({a[0]}))"
+        ),
+    )
+    sql = _rewrite_calls(sql, "arrayDotProduct", _dot_product)
+    sql = _rewrite_calls(sql, "arrayCumSumNonNegative", _array_cumsum_nonneg)
+    sql = _rewrite_calls(sql, "arrayShingles", _array_shingles)
+    sql = _rewrite_calls(sql, "arrayEnumerateUniq", _array_enumerate_uniq)
+    sql = _rewrite_calls(sql, "arrayReverseFill", lambda a: _array_fill(a, True))
+    sql = _rewrite_calls(sql, "arrayFill", lambda a: _array_fill(a, False))
+    sql = _rewrite_calls(sql, "isIPAddressInRange", _ip_in_range)
+    sql = _rewrite_calls(sql, "initcapUTF8", lambda a: f"initcap({a[0]})")
+    sql = _rewrite_calls(
+        sql, "positiveModulo", lambda a: f"pmod({a[0]}, {a[1]})"
+    )
+    sql = _rewrite_calls(
+        sql, "bitmaskToArray",
+        lambda a: (
+            f"CASE WHEN CAST({a[0]} AS BIGINT) < 0 THEN "
+            f"CAST(raise_error('bitmaskToArray: negative input') "
+            f"AS ARRAY<BIGINT>) ELSE "
+            f"filter(transform(sequence(0, 62), __i -> "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__i AS INT))), "
+            f"__p -> (CAST({a[0]} AS BIGINT) & __p) <> 0) END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "bitPositionsToArray",
+        lambda a: (
+            f"CASE WHEN CAST({a[0]} AS BIGINT) < 0 THEN "
+            f"CAST(raise_error('bitPositionsToArray: negative input') "
+            f"AS ARRAY<INT>) ELSE "
+            f"filter(sequence(0, 62), __i -> "
+            f"(shiftright(CAST({a[0]} AS BIGINT), CAST(__i AS INT)) & 1) = 1) "
+            f"END"
+        ),
+    )
+    for dec_name, dec_p in (("toDecimal32", 9), ("toDecimal64", 18),
+                            ("toDecimal128", 38)):
+        sql = _rewrite_calls(
+            sql, dec_name,
+            lambda a, p=dec_p: (
+                f"CAST({a[0]} AS DECIMAL({p}, {a[1].strip()}))"
+            ),
+        )
+    sql = _rewrite_calls(
+        sql, "widthBucket", lambda a: f"width_bucket({', '.join(a)})"
+    )
+    sql = _rewrite_calls(
+        sql, "editDistanceUTF8", lambda a: f"levenshtein({a[0]}, {a[1]})"
+    )
+    sql = _rewrite_calls(
+        sql, "mapExists", lambda a: _map_pred(a, "exists", "mapExists")
+    )
+    sql = _rewrite_calls(
+        sql, "mapAll", lambda a: _map_pred(a, "forall", "mapAll")
+    )
+    sql = _rewrite_calls(
+        sql, "isZeroOrNull",
+        lambda a: f"(({a[0]}) = 0 OR ({a[0]}) IS NULL)",
+    )
+    # quantileGK(accuracy, level)(x): CH's Greenwald-Khanna sketch IS the
+    # algorithm behind Spark's percentile_approx — a direct map
+    while True:
+        at = _find_call(sql, "quantilesGK")
+        if at < 0:
+            at2 = _find_call(sql, "quantileGK")
+            if at2 < 0:
+                break
+            at, plural = at2, False
+        else:
+            plural = True
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError(
+                "quantileGK requires the (accuracy, level…)(x) form"
+            )
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        params = [
+            _translate_functions(p)
+            for p in _split_args(sql[open1 + 1 : end1 - 1])
+        ]
+        if len(params) < 2:
+            raise ChTranslationError(
+                "quantileGK takes (accuracy, level…)(x)"
+            )
+        x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
+        acc, levels = params[0], params[1:]
+        if plural or len(levels) > 1:
+            lv = f"array({', '.join(levels)})"
+        else:
+            lv = levels[0]
+        rep = f"percentile_approx({x}, {lv}, CAST({acc} AS INT))"
+        sql = sql[:at] + rep + sql[end2:]
     # splitByRegexp(re, s): CH puts the pattern FIRST (like splitByChar)
     sql = _rewrite_calls(sql, "splitByRegexp", lambda a: f"split({a[1]}, {a[0]})")
     sql = _rewrite_calls(sql, "arrayWithConstant", lambda a: f"array_repeat({a[1]}, {a[0]})")
@@ -3540,6 +3752,141 @@ def _max_intersections(a: list[str], position: bool) -> str:
         f"'best', __mi.best, 'pos', __mi.pos) END, "
         f"__mi -> __mi.{field})"
     )
+
+
+def _iso_dow(d: str) -> str:
+    """ISO day-of-week 1=Monday..7=Sunday from Spark's Sunday-1 form."""
+    return f"(((dayofweek({d}) + 5) % 7) + 1)"
+
+
+def _to_iso_year(a: list[str]) -> str:
+    """``toISOYear(d)``: the ISO-8601 week-numbering year = the calendar
+    year of that week's THURSDAY (exact, no week-year format pattern —
+    Spark forbids 'Y' in the new parser)."""
+    if len(a) != 1:
+        raise ChTranslationError("toISOYear takes exactly 1 argument")
+    d = f"CAST({a[0]} AS DATE)"
+    return f"year(date_add({d}, 4 - {_iso_dow(d)}))"
+
+
+def _to_start_of_iso_year(a: list[str]) -> str:
+    """``toStartOfISOYear(d)``: the Monday of ISO week 1 — January 4th
+    is always inside week 1, so back up to its Monday."""
+    if len(a) != 1:
+        raise ChTranslationError("toStartOfISOYear takes exactly 1 argument")
+    return _bind_arr(
+        f"make_date({_to_iso_year(a)}, 1, 4)",
+        lambda j4: f"date_sub({j4}, {_iso_dow(j4)} - 1)",
+    )
+
+
+def _array_shingles(a: list[str]) -> str:
+    """``arrayShingles(arr, n)``: all contiguous length-n windows."""
+    if len(a) != 2:
+        raise ChTranslationError("arrayShingles takes (array, length)")
+    n = f"({a[1]})"
+    return _bind_arr(
+        a[0],
+        lambda arr: (
+            f"slice(transform(sequence(1, greatest(size({arr}) - {n} + 1, 1)), "
+            f"__sh -> slice({arr}, __sh, {n})), 1, "
+            f"greatest(size({arr}) - {n} + 1, 0))"
+        ),
+    )
+
+
+def _array_enumerate_uniq(a: list[str]) -> str:
+    """``arrayEnumerateUniq(arr)``: 1-based occurrence counter of each
+    element among its equals so far (null-safe equality)."""
+    if len(a) != 1:
+        raise ChTranslationError("arrayEnumerateUniq takes exactly 1 array")
+    return _bind_arr(
+        a[0],
+        lambda arr: (
+            f"transform({arr}, (__eu, __ei) -> "
+            f"size(filter(slice({arr}, 1, __ei + 1), __ee -> __ee <=> __eu)))"
+        ),
+    )
+
+
+def _array_fill(a: list[str], reverse: bool) -> str:
+    """``arrayFill(cond, arr)``: elements where cond is false take the
+    value of the nearest PRECEDING true element (leading falses keep
+    their own values — the CH contract); arrayReverseFill mirrors via
+    double reverse."""
+    if len(a) != 2:
+        raise ChTranslationError("arrayFill takes (lambda, array)")
+    lam, arr = a[0], a[1]
+    src = f"reverse({arr})" if reverse else arr
+    filled = _bind_arr(
+        f"zip_with({src}, transform({src}, {lam}), "
+        f"(__fv, __ff) -> named_struct('v', __fv, 'f', __ff))",
+        lambda z: (
+            f"aggregate({z}, slice(transform({z}, __fz -> __fz.v), 1, 0), "
+            f"(__fa, __fe) -> concat(__fa, array("
+            f"IF(__fe.f OR size(__fa) = 0, __fe.v, element_at(__fa, -1)))))"
+        ),
+    )
+    return f"reverse({filled})" if reverse else filled
+
+
+def _ip_in_range(a: list[str]) -> str:
+    """``isIPAddressInRange(ip, cidr)``: prefix equality on the UInt32
+    forms — both addresses integer-divided by the block size.  IPv4
+    only; an IPv6 cidr (contains ':') raises at RUNTIME (lazy branch),
+    never returns a silent wrong answer."""
+    if len(a) != 2:
+        raise ChTranslationError("isIPAddressInRange takes (ip, cidr)")
+    base_ip = "element_at(split(" + a[1] + ", '/'), 1)"
+    return _bind_arr(
+        f"named_struct('n', {_ipv4_string_to_num([a[0]])}, "
+        f"'b', {_ipv4_string_to_num([base_ip])}, "
+        f"'s', shiftleft(CAST(1 AS BIGINT), least(greatest(32 - "
+        f"CAST(element_at(split({a[1]}, '/'), 2) AS INT), 0), 32)))",
+        lambda st: (
+            f"IF(contains({a[1]}, ':'), "
+            f"CAST(raise_error('isIPAddressInRange: IPv6 ranges are not "
+            f"supported in this translation') AS BOOLEAN), "
+            f"({st}.n DIV {st}.s) = ({st}.b DIV {st}.s))"
+        ),
+    )
+
+
+def _array_cumsum_nonneg(a: list[str]) -> str:
+    """``arrayCumSumNonNegative``: running sums clamped at zero — a
+    negative running value resets to 0 (the CH contract)."""
+    return _bind_arr(
+        a[0],
+        lambda v: (
+            f"aggregate({v}, slice({v}, 1, 0), (__acc, __x) -> concat(__acc, "
+            f"array(greatest(CASE WHEN size(__acc) = 0 THEN __x "
+            f"ELSE element_at(__acc, size(__acc)) + __x END, 0))))"
+        ),
+    )
+
+
+def _map_pred(a: list[str], quant: str, name: str) -> str:
+    """``mapExists/mapAll((k, v) -> cond, m)`` → exists/forall over
+    map_entries with the same one-pass variable substitution mapApply
+    uses."""
+    if len(a) != 2:
+        raise ChTranslationError(f"{name} takes (lambda, map)")
+    mm = re.match(
+        r"^\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->\s*(.+)$",
+        a[0].strip(),
+        re.S,
+    )
+    if not mm:
+        raise ChTranslationError(f"{name} requires a ((k, v) -> cond) lambda")
+    kvar, vvar, body = mm.group(1), mm.group(2), mm.group(3)
+    if kvar == vvar:
+        raise ChTranslationError(f"{name} lambda variables must be distinct")
+    repl = {kvar: "__mp.key", vvar: "__mp.value"}
+    word = rf"\b({re.escape(kvar)}|{re.escape(vvar)})\b"
+    out = body
+    for m in reversed(_spans_outside_strings(body, word)):
+        out = out[: m.start()] + repl[m.group(1)] + out[m.end() :]
+    return f"{quant}(map_entries({a[1]}), __mp -> {out})"
 
 
 def _has_substr(a: list[str]) -> str:

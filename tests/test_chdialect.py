@@ -2679,3 +2679,71 @@ def test_batch3_passthrough_sweep(spark):
     ):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_tranche2_passthrough_sweep(spark):
+    """Sweep tranche 2: ISO-year arithmetic (Thursday rule — no
+    week-year format pattern, which Spark forbids), year-zero day
+    counts, make* constructors, YYYYMMDD parsers (NULL on invalid via
+    try_to_date), sumCount tuple, quantileGK → percentile_approx (the
+    same Greenwald-Khanna sketch), array fill/shingles/enumerate folds,
+    IPv4 CIDR membership, bit decompositions, decimal width casts, map
+    predicates, and the nondeterministic/introspective refusal tail."""
+    r = spark.sql(T(
+        "SELECT toISOYear(toDate('2021-01-01')) AS iy, "
+        "toStartOfISOYear(toDate('2021-06-15')) AS sy, "
+        "toDaysSinceYearZero(toDate('1970-01-01')) AS dz, "
+        "fromDaysSinceYearZero(719528) AS fz, "
+        "toLastDayOfWeek(toDate('2024-01-03')) AS lw, "
+        "makeDate(2024, 2, 29) AS md, "
+        "YYYYMMDDToDate(20240229) AS yd, YYYYMMDDToDate(20241399) AS ydbad, "
+        "timestampSub(HOUR, 2, TIMESTAMP '2024-01-01 12:00:00') AS tsub, "
+        "arrayCumSumNonNegative([1, -3, 4, -1]) AS acn, "
+        "arrayShingles([1, 2, 3, 4], 2) AS ash, "
+        "arrayEnumerateUniq([10, 20, 10, 10]) AS aeu, "
+        "arrayFill(x -> x IS NOT NULL, [NULL, 2, NULL, 5]) AS af, "
+        "arrayReverseFill(x -> x IS NOT NULL, [1, NULL, 3, NULL]) AS arf, "
+        "isIPAddressInRange('192.168.5.2', '192.168.0.0/16') AS ir1, "
+        "isIPAddressInRange('10.0.0.1', '192.168.0.0/16') AS ir0, "
+        "bitmaskToArray(50) AS bma, bitPositionsToArray(50) AS bpa, "
+        "toDecimal32(1.5, 2) AS d32, widthBucket(5.3, 0, 10, 5) AS wb, "
+        "editDistanceUTF8('kitten', 'sitting') AS ed, "
+        "mapExists((k, v) -> v > 1, map('a', 1, 'b', 2)) AS me, "
+        "mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS mall, "
+        "isZeroOrNull(0) AS zn, isZeroOrNull(5) AS zn3"
+    )).first()
+    # Jan 1 2021 (Friday) belongs to ISO week 53 of 2020
+    assert r["iy"] == 2020 and str(r["sy"]) == "2021-01-04"
+    assert r["dz"] == 719528 and str(r["fz"]) == "1970-01-01"
+    assert str(r["lw"]) == "2024-01-06"  # mode-0 weeks end Saturday
+    assert str(r["md"]) == "2024-02-29"
+    assert str(r["yd"]) == "2024-02-29" and r["ydbad"] is None
+    assert str(r["tsub"]) == "2024-01-01 10:00:00"
+    assert r["acn"] == [1, 0, 4, 3]
+    assert r["ash"] == [[1, 2], [2, 3], [3, 4]]
+    assert r["aeu"] == [1, 1, 2, 3]
+    assert r["af"] == [None, 2, 2, 5] and r["arf"] == [1, 3, 3, None]
+    assert r["ir1"] is True and r["ir0"] is False
+    assert r["bma"] == [2, 16, 32] and r["bpa"] == [1, 4, 5]
+    assert float(r["d32"]) == 1.5 and r["wb"] == 3
+    assert r["ed"] == 3 and r["me"] is True and r["mall"] is True
+    assert r["zn"] is True and r["zn3"] is False
+    spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "x double"
+    ).createOrReplaceTempView("qgk_t")
+    r = spark.sql(T(
+        "SELECT quantileGK(100, 0.5)(x) AS q, "
+        "quantilesGK(100, 0.25, 0.75)(x) AS qs, "
+        "sumCount(x) AS sc FROM qgk_t"
+    )).first()
+    assert 49 <= r["q"] <= 52 and len(r["qs"]) == 2
+    assert (r["sc"]["_1"], r["sc"]["_2"]) == (5050.0, 100)
+    for bad in (
+        "SELECT mapSort(m) FROM t",
+        "SELECT jaroSimilarity(a, b) FROM t",
+        "SELECT tumble(ts, iv) FROM t",
+        "SELECT groupArraySample(3)(x) FROM t",
+        "SELECT divideDecimal(a, b, 2) FROM t",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
