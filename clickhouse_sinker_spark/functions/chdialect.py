@@ -373,6 +373,26 @@ widthBucket / editDistance-  width_bucket / levenshtein renames;
   positiveModulo /           with mapApply's var substitution
   mapExists / mapAll
 isZeroOrNull(x)              (x = 0 OR x IS NULL)
+toUUID[OrZero] / toIPv4      validated forms: throw like CH / zero
+  [OrZero]                   fallback ('0000…' / '0.0.0.0')
+UUIDv7ToDateTime /           first 48 bits as unix ms / Crockford
+  ULIDStringToDateTime       base32 remapped onto conv(…, 32, 10)
+IPv4NumToStringClassC        3 octets + '.xxx'
+firstLine(s)                 split at the first \\r\\n|\\r|\\n
+hasToken[CaseInsensitive]    whole-token RLIKE with runtime needle
+  [OrNull]                   quoting; multi-token needle raises (CH)
+stringCompare(s1, s2)        -1/0/1 — UTF8_BINARY order = byte order
+formatReadableDecimalSize    the 1000-based tier of the same
+                             integer-cents formatter
+firstValue/lastValue/lag-    first_value/last_value/lag/lead renames
+  InFrame/leadInFrame
+singleValueOrNull(x)         IF(count(DISTINCT x) = 1, max(x), NULL)
+intervalLengthSum(a, b)      union measure via sweep-line fold
+timezoneOffset(t)            unix delta through to_utc_timestamp
+toStartOfMicro/Milli/Nano-   µs identity / DIV-1000 floor / µs
+  second / toMillisecond     identity (noted) / ms component
+snowflakeToDateTime64 /      the ms-precision snowflake pair
+  dateTime64ToSnowflake
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle /               cosmetic output /
@@ -667,6 +687,55 @@ _UNSUPPORTED = {
     "bitRotateRight",        # unknowable at SQL-text level
     "unbin",
     "arrayReduceInRanges",
+    "generateULID",          # nondeterministic generators
+    "toIPv6",                # IPv6 canonicalization (zero compression)
+    "toIPv6OrNull",          # is not reproducible textually
+    "toIPv6OrZero",
+    "base58Encode",          # bignum base conversions
+    "base58Decode",
+    "base32Encode",
+    "base32Decode",
+    "crc64",                 # CH polynomial differs from crc32's
+    "intHash32",             # CH-internal integer hash families
+    "intHash64",
+    "sipHash128",
+    "cityHash128",
+    "randomString",          # nondeterministic
+    "randomPrintableASCII",
+    "randomFixedString",
+    "fuzzBits",
+    "arrayLevenshteinDistance",   # DP over arrays has no expr form
+    "arrayNormalizedGini",
+    "kostikConsistentHash",  # wrapping-multiply iteration (ANSI errors)
+    "jumpConsistentHash",
+    "murmurHash2_32",        # seeds/variants differ from Spark's
+    "murmurHash2_64",        # murmur3-seed-42 hash()
+    "murmurHash3_32",
+    "murmurHash3_64",
+    "murmurHash3_128",
+    "xxHash32",              # only xxHash64 has a Spark twin
+    "xxh3",
+    "wyHash64",
+    "minSampleSizeConversion",    # stat-test tails
+    "minSampleSizeContinous",
+    "sumMapFilteredWithOverflow",
+    "groupBitmapAnd",        # bitmap-state aggregates
+    "groupBitmapOr",
+    "groupBitmapXor",
+    "exponentialMovingAverage",   # row-order-dependent aggregates
+    "exponentialTimeDecayedAvg",
+    "nonNegativeDerivative",
+    "varianceMatrix",
+    "covarianceMatrix",
+    "displayName",           # engine introspection
+    "getTypeSerializationStreams",
+    "hasColumnInTable",
+    "transactionID",
+    "indexHint",             # granule-selection no-op: result superset
+    "joinGet",               # Join-engine tables: use a broadcast JOIN
+    "joinGetOrNull",
+    "addTupleOfIntervals",   # tuple interval packs
+    "subtractTupleOfIntervals",
     "groupArrayLast",        # insertion-order-dependent aggregates
     "groupArraySample",      # nondeterministic sampling
     "largestTriangleThreeBuckets",  # LTTB bucket boundaries are
@@ -2908,6 +2977,166 @@ def _translate_functions(sql: str) -> str:
         sql, "isZeroOrNull",
         lambda a: f"(({a[0]}) = 0 OR ({a[0]}) IS NULL)",
     )
+    # --- sweep tranche 3 ---
+    sql = _rewrite_calls(
+        sql, "toUUIDOrZero",
+        lambda a: (
+            f"CASE WHEN {a[0]} RLIKE '{_UUID_RE_SQL}' THEN lower({a[0]}) "
+            f"ELSE '00000000-0000-0000-0000-000000000000' END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "toUUID",
+        # CH toUUID THROWS on malformed input (toUUIDOrNull is the safe
+        # form) — mirrored with a lazy raise_error branch
+        lambda a: (
+            f"CASE WHEN {a[0]} RLIKE '{_UUID_RE_SQL}' THEN lower({a[0]}) "
+            f"ELSE CAST(raise_error(concat('toUUID: cannot parse ', "
+            f"coalesce({a[0]}, 'NULL'))) AS STRING) END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "UUIDv7ToDateTime",
+        # v7 layout: the first 48 bits are unix milliseconds
+        lambda a: (
+            f"timestamp_millis(CAST(conv(substring(translate({a[0]}, "
+            f"'-', ''), 1, 12), 16, 10) AS BIGINT))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "ULIDStringToDateTime",
+        # ULID: first 10 Crockford-base32 chars are unix ms — remap the
+        # Crockford alphabet (no I, L, O, U) onto standard base-32 digits
+        # and let conv() do the arithmetic
+        lambda a: (
+            f"timestamp_millis(CAST(conv(translate(upper(substring({a[0]}, "
+            f"1, 10)), 'ABCDEFGHJKMNPQRSTVWXYZ', 'ABCDEFGHIJKLMNOPQRSTUV'), "
+            f"32, 10) AS BIGINT))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "toIPv4OrZero",
+        lambda a: (
+            f"CASE WHEN {a[0]} RLIKE '{_IPV4_RE_SQL}' THEN {a[0]} "
+            f"ELSE '0.0.0.0' END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "toIPv4",
+        lambda a: (
+            f"CASE WHEN {a[0]} RLIKE '{_IPV4_RE_SQL}' THEN {a[0]} "
+            f"ELSE CAST(raise_error(concat('toIPv4: cannot parse ', "
+            f"coalesce({a[0]}, 'NULL'))) AS STRING) END"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "IPv4NumToStringClassC",
+        lambda a: (
+            f"concat_ws('.', "
+            f"CAST((CAST({a[0]} AS BIGINT) DIV 16777216) % 256 AS STRING), "
+            f"CAST((CAST({a[0]} AS BIGINT) DIV 65536) % 256 AS STRING), "
+            f"CAST((CAST({a[0]} AS BIGINT) DIV 256) % 256 AS STRING), "
+            f"'xxx')"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "firstLine",
+        lambda a: f"element_at(split({a[0]}, '\\\\r\\\\n|\\\\r|\\\\n'), 1)",
+    )
+    sql = _rewrite_calls(
+        sql, "hasTokenCaseInsensitive",
+        lambda a: _has_token(a, True, False, "hasTokenCaseInsensitive"),
+    )
+    sql = _rewrite_calls(
+        sql, "hasTokenOrNull",
+        lambda a: _has_token(a, False, True, "hasTokenOrNull"),
+    )
+    sql = _rewrite_calls(
+        sql, "hasToken", lambda a: _has_token(a, False, False, "hasToken")
+    )
+    sql = _rewrite_calls(
+        sql, "substringIndexUTF8",
+        lambda a: f"substring_index({', '.join(a)})",
+    )
+    sql = _rewrite_calls(
+        sql, "stringCompare",
+        # byte order == Spark's UTF8_BINARY collation order; only the
+        # 2-arg form (offset/length variants are refused)
+        lambda a: (
+            f"(CASE WHEN {a[0]} < {a[1]} THEN -1 "
+            f"WHEN {a[0]} = {a[1]} THEN 0 ELSE 1 END)"
+        ) if len(a) == 2 else _refuse(
+            "stringCompare with offsets — slice with substring() first"
+        ),
+    )
+    sql = _rewrite_calls(sql, "crc32IEEE", lambda a: f"crc32({a[0]})")
+    sql = _rewrite_calls(
+        sql, "formatReadableDecimalSize",
+        lambda a: _format_readable(
+            a[0], 1000.0,
+            [" B", " KB", " MB", " GB", " TB", " PB", " EB"],
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "firstValue", lambda a: f"first_value({', '.join(a)})"
+    )
+    sql = _rewrite_calls(
+        sql, "lastValue", lambda a: f"last_value({', '.join(a)})"
+    )
+    sql = _rewrite_calls(
+        sql, "singleValueOrNull",
+        lambda a: (
+            f"IF(count(DISTINCT {a[0]}) = 1, max({a[0]}), NULL)"
+        ),
+    )
+    sql = _rewrite_calls(sql, "intervalLengthSum", _interval_length_sum)
+    sql = _rewrite_calls(sql, "lagInFrame", lambda a: f"lag({', '.join(a)})")
+    sql = _rewrite_calls(sql, "leadInFrame", lambda a: f"lead({', '.join(a)})")
+    sql = _rewrite_calls(
+        sql, "timezoneOffset",
+        lambda a: (
+            f"(unix_timestamp({a[0]}) - unix_timestamp("
+            f"to_utc_timestamp({a[0]}, current_timezone())))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "toStartOfMicrosecond", lambda a: f"CAST({a[0]} AS TIMESTAMP)"
+    )
+    sql = _rewrite_calls(
+        sql, "toStartOfNanosecond",
+        # Spark timestamps are µs-resolution — the µs value IS the floor
+        lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    )
+    sql = _rewrite_calls(
+        sql, "toStartOfMillisecond",
+        lambda a: (
+            f"timestamp_micros((unix_micros(CAST({a[0]} AS TIMESTAMP)) "
+            f"DIV 1000) * 1000)"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "toMillisecond",
+        lambda a: (
+            f"CAST((unix_micros(CAST({a[0]} AS TIMESTAMP)) % 1000000) "
+            f"DIV 1000 AS INT)"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "snowflakeToDateTime64",
+        lambda a: (
+            f"timestamp_millis(shiftright(CAST({a[0]} AS BIGINT), 22) "
+            "+ 1288834974657)"
+            if len(a) == 1
+            else _refuse(
+                "snowflakeToDateTime64 with an explicit timezone (Spark "
+                "uses the single session timezone — drop the argument)"
+            )
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "dateTime64ToSnowflake",
+        lambda a: f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)",
+    )
     # quantileGK(accuracy, level)(x): CH's Greenwald-Khanna sketch IS the
     # algorithm behind Spark's percentile_approx — a direct map
     while True:
@@ -3751,6 +3980,70 @@ def _max_intersections(a: list[str], position: bool) -> str:
         f"ELSE named_struct('cur', __mi.cur + __e.w, "
         f"'best', __mi.best, 'pos', __mi.pos) END, "
         f"__mi -> __mi.{field})"
+    )
+
+
+_UUID_RE_SQL = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def _quote_meta_expr(t: str) -> str:
+    """Runtime regex-metachar escaping of an expression (the
+    regexpQuoteMeta emission, reused for needle embedding)."""
+    return (
+        f"regexp_replace({t}, "
+        "'([\\\\\\\\.^$+*?()\\\\[\\\\]{}|])', '\\\\\\\\$1')"
+    )
+
+
+def _has_token(a: list[str], ci: bool, or_null: bool, name: str) -> str:
+    """``hasToken[CaseInsensitive][OrNull](haystack, needle)``: whole-token
+    match — tokens are maximal [0-9A-Za-z] runs (CH's tokenizer).  A
+    needle containing a separator raises (CH contract); the OrNull form
+    returns NULL instead."""
+    if len(a) != 2:
+        raise ChTranslationError(f"{name} takes (haystack, needle)")
+    h, t = a
+    if ci:
+        h, t = f"lower({h})", f"lower({t})"
+    cond = (
+        f"({h} RLIKE concat('(^|[^0-9A-Za-z])', {_quote_meta_expr(t)}, "
+        f"'([^0-9A-Za-z]|$)'))"
+    )
+    on_bad = (
+        "CAST(NULL AS BOOLEAN)"
+        if or_null
+        else f"CAST(raise_error('{name}: needle must be a single token "
+             f"(no non-alphanumeric separators)') AS BOOLEAN)"
+    )
+    return (
+        f"CASE WHEN {t} RLIKE '[^0-9A-Za-z]' THEN {on_bad} "
+        f"ELSE {cond} END"
+    )
+
+
+def _interval_length_sum(a: list[str]) -> str:
+    """``intervalLengthSum(start, end)``: total measure of the UNION of
+    the intervals — sweep-line fold over sorted (position, ±1) boundary
+    events accumulating covered length while depth > 0."""
+    if len(a) != 2:
+        raise ChTranslationError("intervalLengthSum takes (start, end)")
+    lst = (
+        f"flatten(collect_list(array("
+        f"named_struct('p', CAST({a[0]} AS DOUBLE), 'w', 1), "
+        f"named_struct('p', CAST({a[1]} AS DOUBLE), 'w', -1))))"
+    )
+    return (
+        f"aggregate(sort_array({lst}), "
+        f"named_struct('cov', CAST(0 AS DOUBLE), 'cur', 0, "
+        f"'lp', CAST(0 AS DOUBLE)), "
+        f"(__il, __e) -> named_struct("
+        f"'cov', __il.cov + IF(__il.cur > 0, __e.p - __il.lp, "
+        f"CAST(0 AS DOUBLE)), "
+        f"'cur', __il.cur + __e.w, 'lp', __e.p), "
+        f"__il -> __il.cov)"
     )
 
 

@@ -2747,3 +2747,64 @@ def test_tranche2_passthrough_sweep(spark):
     ):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_tranche3_passthrough_sweep(spark):
+    """Sweep tranche 3: UUID forms (toUUID throws like CH, v7 ms
+    extraction, ULID Crockford-base32 remap through conv()), IPv4
+    strict/zero forms, class-C rendering, firstLine, whole-token search
+    (hasToken family with the single-token needle guard), stringCompare,
+    formatReadableDecimalSize (base 1000), first/lastValue renames,
+    singleValueOrNull, intervalLengthSum sweep-line, ms-precision
+    starts, snowflake64 round-trip; hash/introspection/nondeterministic
+    tails refuse."""
+    r = spark.sql(T(
+        "SELECT toUUID('12345678-9ABC-DEF0-1122-334455667788') AS u, "
+        "toUUIDOrZero('nope') AS uz, "
+        "UUIDv7ToDateTime('017F22E2-79B0-7CC3-98C4-DC0C0C07398F') AS u7, "
+        "ULIDStringToDateTime('01GNB2HA1N00000000000000') AS ul, "
+        "toIPv4('10.1.2.3') AS i4, toIPv4OrZero('999.1.1.1') AS i4z, "
+        "IPv4NumToStringClassC(167838211) AS cc, "
+        "firstLine('ab\\ncd') AS fl, "
+        "hasToken('hello big world', 'big') AS ht1, "
+        "hasToken('hellobig world', 'big') AS ht0, "
+        "hasTokenCaseInsensitive('Hello BIG world', 'big') AS htc, "
+        "hasTokenOrNull('x', 'a b') AS htn, "
+        "substringIndexUTF8('a.b.c', '.', 2) AS si, "
+        "stringCompare('abc', 'abd') AS sc, "
+        "formatReadableDecimalSize(1500000) AS frd, "
+        "toStartOfMillisecond(TIMESTAMP '2024-01-01 00:00:00.123456') AS ms, "
+        "toMillisecond(TIMESTAMP '2024-01-01 00:00:00.123456') AS msc, "
+        "dateTime64ToSnowflake(snowflakeToDateTime64(6832626392367925248)) "
+        "AS sfr"
+    )).first()
+    assert r["u"] == "12345678-9abc-def0-1122-334455667788"
+    assert r["uz"] == "00000000-0000-0000-0000-000000000000"
+    assert r["u7"].year == 2022 and r["ul"].year == 2022
+    assert r["i4"] == "10.1.2.3" and r["i4z"] == "0.0.0.0"
+    assert r["cc"] == "10.1.2.xxx" and r["fl"] == "ab"
+    assert (r["ht1"], r["ht0"], r["htc"], r["htn"]) == (True, False, True, None)
+    assert r["si"] == "a.b" and r["sc"] == -1
+    assert r["frd"] == "1.50 MB"
+    assert str(r["ms"]) == "2024-01-01 00:00:00.123000" and r["msc"] == 123
+    # snowflake round-trip zeroes the sub-ms sequence bits
+    assert r["sfr"] == 6832626392367925248 - (6832626392367925248 % (1 << 22))
+    spark.createDataFrame([(1,), (1,)], "x int").createOrReplaceTempView("sv_t")
+    assert spark.sql(T("SELECT singleValueOrNull(x) AS s FROM sv_t")).first()["s"] == 1
+    spark.createDataFrame(
+        [(0, 5), (3, 8), (10, 12)], "s int, e int"
+    ).createOrReplaceTempView("il_t")
+    assert spark.sql(
+        T("SELECT intervalLengthSum(s, e) AS l FROM il_t")
+    ).first()["l"] == 10.0  # union [0,8) ∪ [10,12)
+    with pytest.raises(Exception, match="single token"):
+        spark.sql(T("SELECT hasToken('x y', 'a b') AS h")).collect()
+    for bad in (
+        "SELECT murmurHash3_32(x) FROM t",
+        "SELECT joinGet('t', 'c', k) FROM t",
+        "SELECT toIPv6(s) FROM t",
+        "SELECT randomString(8)",
+        "SELECT exponentialMovingAverage(5)(v, t) FROM t",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
