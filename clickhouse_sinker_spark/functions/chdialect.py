@@ -2714,15 +2714,17 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "hasSubstr", _has_substr)
     sql = _rewrite_calls(
         sql, "bitTestAll",
-        lambda a: "(" + " AND ".join(
+        lambda a: ("(" + " AND ".join(
             f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]
-        ) + ")",
+        ) + ")") if len(a) >= 2
+        else _refuse("bitTestAll needs (n, bit, …)"),
     )
     sql = _rewrite_calls(
         sql, "bitTestAny",
-        lambda a: "(" + " OR ".join(
+        lambda a: ("(" + " OR ".join(
             f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]
-        ) + ")",
+        ) + ")") if len(a) >= 2
+        else _refuse("bitTestAny needs (n, bit, …)"),
     )
     # UTF8-suffixed string forms: Spark strings are code-point native, so
     # the plain builtins ARE the UTF8 semantics
@@ -2784,12 +2786,11 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(
         sql, "regexpQuoteMeta",
-        # class escapes only backslash and brackets; Spark-literal
-        # doubling applies on top (4 backslashes in SQL = 1 in the regex
-        # class twice over)
+        # CH's documented escape set: backslash | ( ) ^ $ . [ ] ? * + { : -
+        # ('}' is NOT escaped by CH); '-' sits last in the class
         lambda a: (
             f"regexp_replace({a[0]}, "
-            "'([\\\\\\\\.^$+*?()\\\\[\\\\]{}|])', '\\\\\\\\$1')"
+            "'([\\\\\\\\|()^$.\\\\[\\\\]?*+{:-])', '\\\\\\\\$1')"
         ),
     )
     sql = _rewrite_calls(
@@ -2886,13 +2887,35 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(sql, "makeDate32", lambda a: f"make_date({', '.join(a)})")
     sql = _rewrite_calls(sql, "makeDate", lambda a: f"make_date({', '.join(a)})")
-    sql = _rewrite_calls(
-        sql, "makeDateTime64",
-        # Spark timestamps are µs; a 7th precision arg beyond 6 is
-        # unrepresentable, so only (y,m,d,h,mi,s[,tz]) forms translate
-        lambda a: f"make_timestamp({', '.join(a[:6])})" if len(a) >= 6
-        else _refuse("makeDateTime64 needs at least (y, m, d, h, mi, s)"),
-    )
+    def _make_dt64(a):
+        # (y,m,d,h,mi,s[,fraction[,precision]]) — fraction folds into the
+        # seconds argument exactly via integer-over-power division;
+        # precision must be a literal ≤ 6 (µs); timezone forms refused
+        if len(a) < 6:
+            return _refuse("makeDateTime64 needs at least (y, m, d, h, mi, s)")
+        if len(a) == 6:
+            return f"make_timestamp({', '.join(a)})"
+        if len(a) in (7, 8):
+            prec = 3
+            if len(a) == 8:
+                ps = a[7].strip()
+                if not ps.isdigit() or int(ps) > 6:
+                    return _refuse(
+                        "makeDateTime64 precision must be a literal 0-6 "
+                        "(Spark timestamps are microseconds)"
+                    )
+                prec = int(ps)
+            sec = (
+                f"(CAST({a[5]} AS DECIMAL(20, 6)) "
+                f"+ CAST({a[6]} AS DECIMAL(20, 6)) / {10 ** prec})"
+            )
+            return f"make_timestamp({', '.join(a[:5])}, {sec})"
+        return _refuse(
+            "makeDateTime64 with a timezone argument (Spark uses the "
+            "single session timezone)"
+        )
+
+    sql = _rewrite_calls(sql, "makeDateTime64", _make_dt64)
     sql = _rewrite_calls(
         sql, "makeDateTime", lambda a: f"make_timestamp({', '.join(a)})"
     )
@@ -2927,7 +2950,26 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "arrayReverseFill", lambda a: _array_fill(a, True))
     sql = _rewrite_calls(sql, "arrayFill", lambda a: _array_fill(a, False))
     sql = _rewrite_calls(sql, "isIPAddressInRange", _ip_in_range)
-    sql = _rewrite_calls(sql, "initcapUTF8", lambda a: f"initcap({a[0]})")
+
+    def _initcap_ch(a):
+        # CH words are ALPHANUMERIC runs — a letter after ANY
+        # non-alphanumeric char capitalizes ('foo-bar' → 'Foo-Bar'),
+        # where Spark's initcap splits on whitespace only; per-char
+        # transform with a previous-char class probe
+        if len(a) != 1:
+            raise ChTranslationError("initcap takes exactly 1 argument")
+        return _bind_arr(
+            f"split({a[0]}, '')",
+            lambda c: (
+                f"array_join(transform({c}, (__ic, __ii) -> "
+                f"CASE WHEN __ii = 0 OR NOT (element_at({c}, __ii) "
+                f"RLIKE '^[0-9A-Za-z]$') THEN upper(__ic) "
+                f"ELSE lower(__ic) END), '')"
+            ),
+        )
+
+    sql = _rewrite_calls(sql, "initcapUTF8", _initcap_ch)
+    sql = _rewrite_calls(sql, "initcap", _initcap_ch)
     sql = _rewrite_calls(
         sql, "positiveModulo", lambda a: f"pmod({a[0]}, {a[1]})"
     )
@@ -2981,7 +3023,8 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(
         sql, "toUUIDOrZero",
         lambda a: (
-            f"CASE WHEN {a[0]} RLIKE '{_UUID_RE_SQL}' THEN lower({a[0]}) "
+            f"CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN {a[0]} RLIKE '{_UUID_RE_SQL}' THEN lower({a[0]}) "
             f"ELSE '00000000-0000-0000-0000-000000000000' END"
         ),
     )
@@ -2990,9 +3033,10 @@ def _translate_functions(sql: str) -> str:
         # CH toUUID THROWS on malformed input (toUUIDOrNull is the safe
         # form) — mirrored with a lazy raise_error branch
         lambda a: (
-            f"CASE WHEN {a[0]} RLIKE '{_UUID_RE_SQL}' THEN lower({a[0]}) "
+            f"CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN {a[0]} RLIKE '{_UUID_RE_SQL}' THEN lower({a[0]}) "
             f"ELSE CAST(raise_error(concat('toUUID: cannot parse ', "
-            f"coalesce({a[0]}, 'NULL'))) AS STRING) END"
+            f"{a[0]})) AS STRING) END"
         ),
     )
     sql = _rewrite_calls(
@@ -3017,16 +3061,18 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(
         sql, "toIPv4OrZero",
         lambda a: (
-            f"CASE WHEN {a[0]} RLIKE '{_IPV4_RE_SQL}' THEN {a[0]} "
+            f"CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN {a[0]} RLIKE '{_IPV4_RE_SQL}' THEN {a[0]} "
             f"ELSE '0.0.0.0' END"
         ),
     )
     sql = _rewrite_calls(
         sql, "toIPv4",
         lambda a: (
-            f"CASE WHEN {a[0]} RLIKE '{_IPV4_RE_SQL}' THEN {a[0]} "
+            f"CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN {a[0]} RLIKE '{_IPV4_RE_SQL}' THEN {a[0]} "
             f"ELSE CAST(raise_error(concat('toIPv4: cannot parse ', "
-            f"coalesce({a[0]}, 'NULL'))) AS STRING) END"
+            f"{a[0]})) AS STRING) END"
         ),
     )
     sql = _rewrite_calls(
@@ -3063,7 +3109,9 @@ def _translate_functions(sql: str) -> str:
         # byte order == Spark's UTF8_BINARY collation order; only the
         # 2-arg form (offset/length variants are refused)
         lambda a: (
-            f"(CASE WHEN {a[0]} < {a[1]} THEN -1 "
+            f"(CASE WHEN {a[0]} IS NULL OR {a[1]} IS NULL "
+            f"THEN CAST(NULL AS INT) "
+            f"WHEN {a[0]} < {a[1]} THEN -1 "
             f"WHEN {a[0]} = {a[1]} THEN 0 ELSE 1 END)"
         ) if len(a) == 2 else _refuse(
             "stringCompare with offsets — slice with substring() first"
@@ -3074,7 +3122,8 @@ def _translate_functions(sql: str) -> str:
         sql, "formatReadableDecimalSize",
         lambda a: _format_readable(
             a[0], 1000.0,
-            [" B", " KB", " MB", " GB", " TB", " PB", " EB"],
+            [" B", " KB", " MB", " GB", " TB", " PB", " EB", " ZB",
+             " YB"],
         ),
     )
     sql = _rewrite_calls(
@@ -3109,15 +3158,16 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(
         sql, "toStartOfMillisecond",
+        # pmod-based FLOOR (DIV truncates toward zero, wrong pre-1970)
         lambda a: (
-            f"timestamp_micros((unix_micros(CAST({a[0]} AS TIMESTAMP)) "
-            f"DIV 1000) * 1000)"
+            f"timestamp_micros(unix_micros(CAST({a[0]} AS TIMESTAMP)) "
+            f"- pmod(unix_micros(CAST({a[0]} AS TIMESTAMP)), 1000))"
         ),
     )
     sql = _rewrite_calls(
         sql, "toMillisecond",
         lambda a: (
-            f"CAST((unix_micros(CAST({a[0]} AS TIMESTAMP)) % 1000000) "
+            f"CAST(pmod(unix_micros(CAST({a[0]} AS TIMESTAMP)), 1000000) "
             f"DIV 1000 AS INT)"
         ),
     )
@@ -3994,7 +4044,7 @@ def _quote_meta_expr(t: str) -> str:
     regexpQuoteMeta emission, reused for needle embedding)."""
     return (
         f"regexp_replace({t}, "
-        "'([\\\\\\\\.^$+*?()\\\\[\\\\]{}|])', '\\\\\\\\$1')"
+        "'([\\\\\\\\|()^$.\\\\[\\\\]?*+{:-])', '\\\\\\\\$1')"
     )
 
 
@@ -4137,10 +4187,21 @@ def _ip_in_range(a: list[str]) -> str:
         f"'s', shiftleft(CAST(1 AS BIGINT), least(greatest(32 - "
         f"CAST(element_at(split({a[1]}, '/'), 2) AS INT), 0), 32)))",
         lambda st: (
-            f"IF(contains({a[1]}, ':'), "
+            # guard order matters: v6 cidr → unsupported; malformed cidr →
+            # raise (CH throws); v6 ADDRESS against a v4 cidr → 0 (CH's
+            # family-mismatch contract); non-IP garbage → raise — never a
+            # silent 0.0.0.0 fallback answering membership queries
+            f"CASE WHEN contains({a[1]}, ':') THEN "
             f"CAST(raise_error('isIPAddressInRange: IPv6 ranges are not "
-            f"supported in this translation') AS BOOLEAN), "
-            f"({st}.n DIV {st}.s) = ({st}.b DIV {st}.s))"
+            f"supported in this translation') AS BOOLEAN) "
+            f"WHEN NOT contains({a[1]}, '/') THEN "
+            f"CAST(raise_error('isIPAddressInRange: malformed CIDR "
+            f"(expected a.b.c.d/n)') AS BOOLEAN) "
+            f"WHEN contains({a[0]}, ':') THEN false "
+            f"WHEN NOT ({a[0]} RLIKE '{_IPV4_RE_SQL}') THEN "
+            f"CAST(raise_error(concat('isIPAddressInRange: neither IPv4 "
+            f"nor IPv6: ', coalesce({a[0]}, 'NULL'))) AS BOOLEAN) "
+            f"ELSE ({st}.n DIV {st}.s) = ({st}.b DIV {st}.s) END"
         ),
     )
 
@@ -5336,13 +5397,35 @@ def _rewrite_qualify(sql: str, notes: list[str]) -> str:
     froms = _top_level_spans(head, r"\bFROM\b")
     if not froms:
         raise ChTranslationError("QUALIFY requires a FROM clause")
+    # a trailing ORDER BY may reference source columns the select list
+    # does not project — hoist each non-positional key as a helper column
+    # too (lateral alias resolution covers keys naming select aliases)
+    order_helpers: list[tuple[str, str]] = []
+    om = re.match(r"(?is)^ORDER\s+BY\b", tail) if tail else None
+    if om:
+        rest2 = tail[om.end() :]
+        stop = _top_level_spans(rest2, r"\b(LIMIT|SETTINGS|FORMAT)\b")
+        order_part = rest2[: stop[0].start()] if stop else rest2
+        after = rest2[stop[0].start() :].strip() if stop else ""
+        out_keys = []
+        for i, (k, d) in enumerate(_split_order_keys(order_part)):
+            if re.fullmatch(r"\d+", k):
+                out_keys.append(f"{k} {d}".strip())
+            else:
+                order_helpers.append((f"__o{i}", k))
+                out_keys.append(f"__o{i} {d}".strip())
+        tail = "ORDER BY " + ", ".join(out_keys)
+        if after:
+            tail += f" {after}"
     f0 = froms[0]
-    inner = (
-        head[: f0.start()].rstrip()
-        + f", ({pred}) AS __q "
-        + head[f0.start() :]
+    helper_cols = f", ({pred}) AS __q" + "".join(
+        f", ({k}) AS {h}" for h, k in order_helpers
     )
-    out = f"SELECT * EXCEPT (__q) FROM ({inner}) WHERE __q"
+    inner = (
+        head[: f0.start()].rstrip() + helper_cols + " " + head[f0.start() :]
+    )
+    dropped = ", ".join(["__q"] + [h for h, _ in order_helpers])
+    out = f"SELECT * EXCEPT ({dropped}) FROM ({inner}) WHERE __q"
     if tail:
         out += f" {tail}"
     notes.append(

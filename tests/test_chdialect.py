@@ -2808,3 +2808,56 @@ def test_tranche3_passthrough_sweep(spark):
     ):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_review2_fidelity_fixes(spark):
+    """Review-pass regressions: makeDateTime64 keeps the fraction
+    (folded exactly into the seconds argument as decimal), NULL inputs
+    propagate through toUUID[OrZero]/toIPv4[OrZero]/stringCompare
+    instead of raising or misclassifying, the decimal-size ladder
+    reaches ZB/YB, ms extraction floors correctly pre-1970,
+    regexpQuoteMeta escapes CH's exact set (: and -, not }),
+    initcap[UTF8] capitalizes after ANY non-alphanumeric (CH words),
+    QUALIFY's trailing ORDER BY may reference non-projected source
+    columns (hoisted as helper columns), and isIPAddressInRange
+    raises on garbage / returns false on family mismatch instead of
+    silently treating them as 0.0.0.0."""
+    r = spark.sql(T(
+        "SELECT makeDateTime64(2023, 5, 15, 10, 30, 45, 779) AS m7, "
+        "makeDateTime64(2023, 5, 15, 10, 30, 45, 12345, 5) AS m8, "
+        "toUUID(CAST(NULL AS STRING)) AS un, "
+        "toUUIDOrZero(CAST(NULL AS STRING)) AS uzn, "
+        "toIPv4(CAST(NULL AS STRING)) AS i4n, "
+        "stringCompare(CAST(NULL AS STRING), 'x') AS scn, "
+        "formatReadableDecimalSize(1.5e21) AS zb, "
+        "toMillisecond(TIMESTAMP '1969-12-31 23:59:59.5') AS negms, "
+        "regexpQuoteMeta('a:b-c}d') AS rqm, "
+        "initcap('foo-bar baz_2nd') AS ic, "
+        "isIPAddressInRange('::1', '10.0.0.0/8') AS v6mm"
+    )).first()
+    assert str(r["m7"]) == "2023-05-15 10:30:45.779000"
+    assert str(r["m8"]) == "2023-05-15 10:30:45.123450"
+    assert r["un"] is None and r["uzn"] is None and r["i4n"] is None
+    assert r["scn"] is None
+    assert r["zb"] == "1.50 ZB" and r["negms"] == 500
+    assert r["rqm"] == "a\\:b\\-c}d"
+    assert r["ic"] == "Foo-Bar Baz_2nd"  # '2' is alnum: '2nd' is one word
+    assert r["v6mm"] is False
+    spark.createDataFrame(
+        [(1, 2.0, 10), (1, 3.0, 5), (2, 1.0, 7)], "u int, v double, ts int"
+    ).createOrReplaceTempView("qf_t")
+    got, _ = translate_ch_sql(
+        "SELECT u, v FROM qf_t QUALIFY row_number() OVER "
+        "(PARTITION BY u ORDER BY v DESC) = 1 ORDER BY ts DESC LIMIT 2"
+    )
+    rows = spark.sql(got).collect()
+    assert [(x["u"], x["v"]) for x in rows] == [(2, 1.0), (1, 3.0)]
+    assert spark.sql(got).columns == ["u", "v"]  # helpers dropped
+    with pytest.raises(Exception, match="neither IPv4"):
+        spark.sql(T(
+            "SELECT isIPAddressInRange('garbage', '10.0.0.0/8') AS x"
+        )).collect()
+    with pytest.raises(ChTranslationError):
+        T("SELECT bitTestAll(7) FROM t")
+    with pytest.raises(ChTranslationError, match="precision"):
+        T("SELECT makeDateTime64(2023, 1, 1, 0, 0, 0, 1, 9)")
