@@ -71,8 +71,68 @@ def _run_query(args) -> None:
     import re as _re
 
     q = args.query.strip().rstrip(";")
+    # clickhouse-client multi-statement form: leading `SET name = value;`
+    # statements are acknowledged (CH applies them to the session; a
+    # fresh --query process has no session to persist into, so each is
+    # surfaced as a note) and the remaining statement runs
+    from .functions.chdialect import _in_string as _lit_in_string
+
+    stmts, depth, start = [], 0, 0
+    for i, ch in enumerate(q):
+        if ch == "(" and not _lit_in_string(q, i):
+            depth += 1
+        elif ch == ")" and not _lit_in_string(q, i):
+            depth -= 1
+        elif ch == ";" and depth == 0 and not _lit_in_string(q, i):
+            stmts.append(q[start:i])
+            start = i + 1
+    stmts.append(q[start:])
+    stmts = [s.strip() for s in stmts if s.strip()]
+    for s in stmts[:-1]:
+        sm = _re.fullmatch(r"(?is)SET\s+(\w+)\s*=\s*(.+)", s)
+        if not sm:
+            raise SystemExit(
+                "only SET statements may precede the query in "
+                "multi-statement --query input"
+            )
+        print(
+            f"-- note: SET {sm.group(1)} acknowledged (ClickHouse session "
+            "settings have no Spark equivalent in a one-shot query)",
+            file=sys.stderr,
+        )
+    q = stmts[-1] if stmts else ""
+    sm = _re.fullmatch(r"(?is)SET\s+(\w+)\s*=\s*(.+)", q)
+    if sm:
+        print(
+            f"-- note: SET {sm.group(1)} acknowledged",
+            file=sys.stderr,
+        )
+        return
+    # SELECT … INTO OUTFILE 'path' (clickhouse-client writes the result
+    # to a local file) — honored with the --query-format serialization
+    outfile = None
+    om = next(
+        (
+            m
+            for m in _re.finditer(
+                r"(?is)\bINTO\s+OUTFILE\s+'([^']+)'", q
+            )
+            if not _lit_in_string(q, m.start())
+        ),
+        None,
+    )
+    if om:
+        outfile = om.group(1)
+        q = (q[: om.start()] + q[om.end() :]).strip()
     # clickhouse-client conveniences: SHOW TABLES / SHOW CREATE TABLE /
     # DESCRIBE / EXPLAIN [SYNTAX]
+    if _re.fullmatch(r"(?is)SHOW\s+DATABASES", q):
+        print("default")
+        return
+    ex = _re.fullmatch(r"(?is)EXISTS\s+(?:TABLE\s+)?(\w+)", q)
+    if ex:
+        print(1 if ex.group(1) in views else 0)
+        return
     if _re.fullmatch(r"(?is)SHOW\s+TABLES", q):
         q = "SELECT name FROM system.tables ORDER BY name"
     sc = _re.fullmatch(r"(?is)SHOW\s+CREATE\s+(?:TABLE\s+)?(\w+)", q)
@@ -132,19 +192,28 @@ def _run_query(args) -> None:
     if explain:
         df.explain(mode="formatted")
         return
-    if args.query_format == "json":
-        for line in df.toJSON().collect():
-            print(line)
-    elif args.query_format == "csv":
-        import csv
+    out_fh = open(outfile, "w") if outfile else None
+    try:
+        if args.query_format == "json":
+            dest = out_fh or sys.stdout
+            for line in df.toJSON().collect():
+                print(line, file=dest)
+        elif args.query_format == "csv" or out_fh is not None:
+            # INTO OUTFILE with the default format serializes as CSV
+            # (files want a parseable format, not the table renderer)
+            import csv
 
-        w = csv.writer(sys.stdout)
-        cols = df.columns
-        w.writerow(cols)
-        for row in df.collect():
-            w.writerow(["" if row[c] is None else row[c] for c in cols])
-    else:
-        df.show(100, truncate=False)
+            w = csv.writer(out_fh or sys.stdout)
+            cols = df.columns
+            w.writerow(cols)
+            for row in df.collect():
+                w.writerow(["" if row[c] is None else row[c] for c in cols])
+        else:
+            df.show(100, truncate=False)
+    finally:
+        if out_fh is not None:
+            out_fh.close()
+            print(f"-- wrote {outfile}", file=sys.stderr)
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -2861,3 +2861,37 @@ def test_review2_fidelity_fixes(spark):
         T("SELECT bitTestAll(7) FROM t")
     with pytest.raises(ChTranslationError, match="precision"):
         T("SELECT makeDateTime64(2023, 1, 1, 0, 0, 0, 1, 9)")
+
+
+def test_cli_set_exists_outfile(capsys, tmp_path):
+    """clickhouse-client parity additions: SET statements acknowledged
+    (standalone and as multi-statement prefixes), SHOW DATABASES,
+    EXISTS TABLE, and SELECT … INTO OUTFILE writing the result file."""
+    from clickhouse_sinker_spark.__main__ import main
+
+    from .conftest import SF_DIR
+
+    main(["--query", "SET max_threads = 4", "--data-dir", SF_DIR,
+          "--master", "local[4]"])
+    cap = capsys.readouterr()
+    assert "SET max_threads acknowledged" in cap.err and cap.out == ""
+    main(["--query", "SHOW DATABASES", "--data-dir", SF_DIR,
+          "--master", "local[4]"])
+    assert capsys.readouterr().out.strip() == "default"
+    main(["--query", "EXISTS TABLE events", "--data-dir", SF_DIR,
+          "--master", "local[4]"])
+    assert capsys.readouterr().out.strip() == "1"
+    main(["--query", "EXISTS nope", "--data-dir", SF_DIR,
+          "--master", "local[4]"])
+    assert capsys.readouterr().out.strip() == "0"
+    # multi-statement SET prefix + INTO OUTFILE
+    dest = tmp_path / "out.csv"
+    main(["--query",
+          "SET send_logs_level = 'trace'; "
+          f"SELECT count(*) AS n FROM events INTO OUTFILE '{dest}'",
+          "--data-dir", SF_DIR, "--master", "local[4]"])
+    cap = capsys.readouterr()
+    assert "SET send_logs_level acknowledged" in cap.err
+    assert f"wrote {dest}" in cap.err
+    lines = dest.read_text().strip().splitlines()
+    assert lines[0] == "n" and int(lines[1]) > 0
