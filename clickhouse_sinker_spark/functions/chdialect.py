@@ -3187,6 +3187,50 @@ def _translate_functions(sql: str) -> str:
         sql, "dateTime64ToSnowflake",
         lambda a: f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)",
     )
+    # quantileExactLow/High(0.5)(x): python median_low/median_high
+    # semantics (the documented CH contract) — exact element selection
+    # over the sorted value list; non-median levels are refused (CH's
+    # general-level index rule is implementation-internal, and
+    # quantileExact covers the interpolating need)
+    for qlh, idx_1based in (
+        ("quantileExactLow", "CAST((size({s}) + 1) DIV 2 AS INT)"),
+        ("quantileExactHigh", "CAST(size({s}) DIV 2 + 1 AS INT)"),
+        ("medianExactLow", "CAST((size({s}) + 1) DIV 2 AS INT)"),
+        ("medianExactHigh", "CAST(size({s}) DIV 2 + 1 AS INT)"),
+    ):
+        while True:
+            at = _find_call(sql, qlh)
+            if at < 0:
+                break
+            open1 = sql.index("(", at)
+            end1 = _balanced(sql, open1)
+            rest = sql[end1:].lstrip()
+            if qlh.startswith("median"):
+                x = _translate_functions(sql[open1 + 1 : end1 - 1]).strip()
+                end2 = end1
+            else:
+                if not rest.startswith("("):
+                    raise ChTranslationError(
+                        f"{qlh} requires the (level)(x) combinator form"
+                    )
+                lvl = sql[open1 + 1 : end1 - 1].strip()
+                if lvl not in ("0.5", ".5"):
+                    raise ChTranslationError(
+                        f"{qlh} is only translatable at level 0.5 (the "
+                        "documented median_low/median_high contract) — "
+                        "use quantileExact for other levels"
+                    )
+                open2 = end1 + (len(sql[end1:]) - len(rest))
+                end2 = _balanced(sql, open2)
+                x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
+            rep = _bind_arr(
+                f"array_sort(collect_list({x}))",
+                lambda s, i=idx_1based: (
+                    f"CASE WHEN size({s}) = 0 THEN NULL "
+                    f"ELSE element_at({s}, {i.format(s=s)}) END"
+                ),
+            )
+            sql = sql[:at] + rep + sql[end2:]
     # quantileGK(accuracy, level)(x): CH's Greenwald-Khanna sketch IS the
     # algorithm behind Spark's percentile_approx — a direct map
     while True:

@@ -2895,3 +2895,23 @@ def test_cli_set_exists_outfile(capsys, tmp_path):
     assert f"wrote {dest}" in cap.err
     lines = dest.read_text().strip().splitlines()
     assert lines[0] == "n" and int(lines[1]) > 0
+
+
+def test_quantile_exact_low_high(spark):
+    """quantileExactLow/High + medianExactLow/High: python
+    median_low/median_high semantics (the documented CH contract) via
+    exact element selection over the sorted list; non-median levels
+    refuse (CH's general-level index rule is engine-internal)."""
+    spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,)], "x double"
+    ).createOrReplaceTempView("qlh_t")
+    r = spark.sql(T(
+        "SELECT quantileExactLow(0.5)(x) AS lo, "
+        "quantileExactHigh(0.5)(x) AS hi, "
+        "medianExactLow(x) AS mlo, medianExactHigh(x) AS mhi, "
+        "medianExact(x) AS m FROM qlh_t"
+    )).first()
+    assert (r["lo"], r["hi"], r["mlo"], r["mhi"]) == (2.0, 3.0, 2.0, 3.0)
+    assert r["m"] == 2.5  # the interpolating sibling is untouched
+    with pytest.raises(ChTranslationError, match="median_low"):
+        T("SELECT quantileExactLow(0.9)(x) FROM qlh_t")
