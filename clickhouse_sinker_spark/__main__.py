@@ -129,6 +129,22 @@ def _run_query(args) -> None:
     if _re.fullmatch(r"(?is)SHOW\s+DATABASES", q):
         print("default")
         return
+    # OPTIMIZE TABLE t [FINAL]: the ReplacingMergeTree background-merge
+    # trigger — unnecessary here because FROM t FINAL is rewritten as a
+    # merge-on-read survivor plan, so queries already see merged state
+    opt = _re.fullmatch(
+        r"(?is)OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?(\s+DEDUPLICATE)?", q
+    )
+    if opt:
+        t = opt.group(1)
+        if t not in views:
+            raise SystemExit(f"unknown table {t!r} (have: {', '.join(views)})")
+        print(
+            f"-- note: OPTIMIZE {t} acknowledged as a no-op — FROM {t} "
+            "FINAL already reads merged (survivor-per-key) state",
+            file=sys.stderr,
+        )
+        return
     ex = _re.fullmatch(r"(?is)EXISTS\s+(?:TABLE\s+)?(\w+)", q)
     if ex:
         print(1 if ex.group(1) in views else 0)

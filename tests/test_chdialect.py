@@ -2915,3 +2915,19 @@ def test_quantile_exact_low_high(spark):
     assert r["m"] == 2.5  # the interpolating sibling is untouched
     with pytest.raises(ChTranslationError, match="median_low"):
         T("SELECT quantileExactLow(0.9)(x) FROM qlh_t")
+
+
+def test_cli_optimize_noop(capsys):
+    """OPTIMIZE TABLE [FINAL] acknowledges as a no-op with the
+    merge-on-read rationale; unknown tables still error."""
+    from clickhouse_sinker_spark.__main__ import main
+
+    from .conftest import SF_DIR
+
+    main(["--query", "OPTIMIZE TABLE events FINAL", "--data-dir", SF_DIR,
+          "--master", "local[4]"])
+    cap = capsys.readouterr()
+    assert "OPTIMIZE events acknowledged" in cap.err and "FINAL" in cap.err
+    with pytest.raises(SystemExit, match="unknown table"):
+        main(["--query", "OPTIMIZE TABLE nope", "--data-dir", SF_DIR,
+              "--master", "local[4]"])
