@@ -560,8 +560,10 @@ _SUB_UNITS = {
 # MySQL-style subset ClickHouse documents; unknown tokens raise)
 _FMT_TOKENS = {
     "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
-    "%M": "mm", "%i": "mm", "%S": "ss", "%F": "yyyy-MM-dd",
+    "%M": "mm", "%i": "mm", "%S": "ss", "%s": "ss", "%F": "yyyy-MM-dd",
     "%T": "HH:mm:ss", "%e": "d", "%j": "DDD", "%V": "ww", "%%": "%",
+    "%I": "hh", "%h": "hh", "%p": "a", "%a": "EEE", "%b": "MMM",
+    "%c": "M",
 }
 
 _TRUNCS = {
@@ -3019,6 +3021,70 @@ def _translate_functions(sql: str) -> str:
         sql, "isZeroOrNull",
         lambda a: f"(({a[0]}) = 0 OR ({a[0]}) IS NULL)",
     )
+    # --- sweep tranche 4: datetime parse/format aliases ---
+    sql = _rewrite_calls(
+        sql, "parseDateTimeOrNull", lambda a: _parse_datetime(a, "null")
+    )
+    sql = _rewrite_calls(
+        sql, "parseDateTimeOrZero", lambda a: _parse_datetime(a, "zero")
+    )
+    # Joda patterns coincide with Spark's java.time patterns on the
+    # common letters (yyyy MM dd HH mm ss SSS EEE MMM) — passed through
+    sql = _rewrite_calls(
+        sql, "parseDateTimeInJodaSyntaxOrNull",
+        lambda a: f"try_to_timestamp({a[0]}, {a[1]})",
+    )
+    sql = _rewrite_calls(
+        sql, "parseDateTimeInJodaSyntaxOrZero",
+        lambda a: (
+            f"coalesce(try_to_timestamp({a[0]}, {a[1]}), "
+            f"TIMESTAMP '1970-01-01 00:00:00')"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "parseDateTimeInJodaSyntax",
+        lambda a: f"to_timestamp({a[0]}, {a[1]})",
+    )
+    sql = _rewrite_calls(
+        sql, "formatDateTimeInJodaSyntax",
+        lambda a: f"date_format({a[0]}, {a[1]})",
+    )
+    sql = _rewrite_calls(
+        sql, "parseDateTime", lambda a: _parse_datetime(a, "throw")
+    )
+
+    def _add_sub_date(a, sign):
+        if len(a) != 2:
+            raise ChTranslationError("addDate/subDate take (date, interval|days)")
+        if re.match(r"(?is)^\s*INTERVAL\b", a[1]):
+            return f"(({a[0]}) {sign} ({a[1]}))"
+        fn = "date_add" if sign == "+" else "date_sub"
+        return f"{fn}({a[0]}, CAST({a[1]} AS INT))"
+
+    sql = _rewrite_calls(sql, "addDate", lambda a: _add_sub_date(a, "+"))
+    sql = _rewrite_calls(sql, "subDate", lambda a: _add_sub_date(a, "-"))
+    # dateAdd 3-arg resolves to Spark's own dateadd(unit, n, d); the
+    # 2-arg INTERVAL form and dateSub (no Spark twin) need rewrites
+    sql = _rewrite_calls(
+        sql, "dateAdd",
+        lambda a: f"(({a[0]}) + ({a[1]}))"
+        if len(a) == 2 and re.match(r"(?is)^\s*INTERVAL\b", a[1])
+        else f"dateAdd({', '.join(a)})",
+    )
+    sql = _rewrite_calls(
+        sql, "dateSub",
+        lambda a: f"(({a[0]}) - ({a[1]}))"
+        if len(a) == 2 and re.match(r"(?is)^\s*INTERVAL\b", a[1])
+        else (
+            f"timestampadd({a[0]}, -({a[1]}), {a[2]})"
+            if len(a) == 3
+            else _refuse("dateSub takes (unit, n, date) or (date, INTERVAL …)")
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "splitByNonAlpha",
+        lambda a: f"filter(split({a[0]}, '[^0-9A-Za-z]+'), __sn -> __sn != '')",
+    )
     # --- sweep tranche 3 ---
     sql = _rewrite_calls(
         sql, "toUUIDOrZero",
@@ -3437,14 +3503,13 @@ def _date_diff(args: list[str]) -> str:
     return f"timestampdiff({unit[1:-1].upper()}, {args[1]}, {args[2]})"
 
 
-def _format_datetime(args: list[str]) -> str:
-    """``formatDateTime(x, '%Y-%m-%d')`` → ``date_format(x, 'yyyy-MM-dd')``
-    via the documented %-token subset (pre-v23 semantics: %M = minute)."""
-    if len(args) < 2:
-        raise ChTranslationError("formatDateTime needs (x, 'format')")
-    fmt = args[1].strip()
+def _mysql_fmt_to_java(fmt: str, fname: str) -> str:
+    """A literal MySQL %-format → the equivalent Java pattern (shared by
+    formatDateTime and the parseDateTime family; pre-v23 semantics:
+    %M = minute)."""
+    fmt = fmt.strip()
     if not (fmt.startswith("'") and fmt.endswith("'")):
-        raise ChTranslationError("formatDateTime requires a literal format")
+        raise ChTranslationError(f"{fname} requires a literal format")
     src = fmt[1:-1]
     out = []
     i = 0
@@ -3452,7 +3517,7 @@ def _format_datetime(args: list[str]) -> str:
         if src[i] == "%":
             tok = src[i : i + 2]
             if tok not in _FMT_TOKENS:
-                raise ChTranslationError(f"formatDateTime token {tok} unsupported")
+                raise ChTranslationError(f"{fname} token {tok} unsupported")
             out.append(_FMT_TOKENS[tok])
             i += 2
         elif src[i].isalpha():
@@ -3463,7 +3528,39 @@ def _format_datetime(args: list[str]) -> str:
         else:
             out.append(src[i])
             i += 1
-    return f"date_format({args[0]}, '{''.join(out)}')"
+    return "".join(out)
+
+
+def _format_datetime(args: list[str]) -> str:
+    """``formatDateTime(x, '%Y-%m-%d')`` → ``date_format(x, 'yyyy-MM-dd')``
+    via the documented %-token subset (pre-v23 semantics: %M = minute)."""
+    if len(args) < 2:
+        raise ChTranslationError("formatDateTime needs (x, 'format')")
+    java = _mysql_fmt_to_java(args[1], "formatDateTime")
+    return f"date_format({args[0]}, '{java}')"
+
+
+def _parse_datetime(args: list[str], mode: str) -> str:
+    """``parseDateTime[OrNull/OrZero](s[, '%fmt'])``: MySQL-format
+    parsing through the shared %-token converter — the base form throws
+    on mismatch under ANSI mode exactly as CH does; OrNull →
+    try_to_timestamp; OrZero → epoch fallback.  Timezone arguments are
+    refused (single session timezone)."""
+    if len(args) not in (1, 2):
+        raise ChTranslationError(
+            "parseDateTime takes (s[, format]) — timezone arguments are "
+            "not supported (Spark uses the single session timezone)"
+        )
+    fmt = args[1] if len(args) == 2 else "'%Y-%m-%d %H:%i:%s'"
+    java = _mysql_fmt_to_java(fmt, "parseDateTime")
+    if mode == "null":
+        return f"try_to_timestamp({args[0]}, '{java}')"
+    if mode == "zero":
+        return (
+            f"coalesce(try_to_timestamp({args[0]}, '{java}'), "
+            f"TIMESTAMP '1970-01-01 00:00:00')"
+        )
+    return f"to_timestamp({args[0]}, '{java}')"
 
 
 def _array_sum(args: list[str]) -> str:

@@ -2931,3 +2931,39 @@ def test_cli_optimize_noop(capsys):
     with pytest.raises(SystemExit, match="unknown table"):
         main(["--query", "OPTIMIZE TABLE nope", "--data-dir", SF_DIR,
               "--master", "local[4]"])
+
+
+def test_tranche4_datetime_parse_aliases(spark):
+    """Tranche 4: parseDateTime family through the shared MySQL %-token
+    converter (base form throws on mismatch under ANSI, OrNull/OrZero
+    soften), Joda-syntax pass-throughs (Joda = java.time on the common
+    letters), addDate/subDate interval-or-days forms, dateSub 3-arg
+    (Spark has dateadd but no datesub), splitByNonAlpha."""
+    r = spark.sql(T(
+        "SELECT parseDateTime('2024-03-05 10:20:30', '%Y-%m-%d %H:%i:%s') AS p, "
+        "parseDateTime('2024-03-05 10:20:30') AS pd, "
+        "parseDateTimeOrNull('garbage', '%Y-%m-%d') AS pn, "
+        "parseDateTimeOrZero('garbage', '%Y-%m-%d') AS pz, "
+        "parseDateTimeInJodaSyntax('2024-03-05', 'yyyy-MM-dd') AS pj, "
+        "formatDateTimeInJodaSyntax(TIMESTAMP '2024-03-05 01:02:03', "
+        "'yyyy/MM/dd HH:mm') AS fj, "
+        "addDate(toDate('2024-01-01'), INTERVAL 1 MONTH) AS ad, "
+        "addDate(toDate('2024-01-01'), 5) AS ad2, "
+        "dateAdd(toDate('2024-01-01'), INTERVAL 2 DAY) AS da2, "
+        "dateSub(DAY, 3, toDate('2024-01-10')) AS ds, "
+        "splitByNonAlpha('ab, cd! 12') AS sn"
+    )).first()
+    assert str(r["p"]) == "2024-03-05 10:20:30"
+    assert str(r["pd"]) == "2024-03-05 10:20:30"  # default format
+    assert r["pn"] is None and str(r["pz"]) == "1970-01-01 00:00:00"
+    assert str(r["pj"])[:10] == "2024-03-05"
+    assert r["fj"] == "2024/03/05 01:02"
+    assert str(r["ad"]) == "2024-02-01" and str(r["ad2"]) == "2024-01-06"
+    assert str(r["da2"]) == "2024-01-03" and str(r["ds"])[:10] == "2024-01-07"
+    assert r["sn"] == ["ab", "cd", "12"]
+    with pytest.raises(Exception):
+        spark.sql(T(
+            "SELECT parseDateTime('garbage', '%Y-%m-%d') AS x"
+        )).collect()
+    with pytest.raises(ChTranslationError, match="timezone"):
+        T("SELECT parseDateTime(s, '%Y', 'UTC') FROM t")
