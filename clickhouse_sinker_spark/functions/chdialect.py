@@ -393,6 +393,16 @@ toStartOfMicro/Milli/Nano-   µs identity / DIV-1000 floor / µs
   second / toMillisecond     identity (noted) / ms component
 snowflakeToDateTime64 /      the ms-precision snowflake pair
   dateTime64ToSnowflake
+parseDateTime[OrNull/        MySQL %-token parsing via the shared
+  OrZero](s[, fmt])          formatDateTime converter; base form
+                             throws on mismatch (ANSI), as CH
+parse/formatDateTimeIn-      pattern passthrough (Joda = java.time on
+  JodaSyntax[OrNull/OrZero]  the common letters)
+addDate/subDate /            interval-or-days forms; dateSub 3-arg →
+  dateAdd/dateSub            negated timestampadd (no Spark datesub)
+splitByNonAlpha              alphanumeric-run tokenizer
+quantileExactLow/High(0.5)   python median_low/high element selection
+  medianExactLow/High        (non-median levels refused)
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle /               cosmetic output /
