@@ -403,6 +403,9 @@ addDate/subDate /            interval-or-days forms; dateSub 3-arg →
 splitByNonAlpha              alphanumeric-run tokenizer
 quantileExactLow/High(0.5)   python median_low/high element selection
   medianExactLow/High        (non-median levels refused)
+… WITH FILL INTERPOLATE      carry-forward window over the spine join:
+  (bare cols)                fillers take the previous OUTPUT row's
+                             value (a real NULL carries as NULL)
 -State/-Merge combinators /  refused loudly (engine-internal states /
 reinterpret* / dictGet /     no dictionaries / nondeterministic /
 arrayShuffle /               cosmetic output /
@@ -5454,13 +5457,31 @@ def _rewrite_with_fill(sql: str, notes: list[str]) -> str:
     m = re.search(
         r"\bORDER\s+BY\s+([A-Za-z_]\w*)\s+WITH\s+FILL"
         r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?"
+        r"(?:\s+INTERPOLATE\s*\(([^()]*)\))?"
         r"\s*$",
         sql,
         re.IGNORECASE,
     )
     if m is None or _in_string(sql, m.start()):
         return sql
-    x, frm, to, step = m.groups()
+    x, frm, to, step, interp_raw = m.groups()
+    interp_cols: list[str] = []
+    if interp_raw is not None:
+        for item in _split_args(interp_raw):
+            if not re.fullmatch(r"[A-Za-z_]\w*", item.strip()):
+                raise ChTranslationError(
+                    "WITH FILL INTERPOLATE supports bare column names only (carry "
+                    "the previous output row's value) — expression forms "
+                    "are recursive over interpolated rows and have no "
+                    "plan-level equivalent"
+                )
+            interp_cols.append(item.strip())
+        if not interp_cols:
+            raise ChTranslationError("INTERPOLATE () needs column names")
+        if x in interp_cols:
+            raise ChTranslationError(
+                "INTERPOLATE cannot target the fill column itself"
+            )
     step_i = int(step) if step else 1
     if step_i <= 0:
         raise ChTranslationError("WITH FILL STEP must be a positive integer")
@@ -5487,6 +5508,41 @@ def _rewrite_with_fill(sql: str, notes: list[str]) -> str:
             f"ELSE sequence({f_expr}, (SELECT max({x}) FROM __fill_q), "
             f"{step_i}) END"
         )
+    if interp_cols:
+        # filler marker: a spine value with no matching real row (the
+        # null-safe join means real rows ALWAYS match, including x=NULL).
+        # Each interpolated column carries the last REAL row's value —
+        # wrapped in a struct so that a real row whose value IS NULL is
+        # still "the previous row" (ignoreNulls must not skip past it,
+        # which is exactly CH's previous-output-row contract)
+        carried = ", ".join(
+            f"IF(__filler, (last(IF(__filler, NULL, "
+            f"struct({c} AS v)), true) OVER __fill_w).v, {c}) AS {c}"
+            for c in interp_cols
+        )
+        out = (
+            f"WITH __fill_q AS ({inner}), __fill_j AS ("
+            f"SELECT __fill_s.__fill_x AS {x}, "
+            f"(__fill_q.{x} IS NULL) AS __filler, "
+            f"__fill_q.* EXCEPT ({x}) "
+            f"FROM (SELECT DISTINCT __fill_x FROM ("
+            f"SELECT explode({seq}) AS __fill_x "
+            f"UNION ALL SELECT {x} FROM __fill_q)) __fill_s "
+            f"LEFT JOIN __fill_q ON __fill_q.{x} <=> __fill_s.__fill_x) "
+            f"SELECT * EXCEPT (__filler, {', '.join(interp_cols)}), "
+            f"{carried} FROM __fill_j "
+            f"WINDOW __fill_w AS (ORDER BY {x} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"ORDER BY {x}"
+        )
+        notes.append(
+            f"WITH FILL INTERPOLATE → spine + left join + carry-forward "
+            f"window over ({', '.join(interp_cols)}): interpolated "
+            "columns move to the LAST output positions; filler rows take "
+            "the previous output row's value (a real row's NULL is "
+            "carried as NULL, as in CH)"
+        )
+        return out
     out = (
         f"WITH __fill_q AS ({inner}) "
         f"SELECT __fill_s.__fill_x AS {x}, __fill_q.* EXCEPT ({x}) "
@@ -6044,14 +6100,15 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     sql = _rewrite_with_fill(sql, notes)
     if _spans_outside_strings(sql, r"\bWITH\s+FILL\b"):
         # remaining forms (non-trailing clause, multi-column fill,
-        # INTERPOLATE, expression steps) — the engine owns gap filling
-        # natively as a composed plan.
+        # INTERPOLATE with expressions, expression steps) — the engine
+        # owns gap filling natively as a composed plan.
         raise ChTranslationError(
             "this WITH FILL form is not translatable at the SQL level "
             "(supported: a trailing ORDER BY <col> WITH FILL "
-            "[FROM i] [TO i] [STEP i] over an integer column); use the "
-            "native gap-fill plan (plans/queries.py:ts_gap_fill — "
-            "sequence() spine + left join + forward fill)"
+            "[FROM i] [TO i] [STEP i] [INTERPOLATE (bare cols)] over an "
+            "integer column); use the native gap-fill plan "
+            "(plans/queries.py:ts_gap_fill — sequence() spine + left "
+            "join + forward fill)"
         )
 
     sql = _rewrite_asof_join(sql, notes)

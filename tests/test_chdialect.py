@@ -1977,7 +1977,7 @@ def test_with_fill_rewrite(spark):
     assert [r[0] for r in rows2] == [0, 1, 2, 3, 4, 6, 7, 8]  # TO exclusive
     for bad in (
         "SELECT x FROM t ORDER BY a, x WITH FILL",
-        "SELECT x FROM t ORDER BY x WITH FILL INTERPOLATE (s)",
+        "SELECT x FROM t ORDER BY x WITH FILL INTERPOLATE (s AS s || '!')",
         "SELECT x FROM t ORDER BY x WITH FILL STEP 0",
     ):
         with pytest.raises(ChTranslationError, match="WITH FILL"):
@@ -2967,3 +2967,43 @@ def test_tranche4_datetime_parse_aliases(spark):
         )).collect()
     with pytest.raises(ChTranslationError, match="timezone"):
         T("SELECT parseDateTime(s, '%Y', 'UTC') FROM t")
+
+
+def test_with_fill_interpolate(spark):
+    """WITH FILL INTERPOLATE (col): filler rows carry the PREVIOUS
+    OUTPUT row's value — including a real row's genuine NULL (the
+    struct-wrapped ignoreNulls window must not skip past it to an older
+    value); non-interpolated payload stays NULL on fillers; expression
+    forms and the fill column itself refuse."""
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (5, 50.0, "e")],
+        "n int, v double, s string",
+    ).createOrReplaceTempView("fill_i")
+    got, notes = translate_ch_sql(
+        "SELECT n, v, s FROM fill_i ORDER BY n WITH FILL INTERPOLATE (v)"
+    )
+    rows = spark.sql(got).collect()
+    m = {r["n"]: (r["v"], r["s"]) for r in rows}
+    assert m[1] == (10.0, "a") and m[2] == (None, "b")
+    # n=2's REAL NULL is the carried value — not 10.0 from n=1
+    assert m[3] == (None, None) and m[4] == (None, None)
+    assert m[5] == (50.0, "e")
+    assert [r["n"] for r in rows] == [1, 2, 3, 4, 5]
+    assert any("INTERPOLATE" in x for x in notes)
+    spark.createDataFrame(
+        [(1, 10.0), (4, 40.0)], "n int, v double"
+    ).createOrReplaceTempView("fill_i2")
+    got, _ = translate_ch_sql(
+        "SELECT n, v FROM fill_i2 ORDER BY n WITH FILL INTERPOLATE (v)"
+    )
+    m = {r["n"]: r["v"] for r in spark.sql(got).collect()}
+    assert m == {1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0}
+    with pytest.raises(ChTranslationError, match="bare column"):
+        translate_ch_sql(
+            "SELECT n, v FROM fill_i2 ORDER BY n WITH FILL "
+            "INTERPOLATE (v AS v + 1)"
+        )
+    with pytest.raises(ChTranslationError, match="fill column"):
+        translate_ch_sql(
+            "SELECT n, v FROM fill_i2 ORDER BY n WITH FILL INTERPOLATE (n)"
+        )
