@@ -5867,10 +5867,11 @@ def ch_dialect_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CH_DIALECT_WITH_FILL = """
-    SELECT toDayOfMonth(ts) AS d, count(*) AS n
+    SELECT toDayOfMonth(ts) AS d, count(*) AS n,
+           round(max(ifNull(value, 0)), 6) AS mx
     FROM events WHERE user_id = 7
     GROUP BY toDayOfMonth(ts)
-    ORDER BY d WITH FILL FROM 1 TO 32
+    ORDER BY d WITH FILL FROM 1 TO 32 INTERPOLATE (mx)
 """
 
 
@@ -5879,7 +5880,8 @@ CH_DIALECT_WITH_FILL = """
     """
     WITH q AS (
       SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
-             CAST(COUNT(*) AS BIGINT) AS n
+             CAST(COUNT(*) AS BIGINT) AS n,
+             round(MAX(COALESCE(value, 0)), 6) AS mx
       FROM events WHERE user_id = 7 GROUP BY 1
     ),
     s AS (
@@ -5887,7 +5889,10 @@ CH_DIALECT_WITH_FILL = """
         SELECT UNNEST(range(1, 32)) AS d UNION ALL SELECT d FROM q
       )
     )
-    SELECT s.d AS d, q.n AS n FROM s LEFT JOIN q USING (d) ORDER BY d
+    SELECT s.d AS d, q.n AS n,
+           last_value(q.mx IGNORE NULLS)
+             OVER (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS mx
+    FROM s LEFT JOIN q USING (d) ORDER BY d
     """,
 )
 def ch_dialect_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5895,8 +5900,12 @@ def ch_dialect_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     refusal, now a scoped rewrite): a sequence() spine unioned with the
     actual values (off-grid rows survive), left-joined back — TO is
     exclusive as in CH; filler rows NULL-pad the aggregate (documented
-    delta: CH shows type defaults).  The DuckDB oracle builds the same
-    spine independently with range()+UNNEST.  Plan: the day aggregate is
+    delta: CH shows type defaults) and INTERPOLATE (mx) carries the
+    previous output row's value onto fillers via the struct-wrapped
+    ignoreNulls window.  The DuckDB oracle builds the same spine
+    independently with range()+UNNEST and carries with its native
+    IGNORE NULLS last_value (real mx is never NULL here, so the simple
+    carry is equivalent).  Plan: the day aggregate is
     one groupBy shuffle; the spine is 31 rows broadcast into the join."""
     from ..functions.chdialect import ch_sql
 
