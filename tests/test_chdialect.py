@@ -760,9 +760,15 @@ def test_limit_by_with_offset(spark):
         "SELECT t, v FROM m ORDER BY t WITH FILL FROM 0 TO 10"
     )
     assert "sequence(" in got_fill and any("WITH FILL" in n for n in notes_fill)
-    with pytest.raises(ChTranslationError, match="ts_gap_fill"):
+    # bare-column INTERPOLATE now TRANSLATES too (late r7); only the
+    # expression form still points at the native gap-fill plan
+    got_int, _ = translate_ch_sql(
+        "SELECT t, v FROM m ORDER BY t WITH FILL INTERPOLATE (v)"
+    )
+    assert "last(" in got_int and "__filler" in got_int
+    with pytest.raises(ChTranslationError, match="bare column"):
         translate_ch_sql(
-            "SELECT t, v FROM m ORDER BY t WITH FILL INTERPOLATE (v)"
+            "SELECT t, v FROM m ORDER BY t WITH FILL INTERPOLATE (v AS v * 2)"
         )
 
 
