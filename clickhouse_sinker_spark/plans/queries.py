@@ -2623,6 +2623,86 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_exact_substring",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    occ AS (
+      SELECT doc_id, s, array_to_string(toks[s + 1 : s + 8], ' ') AS g
+      FROM d, UNNEST(range(0, greatest(len(toks) - 7, 0))) AS t(s)
+    ),
+    m AS (
+      SELECT doc_id, s,
+             count(*) OVER (PARTITION BY g) AS c,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
+      FROM occ
+    ),
+    rem AS (SELECT doc_id, s FROM m WHERE c > 1 AND rn > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, s + u AS i
+      FROM rem, UNNEST(range(0, 8)) AS t(u)
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM cov
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+             CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
+      FROM isl GROUP BY doc_id
+    ),
+    toksi AS (
+      SELECT d.doc_id, t.i, d.toks[t.i + 1] AS tok
+      FROM d, UNNEST(range(0, len(toks))) AS t(i)
+    ),
+    clean AS (
+      SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.i) AS clean_text
+      FROM toksi tk
+      WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = tk.doc_id AND cov.i = tk.i)
+      GROUP BY tk.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           md5(COALESCE(c.clean_text, '')) AS kept_hash
+    FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           LEFT JOIN clean c ON d.doc_id = c.doc_id
+    """,
+)
+def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (span-level) dedup — Lee et al. 2022's ExactSubstr:
+    any ≥8-token run occurring more than once corpus-wide is removed from
+    every non-canonical occurrence and the document rewritten without it.
+    The tier between doc-level exact dedup and MinHash: catches shared
+    boilerplate inside otherwise-distinct documents, the duplication class
+    shown to matter most for LM training data.
+
+    100 TB shape (``operators/dedup.py exact_substring_dedup``): grams
+    shuffle only as xxhash64 values — (hash, id, start) rows — through one
+    partial-aggregated groupBy(hash) and one same-key join back (AQE
+    reuses the exchange); then one groupBy(id) gathers removal starts and
+    pure column expressions (sorted-starts fold for span merge, lambda
+    filter for the rewrite) rebuild each doc.  No Python UDFs, no string
+    shuffles, no suffix array — the paper's result via four equi-keyed
+    stages."""
+    from ..operators.dedup import exact_substring_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = exact_substring_dedup(d, "text", "doc_id", k=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.md5(F.col("clean_text")).alias("kept_hash"),
+    )
+
+
+@query(
     "dedup_levenshtein",
     """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6708,8 +6788,10 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    (tools/driver_coverage.py r6 list) — after this window runs,
 #    never-hashed = 0 and the SURVEY §2 bar ("every operator has a passing
 #    CORRECTNESS entry") closes.
-# 4. Oldest-hash re-confirmations: r1-era (7) and r2/r3-era (3) greens
-#    whose last driver row predates the r4 engine rewrites.
+# 4. Oldest-hash re-confirmations: r1-era (7) and r2/r3-era (2) greens
+#    whose last driver row predates the r4 engine rewrites, plus the
+#    late-r7 ``dedup_exact_substring`` (displaced etl_pii_scrub — restore
+#    it in the r8 rotation).
 # 5. The 12 round-7 additions (strict_increase funnel, timed sequence,
 #    RIGHT ANY, sumMap, text-funcs batch, ASOF USING, WITH FILL, the
 #    url/readable/topK scalar batch, and the late dialect batches
@@ -6767,7 +6849,9 @@ DRIVER_ORDER: list[str] = [
     # --- oldest-hash re-confirmations (r2/r3-era greens) ---
     "text_repetition_quality",
     "decontam_ngram_overlap",
-    "etl_pii_scrub",
+    # --- late-r7 addition (displaced etl_pii_scrub, an r2/r3-era green):
+    # the last never-driver-hashed query — window now closes never to 0 ---
+    "dedup_exact_substring",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",

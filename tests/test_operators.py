@@ -607,3 +607,44 @@ def test_ivf_assign_broadcast_path_equivalence(spark):
     assert sse_lit == sse_bc
     for a, b in zip(c_lit, c_bc):
         assert all(abs(x - y) < 1e-12 for x, y in zip(a, b))
+
+
+def test_exact_substring_dedup_edge_cases(spark):
+    """Hand-checked model of the Lee-et-al span removal contract: canonical
+    (min (id, start)) occurrence survives, overlapping duplicated grams
+    merge into one span, intra-doc repeats count, short docs pass through,
+    and a fully-duplicated doc empties."""
+    from clickhouse_sinker_spark.operators.dedup import exact_substring_dedup
+
+    boiler = "a b c d"  # k=4 gram shared by docs 1/2/3
+    rows = [
+        # doc 1: canonical owner of 'a b c d' (smallest id, start 0)
+        (1, f"{boiler} x y z w"),
+        # doc 2: same gram mid-doc -> 4 tokens removed, 1 span
+        (2, f"p q r s {boiler} t u v"),
+        # doc 3: gram twice -> overlapping copies merge; both non-canonical
+        (3, f"{boiler} {boiler}"),
+        # doc 4: shorter than k -> untouched
+        (4, "m n o"),
+        # doc 5: unique text -> untouched
+        (5, "e f g h i j k l"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, "text", "doc_id", k=4).collect()
+    }
+    assert len(out) == 5
+    # doc 1 keeps everything (canonical)
+    assert out[1]["n_removed"] == 0 and out[1]["clean_text"] == "a b c d x y z w"
+    # doc 2 loses exactly the 4-token gram as one span
+    assert (out[2]["n_removed"], out[2]["n_spans"]) == (4, 1)
+    assert out[2]["clean_text"] == "p q r s t u v"
+    # doc 3: all 8 tokens are covered by duplicated grams ('a b c d' twice,
+    # plus the bridging grams 'b c d a' etc. repeat corpus-wide only via
+    # doc 3 itself at starts 1..4 -> whole doc removed as one merged span
+    assert out[3]["n_removed"] == 8 and out[3]["n_spans"] == 1
+    assert out[3]["clean_text"] == ""
+    # docs 4/5 untouched
+    assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == "m n o"
+    assert out[5]["n_removed"] == 0 and out[5]["clean_text"] == "e f g h i j k l"

@@ -561,3 +561,15 @@ def test_dialect_agg_combinator_queries_single_shuffle(spark):
             assert plan.count("HashAggregate") >= 2, name  # partial + final
         else:
             assert "Window" in plan and "Filter" in plan, name
+
+
+def test_exact_substring_dedup_scale_shape(spark):
+    """Grams must shuffle as hashes only, both aggregates partial map-side,
+    and the whole pipeline stays JVM-side (no Python UDFs)."""
+    plan = plan_of(QUERIES["dedup_exact_substring"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # partial + final for both the gram-hash groupBy and the per-doc groupBy
+    assert plan.count("HashAggregate") >= 4
+    # bounded exchange count: 2 shuffles + broadcast/reuse, never more
+    assert plan.count("Exchange") <= 8
