@@ -98,6 +98,10 @@ expr[k]                      element_at(expr, k)  (CH arrays 1-based; map
                              key access — Spark's native a[i] is 0-based)
 toStartOfInterval(t, I n u)  epoch floor-division (sub-day n); date_trunc
 toStartOfFiveMinutes etc.    epoch floor-division buckets
+tumble/tumbleStart/End       epoch-aligned [start, end) tuple / bounds;
+                             1-arg form reads the tuple's fields
+hop/hopStart/hopEnd          FIRST hopping window covering t: smallest
+                             aligned slide-multiple > t - size
 timeSlot(t)                  1800 s bucket
 domain/path/protocol/        parse_url(u, 'HOST'/'PATH'/'PROTOCOL'/
 queryString/fragment(u)      'QUERY'/'REF')
@@ -772,12 +776,6 @@ _UNSUPPORTED = {
     "damerauLevenshteinDistance",  # no Spark builtin (only Levenshtein)
     "jaroSimilarity",
     "jaroWinklerSimilarity",
-    "tumble",                # CH experimental window-view TVFs: use
-    "hop",                   # Spark's window()/session_window() instead
-    "tumbleStart",
-    "tumbleEnd",
-    "hopStart",
-    "hopEnd",
     "lowCardinalityKeys",    # engine introspection
     "lowCardinalityIndices",
     "toIntervalNanosecond",  # Spark intervals are microsecond-resolution
@@ -2067,6 +2065,14 @@ def _translate_functions(sql: str) -> str:
     for ch, secs in _FIXED_BUCKETS.items():
         sql = _rewrite_calls(sql, ch, lambda a, s=secs: _bucket_expr(a[0], s))
     sql = _rewrite_calls(sql, "toStartOfInterval", _to_start_of_interval)
+    # time-window scalars (CH WINDOW VIEW family, callable standalone):
+    # tumble → epoch-aligned [start, end) tuple, hop → FIRST covering window
+    sql = _rewrite_calls(sql, "tumbleStart", lambda a: _tumble_edge(a, 1, "tumbleStart"))
+    sql = _rewrite_calls(sql, "tumbleEnd", lambda a: _tumble_edge(a, 2, "tumbleEnd"))
+    sql = _rewrite_calls(sql, "tumble", _tumble_fn)
+    sql = _rewrite_calls(sql, "hopStart", lambda a: _hop_edge(a, 1, "hopStart"))
+    sql = _rewrite_calls(sql, "hopEnd", lambda a: _hop_edge(a, 2, "hopEnd"))
+    sql = _rewrite_calls(sql, "hop", _hop_fn)
     # URL dissection → Spark try_parse_url parts.  Spark 4's parse_url
     # THROWS [INVALID_URL] on any malformed row; ClickHouse's URL getters
     # never fail and return '' for invalid input — so every rewrite here
@@ -3610,6 +3616,107 @@ def _to_start_of_interval(args: list[str]) -> str:
     if m1:
         return f"date_trunc('{m1.group(1).upper()}', {args[0]})"
     raise ChTranslationError(f"unsupported toStartOfInterval step: {args[1]!r}")
+
+
+# calendar-unit window ends: Spark ANSI intervals have no WEEK/QUARTER units
+_CAL_UNIT_STEP = {
+    "WEEK": "INTERVAL 7 DAY",
+    "MONTH": "INTERVAL 1 MONTH",
+    "QUARTER": "INTERVAL 3 MONTH",
+    "YEAR": "INTERVAL 1 YEAR",
+}
+
+
+def _tumble_bounds(t: str, ivl: str, what: str) -> tuple[str, str]:
+    """[start, end) of the tumbling window containing ``t`` — CH
+    ``tumble()`` semantics (docs: time-window functions): epoch-aligned
+    buckets for fixed-length steps (same alignment as toStartOfInterval),
+    calendar date_trunc for 1-WEEK/MONTH/QUARTER/YEAR steps."""
+    m = _INTERVAL_RE.match(ivl)
+    if m:
+        secs = int(m.group(1)) * _INTERVAL_SECS[m.group(2).lower()]
+        start = _bucket_expr(t, secs)
+        end = (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({t}) / {secs})"
+            f" * {secs} + {secs} AS BIGINT))"
+        )
+        return start, end
+    m1 = re.match(r"^\s*INTERVAL\s+1\s+(WEEK|MONTH|QUARTER|YEAR)S?\s*$", ivl, re.I)
+    if m1:
+        u = m1.group(1).upper()
+        return (
+            f"date_trunc('{u}', {t})",
+            f"date_trunc('{u}', {t}) + {_CAL_UNIT_STEP[u]}",
+        )
+    raise ChTranslationError(f"unsupported {what} step: {ivl!r}")
+
+
+def _hop_bounds(t: str, hop_ivl: str, size_ivl: str) -> tuple[str, str]:
+    """[start, end) of the FIRST hop window containing ``t`` (what CH's
+    scalar ``hop()`` returns outside a WINDOW VIEW, per the time-window
+    function docs): window starts are epoch-aligned multiples of the hop
+    step, and the earliest start still covering ``t`` is the smallest
+    multiple of ``hop`` strictly greater than ``t - size`` —
+    ``floor((t - size) / hop) * hop + hop``.  Fixed-length steps only:
+    hopping calendar months have no closed epoch form."""
+    def _secs(ivl: str, role: str) -> int:
+        m = _INTERVAL_RE.match(ivl)
+        if not m:
+            raise ChTranslationError(
+                f"hop {role} step supports INTERVAL n SECOND/MINUTE/HOUR/DAY"
+                f" only, got {ivl!r}"
+            )
+        return int(m.group(1)) * _INTERVAL_SECS[m.group(2).lower()]
+
+    h, s = _secs(hop_ivl, "slide"), _secs(size_ivl, "window")
+    start_s = f"floor((unix_timestamp({t}) - {s}) / {h}) * {h} + {h}"
+    return (
+        f"timestamp_seconds(CAST({start_s} AS BIGINT))",
+        f"timestamp_seconds(CAST({start_s} + {s} AS BIGINT))",
+    )
+
+
+def _tumble_fn(args: list[str]) -> str:
+    if len(args) != 2:
+        raise ChTranslationError(
+            "tumble(t, INTERVAL n unit) — timezone arguments are not"
+            " supported (the session timezone is pinned to UTC)"
+        )
+    start, end = _tumble_bounds(args[0], args[1], "tumble")
+    return f"named_struct('_1', {start}, '_2', {end})"
+
+
+def _tumble_edge(args: list[str], idx: int, what: str) -> str:
+    # 1-arg form takes the (start, end) tuple produced by tumble()/hop()
+    if len(args) == 1:
+        return f"({args[0]})._{idx}"
+    if len(args) == 2:
+        return _tumble_bounds(args[0], args[1], what)[idx - 1]
+    raise ChTranslationError(
+        f"{what}(window_tuple) or {what}(t, INTERVAL n unit) — timezone"
+        " arguments are not supported"
+    )
+
+
+def _hop_fn(args: list[str]) -> str:
+    if len(args) != 3:
+        raise ChTranslationError(
+            "hop(t, INTERVAL slide, INTERVAL size) — timezone arguments"
+            " are not supported"
+        )
+    start, end = _hop_bounds(args[0], args[1], args[2])
+    return f"named_struct('_1', {start}, '_2', {end})"
+
+
+def _hop_edge(args: list[str], idx: int, what: str) -> str:
+    if len(args) == 1:
+        return f"({args[0]})._{idx}"
+    if len(args) == 3:
+        return _hop_bounds(args[0], args[1], args[2])[idx - 1]
+    raise ChTranslationError(
+        f"{what}(window_tuple) or {what}(t, INTERVAL slide, INTERVAL size)"
+        " — timezone arguments are not supported"
+    )
 
 
 def _bind_arr(arg: str, body) -> str:

@@ -5489,6 +5489,48 @@ def ch_dialect_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_HOURLY, sf_dir)
 
 
+CH_DIALECT_TIME_WINDOWS = """
+    SELECT tumbleStart(ts, INTERVAL 15 MINUTE) AS ws,
+           tumbleEnd(ts, INTERVAL 15 MINUTE) AS we,
+           hopStart(ts, INTERVAL 10 MINUTE, INTERVAL 30 MINUTE) AS hs,
+           hopEnd(ts, INTERVAL 10 MINUTE, INTERVAL 30 MINUTE) AS he,
+           tumbleStart(ts, INTERVAL 1 MONTH) AS ms,
+           count(*) AS n,
+           uniqExact(user_id) AS users
+    FROM events
+    GROUP BY ws, we, hs, he, ms
+"""
+
+
+@query(
+    "ch_dialect_time_windows",
+    """
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS ws,
+           make_timestamp(CAST(floor(epoch(ts) / 900) * 900 + 900 AS BIGINT) * 1000000) AS we,
+           make_timestamp(CAST(floor((epoch(ts) - 1800) / 600) * 600 + 600 AS BIGINT) * 1000000) AS hs,
+           make_timestamp(CAST(floor((epoch(ts) - 1800) / 600) * 600 + 600 + 1800 AS BIGINT) * 1000000) AS he,
+           date_trunc('month', ts) AS ms,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def ch_dialect_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH time-window scalars (WINDOW VIEW family, callable standalone —
+    docs/en/sql-reference/functions/time-window-functions): tumble start /
+    end as epoch-aligned fixed buckets, hop start/end as the FIRST hopping
+    window covering each row (smallest aligned slide-multiple >
+    t - window), and a calendar (1 MONTH) tumble via date_trunc.  The
+    DuckDB oracle re-derives every bound with raw epoch arithmetic —
+    independent of the translator's formula.  Plan: pure scalar
+    expressions feeding one grouped aggregate — identical shape to any
+    GROUP BY over derived columns; no UDFs, single shuffle."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_TIME_WINDOWS, sf_dir)
+
+
 CH_DIALECT_ARRAYS = """
     SELECT user_id,
            arrayCount(x -> x = 'click', groupArray(event_type)) AS clicks,
@@ -6848,10 +6890,11 @@ DRIVER_ORDER: list[str] = [
     "mm_frame_sample",
     # --- oldest-hash re-confirmations (r2/r3-era greens) ---
     "text_repetition_quality",
-    "decontam_ngram_overlap",
-    # --- late-r7 addition (displaced etl_pii_scrub, an r2/r3-era green):
-    # the last never-driver-hashed query — window now closes never to 0 ---
+    # --- late-r7 additions (displaced decontam_ngram_overlap and
+    # etl_pii_scrub, both r2/r3-era greens — restore in r8): the last
+    # never-driver-hashed queries — window keeps never = 0 ---
     "dedup_exact_substring",
+    "ch_dialect_time_windows",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",

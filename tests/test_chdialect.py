@@ -3013,3 +3013,41 @@ def test_with_fill_interpolate(spark):
         translate_ch_sql(
             "SELECT n, v FROM fill_i2 ORDER BY n WITH FILL INTERPOLATE (n)"
         )
+
+
+def test_time_window_scalars(spark):
+    """tumble/hop family: epoch-aligned tumbling bounds, FIRST-covering
+    hop window (smallest aligned slide multiple > t - size), 1-arg tuple
+    accessors over tumble()'s named_struct, calendar-unit tumble via
+    date_trunc; timezone args and hopping calendar steps refuse."""
+    spark.createDataFrame(
+        [("2024-03-05 10:37:12",), ("2024-03-05 10:45:00",)], "s string"
+    ).selectExpr("CAST(s AS TIMESTAMP) AS ts").createOrReplaceTempView("tw")
+    got, _ = translate_ch_sql(
+        "SELECT tumbleStart(ts, INTERVAL 15 MINUTE) AS ws,"
+        "       tumbleEnd(ts, INTERVAL 15 MINUTE) AS we,"
+        "       hopStart(ts, INTERVAL 10 MINUTE, INTERVAL 30 MINUTE) AS hs,"
+        "       hopEnd(ts, INTERVAL 10 MINUTE, INTERVAL 30 MINUTE) AS he,"
+        "       tumbleStart(tumble(ts, INTERVAL 1 DAY)) AS ds,"
+        "       tumbleEnd(ts, INTERVAL 1 MONTH) AS me"
+        " FROM tw"
+    )
+    rows = {str(r["ws"]): r for r in spark.sql(got).collect()}
+    r1 = rows["2024-03-05 10:30:00"]  # 10:37:12 -> [10:30, 10:45)
+    assert str(r1["we"]) == "2024-03-05 10:45:00"
+    # hop slide 10m size 30m: starts covering 10:37:12 are {10:10,10:20,10:30}
+    assert str(r1["hs"]) == "2024-03-05 10:10:00"
+    assert str(r1["he"]) == "2024-03-05 10:40:00"
+    assert str(r1["ds"]) == "2024-03-05 00:00:00"
+    assert str(r1["me"]) == "2024-04-01 00:00:00"
+    # boundary row 10:45:00 starts its own tumble; hop first window is
+    # the smallest start STRICTLY after 10:45 - 30m = 10:15 -> 10:20
+    r2 = rows["2024-03-05 10:45:00"]
+    assert str(r2["we"]) == "2024-03-05 11:00:00"
+    assert str(r2["hs"]) == "2024-03-05 10:20:00"
+    with pytest.raises(ChTranslationError, match="timezone"):
+        translate_ch_sql("SELECT tumble(ts, INTERVAL 1 HOUR, 'UTC') FROM tw")
+    with pytest.raises(ChTranslationError, match="SECOND/MINUTE/HOUR/DAY"):
+        translate_ch_sql(
+            "SELECT hop(ts, INTERVAL 1 MONTH, INTERVAL 2 MONTH) FROM tw"
+        )
