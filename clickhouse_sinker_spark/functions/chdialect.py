@@ -102,6 +102,12 @@ tumble/tumbleStart/End       epoch-aligned [start, end) tuple / bounds;
                              1-arg form reads the tuple's fields
 hop/hopStart/hopEnd          FIRST hopping window covering t: smallest
                              aligned slide-multiple > t - size
+base58/base32/punycode       Arrow-UDF tier (functions/chudfs.py):
+[try]En/Decode,              deterministic scalars with no JVM expression
+normalizeUTF8NF*,            form ride vectorized pandas UDFs (ch_sql
+jaro[Winkler]Similarity,     registers them); distances are byte-wise,
+damerauLevenshtein/          DL unrestricted (da-table), Jaro strcmp95
+arrayLevenshteinDistance     conventions — DuckDB-cross-checked
 timeSlot(t)                  1800 s bucket
 domain/path/protocol/        parse_url(u, 'HOST'/'PATH'/'PROTOCOL'/
 queryString/fragment(u)      'QUERY'/'REF')
@@ -447,6 +453,8 @@ from __future__ import annotations
 
 import re
 
+from .chudfs import CH_UDF_NAMES
+
 __all__ = ["translate_ch_sql", "ChTranslationError", "ch_sql"]
 
 
@@ -456,6 +464,26 @@ class ChTranslationError(ValueError):
 
 # simple name-for-name renames (textual, applied at call sites ``name(``)
 _RENAMES = {
+    # Arrow-UDF-backed scalars (functions/chudfs.py) — deterministic CH
+    # functions with no JVM expression form; try* variants FIRST so the
+    # longer names never see a partial rename
+    "tryPunycodeDecode": "ch_try_punycode_decode",
+    "tryBase58Decode": "ch_try_base58_decode",
+    "tryBase32Decode": "ch_try_base32_decode",
+    "punycodeEncode": "ch_punycode_encode",
+    "punycodeDecode": "ch_punycode_decode",
+    "base58Encode": "ch_base58_encode",
+    "base58Decode": "ch_base58_decode",
+    "base32Encode": "ch_base32_encode",
+    "base32Decode": "ch_base32_decode",
+    "normalizeUTF8NFC": "ch_nfc",
+    "normalizeUTF8NFD": "ch_nfd",
+    "normalizeUTF8NFKC": "ch_nfkc",
+    "normalizeUTF8NFKD": "ch_nfkd",
+    "jaroSimilarity": "ch_jaro",
+    "jaroWinklerSimilarity": "ch_jaro_winkler",
+    "damerauLevenshteinDistance": "ch_damerau_levenshtein",
+    "arrayLevenshteinDistance": "ch_array_levenshtein",
     "toDate": "to_date",
     "toDateTime": "to_timestamp",
     "uniq": "approx_count_distinct",
@@ -657,12 +685,6 @@ _UNSUPPORTED = {
     "tgamma",
     "normalizeQuery",        # CH query-text fingerprinting — engine-internal
     "normalizeQueryKeepNames",
-    "normalizeUTF8NFC",      # Spark has no Unicode-normalization builtin
-    "normalizeUTF8NFD",
-    "normalizeUTF8NFKC",
-    "normalizeUTF8NFKD",
-    "punycodeEncode",
-    "punycodeDecode",
     "runningConcurrency",    # block-order-dependent, like runningDifference
     "deltaSum",              # order-dependent aggregate: use window lag()
     "deltaSumTimestamp",
@@ -710,10 +732,6 @@ _UNSUPPORTED = {
     "toIPv6",                # IPv6 canonicalization (zero compression)
     "toIPv6OrNull",          # is not reproducible textually
     "toIPv6OrZero",
-    "base58Encode",          # bignum base conversions
-    "base58Decode",
-    "base32Encode",
-    "base32Decode",
     "crc64",                 # CH polynomial differs from crc32's
     "intHash32",             # CH-internal integer hash families
     "intHash64",
@@ -723,7 +741,6 @@ _UNSUPPORTED = {
     "randomPrintableASCII",
     "randomFixedString",
     "fuzzBits",
-    "arrayLevenshteinDistance",   # DP over arrays has no expr form
     "arrayNormalizedGini",
     "kostikConsistentHash",  # wrapping-multiply iteration (ANSI errors)
     "jumpConsistentHash",
@@ -773,9 +790,6 @@ _UNSUPPORTED = {
     "cramersVBiasCorrected",
     "theilsU",
     "contingency",
-    "damerauLevenshteinDistance",  # no Spark builtin (only Levenshtein)
-    "jaroSimilarity",
-    "jaroWinklerSimilarity",
     "lowCardinalityKeys",    # engine introspection
     "lowCardinalityIndices",
     "toIntervalNanosecond",  # Spark intervals are microsecond-resolution
@@ -6278,7 +6292,18 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
 
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_with_ties(_rewrite_limit_by(sql))
-    return _translate_functions(_rewrite_brackets(sql)), notes
+    out = _translate_functions(_rewrite_brackets(sql))
+    used_udfs = sorted(
+        n for n in CH_UDF_NAMES if _find_call(out, n) >= 0
+    )
+    if used_udfs:
+        notes.append(
+            "Arrow-UDF-backed scalars: " + ", ".join(used_udfs)
+            + " — ch_sql()/the CLI register them automatically; standalone"
+            " spark.sql() callers must run chudfs.register_ch_udfs(spark)"
+            " once per session"
+        )
+    return out, notes
 
 
 _CH_SQL_CATALOG: "weakref.WeakKeyDictionary" = None  # lazy-initialized
@@ -6309,6 +6334,9 @@ def ch_sql(spark, sql: str, sf_dir: str, table_keys=None):
     )
     cached = _CH_SQL_CATALOG.get(spark)
     if cached is None or cached[0] != sf_dir:
+        from .chudfs import register_ch_udfs
+
+        register_ch_udfs(spark)  # once per session: ch_* Arrow scalars
         dfs = {t: load_table(spark, sf_dir, t) for t in tables}
         for t, df in dfs.items():
             df.createOrReplaceTempView(t)

@@ -1,0 +1,268 @@
+"""Arrow-vectorized scalar extensions for ClickHouse functions with no
+Spark JVM expression form.
+
+A small tier of CH scalar functions is deterministic and well-specified
+but inexpressible as Catalyst expressions (bignum base conversions,
+RFC 3492 punycode, Unicode normalization, byte-string edit distances).
+Refusing them forever is unnecessarily lossy: Spark's documented escape
+hatch for exactly this case is the Arrow-batched pandas UDF (vectorized
+transfer, per-batch Python execution) — the same tier this repo already
+uses for multimodal decoding.  These are *dialect scalar functions*, not
+hot-path relational operators: they appear in user SELECT lists, never
+inside join/aggregation machinery, so the Python surface is bounded by
+the projected column, exactly like the reference's own per-row Go parse
+hot loop (``parser/fastjson.go``).
+
+``register_ch_udfs(spark)`` registers every function under a ``ch_``
+prefix; ``functions/chdialect.py`` rewrites the CH names onto them and
+``ch_sql()`` performs the registration automatically (standalone users
+of ``translate_ch_sql`` must call ``register_ch_udfs`` once per session
+— the translator's notes say so whenever one is emitted).
+
+Semantics contracts (each pinned by unit/property tests):
+
+- ``base58Encode/Decode`` — Bitcoin alphabet, leading-zero bytes map to
+  '1' (CH docs: sql-reference/functions/string-functions#base58encode).
+  Decode raises on invalid characters like CH; ``tryBase58Decode``
+  returns '' instead.  Decoded bytes must be valid UTF-8 (Spark strings
+  are Unicode; CH strings are raw bytes — a documented delta).
+- ``base32Encode/Decode`` — RFC 4648 with padding, strict uppercase
+  decode; ``tryBase32Decode`` returns '' on any error.
+- ``punycodeEncode/Decode`` — RFC 3492 via Python's punycode codec
+  (pure-ASCII inputs gain the trailing '-' delimiter exactly as the RFC
+  prescribes); ``tryPunycodeDecode`` returns '' on invalid input.
+- ``normalizeUTF8NFC/NFD/NFKC/NFKD`` — ``unicodedata.normalize`` (the
+  Unicode-standard forms; CH uses ICU — identical on assigned
+  codepoints).
+- ``jaroSimilarity`` / ``jaroWinklerSimilarity`` — classic Jaro over the
+  UTF-8 *bytes* (CH computes byte-wise), match window
+  ``max(n1,n2)/2 - 1``, transpositions as half-mismatches of the matched
+  sequences; Winkler boost ``j + l*0.1*(1-j)`` with prefix cap 4 applied
+  only above the classic 0.7 threshold (DuckDB's implementation, used as
+  the oracle, behaves identically on all probed cases).  Either operand
+  empty → 0.0 (DuckDB-verified; CH returns 0 for empty operands).
+- ``damerauLevenshteinDistance`` — the UNRESTRICTED Damerau-Levenshtein
+  (Wikipedia's distance-with-adjacent-transpositions, ``da`` table), over
+  UTF-8 bytes: dl('CA','ABC') = 2, matching DuckDB and the CH docs
+  example dl('clickhouse','mouse') = 6.
+- ``arrayLevenshteinDistance`` — plain Levenshtein DP over array
+  elements compared by equality.
+
+Reference parity: model/value.go has no equivalents (these are
+query-side CH server functions); they exist here because sinker-landed
+tables are queried with them downstream.
+"""
+from __future__ import annotations
+
+import base64
+import unicodedata
+
+import pandas as pd
+
+__all__ = ["register_ch_udfs", "CH_UDF_NAMES"]
+
+_B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+_B58_IDX = {c: i for i, c in enumerate(_B58)}
+
+
+def _b58_encode(s: str) -> str:
+    b = s.encode("utf-8")
+    n = int.from_bytes(b, "big")
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(_B58[r])
+    pad = len(b) - len(b.lstrip(b"\x00"))
+    return "1" * pad + "".join(reversed(out))
+
+
+def _b58_decode(s: str) -> str:
+    n = 0
+    for c in s:
+        if c not in _B58_IDX:
+            raise ValueError(f"invalid base58 character {c!r}")
+        n = n * 58 + _B58_IDX[c]
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    pad = len(s) - len(s.lstrip("1"))
+    return (b"\x00" * pad + raw).decode("utf-8")
+
+
+def _b32_encode(s: str) -> str:
+    return base64.b32encode(s.encode("utf-8")).decode("ascii")
+
+
+def _b32_decode(s: str) -> str:
+    return base64.b32decode(s.encode("ascii")).decode("utf-8")
+
+
+def _puny_encode(s: str) -> str:
+    return s.encode("punycode").decode("ascii")
+
+
+def _puny_decode(s: str) -> str:
+    return s.encode("ascii").decode("punycode")
+
+
+def _jaro(b1: bytes, b2: bytes) -> float:
+    n1, n2 = len(b1), len(b2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    w = max(max(n1, n2) // 2 - 1, 0)
+    m2 = [False] * n2
+    a1 = []
+    for i in range(n1):
+        c = b1[i]
+        for j in range(max(0, i - w), min(n2 - 1, i + w) + 1):
+            if not m2[j] and b2[j] == c:
+                m2[j] = True
+                a1.append(c)
+                break
+    m = len(a1)
+    if m == 0:
+        return 0.0
+    b2m = [b2[j] for j in range(n2) if m2[j]]
+    # classic strcmp95 convention (shared by the C++ ports incl. DuckDB's,
+    # verified against it on real data): transpositions = mismatched
+    # matched-pairs halved with INTEGER division, not the /2.0 fraction
+    t = sum(1 for x, y in zip(a1, b2m) if x != y) // 2
+    return (m / n1 + m / n2 + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(b1: bytes, b2: bytes) -> float:
+    j = _jaro(b1, b2)
+    if j <= 0.7:
+        return j
+    l = 0
+    for x, y in zip(b1[:4], b2[:4]):
+        if x != y:
+            break
+        l += 1
+    return j + l * 0.1 * (1.0 - j)
+
+
+def _damerau(a: bytes, b: bytes) -> int:
+    la, lb = len(a), len(b)
+    maxdist = la + lb
+    da: dict[int, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _levenshtein_seq(a, b) -> int:
+    """Two-row Levenshtein over arbitrary equatable sequences."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (0 if _eq(x, y) else 1)))
+        prev = cur
+    return prev[-1]
+
+
+def _eq(x, y) -> bool:
+    # numpy array elements inside Spark-to-pandas lists compare fine with
+    # ==, but NaN != NaN must hold (CH NULL-vs-NULL inside arrays is a
+    # non-match only for NaN; None == None matches, like CH NULLs in
+    # arrayLevenshtein's element comparison)
+    try:
+        return bool(x == y)
+    except ValueError:  # ambiguous array comparison
+        return False
+
+
+def _map1(fn):
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else fn(v))
+    return run
+
+
+def _map1_try(fn):
+    def run(s: pd.Series) -> pd.Series:
+        def safe(v):
+            if v is None:
+                return None
+            try:
+                return fn(v)
+            except Exception:  # noqa: BLE001 — CH try* contract: '' on error
+                return ""
+        return s.map(safe)
+    return run
+
+
+def _map2(fn, null=None):
+    def run(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                null if a is None or b is None else fn(a, b)
+                for a, b in zip(s1, s2)
+            ]
+        )
+    return run
+
+
+def _bytes2(fn):
+    return _map2(lambda a, b: fn(a.encode("utf-8"), b.encode("utf-8")))
+
+
+# name → (vectorized fn, Spark return type)
+_UDF_SPECS = {
+    "ch_base58_encode": (_map1(_b58_encode), "string"),
+    "ch_base58_decode": (_map1(_b58_decode), "string"),
+    "ch_try_base58_decode": (_map1_try(_b58_decode), "string"),
+    "ch_base32_encode": (_map1(_b32_encode), "string"),
+    "ch_base32_decode": (_map1(_b32_decode), "string"),
+    "ch_try_base32_decode": (_map1_try(_b32_decode), "string"),
+    "ch_punycode_encode": (_map1(_puny_encode), "string"),
+    "ch_punycode_decode": (_map1(_puny_decode), "string"),
+    "ch_try_punycode_decode": (_map1_try(_puny_decode), "string"),
+    "ch_nfc": (_map1(lambda s: unicodedata.normalize("NFC", s)), "string"),
+    "ch_nfd": (_map1(lambda s: unicodedata.normalize("NFD", s)), "string"),
+    "ch_nfkc": (_map1(lambda s: unicodedata.normalize("NFKC", s)), "string"),
+    "ch_nfkd": (_map1(lambda s: unicodedata.normalize("NFKD", s)), "string"),
+    "ch_jaro": (_bytes2(_jaro), "double"),
+    "ch_jaro_winkler": (_bytes2(_jaro_winkler), "double"),
+    "ch_damerau_levenshtein": (_bytes2(_damerau), "bigint"),
+    "ch_array_levenshtein": (
+        _map2(lambda a, b: _levenshtein_seq(list(a), list(b))),
+        "bigint",
+    ),
+}
+
+CH_UDF_NAMES = frozenset(_UDF_SPECS)
+
+
+def register_ch_udfs(spark) -> None:
+    """Register every ``ch_*`` scalar as an Arrow pandas UDF in the given
+    session.  Idempotent (re-registration replaces with an identical
+    function); called automatically by ``ch_sql()`` and the CLI."""
+    from pyspark.sql.functions import pandas_udf
+
+    for name, (fn, typ) in _UDF_SPECS.items():
+        spark.udf.register(name, pandas_udf(fn, typ))

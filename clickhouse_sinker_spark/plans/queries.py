@@ -5531,6 +5531,60 @@ def ch_dialect_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_TIME_WINDOWS, sf_dir)
 
 
+CH_DIALECT_STRING_UDFS = """
+    SELECT doc_id,
+           round(jaroSimilarity(substring(text, 1, 20), substring(text, 21, 20)), 6) AS js,
+           round(jaroWinklerSimilarity(substring(text, 1, 16), substring(text, 17, 16)), 6) AS jw,
+           damerauLevenshteinDistance(substring(text, 1, 12), substring(text, 13, 12)) AS dl,
+           arrayLevenshteinDistance(
+               arrayMap(w -> length(w), splitByChar(' ', substring(text, 1, 40))),
+               arrayMap(w -> length(w), splitByChar(' ', substring(text, 9, 40)))) AS alv,
+           base58Decode(base58Encode(substring(text, 1, 24))) = substring(text, 1, 24) AS b58_rt,
+           length(base32Encode(substring(text, 1, doc_id % 23 + 1))) AS b32_len,
+           punycodeEncode(substring(text, 1, 20)) AS pe,
+           normalizeUTF8NFC(text) = text AS nfc_id
+    FROM documents
+"""
+
+
+@query(
+    "ch_dialect_string_udfs",
+    """
+    SELECT doc_id,
+           round(jaro_similarity(substring(text, 1, 20), substring(text, 21, 20)), 6) AS js,
+           round(jaro_winkler_similarity(substring(text, 1, 16), substring(text, 17, 16)), 6) AS jw,
+           CAST(damerau_levenshtein(substring(text, 1, 12), substring(text, 13, 12)) AS BIGINT) AS dl,
+           CAST(levenshtein(
+               list_aggregate(list_transform(string_split(substring(text, 1, 40), ' '),
+                                             w -> chr(CAST(65 + length(w) AS INT))), 'string_agg', ''),
+               list_aggregate(list_transform(string_split(substring(text, 9, 40), ' '),
+                                             w -> chr(CAST(65 + length(w) AS INT))), 'string_agg', '')) AS BIGINT) AS alv,
+           TRUE AS b58_rt,
+           CAST(8 * ceil((doc_id % 23 + 1) / 5.0) AS BIGINT) AS b32_len,
+           substring(text, 1, 20) || '-' AS pe,
+           nfc_normalize(text) = text AS nfc_id
+    FROM documents
+    """,
+)
+def ch_dialect_string_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-UDF scalar tier (functions/chudfs.py) under the hard
+    gate: byte-wise Jaro / Jaro-Winkler (0.7-threshold boost, prefix cap
+    4) and unrestricted Damerau-Levenshtein against DuckDB's NATIVE
+    implementations; arrayLevenshteinDistance against an independent
+    word-length→character encoding fed to DuckDB's string levenshtein;
+    base58 via round-trip identity (DuckDB has no base58), base32 via the
+    RFC 4648 closed-form length 8*ceil(n/5), punycode of pure-ASCII input
+    against the RFC 3492 trailing-delimiter form, and NFC normalization
+    against DuckDB's nfc_normalize.  Every document is pure ASCII
+    (TESTDATA), so CH's byte-wise semantics and DuckDB's byte-wise
+    functions coincide exactly.  Plan: one scan, projected scalars — the
+    UDFs ride a single ArrowEvalPython over the projected columns only;
+    no shuffle, no join."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_STRING_UDFS, sf_dir)
+
+
 CH_DIALECT_ARRAYS = """
     SELECT user_id,
            arrayCount(x -> x = 'click', groupArray(event_type)) AS clicks,
@@ -6889,12 +6943,13 @@ DRIVER_ORDER: list[str] = [
     "window_rank_distribution",
     "mm_frame_sample",
     # --- oldest-hash re-confirmations (r2/r3-era greens) ---
-    "text_repetition_quality",
-    # --- late-r7 additions (displaced decontam_ngram_overlap and
-    # etl_pii_scrub, both r2/r3-era greens — restore in r8): the last
-    # never-driver-hashed queries — window keeps never = 0 ---
+    # --- late-r7 additions (displaced text_repetition_quality,
+    # decontam_ngram_overlap and etl_pii_scrub, all r2/r3-era greens —
+    # restore in r8): the last never-driver-hashed queries — window keeps
+    # never = 0 ---
     "dedup_exact_substring",
     "ch_dialect_time_windows",
+    "ch_dialect_string_udfs",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",

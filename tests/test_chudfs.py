@@ -1,0 +1,119 @@
+"""Arrow-UDF scalar tier (functions/chudfs.py): known-vector pins,
+round-trip properties, DuckDB cross-checks (an INDEPENDENT C++
+implementation of the same published algorithms), and Spark-side
+registration / NULL-propagation behavior."""
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clickhouse_sinker_spark.functions.chudfs import (
+    _b32_decode,
+    _b32_encode,
+    _b58_decode,
+    _b58_encode,
+    _damerau,
+    _jaro,
+    _jaro_winkler,
+    _levenshtein_seq,
+    _puny_decode,
+    _puny_encode,
+)
+
+ASCII = st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=24)
+
+
+def test_base58_known_vectors():
+    # draft-msporny-base58 test vectors (public IETF draft)
+    assert _b58_encode("Hello World!") == "2NEpo7TZRRrLZSi2U"
+    assert (
+        _b58_encode("The quick brown fox jumps over the lazy dog.")
+        == "USm3fpXnKG5EUBx2ndxBDMPVciP5hGey2Jh4NDv6gmeo1LkMeiKrLJUUBk6Z"
+    )
+    # leading zero BYTES map to '1' each (Bitcoin convention)
+    assert _b58_encode("\x00\x00abc") == "11ZiCa"
+    assert _b58_decode("11ZiCa") == "\x00\x00abc"
+    with pytest.raises(ValueError, match="invalid base58"):
+        _b58_decode("0OIl")  # the four excluded characters
+
+
+def test_base32_punycode_pins():
+    assert _b32_encode("hi") == "NBUQ===="
+    assert _b32_decode("NBUQ====") == "hi"
+    # RFC 3492: the CH docs example, and pure-ASCII gains the delimiter
+    assert _puny_encode("München") == "Mnchen-3ya"
+    assert _puny_decode("Mnchen-3ya") == "München"
+    assert _puny_encode("abc") == "abc-"
+
+
+def test_distance_pins():
+    # CH docs examples (string-functions / distance functions pages)
+    assert _jaro(b"clickhouse", b"click") == pytest.approx(
+        0.8333333333333334, abs=0
+    )
+    assert _jaro_winkler(b"clickhouse", b"click") == pytest.approx(0.9, abs=0)
+    assert _damerau(b"clickhouse", b"mouse") == 6
+    # unrestricted DL (the 'da'-table algorithm): CA→ABC is 2, not OSA's 3
+    assert _damerau(b"CA", b"ABC") == 2
+    assert _damerau(b"ab", b"ba") == 1
+    # empty operands: 0 similarity (DuckDB-verified convention)
+    assert _jaro(b"", b"") == 0.0 and _jaro(b"a", b"") == 0.0
+    # Winkler boost only above the classic 0.7 threshold
+    low = _jaro(b"abcdxxxxxx", b"abcdyyyyyyyyyy")
+    assert low < 0.7 and _jaro_winkler(b"abcdxxxxxx", b"abcdyyyyyyyyyy") == low
+
+
+@settings(max_examples=200, deadline=None)
+@given(ASCII, ASCII)
+def test_jaro_family_matches_duckdb(a, b):
+    """DuckDB ships an independent C++ implementation of Jaro /
+    Jaro-Winkler (strcmp95 conventions) and unrestricted
+    Damerau-Levenshtein — bit-for-bit agreement on arbitrary ASCII is
+    strong evidence both follow the published algorithms."""
+    got = duckdb.sql(
+        "SELECT jaro_similarity(?, ?), jaro_winkler_similarity(?, ?),"
+        " damerau_levenshtein(?, ?)",
+        params=[a, b, a, b, a, b],
+    ).fetchone()
+    assert _jaro(a.encode(), b.encode()) == got[0]
+    assert _jaro_winkler(a.encode(), b.encode()) == got[1]
+    assert _damerau(a.encode(), b.encode()) == got[2]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=32))
+def test_codec_round_trips(s):
+    assert _b58_decode(_b58_encode(s)) == s
+    assert _b32_decode(_b32_encode(s)) == s
+    assert _puny_decode(_puny_encode(s)) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 5), max_size=12),
+    st.lists(st.integers(0, 5), max_size=12),
+)
+def test_array_levenshtein_matches_string_form(a, b):
+    """Levenshtein over int lists == levenshtein over an injective
+    char encoding of the same lists (DuckDB's string implementation)."""
+    ea = "".join(chr(65 + x) for x in a)
+    eb = "".join(chr(65 + x) for x in b)
+    want = duckdb.sql(
+        "SELECT levenshtein(?, ?)", params=[ea, eb]
+    ).fetchone()[0]
+    assert _levenshtein_seq(a, b) == want
+
+
+def test_spark_registration_and_null_propagation(spark):
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    row = spark.sql(
+        "SELECT ch_base58_encode(CAST(NULL AS STRING)) AS a,"
+        "       ch_jaro(CAST(NULL AS STRING), 'x') AS b,"
+        "       ch_damerau_levenshtein('x', CAST(NULL AS STRING)) AS c,"
+        "       ch_try_base58_decode('!!') AS d,"
+        "       ch_array_levenshtein(array(1, 2, 3), array(2, 3)) AS e"
+    ).collect()[0]
+    assert row["a"] is None and row["b"] is None and row["c"] is None
+    assert row["d"] == "" and row["e"] == 1

@@ -573,3 +573,15 @@ def test_exact_substring_dedup_scale_shape(spark):
     assert plan.count("HashAggregate") >= 4
     # bounded exchange count: 2 shuffles + broadcast/reuse, never more
     assert plan.count("Exchange") <= 8
+
+
+def test_string_udfs_single_arrow_pass(spark):
+    """The Arrow-UDF scalar tier must ride ONE vectorized ArrowEvalPython
+    over a plain scan — no shuffle, no join, no row-at-a-time
+    BatchEvalPython."""
+    plan = plan_of(QUERIES["ch_dialect_string_udfs"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    # exactly one node in the tree ("+- ArrowEvalPython (n)"); the node id
+    # repeats once in the formatted detail section
+    assert plan.count("+- ArrowEvalPython") == 1
+    assert "Exchange" not in plan and "Join" not in plan
