@@ -41,6 +41,11 @@ def _run_query(args) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
+    # Arrow-UDF scalar tier (base58/punycode/NFC/Jaro…) — the translator
+    # emits ch_* names for them
+    from .functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
     views = []
     for f in sorted(glob.glob(os.path.join(args.data_dir, "*.parquet"))):
         name = os.path.splitext(os.path.basename(f))[0]

@@ -3051,3 +3051,22 @@ def test_time_window_scalars(spark):
         translate_ch_sql(
             "SELECT hop(ts, INTERVAL 1 MONTH, INTERVAL 2 MONTH) FROM tw"
         )
+
+
+def test_cli_query_mode_udf_tier(capsys):
+    """The Arrow-UDF scalar tier must work in CLI --query mode too (it
+    registers the ch_* functions itself — the ch_sql() cache path isn't
+    involved)."""
+    from clickhouse_sinker_spark.__main__ import main
+
+    main([
+        "--query",
+        "SELECT base58Decode(base58Encode('ok')) AS rt,"
+        " jaroWinklerSimilarity('martha', 'marhta') AS jw",
+        "--data-dir", SF_DIR,
+        "--query-format", "csv",
+        "--master", "local[4]",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "rt,jw"
+    assert out[1].startswith("ok,0.96111111")
