@@ -197,12 +197,13 @@ def _run_query(args) -> None:
         # translated Spark SQL (the most useful translation-debug view)
         syntax_only = (em.group(1) or "").strip().upper() == "SYNTAX"
 
-    _arr_cols, _tbl_cols = spark_catalog_info(spark, views)
+    _arr_cols, _tbl_cols, _str_cols = spark_catalog_info(spark, views)
     translated, notes = translate_ch_sql(
         q,
         table_keys=table_keys,
         array_columns=_arr_cols,
         table_columns=_tbl_cols,
+        string_columns=_str_cols,
     )
     for n in notes:
         print(f"-- note: {n}", file=sys.stderr)

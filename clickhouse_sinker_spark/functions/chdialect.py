@@ -76,7 +76,9 @@ isNull(x) / isNotNull(x)     (x IS NULL) / (x IS NOT NULL)
 assumeNotNull/toNullable/    (x)   (identity — CH engine artifacts)
 materialize(x)
 now() / today()              current_timestamp() / current_date()
-xxHash64(x)                  xxhash64(x)
+sipHash64/xxHash64/32(x)     ch_* Arrow UDFs, CH-exact seed-0 bytes
+                             (Spark's xxhash64 seeds with 42); typed
+                             argument gate (string / to[U]IntN wrapper)
 PREWHERE c                   WHERE c   (merged with AND if WHERE exists)
 FROM t FINAL                 ReplacingMergeTree merge-on-read: newest-
                              version row per sorting key via row_number
@@ -490,7 +492,6 @@ _RENAMES = {
     "arrayJoin": "explode",
     "has": "array_contains",
     "ifNull": "coalesce",
-    "xxHash64": "xxhash64",
     "arrayDistinct": "array_distinct",
     "arraySort": "array_sort",
     "arrayReverse": "reverse",
@@ -651,7 +652,6 @@ _AGG_IF = {
 # known-ClickHouse names we refuse rather than mistranslate
 _UNSUPPORTED = {
     "cityHash64",
-    "sipHash64",
     "halfMD5",
     "farmHash64",     # CH/Farm/Java/Hive hash families have no Spark twin
     "javaHash",
@@ -749,7 +749,6 @@ _UNSUPPORTED = {
     "murmurHash3_32",
     "murmurHash3_64",
     "murmurHash3_128",
-    "xxHash32",              # only xxHash64 has a Spark twin
     "xxh3",
     "wyHash64",
     "minSampleSizeConversion",    # stat-test tails
@@ -1545,7 +1544,102 @@ _ORDEFAULT_ZERO = (
 )
 
 
+_STRING_PRODUCERS = re.compile(
+    r"^(toString|lower|lowerUTF8|upper|upperUTF8|substring|substr|"
+    r"concat|concat_ws|concatWithSeparator|trim|trimLeft|trimRight|"
+    r"ltrim|rtrim|reverseUTF8|hex|bin|base64Encode|formatDateTime|"
+    r"arrayStringConcat|toFixedString|left|right|repeat|replaceAll|"
+    r"replaceOne|normalizeUTF8NF\w+)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _stringish(arg: str) -> bool:
+    """Syntactic/catalog evidence that ``arg`` is string-typed: a quoted
+    literal, a bare column the catalog knows is a string, or a call to a
+    string-producing function.  Used to gate the byte-hash family — CH
+    hashes an argument's BINARY representation, so admitting an unknown
+    type would silently produce non-CH values (e.g. a numeric column
+    implicitly cast to its decimal string)."""
+    s = arg.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return True
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s):
+        return s.lower() in _STRING_COLUMNS
+    return bool(_STRING_PRODUCERS.match(s))
+
+
+def _byte_hash_fn(name: str, str_udf: str, int_udf: str, int_re: str):
+    """Rewrite rule for sipHash64/xxHash64/xxHash32: string-typed
+    arguments go to the byte-wise UDF; an explicit to[U]IntN() wrapper
+    selects the fixed-width binary variant (the wrapper call text is kept
+    — later passes translate it to the CAST the UDF receives); anything
+    else refuses loudly instead of hashing a silently-stringified value.
+    Multi-argument forms refuse: CH chains per-argument hash states
+    (Hash.h applyVisitor folds), which has no published closed form worth
+    emulating byte-for-byte."""
+    def rw(a: list[str]) -> str:
+        if len(a) != 1:
+            raise ChTranslationError(
+                f"{name} over multiple arguments (CH folds per-argument"
+                " hash states) — hash an explicit concatenation instead,"
+                f" e.g. {name}(concat(a, '#', b))"
+            )
+        arg = a[0].strip()
+        if re.match(int_re, arg, re.IGNORECASE):
+            return f"{int_udf}({arg})"
+        if _stringish(arg):
+            return f"{str_udf}({arg})"
+        raise ChTranslationError(
+            f"{name} over an argument of unknown type: ClickHouse hashes"
+            " the argument's BINARY width, so only string-typed arguments"
+            f" (literal / catalog-known string column / string function)"
+            f" translate directly — wrap in toString() for string-bytes"
+            " semantics or an explicit integer cast for fixed-width"
+            " semantics"
+        )
+    return rw
+
+
+def _rewrite_calls_raw(sql: str, name: str, emit) -> str:
+    """Like ``_rewrite_calls`` but hands ``emit`` the RAW (untranslated)
+    argument text and re-embeds whatever it returns for the later passes
+    to translate.  Needed when classification depends on the original CH
+    spelling — e.g. the byte-hash width gate must distinguish
+    ``toUInt32(x)`` from ``toInt64(x)``, which the cast pass collapses to
+    the same ``CAST(x AS BIGINT)``."""
+    pos = 0
+    while True:
+        at = _find_call(sql, name, pos)
+        if at < 0:
+            return sql
+        open_idx = sql.index("(", at)
+        end = _balanced(sql, open_idx)
+        rep = emit(_split_args(sql[open_idx + 1 : end - 1]))
+        sql = sql[:at] + rep + sql[end:]
+        pos = at + len(rep) if rep.startswith(f"{name}(") else at
+
+
 def _translate_functions(sql: str) -> str:
+    # byte-hash family FIRST, on RAW argument text: the integer-width
+    # detection reads the to[U]Int64()/to[U]Int32() wrapper spelling
+    # before the cast pass collapses widths, and the string gate reads
+    # raw CH function names
+    sql = _rewrite_calls_raw(
+        sql, "sipHash64",
+        _byte_hash_fn("sipHash64", "ch_siphash64", "ch_siphash64_u64",
+                      r"^to(U)?Int64\s*\("),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "xxHash64",
+        _byte_hash_fn("xxHash64", "ch_xxhash64_ch", "ch_xxhash64_u64",
+                      r"^to(U)?Int64\s*\("),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "xxHash32",
+        _byte_hash_fn("xxHash32", "ch_xxhash32_ch", "ch_xxhash32_u32",
+                      r"^to(U)?Int32\s*\("),
+    )
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence(
         sql, "sequenceMatch",
@@ -3462,6 +3556,11 @@ _ARRAY_COLUMNS: frozenset[str] = frozenset()
 # excluded — Spark cannot sort them), for the ANY JOIN survivor tie-break
 _TABLE_COLUMNS: dict[str, list[str]] = {}
 
+# catalog context #3: columns KNOWN to be strings — gates the byte-hash
+# family (sipHash64/xxHash64/xxHash32), whose CH semantics depend on the
+# argument's binary width
+_STRING_COLUMNS: frozenset[str] = frozenset()
+
 
 def _orderable(dt) -> bool:
     """True when Spark can ORDER BY the type — no MapType anywhere in it
@@ -3477,22 +3576,37 @@ def _orderable(dt) -> bool:
     return True
 
 
-def spark_catalog_info(spark, tables) -> tuple[frozenset[str], dict[str, list[str]]]:
-    """One schema walk producing BOTH catalog contexts — THE single
+def spark_catalog_info(
+    spark, tables
+) -> tuple[frozenset[str], dict[str, list[str]], frozenset[str]]:
+    """One schema walk producing ALL catalog contexts — THE single
     classification source (the helpers below are thin views of it):
     (array_columns for empty()/notEmpty() typing, table_columns for the
-    ANY JOIN survivor tie-break)."""
+    ANY JOIN survivor tie-break, string_columns for the byte-hash
+    argument gate).  A name ambiguous across tables lands in NO set —
+    downstream falls back to a loud refusal / analysis error, never a
+    silent mis-answer."""
     arrays: set[str] = set()
-    scalars: set[str] = set()
+    strings: set[str] = set()
+    others: set[str] = set()
     cols: dict[str, list[str]] = {}
     for t in tables:
         fields = spark.table(t).schema.fields
         cols[t] = [f.name for f in fields if _orderable(f.dataType)]
         for f in fields:
-            (arrays if f.dataType.typeName() == "array" else scalars).add(
-                f.name.lower()
-            )
-    return frozenset(arrays - scalars), cols
+            tn = f.dataType.typeName()
+            nm = f.name.lower()
+            if tn == "array":
+                arrays.add(nm)
+            elif tn == "string":
+                strings.add(nm)
+            else:
+                others.add(nm)
+    return (
+        frozenset(arrays - strings - others),
+        cols,
+        frozenset(strings - arrays - others),
+    )
 
 
 def spark_table_columns(spark, tables) -> dict[str, list[str]]:
@@ -5993,7 +6107,8 @@ def _reescape_literals(sql: str) -> str:
 
 
 def translate_ch_sql(
-    sql: str, table_keys=None, array_columns=None, table_columns=None
+    sql: str, table_keys=None, array_columns=None, table_columns=None,
+    string_columns=None,
 ) -> tuple[str, list[str]]:
     """Translate a ClickHouse SQL query to Spark SQL.
 
@@ -6010,10 +6125,15 @@ def translate_ch_sql(
     ``empty()``/``notEmpty()``.
 
     ``table_columns`` (optional): ``{table: [orderable columns]}`` (see
-    ``spark_table_columns``) — enables the ANY JOIN … USING rewrite."""
-    global _ARRAY_COLUMNS, _TABLE_COLUMNS
+    ``spark_table_columns``) — enables the ANY JOIN … USING rewrite.
+
+    ``string_columns`` (optional): column names known from the catalog to
+    be strings — admits bare columns under the byte-hash family
+    (sipHash64/xxHash64/xxHash32)."""
+    global _ARRAY_COLUMNS, _TABLE_COLUMNS, _STRING_COLUMNS
     _ARRAY_COLUMNS = frozenset(c.lower() for c in (array_columns or ()))
     _TABLE_COLUMNS = dict(table_columns or {})
+    _STRING_COLUMNS = frozenset(c.lower() for c in (string_columns or ()))
     try:
         # FIRST, on the raw input only: rewrites below inject their own
         # (Spark-convention) literals, which must not be re-escaped
@@ -6030,6 +6150,7 @@ def translate_ch_sql(
     finally:
         _ARRAY_COLUMNS = frozenset()
         _TABLE_COLUMNS = {}
+        _STRING_COLUMNS = frozenset()
 
 
 def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
@@ -6345,11 +6466,12 @@ def ch_sql(spark, sql: str, sf_dir: str, table_keys=None):
     else:
         for t, df in cached[1].items():
             df.createOrReplaceTempView(t)
-    arr_cols, tbl_cols = cached[2]
+    arr_cols, tbl_cols, str_cols = cached[2]
     translated, _notes = translate_ch_sql(
         sql,
         table_keys=table_keys,
         array_columns=arr_cols,
         table_columns=tbl_cols,
+        string_columns=str_cols,
     )
     return spark.sql(translated)

@@ -47,6 +47,19 @@ Semantics contracts (each pinned by unit/property tests):
   example dl('clickhouse','mouse') = 6.
 - ``arrayLevenshteinDistance`` — plain Levenshtein DP over array
   elements compared by equality.
+- ``sipHash64`` / ``xxHash64`` / ``xxHash32`` — the CH sharding/sampling
+  hash trio with SEED-0/zero-key CH semantics.  SipHash-2-4 is pinned to
+  the reference implementation's official vectors (CH SipHash.h defaults
+  ``key0 = key1 = 0``); XXH64 is additionally proven bit-equal to
+  Spark's own JVM implementation at seed 42 across every code path, and
+  XXH32 reproduces the CH docs example ``xxHash32('Hello, world!') =
+  834093149``.  Spark's builtin ``xxhash64`` seeds with 42 and therefore
+  CANNOT stand in for CH's ``xxHash64`` — the old plain rename silently
+  produced non-CH values and is gone.  Results are decimal(20,0)
+  (UInt64 doesn't fit a signed bigint).  The translator admits only
+  typed arguments (string evidence or an explicit ``to[U]Int64``/
+  ``to[U]Int32`` wrapper of the matching width) because CH hashes the
+  argument's binary representation.
 
 Reference parity: model/value.go has no equivalents (these are
 query-side CH server functions); they exist here because sinker-landed
@@ -197,6 +210,167 @@ def _eq(x, y) -> bool:
         return False
 
 
+_M64 = (1 << 64) - 1
+_M32 = (1 << 32) - 1
+
+
+def _rotl64(x: int, b: int) -> int:
+    return ((x << b) | (x >> (64 - b))) & _M64
+
+
+def _rotl32(x: int, b: int) -> int:
+    return ((x << b) | (x >> (32 - b))) & _M32
+
+
+def _sipround(v0, v1, v2, v3):
+    v0 = (v0 + v1) & _M64; v1 = _rotl64(v1, 13); v1 ^= v0; v0 = _rotl64(v0, 32)
+    v2 = (v2 + v3) & _M64; v3 = _rotl64(v3, 16); v3 ^= v2
+    v0 = (v0 + v3) & _M64; v3 = _rotl64(v3, 21); v3 ^= v0
+    v2 = (v2 + v1) & _M64; v1 = _rotl64(v1, 17); v1 ^= v2; v2 = _rotl64(v2, 32)
+    return v0, v1, v2, v3
+
+
+def _siphash24(data: bytes, k0: int = 0, k1: int = 0) -> int:
+    """SipHash-2-4 (Aumasson & Bernstein, published reference algorithm),
+    pinned against the reference implementation's official test vectors.
+    ClickHouse's sipHash64 for a single String argument is exactly this
+    with the default zero key (SipHash.h: ``SipHash(UInt64 key0 = 0,
+    UInt64 key1 = 0)``)."""
+    v0 = k0 ^ 0x736F6D6570736575
+    v1 = k1 ^ 0x646F72616E646F6D
+    v2 = k0 ^ 0x6C7967656E657261
+    v3 = k1 ^ 0x7465646279746573
+    off = 0
+    while off + 8 <= len(data):
+        m = int.from_bytes(data[off:off + 8], "little")
+        v3 ^= m
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        v0 ^= m
+        off += 8
+    tail = data[off:]
+    m = ((len(data) & 0xFF) << 56) | int.from_bytes(
+        tail + b"\x00" * (7 - len(tail)), "little"
+    )
+    v3 ^= m
+    v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    v0 ^= m
+    v2 ^= 0xFF
+    for _ in range(4):
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    return v0 ^ v1 ^ v2 ^ v3
+
+
+_XXH64_P1 = 0x9E3779B185EBCA87
+_XXH64_P2 = 0xC2B2AE3D27D4EB4F
+_XXH64_P3 = 0x165667B19E3779F9
+_XXH64_P4 = 0x85EBCA77C2B2AE63
+_XXH64_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_round(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _XXH64_P2) & _M64, 31) * _XXH64_P1) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (Collet's published xxHash spec).  ClickHouse's xxHash64 is
+    XXH64 with seed 0; Spark's builtin ``xxhash64`` is XXH64 with seed 42
+    — which doubles as an INDEPENDENT full-algorithm cross-check (the
+    property test asserts this function at seed 42 equals Spark's JVM
+    implementation on arbitrary inputs)."""
+    n = len(data)
+    off = 0
+    if n >= 32:
+        a1 = (seed + _XXH64_P1 + _XXH64_P2) & _M64
+        a2 = (seed + _XXH64_P2) & _M64
+        a3 = seed & _M64
+        a4 = (seed - _XXH64_P1) & _M64
+        while off + 32 <= n:
+            a1 = _xxh64_round(a1, int.from_bytes(data[off:off + 8], "little"))
+            a2 = _xxh64_round(a2, int.from_bytes(data[off + 8:off + 16], "little"))
+            a3 = _xxh64_round(a3, int.from_bytes(data[off + 16:off + 24], "little"))
+            a4 = _xxh64_round(a4, int.from_bytes(data[off + 24:off + 32], "little"))
+            off += 32
+        h = (_rotl64(a1, 1) + _rotl64(a2, 7) + _rotl64(a3, 12) + _rotl64(a4, 18)) & _M64
+        for a in (a1, a2, a3, a4):
+            h = ((h ^ _xxh64_round(0, a)) * _XXH64_P1 + _XXH64_P4) & _M64
+    else:
+        h = (seed + _XXH64_P5) & _M64
+    h = (h + n) & _M64
+    while off + 8 <= n:
+        h ^= _xxh64_round(0, int.from_bytes(data[off:off + 8], "little"))
+        h = (_rotl64(h, 27) * _XXH64_P1 + _XXH64_P4) & _M64
+        off += 8
+    if off + 4 <= n:
+        h ^= (int.from_bytes(data[off:off + 4], "little") * _XXH64_P1) & _M64
+        h = (_rotl64(h, 23) * _XXH64_P2 + _XXH64_P3) & _M64
+        off += 4
+    while off < n:
+        h ^= (data[off] * _XXH64_P5) & _M64
+        h = (_rotl64(h, 11) * _XXH64_P1) & _M64
+        off += 1
+    h ^= h >> 33
+    h = (h * _XXH64_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH64_P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+_XXH32_P1 = 0x9E3779B1
+_XXH32_P2 = 0x85EBCA77
+_XXH32_P3 = 0xC2B2AE3D
+_XXH32_P4 = 0x27D4EB2F
+_XXH32_P5 = 0x165667B1
+
+
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 per the published spec (CH's xxHash32 = seed 0), pinned
+    against the spec's empty-input vector and the CH docs example."""
+    n = len(data)
+    off = 0
+    if n >= 16:
+        a1 = (seed + _XXH32_P1 + _XXH32_P2) & _M32
+        a2 = (seed + _XXH32_P2) & _M32
+        a3 = seed & _M32
+        a4 = (seed - _XXH32_P1) & _M32
+        while off + 16 <= n:
+            for idx in range(4):
+                lane = int.from_bytes(data[off + 4 * idx:off + 4 * idx + 4], "little")
+                acc = (a1, a2, a3, a4)[idx]
+                acc = (_rotl32((acc + lane * _XXH32_P2) & _M32, 13) * _XXH32_P1) & _M32
+                if idx == 0: a1 = acc
+                elif idx == 1: a2 = acc
+                elif idx == 2: a3 = acc
+                else: a4 = acc
+            off += 16
+        h = (_rotl32(a1, 1) + _rotl32(a2, 7) + _rotl32(a3, 12) + _rotl32(a4, 18)) & _M32
+    else:
+        h = (seed + _XXH32_P5) & _M32
+    h = (h + n) & _M32
+    while off + 4 <= n:
+        h = (h + int.from_bytes(data[off:off + 4], "little") * _XXH32_P3) & _M32
+        h = (_rotl32(h, 17) * _XXH32_P4) & _M32
+        off += 4
+    while off < n:
+        h = (h + data[off] * _XXH32_P5) & _M32
+        h = (_rotl32(h, 11) * _XXH32_P1) & _M32
+        off += 1
+    h ^= h >> 15
+    h = (h * _XXH32_P2) & _M32
+    h ^= h >> 13
+    h = (h * _XXH32_P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _u64_bytes(v) -> bytes:
+    """8-byte little-endian of an integer-valued argument (CH hashes the
+    binary width of UInt64/Int64; two's complement = the same bytes)."""
+    return (int(v) & _M64).to_bytes(8, "little")
+
+
 def _map1(fn):
     def run(s: pd.Series) -> pd.Series:
         return s.map(lambda v: None if v is None else fn(v))
@@ -231,6 +405,14 @@ def _bytes2(fn):
     return _map2(lambda a, b: fn(a.encode("utf-8"), b.encode("utf-8")))
 
 
+def _dec(fn):
+    """Wrap an int-producing fn to emit Decimal — CH UInt64 results don't
+    fit Spark's signed bigint; decimal(20,0) renders them unsigned."""
+    from decimal import Decimal
+
+    return lambda v: Decimal(fn(v))
+
+
 # name → (vectorized fn, Spark return type)
 _UDF_SPECS = {
     "ch_base58_encode": (_map1(_b58_encode), "string"),
@@ -251,6 +433,32 @@ _UDF_SPECS = {
     "ch_damerau_levenshtein": (_bytes2(_damerau), "bigint"),
     "ch_array_levenshtein": (
         _map2(lambda a, b: _levenshtein_seq(list(a), list(b))),
+        "bigint",
+    ),
+    # CH hash trio (SAMPLE BY / sharding idioms) — UInt64 as decimal(20,0)
+    "ch_siphash64": (
+        _map1(_dec(lambda s: _siphash24(s.encode("utf-8")))),
+        "decimal(20,0)",
+    ),
+    "ch_siphash64_u64": (
+        _map1(_dec(lambda v: _siphash24(_u64_bytes(v)))),
+        "decimal(20,0)",
+    ),
+    "ch_xxhash64_ch": (
+        _map1(_dec(lambda s: _xxh64(s.encode("utf-8")))),
+        "decimal(20,0)",
+    ),
+    "ch_xxhash64_u64": (
+        _map1(_dec(lambda v: _xxh64(_u64_bytes(v)))),
+        "decimal(20,0)",
+    ),
+    "ch_xxhash32_ch": (
+        _map1(lambda s: _xxh32(s.encode("utf-8"))),
+        "bigint",
+    ),
+    "ch_xxhash32_u32": (
+        # CH hashes a UInt32/Int32 argument as its 4-byte LE binary
+        _map1(lambda v: _xxh32((int(v) & _M32).to_bytes(4, "little"))),
         "bigint",
     ),
 }

@@ -50,7 +50,13 @@ def shard_stripe(col: Column | str, stripe: int, shards: int) -> Column:
 
 
 def shard_hash(col: Column | str, shards: int) -> Column:
-    """Hash policy (task/sharding.go:104-117): ``xxhash64(v) % shards``."""
+    """Hash policy (task/sharding.go:104-117): ``xxhash64(v) % shards``.
+    Same hash FAMILY as the reference (XXH64) but Spark's builtin seeds
+    with 42 where cespare/xxhash seeds 0, so shard PLACEMENT differs from
+    a reference deployment — the contract here is deterministic balanced
+    routing within this engine (JVM-side, codegen'd), not bit parity.
+    CH-exact seed-0 values exist in the dialect layer
+    (functions/chudfs.py ch_xxhash64_ch) for queries that need them."""
     c = F.col(col) if isinstance(col, str) else col
     return F.pmod(F.xxhash64(c), F.lit(int(shards))).cast("int")
 

@@ -3070,3 +3070,32 @@ def test_cli_query_mode_udf_tier(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0] == "rt,jw"
     assert out[1].startswith("ok,0.96111111")
+
+
+def test_byte_hash_family_gate():
+    """sipHash64/xxHash64/xxHash32 translate ONLY with typed evidence
+    (literal / catalog string column / string function / explicit
+    to[U]IntN wrapper matching the hash width) — CH hashes the binary
+    width, so an unknown-typed argument must refuse, never silently hash
+    a stringified number.  Spark's builtin xxhash64 seeds with 42 (CH
+    seeds 0), so the old plain rename is gone."""
+    got, _ = translate_ch_sql(
+        "SELECT sipHash64('data') AS h, xxHash64(toString(n)) AS x,"
+        " xxHash32(event_type) AS y, sipHash64(toUInt64(n)) AS hu,"
+        " xxHash32(toUInt32(n)) AS h32 FROM events",
+        string_columns=["event_type"],
+    )
+    assert "ch_siphash64('data')" in got
+    assert "ch_xxhash64_ch(CAST(n AS STRING))" in got
+    assert "ch_xxhash32_ch(event_type)" in got
+    assert "ch_siphash64_u64(CAST(n AS DECIMAL(20,0)))" in got
+    assert "ch_xxhash32_u32(CAST(n AS BIGINT))" in got
+    for bad, why in [
+        ("SELECT sipHash64(n) FROM t", "unknown type"),
+        ("SELECT xxHash64(a, b) FROM t", "multiple arguments"),
+        # a 32-bit wrapper under a 64-bit hash hashes 4 bytes in CH —
+        # width mismatch must refuse, not silently widen
+        ("SELECT sipHash64(toUInt32(n)) FROM t", "unknown type"),
+    ]:
+        with pytest.raises(ChTranslationError, match=why):
+            translate_ch_sql(bad)

@@ -117,3 +117,62 @@ def test_spark_registration_and_null_propagation(spark):
     ).collect()[0]
     assert row["a"] is None and row["b"] is None and row["c"] is None
     assert row["d"] == "" and row["e"] == 1
+
+
+def test_hash_trio_official_vectors():
+    """SipHash-2-4 reference-implementation vectors (key 00..0f), the
+    xxHash spec's empty-input values, the published quick-brown-fox
+    XXH64, and the ClickHouse docs example xxHash32('Hello, world!')."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _siphash24, _xxh32, _xxh64,
+    )
+
+    k0 = int.from_bytes(bytes(range(8)), "little")
+    k1 = int.from_bytes(bytes(range(8, 16)), "little")
+    assert _siphash24(b"", k0, k1) == 0x726FDB47DD0E0E31
+    assert _siphash24(bytes(range(1)), k0, k1) == 0x74F839C593DC67FD
+    assert _siphash24(bytes(range(7)), k0, k1) == 0xAB0200F58B01D137
+    assert _xxh64(b"") == 0xEF46DB3751D8E999
+    assert (
+        _xxh64(b"The quick brown fox jumps over the lazy dog")
+        == 0x0B242D361FDA71BC
+    )
+    assert _xxh32(b"") == 0x02CC5D05
+    # ClickHouse docs (sql-reference/functions/hash-functions): seed-0
+    # parity with the server's own example output
+    assert _xxh32(b"Hello, world!") == 834093149
+
+
+def test_xxh64_seed42_bit_equal_to_spark_jvm(spark):
+    """Spark's builtin xxhash64 IS XXH64 with seed 42 over the UTF-8
+    bytes — an independent JVM implementation of the identical spec.
+    Bit-equality across lengths 0..70 exercises every code path (1-7-byte
+    tail, 4-byte lane, 8-byte lane, 32-byte stripes)."""
+    from clickhouse_sinker_spark.functions.chudfs import _xxh64
+
+    rows = [(("abc" * 30)[:n] + chr(33 + n),) for n in range(70)] + [("",)]
+    df = spark.createDataFrame(rows, "v string")
+    for row in df.selectExpr("v", "xxhash64(v) AS h").collect():
+        assert _xxh64(row["v"].encode(), seed=42) == row["h"] % (1 << 64)
+
+
+def test_hash_trio_spark_udfs(spark):
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _siphash24, _xxh32, _xxh64, register_ch_udfs,
+    )
+
+    register_ch_udfs(spark)
+    r = spark.sql(
+        "SELECT ch_siphash64('data') AS s,"
+        "       ch_xxhash64_ch('Hello, world!') AS x64,"
+        "       ch_xxhash32_ch('Hello, world!') AS x32,"
+        "       ch_siphash64_u64(CAST(7 AS DECIMAL(20,0))) AS su,"
+        "       ch_xxhash32_u32(CAST(-1 AS BIGINT)) AS xu,"
+        "       ch_siphash64(CAST(NULL AS STRING)) AS nn"
+    ).collect()[0]
+    assert int(r["s"]) == _siphash24(b"data")
+    assert int(r["x64"]) == _xxh64(b"Hello, world!")
+    assert r["x32"] == 834093149
+    assert int(r["su"]) == _siphash24((7).to_bytes(8, "little"))
+    assert r["xu"] == _xxh32(b"\xff\xff\xff\xff")  # two's-complement bytes
+    assert r["nn"] is None
