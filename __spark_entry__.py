@@ -23,12 +23,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER): a fixed
-    # 50-name prefix — 33 queries receiving their first driver hash (the
+    # 50-name prefix — 34 queries receiving their first driver hash (the
     # r6-era never-checked tail plus the r7 additions, incl. the late
     # dialect batches ch_dialect_agg_combinators / _math_entropy /
     # _net_moments / _qualify, the exact-substring dedup, the tumble/hop
-    # time-window batch, and the Arrow-UDF scalar tier) and 17 anchors /
-    # oldest-hash re-confirmations — then
+    # time-window batch, the Arrow-UDF scalar tier, and the
+    # welch/student t-tests) and 16 anchors / oldest-hash
+    # re-confirmations — then
     # every remaining registered query in source order.  Deterministic; no
     # runtime state feeds the ordering.
     return {n: QUERIES[n] for n in ordered_query_names()}

@@ -76,6 +76,8 @@ isNull(x) / isNotNull(x)     (x IS NULL) / (x IS NOT NULL)
 assumeNotNull/toNullable/    (x)   (identity — CH engine artifacts)
 materialize(x)
 now() / today()              current_timestamp() / current_date()
+welch/studentTTest(v, i)     (t, p) tuple: moments JVM-side, Student
+                             CDF via exact incomplete-beta Arrow UDF
 sipHash64/xxHash64/32(x)     ch_* Arrow UDFs, CH-exact seed-0 bytes
                              (Spark's xxhash64 seeds with 42); typed
                              argument gate (string / to[U]IntN wrapper)
@@ -698,8 +700,6 @@ _UNSUPPORTED = {
     "blockSize",
     "byteSize",
     "rankCorr",              # no closed-form single-aggregate Spark expr
-    "studentTTest",          # p-values need distribution functions
-    "welchTTest",
     "mannWhitneyUTest",
     "meanZTest",
     "stochasticLinearRegression",   # iterative trainers, not aggregates
@@ -1620,6 +1620,56 @@ def _rewrite_calls_raw(sql: str, name: str, emit) -> str:
         pos = at + len(rep) if rep.startswith(f"{name}(") else at
 
 
+def _ttest_fn(name: str):
+    """``welchTTest(v, idx)`` / ``studentTTest(v, idx)`` → (t, p) tuple
+    (AggregateFunctionTTest semantics: idx 0 is the first sample, t =
+    mean(idx=0) - mean(idx=1) over the standard error; p two-sided).
+    Everything except the Student CDF is pure JVM aggregate expressions
+    (count/avg/var_samp with FILTER — Catalyst dedups the repeated
+    aggregates); the CDF rides the ``ch_student_p`` Arrow UDF over ONE
+    scalar per group.  try_divide throughout: degenerate samples (n < 2,
+    zero variance) yield NULL, never an ANSI division error."""
+    welch = name == "welchTTest"
+
+    def rw(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ChTranslationError(
+                f"{name}(sample_data, sample_index) — the"
+                " (confidence_level) combinator form is not supported"
+            )
+        v, i = a
+
+        def agg(f: str, k: int) -> str:
+            return f"{f}({v}) FILTER (WHERE ({i}) = {k})"
+
+        n0, n1 = agg("count", 0), agg("count", 1)
+        m0, m1 = agg("avg", 0), agg("avg", 1)
+        s0, s1 = agg("var_samp", 0), agg("var_samp", 1)
+        if welch:
+            v0 = f"try_divide({s0}, {n0})"
+            v1 = f"try_divide({s1}, {n1})"
+            se2 = f"({v0} + {v1})"
+            t = f"try_divide({m0} - {m1}, sqrt({se2}))"
+            df = (
+                f"try_divide({se2} * {se2},"
+                f" try_divide({v0} * {v0}, {n0} - 1)"
+                f" + try_divide({v1} * {v1}, {n1} - 1))"
+            )
+        else:
+            sp2 = (
+                f"try_divide(({n0} - 1) * {s0} + ({n1} - 1) * {s1},"
+                f" {n0} + {n1} - 2)"
+            )
+            t = (
+                f"try_divide({m0} - {m1},"
+                f" sqrt({sp2} * (try_divide(1, {n0}) + try_divide(1, {n1}))))"
+            )
+            df = f"CAST({n0} + {n1} - 2 AS DOUBLE)"
+        return f"named_struct('_1', {t}, '_2', ch_student_p({t}, {df}))"
+
+    return rw
+
+
 def _translate_functions(sql: str) -> str:
     # byte-hash family FIRST, on RAW argument text: the integer-width
     # detection reads the to[U]Int64()/to[U]Int32() wrapper spelling
@@ -1640,6 +1690,8 @@ def _translate_functions(sql: str) -> str:
         _byte_hash_fn("xxHash32", "ch_xxhash32_ch", "ch_xxhash32_u32",
                       r"^to(U)?Int32\s*\("),
     )
+    sql = _rewrite_calls(sql, "welchTTest", _ttest_fn("welchTTest"))
+    sql = _rewrite_calls(sql, "studentTTest", _ttest_fn("studentTTest"))
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence(
         sql, "sequenceMatch",

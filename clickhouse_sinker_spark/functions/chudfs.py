@@ -365,6 +365,69 @@ def _xxh32(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (modified Lentz method,
+    the standard published algorithm — e.g. Numerical Recipes §6.4)."""
+    MAXIT, EPS, FPMIN = 300, 3e-16, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < EPS:
+            break
+    return h
+
+
+def _ibeta(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    from math import exp, lgamma, log
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    front = exp(
+        lgamma(a + b) - lgamma(a) - lgamma(b)
+        + a * log(x) + b * log(1.0 - x)
+    )
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def _student_p(t: float, df: float) -> float:
+    """Two-sided Student-t p-value via the identity
+    P(|T| > t) = I_{df/(df+t²)}(df/2, 1/2) — pinned against classic
+    t-table critical values (e.g. p(2.228, 10) = 0.05) across df 1…1e9."""
+    if df <= 0:
+        return float("nan")
+    return _ibeta(df / 2.0, 0.5, df / (df + t * t))
+
+
 def _u64_bytes(v) -> bytes:
     """8-byte little-endian of an integer-valued argument (CH hashes the
     binary width of UInt64/Int64; two's complement = the same bytes)."""
@@ -460,6 +523,13 @@ _UDF_SPECS = {
         # CH hashes a UInt32/Int32 argument as its 4-byte LE binary
         _map1(lambda v: _xxh32((int(v) & _M32).to_bytes(4, "little"))),
         "bigint",
+    ),
+    # two-sided Student-t p-value — the only non-moment piece of
+    # welchTTest/studentTTest (the t statistic and df are JVM-side
+    # aggregate expressions emitted by the translator)
+    "ch_student_p": (
+        _map2(lambda t, d: _student_p(float(t), float(d))),
+        "double",
     ),
 }
 

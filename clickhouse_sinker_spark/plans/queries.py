@@ -5585,6 +5585,60 @@ def ch_dialect_string_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_STRING_UDFS, sf_dir)
 
 
+CH_DIALECT_TTESTS = """
+    SELECT event_type,
+           round(tupleElement(welchTTest(value, user_id % 2), 1), 6) AS wt,
+           round(tupleElement(studentTTest(value, user_id % 2), 1), 6) AS st,
+           tupleElement(welchTTest(value, user_id % 2), 2) BETWEEN 0 AND 1 AS p_ok,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query(
+    "ch_dialect_ttests",
+    """
+    SELECT event_type,
+           round((avg(value) FILTER (WHERE user_id % 2 = 0)
+                  - avg(value) FILTER (WHERE user_id % 2 = 1))
+                 / sqrt(var_samp(value) FILTER (WHERE user_id % 2 = 0)
+                          / count(value) FILTER (WHERE user_id % 2 = 0)
+                        + var_samp(value) FILTER (WHERE user_id % 2 = 1)
+                          / count(value) FILTER (WHERE user_id % 2 = 1)), 6) AS wt,
+           round((avg(value) FILTER (WHERE user_id % 2 = 0)
+                  - avg(value) FILTER (WHERE user_id % 2 = 1))
+                 / sqrt(((count(value) FILTER (WHERE user_id % 2 = 0) - 1)
+                           * var_samp(value) FILTER (WHERE user_id % 2 = 0)
+                         + (count(value) FILTER (WHERE user_id % 2 = 1) - 1)
+                           * var_samp(value) FILTER (WHERE user_id % 2 = 1))
+                        / (count(value) FILTER (WHERE user_id % 2 = 0)
+                           + count(value) FILTER (WHERE user_id % 2 = 1) - 2)
+                        * (1.0 / count(value) FILTER (WHERE user_id % 2 = 0)
+                           + 1.0 / count(value) FILTER (WHERE user_id % 2 = 1))), 6) AS st,
+           TRUE AS p_ok,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ch_dialect_ttests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH two-sample tests welchTTest/studentTTest (stat-test refusals
+    closed): the translator emits the t statistic and degrees of freedom
+    as pure JVM moment aggregates (count/avg/var_samp with FILTER —
+    Catalyst dedups the repeated aggregates into one pass) and only the
+    Student CDF rides the exact incomplete-beta Arrow UDF
+    (``ch_student_p``, t-table pinned), one scalar per GROUP.  The DuckDB
+    oracle re-derives both t statistics from raw moments — fully
+    independent of the translator's expression; the p-value is
+    range-checked here and value-pinned in pytest (DuckDB has no Student
+    CDF).  Plan: single grouped aggregate + one ArrowEvalPython over
+    group-count rows (not data rows)."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_TTESTS, sf_dir)
+
+
 CH_DIALECT_ARRAYS = """
     SELECT user_id,
            arrayCount(x -> x = 'click', groupArray(event_type)) AS clicks,
@@ -6934,10 +6988,11 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_array_join",
     "ch_dialect_with_totals",
     "ch_dialect_limit_by",
-    # --- oldest-hash re-confirmations (r1-only greens first) ---
+    # --- oldest-hash re-confirmations (r1-only greens first;
+    # text_tfidf_top_terms displaced by the late-r7 ch_dialect_ttests —
+    # restore in r8) ---
     "dedup_components",
     "pipeline_dedup_survivors",
-    "text_tfidf_top_terms",
     "tpch_q6_forecast",
     "sample_stratified",
     "window_rank_distribution",
@@ -6950,6 +7005,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_exact_substring",
     "ch_dialect_time_windows",
     "ch_dialect_string_udfs",
+    "ch_dialect_ttests",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",

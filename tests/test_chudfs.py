@@ -176,3 +176,63 @@ def test_hash_trio_spark_udfs(spark):
     assert int(r["su"]) == _siphash24((7).to_bytes(8, "little"))
     assert r["xu"] == _xxh32(b"\xff\xff\xff\xff")  # two's-complement bytes
     assert r["nn"] is None
+
+
+def test_student_p_t_table_pins():
+    """Two-sided p(t, df) against classic published t-table critical
+    values (α = 0.05 / 0.01) across df 1…1e9, plus edges."""
+    from math import isnan
+
+    from clickhouse_sinker_spark.functions.chudfs import _student_p
+
+    for t, df, want in [
+        (12.706, 1, 0.05), (2.571, 5, 0.05), (2.228, 10, 0.05),
+        (2.042, 30, 0.05), (4.032, 5, 0.01), (2.750, 30, 0.01),
+        (1.960, 1e9, 0.05),
+    ]:
+        assert abs(_student_p(t, df) - want) < 2e-4, (t, df)
+    assert _student_p(0.0, 10) == 1.0
+    assert _student_p(100.0, 10) < 1e-10
+    assert isnan(_student_p(1.0, 0))
+
+
+def test_ttests_match_statistics_module(spark):
+    """welchTTest/studentTTest end-to-end: t and df re-derived with the
+    stdlib statistics module (independent of the emitted SQL), p through
+    the pinned CDF."""
+    import math
+    import statistics as stat
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _student_p, register_ch_udfs,
+    )
+
+    register_ch_udfs(spark)
+    a = [2.0, 4.1, 3.3, 5.2, 4.4, 3.9]
+    b = [1.0, 2.2, 1.8, 2.9, 3.5]
+    spark.createDataFrame(
+        [(x, 0) for x in a] + [(x, 1) for x in b], "v double, g int"
+    ).createOrReplaceTempView("tt_m")
+    got, _ = translate_ch_sql(
+        "SELECT welchTTest(v, g) AS w, studentTTest(v, g) AS s FROM tt_m"
+    )
+    r = spark.sql(got).collect()[0]
+    n0, n1 = len(a), len(b)
+    m0, m1 = stat.mean(a), stat.mean(b)
+    s0, s1 = stat.variance(a), stat.variance(b)
+    se2 = s0 / n0 + s1 / n1
+    tw = (m0 - m1) / math.sqrt(se2)
+    dfw = se2 * se2 / ((s0 / n0) ** 2 / (n0 - 1) + (s1 / n1) ** 2 / (n1 - 1))
+    sp2 = ((n0 - 1) * s0 + (n1 - 1) * s1) / (n0 + n1 - 2)
+    ts = (m0 - m1) / math.sqrt(sp2 * (1 / n0 + 1 / n1))
+    assert abs(r["w"]["_1"] - tw) < 1e-12
+    assert abs(r["w"]["_2"] - _student_p(tw, dfw)) < 1e-12
+    assert abs(r["s"]["_1"] - ts) < 1e-12
+    assert abs(r["s"]["_2"] - _student_p(ts, n0 + n1 - 2)) < 1e-12
+    # degenerate group (n=1): NULL, never an ANSI division error
+    spark.createDataFrame(
+        [(1.0, 0), (2.0, 1)], "v double, g int"
+    ).createOrReplaceTempView("tt_d")
+    got, _ = translate_ch_sql("SELECT welchTTest(v, g) AS w FROM tt_d")
+    assert spark.sql(got).collect()[0]["w"]["_1"] is None
