@@ -106,6 +106,7 @@ tumble/tumbleStart/End       epoch-aligned [start, end) tuple / bounds;
                              1-arg form reads the tuple's fields
 hop/hopStart/hopEnd          FIRST hopping window covering t: smallest
                              aligned slide-multiple > t - size
+erf/erfc/lgamma/tgamma       libm via Arrow UDFs (same C functions)
 base58/base32/punycode       Arrow-UDF tier (functions/chudfs.py):
 [try]En/Decode,              deterministic scalars with no JVM expression
 normalizeUTF8NF*,            form ride vectorized pandas UDFs (ch_sql
@@ -471,6 +472,10 @@ _RENAMES = {
     # Arrow-UDF-backed scalars (functions/chudfs.py) — deterministic CH
     # functions with no JVM expression form; try* variants FIRST so the
     # longer names never see a partial rename
+    "erf": "ch_erf",
+    "erfc": "ch_erfc",
+    "lgamma": "ch_lgamma",
+    "tgamma": "ch_tgamma",
     "tryPunycodeDecode": "ch_try_punycode_decode",
     "tryBase58Decode": "ch_try_base58_decode",
     "tryBase32Decode": "ch_try_base32_decode",
@@ -681,10 +686,6 @@ _UNSUPPORTED = {
     "wordShingleSimHash",
     "ngramDistance",
     "multiFuzzyMatchAny",
-    "erf",            # special functions absent from Spark SQL
-    "erfc",
-    "lgamma",
-    "tgamma",
     "normalizeQuery",        # CH query-text fingerprinting — engine-internal
     "normalizeQueryKeepNames",
     "runningConcurrency",    # block-order-dependent, like runningDifference

@@ -531,7 +531,36 @@ _UDF_SPECS = {
         _map2(lambda t, d: _student_p(float(t), float(d))),
         "double",
     ),
+    # libm special functions (CH calls std::erf etc.; Python's math module
+    # is the same C implementations) — poles follow C99: lgamma(0 and
+    # negative integers) = +inf, tgamma(±0) = ±inf, tgamma(-n) = nan.
+    # NaN results surface as NULL (pandas/Arrow use NaN as the null
+    # sentinel in float64 transfer) — a documented delta at poles only
+    "ch_erf": (_map1(lambda x: __import__("math").erf(float(x))), "double"),
+    "ch_erfc": (_map1(lambda x: __import__("math").erfc(float(x))), "double"),
+    "ch_lgamma": (_map1(lambda x: _lgamma_c(float(x))), "double"),
+    "ch_tgamma": (_map1(lambda x: _tgamma_c(float(x))), "double"),
 }
+
+
+def _lgamma_c(x: float) -> float:
+    import math
+
+    try:
+        return math.lgamma(x)
+    except ValueError:  # Python raises at the poles; C99 returns +inf
+        return float("inf")
+
+
+def _tgamma_c(x: float) -> float:
+    import math
+
+    if x == 0.0:
+        return math.copysign(float("inf"), x)  # tgamma(±0) = ±inf (C99)
+    try:
+        return math.gamma(x)
+    except ValueError:  # negative integers: C99 nan
+        return float("nan")
 
 CH_UDF_NAMES = frozenset(_UDF_SPECS)
 

@@ -2248,7 +2248,7 @@ def test_topk_moments_readable_tuple_batch(spark):
     assert r["s"] == "1.50 KiB" and r["q"] == "1.23 million"
     assert r["ea"] == [] and r["te"] == "x"
     for bad in (
-        "SELECT erf(n) FROM t",
+        "SELECT normalizeQuery(s) FROM t",
         "SELECT deltaSum(n) FROM t",
         "SELECT runningConcurrency(n, n) FROM t",
         "SELECT sumWithOverflow(n) FROM t",

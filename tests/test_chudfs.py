@@ -236,3 +236,24 @@ def test_ttests_match_statistics_module(spark):
     ).createOrReplaceTempView("tt_d")
     got, _ = translate_ch_sql("SELECT welchTTest(v, g) AS w FROM tt_d")
     assert spark.sql(got).collect()[0]["w"]["_1"] is None
+
+
+def test_libm_special_functions(spark):
+    """erf/erfc/lgamma/tgamma ride the same libm Python's math module
+    wraps; C99 pole behavior, with nan surfacing as NULL (pandas/Arrow
+    null sentinel)."""
+    import math
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT erf(1.0) AS a, erfc(2.0) AS b, lgamma(5.5) AS c,"
+        " tgamma(5.0) AS d, lgamma(0.0) AS e, tgamma(-2.0) AS f"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["a"] == math.erf(1.0) and r["b"] == math.erfc(2.0)
+    assert r["c"] == math.lgamma(5.5) and r["d"] == 24.0
+    assert r["e"] == float("inf")
+    assert r["f"] is None  # C99 nan -> NULL through the Arrow transfer
