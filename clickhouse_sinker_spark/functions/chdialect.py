@@ -76,6 +76,8 @@ isNull(x) / isNotNull(x)     (x IS NULL) / (x IS NOT NULL)
 assumeNotNull/toNullable/    (x)   (identity — CH engine artifacts)
 materialize(x)
 now() / today()              current_timestamp() / current_date()
+rankCorr(x, y)               Spearman (Pearson over average ranks):
+                             collect_list + bound sorted-array ranks
 welch/studentTTest(v, i)     (t, p) tuple: moments JVM-side, Student
                              CDF via exact incomplete-beta Arrow UDF
 sipHash64/xxHash64/32(x)     ch_* Arrow UDFs, CH-exact seed-0 bytes
@@ -700,7 +702,6 @@ _UNSUPPORTED = {
     "uptime",
     "blockSize",
     "byteSize",
-    "rankCorr",              # no closed-form single-aggregate Spark expr
     "mannWhitneyUTest",
     "meanZTest",
     "stochasticLinearRegression",   # iterative trainers, not aggregates
@@ -1671,6 +1672,62 @@ def _ttest_fn(name: str):
     return rw
 
 
+def _rank_corr(a: list[str]) -> str:
+    """``rankCorr(x, y)`` → Spearman rank correlation = Pearson over
+    AVERAGE ranks (the tie-correct definition CH implements).  One real
+    aggregate — ``collect_list(struct(x, y))`` with NULL pairs filtered —
+    then pure array expressions: sorted copies of each variable bound
+    ONCE in a named_struct (Spark does no CSE inside lambdas — the
+    one-element-array let-binding from ``_bind_arr``, with reversed
+    copies carried as extra fields per the nested-binding rule), average
+    rank of v = (first_pos + last_pos)/2 via array_position on the sorted
+    and reversed arrays, and a single fold for the Pearson sums.
+    O(n²) array_position work per GROUP (CH streams in O(n log n)) —
+    fine for grouped stats, documented for 100 TB: the per-group pair
+    list must fit an executor, same contract as CH's own memory-bound
+    rank state.  Degenerate groups (n < 2, constant variable) → NULL via
+    try_divide, never an ANSI error."""
+    if len(a) != 2:
+        raise ChTranslationError("rankCorr(x, y) takes exactly 2 arguments")
+    x, y = a
+    pairs = (
+        f"filter(collect_list(named_struct('x', CAST({x} AS DOUBLE),"
+        f" 'y', CAST({y} AS DOUBLE))),"
+        " q -> q.x IS NOT NULL AND q.y IS NOT NULL)"
+    )
+    binding = (
+        "named_struct("
+        f"'p', {pairs}, "
+        f"'ax', sort_array(transform({pairs}, q -> q.x)), "
+        f"'ay', sort_array(transform({pairs}, q -> q.y)), "
+        f"'rax', reverse(sort_array(transform({pairs}, q -> q.x))), "
+        f"'ray', reverse(sort_array(transform({pairs}, q -> q.y))))"
+    )
+    # avg rank of v: (first_pos + last_pos) / 2 = (array_position(sorted)
+    # + n - array_position(reversed) + 1) / 2; the reversed copies are
+    # PRE-BOUND fields — computing reverse() inside the per-element
+    # lambda would copy the array O(n) times (no CSE in lambdas)
+    rx = ("(array_position(b.ax, q.x)"
+          " + size(b.p) - array_position(b.rax, q.x) + 1) / 2.0")
+    ry = ("(array_position(b.ay, q.y)"
+          " + size(b.p) - array_position(b.ray, q.y) + 1) / 2.0")
+    fold = (
+        "aggregate("
+        f"transform(b.p, q -> named_struct('rx', {rx}, 'ry', {ry})), "
+        "named_struct('sx', 0.0D, 'sy', 0.0D, 'sxx', 0.0D, 'syy', 0.0D,"
+        " 'sxy', 0.0D), "
+        "(acc, r) -> named_struct("
+        "'sx', acc.sx + r.rx, 'sy', acc.sy + r.ry,"
+        " 'sxx', acc.sxx + r.rx * r.rx, 'syy', acc.syy + r.ry * r.ry,"
+        " 'sxy', acc.sxy + r.rx * r.ry), "
+        "acc -> try_divide("
+        "size(b.p) * acc.sxy - acc.sx * acc.sy,"
+        " sqrt(size(b.p) * acc.sxx - acc.sx * acc.sx)"
+        " * sqrt(size(b.p) * acc.syy - acc.sy * acc.sy)))"
+    )
+    return f"element_at(transform(array({binding}), b -> {fold}), 1)"
+
+
 def _translate_functions(sql: str) -> str:
     # byte-hash family FIRST, on RAW argument text: the integer-width
     # detection reads the to[U]Int64()/to[U]Int32() wrapper spelling
@@ -1693,6 +1750,7 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(sql, "welchTTest", _ttest_fn("welchTTest"))
     sql = _rewrite_calls(sql, "studentTTest", _ttest_fn("studentTTest"))
+    sql = _rewrite_calls(sql, "rankCorr", _rank_corr)
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence(
         sql, "sequenceMatch",

@@ -5639,6 +5639,46 @@ def ch_dialect_ttests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_TTESTS, sf_dir)
 
 
+CH_DIALECT_RANK_CORR = """
+    SELECT event_type,
+           round(rankCorr(value, user_id), 6) AS rc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query(
+    "ch_dialect_rank_corr",
+    """
+    WITH r AS (
+      SELECT event_type,
+             rank() OVER (PARTITION BY event_type ORDER BY value)
+               + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rx,
+             rank() OVER (PARTITION BY event_type ORDER BY user_id)
+               + (count(*) OVER (PARTITION BY event_type, user_id) - 1) / 2.0 AS ry
+      FROM events
+    )
+    SELECT event_type, round(corr(rx, ry), 6) AS rc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY event_type
+    """,
+)
+def ch_dialect_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``rankCorr`` (Spearman = Pearson over tie-averaged ranks)
+    closed as a pure JVM expression: one collect_list aggregate, sorted
+    arrays let-bound once (reversed copies carried as fields — no CSE in
+    lambdas), average ranks via first/last array_position, Pearson sums
+    in a single fold.  The DuckDB oracle re-derives average ranks with
+    WINDOW functions (rank() + tie-count/2) and its native corr() —
+    completely independent machinery.  Scale: per-group pair array must
+    fit an executor (same memory contract as CH's rank state); grouped
+    single shuffle, no UDFs."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_RANK_CORR, sf_dir)
+
+
 CH_DIALECT_ARRAYS = """
     SELECT user_id,
            arrayCount(x -> x = 'click', groupArray(event_type)) AS clicks,
@@ -6989,12 +7029,11 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_with_totals",
     "ch_dialect_limit_by",
     # --- oldest-hash re-confirmations (r1-only greens first;
-    # text_tfidf_top_terms displaced by the late-r7 ch_dialect_ttests —
-    # restore in r8) ---
+    # text_tfidf_top_terms and sample_stratified displaced by the
+    # late-r7 ch_dialect_ttests / ch_dialect_rank_corr — restore in r8) ---
     "dedup_components",
     "pipeline_dedup_survivors",
     "tpch_q6_forecast",
-    "sample_stratified",
     "window_rank_distribution",
     "mm_frame_sample",
     # --- oldest-hash re-confirmations (r2/r3-era greens) ---
@@ -7006,6 +7045,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_time_windows",
     "ch_dialect_string_udfs",
     "ch_dialect_ttests",
+    "ch_dialect_rank_corr",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",

@@ -3099,3 +3099,23 @@ def test_byte_hash_family_gate():
     ]:
         with pytest.raises(ChTranslationError, match=why):
             translate_ch_sql(bad)
+
+
+def test_rank_corr_ties_and_degenerates(spark):
+    """rankCorr = Pearson over tie-AVERAGED ranks; constant variables and
+    n < 2 yield NULL (try_divide), never an ANSI error."""
+    spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (2.0, 1.0), (3.0, 3.0), (4.0, 9.0),
+         (5.0, 9.0)],
+        "x double, y double",
+    ).createOrReplaceTempView("rc_t")
+    got, _ = translate_ch_sql("SELECT rankCorr(x, y) AS r FROM rc_t")
+    # hand model: ranks x = [1, 2.5, 2.5, 4, 5, 6], y = [2, 4, 1, 3, 5.5, 5.5]
+    assert abs(spark.sql(got).collect()[0]["r"] - 0.7941176470588236) < 1e-12
+    spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 5.0)], "x double, y double"
+    ).createOrReplaceTempView("rc_d")
+    got, _ = translate_ch_sql("SELECT rankCorr(x, y) AS r FROM rc_d")
+    assert spark.sql(got).collect()[0]["r"] is None
+    with pytest.raises(ChTranslationError, match="exactly 2"):
+        translate_ch_sql("SELECT rankCorr(x) FROM t")
