@@ -80,6 +80,9 @@ rankCorr(x, y)               Spearman (Pearson over average ranks):
                              collect_list + bound sorted-array ranks
 welch/studentTTest(v, i)     (t, p) tuple: moments JVM-side, Student
                              CDF via exact incomplete-beta Arrow UDF
+MD5/SHA1/SHA2xx(s)           unhex(md5/sha1/sha2(s[, bits])) — CH
+                             returns raw bytes, Spark builtins hex strings
+halfMD5(x)                   first 8 MD5 bytes big-endian (Arrow UDF)
 sipHash64/xxHash64/32(x)     ch_* Arrow UDFs, CH-exact seed-0 bytes
                              (Spark's xxhash64 seeds with 42); typed
                              argument gate (string / to[U]IntN wrapper)
@@ -661,7 +664,6 @@ _AGG_IF = {
 # known-ClickHouse names we refuse rather than mistranslate
 _UNSUPPORTED = {
     "cityHash64",
-    "halfMD5",
     "farmHash64",     # CH/Farm/Java/Hive hash families have no Spark twin
     "javaHash",
     "hiveHash",
@@ -1747,6 +1749,21 @@ def _translate_functions(sql: str) -> str:
         sql, "xxHash32",
         _byte_hash_fn("xxHash32", "ch_xxhash32_ch", "ch_xxhash32_u32",
                       r"^to(U)?Int32\s*\("),
+    )
+    # cryptographic digests: CH returns RAW BYTES (FixedString) where
+    # Spark's builtins return hex STRINGS — unhex() restores CH semantics
+    # so the idiomatic hex(MD5(s)) doesn't silently double-hex
+    sql = _rewrite_calls(sql, "MD5", lambda a: f"unhex(md5({a[0]}))")
+    sql = _rewrite_calls(sql, "SHA1", lambda a: f"unhex(sha1({a[0]}))")
+    for bits in (224, 256, 384, 512):
+        sql = _rewrite_calls(
+            sql, f"SHA{bits}",
+            lambda a, b=bits: f"unhex(sha2({a[0]}, {b}))",
+        )
+    sql = _rewrite_calls_raw(
+        sql, "halfMD5",
+        _byte_hash_fn("halfMD5", "ch_halfmd5", "ch_halfmd5_u64",
+                      r"^to(U)?Int64\s*\("),
     )
     sql = _rewrite_calls(sql, "welchTTest", _ttest_fn("welchTTest"))
     sql = _rewrite_calls(sql, "studentTTest", _ttest_fn("studentTTest"))

@@ -536,6 +536,19 @@ _UDF_SPECS = {
     # negative integers) = +inf, tgamma(±0) = ±inf, tgamma(-n) = nan.
     # NaN results surface as NULL (pandas/Arrow use NaN as the null
     # sentinel in float64 transfer) — a documented delta at poles only
+    # halfMD5 (CH docs): first 8 bytes of MD5 read as BIG-endian UInt64
+    "ch_halfmd5": (
+        _map1(_dec(lambda s: int.from_bytes(
+            __import__("hashlib").md5(s.encode("utf-8")).digest()[:8], "big"
+        ))),
+        "decimal(20,0)",
+    ),
+    "ch_halfmd5_u64": (
+        _map1(_dec(lambda v: int.from_bytes(
+            __import__("hashlib").md5(_u64_bytes(v)).digest()[:8], "big"
+        ))),
+        "decimal(20,0)",
+    ),
     "ch_erf": (_map1(lambda x: __import__("math").erf(float(x))), "double"),
     "ch_erfc": (_map1(lambda x: __import__("math").erfc(float(x))), "double"),
     "ch_lgamma": (_map1(lambda x: _lgamma_c(float(x))), "double"),

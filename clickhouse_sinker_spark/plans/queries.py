@@ -5679,6 +5679,42 @@ def ch_dialect_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_RANK_CORR, sf_dir)
 
 
+CH_DIALECT_DIGESTS = """
+    SELECT doc_id,
+           hex(MD5(text)) AS m5,
+           hex(SHA256(lang)) AS s256,
+           toString(halfMD5(source)) AS hm
+    FROM documents
+"""
+
+
+@query(
+    "ch_dialect_digests",
+    """
+    SELECT doc_id,
+           upper(md5(text)) AS m5,
+           upper(sha256(lang)) AS s256,
+           CAST(CAST(concat('0x', substr(md5(source), 1, 16)) AS UBIGINT)
+                AS VARCHAR) AS hm
+    FROM documents
+    """,
+)
+def ch_dialect_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH cryptographic digests under the hard gate: ``hex(MD5(s))`` /
+    ``hex(SHA256(s))`` — CH returns RAW BYTES from MD5/SHA* where Spark's
+    builtins return hex strings, so the translator wraps them in unhex()
+    (the idiomatic hex(MD5(s)) was silently double-hexing before) — and
+    ``halfMD5`` (first 8 MD5 bytes read big-endian, CH docs contract).
+    The DuckDB oracle recomputes all three with ITS md5/sha256 and an
+    independent hex-prefix cast for halfMD5.  sipHash64/xxHash64/xxHash32
+    have no DuckDB twin and are pinned in pytest against the official
+    algorithm vectors instead (a circular oracle would prove nothing).
+    Plan: scan → project, one ArrowEvalPython for the halfMD5 scalar."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_DIGESTS, sf_dir)
+
+
 CH_DIALECT_ARRAYS = """
     SELECT user_id,
            arrayCount(x -> x = 'click', groupArray(event_type)) AS clicks,
@@ -7034,7 +7070,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_components",
     "pipeline_dedup_survivors",
     "tpch_q6_forecast",
-    "window_rank_distribution",
+    # (window_rank_distribution displaced by ch_dialect_digests — the
+    # window family re-hashed green across 5 sibling queries in r6)
     "mm_frame_sample",
     # --- oldest-hash re-confirmations (r2/r3-era greens) ---
     # --- late-r7 additions (displaced text_repetition_quality,
@@ -7046,6 +7083,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_string_udfs",
     "ch_dialect_ttests",
     "ch_dialect_rank_corr",
+    "ch_dialect_digests",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",

@@ -257,3 +257,31 @@ def test_libm_special_functions(spark):
     assert r["c"] == math.lgamma(5.5) and r["d"] == 24.0
     assert r["e"] == float("inf")
     assert r["f"] is None  # C99 nan -> NULL through the Arrow transfer
+
+
+def test_digest_wrapping_and_halfmd5(spark):
+    """CH MD5/SHA* return raw bytes (Spark builtins return hex strings):
+    the unhex() wrap restores byte semantics so hex(MD5(s)) matches CH;
+    halfMD5 = first 8 MD5 bytes big-endian (CH docs contract)."""
+    import hashlib
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT hex(MD5('abc')) AS m, hex(SHA1('abc')) AS s1,"
+        " hex(SHA256('abc')) AS s2, hex(SHA512('abc')) AS s5,"
+        " halfMD5('abc') AS hm, halfMD5(toUInt64(7)) AS hmu"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["m"] == hashlib.md5(b"abc").hexdigest().upper()
+    assert r["s1"] == hashlib.sha1(b"abc").hexdigest().upper()
+    assert r["s2"] == hashlib.sha256(b"abc").hexdigest().upper()
+    assert r["s5"] == hashlib.sha512(b"abc").hexdigest().upper()
+    assert int(r["hm"]) == int.from_bytes(
+        hashlib.md5(b"abc").digest()[:8], "big"
+    )
+    assert int(r["hmu"]) == int.from_bytes(
+        hashlib.md5((7).to_bytes(8, "little")).digest()[:8], "big"
+    )
