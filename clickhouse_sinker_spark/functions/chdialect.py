@@ -28,6 +28,8 @@ leftPad/rightPad(s, n, p)    lpad/rpad(s, n, p)
 trimLeft/trimRight/trimBoth  ltrim/rtrim/trim
 replaceAll(s, a, b)          replace(s, a, b)
 lengthUTF8/lowerUTF8/...     length/lower/upper
+length(x)                    octet_length (CH counts BYTES) / size for
+                             arrays (catalog- or producer-typed)
 toUInt*/toInt*(x)            CAST(x AS BIGINT)   (toUInt64 → DECIMAL(20,0))
 toFloat32/64(x)              CAST(x AS DOUBLE)
 toString(x)                  CAST(x AS STRING)
@@ -76,6 +78,8 @@ isNull(x) / isNotNull(x)     (x IS NULL) / (x IS NOT NULL)
 assumeNotNull/toNullable/    (x)   (identity — CH engine artifacts)
 materialize(x)
 now() / today()              current_timestamp() / current_date()
+cramersV/contingency(a, b)   chi-square over distinct-pair counts from
+                             one collect_list (NULL pairs skipped)
 rankCorr(x, y)               Spearman (Pearson over average ranks):
                              collect_list + bound sorted-array ranks
 welch/studentTTest(v, i)     (t, p) tuple: moments JVM-side, Student
@@ -142,7 +146,7 @@ GROUP BY k WITH TOTALS       GROUP BY GROUPING SETS ((k), ())  (noted:
                              totals row keys are NULL, not CH defaults)
 SETTINGS k=v, …              stripped (noted: use session confs)
 FORMAT Name                  stripped (noted: sink owns serialization)
-uniqUpTo(N)(x)               least(count(DISTINCT x), N+1)
+uniqUpTo(N)(x)               LEAST(count(DISTINCT x), N+1)
 LIMIT off, n BY cols         ranked window BETWEEN off+1 AND off+n
 countMatches(h, re)          size(regexp_extract_all(h, re, 0))
 countSubstrings(h, n)        length-difference division (0 for empty n)
@@ -158,7 +162,7 @@ windowFunnel(W[,mode])(…)    aggregate() chain fold over per-condition
                              (one event can climb several levels);
                              strict_order, strict_deduplication and
                              strict_increase modes, combinable
-retention(c1, …, cn)         array of max(c1)/least(max(c1), max(ci))
+retention(c1, …, cn)         array of max(c1)/LEAST(max(c1), max(ci))
 sequenceMatch('pat')(…)      per-group event string + regex (atoms (?N),
 sequenceCount('pat')(…)      .*, and (?t OP N) gap constraints encoded
                              as monotone threshold marker characters)
@@ -274,7 +278,10 @@ isIPv4String/isIPv6String    validation-regex RLIKE → 0/1
 UUIDStringToNum/NumToString  unhex strip-dashes / hyphenated lower hex
 snowflakeToDateTime /        id >> 22 ± Twitter epoch 1288834974657 ms
 dateTimeToSnowflake
-randCanonical/Normal/        rand() / m + s·randn() / rand() < p
+randCanonical/Normal/        random() / m + s·randn() / random() < p
+rand()                       floor(random()·2³²) — CH returns UInt32
+greatest/least               NULL if ANY argument NULL (CH propagation;
+                             Spark's builtins skip nulls)
 Bernoulli
 toTime(t)                    1970-01-02 + pmod(µs, 86400e6)
 timezone()/timeZoneOf/…      current_timezone() (one session TZ)
@@ -789,10 +796,8 @@ _UNSUPPORTED = {
                              # differs (see formatReadable cents rule)
     "proportionsZTest",      # stat tests need distribution functions
     "kolmogorovSmirnovTest",
-    "cramersV",
     "cramersVBiasCorrected",
     "theilsU",
-    "contingency",
     "lowCardinalityKeys",    # engine introspection
     "lowCardinalityIndices",
     "toIntervalNanosecond",  # Spark intervals are microsecond-resolution
@@ -934,7 +939,12 @@ def _rewrite_calls(sql: str, name: str, emit) -> str:
         args = [_translate_functions(a) for a in _split_args(sql[open_idx + 1 : end - 1])]
         rep = emit(args)
         sql = sql[:at] + rep + sql[end:]
-        pos = at + len(rep) if rep.startswith(f"{name}(") else at
+        # advance past the replacement whenever it still CONTAINS a
+        # name( call site — a decline (reconstructed call at position 0)
+        # must be skipped, and an emitter that embeds the scanned name
+        # mid-replacement would otherwise re-match its own output
+        # forever (the greatest→IF(...greatest(...)) loop class)
+        pos = at + len(rep) if _find_call(rep, name) >= 0 else at
 
 
 def _rewrite_quantile(
@@ -1097,7 +1107,7 @@ def _time_slots(a: list[str]) -> str:
         f"CAST(floor((unix_timestamp({a[0]}) + ({a[1]})) / ({sz})) AS BIGINT)"
     )
     return (
-        f"transform(sequence({start}, greatest({start}, {end})), "
+        f"transform(sequence({start}, GREATEST({start}, {end})), "
         f"__tsl_i -> timestamp_seconds(__tsl_i * ({sz})))"
     )
 
@@ -1510,7 +1520,7 @@ def _retention(a: list[str]) -> str:
         raise ChTranslationError("retention requires at least 2 conditions")
     first = f"max(CASE WHEN {a[0]} THEN 1 ELSE 0 END)"
     elems = [f"CAST({first} AS INT)"] + [
-        f"CAST(least({first}, max(CASE WHEN {c} THEN 1 ELSE 0 END)) AS INT)"
+        f"CAST(LEAST({first}, max(CASE WHEN {c} THEN 1 ELSE 0 END)) AS INT)"
         for c in a[1:]
     ]
     return f"array({', '.join(elems)})"
@@ -1621,7 +1631,7 @@ def _rewrite_calls_raw(sql: str, name: str, emit) -> str:
         end = _balanced(sql, open_idx)
         rep = emit(_split_args(sql[open_idx + 1 : end - 1]))
         sql = sql[:at] + rep + sql[end:]
-        pos = at + len(rep) if rep.startswith(f"{name}(") else at
+        pos = at + len(rep) if _find_call(rep, name) >= 0 else at
 
 
 def _ttest_fn(name: str):
@@ -1730,6 +1740,48 @@ def _rank_corr(a: list[str]) -> str:
     return f"element_at(transform(array({binding}), b -> {fold}), 1)"
 
 
+def _assoc_fn(kind: str):
+    """``cramersV(a, b)`` / ``contingency(a, b)`` — categorical
+    association from the χ² statistic, computed as ONE collect_list
+    aggregate plus pure array expressions: rows with either value NULL
+    are skipped (CH aggregate NULL semantics), values stringified for
+    uniform equality, distinct pairs enumerated once, observed/marginal
+    counts via filter() sizes over the let-bound pair array.
+    χ² = n·(Σ o²/(r·c) − 1); Cramér's V = sqrt(χ²/(n·(min(k1,k2)−1)));
+    contingency coefficient = sqrt(χ²/(χ²+n)).  O(n·k) filter work per
+    GROUP (k = distinct pairs) — grouped-stats scale, same per-group
+    memory contract as rankCorr; degenerate groups → NULL via
+    try_divide.  cramersVBiasCorrected stays refused (Bergsma's
+    correction has CH-specific clamping not worth guessing)."""
+    def rw(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ChTranslationError(f"{kind}(a, b) takes exactly 2 arguments")
+        x, y = a
+        pairs = (
+            f"filter(collect_list(named_struct('a', CAST({x} AS STRING),"
+            f" 'b', CAST({y} AS STRING))),"
+            " q -> q.a IS NOT NULL AND q.b IS NOT NULL)"
+        )
+        binding = f"named_struct('p', {pairs}, 'dp', array_distinct({pairs}))"
+        chi2 = (
+            "CAST(size(b.p) AS DOUBLE) * (aggregate(b.dp, 0.0D, (acc, q) ->"
+            " acc + try_divide("
+            "CAST(size(filter(b.p, e -> e.a = q.a AND e.b = q.b)) AS DOUBLE)"
+            " * size(filter(b.p, e -> e.a = q.a AND e.b = q.b)),"
+            " CAST(size(filter(b.p, e -> e.a = q.a)) AS DOUBLE)"
+            " * size(filter(b.p, e -> e.b = q.b)))) - 1.0D)"
+        )
+        if kind == "cramersV":
+            k = ("LEAST(size(array_distinct(transform(b.p, e -> e.a))),"
+                 " size(array_distinct(transform(b.p, e -> e.b))))")
+            body = f"sqrt(try_divide({chi2}, size(b.p) * ({k} - 1)))"
+        else:  # contingency coefficient
+            body = f"sqrt(try_divide({chi2}, {chi2} + size(b.p)))"
+        return f"element_at(transform(array({binding}), b -> {body}), 1)"
+
+    return rw
+
+
 def _translate_functions(sql: str) -> str:
     # byte-hash family FIRST, on RAW argument text: the integer-width
     # detection reads the to[U]Int64()/to[U]Int32() wrapper spelling
@@ -1765,9 +1817,21 @@ def _translate_functions(sql: str) -> str:
         _byte_hash_fn("halfMD5", "ch_halfmd5", "ch_halfmd5_u64",
                       r"^to(U)?Int64\s*\("),
     )
+    # CH length() is BYTE length on strings (lengthUTF8 counts chars) and
+    # element count on arrays; Spark's length() counts chars.  Runs EARLY
+    # so only user-written length() is rewritten — later rewrites that
+    # EMIT length(...) mean Spark char semantics and stay untouched.
+    sql = _rewrite_calls(
+        sql, "length",
+        lambda a: _len_expr(a[0], str_fn="octet_length")
+        if len(a) == 1
+        else _refuse("length with more than one argument"),
+    )
     sql = _rewrite_calls(sql, "welchTTest", _ttest_fn("welchTTest"))
     sql = _rewrite_calls(sql, "studentTTest", _ttest_fn("studentTTest"))
     sql = _rewrite_calls(sql, "rankCorr", _rank_corr)
+    sql = _rewrite_calls(sql, "cramersV", _assoc_fn("cramersV"))
+    sql = _rewrite_calls(sql, "contingency", _assoc_fn("contingency"))
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence(
         sql, "sequenceMatch",
@@ -1923,7 +1987,7 @@ def _translate_functions(sql: str) -> str:
                 f"uniqUpTo requires an integer literal N, got {n_raw!r}"
             ) from e
         x = _translate_functions(sql[open2 + 1 : end2 - 1]).strip()
-        sql = sql[:at] + f"least(count(DISTINCT {x}), {n + 1})" + sql[end2:]
+        sql = sql[:at] + f"LEAST(count(DISTINCT {x}), {n + 1})" + sql[end2:]
     # topK(N)(x): CH's approximate heavy-hitters list, computed EXACTLY
     # here — per-group frequency fold over one collect_list (Spark dedups
     # the two textually identical aggregate calls into a single buffer);
@@ -2044,13 +2108,13 @@ def _translate_functions(sql: str) -> str:
             f"CAST({params[1]} AS INT)"
             if len(params) == 2
             else f"aggregate({cl}, 0, (__gm, __ge) -> "
-                 f"greatest(__gm, __ge.p + 1))"
+                 f"GREATEST(__gm, __ge.p + 1))"
         )
         expr = _bind_arr(
             f"named_struct('l', {cl}, 's', {sz})",
             lambda st: (
-                f"transform(slice(sequence(0, greatest({st}.s - 1, 0)), 1, "
-                f"greatest({st}.s, 0)), __gi -> coalesce(array_min("
+                f"transform(slice(sequence(0, GREATEST({st}.s - 1, 0)), 1, "
+                f"GREATEST({st}.s, 0)), __gi -> coalesce(array_min("
                 f"transform(filter({st}.l, __ge -> __ge.p = __gi), "
                 f"__gx -> __gx.x)), {default}))"
             ),
@@ -2134,8 +2198,8 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "caseWithExpression", _case_with_expression)
     for mname, combine in (
         ("sumMap", "coalesce(__a, 0) + coalesce(__b, 0)"),
-        ("minMap", "least(__a, __b)"),
-        ("maxMap", "greatest(__a, __b)"),
+        ("minMap", "LEAST(__a, __b)"),
+        ("maxMap", "GREATEST(__a, __b)"),
     ):
         sql = _rewrite_calls(
             sql, mname, lambda a, c=combine, n=mname: _agg_map(a, c, n)
@@ -2192,8 +2256,14 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "multiply", lambda a: f"(({a[0]}) * ({a[1]}))")
     sql = _rewrite_calls(sql, "divide", lambda a: f"(({a[0]}) / ({a[1]}))")
     sql = _rewrite_calls(sql, "negate", lambda a: f"(-({a[0]}))")
-    sql = _rewrite_calls(sql, "empty", lambda a: f"({_len_expr(a[0])} = 0)")
-    sql = _rewrite_calls(sql, "notEmpty", lambda a: f"({_len_expr(a[0])} > 0)")
+    sql = _rewrite_calls(
+        sql, "empty",
+        lambda a: f"({_len_expr(a[0], str_fn='octet_length')} = 0)",
+    )
+    sql = _rewrite_calls(
+        sql, "notEmpty",
+        lambda a: f"({_len_expr(a[0], str_fn='octet_length')} > 0)",
+    )
     # higher-order array functions: ClickHouse puts the lambda FIRST
     # (arrayMap(x -> ..., arr)); Spark puts the collection first — and the
     # lambda syntax itself (x -> expr, (x, y) -> expr) is identical in both
@@ -2647,13 +2717,46 @@ def _translate_functions(sql: str) -> str:
         sql, "dateTimeToSnowflake",
         lambda a: f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)",
     )
-    sql = _rewrite_calls(sql, "randCanonical", lambda a: "rand()")
+    # CH randCanonical() is the [0, 1) double; emitted as random() (the
+    # Spark alias) so the rand() UInt32 rewrite below can never re-match
+    # it on argument re-traversal
+    sql = _rewrite_calls(sql, "randCanonical", lambda a: "random()")
+    # CH rand() returns a UInt32 (users mod it: rand() % N); Spark's
+    # rand() is a double in [0, 1) — scale up or the modulo silently
+    # degenerates.  A CH dummy-seed argument is ignored, as in CH.
+    # rand64 would need 64 random bits (a double holds 53): typed
+    # refusal instead of a silently-biased scale-up.
+    sql = _rewrite_calls(
+        sql, "rand",
+        lambda a: "CAST(floor(random() * 4294967296) AS BIGINT)",
+    )
+    sql = _rewrite_calls(
+        sql, "rand64",
+        lambda a: _refuse(
+            "rand64() (a double has 53 random bits, not 64) — use rand()"
+            " (UInt32) or randCanonical() ([0,1) double)"
+        ),
+    )
+    # CH greatest/least return NULL when ANY argument is NULL; Spark's
+    # skip nulls and return the largest/smallest non-null
+    # emitted via array_max/array_min, NOT greatest/least: a replacement
+    # containing the scanned name mid-string would re-match forever
+    for gl, arr_fn in (("greatest", "array_max"), ("least", "array_min")):
+        sql = _rewrite_calls(
+            sql, gl,
+            lambda a, f=arr_fn, g=gl: (
+                "IF(" + " OR ".join(f"({x}) IS NULL" for x in a)
+                + f", NULL, {f}(array({', '.join(a)})))"
+                if len(a) >= 2
+                else _refuse(f"{g} needs at least 2 arguments")
+            ),
+        )
     sql = _rewrite_calls(
         sql, "randNormal", lambda a: f"(({a[0]}) + ({a[1]}) * randn())"
     )
     sql = _rewrite_calls(
         sql, "randBernoulli",
-        lambda a: f"CAST(rand() < ({a[0]}) AS BIGINT)",
+        lambda a: f"CAST(random() < ({a[0]}) AS BIGINT)",
     )
     # toTime: keep time-of-day, pin the date to 1970-01-02 (CH contract);
     # pmod keeps pre-1970 timestamps on the positive side
@@ -2879,11 +2982,11 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "arrayPushBack", lambda a: f"concat({a[0]}, array({a[1]}))")
     sql = _rewrite_calls(sql, "arrayPushFront", lambda a: f"concat(array({a[1]}), {a[0]})")
     sql = _rewrite_calls(
-        sql, "arrayPopBack", lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+        sql, "arrayPopBack", lambda a: f"slice({a[0]}, 1, GREATEST(size({a[0]}) - 1, 0))"
     )
     sql = _rewrite_calls(
         sql, "arrayPopFront",
-        lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
+        lambda a: f"slice({a[0]}, 2, GREATEST(size({a[0]}) - 1, 0))",
     )
     sql = _rewrite_calls(sql, "arrayUniq", lambda a: f"size(array_distinct({a[0]}))")
     sql = _rewrite_calls(
@@ -3751,20 +3854,24 @@ def spark_array_columns(spark, tables) -> frozenset[str]:
     return spark_catalog_info(spark, tables)[0]
 
 
-def _len_expr(arg: str) -> str:
-    """ClickHouse ``empty()`` is polymorphic (strings AND arrays); Spark's
-    ``length`` is string-only and ``size`` is array-only.  Pick by
-    sniffing the (already translated) argument: expressions built by
+def _len_expr(arg: str, str_fn: str = "length") -> str:
+    """ClickHouse ``empty()``/``length()`` are polymorphic (strings AND
+    arrays); Spark's ``length`` is string-only and ``size`` is
+    array-only.  Pick by sniffing the argument: expressions built by
     array-producing functions get ``size``, bare columns the catalog
     context (``_ARRAY_COLUMNS``) knows to be arrays get ``size``,
-    everything else ``length``.  An untyped bare array column then fails
-    analysis loudly (length over array), never silently mis-answers."""
+    everything else ``str_fn`` — ``octet_length`` everywhere (CH
+    ``length()`` counts BYTES, lengthUTF8 is the char form; for empty()/
+    notEmpty() 0 bytes ⟺ 0 chars, and the byte form is idempotent under
+    the re-traversal that happens when an outer rewrite re-translates
+    its argument text).  An untyped bare array column then fails analysis
+    loudly (string fn over array), never silently mis-answers."""
     if _ARRAY_PRODUCERS.match(arg):
         return f"size({arg})"
     bare = re.match(r"^\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*$", arg)
     if bare and bare.group(1).lower() in _ARRAY_COLUMNS:
         return f"size({arg})"
-    return f"length({arg})"
+    return f"{str_fn}({arg})"
 
 
 def _date_diff(args: list[str]) -> str:
@@ -4367,7 +4474,7 @@ def _array_difference(args: list[str]) -> str:
     ``slice(..., 1, size)`` restores [] for empty inputs."""
     arr = args[0]
     return (
-        f"slice(transform(sequence(1, greatest(size({arr}), 1)),"
+        f"slice(transform(sequence(1, GREATEST(size({arr}), 1)),"
         f" __i -> CASE WHEN __i = 1 THEN 0"
         f" ELSE element_at({arr}, __i) - element_at({arr}, __i - 1) END),"
         f" 1, size({arr}))"
@@ -4381,12 +4488,12 @@ def _range_seq(args: list[str]) -> str:
     length (0 when empty)."""
     if len(args) == 1:
         n = f"({args[0]})"
-        return f"slice(sequence(0, greatest({n} - 1, 0)), 1, greatest({n}, 0))"
+        return f"slice(sequence(0, GREATEST({n} - 1, 0)), 1, GREATEST({n}, 0))"
     if len(args) == 2:
         a, b = f"({args[0]})", f"({args[1]})"
         return (
-            f"slice(sequence({a}, greatest({b} - 1, {a})), 1, "
-            f"greatest({b} - {a}, 0))"
+            f"slice(sequence({a}, GREATEST({b} - 1, {a})), 1, "
+            f"GREATEST({b} - {a}, 0))"
         )
     raise ChTranslationError("range with explicit step not supported")
 
@@ -4416,7 +4523,7 @@ def _ipv4_cidr_to_range(a: list[str]) -> str:
     # negative shift would wrap mod 64 in the JVM
     sh = (
         f"shiftleft(CAST(1 AS BIGINT), "
-        f"least(greatest(32 - ({a[1]}), 0), 32))"
+        f"LEAST(GREATEST(32 - ({a[1]}), 0), 32))"
     )
     return _bind_arr(
         _ipv4_string_to_num([a[0]]),
@@ -4648,9 +4755,9 @@ def _array_shingles(a: list[str]) -> str:
     return _bind_arr(
         a[0],
         lambda arr: (
-            f"slice(transform(sequence(1, greatest(size({arr}) - {n} + 1, 1)), "
+            f"slice(transform(sequence(1, GREATEST(size({arr}) - {n} + 1, 1)), "
             f"__sh -> slice({arr}, __sh, {n})), 1, "
-            f"greatest(size({arr}) - {n} + 1, 0))"
+            f"GREATEST(size({arr}) - {n} + 1, 0))"
         ),
     )
 
@@ -4701,7 +4808,7 @@ def _ip_in_range(a: list[str]) -> str:
     return _bind_arr(
         f"named_struct('n', {_ipv4_string_to_num([a[0]])}, "
         f"'b', {_ipv4_string_to_num([base_ip])}, "
-        f"'s', shiftleft(CAST(1 AS BIGINT), least(greatest(32 - "
+        f"'s', shiftleft(CAST(1 AS BIGINT), LEAST(GREATEST(32 - "
         f"CAST(element_at(split({a[1]}, '/'), 2) AS INT), 0), 32)))",
         lambda st: (
             # guard order matters: v6 cidr → unsupported; malformed cidr →
@@ -4730,7 +4837,7 @@ def _array_cumsum_nonneg(a: list[str]) -> str:
         a[0],
         lambda v: (
             f"aggregate({v}, slice({v}, 1, 0), (__acc, __x) -> concat(__acc, "
-            f"array(greatest(CASE WHEN size(__acc) = 0 THEN __x "
+            f"array(GREATEST(CASE WHEN size(__acc) = 0 THEN __x "
             f"ELSE element_at(__acc, size(__acc)) + __x END, 0))))"
         ),
     )
@@ -4771,7 +4878,7 @@ def _has_substr(a: list[str]) -> str:
         lambda st: (
             f"CASE WHEN size({st}.b) = 0 THEN size({st}.a) >= 0 "
             f"ELSE exists(transform(sequence(1, "
-            f"greatest(size({st}.a) - size({st}.b) + 1, 1)), "
+            f"GREATEST(size({st}.a) - size({st}.b) + 1, 1)), "
             f"__hs -> slice({st}.a, __hs, size({st}.b))), "
             f"__sl -> __sl = {st}.b) END"
         ),
@@ -5133,8 +5240,8 @@ def _map_populate_series(args: list[str]) -> str:
                 else f"CAST(array_max({kk}) AS BIGINT)"
             )
             return (
-                f"slice(sequence({lo}, greatest({hi}, {lo})), 1, "
-                f"CAST(greatest({hi} - {lo} + 1, 0) AS INT))"
+                f"slice(sequence({lo}, GREATEST({hi}, {lo})), 1, "
+                f"CAST(GREATEST({hi} - {lo} + 1, 0) AS INT))"
             )
 
         return _bind_arr(
@@ -6542,6 +6649,13 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_with_ties(_rewrite_limit_by(sql))
     out = _translate_functions(_rewrite_brackets(sql))
+    if _find_call(out, "round") >= 0:
+        notes.append(
+            "round(): Spark rounds exact halves away from zero; CH"
+            " banker's-rounds Float arguments at exact halfway points"
+            " (CH rounds Decimals away from zero, matching Spark) —"
+            " roundBankers() gives CH float behavior explicitly"
+        )
     used_udfs = sorted(
         n for n in CH_UDF_NAMES if _find_call(out, n) >= 0
     )

@@ -5715,6 +5715,58 @@ def ch_dialect_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_DIGESTS, sf_dir)
 
 
+CH_DIALECT_ASSOC = """
+    SELECT user_id % 3 AS g,
+           round(cramersV(event_type, user_id % 5), 6) AS v,
+           round(contingency(event_type, user_id % 5), 6) AS c,
+           count(*) AS n
+    FROM events
+    GROUP BY g
+"""
+
+
+@query(
+    "ch_dialect_assoc",
+    """
+    WITH base AS (
+      SELECT user_id % 3 AS g, event_type AS a,
+             CAST(user_id % 5 AS VARCHAR) AS b
+      FROM events
+    ),
+    cnt AS (SELECT g, a, b, count(*) AS o FROM base GROUP BY 1, 2, 3),
+    marg AS (SELECT g, a, sum(o) AS r FROM cnt GROUP BY 1, 2),
+    mcol AS (SELECT g, b, sum(o) AS c FROM cnt GROUP BY 1, 2),
+    tot AS (SELECT g, sum(o) AS n, count(DISTINCT a) AS k1,
+                   count(DISTINCT b) AS k2 FROM cnt GROUP BY 1),
+    chi AS (
+      SELECT cnt.g AS g, max(tot.n) AS n, max(tot.k1) AS k1,
+             max(tot.k2) AS k2,
+             max(tot.n) * (sum(o * o / (marg.r * mcol.c)) - 1) AS chi2
+      FROM cnt
+      JOIN marg ON marg.g = cnt.g AND marg.a = cnt.a
+      JOIN mcol ON mcol.g = cnt.g AND mcol.b = cnt.b
+      JOIN tot ON tot.g = cnt.g
+      GROUP BY cnt.g
+    )
+    SELECT g, round(sqrt(chi2 / (n * (least(k1, k2) - 1))), 6) AS v,
+           round(sqrt(chi2 / (chi2 + n)), 6) AS c,
+           CAST(n AS BIGINT) AS n
+    FROM chi
+    """,
+)
+def ch_dialect_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH categorical-association aggregates cramersV/contingency as one
+    collect_list plus χ² over distinct-pair counts (stat-test refusal
+    tail further closed; see ``_assoc_fn``).  The DuckDB oracle builds
+    the contingency table RELATIONALLY (GROUP BY counts, marginal joins)
+    — fully independent of the fold.  Scale: per-group pair array on one
+    executor (grouped-stats contract, as rankCorr); single grouped
+    shuffle, no UDFs."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_ASSOC, sf_dir)
+
+
 CH_DIALECT_ARRAYS = """
     SELECT user_id,
            arrayCount(x -> x = 'click', groupArray(event_type)) AS clicks,
@@ -7068,7 +7120,9 @@ DRIVER_ORDER: list[str] = [
     # text_tfidf_top_terms and sample_stratified displaced by the
     # late-r7 ch_dialect_ttests / ch_dialect_rank_corr — restore in r8) ---
     "dedup_components",
-    "pipeline_dedup_survivors",
+    # (pipeline_dedup_survivors displaced by ch_dialect_assoc — its
+    # pair→component→survivor stages are covered by dedup_components and
+    # the r6-hashed dedup family; restore in r8)
     "tpch_q6_forecast",
     # (window_rank_distribution displaced by ch_dialect_digests — the
     # window family re-hashed green across 5 sibling queries in r6)
@@ -7084,6 +7138,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_ttests",
     "ch_dialect_rank_corr",
     "ch_dialect_digests",
+    "ch_dialect_assoc",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",

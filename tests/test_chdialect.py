@@ -71,7 +71,7 @@ def test_multi_if_and_nested_calls():
     got = T("SELECT multiIf(value > 1, 'hi', empty(event_type), 'none', 'lo')")
     assert got == (
         "SELECT CASE WHEN value > 1 THEN 'hi' "
-        "WHEN (length(event_type) = 0) THEN 'none' ELSE 'lo' END"
+        "WHEN (octet_length(event_type) = 0) THEN 'none' ELSE 'lo' END"
     )
     # nested translation inside arguments
     assert T("SELECT sumIf(toFloat64(value), toInt32(user_id) > 5)") == (
@@ -167,7 +167,7 @@ def test_renames_do_not_touch_string_literals():
 
     sql2 = "SELECT 'empty(' , notEmpty(name) FROM t"
     got2, _ = translate_ch_sql(sql2)
-    assert "'empty('" in got2 and "(length(name) > 0)" in got2
+    assert "'empty('" in got2 and "(octet_length(name) > 0)" in got2
 
 
 def test_empty_on_array_expression_uses_size(spark):
@@ -179,7 +179,7 @@ def test_empty_on_array_expression_uses_size(spark):
         "SELECT notEmpty(splitByChar(',', tags)) AS has_tags, empty(name) AS noname FROM t"
     )
     assert "(size(split(tags, ',')) > 0)" in got
-    assert "(length(name) = 0)" in got
+    assert "(octet_length(name) = 0)" in got
 
     spark.createDataFrame([("a,b", ""), ("", "x")], "tags string, name string") \
         .createOrReplaceTempView("t")
@@ -627,7 +627,7 @@ def test_uniq_up_to(spark):
     from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
 
     got, _ = translate_ch_sql("SELECT uniqUpTo(3)(v) AS u FROM t")
-    assert "least(count(DISTINCT v), 4)" in got
+    assert "LEAST(count(DISTINCT v), 4)" in got
     spark.createDataFrame([(i % 6,) for i in range(20)], "v int") \
         .createOrReplaceTempView("t")
     assert spark.sql(got).first()["u"] == 4  # 6 distinct > N=3 → pinned at 4
@@ -1082,7 +1082,7 @@ def test_empty_on_bare_array_column_catalog_aware(spark):
         "SELECT id, empty(tags) AS no_tags, empty(name) AS no_name FROM t",
         array_columns=cols,
     )
-    assert "(size(tags) = 0)" in got and "(length(name) = 0)" in got
+    assert "(size(tags) = 0)" in got and "(octet_length(name) = 0)" in got
     out = {r["id"]: (r["no_tags"], r["no_name"]) for r in spark.sql(got).collect()}
     assert out == {1: (False, False), 2: (True, True)}
     # context resets between calls — without the catalog, back to length()
@@ -2335,7 +2335,7 @@ def test_batch3_array_map_stat_tail(spark):
         g, _ = translate_ch_sql("SELECT throwIf(n > 2, 'boom') FROM t")
         spark.sql(g).collect()
     for bad in (
-        "SELECT rankCorr(v, v) FROM t",
+        "SELECT cramersV(a, b) FROM t",
         "SELECT lemmatize('en', s) FROM t",
         "SELECT detectLanguage(s) FROM t",
         "SELECT geohashEncode(1.0, 2.0)",
@@ -3119,3 +3119,71 @@ def test_rank_corr_ties_and_degenerates(spark):
     assert spark.sql(got).collect()[0]["r"] is None
     with pytest.raises(ChTranslationError, match="exactly 2"):
         translate_ch_sql("SELECT rankCorr(x) FROM t")
+
+
+def test_length_byte_semantics(spark):
+    """CH length() counts BYTES on strings (lengthUTF8 counts chars) and
+    elements on arrays — the passthrough to Spark's char-counting
+    length() silently diverged on multibyte text."""
+    spark.createDataFrame([("héllo", ["a", "b"])], "s string, tags array<string>") \
+        .createOrReplaceTempView("len_t")
+    got, _ = translate_ch_sql(
+        "SELECT length(s) AS b, lengthUTF8(s) AS c FROM len_t",
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["b"] == 6 and r["c"] == 5  # é is 2 bytes
+    got, _ = translate_ch_sql("SELECT length(groupArray(s)) AS n FROM len_t")
+    assert spark.sql(got).collect()[0]["n"] == 1
+    got, _ = translate_ch_sql(
+        "SELECT length(tags) AS nt FROM len_t", array_columns=["tags"]
+    )
+    assert spark.sql(got).collect()[0]["nt"] == 2
+
+
+def test_rand_and_greatest_least_semantics(spark):
+    """CH rand() is a UInt32 (rand() % N must stay meaningful — Spark's
+    rand() double would make it degenerate); randCanonical() is the
+    [0,1) double; rand64 refuses (53 random bits ≠ 64); greatest/least
+    propagate NULL from ANY argument (Spark's builtins skip nulls)."""
+    got, _ = translate_ch_sql(
+        "SELECT rand() % 100 AS r, randCanonical() AS c,"
+        " greatest(a, b) AS g, least(a, b) AS l FROM gl_t"
+    )
+    spark.createDataFrame(
+        [(1, None), (3, 2)], "a int, b int"
+    ).createOrReplaceTempView("gl_t")
+    rows = spark.sql(got).collect()
+    by_a = {}
+    for r in rows:
+        by_a[r["g"]] = r
+        assert 0 <= r["r"] < 100 and 0.0 <= r["c"] < 1.0
+    assert None in by_a and 3 in by_a  # NULL propagated, 3 = greatest(3,2)
+    assert by_a[3]["l"] == 2
+    with pytest.raises(ChTranslationError, match="rand64"):
+        translate_ch_sql("SELECT rand64() FROM t")
+
+
+def test_cramers_v_and_contingency_model(spark):
+    """χ²-based association vs a hand Counter model, NULL pairs skipped
+    (CH aggregate NULL semantics); bias-corrected variant still refuses."""
+    import math
+    from collections import Counter
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"), ("b", "y"),
+            ("b", "x"), ("c", "x"), (None, "x"), ("c", None)]
+    spark.createDataFrame(rows, "s1 string, s2 string") \
+        .createOrReplaceTempView("cv_t")
+    got, _ = translate_ch_sql(
+        "SELECT cramersV(s1, s2) AS v, contingency(s1, s2) AS c FROM cv_t"
+    )
+    r = spark.sql(got).collect()[0]
+    data = [p for p in rows if None not in p]
+    n = len(data)
+    pc = Counter(data)
+    ac = Counter(p[0] for p in data)
+    bc = Counter(p[1] for p in data)
+    chi2 = n * (sum(o * o / (ac[a] * bc[b]) for (a, b), o in pc.items()) - 1)
+    assert abs(r["v"] - math.sqrt(chi2 / (n * (min(len(ac), len(bc)) - 1)))) < 1e-12
+    assert abs(r["c"] - math.sqrt(chi2 / (chi2 + n))) < 1e-12
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT cramersVBiasCorrected(s1, s2) FROM t")
