@@ -23,13 +23,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER): a fixed
-    # 50-name prefix — 37 queries receiving their first driver hash (the
+    # 50-name prefix — 38 queries receiving their first driver hash (the
     # r6-era never-checked tail plus the r7 additions, incl. the late
     # dialect batches ch_dialect_agg_combinators / _math_entropy /
     # _net_moments / _qualify, the exact-substring dedup, the tumble/hop
     # time-window batch, the Arrow-UDF scalar tier, the welch/student
-    # t-tests, rankCorr, cramersV/contingency, and the digest batch)
-    # and 13 anchors / oldest-hash
+    # t-tests, rankCorr, cramersV/contingency, the digest batch, and
+    # the IPv6 family) and 12 anchors / oldest-hash
     # re-confirmations — then
     # every remaining registered query in source order.  Deterministic; no
     # runtime state feeds the ordering.

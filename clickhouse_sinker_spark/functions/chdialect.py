@@ -115,6 +115,9 @@ tumble/tumbleStart/End       epoch-aligned [start, end) tuple / bounds;
                              1-arg form reads the tuple's fields
 hop/hopStart/hopEnd          FIRST hopping window covering t: smallest
                              aligned slide-multiple > t - size
+IPv6 family ([to/cut/...]    16-byte BINARY values (lexicographic =
+IPv6*, IPv6CIDRToRange)      128-bit order); RFC 5952 text w/ CH's
+                             ::ffff:a.b.c.d mapped display (Arrow UDFs)
 erf/erfc/lgamma/tgamma       libm via Arrow UDFs (same C functions)
 base58/base32/punycode       Arrow-UDF tier (functions/chudfs.py):
 [try]En/Decode,              deterministic scalars with no JVM expression
@@ -484,6 +487,16 @@ _RENAMES = {
     # Arrow-UDF-backed scalars (functions/chudfs.py) — deterministic CH
     # functions with no JVM expression form; try* variants FIRST so the
     # longer names never see a partial rename
+    "IPv6StringToNumOrNull": "ch_ipv6_ston_or_null",
+    "IPv6StringToNumOrZero": "ch_ipv6_ston_or_zero",
+    "IPv6StringToNum": "ch_ipv6_ston",
+    "toIPv6OrNull": "ch_ipv6_ston_or_null",
+    "toIPv6OrZero": "ch_ipv6_ston_or_zero",
+    "toIPv6": "ch_ipv6_ston",
+    "IPv6NumToString": "ch_ipv6_ntos",
+    "IPv4ToIPv6": "ch_ipv4_to_ipv6",
+    "cutIPv6": "ch_cut_ipv6",
+    "IPv6CIDRToRange": "ch_ipv6_cidr_range",
     "erf": "ch_erf",
     "erfc": "ch_erfc",
     "lgamma": "ch_lgamma",
@@ -717,11 +730,6 @@ _UNSUPPORTED = {
     "stochasticLogisticRegression",
     "groupArrayMovingAvg",   # block-order-dependent, like deltaSum
     "groupArrayMovingSum",
-    "IPv6NumToString",       # binary IPv6 forms need inet codecs
-    "IPv6StringToNum",
-    "IPv4ToIPv6",
-    "cutIPv6",
-    "IPv6CIDRToRange",
     "pointInPolygon",        # no geo engine
     "geohashEncode",
     "geohashDecode",
@@ -740,9 +748,6 @@ _UNSUPPORTED = {
     "unbin",
     "arrayReduceInRanges",
     "generateULID",          # nondeterministic generators
-    "toIPv6",                # IPv6 canonicalization (zero compression)
-    "toIPv6OrNull",          # is not reproducible textually
-    "toIPv6OrZero",
     "crc64",                 # CH polynomial differs from crc32's
     "intHash32",             # CH-internal integer hash families
     "intHash64",

@@ -434,6 +434,57 @@ def _u64_bytes(v) -> bytes:
     return (int(v) & _M64).to_bytes(8, "little")
 
 
+def _ipv6_str(b: bytes) -> str:
+    """RFC 5952 canonical text, with CH's IPv4-mapped display
+    (``::ffff:1.2.3.4`` — Python's ipaddress prints hex groups)."""
+    import ipaddress
+
+    a = ipaddress.IPv6Address(bytes(b))
+    m = a.ipv4_mapped
+    return f"::ffff:{m}" if m is not None else str(a)
+
+
+def _ipv6_bytes(s: str) -> bytes:
+    """Parse an IPv6 (or, per CH, a plain IPv4 → mapped) string to its
+    16-byte big-endian form; raises on invalid input like CH."""
+    import ipaddress
+
+    try:
+        return ipaddress.IPv6Address(s).packed
+    except (ipaddress.AddressValueError, ValueError):
+        try:
+            return b"\x00" * 10 + b"\xff\xff" + ipaddress.IPv4Address(s).packed
+        except (ipaddress.AddressValueError, ValueError):
+            raise ValueError(f"invalid IPv6 string {s!r}") from None
+
+
+def _cut_ipv6(b: bytes, n6, n4) -> str:
+    """cutIPv6: zero the LAST n bytes (the IPv4-mapped count applies to
+    mapped addresses) and return the TEXT form (CH returns String)."""
+    import ipaddress
+
+    bb = bytes(b)
+    mapped = ipaddress.IPv6Address(bb).ipv4_mapped is not None
+    n = max(0, min(16, int(n4 if mapped else n6)))
+    return _ipv6_str(bb[: 16 - n] + b"\x00" * n)
+
+
+def _ipv6_cidr_range(b: bytes, cidr) -> tuple[bytes, bytes]:
+    import ipaddress
+
+    net = ipaddress.IPv6Network(
+        (bytes(b), max(0, min(128, int(cidr)))), strict=False
+    )
+    return net.network_address.packed, net.broadcast_address.packed
+
+
+def _try_or(fn, v, default):
+    try:
+        return fn(v)
+    except Exception:  # noqa: BLE001 — CH OrNull/OrZero contract
+        return default
+
+
 def _map1(fn):
     def run(s: pd.Series) -> pd.Series:
         return s.map(lambda v: None if v is None else fn(v))
@@ -530,6 +581,47 @@ _UDF_SPECS = {
     "ch_student_p": (
         _map2(lambda t, d: _student_p(float(t), float(d))),
         "double",
+    ),
+    # IPv6 family — values are 16-byte BINARY (big-endian), so Spark's
+    # lexicographic binary comparisons reproduce CH's 128-bit numeric
+    # order for sorts/joins/grouping; text forms via the RFC 5952
+    # canonicalizer with CH's ::ffff:a.b.c.d mapped display
+    "ch_ipv6_ston": (_map1(_ipv6_bytes), "binary"),
+    "ch_ipv6_ston_or_null": (
+        lambda s: s.map(
+            lambda v: None if v is None else _try_or(_ipv6_bytes, v, None)
+        ),
+        "binary",
+    ),
+    "ch_ipv6_ston_or_zero": (
+        lambda s: s.map(
+            lambda v: None if v is None
+            else _try_or(_ipv6_bytes, v, b"\x00" * 16)
+        ),
+        "binary",
+    ),
+    "ch_ipv6_ntos": (_map1(_ipv6_str), "string"),
+    "ch_ipv4_to_ipv6": (
+        _map1(lambda v: b"\x00" * 10 + b"\xff\xff"
+              + (int(v) & _M32).to_bytes(4, "big")),
+        "binary",
+    ),
+    "ch_cut_ipv6": (
+        lambda s1, s2, s3: pd.Series([
+            None if a is None or b is None or c is None
+            else _cut_ipv6(a, b, c)
+            for a, b, c in zip(s1, s2, s3)
+        ]),
+        "string",
+    ),
+    "ch_ipv6_cidr_range": (
+        lambda s1, s2: pd.DataFrame({
+            "_1": [None if a is None or b is None
+                   else _ipv6_cidr_range(a, b)[0] for a, b in zip(s1, s2)],
+            "_2": [None if a is None or b is None
+                   else _ipv6_cidr_range(a, b)[1] for a, b in zip(s1, s2)],
+        }),
+        "struct<_1: binary, _2: binary>",
     ),
     # libm special functions (CH calls std::erf etc.; Python's math module
     # is the same C implementations) — poles follow C99: lgamma(0 and

@@ -5767,6 +5767,47 @@ def ch_dialect_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ASSOC, sf_dir)
 
 
+CH_DIALECT_IPV6 = """
+    SELECT user_id,
+           hex(IPv6StringToNum(concat('2001:db8::', hex(user_id % 65535 + 1)))) AS h,
+           IPv6NumToString(toIPv6(concat('2001:db8::', hex(user_id % 65535 + 1)))) AS canon,
+           IPv6NumToString(IPv4ToIPv6(IPv4StringToNum('1.2.3.4'))) AS mapped,
+           cutIPv6(IPv6StringToNum('2001:db8:1:2:3:4:5:6'), 8, 0) AS cut8,
+           hex(tupleElement(IPv6CIDRToRange(toIPv6('2001:db8::'), 32), 2)) AS hi32
+    FROM events
+    WHERE user_id < 500
+"""
+
+
+@query(
+    "ch_dialect_ipv6",
+    """
+    SELECT user_id,
+           concat('20010DB8', repeat('0', 20),
+                  upper(printf('%04x', user_id % 65535 + 1))) AS h,
+           concat('2001:db8::', printf('%x', user_id % 65535 + 1)) AS canon,
+           '::ffff:1.2.3.4' AS mapped,
+           '2001:db8:1:2::' AS cut8,
+           concat('20010DB8', repeat('F', 24)) AS hi32
+    FROM events
+    WHERE user_id < 500
+    """,
+)
+def ch_dialect_ipv6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH IPv6 family (inet refusal tail closed): parse/format/
+    convert/cut/CIDR over 16-byte BINARY values (lexicographic binary
+    order = CH's 128-bit numeric order, so sorts/joins behave), RFC 5952
+    canonical text with CH's ``::ffff:a.b.c.d`` mapped display.  The
+    DuckDB oracle derives every expected value STRUCTURALLY — the
+    big-endian hex layout of ``2001:db8::X`` addresses built from data,
+    canonical compression of the same, and the mapped/cut/CIDR constants
+    — no inet code shared with the implementation.  Plan: scan →
+    project, one ArrowEvalPython pass."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_IPV6, sf_dir)
+
+
 CH_DIALECT_ARRAYS = """
     SELECT user_id,
            arrayCount(x -> x = 'click', groupArray(event_type)) AS clicks,
@@ -7124,9 +7165,9 @@ DRIVER_ORDER: list[str] = [
     # pair→component→survivor stages are covered by dedup_components and
     # the r6-hashed dedup family; restore in r8)
     "tpch_q6_forecast",
-    # (window_rank_distribution displaced by ch_dialect_digests — the
-    # window family re-hashed green across 5 sibling queries in r6)
-    "mm_frame_sample",
+    # (window_rank_distribution displaced by ch_dialect_digests and
+    # mm_frame_sample by ch_dialect_ipv6 — both families carry r4-r6
+    # sibling hashes; restore in r8)
     # --- oldest-hash re-confirmations (r2/r3-era greens) ---
     # --- late-r7 additions (displaced text_repetition_quality,
     # decontam_ngram_overlap and etl_pii_scrub, all r2/r3-era greens —
@@ -7139,6 +7180,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_rank_corr",
     "ch_dialect_digests",
     "ch_dialect_assoc",
+    "ch_dialect_ipv6",
     # --- r7 additions (displacing the youngest re-confirmations) ---
     "ch_dialect_funnel_increase",
     "ch_dialect_sequence_timed",

@@ -285,3 +285,39 @@ def test_digest_wrapping_and_halfmd5(spark):
     assert int(r["hmu"]) == int.from_bytes(
         hashlib.md5((7).to_bytes(8, "little")).digest()[:8], "big"
     )
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=16, max_size=16))
+def test_ipv6_text_round_trip(b):
+    """Any 16 bytes → RFC 5952 text → parse restores the same bytes
+    (including the IPv4-mapped display special case)."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ipv6_bytes, _ipv6_str,
+    )
+
+    assert _ipv6_bytes(_ipv6_str(b)) == b
+
+
+def test_ipv6_family_pins(spark):
+    """CH docs shapes: IPv4-in-IPv6 parse, mapped display, cutIPv6 byte
+    zeroing with the mapped count, CIDR range bounds, Or* fallbacks."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT hex(IPv6StringToNum('2001:db8::1')) AS h,"
+        " IPv6NumToString(toIPv6('2001:0DB8:0:0:0:0:0:1')) AS canon,"
+        " IPv6NumToString(IPv6StringToNum('1.2.3.4')) AS v4,"
+        " cutIPv6(IPv6StringToNum('::ffff:1.2.3.4'), 8, 2) AS cutm,"
+        " hex(tupleElement(IPv6CIDRToRange(toIPv6('2001:db8::'), 32), 1)) AS lo,"
+        " toIPv6OrNull('zzz') AS bad, hex(toIPv6OrZero('zzz')) AS zed"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["h"] == "20010DB8000000000000000000000001"
+    assert r["canon"] == "2001:db8::1" and r["v4"] == "::ffff:1.2.3.4"
+    # mapped address uses the IPv4 cut count (2 bytes) → ::ffff:1.2.0.0
+    assert r["cutm"] == "::ffff:1.2.0.0"
+    assert r["lo"] == "20010DB8" + "0" * 24
+    assert r["bad"] is None and r["zed"] == "00" * 16
