@@ -2335,12 +2335,12 @@ def test_batch3_array_map_stat_tail(spark):
         g, _ = translate_ch_sql("SELECT throwIf(n > 2, 'boom') FROM t")
         spark.sql(g).collect()
     for bad in (
-        "SELECT cramersV(a, b) FROM t",
+        "SELECT kolmogorovSmirnovTest(v, g) FROM t",
         "SELECT lemmatize('en', s) FROM t",
         "SELECT detectLanguage(s) FROM t",
         "SELECT geohashEncode(1.0, 2.0)",
         "SELECT groupArrayMovingSum(v) FROM t",
-        "SELECT IPv6StringToNum(s) FROM t",
+        "SELECT geoToH3(1.0, 2.0, 5) FROM t",
         "SELECT arrayFold((a, x, y) -> a, arr, arr, 0) FROM t",
     ):
         with pytest.raises(ChTranslationError):
@@ -2808,7 +2808,7 @@ def test_tranche3_passthrough_sweep(spark):
     for bad in (
         "SELECT murmurHash3_32(x) FROM t",
         "SELECT joinGet('t', 'c', k) FROM t",
-        "SELECT toIPv6(s) FROM t",
+        "SELECT theilsU(a, b) FROM t",
         "SELECT randomString(8)",
         "SELECT exponentialMovingAverage(5)(v, t) FROM t",
     ):
