@@ -84,6 +84,8 @@ rankCorr(x, y)               Spearman (Pearson over average ranks):
                              collect_list + bound sorted-array ranks
 welch/studentTTest(v, i)     (t, p) tuple: moments JVM-side, Student
                              CDF via exact incomplete-beta Arrow UDF
+hex(x)                       even-width byte padding for integers
+                             (CH hex(1) = '01'); no-op for strings
 MD5/SHA1/SHA2xx(s)           unhex(md5/sha1/sha2(s[, bits])) — CH
                              returns raw bytes, Spark builtins hex strings
 halfMD5(x)                   first 8 MD5 bytes big-endian (Arrow UDF)
@@ -1806,6 +1808,21 @@ def _translate_functions(sql: str) -> str:
         sql, "xxHash32",
         _byte_hash_fn("xxHash32", "ch_xxhash32_ch", "ch_xxhash32_u32",
                       r"^to(U)?Int32\s*\("),
+    )
+    # CH hex() pads integers to EVEN width (hex(1) = '01' — whole bytes,
+    # leading zero-bytes trimmed); Spark's hex(1) = '1'.  The even-pad
+    # wrap is a no-op for string/binary inputs (always even), so it is
+    # safe without knowing the argument type.
+    # emitted as HEX( — the case-sensitive scanner must never re-match
+    # its own output on argument re-traversal (Spark is case-insensitive)
+    sql = _rewrite_calls(
+        sql, "hex",
+        lambda a: (
+            "element_at(transform(array(HEX(" + a[0] + ")), __h ->"
+            " IF(pmod(length(__h), 2) = 1, concat('0', __h), __h)), 1)"
+            if len(a) == 1
+            else _refuse("hex takes exactly 1 argument")
+        ),
     )
     # cryptographic digests: CH returns RAW BYTES (FixedString) where
     # Spark's builtins return hex STRINGS — unhex() restores CH semantics

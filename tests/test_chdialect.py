@@ -3187,3 +3187,15 @@ def test_cramers_v_and_contingency_model(spark):
     assert abs(r["c"] - math.sqrt(chi2 / (chi2 + n))) < 1e-12
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT cramersVBiasCorrected(s1, s2) FROM t")
+
+
+def test_hex_even_width(spark):
+    """CH hex() pads integers to whole bytes (hex(1)='01'); strings and
+    binaries are unaffected (already even)."""
+    got, _ = translate_ch_sql(
+        "SELECT hex(1) AS a, hex(255) AS b, hex(256) AS c,"
+        " hex(-1) AS d, hex('ab') AS s"
+    )
+    r = spark.sql(got).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["s"]) == ("01", "FF", "0100", "6162")
+    assert r["d"] == "FF" * 8
