@@ -84,8 +84,9 @@ rankCorr(x, y)               Spearman (Pearson over average ranks):
                              collect_list + bound sorted-array ranks
 welch/studentTTest(v, i)     (t, p) tuple: moments JVM-side, Student
                              CDF via exact incomplete-beta Arrow UDF
-hex(x)                       even-width byte padding for integers
-                             (CH hex(1) = '01'); no-op for strings
+hex/bin(x)                   whole-byte padding for integers
+                             (CH hex(1) = '01', bin(1) = '00000001');
+                             hex is a no-op for strings
 MD5/SHA1/SHA2xx(s)           unhex(md5/sha1/sha2(s[, bits])) — CH
                              returns raw bytes, Spark builtins hex strings
 halfMD5(x)                   first 8 MD5 bytes big-endian (Arrow UDF)
@@ -1813,6 +1814,18 @@ def _translate_functions(sql: str) -> str:
     # leading zero-bytes trimmed); Spark's hex(1) = '1'.  The even-pad
     # wrap is a no-op for string/binary inputs (always even), so it is
     # safe without knowing the argument type.
+    # CH bin() pads integers to whole BYTES (bin(1) = '00000001');
+    # Spark's bin(1) = '1'.  Emitted as BIN( for the same
+    # never-re-match-own-output reason as hex below.
+    sql = _rewrite_calls(
+        sql, "bin",
+        lambda a: (
+            "element_at(transform(array(BIN(" + a[0] + ")), __b ->"
+            " lpad(__b, CAST(ceil(length(__b) / 8.0) * 8 AS INT), '0')), 1)"
+            if len(a) == 1
+            else _refuse("bin takes exactly 1 argument")
+        ),
+    )
     # emitted as HEX( — the case-sensitive scanner must never re-match
     # its own output on argument re-traversal (Spark is case-insensitive)
     sql = _rewrite_calls(
@@ -5147,7 +5160,7 @@ def _round_to_exp2(args: list[str]) -> str:
     return (
         f"CASE WHEN {x} < 1 THEN CAST(0 AS BIGINT) "
         f"ELSE shiftleft(CAST(1 AS BIGINT), "
-        f"length(bin(CAST({x} AS BIGINT))) - 1) END"
+        f"length(BIN(CAST({x} AS BIGINT))) - 1) END"
     )
 
 

@@ -3199,3 +3199,15 @@ def test_hex_even_width(spark):
     r = spark.sql(got).collect()[0]
     assert (r["a"], r["b"], r["c"], r["s"]) == ("01", "FF", "0100", "6162")
     assert r["d"] == "FF" * 8
+
+
+def test_bin_byte_width(spark):
+    """CH bin() pads integers to whole bytes (bin(1) = '00000001');
+    roundToExp2's internal bit-length arithmetic stays unpadded."""
+    got, _ = translate_ch_sql(
+        "SELECT bin(1) AS a, bin(255) AS b, bin(256) AS c,"
+        " roundToExp2(100) AS r"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["a"] == "00000001" and r["b"] == "11111111"
+    assert r["c"] == "0000000100000000" and r["r"] == 64
