@@ -84,6 +84,8 @@ rankCorr(x, y)               Spearman (Pearson over average ranks):
                              collect_list + bound sorted-array ranks
 welch/studentTTest(v, i)     (t, p) tuple: moments JVM-side, Student
                              CDF via exact incomplete-beta Arrow UDF
+lower/upper (lcase/ucase)    ASCII-only case folding via translate()
+                             (CH contract; *UTF8 forms are Unicode)
 hex/bin(x)                   whole-byte padding for integers
                              (CH hex(1) = '01', bin(1) = '00000001');
                              hex is a no-op for strings
@@ -541,8 +543,6 @@ _RENAMES = {
     "argMin": "min_by",
     "any": "first",
     "anyLast": "last",
-    "lcase": "lower",
-    "ucase": "upper",
     # date/time part extraction (CH to* family → Spark part functions)
     "toHour": "hour",
     "toMinute": "minute",
@@ -1814,6 +1814,22 @@ def _translate_functions(sql: str) -> str:
     # leading zero-bytes trimmed); Spark's hex(1) = '1'.  The even-pad
     # wrap is a no-op for string/binary inputs (always even), so it is
     # safe without knowing the argument type.
+    # CH lower()/upper() fold ASCII ONLY (lowerUTF8/upperUTF8 are the
+    # Unicode forms); Spark's builtins are full-Unicode — translate()
+    # over the two alphabets reproduces CH exactly and stays JVM-side.
+    # Emitted via translate(), which no pass scans, so re-traversal-safe.
+    _AZ = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    _az = "abcdefghijklmnopqrstuvwxyz"
+    for nm_l in ("lower", "lcase"):
+        sql = _rewrite_calls(
+            sql, nm_l,
+            lambda a: f"translate({a[0]}, '{_AZ}', '{_az}')",
+        )
+    for nm_u in ("upper", "ucase"):
+        sql = _rewrite_calls(
+            sql, nm_u,
+            lambda a: f"translate({a[0]}, '{_az}', '{_AZ}')",
+        )
     # CH bin() pads integers to whole BYTES (bin(1) = '00000001');
     # Spark's bin(1) = '1'.  Emitted as BIN( for the same
     # never-re-match-own-output reason as hex below.

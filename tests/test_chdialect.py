@@ -1746,9 +1746,10 @@ def test_map_aggregates_and_value_transform(spark):
     assert r["ms"] == 1704067200000 and r["ns"] == 1704067200000000000
     assert r["ft"] == dt.datetime(2023, 11, 14, 22, 13, 20)
 
-    # the 2-arg Spark higher-order transform passes through untouched
+    # the 2-arg Spark higher-order transform passes through; the upper()
+    # inside follows the CH ASCII-only contract (translate rewrite)
     got3, _ = translate_ch_sql("SELECT transform(ks, x -> upper(x)) AS u FROM t")
-    assert "transform(ks, x -> upper(x))" in got3
+    assert got3.startswith("SELECT transform(ks, x -> translate(x,")
 
     for bad, hint in (
         ("SELECT dictGet('d', 'a', v) FROM t", "broadcast JOIN"),
@@ -3211,3 +3212,18 @@ def test_bin_byte_width(spark):
     r = spark.sql(got).collect()[0]
     assert r["a"] == "00000001" and r["b"] == "11111111"
     assert r["c"] == "0000000100000000" and r["r"] == 64
+
+
+def test_ascii_only_case_folding(spark):
+    """CH lower()/upper() fold ASCII only; lowerUTF8/upperUTF8 are the
+    Unicode forms (Spark's builtins are full-Unicode — a silent delta on
+    any non-ASCII text before this rewrite)."""
+    got, _ = translate_ch_sql(
+        "SELECT lower('ABÉc') AS l, upper('abéC') AS u,"
+        " lowerUTF8('ABÉc') AS lu, upperUTF8('abéC') AS uu,"
+        " lcase('XÉ') AS lc"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["l"] == "abÉc" and r["u"] == "ABéC"
+    assert r["lu"] == "abéc" and r["uu"] == "ABÉC"
+    assert r["lc"] == "xÉ"
