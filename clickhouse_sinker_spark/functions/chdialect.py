@@ -84,6 +84,9 @@ rankCorr(x, y)               Spearman (Pearson over average ranks):
                              collect_list + bound sorted-array ranks
 welch/studentTTest(v, i)     (t, p) tuple: moments JVM-side, Student
                              CDF via exact incomplete-beta Arrow UDF
+char(b1, b2, …)              raw-byte string assembly via unhex (CH
+                             casts each arg to UInt8; Spark's char is a
+                             single codepoint)
 lower/upper (lcase/ucase)    ASCII-only case folding via translate()
                              (CH contract; *UTF8 forms are Unicode)
 hex/bin(x)                   whole-byte padding for integers
@@ -1568,7 +1571,7 @@ _ORDEFAULT_ZERO = (
 
 _STRING_PRODUCERS = re.compile(
     r"^(toString|lower|lowerUTF8|upper|upperUTF8|substring|substr|"
-    r"concat|concat_ws|concatWithSeparator|trim|trimLeft|trimRight|"
+    r"concat|concat_ws|concatWithSeparator|char|trim|trimLeft|trimRight|"
     r"ltrim|rtrim|reverseUTF8|hex|bin|base64Encode|formatDateTime|"
     r"arrayStringConcat|toFixedString|left|right|repeat|replaceAll|"
     r"replaceOne|normalizeUTF8NF\w+)\s*\(",
@@ -1830,6 +1833,23 @@ def _translate_functions(sql: str) -> str:
             sql, nm_u,
             lambda a: f"translate({a[0]}, '{_az}', '{_AZ}')",
         )
+    # CH char(n, ...) builds a string from raw BYTES (each argument cast
+    # to UInt8 — char(228,189,160) is the UTF-8 of 你); Spark's char(n)
+    # is a single Unicode CODEPOINT, so ≥128 silently diverges and
+    # multi-arg fails.  Byte-faithful via hex assembly → unhex → string.
+    sql = _rewrite_calls(
+        sql, "char",
+        lambda a: (
+            "CAST(unhex(concat("
+            + ", ".join(
+                f"lpad(HEX(pmod(CAST(({x}) AS INT), 256)), 2, '0')"
+                for x in a
+            )
+            + ")) AS STRING)"
+            if a and a != [""]
+            else _refuse("char needs at least 1 argument")
+        ),
+    )
     # CH bin() pads integers to whole BYTES (bin(1) = '00000001');
     # Spark's bin(1) = '1'.  Emitted as BIN( for the same
     # never-re-match-own-output reason as hex below.

@@ -3227,3 +3227,16 @@ def test_ascii_only_case_folding(spark):
     assert r["l"] == "abÉc" and r["u"] == "ABéC"
     assert r["lu"] == "abéc" and r["uu"] == "ABÉC"
     assert r["lc"] == "xÉ"
+
+
+def test_char_byte_assembly(spark):
+    """CH char(n, ...) concatenates raw BYTES (each arg cast to UInt8) —
+    char(228,189,160) is the UTF-8 encoding of 你; Spark's char() is a
+    single Unicode codepoint and silently diverges at ≥128."""
+    got, _ = translate_ch_sql(
+        "SELECT char(100, 97, 116, 97) AS s, char(228, 189, 160) AS u,"
+        " char(65) AS a, char(321) AS w"  # 321 % 256 = 65 -> 'A'
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["s"] == "data" and r["u"] == "你"
+    assert r["a"] == "A" and r["w"] == "A"
