@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 # checkout back-to-back on the same host and report the ratio.  Updated
 # each round to the previous round's final commit.  Disable with
 # SPARK_GRAFT_AB=0 or --no-ab; override the ref with --ab <git-ref>.
-AB_BASELINE_REF = "6c61fda"  # round-6 final checkout
+AB_BASELINE_REF = "da83dfc"  # round-7 final checkout
 
 HEADLINE = [
     "tpch_q1_pricing",

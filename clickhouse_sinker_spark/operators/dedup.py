@@ -680,10 +680,30 @@ def exact_substring_dedup(
         f"named_struct('spans', a.spans + 1, 'covered', a.covered + {k}, 'pend', s + {k}), "
         f"named_struct('spans', a.spans, 'covered', a.covered + (s + {k} - a.pend), 'pend', s + {k})))"
     )
+    # The coverage test below runs per token; testing against raw starts is
+    # O(tokens × starts) — quadratic for a long mostly-duplicated doc (every
+    # position a removal start).  Merge starts into disjoint [lo, hi) spans
+    # first: a sorted start opens a span iff it leaves a strict gap over its
+    # predecessor's end (s > prev + k), and a span's end is its last chained
+    # start + k.  Two O(starts) lambda filters (no quadratic array append);
+    # `get()` is 0-based and NULL out-of-bounds, so the boundary disjuncts
+    # stay safe under ANSI mode.  There are ≤ ceil(starts / 1) spans but,
+    # crucially, ≤ tokens/k + 1 DISJOINT ones, so the rewrite is bounded at
+    # O(tokens × tokens/k) even in the pathological all-duplicate case.
+    spans = F.expr(
+        f"zip_with("
+        f"filter(transform(__starts, (s, i) -> "
+        f"IF(i = 0 OR s > get(__starts, i - 1) + {k}, s, NULL)), x -> x IS NOT NULL), "
+        f"filter(transform(__starts, (s, i) -> "
+        f"IF(get(__starts, i + 1) IS NULL OR get(__starts, i + 1) > s + {k}, s + {k}, NULL)), "
+        f"x -> x IS NOT NULL), "
+        f"(lo, hi) -> named_struct('lo', lo, 'hi', hi))"
+    )
+    j = j.withColumn("__spans", spans)
     clean = F.expr(
-        f"concat_ws(' ', filter(transform(__toks, (t, i) -> "
-        f"IF(exists(__starts, st -> i >= st AND i < st + {k}), NULL, t)), "
-        f"t -> t IS NOT NULL))"
+        "concat_ws(' ', filter(transform(__toks, (t, i) -> "
+        "IF(exists(__spans, sp -> i >= sp.lo AND i < sp.hi), NULL, t)), "
+        "t -> t IS NOT NULL))"
     )
     return j.select(
         F.col("__id").alias(id_col),

@@ -648,3 +648,27 @@ def test_exact_substring_dedup_edge_cases(spark):
     # docs 4/5 untouched
     assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == "m n o"
     assert out[5]["n_removed"] == 0 and out[5]["clean_text"] == "e f g h i j k l"
+
+
+def test_exact_substring_dedup_pathological_long_duplicate(spark):
+    """Scale-bound regression (VERDICT r7 #3): a long doc that is ENTIRELY
+    duplicated boilerplate makes every position a removal start; the rewrite
+    must test coverage against the merged spans (one span here), not the raw
+    starts, or per-doc work goes quadratic.  Contract check: the duplicate
+    doc empties in one span while the canonical copy survives untouched."""
+    from clickhouse_sinker_spark.operators.dedup import exact_substring_dedup
+
+    n = 3000  # 3k tokens -> ~3k raw starts but exactly 1 merged span
+    body = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, "unique tail " + " ".join(f"u{i}" for i in range(20)))],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, "text", "doc_id", k=8).collect()
+    }
+    assert out[1]["n_removed"] == 0 and out[1]["n_tokens"] == n
+    assert out[2]["n_removed"] == n and out[2]["n_spans"] == 1
+    assert out[2]["clean_text"] == ""
+    assert out[3]["n_removed"] == 0

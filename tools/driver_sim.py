@@ -26,7 +26,14 @@ def main() -> int:
 
     q, o = mod.queries(), mod.oracle_sql()
     names = list(q)
-    if not run_all:
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        missing = [w for w in wanted if w not in q]
+        if missing:
+            print(f"unknown queries: {missing}")
+            return 2
+        names = wanted
+    elif not run_all:
         names = names[:50]
     bad = []
     for i, name in enumerate(names):
