@@ -689,7 +689,6 @@ _AGG_IF = {
 
 # known-ClickHouse names we refuse rather than mistranslate
 _UNSUPPORTED = {
-    "cityHash64",
     "farmHash64",     # CH/Farm/Java/Hive hash families have no Spark twin
     "javaHash",
     "hiveHash",
@@ -709,8 +708,6 @@ _UNSUPPORTED = {
     "dictGetOrNull",
     "dictHas",
     "arrayShuffle",   # nondeterministic by definition
-    "JSONExtractArrayRaw",  # raw-JSON element slicing has no Spark form
-    "JSONType",
     "toTypeName",     # engine introspection
     "toFixedString",  # Spark strings are unsized; drop the fixed width
     "wordShingleSimHash",
@@ -755,10 +752,11 @@ _UNSUPPORTED = {
     "arrayReduceInRanges",
     "generateULID",          # nondeterministic generators
     "crc64",                 # CH polynomial differs from crc32's
-    "intHash32",             # CH-internal integer hash families
-    "intHash64",
-    "sipHash128",
     "cityHash128",
+    "sipHash128Reference",   # the OFFICIAL 128-bit SipHash (CH's
+    "sipHash128ReferenceKeyed",  # sipHash128 is the non-standard form we
+    "sipHash64Keyed",        # implement); keyed forms' key-tuple arg has
+    "sipHash128Keyed",       # no SQL-text-level typing to gate on
     "randomString",          # nondeterministic
     "randomPrintableASCII",
     "randomFixedString",
@@ -766,11 +764,6 @@ _UNSUPPORTED = {
     "arrayNormalizedGini",
     "kostikConsistentHash",  # wrapping-multiply iteration (ANSI errors)
     "jumpConsistentHash",
-    "murmurHash2_32",        # seeds/variants differ from Spark's
-    "murmurHash2_64",        # murmur3-seed-42 hash()
-    "murmurHash3_32",
-    "murmurHash3_64",
-    "murmurHash3_128",
     "xxh3",
     "wyHash64",
     "minSampleSizeConversion",    # stat-test tails
@@ -833,7 +826,6 @@ _UNSUPPORTED = {
     "ngramSimHash",          # CH-specific text-hash families
     "wordShingleMinHash",
     "ngramMinHash",
-    "JSONExtractKeysAndValues",
     "dictGetString",         # no external dictionaries in Spark
     "dictGetFloat64",
     "dictGetInt64",
@@ -1626,6 +1618,26 @@ def _byte_hash_fn(name: str, str_udf: str, int_udf: str, int_re: str):
     return rw
 
 
+def _int_hash_fn(name: str, udf: str):
+    """intHash32/intHash64 take an INTEGER argument (CH widens with
+    static_cast<UInt64> — sign extension; the UDF applies the same
+    two's-complement widening via ``& 2^64-1``).  String-typed arguments
+    refuse loudly: CH has no implicit string→integer conversion in hash
+    arguments either."""
+    def rw(a: list[str]) -> str:
+        if len(a) != 1:
+            raise ChTranslationError(f"{name} takes exactly 1 argument")
+        arg = a[0].strip()
+        if _stringish(arg):
+            raise ChTranslationError(
+                f"{name} is an integer hash — cast the argument"
+                " explicitly (toUInt64(...)), or use a string hash"
+                " (cityHash64/sipHash64) for string keys"
+            )
+        return f"{udf}(CAST({arg} AS BIGINT))"
+    return rw
+
+
 def _rewrite_calls_raw(sql: str, name: str, emit) -> str:
     """Like ``_rewrite_calls`` but hands ``emit`` the RAW (untranslated)
     argument text and re-embeds whatever it returns for the later passes
@@ -1813,6 +1825,51 @@ def _translate_functions(sql: str) -> str:
         _byte_hash_fn("xxHash32", "ch_xxhash32_ch", "ch_xxhash32_u32",
                       r"^to(U)?Int32\s*\("),
     )
+    # r8 hash-family completion (verification basis in chudfs.py):
+    # cityHash64 is CH's default Distributed sharding expression,
+    # intHash32 the canonical SAMPLE BY hash.  Same typed-argument gate
+    # as the sipHash64 trio; the 128-bit-output forms are string-only
+    # (no integer width to pin), so _NO_INT sends ints to the refusal.
+    _NO_INT = r"(?!)"
+    sql = _rewrite_calls_raw(
+        sql, "cityHash64",
+        _byte_hash_fn("cityHash64", "ch_cityhash64_ch", "ch_cityhash64_u64",
+                      r"^to(U)?Int64\s*\("),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "murmurHash2_32",
+        _byte_hash_fn("murmurHash2_32", "ch_murmur2_32_ch",
+                      "ch_murmur2_32_u32", r"^to(U)?Int32\s*\("),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "murmurHash2_64",
+        _byte_hash_fn("murmurHash2_64", "ch_murmur2_64_ch",
+                      "ch_murmur2_64_u64", r"^to(U)?Int64\s*\("),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "murmurHash3_32",
+        _byte_hash_fn("murmurHash3_32", "ch_murmur3_32_ch",
+                      "ch_murmur3_32_u32", r"^to(U)?Int32\s*\("),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "murmurHash3_64",
+        _byte_hash_fn("murmurHash3_64", "ch_murmur3_64_ch",
+                      "ch_murmur3_64_u64", r"^to(U)?Int64\s*\("),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "murmurHash3_128",
+        _byte_hash_fn("murmurHash3_128", "ch_murmur3_128_ch",
+                      "ch_murmur3_128_ch", _NO_INT),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "sipHash128",
+        _byte_hash_fn("sipHash128", "ch_siphash128_ch",
+                      "ch_siphash128_ch", _NO_INT),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "intHash32", _int_hash_fn("intHash32", "ch_inthash32"))
+    sql = _rewrite_calls_raw(
+        sql, "intHash64", _int_hash_fn("intHash64", "ch_inthash64"))
     # CH hex() pads integers to EVEN width (hex(1) = '01' — whole bytes,
     # leading zero-bytes trimmed); Spark's hex(1) = '1'.  The even-pad
     # wrap is a no-op for string/binary inputs (always even), so it is
@@ -2411,6 +2468,9 @@ def _translate_functions(sql: str) -> str:
             + "), CAST(array() AS ARRAY<STRING>))"
         ),
     )
+    sql = _rewrite_calls(sql, "JSONExtractKeysAndValues", _json_kv_fn)
+    sql = _rewrite_calls(sql, "JSONType", _json_type_fn)
+    sql = _rewrite_calls(sql, "JSONExtractArrayRaw", _json_array_raw_fn)
     sql = _rewrite_calls(
         sql,
         "toStringCutToZero",
@@ -5431,6 +5491,99 @@ def _json_extract(args: list[str], cast: str | None) -> str:
             )
     expr = f"get_json_object({args[0]}, '{path}')"
     return f"CAST({expr} AS {cast})" if cast else expr
+
+
+def _json_path_segments(args: list[str], name: str) -> str:
+    """Encode CH JSON path arguments (literal string keys / 1-based or
+    negative integer indices) as a JSON list literal for the ch_json_*
+    UDFs.  Non-literal paths refuse — same contract as _json_extract."""
+    import json as _json
+
+    segs: list = []
+    for key in args:
+        k = key.strip()
+        if k.startswith("'") and k.endswith("'"):
+            segs.append(k[1:-1].replace("''", "'"))
+        elif re.fullmatch(r"-?\d+", k):
+            segs.append(int(k))
+        else:
+            raise ChTranslationError(
+                f"{name} requires literal keys/indices, got {k!r}"
+            )
+    return _json.dumps(segs, ensure_ascii=False).replace("'", "''")
+
+
+def _json_type_fn(a: list[str]) -> str:
+    """``JSONType(j[, path...])`` → ch_json_type Arrow UDF (Spark has no
+    JSON type introspection; get_json_object strips the quotes that
+    distinguish "5" from 5, so a text-level rewrite would silently
+    misclassify strings)."""
+    if not a:
+        raise ChTranslationError("JSONType needs (json[, keys...])")
+    return f"ch_json_type({a[0]}, '{_json_path_segments(a[1:], 'JSONType')}')"
+
+
+def _json_array_raw_fn(a: list[str]) -> str:
+    """``JSONExtractArrayRaw(j[, path...])`` → ch_json_array_raw Arrow
+    UDF: array of raw JSON element slices (strings keep quotes, nested
+    structures stay JSON — exactly what get_json_object cannot
+    express)."""
+    if not a:
+        raise ChTranslationError("JSONExtractArrayRaw needs (json[, keys...])")
+    return (f"ch_json_array_raw({a[0]},"
+            f" '{_json_path_segments(a[1:], 'JSONExtractArrayRaw')}')")
+
+
+_JSON_KV_TYPES = {
+    "Int8": "BIGINT", "Int16": "BIGINT", "Int32": "BIGINT",
+    "Int64": "BIGINT", "UInt8": "BIGINT", "UInt16": "BIGINT",
+    "UInt32": "BIGINT", "UInt64": "BIGINT",
+    "Float32": "DOUBLE", "Float64": "DOUBLE",
+}
+
+
+def _json_kv_fn(a: list[str]) -> str:
+    """``JSONExtractKeysAndValues(j[, path...], 'T')`` →
+    Array(Tuple(String, T)) as array<struct<_1,_2>> — pure JVM
+    composition: from_json to map<string,string> (always parses an
+    object; one from_json with the typed map would NULL the whole map on
+    a single non-conforming value), then per-entry try_cast with
+    non-conforming entries FILTERED (CH's JSONExtract conversion is
+    best-effort — numeric strings convert, anything else is skipped;
+    try_cast reproduces that for the numeric types).  Malformed/missing
+    documents → [] like CH.  'String' and 'Bool' are refused: after
+    map<string,string> the number 5 and the string "5" (or true and
+    "true") are indistinguishable, and Spark's string→boolean cast
+    additionally accepts 'no'/'yes'/'0'/'1' — either would silently
+    diverge; use JSONExtractKeys + the typed JSONExtract* per key."""
+    if len(a) < 2:
+        raise ChTranslationError(
+            "JSONExtractKeysAndValues(json[, keys...], 'Type')")
+    t = a[-1].strip()
+    if not (t.startswith("'") and t.endswith("'")):
+        raise ChTranslationError(
+            "JSONExtractKeysAndValues needs a literal type name last")
+    tname = t[1:-1]
+    if tname in ("String", "Bool"):
+        raise ChTranslationError(
+            f"JSONExtractKeysAndValues(..., '{tname}') cannot distinguish"
+            " the number 5 from the string \"5\" (or true from \"true\")"
+            " after extraction — use JSONExtractKeys + the typed"
+            " JSONExtract* per key")
+    typ = _JSON_KV_TYPES.get(tname)
+    if typ is None:
+        raise ChTranslationError(
+            f"JSONExtractKeysAndValues over type {tname!r} — scalar"
+            " numeric/Bool types only")
+    src = a[0] if len(a) == 2 else _json_extract(a[:-1], None)
+    inner = f"from_json({src}, 'map<string,string>')"
+    return (
+        "COALESCE(filter(transform(map_entries(" + inner + "),"
+        " __kv_e -> named_struct('_1', __kv_e.key,"
+        f" '_2', try_cast(__kv_e.value AS {typ}))),"
+        " __kv_s -> __kv_s._2 IS NOT NULL),"
+        f" CAST(array() AS ARRAY<STRUCT<_1: STRING, _2: {typ}>>))"
+    )
 
 
 def _extract_regex(args: list[str]) -> str:

@@ -718,6 +718,74 @@ def _siphash128(data: bytes) -> bytes:
         ((v2 ^ v3) & _M64).to_bytes(8, "little")
 
 
+def _json_walk(doc, path):
+    """Walk a parsed JSON value by CH-style path segments: str → object
+    key, int → array index (1-based; negative = from the end, like CH's
+    JSON functions).  Returns ``(found, value)``."""
+    cur = doc
+    for seg in path:
+        if isinstance(seg, str):
+            if not isinstance(cur, dict) or seg not in cur:
+                return False, None
+            cur = cur[seg]
+        else:
+            if not isinstance(cur, list) or seg == 0:
+                return False, None
+            idx = seg - 1 if seg > 0 else len(cur) + seg
+            if not 0 <= idx < len(cur):
+                return False, None
+            cur = cur[idx]
+    return True, cur
+
+
+def _ch_json_type(j: str, path_json: str):
+    """CH ``JSONType``: the element's type name ('Object','Array',
+    'String','Int64','UInt64','Double','Bool','Null').  Missing path and
+    malformed documents both yield 'Null' (CH returns the Null enum for
+    absent values).  Integer classification follows simdjson/CH: fits
+    signed 64 → Int64, else UInt64; any fractional/exponent form →
+    Double."""
+    import json
+
+    try:
+        found, v = _json_walk(json.loads(j), json.loads(path_json))
+    except (ValueError, TypeError):
+        return "Null"
+    if not found or v is None:
+        return "Null"
+    if isinstance(v, bool):
+        return "Bool"
+    if isinstance(v, dict):
+        return "Object"
+    if isinstance(v, list):
+        return "Array"
+    if isinstance(v, str):
+        return "String"
+    if isinstance(v, int):
+        return "Int64" if -(1 << 63) <= v < (1 << 63) else "UInt64"
+    return "Double"
+
+
+def _ch_json_array_raw(j: str, path_json: str):
+    """CH ``JSONExtractArrayRaw``: each array element as a raw JSON
+    slice (strings KEEP their quotes, nested objects stay JSON).
+    Non-array / missing / malformed → [] like CH.  Elements are
+    re-serialized compactly (sorted nothing, insertion order kept) — a
+    documented delta from CH's byte-exact source slices only when the
+    source carries insignificant whitespace or non-canonical number
+    spellings."""
+    import json
+
+    try:
+        found, v = _json_walk(json.loads(j), json.loads(path_json))
+    except (ValueError, TypeError):
+        return []
+    if not found or not isinstance(v, list):
+        return []
+    return [json.dumps(el, separators=(",", ":"), ensure_ascii=False)
+            for el in v]
+
+
 def _betacf(a: float, b: float, x: float) -> float:
     """Continued fraction for the incomplete beta (modified Lentz method,
     the standard published algorithm — e.g. Numerical Recipes §6.4)."""
@@ -979,6 +1047,11 @@ _UDF_SPECS = {
         _map1(lambda s: _siphash128(s.encode("utf-8"))),
         "binary",
     ),
+    # JSON introspection tail (JSONType / JSONExtractArrayRaw): the path
+    # is a translate-time JSON-encoded segment list (literal keys/indices
+    # only — the translator refuses non-literal paths)
+    "ch_json_type": (_map2(_ch_json_type), "string"),
+    "ch_json_array_raw": (_map2(_ch_json_array_raw), "array<string>"),
     # intHash take the integer VALUE (sign-extended to UInt64 like CH's
     # static_cast), not a byte string
     "ch_inthash32": (

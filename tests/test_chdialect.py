@@ -3240,3 +3240,78 @@ def test_char_byte_assembly(spark):
     r = spark.sql(got).collect()[0]
     assert r["s"] == "data" and r["u"] == "你"
     assert r["a"] == "A" and r["w"] == "A"
+
+
+def test_hash_family_typed_gates():
+    """r8 hash family rides the same typed-argument gate as the sipHash64
+    trio: string evidence or an exact-width integer wrapper; the 128-bit
+    output forms are string-only; intHash* are integer-only."""
+    got, _ = translate_ch_sql(
+        "SELECT cityHash64('d') AS a, cityHash64(toUInt64(n)) AS b,"
+        " murmurHash2_32('d') AS c, murmurHash2_64(toString(n)) AS d,"
+        " murmurHash3_32(toUInt32(n)) AS e, murmurHash3_64('d') AS f,"
+        " murmurHash3_128('d') AS g, sipHash128('d') AS h,"
+        " intHash32(n) AS i, intHash64(toUInt64(n)) AS j FROM events"
+    )
+    assert "ch_cityhash64_ch('d')" in got
+    assert "ch_cityhash64_u64(CAST(n AS DECIMAL(20,0)))" in got
+    assert "ch_murmur2_32_ch('d')" in got
+    assert "ch_murmur2_64_ch(CAST(n AS STRING))" in got
+    assert "ch_murmur3_32_u32(CAST(n AS BIGINT))" in got
+    assert "ch_murmur3_64_ch('d')" in got
+    assert "ch_murmur3_128_ch('d')" in got
+    assert "ch_siphash128_ch('d')" in got
+    assert "ch_inthash32(CAST(n AS BIGINT))" in got
+    assert "ch_inthash64(CAST(CAST(n AS DECIMAL(20,0)) AS BIGINT))" in got
+    for bad in [
+        "SELECT cityHash64(n) FROM t",          # unknown type
+        "SELECT cityHash64(a, b) FROM t",       # CH multi-arg fold
+        "SELECT murmurHash3_128(toUInt64(n)) FROM t",  # string-only form
+        "SELECT sipHash128(toUInt64(n)) FROM t",
+        "SELECT intHash32('s') FROM t",         # integer-only
+        "SELECT murmurHash2_32(toUInt64(n)) FROM t",   # width mismatch
+    ]:
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+    # the official 128-bit SipHash and keyed forms stay refused
+    for refused in ["sipHash128Reference('x')", "sipHash64Keyed((1,2), 'x')"]:
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(f"SELECT {refused}")
+
+
+def test_json_tail_semantics(spark):
+    """JSONType / JSONExtractArrayRaw / JSONExtractKeysAndValues — the
+    r8 JSON introspection tail (driver query ch_dialect_json_extract
+    carries the DuckDB-yyjson oracle; this pins the edge semantics)."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        """SELECT JSONType('{"a": [1, 2.5, "x"], "b": true}', 'a', -1) AS neg,
+                  JSONType('{"a": 1}') AS root,
+                  JSONType('broken') AS bad,
+                  JSONType('{"big": 18446744073709551615}', 'big') AS u64,
+                  JSONExtractArrayRaw('[1, "s", {"k": 1}, null]') AS raw,
+                  JSONExtractArrayRaw('{"a": 1}') AS notarr,
+                  JSONExtractKeysAndValues(
+                    '{"a": 1, "b": true, "c": "7", "d": "no"}', 'Int64') AS kvi
+        """
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["neg"] == "String"      # negative index = from the end
+    assert r["root"] == "Object" and r["bad"] == "Null"
+    assert r["u64"] == "UInt64"      # > Int64 max -> UInt64 like simdjson
+    assert list(r["raw"]) == ["1", '"s"', '{"k":1}', "null"]
+    assert list(r["notarr"]) == []
+    # best-effort conversion: real number and numeric string convert,
+    # true and "no" are skipped (CH JSONExtract conversion contract)
+    assert [(e["_1"], e["_2"]) for e in r["kvi"]] == [("a", 1), ("c", 7)]
+    # 'String'/'Bool' refuse (5 vs "5", true vs "true" indistinguishable;
+    # Spark's string->boolean cast also accepts 'no'/'yes')
+    for t in ("String", "Bool"):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(
+                f"SELECT JSONExtractKeysAndValues('{{}}', '{t}')")
+    # non-literal path refuses
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT JSONType(j, k) FROM t")

@@ -585,3 +585,15 @@ def test_string_udfs_single_arrow_pass(spark):
     # repeats once in the formatted detail section
     assert plan.count("+- ArrowEvalPython") == 1
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_hash_family_single_arrow_pass(spark):
+    """ch_dialect_hash_family: all 9 hash scalars must ride ONE
+    ArrowEvalPython batch over the 10-group distinct — one shuffle
+    (the DISTINCT), no joins, no row-at-a-time BatchEvalPython."""
+    plan = plan_of(QUERIES["ch_dialect_hash_family"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("+- ArrowEvalPython") == 1
+    assert "Join" not in plan
+    # the DISTINCT aggregate is the only exchange besides the ORDER BY
+    assert plan.count("+- Exchange") <= 2
