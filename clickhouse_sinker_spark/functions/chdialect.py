@@ -717,7 +717,6 @@ _UNSUPPORTED = {
     "normalizeQueryKeepNames",
     "runningConcurrency",    # block-order-dependent, like runningDifference
     "deltaSum",              # order-dependent aggregate: use window lag()
-    "deltaSumTimestamp",
     "sumWithOverflow",       # wrapping sum vs Spark ANSI overflow error
     "firstSignificantSubdomain",   # needs CH's public-suffix list
     "cutToFirstSignificantSubdomain",
@@ -772,9 +771,6 @@ _UNSUPPORTED = {
     "groupBitmapAnd",        # bitmap-state aggregates
     "groupBitmapOr",
     "groupBitmapXor",
-    "exponentialMovingAverage",   # row-order-dependent aggregates
-    "exponentialTimeDecayedAvg",
-    "nonNegativeDerivative",
     "varianceMatrix",
     "covarianceMatrix",
     "displayName",           # engine introspection
@@ -3694,6 +3690,14 @@ def _translate_functions(sql: str) -> str:
         ),
     )
     sql = _rewrite_calls(sql, "intervalLengthSum", _interval_length_sum)
+    # time-decay aggregates (r8): deterministic given (value, time)
+    sql = _rewrite_parametric(
+        sql, "exponentialMovingAverage", _exp_moving_average)
+    for _kind in ("Avg", "Sum", "Count", "Max"):
+        sql = _rewrite_parametric(
+            sql, f"exponentialTimeDecayed{_kind}", _exp_time_decayed(_kind))
+    sql = _rewrite_calls(sql, "deltaSumTimestamp", _delta_sum_timestamp)
+    sql = _non_negative_derivative_pass(sql)
     sql = _rewrite_calls(sql, "lagInFrame", lambda a: f"lag({', '.join(a)})")
     sql = _rewrite_calls(sql, "leadInFrame", lambda a: f"lead({', '.join(a)})")
     sql = _rewrite_calls(
@@ -4850,6 +4854,207 @@ def _interval_length_sum(a: list[str]) -> str:
         f"'cur', __il.cur + __e.w, 'lp', __e.p), "
         f"__il -> __il.cov)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay aggregates (VERDICT r7 order #4): deterministic given their
+# explicit (value, time) arguments — the old "order-dependent" refusal was
+# wrong for these five.  All ride the intervalLengthSum machinery: one
+# NULL-skipping collect_list of (t, v) pairs, the pair array + its max-t
+# let-bound ONCE as named_struct fields (no CSE inside lambdas), one fold.
+# Per-group state = the pair list — the same memory contract CH's own
+# aggregate states hold (documented at rankCorr).
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_parametric(sql: str, name: str, emit) -> str:
+    """Rewrite ``name(param)(args...)`` combinator-parameter calls (the
+    topK machinery, generalized).  ``emit(param_text, args)`` returns the
+    replacement; emissions must not contain ``name(`` (they are re-scanned
+    from the top)."""
+    while True:
+        at = _find_call(sql, name)
+        if at < 0:
+            return sql
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError(
+                f"{name} requires the {name}(param)(args) combinator form")
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        param = sql[open1 + 1 : end1 - 1].strip()
+        args = _split_args(sql[open2 + 1 : end2 - 1])
+        sql = sql[:at] + emit(param, args) + sql[end2:]
+
+
+def _decay_pairs(v: str, t: str) -> str:
+    """NULL-skipping collect of (t, v) pairs sorted by (t, v) — the sort
+    makes tie-timestamp folds deterministic (CH's own order is
+    unspecified for ties; (t, v) ascending is this repo's documented
+    choice, mirrored in every oracle)."""
+    return (
+        f"sort_array(collect_list(CASE WHEN ({v}) IS NOT NULL"
+        f" AND ({t}) IS NOT NULL THEN named_struct("
+        f"'t', CAST({t} AS DOUBLE), 'v', CAST({v} AS DOUBLE)) END))"
+    )
+
+
+def _decay_binding(v: str, t: str) -> str:
+    pairs = _decay_pairs(v, t)
+    # two textually identical collect_list calls dedup into ONE buffer
+    return (f"named_struct('p', {pairs},"
+            f" 'tm', array_max(transform({pairs}, __dk_m -> __dk_m.t)))")
+
+
+def _decay_fold(v: str, t: str, body) -> str:
+    return (f"element_at(transform(array({_decay_binding(v, t)}),"
+            f" __dk_b -> {body('__dk_b')}), 1)")
+
+
+def _num_param(name: str, param: str) -> str:
+    if not re.fullmatch(r"\d+(\.\d+)?", param.strip()):
+        raise ChTranslationError(
+            f"{name} requires a numeric literal parameter, got {param!r}")
+    return param.strip()
+
+
+def _exp_moving_average(param: str, a: list[str]) -> str:
+    """``exponentialMovingAverage(h)(v, t)`` — CH's ExponentiallySmoothed
+    Average model: state = Σ vᵢ·2^((tᵢ−t_max)/h), result = state divided
+    by the closed infinite weight series 1/(1−2^(−1/h)) (so a constant
+    input yields that constant as h→fine).  The DuckDB oracle re-derives
+    the same published formula with window functions — independent of
+    the fold machinery; the formula itself is the CH-docs/source model
+    (AggregateFunctionExponentialMovingAverage over
+    ExponentiallySmoothedCounter.h)."""
+    h = _num_param("exponentialMovingAverage", param)
+    if len(a) != 2:
+        raise ChTranslationError(
+            "exponentialMovingAverage(h)(value, time) takes 2 arguments")
+    return _decay_fold(a[0], a[1], lambda b: (
+        f"aggregate({b}.p, CAST(0 AS DOUBLE),"
+        f" (__dk_a, __dk_e) -> __dk_a + __dk_e.v"
+        f" * pow(2, (__dk_e.t - {b}.tm) / {h}),"
+        f" __dk_a -> __dk_a * (1 - pow(2, -1 / CAST({h} AS DOUBLE))))"
+    ))
+
+
+def _exp_time_decayed(kind: str):
+    """exponentialTimeDecayedSum/Count/Avg/Max(x)(v, t) — e-based decay
+    exp((tᵢ−t_last)/x): Sum = Σ vᵢ·wᵢ, Count = Σ wᵢ, Avg = Sum/Count
+    (NULL on empty via try_divide), Max = max vᵢ·wᵢ.  Count takes only
+    (t)."""
+    def rw(param: str, a: list[str]) -> str:
+        x = _num_param(f"exponentialTimeDecayed{kind}", param)
+        if kind == "Count":
+            if len(a) != 1:
+                raise ChTranslationError(
+                    "exponentialTimeDecayedCount(x)(time) takes 1 argument")
+            v, t = a[0], a[0]
+        else:
+            if len(a) != 2:
+                raise ChTranslationError(
+                    f"exponentialTimeDecayed{kind}(x)(value, time)"
+                    " takes 2 arguments")
+            v, t = a
+        def w(b):
+            return f"exp((__dk_e.t - {b}.tm) / CAST({x} AS DOUBLE))"
+        if kind == "Max":
+            return _decay_fold(v, t, lambda b: (
+                f"array_max(transform({b}.p,"
+                f" __dk_e -> __dk_e.v * {w(b)}))"
+            ))
+        if kind == "Sum":
+            return _decay_fold(v, t, lambda b: (
+                f"aggregate({b}.p, CAST(0 AS DOUBLE),"
+                f" (__dk_a, __dk_e) -> __dk_a + __dk_e.v * {w(b)})"
+            ))
+        if kind == "Count":
+            return _decay_fold(v, t, lambda b: (
+                f"aggregate({b}.p, CAST(0 AS DOUBLE),"
+                f" (__dk_a, __dk_e) -> __dk_a + {w(b)})"
+            ))
+        # Avg: one fold carrying (Σ v·w, Σ w)
+        return _decay_fold(v, t, lambda b: (
+            f"aggregate({b}.p,"
+            f" named_struct('s', CAST(0 AS DOUBLE), 'c', CAST(0 AS DOUBLE)),"
+            f" (__dk_a, __dk_e) -> named_struct("
+            f"'s', __dk_a.s + __dk_e.v * {w(b)},"
+            f" 'c', __dk_a.c + {w(b)}),"
+            f" __dk_a -> try_divide(__dk_a.s, __dk_a.c))"
+        ))
+    return rw
+
+
+def _delta_sum_timestamp(a: list[str]) -> str:
+    """``deltaSumTimestamp(value, timestamp)``: Σ of POSITIVE consecutive
+    differences with rows ordered by timestamp (CH stores timestamps in
+    the state precisely so merges re-sort — the sorted fold is the same
+    contract).  Tie timestamps fold in (t, v) order (documented)."""
+    if len(a) != 2:
+        raise ChTranslationError("deltaSumTimestamp takes (value, timestamp)")
+    return _decay_fold(a[0], a[1], lambda b: (
+        f"aggregate({b}.p,"
+        f" named_struct('s', CAST(0 AS DOUBLE), 'pv', CAST(NULL AS DOUBLE)),"
+        f" (__dk_a, __dk_e) -> named_struct("
+        f"'s', __dk_a.s + IF(__dk_a.pv IS NOT NULL AND __dk_e.v > __dk_a.pv,"
+        f" __dk_e.v - __dk_a.pv, CAST(0 AS DOUBLE)),"
+        f" 'pv', __dk_e.v),"
+        f" __dk_a -> __dk_a.s)"
+    ))
+
+
+def _non_negative_derivative_pass(sql: str) -> str:
+    """``nonNegativeDerivative(m, t[, INTERVAL n unit]) OVER (...)`` —
+    a WINDOW function in CH: per-row rate of change vs the previous row
+    in the window order, scaled to the interval, clamped at 0 from
+    below.  First row and zero/negative time steps yield 0 (CH emits 0
+    for the first row; try_divide keeps a tied timestamp ANSI-safe
+    instead of raising).  Expanded to LAG expressions over the SAME
+    captured window spec (inline or named)."""
+    while True:
+        at = _find_call(sql, "nonNegativeDerivative")
+        if at < 0:
+            return sql
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        args = _split_args(sql[open1 + 1 : end1 - 1])
+        if len(args) not in (2, 3):
+            raise ChTranslationError(
+                "nonNegativeDerivative(metric, timestamp[, INTERVAL n unit])")
+        m = re.match(r"\s*OVER\s*", sql[end1:], re.IGNORECASE)
+        if not m:
+            raise ChTranslationError(
+                "nonNegativeDerivative is a window function —"
+                " OVER (...) required")
+        after = end1 + m.end()
+        if after < len(sql) and sql[after] == "(":
+            wend = _balanced(sql, after)
+        else:
+            wm = re.match(r"[A-Za-z_][A-Za-z0-9_]*", sql[after:])
+            if not wm:
+                raise ChTranslationError(
+                    "nonNegativeDerivative: malformed OVER clause")
+            wend = after + wm.end()
+        win = sql[after:wend]
+        secs = 1
+        if len(args) == 3:
+            im = _INTERVAL_RE.match(args[2])
+            if not im:
+                raise ChTranslationError(
+                    "nonNegativeDerivative interval must be a literal"
+                    " INTERVAL n SECOND/MINUTE/HOUR/DAY")
+            secs = int(im.group(1)) * _INTERVAL_SECS[im.group(2).lower()]
+        v, t = args[0].strip(), args[1].strip()
+        tt = f"CAST({t} AS DOUBLE)"
+        expr = (
+            f"GREATEST(CAST(0 AS DOUBLE), COALESCE(try_divide("
+            f"(({v}) - LAG({v}) OVER {win}) * {secs},"
+            f" {tt} - LAG({tt}) OVER {win}), CAST(0 AS DOUBLE)))"
+        )
+        sql = sql[:at] + expr + sql[wend:]
 
 
 def _iso_dow(d: str) -> str:

@@ -7237,6 +7237,73 @@ def ch_dialect_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_JSON_EXTRACT, sf_dir)
 
 
+CH_DIALECT_TIME_DECAY = """
+    SELECT event_type,
+           round(exponentialMovingAverage(600)(value, toUnixTimestamp(ts)), 6) AS ema,
+           round(exponentialTimeDecayedAvg(600)(value, toUnixTimestamp(ts)), 6) AS etda,
+           round(exponentialTimeDecayedSum(600)(value, toUnixTimestamp(ts)), 6) AS etds,
+           round(exponentialTimeDecayedCount(600)(toUnixTimestamp(ts)), 6) AS etdc,
+           round(exponentialTimeDecayedMax(600)(value, toUnixTimestamp(ts)), 6) AS etdm,
+           round(deltaSumTimestamp(value, ts), 6) AS dst,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query(
+    "ch_dialect_time_decay",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             max(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY event_type) AS tm
+      FROM events
+    ),
+    del AS (
+      SELECT event_type,
+             GREATEST(value - lag(value)
+               OVER (PARTITION BY event_type ORDER BY ts, value), 0) AS d
+      FROM events
+    ),
+    ds AS (SELECT event_type, round(SUM(d), 6) AS dst FROM del GROUP BY 1)
+    SELECT w.event_type AS event_type,
+           round(SUM(value * POW(2, (t - tm) / 600.0))
+                 * (1 - POW(2, -1.0 / 600.0)), 6) AS ema,
+           round(SUM(value * EXP((t - tm) / 600.0))
+                 / SUM(EXP((t - tm) / 600.0)), 6) AS etda,
+           round(SUM(value * EXP((t - tm) / 600.0)), 6) AS etds,
+           round(SUM(EXP((t - tm) / 600.0)), 6) AS etdc,
+           round(MAX(value * EXP((t - tm) / 600.0)), 6) AS etdm,
+           max(ds.dst) AS dst,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w JOIN ds ON ds.event_type = w.event_type
+    GROUP BY w.event_type
+    """,
+)
+def ch_dialect_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay aggregates (VERDICT r7 order #4) — the old
+    "order-dependent" refusals were wrong for these: all are
+    deterministic given their explicit (value, time) arguments.
+    exponentialMovingAverage (2^-decay, normalized by the closed
+    infinite weight series), exponentialTimeDecayedAvg/Sum/Count/Max
+    (e-decay relative to the group's last timestamp), and
+    deltaSumTimestamp (Σ of positive consecutive deltas in timestamp
+    order; ties fold in documented (t, v) order).  All ride ONE
+    NULL-skipping collect_list fold with the pair array and its max-t
+    let-bound once (intervalLengthSum machinery — no CSE inside
+    lambdas).  The DuckDB oracle re-derives every formula with window
+    max / lag + plain SUM — independent of the fold.  Scale: single
+    grouped shuffle; per-group pair array on one executor (grouped-stats
+    contract, as rankCorr).  nonNegativeDerivative (the window-function
+    sibling) is pinned in tests/test_chdialect.py — its per-row output
+    over 10 k rows would dominate this result set."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_TIME_DECAY, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #

@@ -3315,3 +3315,62 @@ def test_json_tail_semantics(spark):
     # non-literal path refuses
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT JSONType(j, k) FROM t")
+
+
+def test_time_decay_aggregates_hand_model(spark):
+    """The r8 time-decay family against a hand-computed model: EMA =
+    Σ v·2^((t−t_max)/h) scaled by (1 − 2^(−1/h)); e-decay Sum/Count/
+    Avg/Max relative to the last timestamp; deltaSumTimestamp = Σ of
+    positive consecutive deltas (driver query ch_dialect_time_decay
+    carries the DuckDB window re-derivation oracle)."""
+    import math
+
+    got, _ = translate_ch_sql(
+        "SELECT exponentialMovingAverage(1)(v, t) AS ema,"
+        " exponentialTimeDecayedSum(10)(v, t) AS etds,"
+        " exponentialTimeDecayedCount(10)(t) AS etdc,"
+        " exponentialTimeDecayedAvg(10)(v, t) AS etda,"
+        " exponentialTimeDecayedMax(10)(v, t) AS etdm,"
+        " deltaSumTimestamp(v, t) AS dst"
+        " FROM VALUES (1.0, 0), (2.0, 1), (5.0, 2), (3.0, 3) AS x(v, t)"
+    )
+    r = spark.sql(got).collect()[0]
+    vs = [(0, 1.0), (1, 2.0), (2, 5.0), (3, 3.0)]
+    tm = 3
+    ema = sum(v * 2 ** (t - tm) for t, v in vs) * 0.5
+    etds = sum(v * math.exp((t - tm) / 10) for t, v in vs)
+    etdc = sum(math.exp((t - tm) / 10) for t, v in vs)
+    etdm = max(v * math.exp((t - tm) / 10) for t, v in vs)
+    assert abs(r["ema"] - ema) < 1e-12
+    assert abs(r["etds"] - etds) < 1e-12
+    assert abs(r["etdc"] - etdc) < 1e-12
+    assert abs(r["etda"] - etds / etdc) < 1e-12
+    assert abs(r["etdm"] - etdm) < 1e-12
+    assert r["dst"] == 4.0  # (2-1) + (5-2); the 5->3 drop is ignored
+    # parametric form is mandatory; NULL rows are skipped
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT exponentialMovingAverage(v, t) FROM t")
+    got2, _ = translate_ch_sql(
+        "SELECT deltaSumTimestamp(v, t) AS d FROM VALUES"
+        " (1.0, 0), (CAST(NULL AS DOUBLE), 1), (5.0, 2) AS x(v, t)"
+    )
+    assert spark.sql(got2).collect()[0]["d"] == 4.0
+
+
+def test_non_negative_derivative_window(spark):
+    """nonNegativeDerivative is a WINDOW function: per-row rate vs the
+    previous row in window order × interval, clamped at 0; first row
+    0."""
+    got, _ = translate_ch_sql(
+        "SELECT t, nonNegativeDerivative(v, t) OVER"
+        " (ORDER BY t) AS nnd,"
+        " nonNegativeDerivative(v, t, INTERVAL 10 SECOND) OVER"
+        " (ORDER BY t) AS nnd10"
+        " FROM VALUES (1.0, 0), (3.0, 2), (2.0, 3), (8.0, 7) AS x(v, t)"
+        " ORDER BY t"
+    )
+    rows = spark.sql(got).collect()
+    assert [r["nnd"] for r in rows] == [0.0, 1.0, 0.0, 1.5]
+    assert [r["nnd10"] for r in rows] == [0.0, 10.0, 0.0, 15.0]
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT nonNegativeDerivative(v, t) FROM t")
