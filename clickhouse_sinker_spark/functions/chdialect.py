@@ -726,8 +726,6 @@ _UNSUPPORTED = {
     "uptime",
     "blockSize",
     "byteSize",
-    "mannWhitneyUTest",
-    "meanZTest",
     "stochasticLinearRegression",   # iterative trainers, not aggregates
     "stochasticLogisticRegression",
     "groupArrayMovingAvg",   # block-order-dependent, like deltaSum
@@ -1703,6 +1701,105 @@ def _ttest_fn(name: str):
     return rw
 
 
+def _mann_whitney_pass(sql: str) -> str:
+    """``mannWhitneyUTest[('two-sided'[, cc])](sample_data, sample_index)``
+    → (u, p): Mann-Whitney U by the standard published construction —
+    tie-averaged POOLED ranks (the rankCorr machinery), U₁ = R₁ −
+    n₁(n₁+1)/2 for sample_index = 0, normal approximation with the tie
+    correction Σ(t³−t)/(n(n−1)) and the continuity correction (default
+    on, like CH), p two-sided via the libm-exact erfc UDF.  The returned
+    statistic is U₁ of the FIRST sample (the scipy convention CH's own
+    tests compare against) — the one residual convention surface, stated
+    here because no local CH instance can pin it.  'greater'/'less'
+    REFUSE: the one-sided p's sign convention depends on exactly that
+    unpinnable choice, and a silently sign-flipped p is worse than no
+    translation.  One collect_list fold per group; O(n²) array_position
+    rank work per GROUP (grouped-stats contract, as rankCorr)."""
+    while True:
+        at = _find_call(sql, "mannWhitneyUTest")
+        if at < 0:
+            return sql
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if rest.startswith("("):
+            open2 = end1 + (len(sql[end1:]) - len(rest))
+            end2 = _balanced(sql, open2)
+            params = _split_args(sql[open1 + 1 : end1 - 1])
+            args = _split_args(sql[open2 + 1 : end2 - 1])
+            endall = end2
+        else:
+            params, args, endall = [], _split_args(sql[open1 + 1 : end1 - 1]), end1
+        if params:
+            alt = params[0].strip().strip("'")
+            if alt != "two-sided":
+                raise ChTranslationError(
+                    "mannWhitneyUTest alternative 'two-sided' only — the"
+                    " one-sided U/z sign convention has no locally"
+                    " verifiable pin (see docstring)")
+            cc = params[1].strip() if len(params) > 1 else "1"
+            if cc not in ("0", "1"):
+                raise ChTranslationError(
+                    "mannWhitneyUTest continuity_correction must be the"
+                    " literal 0 or 1")
+        else:
+            cc = "1"
+        if len(args) != 2:
+            raise ChTranslationError(
+                "mannWhitneyUTest takes (sample_data, sample_index)")
+        v, i = args
+        # Spark forbids lambda functions anywhere inside a Python UDF's
+        # argument tree, so the rank/tie machinery cannot be a SQL fold
+        # feeding erfc — the whole statistic rides ONE Arrow UDF over the
+        # group's collected pair array (collect_list of a CASE skips NULL
+        # rows without a filter() lambda)
+        pairs = (
+            f"collect_list(CASE WHEN ({v}) IS NOT NULL"
+            f" AND ({i}) IS NOT NULL THEN named_struct("
+            f"'v', CAST({v} AS DOUBLE), 'i', CAST({i} AS BIGINT)) END)"
+        )
+        expr = f"ch_mw_utest({pairs}, {cc})"
+        sql = sql[:at] + expr + sql[endall:]
+
+
+def _mean_z_test(param: str, a: list[str]) -> str:
+    """``meanZTest(σx², σy², confidence)(sample_data, sample_index)`` →
+    (z, p, ci_low, ci_high): two-sample z with KNOWN population
+    variances — pure moment aggregates (avg/count with FILTER, Catalyst
+    dedups), p two-sided via erfc, and the confidence interval of the
+    mean difference via the bisection-exact normal quantile UDF.
+    Degenerate samples → NULL through try_divide, never an ANSI error."""
+    params = _split_args(param)
+    if len(params) != 3:
+        raise ChTranslationError(
+            "meanZTest(population_variance_x, population_variance_y,"
+            " confidence_level)(sample_data, sample_index)")
+    vx, vy, conf = (q.strip() for q in params)
+    for q in (vx, vy, conf):
+        if not re.fullmatch(r"\d+(\.\d+)?", q):
+            raise ChTranslationError(
+                f"meanZTest parameters must be numeric literals, got {q!r}")
+    if len(a) != 2:
+        raise ChTranslationError(
+            "meanZTest takes (sample_data, sample_index)")
+    v, i = a
+
+    def agg(f: str, k: int) -> str:
+        return f"{f}({v}) FILTER (WHERE ({i}) = {k})"
+
+    n0, n1 = agg("count", 0), agg("count", 1)
+    m0, m1 = agg("avg", 0), agg("avg", 1)
+    se = f"sqrt(try_divide({vx}, {n0}) + try_divide({vy}, {n1}))"
+    z = f"try_divide({m0} - {m1}, {se})"
+    zq = f"ch_norm_quantile((1.0 + {conf}) / 2.0)"
+    return (
+        f"named_struct('_1', {z},"
+        f" '_2', ch_erfc(abs({z}) / sqrt(2.0)),"
+        f" '_3', ({m0} - {m1}) - {zq} * {se},"
+        f" '_4', ({m0} - {m1}) + {zq} * {se})"
+    )
+
+
 def _rank_corr(a: list[str]) -> str:
     """``rankCorr(x, y)`` → Spearman rank correlation = Pearson over
     AVERAGE ranks (the tie-correct definition CH implements).  One real
@@ -1953,6 +2050,8 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(sql, "welchTTest", _ttest_fn("welchTTest"))
     sql = _rewrite_calls(sql, "studentTTest", _ttest_fn("studentTTest"))
+    sql = _mann_whitney_pass(sql)
+    sql = _rewrite_parametric(sql, "meanZTest", _mean_z_test)
     sql = _rewrite_calls(sql, "rankCorr", _rank_corr)
     sql = _rewrite_calls(sql, "cramersV", _assoc_fn("cramersV"))
     sql = _rewrite_calls(sql, "contingency", _assoc_fn("contingency"))

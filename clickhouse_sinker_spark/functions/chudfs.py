@@ -718,6 +718,64 @@ def _siphash128(data: bytes) -> bytes:
         ((v2 ^ v3) & _M64).to_bytes(8, "little")
 
 
+def _mw_utest(pairs, cc: int):
+    """Mann-Whitney U over (v, i) pairs: tie-averaged pooled ranks,
+    U₁ = R₁ − n₁(n₁+1)/2 for i = 0, normal approximation with the tie
+    correction Σ(t³−t)/(n(n−1)) and optional continuity correction,
+    two-sided p via libm erfc.  Runs per GROUP (the aggregate's pair
+    array crosses Arrow once per group — the same state CH's own
+    AggregateFunctionMannWhitney holds)."""
+    from math import erfc, sqrt
+
+    if pairs is None:
+        return None
+    vals = [(float(p["v"]), int(p["i"])) for p in pairs]
+    n = len(vals)
+    n1 = sum(1 for _, i in vals if i == 0)
+    n2 = n - n1
+    if n1 == 0 or n2 == 0 or n < 2:
+        return {"_1": None, "_2": None}
+    svals = sorted(v for v, _ in vals)
+    # average rank per value + tie counts in one pass
+    rank: dict = {}
+    ties = 0.0
+    k = 0
+    while k < n:
+        j = k
+        while j + 1 < n and svals[j + 1] == svals[k]:
+            j += 1
+        t = j - k + 1
+        rank[svals[k]] = (k + 1 + j + 1) / 2.0
+        ties += t ** 3 - t
+        k = j + 1
+    r1 = sum(rank[v] for v, i in vals if i == 0)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    sigma2 = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    if sigma2 <= 0:
+        return {"_1": u1, "_2": None}
+    z = max(0.0, abs(u1 - n1 * n2 / 2.0) - (0.5 if cc else 0.0))
+    return {"_1": u1, "_2": erfc(z / sqrt(sigma2) / sqrt(2.0))}
+
+
+def _norm_quantile(p: float) -> float:
+    """Standard-normal quantile Φ⁻¹(p) by bisection on the libm-exact
+    CDF Φ(x) = erfc(−x/√2)/2 — ~200 halvings reach full double
+    precision deterministically (no rational-approximation error to
+    pin).  Used for meanZTest confidence intervals."""
+    from math import erfc, sqrt
+
+    if not 0.0 < p < 1.0:
+        return float("nan")
+    lo, hi = -40.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if erfc(-mid / sqrt(2.0)) / 2.0 < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
 def _json_walk(doc, path):
     """Walk a parsed JSON value by CH-style path segments: str → object
     key, int → array index (1-based; negative = from the end, like CH's
@@ -1127,6 +1185,18 @@ _UDF_SPECS = {
             __import__("hashlib").md5(_u64_bytes(v)).digest()[:8], "big"
         ))),
         "decimal(20,0)",
+    ),
+    "ch_norm_quantile": (
+        _map1(lambda p: _norm_quantile(float(p))),
+        "double",
+    ),
+    "ch_mw_utest": (
+        lambda s1, s2: pd.DataFrame(
+            [(lambda r: {"_1": None, "_2": None} if r is None else r)(
+                _mw_utest(a, int(b)))
+             for a, b in zip(s1, s2)]
+        ),
+        "struct<_1: double, _2: double>",
     ),
     "ch_erf": (_map1(lambda x: __import__("math").erf(float(x))), "double"),
     "ch_erfc": (_map1(lambda x: __import__("math").erfc(float(x))), "double"),

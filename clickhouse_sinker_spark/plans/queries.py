@@ -7304,6 +7304,79 @@ def ch_dialect_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_TIME_DECAY, sf_dir)
 
 
+CH_DIALECT_STAT_TESTS = """
+    SELECT event_type,
+           round(tupleElement(mannWhitneyUTest(value, user_id % 2), 1), 6) AS u,
+           tupleElement(mannWhitneyUTest(value, user_id % 2), 2)
+             BETWEEN 0 AND 1 AS mw_p_ok,
+           round(tupleElement(meanZTest(100.0, 100.0, 0.95)(value, user_id % 2), 1), 6) AS z,
+           tupleElement(meanZTest(100.0, 100.0, 0.95)(value, user_id % 2), 2)
+             BETWEEN 0 AND 1 AS z_p_ok,
+           round(tupleElement(meanZTest(100.0, 100.0, 0.95)(value, user_id % 2), 3), 6) AS ci_lo,
+           round(tupleElement(meanZTest(100.0, 100.0, 0.95)(value, user_id % 2), 4), 6) AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query(
+    "ch_dialect_stat_tests",
+    """
+    WITH r AS (
+      SELECT event_type, value, user_id % 2 AS i,
+             rank() OVER (PARTITION BY event_type ORDER BY value)
+               + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+               AS rk
+      FROM events
+    )
+    SELECT event_type,
+           round(SUM(rk) FILTER (WHERE i = 0)
+                 - count(*) FILTER (WHERE i = 0)
+                   * (count(*) FILTER (WHERE i = 0) + 1) / 2.0, 6) AS u,
+           TRUE AS mw_p_ok,
+           round((avg(value) FILTER (WHERE i = 0)
+                  - avg(value) FILTER (WHERE i = 1))
+                 / sqrt(100.0 / count(*) FILTER (WHERE i = 0)
+                        + 100.0 / count(*) FILTER (WHERE i = 1)), 6) AS z,
+           TRUE AS z_p_ok,
+           round((avg(value) FILTER (WHERE i = 0)
+                  - avg(value) FILTER (WHERE i = 1))
+                 - 1.959963984540054
+                   * sqrt(100.0 / count(*) FILTER (WHERE i = 0)
+                          + 100.0 / count(*) FILTER (WHERE i = 1)), 6) AS ci_lo,
+           round((avg(value) FILTER (WHERE i = 0)
+                  - avg(value) FILTER (WHERE i = 1))
+                 + 1.959963984540054
+                   * sqrt(100.0 / count(*) FILTER (WHERE i = 0)
+                          + 100.0 / count(*) FILTER (WHERE i = 1)), 6) AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r
+    GROUP BY event_type
+    """,
+)
+def ch_dialect_stat_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stat-test tail (VERDICT r7 order #5): ``mannWhitneyUTest``
+    (two-sided, tie-corrected, continuity-corrected normal
+    approximation; the whole statistic rides ONE Arrow UDF over the
+    group's collected pair array because Spark forbids lambdas inside
+    Python-UDF arguments — the pinned scipy-textbook example reproduces
+    to 15 digits in tests) and ``meanZTest`` (known-variance two-sample
+    z: pure FILTER moment aggregates; p via libm erfc; the confidence
+    interval uses the bisection-exact normal quantile).  The DuckDB
+    oracle re-derives U₁ from WINDOW tie-averaged ranks (rank +
+    tie-count/2 — fully independent of the UDF) and the z/CI from raw
+    moments with the PUBLISHED Φ⁻¹(0.975) = 1.959963984540054 constant;
+    p-values are range-checked here and value-pinned in pytest (DuckDB
+    has no erfc).  One-sided MWU alternatives REFUSE: the U/z sign
+    convention has no locally verifiable pin.  Scale: single grouped
+    shuffle; per-group pair array crosses Arrow once (grouped-stats
+    contract, as rankCorr)."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_STAT_TESTS, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #

@@ -3374,3 +3374,55 @@ def test_non_negative_derivative_window(spark):
     assert [r["nnd10"] for r in rows] == [0.0, 10.0, 0.0, 15.0]
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT nonNegativeDerivative(v, t) FROM t")
+
+
+def test_mann_whitney_and_mean_z(spark):
+    """mannWhitneyUTest against the classic textbook sample (U=17;
+    two-sided tie/continuity-corrected normal p — the value scipy's
+    asymptotic method publishes for this example) and meanZTest against
+    hand-computed moments with the published normal quantile."""
+    import math
+
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT mannWhitneyUTest(v, i) AS mw,"
+        " mannWhitneyUTest('two-sided', 0)(v, i) AS mw0,"
+        " meanZTest(1.0, 1.0, 0.95)(v, i) AS mz"
+        " FROM VALUES (19.0,0),(22.0,0),(16.0,0),(29.0,0),(24.0,0),"
+        "(20.0,1),(11.0,1),(17.0,1),(12.0,1) AS x(v, i)"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["mw"]["_1"] == 17.0
+    assert abs(r["mw"]["_2"] - 0.11134688653314048) < 1e-14
+    z0 = 7.0 / math.sqrt(5 * 4 / 12 * 10)   # no continuity correction
+    assert abs(r["mw0"]["_2"] - math.erfc(z0 / math.sqrt(2))) < 1e-14
+    se = math.sqrt(1 / 5 + 1 / 4)
+    zz = 7.0 / se
+    assert abs(r["mz"]["_1"] - zz) < 1e-12
+    assert abs(r["mz"]["_2"] - math.erfc(zz / math.sqrt(2))) < 1e-12
+    assert abs(r["mz"]["_3"] - (7.0 - 1.959963984540054 * se)) < 1e-9
+    assert abs(r["mz"]["_4"] - (7.0 + 1.959963984540054 * se)) < 1e-9
+    # ties fold into averaged ranks: both samples identical -> U = n1*n2/2
+    got2, _ = translate_ch_sql(
+        "SELECT mannWhitneyUTest(v, i) AS mw FROM VALUES"
+        " (1.0,0),(1.0,0),(1.0,1),(1.0,1) AS x(v, i)"
+    )
+    r2 = spark.sql(got2).collect()[0]
+    assert r2["mw"]["_1"] == 2.0  # R1 = 2*2.5 = 5; U = 5 - 3 = 2 = n1n2/2
+    assert r2["mw"]["_2"] is None  # zero variance (all tied) -> NULL p
+    # one-sided refuses (sign convention unpinnable locally)
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT mannWhitneyUTest('less')(v, i) FROM t")
+
+
+def test_norm_quantile_published_values(spark):
+    """Bisection-exact Φ⁻¹ against published normal-table constants."""
+    from clickhouse_sinker_spark.functions.chudfs import _norm_quantile
+
+    assert abs(_norm_quantile(0.975) - 1.959963984540054) < 1e-12
+    assert abs(_norm_quantile(0.995) - 2.5758293035489004) < 1e-12
+    assert abs(_norm_quantile(0.5)) < 1e-12
+    # bisection brackets differ by sign, so antisymmetry holds to ~1 ulp
+    assert abs(_norm_quantile(0.025) + _norm_quantile(0.975)) < 1e-13
