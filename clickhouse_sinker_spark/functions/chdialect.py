@@ -718,8 +718,6 @@ _UNSUPPORTED = {
     "runningConcurrency",    # block-order-dependent, like runningDifference
     "deltaSum",              # order-dependent aggregate: use window lag()
     "sumWithOverflow",       # wrapping sum vs Spark ANSI overflow error
-    "firstSignificantSubdomain",   # needs CH's public-suffix list
-    "cutToFirstSignificantSubdomain",
     "sleep",                 # deliberate no-op denial: no sleeping in plans
     "sleepEachRow",
     "hostName",              # engine introspection
@@ -2609,6 +2607,19 @@ def _translate_functions(sql: str) -> str:
     # THROWS [INVALID_URL] on any malformed row; ClickHouse's URL getters
     # never fail and return '' for invalid input — so every rewrite here
     # must use the try_ form and coalesce NULL to ''.
+    # firstSignificantSubdomain family: CH's algorithm over an embedded
+    # public-suffix snapshot (psl_snapshot.py documents provenance and the
+    # last-two-labels parity property); host extraction is CH domain()
+    # semantics inside the UDF, so bare hosts work (try_parse_url needs a
+    # scheme)
+    sql = _rewrite_calls(
+        sql, "firstSignificantSubdomain",
+        lambda a: f"ch_first_significant_subdomain({a[0]})",
+    )
+    sql = _rewrite_calls(
+        sql, "cutToFirstSignificantSubdomain",
+        lambda a: f"ch_cut_to_first_significant_subdomain({a[0]})",
+    )
     for ch, part in [
         ("domain", "HOST"),
         ("path", "PATH"),

@@ -718,6 +718,51 @@ def _siphash128(data: bytes) -> bytes:
         ((v2 ^ v3) & _M64).to_bytes(8, "little")
 
 
+def _extract_host(url: str) -> str:
+    """CH ``domain()``-style host extraction: optional scheme, optional
+    userinfo, stop at path/query/fragment/port; bare hosts pass through;
+    one trailing period stripped (a FQDN dot)."""
+    import re as _re
+
+    s = url
+    m = _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", s)
+    if m:
+        s = s[m.end():]
+    at = s.find("@")
+    slash = s.find("/")
+    if at != -1 and (slash == -1 or at < slash):
+        s = s[at + 1:]
+    for cut in "/?#:":
+        i = s.find(cut)
+        if i != -1:
+            s = s[:i]
+    return s[:-1] if s.endswith(".") else s
+
+
+def _fss_parts(url: str):
+    """(first-significant-subdomain label, cut-down domain) per the CH
+    algorithm (URL/ExtractFirstSignificantSubdomain.h): only the LAST
+    TWO labels are tested against the suffix list — if they form a
+    registered public suffix (exact 2-label rule, or a ``*.x`` wildcard
+    not cancelled by an exception), the significant label is third from
+    the end, else second; two-label hosts return their first label
+    unconditionally; hosts without a period return ('', '')."""
+    from .psl_snapshot import PSL_EXACT2, PSL_EXC2, PSL_WILD1
+
+    host = _extract_host(url)
+    labels = host.split(".")
+    if len(labels) < 2 or "" in labels:
+        return "", ""
+    if len(labels) == 2:
+        return labels[0], host
+    tail2 = f"{labels[-2]}.{labels[-1]}".lower()
+    valid = tail2 in PSL_EXACT2 or (
+        labels[-1].lower() in PSL_WILD1 and tail2 not in PSL_EXC2
+    )
+    idx = -3 if valid else -2
+    return labels[idx], ".".join(labels[idx:])
+
+
 def _mw_utest(pairs, cc: int):
     """Mann-Whitney U over (v, i) pairs: tie-averaged pooled ranks,
     U₁ = R₁ − n₁(n₁+1)/2 for i = 0, normal approximation with the tie
@@ -1189,6 +1234,16 @@ _UDF_SPECS = {
     "ch_norm_quantile": (
         _map1(lambda p: _norm_quantile(float(p))),
         "double",
+    ),
+    # firstSignificantSubdomain family — embedded public-suffix snapshot
+    # (see psl_snapshot.py provenance)
+    "ch_first_significant_subdomain": (
+        _map1(lambda s: _fss_parts(s)[0]),
+        "string",
+    ),
+    "ch_cut_to_first_significant_subdomain": (
+        _map1(lambda s: _fss_parts(s)[1]),
+        "string",
     ),
     "ch_mw_utest": (
         lambda s1, s2: pd.DataFrame(

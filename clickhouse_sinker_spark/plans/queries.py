@@ -7377,6 +7377,78 @@ def ch_dialect_stat_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_STAT_TESTS, sf_dir)
 
 
+CH_DIALECT_DOMAINS = """
+    SELECT n, u,
+           firstSignificantSubdomain(u) AS fss,
+           cutToFirstSignificantSubdomain(u) AS cut
+    FROM (SELECT n, concat('https://news.site', toString(n), '.',
+                 CASE n WHEN 0 THEN 'com.tr' WHEN 1 THEN 'co.uk'
+                        WHEN 2 THEN 'com' WHEN 3 THEN 'org'
+                        WHEN 4 THEN 'io' WHEN 5 THEN 'github.io'
+                        WHEN 6 THEN 'tr' WHEN 7 THEN 'ck'
+                        WHEN 8 THEN 'net.ac' ELSE 'example' END,
+                 '/path?q=1') AS u
+          FROM (SELECT DISTINCT toUInt64(user_id % 10) AS n FROM events))
+    ORDER BY n
+"""
+
+
+@query(
+    "ch_dialect_domains",
+    """
+    WITH d AS (SELECT DISTINCT user_id % 10 AS n FROM events),
+    b AS (
+      SELECT n,
+             CASE n WHEN 0 THEN 'com.tr' WHEN 1 THEN 'co.uk'
+                    WHEN 2 THEN 'com' WHEN 3 THEN 'org'
+                    WHEN 4 THEN 'io' WHEN 5 THEN 'github.io'
+                    WHEN 6 THEN 'tr' WHEN 7 THEN 'ck'
+                    WHEN 8 THEN 'net.ac' ELSE 'example' END AS sfx,
+             -- which suffixes make the LAST TWO labels a registered
+             -- public suffix (hand-checked against publicsuffix.org):
+             -- the 2-label rules com.tr / co.uk / github.io / net.ac
+             -- are exact entries; ck carries the *.ck wildcard, so
+             -- siteN.ck is a suffix and the significant label is 'news'
+             CASE n WHEN 7 THEN 'news' ELSE 'site' || n END AS exp_fss
+      FROM d
+    )
+    SELECT n,
+           'https://news.site' || n || '.' || sfx || '/path?q=1' AS u,
+           exp_fss AS fss,
+           CASE WHEN exp_fss = 'news'
+                THEN 'news.site' || n || '.' || sfx
+                WHEN sfx IN ('com.tr', 'co.uk', 'github.io', 'net.ac')
+                THEN 'site' || n || '.' || sfx
+                ELSE 'site' || n || '.' || sfx END AS cut
+    FROM b
+    ORDER BY n
+    """,
+)
+def ch_dialect_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``firstSignificantSubdomain`` / ``cutToFirstSignificantSubdomain``
+    (VERDICT r7 order #7): the CH algorithm — ONLY the last two host
+    labels are tested against the public-suffix list (CH tracks just
+    three periods); registered 2-label suffix → third-from-end label is
+    significant, else second; two-label hosts return their first label
+    — over an EMBEDDED snapshot of the public Mozilla PSL
+    (functions/psl_snapshot.py documents provenance, the MPL-2.0 source,
+    and the last-two-labels parity property).  Host extraction is CH
+    ``domain()`` semantics inside the UDF (scheme/userinfo/port/path
+    stripping, bare hosts pass).  The constructed URL domain spans every
+    branch: exact 2-label suffixes (com.tr, co.uk, github.io — a
+    PRIVATE-section entry, included like CH's own snapshot — net.ac),
+    the *.ck wildcard (significant label jumps to 'news'), and
+    plain/unknown TLDs.  The oracle hard-codes the HAND-DERIVED
+    classification of each suffix against the public list — transparent
+    expectations, not recomputed opacity.  Scale: one distinct-shuffle
+    over 10 groups, one ArrowEvalPython batch for the two scalars.
+    Access-log analytics parity target: cmd/kafka_gen_log/main.go:96-128
+    generates exactly such URL columns."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_DOMAINS, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #

@@ -3426,3 +3426,30 @@ def test_norm_quantile_published_values(spark):
     assert abs(_norm_quantile(0.5)) < 1e-12
     # bisection brackets differ by sign, so antisymmetry holds to ~1 ulp
     assert abs(_norm_quantile(0.025) + _norm_quantile(0.975)) < 1e-13
+
+
+def test_first_significant_subdomain(spark):
+    """CH docs examples + every algorithm branch over the embedded PSL
+    snapshot (exact 2-label rule, *.ck wildcard, !www.ck exception,
+    2-label host, dotless host, userinfo/port stripping)."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT firstSignificantSubdomain('https://news.clickhouse.com.tr/') AS a,"
+        " firstSignificantSubdomain('www.tr') AS b,"
+        " firstSignificantSubdomain('user.github.io') AS c,"
+        " firstSignificantSubdomain('a.b.foo.ck') AS d,"
+        " firstSignificantSubdomain('x.www.ck') AS e,"
+        " firstSignificantSubdomain('tr') AS f,"
+        " cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/p?q=1') AS g,"
+        " cutToFirstSignificantSubdomain('www.tr') AS h,"
+        " firstSignificantSubdomain('http://u:p@sub.ex.co.uk:8080/x') AS i"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["a"] == "clickhouse" and r["b"] == "www" and r["c"] == "user"
+    assert r["d"] == "b"          # *.ck wildcard: foo.ck is a suffix
+    assert r["e"] == "www"        # !www.ck exception cancels the wildcard
+    assert r["f"] == ""           # dotless host
+    assert r["g"] == "clickhouse.com.tr" and r["h"] == "www.tr"
+    assert r["i"] == "ex"         # userinfo + port + path stripped
