@@ -785,11 +785,7 @@ _UNSUPPORTED = {
     "arrayRandomSample",     # nondeterministic
     "idnaEncode",            # punycode family
     "idnaDecode",
-    "divideDecimal",         # explicit-result-scale decimal arithmetic:
-    "multiplyDecimal",       # CH truncates on scale cut, Spark HALF_UPs
     "byteSwap",              # result width depends on the CH arg type
-    "toDecimalString",       # fixed-scale formatting: rounding mode
-                             # differs (see formatReadable cents rule)
     "proportionsZTest",      # stat tests need distribution functions
     "kolmogorovSmirnovTest",
     "cramersVBiasCorrected",
@@ -2561,6 +2557,13 @@ def _translate_functions(sql: str) -> str:
             + "), CAST(array() AS ARRAY<STRING>))"
         ),
     )
+    sql = _rewrite_calls(
+        sql, "divideDecimal", _decimal_arith_fn("divideDecimal",
+                                                "ch_decimal_div"))
+    sql = _rewrite_calls(
+        sql, "multiplyDecimal", _decimal_arith_fn("multiplyDecimal",
+                                                  "ch_decimal_mul"))
+    sql = _rewrite_calls(sql, "toDecimalString", _to_decimal_string_fn)
     sql = _rewrite_calls(sql, "JSONExtractKeysAndValues", _json_kv_fn)
     sql = _rewrite_calls(sql, "JSONType", _json_type_fn)
     sql = _rewrite_calls(sql, "JSONExtractArrayRaw", _json_array_raw_fn)
@@ -5806,6 +5809,49 @@ def _json_extract(args: list[str], cast: str | None) -> str:
             )
     expr = f"get_json_object({args[0]}, '{path}')"
     return f"CAST({expr} AS {cast})" if cast else expr
+
+
+def _decimal_arith_fn(name: str, udf: str):
+    """``divideDecimal(a, b, s)`` / ``multiplyDecimal(a, b, s)`` — CH
+    TRUNCATES the exact result toward zero at the result scale where
+    every Spark decimal operation HALF_UPs (the silent delta these were
+    refused over).  Operands travel as their exact string forms into an
+    integer-arithmetic Arrow UDF; the exact-truncated string CASTs back
+    to DECIMAL(38, s) losslessly (it carries exactly s fraction
+    digits).  The 2-arg form refuses: CH's default result scale derives
+    from the argument DECIMAL types, unknowable at SQL-text level.
+    Division by zero → NULL (CH raises; ANSI-safe reading, noted)."""
+    def rw(a: list[str]) -> str:
+        if len(a) != 3:
+            raise ChTranslationError(
+                f"{name}(a, b, result_scale) — pass the result scale"
+                " explicitly (CH's default derives from the argument"
+                " DECIMAL types, unknowable at SQL-text level)")
+        s = a[2].strip()
+        if not re.fullmatch(r"\d+", s) or int(s) > 37:
+            raise ChTranslationError(
+                f"{name} result scale must be an integer literal 0..37"
+                " (Spark's DECIMAL(38) ceiling; CH Decimal256 reaches"
+                " 76)")
+        return (f"CAST({udf}(CAST({a[0]} AS STRING),"
+                f" CAST({a[1]} AS STRING), {s}) AS DECIMAL(38, {s}))")
+    return rw
+
+
+def _to_decimal_string_fn(a: list[str]) -> str:
+    """``toDecimalString(x, scale)`` — fixed-scale text rendering,
+    rounding half AWAY FROM ZERO (CH round-on-decimal semantics; Java's
+    format_string half-ups the shortest repr instead — the delta the
+    refusal recorded).  Exact quantization from the value's string
+    form."""
+    if len(a) != 2:
+        raise ChTranslationError("toDecimalString takes (value, scale)")
+    s = a[1].strip()
+    if not re.fullmatch(r"\d+", s) or int(s) > 60:
+        raise ChTranslationError(
+            "toDecimalString scale must be an integer literal (CH caps"
+            " at 77 total digits; 60 here)")
+    return f"ch_to_decimal_string(CAST({a[0]} AS STRING), {s})"
 
 
 def _json_path_segments(args: list[str], name: str) -> str:

@@ -718,6 +718,80 @@ def _siphash128(data: bytes) -> bytes:
         ((v2 ^ v3) & _M64).to_bytes(8, "little")
 
 
+def _dec_parse(s: str) -> tuple[int, int]:
+    """Decimal string → (unscaled int, scale), exactly."""
+    s = s.strip()
+    neg = s.startswith("-")
+    if neg or s.startswith("+"):
+        s = s[1:]
+    if "e" in s.lower():  # scientific form from a float cast
+        from decimal import Decimal
+
+        _, digits, exp = Decimal(s).as_tuple()
+        iv = int("".join(map(str, digits)) or "0")
+        if exp >= 0:
+            iv *= 10 ** exp
+            scale = 0
+        else:
+            scale = -exp
+        return (-iv if neg else iv), scale
+    if "." in s:
+        a, b = s.split(".", 1)
+        iv = int((a or "0") + b)
+        return (-iv if neg else iv), len(b)
+    return (-int(s) if neg else int(s)), 0
+
+
+def _dec_render(iv: int, scale: int) -> str:
+    """Unscaled int at ``scale`` → plain decimal string with EXACTLY
+    ``scale`` fraction digits (CH renders the full declared scale)."""
+    neg = iv < 0
+    d = str(abs(iv)).rjust(scale + 1, "0")
+    out = d if scale == 0 else f"{d[:-scale]}.{d[-scale:]}"
+    return f"-{out}" if neg else out
+
+
+def _dec_div(a: str, b: str, s: int):
+    """CH ``divideDecimal``: exact rational division TRUNCATED toward
+    zero at the result scale (CH cuts excess scale digits; Spark's
+    decimal division HALF_UPs — the silent delta this UDF exists for)."""
+    ia, sa = _dec_parse(a)
+    ib, sb = _dec_parse(b)
+    if ib == 0:
+        return None  # CH raises; NULL is the ANSI-safe reading (noted)
+    num = ia * 10 ** (s + sb)
+    den = ib * 10 ** sa
+    q = abs(num) // abs(den)
+    if (num < 0) != (den < 0):
+        q = -q
+    return _dec_render(q, s)
+
+
+def _dec_mul(a: str, b: str, s: int):
+    """CH ``multiplyDecimal``: exact product truncated toward zero."""
+    ia, sa = _dec_parse(a)
+    ib, sb = _dec_parse(b)
+    prod, pscale = ia * ib, sa + sb
+    if pscale <= s:
+        return _dec_render(prod * 10 ** (s - pscale), s)
+    cut = 10 ** (pscale - s)
+    q = abs(prod) // cut
+    return _dec_render(-q if prod < 0 else q, s)
+
+
+def _to_decimal_string(x: str, s: int):
+    """CH ``toDecimalString``: render with exactly ``s`` fraction
+    digits, rounding HALF AWAY FROM ZERO (CH round() semantics on
+    decimals).  Float inputs arrive via their shortest decimal repr
+    (Spark CAST AS STRING), quantized exactly from there — same
+    digits CH formats from the double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(x.strip()).quantize(
+        Decimal(1).scaleb(-s), rounding=ROUND_HALF_UP)
+    return format(q, "f") if s == 0 else format(q, f".{s}f")
+
+
 def _extract_host(url: str) -> str:
     """CH ``domain()``-style host extraction: optional scheme, optional
     userinfo, stop at path/query/fragment/port; bare hosts pass through;
@@ -1234,6 +1308,29 @@ _UDF_SPECS = {
     "ch_norm_quantile": (
         _map1(lambda p: _norm_quantile(float(p))),
         "double",
+    ),
+    # decimal-scale arithmetic: exact integer math, TRUNCATION on scale
+    # cut (CH contract; Spark decimals HALF_UP) — results are exact
+    # strings the translator CASTs back to DECIMAL(38, s) losslessly
+    "ch_decimal_div": (
+        lambda s1, s2, s3: pd.Series([
+            None if a is None or b is None or c is None
+            else _dec_div(a, b, int(c))
+            for a, b, c in zip(s1, s2, s3)
+        ]),
+        "string",
+    ),
+    "ch_decimal_mul": (
+        lambda s1, s2, s3: pd.Series([
+            None if a is None or b is None or c is None
+            else _dec_mul(a, b, int(c))
+            for a, b, c in zip(s1, s2, s3)
+        ]),
+        "string",
+    ),
+    "ch_to_decimal_string": (
+        _map2(lambda x, s: _to_decimal_string(x, int(s))),
+        "string",
     ),
     # firstSignificantSubdomain family — embedded public-suffix snapshot
     # (see psl_snapshot.py provenance)

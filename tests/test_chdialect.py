@@ -3453,3 +3453,43 @@ def test_first_significant_subdomain(spark):
     assert r["f"] == ""           # dotless host
     assert r["g"] == "clickhouse.com.tr" and r["h"] == "www.tr"
     assert r["i"] == "ex"         # userinfo + port + path stripped
+
+
+def test_decimal_scale_arithmetic(spark):
+    """divideDecimal/multiplyDecimal TRUNCATE toward zero at the result
+    scale (CH contract; every Spark decimal op HALF_UPs);
+    toDecimalString rounds half away from zero at a fixed scale.
+    Boundary .5 cases pinned (the cases that expose the rounding-mode
+    delta)."""
+    from decimal import Decimal
+
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT divideDecimal(toDecimal64(-12, 0), toDecimal32(2.1, 1), 10) AS d1,"
+        " divideDecimal(toDecimal32(7, 0), toDecimal32(2, 0), 0) AS d2,"
+        " divideDecimal(toDecimal32(-7, 0), toDecimal32(2, 0), 0) AS d3,"
+        " multiplyDecimal(toDecimal32(2.5, 1), toDecimal32(1, 0), 0) AS m1,"
+        " multiplyDecimal(toDecimal32(-12.647, 3), toDecimal32(2.1239, 4), 5) AS m2,"
+        " toDecimalString(2.1456, 2) AS t1,"
+        " toDecimalString(2.5, 0) AS t2,"
+        " toDecimalString(-2.5, 0) AS t3,"
+        " toDecimalString(64.32, 5) AS t4,"
+        " divideDecimal(toDecimal32(1, 0), toDecimal32(0, 0), 2) AS dz"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["d1"] == Decimal("-5.7142857142")  # truncated (HALF_UP: ...43)
+    assert r["d2"] == Decimal("3")              # 3.5 cuts to 3
+    assert r["d3"] == Decimal("-3")             # toward zero, not floor
+    assert r["m1"] == Decimal("2")              # 2.5 cuts to 2
+    assert r["m2"] == Decimal("-26.86096")      # -26.8609633 cut at 5
+    assert r["t1"] == "2.15" and r["t4"] == "64.32000"  # CH docs example
+    assert r["t2"] == "3" and r["t3"] == "-3"   # half AWAY from zero
+    assert r["dz"] is None                      # /0 -> NULL (noted delta)
+    # result is a true DECIMAL(38, s), not a string
+    assert dict(spark.sql(got).dtypes)["d1"] == "decimal(38,10)"
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT divideDecimal(a, b) FROM t")
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT toDecimalString(x, y) FROM t")
