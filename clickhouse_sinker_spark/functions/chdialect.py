@@ -98,6 +98,37 @@ halfMD5(x)                   first 8 MD5 bytes big-endian (Arrow UDF)
 sipHash64/xxHash64/32(x)     ch_* Arrow UDFs, CH-exact seed-0 bytes
                              (Spark's xxhash64 seeds with 42); typed
                              argument gate (string / to[U]IntN wrapper)
+cityHash64(x)                CityHash v1.0.2 as frozen by CH (r8; absl-
+                             proven primitives, see chudfs note)
+murmurHash2_32/64(x)         MurmurHash2 / MurmurHash64A seed 0 (r8;
+                             SMHasher + libstdc++ proofs)
+murmurHash3_32/64/128(x)     Murmur3 x86_32 / x64_128-low / x64_128
+                             bytes, seed 0 (Spark-JVM + mmh3 proofs)
+sipHash128(x)                CH's NON-standard (v0^v1, v2^v3) halves;
+                             the official form stays refused
+intHash32/intHash64(n)       salted CH integer mixers (salt constants
+                             documented recall-only)
+JSONType(j[, path])          Arrow UDF: simdjson-style type names
+JSONExtractArrayRaw(j[, p])  Arrow UDF: raw JSON element slices
+JSONExtractKeysAndValues     from_json(map<string,string>) + per-entry
+ (j[, p], 'T')               try_cast, non-converting keys skipped
+exponentialMovingAverage     2^-decay fold normalized by the closed
+ (h)(v, t)                   infinite weight series
+exponentialTimeDecayed-      e-decay folds relative to the group's
+ Avg/Sum/Count/Max(x)(v, t)  last timestamp
+deltaSumTimestamp(v, t)      Σ positive consecutive deltas, t-sorted
+nonNegativeDerivative        window fn → clamped LAG rate over the
+ (m, t[, INTERVAL]) OVER w   captured window spec
+mannWhitneyUTest[(p)](v, i)  two-sided tie/continuity-corrected U + p
+                             (one Arrow UDF per group; one-sided refuses)
+meanZTest(σx²,σy²,cl)(v, i)  known-variance z, p via erfc, CI via
+                             bisection-exact normal quantile
+firstSignificantSubdomain /  CH last-two-labels algorithm over the
+cutToFirstSignificant-       embedded public-suffix snapshot
+Subdomain(u)                 (psl_snapshot.py)
+divideDecimal/multiply-      exact integer arithmetic, TRUNCATED at the
+Decimal(a, b, s)             explicit result scale (Spark HALF_UPs)
+toDecimalString(x, s)        fixed-scale text, half away from zero
 PREWHERE c                   WHERE c   (merged with AND if WHERE exists)
 FROM t FINAL                 ReplacingMergeTree merge-on-read: newest-
                              version row per sorting key via row_number

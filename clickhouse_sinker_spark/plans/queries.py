@@ -7511,104 +7511,85 @@ def ch_dialect_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 # It never changes between two calls in the same checkout; any change to it
 # is an ordinary reviewed source edit.
 #
-# Layout of ``DRIVER_ORDER`` (round 7: close the never-driver-hashed set
-# to ZERO, per VERDICT r6 "next round" item 2) — 50 slots:
-# 1. The same 9-name anchor set as r6 — one long-green regression canary
-#    per §2 / LLM-pipeline family.
-# 2. ``etl_saturating_cast`` — re-hash required by the P7 fix: the query
-#    gained non-clamping high-magnitude columns covering the repaired
-#    [2^53, 2^64) double zones.
-# 3. The 18 queries that had NEVER had a driver hash
-#    (tools/driver_coverage.py r6 list) — after this window runs,
-#    never-hashed = 0 and the SURVEY §2 bar ("every operator has a passing
-#    CORRECTNESS entry") closes.
-# 4. Oldest-hash re-confirmations: r1-era (7) and r2/r3-era (2) greens
-#    whose last driver row predates the r4 engine rewrites, plus the
-#    late-r7 ``dedup_exact_substring`` (displaced etl_pii_scrub — restore
-#    it in the r8 rotation).
-# 5. The 12 round-7 additions (strict_increase funnel, timed sequence,
-#    RIGHT ANY, sumMap, text-funcs batch, ASOF USING, WITH FILL, the
-#    url/readable/topK scalar batch, and the late dialect batches
-#    agg_combinators / math_entropy / net_moments) — these displaced
-#    dedup_levenshtein / text_tokens / text_fingerprint /
-#    text_bpe_tokens / text_winnow_fingerprint / dedup_winnow_overlap /
-#    etl_array_cast / pack_token_budget / corpus_temperature_mix /
-#    pipeline_quality_gate / corpus_mix_sample / dedup_incremental_exact
-#    from group 4 (restore them in the r8 rotation).
-# Every remaining registered query follows in registration (source) order.
-# Nothing is ever unregistered — ALL queries are pytest-oracle-checked on
-# every test run regardless of their position in this list.
+# Layout of ``DRIVER_ORDER`` (round 8: staleness rotation per VERDICT r7
+# order #2 — never-hashed reached ZERO in r7, so every slot is now a
+# re-confirmation and the oldest hashes go first) — 50 slots:
+# 1. The 6 round-8 additions (hash family, JSON introspection tail,
+#    time-decay aggregates, MWU/meanZTest, firstSignificantSubdomain,
+#    decimal-scale arithmetic) — first-time hashes.
+# 2. ``dedup_exact_substring`` — re-hash required by the merged-spans
+#    coverage rewrite (VERDICT r7 "what's wrong" #3 fix).
+# 3. Oldest-hash re-confirmations, strictly by age of the latest green:
+#    the five r1-latest greens, the fifteen r3-latest greens, the ten
+#    r4-latest greens (these 30 include every query the r7 window
+#    displaced), then thirteen r5-latest greens (the verdict's named
+#    set plus etl_array_cast from the displaced list).
+# The long-green per-family anchors of r6/r7 are NOT in this window:
+# every anchor carries a fresh r07 hash, and with never = 0 the binding
+# constraint is maximum hash age (target ≤ 3 rounds), which this
+# composition minimizes.  Anchors rotate back in r9.
+# Every remaining registered query follows in registration (source)
+# order.  Nothing is ever unregistered — ALL queries are
+# pytest-oracle-checked on every test run regardless of position.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
-    # --- anchors: one long-green canary per family ---
-    "tpch_q1_pricing",
-    "tpch_q9_profit",
-    "window_sessionize",
-    "agg_grouping_sets",
-    "etl_parse_project",
-    "dedup_minhash_lsh",
-    "knn_cosine_topk",
-    "ch_dialect_hourly_stats",
-    "mm_binary_meta",
-    # --- P7 re-hash: new high-magnitude columns in this query ---
-    "etl_saturating_cast",
-    # --- fresh slots: the 18 never-driver-hashed queries ---
-    "quality_charlm_score",
-    "mm_image_features",
-    "etl_nested_path",
-    "etl_nested_path_escaped",
-    "dedup_embedding_blocked",
-    "text_regex_tokens",
-    "pipeline_clean_corpus",
-    "emb_centroid_per_label",
-    "mm_audio_features",
-    "mm_resize_images",
-    "mm_png_decode_real",
-    "corpus_stats_per_lang",
-    "ch_dialect_array_profile",
-    "ch_dialect_json_props",
-    "ch_dialect_stats_buckets",
-    "ch_dialect_array_join",
-    "ch_dialect_with_totals",
-    "ch_dialect_limit_by",
-    # --- oldest-hash re-confirmations (r1-only greens first;
-    # text_tfidf_top_terms and sample_stratified displaced by the
-    # late-r7 ch_dialect_ttests / ch_dialect_rank_corr — restore in r8) ---
-    "dedup_components",
-    # (pipeline_dedup_survivors displaced by ch_dialect_assoc — its
-    # pair→component→survivor stages are covered by dedup_components and
-    # the r6-hashed dedup family; restore in r8)
-    "tpch_q6_forecast",
-    # (window_rank_distribution displaced by ch_dialect_digests and
-    # mm_frame_sample by ch_dialect_ipv6 — both families carry r4-r6
-    # sibling hashes; restore in r8)
-    # --- oldest-hash re-confirmations (r2/r3-era greens) ---
-    # --- late-r7 additions (displaced text_repetition_quality,
-    # decontam_ngram_overlap and etl_pii_scrub, all r2/r3-era greens —
-    # restore in r8): the last never-driver-hashed queries — window keeps
-    # never = 0 ---
+    # --- round-8 additions (first-time hashes) ---
+    "ch_dialect_hash_family",
+    "ch_dialect_json_extract",
+    "ch_dialect_time_decay",
+    "ch_dialect_stat_tests",
+    "ch_dialect_domains",
+    "ch_dialect_decimal_arith",
+    # --- re-hash: merged-spans coverage rewrite in this query's operator ---
     "dedup_exact_substring",
-    "ch_dialect_time_windows",
-    "ch_dialect_string_udfs",
-    "ch_dialect_ttests",
-    "ch_dialect_rank_corr",
-    "ch_dialect_digests",
-    "ch_dialect_assoc",
-    "ch_dialect_ipv6",
-    # --- r7 additions (displacing the youngest re-confirmations) ---
-    "ch_dialect_funnel_increase",
-    "ch_dialect_sequence_timed",
-    "ch_dialect_right_any_join",
-    "ch_dialect_sum_map",
-    "ch_dialect_text_funcs",
-    "ch_dialect_asof_join",
-    "ch_dialect_with_fill",
-    "ch_dialect_url_readable",
-    "ch_dialect_agg_combinators",
-    "ch_dialect_math_entropy",
-    "ch_dialect_net_moments",
-    "ch_dialect_qualify",
+    # --- oldest greens: last hashed r1 ---
+    "pipeline_dedup_survivors",
+    "text_tfidf_top_terms",
+    "sample_stratified",
+    "window_rank_distribution",
+    "mm_frame_sample",
+    # --- last hashed r3 ---
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_ivf",
+    "text_langid",
+    "text_repetition_quality",
+    "decontam_ngram_overlap",
+    "etl_pii_scrub",
+    "dedup_incremental_exact",
+    "corpus_mix_sample",
+    "corpus_temperature_mix",
+    "pipeline_quality_gate",
+    "pack_token_budget",
+    "text_tokens",
+    "etl_shard_knuth",
+    # --- last hashed r4 ---
+    "setop_except_distinct",
+    "etl_epoch_scale",
+    "etl_ip_validate",
+    "etl_shard_stripe",
+    "etl_sortingkey_shard",
+    "text_fingerprint",
+    "text_bpe_tokens",
+    "text_winnow_fingerprint",
+    "dedup_winnow_overlap",
+    "dedup_levenshtein",
+    # --- last hashed r5 (verdict-named set + displaced etl_array_cast) ---
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "window_topk_per_customer",
+    "agg_approx_distinct",
+    "etl_shard_hash_xx",
+    "setop_intersect",
+    "agg_distinct_exact",
+    "agg_hll_rollup",
+    "agg_percentile_approx",
+    "window_tumbling_1h",
+    "pipeline_pretraining_corpus",
+    "ts_gap_fill",
+    "etl_array_cast",
 ]
 
 DRIVER_WINDOW = 50
