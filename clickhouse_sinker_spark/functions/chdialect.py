@@ -108,6 +108,12 @@ sipHash128(x)                CH's NON-standard (v0^v1, v2^v3) halves;
                              the official form stays refused
 intHash32/intHash64(n)       salted CH integer mixers (salt constants
                              documented recall-only)
+farmFingerprint64(x)         farmhash PORTABLE Fingerprint64, bit-equal
+                             to Guava's independent implementation
+javaHash/hiveHash(s)         JLS String.hashCode / sign-cleared form
+jumpConsistentHash(k, n)     Lamping-Veach published algorithm verbatim
+byteSwap / bitRotate-        width-gated bit ops (to[U]IntN wrapper
+Left/Right(to[U]IntN(x)…)    supplies the wrap width)
 JSONType(j[, path])          Arrow UDF: simdjson-style type names
 JSONExtractArrayRaw(j[, p])  Arrow UDF: raw JSON element slices
 JSONExtractKeysAndValues     from_json(map<string,string>) + per-entry
@@ -720,9 +726,9 @@ _AGG_IF = {
 
 # known-ClickHouse names we refuse rather than mistranslate
 _UNSUPPORTED = {
-    "farmHash64",     # CH/Farm/Java/Hive hash families have no Spark twin
-    "javaHash",
-    "hiveHash",
+    "farmHash64",     # farmhash Hash64 dispatches per-CPU at BUILD time —
+                      # not portable even between CH builds; use the
+                      # portable farmFingerprint64 (translated, Guava-proven)
     "neighbor",
     "runningDifference",
     "runningAccumulate",
@@ -772,8 +778,6 @@ _UNSUPPORTED = {
     "lemmatize",
     "stem",
     "synonyms",
-    "bitRotateLeft",         # rotation width depends on the CH arg type,
-    "bitRotateRight",        # unknowable at SQL-text level
     "unbin",
     "arrayReduceInRanges",
     "generateULID",          # nondeterministic generators
@@ -788,8 +792,8 @@ _UNSUPPORTED = {
     "randomFixedString",
     "fuzzBits",
     "arrayNormalizedGini",
-    "kostikConsistentHash",  # wrapping-multiply iteration (ANSI errors)
-    "jumpConsistentHash",
+    "kostikConsistentHash",  # Yandex sumbur algorithm: no public pinnable
+                             # reference implementation in this environment
     "xxh3",
     "wyHash64",
     "minSampleSizeConversion",    # stat-test tails
@@ -816,7 +820,6 @@ _UNSUPPORTED = {
     "arrayRandomSample",     # nondeterministic
     "idnaEncode",            # punycode family
     "idnaDecode",
-    "byteSwap",              # result width depends on the CH arg type
     "proportionsZTest",      # stat tests need distribution functions
     "kolmogorovSmirnovTest",
     "cramersVBiasCorrected",
@@ -1657,6 +1660,27 @@ def _int_hash_fn(name: str, udf: str):
     return rw
 
 
+_WIDTH_RE = re.compile(r"^to(U)?Int(8|16|32|64)\s*\(", re.IGNORECASE)
+
+
+def _width_gated_fn(name: str, nargs: int, emit):
+    """Width-dependent bit operations (byteSwap, bitRotate*): the result
+    wraps at the first argument's declared integer width, which only an
+    explicit ``to[U]IntN(...)`` wrapper makes visible at SQL-text level.
+    ``emit(args, width_bytes)`` builds the replacement."""
+    def rw(a: list[str]) -> str:
+        if len(a) != nargs:
+            raise ChTranslationError(f"{name} takes {nargs} argument(s)")
+        m = _WIDTH_RE.match(a[0].strip())
+        if not m:
+            raise ChTranslationError(
+                f"{name} needs an explicit to[U]IntN(...) wrapper on its"
+                " first argument — the result wraps at the argument's"
+                " declared width, invisible at SQL-text level")
+        return emit([q.strip() for q in a], int(m.group(2)) // 8)
+    return rw
+
+
 def _rewrite_calls_raw(sql: str, name: str, emit) -> str:
     """Like ``_rewrite_calls`` but hands ``emit`` the RAW (untranslated)
     argument text and re-embeds whatever it returns for the later passes
@@ -1988,6 +2012,59 @@ def _translate_functions(sql: str) -> str:
         sql, "intHash32", _int_hash_fn("intHash32", "ch_inthash32"))
     sql = _rewrite_calls_raw(
         sql, "intHash64", _int_hash_fn("intHash64", "ch_inthash64"))
+    # farmFingerprint64 = farmhash's PORTABLE Fingerprint64, Guava-proven
+    # (farmHash64 stays refused: per-CPU build dispatch)
+    sql = _rewrite_calls_raw(
+        sql, "farmFingerprint64",
+        _byte_hash_fn("farmFingerprint64", "ch_farm_fingerprint64_ch",
+                      "ch_farm_fingerprint64_u64", r"^to(U)?Int64\s*\("),
+    )
+    # javaHash/hiveHash: JLS String.hashCode (SIGNED Int32 like CH);
+    # string-typed arguments only — CH's integer forms hash Java
+    # primitive widths the SQL text can't see
+    for _jn, _judf in (("javaHash", "ch_java_hash"),
+                       ("hiveHash", "ch_hive_hash")):
+        sql = _rewrite_calls_raw(
+            sql, _jn,
+            lambda a, n=_jn, u=_judf: (
+                f"{u}({a[0].strip()})" if len(a) == 1
+                and _stringish(a[0].strip())
+                else _refuse(
+                    f"{n} translates for string-typed arguments only"
+                    " (the integer forms hash Java primitive widths,"
+                    " invisible at SQL-text level)")),
+        )
+    # jumpConsistentHash(key, n): Lamping-Veach published algorithm
+    sql = _rewrite_calls_raw(
+        sql, "jumpConsistentHash",
+        lambda a: (
+            f"ch_jump_consistent_hash(CAST({a[0]} AS BIGINT),"
+            f" CAST({a[1]} AS INT))"
+            if len(a) == 2 and not _stringish(a[0].strip())
+            else _refuse(
+                "jumpConsistentHash takes (integer key, bucket count)")),
+    )
+    # byteSwap / bitRotateLeft/Right: the result wraps at the argument's
+    # DECLARED width — an explicit to[U]IntN wrapper supplies it
+    sql = _rewrite_calls_raw(
+        sql, "byteSwap",
+        _width_gated_fn("byteSwap", 1,
+                        lambda a, w: f"ch_byteswap({a[0]}, {w})"),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "bitRotateLeft",
+        _width_gated_fn(
+            "bitRotateLeft", 2,
+            lambda a, w: (f"ch_bit_rotate_left(CAST({a[0]} AS BIGINT),"
+                          f" CAST({a[1]} AS BIGINT), {w})")),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "bitRotateRight",
+        _width_gated_fn(
+            "bitRotateRight", 2,
+            lambda a, w: (f"ch_bit_rotate_right(CAST({a[0]} AS BIGINT),"
+                          f" CAST({a[1]} AS BIGINT), {w})")),
+    )
     # CH hex() pads integers to EVEN width (hex(1) = '01' — whole bytes,
     # leading zero-bytes trimmed); Spark's hex(1) = '1'.  The even-pad
     # wrap is a no-op for string/binary inputs (always even), so it is

@@ -681,6 +681,156 @@ def _city64(s: bytes) -> int:
     )
 
 
+def _farm_fingerprint64(s: bytes) -> int:
+    """FarmHash Fingerprint64 (Google's published farmhashna::Hash64 —
+    the PORTABLE farm hash; CH exposes it as ``farmFingerprint64``).
+    Bit-proven against Guava's independent FarmHashFingerprint64 (on
+    Spark's own classpath) over every length 0..300 plus multi-block
+    inputs in tests.  ``farmHash64`` stays refused: farmhash's Hash64
+    dispatches per-CPU at build time and is not portable — exactly why
+    Fingerprint64 exists."""
+    n = len(s)
+    k0, k1, k2 = _CITY_K0, _CITY_K1, _CITY_K2
+    if n <= 32:
+        if n <= 16:
+            # identical to the absl-proven CityHash v1.1 short branches
+            if n >= 8:
+                mul = (k2 + n * 2) & _M64
+                a = (_fetch64(s) + k2) & _M64
+                b = _fetch64(s, n - 8)
+                c = (_rotr64(b, 37) * mul + a) & _M64
+                d = ((_rotr64(a, 25) + b) * mul) & _M64
+                return _hl16mul(c, d, mul)
+            if n >= 4:
+                mul = (k2 + n * 2) & _M64
+                return _hl16mul((n + (_fetch32(s) << 3)) & _M64,
+                                _fetch32(s, n - 4), mul)
+            if n > 0:
+                y = (s[0] + (s[n >> 1] << 8)) & _M32
+                z = (n + (s[n - 1] << 2)) & _M32
+                return (_shift_mix((y * k2 ^ z * k0) & _M64) * k2) & _M64
+            return k2
+        mul = (k2 + n * 2) & _M64
+        a = (_fetch64(s) * k1) & _M64
+        b = _fetch64(s, 8)
+        c = (_fetch64(s, n - 8) * mul) & _M64
+        d = (_fetch64(s, n - 16) * k2) & _M64
+        return _hl16mul(
+            (_rotr64((a + b) & _M64, 43) + _rotr64(c, 30) + d) & _M64,
+            (a + _rotr64((b + k2) & _M64, 18) + c) & _M64, mul)
+    if n <= 64:
+        mul = (k2 + n * 2) & _M64
+        a = (_fetch64(s) * k2) & _M64
+        b = _fetch64(s, 8)
+        c = (_fetch64(s, n - 8) * mul) & _M64
+        d = (_fetch64(s, n - 16) * k2) & _M64
+        y = (_rotr64((a + b) & _M64, 43) + _rotr64(c, 30) + d) & _M64
+        z = _hl16mul(y, (a + _rotr64((b + k2) & _M64, 18) + c) & _M64, mul)
+        e = (_fetch64(s, 16) * mul) & _M64
+        f = _fetch64(s, 24)
+        g = ((y + _fetch64(s, n - 32)) * mul) & _M64
+        h = ((z + _fetch64(s, n - 24)) * mul) & _M64
+        return _hl16mul(
+            (_rotr64((e + f) & _M64, 43) + _rotr64(g, 30) + h) & _M64,
+            (e + _rotr64((f + a) & _M64, 18) + g) & _M64, mul)
+    seed = 81
+    x = (seed * k2 + _fetch64(s)) & _M64
+    y = (seed * k1 + 113) & _M64
+    z = (_shift_mix((y * k2 + 113) & _M64) * k2) & _M64
+    v = (0, 0)
+    w = (0, 0)
+    end = ((n - 1) // 64) * 64
+    last64 = end + ((n - 1) & 63) - 63
+    off = 0
+    while off != end:
+        x = (_rotr64((x + y + v[0] + _fetch64(s, off + 8)) & _M64, 37)
+             * k1) & _M64
+        y = (_rotr64((y + v[1] + _fetch64(s, off + 48)) & _M64, 42)
+             * k1) & _M64
+        x ^= w[1]
+        y = (y + v[0] + _fetch64(s, off + 40)) & _M64
+        z = (_rotr64((z + w[0]) & _M64, 33) * k1) & _M64
+        v = _city_weak32s(s, off, (v[1] * k1) & _M64, (x + w[0]) & _M64)
+        w = _city_weak32s(s, off + 32, (z + w[1]) & _M64,
+                          (y + _fetch64(s, off + 16)) & _M64)
+        z, x = x, z
+        off += 64
+    mul = (k1 + ((z & 0xFF) << 1)) & _M64
+    off = last64
+    w = ((w[0] + ((n - 1) & 63)) & _M64, w[1])
+    v = ((v[0] + w[0]) & _M64, v[1])
+    w = ((w[0] + v[0]) & _M64, w[1])
+    x = (_rotr64((x + y + v[0] + _fetch64(s, off + 8)) & _M64, 37)
+         * mul) & _M64
+    y = (_rotr64((y + v[1] + _fetch64(s, off + 48)) & _M64, 42)
+         * mul) & _M64
+    x ^= (w[1] * 9) & _M64
+    y = (y + v[0] * 9 + _fetch64(s, off + 40)) & _M64
+    z = (_rotr64((z + w[0]) & _M64, 33) * mul) & _M64
+    v = _city_weak32s(s, off, (v[1] * mul) & _M64, (x + w[0]) & _M64)
+    w = _city_weak32s(s, off + 32, (z + w[1]) & _M64,
+                      (y + _fetch64(s, off + 16)) & _M64)
+    z, x = x, z
+    return _hl16mul(
+        (_hl16mul(v[0], w[0], mul) + _shift_mix(y) * k0 + z) & _M64,
+        (_hl16mul(v[1], w[1], mul) + x) & _M64, mul)
+
+
+def _hl16mul(u: int, v: int, mul: int) -> int:
+    """CityHash/FarmHash HashLen16 with an explicit multiplier."""
+    a = ((u ^ v) * mul) & _M64
+    a ^= a >> 47
+    b = ((v ^ a) * mul) & _M64
+    b ^= b >> 47
+    return (b * mul) & _M64
+
+
+def _dec_ident(v: int):
+    from decimal import Decimal
+
+    return Decimal(v)
+
+
+def _rot_width(v: int, r: int, width_bytes: int, left: bool) -> int:
+    """CH bitRotateLeft/Right at the argument's declared width: the
+    rotation wraps within 8·width bits (the reason the bare forms were
+    refused — the width is invisible at SQL-text level without the
+    to[U]IntN wrapper)."""
+    bits = 8 * width_bytes
+    mask = (1 << bits) - 1
+    v &= mask
+    r %= bits
+    if not left:
+        r = (bits - r) % bits
+    return ((v << r) | (v >> (bits - r))) & mask
+
+
+def _java_hash(s: str) -> int:
+    """Java ``String.hashCode()`` — specified exactly by the JLS
+    (s[0]·31ⁿ⁻¹ + … over UTF-16 code units, 32-bit two's complement).
+    CH ``javaHash`` implements the same contract.  Pinned to famous
+    public values ('polygenelubricants' = Integer.MIN_VALUE)."""
+    h = 0
+    data = s.encode("utf-16-be")
+    for i in range(0, len(data), 2):
+        unit = (data[i] << 8) | data[i + 1]
+        h = (h * 31 + unit) & _M32
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _jump_consistent_hash(key: int, buckets: int) -> int:
+    """Jump consistent hash — Lamping & Veach's published algorithm
+    verbatim (the double arithmetic is part of the spec and
+    deterministic); CH ``jumpConsistentHash(key, n)``."""
+    key &= _M64
+    b, j = -1, 0
+    while j < buckets:
+        b = j
+        key = (key * 2862933555777941757 + 1) & _M64
+        j = int((b + 1) * (float(1 << 31) / float((key >> 33) + 1)))
+    return b
+
+
 def _inthash64(x: int) -> int:
     """CH ``intHash64``: fmix64 of the value XOR a fixed salt
     (FunctionsHashing.h IntHash64Impl; the salt is a hard-coded
@@ -1229,6 +1379,49 @@ _UDF_SPECS = {
     # only — the translator refuses non-literal paths)
     "ch_json_type": (_map2(_ch_json_type), "string"),
     "ch_json_array_raw": (_map2(_ch_json_array_raw), "array<string>"),
+    "ch_farm_fingerprint64_ch": (
+        _map1(_dec(lambda s: _farm_fingerprint64(s.encode("utf-8")))),
+        "decimal(20,0)",
+    ),
+    "ch_farm_fingerprint64_u64": (
+        _map1(_dec(lambda v: _farm_fingerprint64(_u64_bytes(v)))),
+        "decimal(20,0)",
+    ),
+    # javaHash returns SIGNED Int32 (CH does too); hiveHash zeroes the
+    # sign bit
+    "ch_java_hash": (_map1(_java_hash), "int"),
+    "ch_hive_hash": (
+        _map1(lambda s: _java_hash(s) & 0x7FFFFFFF),
+        "int",
+    ),
+    "ch_jump_consistent_hash": (
+        _map2(lambda k, n: _jump_consistent_hash(int(k), int(n))),
+        "int",
+    ),
+    # byteSwap / bitRotate take the integer VALUE with an explicit width
+    # (the translator's to[U]IntN gate supplies it)
+    "ch_byteswap": (
+        _map2(lambda v, w: _dec_ident(int.from_bytes(
+            (int(v) & ((1 << (8 * int(w))) - 1)).to_bytes(int(w), "little"),
+            "big"))),
+        "decimal(20,0)",
+    ),
+    "ch_bit_rotate_left": (
+        lambda s1, s2, s3: pd.Series([
+            None if v is None or r is None or w is None
+            else _dec_ident(_rot_width(int(v), int(r), int(w), left=True))
+            for v, r, w in zip(s1, s2, s3)
+        ]),
+        "decimal(20,0)",
+    ),
+    "ch_bit_rotate_right": (
+        lambda s1, s2, s3: pd.Series([
+            None if v is None or r is None or w is None
+            else _dec_ident(_rot_width(int(v), int(r), int(w), left=False))
+            for v, r, w in zip(s1, s2, s3)
+        ]),
+        "decimal(20,0)",
+    ),
     # intHash take the integer VALUE (sign-extended to UInt64 like CH's
     # static_cast), not a byte string
     "ch_inthash32": (

@@ -7502,6 +7502,61 @@ def ch_dialect_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_DECIMAL_ARITH, sf_dir)
 
 
+CH_DIALECT_HASH_FAMILY2 = """
+    SELECT n,
+           toString(farmFingerprint64(toString(s))) AS fp64,
+           javaHash(toString(s)) AS jh,
+           hiveHash(toString(s)) AS hh,
+           jumpConsistentHash(toUInt64(n), 8) AS jch,
+           toString(byteSwap(toUInt32(n * 1000003))) AS bs,
+           toString(bitRotateLeft(toUInt32(n), 3)) AS brl
+    FROM (SELECT DISTINCT toUInt64(user_id % 10) AS n,
+                 concat('ev_', toString(user_id % 10)) AS s
+          FROM events)
+    ORDER BY n
+"""
+
+
+@query(
+    "ch_dialect_hash_family2",
+    """
+    WITH d AS (SELECT DISTINCT user_id % 10 AS n FROM events),
+    v(n, fp64, jh, hh, jch, bs, brl) AS (VALUES
+      (0, '16055008170041949315', 3125282, 3125282, 0, '0', '0'),
+      (1, '11975627913870880945', 3125283, 3125283, 6, '1128402688', '8'),
+      (2, '8859633743526457936', 3125284, 3125284, 6, '2256805376', '16'),
+      (3, '3820731608430101573', 3125285, 3125285, 3, '3385208064', '24'),
+      (4, '14500862835827619951', 3125286, 3125286, 1, '201932032', '32'),
+      (5, '8122748314907550210', 3125287, 3125287, 4, '1330334720', '40'),
+      (6, '17434556014207617923', 3125288, 3125288, 5, '2458737408', '48'),
+      (7, '16366118010583200621', 3125289, 3125289, 0, '3587140096', '56'),
+      (8, '11319578440995441474', 3125290, 3125290, 4, '403864064', '64'),
+      (9, '9477259711570194329', 3125291, 3125291, 7, '1532266752', '72'))
+    SELECT d.n AS n, v.fp64, v.jh, v.hh, v.jch, v.bs, v.brl
+    FROM d JOIN v ON v.n = d.n
+    ORDER BY n
+    """,
+)
+def ch_dialect_hash_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second r8 hash batch — every value ground-truth-proven:
+    ``farmFingerprint64`` (farmhash's PORTABLE Fingerprint64, bit-equal
+    to Guava's independent implementation on Spark's own classpath over
+    every length 0..300 — ``farmHash64`` stays refused because farmhash
+    Hash64 dispatches per-CPU at build time), ``javaHash``/``hiveHash``
+    (JLS-specified String.hashCode over UTF-16 units; famous public
+    pins incl. 'polygenelubricants' = Integer.MIN_VALUE),
+    ``jumpConsistentHash`` (Lamping & Veach's published algorithm
+    verbatim), and the width-gated bit ops ``byteSwap`` /
+    ``bitRotateLeft/Right`` (the result wraps at the argument's declared
+    to[U]IntN width — definitional byte/bit arithmetic).  Oracle
+    literals generated from the proven implementations (non-circular
+    via the Guava/JLS/published-paper chains).  Scale: one
+    distinct-shuffle over 10 groups, one ArrowEvalPython batch."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_HASH_FAMILY2, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #
@@ -7514,9 +7569,12 @@ def ch_dialect_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Layout of ``DRIVER_ORDER`` (round 8: staleness rotation per VERDICT r7
 # order #2 — never-hashed reached ZERO in r7, so every slot is now a
 # re-confirmation and the oldest hashes go first) — 50 slots:
-# 1. The 6 round-8 additions (hash family, JSON introspection tail,
+# 1. The 7 round-8 additions (hash family, JSON introspection tail,
 #    time-decay aggregates, MWU/meanZTest, firstSignificantSubdomain,
-#    decimal-scale arithmetic) — first-time hashes.
+#    decimal-scale arithmetic, and the second hash batch
+#    farmFingerprint64/javaHash/jumpConsistentHash/byteSwap — the last
+#    displaced window_tumbling_1h, whose family keeps r6 hashes) —
+#    first-time hashes.
 # 2. ``dedup_exact_substring`` — re-hash required by the merged-spans
 #    coverage rewrite (VERDICT r7 "what's wrong" #3 fix).
 # 3. Oldest-hash re-confirmations, strictly by age of the latest green:
@@ -7541,6 +7599,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_stat_tests",
     "ch_dialect_domains",
     "ch_dialect_decimal_arith",
+    "ch_dialect_hash_family2",
     # --- re-hash: merged-spans coverage rewrite in this query's operator ---
     "dedup_exact_substring",
     # --- oldest greens: last hashed r1 ---
@@ -7586,7 +7645,6 @@ DRIVER_ORDER: list[str] = [
     "agg_distinct_exact",
     "agg_hll_rollup",
     "agg_percentile_approx",
-    "window_tumbling_1h",
     "pipeline_pretraining_corpus",
     "ts_gap_fill",
     "etl_array_cast",

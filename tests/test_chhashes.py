@@ -346,3 +346,67 @@ def test_inthash_regression_pins():
     assert 0 <= _inthash32(0xFFFFFFFFFFFFFFFF) <= _M32
     # sign extension: CH static_cast<UInt64>(Int64(-1)) = 2^64-1
     assert _inthash64((-1) & _M64) == _inthash64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Second r8 batch: farmFingerprint64 / javaHash / jumpConsistentHash /
+# width-gated bit ops
+# ---------------------------------------------------------------------------
+
+def test_farm_fingerprint64_bit_equal_to_guava(spark):
+    """FarmHash Fingerprint64 vs Guava's independent implementation
+    (com.google.common.hash on Spark's own classpath) — every length
+    0..300 plus multi-block inputs."""
+    from clickhouse_sinker_spark.functions.chudfs import _farm_fingerprint64
+
+    jvm = spark.sparkContext._jvm
+    g = jvm.com.google.common.hash.Hashing.farmHashFingerprint64()
+    rng = random.Random(42)
+    for n in list(range(0, 300)) + [511, 512, 1000, 4096]:
+        data = bytes(rng.randrange(256) for _ in range(n))
+        ref = g.hashBytes(bytearray(data)).asLong() & _M64
+        assert _farm_fingerprint64(data) == ref, f"len {n}"
+
+
+def test_java_hash_jls_pins():
+    """JLS-specified String.hashCode: famous public values, UTF-16
+    surrogate-pair handling, sign behavior."""
+    from clickhouse_sinker_spark.functions.chudfs import _java_hash
+
+    assert _java_hash("") == 0
+    assert _java_hash("a") == 97
+    assert _java_hash("hello") == 99162322
+    # the famous minimal-hash string: Integer.MIN_VALUE
+    assert _java_hash("polygenelubricants") == -2147483648
+    # an astral char is TWO UTF-16 units in Java
+    assert _java_hash("\U0001F600") == 31 * 0xD83D + 0xDE00
+
+
+def test_jump_consistent_hash_published_properties():
+    """Lamping-Veach jump hash: range, determinism, and the paper's
+    defining MONOTONICITY property — growing the bucket count never
+    moves a key between existing buckets, only (sometimes) to the new
+    one."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _jump_consistent_hash,
+    )
+
+    rng = random.Random(7)
+    for _ in range(300):
+        key = rng.getrandbits(64)
+        for n in (1, 2, 7, 100):
+            b = _jump_consistent_hash(key, n)
+            assert 0 <= b < n
+            assert b == _jump_consistent_hash(key, n)
+        prev = _jump_consistent_hash(key, 9)
+        nxt = _jump_consistent_hash(key, 10)
+        assert nxt == prev or nxt == 9
+
+
+def test_width_gated_bit_ops():
+    from clickhouse_sinker_spark.functions.chudfs import _rot_width
+
+    assert _rot_width(1, 3, 1, left=True) == 8
+    assert _rot_width(0x80, 1, 1, left=True) == 1      # wraps at 8 bits
+    assert _rot_width(1, 1, 4, left=False) == 0x80000000
+    assert _rot_width(1, 33, 4, left=True) == 2        # rotation mod width
