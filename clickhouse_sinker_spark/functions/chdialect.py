@@ -129,6 +129,8 @@ mannWhitneyUTest[(p)](v, i)  two-sided tie/continuity-corrected U + p
                              (one Arrow UDF per group; one-sided refuses)
 meanZTest(σx²,σy²,cl)(v, i)  known-variance z, p via erfc, CI via
                              bisection-exact normal quantile
+proportionsZTest(sx,sy,      two-proportion z (pooled/unpooled), pure
+ tx,ty,cl,pool)              JVM arithmetic, Wald CI
 firstSignificantSubdomain /  CH last-two-labels algorithm over the
 cutToFirstSignificant-       embedded public-suffix snapshot
 Subdomain(u)                 (psl_snapshot.py)
@@ -820,7 +822,6 @@ _UNSUPPORTED = {
     "arrayRandomSample",     # nondeterministic
     "idnaEncode",            # punycode family
     "idnaDecode",
-    "proportionsZTest",      # stat tests need distribution functions
     "kolmogorovSmirnovTest",
     "cramersVBiasCorrected",
     "theilsU",
@@ -1849,6 +1850,51 @@ def _mean_z_test(param: str, a: list[str]) -> str:
     )
 
 
+def _proportions_z_test(a: list[str]) -> str:
+    """``proportionsZTest(sx, sy, tx, ty, conf, 'pooled'|'unpooled')`` →
+    (z, p, ci_low, ci_high) — a per-ROW scalar in CH (the counts are
+    already aggregated).  z uses the requested variance pooling; p is
+    the two-sided normal tail via libm erfc; the confidence interval of
+    the proportion DIFFERENCE uses the standard unpooled Wald standard
+    error with the bisection-exact normal quantile (the conventional
+    pairing — pooled se is a test-only construct; documented as this
+    repo's contract).  Degenerate inputs (zero trials, p outside (0,1))
+    → NULL via try_divide, never an ANSI error."""
+    if len(a) != 6:
+        raise ChTranslationError(
+            "proportionsZTest(successes_x, successes_y, trials_x,"
+            " trials_y, confidence_level, 'pooled'|'unpooled')")
+    sx, sy, tx, ty, conf, usevar = (q.strip() for q in a)
+    uv = usevar.strip("'").lower()
+    if uv not in ("pooled", "unpooled"):
+        raise ChTranslationError(
+            "proportionsZTest pool type must be the literal 'pooled' or"
+            " 'unpooled'")
+    if not re.fullmatch(r"0?\.\d+|1(\.0+)?", conf):
+        raise ChTranslationError(
+            "proportionsZTest confidence_level must be a numeric literal"
+            " in (0, 1)")
+    p1 = f"try_divide(CAST({sx} AS DOUBLE), {tx})"
+    p2 = f"try_divide(CAST({sy} AS DOUBLE), {ty})"
+    if uv == "pooled":
+        pp = f"try_divide(CAST({sx} AS DOUBLE) + ({sy}), ({tx}) + ({ty}))"
+        se_z = (f"sqrt({pp} * (1 - {pp})"
+                f" * (try_divide(1, {tx}) + try_divide(1, {ty})))")
+    else:
+        se_z = (f"sqrt(try_divide({p1} * (1 - {p1}), {tx})"
+                f" + try_divide({p2} * (1 - {p2}), {ty}))")
+    se_ci = (f"sqrt(try_divide({p1} * (1 - {p1}), {tx})"
+             f" + try_divide({p2} * (1 - {p2}), {ty}))")
+    z = f"try_divide({p1} - {p2}, {se_z})"
+    zq = f"ch_norm_quantile((1.0 + {conf}) / 2.0)"
+    return (
+        f"named_struct('_1', {z},"
+        f" '_2', ch_erfc(abs({z}) / sqrt(2.0)),"
+        f" '_3', ({p1} - {p2}) - {zq} * {se_ci},"
+        f" '_4', ({p1} - {p2}) + {zq} * {se_ci})"
+    )
+
+
 def _rank_corr(a: list[str]) -> str:
     """``rankCorr(x, y)`` → Spearman rank correlation = Pearson over
     AVERAGE ranks (the tie-correct definition CH implements).  One real
@@ -2154,6 +2200,7 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "studentTTest", _ttest_fn("studentTTest"))
     sql = _mann_whitney_pass(sql)
     sql = _rewrite_parametric(sql, "meanZTest", _mean_z_test)
+    sql = _rewrite_calls(sql, "proportionsZTest", _proportions_z_test)
     sql = _rewrite_calls(sql, "rankCorr", _rank_corr)
     sql = _rewrite_calls(sql, "cramersV", _assoc_fn("cramersV"))
     sql = _rewrite_calls(sql, "contingency", _assoc_fn("contingency"))

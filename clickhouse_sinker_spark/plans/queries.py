@@ -7314,6 +7314,21 @@ CH_DIALECT_STAT_TESTS = """
              BETWEEN 0 AND 1 AS z_p_ok,
            round(tupleElement(meanZTest(100.0, 100.0, 0.95)(value, user_id % 2), 3), 6) AS ci_lo,
            round(tupleElement(meanZTest(100.0, 100.0, 0.95)(value, user_id % 2), 4), 6) AS ci_hi,
+           round(tupleElement(proportionsZTest(
+               countIf(value > 10 AND user_id % 2 = 0),
+               countIf(value > 10 AND user_id % 2 = 1),
+               countIf(user_id % 2 = 0), countIf(user_id % 2 = 1),
+               0.95, 'unpooled'), 1), 6) AS pz,
+           tupleElement(proportionsZTest(
+               countIf(value > 10 AND user_id % 2 = 0),
+               countIf(value > 10 AND user_id % 2 = 1),
+               countIf(user_id % 2 = 0), countIf(user_id % 2 = 1),
+               0.95, 'unpooled'), 2) BETWEEN 0 AND 1 AS pz_p_ok,
+           round(tupleElement(proportionsZTest(
+               countIf(value > 10 AND user_id % 2 = 0),
+               countIf(value > 10 AND user_id % 2 = 1),
+               countIf(user_id % 2 = 0), countIf(user_id % 2 = 1),
+               0.95, 'pooled'), 1), 6) AS pz_pooled,
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
@@ -7350,6 +7365,31 @@ CH_DIALECT_STAT_TESTS = """
                  + 1.959963984540054
                    * sqrt(100.0 / count(*) FILTER (WHERE i = 0)
                           + 100.0 / count(*) FILTER (WHERE i = 1)), 6) AS ci_hi,
+           round((1.0 * count(*) FILTER (WHERE i = 0 AND value > 10)
+                    / count(*) FILTER (WHERE i = 0)
+                  - 1.0 * count(*) FILTER (WHERE i = 1 AND value > 10)
+                    / count(*) FILTER (WHERE i = 1))
+                 / sqrt((1.0 * count(*) FILTER (WHERE i = 0 AND value > 10)
+                           / count(*) FILTER (WHERE i = 0))
+                        * (1 - 1.0 * count(*) FILTER (WHERE i = 0 AND value > 10)
+                               / count(*) FILTER (WHERE i = 0))
+                        / count(*) FILTER (WHERE i = 0)
+                        + (1.0 * count(*) FILTER (WHERE i = 1 AND value > 10)
+                             / count(*) FILTER (WHERE i = 1))
+                          * (1 - 1.0 * count(*) FILTER (WHERE i = 1 AND value > 10)
+                                 / count(*) FILTER (WHERE i = 1))
+                          / count(*) FILTER (WHERE i = 1)), 6) AS pz,
+           TRUE AS pz_p_ok,
+           round((1.0 * count(*) FILTER (WHERE i = 0 AND value > 10)
+                    / count(*) FILTER (WHERE i = 0)
+                  - 1.0 * count(*) FILTER (WHERE i = 1 AND value > 10)
+                    / count(*) FILTER (WHERE i = 1))
+                 / sqrt((1.0 * count(*) FILTER (WHERE value > 10) / count(*))
+                        * (1 - 1.0 * count(*) FILTER (WHERE value > 10)
+                               / count(*))
+                        * (1.0 / count(*) FILTER (WHERE i = 0)
+                           + 1.0 / count(*) FILTER (WHERE i = 1))), 6)
+             AS pz_pooled,
            CAST(count(*) AS BIGINT) AS n
     FROM r
     GROUP BY event_type
@@ -7368,7 +7408,10 @@ def ch_dialect_stat_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-count/2 — fully independent of the UDF) and the z/CI from raw
     moments with the PUBLISHED Φ⁻¹(0.975) = 1.959963984540054 constant;
     p-values are range-checked here and value-pinned in pytest (DuckDB
-    has no erfc).  One-sided MWU alternatives REFUSE: the U/z sign
+    has no erfc).  ``proportionsZTest`` (two-proportion z, pooled and
+    unpooled variants — a per-row scalar in CH, pure JVM arithmetic
+    here) is re-derived from the same FILTER counts with the standard
+    formulas.  One-sided MWU alternatives REFUSE: the U/z sign
     convention has no locally verifiable pin.  Scale: single grouped
     shuffle; per-group pair array crosses Arrow once (grouped-stats
     contract, as rankCorr)."""

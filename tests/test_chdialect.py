@@ -3493,3 +3493,35 @@ def test_decimal_scale_arithmetic(spark):
         translate_ch_sql("SELECT divideDecimal(a, b) FROM t")
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT toDecimalString(x, y) FROM t")
+
+
+def test_proportions_z_test_hand_model(spark):
+    """proportionsZTest pooled/unpooled against hand-computed formulas
+    (sx=40, tx=100 vs sy=25, ty=90; conf 0.95)."""
+    import math
+
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT proportionsZTest(40, 25, 100, 90, 0.95, 'unpooled') AS u,"
+        " proportionsZTest(40, 25, 100, 90, 0.95, 'pooled') AS p"
+    )
+    r = spark.sql(got).collect()[0]
+    p1, p2 = 0.40, 25 / 90
+    se_u = math.sqrt(p1 * (1 - p1) / 100 + p2 * (1 - p2) / 90)
+    pp = 65 / 190
+    se_p = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 90))
+    assert abs(r["u"]["_1"] - (p1 - p2) / se_u) < 1e-12
+    assert abs(r["p"]["_1"] - (p1 - p2) / se_p) < 1e-12
+    assert abs(r["u"]["_2"]
+               - math.erfc(abs((p1 - p2) / se_u) / math.sqrt(2))) < 1e-12
+    # CI uses the unpooled Wald se in BOTH variants (documented contract)
+    for key in ("u", "p"):
+        assert abs(r[key]["_3"]
+                   - ((p1 - p2) - 1.959963984540054 * se_u)) < 1e-9
+        assert abs(r[key]["_4"]
+                   - ((p1 - p2) + 1.959963984540054 * se_u)) < 1e-9
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql(
+            "SELECT proportionsZTest(1, 2, 3, 4, 0.95, 'weighted')")
