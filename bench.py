@@ -277,29 +277,55 @@ def main() -> None:
             "etl_pipeline_1m: median of runs 3-5 of 5 (steady-state, "
             "post-JIT), cold first run reported separately in "
             "etl_pipeline_1m_cold/_runs; ab_ratio: HEAD / baseline-ref "
-            "wall over the query keys both checkouts share, measured "
-            "back-to-back on this host (cross-round absolute numbers are "
-            "not comparable — the host itself drifts); the ref leg runs "
-            "SECOND and inherits a warmer OS page cache, so ab_ratio is "
-            "biased against HEAD by up to ~10% — treat ratios <= 1.15 as "
-            "parity (verified r7: a manual order swap turned a 1.12 "
-            "'regression' into a dead heat, 12.78 vs 12.79)"
+            "wall over the query keys both checkouts share, A/B/A on "
+            "this host (cross-round absolute numbers are not comparable "
+            "— the host itself drifts): head leg 1 in-process, then a "
+            "settle, the REF leg in a subprocess, another settle, and a "
+            "SECOND head leg; ab_ratio is the time-ADJACENT pair "
+            "head2/ref (the r8 idle-host experiment showed a leg "
+            "launched right after sustained load runs 3x+ slower with "
+            "no cgroup quota — VM-level — so the old two-leg design was "
+            "systematically unfair to whichever leg ran second); "
+            "ab.head_drift = head2/head1 exposes the drift magnitude — "
+            "treat ratios <= 1.15 as parity and distrust any run whose "
+            "head_drift is far from 1"
         ),
         "env": _env_stats(start_loadavg, start_snap, start_wall),
     }
     spark.stop()
     if ab_ref is not None:
+        # A/B/A: the r8 idle-host experiment showed the host slows 3×+
+        # for a leg launched right after sustained load (no cgroup quota
+        # or throttle counters — VM-level) and recovers within minutes,
+        # which made every two-leg ab_ratio garbage in r6-r8.  Bracket
+        # the ref leg with a SECOND head leg: under monotone host drift
+        # the time-ADJACENT pair (ref, head2) is the fair comparison,
+        # and head2/head1 exposes the drift magnitude explicitly.
+        settle = float(os.environ.get("SPARK_GRAFT_AB_SETTLE", "45"))
         try:
+            time.sleep(settle)  # settle after the in-process measurement
             ab = _run_ab_baseline(ab_ref, sf_dir, cpus)
+            time.sleep(settle)
+            head2 = _run_ab_baseline("HEAD", sf_dir, cpus)
         except Exception as e:  # noqa: BLE001 — A/B must never kill the bench line
             ab = {"ref": ab_ref, "error": f"{type(e).__name__}: {e}"[:300]}
+            head2 = {}
         if "ref_queries" in ab:
             common = sorted(set(timings) & set(ab["ref_queries"]))
             head_sum = sum(timings[k] for k in common)
             ref_sum = sum(ab["ref_queries"][k] for k in common)
+            h2q = head2.get("ref_queries") or {}
+            head2_sum = sum(h2q.get(k, 0.0) for k in common)
             if ref_sum > 0:
-                payload["ab_ratio"] = round(head_sum / ref_sum, 3)
                 ab["common_queries"] = len(common)
+                ab["ratio_pre"] = round(head_sum / ref_sum, 3)
+                if head2_sum > 0:
+                    ab["ratio_post"] = round(head2_sum / ref_sum, 3)
+                    ab["head_drift"] = round(head2_sum / head_sum, 3)
+                    # headline ratio = the adjacent-leg comparison
+                    payload["ab_ratio"] = ab["ratio_post"]
+                else:
+                    payload["ab_ratio"] = ab["ratio_pre"]
             del ab["ref_queries"]
         payload["ab"] = ab
     print(json.dumps(payload))

@@ -63,6 +63,7 @@ def test_bench_ab_leg_emits_ratio():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_GRAFT_AB_SETTLE"] = "0"  # hermetic: skip the host-settle naps
     head = subprocess.run(
         ["git", "-C", str(REPO), "rev-parse", "HEAD"],
         capture_output=True, text=True, check=True,
@@ -86,4 +87,9 @@ def test_bench_ab_leg_emits_ratio():
     assert payload["ab"]["ref_value"] > 0
     assert payload["ab"]["common_queries"] >= 4
     assert payload["ab_ratio"] > 0
+    # A/B/A (r8): both bracket ratios and the drift magnitude are carried
+    assert payload["ab"]["ratio_pre"] > 0
+    assert payload["ab"]["ratio_post"] > 0
+    assert payload["ab"]["head_drift"] > 0
+    assert payload["ab_ratio"] == payload["ab"]["ratio_post"]
     assert "ab_ratio" in payload["methodology"]
