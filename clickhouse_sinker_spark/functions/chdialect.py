@@ -114,6 +114,9 @@ javaHash/hiveHash(s)         JLS String.hashCode / sign-cleared form
 jumpConsistentHash(k, n)     Lamping-Veach published algorithm verbatim
 byteSwap / bitRotate-        width-gated bit ops (to[U]IntN wrapper
 Left/Right(to[U]IntN(x)…)    supplies the wrap width)
+sumWithOverflow(to[U]IntN)   exact DECIMAL(38) sum reduced mod 2^bits
+geohashEncode/Decode         Niemeyer's published scheme; decode =
+                             cell center (lon, lat) like CH
 JSONType(j[, path])          Arrow UDF: simdjson-style type names
 JSONExtractArrayRaw(j[, p])  Arrow UDF: raw JSON element slices
 JSONExtractKeysAndValues     from_json(map<string,string>) + per-entry
@@ -756,7 +759,6 @@ _UNSUPPORTED = {
     "normalizeQueryKeepNames",
     "runningConcurrency",    # block-order-dependent, like runningDifference
     "deltaSum",              # order-dependent aggregate: use window lag()
-    "sumWithOverflow",       # wrapping sum vs Spark ANSI overflow error
     "sleep",                 # deliberate no-op denial: no sleeping in plans
     "sleepEachRow",
     "hostName",              # engine introspection
@@ -768,8 +770,6 @@ _UNSUPPORTED = {
     "groupArrayMovingAvg",   # block-order-dependent, like deltaSum
     "groupArrayMovingSum",
     "pointInPolygon",        # no geo engine
-    "geohashEncode",
-    "geohashDecode",
     "h3ToGeo",
     "geoToH3",
     "regionToName",
@@ -2096,6 +2096,41 @@ def _translate_functions(sql: str) -> str:
         sql, "byteSwap",
         _width_gated_fn("byteSwap", 1,
                         lambda a, w: f"ch_byteswap({a[0]}, {w})"),
+    )
+    # sumWithOverflow: CH keeps the ARGUMENT type and lets it wrap;
+    # Spark's ANSI sum raises instead — exact wrapping via a DECIMAL(38)
+    # sum reduced mod 2^bits (the true sum of <10^19 rows of a w-byte
+    # type always fits 38 digits).  Width from the to[U]IntN gate;
+    # unsigned renders as DECIMAL(20,0), signed re-centers to BIGINT.
+    # COALESCE 0: CH's sum over zero rows is 0, Spark's is NULL.
+    def _sum_overflow(a, w):
+        bits = 8 * w
+        m = re.match(_WIDTH_RE, a[0])
+        unsigned = bool(m.group(1))
+        body = f"sum(CAST({a[0]} AS DECIMAL(38, 0)))"
+        if unsigned:
+            return (f"CAST(COALESCE(pmod({body}, {1 << bits}), 0)"
+                    f" AS DECIMAL(20, 0))")
+        half = 1 << (bits - 1)
+        return (f"CAST(COALESCE(pmod({body} + {half}, {1 << bits})"
+                f" - {half}, 0) AS BIGINT)")
+    sql = _rewrite_calls_raw(
+        sql, "sumWithOverflow",
+        _width_gated_fn("sumWithOverflow", 1, _sum_overflow),
+    )
+    # geohash — Niemeyer's published scheme; decode returns the CELL
+    # CENTER (longitude, latitude) like CH
+    sql = _rewrite_calls(
+        sql, "geohashEncode",
+        lambda a: (
+            f"ch_geohash_encode(CAST({a[0]} AS DOUBLE),"
+            f" CAST({a[1]} AS DOUBLE), {a[2] if len(a) > 2 else 12})"
+            if len(a) in (2, 3)
+            else _refuse("geohashEncode(longitude, latitude[, precision])")),
+    )
+    sql = _rewrite_calls(
+        sql, "geohashDecode",
+        lambda a: f"ch_geohash_decode({a[0]})",
     )
     sql = _rewrite_calls_raw(
         sql, "bitRotateLeft",

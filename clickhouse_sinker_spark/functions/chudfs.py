@@ -942,6 +942,72 @@ def _to_decimal_string(x: str, s: int):
     return format(q, "f") if s == 0 else format(q, f".{s}f")
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH32_IDX = {c: i for i, c in enumerate(_GEOHASH32)}
+
+
+def _geohash_encode(lon: float, lat: float, precision: int) -> str:
+    """Geohash encoding (Niemeyer's published public-domain scheme:
+    base32 over interleaved longitude/latitude bisection bits, longitude
+    first).  CH clamps precision to 1..12 (default 12) and clamps
+    coordinates into their valid ranges."""
+    precision = max(1, min(12, int(precision)))
+    lon = max(-180.0, min(180.0, float(lon)))
+    lat = max(-90.0, min(90.0, float(lat)))
+    lo = [-180.0, 180.0]
+    la = [-90.0, 90.0]
+    out = []
+    bit, ch, even = 0, 0, True
+    while len(out) < precision:
+        if even:
+            mid = (lo[0] + lo[1]) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lo[0] = mid
+            else:
+                ch <<= 1
+                lo[1] = mid
+        else:
+            mid = (la[0] + la[1]) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                la[0] = mid
+            else:
+                ch <<= 1
+                la[1] = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(_GEOHASH32[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def _geohash_decode(s: str):
+    """Geohash decode to the CELL CENTER as (longitude, latitude) — the
+    convention the canonical 'ezs42' example uses ((-5.60302734375,
+    42.60498046875)) and what CH's geohashDecode returns.  Invalid
+    characters yield (0, 0) like CH's error contract for malformed
+    geohashes."""
+    lo = [-180.0, 180.0]
+    la = [-90.0, 90.0]
+    even = True
+    for c in s.lower():
+        idx = _GEOHASH32_IDX.get(c)
+        if idx is None:
+            return {"_1": 0.0, "_2": 0.0}
+        for shift in range(4, -1, -1):
+            bit = (idx >> shift) & 1
+            r = lo if even else la
+            mid = (r[0] + r[1]) / 2
+            if bit:
+                r[0] = mid
+            else:
+                r[1] = mid
+            even = not even
+    return {"_1": (lo[0] + lo[1]) / 2, "_2": (la[0] + la[1]) / 2}
+
+
 def _extract_host(url: str) -> str:
     """CH ``domain()``-style host extraction: optional scheme, optional
     userinfo, stop at path/query/fragment/port; bare hosts pass through;
@@ -1524,6 +1590,23 @@ _UDF_SPECS = {
     "ch_to_decimal_string": (
         _map2(lambda x, s: _to_decimal_string(x, int(s))),
         "string",
+    ),
+    # geohash (Niemeyer's published public-domain scheme)
+    "ch_geohash_encode": (
+        lambda s1, s2, s3: pd.Series([
+            None if a is None or b is None or c is None
+            else _geohash_encode(float(a), float(b), int(c))
+            for a, b, c in zip(s1, s2, s3)
+        ]),
+        "string",
+    ),
+    "ch_geohash_decode": (
+        lambda s: pd.DataFrame(
+            [(lambda d: {"_1": None, "_2": None} if d is None else d)(
+                None if v is None else _geohash_decode(v))
+             for v in s]
+        ),
+        "struct<_1: double, _2: double>",
     ),
     # firstSignificantSubdomain family — embedded public-suffix snapshot
     # (see psl_snapshot.py provenance)

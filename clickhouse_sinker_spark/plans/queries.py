@@ -7329,6 +7329,7 @@ CH_DIALECT_STAT_TESTS = """
                countIf(value > 10 AND user_id % 2 = 1),
                countIf(user_id % 2 = 0), countIf(user_id % 2 = 1),
                0.95, 'pooled'), 1), 6) AS pz_pooled,
+           sumWithOverflow(toUInt8(user_id)) AS wrap8,
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
@@ -7339,7 +7340,7 @@ CH_DIALECT_STAT_TESTS = """
     "ch_dialect_stat_tests",
     """
     WITH r AS (
-      SELECT event_type, value, user_id % 2 AS i,
+      SELECT event_type, value, user_id, user_id % 2 AS i,
              rank() OVER (PARTITION BY event_type ORDER BY value)
                + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
                AS rk
@@ -7390,6 +7391,7 @@ CH_DIALECT_STAT_TESTS = """
                         * (1.0 / count(*) FILTER (WHERE i = 0)
                            + 1.0 / count(*) FILTER (WHERE i = 1))), 6)
              AS pz_pooled,
+           CAST(SUM(user_id % 256) % 256 AS DECIMAL(20, 0)) AS wrap8,
            CAST(count(*) AS BIGINT) AS n
     FROM r
     GROUP BY event_type
@@ -7423,7 +7425,12 @@ def ch_dialect_stat_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
 CH_DIALECT_DOMAINS = """
     SELECT n, u,
            firstSignificantSubdomain(u) AS fss,
-           cutToFirstSignificantSubdomain(u) AS cut
+           cutToFirstSignificantSubdomain(u) AS cut,
+           geohashEncode(n * 20.5 - 100, n * 8.25 - 40, 7) AS gh,
+           round(tupleElement(geohashDecode(
+               geohashEncode(n * 20.5 - 100, n * 8.25 - 40, 7)), 1), 4) AS gh_lon,
+           round(tupleElement(geohashDecode(
+               geohashEncode(n * 20.5 - 100, n * 8.25 - 40, 7)), 2), 4) AS gh_lat
     FROM (SELECT n, concat('https://news.site', toString(n), '.',
                  CASE n WHEN 0 THEN 'com.tr' WHEN 1 THEN 'co.uk'
                         WHEN 2 THEN 'com' WHEN 3 THEN 'org'
@@ -7440,6 +7447,17 @@ CH_DIALECT_DOMAINS = """
     "ch_dialect_domains",
     """
     WITH d AS (SELECT DISTINCT user_id % 10 AS n FROM events),
+    g(gn, gh, gh_lon, gh_lat) AS (VALUES
+      (0, '3bbukqn', -99.9996, -40.0005),
+      (1, '64r7quj', -79.5005, -31.7498),
+      (2, '6ey433v', -59.0, -23.5004),
+      (3, '7jk95zv', -38.4995, -15.2497),
+      (4, '7wg0nms', -18.0004, -7.0004),
+      (5, 's01z0gs', 2.5001, 1.2504),
+      (6, 's98q53k', 23.0006, 9.4997),
+      (7, 'sgnuvz7', 43.4997, 17.7505),
+      (8, 'tktebm5', 64.0002, 25.9998),
+      (9, 'tyh4fg5', 84.5007, 34.2506)),
     b AS (
       SELECT n,
              CASE n WHEN 0 THEN 'com.tr' WHEN 1 THEN 'co.uk'
@@ -7462,8 +7480,9 @@ CH_DIALECT_DOMAINS = """
                 THEN 'news.site' || n || '.' || sfx
                 WHEN sfx IN ('com.tr', 'co.uk', 'github.io', 'net.ac')
                 THEN 'site' || n || '.' || sfx
-                ELSE 'site' || n || '.' || sfx END AS cut
-    FROM b
+                ELSE 'site' || n || '.' || sfx END AS cut,
+           g.gh, g.gh_lon, g.gh_lat
+    FROM b JOIN g ON g.gn = b.n
     ORDER BY n
     """,
 )

@@ -3525,3 +3525,34 @@ def test_proportions_z_test_hand_model(spark):
     with pytest.raises(ChTranslationError):
         translate_ch_sql(
             "SELECT proportionsZTest(1, 2, 3, 4, 0.95, 'weighted')")
+
+
+def test_geohash_and_sum_with_overflow(spark):
+    """geohashEncode/Decode (Niemeyer's published scheme; the canonical
+    'ezs42' example round-trips to its textbook center) and
+    sumWithOverflow (CH keeps the argument type and wraps; exact
+    DECIMAL(38) sum reduced mod 2^bits, signed re-centered)."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS gh,"
+        " tupleElement(geohashDecode('ezs42'), 1) AS lon,"
+        " tupleElement(geohashDecode('ezs42'), 2) AS lat,"
+        " tupleElement(geohashDecode('not!'), 1) AS bad,"
+        " sumWithOverflow(toUInt8(v)) AS u8,"
+        " sumWithOverflow(toInt8(v)) AS i8,"
+        " sumWithOverflow(toUInt64(v)) AS u64"
+        " FROM VALUES (200), (100) AS x(v)"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["gh"] == "ezs42"
+    assert abs(r["lon"] + 5.60302734375) < 1e-12
+    assert abs(r["lat"] - 42.60498046875) < 1e-12
+    assert r["bad"] == 0.0
+    assert int(r["u8"]) == 44 and r["i8"] == 44   # 300 wraps mod 256
+    assert int(r["u64"]) == 300
+    for bad in ("SELECT sumWithOverflow(v) FROM t",
+                "SELECT geohashEncode(x) FROM t"):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
