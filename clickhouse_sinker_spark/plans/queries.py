@@ -7329,7 +7329,7 @@ CH_DIALECT_STAT_TESTS = """
                countIf(value > 10 AND user_id % 2 = 1),
                countIf(user_id % 2 = 0), countIf(user_id % 2 = 1),
                0.95, 'pooled'), 1), 6) AS pz_pooled,
-           sumWithOverflow(toUInt8(user_id)) AS wrap8,
+           toString(sumWithOverflow(toUInt8(user_id))) AS wrap8,
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
@@ -7391,7 +7391,7 @@ CH_DIALECT_STAT_TESTS = """
                         * (1.0 / count(*) FILTER (WHERE i = 0)
                            + 1.0 / count(*) FILTER (WHERE i = 1))), 6)
              AS pz_pooled,
-           CAST(SUM(user_id % 256) % 256 AS DECIMAL(20, 0)) AS wrap8,
+           CAST(SUM(user_id % 256) % 256 AS VARCHAR) AS wrap8,
            CAST(count(*) AS BIGINT) AS n
     FROM r
     GROUP BY event_type
@@ -7481,7 +7481,8 @@ CH_DIALECT_DOMAINS = """
                 WHEN sfx IN ('com.tr', 'co.uk', 'github.io', 'net.ac')
                 THEN 'site' || n || '.' || sfx
                 ELSE 'site' || n || '.' || sfx END AS cut,
-           g.gh, g.gh_lon, g.gh_lat
+           g.gh, CAST(g.gh_lon AS DOUBLE) AS gh_lon,
+           CAST(g.gh_lat AS DOUBLE) AS gh_lat
     FROM b JOIN g ON g.gn = b.n
     ORDER BY n
     """,
