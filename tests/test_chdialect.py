@@ -2339,7 +2339,7 @@ def test_batch3_array_map_stat_tail(spark):
         "SELECT kolmogorovSmirnovTest(v, g) FROM t",
         "SELECT lemmatize('en', s) FROM t",
         "SELECT detectLanguage(s) FROM t",
-        "SELECT geohashEncode(1.0, 2.0)",
+        "SELECT regionToName(5)",  # geohashEncode/Decode translate since r8
         "SELECT groupArrayMovingSum(v) FROM t",
         "SELECT geoToH3(1.0, 2.0, 5) FROM t",
         "SELECT arrayFold((a, x, y) -> a, arr, arr, 0) FROM t",
