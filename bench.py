@@ -305,11 +305,15 @@ def main() -> None:
         try:
             time.sleep(settle)  # settle after the in-process measurement
             ab = _run_ab_baseline(ab_ref, sf_dir, cpus)
-            time.sleep(settle)
-            head2 = _run_ab_baseline("HEAD", sf_dir, cpus)
         except Exception as e:  # noqa: BLE001 — A/B must never kill the bench line
             ab = {"ref": ab_ref, "error": f"{type(e).__name__}: {e}"[:300]}
-            head2 = {}
+        # separate try: a head2 failure must not clobber a good ref leg
+        # (ratio_pre still publishes as ab_ratio via the head2_sum==0 path)
+        try:
+            time.sleep(settle)
+            head2 = _run_ab_baseline("HEAD", sf_dir, cpus)
+        except Exception as e:  # noqa: BLE001
+            head2 = {"error": f"{type(e).__name__}: {e}"[:300]}
         if "ref_queries" in ab:
             common = sorted(set(timings) & set(ab["ref_queries"]))
             head_sum = sum(timings[k] for k in common)

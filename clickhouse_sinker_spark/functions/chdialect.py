@@ -1657,7 +1657,12 @@ def _int_hash_fn(name: str, udf: str):
                 " explicitly (toUInt64(...)), or use a string hash"
                 " (cityHash64/sipHash64) for string keys"
             )
-        return f"{udf}(CAST({arg} AS BIGINT))"
+        # DECIMAL(20,0) carries the full UInt64 domain: toUInt64(x)
+        # renders as DECIMAL(20,0), and values in [2^63, 2^64) — e.g.
+        # re-hashing another hash's output for SAMPLE BY — would
+        # overflow an ANSI BIGINT cast.  The UDF's ``int(v) & 2^64-1``
+        # does the two's-complement widening either way.
+        return f"{udf}(CAST({arg} AS DECIMAL(20, 0)))"
     return rw
 
 
@@ -1680,6 +1685,21 @@ def _width_gated_fn(name: str, nargs: int, emit):
                 " declared width, invisible at SQL-text level")
         return emit([q.strip() for q in a], int(m.group(2)) // 8)
     return rw
+
+
+def _recentre_signed(expr: str, a0: str, width_bytes: int) -> str:
+    """ClickHouse's byteSwap/bitRotate return the ARGUMENT's type: a
+    signed ``toIntN`` wrapper means a result with the top bit set is
+    negative (byteSwap(toInt16(255)) = −256, bitRotateLeft(toInt8(−1), 1)
+    = −1).  The UDFs return the raw bit pattern in [0, 2^bits); re-center
+    signed widths the same way sumWithOverflow does and emit BIGINT."""
+    m = re.match(_WIDTH_RE, a0)
+    if m.group(1):  # unsigned wrapper — the raw bit pattern IS the value
+        return expr
+    bits = 8 * width_bytes
+    half = 1 << (bits - 1)
+    return (f"CAST(pmod({expr} + {half}, {1 << bits}) - {half}"
+            f" AS BIGINT)")
 
 
 def _rewrite_calls_raw(sql: str, name: str, emit) -> str:
@@ -2094,8 +2114,10 @@ def _translate_functions(sql: str) -> str:
     # DECLARED width — an explicit to[U]IntN wrapper supplies it
     sql = _rewrite_calls_raw(
         sql, "byteSwap",
-        _width_gated_fn("byteSwap", 1,
-                        lambda a, w: f"ch_byteswap({a[0]}, {w})"),
+        _width_gated_fn(
+            "byteSwap", 1,
+            lambda a, w: _recentre_signed(
+                f"ch_byteswap({a[0]}, {w})", a[0], w)),
     )
     # sumWithOverflow: CH keeps the ARGUMENT type and lets it wrap;
     # Spark's ANSI sum raises instead — exact wrapping via a DECIMAL(38)
@@ -2136,15 +2158,17 @@ def _translate_functions(sql: str) -> str:
         sql, "bitRotateLeft",
         _width_gated_fn(
             "bitRotateLeft", 2,
-            lambda a, w: (f"ch_bit_rotate_left(CAST({a[0]} AS BIGINT),"
-                          f" CAST({a[1]} AS BIGINT), {w})")),
+            lambda a, w: _recentre_signed(
+                f"ch_bit_rotate_left(CAST({a[0]} AS BIGINT),"
+                f" CAST({a[1]} AS BIGINT), {w})", a[0], w)),
     )
     sql = _rewrite_calls_raw(
         sql, "bitRotateRight",
         _width_gated_fn(
             "bitRotateRight", 2,
-            lambda a, w: (f"ch_bit_rotate_right(CAST({a[0]} AS BIGINT),"
-                          f" CAST({a[1]} AS BIGINT), {w})")),
+            lambda a, w: _recentre_signed(
+                f"ch_bit_rotate_right(CAST({a[0]} AS BIGINT),"
+                f" CAST({a[1]} AS BIGINT), {w})", a[0], w)),
     )
     # CH hex() pads integers to EVEN width (hex(1) = '01' — whole bytes,
     # leading zero-bytes trimmed); Spark's hex(1) = '1'.  The even-pad
@@ -3995,10 +4019,12 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "intervalLengthSum", _interval_length_sum)
     # time-decay aggregates (r8): deterministic given (value, time)
     sql = _rewrite_parametric(
-        sql, "exponentialMovingAverage", _exp_moving_average)
+        sql, "exponentialMovingAverage", _exp_moving_average,
+        window_emit=lambda p, a, o: _exp_moving_average(p, a, over=o))
     for _kind in ("Avg", "Sum", "Count", "Max"):
         sql = _rewrite_parametric(
-            sql, f"exponentialTimeDecayed{_kind}", _exp_time_decayed(_kind))
+            sql, f"exponentialTimeDecayed{_kind}", _exp_time_decayed(_kind),
+            window_emit=_exp_time_decayed_window(_kind))
     sql = _rewrite_calls(sql, "deltaSumTimestamp", _delta_sum_timestamp)
     sql = _non_negative_derivative_pass(sql)
     sql = _rewrite_calls(sql, "lagInFrame", lambda a: f"lag({', '.join(a)})")
@@ -5170,11 +5196,17 @@ def _interval_length_sum(a: list[str]) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _rewrite_parametric(sql: str, name: str, emit) -> str:
+def _rewrite_parametric(sql: str, name: str, emit, window_emit=None) -> str:
     """Rewrite ``name(param)(args...)`` combinator-parameter calls (the
     topK machinery, generalized).  ``emit(param_text, args)`` returns the
     replacement; emissions must not contain ``name(`` (they are re-scanned
-    from the top)."""
+    from the top).
+
+    ``window_emit(param, args, over_text)``, when given, consumes a
+    trailing ``OVER (...)`` clause too and replaces the WHOLE
+    ``name(p)(a) OVER (w)`` span — needed for window-only CH functions
+    (exponentialTimeDecayed*) whose translation is a fold expression, not
+    an aggregate a bare trailing OVER could legally attach to."""
     while True:
         at = _find_call(sql, name)
         if at < 0:
@@ -5189,30 +5221,46 @@ def _rewrite_parametric(sql: str, name: str, emit) -> str:
         end2 = _balanced(sql, open2)
         param = sql[open1 + 1 : end1 - 1].strip()
         args = _split_args(sql[open2 + 1 : end2 - 1])
+        if window_emit is not None:
+            m_over = re.match(r"\s*OVER\b\s*(\()?", sql[end2:],
+                              re.IGNORECASE)
+            if m_over and m_over.group(1):
+                open3 = end2 + m_over.end() - 1
+                end3 = _balanced(sql, open3)
+                over = sql[open3 + 1 : end3 - 1]
+                sql = sql[:at] + window_emit(param, args, over) + sql[end3:]
+                continue
+            if m_over:
+                raise ChTranslationError(
+                    f"{name} OVER <named window> is not supported —"
+                    " inline the window specification")
         sql = sql[:at] + emit(param, args) + sql[end2:]
 
 
-def _decay_pairs(v: str, t: str) -> str:
+def _decay_pairs(v: str, t: str, over: str | None = None) -> str:
     """NULL-skipping collect of (t, v) pairs sorted by (t, v) — the sort
     makes tie-timestamp folds deterministic (CH's own order is
     unspecified for ties; (t, v) ascending is this repo's documented
-    choice, mirrored in every oracle)."""
+    choice, mirrored in every oracle).  ``over`` attaches the collect to
+    a window frame instead of the enclosing GROUP BY."""
+    suffix = f" OVER ({over})" if over is not None else ""
     return (
         f"sort_array(collect_list(CASE WHEN ({v}) IS NOT NULL"
         f" AND ({t}) IS NOT NULL THEN named_struct("
-        f"'t', CAST({t} AS DOUBLE), 'v', CAST({v} AS DOUBLE)) END))"
+        f"'t', CAST({t} AS DOUBLE), 'v', CAST({v} AS DOUBLE)) END)"
+        f"{suffix})"
     )
 
 
-def _decay_binding(v: str, t: str) -> str:
-    pairs = _decay_pairs(v, t)
+def _decay_binding(v: str, t: str, over: str | None = None) -> str:
+    pairs = _decay_pairs(v, t, over)
     # two textually identical collect_list calls dedup into ONE buffer
     return (f"named_struct('p', {pairs},"
             f" 'tm', array_max(transform({pairs}, __dk_m -> __dk_m.t)))")
 
 
-def _decay_fold(v: str, t: str, body) -> str:
-    return (f"element_at(transform(array({_decay_binding(v, t)}),"
+def _decay_fold(v: str, t: str, body, over: str | None = None) -> str:
+    return (f"element_at(transform(array({_decay_binding(v, t, over)}),"
             f" __dk_b -> {body('__dk_b')}), 1)")
 
 
@@ -5223,7 +5271,8 @@ def _num_param(name: str, param: str) -> str:
     return param.strip()
 
 
-def _exp_moving_average(param: str, a: list[str]) -> str:
+def _exp_moving_average(param: str, a: list[str],
+                        over: str | None = None) -> str:
     """``exponentialMovingAverage(h)(v, t)`` — CH's ExponentiallySmoothed
     Average model: state = Σ vᵢ·2^((tᵢ−t_max)/h), result = state divided
     by the closed infinite weight series 1/(1−2^(−1/h)) (so a constant
@@ -5241,14 +5290,21 @@ def _exp_moving_average(param: str, a: list[str]) -> str:
         f" (__dk_a, __dk_e) -> __dk_a + __dk_e.v"
         f" * pow(2, (__dk_e.t - {b}.tm) / {h}),"
         f" __dk_a -> __dk_a * (1 - pow(2, -1 / CAST({h} AS DOUBLE))))"
-    ))
+    ), over=over)
 
 
 def _exp_time_decayed(kind: str):
     """exponentialTimeDecayedSum/Count/Avg/Max(x)(v, t) — e-based decay
     exp((tᵢ−t_last)/x): Sum = Σ vᵢ·wᵢ, Count = Σ wᵢ, Avg = Sum/Count
     (NULL on empty via try_divide), Max = max vᵢ·wᵢ.  Count takes only
-    (t)."""
+    (t).
+
+    In ClickHouse these four exist ONLY as window functions
+    (WindowTransform) — the genuine CH spelling carries an OVER clause
+    and is handled by :func:`_exp_time_decayed_window`.  Accepting the
+    bare aggregate form too (decay re-anchored to the group's max
+    timestamp) is a DELIBERATE EXTENSION of this dialect: the same
+    decay model without requiring a window frame."""
     def rw(param: str, a: list[str]) -> str:
         x = _num_param(f"exponentialTimeDecayed{kind}", param)
         if kind == "Count":
@@ -5288,6 +5344,52 @@ def _exp_time_decayed(kind: str):
             f" 'c', __dk_a.c + {w(b)}),"
             f" __dk_a -> try_divide(__dk_a.s, __dk_a.c))"
         ))
+    return rw
+
+
+def _exp_time_decayed_window(kind: str):
+    """The genuine CH form: ``exponentialTimeDecayed{Sum,Count,Avg,Max}
+    (x)(v, t) OVER (w)`` — window-only in ClickHouse (WindowTransform,
+    CH source ``src/Processors/Transforms/WindowTransform.cpp``).  Decay
+    anchors at the CURRENT row's time: weightᵢ = exp((tᵢ − t_cur)/x)
+    over the frame, exactly the nonNegativeDerivative per-row pattern.
+    Rows whose own time is NULL yield NULL.  Empty / all-NULL frames:
+    Sum/Count → 0, Avg/Max → NULL.  The collect_list rides the
+    user-supplied window spec; the fold is a per-row scalar over it —
+    one Window node, no extra shuffle beyond the PARTITION BY."""
+    def rw(param: str, a: list[str], over: str) -> str:
+        x = _num_param(f"exponentialTimeDecayed{kind}", param)
+        if kind == "Count":
+            if len(a) != 1:
+                raise ChTranslationError(
+                    "exponentialTimeDecayedCount(x)(time) takes 1 argument")
+            v, t = a[0], a[0]
+        else:
+            if len(a) != 2:
+                raise ChTranslationError(
+                    f"exponentialTimeDecayed{kind}(x)(value, time)"
+                    " takes 2 arguments")
+            v, t = a
+        pairs = _decay_pairs(v, t, over)
+        w = (f"exp((__dk_e.t - CAST({t} AS DOUBLE))"
+             f" / CAST({x} AS DOUBLE))")
+        if kind == "Max":
+            return (f"array_max(transform({pairs},"
+                    f" __dk_e -> __dk_e.v * {w}))")
+        if kind == "Sum":
+            return (f"aggregate({pairs}, CAST(0 AS DOUBLE),"
+                    f" (__dk_a, __dk_e) -> __dk_a + __dk_e.v * {w})")
+        if kind == "Count":
+            return (f"aggregate({pairs}, CAST(0 AS DOUBLE),"
+                    f" (__dk_a, __dk_e) -> __dk_a + {w})")
+        return (
+            f"aggregate({pairs},"
+            f" named_struct('s', CAST(0 AS DOUBLE), 'c', CAST(0 AS DOUBLE)),"
+            f" (__dk_a, __dk_e) -> named_struct("
+            f"'s', __dk_a.s + __dk_e.v * {w},"
+            f" 'c', __dk_a.c + {w}),"
+            f" __dk_a -> try_divide(__dk_a.s, __dk_a.c))"
+        )
     return rw
 
 

@@ -1155,7 +1155,11 @@ def _ch_json_type(j: str, path_json: str):
     if isinstance(v, str):
         return "String"
     if isinstance(v, int):
-        return "Int64" if -(1 << 63) <= v < (1 << 63) else "UInt64"
+        if -(1 << 63) <= v < (1 << 63):
+            return "Int64"
+        # simdjson/CH only have Int64 + UInt64 integer lanes; anything
+        # outside [−2^63, 2^64) falls back to the Double parse path
+        return "UInt64" if (1 << 63) <= v < (1 << 64) else "Double"
     return "Double"
 
 

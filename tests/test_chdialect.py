@@ -3261,8 +3261,12 @@ def test_hash_family_typed_gates():
     assert "ch_murmur3_64_ch('d')" in got
     assert "ch_murmur3_128_ch('d')" in got
     assert "ch_siphash128_ch('d')" in got
-    assert "ch_inthash32(CAST(n AS BIGINT))" in got
-    assert "ch_inthash64(CAST(CAST(n AS DECIMAL(20,0)) AS BIGINT))" in got
+    # DECIMAL(20,0) carrier: intHash*(toUInt64(x)) must survive values in
+    # [2^63, 2^64) — e.g. re-hashing another hash's output for SAMPLE BY —
+    # which an ANSI BIGINT cast would reject (ADVICE r8)
+    assert "ch_inthash32(CAST(n AS DECIMAL(20, 0)))" in got
+    assert ("ch_inthash64(CAST(CAST(n AS DECIMAL(20,0))"
+            " AS DECIMAL(20, 0)))") in got
     for bad in [
         "SELECT cityHash64(n) FROM t",          # unknown type
         "SELECT cityHash64(a, b) FROM t",       # CH multi-arg fold
@@ -3291,6 +3295,8 @@ def test_json_tail_semantics(spark):
                   JSONType('{"a": 1}') AS root,
                   JSONType('broken') AS bad,
                   JSONType('{"big": 18446744073709551615}', 'big') AS u64,
+                  JSONType('{"big": 18446744073709551616}', 'big') AS o64,
+                  JSONType('{"big": -9223372036854775809}', 'big') AS n64,
                   JSONExtractArrayRaw('[1, "s", {"k": 1}, null]') AS raw,
                   JSONExtractArrayRaw('{"a": 1}') AS notarr,
                   JSONExtractKeysAndValues(
@@ -3301,6 +3307,9 @@ def test_json_tail_semantics(spark):
     assert r["neg"] == "String"      # negative index = from the end
     assert r["root"] == "Object" and r["bad"] == "Null"
     assert r["u64"] == "UInt64"      # > Int64 max -> UInt64 like simdjson
+    # outside the combined Int64/UInt64 range simdjson falls back to the
+    # double parse path (ADVICE r8: these misclassified as UInt64)
+    assert r["o64"] == "Double" and r["n64"] == "Double"
     assert list(r["raw"]) == ["1", '"s"', '{"k":1}', "null"]
     assert list(r["notarr"]) == []
     # best-effort conversion: real number and numeric string convert,
@@ -3556,3 +3565,101 @@ def test_geohash_and_sum_with_overflow(spark):
                 "SELECT geohashEncode(x) FROM t"):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_signed_width_bit_ops(spark):
+    """ClickHouse returns the ARGUMENT's type from byteSwap/bitRotate: a
+    signed toIntN wrapper means a top-bit result is negative
+    (byteSwap(toInt16(255)) = −256, bitRotateLeft(toInt8(−1), 1) = −1).
+    r8 returned the raw unsigned bit pattern for signed wrappers too
+    (ADVICE r8); signed widths now re-center like sumWithOverflow."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT byteSwap(toInt16(255)) AS a,"
+        " byteSwap(toUInt16(255)) AS b,"
+        " byteSwap(toInt8(-1)) AS c,"
+        " bitRotateLeft(toInt8(-1), 1) AS d,"
+        " bitRotateRight(toInt16(1), 1) AS e,"
+        " bitRotateLeft(toUInt8(255), 4) AS f"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["a"] == -256
+    assert int(r["b"]) == 65280     # unsigned keeps the raw bit pattern
+    assert r["c"] == -1
+    assert r["d"] == -1
+    assert r["e"] == -32768
+    assert int(r["f"]) == 255
+
+
+def test_intHash_full_uint64_domain(spark):
+    """intHash32/64 over toUInt64 values in [2^63, 2^64) — the r8 BIGINT
+    bottleneck raised an ANSI cast overflow for exactly the re-hash-a-
+    hash SAMPLE BY pattern (ADVICE r8); the DECIMAL(20,0) carrier and
+    the UDF's own & 2^64−1 widening handle the full domain."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT intHash64(toUInt64(12345678901234567890)) AS h64,"
+        " intHash32(toUInt64(18446744073709551615)) AS h32,"
+        " intHash64(toInt64(-5)) AS neg"
+    )
+    r = spark.sql(got).collect()[0]
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _inthash32, _inthash64)
+    M = (1 << 64) - 1
+    assert int(r["h64"]) == _inthash64(12345678901234567890)
+    assert int(r["h32"]) == _inthash32(18446744073709551615)
+    assert int(r["neg"]) == _inthash64((-5) & M)
+
+
+def test_time_decay_window_form(spark):
+    """The genuine CH window spelling — exponentialTimeDecayed*(x)(v, t)
+    OVER (w) — is window-only in ClickHouse; r8 emitted a broken
+    element_at(...) OVER that failed Spark analysis (ADVICE r8).  Now:
+    per-row decay anchored at the CURRENT row's timestamp over the
+    user's frame; named windows refuse with a typed error."""
+    import math
+
+    got, _ = translate_ch_sql(
+        "SELECT t,"
+        " exponentialTimeDecayedSum(10)(v, t) OVER"
+        " (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS s,"
+        " exponentialTimeDecayedCount(10)(t) OVER"
+        " (ORDER BY t ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c,"
+        " exponentialTimeDecayedAvg(10)(v, t) OVER"
+        " (ORDER BY t ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a,"
+        " exponentialTimeDecayedMax(10)(v, t) OVER"
+        " (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS m,"
+        " exponentialMovingAverage(1)(v, t) OVER"
+        " (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS ema"
+        " FROM VALUES (10.0, 1), (20.0, 2), (30.0, 3) AS x(v, t)"
+        " ORDER BY t"
+    )
+    rows = spark.sql(got).collect()
+    vs = [(1, 10.0), (2, 20.0), (3, 30.0)]
+    for i, r in enumerate(rows):
+        tc = vs[i][0]
+        frame = vs[: i + 1]
+        tail = vs[max(0, i - 1) : i + 1]          # 1 PRECEDING frames
+        s = sum(v * math.exp((t - tc) / 10) for t, v in frame)
+        c = sum(math.exp((t - tc) / 10) for t, _ in tail)
+        a = sum(v * math.exp((t - tc) / 10) for t, v in tail) / c
+        m = max(v * math.exp((t - tc) / 10) for t, v in frame)
+        tm = frame[-1][0]
+        ema = (sum(v * 2 ** (t - tm) for t, v in frame)
+               * (1 - 2 ** (-1.0)))
+        assert abs(r["s"] - s) < 1e-12
+        assert abs(r["c"] - c) < 1e-12
+        assert abs(r["a"] - a) < 1e-12
+        assert abs(r["m"] - m) < 1e-12
+        assert abs(r["ema"] - ema) < 1e-12
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql(
+            "SELECT exponentialTimeDecayedSum(10)(v, t) OVER w"
+            " FROM t WINDOW w AS (ORDER BY t)")
