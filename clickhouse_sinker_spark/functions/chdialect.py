@@ -798,8 +798,6 @@ _UNSUPPORTED = {
                              # reference implementation in this environment
     "xxh3",
     "wyHash64",
-    "minSampleSizeConversion",    # stat-test tails
-    "minSampleSizeContinous",
     "sumMapFilteredWithOverflow",
     "groupBitmapAnd",        # bitmap-state aggregates
     "groupBitmapOr",
@@ -823,8 +821,6 @@ _UNSUPPORTED = {
     "idnaEncode",            # punycode family
     "idnaDecode",
     "kolmogorovSmirnovTest",
-    "cramersVBiasCorrected",
-    "theilsU",
     "lowCardinalityKeys",    # engine introspection
     "lowCardinalityIndices",
     "toIntervalNanosecond",  # Spark intervals are microsecond-resolution
@@ -1972,18 +1968,34 @@ def _rank_corr(a: list[str]) -> str:
 
 
 def _assoc_fn(kind: str):
-    """``cramersV(a, b)`` / ``contingency(a, b)`` — categorical
-    association from the χ² statistic, computed as ONE collect_list
-    aggregate plus pure array expressions: rows with either value NULL
-    are skipped (CH aggregate NULL semantics), values stringified for
-    uniform equality, distinct pairs enumerated once, observed/marginal
-    counts via filter() sizes over the let-bound pair array.
+    """``cramersV(a, b)`` / ``contingency(a, b)`` / ``theilsU(a, b)`` /
+    ``cramersVBiasCorrected(a, b)`` — categorical association, computed
+    as ONE collect_list aggregate plus pure array expressions: rows with
+    either value NULL are skipped (CH aggregate NULL semantics), values
+    stringified for uniform equality, distinct pairs enumerated once,
+    observed/marginal counts via filter() sizes over the let-bound pair
+    array.
+
     χ² = n·(Σ o²/(r·c) − 1); Cramér's V = sqrt(χ²/(n·(min(k1,k2)−1)));
-    contingency coefficient = sqrt(χ²/(χ²+n)).  O(n·k) filter work per
-    GROUP (k = distinct pairs) — grouped-stats scale, same per-group
-    memory contract as rankCorr; degenerate groups → NULL via
-    try_divide.  cramersVBiasCorrected stays refused (Bergsma's
-    correction has CH-specific clamping not worth guessing)."""
+    contingency coefficient = sqrt(χ²/(χ²+n)).
+
+    theilsU follows CH's CrossTab.h orientation EXACTLY:
+    result = (dep − h_a)/h_a with h_a = Σ_a (n_a/n)·ln(n_a/n) and
+    dep = Σ_ab (n_ab/n)·ln(n_ab/n_b) — note this is the NEGATIVE of the
+    textbook uncertainty coefficient U(a|b) (independence → 0, a
+    functionally determined by b → −1); the independently recalled
+    formula reproduces the CH-docs example value −0.30195720557678846
+    over numbers(150) a=n%10, b=n%4 to 15 digits (pinned in pytest).
+
+    cramersVBiasCorrected is Bergsma's published correction (Bergsma
+    2013, "A bias-correction for Cramér's V and Tschuprow's T"):
+    φ²⁺ = max(0, χ²/n − (k1−1)(k2−1)/(n−1)),
+    k̃ = k − (k−1)²/(n−1) for each margin,
+    V⁺ = sqrt(φ²⁺ / min(k̃1−1, k̃2−1)).
+
+    O(n·k) filter work per GROUP (k = distinct pairs) — grouped-stats
+    scale, same per-group memory contract as rankCorr; degenerate
+    groups (n < 2, constant margins) → NULL via try_divide."""
     def rw(a: list[str]) -> str:
         if len(a) != 2:
             raise ChTranslationError(f"{kind}(a, b) takes exactly 2 arguments")
@@ -2002,13 +2014,113 @@ def _assoc_fn(kind: str):
             " CAST(size(filter(b.p, e -> e.a = q.a)) AS DOUBLE)"
             " * size(filter(b.p, e -> e.b = q.b)))) - 1.0D)"
         )
+        k1 = "size(array_distinct(transform(b.p, e -> e.a)))"
+        k2 = "size(array_distinct(transform(b.p, e -> e.b)))"
         if kind == "cramersV":
-            k = ("LEAST(size(array_distinct(transform(b.p, e -> e.a))),"
-                 " size(array_distinct(transform(b.p, e -> e.b))))")
-            body = f"sqrt(try_divide({chi2}, size(b.p) * ({k} - 1)))"
-        else:  # contingency coefficient
+            body = (f"sqrt(try_divide({chi2},"
+                    f" size(b.p) * (LEAST({k1}, {k2}) - 1)))")
+        elif kind == "contingency":
             body = f"sqrt(try_divide({chi2}, {chi2} + size(b.p)))"
+        elif kind == "theilsU":
+            h_a = (
+                "aggregate(array_distinct(transform(b.p, e -> e.a)), 0.0D,"
+                " (acc, v) -> acc"
+                " + CAST(size(filter(b.p, e -> e.a = v)) AS DOUBLE)"
+                " / size(b.p)"
+                " * ln(CAST(size(filter(b.p, e -> e.a = v)) AS DOUBLE)"
+                " / size(b.p)))"
+            )
+            dep = (
+                "aggregate(b.dp, 0.0D, (acc, q) -> acc"
+                " + CAST(size(filter(b.p, e -> e.a = q.a AND e.b = q.b))"
+                " AS DOUBLE) / size(b.p)"
+                " * ln(CAST(size(filter(b.p, e -> e.a = q.a"
+                " AND e.b = q.b)) AS DOUBLE)"
+                " / size(filter(b.p, e -> e.b = q.b))))"
+            )
+            # h_a = 0 for a constant first column -> NULL via try_divide
+            body = f"try_divide(({dep}) - ({h_a}), {h_a})"
+        else:  # cramersVBiasCorrected — Bergsma's published correction
+            n = "CAST(size(b.p) AS DOUBLE)"
+            phi2p = (f"GREATEST(0.0D, try_divide({chi2}, {n})"
+                     f" - try_divide(({k1} - 1.0D) * ({k2} - 1.0D),"
+                     f" {n} - 1.0D))")
+            k1c = (f"({k1} - try_divide(({k1} - 1.0D) * ({k1} - 1.0D),"
+                   f" {n} - 1.0D))")
+            k2c = (f"({k2} - try_divide(({k2} - 1.0D) * ({k2} - 1.0D),"
+                   f" {n} - 1.0D))")
+            body = (f"sqrt(try_divide({phi2p},"
+                    f" LEAST({k1c}, {k2c}) - 1.0D))")
         return f"element_at(transform(array({binding}), b -> {body}), 1)"
+
+    return rw
+
+
+def _min_sample_size(kind: str):
+    """``minSampleSizeConversion(baseline, mde, power, alpha)`` /
+    ``minSampleSizeContinous(baseline, sigma, mde, power, alpha)`` —
+    closed-form A/B power analysis returning the CH tuple
+    (minimum_sample_size, detect_range_lower, detect_range_upper).
+
+    Continuous (two-sample means, equal allocation, per-group n):
+    n = 2·(z₁₋α/₂ + z_power)²·σ² / (mde·baseline)², range =
+    baseline·(1±mde) — VERIFIED against the CH docs example
+    minSampleSizeContinous(112.25, 21.1, 0.03, 0.80, 0.05) =
+    (616.2931945826209, 108.8825, 115.6175) (pinned in pytest).
+
+    Conversion (two-sample proportions, unpooled, per-group n):
+    n = (z₁₋α/₂ + z_power)²·(p₁q₁ + p₂q₂) / mde² with p₂ = p₁ + mde,
+    range = baseline ± mde — the standard unpooled two-proportion
+    formula (Fleiss), structurally the same statistic as the verified
+    continuous sibling (2σ² → σ₁² + σ₂²).
+
+    power/alpha must be numeric literals: the normal quantiles are
+    computed at TRANSLATE time (stdlib statistics.NormalDist.inv_cdf,
+    Wichura AS241 — Φ⁻¹(0.975) = 1.959963984540054 matches the
+    published constant) and embedded as double literals; everything
+    else stays JVM-side arithmetic, let-bound once via the
+    transform-array binding (no CSE inside lambdas)."""
+    def rw(a: list[str]) -> str:
+        from statistics import NormalDist
+
+        nargs = 4 if kind == "conversion" else 5
+        name = ("minSampleSizeConversion" if kind == "conversion"
+                else "minSampleSizeContinous")
+        if len(a) != nargs:
+            raise ChTranslationError(f"{name} takes {nargs} arguments")
+        power_s, alpha_s = a[-2].strip(), a[-1].strip()
+        for p, which in ((power_s, "power"), (alpha_s, "alpha")):
+            if not re.fullmatch(r"0?\.\d+|1(\.0*)?|0(\.0*)?", p):
+                raise ChTranslationError(
+                    f"{name} requires a numeric literal {which} in [0, 1]"
+                    " — the normal quantile is computed at translate time")
+        power, alpha = float(power_s), float(alpha_s)
+        if not (0 < alpha < 1 and 0 < power < 1):
+            raise ChTranslationError(
+                f"{name}: power and alpha must be strictly inside (0, 1)")
+        nd = NormalDist()
+        zsq = (nd.inv_cdf(1 - alpha / 2) + nd.inv_cdf(power)) ** 2
+        if kind == "conversion":
+            bind = (f"named_struct('b', CAST({a[0]} AS DOUBLE),"
+                    f" 'm', CAST({a[1]} AS DOUBLE))")
+            body = (
+                f"named_struct("
+                f"'_1', {zsq!r}D * (x.b * (1.0D - x.b)"
+                f" + (x.b + x.m) * (1.0D - x.b - x.m))"
+                f" / (x.m * x.m),"
+                f" '_2', x.b - x.m, '_3', x.b + x.m)"
+            )
+        else:
+            bind = (f"named_struct('b', CAST({a[0]} AS DOUBLE),"
+                    f" 's', CAST({a[1]} AS DOUBLE),"
+                    f" 'm', CAST({a[2]} AS DOUBLE))")
+            body = (
+                f"named_struct("
+                f"'_1', 2.0D * {zsq!r}D * x.s * x.s"
+                f" / ((x.m * x.b) * (x.m * x.b)),"
+                f" '_2', x.b * (1.0D - x.m), '_3', x.b * (1.0D + x.m))"
+            )
+        return f"element_at(transform(array({bind}), x -> {body}), 1)"
 
     return rw
 
@@ -2261,8 +2373,16 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_parametric(sql, "meanZTest", _mean_z_test)
     sql = _rewrite_calls(sql, "proportionsZTest", _proportions_z_test)
     sql = _rewrite_calls(sql, "rankCorr", _rank_corr)
+    # BiasCorrected first: its name contains the plain cramersV prefix
+    sql = _rewrite_calls(sql, "cramersVBiasCorrected",
+                         _assoc_fn("cramersVBiasCorrected"))
     sql = _rewrite_calls(sql, "cramersV", _assoc_fn("cramersV"))
     sql = _rewrite_calls(sql, "contingency", _assoc_fn("contingency"))
+    sql = _rewrite_calls(sql, "theilsU", _assoc_fn("theilsU"))
+    sql = _rewrite_calls(
+        sql, "minSampleSizeConversion", _min_sample_size("conversion"))
+    sql = _rewrite_calls(
+        sql, "minSampleSizeContinous", _min_sample_size("continous"))
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence(
         sql, "sequenceMatch",

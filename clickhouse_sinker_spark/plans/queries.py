@@ -5767,6 +5767,106 @@ def ch_dialect_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ASSOC, sf_dir)
 
 
+CH_DIALECT_ASSOC2 = """
+    SELECT user_id % 3 AS g,
+           round(theilsU(event_type, user_id % 5), 6) AS u,
+           round(theilsU(user_id % 5, event_type), 6) AS u2,
+           round(cramersVBiasCorrected(event_type, user_id % 5), 6) AS vb,
+           round(tupleElement(
+               minSampleSizeConversion(0.025, 0.001, 0.90, 0.05), 1), 4)
+               AS mss_n,
+           round(tupleElement(
+               minSampleSizeContinous(112.25, 21.1, 0.03, 0.80, 0.05), 1), 6)
+               AS mssc_n,
+           round(tupleElement(
+               minSampleSizeContinous(112.25, 21.1, 0.03, 0.80, 0.05), 2), 6)
+               AS mssc_lo,
+           count(*) AS n
+    FROM events
+    GROUP BY g
+"""
+
+
+@query(
+    "ch_dialect_assoc2",
+    """
+    WITH base AS (
+      SELECT user_id % 3 AS g, event_type AS a,
+             CAST(user_id % 5 AS VARCHAR) AS b
+      FROM events
+    ),
+    cnt AS (SELECT g, a, b, count(*) AS o FROM base GROUP BY 1, 2, 3),
+    marg AS (SELECT g, a, sum(o) AS r FROM cnt GROUP BY 1, 2),
+    mcol AS (SELECT g, b, sum(o) AS c FROM cnt GROUP BY 1, 2),
+    tot AS (SELECT g, sum(o) AS n, count(DISTINCT a) AS k1,
+                   count(DISTINCT b) AS k2 FROM cnt GROUP BY 1),
+    ha AS (SELECT marg.g AS g,
+                  sum((marg.r / tot.n) * ln(marg.r / tot.n)) AS h
+           FROM marg JOIN tot ON tot.g = marg.g GROUP BY marg.g),
+    hb AS (SELECT mcol.g AS g,
+                  sum((mcol.c / tot.n) * ln(mcol.c / tot.n)) AS h
+           FROM mcol JOIN tot ON tot.g = mcol.g GROUP BY mcol.g),
+    dep AS (SELECT cnt.g AS g,
+                   sum((o / tot.n) * ln(o / mcol.c)) AS dab,
+                   sum((o / tot.n) * ln(o / marg.r)) AS dba
+            FROM cnt
+            JOIN marg ON marg.g = cnt.g AND marg.a = cnt.a
+            JOIN mcol ON mcol.g = cnt.g AND mcol.b = cnt.b
+            JOIN tot ON tot.g = cnt.g
+            GROUP BY cnt.g),
+    chi AS (
+      SELECT cnt.g AS g, max(tot.n) AS n, max(tot.k1) AS k1,
+             max(tot.k2) AS k2,
+             max(tot.n) * (sum(o * o / (marg.r * mcol.c)) - 1) AS chi2
+      FROM cnt
+      JOIN marg ON marg.g = cnt.g AND marg.a = cnt.a
+      JOIN mcol ON mcol.g = cnt.g AND mcol.b = cnt.b
+      JOIN tot ON tot.g = cnt.g
+      GROUP BY cnt.g
+    )
+    SELECT ha.g AS g,
+           round((dep.dab - ha.h) / ha.h, 6) AS u,
+           round((dep.dba - hb.h) / hb.h, 6) AS u2,
+           round(sqrt(
+             greatest(0, chi2 / n - (k1 - 1.0) * (k2 - 1.0) / (n - 1.0))
+             / (least(k1 - (k1 - 1.0) * (k1 - 1.0) / (n - 1.0),
+                      k2 - (k2 - 1.0) * (k2 - 1.0) / (n - 1.0)) - 1.0)),
+             6) AS vb,
+           round(POWER(1.9599639845400536 + 1.2815515655446008, 2)
+                 * (0.025 * (1 - 0.025)
+                    + (0.025 + 0.001) * (1 - 0.025 - 0.001))
+                 / (0.001 * 0.001), 4) AS mss_n,
+           round(2.0 * POWER(1.9599639845400536 + 0.8416212335729144, 2)
+                 * 21.1 * 21.1
+                 / ((0.03 * 112.25) * (0.03 * 112.25)), 6) AS mssc_n,
+           round(112.25 * (1.0 - 0.03), 6) AS mssc_lo,
+           CAST(n AS BIGINT) AS n
+    FROM ha
+    JOIN hb ON hb.g = ha.g
+    JOIN dep ON dep.g = ha.g
+    JOIN chi ON chi.g = ha.g
+    """,
+)
+def ch_dialect_assoc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 association/power-analysis tail (VERDICT r8 order #3):
+    ``theilsU`` (CH CrossTab.h orientation — the NEGATIVE of the
+    textbook uncertainty coefficient; CH-docs example value reproduced
+    to 15 digits in pytest), ``cramersVBiasCorrected`` (Bergsma's
+    published correction over the same χ² machinery as cramersV), and
+    ``minSampleSizeConversion``/``minSampleSizeContinous`` (closed-form
+    A/B power analysis; the continuous form is pinned to the CH docs
+    example 616.2931945826209, quantiles via stdlib AS241 at translate
+    time).  The DuckDB oracle re-derives the entropies, the Bergsma
+    correction, and the power formulas RELATIONALLY from GROUP BY
+    contingency counts with the same embedded quantile constants —
+    independent of the collect_list fold.  Scale: per-group pair array
+    on one executor (grouped-stats contract, as rankCorr); single
+    grouped shuffle, zero UDFs, all JVM-side."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_ASSOC2, sf_dir)
+
+
 CH_DIALECT_IPV6 = """
     SELECT user_id,
            hex(IPv6StringToNum(concat('2001:db8::', hex(user_id % 65535 + 1)))) AS h,

@@ -3663,3 +3663,72 @@ def test_time_decay_window_form(spark):
         translate_ch_sql(
             "SELECT exponentialTimeDecayedSum(10)(v, t) OVER w"
             " FROM t WINDOW w AS (ORDER BY t)")
+
+
+def test_theils_u_and_cramers_bias_corrected(spark):
+    """theilsU follows CH CrossTab.h's orientation — the NEGATIVE of the
+    textbook uncertainty coefficient: the independently recalled formula
+    (dep − h_a)/h_a reproduces the CH-docs example value
+    −0.30195720557678846 over numbers(150) a=n%10 b=n%4 to 15 digits.
+    cramersVBiasCorrected is Bergsma's published correction, checked
+    against a from-scratch Python contingency model INCLUDING zero
+    cells (the o²/(r·c) identity covers them implicitly)."""
+    import math
+    from collections import Counter
+
+    spark.range(150).selectExpr("id % 10 AS a", "id % 4 AS b") \
+        .createOrReplaceTempView("assoc_t")
+    got, _ = translate_ch_sql(
+        "SELECT theilsU(a, b) AS u, theilsU(b, a) AS u2,"
+        " cramersVBiasCorrected(a, b) AS vb FROM assoc_t")
+    r = spark.sql(got).collect()[0]
+    assert abs(r["u"] - (-0.30195720557678846)) < 1e-13
+    # independent model
+    pairs = [(i % 10, i % 4) for i in range(150)]
+    n = len(pairs)
+    ca, cb, cab = (Counter(p[0] for p in pairs), Counter(p[1] for p in pairs),
+                   Counter(pairs))
+    h_b = sum((v / n) * math.log(v / n) for v in cb.values())
+    dep2 = sum((v / n) * math.log(v / ca[a]) for (a, b), v in cab.items())
+    assert abs(r["u2"] - (dep2 - h_b) / h_b) < 1e-13
+    chi2 = n * (sum(o * o / (ca[a] * cb[b])
+                    for (a, b), o in cab.items()) - 1)
+    phi2p = max(0.0, chi2 / n - (len(ca) - 1) * (len(cb) - 1) / (n - 1))
+    kac = len(ca) - (len(ca) - 1) ** 2 / (n - 1)
+    kbc = len(cb) - (len(cb) - 1) ** 2 / (n - 1)
+    assert abs(r["vb"] - math.sqrt(phi2p / (min(kac, kbc) - 1))) < 1e-13
+    # degenerate: constant first column -> NULL (h_a = 0)
+    got2, _ = translate_ch_sql("SELECT theilsU(1, b) AS u FROM assoc_t")
+    assert spark.sql(got2).collect()[0]["u"] is None
+
+
+def test_min_sample_size(spark):
+    """minSampleSizeContinous VERIFIED against the CH docs example
+    (616.2931945826209, 108.8825, 115.6175); conversion is the standard
+    unpooled two-proportion formula with p₂ = p₁ + mde.  power/alpha
+    must be numeric literals (translate-time normal quantiles)."""
+    import math
+    from statistics import NormalDist
+
+    got, _ = translate_ch_sql(
+        "SELECT minSampleSizeContinous(112.25, 21.1, 0.03, 0.80, 0.05)"
+        " AS c,"
+        " minSampleSizeConversion(0.025, 0.001, 0.90, 0.05) AS cv")
+    r = spark.sql(got).collect()[0]
+    assert abs(r["c"]["_1"] - 616.2931945826209) < 1e-9
+    assert r["c"]["_2"] == 108.8825 and r["c"]["_3"] == 115.6175
+    nd = NormalDist()
+    zsq = (nd.inv_cdf(0.975) + nd.inv_cdf(0.90)) ** 2
+    expect = zsq * (0.025 * 0.975 + 0.026 * 0.974) / 0.001 ** 2
+    assert abs(r["cv"]["_1"] - expect) / expect < 1e-12
+    assert abs(r["cv"]["_2"] - 0.024) < 1e-15
+    assert abs(r["cv"]["_3"] - 0.026) < 1e-15
+    # published-constant sanity on the embedded quantile machinery
+    assert abs(nd.inv_cdf(0.975) - 1.959963984540054) < 1e-14
+    for bad in (
+        "SELECT minSampleSizeConversion(0.025, 0.001, p, 0.05) FROM t",
+        "SELECT minSampleSizeContinous(1, 2, 0.03, 0.80, 1.5)",
+        "SELECT minSampleSizeConversion(0.025, 0.001, 0.90)",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
