@@ -753,7 +753,6 @@ _UNSUPPORTED = {
     "toTypeName",     # engine introspection
     "toFixedString",  # Spark strings are unsized; drop the fixed width
     "wordShingleSimHash",
-    "ngramDistance",
     "multiFuzzyMatchAny",
     "normalizeQuery",        # CH query-text fingerprinting — engine-internal
     "normalizeQueryKeepNames",
@@ -2212,6 +2211,18 @@ def _translate_functions(sql: str) -> str:
                     " (the integer forms hash Java primitive widths,"
                     " invisible at SQL-text level)")),
         )
+    # ngramDistance/ngramSearch family (r9): exact 4-gram multiset
+    # measures — mode literal picks byte/codepoint units and case fold
+    for _nd, _udf in (("ngramDistance", "ch_ngram_distance"),
+                      ("ngramSearch", "ch_ngram_search")):
+        for _suffix, _mode in (("CaseInsensitiveUTF8", 3), ("UTF8", 2),
+                               ("CaseInsensitive", 1), ("", 0)):
+            sql = _rewrite_calls(
+                sql, _nd + _suffix,
+                lambda a, u=_udf, m=_mode, n=_nd + _suffix: (
+                    f"{u}({a[0]}, {a[1]}, {m})" if len(a) == 2
+                    else _refuse(f"{n} takes exactly 2 string arguments")),
+            )
     # jumpConsistentHash(key, n): Lamping-Veach published algorithm
     sql = _rewrite_calls_raw(
         sql, "jumpConsistentHash",

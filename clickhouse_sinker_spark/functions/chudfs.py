@@ -818,6 +818,53 @@ def _java_hash(s: str) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
+def _ngram_counts(s: str, mode: int):
+    """4-gram multiset for CH's ngramDistance/ngramSearch family
+    (reference semantics: ``FunctionsStringSimilarity.cpp``).  mode:
+    0 = byte 4-grams, 1 = byte + ASCII case-fold, 2 = codepoint 4-grams
+    (UTF8 forms), 3 = codepoint + Unicode case-fold.  Strings shorter
+    than one gram yield the empty multiset.
+
+    Documented deltas from CH (deliberate): CH folds grams into 2^16
+    CRC32-C slots, silently MERGING colliding grams — we count exact
+    grams (differs only on hash-collision pairs, where exact counting
+    is the more correct measure); CH's UTF8 case-fold is its own
+    UTF8 tolower table — we use Python's per-codepoint lower()."""
+    from collections import Counter
+
+    if mode == 1:
+        s = s.translate(_ASCII_LOWER)
+    elif mode == 3:
+        s = s.lower()
+    units = s.encode("utf-8") if mode in (0, 1) else s
+    if len(units) < 4:
+        return Counter()
+    return Counter(units[i : i + 4] for i in range(len(units) - 3))
+
+
+def _ch_ngram_distance(a: str, b: str, mode: int) -> float:
+    """Symmetric 4-gram distance: multiset symmetric difference over
+    the combined gram count — 0 = identical gram profile, 1 = fully
+    disjoint.  Both-empty → 0 (CH's max(total, 1) denominator)."""
+    ca, cb = _ngram_counts(a, mode), _ngram_counts(b, mode)
+    sd = sum(abs(ca.get(g, 0) - cb.get(g, 0)) for g in ca.keys() | cb.keys())
+    return sd / max(sum(ca.values()) + sum(cb.values()), 1)
+
+
+def _ch_ngram_search(hay: str, needle: str, mode: int) -> float:
+    """Non-symmetric form: the fraction of needle grams present in the
+    haystack (with multiplicity); excess haystack grams don't penalize.
+    Empty needle → 1.0 (CH's 1 − 0/max(0, 1))."""
+    ch_, cn = _ngram_counts(hay, mode), _ngram_counts(needle, mode)
+    tn = sum(cn.values())
+    matched = sum(min(c, ch_.get(g, 0)) for g, c in cn.items())
+    return 1.0 - (tn - matched) / max(tn, 1)
+
+
 def _jump_consistent_hash(key: int, buckets: int) -> int:
     """Jump consistent hash — Lamping & Veach's published algorithm
     verbatim (the double arithmetic is part of the spec and
@@ -1467,6 +1514,24 @@ _UDF_SPECS = {
     "ch_jump_consistent_hash": (
         _map2(lambda k, n: _jump_consistent_hash(int(k), int(n))),
         "int",
+    ),
+    # ngramDistance/ngramSearch family: mode = 0 byte / 1 byte-ci /
+    # 2 codepoint / 3 codepoint-ci (always a translator-emitted literal)
+    "ch_ngram_distance": (
+        lambda s1, s2, s3: pd.Series([
+            None if a is None or b is None
+            else _ch_ngram_distance(a, b, int(m))
+            for a, b, m in zip(s1, s2, s3)
+        ]),
+        "double",
+    ),
+    "ch_ngram_search": (
+        lambda s1, s2, s3: pd.Series([
+            None if a is None or b is None
+            else _ch_ngram_search(a, b, int(m))
+            for a, b, m in zip(s1, s2, s3)
+        ]),
+        "double",
     ),
     # byteSwap / bitRotate take the integer VALUE with an explicit width
     # (the translator's to[U]IntN gate supplies it)

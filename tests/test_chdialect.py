@@ -3665,6 +3665,49 @@ def test_time_decay_window_form(spark):
             " FROM t WINDOW w AS (ORDER BY t)")
 
 
+def test_ngram_distance_family(spark):
+    """ngramDistance/ngramSearch (r9): exact 4-gram multiset measures.
+    Hand-model pins; deltas from CH documented at _ngram_counts (CH
+    folds grams into 2^16 CRC32-C slots, merging collisions — exact
+    counting differs only on collision pairs)."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT ngramDistance('ClickHouse', 'ClickHouse') AS same,"
+        " ngramDistance('ClickHouse', 'clickhouse') AS cs,"
+        " ngramDistanceCaseInsensitive('ClickHouse', 'clickhouse') AS ci,"
+        " ngramDistance('abcd', 'xyzw') AS disj,"
+        " ngramDistance('', 'abcd') AS onee,"
+        " ngramDistance('', '') AS empty,"
+        " ngramDistance('aaaaa', 'aaaa') AS mult,"
+        " ngramSearch('Hello World Hello', 'World') AS hit,"
+        " ngramSearch('abc', 'abcdef') AS tooshort,"
+        " ngramSearch('xyzj', 'xyzjxyzj') AS dup,"
+        " ngramSearchCaseInsensitive('ABCD', 'abcd') AS sci,"
+        " ngramDistanceUTF8('наука данных', 'наука') AS u8,"
+        " ngramSearchCaseInsensitiveUTF8('Наука Данных', 'данных') AS u8ci"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["same"] == 0.0 and r["ci"] == 0.0 and r["disj"] == 1.0
+    # 'ClickHouse' vs 'clickhouse': 7 grams each, {lick, ouse} shared
+    assert abs(r["cs"] - 10 / 14) < 1e-15
+    assert r["onee"] == 1.0        # one empty side -> fully disjoint
+    assert r["empty"] == 0.0       # both empty -> 0 via max(denom, 1)
+    # multiplicity: aaaaa = {aaaa:2}, aaaa = {aaaa:1} -> |2-1|/(2+1)
+    assert abs(r["mult"] - 1 / 3) < 1e-15
+    assert r["hit"] == 1.0 and r["tooshort"] == 0.0
+    # needle has gram xyzj x2 + 3 bridge grams; haystack has xyzj x1
+    assert abs(r["dup"] - (1.0 - 4 / 5)) < 1e-15
+    assert r["sci"] == 1.0
+    # UTF8 = codepoint units: 'наука' (5 cps) = 2 grams, both in the
+    # 12-cp haystack (9 grams): sd = (9-2)+(2-2)=7, denom 11
+    assert abs(r["u8"] - 7 / 11) < 1e-15
+    assert r["u8ci"] == 1.0
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT ngramDistance('a')")
+
+
 def test_theils_u_and_cramers_bias_corrected(spark):
     """theilsU follows CH CrossTab.h's orientation — the NEGATIVE of the
     textbook uncertainty coefficient: the independently recalled formula
