@@ -564,6 +564,9 @@ _RENAMES = {
     "normalizeUTF8NFD": "ch_nfd",
     "normalizeUTF8NFKC": "ch_nfkc",
     "normalizeUTF8NFKD": "ch_nfkd",
+    "idnaEncode": "ch_idna_encode",
+    "tryIdnaEncode": "ch_try_idna_encode",
+    "idnaDecode": "ch_idna_decode",
     "jaroSimilarity": "ch_jaro",
     "jaroWinklerSimilarity": "ch_jaro_winkler",
     "damerauLevenshteinDistance": "ch_damerau_levenshtein",
@@ -817,8 +820,6 @@ _UNSUPPORTED = {
     "largestTriangleThreeBuckets",  # LTTB bucket boundaries are
                              # implementation-defined
     "arrayRandomSample",     # nondeterministic
-    "idnaEncode",            # punycode family
-    "idnaDecode",
     "kolmogorovSmirnovTest",
     "lowCardinalityKeys",    # engine introspection
     "lowCardinalityIndices",

@@ -822,6 +822,46 @@ _ASCII_LOWER = str.maketrans(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
 
+def _ch_idna_encode(s: str, strict: bool) -> str:
+    """CH ``idnaEncode``/``tryIdnaEncode`` — IDNA ToASCII per UTS#46
+    NONtransitional processing (the URL-standard mode CH's embedded
+    ada-idna uses; 'faß.de' → 'xn--fa-hia.de', NOT 'fass.de'), via the
+    public BSD-licensed ``idna`` package (the Python UTS#46 reference
+    implementation).  strict=True raises on invalid input (CH throws);
+    strict=False returns '' (CH tryIdnaEncode).  Documented delta: the
+    ``idna`` package enforces IDNA2008 codepoint classes, so STD3-
+    disallowed characters (e.g. '_') reject here while ada-idna's
+    relaxed URL mode passes them through."""
+    if s == "":
+        return ""
+    try:
+        import idna
+    except ImportError as e:  # pragma: no cover - baked into this env
+        raise RuntimeError("idnaEncode requires the 'idna' package") from e
+    try:
+        return idna.encode(s, uts46=True).decode("ascii")
+    except idna.IDNAError as e:
+        if strict:
+            raise ValueError(f"idnaEncode: invalid domain {s!r}: {e}")
+        return ""
+
+
+def _ch_idna_decode(s: str) -> str:
+    """CH ``idnaDecode`` — IDNA ToUnicode; per CH docs an invalid input
+    returns the INPUT string unchanged (which is why CH ships no
+    tryIdnaDecode)."""
+    if s == "":
+        return ""
+    try:
+        import idna
+    except ImportError as e:  # pragma: no cover - baked into this env
+        raise RuntimeError("idnaDecode requires the 'idna' package") from e
+    try:
+        return idna.decode(s, uts46=True)
+    except (idna.IDNAError, UnicodeError, ValueError):
+        return s
+
+
 def _ngram_counts(s: str, mode: int):
     """4-gram multiset for CH's ngramDistance/ngramSearch family
     (reference semantics: ``FunctionsStringSimilarity.cpp``).  mode:
@@ -1515,6 +1555,10 @@ _UDF_SPECS = {
         _map2(lambda k, n: _jump_consistent_hash(int(k), int(n))),
         "int",
     ),
+    "ch_idna_encode": (_map1(lambda s: _ch_idna_encode(s, True)), "string"),
+    "ch_try_idna_encode": (
+        _map1(lambda s: _ch_idna_encode(s, False)), "string"),
+    "ch_idna_decode": (_map1(_ch_idna_decode), "string"),
     # ngramDistance/ngramSearch family: mode = 0 byte / 1 byte-ci /
     # 2 codepoint / 3 codepoint-ci (always a translator-emitted literal)
     "ch_ngram_distance": (

@@ -5867,6 +5867,61 @@ def ch_dialect_assoc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ASSOC2, sf_dir)
 
 
+CH_DIALECT_IDNA = """
+    SELECT n,
+           idnaEncode(concat('News.Site', toString(n), '.Example.COM'))
+               AS enc,
+           idnaDecode(concat('news.site', toString(n), '.example.com'))
+               AS dec,
+           idnaEncode(CASE n WHEN 0 THEN 'münchen.de'
+                             WHEN 1 THEN 'faß.de'
+                             WHEN 2 THEN 'bücher.example'
+                             ELSE 'plain.org' END) AS intl,
+           idnaDecode(CASE n WHEN 0 THEN 'xn--mnchen-3ya.de'
+                             WHEN 1 THEN 'xn--fa-hia.de'
+                             WHEN 2 THEN 'xn--bcher-kva.example'
+                             ELSE 'plain.org' END) AS rt,
+           tryIdnaEncode(CASE n WHEN 0 THEN 'bad▲label.com'
+                                ELSE 'ok.com' END) AS te
+    FROM (SELECT DISTINCT toUInt64(user_id % 10) AS n FROM events)
+    ORDER BY n
+"""
+
+
+@query(
+    "ch_dialect_idna",
+    """
+    WITH d AS (SELECT DISTINCT user_id % 10 AS n FROM events)
+    SELECT n,
+           'news.site' || CAST(n AS VARCHAR) || '.example.com' AS enc,
+           'news.site' || CAST(n AS VARCHAR) || '.example.com' AS dec,
+           CASE n WHEN 0 THEN 'xn--mnchen-3ya.de'
+                  WHEN 1 THEN 'xn--fa-hia.de'
+                  WHEN 2 THEN 'xn--bcher-kva.example'
+                  ELSE 'plain.org' END AS intl,
+           CASE n WHEN 0 THEN 'münchen.de'
+                  WHEN 1 THEN 'faß.de'
+                  WHEN 2 THEN 'bücher.example'
+                  ELSE 'plain.org' END AS rt,
+           CASE n WHEN 0 THEN '' ELSE 'ok.com' END AS te
+    FROM d ORDER BY n
+    """,
+)
+def ch_dialect_idna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idnaEncode/tryIdnaEncode/idnaDecode (VERDICT r8 order #5) —
+    UTS#46 ToASCII/ToUnicode over the r7 punycode foundation, via the
+    public BSD-licensed ``idna`` reference package.  The oracle pins
+    PUBLISHED UTS#46 vectors (münchen→xn--mnchen-3ya, the
+    NONtransitional faß→xn--fa-hia, bücher→xn--bcher-kva) — public
+    constants, not this repo's output — and re-derives the ASCII
+    case-map half relationally (lower()).  Errors: encode throws /
+    try-form '' / decode returns input (CH docs contract, pinned in
+    pytest).  Scale: one distinct shuffle, one ArrowEvalPython."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_IDNA, sf_dir)
+
+
 CH_DIALECT_NGRAM = """
     SELECT a, b,
            round(ngramDistance(concat(a, '_', b), concat(b, '_', a)), 6)

@@ -3708,6 +3708,44 @@ def test_ngram_distance_family(spark):
         translate_ch_sql("SELECT ngramDistance('a')")
 
 
+def test_idna_family(spark):
+    """idnaEncode/tryIdnaEncode/idnaDecode (r9) — UTS#46 ToASCII /
+    ToUnicode via the public ``idna`` reference package, pinned to
+    PUBLISHED vectors: münchen→xn--mnchen-3ya (case-mapped),
+    faß→xn--fa-hia (NONtransitional — the URL-standard mode; the
+    transitional result would be 'fass.de'), bücher→xn--bcher-kva.
+    Invalid input: idnaEncode raises (CH throws), tryIdnaEncode → '',
+    idnaDecode returns the INPUT unchanged (CH docs)."""
+    pytest.importorskip("idna")
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ch_idna_decode, _ch_idna_encode, register_ch_udfs)
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT idnaEncode('MÜNCHEN.DE') AS a, idnaEncode('faß.de') AS b,"
+        " idnaEncode('bücher.example') AS c, idnaEncode('GitHub.COM') AS d,"
+        " tryIdnaEncode('bad▲label.com') AS e,"
+        " idnaDecode('xn--mnchen-3ya.de') AS f,"
+        " idnaDecode('XN--FA-HIA.de') AS g,"
+        " idnaDecode('%$ not a domain') AS h,"
+        " idnaEncode('') AS i"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["a"] == "xn--mnchen-3ya.de"
+    assert r["b"] == "xn--fa-hia.de"
+    assert r["c"] == "xn--bcher-kva.example"
+    assert r["d"] == "github.com"
+    assert r["e"] == ""
+    assert r["f"] == "münchen.de"
+    assert r["g"] == "faß.de"          # uts46 case-folds the prefix
+    assert r["h"] == "%$ not a domain"  # invalid -> input unchanged
+    assert r["i"] == ""
+    # strict form raises (CH throws on invalid input)
+    with pytest.raises(ValueError):
+        _ch_idna_encode("bad▲label.com", True)
+    assert _ch_idna_decode("xn--zzzzzz-!!!.de") == "xn--zzzzzz-!!!.de"
+
+
 def test_theils_u_and_cramers_bias_corrected(spark):
     """theilsU follows CH CrossTab.h's orientation — the NEGATIVE of the
     textbook uncertainty coefficient: the independently recalled formula
