@@ -771,7 +771,6 @@ _UNSUPPORTED = {
     "stochasticLogisticRegression",
     "groupArrayMovingAvg",   # block-order-dependent, like deltaSum
     "groupArrayMovingSum",
-    "pointInPolygon",        # no geo engine
     "h3ToGeo",
     "geoToH3",
     "regionToName",
@@ -2056,6 +2055,92 @@ def _assoc_fn(kind: str):
     return rw
 
 
+def _pip_parse_tuple(text: str):
+    """Parse a 2-tuple spelling — ``(x, y)``, ``tuple(x, y)``, or the
+    ``named_struct('_1', x, '_2', y)`` an earlier tuple() pass emitted —
+    into its two component texts; None if it isn't one."""
+    t = text.strip()
+    if re.match(r"^named_struct\s*\(", t) and t.endswith(")"):
+        parts = _split_args(t[t.index("(") + 1 : -1])
+        if len(parts) == 4:
+            return [parts[1].strip(), parts[3].strip()]
+        return None
+    if re.match(r"^(tuple\s*)?\(", t) and t.endswith(")"):
+        parts = _split_args(t[t.index("(") + 1 : -1])
+        if len(parts) == 2:
+            return [parts[0].strip(), parts[1].strip()]
+    return None
+
+
+def _pip_parse_ring(text: str):
+    """Parse a polygon-ring literal — ``[(x1,y1), ...]`` or the
+    bracket-pass spelling ``array((x1,y1), ...)`` — into a list of
+    (x, y) component-text pairs; None if it isn't one."""
+    t = text.strip()
+    if t.startswith("[") and t.endswith("]"):
+        inner = t[1:-1]
+    elif re.match(r"^array\s*\(", t) and t.endswith(")"):
+        inner = t[t.index("(") + 1 : -1]
+    else:
+        return None
+    pts = [_pip_parse_tuple(p) for p in _split_args(inner)]
+    return pts if pts and all(p is not None for p in pts) else None
+
+
+def _point_in_polygon(a: list[str]) -> str:
+    """``pointInPolygon((x, y), ring[, hole...])`` — even-odd
+    ray-casting (the textbook PNPOLY crossing test), pure JVM: the
+    query point is let-bound once, each ring folds its edge list
+    (vertices zip_with their rotation — CH also auto-closes the ring)
+    with an XOR accumulator, holes XOR against the outer ring.  Checked
+    against the CH docs example pointInPolygon((3., 3.), [(6, 0),
+    (8, 4), (5, 8), (0, 2)]) = 1.  Boundary points are unspecified
+    (CH's grid strategy has the same fuzzy boundary).  Rings must be
+    TUPLE-ARRAY LITERALS: the field layout of an arbitrary array
+    expression is invisible at SQL-text level."""
+    if len(a) < 2:
+        raise ChTranslationError(
+            "pointInPolygon takes a point and at least one polygon ring")
+    pt = _pip_parse_tuple(a[0])
+    if pt is None:
+        raise ChTranslationError(
+            "pointInPolygon needs a 2-tuple point: (x, y)")
+    rings = []
+    for ring_text in a[1:]:
+        ring = _pip_parse_ring(ring_text)
+        if ring is None or len(ring) < 3:
+            raise ChTranslationError(
+                "pointInPolygon rings must be literal arrays of ≥3"
+                " 2-tuples — [(x1, y1), (x2, y2), ...]")
+        rings.append(ring)
+
+    def vstruct(p):
+        return (f"named_struct('x', CAST({p[0]} AS DOUBLE),"
+                f" 'y', CAST({p[1]} AS DOUBLE))")
+
+    ring_tests = []
+    for ring in rings:
+        vs = ", ".join(vstruct(p) for p in ring)
+        rot = ring[1:] + ring[:1]
+        vs2 = ", ".join(vstruct(p) for p in rot)
+        ring_tests.append(
+            f"aggregate(zip_with(array({vs}), array({vs2}),"
+            " (__p1, __p2) ->"
+            " ((__p1.y > __pq.y) != (__p2.y > __pq.y))"
+            " AND (__pq.x < (__p2.x - __p1.x) * (__pq.y - __p1.y)"
+            " / (__p2.y - __p1.y) + __p1.x)),"
+            " false, (__acc, __c) -> (__acc != __c))"
+        )
+    combined = ring_tests[0]
+    for rt in ring_tests[1:]:
+        combined = f"({combined} != {rt})"
+    return (
+        f"CAST(element_at(transform(array(named_struct("
+        f"'x', CAST({pt[0]} AS DOUBLE), 'y', CAST({pt[1]} AS DOUBLE))),"
+        f" __pq -> {combined}), 1) AS INT)"
+    )
+
+
 def _min_sample_size(kind: str):
     """``minSampleSizeConversion(baseline, mde, power, alpha)`` /
     ``minSampleSizeContinous(baseline, sigma, mde, power, alpha)`` —
@@ -2391,6 +2476,7 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "cramersV", _assoc_fn("cramersV"))
     sql = _rewrite_calls(sql, "contingency", _assoc_fn("contingency"))
     sql = _rewrite_calls(sql, "theilsU", _assoc_fn("theilsU"))
+    sql = _rewrite_calls(sql, "pointInPolygon", _point_in_polygon)
     sql = _rewrite_calls(
         sql, "minSampleSizeConversion", _min_sample_size("conversion"))
     sql = _rewrite_calls(

@@ -5867,6 +5867,58 @@ def ch_dialect_assoc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ASSOC2, sf_dir)
 
 
+CH_DIALECT_PIP = """
+    SELECT px, py,
+           pointInPolygon((toFloat64(px), toFloat64(py)),
+                          [(6, 0), (8, 4), (5, 8), (0, 2)]) AS r,
+           pointInPolygon((toFloat64(px), toFloat64(py)),
+                          [(-1, -1), (11, -1), (11, 7), (-1, 7)],
+                          [(2, 1), (5, 1), (5, 4), (2, 4)]) AS rh
+    FROM (SELECT DISTINCT user_id % 12 - 1 AS px, user_id % 7 AS py
+          FROM events)
+    ORDER BY px, py
+"""
+
+
+@query(
+    "ch_dialect_pip",
+    """
+    WITH pts AS (SELECT DISTINCT user_id % 12 - 1 AS px,
+                        user_id % 7 AS py FROM events),
+    e1(x1, y1, x2, y2) AS (VALUES
+        (6,0,8,4), (8,4,5,8), (5,8,0,2), (0,2,6,0)),
+    e2(x1, y1, x2, y2) AS (VALUES
+        (-1,-1,11,-1), (11,-1,11,7), (11,7,-1,7), (-1,7,-1,-1),
+        (2,1,5,1), (5,1,5,4), (5,4,2,4), (2,4,2,1)),
+    c1 AS (SELECT px, py,
+              count(*) FILTER (WHERE ((y1 > py) != (y2 > py))
+                 AND (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)) AS k
+           FROM pts CROSS JOIN e1 GROUP BY 1, 2),
+    c2 AS (SELECT px, py,
+              count(*) FILTER (WHERE ((y1 > py) != (y2 > py))
+                 AND (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)) AS k
+           FROM pts CROSS JOIN e2 GROUP BY 1, 2)
+    SELECT c1.px AS px, c1.py AS py,
+           CAST(c1.k % 2 AS INT) AS r, CAST(c2.k % 2 AS INT) AS rh
+    FROM c1 JOIN c2 USING (px, py) ORDER BY px, py
+    """,
+)
+def ch_dialect_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pointInPolygon (VERDICT r8 order #6) — even-odd ray casting,
+    pure JVM (point let-bound once, ring edges zip_with their rotation,
+    XOR fold; holes XOR against the outer ring), pinned to the CH docs
+    example in pytest.  The DuckDB oracle re-derives containment with
+    RELATIONAL arithmetic: an edge VALUES table cross-joined to the
+    point grid, crossing-parity via FILTER counts — the same published
+    PNPOLY test, independently evaluated.  All coordinates are
+    small-integer-valued doubles, so both engines compute EXACT IEEE
+    arithmetic (boundary grid points included — deterministic, not
+    epsilon-sensitive).  Scale: one distinct shuffle, zero UDFs."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_PIP, sf_dir)
+
+
 CH_DIALECT_IDNA = """
     SELECT n,
            idnaEncode(concat('News.Site', toString(n), '.Example.COM'))

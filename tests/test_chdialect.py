@@ -3708,6 +3708,34 @@ def test_ngram_distance_family(spark):
         translate_ch_sql("SELECT ngramDistance('a')")
 
 
+def test_point_in_polygon(spark):
+    """pointInPolygon (r9): even-odd ray casting, pure JVM.  Pinned to
+    the CH docs example ((3,3) in the (6,0)(8,4)(5,8)(0,2) quad = 1);
+    holes XOR against the outer ring; non-literal rings refuse."""
+    got, _ = translate_ch_sql(
+        "SELECT pointInPolygon((3., 3.), [(6, 0), (8, 4), (5, 8), (0, 2)])"
+        " AS a,"
+        " pointInPolygon((10., 10.),"
+        " [(6, 0), (8, 4), (5, 8), (0, 2)]) AS b,"
+        " pointInPolygon((5., 5.), [(0,0),(10,0),(10,10),(0,10)],"
+        " [(4,4),(6,4),(6,6),(4,6)]) AS hole,"
+        " pointInPolygon((2., 2.), [(0,0),(10,0),(10,10),(0,10)],"
+        " [(4,4),(6,4),(6,6),(4,6)]) AS ring,"
+        " pointInPolygon(tuple(-0.5, 1.0), [(0,0),(3,0),(3,2),(0,2)])"
+        " AS neg"
+    )
+    r = spark.sql(got).collect()[0]
+    assert (r["a"], r["b"], r["hole"], r["ring"], r["neg"]) \
+        == (1, 0, 0, 1, 0)
+    for bad in (
+        "SELECT pointInPolygon((1., 1.), poly) FROM t",   # non-literal
+        "SELECT pointInPolygon((1., 1.), [(0,0),(1,1)])",  # < 3 vertices
+        "SELECT pointInPolygon(p, [(0,0),(1,0),(1,1)]) FROM t",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+
+
 def test_idna_family(spark):
     """idnaEncode/tryIdnaEncode/idnaDecode (r9) — UTS#46 ToASCII /
     ToUnicode via the public ``idna`` reference package, pinned to
