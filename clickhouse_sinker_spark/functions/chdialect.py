@@ -836,7 +836,6 @@ _UNSUPPORTED = {
     "defaultValueOfTypeName",
     "toRelativeWeekNum",     # CH's epoch-week numbering origin is
                              # DateLUT-internal; use toStartOfWeek buckets
-    "arrayAUC",              # tie-handling of CH's AUC is unspecified
     "arraySplit",            # subarray-of-subarrays lambda splitting
     "arrayReverseSplit",
     "arrayZipUnaligned",
@@ -2477,6 +2476,16 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "contingency", _assoc_fn("contingency"))
     sql = _rewrite_calls(sql, "theilsU", _assoc_fn("theilsU"))
     sql = _rewrite_calls(sql, "pointInPolygon", _point_in_polygon)
+    # arrayAUC: tie-averaged rank-sum AUC (the trapezoid-on-tie-groups
+    # rule CH computes; pinned to the CH docs example in pytest)
+    sql = _rewrite_calls(
+        sql, "arrayAUC",
+        lambda a: (
+            f"ch_array_auc({a[0]}, {a[1]})" if len(a) == 2
+            else _refuse(
+                "arrayAUC(scores, labels) — the optional 3rd 'scale'"
+                " argument is CH-version-sensitive and stays refused")),
+    )
     sql = _rewrite_calls(
         sql, "minSampleSizeConversion", _min_sample_size("conversion"))
     sql = _rewrite_calls(

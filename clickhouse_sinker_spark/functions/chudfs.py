@@ -822,6 +822,39 @@ _ASCII_LOWER = str.maketrans(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
 
 
+def _ch_array_auc(scores, labels):
+    """CH ``arrayAUC(scores, labels)`` — area under the ROC curve via
+    the tie-averaged rank sum (one sorted fold, O(n log n)):
+    AUC = (Σ rank⁺ − m(m+1)/2)/(m·n).  This is exactly the trapezoidal
+    ROC area CH's grouped-by-equal-score implementation computes
+    (equal-score pos/neg pairs count ½ — the Mann-Whitney identity,
+    same convention as scikit-learn's roc_auc_score); pinned to the CH
+    docs example arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) = 0.75.
+    Nonzero label = positive.  Degenerate inputs (single class, NULL
+    elements) → NULL; mismatched sizes raise like CH."""
+    s, lab = list(scores), list(labels)
+    if len(s) != len(lab):
+        raise ValueError("arrayAUC: scores and labels differ in size")
+    if any(v is None for v in s) or any(v is None for v in lab):
+        return None
+    m = sum(1 for x in lab if x != 0)
+    n = len(lab) - m
+    if m == 0 or n == 0:
+        return None
+    order = sorted(range(len(s)), key=lambda i: s[i])
+    rpos = 0.0
+    i, rank = 0, 1
+    while i < len(order):
+        j = i
+        while j < len(order) and s[order[j]] == s[order[i]]:
+            j += 1
+        avg = (2 * rank + (j - i) - 1) / 2.0
+        rpos += avg * sum(1 for k in range(i, j) if lab[order[k]] != 0)
+        rank += j - i
+        i = j
+    return (rpos - m * (m + 1) / 2.0) / (m * n)
+
+
 def _ch_idna_encode(s: str, strict: bool) -> str:
     """CH ``idnaEncode``/``tryIdnaEncode`` — IDNA ToASCII per UTS#46
     NONtransitional processing (the URL-standard mode CH's embedded
@@ -1555,6 +1588,7 @@ _UDF_SPECS = {
         _map2(lambda k, n: _jump_consistent_hash(int(k), int(n))),
         "int",
     ),
+    "ch_array_auc": (_map2(_ch_array_auc), "double"),
     "ch_idna_encode": (_map1(lambda s: _ch_idna_encode(s, True)), "string"),
     "ch_try_idna_encode": (
         _map1(lambda s: _ch_idna_encode(s, False)), "string"),

@@ -5867,6 +5867,59 @@ def ch_dialect_assoc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ASSOC2, sf_dir)
 
 
+CH_DIALECT_AUC = """
+    SELECT vec_id,
+           arrayAUC(arraySlice(embedding, 1, 16),
+                    [0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1])
+               AS auc
+    FROM embeddings
+    ORDER BY vec_id
+"""
+
+
+@query(
+    "ch_dialect_auc",
+    """
+    WITH u AS (
+      SELECT vec_id, unnest(embedding[1:16]) AS sc,
+             unnest([0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1]) AS lb
+      FROM embeddings
+    ),
+    r AS (
+      SELECT vec_id, lb,
+             rank() OVER (PARTITION BY vec_id ORDER BY sc) AS rk,
+             count(*) OVER (PARTITION BY vec_id, sc) AS n_eq
+      FROM u
+    ),
+    a AS (
+      SELECT vec_id,
+             sum(CASE WHEN lb = 1 THEN rk + (n_eq - 1) / 2.0
+                      ELSE 0 END) AS rpos,
+             sum(lb) AS m, count(*) - sum(lb) AS n
+      FROM r GROUP BY vec_id
+    )
+    SELECT vec_id,
+           CASE WHEN m = 0 OR n = 0 THEN NULL
+                ELSE (rpos - m * (m + 1) / 2.0) / (m * n) END AS auc
+    FROM a ORDER BY vec_id
+    """,
+)
+def ch_dialect_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrayAUC (VERDICT r8 order #7 — investigated and implemented):
+    CH's trapezoid-on-tie-groups rule IS pinnable (it equals the
+    tie-averaged Mann-Whitney rank identity, the scikit-learn
+    roc_auc_score convention; CH docs example 0.75 pinned in pytest
+    plus a brute-force pair-count property).  The DuckDB oracle
+    re-derives the AUC from tie-averaged WINDOW ranks over unnested
+    (score, label) pairs — fully independent of the sorted fold.
+    m = n = 8 here, so every AUC is an exact /64 double: both engines
+    produce bit-identical values with NO rounding.  Scale: per-row
+    scalar over one ArrowEvalPython, zero shuffles beyond the sort."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_AUC, sf_dir)
+
+
 CH_DIALECT_PIP = """
     SELECT px, py,
            pointInPolygon((toFloat64(px), toFloat64(py)),

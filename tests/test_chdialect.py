@@ -3708,6 +3708,45 @@ def test_ngram_distance_family(spark):
         translate_ch_sql("SELECT ngramDistance('a')")
 
 
+def test_array_auc(spark):
+    """arrayAUC (r9, previously refused over tie handling): the
+    trapezoid-on-tie-groups rule IS pinnable — it equals the
+    tie-averaged Mann-Whitney identity.  CH docs example = 0.75; a
+    brute-force pair-count model (1 per win, ½ per tie) cross-checks
+    random inputs; degenerate single-class → NULL."""
+    import random
+
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ch_array_auc, register_ch_udfs)
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS a,"
+        " arrayAUC([1.0, 1.0, 2.0], [1, 0, 1]) AS tie,"
+        " arrayAUC([1.0, 2.0], [1, 1]) AS degen"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["a"] == 0.75 and r["tie"] == 0.75 and r["degen"] is None
+    rng = random.Random(7)
+    for _ in range(25):
+        n = rng.randint(2, 40)
+        s = [rng.choice([0.1, 0.2, 0.3, 0.5, 0.9]) for _ in range(n)]
+        lab = [rng.randint(0, 1) for _ in range(n)]
+        m = sum(lab)
+        if m in (0, n):
+            assert _ch_array_auc(s, lab) is None
+            continue
+        brute = sum(
+            (1.0 if s[i] > s[j] else 0.5 if s[i] == s[j] else 0.0)
+            for i in range(n) if lab[i] for j in range(n) if not lab[j]
+        ) / (m * (n - m))
+        assert abs(_ch_array_auc(s, lab) - brute) < 1e-12
+    with pytest.raises(ValueError):
+        _ch_array_auc([1.0], [1, 0])
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT arrayAUC(s, l, false) FROM t")
+
+
 def test_point_in_polygon(spark):
     """pointInPolygon (r9): even-odd ray casting, pure JVM.  Pinned to
     the CH docs example ((3,3) in the (6,0)(8,4)(5,8)(0,2) quad = 1);
