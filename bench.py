@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 # checkout back-to-back on the same host and report the ratio.  Updated
 # each round to the previous round's final commit.  Disable with
 # SPARK_GRAFT_AB=0 or --no-ab; override the ref with --ab <git-ref>.
-AB_BASELINE_REF = "da83dfc"  # round-7 final checkout
+AB_BASELINE_REF = "f6ff6c5"  # round-8 final checkout
 
 HEADLINE = [
     "tpch_q1_pricing",
@@ -252,16 +252,16 @@ def main() -> None:
     # on 11 cpu — BASELINE.md).  Reproduce the full hot path at 1M rows:
     # JSON bytes → parse → reference-semantics cast projection → shard
     # route → parquet write (the sink stand-in), timed end to end.
-    # Report BOTH regimes honestly: the C2 JIT threshold for the generated
-    # parse/projection/writer code crosses after ~3 full-size runs
-    # (measured: 5.9s, 6.8s, 3.6s, 2.1s, 1.8s back-to-back), so run five
-    # times and report run 1 as the cold number and the MEDIAN of runs 3-5
-    # as the steady-state number.  `queries.etl_pipeline_1m` carries the
-    # steady-state median (comparable to the reference's steady-state
-    # rows/s); the raw per-run trace ships alongside so nothing is hidden.
+    # Report BOTH regimes honestly: run five times; run 1 is the cold
+    # number (C2 JIT warms over ~3 full-size runs).  The headline is the
+    # MIN of the warm runs (2-5): VERDICT r8 order #1 — the r8 data
+    # falsified the old "runs 3-5 = steady state" median assumption (run
+    # 2 at 3.1 s beat runs 3-5 at 9.0/9.2/6.0 s on untouched code: the
+    # HOST throttles mid-array, so the median measures the host, not the
+    # engine; min-of-warm is the capability number).  The full run array
+    # and the old median ship alongside for drift visibility.
     etl_runs = [round(_etl_pipeline_bench(spark, sf_dir, copies=10), 3) for _ in range(5)]
-    steady = sorted(etl_runs[2:])[len(etl_runs[2:]) // 2]
-    timings["etl_pipeline_1m"] = steady
+    timings["etl_pipeline_1m"] = min(etl_runs[1:])
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -272,11 +272,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "etl_pipeline_1m_runs": etl_runs,
         "etl_pipeline_1m_cold": etl_runs[0],
+        "etl_pipeline_1m_median35": sorted(etl_runs[2:])[len(etl_runs[2:]) // 2],
         "methodology": (
             "queries: min of 2 post-warmup runs (cache cleared between); "
-            "etl_pipeline_1m: median of runs 3-5 of 5 (steady-state, "
-            "post-JIT), cold first run reported separately in "
-            "etl_pipeline_1m_cold/_runs; ab_ratio: HEAD / baseline-ref "
+            "etl_pipeline_1m: MIN of warm runs 2-5 of 5 (the capability "
+            "number; the r8 run array falsified the median-of-3-5 "
+            "steady-state assumption -- the host throttles mid-array), "
+            "cold first run and the old median reported separately in "
+            "etl_pipeline_1m_cold/_median35/_runs; ab_ratio: HEAD / baseline-ref "
             "wall over the query keys both checkouts share, A/B/A on "
             "this host (cross-round absolute numbers are not comparable "
             "— the host itself drifts): head leg 1 in-process, then a "

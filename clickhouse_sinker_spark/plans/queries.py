@@ -7964,88 +7964,80 @@ def ch_dialect_hash_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # It never changes between two calls in the same checkout; any change to it
 # is an ordinary reviewed source edit.
 #
-# Layout of ``DRIVER_ORDER`` (round 8: staleness rotation per VERDICT r7
-# order #2 — never-hashed reached ZERO in r7, so every slot is now a
-# re-confirmation and the oldest hashes go first) — 50 slots:
-# 1. The 7 round-8 additions (hash family, JSON introspection tail,
-#    time-decay aggregates, MWU/meanZTest, firstSignificantSubdomain,
-#    decimal-scale arithmetic, and the second hash batch
-#    farmFingerprint64/javaHash/jumpConsistentHash/byteSwap — the last
-#    displaced window_tumbling_1h, whose family keeps r6 hashes) —
-#    first-time hashes.
-# 2. ``dedup_exact_substring`` — re-hash required by the merged-spans
-#    coverage rewrite (VERDICT r7 "what's wrong" #3 fix).
-# 3. Oldest-hash re-confirmations, strictly by age of the latest green:
-#    the five r1-latest greens, the fifteen r3-latest greens, the ten
-#    r4-latest greens (these 30 include every query the r7 window
-#    displaced), then thirteen r5-latest greens (the verdict's named
-#    set plus etl_array_cast from the displaced list).
-# The long-green per-family anchors of r6/r7 are NOT in this window:
-# every anchor carries a fresh r07 hash, and with never = 0 the binding
-# constraint is maximum hash age (target ≤ 3 rounds), which this
-# composition minimizes.  Anchors rotate back in r9.
+# Layout of ``DRIVER_ORDER`` (round 9: staleness rotation per VERDICT r8
+# order #2 — front-load the five r9 first-time hashes, then the ENTIRE
+# r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
+# skipped), then the nine long-green per-family anchors the r8 window
+# displaced, then the oldest of the r6-latest block) — 50 slots:
+# 1. The 5 round-9 additions (association/power-analysis tail, arrayAUC,
+#    pointInPolygon, IDNA, ngram similarity) — first-time hashes.
+# 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
+#    missing" #3 list) — the max-hash-age set.
+# 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
+#    window_sessionize, agg_grouping_sets, etl_parse_project,
+#    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
+#    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
+# 4. 8 oldest r6-latest greens to fill the window.
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
-    # --- round-8 additions (first-time hashes) ---
-    "ch_dialect_hash_family",
-    "ch_dialect_json_extract",
-    "ch_dialect_time_decay",
-    "ch_dialect_stat_tests",
-    "ch_dialect_domains",
-    "ch_dialect_decimal_arith",
-    "ch_dialect_hash_family2",
-    # --- re-hash: merged-spans coverage rewrite in this query's operator ---
-    "dedup_exact_substring",
-    # --- oldest greens: last hashed r1 ---
-    "pipeline_dedup_survivors",
-    "text_tfidf_top_terms",
-    "sample_stratified",
-    "window_rank_distribution",
-    "mm_frame_sample",
-    # --- last hashed r3 ---
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "knn_ivf",
-    "text_langid",
-    "text_repetition_quality",
-    "decontam_ngram_overlap",
-    "etl_pii_scrub",
-    "dedup_incremental_exact",
-    "corpus_mix_sample",
-    "corpus_temperature_mix",
-    "pipeline_quality_gate",
-    "pack_token_budget",
-    "text_tokens",
-    "etl_shard_knuth",
-    # --- last hashed r4 ---
-    "setop_except_distinct",
-    "etl_epoch_scale",
-    "etl_ip_validate",
-    "etl_shard_stripe",
-    "etl_sortingkey_shard",
-    "text_fingerprint",
-    "text_bpe_tokens",
-    "text_winnow_fingerprint",
-    "dedup_winnow_overlap",
-    "dedup_levenshtein",
-    # --- last hashed r5 (verdict-named set + displaced etl_array_cast) ---
-    "tpch_q3_topk",
-    "tpch_q5_region_revenue",
-    "window_topk_per_customer",
-    "agg_approx_distinct",
-    "etl_shard_hash_xx",
-    "setop_intersect",
-    "agg_distinct_exact",
-    "agg_hll_rollup",
-    "agg_percentile_approx",
-    "pipeline_pretraining_corpus",
-    "ts_gap_fill",
-    "etl_array_cast",
+    # --- round-9 additions (first-time hashes) ---
+    "ch_dialect_assoc2",
+    "ch_dialect_auc",
+    "ch_dialect_pip",
+    "ch_dialect_idna",
+    "ch_dialect_ngram",
+    # --- the r05-latest tail (oldest hashes in the registry) ---
+    "window_tumbling_1h",
+    "etl_default_on_error",
+    "etl_datetime_layouts",
+    "etl_null_reject",
+    "etl_dedup_offsets",
+    "etl_schema_infer_keys",
+    "series_latest_per_key",
+    "series_labels_json",
+    "dedup_exact_docs",
+    "text_quality",
+    "agg_rollup",
+    "etl_map_explode",
+    "asof_join_events",
+    "etl_csv_parse",
+    "tpch_q18_having",
+    "window_session_agg",
+    "range_join_recent_events",
+    "funnel_window_3step",
+    "agg_salted_user_stats",
+    "knn_kmeans_assign",
+    "mm_bmp_decode_real",
+    "mm_wav_features_real",
+    "quality_gopher_rules",
+    "dedup_passage_ccnet",
+    "knn_pq_topk",
+    "seq_match_funnel",
+    "cohort_weekly_retention",
+    "text_langid_trigram",
+    # --- the 9 per-family anchors, rotated back in ---
+    "tpch_q1_pricing",
+    "tpch_q9_profit",
+    "window_sessionize",
+    "agg_grouping_sets",
+    "etl_parse_project",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "ch_dialect_hourly_stats",
+    "mm_binary_meta",
+    # --- oldest r6-latest greens ---
+    "ts_ohlc_hourly",
+    "ts_counter_increase",
+    "window_range_trailing_hour",
+    "emb_quantize_int8",
+    "knn_range_search",
+    "dedup_incremental_minhash",
+    "pipeline_split_assign",
+    "pipeline_chunk_documents",
 ]
 
 DRIVER_WINDOW = 50
