@@ -836,8 +836,6 @@ _UNSUPPORTED = {
     "defaultValueOfTypeName",
     "toRelativeWeekNum",     # CH's epoch-week numbering origin is
                              # DateLUT-internal; use toStartOfWeek buckets
-    "arraySplit",            # subarray-of-subarrays lambda splitting
-    "arrayReverseSplit",
     "arrayZipUnaligned",
     "bitSlice",              # bit-level string slicing
     "ngramSimHash",          # CH-specific text-hash families
@@ -2140,6 +2138,51 @@ def _point_in_polygon(a: list[str]) -> str:
     )
 
 
+def _array_split(reverse: bool):
+    """CH ``arraySplit(f, arr[, arr2])`` / ``arrayReverseSplit`` — split
+    arr into consecutive groups; a truthy flag opens a new group BEFORE
+    its element (arraySplit) or closes the group AFTER it
+    (arrayReverseSplit).  Checked against the CH docs examples:
+    arraySplit((x, y) -> y, [1..5], [1,0,0,1,0]) = [[1,2,3],[4,5]] and
+    arrayReverseSplit(...) = [[1],[2,3,4],[5]].  Pure JVM: flags via
+    transform/zip_with, start indices via a filtered sequence (get() is
+    0-based and NULL out of bounds — ANSI-safe), groups via zip_with of
+    consecutive starts; empty input → [] like CH."""
+    name = "arrayReverseSplit" if reverse else "arraySplit"
+
+    def rw(a: list[str]) -> str:
+        if len(a) not in (2, 3):
+            raise ChTranslationError(
+                f"{name}(lambda, arr[, arr2]) takes a lambda and 1-2"
+                " arrays")
+        flags = (f"transform({a[1]}, {a[0]})" if len(a) == 2
+                 else f"zip_with({a[1]}, {a[2]}, {a[0]})")
+        # arraySplit: group starts where element i's own flag is set;
+        # arrayReverseSplit: where the PREVIOUS element's flag is set
+        off = 2 if reverse else 1
+        starts = (
+            f"filter(sequence(1, greatest(size(__b1.a), 1)),"
+            f" __i -> __i = 1"
+            f" OR CAST(get(__b1.f, __i - {off}) AS BOOLEAN))"
+        )
+        inner = (
+            f"element_at(transform(array(named_struct('a', __b1.a,"
+            f" 's', {starts})), __b2 ->"
+            f" zip_with(__b2.s,"
+            f" concat(slice(__b2.s, 2, size(__b2.s)),"
+            f" array(size(__b2.a) + 1)),"
+            f" (__st, __en) -> slice(__b2.a, __st, __en - __st))), 1)"
+        )
+        return (
+            f"element_at(transform(array(named_struct('a', {a[1]},"
+            f" 'f', {flags})), __b1 ->"
+            f" IF(size(__b1.a) = 0, slice(array(__b1.a), 1, 0),"
+            f" {inner})), 1)"
+        )
+
+    return rw
+
+
 def _min_sample_size(kind: str):
     """``minSampleSizeConversion(baseline, mde, power, alpha)`` /
     ``minSampleSizeContinous(baseline, sigma, mde, power, alpha)`` —
@@ -2924,12 +2967,51 @@ def _translate_functions(sql: str) -> str:
     )
     # higher-order array functions: ClickHouse puts the lambda FIRST
     # (arrayMap(x -> ..., arr)); Spark puts the collection first — and the
-    # lambda syntax itself (x -> expr, (x, y) -> expr) is identical in both
-    sql = _rewrite_calls(sql, "arrayMap", lambda a: f"transform({a[1]}, {a[0]})")
-    sql = _rewrite_calls(sql, "arrayFilter", lambda a: f"filter({a[1]}, {a[0]})")
-    sql = _rewrite_calls(sql, "arrayExists", lambda a: f"exists({a[1]}, {a[0]})")
-    sql = _rewrite_calls(sql, "arrayAll", lambda a: f"forall({a[1]}, {a[0]})")
-    sql = _rewrite_calls(sql, "arrayCount", lambda a: f"size(filter({a[1]}, {a[0]}))")
+    # lambda syntax itself (x -> expr, (x, y) -> expr) is identical in
+    # both.  CH's TWO-array forms zip element-wise — Spark's 2-param
+    # transform/filter lambda binds (element, INDEX), so passing the
+    # lambda through silently rebound y to the index (r9 fix): two-array
+    # forms now ride zip_with; ≥3 arrays refuse (Spark zip_with is
+    # binary — rewrite with arrayZip).
+    def _hof_two(a: list[str], one: str, zipped) -> str:
+        if len(a) == 2:
+            return one
+        if len(a) == 3:
+            return zipped(f"zip_with({a[1]}, {a[2]}, {a[0]})")
+        raise ChTranslationError(
+            "higher-order array functions translate for 1 or 2 array"
+            " arguments — zip ≥3 arrays explicitly with arrayZip")
+
+    sql = _rewrite_calls(
+        sql, "arrayMap",
+        lambda a: _hof_two(a, f"transform({a[1]}, {a[0]})", lambda z: z))
+    sql = _rewrite_calls(
+        sql, "arrayFilter",
+        lambda a: _hof_two(
+            a, f"filter({a[1]}, {a[0]})",
+            lambda z: (
+                f"transform(filter(zip_with({a[1]}, {z},"
+                f" (__hf_x, __hf_k) -> named_struct('v', __hf_x,"
+                f" 'k', CAST(__hf_k AS BOOLEAN))), __hf_s -> __hf_s.k),"
+                f" __hf_s -> __hf_s.v)")))
+    sql = _rewrite_calls(
+        sql, "arrayExists",
+        lambda a: _hof_two(
+            a, f"exists({a[1]}, {a[0]})",
+            lambda z: f"exists({z}, __he_x -> CAST(__he_x AS BOOLEAN))"))
+    sql = _rewrite_calls(
+        sql, "arrayAll",
+        lambda a: _hof_two(
+            a, f"forall({a[1]}, {a[0]})",
+            lambda z: f"forall({z}, __he_x -> CAST(__he_x AS BOOLEAN))"))
+    sql = _rewrite_calls(
+        sql, "arrayCount",
+        lambda a: _hof_two(
+            a, f"size(filter({a[1]}, {a[0]}))",
+            lambda z: (f"size(filter({z},"
+                       f" __he_x -> CAST(__he_x AS BOOLEAN)))")))
+    sql = _rewrite_calls(sql, "arraySplit", _array_split(False))
+    sql = _rewrite_calls(sql, "arrayReverseSplit", _array_split(True))
     # -Array aggregate combinators: aggregate over every element of the
     # rows' arrays — per-row array fold composed with the row aggregate
     # (same DOUBLE widening note as arraySum)

@@ -5867,6 +5867,82 @@ def ch_dialect_assoc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ASSOC2, sf_dir)
 
 
+CH_DIALECT_ARRAY_SPLIT = """
+    SELECT n,
+           arrayMap(g -> arrayCount(x -> x = x, g),
+                    arraySplit(x -> x % 3 = 0,
+                               arrayMap(i -> i + n, range(1, 11))))
+               AS sp_sizes,
+           arrayMap(g -> g[1],
+                    arraySplit(x -> x % 3 = 0,
+                               arrayMap(i -> i + n, range(1, 11))))
+               AS sp_heads,
+           arrayMap(g -> arrayCount(x -> x = x, g),
+                    arrayReverseSplit(x -> x % 3 = 0,
+                                      arrayMap(i -> i + n, range(1, 11))))
+               AS rsp_sizes,
+           arrayMap(g -> g[1],
+                    arrayReverseSplit(x -> x % 3 = 0,
+                                      arrayMap(i -> i + n, range(1, 11))))
+               AS rsp_heads,
+           arrayMap((x, y) -> x + y,
+                    arrayMap(i -> i + n, range(1, 4)), [100, 200, 300])
+               AS zip_map,
+           arrayCount((x, y) -> x = y,
+                      arrayMap(i -> i + n, range(1, 4)), [2, 2, 2]) AS zc
+    FROM (SELECT DISTINCT user_id % 10 AS n FROM events)
+    ORDER BY n
+"""
+
+
+@query(
+    "ch_dialect_array_split",
+    """
+    WITH d AS (SELECT DISTINCT user_id % 10 AS n FROM events),
+    el AS (SELECT n, i, i + n AS x FROM d CROSS JOIN range(1, 11) t(i)),
+    g AS (SELECT n, i, x,
+             sum(CASE WHEN x % 3 = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY n ORDER BY i) AS grp_sp,
+             coalesce(sum(CASE WHEN x % 3 = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY n ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS grp_rsp
+          FROM el),
+    sp AS (SELECT n, grp_sp AS grp, count(*) AS c, arg_min(x, i) AS h
+           FROM g GROUP BY 1, 2),
+    rsp AS (SELECT n, grp_rsp AS grp, count(*) AS c, arg_min(x, i) AS h
+            FROM g GROUP BY 1, 2),
+    spl AS (SELECT n, list(CAST(c AS INT) ORDER BY grp) AS sp_sizes,
+                   list(h ORDER BY grp) AS sp_heads
+            FROM sp GROUP BY n),
+    rspl AS (SELECT n, list(CAST(c AS INT) ORDER BY grp) AS rsp_sizes,
+                    list(h ORDER BY grp) AS rsp_heads
+             FROM rsp GROUP BY n)
+    SELECT spl.n AS n, sp_sizes, sp_heads, rsp_sizes, rsp_heads,
+           [1 + n + 100, 2 + n + 200, 3 + n + 300] AS zip_map,
+           CAST(CASE WHEN n = 0 THEN 1 WHEN n = 1 THEN 1 ELSE 0 END
+                AS INT) AS zc
+    FROM spl JOIN rspl USING (n) ORDER BY n
+    """,
+)
+def ch_dialect_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arraySplit/arrayReverseSplit (r9, previously refused) — pure-JVM
+    consecutive-group splitting (flags via transform/zip_with, start
+    indices via filtered sequence, groups via zip_with of consecutive
+    starts), pinned to the CH docs examples in pytest.  Also exercises
+    the r9 multi-array higher-order FIX: CH's two-array
+    arrayMap/arrayFilter/arrayExists/arrayAll/arrayCount zip
+    element-wise, but Spark's 2-param lambda binds (element, INDEX) —
+    the old passthrough silently rebound the second parameter to the
+    index; they now ride zip_with.  The DuckDB oracle re-derives the
+    splits RELATIONALLY from window cumulative flag counts (inclusive =
+    split-before, exclusive = split-after) and the zip results from
+    scalar arithmetic.  Scale: one distinct shuffle, zero UDFs."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_ARRAY_SPLIT, sf_dir)
+
+
 CH_DIALECT_AUC = """
     SELECT vec_id,
            arrayAUC(arraySlice(embedding, 1, 16),
@@ -7985,6 +8061,7 @@ def ch_dialect_hash_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
+    "ch_dialect_array_split",
     "ch_dialect_assoc2",
     "ch_dialect_auc",
     "ch_dialect_pip",
@@ -8037,7 +8114,6 @@ DRIVER_ORDER: list[str] = [
     "knn_range_search",
     "dedup_incremental_minhash",
     "pipeline_split_assign",
-    "pipeline_chunk_documents",
 ]
 
 DRIVER_WINDOW = 50

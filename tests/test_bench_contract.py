@@ -46,12 +46,15 @@ def test_bench_emits_one_json_line_and_contract():
     }
     assert all(v >= 0 for v in payload["queries"].values())
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01
-    # methodology transparency (ADVICE r4): cold + steady both reported,
-    # steady = median of runs 3-5, never the overall min
+    # methodology transparency (ADVICE r4, re-based by VERDICT r8 order
+    # #1): the headline is MIN of the warm runs 2-5 (the r8 run array
+    # falsified the median-of-3-5 steady-state assumption — the host
+    # throttles mid-array); cold run and the old median still ship
     runs = payload["etl_pipeline_1m_runs"]
     assert len(runs) == 5 and payload["etl_pipeline_1m_cold"] == runs[0]
-    assert payload["queries"]["etl_pipeline_1m"] == sorted(runs[2:])[1]
-    assert "median of runs 3-5" in payload["methodology"]
+    assert payload["queries"]["etl_pipeline_1m"] == min(runs[1:])
+    assert payload["etl_pipeline_1m_median35"] == sorted(runs[2:])[1]
+    assert "MIN of warm runs" in payload["methodology"]
     assert "ab" not in payload  # disabled via env
 
 

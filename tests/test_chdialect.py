@@ -3708,6 +3708,36 @@ def test_ngram_distance_family(spark):
         translate_ch_sql("SELECT ngramDistance('a')")
 
 
+def test_array_split_and_multiarray_hofs(spark):
+    """arraySplit/arrayReverseSplit pinned to the CH docs examples, and
+    the r9 multi-array higher-order FIX: CH two-array forms zip
+    element-wise — the old passthrough handed Spark a 2-param lambda
+    that silently bound the second parameter to the element INDEX."""
+    got, _ = translate_ch_sql(
+        "SELECT arraySplit((x, y) -> y, [1, 2, 3, 4, 5],"
+        " [1, 0, 0, 1, 0]) AS sp,"
+        " arrayReverseSplit((x, y) -> y, [1, 2, 3, 4, 5],"
+        " [1, 0, 0, 1, 0]) AS rsp,"
+        " arraySplit(x -> x % 2 = 0, [1, 2, 3, 4, 5]) AS one,"
+        " arraySplit(x -> x > 0, CAST(array() AS ARRAY<INT>)) AS empty,"
+        " arrayMap((x, y) -> x + y, [1, 2], [10, 20]) AS m,"
+        " arrayFilter((x, y) -> y, ['a', 'b', 'c'], [1, 0, 1]) AS f,"
+        " arrayExists((x, y) -> x > y, [1, 5], [2, 2]) AS e,"
+        " arrayAll((x, y) -> x > y, [1, 5], [2, 2]) AS al,"
+        " arrayCount((x, y) -> x = y, [1, 2, 3], [1, 0, 3]) AS c"
+    )
+    r = spark.sql(got).collect()[0]
+    assert [list(g) for g in r["sp"]] == [[1, 2, 3], [4, 5]]   # CH docs
+    assert [list(g) for g in r["rsp"]] == [[1], [2, 3, 4], [5]]
+    assert [list(g) for g in r["one"]] == [[1], [2, 3], [4, 5]]
+    assert list(r["empty"]) == []
+    assert list(r["m"]) == [11, 22]
+    assert list(r["f"]) == ["a", "c"]
+    assert r["e"] is True and r["al"] is False and r["c"] == 2
+    with pytest.raises(ChTranslationError):  # >2 arrays: zip explicitly
+        translate_ch_sql("SELECT arrayMap((x,y,z) -> x, a, b, c) FROM t")
+
+
 def test_array_auc(spark):
     """arrayAUC (r9, previously refused over tie handling): the
     trapezoid-on-tie-groups rule IS pinnable — it equals the
