@@ -754,7 +754,6 @@ _UNSUPPORTED = {
     "dictHas",
     "arrayShuffle",   # nondeterministic by definition
     "toTypeName",     # engine introspection
-    "toFixedString",  # Spark strings are unsized; drop the fixed width
     "wordShingleSimHash",
     "multiFuzzyMatchAny",
     "normalizeQuery",        # CH query-text fingerprinting — engine-internal
@@ -2519,6 +2518,25 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "contingency", _assoc_fn("contingency"))
     sql = _rewrite_calls(sql, "theilsU", _assoc_fn("theilsU"))
     sql = _rewrite_calls(sql, "pointInPolygon", _point_in_polygon)
+    # toFixedString(s, N): NUL-pad to N BYTES, throw when longer — the
+    # CH contract (chr(0) pads one byte per char, so multibyte UTF-8
+    # still pads to the correct BYTE width); N must be a literal (CH
+    # requires a constant there too)
+    def _to_fixed_string(a):
+        if len(a) != 2 or not re.fullmatch(r"\d+", a[1].strip()):
+            raise ChTranslationError(
+                "toFixedString(s, N) takes a string and a literal"
+                " byte width")
+        n = a[1].strip()
+        return (
+            f"element_at(transform(array(CAST({a[0]} AS STRING)),"
+            f" __fx -> CASE WHEN octet_length(__fx) > {n}"
+            f" THEN CAST(raise_error(concat('toFixedString: value"
+            f" longer than {n} bytes: ', __fx)) AS STRING)"
+            f" ELSE concat(__fx, repeat(chr(0),"
+            f" {n} - octet_length(__fx))) END), 1)"
+        )
+    sql = _rewrite_calls(sql, "toFixedString", _to_fixed_string)
     # arrayAUC: tie-averaged rank-sum AUC (the trapezoid-on-tie-groups
     # rule CH computes; pinned to the CH docs example in pytest)
     sql = _rewrite_calls(

@@ -1866,7 +1866,7 @@ def test_text_time_array_ip_uuid_batch(spark):
     assert str(r["ld"]) == "2024-01-31"
     for bad in (
         "SELECT arrayShuffle(xs) FROM t",       # nondeterministic
-        "SELECT idnaEncode(s) FROM t",          # IDNA variant ambiguity
+        "SELECT lemmatize('en', s) FROM t",     # model-backed NLP
     ):
         with pytest.raises(ChTranslationError, match="no faithful"):
             translate_ch_sql(bad)
@@ -2098,9 +2098,8 @@ def test_simple_json_keys_and_round_batch(spark):
     assert r2["vi"] == 3 and r2["vf"] == 3.0 and r2["vb"] is True
     assert r2["knb"] == [] and r2["kmal"] == []
     for bad in (
-        "SELECT toFixedString(s, 8) FROM t",
         "SELECT toTypeName(v) FROM t",
-        "SELECT ngramDistance(s, s) FROM t",
+        # toFixedString / ngramDistance translate since r9
         "SELECT detectLanguage(s) FROM t",  # JSONType translates since r8
     ):
         with pytest.raises(ChTranslationError, match="no faithful"):
@@ -2681,8 +2680,7 @@ def test_batch3_passthrough_sweep(spark):
         "SELECT queryID()",
         "SELECT tuplePlus(a, b) FROM t",
         "SELECT dictGetString('d', 'a', k) FROM t",
-        "SELECT arrayAUC(s, l) FROM t",
-        "SELECT generateUUIDv7()",
+        "SELECT generateUUIDv7()",  # arrayAUC translates since r9
     ):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
@@ -2809,8 +2807,7 @@ def test_tranche3_passthrough_sweep(spark):
     for bad in (
         "SELECT murmurHash3_32(x) FROM t",
         "SELECT joinGet('t', 'c', k) FROM t",
-        "SELECT theilsU(a, b) FROM t",
-        "SELECT randomString(8)",
+        "SELECT randomString(8)",  # theilsU translates since r9
         "SELECT deltaSum(v) FROM t",  # exponentialMovingAverage translates since r8
     ):
         with pytest.raises(ChTranslationError):
@@ -3166,7 +3163,8 @@ def test_rand_and_greatest_least_semantics(spark):
 
 def test_cramers_v_and_contingency_model(spark):
     """χ²-based association vs a hand Counter model, NULL pairs skipped
-    (CH aggregate NULL semantics); bias-corrected variant still refuses."""
+    (CH aggregate NULL semantics); the bias-corrected variant translates
+    since r9 (test_theils_u_and_cramers_bias_corrected)."""
     import math
     from collections import Counter
 
@@ -3186,10 +3184,6 @@ def test_cramers_v_and_contingency_model(spark):
     chi2 = n * (sum(o * o / (ac[a] * bc[b]) for (a, b), o in pc.items()) - 1)
     assert abs(r["v"] - math.sqrt(chi2 / (n * (min(len(ac), len(bc)) - 1)))) < 1e-12
     assert abs(r["c"] - math.sqrt(chi2 / (chi2 + n))) < 1e-12
-    with pytest.raises(ChTranslationError):
-        translate_ch_sql("SELECT cramersVBiasCorrected(s1, s2) FROM t")
-
-
 def test_hex_even_width(spark):
     """CH hex() pads integers to whole bytes (hex(1)='01'); strings and
     binaries are unaffected (already even)."""
@@ -3706,6 +3700,27 @@ def test_ngram_distance_family(spark):
     assert r["u8ci"] == 1.0
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT ngramDistance('a')")
+
+
+def test_to_fixed_string(spark):
+    """toFixedString (r9, previously refused): NUL-pad to N BYTES
+    (multibyte UTF-8 pads to the byte width), throw when longer — the
+    CH contract.  N must be a literal like CH's constant requirement."""
+    got, _ = translate_ch_sql(
+        "SELECT toFixedString('foo', 8) AS p,"
+        " octet_length(toFixedString('foo', 8)) AS l,"
+        " toFixedString('日', 5) AS u,"
+        " toFixedString(NULL, 4) AS nl"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["p"] == "foo" + "\x00" * 5 and r["l"] == 8
+    assert r["u"] == "日" + "\x00" * 2    # 3 UTF-8 bytes + 2 pad bytes
+    assert r["nl"] is None
+    got2, _ = translate_ch_sql("SELECT toFixedString('toolong', 3) AS x")
+    with pytest.raises(Exception, match="toFixedString"):
+        spark.sql(got2).collect()
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT toFixedString(s, n) FROM t")
 
 
 def test_array_split_and_multiarray_hofs(spark):
