@@ -825,17 +825,14 @@ _UNSUPPORTED = {
     "flattenTuple",          # tuple introspection
     "tupleToNameValuePairs",
     "tupleNames",
-    "mapSort",               # Spark maps have no defined entry order to
-    "mapReverseSort",        # preserve a sort in
-    "mapPartialSort",
-    "mapPartialReverseSort",
+    "mapPartialSort",        # the limit-N partial-sort forms stay refused
+    "mapPartialReverseSort", # (CH leaves the tail order unspecified)
     "nothing",               # engine internals
     "zeroField",
     "defaultValueOfArgumentType",
     "defaultValueOfTypeName",
     "toRelativeWeekNum",     # CH's epoch-week numbering origin is
                              # DateLUT-internal; use toStartOfWeek buckets
-    "arrayZipUnaligned",
     "bitSlice",              # bit-level string slicing
     "ngramSimHash",          # CH-specific text-hash families
     "wordShingleMinHash",
@@ -2537,6 +2534,35 @@ def _translate_functions(sql: str) -> str:
             f" {n} - octet_length(__fx))) END), 1)"
         )
     sql = _rewrite_calls(sql, "toFixedString", _to_fixed_string)
+    # arrayZipUnaligned: zip padding the SHORTER side with NULLs — which
+    # is exactly Spark zip_with's native behavior (arrayZip, by
+    # contrast, throws on unequal lengths in CH and stays a rename)
+    sql = _rewrite_calls(
+        sql, "arrayZipUnaligned",
+        lambda a: (
+            f"zip_with({a[0]}, {a[1]},"
+            f" (__zu_x, __zu_y) -> named_struct('_1', __zu_x,"
+            f" '_2', __zu_y))" if len(a) == 2
+            else _refuse("arrayZipUnaligned translates for 2 arrays")),
+    )
+    # mapSort/mapReverseSort (plain forms): Spark maps DO carry a
+    # defined entry order (map_entries exposes it, map_from_entries
+    # preserves it) — the old refusal was wrong.  sort_array over the
+    # entry structs orders by key first, exactly CH's key sort.  The
+    # lambda forms refuse: CH sorts by an arbitrary (k, v) function,
+    # and sort_array has no comparator.
+    for _ms, _rev in (("mapSort", "false"), ("mapReverseSort", "true")):
+        sql = _rewrite_calls(
+            sql, _ms,
+            lambda a, rev=_rev, n=_ms: (
+                f"map_from_entries(sort_array(map_entries({a[0]}),"
+                f" {'false' if rev == 'true' else 'true'}))"
+                if len(a) == 1
+                else _refuse(
+                    f"{n} translates for the plain 1-map form — the"
+                    " comparator-lambda form has no Spark sort_array"
+                    " comparator")),
+        )
     # arrayAUC: tie-averaged rank-sum AUC (the trapezoid-on-tie-groups
     # rule CH computes; pinned to the CH docs example in pytest)
     sql = _rewrite_calls(

@@ -3702,6 +3702,29 @@ def test_ngram_distance_family(spark):
         translate_ch_sql("SELECT ngramDistance('a')")
 
 
+def test_zip_unaligned_and_map_sort(spark):
+    """arrayZipUnaligned (r9): NULL-pads the shorter side — exactly
+    Spark zip_with's native behavior (arrayZip stays a strict rename).
+    mapSort/mapReverseSort (r9): the old refusal was wrong — Spark maps
+    DO carry a defined entry order (map_entries exposes, map_from_
+    entries preserves); sort_array over entry structs = CH's key sort.
+    Comparator-lambda and partial forms still refuse."""
+    got, _ = translate_ch_sql(
+        "SELECT arrayZipUnaligned([1, 2, 3], ['a']) AS z,"
+        " mapKeys(mapSort(map('c', 1, 'a', 3, 'b', 2))) AS k,"
+        " mapKeys(mapReverseSort(map('c', 1, 'a', 3, 'b', 2))) AS rk"
+    )
+    r = spark.sql(got).collect()[0]
+    assert [(e["_1"], e["_2"]) for e in r["z"]] \
+        == [(1, "a"), (2, None), (3, None)]
+    assert list(r["k"]) == ["a", "b", "c"]
+    assert list(r["rk"]) == ["c", "b", "a"]
+    for bad in ("SELECT mapSort((k, v) -> v, m) FROM t",
+                "SELECT mapPartialSort(m) FROM t"):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+
+
 def test_to_fixed_string(spark):
     """toFixedString (r9, previously refused): NUL-pad to N BYTES
     (multibyte UTF-8 pads to the byte width), throw when longer — the
