@@ -763,6 +763,7 @@ _UNSUPPORTED = {
     "sleep",                 # deliberate no-op denial: no sleeping in plans
     "sleepEachRow",
     "hostName",              # engine introspection
+    "version",               # would silently return SPARK's version string
     "uptime",
     "blockSize",
     "byteSize",
@@ -3998,6 +3999,9 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "roundAge", _round_age)
     sql = _rewrite_calls(sql, "roundDuration", _round_duration)
     sql = _rewrite_calls(sql, "truncate", _truncate_scale)
+    # bare trunc is the same CH function; Spark's trunc() is DATE-only,
+    # so the passthrough broke numeric args (r9)
+    sql = _rewrite_calls(sql, "trunc", _truncate_scale)
     sql = _rewrite_calls(sql, "caseWithExpr", _case_with_expression)
     sql = _rewrite_calls(sql, "currentDatabase", lambda a: "current_database()")
     sql = _rewrite_calls(sql, "currentUser", lambda a: "current_user()")
