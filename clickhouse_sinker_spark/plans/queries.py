@@ -5867,6 +5867,74 @@ def ch_dialect_assoc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ASSOC2, sf_dir)
 
 
+CH_DIALECT_DECAY_WINDOW = """
+    SELECT user_id, eid,
+           round(exponentialTimeDecayedSum(604800)(value, tse) OVER
+               (PARTITION BY user_id % 7 ORDER BY tse, eid
+                ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS eds,
+           round(exponentialTimeDecayedCount(604800)(tse) OVER
+               (PARTITION BY user_id % 7 ORDER BY tse, eid
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS edc,
+           round(exponentialTimeDecayedAvg(604800)(value, tse) OVER
+               (PARTITION BY user_id % 7 ORDER BY tse, eid
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS eda,
+           round(exponentialMovingAverage(86400)(value, tse) OVER
+               (PARTITION BY user_id % 7 ORDER BY tse, eid
+                ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS ema
+    FROM (SELECT user_id, event_id AS eid, toUnixTimestamp(ts) AS tse,
+                 value
+          FROM events WHERE user_id % 59 = 3)
+    ORDER BY user_id, eid
+"""
+
+
+@query(
+    "ch_dialect_decay_window",
+    """
+    WITH e AS (SELECT user_id, event_id AS eid,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS tse, value,
+                      user_id % 7 AS g
+               FROM events WHERE user_id % 59 = 3),
+    w AS (SELECT user_id, eid, tse, value,
+            list(struct_pack(t := tse, v := value)) OVER
+              (PARTITION BY g ORDER BY tse, eid
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS l10,
+            list(struct_pack(t := tse, v := value)) OVER
+              (PARTITION BY g ORDER BY tse, eid
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS l5
+          FROM e)
+    SELECT user_id, eid,
+        round(list_sum([x.v * exp((x.t - tse) / 604800.0)
+                        FOR x IN l10]), 6) AS eds,
+        round(list_sum([exp((x.t - tse) / 604800.0)
+                        FOR x IN l5]), 6) AS edc,
+        round(list_sum([x.v * exp((x.t - tse) / 604800.0) FOR x IN l5])
+              / list_sum([exp((x.t - tse) / 604800.0) FOR x IN l5]),
+              6) AS eda,
+        round(list_sum([x.v * pow(2.0,
+                  (x.t - list_max([y.t FOR y IN l10])) / 86400.0)
+                  FOR x IN l10])
+              * (1 - pow(2.0, -1.0 / 86400.0)), 6) AS ema
+    FROM w ORDER BY user_id, eid
+    """,
+)
+def ch_dialect_decay_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENUINE window spelling of the time-decay family —
+    ``exponentialTimeDecayed{Sum,Count,Avg}(x)(v, t) OVER (w)`` plus
+    aggregate-over-window ``exponentialMovingAverage`` (ADVICE r8 #2:
+    these are window-only in CH; r8's translation emitted a broken
+    ``element_at(...) OVER``).  Per-row decay anchors at the CURRENT
+    row's timestamp (EMA at the frame's max t — CH aggregate-state
+    semantics); bounded 5/10-row frames keep the per-row pair arrays
+    O(frame), not O(partition).  The DuckDB oracle re-derives every
+    column from ``list() OVER`` frames folded with list comprehensions
+    — fully independent of the Spark fold.  Scale: one Window node per
+    frame spec, zero UDFs, zero extra shuffles."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_DECAY_WINDOW, sf_dir)
+
+
 CH_DIALECT_ARRAY_SPLIT = """
     SELECT n,
            arrayMap(g -> arrayCount(x -> x = x, g),
@@ -8061,6 +8129,7 @@ def ch_dialect_hash_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
+    "ch_dialect_decay_window",
     "ch_dialect_array_split",
     "ch_dialect_assoc2",
     "ch_dialect_auc",
@@ -8113,7 +8182,6 @@ DRIVER_ORDER: list[str] = [
     "emb_quantize_int8",
     "knn_range_search",
     "dedup_incremental_minhash",
-    "pipeline_split_assign",
 ]
 
 DRIVER_WINDOW = 50
