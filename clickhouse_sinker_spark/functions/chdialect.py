@@ -140,6 +140,32 @@ Subdomain(u)                 (psl_snapshot.py)
 divideDecimal/multiply-      exact integer arithmetic, TRUNCATED at the
 Decimal(a, b, s)             explicit result scale (Spark HALF_UPs)
 toDecimalString(x, s)        fixed-scale text, half away from zero
+theilsU(a, b)                CH CrossTab.h orientation (r9): the
+                             NEGATIVE of the textbook U; docs example
+                             reproduced to 15 digits
+cramersVBiasCorrected(a,b)   Bergsma's published correction (r9)
+minSampleSizeConversion /    closed-form A/B power analysis (r9);
+minSampleSizeContinous       continuous form pinned to the CH docs
+                             example; translate-time AS241 quantiles
+ngramDistance/ngramSearch    exact 4-gram multiset measures, all 8
+ [CaseInsensitive][UTF8]     spellings (r9; CH's 2^16 CRC-slot fold
+                             documented as a deliberate delta)
+idnaEncode/tryIdnaEncode/    UTS#46 nontransitional via the public
+idnaDecode(s)                idna reference package (r9)
+pointInPolygon((x,y), ring   even-odd ray casting, literal rings,
+ [, hole…])                  holes XOR (r9; CH docs example pinned)
+arrayAUC(scores, labels)     tie-averaged rank-sum ROC area (r9; CH
+                             docs example 0.75; ties count half)
+arraySplit/arrayReverse-     consecutive-group splitting, pure JVM
+Split(f, arr[, arr2])        (r9; CH docs examples pinned)
+arrayZipUnaligned(a, b)      zip_with (NULL-pads the shorter side)
+mapSort/mapReverseSort(m)    sort_array over map_entries (plain forms)
+toFixedString(s, N)          NUL-pad to N BYTES, throw when longer
+exponentialTimeDecayed*(x)   window form (r9): per-row decay anchored
+ (v, t) OVER (w)             at the CURRENT row's timestamp
+arrayMap/Filter/Exists/      TWO-array forms zip element-wise via
+All/Count(f, a, b)           zip_with (r9 fix: Spark's 2-param lambda
+                             binds the element INDEX, not a 2nd array)
 PREWHERE c                   WHERE c   (merged with AND if WHERE exists)
 FROM t FINAL                 ReplacingMergeTree merge-on-read: newest-
                              version row per sorting key via row_number
