@@ -5839,7 +5839,7 @@ CH_DIALECT_ASSOC2 = """
            round(2.0 * POWER(1.9599639845400536 + 0.8416212335729144, 2)
                  * 21.1 * 21.1
                  / ((0.03 * 112.25) * (0.03 * 112.25)), 6) AS mssc_n,
-           round(112.25 * (1.0 - 0.03), 6) AS mssc_lo,
+           round(CAST(112.25 AS DOUBLE) * (1.0 - 0.03), 6) AS mssc_lo,
            CAST(n AS BIGINT) AS n
     FROM ha
     JOIN hb ON hb.g = ha.g
