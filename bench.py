@@ -291,7 +291,9 @@ def main() -> None:
             "systematically unfair to whichever leg ran second); "
             "ab.head_drift = head2/head1 exposes the drift magnitude — "
             "treat ratios <= 1.15 as parity and distrust any run whose "
-            "head_drift is far from 1"
+            "head_drift is far from 1; a ratio WELL BELOW 1 with clean "
+            "head_drift usually means the middle (ref) leg was "
+            "throttled — read it as parity, never as a claimed speedup"
         ),
         "env": _env_stats(start_loadavg, start_snap, start_wall),
     }
@@ -304,7 +306,7 @@ def main() -> None:
         # the ref leg with a SECOND head leg: under monotone host drift
         # the time-ADJACENT pair (ref, head2) is the fair comparison,
         # and head2/head1 exposes the drift magnitude explicitly.
-        settle = float(os.environ.get("SPARK_GRAFT_AB_SETTLE", "45"))
+        settle = float(os.environ.get("SPARK_GRAFT_AB_SETTLE", "120"))
         try:
             time.sleep(settle)  # settle after the in-process measurement
             ab = _run_ab_baseline(ab_ref, sf_dir, cpus)
