@@ -860,7 +860,6 @@ _UNSUPPORTED = {
     "defaultValueOfTypeName",
     "toRelativeWeekNum",     # CH's epoch-week numbering origin is
                              # DateLUT-internal; use toStartOfWeek buckets
-    "bitSlice",              # bit-level string slicing
     "ngramSimHash",          # CH-specific text-hash families
     "wordShingleMinHash",
     "ngramMinHash",
@@ -2561,6 +2560,28 @@ def _translate_functions(sql: str) -> str:
             f" {n} - octet_length(__fx))) END), 1)"
         )
     sql = _rewrite_calls(sql, "toFixedString", _to_fixed_string)
+    # countDigits: decimal digits of the argument's UNDERLYING integer
+    # (Decimal counts value*10^scale), sign and point stripped, leading
+    # zeros dropped, floor 1 (countDigits(0) = 1).  Integer/Decimal
+    # arguments only — CH errors on floats; a float here would count
+    # the characters of Spark's E-notation rendering instead.
+    sql = _rewrite_calls(
+        sql, "countDigits",
+        lambda a: (
+            f"GREATEST(length(regexp_replace(translate("
+            f"CAST({a[0]} AS STRING), '-.', ''), '^0+', '')), 1)"
+            if len(a) == 1 else _refuse("countDigits takes 1 argument")),
+    )
+    # bitSlice: 1-based BIT slicing; returns BINARY (CH's String return
+    # can carry arbitrary bytes, which Spark strings cannot)
+    sql = _rewrite_calls(
+        sql, "bitSlice",
+        lambda a: (
+            f"ch_bit_slice(CAST({a[0]} AS BINARY), CAST({a[1]} AS INT),"
+            f" {f'CAST({a[2]} AS INT)' if len(a) == 3 else 'NULL'})"
+            if len(a) in (2, 3)
+            else _refuse("bitSlice(s, offset[, length])")),
+    )
     # arrayZipUnaligned: zip padding the SHORTER side with NULLs — which
     # is exactly Spark zip_with's native behavior (arrayZip, by
     # contrast, throws on unequal lengths in CH and stays a rename)

@@ -855,6 +855,37 @@ def _ch_array_auc(scores, labels):
     return (rpos - m * (m + 1) / 2.0) / (m * n)
 
 
+def _ch_bit_slice(b: bytes, offset: int, length) -> bytes:
+    """CH ``bitSlice(s, offset[, length])`` — 1-based BIT slicing with
+    CH's substring conventions: negative offset counts from the end,
+    negative length leaves that many bits off the end, omitted length
+    runs to the end.  The slice is re-aligned to the byte boundary and
+    the final byte zero-padded (CH docs: 'the tail is filled with
+    zeros').  Offset 0 behaves like 1 (CH substring convention)."""
+    total = len(b) * 8
+    if offset > 0:
+        start = offset - 1
+    elif offset < 0:
+        start = total + offset
+    else:
+        start = 0
+    start = max(0, min(start, total))
+    if length is None:
+        end = total
+    elif length >= 0:
+        end = start + length
+    else:
+        end = total + length
+    end = max(start, min(end, total))
+    n = end - start
+    if n == 0:
+        return b""
+    v = int.from_bytes(b, "big")
+    sl = (v >> (total - end)) & ((1 << n) - 1)
+    pad = (8 - n % 8) % 8
+    return (sl << pad).to_bytes((n + 7) // 8, "big")
+
+
 def _ch_idna_encode(s: str, strict: bool) -> str:
     """CH ``idnaEncode``/``tryIdnaEncode`` — IDNA ToASCII per UTS#46
     NONtransitional processing (the URL-standard mode CH's embedded
@@ -1589,6 +1620,15 @@ _UDF_SPECS = {
         "int",
     ),
     "ch_array_auc": (_map2(_ch_array_auc), "double"),
+    "ch_bit_slice": (
+        lambda s1, s2, s3: pd.Series([
+            None if b is None or o is None
+            else _ch_bit_slice(bytes(b), int(o),
+                               None if ln is None else int(ln))
+            for b, o, ln in zip(s1, s2, s3)
+        ]),
+        "binary",
+    ),
     "ch_idna_encode": (_map1(lambda s: _ch_idna_encode(s, True)), "string"),
     "ch_try_idna_encode": (
         _map1(lambda s: _ch_idna_encode(s, False)), "string"),

@@ -3702,6 +3702,35 @@ def test_ngram_distance_family(spark):
         translate_ch_sql("SELECT ngramDistance('a')")
 
 
+def test_count_digits_and_bit_slice(spark):
+    """countDigits: decimal digits of the underlying integer (Decimal
+    counts value·10^scale, leading zeros dropped, 0 → 1).  bitSlice:
+    1-based BIT slicing with CH substring conventions, byte-realigned
+    and zero-padded, returned as BINARY (CH's String return can carry
+    bytes Spark strings cannot)."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ch_bit_slice, register_ch_udfs)
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT countDigits(125) AS a, countDigits(0) AS b,"
+        " countDigits(-9999) AS c,"
+        " countDigits(CAST(0.05 AS DECIMAL(10,2))) AS d,"
+        " countDigits(CAST(1.50 AS DECIMAL(10,2))) AS e,"
+        " bitSlice('Hello', 1, 8) AS h"
+    )
+    r = spark.sql(got).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (3, 1, 4, 1, 3)
+    assert bytes(r["h"]) == b"H"
+    assert _ch_bit_slice(b"\xff", 2, 4) == b"\xf0"
+    assert _ch_bit_slice(b"Hi", 9, None) == b"i"
+    assert _ch_bit_slice(b"Hi", -8, None) == b"i"
+    assert _ch_bit_slice(b"Hi", 1, -8) == b"H"
+    assert _ch_bit_slice(bytes.fromhex("ABCD"), 5, 12) \
+        == bytes.fromhex("BCD0")
+    assert _ch_bit_slice(b"", 1, 5) == b""
+
+
 def test_zip_unaligned_and_map_sort(spark):
     """arrayZipUnaligned (r9): NULL-pads the shorter side — exactly
     Spark zip_with's native behavior (arrayZip stays a strict rename).
