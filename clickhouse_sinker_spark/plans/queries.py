@@ -5928,8 +5928,9 @@ def ch_dialect_decay_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics); bounded 5/10-row frames keep the per-row pair arrays
     O(frame), not O(partition).  The DuckDB oracle re-derives every
     column from ``list() OVER`` frames folded with list comprehensions
-    — fully independent of the Spark fold.  Scale: one Window node per
-    frame spec, zero UDFs, zero extra shuffles."""
+    — fully independent of the Spark fold.  Scale: Spark evaluates all
+    four frame expressions in ONE Window node (same partition/order),
+    zero UDFs, one hash exchange (pinned in test_plans)."""
     from ..functions.chdialect import ch_sql
 
     return ch_sql(spark, CH_DIALECT_DECAY_WINDOW, sf_dir)

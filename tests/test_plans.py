@@ -5,6 +5,8 @@ map-side, hot paths stay inside whole-stage codegen with no Python UDFs.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from clickhouse_sinker_spark.plans.queries import QUERIES
@@ -597,3 +599,35 @@ def test_hash_family_single_arrow_pass(spark):
     assert "Join" not in plan
     # the DISTINCT aggregate is the only exchange besides the ORDER BY
     assert plan.count("+- Exchange") <= 2
+
+
+def test_r9_dialect_plan_shapes(spark):
+    """r9 additions hold their scale shapes: the pure-JVM queries carry
+    ZERO Python (pointInPolygon ray-cast, arraySplit folds, assoc2
+    entropy/Bergsma folds, window-form time-decay); the Arrow-backed
+    ones ride exactly ONE vectorized ArrowEvalPython; nothing ever
+    falls back to row-at-a-time BatchEvalPython or a cartesian
+    product; exchange counts stay bounded (distinct + order only)."""
+    jvm_only = {
+        "ch_dialect_assoc2": 1,       # one grouped shuffle
+        "ch_dialect_pip": 2,          # distinct + order
+        "ch_dialect_array_split": 2,
+        "ch_dialect_decay_window": 2,
+    }
+    one_arrow = {
+        "ch_dialect_ngram": 3,
+        "ch_dialect_idna": 2,
+        "ch_dialect_auc": 1,          # the ORDER BY only
+    }
+    for name, max_exch in {**jvm_only, **one_arrow}.items():
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("+- Exchange") <= max_exch, (
+            name, plan.count("+- Exchange"))
+        expected_arrow = 1 if name in one_arrow else 0
+        assert plan.count("+- ArrowEvalPython") == expected_arrow, name
+    # same partition/order -> Spark evaluates ALL four decay frame
+    # expressions in ONE Window node (detail lines "(n) Window")
+    plan = plan_of(QUERIES["ch_dialect_decay_window"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
