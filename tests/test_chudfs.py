@@ -321,3 +321,77 @@ def test_ipv6_family_pins(spark):
     assert r["cutm"] == "::ffff:1.2.0.0"
     assert r["lo"] == "20010DB8" + "0" * 24
     assert r["bad"] is None and r["zed"] == "00" * 16
+
+
+@given(st.text(max_size=24), st.text(max_size=24),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=150, deadline=None)
+def test_ngram_distance_vs_quadratic_reference(a, b, mode):
+    """_ch_ngram_distance/_ch_ngram_search against an independent
+    quadratic pair-count model built straight from the definition
+    (symmetric difference = a+b − 2·multiset-intersection)."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ch_ngram_distance, _ch_ngram_search, _ngram_counts)
+
+    ca, cb = _ngram_counts(a, mode), _ngram_counts(b, mode)
+    inter = sum((ca & cb).values())
+    ta, tb = sum(ca.values()), sum(cb.values())
+    exp_d = (ta + tb - 2 * inter) / max(ta + tb, 1)
+    assert abs(_ch_ngram_distance(a, b, mode) - exp_d) < 1e-12
+    exp_s = 1.0 - (tb - sum((cb & ca).values())) / max(tb, 1)
+    assert abs(_ch_ngram_search(a, b, mode) - exp_s) < 1e-12
+    # metric properties
+    assert _ch_ngram_distance(a, a, mode) == 0.0
+    assert 0.0 <= _ch_ngram_distance(a, b, mode) <= 1.0
+    assert abs(_ch_ngram_distance(a, b, mode)
+               - _ch_ngram_distance(b, a, mode)) < 1e-15
+
+
+@given(st.binary(max_size=12),
+       st.integers(min_value=-120, max_value=120),
+       st.one_of(st.none(), st.integers(min_value=-120, max_value=120)))
+@settings(max_examples=200, deadline=None)
+def test_bit_slice_vs_per_bit_reference(b, off, ln):
+    """_ch_bit_slice against a per-bit string-of-'01' reference: slice
+    the bit string with the same CH substring conventions, then pack."""
+    from clickhouse_sinker_spark.functions.chudfs import _ch_bit_slice
+
+    bits = "".join(f"{byte:08b}" for byte in b)
+    total = len(bits)
+    start = (off - 1) if off > 0 else (total + off if off < 0 else 0)
+    start = max(0, min(start, total))
+    if ln is None:
+        end = total
+    elif ln >= 0:
+        end = start + ln
+    else:
+        end = total + ln
+    end = max(start, min(end, total))
+    sl = bits[start:end]
+    pad = (8 - len(sl) % 8) % 8 if sl else 0
+    expected = bytes(
+        int(sl.ljust(len(sl) + pad, "0")[i : i + 8], 2)
+        for i in range(0, len(sl) + pad, 8)
+    ) if sl else b""
+    assert _ch_bit_slice(b, off, ln) == expected
+
+
+@given(st.from_regex(r"[a-z0-9]([a-z0-9-]{0,10}[a-z0-9])?"
+                     r"(\.[a-z0-9]([a-z0-9-]{0,10}[a-z0-9])?){0,3}",
+                     fullmatch=True))
+@settings(max_examples=100, deadline=None)
+def test_idna_ascii_fixpoint_and_roundtrip(domain):
+    """Valid lowercase-ASCII LDH domains are UTS#46 fixpoints, and
+    encode∘decode round-trips them."""
+    import pytest as _pytest
+
+    _pytest.importorskip("idna")
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ch_idna_decode, _ch_idna_encode)
+
+    try:
+        enc = _ch_idna_encode(domain, True)
+    except ValueError:
+        return  # idna2008 rejects some LDH labels (e.g. xn-- lookalikes)
+    assert enc == domain
+    assert _ch_idna_decode(enc) == domain
