@@ -770,6 +770,9 @@ _UNSUPPORTED = {
     "rowNumberInAllBlocks",
     "sample",
     "histogram",
+    "quantileInterpolatedWeighted",  # CH's weighted-interpolation node
+                                     # positions have no local pin
+    "quantilesInterpolatedWeighted",
     "sparkBar",
     "sparkbar",
     "bar",
@@ -2532,6 +2535,31 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "studentTTest", _ttest_fn("studentTTest"))
     sql = _mann_whitney_pass(sql)
     sql = _rewrite_parametric(sql, "meanZTest", _mean_z_test)
+    # analysisOfVariance(value, group): one-way ANOVA — moments + exact
+    # incomplete-beta p in ONE Arrow UDF over the group's pair array
+    # (the mannWhitneyUTest contract; F(1,n) = t(n)^2 cross-checked in
+    # tests against the t-table-pinned Student CDF)
+    for _anova_name in ("analysisOfVariance", "anova"):
+        sql = _rewrite_calls(
+            sql, _anova_name,
+            lambda a, n=_anova_name: (
+                f"ch_anova(collect_list(CASE WHEN ({a[0]}) IS NOT NULL"
+                f" AND ({a[1]}) IS NOT NULL THEN named_struct("
+                f"'v', CAST({a[0]} AS DOUBLE),"
+                f" 'g', CAST({a[1]} AS BIGINT)) END))"
+                if len(a) == 2
+                else _refuse(f"{n}(value, group_index) takes 2 arguments")),
+        )
+    # groupArraySorted(N)(x): the N smallest values, ascending — exact
+    sql = _rewrite_parametric(
+        sql, "groupArraySorted",
+        lambda p_, a: (
+            f"slice(sort_array(collect_list({a[0]})), 1, {int(p_)})"
+            if len(a) == 1 and re.fullmatch(r"\d+", p_.strip())
+            else _refuse(
+                "groupArraySorted(N)(x) takes a literal N and one"
+                " argument")),
+    )
     sql = _rewrite_calls(sql, "proportionsZTest", _proportions_z_test)
     sql = _rewrite_calls(sql, "rankCorr", _rank_corr)
     # BiasCorrected first: its name contains the plain cramersV prefix
@@ -7706,6 +7734,12 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
             raise ChTranslationError(
                 f"no faithful Spark translation for {bad}(){hint}"
             )
+    # PASTE JOIN zips tables by BLOCK POSITION — there is no
+    # deterministic row order in a distributed table to zip by
+    if _first_real(r"\bPASTE\s+JOIN\b"):
+        raise ChTranslationError(
+            "PASTE JOIN is positional (block-order) — no faithful Spark"
+            " translation; join on explicit row_number() keys instead")
     # -State / -Merge / -SimpleState combinators carry engine-internal
     # aggregate states (AggregateFunction columns) — nothing on the Spark
     # side can hold or merge them

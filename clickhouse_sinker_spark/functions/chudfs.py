@@ -855,6 +855,36 @@ def _ch_array_auc(scores, labels):
     return (rpos - m * (m + 1) / 2.0) / (m * n)
 
 
+def _ch_anova(pairs):
+    """CH ``analysisOfVariance(value, group_index)`` — one-way ANOVA
+    over (v, g) pairs: F = (SSB/(k−1)) / (SSW/(N−k)), p via the exact
+    regularized incomplete beta (the same _ibeta the t-table-pinned
+    Student CDF rides): p = I_{d2/(d2+d1·F)}(d2/2, d1/2).  The F(1, n)
+    = t(n)² identity cross-checks p against the independently verified
+    two-sided Student p in tests.  Degenerate inputs (k < 2, N ≤ k,
+    zero within-group variance) → NULL fields."""
+    if pairs is None:
+        return None
+    groups: dict = {}
+    for p in pairs:
+        groups.setdefault(int(p["g"]), []).append(float(p["v"]))
+    k = len(groups)
+    n_total = sum(len(v) for v in groups.values())
+    if k < 2 or n_total <= k:
+        return {"_1": None, "_2": None}
+    grand = sum(sum(v) for v in groups.values()) / n_total
+    means = {g: sum(v) / len(v) for g, v in groups.items()}
+    ssb = sum(len(v) * (means[g] - grand) ** 2 for g, v in groups.items())
+    ssw = sum(sum((x - means[g]) ** 2 for x in v)
+              for g, v in groups.items())
+    d1, d2 = k - 1, n_total - k
+    if ssw <= 0.0:
+        return {"_1": None, "_2": None}
+    f_stat = (ssb / d1) / (ssw / d2)
+    p = _ibeta(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f_stat))
+    return {"_1": f_stat, "_2": p}
+
+
 def _ch_bit_slice(b: bytes, offset: int, length) -> bytes:
     """CH ``bitSlice(s, offset[, length])`` — 1-based BIT slicing with
     CH's substring conventions: negative offset counts from the end,
@@ -1810,6 +1840,14 @@ _UDF_SPECS = {
             [(lambda r: {"_1": None, "_2": None} if r is None else r)(
                 _mw_utest(a, int(b)))
              for a, b in zip(s1, s2)]
+        ),
+        "struct<_1: double, _2: double>",
+    ),
+    "ch_anova": (
+        lambda s1: pd.DataFrame(
+            [(lambda r: {"_1": None, "_2": None} if r is None else r)(
+                _ch_anova(a))
+             for a in s1]
         ),
         "struct<_1: double, _2: double>",
     ),

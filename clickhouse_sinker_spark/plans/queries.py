@@ -5781,6 +5781,11 @@ CH_DIALECT_ASSOC2 = """
            round(tupleElement(
                minSampleSizeContinous(112.25, 21.1, 0.03, 0.80, 0.05), 2), 6)
                AS mssc_lo,
+           round(tupleElement(analysisOfVariance(value, user_id % 4), 1), 6)
+               AS f_stat,
+           tupleElement(analysisOfVariance(value, user_id % 4), 2)
+               BETWEEN 0 AND 1 AS p_ok,
+           groupArraySorted(3)(value) AS small3,
            count(*) AS n
     FROM events
     GROUP BY g
@@ -5823,7 +5828,18 @@ CH_DIALECT_ASSOC2 = """
       JOIN mcol ON mcol.g = cnt.g AND mcol.b = cnt.b
       JOIN tot ON tot.g = cnt.g
       GROUP BY cnt.g
-    )
+    ),
+    ag AS (SELECT user_id % 3 AS g, user_id % 4 AS sub,
+                  count(value) AS cn, sum(value) AS s,
+                  sum(value * value) AS ss
+           FROM events GROUP BY 1, 2),
+    anv AS (SELECT g, sum(cn) AS nt, count(*) AS k,
+                   sum(s * s / cn) - sum(s) * sum(s) / sum(cn) AS ssb,
+                   sum(ss) - sum(s * s / cn) AS ssw
+            FROM ag GROUP BY g),
+    gs AS (SELECT user_id % 3 AS g,
+                  (list(value ORDER BY value))[1:3] AS small3
+           FROM events GROUP BY 1)
     SELECT ha.g AS g,
            round((dep.dab - ha.h) / ha.h, 6) AS u,
            round((dep.dba - hb.h) / hb.h, 6) AS u2,
@@ -5840,11 +5856,17 @@ CH_DIALECT_ASSOC2 = """
                  * 21.1 * 21.1
                  / ((0.03 * 112.25) * (0.03 * 112.25)), 6) AS mssc_n,
            round(CAST(112.25 AS DOUBLE) * (1.0 - 0.03), 6) AS mssc_lo,
+           round((anv.ssb / (anv.k - 1)) / (anv.ssw / (anv.nt - anv.k)),
+                 6) AS f_stat,
+           TRUE AS p_ok,
+           gs.small3 AS small3,
            CAST(n AS BIGINT) AS n
     FROM ha
     JOIN hb ON hb.g = ha.g
     JOIN dep ON dep.g = ha.g
     JOIN chi ON chi.g = ha.g
+    JOIN anv ON anv.g = ha.g
+    JOIN gs ON gs.g = ha.g
     """,
 )
 def ch_dialect_assoc2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3947,6 +3947,44 @@ def test_theils_u_and_cramers_bias_corrected(spark):
     assert spark.sql(got2).collect()[0]["u"] is None
 
 
+def test_anova_and_group_array_sorted(spark):
+    """analysisOfVariance (r9): one-way ANOVA as moments + exact
+    incomplete-beta p in one Arrow UDF (the mannWhitneyUTest contract).
+    The F(1, n) = t(n)² identity cross-checks p against the
+    independently t-table-pinned Student CDF.  groupArraySorted(N)(x) =
+    the N smallest values ascending, exact."""
+    import math
+
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _student_p, register_ch_udfs)
+
+    register_ch_udfs(spark)
+    spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (3.0, 1), (4.0, 1)],
+        "v double, g int").createOrReplaceTempView("anova_t")
+    got, _ = translate_ch_sql(
+        "SELECT analysisOfVariance(v, g) AS a, anova(v, g) AS a2,"
+        " groupArraySorted(2)(v) AS s FROM anova_t")
+    r = spark.sql(got).collect()[0]
+    # hand model: means 2 and 3, grand 2.5 -> SSB = 1.5, SSW = 4,
+    # d1 = 1, d2 = 4 -> F = 1.5
+    assert abs(r["a"]["_1"] - 1.5) < 1e-12
+    assert abs(r["a"]["_2"] - _student_p(math.sqrt(1.5), 4)) < 1e-14
+    assert r["a2"] == r["a"]
+    assert list(r["s"]) == [1.0, 2.0]
+    # degenerate: one group -> NULL fields
+    got2, _ = translate_ch_sql(
+        "SELECT analysisOfVariance(v, 1) AS a FROM anova_t")
+    r2 = spark.sql(got2).collect()[0]
+    assert r2["a"]["_1"] is None and r2["a"]["_2"] is None
+    for bad in ("SELECT analysisOfVariance(v) FROM t",
+                "SELECT groupArraySorted(n)(v) FROM t",
+                "SELECT quantileInterpolatedWeighted(0.5)(x, w) FROM t",
+                "SELECT * FROM a PASTE JOIN b"):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+
+
 def test_min_sample_size(spark):
     """minSampleSizeContinous VERIFIED against the CH docs example
     (616.2931945826209, 108.8825, 115.6175); conversion is the standard
