@@ -104,8 +104,12 @@ murmurHash2_32/64(x)         MurmurHash2 / MurmurHash64A seed 0 (r8;
                              SMHasher + libstdc++ proofs)
 murmurHash3_32/64/128(x)     Murmur3 x86_32 / x64_128-low / x64_128
                              bytes, seed 0 (Spark-JVM + mmh3 proofs)
-sipHash128(x)                CH's NON-standard (v0^v1, v2^v3) halves;
-                             the official form stays refused
+sipHash128(x)                CH's NON-standard (v0^v1, v2^v3) halves
+sipHash64/128Keyed           explicit-key forms — key spelled (k0, k1)
+ ((k0, k1), x)               at SQL level; libsodium crypto_shorthash
+                             bit-equality proof (r9)
+sipHash128Reference[Keyed]   the OFFICIAL 128-bit SipHash-2-4; bit-equal
+                             to libsodium crypto_shorthash_siphashx24
 intHash32/intHash64(n)       salted CH integer mixers (salt constants
                              documented recall-only)
 farmFingerprint64(x)         farmhash PORTABLE Fingerprint64, bit-equal
@@ -815,10 +819,6 @@ _UNSUPPORTED = {
     "generateULID",          # nondeterministic generators
     "crc64",                 # CH polynomial differs from crc32's
     "cityHash128",
-    "sipHash128Reference",   # the OFFICIAL 128-bit SipHash (CH's
-    "sipHash128ReferenceKeyed",  # sipHash128 is the non-standard form we
-    "sipHash64Keyed",        # implement); keyed forms' key-tuple arg has
-    "sipHash128Keyed",       # no SQL-text-level typing to gate on
     "randomString",          # nondeterministic
     "randomPrintableASCII",
     "randomFixedString",
@@ -1658,6 +1658,53 @@ def _byte_hash_fn(name: str, str_udf: str, int_udf: str, int_re: str):
     return rw
 
 
+def _keyed_sip_fn(name: str, str_udf: str, int_udf: str, int_re: str):
+    """Rewrite rule for the keyed SipHash family: CH's call shape is
+    ``name((k0, k1), arg)`` — the key tuple must be spelled as a
+    parenthesized pair at SQL-text level (a tuple-typed key COLUMN has
+    no text-level arity, so it refuses).  Keys ride DECIMAL(20, 0) to
+    carry the full UInt64 domain (same carrier as intHash64, ADVICE r8);
+    the UDF's ``int(k) & 2^64-1`` does two's-complement widening.  The
+    data argument gates exactly like the unkeyed forms
+    (:func:`_byte_hash_fn`): string-typed → byte-wise UDF, an explicit
+    to[U]Int64 wrapper → the fixed-width variant, else refuse."""
+    def rw(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ChTranslationError(
+                f"{name} takes ((k0, k1), arg) — multi-argument data"
+                " forms fold per-argument hash states (no published"
+                f" closed form); hash an explicit concatenation instead"
+            )
+        key = a[0].strip()
+        if not (key.startswith("(") and _balanced(key, 0) == len(key)):
+            raise ChTranslationError(
+                f"{name} key must be written as a (k0, k1) tuple at SQL"
+                " level — tuple-typed key columns carry no text-level"
+                " arity for the translator to split"
+            )
+        ks = _split_args(key[1:-1])
+        if len(ks) != 2:
+            raise ChTranslationError(
+                f"{name} key tuple needs exactly 2 elements (k0, k1),"
+                f" got {len(ks)}"
+            )
+        k0 = f"CAST({ks[0].strip()} AS DECIMAL(20, 0))"
+        k1 = f"CAST({ks[1].strip()} AS DECIMAL(20, 0))"
+        arg = a[1].strip()
+        if re.match(int_re, arg, re.IGNORECASE):
+            return f"{int_udf}({k0}, {k1}, {arg})"
+        if _stringish(arg):
+            return f"{str_udf}({k0}, {k1}, {arg})"
+        raise ChTranslationError(
+            f"{name} over a data argument of unknown type: ClickHouse"
+            " hashes the argument's BINARY width, so only string-typed"
+            " arguments (literal / catalog-known string column / string"
+            " function) translate directly — wrap in toString() for"
+            " string-bytes semantics"
+        )
+    return rw
+
+
 def _int_hash_fn(name: str, udf: str):
     """intHash32/intHash64 take an INTEGER argument (CH widens with
     static_cast<UInt64> — sign extension; the UDF applies the same
@@ -2332,6 +2379,30 @@ def _translate_functions(sql: str) -> str:
         sql, "murmurHash3_128",
         _byte_hash_fn("murmurHash3_128", "ch_murmur3_128_ch",
                       "ch_murmur3_128_ch", _NO_INT),
+    )
+    # keyed SipHash family + the OFFICIAL 128-bit form (r9; libsodium
+    # crypto_shorthash / crypto_shorthash_siphashx24 bit-equality proofs
+    # in tests/test_chhashes.py).  Longer names rewrite first so the
+    # word-boundary scanner never sees a prefix of an unprocessed call.
+    sql = _rewrite_calls_raw(
+        sql, "sipHash128ReferenceKeyed",
+        _keyed_sip_fn("sipHash128ReferenceKeyed", "ch_siphash128_ref_keyed",
+                      "ch_siphash128_ref_keyed", _NO_INT),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "sipHash128Reference",
+        _byte_hash_fn("sipHash128Reference", "ch_siphash128_ref",
+                      "ch_siphash128_ref", _NO_INT),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "sipHash128Keyed",
+        _keyed_sip_fn("sipHash128Keyed", "ch_siphash128_keyed",
+                      "ch_siphash128_keyed", _NO_INT),
+    )
+    sql = _rewrite_calls_raw(
+        sql, "sipHash64Keyed",
+        _keyed_sip_fn("sipHash64Keyed", "ch_siphash64_keyed",
+                      "ch_siphash64_keyed_u64", r"^to(U)?Int64\s*\("),
     )
     sql = _rewrite_calls_raw(
         sql, "sipHash128",
@@ -6125,10 +6196,15 @@ def _round_age(a: list[str]) -> str:
 
 def _truncate_scale(a: list[str]) -> str:
     """``truncate(x[, n])``: round toward zero to n decimal places —
-    floor for positives, ceil for negatives (Spark trunc() is
-    date-only)."""
+    floor for positives, ceil for negatives.  A string-literal second
+    argument is SPARK's date-only ``trunc(d, 'unit')`` — emitted by our
+    OWN earlier passes (toWeek's year-start anchor) and re-traversed by
+    this one (emissions must be idempotent under later rewrites) — so
+    it passes through verbatim; CH's trunc takes a numeric scale only."""
     if len(a) not in (1, 2):
         raise ChTranslationError("truncate takes (x[, n])")
+    if len(a) == 2 and a[1].strip().startswith("'"):
+        return f"trunc({a[0]}, {a[1].strip()})"
     x = f"({a[0]})"
     if len(a) == 1:
         return (

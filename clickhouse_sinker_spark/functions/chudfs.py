@@ -69,6 +69,7 @@ from __future__ import annotations
 
 import base64
 import unicodedata
+from decimal import Decimal as _Decimal
 
 import pandas as pd
 
@@ -397,6 +398,18 @@ def _xxh32(data: bytes, seed: int = 0) -> int:
 #                  sipHash64; the halves XOR to the sipHash64 value by
 #                  construction (tested), leaving only the (v0^v1, v2^v3)
 #                  half order as CH-source recall.
+#   sipHash64Keyed / sipHash128Keyed — the same state machine with an
+#                  explicit (k0, k1) key; the keyed 64-bit core is
+#                  bit-equal to the system libsodium's crypto_shorthash
+#                  (SipHash-2-4) on arbitrary (key, input) pairs — an
+#                  independent C implementation — in addition to the
+#                  reference-implementation vectors (key 00..0f).
+#   sipHash128Reference(Keyed) — the OFFICIAL 128-bit SipHash-2-4
+#                  (Aumasson/Bernstein siphash.c with outlen=16: v1^=0xee
+#                  at init, v2^=0xee before the first finalization,
+#                  v1^=0xdd before the second); bit-equal to the system
+#                  libsodium's crypto_shorthash_siphashx24 on arbitrary
+#                  (key, input) pairs — zero recall-only surface.
 #   intHash32/64 — mix structures from ClickHouse Common/HashTable/Hash.h
 #                  (fmix64 co-validated via murmur3_128); the /dev/urandom
 #                  salt constants in FunctionsHashing.h are single-source
@@ -1037,16 +1050,53 @@ def _inthash32(x: int) -> int:
     return key & _M32
 
 
-def _siphash128(data: bytes) -> bytes:
+def _siphash128(data: bytes, k0: int = 0, k1: int = 0) -> bytes:
     """CH ``sipHash128`` — NOT the official SipHash-128 (that is CH's
     ``sipHash128Reference``): CH runs the same SipHash-2-4 state machine
     as sipHash64 and emits (v0^v1, v2^v3) as two little-endian halves
     (SipHash.h get128).  Consequence (tested): the halves XOR to the
     vector-pinned sipHash64 value, so only the half ORDER is CH-source
-    recall."""
-    v0, v1, v2, v3 = _siphash_state(data)
+    recall.  ``sipHash128Keyed`` is the same with an explicit key
+    (SipHash.h: the keyed constructor seeds the identical state)."""
+    v0, v1, v2, v3 = _siphash_state(data, k0, k1)
     return ((v0 ^ v1) & _M64).to_bytes(8, "little") + \
         ((v2 ^ v3) & _M64).to_bytes(8, "little")
+
+
+def _siphash128_ref(data: bytes, k0: int = 0, k1: int = 0) -> bytes:
+    """The OFFICIAL 128-bit SipHash-2-4 (CH ``sipHash128Reference``):
+    the reference implementation's outlen=16 path — ``v1 ^= 0xee`` at
+    key setup, ``v2 ^= 0xee`` (not 0xff) before the first 4-round
+    finalization whose xor is the first little-endian half, then
+    ``v1 ^= 0xdd`` and 4 more rounds for the second half.  Bit-equal to
+    libsodium's crypto_shorthash_siphashx24 on arbitrary (key, input)
+    pairs (tests/test_chhashes.py) — no recall-only surface."""
+    v0 = k0 ^ 0x736F6D6570736575
+    v1 = k1 ^ 0x646F72616E646F6D ^ 0xEE
+    v2 = k0 ^ 0x6C7967656E657261
+    v3 = k1 ^ 0x7465646279746573
+    off = 0
+    while off + 8 <= len(data):
+        m = int.from_bytes(data[off:off + 8], "little")
+        v3 ^= m
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        v0 ^= m
+        off += 8
+    m = ((len(data) & 0xFF) << 56) | int.from_bytes(data[off:], "little")
+    v3 ^= m
+    v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    v0 ^= m
+    v2 ^= 0xEE
+    for _ in range(4):
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    half1 = (v0 ^ v1 ^ v2 ^ v3) & _M64
+    v1 ^= 0xDD
+    for _ in range(4):
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    half2 = (v0 ^ v1 ^ v2 ^ v3) & _M64
+    return half1.to_bytes(8, "little") + half2.to_bytes(8, "little")
 
 
 def _dec_parse(s: str) -> tuple[int, int]:
@@ -1514,6 +1564,17 @@ def _map2(fn, null=None):
     return run
 
 
+def _map3(fn, null=None):
+    def run(s1: pd.Series, s2: pd.Series, s3: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                null if a is None or b is None or c is None else fn(a, b, c)
+                for a, b, c in zip(s1, s2, s3)
+            ]
+        )
+    return run
+
+
 def _bytes2(fn):
     return _map2(lambda a, b: fn(a.encode("utf-8"), b.encode("utf-8")))
 
@@ -1623,6 +1684,34 @@ _UDF_SPECS = {
     ),
     "ch_siphash128_ch": (
         _map1(lambda s: _siphash128(s.encode("utf-8"))),
+        "binary",
+    ),
+    # keyed SipHash family + the OFFICIAL 128-bit form (libsodium
+    # bit-equality proofs in tests/test_chhashes.py); keys arrive as
+    # DECIMAL(20,0) columns carrying the full UInt64 domain
+    "ch_siphash64_keyed": (
+        _map3(lambda k0, k1, s: _Decimal(
+            _siphash24(s.encode("utf-8"),
+                       int(k0) & _M64, int(k1) & _M64))),
+        "decimal(20,0)",
+    ),
+    "ch_siphash64_keyed_u64": (
+        _map3(lambda k0, k1, v: _Decimal(
+            _siphash24(_u64_bytes(v), int(k0) & _M64, int(k1) & _M64))),
+        "decimal(20,0)",
+    ),
+    "ch_siphash128_keyed": (
+        _map3(lambda k0, k1, s: _siphash128(
+            s.encode("utf-8"), int(k0) & _M64, int(k1) & _M64)),
+        "binary",
+    ),
+    "ch_siphash128_ref": (
+        _map1(lambda s: _siphash128_ref(s.encode("utf-8"))),
+        "binary",
+    ),
+    "ch_siphash128_ref_keyed": (
+        _map3(lambda k0, k1, s: _siphash128_ref(
+            s.encode("utf-8"), int(k0) & _M64, int(k1) & _M64)),
         "binary",
     ),
     # JSON introspection tail (JSONType / JSONExtractArrayRaw): the path

@@ -8122,6 +8122,60 @@ def ch_dialect_hash_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_HASH_FAMILY2, sf_dir)
 
 
+CH_DIALECT_SIPHASH_KEYED = """
+    SELECT n,
+           toString(sipHash64Keyed((1, 2), toString(s))) AS s64k,
+           toString(sipHash64Keyed((18446744073709551615, 7),
+                                   toString(s))) AS s64kb,
+           hex(sipHash128Reference(toString(s))) AS sref,
+           hex(sipHash128Keyed((1, 2), toString(s))) AS s128k,
+           hex(sipHash128ReferenceKeyed((1, 2), toString(s))) AS srefk
+    FROM (SELECT DISTINCT toUInt64(user_id % 10) AS n,
+                 concat('ev_', toString(user_id % 10)) AS s
+          FROM events)
+    ORDER BY n
+"""
+
+
+@query(
+    "ch_dialect_siphash_keyed",
+    """
+    WITH d AS (SELECT DISTINCT user_id % 10 AS n FROM events),
+    v(n, s64k, s64kb, sref, s128k, srefk) AS (VALUES
+      (0, '9884669407158275025', '6672276732936352931', 'F0E17991D131657F54BBE64A91F41B5E', '6E29389440E99032BF22EFCB348FBDBB', '556F15C6F6CC28EFE2BB9D6431053B31'),
+      (1, '11761332837326133022', '14061712348944176287', '526C96E498855982637E128ED7061849', '7944246925ACE4836753D2D4C309DC20', '5B5BFBC5386D751D26545CCACC8FB0E1'),
+      (2, '598686344686148633', '18352058967155365253', 'AB538E2EEFEB60C336FC3B3B1F085575', 'C0789192D7E1328ED9647468D9177C86', '9BDA51E87A88F2C6FFB75CC03441CD88'),
+      (3, '3751784956380848239', '9846157318730958530', '848C23BA81FF7D611723507B08C85E82', '8D7F482AFDA3C96FE25FF41477A7D85B', '555B67403D922C16EE8CD1DF6EA32BCE'),
+      (4, '15109799332659266080', '9654249729596787353', '620C76B253AA0334306DA7DA2ECBE6B6', 'B4B5173F318CE62894B78025414656F9', 'A06A1E425F4247C07947F7A52658DB55'),
+      (5, '1693544373038966775', '12057931235730995899', 'DD2CB0FA399641445ADA2A7371FA348B', 'EB08BEB754FA28BF1C6FE7D9F657A8A8', '9AF4A9B71D8C81A7306D394FCFBCB07B'),
+      (6, '12401003767633020489', '700426584942554721', 'ABA699BA29C685D556E9984AC9415D1C', 'C62B6B0F843CF1AF8F2D6723BD0BE803', 'F5E710030DEF9EB56D59A7CE93FFB16B'),
+      (7, '10935114521990118215', '1350140551108028164', '5DC9B0372E0A3CC8C6038CB2BE85A0F6', '2C61DD600C3311856BDAB2F5B467D012', '2B80D9866EB648DF2C5B288BA7EB40EE'),
+      (8, '13527484759134281373', '4817481371119184842', 'B5598F28FFFC74F212431509CCD7144A', 'EF18E42B0FFB0C2672865157B8BCB79D', 'DA52F325AEAF470181A7C1722304721E'),
+      (9, '6941252437573788846', '7125211578683941955', '6542DB484B60F23096271B35C995DCA4', 'D7793C8453731518791DDA49033B4178', 'EE794FFBFD5E3E6252C604B004698E0B'))
+    SELECT d.n AS n, v.s64k, v.s64kb, v.sref, v.s128k, v.srefk
+    FROM d JOIN v ON v.n = d.n
+    ORDER BY n
+    """,
+)
+def ch_dialect_siphash_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed SipHash family + the OFFICIAL 128-bit SipHash (r9 refusal
+    closure): ``sipHash64Keyed((k0, k1), s)`` — including a key in
+    [2^63, 2^64) riding the DECIMAL(20, 0) carrier —
+    ``sipHash128Reference`` / ``sipHash128ReferenceKeyed`` (the
+    Aumasson/Bernstein outlen=16 reference path), and CH's non-standard
+    ``sipHash128Keyed``.  Oracle literals are GROUND TRUTH, not
+    circular: s64k/s64kb/sref/srefk were generated by calling the
+    system libsodium (crypto_shorthash / crypto_shorthash_siphashx24 —
+    an independent C implementation) directly; s128k (CH's non-standard
+    half pair) is bounded by the structural identity halves-XOR ==
+    libsodium-proven keyed sipHash64 (tests/test_chhashes.py).  Scale:
+    one DISTINCT shuffle over 10 groups, one ArrowEvalPython batch for
+    all five hash columns."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_SIPHASH_KEYED, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #
@@ -8136,15 +8190,18 @@ def ch_dialect_hash_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 5 round-9 additions (association/power-analysis tail, arrayAUC,
-#    pointInPolygon, IDNA, ngram similarity) — first-time hashes.
+# 1. The 8 round-9 additions (association/power-analysis tail, arrayAUC,
+#    pointInPolygon, IDNA, ngram similarity, time-decay window forms,
+#    arraySplit, keyed-SipHash family) — first-time hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. 8 oldest r6-latest greens to fill the window.
+# 4. Oldest r6-latest greens to fill the window (dedup_incremental_minhash
+#    dropped from the tail this round; oldest next round with the rest of
+#    the r6 block).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -8152,6 +8209,7 @@ def ch_dialect_hash_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
+    "ch_dialect_siphash_keyed",
     "ch_dialect_decay_window",
     "ch_dialect_array_split",
     "ch_dialect_assoc2",
@@ -8204,7 +8262,6 @@ DRIVER_ORDER: list[str] = [
     "window_range_trailing_hour",
     "emb_quantize_int8",
     "knn_range_search",
-    "dedup_incremental_minhash",
 ]
 
 DRIVER_WINDOW = 50

@@ -34,6 +34,15 @@ def test_rename_and_trunc_rewrites():
     assert T("SELECT toMonday(toDate(ts)) FROM events") == (
         "SELECT date_trunc('WEEK', to_date(ts)) FROM events"
     )
+    # the numeric trunc alias must NOT rewrite Spark's date-only
+    # trunc(d, 'unit') — our own toWeek emission contains one and is
+    # re-traversed by the trunc pass (regression: the alias turned the
+    # 'year' unit into pow(10, year) and broke every toWeek query)
+    assert T("SELECT trunc(toDate(ts), 'year')") == (
+        "SELECT trunc(to_date(ts), 'year')"
+    )
+    assert "floor" in T("SELECT trunc(value, 2)")
+    assert "toWeek" not in T("SELECT toWeek(toDate(ts))")
 
 
 def test_cast_and_arith_rewrites():
@@ -2744,7 +2753,9 @@ def test_tranche2_passthrough_sweep(spark):
     assert 49 <= r["q"] <= 52 and len(r["qs"]) == 2
     assert (r["sc"]["_1"], r["sc"]["_2"]) == (5050.0, 100)
     for bad in (
-        "SELECT mapSort(m) FROM t",
+        # mapSort translates since r9 — the limit-N partial form keeps
+        # the refusal (CH leaves the tail order unspecified)
+        "SELECT mapPartialSort(m, 2) FROM t",
         "SELECT cityHash64(s) FROM t",
         "SELECT tumble(ts, iv) FROM t",
         "SELECT groupArraySample(3)(x) FROM t",
@@ -3271,10 +3282,31 @@ def test_hash_family_typed_gates():
     ]:
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
-    # the official 128-bit SipHash and keyed forms stay refused
-    for refused in ["sipHash128Reference('x')", "sipHash64Keyed((1,2), 'x')"]:
+    # the official 128-bit SipHash and keyed forms translate since r9
+    # (libsodium bit-equality basis in tests/test_chhashes.py)
+    got, _ = translate_ch_sql("SELECT sipHash128Reference('x')")
+    assert "ch_siphash128_ref('x')" in got
+    got, _ = translate_ch_sql("SELECT sipHash64Keyed((1, 2), 'x')")
+    assert ("ch_siphash64_keyed(CAST(1 AS DECIMAL(20, 0)),"
+            " CAST(2 AS DECIMAL(20, 0)), 'x')") in got
+    got, _ = translate_ch_sql(
+        "SELECT sipHash64Keyed((1, 2), toUInt64(n)) FROM t")
+    assert "ch_siphash64_keyed_u64(" in got
+    got, _ = translate_ch_sql("SELECT sipHash128Keyed((3, 4), 'x')")
+    assert "ch_siphash128_keyed(" in got
+    got, _ = translate_ch_sql("SELECT sipHash128ReferenceKeyed((3, 4), 'x')")
+    assert "ch_siphash128_ref_keyed(" in got
+    # keyed-form gates: tuple columns (no text-level arity), wrong key
+    # arity, multi-argument data folds, and untyped data all refuse
+    for refused in [
+        "sipHash64Keyed(k, 'x')",
+        "sipHash64Keyed((1, 2, 3), 'x')",
+        "sipHash64Keyed((1, 2), 'x', 'y')",
+        "sipHash128Reference(toUInt64(1))",
+        "sipHash128Keyed((1, 2), n)",
+    ]:
         with pytest.raises(ChTranslationError):
-            translate_ch_sql(f"SELECT {refused}")
+            translate_ch_sql(f"SELECT {refused} FROM t")
 
 
 def test_json_tail_semantics(spark):

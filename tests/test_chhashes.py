@@ -410,3 +410,70 @@ def test_width_gated_bit_ops():
     assert _rot_width(0x80, 1, 1, left=True) == 1      # wraps at 8 bits
     assert _rot_width(1, 1, 4, left=False) == 0x80000000
     assert _rot_width(1, 33, 4, left=True) == 2        # rotation mod width
+
+
+# ---------------------------------------------------------------------------
+# keyed SipHash family + official SipHash-128 — libsodium bit-equality
+# ---------------------------------------------------------------------------
+
+_LIBSODIUM = "/usr/lib/x86_64-linux-gnu/libsodium.so.23"
+
+
+@pytest.mark.skipif(not os.path.exists(_LIBSODIUM),
+                    reason="libsodium not present")
+def test_keyed_siphash_bit_equal_to_libsodium():
+    """libsodium's crypto_shorthash IS SipHash-2-4 (64-bit) and
+    crypto_shorthash_siphashx24 the official SipHash-2-4-128 — both
+    independent C implementations.  Bit-equality over random (key,
+    input) pairs across every tail length proves the keyed 64-bit core
+    (CH sipHash64Keyed) AND the official 128-bit path (CH
+    sipHash128Reference[Keyed]) with zero recall-only surface."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _siphash24, _siphash128_ref,
+    )
+
+    lib = ctypes.CDLL(_LIBSODIUM)
+    rng = random.Random(20260815)
+    for n in list(range(0, 48)) + [100, 255, 1000]:
+        data = bytes(rng.randrange(256) for _ in range(n))
+        key = bytes(rng.randrange(256) for _ in range(16))
+        k0 = int.from_bytes(key[:8], "little")
+        k1 = int.from_bytes(key[8:], "little")
+        out8 = ctypes.create_string_buffer(8)
+        assert lib.crypto_shorthash(
+            out8, data, ctypes.c_ulonglong(n), key) == 0
+        assert _siphash24(data, k0, k1) == int.from_bytes(
+            out8.raw, "little"), f"sip64 len {n}"
+        out16 = ctypes.create_string_buffer(16)
+        assert lib.crypto_shorthash_siphashx24(
+            out16, data, ctypes.c_ulonglong(n), key) == 0
+        assert _siphash128_ref(data, k0, k1) == out16.raw, f"sipx len {n}"
+
+
+def test_siphash128_reference_official_vector():
+    """The SipHash reference repo's vectors_sip128[0] (key 00..0f, empty
+    input) — the one official 128-bit vector pinned here in addition to
+    the libsodium sweep."""
+    from clickhouse_sinker_spark.functions.chudfs import _siphash128_ref
+
+    k0 = int.from_bytes(bytes(range(8)), "little")
+    k1 = int.from_bytes(bytes(range(8, 16)), "little")
+    assert _siphash128_ref(b"", k0, k1) == bytes.fromhex(
+        "a3817f04ba25a8e66df67214c7550293")
+
+
+def test_siphash128_keyed_halves_xor_to_keyed_siphash64():
+    """CH's non-standard keyed 128 shares the keyed state machine: the
+    halves XOR to the libsodium-proven keyed sipHash64 — the same
+    structural identity the unkeyed form pins."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _siphash24, _siphash128,
+    )
+
+    rng = random.Random(3)
+    for n in range(0, 24):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        k0, k1 = rng.getrandbits(64), rng.getrandbits(64)
+        h = _siphash128(data, k0, k1)
+        assert (int.from_bytes(h[:8], "little")
+                ^ int.from_bytes(h[8:], "little")) == _siphash24(data, k0, k1)

@@ -601,6 +601,17 @@ def test_hash_family_single_arrow_pass(spark):
     assert plan.count("+- Exchange") <= 2
 
 
+def test_siphash_keyed_single_arrow_pass(spark):
+    """ch_dialect_siphash_keyed: all five keyed/official SipHash columns
+    must ride ONE ArrowEvalPython batch over the 10-group distinct —
+    one shuffle (the DISTINCT), no joins, no BatchEvalPython."""
+    plan = plan_of(QUERIES["ch_dialect_siphash_keyed"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("+- ArrowEvalPython") == 1
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") <= 2
+
+
 def test_r9_dialect_plan_shapes(spark):
     """r9 additions hold their scale shapes: the pure-JVM queries carry
     ZERO Python (pointInPolygon ray-cast, arraySplit folds, assoc2
