@@ -346,6 +346,11 @@ emptyArray<T>()              CAST(array() AS ARRAY<T>)
 formatReadableSize/Quantity  nested-CASE '%.2f' + unit tier
 tuple(…)/tupleElement(t, i)  named_struct('_1', …) / field access by
                              position (_N names) or literal name
+tuplePlus/Minus/Multiply/    element-wise arithmetic when the tuple
+ Divide/Negate/Concat,       arity is SQL-text visible — (a, b) /
+ tupleMultiplyByNumber/      tuple(…) / emitted named_struct; divide
+ DivideByNumber,             emits Float64 like CH; tuple-typed
+ tupleHammingDistance        COLUMNS refuse (no text-level arity)
 topK(N)(x)                   EXACT heavy-hitters: frequency fold over
                              one collect_list, ties by value asc (CH
                              order unspecified)
@@ -882,12 +887,6 @@ _UNSUPPORTED = {
     "getSetting",
     "filesystemAvailable",
     "filesystemCapacity",
-    "tupleHammingDistance",  # tuple arity unknowable at SQL-text level
-    "tuplePlus",
-    "tupleMinus",
-    "tupleMultiply",
-    "tupleDivide",
-    "tupleNegate",
 }
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -1202,6 +1201,123 @@ def _tuple_element(a: list[str]) -> str:
         "tupleElement needs an integer or string literal selector "
         "(dynamic element access has no Spark equivalent)"
     )
+
+
+def _tuple_text_elems(arg: str) -> list[str] | None:
+    """Elements of a TEXT-LEVEL tuple spelling — ``(a, b, ...)`` (needs a
+    top-level comma: a bare ``(expr)`` is just parenthesization), an
+    explicit ``tuple(a, ...)`` call, or the ``named_struct('_1', a,
+    ...)`` the argument-recursive engine has already turned a tuple()
+    call into by the time this pass's emit sees it (same reality
+    :func:`_pip_parse_tuple` handles) — else None (tuple-typed columns
+    carry no text-level arity)."""
+    arg = arg.strip()
+    m = re.match(r"named_struct\s*\(", arg)
+    if m and arg.endswith(")") and _balanced(arg, m.end() - 1) == len(arg):
+        parts = _split_args(arg[m.end():-1])
+        if len(parts) >= 2 and len(parts) % 2 == 0:
+            return [p.strip() for p in parts[1::2]]
+        return None
+    m = re.match(r"tuple\s*\(", arg)
+    if m and arg.endswith(")") and _balanced(arg, m.end() - 1) == len(arg):
+        return _split_args(arg[m.end():-1])
+    if (arg.startswith("(") and arg.endswith(")")
+            and _balanced(arg, 0) == len(arg)):
+        elems = _split_args(arg[1:-1])
+        if len(elems) >= 2:
+            return elems
+    return None
+
+
+def _tuple_arity_refusal(name: str) -> ChTranslationError:
+    return ChTranslationError(
+        f"{name} needs tuple arguments whose arity is visible at SQL-text"
+        " level — a (a, b, ...) literal or tuple(...) call; tuple-typed"
+        " columns have no text-level arity to expand element-wise"
+    )
+
+
+def _tuple_binop_fn(name: str, op: str):
+    """Element-wise tuple arithmetic → named_struct with CH-style _N
+    field names (matching the ``tuple()`` rewrite).  Division emits
+    Float64 like CH's divide()."""
+    def rw(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ChTranslationError(f"{name} takes exactly 2 tuples")
+        xs, ys = _tuple_text_elems(a[0]), _tuple_text_elems(a[1])
+        if xs is None or ys is None:
+            raise _tuple_arity_refusal(name)
+        if len(xs) != len(ys):
+            raise ChTranslationError(
+                f"{name}: tuple arities differ ({len(xs)} vs {len(ys)})")
+        if op == "/":
+            parts = [
+                f"'_{i + 1}', (CAST({x} AS DOUBLE) / CAST({y} AS DOUBLE))"
+                for i, (x, y) in enumerate(zip(xs, ys))
+            ]
+        else:
+            parts = [
+                f"'_{i + 1}', (({x}) {op} ({y}))"
+                for i, (x, y) in enumerate(zip(xs, ys))
+            ]
+        return "named_struct(" + ", ".join(parts) + ")"
+    return rw
+
+
+def _tuple_map1(name: str, a: list[str], f) -> str:
+    if len(a) != 1:
+        raise ChTranslationError(f"{name} takes exactly 1 tuple")
+    xs = _tuple_text_elems(a[0])
+    if xs is None:
+        raise _tuple_arity_refusal(name)
+    return "named_struct(" + ", ".join(
+        f"'_{i + 1}', {f(x)}" for i, x in enumerate(xs)) + ")"
+
+
+def _tuple_by_number(name: str, a: list[str], op: str) -> str:
+    if len(a) != 2:
+        raise ChTranslationError(f"{name} takes (tuple, number)")
+    xs = _tuple_text_elems(a[0])
+    if xs is None:
+        raise _tuple_arity_refusal(name)
+    k = f"({a[1].strip()})"
+    if op == "/":
+        return "named_struct(" + ", ".join(
+            f"'_{i + 1}', (CAST({x} AS DOUBLE) / CAST({k} AS DOUBLE))"
+            for i, x in enumerate(xs)) + ")"
+    return "named_struct(" + ", ".join(
+        f"'_{i + 1}', (({x}) {op} {k})" for i, x in enumerate(xs)) + ")"
+
+
+def _tuple_hamming(a: list[str]) -> str:
+    """Count of non-equal element pairs (CH docs:
+    tupleHammingDistance((1, 2, 3), (3, 2, 1)) = 2).  A NULL comparison
+    counts as a mismatch (IF's else branch) — documented extension."""
+    if len(a) != 2:
+        raise ChTranslationError("tupleHammingDistance takes exactly 2 tuples")
+    xs, ys = _tuple_text_elems(a[0]), _tuple_text_elems(a[1])
+    if xs is None or ys is None:
+        raise _tuple_arity_refusal("tupleHammingDistance")
+    if len(xs) != len(ys):
+        raise ChTranslationError(
+            f"tupleHammingDistance: tuple arities differ"
+            f" ({len(xs)} vs {len(ys)})")
+    return "(" + " + ".join(
+        f"IF(({x}) = ({y}), 0, 1)" for x, y in zip(xs, ys)) + ")"
+
+
+def _tuple_concat(a: list[str]) -> str:
+    """tupleConcat: all arguments' elements, renumbered left to right."""
+    if not a:
+        raise ChTranslationError("tupleConcat needs at least 1 tuple")
+    elems: list[str] = []
+    for arg in a:
+        xs = _tuple_text_elems(arg)
+        if xs is None:
+            raise _tuple_arity_refusal("tupleConcat")
+        elems.extend(xs)
+    return "named_struct(" + ", ".join(
+        f"'_{i + 1}', {x}" for i, x in enumerate(elems)) + ")"
 
 
 _FUNNEL_MODES = {"strict_order", "strict_deduplication", "strict_increase"}
@@ -3534,6 +3650,33 @@ def _translate_functions(sql: str) -> str:
              " quadrillion"],
         ),
     )
+    # tuple arithmetic (r9): translatable when the tuple arity is
+    # VISIBLE at SQL-text level — a parenthesized (a, b, ...) literal or
+    # an explicit tuple(...) call (this pass runs BEFORE the tuple →
+    # named_struct rewrite so both spellings parse); tuple-typed COLUMNS
+    # carry no text-level arity and refuse.  Semantics are definitional
+    # element-wise arithmetic (CH docs tuple-functions examples pinned
+    # in tests); tupleDivide[ByNumber] divides as Float64 like CH's
+    # divide().  tupleHammingDistance counts non-equal element pairs; a
+    # NULL comparison counts as a mismatch (documented extension — CH
+    # tuples are non-Nullable element-wise in this position).
+    for _tan, _top in (("tuplePlus", "+"), ("tupleMinus", "-"),
+                       ("tupleMultiply", "*"), ("tupleDivide", "/")):
+        sql = _rewrite_calls(sql, _tan, _tuple_binop_fn(_tan, _top))
+    sql = _rewrite_calls(
+        sql, "tupleNegate",
+        lambda a: _tuple_map1("tupleNegate", a, lambda x: f"(-({x}))"))
+    sql = _rewrite_calls(
+        sql, "tupleMultiplyByNumber",
+        lambda a: _tuple_by_number("tupleMultiplyByNumber", a, "*"))
+    sql = _rewrite_calls(
+        sql, "tupleDivideByNumber",
+        lambda a: _tuple_by_number("tupleDivideByNumber", a, "/"))
+    sql = _rewrite_calls(
+        sql, "tupleHammingDistance", _tuple_hamming)
+    sql = _rewrite_calls(
+        sql, "tupleConcat",
+        lambda a: _tuple_concat(a))
     # tuple → named_struct with CH-style 1-based element names, so both
     # tupleElement(t, N) and tupleElement(t, 'name') become field access
     sql = _rewrite_calls(

@@ -8176,6 +8176,54 @@ def ch_dialect_siphash_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_SIPHASH_KEYED, sf_dir)
 
 
+CH_DIALECT_TUPLE_ARITH = """
+    SELECT n,
+           tupleElement(tuplePlus((n, 2), (3, n)), 1) AS tp,
+           tupleElement(tupleMinus((n, 2), (3, n)), 2) AS tm,
+           tupleElement(tupleMultiply((n, 2), (3, n)), 1) AS tx,
+           tupleElement(tupleDivide((toFloat64(n), 4), (2, 8)), 1) AS td,
+           tupleElement(tupleNegate((n, 5)), 1) AS tn,
+           tupleElement(tupleMultiplyByNumber((n, 2), 3), 1) AS tmn,
+           tupleElement(tupleDivideByNumber((n, 2), 4), 1) AS tdn,
+           tupleHammingDistance((n, 1, 2), (2, 1, n)) AS hd,
+           tupleElement(tupleConcat((n, 1), (2, n)), 4) AS tc
+    FROM (SELECT DISTINCT toInt64(user_id % 10) AS n FROM events)
+    ORDER BY n
+"""
+
+
+@query(
+    "ch_dialect_tuple_arith",
+    """
+    SELECT n,
+           n + 3 AS tp,
+           2 - n AS tm,
+           n * 3 AS tx,
+           CAST(n AS DOUBLE) / 2 AS td,
+           -n AS tn,
+           n * 3 AS tmn,
+           CAST(n AS DOUBLE) / 4 AS tdn,
+           (CASE WHEN n = 2 THEN 0 ELSE 1 END)
+             + (CASE WHEN 2 = n THEN 0 ELSE 1 END) AS hd,
+           n AS tc
+    FROM (SELECT DISTINCT user_id % 10 AS n FROM events)
+    ORDER BY n
+    """,
+)
+def ch_dialect_tuple_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple arithmetic (r9 refusal closure): tuplePlus/Minus/Multiply/
+    Divide, tupleNegate, tupleMultiplyByNumber/tupleDivideByNumber,
+    tupleHammingDistance and tupleConcat — translatable when the tuple
+    arity is visible at SQL-text level; the oracle RE-DERIVES every
+    element with plain scalar arithmetic (non-circular by construction;
+    CH docs tuple-functions examples pinned in
+    tests/test_chdialect.py::test_tuple_arithmetic).  Scale: pure JVM
+    element-wise expressions, one DISTINCT shuffle, zero Python."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_TUPLE_ARITH, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #
@@ -8190,9 +8238,10 @@ def ch_dialect_siphash_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 8 round-9 additions (association/power-analysis tail, arrayAUC,
+# 1. The 9 round-9 additions (association/power-analysis tail, arrayAUC,
 #    pointInPolygon, IDNA, ngram similarity, time-decay window forms,
-#    arraySplit, keyed-SipHash family) — first-time hashes.
+#    arraySplit, keyed-SipHash family, tuple arithmetic) — first-time
+#    hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
@@ -8200,8 +8249,8 @@ def ch_dialect_siphash_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
 # 4. Oldest r6-latest greens to fill the window (dedup_incremental_minhash
-#    dropped from the tail this round; oldest next round with the rest of
-#    the r6 block).
+#    and knn_range_search dropped from the tail this round; oldest next
+#    round with the rest of the r6 block).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -8209,6 +8258,7 @@ def ch_dialect_siphash_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
+    "ch_dialect_tuple_arith",
     "ch_dialect_siphash_keyed",
     "ch_dialect_decay_window",
     "ch_dialect_array_split",
@@ -8261,7 +8311,6 @@ DRIVER_ORDER: list[str] = [
     "ts_counter_increase",
     "window_range_trailing_hour",
     "emb_quantize_int8",
-    "knn_range_search",
 ]
 
 DRIVER_WINDOW = 50

@@ -2765,6 +2765,45 @@ def test_tranche2_passthrough_sweep(spark):
             translate_ch_sql(bad)
 
 
+def test_tuple_arithmetic(spark):
+    """r9 tuple-arithmetic closure — every CH docs tuple-functions
+    example reproduced; translatable exactly when the tuple arity is
+    visible at SQL-text level ((a, b) literal / tuple(...) call /
+    the named_struct an earlier pass emitted), tuple-typed columns
+    refuse."""
+    r = spark.sql(T(
+        "SELECT tuplePlus((1, 2), (2, 3)) AS tp, "
+        "tupleMinus((1, 2), (2, 3)) AS tm, "
+        "tupleMultiply((1, 2), (2, 3)) AS tx, "
+        "tupleDivide((1, 2), (2, 3)) AS td, "
+        "tupleNegate((1, 2)) AS tn, "
+        "tupleMultiplyByNumber((1, 2), -2.1) AS tmn, "
+        "tupleDivideByNumber((1, 2), 0.5) AS tdn, "
+        "tupleHammingDistance((1, 2, 3), (3, 2, 1)) AS hd, "
+        "tupleElement(tupleConcat((1, 2), tuple(3, 4)), 4) AS tc, "
+        "tupleHammingDistance((1, 2), (1, 2)) AS hd0"
+    )).first()
+    assert (r["tp"]["_1"], r["tp"]["_2"]) == (3, 5)
+    assert (r["tm"]["_1"], r["tm"]["_2"]) == (-1, -1)
+    assert (r["tx"]["_1"], r["tx"]["_2"]) == (2, 6)
+    assert r["td"]["_1"] == 0.5 and abs(r["td"]["_2"] - 2 / 3) < 1e-15
+    assert (r["tn"]["_1"], r["tn"]["_2"]) == (-1, -2)
+    # Spark types the -2.1 literal as DECIMAL(2,1), so the products are
+    # exact decimals (CH returns Float64 — same values)
+    assert float(r["tmn"]["_1"]) == -2.1 and float(r["tmn"]["_2"]) == -4.2
+    assert (r["tdn"]["_1"], r["tdn"]["_2"]) == (2.0, 4.0)
+    assert r["hd"] == 2 and r["hd0"] == 0 and r["tc"] == 4
+    # tuple-typed columns / arity mismatches / bare parenthesization
+    for bad in (
+        "SELECT tuplePlus(t1, t2) FROM t",
+        "SELECT tuplePlus((1, 2), (1, 2, 3)) FROM t",
+        "SELECT tupleNegate((5)) FROM t",
+        "SELECT tupleHammingDistance((1, 2), x) FROM t",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+
+
 def test_tranche3_passthrough_sweep(spark):
     """Sweep tranche 3: UUID forms (toUUID throws like CH, v7 ms
     extraction, ULID Crockford-base32 remap through conv()), IPv4

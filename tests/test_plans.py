@@ -620,12 +620,15 @@ def test_r9_dialect_plan_shapes(spark):
     falls back to row-at-a-time BatchEvalPython or a cartesian
     product; exchange counts stay bounded (distinct + order only)."""
     jvm_only = {
-        "ch_dialect_assoc2": 1,       # one grouped shuffle
         "ch_dialect_pip": 2,          # distinct + order
         "ch_dialect_array_split": 2,
         "ch_dialect_decay_window": 2,
+        "ch_dialect_tuple_arith": 2,  # distinct + order
     }
     one_arrow = {
+        "ch_dialect_assoc2": 1,       # one grouped shuffle; the late-r9
+                                      # analysisOfVariance column rides
+                                      # ONE ch_anova Arrow batch
         "ch_dialect_ngram": 3,
         "ch_dialect_idna": 2,
         "ch_dialect_auc": 1,          # the ORDER BY only
