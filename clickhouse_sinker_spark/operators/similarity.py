@@ -29,6 +29,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "srp_near_dup",
 ]
 
 
@@ -500,4 +501,91 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "adc_dist", "rank")
+    )
+
+
+def srp_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    band_bits: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Signed-random-projection (SRP) LSH near-duplicate pairs — the
+    hyperplane-hash family of Charikar (STOC 2002): bit_j = sign of the
+    projection onto hyperplane j, P[bit match] = 1 − θ/π, banded like
+    MinHash-LSH so only same-band-bucket pairs are ever compared.
+
+    Determinism for the oracle: vectors are integer-quantized
+    (floor(x·1000), the ``dedup_embedding`` convention) and the
+    hyperplanes are small INTEGER weights w[j][d] = ((j·31 + d·17) mod
+    13) − 6, so every projection is exact integer arithmetic that
+    DuckDB re-derives bit-identically — no floating hyperplanes, no RNG
+    (scripts here cannot call random generators; a production variant
+    would draw Gaussian planes from a seeded generator the same way).
+
+    Scale shape: the band self-join carries ONLY (id, band, bucket) —
+    payload vectors never travel in the pair join; candidates then
+    fetch their two vectors by id for the exact cosine re-check.  At
+    100 TB this is the same no-all-pairs contract as MinHash-LSH
+    (operators/dedup.py): cost ∝ candidates, not C(N, 2).
+    """
+    n_bands = n_planes // band_bits
+    qv = F.transform(F.col(vec_col), lambda x: F.floor(x * 1000.0).cast("bigint"))
+    base = df.select(F.col(id_col).alias("id"), qv.alias("qv")).withColumn(
+        "sq",
+        F.aggregate(F.col("qv"), F.lit(0).cast("bigint"), lambda a, x: a + x * x),
+    )
+    sig = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        plane = F.array(
+            *[F.lit(((j * 31 + d * 17) % 13) - 6).cast("bigint") for d in range(dim)]
+        )
+        dotj = F.aggregate(
+            F.zip_with(F.col("qv"), plane, lambda x, w: x * w),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        sig = sig + F.when(dotj > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    sigs = base.select("id", sig.alias("sig"))
+    bands = sigs.select(
+        "id",
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
+        F.col("sig"),
+    ).select(
+        "id",
+        "band",
+        F.expr(f"shiftright(sig, band * {band_bits}) % {1 << band_bits}").alias("bk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"), F.col("sq").alias("sa"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"), F.col("sq").alias("sb"))
+    dotq = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dotq.cast("double") / (F.sqrt(F.col("sa")) * F.sqrt(F.col("sb")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

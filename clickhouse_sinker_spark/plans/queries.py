@@ -8224,6 +8224,66 @@ def ch_dialect_tuple_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_TUPLE_ARITH, sf_dir)
 
 
+@query(
+    "dedup_embedding_srp",
+    """
+    WITH q AS (
+      SELECT vec_id, [CAST(floor(u * 1000.0) AS BIGINT) FOR u IN embedding] AS qv,
+             list_aggregate([CAST(floor(u*1000.0) AS BIGINT) * CAST(floor(u*1000.0) AS BIGINT) FOR u IN embedding], 'sum') AS sq
+      FROM embeddings
+    ),
+    ex AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS i, sq FROM q),
+    planes AS (
+      SELECT j.j AS j, d.d AS d, ((j.j * 31 + d.d * 17) % 13) - 6 AS w
+      FROM range(0, 8) j(j), range(0, 64) d(d)
+    ),
+    dots AS (
+      SELECT e.vec_id, p.j, SUM(e.v * p.w) AS dot
+      FROM ex e JOIN planes p ON p.d = e.i - 1
+      GROUP BY e.vec_id, p.j
+    ),
+    sk AS (
+      SELECT vec_id, SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+      FROM dots GROUP BY vec_id
+    ),
+    bands AS (
+      SELECT vec_id, b.b AS band, (sig >> (b.b * 4)) & 15 AS bk
+      FROM sk, range(0, 2) b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(SUM(ea.v * eb.v) AS DOUBLE)
+             / (sqrt(MIN(ea.sq)) * sqrt(MIN(eb.sq))) AS cosine
+    FROM cand c
+    JOIN ex ea ON ea.vec_id = c.id_a
+    JOIN ex eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+    GROUP BY c.id_a, c.id_b
+    HAVING CAST(SUM(ea.v * eb.v) AS DOUBLE)
+             / (sqrt(MIN(ea.sq)) * sqrt(MIN(eb.sq))) >= 0.35
+    """,
+)
+def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH near-dup (Charikar hyperplane
+    hashing, banded) — the SCALE PATH beside the brute-force
+    ``dedup_embedding_cosine``: the pair join touches only (id, band,
+    4-bit bucket); exact integer-quantized cosine re-checks candidates
+    only.  Deterministic integer hyperplanes w[j][d] = ((31j + 17d) mod
+    13) − 6 make the full sketch→band→bucket→cosine chain re-derivable
+    by the DuckDB oracle bit-identically.  At sf0.01: 17,758 candidates
+    of C(500,2) = 124,750 pairs (14%), 87 survivors ≥ 0.35 (recall 32%
+    of the 273 brute-force pairs at this deliberately-low threshold —
+    SRP recall rises with cosine; the brute-force set is the recall
+    oracle, tests/test_similarity_srp.py)."""
+    em = _t(spark, sf_dir, "embeddings")
+    from ..operators.similarity import srp_near_dup
+
+    return srp_near_dup(em, "embedding", "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #
@@ -8238,19 +8298,19 @@ def ch_dialect_tuple_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 9 round-9 additions (association/power-analysis tail, arrayAUC,
+# 1. The 10 round-9 additions (association/power-analysis tail, arrayAUC,
 #    pointInPolygon, IDNA, ngram similarity, time-decay window forms,
-#    arraySplit, keyed-SipHash family, tuple arithmetic) — first-time
-#    hashes.
+#    arraySplit, keyed-SipHash family, tuple arithmetic, SRP-LSH
+#    embedding near-dup) — first-time hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. Oldest r6-latest greens to fill the window (dedup_incremental_minhash
-#    and knn_range_search dropped from the tail this round; oldest next
-#    round with the rest of the r6 block).
+# 4. Oldest r6-latest greens to fill the window (dedup_incremental_minhash,
+#    knn_range_search and emb_quantize_int8 dropped from the tail this
+#    round; oldest next round with the rest of the r6 block).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -8258,6 +8318,7 @@ def ch_dialect_tuple_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
+    "dedup_embedding_srp",
     "ch_dialect_tuple_arith",
     "ch_dialect_siphash_keyed",
     "ch_dialect_decay_window",
@@ -8310,7 +8371,6 @@ DRIVER_ORDER: list[str] = [
     "ts_ohlc_hourly",
     "ts_counter_increase",
     "window_range_trailing_hour",
-    "emb_quantize_int8",
 ]
 
 DRIVER_WINDOW = 50

@@ -601,6 +601,16 @@ def test_hash_family_single_arrow_pass(spark):
     assert plan.count("+- Exchange") <= 2
 
 
+def test_srp_near_dup_scale_shape(spark):
+    """dedup_embedding_srp: the band self-join must be an EQUI-join on
+    the narrow (band, bucket) key — never a cartesian product — with
+    zero Python anywhere (integer hyperplane projections are pure
+    codegen)."""
+    plan = plan_of(QUERIES["dedup_embedding_srp"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_siphash_keyed_single_arrow_pass(spark):
     """ch_dialect_siphash_keyed: all five keyed/official SipHash columns
     must ride ONE ArrowEvalPython batch over the 10-group distinct —
