@@ -90,6 +90,9 @@ char(b1, b2, …)              raw-byte string assembly via unhex (CH
 lower/upper (lcase/ucase)    ASCII-only case folding via translate()
                              (CH contract; *UTF8 forms are Unicode)
 hex/bin(x)                   whole-byte padding for integers
+unbin(s)                     bin⁻¹: bits → raw-byte string (Arrow UDF;
+                             left-pads to a byte like unhex; NULL on
+                             non-[01] where CH is impl-defined)
                              (CH hex(1) = '01', bin(1) = '00000001');
                              hex is a no-op for strings
 MD5/SHA1/SHA2xx(s)           unhex(md5/sha1/sha2(s[, bits])) — CH
@@ -819,7 +822,6 @@ _UNSUPPORTED = {
     "lemmatize",
     "stem",
     "synonyms",
-    "unbin",
     "arrayReduceInRanges",
     "generateULID",          # nondeterministic generators
     "crc64",                 # CH polynomial differs from crc32's
@@ -2680,6 +2682,17 @@ def _translate_functions(sql: str) -> str:
             " lpad(__b, CAST(ceil(length(__b) / 8.0) * 8 AS INT), '0')), 1)"
             if len(a) == 1
             else _refuse("bin takes exactly 1 argument")
+        ),
+    )
+    # unbin (r9): inverse of bin — byte-faithful via the Arrow UDF +
+    # CAST(binary AS STRING) raw-byte copy (the char() pattern); CH's
+    # implementation-defined non-[01] result maps to NULL (chudfs note)
+    sql = _rewrite_calls(
+        sql, "unbin",
+        lambda a: (
+            f"CAST(ch_unbin({a[0]}) AS STRING)"
+            if len(a) == 1
+            else _refuse("unbin takes exactly 1 argument")
         ),
     )
     # emitted as HEX( — the case-sensitive scanner must never re-match

@@ -1099,6 +1099,24 @@ def _siphash128_ref(data: bytes, k0: int = 0, k1: int = 0) -> bytes:
     return half1.to_bytes(8, "little") + half2.to_bytes(8, "little")
 
 
+def _unbin(s: str):
+    """CH ``unbin`` — inverse of bin(): a string of binary digits →
+    the raw bytes, the bit count LEFT-padded with zeros to a byte
+    multiple like unhex pads odd-length hex.  CH documents the result
+    for non-[01] characters as implementation-defined (no exception);
+    this implementation returns NULL there instead of emulating
+    unspecified garbage — the one documented divergence.  Verified by
+    the docs example ('001100000011000100110010' → '012') and a
+    bin→unbin round-trip property over arbitrary bytes."""
+    if not s:
+        return b""
+    if any(c not in "01" for c in s):
+        return None
+    pad = (-len(s)) % 8
+    s = "0" * pad + s
+    return int(s, 2).to_bytes(len(s) // 8, "big")
+
+
 def _dec_parse(s: str) -> tuple[int, int]:
     """Decimal string → (unscaled int, scale), exactly."""
     s = s.strip()
@@ -1717,6 +1735,7 @@ _UDF_SPECS = {
     # JSON introspection tail (JSONType / JSONExtractArrayRaw): the path
     # is a translate-time JSON-encoded segment list (literal keys/indices
     # only — the translator refuses non-literal paths)
+    "ch_unbin": (_map1(_unbin), "binary"),
     "ch_json_type": (_map2(_ch_json_type), "string"),
     "ch_json_array_raw": (_map2(_ch_json_array_raw), "array<string>"),
     "ch_farm_fingerprint64_ch": (

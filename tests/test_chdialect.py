@@ -3258,6 +3258,29 @@ def test_bin_byte_width(spark):
     assert r["c"] == "0000000100000000" and r["r"] == 64
 
 
+def test_unbin(spark):
+    """unbin (r9): inverse of bin — CH docs example, the left-pad rule
+    (bit counts need not be byte multiples, like unhex's odd-length
+    pad), the bin→unbin round trip, and NULL on non-binary digits
+    (where CH's result is implementation-defined)."""
+    from clickhouse_sinker_spark.functions.chudfs import _unbin, register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT unbin('001100000011000100110010') AS u,"
+        " unbin('1') AS pad, unbin(bin(toUInt8(49))) AS rt,"
+        " unbin('1x0') AS bad"
+    )
+    r = spark.sql(got).first()
+    assert r["u"] == "012" and r["rt"] == "1" and r["bad"] is None
+    assert r["pad"] == "\x01"
+    import random
+    rng = random.Random(11)
+    for _ in range(100):
+        b = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 16)))
+        assert _unbin("".join(format(x, "08b") for x in b)) == b
+
+
 def test_ascii_only_case_folding(spark):
     """CH lower()/upper() fold ASCII only; lowerUTF8/upperUTF8 are the
     Unicode forms (Spark's builtins are full-Unicode — a silent delta on
