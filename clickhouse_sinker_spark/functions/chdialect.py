@@ -161,6 +161,9 @@ idnaEncode/tryIdnaEncode/    UTS#46 nontransitional via the public
 idnaDecode(s)                idna reference package (r9)
 pointInPolygon((x,y), ring   even-odd ray casting, literal rings,
  [, hole…])                  holes XOR (r9; CH docs example pinned)
+arrayNormalizedGini(p, l)    published normalized Gini: exact-rational
+                             cumulative-share folds, rounded once
+                             (tuple of pred/ideal/normalized)
 arrayAUC(scores, labels)     tie-averaged rank-sum ROC area (r9; CH
                              docs example 0.75; ties count half)
 arraySplit/arrayReverse-     consecutive-group splitting, pure JVM
@@ -830,7 +833,6 @@ _UNSUPPORTED = {
     "randomPrintableASCII",
     "randomFixedString",
     "fuzzBits",
-    "arrayNormalizedGini",
     "kostikConsistentHash",  # Yandex sumbur algorithm: no public pinnable
                              # reference implementation in this environment
     "xxh3",
@@ -2848,6 +2850,20 @@ def _translate_functions(sql: str) -> str:
             else _refuse(
                 "arrayAUC(scores, labels) — the optional 3rd 'scale'"
                 " argument is CH-version-sensitive and stays refused")),
+    )
+    # arrayNormalizedGini: the published normalized Gini (labels sorted
+    # by prediction desc, cumulative-share sum); CH docs example
+    # (13/72, 19/72, 13/19) re-derives EXACTLY from the published
+    # formula — chudfs note.  One UDF call, let-bound to the CH tuple
+    # shape via the single-element transform idiom.
+    sql = _rewrite_calls(
+        sql, "arrayNormalizedGini",
+        lambda a: (
+            "element_at(transform(array("
+            f"ch_array_normalized_gini({a[0]}, {a[1]})), __gn ->"
+            " named_struct('_1', __gn[0], '_2', __gn[1], '_3', __gn[2])"
+            "), 1)" if len(a) == 2
+            else _refuse("arrayNormalizedGini takes (predicted, label)")),
     )
     sql = _rewrite_calls(
         sql, "minSampleSizeConversion", _min_sample_size("conversion"))

@@ -868,6 +868,59 @@ def _ch_array_auc(scores, labels):
     return (rpos - m * (m + 1) / 2.0) / (m * n)
 
 
+def _ch_array_normalized_gini(pred, labels):
+    """CH ``arrayNormalizedGini(predicted, label)`` — the published
+    normalized Gini coefficient (the Kaggle/actuarial definition):
+    sort labels by prediction DESCENDING, gini = (Σ cumulative-label
+    share − (n+1)/2) / n; ideal gini uses the labels themselves sorted
+    descending; normalized = ratio.  Returns [gini_pred, gini_ideal,
+    normalized].  The CH docs example ([0.9, 0.3, 0.8, 0.7],
+    [6, 1, 0, 2]) → (13/72, 19/72, 13/19) reproduces from this
+    published formula — the rational VALUES are confirmed; the exact
+    float tail depends on CH's internal summation order, so this
+    implementation computes exact rationals and rounds ONCE (correctly
+    rounded; a ≤1-ulp divergence from CH's float fold is the documented
+    residual, absorbed by the oracle's 12-digit rounding).  Ties in
+    predictions are ordered by original index here (CH's sort leaves
+    equal-prediction order unspecified — documented residual on tied
+    inputs).  Degenerate inputs (empty, NULL elements, zero label
+    total, zero ideal gini) → NULL."""
+    p, lab = list(pred), list(labels)
+    if len(p) != len(lab):
+        raise ValueError("arrayNormalizedGini: arrays differ in size")
+    n = len(p)
+    if n == 0 or any(v is None for v in p) or any(v is None for v in lab):
+        return None
+    # exact rational arithmetic, converted to float ONCE per output —
+    # a float fold's last-ulp drift depends on operation order (e.g.
+    # 32/9 − 5/2 vs 19/72 differ in the final bit); the correctly
+    # rounded exact value reproduces the CH docs literals
+    from fractions import Fraction
+
+    lab_f = [Fraction(v) for v in lab]
+    total = sum(lab_f)
+    if total == 0:
+        return None
+    half = Fraction(n + 1, 2)
+    order = sorted(range(n), key=lambda i: (-p[i], i))
+    cum = Fraction(0)
+    s = Fraction(0)
+    for i in order:
+        cum += lab_f[i]
+        s += cum
+    gini_pred = (s / total - half) / n
+    cum = Fraction(0)
+    s2 = Fraction(0)
+    for v in sorted(lab_f, reverse=True):
+        cum += v
+        s2 += cum
+    gini_ideal = (s2 / total - half) / n
+    if gini_ideal == 0:
+        return None
+    return [float(gini_pred), float(gini_ideal),
+            float(gini_pred / gini_ideal)]
+
+
 def _ch_anova(pairs):
     """CH ``analysisOfVariance(value, group_index)`` — one-way ANOVA
     over (v, g) pairs: F = (SSB/(k−1)) / (SSW/(N−k)), p via the exact
@@ -1758,6 +1811,9 @@ _UDF_SPECS = {
         "int",
     ),
     "ch_array_auc": (_map2(_ch_array_auc), "double"),
+    "ch_array_normalized_gini": (
+        _map2(_ch_array_normalized_gini), "array<double>",
+    ),
     "ch_bit_slice": (
         lambda s1, s2, s3: pd.Series([
             None if b is None or o is None

@@ -6038,7 +6038,13 @@ CH_DIALECT_AUC = """
     SELECT vec_id,
            arrayAUC(arraySlice(embedding, 1, 16),
                     [0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1])
-               AS auc
+               AS auc,
+           round(tupleElement(arrayNormalizedGini(
+               arraySlice(embedding, 1, 8),
+               [3, 1, 4, 1, 5, 9, 2, 6]), 1), 6) AS gini,
+           round(tupleElement(arrayNormalizedGini(
+               arraySlice(embedding, 1, 8),
+               [3, 1, 4, 1, 5, 9, 2, 6]), 3), 6) AS gini_norm
     FROM embeddings
     ORDER BY vec_id
 """
@@ -6067,8 +6073,36 @@ CH_DIALECT_AUC = """
     )
     SELECT vec_id,
            CASE WHEN m = 0 OR n = 0 THEN NULL
-                ELSE (rpos - m * (m + 1) / 2.0) / (m * n) END AS auc
-    FROM a ORDER BY vec_id
+                ELSE (rpos - m * (m + 1) / 2.0) / (m * n) END AS auc,
+           g.gini AS gini, g.gini_norm AS gini_norm
+    FROM a
+    JOIN (
+      WITH gp AS (
+        SELECT vec_id, unnest(embedding[1:8]) AS p,
+               unnest([3, 1, 4, 1, 5, 9, 2, 6]) AS lb
+        FROM embeddings
+      ),
+      rk AS (
+        SELECT vec_id, lb,
+               row_number() OVER (PARTITION BY vec_id ORDER BY p DESC) AS rp,
+               row_number() OVER (PARTITION BY vec_id ORDER BY lb DESC) AS ri
+        FROM gp
+      ),
+      sums AS (
+        SELECT vec_id,
+               SUM(lb * (8 - rp + 1)) AS s_pred,
+               SUM(lb * (8 - ri + 1)) AS s_ideal,
+               SUM(lb) AS tot
+        FROM rk GROUP BY vec_id
+      )
+      SELECT vec_id,
+             round((CAST(s_pred AS DOUBLE) / tot - 4.5) / 8, 6) AS gini,
+             round(((CAST(s_pred AS DOUBLE) / tot - 4.5) / 8)
+                   / ((CAST(s_ideal AS DOUBLE) / tot - 4.5) / 8), 6)
+               AS gini_norm
+      FROM sums
+    ) g USING (vec_id)
+    ORDER BY vec_id
     """,
 )
 def ch_dialect_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6080,8 +6114,14 @@ def ch_dialect_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the AUC from tie-averaged WINDOW ranks over unnested
     (score, label) pairs — fully independent of the sorted fold.
     m = n = 8 here, so every AUC is an exact /64 double: both engines
-    produce bit-identical values with NO rounding.  Scale: per-row
-    scalar over one ArrowEvalPython, zero shuffles beyond the sort."""
+    produce bit-identical values with NO rounding.  Late-r9 adds
+    arrayNormalizedGini columns: the oracle re-derives both ginis from
+    window row_numbers via Σcum_i = Σ lab_j·(n−pos_j+1), rounded to 6
+    digits on both sides (the UDF rounds exact rationals ONCE — CH's
+    internal float fold may differ in the last ulp, chudfs note; the
+    embedding predictions are continuous so the unspecified-tie-order
+    residual cannot trigger).  Scale: per-row scalars over one
+    ArrowEvalPython, zero shuffles beyond the sort."""
     from ..functions.chdialect import ch_sql
 
     return ch_sql(spark, CH_DIALECT_AUC, sf_dir)

@@ -2765,6 +2765,38 @@ def test_tranche2_passthrough_sweep(spark):
             translate_ch_sql(bad)
 
 
+def test_array_normalized_gini(spark):
+    """arrayNormalizedGini (r9): the published normalized Gini — the CH
+    docs example reduces to the exact rationals (13/72, 19/72, 13/19),
+    re-derived independently from the formula (labels by prediction
+    desc, cumulative shares).  The UDF computes exact rationals and
+    rounds once; CH's float fold may differ in the final ulp (chudfs
+    note), so the pins compare at 1e-15."""
+    from fractions import Fraction
+
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ch_array_normalized_gini, register_ch_udfs,
+    )
+
+    g = _ch_array_normalized_gini([0.9, 0.3, 0.8, 0.7], [6, 1, 0, 2])
+    assert g == [float(Fraction(13, 72)), float(Fraction(19, 72)),
+                 float(Fraction(13, 19))]
+    # degenerate gates
+    assert _ch_array_normalized_gini([], []) is None
+    assert _ch_array_normalized_gini([0.5, 0.4], [0, 0]) is None
+    assert _ch_array_normalized_gini([0.5, 0.4], [1, None]) is None
+    # perfect ranking normalizes to 1, anti-ranking to -1
+    perfect = _ch_array_normalized_gini([0.9, 0.5, 0.1], [5, 3, 1])
+    assert abs(perfect[2] - 1.0) < 1e-15
+    anti = _ch_array_normalized_gini([0.1, 0.5, 0.9], [5, 3, 1])
+    assert abs(anti[2] + 1.0) < 1e-15
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT arrayNormalizedGini([0.9, 0.3, 0.8, 0.7], [6, 1, 0, 2]) AS g")
+    r = spark.sql(got).first()
+    assert (r["g"]["_1"], r["g"]["_2"], r["g"]["_3"]) == tuple(g)
+
+
 def test_tuple_arithmetic(spark):
     """r9 tuple-arithmetic closure — every CH docs tuple-functions
     example reproduced; translatable exactly when the tuple arity is
