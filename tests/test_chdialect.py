@@ -3970,6 +3970,31 @@ def test_array_auc(spark):
         translate_ch_sql("SELECT arrayAUC(s, l, false) FROM t")
 
 
+def test_gini_auc_identity():
+    """Cross-implementation proof: for binary labels with tie-free
+    predictions, normalized Gini == 2·AUC − 1 (the published identity).
+    arrayAUC is docs-pinned + brute-force-pair-checked independently;
+    arrayNormalizedGini agreeing to machine precision over random
+    inputs pins the gini fold through a fully independent code path."""
+    import random
+
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ch_array_auc, _ch_array_normalized_gini)
+
+    rng = random.Random(42)
+    checked = 0
+    while checked < 200:
+        n = rng.randrange(3, 30)
+        p = [x / 1000.0 for x in rng.sample(range(1000), n)]
+        lab = [rng.randrange(2) for _ in range(n)]
+        if sum(lab) in (0, n):
+            continue
+        g = _ch_array_normalized_gini(p, lab)
+        auc = _ch_array_auc(p, lab)
+        assert abs(g[2] - (2 * auc - 1)) < 1e-12
+        checked += 1
+
+
 def test_point_in_polygon(spark):
     """pointInPolygon (r9): even-odd ray casting, pure JVM.  Pinned to
     the CH docs example ((3,3) in the (6,0)(8,4)(5,8)(0,2) quad = 1);
