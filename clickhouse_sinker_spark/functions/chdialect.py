@@ -275,6 +275,10 @@ splitByRegexp(re, s)         split(s, re)
 arrayCompact/CumSum/Reduce/  filter-with-index / fold-append / named
 Resize/Intersect/WithConst   aggregate subset / slice-or-pad / n-ary
                              array_intersect / array_repeat
+arrayReduceInRanges('agg',   literal (start, len) pairs → per-range
+ [(s, l)…], arr)             slice folds (empty-safe sum/count/avg
+                             only; min/max/any refuse — CH's empty
+                             default is 0 where Spark yields NULL)
 sumArray/minArray/maxArray/  per-row array fold composed with the row
 countArray/avgArray          aggregate (try_divide for avg)
 groupArray(N)(x)             slice(collect_list(x), 1, N)
@@ -825,7 +829,6 @@ _UNSUPPORTED = {
     "lemmatize",
     "stem",
     "synonyms",
-    "arrayReduceInRanges",
     "generateULID",          # nondeterministic generators
     "crc64",                 # CH polynomial differs from crc32's
     "cityHash128",
@@ -4837,6 +4840,7 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "arrayCompact", _array_compact)
     sql = _rewrite_calls(sql, "arrayResize", _array_resize)
     sql = _rewrite_calls(sql, "arrayCumSum", _array_cumsum)
+    sql = _rewrite_calls(sql, "arrayReduceInRanges", _array_reduce_in_ranges)
     sql = _rewrite_calls(sql, "arrayReduce", _array_reduce)
     for ch, dec in [("toDecimal32", 9), ("toDecimal64", 18), ("toDecimal128", 38)]:
         sql = _rewrite_calls(
@@ -5321,6 +5325,60 @@ def _array_reduce(a: list[str]) -> str:
             f"(supported: {sorted(_ARRAY_REDUCE_FNS)})"
         )
     return _bind_arr(a[1], fn)
+
+
+def _array_reduce_in_ranges(a: list[str]) -> str:
+    """arrayReduceInRanges('agg', ranges, arr) → per-range reductions
+    over 1-based (start, length) slices (CH docs:
+    arrayReduceInRanges('sum', [(1, 5), (3, 2)], [1, 2, 3, 4, 5]) =
+    [15, 7]).  Spark's slice() clips at the array end exactly like CH's
+    range clamp.  Only the EMPTY-RANGE-SAFE aggregates translate — sum
+    and count reduce an empty slice to 0 and avg to NaN in BOTH engines;
+    min/max/any over an empty range return ClickHouse's numeric-type
+    DEFAULT (0) where Spark yields NULL, so those refuse rather than
+    silently diverge."""
+    if len(a) != 3:
+        raise ChTranslationError(
+            "arrayReduceInRanges takes ('agg', ranges, array)")
+    name = a[0].strip().strip("'").lower()
+    if name not in ("sum", "count", "avg"):
+        raise ChTranslationError(
+            f"arrayReduceInRanges aggregate {name!r} unsupported — an"
+            " EMPTY range reduces to the aggregate's CH type default"
+            " (0) which Spark's min/max/any render as NULL; only the"
+            " empty-safe sum/count/avg translate"
+        )
+    fn = _ARRAY_REDUCE_FNS[name]
+    ranges, arr = a[1].strip(), a[2].strip()
+    # the ranges must be a LITERAL [(start, len), ...] at SQL-text level
+    # (the bracket pass has already spelled it array(...)): each pair
+    # expands to its own slice — a ranges COLUMN of tuples has no
+    # text-level arity and its struct field names depend on how it was
+    # produced, so it refuses
+    m = re.match(r"array\s*\(", ranges)
+    if not (m and ranges.endswith(")")
+            and _balanced(ranges, m.end() - 1) == len(ranges)):
+        raise ChTranslationError(
+            "arrayReduceInRanges needs a literal [(start, len), ...]"
+            " ranges argument at SQL-text level"
+        )
+    pairs = []
+    for elem in _split_args(ranges[m.end():-1]):
+        pe = _tuple_text_elems(elem)
+        if pe is None or len(pe) != 2:
+            raise ChTranslationError(
+                "arrayReduceInRanges: every range must be a literal"
+                " (start, length) pair"
+            )
+        pairs.append(pe)
+    slices = ", ".join(
+        fn(f"slice(__arr, CAST({s} AS INT), CAST({ln} AS INT))")
+        for s, ln in pairs
+    )
+    return (
+        f"element_at(transform(array({arr}), __arr -> "
+        f"array({slices})), 1)"
+    )
 
 
 # dateName parts → (how to render as the String CH returns)

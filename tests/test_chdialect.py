@@ -1297,6 +1297,25 @@ def test_array_helpers_batch3(spark):
     with pytest.raises(ChTranslationError, match="unsupported"):
         translate_ch_sql("SELECT arrayReduce('quantile(0.5)', xs) FROM ah3")
 
+    # arrayReduceInRanges (r9): CH docs example + end-clipping + the
+    # empty-range 0-count; literal (start, len) pairs only; min/max/any
+    # refuse (empty-range CH default 0 vs Spark NULL)
+    got3, _ = translate_ch_sql(
+        "SELECT arrayReduceInRanges('sum', [(1, 5), (3, 2)],"
+        " [1, 2, 3, 4, 5]) AS s,"
+        " arrayReduceInRanges('count', [(2, 99), (9, 4)], [1, 2, 3]) AS c"
+        " FROM ah3"
+    )
+    r3 = spark.sql(got3).first()
+    assert r3["s"] == [15.0, 7.0] and r3["c"] == [2, 0]
+    for bad in (
+        "arrayReduceInRanges('min', [(1, 2)], xs)",
+        "arrayReduceInRanges('sum', rng, xs)",
+        "arrayReduceInRanges('sum', [(1, 2, 3)], xs)",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(f"SELECT {bad} FROM ah3")
+
 
 def test_calendar_map_geo_functions(spark):
     import datetime as dt
