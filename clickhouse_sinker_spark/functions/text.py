@@ -29,6 +29,7 @@ __all__ = [
     "script_counts",
     "script_char_count",
     "bpe_pretokens",
+    "bpe_train_merges",
     "winnow_fingerprints",
     "winnow_fingerprints_tokens",
     "STOPWORDS",
@@ -479,4 +480,85 @@ def chunk_spans(toks: Column | str, chunk: int = 128, overlap: int = 16) -> Colu
                 F.least(F.lit(chunk), n - s).cast("int").alias("n_tokens"),
             ),
         )
+    )
+
+
+def bpe_train_merges(df, text_col: str = "text", n_merges: int = 5):
+    """Learn the top-N byte-pair-encoding merges from a corpus IN-ENGINE
+    (Sennrich et al. 2016: repeatedly merge the most frequent adjacent
+    token pair) — the tokenizer-training step of an LLM data pipeline,
+    run as N pair-count aggregations over the word-frequency table.
+
+    Representation: each word is wrapped as ``\\x1F t \\x1F`` per token
+    (``\\x1Fa\\x1F\\x1Fb\\x1F…``), so applying a merge is a plain
+    left-to-right non-overlapping string ``replace()`` — the SAME
+    primitive DuckDB's replace() implements, giving the unrolled
+    relational oracle bit parity, including the canonical BPE handling
+    of runs ('aaa' merges to [aa, a]).  U+001F cannot collide: it is
+    stripped from input words first (documented).  Ties break
+    deterministically by (count DESC, left ASC, right ASC).
+
+    Scale: the word-frequency table (one shuffle over the corpus,
+    cached) is tiny relative to the corpus — Zipf's law — and each
+    merge iteration is one pair-count aggregation over it plus a 1-ROW
+    argmax collect (control plane, like kmeans_lloyd's seeds).  At
+    100 TB the corpus is touched ONCE; iterations run on the vocabulary.
+
+    Returns a DataFrame (rank, l, r, c) of the merges in order.
+    """
+    sep = "\x1f"
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .select(F.regexp_replace("w", sep, "").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    base = words.select(
+        F.regexp_replace(F.col("w"), "(.)", sep + "$1" + sep).alias("s"),
+        "cnt",
+    ).persist()
+    cur = base
+    spark = df.sparkSession
+    merges = []
+    try:
+        for k in range(n_merges):
+            toks = F.split(
+                F.expr("substr(s, 2, length(s) - 2)"), sep + sep
+            )
+            pairs = (
+                cur.select("cnt", toks.alias("t"))
+                .filter(F.size("t") > 1)  # guards sequence() auto-descent
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(t) - 1), __i ->"
+                            " struct(element_at(t, __i) AS l,"
+                            " element_at(t, __i + 1) AS r))"
+                        )
+                    ).alias("p"),
+                )
+            )
+            best = (
+                pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append((k + 1, b["l"], b["r"], int(b["c"])))
+            pat = sep + b["l"] + sep + sep + b["r"] + sep
+            rep = sep + b["l"] + b["r"] + sep
+            cur = cur.select(
+                F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
+                "cnt",
+            )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, l string, r string, c bigint"
     )

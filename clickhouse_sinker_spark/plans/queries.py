@@ -8324,6 +8324,74 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_near_dup(em, "embedding", "vec_id")
 
 
+_BPE_ORACLE_HEAD = """
+    WITH words AS MATERIALIZED (
+      SELECT replace(w, chr(31), '') AS w, count(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE length(replace(w, chr(31), '')) > 0
+      GROUP BY 1
+    ),
+    w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s,
+             cnt
+      FROM words
+    )
+"""
+
+_BPE_ORACLE_ITER = """
+    , p{k} AS MATERIALIZED (
+      SELECT t[i] AS l, t[i+1] AS r, SUM(cnt) AS c
+      FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+                                chr(31) || chr(31)) AS t, cnt
+            FROM w{k}),
+           LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    w{k1} AS MATERIALIZED (
+      SELECT replace(s,
+          chr(31) || (SELECT l FROM b{k}) || chr(31) || chr(31)
+                  || (SELECT r FROM b{k}) || chr(31),
+          chr(31) || (SELECT l FROM b{k}) || (SELECT r FROM b{k})
+                  || chr(31)) AS s, cnt
+      FROM w{k}
+    )
+"""
+
+_BPE_ORACLE = (
+    _BPE_ORACLE_HEAD
+    + "".join(_BPE_ORACLE_ITER.format(k=k, k1=k + 1) for k in range(5))
+    + """
+    SELECT * FROM (
+      SELECT 1 AS rank, l, r, CAST(c AS BIGINT) AS c FROM b0
+      UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM b1
+      UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM b2
+      UNION ALL SELECT 4, l, r, CAST(c AS BIGINT) FROM b3
+      UNION ALL SELECT 5, l, r, CAST(c AS BIGINT) FROM b4
+    ) ORDER BY rank
+    """
+)
+
+
+@query("pipeline_bpe_train_merges", _BPE_ORACLE)
+def pipeline_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer training (Sennrich et al. 2016) — learn
+    the corpus's top-5 merges: N pair-count aggregations over the
+    cached word-frequency table with a 1-row argmax collect per merge
+    (control plane, the kmeans_lloyd precedent).  The oracle UNROLLS
+    all 5 iterations relationally in DuckDB — same \\x1F-wrapped token
+    representation, same left-to-right non-overlapping replace()
+    primitive, same (count DESC, pair ASC) tiebreak — so the entire
+    iterative algorithm is replayed independently.  Scale: the corpus
+    is read once into the Zipf-small vocabulary; merges iterate on the
+    vocabulary only (functions/text.py:bpe_train_merges)."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import bpe_train_merges
+
+    return bpe_train_merges(d, "text", 5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #
@@ -8338,10 +8406,11 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 10 round-9 additions (association/power-analysis tail, arrayAUC,
+# 1. The 11 round-9 additions (association/power-analysis tail, arrayAUC,
 #    pointInPolygon, IDNA, ngram similarity, time-decay window forms,
 #    arraySplit, keyed-SipHash family, tuple arithmetic, SRP-LSH
-#    embedding near-dup) — first-time hashes.
+#    embedding near-dup, in-engine BPE merge training) — first-time
+#    hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
@@ -8349,8 +8418,9 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
 # 4. Oldest r6-latest greens to fill the window (dedup_incremental_minhash,
-#    knn_range_search and emb_quantize_int8 dropped from the tail this
-#    round; oldest next round with the rest of the r6 block).
+#    knn_range_search, emb_quantize_int8 and window_range_trailing_hour
+#    dropped from the tail this round; oldest next round with the rest
+#    of the r6 block).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -8358,6 +8428,7 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
+    "pipeline_bpe_train_merges",
     "dedup_embedding_srp",
     "ch_dialect_tuple_arith",
     "ch_dialect_siphash_keyed",
@@ -8410,7 +8481,6 @@ DRIVER_ORDER: list[str] = [
     # --- oldest r6-latest greens ---
     "ts_ohlc_hourly",
     "ts_counter_increase",
-    "window_range_trailing_hour",
 ]
 
 DRIVER_WINDOW = 50

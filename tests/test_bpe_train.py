@@ -1,0 +1,49 @@
+"""In-engine BPE merge training (functions/text.py:bpe_train_merges) —
+hand-model pins: known merge sequence on a crafted corpus, the
+canonical left-to-right run handling ('aaaa' → [aa, aa]), the
+(count DESC, pair ASC) tiebreak, and U+001F stripping."""
+
+from clickhouse_sinker_spark.functions.text import bpe_train_merges
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame([(t,) for t in rows], "text string")
+
+
+def test_bpe_known_merges(spark):
+    # 'abab' x3, 'ab' x2  →  merge 1: (a,b) count 3*2+2 = 8;
+    # then words are [ab,ab]x3 + [ab]x2 → merge 2: (ab,ab) count 3
+    df = _corpus(spark, ["abab abab abab ab ab"])
+    got = [(r["rank"], r["l"], r["r"], r["c"])
+           for r in bpe_train_merges(df, "text", 2).collect()]
+    assert got == [(1, "a", "b", 8), (2, "ab", "ab", 3)]
+
+
+def test_bpe_run_handling_left_to_right():
+    # covered via Spark in test_bpe_known_merges; the run semantics pin:
+    # 'aaaa' has 3 (a,a) pairs; after merging (a,a) left-to-right the
+    # word is [aa, aa] so the next pair is (aa, aa) — NOT (a, aa)
+    pass
+
+
+def test_bpe_runs_and_tiebreak(spark):
+    # 'aaaa': pairs (a,a) x3 → merge 1 (a,a); left-to-right merge gives
+    # [aa, aa] → merge 2 is (aa, aa) with count 1
+    df = _corpus(spark, ["aaaa"])
+    got = [(r["rank"], r["l"], r["r"], r["c"])
+           for r in bpe_train_merges(df, "text", 2).collect()]
+    assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+    # tie: 'xy' and 'pq' both count 2 → lexicographically smaller pair
+    # ('p','q') wins
+    df2 = _corpus(spark, ["xy pq xy pq"])
+    got2 = [(r["l"], r["r"], r["c"])
+            for r in bpe_train_merges(df2, "text", 1).collect()]
+    assert got2 == [("p", "q", 2)]
+
+
+def test_bpe_separator_stripped(spark):
+    # U+001F inside input words is stripped before wrapping (documented)
+    df = _corpus(spark, ["a\x1fb a\x1fb"])
+    got = [(r["l"], r["r"], r["c"])
+           for r in bpe_train_merges(df, "text", 1).collect()]
+    assert got == [("a", "b", 2)]
