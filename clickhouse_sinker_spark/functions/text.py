@@ -30,6 +30,7 @@ __all__ = [
     "script_char_count",
     "bpe_pretokens",
     "bpe_train_merges",
+    "textrank_keywords",
     "winnow_fingerprints",
     "winnow_fingerprints_tokens",
     "STOPWORDS",
@@ -562,3 +563,81 @@ def bpe_train_merges(df, text_col: str = "text", n_merges: int = 5):
     return spark.createDataFrame(
         merges, "rank int, l string, r string, c bigint"
     )
+
+
+def textrank_keywords(df, text_col: str = "text", iterations: int = 3, top_k: int = 20):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    over the word co-occurrence graph (adjacent-token edges, both
+    directions, weighted by corpus count), the classic unsupervised
+    corpus-keyword scorer for a training-data pipeline.
+
+    EXACT fixed-point arithmetic: ranks live in integer micro-units
+    (1.0 = 1_000_000) and each contribution is the integer floor
+    division ``(pr·w·85) DIV (wdeg·100)`` — the TextRank damping 0.85
+    with NO floating point anywhere, so the unrolled relational oracle
+    reproduces every score bit-exactly (floor truncation of the tail is
+    the documented fixed-point semantics; all quantities positive, so
+    Spark's truncating DIV == DuckDB's flooring //).  TextRank's
+    original un-normalized form: pr' = (1−d) + d·Σ pr(u)·w(u,v)/wdeg(u),
+    dangling words keep the base 150_000.
+
+    Scale: pairs come from per-document array transforms (ZERO shuffle
+    before the edge groupBy); each of the K iterations is one join +
+    one aggregation on (src/dst) keys — the standard relational
+    PageRank; edges/degrees are cached once.  No driver-side collect.
+    """
+    arr = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+    )
+    pairs = (
+        df.select(arr.alias("t"))
+        .filter(F.size("t") > 1)  # guards sequence() auto-descent
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), __i ->"
+                    " struct(element_at(t, __i) AS src,"
+                    " element_at(t, __i + 1) AS dst))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    nodes = (
+        df.select(F.explode(arr).alias("word")).distinct().persist()
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    pr = nodes.select("word", F.lit(1000000).cast("bigint").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["word"])
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.expr("(pr * w * 85) DIV (wdeg * 100)").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(summed, nodes["word"] == summed["dst"], "left")
+            .select(
+                "word",
+                (F.lit(150000) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("bigint")
+                .alias("pr"),
+            )
+        )
+    out = (
+        pr.orderBy(F.col("pr").desc(), F.col("word").asc())
+        .limit(top_k)
+        .select("word", F.col("pr").alias("score"))
+    )
+    return out

@@ -8392,6 +8392,82 @@ def pipeline_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(d, "text", 5)
 
 
+_TEXTRANK_ORACLE = """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, t, i
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t,
+                   generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS i
+            FROM documents)
+      WHERE length(t) > 0
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT a.t AS src, b.t AS dst
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.t <> b.t
+        UNION ALL
+        SELECT b.t, a.t
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.t <> b.t
+      ) GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT t AS word FROM toks),
+    deg AS MATERIALIZED (SELECT src, SUM(w) AS wdeg FROM edges GROUP BY 1),
+    pr0 AS MATERIALIZED (
+      SELECT word, CAST(1000000 AS BIGINT) AS pr FROM nodes)
+    , pr1 AS MATERIALIZED (
+      SELECT n.word,
+             CAST(150000 + coalesce(SUM((p.pr * e.w * 85) // (d.wdeg * 100)), 0)
+                  AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.word
+      LEFT JOIN pr0 p ON p.word = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.word
+    )
+    , pr2 AS MATERIALIZED (
+      SELECT n.word,
+             CAST(150000 + coalesce(SUM((p.pr * e.w * 85) // (d.wdeg * 100)), 0)
+                  AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.word
+      LEFT JOIN pr1 p ON p.word = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.word
+    )
+    , pr3 AS MATERIALIZED (
+      SELECT n.word,
+             CAST(150000 + coalesce(SUM((p.pr * e.w * 85) // (d.wdeg * 100)), 0)
+                  AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.word
+      LEFT JOIN pr2 p ON p.word = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.word
+    )
+    SELECT word, pr AS score FROM pr3 ORDER BY pr DESC, word ASC LIMIT 20
+"""
+
+
+@query("text_pagerank_keywords", _TEXTRANK_ORACLE)
+def text_pagerank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): weighted
+    PageRank over the adjacent-word co-occurrence graph in EXACT
+    integer fixed-point micro-units — damping 0.85 as the floor
+    division (pr·w·85) DIV (wdeg·100), no floating point anywhere, so
+    the DuckDB oracle's 3 unrolled iterations reproduce every score
+    bit-exactly (all quantities positive: Spark's truncating DIV ==
+    DuckDB's flooring //).  Scale: per-document array transforms build
+    pairs with zero shuffle; each iteration is one (src) join + one
+    (dst) aggregation — relational PageRank, the Common-Crawl-style
+    graph-quality-signal shape; no driver collect
+    (functions/text.py:textrank_keywords)."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import textrank_keywords
+
+    return textrank_keywords(d, "text", iterations=3, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #
@@ -8406,11 +8482,11 @@ def pipeline_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 11 round-9 additions (association/power-analysis tail, arrayAUC,
+# 1. The 12 round-9 additions (association/power-analysis tail, arrayAUC,
 #    pointInPolygon, IDNA, ngram similarity, time-decay window forms,
 #    arraySplit, keyed-SipHash family, tuple arithmetic, SRP-LSH
-#    embedding near-dup, in-engine BPE merge training) — first-time
-#    hashes.
+#    embedding near-dup, in-engine BPE merge training, fixed-point
+#    TextRank keywords) — first-time hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
@@ -8418,9 +8494,9 @@ def pipeline_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
 # 4. Oldest r6-latest greens to fill the window (dedup_incremental_minhash,
-#    knn_range_search, emb_quantize_int8 and window_range_trailing_hour
-#    dropped from the tail this round; oldest next round with the rest
-#    of the r6 block).
+#    knn_range_search, emb_quantize_int8, window_range_trailing_hour and
+#    ts_counter_increase dropped from the tail this round; oldest next
+#    round with the rest of the r6 block).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -8428,6 +8504,7 @@ def pipeline_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
+    "text_pagerank_keywords",
     "pipeline_bpe_train_merges",
     "dedup_embedding_srp",
     "ch_dialect_tuple_arith",
@@ -8480,7 +8557,6 @@ DRIVER_ORDER: list[str] = [
     "mm_binary_meta",
     # --- oldest r6-latest greens ---
     "ts_ohlc_hourly",
-    "ts_counter_increase",
 ]
 
 DRIVER_WINDOW = 50
