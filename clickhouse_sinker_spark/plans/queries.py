@@ -8468,6 +8468,82 @@ def text_pagerank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, "text", iterations=3, top_k=20)
 
 
+@query(
+    "corpus_zipf_stats",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT t FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
+                     FROM documents)
+      WHERE length(t) > 0
+    ),
+    freq AS MATERIALIZED (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t ASC) AS rn
+      FROM freq
+    ),
+    agg AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_count,
+             CAST(MAX(cnt) AS BIGINT) AS f1
+      FROM freq
+    )
+    SELECT total_tokens, vocab_size, hapax_count,
+           round(CAST(f1 AS DOUBLE) / total_tokens, 6) AS top1_share,
+           round(CAST(vocab_size AS DOUBLE) / total_tokens, 6) AS ttr,
+           round(CAST(f1 AS DOUBLE)
+                 / (SELECT cnt FROM ranked WHERE rn = 10), 6) AS zipf_f1_f10
+    FROM agg
+    """,
+)
+def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary diagnostics — the Zipf/Heaps report a
+    training-data pipeline prints per snapshot: total tokens, vocabulary
+    size, hapax-legomenon count, top-1 token share, type-token ratio,
+    and the rank-1/rank-10 Zipf frequency ratio (≈10 under Zipf's law;
+    log-free so no transcendental parity risk).  Integer counts
+    throughout; the three ratios are single exact-int divisions rounded
+    to 6 digits on both engines.  Rank ties break by word.  Scale: one
+    token-count shuffle over the corpus; rank-10 comes from a
+    distributed TakeOrdered top-k over the vocabulary (no global
+    single-partition sort)."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.col("text"), r"\s+"),
+                   lambda x: F.length(x) > 0)
+    freq = (
+        d.select(F.explode(arr).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # rank-10 frequency via TakeOrdered (distributed top-k), not a
+    # global single-partition window: min over the top-10 multiset IS
+    # the rank-10 value under the same ordering
+    f10 = (
+        freq.orderBy(F.col("cnt").desc(), F.col("t").asc())
+        .limit(10)
+        .agg(F.min("cnt").alias("f10"))
+    )
+    agg = freq.agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint").alias("hapax_count"),
+        F.max("cnt").cast("bigint").alias("f1"),
+    )
+    return agg.crossJoin(F.broadcast(f10)).select(
+        "total_tokens",
+        "vocab_size",
+        "hapax_count",
+        F.round(F.col("f1").cast("double") / F.col("total_tokens"), 6)
+        .alias("top1_share"),
+        F.round(F.col("vocab_size").cast("double") / F.col("total_tokens"), 6)
+        .alias("ttr"),
+        F.round(F.col("f1").cast("double") / F.col("f10"), 6)
+        .alias("zipf_f1_f10"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #
@@ -8482,21 +8558,21 @@ def text_pagerank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 12 round-9 additions (association/power-analysis tail, arrayAUC,
+# 1. The 13 round-9 additions (association/power-analysis tail, arrayAUC,
 #    pointInPolygon, IDNA, ngram similarity, time-decay window forms,
 #    arraySplit, keyed-SipHash family, tuple arithmetic, SRP-LSH
 #    embedding near-dup, in-engine BPE merge training, fixed-point
-#    TextRank keywords) — first-time hashes.
+#    TextRank keywords, Zipf corpus diagnostics) — first-time hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. Oldest r6-latest greens to fill the window (dedup_incremental_minhash,
-#    knn_range_search, emb_quantize_int8, window_range_trailing_hour and
-#    ts_counter_increase dropped from the tail this round; oldest next
-#    round with the rest of the r6 block).
+# 4. The 13 new + 28 r05-tail + 9 anchors fill all 50 slots exactly; the
+#    whole r6-latest block (dedup_incremental_minhash, knn_range_search,
+#    emb_quantize_int8, window_range_trailing_hour, ts_counter_increase,
+#    ts_ohlc_hourly, …) is the oldest set next round.
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -8504,6 +8580,7 @@ def text_pagerank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
+    "corpus_zipf_stats",
     "text_pagerank_keywords",
     "pipeline_bpe_train_merges",
     "dedup_embedding_srp",
@@ -8555,8 +8632,6 @@ DRIVER_ORDER: list[str] = [
     "knn_cosine_topk",
     "ch_dialect_hourly_stats",
     "mm_binary_meta",
-    # --- oldest r6-latest greens ---
-    "ts_ohlc_hourly",
 ]
 
 DRIVER_WINDOW = 50
