@@ -119,6 +119,10 @@ farmFingerprint64(x)         farmhash PORTABLE Fingerprint64, bit-equal
                              to Guava's independent implementation
 javaHash/hiveHash(s)         JLS String.hashCode / sign-cleared form
 jumpConsistentHash(k, n)     Lamping-Veach published algorithm verbatim
+CRC32IEEE/CRC64(s)           CH's init-0 no-final-xor reflected CRCs
+                             (r9; fold machinery zlib/liblzma-proven —
+                             plain CRC32 passes through: Spark's builtin
+                             IS CH's zlib variant)
 byteSwap / bitRotate-        width-gated bit ops (to[U]IntN wrapper
 Left/Right(to[U]IntN(x)…)    supplies the wrap width)
 sumWithOverflow(to[U]IntN)   exact DECIMAL(38) sum reduced mod 2^bits
@@ -830,7 +834,6 @@ _UNSUPPORTED = {
     "stem",
     "synonyms",
     "generateULID",          # nondeterministic generators
-    "crc64",                 # CH polynomial differs from crc32's
     "cityHash128",
     "randomString",          # nondeterministic
     "randomPrintableASCII",
@@ -1828,6 +1831,25 @@ def _keyed_sip_fn(name: str, str_udf: str, int_udf: str, int_re: str):
     return rw
 
 
+def _crc_fn(name: str, udf: str):
+    """CRC32IEEE/CRC64 rewrite: CH's CRC functions accept String only
+    (the server throws an Illegal-type exception otherwise), so the
+    translation admits string-typed arguments and refuses the rest."""
+    def rw(a: list[str]) -> str:
+        if len(a) != 1:
+            raise ChTranslationError(f"{name} takes exactly 1 argument")
+        arg = a[0].strip()
+        if _stringish(arg):
+            return f"{udf}({arg})"
+        raise ChTranslationError(
+            f"{name} takes a String argument (ClickHouse throws on"
+            " non-string types) — only string-typed arguments (literal /"
+            " catalog-known string column / string function) translate;"
+            " wrap in toString() for string-bytes semantics"
+        )
+    return rw
+
+
 def _int_hash_fn(name: str, udf: str):
     """intHash32/intHash64 take an INTEGER argument (CH widens with
     static_cast<UInt64> — sign extension; the UDF applies the same
@@ -2467,6 +2489,19 @@ def _translate_functions(sql: str) -> str:
         _byte_hash_fn("xxHash32", "ch_xxhash32_ch", "ch_xxhash32_u32",
                       r"^to(U)?Int32\s*\("),
     )
+    # CRC family (case-insensitive in CH; common spellings covered).
+    # Plain CRC32 deliberately passes through: Spark's builtin crc32 IS
+    # the zlib variant CH's CRC32 uses.  CRC32IEEE/CRC64 are the init-0
+    # no-final-xor variants (src/Functions/CRC.cpp CRCImpl) — the old
+    # crc32IEEE → crc32 rename silently produced zlib values and is gone.
+    for _sp, _udf, _cn in (
+        ("CRC32IEEE", "ch_crc32_ieee", "CRC32IEEE"),
+        ("crc32IEEE", "ch_crc32_ieee", "CRC32IEEE"),
+        ("crc32ieee", "ch_crc32_ieee", "CRC32IEEE"),
+        ("CRC64", "ch_crc64", "CRC64"),
+        ("crc64", "ch_crc64", "CRC64"),
+    ):
+        sql = _rewrite_calls_raw(sql, _sp, _crc_fn(_cn, _udf))
     # r8 hash-family completion (verification basis in chudfs.py):
     # cityHash64 is CH's default Distributed sharding expression,
     # intHash32 the canonical SAMPLE BY hash.  Same typed-argument gate
@@ -4673,7 +4708,6 @@ def _translate_functions(sql: str) -> str:
             "stringCompare with offsets — slice with substring() first"
         ),
     )
-    sql = _rewrite_calls(sql, "crc32IEEE", lambda a: f"crc32({a[0]})")
     sql = _rewrite_calls(
         sql, "formatReadableDecimalSize",
         lambda a: _format_readable(

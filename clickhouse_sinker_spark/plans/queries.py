@@ -8264,6 +8264,60 @@ def ch_dialect_tuple_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_TUPLE_ARITH, sf_dir)
 
 
+CH_DIALECT_CRC = """
+    SELECT n,
+           CRC32IEEE(toString(s)) AS c32ieee,
+           toString(CRC64(toString(s))) AS c64,
+           CRC32(toString(s)) AS c32
+    FROM (SELECT DISTINCT toUInt64(user_id % 10) AS n,
+                 concat('ev_', toString(user_id % 10)) AS s
+          FROM events)
+    ORDER BY n
+"""
+
+
+@query(
+    "ch_dialect_crc",
+    """
+    WITH d AS (SELECT DISTINCT user_id % 10 AS n FROM events),
+    v(n, c32ieee, c64, c32) AS (VALUES
+      (0, 1199465188, '5029669066159757512', 1715125752),
+      (1, 813257330, '17789981451905550247', 289246574),
+      (2, 2842690504, '12774687983323953299', 2285165780),
+      (3, 3732353886, '172970460418336764', 4281592898),
+      (4, 1075029757, '4475516841799075579', 1633122785),
+      (5, 924096107, '10174324684180494740', 374360439),
+      (6, 2921187281, '14598431993427846816', 2404980941),
+      (7, 3642423111, '8770267913720543695', 4166920283),
+      (8, 1235610326, '12857071427452904622', 1759589834),
+      (9, 1050860096, '90972397921958849', 535168348))
+    SELECT d.n AS n, v.c32ieee, v.c64, v.c32
+    FROM d JOIN v ON v.n = d.n
+    ORDER BY n
+    """,
+)
+def ch_dialect_crc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRC family (r9 refusal closure + silent-divergence FIX):
+    ``CRC32IEEE``/``CRC64`` are ClickHouse's init-0 no-final-xor
+    variants of the reflected 802.3 / ECMA-182 CRCs
+    (src/Functions/CRC.cpp CRCImpl) — the old ``crc32IEEE`` → Spark
+    ``crc32`` rename silently produced zlib values and is gone; plain
+    ``CRC32`` still passes through because Spark's builtin IS the zlib
+    variant CH uses there.  The table/fold machinery is proven bit-equal
+    to TWO independent C implementations over arbitrary inputs — system
+    zlib (binascii.crc32) and system liblzma (lzma_crc64, which also
+    reproduces the published CRC-64/XZ check value 0x995DC9BBDF1939FA)
+    — see tests/test_crc.py; the 0/0 init/xorout parameterization is
+    the documented residual-recall surface.  Oracle literals: c32 comes
+    from system zlib (fully independent of Spark's JVM crc32 — a real
+    cross-implementation check); c32ieee/c64 from the machinery-proven
+    implementations.  Scale: one DISTINCT shuffle over 10 groups, one
+    ArrowEvalPython batch, no joins."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_CRC, sf_dir)
+
+
 @query(
     "dedup_embedding_srp",
     """
@@ -8558,21 +8612,23 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 13 round-9 additions (association/power-analysis tail, arrayAUC,
-#    pointInPolygon, IDNA, ngram similarity, time-decay window forms,
-#    arraySplit, keyed-SipHash family, tuple arithmetic, SRP-LSH
-#    embedding near-dup, in-engine BPE merge training, fixed-point
-#    TextRank keywords, Zipf corpus diagnostics) — first-time hashes.
+# 1. The 14 round-9 additions (CRC family, association/power-analysis
+#    tail, arrayAUC, pointInPolygon, IDNA, ngram similarity, time-decay
+#    window forms, arraySplit, keyed-SipHash family, tuple arithmetic,
+#    SRP-LSH embedding near-dup, in-engine BPE merge training,
+#    fixed-point TextRank keywords, Zipf corpus diagnostics) —
+#    first-time hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. The 13 new + 28 r05-tail + 9 anchors fill all 50 slots exactly; the
-#    whole r6-latest block (dedup_incremental_minhash, knn_range_search,
-#    emb_quantize_int8, window_range_trailing_hour, ts_counter_increase,
-#    ts_ohlc_hourly, …) is the oldest set next round.
+# 4. The 14 new + 28 r05-tail + 9 anchors overfill the 50 slots by 1:
+#    mm_binary_meta (r07-latest, age 2) falls just outside the window
+#    and rotates back in r10 together with the r6-latest block
+#    (dedup_incremental_minhash, knn_range_search, emb_quantize_int8,
+#    window_range_trailing_hour, ts_counter_increase, ts_ohlc_hourly, …).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -8580,6 +8636,7 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
+    "ch_dialect_crc",
     "corpus_zipf_stats",
     "text_pagerank_keywords",
     "pipeline_bpe_train_merges",
