@@ -8319,6 +8319,196 @@ def ch_dialect_crc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+      FROM toks
+    ),
+    bg AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    cbg AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    cleft AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id,
+             (1000000 * cbg.c2) // cleft.c1 AS q
+      FROM bg JOIN cbg USING (w1, w2) JOIN cleft USING (w1)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(q) AS surprise_sum,
+           SUM(q) // COUNT(*) AS mean_cond_prob_q,
+           MIN(q) AS min_cond_prob_q
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine bigram language-model training + per-document scoring —
+    the CCNet/KenLM-style fluency signal a pretraining pipeline uses to
+    rank documents, computed entirely relationally: train (bigram counts
+    c(w1,w2) and left-context totals c(w1·) over the whole corpus), then
+    score every document instance by its fixed-point conditional MLE
+    probability q = (10^6·c(w1,w2)) div c(w1·) — exact BIGINT arithmetic
+    on both engines, so the usual log-space float-parity trap never
+    arises (CCNet's wikipedia-LM perplexity filter is the reference
+    shape; the monotone quantity is the same conditional-probability
+    mass).  Per doc: bigram count, total/mean/min fixed-point
+    conditional probability (low mean ⇒ incoherent token sequences, high
+    mean ⇒ repetitive/templated text — both are the tails a quality gate
+    cuts).  Scale: tokenization is a zero-shuffle map; the model is two
+    hash aggregations keyed by (w1,w2)/(w1) — corpus-vocabulary-sized,
+    NOT corpus-sized; scoring re-joins the instance stream on those same
+    keys (AQE picks broadcast when the model fits, shuffle-hash when
+    not) and the final per-doc rollup is one more hash agg.  No windows,
+    no Python, no driver materialization."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                   lambda x: F.length(x) > 0)
+    toks = d.select("doc_id", arr.alias("t"))
+    n = F.size(F.col("t"))
+    bg = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, n - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cleft = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cleft, ["w1"])
+        .select("doc_id", F.expr("(1000000 * c2) div c1").alias("q"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("surprise_sum"),
+            F.expr("sum(q) div count(1)").alias("mean_cond_prob_q"),
+            F.min("q").alias("min_cond_prob_q"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_lang_drift",
+    """
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> length(x) > 0)) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w),
+    tot AS (SELECT lang, SUM(c) AS n FROM cnt GROUP BY lang),
+    pq AS (
+      SELECT cnt.lang, cnt.w, (1000000000 * cnt.c) // tot.n AS q
+      FROM cnt JOIN tot USING (lang)
+    ),
+    s AS (SELECT lang, SUM(q) AS s_q, COUNT(*) AS vocab FROM pq GROUP BY lang),
+    pairterms AS (
+      SELECT a.lang AS l1, b.lang AS l2,
+             SUM(abs(a.q - b.q) - a.q - b.q) AS adj,
+             COUNT(*) AS shared_vocab
+      FROM pq a JOIN pq b ON a.w = b.w AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT s1.lang AS l1, s2.lang AS l2,
+           s1.s_q + s2.s_q + COALESCE(pairterms.adj, 0) AS tv2_q,
+           COALESCE(pairterms.shared_vocab, 0) AS shared_vocab,
+           s1.vocab AS vocab1, s2.vocab AS vocab2
+    FROM s s1 JOIN s s2 ON s1.lang < s2.lang
+    LEFT JOIN pairterms ON pairterms.l1 = s1.lang AND pairterms.l2 = s2.lang
+    ORDER BY l1, l2
+    """,
+)
+def corpus_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus slices — the report a
+    training-data pipeline runs when deciding mixing weights or
+    detecting a contaminated/shifted snapshot: for every pair of
+    language slices, (twice the fixed-point) total-variation distance
+    between their unigram distributions, Σ_w |p1(w) − p2(w)|, plus
+    shared/total vocabulary sizes.  Log-free by design (KL would drag
+    log() float parity into the hash gate): probabilities are exact
+    fixed-point integers q = (10^9·c(w,l)) div N_l, and the
+    union-of-vocab sum decomposes as S1 + S2 + Σ_shared(|q1−q2|−q1−q2)
+    so terms absent from one slice never need an outer join —
+    identical BIGINT arithmetic on both engines.  Scale: token count
+    is one vocab×langs-keyed hash agg; the pair expansion self-joins
+    the vocab-sized (not corpus-sized) frequency table on the term key
+    with per-term width bounded by the number of slices (5 langs → ≤10
+    pairs per term); slice totals broadcast.  For thousands of slices
+    you'd bucket the pair lattice — documented cap, not a shuffle
+    explosion."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                   lambda x: F.length(x) > 0)
+    toks = d.select("lang", F.explode(arr).alias("w"))
+    cnt = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("n"))
+    pq = (
+        cnt.join(F.broadcast(tot), "lang")
+        .select("lang", "w", F.expr("(1000000000 * c) div n").alias("q"))
+    )
+    s = pq.groupBy("lang").agg(
+        F.sum("q").alias("s_q"), F.count(F.lit(1)).alias("vocab")
+    )
+    a = pq.select(
+        F.col("lang").alias("l1"), F.col("w"), F.col("q").alias("q1")
+    )
+    b = pq.select(
+        F.col("lang").alias("l2"), F.col("w"), F.col("q").alias("q2")
+    )
+    both = (
+        a.join(b, ["w"])
+        .filter(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(
+            F.sum(
+                F.abs(F.col("q1") - F.col("q2")) - F.col("q1") - F.col("q2")
+            ).alias("adj"),
+            F.count(F.lit(1)).alias("shared_vocab"),
+        )
+    )
+    s1 = s.select(
+        F.col("lang").alias("l1"), F.col("s_q").alias("s1q"),
+        F.col("vocab").alias("vocab1"),
+    )
+    s2 = s.select(
+        F.col("lang").alias("l2"), F.col("s_q").alias("s2q"),
+        F.col("vocab").alias("vocab2"),
+    )
+    return (
+        s1.join(s2, s1.l1 < s2.l2)
+        .join(both, ["l1", "l2"], "left")
+        .select(
+            "l1", "l2",
+            (F.col("s1q") + F.col("s2q")
+             + F.coalesce(F.col("adj"), F.lit(0))).alias("tv2_q"),
+            F.coalesce(F.col("shared_vocab"), F.lit(0)).alias("shared_vocab"),
+            "vocab1", "vocab2",
+        )
+        .orderBy("l1", "l2")
+    )
+
+
+@query(
     "dedup_embedding_srp",
     """
     WITH q AS (
@@ -8612,23 +8802,24 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 14 round-9 additions (CRC family, association/power-analysis
-#    tail, arrayAUC, pointInPolygon, IDNA, ngram similarity, time-decay
-#    window forms, arraySplit, keyed-SipHash family, tuple arithmetic,
-#    SRP-LSH embedding near-dup, in-engine BPE merge training,
-#    fixed-point TextRank keywords, Zipf corpus diagnostics) —
-#    first-time hashes.
+# 1. The 16 round-9 additions (CRC family, bigram-LM document scoring,
+#    corpus lang-slice drift, association/power-analysis tail, arrayAUC,
+#    pointInPolygon, IDNA, ngram similarity, time-decay window forms,
+#    arraySplit, keyed-SipHash family, tuple arithmetic, SRP-LSH
+#    embedding near-dup, in-engine BPE merge training, fixed-point
+#    TextRank keywords, Zipf corpus diagnostics) — first-time hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. The 14 new + 28 r05-tail + 9 anchors overfill the 50 slots by 1:
-#    mm_binary_meta (r07-latest, age 2) falls just outside the window
-#    and rotates back in r10 together with the r6-latest block
-#    (dedup_incremental_minhash, knn_range_search, emb_quantize_int8,
-#    window_range_trailing_hour, ts_counter_increase, ts_ohlc_hourly, …).
+# 4. The 16 new + 28 r05-tail + 9 anchors overfill the 50 slots by 3:
+#    knn_cosine_topk, ch_dialect_hourly_stats, mm_binary_meta (all
+#    r07-latest, age 2) fall just outside the window and rotate back in
+#    r10 together with the r6-latest block (dedup_incremental_minhash,
+#    knn_range_search, emb_quantize_int8, window_range_trailing_hour,
+#    ts_counter_increase, ts_ohlc_hourly, …).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -8637,6 +8828,8 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
     "ch_dialect_crc",
+    "text_bigram_lm_score",
+    "corpus_lang_drift",
     "corpus_zipf_stats",
     "text_pagerank_keywords",
     "pipeline_bpe_train_merges",

@@ -655,3 +655,36 @@ def test_r9_dialect_plan_shapes(spark):
     # expressions in ONE Window node (detail lines "(n) Window")
     plan = plan_of(QUERIES["ch_dialect_decay_window"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+
+
+def test_crc_single_arrow_pass(spark):
+    """ch_dialect_crc: CRC32IEEE + CRC64 + native crc32 must ride ONE
+    ArrowEvalPython batch over the 10-group distinct (the native crc32
+    stays JVM-side) — one shuffle, no joins, no BatchEvalPython."""
+    plan = plan_of(QUERIES["ch_dialect_crc"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("+- ArrowEvalPython") == 1
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_bigram_lm_scale_shape(spark):
+    """text_bigram_lm_score: model training and scoring must be pure
+    JVM (zero Python), all joins equi-joins on the narrow (w1[, w2])
+    model keys — never cartesian — and the token explosion must not
+    re-shuffle the corpus more than the three hash aggregations +
+    two scoring joins need."""
+    plan = plan_of(QUERIES["text_bigram_lm_score"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_drift_scale_shape(spark):
+    """corpus_lang_drift: the pair expansion must self-join the
+    VOCAB-sized fixed-point frequency table on the term key (equi-join,
+    never cartesian), slice totals must broadcast, and everything is
+    pure JVM integer arithmetic."""
+    plan = plan_of(QUERIES["corpus_lang_drift"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
