@@ -101,6 +101,9 @@ halfMD5(x)                   first 8 MD5 bytes big-endian (Arrow UDF)
 sipHash64/xxHash64/32(x)     ch_* Arrow UDFs, CH-exact seed-0 bytes
                              (Spark's xxhash64 seeds with 42); typed
                              argument gate (string / to[U]IntN wrapper)
+xxh3(x)                      XXH3_64bits seed 0 (r9; algorithm AND
+                             default secret proven against system
+                             libxxhash — zero recall surface)
 cityHash64(x)                CityHash v1.0.2 as frozen by CH (r8; absl-
                              proven primitives, see chudfs note)
 murmurHash2_32/64(x)         MurmurHash2 / MurmurHash64A seed 0 (r8;
@@ -841,7 +844,6 @@ _UNSUPPORTED = {
     "fuzzBits",
     "kostikConsistentHash",  # Yandex sumbur algorithm: no public pinnable
                              # reference implementation in this environment
-    "xxh3",
     "wyHash64",
     "sumMapFilteredWithOverflow",
     "groupBitmapAnd",        # bitmap-state aggregates
@@ -2488,6 +2490,14 @@ def _translate_functions(sql: str) -> str:
         sql, "xxHash32",
         _byte_hash_fn("xxHash32", "ch_xxhash32_ch", "ch_xxhash32_u32",
                       r"^to(U)?Int32\s*\("),
+    )
+    # xxh3 = XXH3_64bits seed 0 (r9: former refusal; the algorithm AND
+    # the embedded default secret are both proven against the system
+    # libxxhash — zero recall surface, see chudfs XXH3 section)
+    sql = _rewrite_calls_raw(
+        sql, "xxh3",
+        _byte_hash_fn("xxh3", "ch_xxh3_ch", "ch_xxh3_u64",
+                      r"^to(U)?Int64\s*\("),
     )
     # CRC family (case-insensitive in CH; common spellings covered).
     # Plain CRC32 deliberately passes through: Spark's builtin crc32 IS

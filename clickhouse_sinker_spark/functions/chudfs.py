@@ -375,6 +375,153 @@ def _xxh32(data: bytes, seed: int = 0) -> int:
 
 
 # ---------------------------------------------------------------------------
+# XXH3 (CH ``xxh3`` = XXH3_64bits, seed 0, default secret).  ZERO
+# recall-only surface: the full algorithm below is proven bit-equal to
+# the system libxxhash's independent C implementation over arbitrary
+# (secret, input) pairs via XXH3_64bits_withSecret, and the default
+# 192-byte kSecret was EXTRACTED from that library's own .rodata (two
+# independent copies at different offsets, identical bytes; prefix
+# matches the published xxhash.h constant) then re-proven end-to-end
+# against XXH3_64bits across every length class — tests/test_chhashes.py
+# ::test_xxh3_*.
+# ---------------------------------------------------------------------------
+
+_XXH3_MX1 = 0x165667919E3779F9
+_XXH3_MX2 = 0x9FB21C651E98DF25
+_XXH3_KSECRET = bytes.fromhex(
+    "b8fe6c3923a44bbe7c01812cf721ad1cded46de9839097db7240a4a4b7b3671f"
+    "cb79e64eccc0e578825ad07dccff7221b8084674f743248ee03590e6813a264c"
+    "3c2852bb91c300cb88d0658b1b532ea371644897a20df94e3819ef46a9deacd8"
+    "a8fa763fe39c343ff9dcbbc7c70b4f1d8a51e04bcdb45931c89f7ec9d9787364"
+    "eac5ac8334d3ebc3c581a0fffa1363eb170ddd51b7f0da49d316552629d4689e"
+    "2b16be587d47a1fc8ff8b8d17ad031ce45cb3a8f95160428afd7fbcabb4b407e"
+)
+
+
+def _xxh3_r64(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o:o + 8], "little")
+
+
+def _xxh3_r32(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o:o + 4], "little")
+
+
+def _xxh3_swap64(x: int) -> int:
+    return int.from_bytes((x & _M64).to_bytes(8, "big"), "little")
+
+
+def _xxh3_fold64(a: int, b: int) -> int:
+    m = a * b
+    return ((m & _M64) ^ (m >> 64)) & _M64
+
+
+def _xxh3_av64(h: int) -> int:  # XXH64_avalanche
+    h = ((h ^ (h >> 33)) * _XXH64_P2) & _M64
+    h = ((h ^ (h >> 29)) * _XXH64_P3) & _M64
+    return h ^ (h >> 32)
+
+
+def _xxh3_av(h: int) -> int:  # XXH3_avalanche
+    h = ((h ^ (h >> 37)) * _XXH3_MX1) & _M64
+    return h ^ (h >> 32)
+
+
+def _xxh3_rrmxmx(h: int, n: int) -> int:
+    h ^= _rotl64(h, 49) ^ _rotl64(h, 24)
+    h = (h * _XXH3_MX2) & _M64
+    h = ((h ^ ((h >> 35) + n)) * _XXH3_MX2) & _M64
+    return h ^ (h >> 28)
+
+
+def _xxh3_mix16(data: bytes, io: int, sec: bytes, so: int) -> int:
+    return _xxh3_fold64(
+        _xxh3_r64(data, io) ^ _xxh3_r64(sec, so),
+        _xxh3_r64(data, io + 8) ^ _xxh3_r64(sec, so + 8),
+    )
+
+
+def _xxh3_64(data: bytes, secret: bytes = _XXH3_KSECRET) -> int:
+    """XXH3_64bits, seed 0 (the seed-0 short paths add/subtract a zero
+    seed, so it is elided; CH's ``xxh3`` calls exactly this form)."""
+    n = len(data)
+    if n <= 16:
+        if n == 0:
+            return _xxh3_av64(_xxh3_r64(secret, 56) ^ _xxh3_r64(secret, 64))
+        if n < 4:
+            comb = ((data[0] << 16) | (data[n >> 1] << 24)
+                    | data[n - 1] | (n << 8))
+            return _xxh3_av64(
+                comb ^ (_xxh3_r32(secret, 0) ^ _xxh3_r32(secret, 4)))
+        if n <= 8:
+            keyed = ((_xxh3_r32(data, n - 4) + (_xxh3_r32(data, 0) << 32))
+                     ^ (_xxh3_r64(secret, 8) ^ _xxh3_r64(secret, 16)))
+            return _xxh3_rrmxmx(keyed & _M64, n)
+        lo = _xxh3_r64(data, 0) ^ (_xxh3_r64(secret, 24)
+                                   ^ _xxh3_r64(secret, 32))
+        hi = _xxh3_r64(data, n - 8) ^ (_xxh3_r64(secret, 40)
+                                       ^ _xxh3_r64(secret, 48))
+        acc = (n + _xxh3_swap64(lo) + hi + _xxh3_fold64(lo, hi)) & _M64
+        return _xxh3_av(acc)
+    if n <= 128:
+        acc = (n * _XXH64_P1) & _M64
+        if n > 32:
+            if n > 64:
+                if n > 96:
+                    acc = (acc + _xxh3_mix16(data, 48, secret, 96)) & _M64
+                    acc = (acc + _xxh3_mix16(data, n - 64, secret, 112)) & _M64
+                acc = (acc + _xxh3_mix16(data, 32, secret, 64)) & _M64
+                acc = (acc + _xxh3_mix16(data, n - 48, secret, 80)) & _M64
+            acc = (acc + _xxh3_mix16(data, 16, secret, 32)) & _M64
+            acc = (acc + _xxh3_mix16(data, n - 32, secret, 48)) & _M64
+        acc = (acc + _xxh3_mix16(data, 0, secret, 0)) & _M64
+        acc = (acc + _xxh3_mix16(data, n - 16, secret, 16)) & _M64
+        return _xxh3_av(acc)
+    if n <= 240:
+        acc = (n * _XXH64_P1) & _M64
+        for i in range(8):
+            acc = (acc + _xxh3_mix16(data, 16 * i, secret, 16 * i)) & _M64
+        acc = _xxh3_av(acc)
+        for i in range(8, n // 16):
+            # XXH3_MIDSIZE_STARTOFFSET = 3
+            acc = (acc + _xxh3_mix16(data, 16 * i,
+                                     secret, 16 * (i - 8) + 3)) & _M64
+        # SECRET_SIZE_MIN(136) - MIDSIZE_LASTOFFSET(17) = 119
+        acc = (acc + _xxh3_mix16(data, n - 16, secret, 119)) & _M64
+        return _xxh3_av(acc)
+    # long path (> 240 bytes): 64-byte stripes, 8-lane accumulator
+    ss = len(secret)
+    acc = [_XXH32_P3, _XXH64_P1, _XXH64_P2, _XXH64_P3,
+           _XXH64_P4, _XXH32_P2, _XXH64_P5, _XXH32_P1]
+
+    def _acc512(ioff: int, soff: int) -> None:
+        for i in range(8):
+            dv = _xxh3_r64(data, ioff + 8 * i)
+            dk = dv ^ _xxh3_r64(secret, soff + 8 * i)
+            acc[i ^ 1] = (acc[i ^ 1] + dv) & _M64
+            acc[i] = (acc[i] + (dk & _M32) * (dk >> 32)) & _M64
+
+    spb = (ss - 64) // 8                      # stripes per block
+    block_len = 64 * spb
+    nb_blocks = (n - 1) // block_len
+    for b in range(nb_blocks):
+        for s in range(spb):
+            _acc512(b * block_len + 64 * s, 8 * s)
+        for i in range(8):                    # scramble
+            a = acc[i] ^ (acc[i] >> 47)
+            a ^= _xxh3_r64(secret, ss - 64 + 8 * i)
+            acc[i] = (a * _XXH32_P1) & _M64
+    for s in range(((n - 1) - block_len * nb_blocks) // 64):
+        _acc512(nb_blocks * block_len + 64 * s, 8 * s)
+    _acc512(n - 64, ss - 64 - 7)              # SECRET_LASTACC_START = 7
+    res = (n * _XXH64_P1) & _M64
+    for i in range(4):                        # SECRET_MERGEACCS_START = 11
+        res = (res + _xxh3_fold64(
+            acc[2 * i] ^ _xxh3_r64(secret, 11 + 16 * i),
+            acc[2 * i + 1] ^ _xxh3_r64(secret, 19 + 16 * i))) & _M64
+    return _xxh3_av(res)
+
+
+# ---------------------------------------------------------------------------
 # CH hash family — murmur2/murmur3, CityHash64 v1.0.2, intHash32/64,
 # sipHash128.  Verification basis (each pinned in tests/test_chhashes.py):
 #   murmur3_32   — bit-equal to Spark's JVM Murmur3 x86_32 at seed 42 on
@@ -1752,6 +1899,16 @@ _UDF_SPECS = {
         # CH hashes a UInt32/Int32 argument as its 4-byte LE binary
         _map1(lambda v: _xxh32((int(v) & _M32).to_bytes(4, "little"))),
         "bigint",
+    ),
+    # XXH3 — zero recall surface (libxxhash withSecret + extracted
+    # kSecret proofs, see the XXH3 section note)
+    "ch_xxh3_ch": (
+        _map1(_dec(lambda s: _xxh3_64(s.encode("utf-8")))),
+        "decimal(20,0)",
+    ),
+    "ch_xxh3_u64": (
+        _map1(_dec(lambda v: _xxh3_64(_u64_bytes(v)))),
+        "decimal(20,0)",
     ),
     # CRC family — fold machinery zlib/liblzma-proven (tests/test_crc.py)
     "ch_crc32_ieee": (

@@ -8264,11 +8264,13 @@ def ch_dialect_tuple_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_TUPLE_ARITH, sf_dir)
 
 
-CH_DIALECT_CRC = """
+CH_DIALECT_CHECKSUMS = """
     SELECT n,
            CRC32IEEE(toString(s)) AS c32ieee,
            toString(CRC64(toString(s))) AS c64,
-           CRC32(toString(s)) AS c32
+           CRC32(toString(s)) AS c32,
+           toString(xxh3(toString(s))) AS x3s,
+           toString(xxh3(toUInt64(n))) AS x3i
     FROM (SELECT DISTINCT toUInt64(user_id % 10) AS n,
                  concat('ev_', toString(user_id % 10)) AS s
           FROM events)
@@ -8277,45 +8279,51 @@ CH_DIALECT_CRC = """
 
 
 @query(
-    "ch_dialect_crc",
+    "ch_dialect_checksums",
     """
     WITH d AS (SELECT DISTINCT user_id % 10 AS n FROM events),
-    v(n, c32ieee, c64, c32) AS (VALUES
-      (0, 1199465188, '5029669066159757512', 1715125752),
-      (1, 813257330, '17789981451905550247', 289246574),
-      (2, 2842690504, '12774687983323953299', 2285165780),
-      (3, 3732353886, '172970460418336764', 4281592898),
-      (4, 1075029757, '4475516841799075579', 1633122785),
-      (5, 924096107, '10174324684180494740', 374360439),
-      (6, 2921187281, '14598431993427846816', 2404980941),
-      (7, 3642423111, '8770267913720543695', 4166920283),
-      (8, 1235610326, '12857071427452904622', 1759589834),
-      (9, 1050860096, '90972397921958849', 535168348))
-    SELECT d.n AS n, v.c32ieee, v.c64, v.c32
+    v(n, c32ieee, c64, c32, x3s, x3i) AS (VALUES
+      (0, 1199465188, '5029669066159757512', 1715125752, '12971921677538677287', '14374147212387527897'),
+      (1, 813257330, '17789981451905550247', 289246574, '1671944486996467346', '3439722301264460078'),
+      (2, 2842690504, '12774687983323953299', 2285165780, '12557740046680294771', '2343778756980564547'),
+      (3, 3732353886, '172970460418336764', 4281592898, '5224373251789871029', '5589565451239960189'),
+      (4, 1075029757, '4475516841799075579', 1633122785, '3153701111993475747', '14565249271442862456'),
+      (5, 924096107, '10174324684180494740', 374360439, '13244040847593407682', '10233279695637096332'),
+      (6, 2921187281, '14598431993427846816', 2404980941, '6675009225465030699', '7753311634367670075'),
+      (7, 3642423111, '8770267913720543695', 4166920283, '2691066299297564846', '9324454920402081455'),
+      (8, 1235610326, '12857071427452904622', 1759589834, '11689416901870666806', '11671990019772833022'),
+      (9, 1050860096, '90972397921958849', 535168348, '885822766288014643', '531617755107230871'))
+    SELECT d.n AS n, v.c32ieee, v.c64, v.c32, v.x3s, v.x3i
     FROM d JOIN v ON v.n = d.n
     ORDER BY n
     """,
 )
-def ch_dialect_crc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CRC family (r9 refusal closure + silent-divergence FIX):
-    ``CRC32IEEE``/``CRC64`` are ClickHouse's init-0 no-final-xor
+def ch_dialect_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum/fast-hash tail (r9 refusal closures + a silent-divergence
+    FIX).  ``CRC32IEEE``/``CRC64`` are ClickHouse's init-0 no-final-xor
     variants of the reflected 802.3 / ECMA-182 CRCs
     (src/Functions/CRC.cpp CRCImpl) — the old ``crc32IEEE`` → Spark
     ``crc32`` rename silently produced zlib values and is gone; plain
     ``CRC32`` still passes through because Spark's builtin IS the zlib
-    variant CH uses there.  The table/fold machinery is proven bit-equal
-    to TWO independent C implementations over arbitrary inputs — system
-    zlib (binascii.crc32) and system liblzma (lzma_crc64, which also
-    reproduces the published CRC-64/XZ check value 0x995DC9BBDF1939FA)
-    — see tests/test_crc.py; the 0/0 init/xorout parameterization is
-    the documented residual-recall surface.  Oracle literals: c32 comes
-    from system zlib (fully independent of Spark's JVM crc32 — a real
-    cross-implementation check); c32ieee/c64 from the machinery-proven
+    variant CH uses there.  The CRC table/fold machinery is proven
+    bit-equal to TWO independent C implementations over arbitrary
+    inputs — system zlib (binascii.crc32) and system liblzma
+    (lzma_crc64, which also reproduces the published CRC-64/XZ check
+    value 0x995DC9BBDF1939FA) — see tests/test_crc.py; the 0/0
+    init/xorout parameterization is the documented residual-recall
+    surface.  ``xxh3`` (= XXH3_64bits, seed 0) carries ZERO recall
+    surface: the algorithm is proven bit-equal to the system
+    libxxhash over arbitrary (secret, input) pairs via
+    XXH3_64bits_withSecret, and the default kSecret was extracted from
+    that library's own .rodata and re-proven end-to-end
+    (tests/test_chhashes.py).  Oracle literals: c32 comes from system
+    zlib (fully independent of Spark's JVM crc32 — a real
+    cross-implementation check); the rest from the machinery-proven
     implementations.  Scale: one DISTINCT shuffle over 10 groups, one
     ArrowEvalPython batch, no joins."""
     from ..functions.chdialect import ch_sql
 
-    return ch_sql(spark, CH_DIALECT_CRC, sf_dir)
+    return ch_sql(spark, CH_DIALECT_CHECKSUMS, sf_dir)
 
 
 @query(
@@ -8827,7 +8835,7 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
-    "ch_dialect_crc",
+    "ch_dialect_checksums",
     "text_bigram_lm_score",
     "corpus_lang_drift",
     "corpus_zipf_stats",

@@ -477,3 +477,88 @@ def test_siphash128_keyed_halves_xor_to_keyed_siphash64():
         h = _siphash128(data, k0, k1)
         assert (int.from_bytes(h[:8], "little")
                 ^ int.from_bytes(h[8:], "little")) == _siphash24(data, k0, k1)
+
+
+# ---------------------------------------------------------------------------
+# XXH3 (r9): zero recall surface — both the algorithm and the default
+# secret are proven against the system libxxhash.
+# ---------------------------------------------------------------------------
+
+import ctypes.util as _ctu
+_XXHLIB = _ctu.find_library("xxhash")
+
+
+def _xxh3_lib():
+    lib = ctypes.CDLL(_XXHLIB)
+    lib.XXH3_64bits.restype = ctypes.c_uint64
+    lib.XXH3_64bits.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.XXH3_64bits_withSecret.restype = ctypes.c_uint64
+    lib.XXH3_64bits_withSecret.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]
+    return lib
+
+
+@pytest.mark.skipif(_XXHLIB is None, reason="libxxhash not found")
+def test_xxh3_algorithm_bit_equal_to_libxxhash_with_random_secrets():
+    """The FULL algorithm (every length class incl. multi-block) proven
+    against libxxhash's independent C implementation over random
+    192-byte secrets — no reliance on any recalled constant except the
+    published primes shared with the already-proven XXH32/XXH64."""
+    from clickhouse_sinker_spark.functions.chudfs import _xxh3_64
+
+    lib = _xxh3_lib()
+    rng = random.Random(0x3C3)
+    for _ in range(3):
+        sec = bytes(rng.randrange(256) for _ in range(192))
+        for n in list(range(0, 261)) + [511, 1023, 1024, 1025, 2048, 5000]:
+            d = bytes(rng.randrange(256) for _ in range(n))
+            assert _xxh3_64(d, sec) == lib.XXH3_64bits_withSecret(
+                d, n, sec, 192), n
+
+
+@pytest.mark.skipif(_XXHLIB is None, reason="libxxhash not found")
+def test_xxh3_default_secret_bit_equal_to_libxxhash():
+    """The embedded kSecret (extracted from libxxhash's own .rodata —
+    two independent copies, identical bytes) reproduces XXH3_64bits
+    exactly across every length class."""
+    from clickhouse_sinker_spark.functions.chudfs import _xxh3_64
+
+    lib = _xxh3_lib()
+    rng = random.Random(0x3C4)
+    for n in list(range(0, 261)) + [1023, 1024, 1025, 2048, 5000]:
+        d = bytes(rng.randrange(256) for _ in range(n))
+        assert _xxh3_64(d) == lib.XXH3_64bits(d, n), n
+
+
+@pytest.mark.skipif(_XXHLIB is None, reason="libxxhash not found")
+def test_xxh3_ksecret_is_embedded_in_system_library():
+    """Provenance: the embedded 192 bytes appear verbatim in the system
+    libxxhash binary (belt-and-braces against a silently edited
+    constant)."""
+    import ctypes.util as cu
+    import os
+
+    from clickhouse_sinker_spark.functions.chudfs import _XXH3_KSECRET
+
+    for cand in ("/usr/lib/x86_64-linux-gnu/libxxhash.so.0", _XXHLIB):
+        p = os.path.realpath(cand) if cand else None
+        if p and os.path.exists(p):
+            assert _XXH3_KSECRET in open(p, "rb").read()
+            return
+    pytest.skip("libxxhash file not locatable")
+
+
+def test_xxh3_translation_gate():
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    out, _ = translate_ch_sql(
+        "SELECT xxh3('abc') AS a, xxh3(toUInt64(7)) AS b FROM t")
+    assert "ch_xxh3_ch('abc')" in out
+    assert "ch_xxh3_u64" in out
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT xxh3(x) FROM t")
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT xxh3('a', 'b') FROM t")

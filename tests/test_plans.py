@@ -658,10 +658,11 @@ def test_r9_dialect_plan_shapes(spark):
 
 
 def test_crc_single_arrow_pass(spark):
-    """ch_dialect_crc: CRC32IEEE + CRC64 + native crc32 must ride ONE
-    ArrowEvalPython batch over the 10-group distinct (the native crc32
-    stays JVM-side) — one shuffle, no joins, no BatchEvalPython."""
-    plan = plan_of(QUERIES["ch_dialect_crc"](spark, SF_DIR))
+    """ch_dialect_checksums: CRC32IEEE + CRC64 + both xxh3 forms +
+    native crc32 must ride ONE ArrowEvalPython batch over the 10-group
+    distinct (the native crc32 stays JVM-side) — one shuffle, no joins,
+    no BatchEvalPython."""
+    plan = plan_of(QUERIES["ch_dialect_checksums"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert plan.count("+- ArrowEvalPython") == 1
     assert "Join" not in plan
