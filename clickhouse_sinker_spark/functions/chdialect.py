@@ -104,6 +104,9 @@ sipHash64/xxHash64/32(x)     ch_* Arrow UDFs, CH-exact seed-0 bytes
 xxh3(x)                      XXH3_64bits seed 0 (r9; algorithm AND
                              default secret proven against system
                              libxxhash — zero recall surface)
+stem('lang', w)              Snowball via the SAME libstemmer CH links
+                             (r9; CH docs example pinned; lemmatize/
+                             synonyms stay refused — dictionary-backed)
 cityHash64(x)                CityHash v1.0.2 as frozen by CH (r8; absl-
                              proven primitives, see chudfs note)
 murmurHash2_32/64(x)         MurmurHash2 / MurmurHash64A seed 0 (r8;
@@ -833,9 +836,9 @@ _UNSUPPORTED = {
     "svg",
     "detectLanguage",        # model-backed NLP: the repo's text_langid
     "detectCharset",         # operator is the supported path
-    "lemmatize",
-    "stem",
-    "synonyms",
+    "lemmatize",             # needs preloaded lemmatizer dictionaries
+    "synonyms",              # (CH throws without them server-side too);
+                             # stem() translates — same libstemmer CH links
     "generateULID",          # nondeterministic generators
     "cityHash128",
     "randomString",          # nondeterministic
@@ -4718,6 +4721,14 @@ def _translate_functions(sql: str) -> str:
             "stringCompare with offsets — slice with substring() first"
         ),
     )
+    # stem(language, word): ctypes onto the SAME libstemmer CH links —
+    # CH parity by construction (docs example pinned in tests)
+    sql = _rewrite_calls(
+        sql, "stem",
+        lambda a: f"ch_stem({a[0]}, {a[1]})" if len(a) == 2 else _refuse(
+            "stem takes exactly (language, word)"
+        ),
+    )
     sql = _rewrite_calls(
         sql, "formatReadableDecimalSize",
         lambda a: _format_readable(
@@ -7437,7 +7448,22 @@ def _rewrite_brackets(sql: str) -> str:
             base = trimmed[k:]
             if not base:
                 raise ChTranslationError(f"cannot find subscript base before [{inner}]")
-            out = [trimmed[:k] + f"element_at({base}, {inner})"]
+            # Spark's element_at requires an INT index for arrays, but the
+            # dialect's integer casts ride BIGINT/DECIMAL carriers — cast
+            # numeric subscripts down (arrays are < 2^31 in Spark, so the
+            # ANSI cast can only throw on an already-buggy index).  String
+            # subscripts are MAP keys and must pass through untouched;
+            # integer-keyed map access survives the cast because Spark
+            # widens the INT key back up to the map's key type.
+            key = inner.strip()
+            if (key.startswith("'") and key.endswith("'")) or re.fullmatch(
+                    r"-?\d+", key):
+                # string map keys and bare integer literals are already
+                # the right type
+                out = [trimmed[:k] + f"element_at({base}, {inner})"]
+            else:
+                out = [trimmed[:k]
+                       + f"element_at({base}, CAST({inner} AS INT))"]
         i = j
     return "".join(out)
 

@@ -1297,6 +1297,55 @@ def _crc64_ecma(data: bytes) -> int:
     return _crc_fold(_CRC64_TAB, data, 0, 0, _M64)
 
 
+_SB_LIB = None
+_SB_STEMMERS: dict = {}
+
+
+def _sb_bind():
+    """Bind the system Snowball stemmer — the SAME library ClickHouse
+    links for ``stem()`` (contrib/libstemmer_c), so every stem is CH
+    parity by construction rather than a reimplementation."""
+    global _SB_LIB
+    if _SB_LIB is None:
+        import ctypes
+        import ctypes.util
+
+        path = ctypes.util.find_library("stemmer")
+        if path is None:
+            raise RuntimeError(
+                "stem(): libstemmer (Snowball) not found on this host")
+        lib = ctypes.CDLL(path)
+        lib.sb_stemmer_new.restype = ctypes.c_void_p
+        lib.sb_stemmer_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.sb_stemmer_stem.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.sb_stemmer_stem.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.sb_stemmer_length.restype = ctypes.c_int
+        lib.sb_stemmer_length.argtypes = [ctypes.c_void_p]
+        _SB_LIB = lib
+    return _SB_LIB
+
+
+def _sb_stem(lang: str, word: str) -> str:
+    """CH ``stem(language, word)`` via libstemmer.  Stemmer handles are
+    cached per language for the worker's lifetime (bounded by the ~29
+    Snowball algorithms, deliberately never freed).  Unknown language
+    raises like CH's BAD_ARGUMENTS."""
+    import ctypes
+
+    lib = _sb_bind()
+    st = _SB_STEMMERS.get(lang)
+    if st is None:
+        st = lib.sb_stemmer_new(lang.encode("utf-8"), None)
+        if not st:
+            raise ValueError(
+                f"stem(): unsupported Snowball language {lang!r}")
+        _SB_STEMMERS[lang] = st
+    raw = word.encode("utf-8")
+    res = lib.sb_stemmer_stem(st, raw, len(raw))
+    return ctypes.string_at(res, lib.sb_stemmer_length(st)).decode("utf-8")
+
+
 def _siphash128(data: bytes, k0: int = 0, k1: int = 0) -> bytes:
     """CH ``sipHash128`` — NOT the official SipHash-128 (that is CH's
     ``sipHash128Reference``): CH runs the same SipHash-2-4 state machine
@@ -1899,6 +1948,14 @@ _UDF_SPECS = {
         # CH hashes a UInt32/Int32 argument as its 4-byte LE binary
         _map1(lambda v: _xxh32((int(v) & _M32).to_bytes(4, "little"))),
         "bigint",
+    ),
+    # Snowball stemmer — ctypes onto the SAME libstemmer ClickHouse
+    # links (contrib/libstemmer_c): not a reimplementation, CH parity by
+    # construction; the CH docs stem() example is pinned in
+    # tests/test_chudfs.py
+    "ch_stem": (
+        _map2(_sb_stem),
+        "string",
     ),
     # XXH3 — zero recall surface (libxxhash withSecret + extracted
     # kSecret proofs, see the XXH3 section note)

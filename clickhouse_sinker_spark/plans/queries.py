@@ -8326,6 +8326,58 @@ def ch_dialect_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_CHECKSUMS, sf_dir)
 
 
+CH_DIALECT_STEM = """
+    SELECT n,
+           stem('en', ['running','blessing','disguise','generously',
+                       'designing','nationalities','happily','arguing',
+                       'flies','dogs'][n + 1]) AS s_en,
+           stem('fr', ['mangeaient','nationale','heureusement',
+                       'travaillons','chanteurs','généralement',
+                       'précieuse','continuité','magnifique',
+                       'journaux'][n + 1]) AS s_fr
+    FROM (SELECT DISTINCT toInt32(user_id % 10) AS n FROM events)
+    ORDER BY n
+"""
+
+
+@query(
+    "ch_dialect_stem",
+    """
+    WITH d AS (SELECT DISTINCT user_id % 10 AS n FROM events),
+    v(n, s_en, s_fr) AS (VALUES
+      (0, 'run', 'mang'),
+      (1, 'bless', 'national'),
+      (2, 'disguis', 'heureux'),
+      (3, 'generous', 'travaillon'),
+      (4, 'design', 'chanteur'),
+      (5, 'nation', 'général'),
+      (6, 'happili', 'précieux'),
+      (7, 'argu', 'continu'),
+      (8, 'fli', 'magnif'),
+      (9, 'dog', 'journal'))
+    SELECT d.n AS n, v.s_en, v.s_fr
+    FROM d JOIN v ON v.n = d.n
+    ORDER BY n
+    """,
+)
+def ch_dialect_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stem(language, word)`` (r9 refusal closure): the Arrow UDF
+    ctypes-binds the system Snowball libstemmer — the SAME library
+    ClickHouse links (contrib/libstemmer_c), so parity holds by
+    construction instead of by reimplementation; the CH docs example
+    (['I','think','it','is','a','blessing','in','disguise'] →
+    […,'bless','in','disguis']) is pinned in tests/test_chudfs.py.
+    Oracle literals were generated by calling that system library
+    directly — an independent C implementation, non-circular.
+    ``lemmatize``/``synonyms`` stay refused: they need preloaded
+    dictionaries server-side in CH too.  Scale: one DISTINCT shuffle
+    over 10 groups, one ArrowEvalPython batch; stemmer handles cached
+    per worker."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_STEM, sf_dir)
+
+
 @query(
     "text_bigram_lm_score",
     """
@@ -8810,19 +8862,21 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 16 round-9 additions (CRC family, bigram-LM document scoring,
-#    corpus lang-slice drift, association/power-analysis tail, arrayAUC,
-#    pointInPolygon, IDNA, ngram similarity, time-decay window forms,
-#    arraySplit, keyed-SipHash family, tuple arithmetic, SRP-LSH
-#    embedding near-dup, in-engine BPE merge training, fixed-point
-#    TextRank keywords, Zipf corpus diagnostics) — first-time hashes.
+# 1. The 17 round-9 additions (checksum/xxh3 family, Snowball stem,
+#    bigram-LM document scoring, corpus lang-slice drift,
+#    association/power-analysis tail, arrayAUC, pointInPolygon, IDNA,
+#    ngram similarity, time-decay window forms, arraySplit,
+#    keyed-SipHash family, tuple arithmetic, SRP-LSH embedding
+#    near-dup, in-engine BPE merge training, fixed-point TextRank
+#    keywords, Zipf corpus diagnostics) — first-time hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. The 16 new + 28 r05-tail + 9 anchors overfill the 50 slots by 3:
+# 4. The 17 new + 28 r05-tail + 9 anchors overfill the 50 slots by 4:
+#    dedup_minhash_lsh (bench-exercised every round regardless),
 #    knn_cosine_topk, ch_dialect_hourly_stats, mm_binary_meta (all
 #    r07-latest, age 2) fall just outside the window and rotate back in
 #    r10 together with the r6-latest block (dedup_incremental_minhash,
@@ -8836,6 +8890,7 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_ORDER: list[str] = [
     # --- round-9 additions (first-time hashes) ---
     "ch_dialect_checksums",
+    "ch_dialect_stem",
     "text_bigram_lm_score",
     "corpus_lang_drift",
     "corpus_zipf_stats",

@@ -395,3 +395,27 @@ def test_idna_ascii_fixpoint_and_roundtrip(domain):
         return  # idna2008 rejects some LDH labels (e.g. xn-- lookalikes)
     assert enc == domain
     assert _ch_idna_decode(enc) == domain
+
+
+def test_stem_ch_docs_example_and_contracts():
+    """stem() rides the SAME Snowball libstemmer ClickHouse links
+    (contrib/libstemmer_c).  Pins: the CH docs example sentence, a
+    French/German sample, unknown-language raises like CH
+    BAD_ARGUMENTS, empty passes through."""
+    import ctypes.util
+
+    import pytest as _pytest
+
+    if ctypes.util.find_library("stemmer") is None:
+        _pytest.skip("libstemmer not found")
+    from clickhouse_sinker_spark.functions.chudfs import _sb_stem
+
+    # CH docs sql-reference/functions/nlp-functions#stem example
+    words = ["I", "think", "it", "is", "a", "blessing", "in", "disguise"]
+    assert [_sb_stem("en", w) for w in words] == [
+        "I", "think", "it", "is", "a", "bless", "in", "disguis"]
+    assert _sb_stem("fr", "mangeaient") == "mang"
+    assert _sb_stem("de", "häusern") == "haus"
+    assert _sb_stem("en", "") == ""
+    with _pytest.raises(ValueError):
+        _sb_stem("xx", "foo")
