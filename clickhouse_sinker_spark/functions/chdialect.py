@@ -107,6 +107,9 @@ xxh3(x)                      XXH3_64bits seed 0 (r9; algorithm AND
 stem('lang', w)              Snowball via the SAME libstemmer CH links
                              (r9; CH docs example pinned; lemmatize/
                              synonyms stay refused — dictionary-backed)
+formatReadableTimeDelta      365d-year/30.5d-month decomposition, both
+ (d[, 'max_unit'])           CH docs tables pinned (r9; minimum_unit
+                             form refuses — CH-version-dependent)
 cityHash64(x)                CityHash v1.0.2 as frozen by CH (r8; absl-
                              proven primitives, see chudfs note)
 murmurHash2_32/64(x)         MurmurHash2 / MurmurHash64A seed 0 (r8;
@@ -805,7 +808,6 @@ _UNSUPPORTED = {
     "sparkBar",
     "sparkbar",
     "bar",
-    "formatReadableTimeDelta",
     "dictGet",
     "dictGetOrDefault",
     "dictGetOrNull",
@@ -4719,6 +4721,21 @@ def _translate_functions(sql: str) -> str:
             f"WHEN {a[0]} = {a[1]} THEN 0 ELSE 1 END)"
         ) if len(a) == 2 else _refuse(
             "stringCompare with offsets — slice with substring() first"
+        ),
+    )
+    # formatReadableTimeDelta (r9): CH docs examples pin the 365/30.5
+    # decomposition constants, the ', '/' and ' wording and plurals;
+    # the 3-arg minimum_unit form is CH-version-dependent and refuses
+    sql = _rewrite_calls(
+        sql, "formatReadableTimeDelta",
+        lambda a: (
+            f"ch_time_delta({a[0]}, 'years')" if len(a) == 1
+            else f"ch_time_delta({a[0]}, {a[1]})" if len(a) == 2
+            and a[1].strip().startswith("'")
+            else _refuse(
+                "formatReadableTimeDelta supports (delta[, 'max_unit'])"
+                " — the minimum_unit form is CH-version-dependent"
+            )
         ),
     )
     # stem(language, word): ctypes onto the SAME libstemmer CH links —

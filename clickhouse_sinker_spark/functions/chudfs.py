@@ -1297,6 +1297,43 @@ def _crc64_ecma(data: bytes) -> int:
     return _crc_fold(_CRC64_TAB, data, 0, 0, _M64)
 
 
+_TD_UNITS = [("year", 31536000), ("month", 2635200), ("day", 86400),
+             ("hour", 3600), ("minute", 60), ("second", 1)]
+_TD_ORDER = ["years", "months", "days", "hours", "minutes", "seconds"]
+
+
+def _fmt_time_delta(sec: float, max_unit: str) -> str:
+    """CH ``formatReadableTimeDelta``: greedy decomposition with
+    365-day years and 30.5-day months (the constants the CH docs state),
+    units joined with ", " and " and " before the last, singular at 1.
+    All six outputs of the two CH docs example tables reproduce exactly
+    (tests/test_chudfs.py) — that pins the constants, the wording and
+    the pluralization.  Residual recall: fractional-second display uses
+    the shortest repr, and negative deltas clamp to '0 seconds' (CH
+    docs show neither; documented delta)."""
+    if max_unit not in _TD_ORDER:
+        raise ValueError(
+            f"formatReadableTimeDelta: unknown maximum unit {max_unit!r}")
+    units = _TD_UNITS[_TD_ORDER.index(max_unit):]
+    rem = max(float(sec), 0.0)
+    parts = []
+    for name, width in units:
+        if name == "second":
+            v = rem
+        else:
+            v = float(int(rem // width))
+            rem -= v * width
+        if v or (name == "second" and not parts):
+            iv = int(v)
+            if name == "second" and v != iv:
+                parts.append(f"{v} seconds")
+            else:
+                parts.append(f"{iv} {name}{'s' if iv != 1 else ''}")
+    if len(parts) == 1:
+        return parts[0]
+    return ", ".join(parts[:-1]) + " and " + parts[-1]
+
+
 _SB_LIB = None
 _SB_STEMMERS: dict = {}
 
@@ -1948,6 +1985,11 @@ _UDF_SPECS = {
         # CH hashes a UInt32/Int32 argument as its 4-byte LE binary
         _map1(lambda v: _xxh32((int(v) & _M32).to_bytes(4, "little"))),
         "bigint",
+    ),
+    # formatReadableTimeDelta — CH docs examples pin constants/wording
+    "ch_time_delta": (
+        _map2(_fmt_time_delta),
+        "string",
     ),
     # Snowball stemmer — ctypes onto the SAME libstemmer ClickHouse
     # links (contrib/libstemmer_c): not a reimplementation, CH parity by

@@ -6960,7 +6960,9 @@ CH_DIALECT_URL_READABLE = """
            cutQueryString(concat('http://www.', min(source), '.com/a/b?x=1#f'))
              AS cut,
            toYYYYMMDDhhmmss(parseDateTimeBestEffort('15/08/2021 10:20:30'))
-             AS pin_ts
+             AS pin_ts,
+           formatReadableTimeDelta(count(*)) AS td_docs,
+           formatReadableTimeDelta(432546534) AS pin_td
     FROM documents
     GROUP BY lang
 """
@@ -7018,7 +7020,24 @@ CH_DIALECT_URL_READABLE = """
       'www.' || min_src || '.com' AS dom,
       'com' AS tld,
       'http://www.' || min_src || '.com/a/b#f' AS cut,
-      CAST(20210815102030 AS BIGINT) AS pin_ts
+      CAST(20210815102030 AS BIGINT) AS pin_ts,
+      -- formatReadableTimeDelta re-derived relationally (docs wording:
+      -- ', ' between units, ' and ' before the last, singular at 1)
+      CASE WHEN a.n_docs < 60 THEN
+             CAST(a.n_docs AS VARCHAR) || ' second' ||
+             (CASE WHEN a.n_docs = 1 THEN '' ELSE 's' END)
+           WHEN a.n_docs % 60 = 0 THEN
+             CAST(a.n_docs // 60 AS VARCHAR) || ' minute' ||
+             (CASE WHEN a.n_docs // 60 = 1 THEN '' ELSE 's' END)
+           ELSE
+             CAST(a.n_docs // 60 AS VARCHAR) || ' minute' ||
+             (CASE WHEN a.n_docs // 60 = 1 THEN '' ELSE 's' END) ||
+             ' and ' ||
+             CAST(a.n_docs % 60 AS VARCHAR) || ' second' ||
+             (CASE WHEN a.n_docs % 60 = 1 THEN '' ELSE 's' END)
+      END AS td_docs,
+      '13 years, 8 months, 17 days, 7 hours, 48 minutes and 54 seconds'
+        AS pin_td
     FROM agg a JOIN tops t USING (lang)
     """,
 )

@@ -419,3 +419,26 @@ def test_stem_ch_docs_example_and_contracts():
     assert _sb_stem("en", "") == ""
     with _pytest.raises(ValueError):
         _sb_stem("xx", "foo")
+
+
+def test_format_readable_time_delta_ch_docs_examples():
+    """Both CH docs example tables reproduce exactly — six outputs
+    covering the 365/30.5 decomposition constants, the ', '/' and '
+    joiners, pluralization, and the maximum_unit clamp."""
+    from clickhouse_sinker_spark.functions.chudfs import _fmt_time_delta
+
+    assert _fmt_time_delta(100, "years") == "1 minute and 40 seconds"
+    assert _fmt_time_delta(12345, "years") == \
+        "3 hours, 25 minutes and 45 seconds"
+    assert _fmt_time_delta(432546534, "years") == \
+        "13 years, 8 months, 17 days, 7 hours, 48 minutes and 54 seconds"
+    assert _fmt_time_delta(100, "minutes") == "1 minute and 40 seconds"
+    assert _fmt_time_delta(12345, "minutes") == "205 minutes and 45 seconds"
+    assert _fmt_time_delta(432546534, "minutes") == \
+        "7209108 minutes and 54 seconds"
+    assert _fmt_time_delta(0, "years") == "0 seconds"
+    assert _fmt_time_delta(1, "years") == "1 second"
+    assert _fmt_time_delta(3600, "years") == "1 hour"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _fmt_time_delta(1, "fortnights")
