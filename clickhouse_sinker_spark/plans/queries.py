@@ -8398,6 +8398,126 @@ def ch_dialect_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_train_val_split",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, fp,
+             CASE WHEN fp < 'e6' THEN 'train' ELSE 'val' END AS split
+      FROM fp
+    ),
+    leaks AS (
+      SELECT COUNT(*) AS leaked FROM (
+        SELECT fp FROM assigned GROUP BY fp
+        HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_contents,
+           COUNT(*) - COUNT(DISTINCT fp) AS dup_docs,
+           (SELECT leaked FROM leaks) AS leaked_contents
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split — the assignment step a
+    pretraining pipeline runs before eval-set construction: bucket by a
+    CONTENT fingerprint (normalized md5) rather than by doc_id, so every
+    copy of the same document — exact dup or whitespace/case variant —
+    lands on the same side and can never leak train text into val.  The
+    split is a lexicographic threshold on the uniformly-distributed hex
+    fingerprint ('e6' ≈ 89.8 % train): deterministic, engine-portable,
+    and resumable (re-runs and incremental snapshots assign identically
+    — no RNG state to persist).  The output also audits itself:
+    leaked_contents counts fingerprints appearing in both splits (zero
+    by construction — the audit is the artifact a pipeline stores).
+    Near-dup-safe splitting composes by replacing the fingerprint with
+    the connected-component id from dedup_connected_components.  Scale:
+    one map-side fingerprint, one groupBy(fp) for the audit, one
+    groupBy(split) rollup — no joins wider than the 2-row split key."""
+    d = _t(spark, sf_dir, "documents")
+    assigned = d.select(
+        "doc_id",
+        F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("fp"),
+    ).withColumn(
+        "split",
+        F.when(F.col("fp") < "e6", F.lit("train")).otherwise(F.lit("val")),
+    )
+    leaks = (
+        assigned.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_contents"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_contents"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("dup_docs"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_docs", "n_contents", "dup_docs",
+                "leaked_contents")
+        .orderBy("split")
+    )
+
+
+@query(
+    "pipeline_chunk_windows",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS s FROM toks
+    )
+    SELECT doc_id,
+           (s - 1) // 24 AS chunk_idx,
+           len(t[s:s+31]) AS chunk_tokens,
+           t[s] AS first_tok,
+           md5(array_to_string(t[s:s+31], ' ')) AS chunk_hash
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap — the step that turns
+    variable-length documents into training windows (size 32, stride 24
+    here; a real run uses e.g. 2048/1536 — the shape is identical):
+    window starts at 1, 1+stride, … ≤ n_tokens, each chunk is the next
+    `size` tokens (the final chunk may be shorter and is kept), and
+    every chunk carries a content hash so downstream chunk-level dedup
+    and lineage joins need no re-tokenization.  Scale: sequence() +
+    slice() are pure JVM array ops — the explosion multiplies rows by
+    ~n/stride but carries only (doc_id, narrow slice), never the full
+    document per chunk; no shuffle until a downstream aggregation, no
+    Python."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                   lambda x: F.length(x) > 0)
+    toks = d.select("doc_id", arr.alias("t")).filter(F.size("t") > 0)
+    starts = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(24))).alias("s"),
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), 32)
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / 24).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.element_at(F.col("t"), F.col("s")).alias("first_tok"),
+        F.md5(F.encode(F.array_join(chunk, " "), "UTF-8")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
     "text_bigram_lm_score",
     """
     WITH toks AS (
@@ -8881,24 +9001,26 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 17 round-9 additions (checksum/xxh3 family, Snowball stem,
-#    bigram-LM document scoring, corpus lang-slice drift,
-#    association/power-analysis tail, arrayAUC, pointInPolygon, IDNA,
-#    ngram similarity, time-decay window forms, arraySplit,
-#    keyed-SipHash family, tuple arithmetic, SRP-LSH embedding
-#    near-dup, in-engine BPE merge training, fixed-point TextRank
-#    keywords, Zipf corpus diagnostics) — first-time hashes.
+# 1. The 19 round-9 additions (checksum/xxh3 family, Snowball stem,
+#    bigram-LM document scoring, corpus lang-slice drift, leakage-safe
+#    train/val split, chunk windows, association/power-analysis tail,
+#    arrayAUC, pointInPolygon, IDNA, ngram similarity, time-decay
+#    window forms, arraySplit, keyed-SipHash family, tuple arithmetic,
+#    SRP-LSH embedding near-dup, in-engine BPE merge training,
+#    fixed-point TextRank keywords, Zipf corpus diagnostics) —
+#    first-time hashes.
 # 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
 #    missing" #3 list) — the max-hash-age set.
 # 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. The 17 new + 28 r05-tail + 9 anchors overfill the 50 slots by 4:
-#    dedup_minhash_lsh (bench-exercised every round regardless),
-#    knn_cosine_topk, ch_dialect_hourly_stats, mm_binary_meta (all
-#    r07-latest, age 2) fall just outside the window and rotate back in
-#    r10 together with the r6-latest block (dedup_incremental_minhash,
+# 4. The 19 new + 28 r05-tail + 9 anchors overfill the 50 slots by 6:
+#    etl_parse_project, dedup_minhash_lsh (both bench-exercised every
+#    round regardless), knn_cosine_topk, ch_dialect_hourly_stats,
+#    mm_binary_meta, agg_grouping_sets (all r07-latest, age 2) fall
+#    just outside the window and MUST lead the r10 rotation together
+#    with the r6-latest block (dedup_incremental_minhash,
 #    knn_range_search, emb_quantize_int8, window_range_trailing_hour,
 #    ts_counter_increase, ts_ohlc_hourly, …).
 # Every remaining registered query follows in registration (source)
@@ -8912,6 +9034,8 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_stem",
     "text_bigram_lm_score",
     "corpus_lang_drift",
+    "pipeline_train_val_split",
+    "pipeline_chunk_windows",
     "corpus_zipf_stats",
     "text_pagerank_keywords",
     "pipeline_bpe_train_merges",

@@ -689,3 +689,22 @@ def test_lang_drift_scale_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_train_val_split_scale_shape(spark):
+    """pipeline_train_val_split: fingerprinting is map-side, the audit
+    and rollup are hash aggs, the 1-row leak count broadcasts — pure
+    JVM, no cartesian wider than the broadcast scalar."""
+    plan = plan_of(QUERIES["pipeline_train_val_split"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_chunk_windows_scale_shape(spark):
+    """pipeline_chunk_windows: sequence+slice chunk generation is pure
+    JVM with zero joins and zero pre-sort shuffles (the ORDER BY is the
+    only exchange)."""
+    plan = plan_of(QUERIES["pipeline_chunk_windows"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") <= 1
