@@ -442,3 +442,25 @@ def test_format_readable_time_delta_ch_docs_examples():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         _fmt_time_delta(1, "fortnights")
+
+
+def test_format_readable_time_delta_round_trip_property():
+    """Property: for random non-negative integer deltas, parsing the
+    formatted string back through the unit widths reproduces the input
+    exactly (the decomposition is exact integer arithmetic)."""
+    import random as _random
+
+    from clickhouse_sinker_spark.functions.chudfs import _fmt_time_delta
+
+    widths = {"year": 31536000, "month": 2635200, "day": 86400,
+              "hour": 3600, "minute": 60, "second": 1}
+    rng = _random.Random(0x7D)
+    for _ in range(300):
+        sec = rng.randrange(0, 10**10)
+        out = _fmt_time_delta(sec, "years")
+        total = 0
+        for part in out.replace(" and ", ", ").split(", "):
+            qty, unit = part.split(" ", 1)
+            total += int(qty) * widths[unit.rstrip("s") if unit != "seconds"
+                                       else "second"]
+        assert total == sec, (sec, out)
