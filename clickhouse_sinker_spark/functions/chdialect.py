@@ -7388,6 +7388,16 @@ _PRE_LITERAL_KEYWORDS = frozenset(
 )
 
 
+# expressions that provably produce arrays — gates the subscript INT cast
+_ARRAY_PRODUCER_RE = re.compile(
+    r"^(array|splitBy\w+|split|range|sequence|emptyArray\w*|extractAll|"
+    r"arrayMap|arrayFilter|arraySlice|arraySort|arrayReverseSort|"
+    r"arrayConcat|arrayCompact|arrayDistinct|arrayShingles|groupArray|"
+    r"topK)\s*\(",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_brackets(sql: str) -> str:
     """ClickHouse bracket syntax → portable calls.
 
@@ -7473,12 +7483,25 @@ def _rewrite_brackets(sql: str) -> str:
             # integer-keyed map access survives the cast because Spark
             # widens the INT key back up to the map's key type.
             key = inner.strip()
+            base_is_array = bool(
+                _ARRAY_PRODUCER_RE.match(base)
+                or base.lower() in _ARRAY_COLUMNS
+            )
             if (key.startswith("'") and key.endswith("'")) or re.fullmatch(
-                    r"-?\d+", key):
-                # string map keys and bare integer literals are already
-                # the right type
+                    r"-?\d+", key) or not base_is_array:
+                # String map keys and bare integer literals are already
+                # the right type; an UNKNOWN base stays untouched too —
+                # casting there would silently break string-keyed map
+                # access m[k] (an array with a wide index fails loudly
+                # at analysis instead, the pre-cast behavior).
                 out = [trimmed[:k] + f"element_at({base}, {inner})"]
             else:
+                # Spark's element_at requires an INT index for arrays,
+                # but the dialect's integer casts ride BIGINT/DECIMAL
+                # carriers — cast down when the base is PROVABLY an
+                # array (catalog-known column or array-producing
+                # expression; arrays are < 2^31 in Spark, so the ANSI
+                # cast can only throw on an already-buggy index)
                 out = [trimmed[:k]
                        + f"element_at({base}, CAST({inner} AS INT))"]
         i = j

@@ -382,9 +382,9 @@ def test_bracket_literals_and_subscripts(spark):
         "has([1, 2], n) AS in_set, '[not] an array' AS strlit FROM t"
     )
     assert "element_at(xs, 1)" in got
-    # expression subscripts ride the dialect's BIGINT/DECIMAL integer
-    # carriers, but Spark's element_at needs an INT array index (r9)
-    assert "element_at(xs, CAST(i AS INT))" in got
+    # unknown base + expression subscript: untouched (casting here would
+    # silently break string-keyed map access m[k] — r9)
+    assert "element_at(xs, i)" in got
     assert "array(10, 20, 30)" in got
     assert "element_at(split(s, ','), 2)" in got
     assert "'[not] an array'" in got
@@ -4187,3 +4187,25 @@ def test_min_sample_size(spark):
     ):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_subscript_int_cast_gated_on_provable_arrays():
+    """The r9 subscript INT cast fires ONLY when the base is provably an
+    array (literal/producer call or catalog-known array column) — a
+    string-keyed map accessed by a column key must stay untouched."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    # array literal base: cast applied (the dialect's toInt casts ride
+    # BIGINT carriers and element_at needs INT)
+    got, _ = translate_ch_sql("SELECT ['a','b','c'][n + 1] AS x FROM t")
+    assert "element_at(array('a','b','c'), CAST(n + 1 AS INT))" in got
+    # catalog-known array column: cast applied
+    got, _ = translate_ch_sql(
+        "SELECT tags[n + 1] AS x FROM t", array_columns=["tags"])
+    assert "element_at(tags, CAST(n + 1 AS INT))" in got
+    # unknown base with a column key (string-keyed map shape): untouched
+    got, _ = translate_ch_sql("SELECT m[k] AS x FROM t")
+    assert "element_at(m, k)" in got
+    # string-literal key: untouched regardless
+    got, _ = translate_ch_sql("SELECT m['k'] AS x FROM t")
+    assert "element_at(m, 'k')" in got
