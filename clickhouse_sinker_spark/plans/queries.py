@@ -8398,6 +8398,107 @@ def ch_dialect_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_recall",
+    """
+    WITH q AS (
+      SELECT vec_id, [CAST(floor(u * 1000.0) AS BIGINT) FOR u IN embedding] AS qv
+      FROM embeddings
+    ), base AS (
+      SELECT vec_id, qv,
+             list_aggregate([x * x FOR x IN qv], 'sum') AS sq,
+             (CASE WHEN qv[1] >= 0 THEN 32 ELSE 0 END
+            + CASE WHEN qv[2] >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN qv[3] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN qv[4] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN qv[5] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN qv[6] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM q
+    ), ex AS (
+      SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM q
+    ), exact_scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             CAST(SUM(a.x * b.x) AS DOUBLE)
+               / (sqrt(MIN(qs.sq)) * sqrt(MIN(cs.sq))) AS cosine
+      FROM ex a
+      JOIN ex b ON a.i = b.i AND a.vec_id < 5 AND a.vec_id <> b.vec_id
+      JOIN base qs ON qs.vec_id = a.vec_id
+      JOIN base cs ON cs.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ), exact10 AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id) AS rnk
+        FROM exact_scored
+      ) WHERE rnk <= 10
+    ), probes AS (
+      SELECT b.vec_id AS query_id, b.sq AS psq, xor(b.bucket, m.p) AS bucket
+      FROM base b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS p) m
+      WHERE b.vec_id < 5
+    ), cand AS (
+      SELECT pr.query_id, c.vec_id AS corpus_id, pr.psq, c.sq AS csq
+      FROM probes pr JOIN base c USING (bucket)
+    ), ivf_scored AS (
+      SELECT cand.query_id, cand.corpus_id,
+             CAST(SUM(a.x * b.x) AS DOUBLE)
+               / (sqrt(MIN(cand.psq)) * sqrt(MIN(cand.csq))) AS cosine
+      FROM cand
+      JOIN ex a ON a.vec_id = cand.query_id
+      JOIN ex b ON b.vec_id = cand.corpus_id AND b.i = a.i
+      GROUP BY cand.query_id, cand.corpus_id
+    ), ivf10 AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id) AS rnk
+        FROM ivf_scored
+      ) WHERE rnk <= 10
+    )
+    SELECT e.query_id AS query_id,
+           COUNT(*) AS n_exact,
+           SUM(CASE WHEN i.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_hits,
+           CAST(SUM(CASE WHEN i.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS recall
+    FROM exact10 e
+    LEFT JOIN (SELECT * FROM ivf10 WHERE corpus_id <> query_id) i
+      ON i.query_id = e.query_id AND i.corpus_id = e.corpus_id
+    GROUP BY e.query_id ORDER BY query_id
+    """,
+)
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality report — recall@10 of the sign-bucket IVF index
+    against exact brute-force cosine, computed IN-ENGINE per query: the
+    number an ANN deployment monitors before trusting the approximate
+    path at 100 TB (probe more buckets when recall sags).  Composes the
+    two existing proven operators verbatim — ``knn_cosine_topk`` is the
+    ground truth, ``knn_ivf`` the candidate set ranked WITH self then
+    self-dropped, exactly as the index serves it — and joins them on
+    (query_id, corpus_id).  recall = n_hits / 10 is a division of the
+    same two small integers on both engines → bit-identical.  Scale:
+    both inputs keep their own proven shapes (broadcast queries, bucket
+    equi-join); the report join touches only the k×queries result rows,
+    never the corpus."""
+    exact = knn_cosine(spark, sf_dir).select("query_id", "corpus_id")
+    ivf = (
+        knn_ivf(spark, sf_dir)
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(ivf, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+             / F.count(F.lit(1))).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
     "pipeline_train_val_split",
     """
     WITH fp AS (
@@ -9001,9 +9102,10 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 19 round-9 additions (checksum/xxh3 family, Snowball stem,
+# 1. The 20 round-9 additions (checksum/xxh3 family, Snowball stem,
 #    bigram-LM document scoring, corpus lang-slice drift, leakage-safe
-#    train/val split, chunk windows, association/power-analysis tail,
+#    train/val split, chunk windows, IVF recall@10 report,
+#    association/power-analysis tail,
 #    arrayAUC, pointInPolygon, IDNA, ngram similarity, time-decay
 #    window forms, arraySplit, keyed-SipHash family, tuple arithmetic,
 #    SRP-LSH embedding near-dup, in-engine BPE merge training,
@@ -9015,14 +9117,15 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. The 19 new + 28 r05-tail + 9 anchors overfill the 50 slots by 6:
-#    etl_parse_project, dedup_minhash_lsh (both bench-exercised every
-#    round regardless), knn_cosine_topk, ch_dialect_hourly_stats,
-#    mm_binary_meta, agg_grouping_sets (all r07-latest, age 2) fall
-#    just outside the window and MUST lead the r10 rotation together
-#    with the r6-latest block (dedup_incremental_minhash,
-#    knn_range_search, emb_quantize_int8, window_range_trailing_hour,
-#    ts_counter_increase, ts_ohlc_hourly, …).
+# 4. The 20 new + 28 r05-tail + 9 anchors overfill the 50 slots by 7:
+#    window_sessionize, etl_parse_project, dedup_minhash_lsh (the last
+#    two bench-exercised every round regardless), knn_cosine_topk,
+#    ch_dialect_hourly_stats, mm_binary_meta, agg_grouping_sets (all
+#    r07-latest, age 2) fall just outside the window and MUST lead the
+#    r10 rotation together with the r6-latest block
+#    (dedup_incremental_minhash, knn_range_search, emb_quantize_int8,
+#    window_range_trailing_hour, ts_counter_increase, ts_ohlc_hourly,
+#    …).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -9036,6 +9139,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_lang_drift",
     "pipeline_train_val_split",
     "pipeline_chunk_windows",
+    "knn_ivf_recall",
     "corpus_zipf_stats",
     "text_pagerank_keywords",
     "pipeline_bpe_train_merges",
