@@ -22,16 +22,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER): a fixed
-    # 50-name prefix — 38 queries receiving their first driver hash (the
-    # r6-era never-checked tail plus the r7 additions, incl. the late
-    # dialect batches ch_dialect_agg_combinators / _math_entropy /
-    # _net_moments / _qualify, the exact-substring dedup, the tumble/hop
-    # time-window batch, the Arrow-UDF scalar tier, the welch/student
-    # t-tests, rankCorr, cramersV/contingency, the digest batch, and
-    # the IPv6 family) and 12 anchors / oldest-hash
-    # re-confirmations — then
-    # every remaining registered query in source order.  Deterministic; no
+    # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER, layout
+    # comment there): a fixed prefix — the 20 round-9 additions receiving
+    # their first driver hash (checksum/xxh3, stem, bigram-LM scoring,
+    # lang drift, train/val split, chunk windows, IVF recall, the closed
+    # refusal tail), then the 28 r05-latest stale queries the r8 verdict
+    # ordered rotated in, then the per-family anchors — followed by every
+    # remaining registered query in source order.  Deterministic; no
     # runtime state feeds the ordering.
     return {n: QUERIES[n] for n in ordered_query_names()}
 
