@@ -539,6 +539,9 @@ parse/formatDateTimeIn-      pattern passthrough (Joda = java.time on
 addDate/subDate /            interval-or-days forms; dateSub 3-arg →
   dateAdd/dateSub            negated timestampadd (no Spark datesub)
 splitByNonAlpha              alphanumeric-run tokenizer
+tokens(s)                    = splitByNonAlpha (CH default tokenizer;
+                             2-arg tokenizer modes refuse — r9)
+ngrams(s, n)                 codepoint n-grams, [] when shorter (r9)
 quantileExactLow/High(0.5)   python median_low/high element selection
   medianExactLow/High        (non-median levels refused)
 … WITH FILL INTERPOLATE      carry-forward window over the spine join:
@@ -4624,6 +4627,32 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(
         sql, "splitByNonAlpha",
         lambda a: f"filter(split({a[0]}, '[^0-9A-Za-z]+'), __sn -> __sn != '')",
+    )
+    # tokens(s) = CH's default tokenizer (split at non-alphanumeric runs,
+    # empties dropped) — identical to splitByNonAlpha; the 2-arg
+    # tokenizer-mode form ('ngram'/'split'/'no_op') refuses (r9)
+    sql = _rewrite_calls(
+        sql, "tokens",
+        lambda a: (
+            f"filter(split({a[0]}, '[^0-9A-Za-z]+'), __tk -> __tk != '')"
+            if len(a) == 1
+            else _refuse(
+                "tokens(s, tokenizer, …) modes are CH-version-dependent —"
+                " only the default 1-arg tokenizer translates"
+            )
+        ),
+    )
+    # ngrams(s, n): character n-grams over codepoints (Spark substring is
+    # codepoint-based like CH's UTF-8 walk); shorter-than-n → [] like CH
+    sql = _rewrite_calls(
+        sql, "ngrams",
+        lambda a: (
+            f"(CASE WHEN length({a[0]}) >= ({a[1]}) THEN "
+            f"transform(sequence(1, length({a[0]}) - ({a[1]}) + 1), "
+            f"__ng -> substring({a[0]}, __ng, {a[1]})) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END)"
+            if len(a) == 2 else _refuse("ngrams takes (string, n)")
+        ),
     )
     # --- sweep tranche 3 ---
     sql = _rewrite_calls(

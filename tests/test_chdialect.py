@@ -4209,3 +4209,26 @@ def test_subscript_int_cast_gated_on_provable_arrays():
     # string-literal key: untouched regardless
     got, _ = translate_ch_sql("SELECT m['k'] AS x FROM t")
     assert "element_at(m, 'k')" in got
+
+
+def test_tokens_and_ngrams(spark):
+    """tokens(s) = CH's default non-alphanumeric-run tokenizer (was a
+    silent unresolved-routine passthrough); ngrams(s, n) = codepoint
+    n-grams, CH docs example ngrams('ClickHouse', 3) pinned, shorter
+    inputs give [] (never a descending Spark sequence)."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+    import pytest as _pytest
+
+    got, _ = translate_ch_sql(
+        "SELECT tokens('a-b c_9!x') AS t, ngrams('ClickHouse', 3) AS g,"
+        " ngrams('ab', 3) AS e, ngrams('héllo', 2) AS u")
+    row = spark.sql(got).first()
+    assert row.t == ["a", "b", "c", "9", "x"]
+    assert row.g == ["Cli", "lic", "ick", "ckH", "kHo", "Hou", "ous", "use"]
+    assert row.e == []
+    assert row.u == ["hé", "él", "ll", "lo"]
+    with _pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT tokens(s, 'ngram') FROM t")
