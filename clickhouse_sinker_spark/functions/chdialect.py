@@ -542,6 +542,31 @@ splitByNonAlpha              alphanumeric-run tokenizer
 tokens(s)                    = splitByNonAlpha (CH default tokenizer;
                              2-arg tokenizer modes refuse — r9)
 ngrams(s, n)                 codepoint n-grams, [] when shorter (r9)
+characterLength / starts/    char_length / startswith / endswith
+ endsWithUTF8
+max2/min2(a, b)              Float64 greatest/least, any-NULL → NULL
+notLike/notILike             NOT (LIKE) forms
+toJSONString / JSONArray-    to_json (complex types) / json_array_length
+ Length
+normalizeLinf / LpNorm       vector-norm tail (let-bound max / p-power)
+netloc/port/queryString-     URL tail via try_parse_url AUTHORITY
+ AndFragment/cutWWW          ('page=1#29' docs pin; port default 0)
+pointInEllipses(x, y, …)     OR of ellipse memberships, UInt8-as-INT
+bitmap* family               deterministic array-set algebra (Build/
+                             ToArray sorted/Cardinality/And/Or/Xor/
+                             Andnot[+Cardinality]/Contains/HasAll/
+                             HasAny/Min/Max incl. empty sentinels;
+                             groupBitmap* STATE aggs stay refused)
+extractAllGroups[Horizontal  static-group-count regex extraction over
+ /Vertical](s, 're')         literal patterns
+byteHammingDistance /        differing bytes + length delta
+ mismatches                  ('karolin'/'kathrin' = 3 pinned)
+arrayShiftLeft/Right         explicit-fill 3-arg form (2-arg pads with
+ (a, n, fill)                the invisible type default → refuses)
+toDecimalN OrNull/OrZero     try_cast tails (Decimal256 refuses)
+tupleIntDiv/tupleModulo      element-wise DIV / % (arity-visible gate)
+fromUnixTimestampInJoda-     date_format(timestamp_seconds)
+ Syntax(x, 'fmt')
 quantileExactLow/High(0.5)   python median_low/high element selection
   medianExactLow/High        (non-median levels refused)
 … WITH FILL INTERPOLATE      carry-forward window over the spine join:
@@ -877,6 +902,21 @@ _UNSUPPORTED = {
     "lowCardinalityKeys",    # engine introspection
     "lowCardinalityIndices",
     "toIntervalNanosecond",  # Spark intervals are microsecond-resolution
+    "addNanoseconds",        # (same microsecond-resolution ceiling)
+    "subtractNanoseconds",
+    "toStartOfNanosecond",
+    "toTimezone",            # CH changes the TYPE's display timezone, not
+                             # the instant; Spark timestamps carry no tz —
+                             # render with date_format(from_utc_timestamp)
+    "sequenceNextNode",      # block-order event-chain introspection
+    "windowID",              # streaming-engine window introspection
+    "toDecimal256",          # beyond Spark's DECIMAL(38) ceiling
+    "toDecimal256OrNull",
+    "toDecimal256OrZero",
+    "firstSignificantSubdomainCustom",      # needs a custom TLD list
+    "cutToFirstSignificantSubdomainCustom", # loaded server-side in CH
+    "hammingDistance",       # ambiguous alias: use byteHammingDistance
+                             # (strings) or bitHammingDistance (ints)
     "flattenTuple",          # tuple introspection
     "tupleToNameValuePairs",
     "tupleNames",
@@ -3746,7 +3786,8 @@ def _translate_functions(sql: str) -> str:
     # NULL comparison counts as a mismatch (documented extension — CH
     # tuples are non-Nullable element-wise in this position).
     for _tan, _top in (("tuplePlus", "+"), ("tupleMinus", "-"),
-                       ("tupleMultiply", "*"), ("tupleDivide", "/")):
+                       ("tupleMultiply", "*"), ("tupleDivide", "/"),
+                       ("tupleIntDiv", "DIV"), ("tupleModulo", "%")):
         sql = _rewrite_calls(sql, _tan, _tuple_binop_fn(_tan, _top))
     sql = _rewrite_calls(
         sql, "tupleNegate",
@@ -4652,6 +4693,201 @@ def _translate_functions(sql: str) -> str:
             f"__ng -> substring({a[0]}, __ng, {a[1]})) "
             f"ELSE CAST(array() AS ARRAY<STRING>) END)"
             if len(a) == 2 else _refuse("ngrams takes (string, n)")
+        ),
+    )
+    # --- late-r9 sweep: names that previously reached Spark as
+    # unresolved routines (loud, but untranslated) ---
+    sql = _rewrite_calls(
+        sql, "characterLength", lambda a: f"char_length({a[0]})")
+    sql = _rewrite_calls(
+        sql, "startsWithUTF8", lambda a: f"startswith({a[0]}, {a[1]})")
+    sql = _rewrite_calls(
+        sql, "endsWithUTF8", lambda a: f"endswith({a[0]}, {a[1]})")
+    # max2/min2 return Float64 in CH and propagate any NULL (Spark's
+    # greatest/least SKIP nulls, so the IF guard is load-bearing)
+    for _m2, _gf in (("max2", "greatest"), ("min2", "least")):
+        sql = _rewrite_calls(
+            sql, _m2,
+            lambda a, f=_gf: (
+                f"IF(({a[0]}) IS NULL OR ({a[1]}) IS NULL, "
+                f"CAST(NULL AS DOUBLE), "
+                f"{f}(CAST({a[0]} AS DOUBLE), CAST({a[1]} AS DOUBLE)))"
+            ) if len(a) == 2 else _refuse(f"{_m2} takes exactly 2 args"),
+        )
+    sql = _rewrite_calls(
+        sql, "notLike", lambda a: f"(NOT (({a[0]}) LIKE ({a[1]})))")
+    sql = _rewrite_calls(
+        sql, "notILike",
+        lambda a: f"(NOT (lower({a[0]}) LIKE lower({a[1]})))")
+    # toJSONString: Spark's to_json covers CH's struct/map/array cases;
+    # scalar arguments fail loudly at analysis (a documented delta —
+    # CH also serializes scalars)
+    sql = _rewrite_calls(sql, "toJSONString", lambda a: f"to_json({a[0]})")
+    sql = _rewrite_calls(
+        sql, "JSONArrayLength", lambda a: f"json_array_length({a[0]})")
+    # vector-norm tail: normalizeLinf and the generic LpNorm
+    sql = _rewrite_calls(
+        sql, "normalizeLinf",
+        lambda a: (
+            f"element_at(transform(array(named_struct('a', {a[0]}, 'n', "
+            f"array_max(transform({a[0]}, __vx -> abs(CAST(__vx AS "
+            f"DOUBLE)))))), __nl -> transform(__nl.a, __vx -> "
+            f"CAST(__vx AS DOUBLE) / __nl.n)), 1)"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "LpNorm",
+        lambda a: (
+            f"power(aggregate({a[0]}, CAST(0 AS DOUBLE), (__lp, __vx) -> "
+            f"__lp + power(abs(CAST(__vx AS DOUBLE)), {a[1]})), "
+            f"1.0 / ({a[1]}))"
+        ) if len(a) == 2 else _refuse("LpNorm takes (vector, p)"),
+    )
+    # URL tail: netloc/port/queryStringAndFragment/cutWWW (same
+    # ''-on-null conventions as the rest of the URL family)
+    sql = _rewrite_calls(
+        sql, "netloc",
+        lambda a: f"coalesce(try_parse_url({a[0]}, 'AUTHORITY'), '')")
+    sql = _rewrite_calls(
+        sql, "port",
+        lambda a: (
+            f"CAST(coalesce(nullif(regexp_extract(coalesce(try_parse_url("
+            f"{a[0]}, 'AUTHORITY'), ''), ':([0-9]+)$', 1), ''), "
+            f"{a[1] if len(a) == 2 else '0'}) AS INT)"
+        ) if len(a) in (1, 2) else _refuse("port takes (url[, default])"),
+    )
+    sql = _rewrite_calls(
+        sql, "queryStringAndFragment",
+        lambda a: (
+            f"concat(coalesce(try_parse_url({a[0]}, 'QUERY'), ''), "
+            f"IF(coalesce(try_parse_url({a[0]}, 'REF'), '') = '', '', "
+            f"concat('#', try_parse_url({a[0]}, 'REF'))))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "cutWWW",
+        lambda a: (
+            f"regexp_replace({a[0]}, "
+            f"'^([A-Za-z][A-Za-z0-9+.-]*://)?www\\\\.', '$1')"
+        ),
+    )
+    # pointInEllipses: deterministic arithmetic, UInt8 result like CH
+    sql = _rewrite_calls(
+        sql, "pointInEllipses",
+        lambda a: (
+            "CAST((" + " OR ".join(
+                f"(power((CAST({a[0]} AS DOUBLE) - ({a[2 + 4 * k]})) / "
+                f"({a[4 + 4 * k]}), 2) + "
+                f"power((CAST({a[1]} AS DOUBLE) - ({a[3 + 4 * k]})) / "
+                f"({a[5 + 4 * k]}), 2)) <= 1.0"
+                for k in range((len(a) - 2) // 4)
+            ) + ") AS INT)"
+        ) if len(a) >= 6 and (len(a) - 2) % 4 == 0 else _refuse(
+            "pointInEllipses takes (x, y, x1, y1, a1, b1, …)"
+        ),
+    )
+    # roaring-bitmap family as deterministic array-set algebra: a
+    # "bitmap" is a distinct array, bitmapToArray sorts ascending like
+    # CH.  The *state* aggregates (groupBitmapAnd/Or/Xor) stay refused.
+    sql = _rewrite_calls(
+        sql, "bitmapBuild", lambda a: f"array_distinct({a[0]})")
+    sql = _rewrite_calls(
+        sql, "bitmapToArray",
+        lambda a: f"array_sort(array_distinct({a[0]}))")
+    sql = _rewrite_calls(
+        sql, "bitmapCardinality",
+        lambda a: f"size(array_distinct({a[0]}))")
+    for _bn, _bf in (("bitmapAnd", "array_intersect"),
+                     ("bitmapOr", "array_union"),
+                     ("bitmapAndnot", "array_except")):
+        sql = _rewrite_calls(
+            sql, _bn, lambda a, f=_bf: f"{f}({a[0]}, {a[1]})")
+        sql = _rewrite_calls(
+            sql, _bn + "Cardinality",
+            lambda a, f=_bf: f"size({f}({a[0]}, {a[1]}))")
+    sql = _rewrite_calls(
+        sql, "bitmapXor",
+        lambda a: (f"array_union(array_except({a[0]}, {a[1]}), "
+                   f"array_except({a[1]}, {a[0]}))"))
+    sql = _rewrite_calls(
+        sql, "bitmapXorCardinality",
+        lambda a: (f"size(array_union(array_except({a[0]}, {a[1]}), "
+                   f"array_except({a[1]}, {a[0]})))"))
+    sql = _rewrite_calls(
+        sql, "bitmapContains",
+        lambda a: f"array_contains({a[0]}, {a[1]})")
+    sql = _rewrite_calls(
+        sql, "bitmapHasAll",
+        lambda a: f"forall({a[1]}, __bm -> array_contains({a[0]}, __bm))")
+    sql = _rewrite_calls(
+        sql, "bitmapHasAny",
+        lambda a: f"arrays_overlap({a[0]}, {a[1]})")
+    # CH-docs empty-bitmap sentinels: min → UINT32_MAX, max → 0
+    sql = _rewrite_calls(
+        sql, "bitmapMin",
+        lambda a: f"coalesce(array_min({a[0]}), CAST(4294967295 AS BIGINT))")
+    sql = _rewrite_calls(
+        sql, "bitmapMax",
+        lambda a: f"coalesce(array_max({a[0]}), CAST(0 AS BIGINT))")
+    # extractAllGroups forms (literal pattern so the group count is
+    # static, same counting rule as extractGroups)
+    sql = _rewrite_calls(
+        sql, "extractAllGroupsHorizontal",
+        lambda a: _extract_all_groups(a, "horizontal"))
+    sql = _rewrite_calls(
+        sql, "extractAllGroupsVertical",
+        lambda a: _extract_all_groups(a, "vertical"))
+    sql = _rewrite_calls(
+        sql, "extractAllGroups",
+        lambda a: _extract_all_groups(a, "vertical"))  # CH alias
+    # byteHammingDistance/mismatches: differing bytes over the common
+    # prefix + the length difference (CH docs convention; the classic
+    # 'karolin'/'kathrin' = 3 example is pinned in tests)
+    for _hn in ("byteHammingDistance", "mismatches"):
+        sql = _rewrite_calls(
+            sql, _hn,
+            lambda a: (
+                f"IF(({a[0]}) IS NULL OR ({a[1]}) IS NULL, "
+                f"CAST(NULL AS BIGINT), "
+                f"element_at(transform(array(named_struct("
+                f"'ba', encode({a[0]}, 'UTF-8'), "
+                f"'bb', encode({a[1]}, 'UTF-8'))), __bh -> "
+                f"IF(least(octet_length(__bh.ba), octet_length(__bh.bb)) "
+                f"= 0, CAST(0 AS BIGINT), "
+                f"aggregate(sequence(1, least(octet_length(__bh.ba), "
+                f"octet_length(__bh.bb))), CAST(0 AS BIGINT), "
+                f"(__hc, __hi) -> __hc + IF(substring(__bh.ba, __hi, 1) "
+                f"= substring(__bh.bb, __hi, 1), CAST(0 AS BIGINT), "
+                f"CAST(1 AS BIGINT)))) "
+                f"+ abs(octet_length(__bh.ba) - octet_length(__bh.bb))"
+                f"), 1))"
+            ) if len(a) == 2 else _refuse(f"{_hn} takes exactly 2 strings"),
+        )
+    # arrayShift with an EXPLICIT fill (the 2-arg form pads with the
+    # element type's default, invisible at SQL level → refuses)
+    sql = _rewrite_calls(sql, "arrayShiftLeft", _array_shift_fn(True))
+    sql = _rewrite_calls(sql, "arrayShiftRight", _array_shift_fn(False))
+    # decimal OrNull/OrZero tail (256-bit stays refused: > DECIMAL(38))
+    for _dw, _dp in (("32", 9), ("64", 18), ("128", 38)):
+        sql = _rewrite_calls(
+            sql, f"toDecimal{_dw}OrNull",
+            lambda a, p=_dp: (
+                f"try_cast({a[0]} AS DECIMAL({p}, {a[1].strip()}))"
+            ) if len(a) == 2 else _refuse("toDecimalNOrNull takes (x, s)"),
+        )
+        sql = _rewrite_calls(
+            sql, f"toDecimal{_dw}OrZero",
+            lambda a, p=_dp: (
+                f"coalesce(try_cast({a[0]} AS DECIMAL({p}, "
+                f"{a[1].strip()})), CAST(0 AS DECIMAL({p}, "
+                f"{a[1].strip()})))"
+            ) if len(a) == 2 else _refuse("toDecimalNOrZero takes (x, s)"),
+        )
+    sql = _rewrite_calls(
+        sql, "fromUnixTimestampInJodaSyntax",
+        lambda a: (
+            f"date_format(timestamp_seconds({a[0]}), {a[1]})"
+            if len(a) == 2 else f"timestamp_seconds({a[0]})"
         ),
     )
     # --- sweep tranche 3 ---
@@ -5608,6 +5844,72 @@ def _extract_groups(a: list[str]) -> str:
         f"regexp_extract({a[0]}, {pat}, {i + 1})" for i in range(n_groups)
     )
     return f"array({elems})"
+
+
+def _extract_all_groups(a: list[str], mode: str) -> str:
+    """``extractAllGroupsHorizontal/Vertical(s, 're')`` — literal pattern
+    required (static group count).  Horizontal: one array per group with
+    that group of every match; Vertical (the ``extractAllGroups``
+    default): one array per match with all its groups."""
+    if len(a) != 2:
+        raise ChTranslationError("extractAllGroups* needs (s, 'pattern')")
+    pat = a[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ChTranslationError("extractAllGroups* requires a literal"
+                                 " pattern")
+    body = pat[1:-1]
+    n_groups = sum(
+        1
+        for m in re.finditer(r"(\\*)\((?!\?)", body)
+        if len(m.group(1)) % 4 == 0
+    )
+    if n_groups == 0:
+        raise ChTranslationError("extractAllGroups* pattern has no capture"
+                                 " groups")
+    cols = [f"regexp_extract_all({a[0]}, {pat}, {i + 1})"
+            for i in range(n_groups)]
+    if mode == "horizontal":
+        return "array(" + ", ".join(cols) + ")"
+    # vertical: let-bind the per-group arrays once, then zip by index
+    binds = ", ".join(f"'g{i}', {c}" for i, c in enumerate(cols))
+    row = ", ".join(f"element_at(__eg.g{i}, __ei)" for i in range(n_groups))
+    return (
+        f"element_at(transform(array(named_struct({binds})), __eg -> "
+        f"IF(size(__eg.g0) = 0, CAST(array() AS ARRAY<ARRAY<STRING>>), "
+        f"transform(sequence(1, size(__eg.g0)), __ei -> array({row})))), 1)"
+    )
+
+
+def _array_shift_fn(left: bool):
+    """``arrayShiftLeft/Right(arr, n, fill)`` with an explicit fill and a
+    literal non-negative n.  The 2-arg form pads with the element type's
+    DEFAULT value, which is invisible at SQL-text level → refuses."""
+    name = "arrayShiftLeft" if left else "arrayShiftRight"
+
+    def rw(a: list[str]) -> str:
+        if len(a) == 2:
+            raise ChTranslationError(
+                f"{name} without an explicit fill pads with the element"
+                " type's default value (invisible at SQL level) — pass"
+                " the fill explicitly")
+        if len(a) != 3:
+            raise ChTranslationError(f"{name} takes (array, n, fill)")
+        n = a[1].strip()
+        if not re.fullmatch(r"\d+", n):
+            raise ChTranslationError(
+                f"{name} needs a literal non-negative shift (negative"
+                " shifts reverse direction in CH — spell the direction"
+                " with the other function)")
+        arr, fill = a[0], a[2]
+        pad = f"array_repeat({fill}, CAST(least({n}, size({arr})) AS INT))"
+        if left:
+            body = f"concat(slice({arr}, {n} + 1, " \
+                   f"greatest(size({arr}) - ({n}), 0)), {pad})"
+        else:
+            body = f"concat({pad}, slice({arr}, 1, " \
+                   f"greatest(size({arr}) - ({n}), 0)))"
+        return body
+    return rw
 
 
 def _array_enumerate_dense(a: list[str]) -> str:
@@ -8145,6 +8447,10 @@ def translate_ch_sql(
 def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
     notes: list[str] = []
     _redirect = {
+        "toTimezone": "date_format(from_utc_timestamp(ts, tz), …) for"
+                      " display conversion",
+        "hammingDistance": "byteHammingDistance (strings) or"
+                           " bitHammingDistance (integers)",
         "neighbor": "lag()/lead() OVER an explicit ORDER BY",
         "runningDifference": "v - lag(v) OVER an explicit ORDER BY",
         "runningAccumulate": "sum() OVER an explicit ORDER BY",

@@ -1785,10 +1785,13 @@ def test_map_aggregates_and_value_transform(spark):
         ("SELECT dictGet('d', 'a', v) FROM t", "broadcast JOIN"),
         ("SELECT histogram(5)(v) FROM t", "bucketing"),
         ("SELECT rowNumberInAllBlocks() FROM t", "row_number"),
-        ("SELECT formatReadableTimeDelta(v) FROM t", "no faithful"),
+        ("SELECT sparkBar(9)(x, y) FROM t", "no faithful"),
     ):
         with pytest.raises(ChTranslationError, match="no faithful"):
             translate_ch_sql(bad)
+    # formatReadableTimeDelta TRANSLATES since r9 (docs-pinned)
+    got, _ = translate_ch_sql("SELECT formatReadableTimeDelta(v) FROM t")
+    assert "ch_time_delta(v, 'years')" in got
 
 
 def test_state_merge_combinators_refused():
@@ -4232,3 +4235,76 @@ def test_tokens_and_ngrams(spark):
     assert row.u == ["hé", "él", "ll", "lo"]
     with _pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT tokens(s, 'ngram') FROM t")
+
+
+def test_late_r9_sweep_batch(spark):
+    """The late-r9 passthrough sweep: names that previously reached
+    Spark as unresolved routines now translate (loud-but-untranslated →
+    translated), with published pins — byteHammingDistance's classic
+    'karolin'/'kathrin' = 3, queryStringAndFragment's CH docs
+    'page=1#29', bitmapMin's UINT32_MAX empty sentinel, LpNorm([3,4],2)
+    = 5 — or refuse with rationale (toTimezone, toDecimal256, 2-arg
+    arrayShift, ambiguous hammingDistance)."""
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    out, _ = translate_ch_sql(
+        "SELECT characterLength('héllo') AS cl,"
+        " startsWithUTF8('héllo', 'hé') AS sw,"
+        " max2(1, 2.5) AS mx, min2(NULL, 2) AS mn,"
+        " notLike('abc', '%b%') AS nl,"
+        " toJSONString(mapFromArrays(['a'],[1])) AS js,"
+        " JSONArrayLength('[1,2,3]') AS jal,"
+        " normalizeLinf([3.0, -6.0]) AS nli, LpNorm([3.0, 4.0], 2) AS lp2,"
+        " netloc('http://paul@www.example.com:80/a') AS nlc,"
+        " port('http://ex.com:8080/x') AS prt, port('http://ex.com/x') AS p0,"
+        " queryStringAndFragment('http://x/?page=1#29') AS qsf,"
+        " cutWWW('http://www.example.com/a') AS cw,"
+        " pointInEllipses(1.0, 1.0, 0.0, 0.0, 3.0, 3.0) AS pie,"
+        " bitmapToArray(bitmapBuild([3, 1, 2, 1])) AS bta,"
+        " bitmapXorCardinality(bitmapBuild([1,2]), bitmapBuild([2,3])) AS bxc,"
+        " bitmapHasAll(bitmapBuild([1,2,3]), bitmapBuild([1,2])) AS bha,"
+        " bitmapMin(bitmapBuild(CAST([] AS ARRAY<BIGINT>))) AS bmn,"
+        " extractAllGroupsHorizontal('1-a 2-b', '(\\d)-(\\w)') AS gh,"
+        " extractAllGroupsVertical('1-a 2-b', '(\\d)-(\\w)') AS gv,"
+        " byteHammingDistance('karolin', 'kathrin') AS hd,"
+        " mismatches('abc', 'abcdef') AS mm,"
+        " arrayShiftLeft([1,2,3,4], 2, 0) AS asl,"
+        " arrayShiftRight([1,2,3,4], 2, 9) AS asr,"
+        " tupleElement(tupleIntDiv((10, 20), (3, 7)), 1) AS tid,"
+        " tupleElement(tupleModulo((10, 20), (3, 7)), 2) AS tmd,"
+        " toDecimal32OrNull('x', 2) AS dnull,"
+        " toDecimal64OrZero('1.25', 2) AS dz,"
+        " fromUnixTimestampInJodaSyntax(86400, 'yyyy-MM-dd') AS juts"
+    )
+    r = spark.sql(out).first()
+    assert r.cl == 5 and r.sw is True
+    assert r.mx == 2.5 and r.mn is None
+    assert r.nl is False
+    assert r.js == '{"a":1}' and r.jal == 3
+    assert r.nli == [0.5, -1.0] and r.lp2 == 5.0
+    assert r.nlc == "paul@www.example.com:80"
+    assert r.prt == 8080 and r.p0 == 0
+    assert r.qsf == "page=1#29"
+    assert r.cw == "http://example.com/a"
+    assert r.pie == 1
+    assert r.bta == [1, 2, 3] and r.bxc == 2 and r.bha is True
+    assert r.bmn == 4294967295
+    assert r.gh == [["1", "2"], ["a", "b"]]
+    assert r.gv == [["1", "a"], ["2", "b"]]
+    assert r.hd == 3 and r.mm == 3
+    assert r.asl == [3, 4, 0, 0] and r.asr == [9, 9, 1, 2]
+    assert r.tid == 3 and r.tmd == 6
+    assert r.dnull is None and str(r.dz) == "1.25"
+    assert r.juts == "1970-01-02"
+    for bad in ("SELECT toTimezone(t, 'UTC') FROM x",
+                "SELECT toDecimal256(s, 2) FROM x",
+                "SELECT arrayShiftLeft([1], 1) FROM x",
+                "SELECT hammingDistance(a, b) FROM x",
+                "SELECT sequenceNextNode('forward','head')(t, e, c) FROM x"):
+        with _pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
