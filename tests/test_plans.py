@@ -708,3 +708,12 @@ def test_chunk_windows_scale_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("+- Exchange") <= 1
+
+
+def test_ivf_recall_scale_shape(spark):
+    """knn_ivf_recall: both component shapes survive composition — no
+    cartesian product wider than the broadcast query side, zero Python,
+    and the report join touches only result rows."""
+    plan = plan_of(QUERIES["knn_ivf_recall"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
