@@ -8456,8 +8456,8 @@ def ch_dialect_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.query_id AS query_id,
            COUNT(*) AS n_exact,
-           SUM(CASE WHEN i.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_hits,
+           CAST(SUM(CASE WHEN i.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
            CAST(SUM(CASE WHEN i.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS DOUBLE) / COUNT(*) AS recall
     FROM exact10 e
@@ -8644,8 +8644,8 @@ def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           SUM(q) AS surprise_sum,
-           SUM(q) // COUNT(*) AS mean_cond_prob_q,
+           CAST(SUM(q) AS BIGINT) AS surprise_sum,
+           CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_cond_prob_q,
            MIN(q) AS min_cond_prob_q
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
@@ -8721,16 +8721,18 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cnt.lang, cnt.w, (1000000000 * cnt.c) // tot.n AS q
       FROM cnt JOIN tot USING (lang)
     ),
-    s AS (SELECT lang, SUM(q) AS s_q, COUNT(*) AS vocab FROM pq GROUP BY lang),
+    s AS (SELECT lang, CAST(SUM(q) AS BIGINT) AS s_q, COUNT(*) AS vocab
+         FROM pq GROUP BY lang),
     pairterms AS (
       SELECT a.lang AS l1, b.lang AS l2,
-             SUM(abs(a.q - b.q) - a.q - b.q) AS adj,
+             CAST(SUM(abs(a.q - b.q) - a.q - b.q) AS BIGINT) AS adj,
              COUNT(*) AS shared_vocab
       FROM pq a JOIN pq b ON a.w = b.w AND a.lang < b.lang
       GROUP BY a.lang, b.lang
     )
     SELECT s1.lang AS l1, s2.lang AS l2,
-           s1.s_q + s2.s_q + COALESCE(pairterms.adj, 0) AS tv2_q,
+           CAST(s1.s_q + s2.s_q + COALESCE(pairterms.adj, 0) AS BIGINT)
+             AS tv2_q,
            COALESCE(pairterms.shared_vocab, 0) AS shared_vocab,
            s1.vocab AS vocab1, s2.vocab AS vocab2
     FROM s s1 JOIN s s2 ON s1.lang < s2.lang
@@ -9117,15 +9119,16 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. The 20 new + 28 r05-tail + 9 anchors overfill the 50 slots by 7:
-#    window_sessionize, etl_parse_project, dedup_minhash_lsh (the last
-#    two bench-exercised every round regardless), knn_cosine_topk,
-#    ch_dialect_hourly_stats, mm_binary_meta, agg_grouping_sets (all
-#    r07-latest, age 2) fall just outside the window and MUST lead the
-#    r10 rotation together with the r6-latest block
-#    (dedup_incremental_minhash, knn_range_search, emb_quantize_int8,
-#    window_range_trailing_hour, ts_counter_increase, ts_ohlc_hourly,
-#    …).
+# 4. The 20 new + 28 r05-tail fill 48 slots; 2 anchors (tpch_q1_pricing,
+#    tpch_q9_profit) complete the 50.  The other 7 anchors of the
+#    original rotation plan — window_sessionize, agg_grouping_sets,
+#    etl_parse_project, dedup_minhash_lsh (the last two bench-exercised
+#    every round regardless), knn_cosine_topk, ch_dialect_hourly_stats,
+#    mm_binary_meta (all r07-latest, age 2) — were displaced by the r9
+#    additions and MUST lead the r10 rotation together with the
+#    r6-latest block (dedup_incremental_minhash, knn_range_search,
+#    emb_quantize_int8, window_range_trailing_hour,
+#    ts_counter_increase, ts_ohlc_hourly, …).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -9182,16 +9185,10 @@ DRIVER_ORDER: list[str] = [
     "seq_match_funnel",
     "cohort_weekly_retention",
     "text_langid_trigram",
-    # --- the 9 per-family anchors, rotated back in ---
+    # --- per-family anchors (2 of the original 9 — the other 7 were
+    # displaced by the 20 r9 additions; see layout note #4) ---
     "tpch_q1_pricing",
     "tpch_q9_profit",
-    "window_sessionize",
-    "agg_grouping_sets",
-    "etl_parse_project",
-    "dedup_minhash_lsh",
-    "knn_cosine_topk",
-    "ch_dialect_hourly_stats",
-    "mm_binary_meta",
 ]
 
 DRIVER_WINDOW = 50

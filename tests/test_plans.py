@@ -521,7 +521,8 @@ def test_url_readable_single_shuffle_no_join(spark):
     """ch_dialect_url_readable: one groupBy(lang) hash exchange carries
     every aggregate (count/sum/max/min/collect_list) in a single pass;
     the URL/format/readable scalar work is post-aggregation projection —
-    no join, no Python."""
+    no join, and the only Python is the single ArrowEvalPython batch the
+    r9 formatReadableTimeDelta columns ride (over 5 aggregated rows)."""
     plan = plan_of(QUERIES["ch_dialect_url_readable"](spark, SF_DIR))
     n_exchanges = sum(
         1 for l in plan.splitlines()
@@ -529,7 +530,8 @@ def test_url_readable_single_shuffle_no_join(spark):
     )
     assert n_exchanges == 1, plan
     assert "Join" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("+- ArrowEvalPython") == 1
 
 
 def test_dialect_agg_combinator_queries_single_shuffle(spark):
