@@ -8398,6 +8398,94 @@ def ch_dialect_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_datasheet",
+    """
+    WITH base AS (
+      SELECT source, lang,
+             md5(lower(trim(text))) AS fp,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> length(x) > 0)) AS n_toks
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT fp) AS n_contents,
+             COUNT(*) - COUNT(DISTINCT fp) AS dup_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_toks) // COUNT(*) AS BIGINT) AS mean_doc_tokens
+      FROM base GROUP BY source
+    ),
+    lang_counts AS (
+      SELECT source, lang, COUNT(*) AS c FROM base GROUP BY source, lang
+    ),
+    top_lang AS (
+      SELECT source, lang AS top_lang, c AS top_lang_docs FROM (
+        SELECT source, lang, c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang ASC) AS rnk
+        FROM lang_counts
+      ) WHERE rnk = 1
+    )
+    SELECT p.source AS source, p.n_docs, p.n_contents, p.dup_docs,
+           p.total_tokens, p.mean_doc_tokens,
+           t.top_lang,
+           CAST((1000000 * t.top_lang_docs) // p.n_docs AS BIGINT)
+             AS top_lang_share_q
+    FROM per_src p JOIN top_lang t USING (source)
+    ORDER BY source
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset datasheet a pretraining pipeline publishes
+    with every snapshot: document and distinct-content counts (the gap
+    is the exact-dup count), token totals, mean document length, and
+    the dominant language with its fixed-point share — the numbers a
+    data curator reads before deciding mixing weights or flagging a
+    degenerate source.  Every column is an exact integer (or an
+    integer-division fixed point), so the report is bit-stable across
+    engines.  Scale: one map-side fingerprint+token projection, one
+    groupBy(source) rollup, one vocabulary-free (source, lang) count
+    with a per-source top-1 window — group cardinality is sources×langs,
+    never corpus-sized."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                   lambda x: F.length(x) > 0)
+    base = d.select(
+        "source", "lang",
+        F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("fp"),
+        F.size(arr).cast("bigint").alias("n_toks"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_contents"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("dup_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.expr("sum(n_toks) div count(1)").alias("mean_doc_tokens"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc())
+    top_lang = (
+        lang_counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("source", F.col("lang").alias("top_lang"),
+                F.col("c").alias("top_lang_docs"))
+    )
+    return (
+        per_src.join(top_lang, ["source"])
+        .select(
+            "source", "n_docs", "n_contents", "dup_docs", "total_tokens",
+            "mean_doc_tokens", "top_lang",
+            F.expr("(1000000 * top_lang_docs) div n_docs")
+            .alias("top_lang_share_q"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "knn_ivf_recall",
     """
     WITH q AS (
@@ -9104,10 +9192,10 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
 # skipped), then the nine long-green per-family anchors the r8 window
 # displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 20 round-9 additions (checksum/xxh3 family, Snowball stem,
+# 1. The 21 round-9 additions (checksum/xxh3 family, Snowball stem,
 #    bigram-LM document scoring, corpus lang-slice drift, leakage-safe
-#    train/val split, chunk windows, IVF recall@10 report,
-#    association/power-analysis tail,
+#    train/val split, chunk windows, IVF recall@10 report, per-source
+#    datasheet, association/power-analysis tail,
 #    arrayAUC, pointInPolygon, IDNA, ngram similarity, time-decay
 #    window forms, arraySplit, keyed-SipHash family, tuple arithmetic,
 #    SRP-LSH embedding near-dup, in-engine BPE merge training,
@@ -9119,15 +9207,15 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    window_sessionize, agg_grouping_sets, etl_parse_project,
 #    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
 #    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. The 20 new + 28 r05-tail fill 48 slots; 2 anchors (tpch_q1_pricing,
-#    tpch_q9_profit) complete the 50.  The other 7 anchors of the
-#    original rotation plan — window_sessionize, agg_grouping_sets,
-#    etl_parse_project, dedup_minhash_lsh (the last two bench-exercised
-#    every round regardless), knn_cosine_topk, ch_dialect_hourly_stats,
-#    mm_binary_meta (all r07-latest, age 2) — were displaced by the r9
-#    additions and MUST lead the r10 rotation together with the
-#    r6-latest block (dedup_incremental_minhash, knn_range_search,
-#    emb_quantize_int8, window_range_trailing_hour,
+# 4. The 21 new + 28 r05-tail fill 49 slots; tpch_q1_pricing completes
+#    the 50.  The other 8 anchors of the original rotation plan —
+#    tpch_q9_profit, window_sessionize, agg_grouping_sets,
+#    etl_parse_project, dedup_minhash_lsh (the last three
+#    bench-exercised every round regardless), knn_cosine_topk,
+#    ch_dialect_hourly_stats, mm_binary_meta (all r07-latest, age 2) —
+#    were displaced by the r9 additions and MUST lead the r10 rotation
+#    together with the r6-latest block (dedup_incremental_minhash,
+#    knn_range_search, emb_quantize_int8, window_range_trailing_hour,
 #    ts_counter_increase, ts_ohlc_hourly, …).
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
@@ -9143,6 +9231,7 @@ DRIVER_ORDER: list[str] = [
     "pipeline_train_val_split",
     "pipeline_chunk_windows",
     "knn_ivf_recall",
+    "corpus_datasheet",
     "corpus_zipf_stats",
     "text_pagerank_keywords",
     "pipeline_bpe_train_merges",
@@ -9185,10 +9274,9 @@ DRIVER_ORDER: list[str] = [
     "seq_match_funnel",
     "cohort_weekly_retention",
     "text_langid_trigram",
-    # --- per-family anchors (2 of the original 9 — the other 7 were
-    # displaced by the 20 r9 additions; see layout note #4) ---
+    # --- per-family anchor (1 of the original 9 — the other 8 were
+    # displaced by the 21 r9 additions; see layout note #4) ---
     "tpch_q1_pricing",
-    "tpch_q9_profit",
 ]
 
 DRIVER_WINDOW = 50

@@ -719,3 +719,12 @@ def test_ivf_recall_scale_shape(spark):
     plan = plan_of(QUERIES["knn_ivf_recall"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_datasheet_scale_shape(spark):
+    """corpus_datasheet: map-side fingerprint/token projection, one
+    source rollup, a sources×langs-sized top-1 window, and a join no
+    wider than the source key — pure JVM."""
+    plan = plan_of(QUERIES["corpus_datasheet"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
