@@ -4308,3 +4308,70 @@ def test_late_r9_sweep_batch(spark):
                 "SELECT sequenceNextNode('forward','head')(t, e, c) FROM x"):
         with _pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_sweep_batch_properties_vs_python_reference(spark):
+    """Randomized cross-checks of the late-r9 sweep against pure-Python
+    references: byteHammingDistance (mismatch count over the common
+    prefix + length delta), the bitmap set algebra vs Python sets, and
+    arrayShiftLeft/Right vs list slicing."""
+    import random as _random
+
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    rng = _random.Random(0x5EEB)
+
+    def ref_hd(x, y):
+        a, b = x.encode(), y.encode()
+        m = min(len(a), len(b))
+        return sum(a[i] != b[i] for i in range(m)) + abs(len(a) - len(b))
+
+    cases = []
+    for _ in range(40):
+        x = "".join(rng.choice("abcdefg") for _ in range(rng.randrange(8)))
+        y = "".join(rng.choice("abcdefg") for _ in range(rng.randrange(8)))
+        cases.append((x, y))
+    sel = ", ".join(
+        f"byteHammingDistance('{x}', '{y}') AS h{i}"
+        for i, (x, y) in enumerate(cases))
+    got, _ = translate_ch_sql(f"SELECT {sel}")
+    row = spark.sql(got).first()
+    for i, (x, y) in enumerate(cases):
+        assert row[f"h{i}"] == ref_hd(x, y), (x, y)
+
+    sets = []
+    for _ in range(15):
+        a = [rng.randrange(8) for _ in range(rng.randrange(6))]
+        b = [rng.randrange(8) for _ in range(rng.randrange(6))]
+        sets.append((a, b))
+    sel = ", ".join(
+        f"bitmapToArray(bitmapAnd(bitmapBuild({a}), bitmapBuild({b}))) "
+        f"AS i{k}, "
+        f"bitmapToArray(bitmapXor(bitmapBuild({a}), bitmapBuild({b}))) "
+        f"AS x{k}, "
+        f"bitmapOrCardinality(bitmapBuild({a}), bitmapBuild({b})) AS o{k}"
+        for k, (a, b) in enumerate(sets))
+    got, _ = translate_ch_sql(f"SELECT {sel}")
+    row = spark.sql(got).first()
+    for k, (a, b) in enumerate(sets):
+        sa, sb = set(a), set(b)
+        assert row[f"i{k}"] == sorted(sa & sb), (a, b)
+        assert sorted(row[f"x{k}"]) == sorted(sa ^ sb), (a, b)
+        assert row[f"o{k}"] == len(sa | sb), (a, b)
+
+    shifts = []
+    for _ in range(15):
+        arr = [rng.randrange(100) for _ in range(rng.randrange(7))]
+        n = rng.randrange(9)
+        shifts.append((arr, n))
+    sel = ", ".join(
+        f"arrayShiftLeft({arr}, {n}, -1) AS l{k}, "
+        f"arrayShiftRight({arr}, {n}, -1) AS r{k}"
+        for k, (arr, n) in enumerate(shifts))
+    got, _ = translate_ch_sql(f"SELECT {sel}")
+    row = spark.sql(got).first()
+    for k, (arr, n) in enumerate(shifts):
+        m = min(n, len(arr))
+        assert row[f"l{k}"] == arr[n:] + [-1] * m, (arr, n)
+        assert row[f"r{k}"] == [-1] * m + arr[: max(len(arr) - n, 0)], (
+            arr, n)
