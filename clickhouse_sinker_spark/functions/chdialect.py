@@ -172,6 +172,9 @@ ngramDistance/ngramSearch    exact 4-gram multiset measures, all 8
                              documented as a deliberate delta)
 idnaEncode/tryIdnaEncode/    UTS#46 nontransitional via the public
 idnaDecode(s)                idna reference package (r9)
+polygonAreaCartesian /       signed shoelace (boost orientation, CH
+ polygonPerimeterCartesian   docs 12.5 pin; CCW holes subtract) /
+ ([[ring][, holes…]])        Euclidean edges incl. the closing one (r9)
 pointInPolygon((x,y), ring   even-odd ray casting, literal rings,
  [, hole…])                  holes XOR (r9; CH docs example pinned)
 arrayNormalizedGini(p, l)    published normalized Gini: exact-rational
@@ -862,7 +865,6 @@ _UNSUPPORTED = {
     "h3ToGeo",
     "geoToH3",
     "regionToName",
-    "polygonAreaCartesian",
     "svg",
     "detectLanguage",        # model-backed NLP: the repo's text_langid
     "detectCharset",         # operator is the supported path
@@ -2351,6 +2353,60 @@ def _pip_parse_ring(text: str):
     return pts if pts and all(p is not None for p in pts) else None
 
 
+def _pip_parse_polygon(text: str):
+    """Parse a POLYGON literal — ``[[ring], [hole], …]`` (or the
+    bracket-pass ``array(array(...), ...)`` spelling) — into a list of
+    rings; None if it isn't one."""
+    t = text.strip()
+    if t.startswith("[") and t.endswith("]"):
+        inner = t[1:-1]
+    elif re.match(r"^array\s*\(", t) and t.endswith(")"):
+        inner = t[t.index("(") + 1 : -1]
+    else:
+        return None
+    rings = [_pip_parse_ring(r) for r in _split_args(inner)]
+    if not rings or any(r is None or len(r) < 3 for r in rings):
+        return None
+    return rings
+
+
+def _pip_ring_arrays(ring):
+    """(vertices, rotated-vertices) SQL array texts for a ring — the
+    zip of a ring with its rotation walks every edge INCLUDING the
+    auto-closing one, the same cyclic convention CH applies."""
+    def vstruct(p):
+        return (f"named_struct('x', CAST({p[0]} AS DOUBLE),"
+                f" 'y', CAST({p[1]} AS DOUBLE))")
+    vs = ", ".join(vstruct(p) for p in ring)
+    vs2 = ", ".join(vstruct(p) for p in ring[1:] + ring[:1])
+    return f"array({vs})", f"array({vs2})"
+
+
+def _polygon_fold_fn(name: str, edge_expr: str, per_ring_wrap: str):
+    """Shared rewrite for polygonAreaCartesian / polygonPerimeter-
+    Cartesian: fold ``edge_expr`` over every edge of every ring of a
+    polygon literal, wrap each ring's fold with ``per_ring_wrap``
+    ('{f}' placeholder), and sum the rings."""
+    def rw(a: list[str]) -> str:
+        if len(a) != 1:
+            raise ChTranslationError(f"{name} takes exactly 1 polygon")
+        rings = _pip_parse_polygon(a[0])
+        if rings is None:
+            raise ChTranslationError(
+                f"{name} needs a polygon LITERAL — [[(x1, y1), …][, hole"
+                " ring, …]]; the ring layout of an arbitrary expression"
+                " is invisible at SQL-text level")
+        parts = []
+        for ring in rings:
+            vs, vs2 = _pip_ring_arrays(ring)
+            fold = (f"aggregate(zip_with({vs}, {vs2}, (__p1, __p2) -> "
+                    f"{edge_expr}), CAST(0 AS DOUBLE), "
+                    f"(__pa, __pv) -> __pa + __pv)")
+            parts.append(per_ring_wrap.format(f=fold))
+        return "(" + " + ".join(parts) + ")"
+    return rw
+
+
 def _point_in_polygon(a: list[str]) -> str:
     """``pointInPolygon((x, y), ring[, hole...])`` — even-odd
     ray-casting (the textbook PNPOLY crossing test), pure JVM: the
@@ -2867,6 +2923,28 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "contingency", _assoc_fn("contingency"))
     sql = _rewrite_calls(sql, "theilsU", _assoc_fn("theilsU"))
     sql = _rewrite_calls(sql, "pointInPolygon", _point_in_polygon)
+    # polygonAreaCartesian: signed shoelace per ring, negated to the
+    # boost::geometry clockwise-positive orientation CH inherits (the CH
+    # docs example [[(0,0),(0,5),(5,5)]] = 12.5 fixes the sign; holes
+    # are spelled counterclockwise and subtract naturally).  Perimeter:
+    # Euclidean edge lengths incl. the auto-closing edge.  Both need
+    # polygon LITERALS like pointInPolygon.  r9 refusal closures.
+    sql = _rewrite_calls(
+        sql, "polygonAreaCartesian",
+        _polygon_fold_fn(
+            "polygonAreaCartesian",
+            "__p1.x * __p2.y - __p2.x * __p1.y",
+            "(-({f}) / 2)",
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "polygonPerimeterCartesian",
+        _polygon_fold_fn(
+            "polygonPerimeterCartesian",
+            "sqrt(power(__p2.x - __p1.x, 2) + power(__p2.y - __p1.y, 2))",
+            "({f})",
+        ),
+    )
     # toFixedString(s, N): NUL-pad to N BYTES, throw when longer — the
     # CH contract (chr(0) pads one byte per char, so multibyte UTF-8
     # still pads to the correct BYTE width); N must be a literal (CH

@@ -4375,3 +4375,31 @@ def test_sweep_batch_properties_vs_python_reference(spark):
         assert row[f"l{k}"] == arr[n:] + [-1] * m, (arr, n)
         assert row[f"r{k}"] == [-1] * m + arr[: max(len(arr) - n, 0)], (
             arr, n)
+
+
+def test_polygon_cartesian_measures(spark):
+    """polygonAreaCartesian (signed shoelace per ring, boost-orientation
+    — CH docs [[(0,0),(0,5),(5,5)]] = 12.5 pins the sign; CCW holes
+    subtract) and polygonPerimeterCartesian (edge lengths incl. the
+    auto-closing edge); non-literal polygons refuse."""
+    import math
+
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, _ = translate_ch_sql(
+        "SELECT polygonAreaCartesian([[(0., 0.), (0., 5.), (5., 5.)]])"
+        " AS a,"
+        " polygonAreaCartesian([[(0., 0.), (0., 4.), (4., 4.), (4., 0.)],"
+        " [(1., 1.), (2., 1.), (2., 2.), (1., 2.)]]) AS ah,"
+        " polygonPerimeterCartesian([[(0., 0.), (0., 5.), (5., 5.)]]) AS p")
+    r = spark.sql(got).first()
+    assert r.a == 12.5          # CH docs example
+    assert r.ah == 15.0         # 4x4 square minus a unit hole
+    assert abs(r.p - (10 + math.sqrt(50))) < 1e-12
+    with _pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT polygonAreaCartesian(poly) FROM t")
