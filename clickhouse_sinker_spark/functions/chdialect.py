@@ -570,6 +570,20 @@ toDecimalN OrNull/OrZero     try_cast tails (Decimal256 refuses)
 tupleIntDiv/tupleModulo      element-wise DIV / % (arity-visible gate)
 fromUnixTimestampInJoda-     date_format(timestamp_seconds)
  Syntax(x, 'fmt')
+parseTimeDelta(s)            number-unit grammar, both docs examples
+                             pinned (same 365/30.5 constants)
+decodeHTMLComponent(s)       WHATWG entity table (html.unescape — the
+                             same HTML5 table CH vendors)
+decode/encodeXMLComponent    predefined entities + numeric refs /
+                             5-entity replace chain, & first
+RIPEMD160(s)                 OpenSSL digest, published 'abc' vector
+                             (MD4 refuses: dropped from OpenSSL 3)
+extractKeyValuePairs(s)      default grammar via split/filter/
+                             map_from_entries (docs example pinned;
+                             custom delimiters/quoting refuse)
+arrayRotateRight(a, n)       = arrayRotateLeft(a, -n)
+LpDistance(v1, v2, p) /      p-power fold / normalize-family alias
+ L1/L2/LinfNormalize         spellings
 quantileExactLow/High(0.5)   python median_low/high element selection
   medianExactLow/High        (non-median levels refused)
 … WITH FILL INTERPOLATE      carry-forward window over the spine join:
@@ -873,6 +887,10 @@ _UNSUPPORTED = {
                              # stem() translates — same libstemmer CH links
     "generateULID",          # nondeterministic generators
     "cityHash128",
+    "MD4",                   # OpenSSL 3 dropped MD4 from the default
+                             # provider on this host — no verifier and no
+                             # implementation to ride (RIPEMD160 rides
+                             # OpenSSL and translates)
     "randomString",          # nondeterministic
     "randomPrintableASCII",
     "randomFixedString",
@@ -4513,6 +4531,11 @@ def _translate_functions(sql: str) -> str:
         lambda a: _vector_distance(a, "L2Squared"),
     )
     sql = _rewrite_calls(sql, "cosineDistance", _cosine_distance)
+    # Lp-prefixed alias spellings route to the normalize/norm family
+    sql = _rewrite_calls(
+        sql, "L1Normalize", lambda a: _normalize_vec(a, "L1"))
+    sql = _rewrite_calls(
+        sql, "L2Normalize", lambda a: _normalize_vec(a, "L2"))
     sql = _rewrite_calls(
         sql, "normalizeL1", lambda a: _normalize_vec(a, "L1")
     )
@@ -4811,6 +4834,68 @@ def _translate_functions(sql: str) -> str:
             f"array_max(transform({a[0]}, __vx -> abs(CAST(__vx AS "
             f"DOUBLE)))))), __nl -> transform(__nl.a, __vx -> "
             f"CAST(__vx AS DOUBLE) / __nl.n)), 1)"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "LinfNormalize",
+        lambda a: (
+            f"element_at(transform(array(named_struct('a', {a[0]}, 'n', "
+            f"array_max(transform({a[0]}, __vx -> abs(CAST(__vx AS "
+            f"DOUBLE)))))), __nl -> transform(__nl.a, __vx -> "
+            f"CAST(__vx AS DOUBLE) / __nl.n)), 1)"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "LpDistance",
+        lambda a: (
+            f"power(aggregate(zip_with({a[0]}, {a[1]}, (__da, __db) -> "
+            f"power(abs(CAST(__da AS DOUBLE) - CAST(__db AS DOUBLE)), "
+            f"{a[2]})), CAST(0 AS DOUBLE), (__lp, __vx) -> __lp + __vx), "
+            f"1.0 / ({a[2]}))"
+        ) if len(a) == 3 else _refuse("LpDistance takes (v1, v2, p)"),
+    )
+    sql = _rewrite_calls(
+        sql, "arrayRotateRight",
+        lambda a: _array_rotate_left([a[0], f"-({a[1]})"])
+        if len(a) == 2 else _refuse("arrayRotateRight needs (array, n)"),
+    )
+    # parseTimeDelta / decode[HTML|XML]Component / RIPEMD160 — Arrow
+    # scalars (unit grammar, WHATWG entity table, OpenSSL digest)
+    sql = _rewrite_calls(
+        sql, "parseTimeDelta",
+        lambda a: f"ch_parse_time_delta({a[0]})")
+    sql = _rewrite_calls(
+        sql, "decodeHTMLComponent",
+        lambda a: f"ch_decode_html({a[0]})")
+    sql = _rewrite_calls(
+        sql, "decodeXMLComponent",
+        lambda a: f"ch_decode_xml({a[0]})")
+    # encodeXMLComponent: the five predefined XML entities, & first —
+    # pure JVM replace chain
+    sql = _rewrite_calls(
+        sql, "encodeXMLComponent",
+        lambda a: (
+            f"replace(replace(replace(replace(replace({a[0]}, "
+            f"'&', '&amp;'), '<', '&lt;'), '>', '&gt;'), "
+            f"'\"', '&quot;'), '''', '&apos;')"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "RIPEMD160", _crc_fn("RIPEMD160", "ch_ripemd160"))
+    # extractKeyValuePairs: the DEFAULT grammar only (':' key-value
+    # delimiter, ' ,;' pair delimiters); custom delimiters / quoting
+    # refuse — CH's state machine also honors quoting, a documented
+    # delta for values containing the delimiters
+    sql = _rewrite_calls(
+        sql, "extractKeyValuePairs",
+        lambda a: (
+            f"map_from_entries(transform(filter(transform("
+            f"split({a[0]}, '[ ,;]+'), __kv -> split(__kv, ':', 2)), "
+            f"__kv -> size(__kv) = 2 AND __kv[0] != ''), "
+            f"__kv -> struct(__kv[0] AS key, __kv[1] AS value)))"
+        ) if len(a) == 1 else _refuse(
+            "extractKeyValuePairs with custom delimiters/quoting — only"
+            " the default grammar translates"
         ),
     )
     sql = _rewrite_calls(

@@ -1297,6 +1297,74 @@ def _crc64_ecma(data: bytes) -> int:
     return _crc_fold(_CRC64_TAB, data, 0, 0, _M64)
 
 
+_PTD_UNITS = {
+    # parseTimeDelta unit table — the same 365-day-year / 30.5-day-month
+    # constants as formatReadableTimeDelta (both CH docs examples pin
+    # them: '11s+22min' = 1331, '1yr2mo' = 36806400)
+    "y": 31536000, "yr": 31536000, "yrs": 31536000,
+    "year": 31536000, "years": 31536000,
+    "mo": 2635200, "mon": 2635200, "month": 2635200, "months": 2635200,
+    "w": 604800, "wk": 604800, "week": 604800, "weeks": 604800,
+    "d": 86400, "day": 86400, "days": 86400,
+    "h": 3600, "hr": 3600, "hrs": 3600, "hour": 3600, "hours": 3600,
+    "m": 60, "min": 60, "mins": 60, "minute": 60, "minutes": 60,
+    "s": 1, "sec": 1, "secs": 1, "second": 1, "seconds": 1,
+    "ms": 0.001, "milli": 0.001, "millisecond": 0.001,
+    "milliseconds": 0.001,
+    "us": 1e-6, "micro": 1e-6, "microsecond": 1e-6, "microseconds": 1e-6,
+    "ns": 1e-9, "nano": 1e-9, "nanosecond": 1e-9, "nanoseconds": 1e-9,
+}
+_PTD_RE = None  # lazily-compiled in _parse_time_delta
+
+
+def _parse_time_delta(s: str) -> float:
+    """CH ``parseTimeDelta``: sum of number-unit pairs separated by any
+    non-alphanumeric noise; unknown units and inputs with no pairs raise
+    like CH's parse error."""
+    global _PTD_RE
+    import re as _re
+
+    if _PTD_RE is None:
+        _PTD_RE = _re.compile(r"(\d+(?:\.\d+)?)\s*([A-Za-z]+)")
+    pairs = _PTD_RE.findall(s)
+    if not pairs:
+        raise ValueError(f"parseTimeDelta: cannot parse {s!r}")
+    total = 0.0
+    for num, unit in pairs:
+        width = _PTD_UNITS.get(unit.lower())
+        if width is None:
+            raise ValueError(f"parseTimeDelta: unknown unit {unit!r}")
+        total += float(num) * width
+    return total
+
+
+_XML_ENTITIES = {"lt": "<", "gt": ">", "amp": "&", "quot": '"',
+                 "apos": "'"}
+
+
+def _decode_xml(s: str) -> str:
+    """CH ``decodeXMLComponent``: the five predefined XML entities plus
+    numeric character references (&#NN; / &#xHH;); unrecognized entity
+    spellings pass through unchanged."""
+    import re as _re
+
+    def sub(m):
+        body = m.group(1)
+        if body.startswith("#x") or body.startswith("#X"):
+            try:
+                return chr(int(body[2:], 16))
+            except ValueError:
+                return m.group(0)
+        if body.startswith("#"):
+            try:
+                return chr(int(body[1:]))
+            except ValueError:
+                return m.group(0)
+        return _XML_ENTITIES.get(body, m.group(0))
+
+    return _re.sub(r"&([A-Za-z]+|#[0-9]+|#[xX][0-9A-Fa-f]+);", sub, s)
+
+
 _TD_UNITS = [("year", 31536000), ("month", 2635200), ("day", 86400),
              ("hour", 3600), ("minute", 60), ("second", 1)]
 _TD_ORDER = ["years", "months", "days", "hours", "minutes", "seconds"]
@@ -1990,6 +2058,30 @@ _UDF_SPECS = {
     "ch_time_delta": (
         _map2(_fmt_time_delta),
         "string",
+    ),
+    # parseTimeDelta — same unit constants, both docs examples pinned
+    "ch_parse_time_delta": (
+        _map1(_parse_time_delta),
+        "double",
+    ),
+    # decodeHTMLComponent: Python's html.unescape implements the SAME
+    # WHATWG HTML5 named-entity table CH vendors; decodeXMLComponent:
+    # the 5 predefined entities + numeric refs
+    "ch_decode_html": (
+        _map1(lambda s: __import__("html").unescape(s)),
+        "string",
+    ),
+    "ch_decode_xml": (
+        _map1(_decode_xml),
+        "string",
+    ),
+    # RIPEMD160 via OpenSSL (system libcrypto — an independent C
+    # implementation; the published 'abc' check vector is pinned in
+    # tests); raw 20 bytes like CH's FixedString(20)
+    "ch_ripemd160": (
+        _map1(lambda s: __import__("hashlib").new(
+            "ripemd160", s.encode("utf-8")).digest()),
+        "binary",
     ),
     # Snowball stemmer — ctypes onto the SAME libstemmer ClickHouse
     # links (contrib/libstemmer_c): not a reimplementation, CH parity by

@@ -4403,3 +4403,51 @@ def test_polygon_cartesian_measures(spark):
     assert abs(r.p - (10 + math.sqrt(50))) < 1e-12
     with _pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT polygonAreaCartesian(poly) FROM t")
+
+
+def test_parse_time_delta_and_decode_tail(spark):
+    """Late-r9 tail: parseTimeDelta (both CH docs examples: '11s+22min'
+    = 1331, '1yr2mo' = 36806400 — same 365/30.5 constants as
+    formatReadableTimeDelta), decodeHTMLComponent (WHATWG entity table
+    via html.unescape), decodeXMLComponent (predefined + numeric refs,
+    unknown entities untouched), encodeXMLComponent (5 predefined
+    entities, & first), RIPEMD160 (OpenSSL; published 'abc' check
+    vector), extractKeyValuePairs default grammar (CH docs example),
+    arrayRotateRight, LpDistance and the L*Normalize aliases."""
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT arrayRotateRight([1,2,3,4,5], 2) AS rr,"
+        " LpDistance([1., 2.], [4., 6.], 2) AS lpd,"
+        " L2Normalize([3., 4.]) AS l2n, LinfNormalize([2., -4.]) AS lin,"
+        " parseTimeDelta('11s+22min') AS p1, parseTimeDelta('1yr2mo') AS p2,"
+        " decodeHTMLComponent('I&heartsuit;CH &amp; &copy;') AS dh,"
+        " decodeXMLComponent('&lt;&#x3A;&quot;&amp;gt&unknown;') AS dx,"
+        " encodeXMLComponent('a<b & \"c''d\"') AS ex,"
+        " hex(RIPEMD160('abc')) AS rmd,"
+        " extractKeyValuePairs("
+        "'name:neymar, age:31 team:psg,nationality:brazil') AS kv")
+    r = spark.sql(got).first()
+    assert r.rr == [4, 5, 1, 2, 3]
+    assert r.lpd == 5.0
+    assert r.l2n == [0.6, 0.8] and r.lin == [0.5, -1.0]
+    assert r.p1 == 1331.0 and r.p2 == 36806400.0
+    assert r.dh == "I♥CH & ©"
+    assert r.dx == '<:"&gt&unknown;'
+    assert r.ex == "a&lt;b &amp; &quot;c&apos;d&quot;"
+    assert r.rmd == "8EB208F7E05D987A9B044A8E98C6B087F15A0BFC"
+    assert r.kv == {"name": "neymar", "age": "31", "team": "psg",
+                    "nationality": "brazil"}
+    with _pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT extractKeyValuePairs(s, ':') FROM t")
+    with _pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT RIPEMD160(x) FROM t")  # typed gate
+    with _pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT MD4(s) FROM t")
