@@ -584,6 +584,19 @@ extractKeyValuePairs(s)      default grammar via split/filter/
 arrayRotateRight(a, n)       = arrayRotateLeft(a, -n)
 LpDistance(v1, v2, p) /      p-power fold / normalize-family alias
  L1/L2/LinfNormalize         spellings
+JSONExtract(j, p…, 'T')      generic typed dispatch onto the
+                             JSONExtract<T> machinery (scalar T only)
+change<Part>(d, v)           make_timestamp recomposition, micros kept;
+                             Feb-29/day-overflow saturates like CH
+snowflakeIDToDateTime[64] /  NEW epoch-0 snowflake pair — exact 2^22
+ dateTime[64]ToSnowflakeID   div/mul on the DECIMAL(20,0) carrier
+divideOrNull(a, b)           NULL on a zero divisor, Float64 otherwise
+isValidUTF8(s)               ≡ 1 (invalid bytes cannot exist in a
+                             Spark string — documented)
+sigmoid / toDate32OrNull/    logistic / try_cast (OrZero → 1900-01-01,
+ OrZero                      the Date32 range minimum)
+arrayUnion / arraySym-       N-ary folds of array_union / union minus
+ metricDifference            intersection
 quantileExactLow/High(0.5)   python median_low/high element selection
   medianExactLow/High        (non-median levels refused)
 … WITH FILL INTERPOLATE      carry-forward window over the spine join:
@@ -879,7 +892,43 @@ _UNSUPPORTED = {
     "h3ToGeo",
     "geoToH3",
     "regionToName",
+    "regionToCountry",
     "svg",
+    "polygonsIntersectionCartesian",  # boost polygon clipping — an
+                                      # algorithmic geometry kernel, not
+                                      # a formula; out of scope
+    "polygonConvexHullCartesian",     # hull VERTEX ORDER/start point is
+                                      # implementation-defined
+    "readWKTPoint",                   # WKT geometry codec family: no
+    "readWKTPolygon",                 # typed geometry values to carry
+    "readWKTMultiPolygon",            # them in Spark SQL
+    "readWKTRing",
+    "wkt",
+    "initialQueryStartTime",          # engine introspection
+    "dictGetUInt64",                  # no external dictionaries
+    "JSONAllPaths",          # CH JSON-type internals introspection
+    "JSONDynamicPaths",
+    "JSONSharedDataPaths",
+    "isDecimalOverflow",     # engine type introspection
+    "isConstant",
+    "connectionId",
+    "currentProfiles",
+    "enabledProfiles",
+    "defaultProfiles",
+    "currentRoles",
+    "enabledRoles",
+    "defaultRoles",
+    "revision",
+    "shardNum",              # cluster topology introspection — Spark
+    "shardCount",            # partitions are not CH shards
+    "partitionID",
+    "globalVariable",
+    "zookeeperSessionUptime",
+    "transactionLatestSnapshot",
+    "formatQuery",           # CH SQL pretty-printer (server parser)
+    "formatQuerySingleLine",
+    "structureToProtobufSchema",
+    "structureToCapnProtoSchema",
     "detectLanguage",        # model-backed NLP: the repo's text_langid
     "detectCharset",         # operator is the supported path
     "lemmatize",             # needs preloaded lemmatizer dictionaries
@@ -3567,6 +3616,11 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(sql, "splitByChar", lambda a: _split_by_char(a))
     sql = _rewrite_calls(sql, "splitByString", lambda a: _split_by_char(a))
+    # generic typed JSONExtract(json, [path…,] 'Type') — dispatch the
+    # scalar types onto the same machinery as the JSONExtract<T> forms;
+    # array/tuple/map type arguments refuse (no faithful generic
+    # decomposition at SQL level)
+    sql = _rewrite_calls(sql, "JSONExtract", _json_extract_generic)
     for ch, cast in [
         ("JSONExtractString", None),
         ("JSONExtractRaw", None),
@@ -4018,6 +4072,79 @@ def _translate_functions(sql: str) -> str:
             if len(a) == 1
             else _refuse("UUIDNumToString variant argument")
         ),
+    )
+    # change<Part>(d, v) family — make_timestamp recomposition
+    for _cp in ("year", "month", "day", "hour", "minute", "second"):
+        sql = _rewrite_calls(sql, f"change{_cp.title()}",
+                             _change_date_fn(_cp))
+    # NEW-style snowflake ID functions (the successors of the Twitter-
+    # epoch family below): epoch defaults to 0 = unix; the UInt64 id
+    # rides DECIMAL(20,0), so >>22 is an exact div by 2^22
+    for _sn in ("snowflakeIDToDateTime", "snowflakeIDToDateTime64"):
+        sql = _rewrite_calls(
+            sql, _sn,
+            lambda a, n=_sn: (
+                f"timestamp_millis(CAST(CAST({a[0]} AS DECIMAL(20, 0)) "
+                f"div 4194304 AS BIGINT)"
+                + (f" + CAST({a[1]} AS BIGINT)" if len(a) == 2 else "")
+                + ")"
+            ) if len(a) in (1, 2) else _refuse(
+                f"{n} takes (id[, epoch]) — timezone arguments don't"
+                " translate (Spark uses the single session timezone)"
+            ),
+        )
+    for _sn in ("dateTimeToSnowflakeID", "dateTime64ToSnowflakeID"):
+        sql = _rewrite_calls(
+            sql, _sn,
+            lambda a, n=_sn: (
+                f"CAST(CAST(unix_millis(CAST({a[0]} AS TIMESTAMP))"
+                + (f" - CAST({a[1]} AS BIGINT)" if len(a) == 2 else "")
+                + " AS DECIMAL(20, 0)) * 4194304 AS DECIMAL(20, 0))"
+            ) if len(a) in (1, 2) else _refuse(f"{n} takes (dt[, epoch])"),
+        )
+    # division that NULLs on a zero divisor (CH divideOrNull)
+    sql = _rewrite_calls(
+        sql, "divideOrNull",
+        lambda a: (f"IF(({a[1]}) = 0, CAST(NULL AS DOUBLE), "
+                   f"CAST({a[0]} AS DOUBLE) / ({a[1]}))"),
+    )
+    # Spark strings are always valid UTF-8 (invalid bytes become U+FFFD
+    # at ingestion) — isValidUTF8 is the NULL-preserving constant 1
+    sql = _rewrite_calls(
+        sql, "isValidUTF8",
+        lambda a: f"IF(({a[0]}) IS NULL, CAST(NULL AS INT), 1)",
+    )
+    sql = _rewrite_calls(
+        sql, "positionCaseInsensitiveUTF8",
+        lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+    )
+    sql = _rewrite_calls(
+        sql, "sigmoid",
+        lambda a: f"(1.0 / (1.0 + exp(-CAST({a[0]} AS DOUBLE))))",
+    )
+    sql = _rewrite_calls(
+        sql, "toDate32OrNull",
+        lambda a: f"try_cast({a[0]} AS DATE)",
+    )
+    sql = _rewrite_calls(
+        sql, "toDate32OrZero",
+        # Date32's zero point is its range minimum, 1900-01-01
+        lambda a: f"coalesce(try_cast({a[0]} AS DATE), DATE '1900-01-01')",
+    )
+    # N-ary array set ops: union dedupes; symmetric difference = the
+    # elements NOT present in all arrays (union minus intersection)
+    sql = _rewrite_calls(
+        sql, "arrayUnion",
+        lambda a: _fold_binary("array_union", a) if len(a) >= 2
+        else _refuse("arrayUnion needs at least 2 arrays"),
+    )
+    sql = _rewrite_calls(
+        sql, "arraySymmetricDifference",
+        lambda a: (
+            f"array_except({_fold_binary('array_union', a)}, "
+            f"{_fold_binary('array_intersect', a)})"
+        ) if len(a) >= 2
+        else _refuse("arraySymmetricDifference needs at least 2 arrays"),
     )
     # Twitter snowflake epoch = 1288834974657 ms; id >> 22 is the ms offset
     sql = _rewrite_calls(
@@ -7381,6 +7508,80 @@ def _replace_regexp_one(args: list[str]) -> str:
             f"substring({st}.s, {st}.i + length({st}.m))) END"
         ),
     )
+
+
+def _fold_binary(fn: str, args: list[str]) -> str:
+    """Left-fold a binary SQL function over N arguments:
+    ``f(f(a, b), c)…`` — for the N-ary array set operations."""
+    acc = args[0]
+    for nxt in args[1:]:
+        acc = f"{fn}({acc}, {nxt})"
+    return acc
+
+
+_JSON_EXTRACT_TYPES = {
+    "int8": "BIGINT", "int16": "BIGINT", "int32": "BIGINT",
+    "int64": "BIGINT",
+    "uint8": "BIGINT", "uint16": "BIGINT", "uint32": "BIGINT",
+    "uint64": "DECIMAL(20,0)",
+    "float32": "DOUBLE", "float64": "DOUBLE",
+    "string": None, "bool": "BOOLEAN",
+}
+
+
+def _json_extract_generic(a: list[str]) -> str:
+    """``JSONExtract(json, [path…,] 'Type')`` for the scalar types —
+    same machinery as the JSONExtract<T> fixed forms; Nullable(T)
+    unwraps (extraction is nullable either way)."""
+    if len(a) < 2:
+        raise ChTranslationError(
+            "JSONExtract takes (json, [path…,] 'Type')")
+    t = a[-1].strip()
+    if not (t.startswith("'") and t.endswith("'")):
+        raise ChTranslationError(
+            "JSONExtract needs a literal type name as its last argument")
+    tn = t[1:-1].strip()
+    m = re.fullmatch(r"Nullable\((\w+)\)", tn)
+    if m:
+        tn = m.group(1)
+    cast = _JSON_EXTRACT_TYPES.get(tn.lower(), "missing")
+    if cast == "missing":
+        raise ChTranslationError(
+            f"JSONExtract type {tn!r} — only the scalar types translate"
+            " (use JSONExtractArrayRaw / JSONExtractKeysAndValues for"
+            " the composite forms)")
+    return _json_extract(a[:-1], cast)
+
+
+def _change_date_fn(part: str):
+    """``changeYear/Month/Day/Hour/Minute/Second(d, v)`` — recompose via
+    make_timestamp with subsecond micros preserved.  Day overflow after
+    a year/month change saturates to the target month's last day (CH
+    saturates there); an explicitly out-of-range component raises under
+    ANSI like CH's exception."""
+    def rw(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ChTranslationError(f"change{part.title()} takes (d, v)")
+        ts = f"CAST({a[0]} AS TIMESTAMP)"
+        v = a[1]
+        y = f"CAST({v} AS INT)" if part == "year" else f"year({ts})"
+        mo = f"CAST({v} AS INT)" if part == "month" else f"month({ts})"
+        if part in ("year", "month"):
+            dd = (f"least(day({ts}), "
+                  f"day(last_day(make_date({y}, {mo}, 1))))")
+        elif part == "day":
+            dd = f"CAST({v} AS INT)"
+        else:
+            dd = f"day({ts})"
+        h = f"CAST({v} AS INT)" if part == "hour" else f"hour({ts})"
+        mi = f"CAST({v} AS INT)" if part == "minute" else f"minute({ts})"
+        if part == "second":
+            sec = f"CAST({v} AS DECIMAL(20, 6))"
+        else:
+            sec = (f"(CAST(pmod(unix_micros({ts}), 60000000) "
+                   f"AS DECIMAL(20, 6)) / 1000000)")
+        return f"make_timestamp({y}, {mo}, {dd}, {h}, {mi}, {sec})"
+    return rw
 
 
 def _json_extract(args: list[str], cast: str | None) -> str:

@@ -4451,3 +4451,51 @@ def test_parse_time_delta_and_decode_tail(spark):
         translate_ch_sql("SELECT RIPEMD160(x) FROM t")  # typed gate
     with _pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT MD4(s) FROM t")
+
+
+def test_change_date_snowflake_id_and_misc_tail(spark):
+    """change<Part> recomposition (Feb-29 → non-leap year saturates to
+    Feb 28, day-overflow after changeMonth saturates, micros preserved),
+    the NEW epoch-0 snowflake ID pair (exact div/mul by 2^22 on the
+    DECIMAL(20,0) carrier, round-trip consistent), divideOrNull,
+    isValidUTF8 ≡ 1 on Spark strings, sigmoid, toDate32OrZero's
+    1900-01-01 range minimum, N-ary arrayUnion/arraySymmetricDifference,
+    and the generic typed JSONExtract dispatch."""
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, _ = translate_ch_sql(
+        "SELECT changeYear(toDateTime('2020-02-29 10:20:30'), 2021) AS cy,"
+        " changeMonth(toDateTime('2020-01-31 00:00:01'), 2) AS cm,"
+        " changeSecond(toDateTime('2020-01-31 00:00:01'), 59) AS cs,"
+        " snowflakeIDToDateTime(toUInt64(6832626392367104000)) AS sid,"
+        " dateTimeToSnowflakeID(toDateTime('2021-08-15 18:57:56')) AS dts,"
+        " divideOrNull(10, 0) AS dn, divideOrNull(10, 4) AS dv,"
+        " isValidUTF8('abc') AS iv, sigmoid(0) AS sg,"
+        " toDate32OrZero('bad') AS dz,"
+        " arrayUnion([1,2],[2,3],[4]) AS au,"
+        " arraySymmetricDifference([1,2],[2,3]) AS asd,"
+        " JSONExtract('{\"a\": 7}', 'a', 'Int64') AS je,"
+        " JSONExtract('{\"a\": \"x\"}', 'a', 'Nullable(String)') AS jes")
+    r = spark.sql(got).first()
+    assert (r.cy.month, r.cy.day, r.cy.year) == (2, 28, 2021)
+    assert (r.cm.month, r.cm.day) == (2, 29)
+    assert r.cs.second == 59
+    assert str(r.sid) == "2021-08-15 10:57:56"
+    # round trip: the id of 18:57:56 decodes back 8h later than sid's
+    assert int(r.dts) == ((1629053876000) << 22)
+    assert r.dn is None and r.dv == 2.5
+    assert r.iv == 1 and r.sg == 0.5
+    assert str(r.dz) == "1900-01-01"
+    assert r.au == [1, 2, 3, 4] and r.asd == [1, 3]
+    assert r.je == 7 and r.jes == "x"
+    for bad in ("SELECT JSONExtract(j, 'a', 'Array(Int64)') FROM t",
+                "SELECT shardNum() FROM t",
+                "SELECT formatQuery(s) FROM t",
+                "SELECT JSONAllPaths(j) FROM t"):
+        with _pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
