@@ -255,7 +255,8 @@ uniqUpTo(N)(x)               LEAST(count(DISTINCT x), N+1)
 LIMIT off, n BY cols         ranked window BETWEEN off+1 AND off+n
 countMatches(h, re)          size(regexp_extract_all(h, re, 0))
 countSubstrings(h, n)        length-difference division (0 for empty n)
-positionCaseInsensitive      instr(lower(h), lower(n))
+positionCaseInsensitive      locate(lower(n), lower(h)); instr is its
+                             CH ALIAS (MySQL convention) — r9 fix
 replaceRegexpAll             regexp_replace
 reverseUTF8 / concatAssume-  reverse / concat
 Injective
@@ -3446,6 +3447,19 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_quantile(sql, "quantilesTiming", "percentile_approx", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantiles", "percentile_approx", wrap_array=True)
     sql = _rewrite_quantile(sql, "quantileExact", "percentile")
+    # quantileDD(relative_accuracy, level)(x): the DDSketch estimator —
+    # drop the accuracy knob and ride the shared approx sketch (same
+    # one-sketch-for-all-estimators policy as TDigest/BFloat16)
+    sql = _rewrite_calls(
+        sql, "quantilesDD",
+        lambda a: f"quantiles({', '.join(q.strip() for q in a[1:])})"
+        if len(a) >= 2 else _refuse("quantilesDD takes (accuracy, p…)"),
+    )
+    sql = _rewrite_calls(
+        sql, "quantileDD",
+        lambda a: f"quantileTDigest({a[1].strip()})"
+        if len(a) == 2 else _refuse("quantileDD takes (accuracy, p)"),
+    )
     # sketch-estimator variants share Spark's one approx-percentile sketch
     for qname in (
         "quantileTDigest",
@@ -4116,8 +4130,95 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(
         sql, "positionCaseInsensitiveUTF8",
-        lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
     )
+    # CH's instr is an ALIAS OF positionCaseInsensitive (the MySQL
+    # collation convention) — Spark's builtin instr is case-SENSITIVE,
+    # so the bare passthrough silently diverged; emitted via locate to
+    # keep the rewrite fixed-point
+    sql = _rewrite_calls(
+        sql, "instr",
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))"
+        if len(a) == 2 else _refuse("instr takes (haystack, needle)"),
+    )
+    # RESPECT NULLS aggregate forms: Spark's first/last already respect
+    # NULLs by default (CH's bare any/anyLast SKIP them — that pair maps
+    # elsewhere with the skip-note)
+    for _rn, _rf in (("anyRespectNulls", "first"),
+                     ("firstValueRespectNulls", "first_value"),
+                     ("anyLastRespectNulls", "last"),
+                     ("lastValueRespectNulls", "last_value")):
+        sql = _rewrite_calls(sql, _rn, lambda a, f=_rf: f"{f}({a[0]})")
+    # -Array combinator alias spellings over groupArray bases
+    sql = _rewrite_calls(
+        sql, "groupArrayArray",
+        lambda a: f"flatten(collect_list({a[0]}))")
+    sql = _rewrite_calls(
+        sql, "groupUniqArrayArray",
+        lambda a: f"array_distinct(flatten(collect_list({a[0]})))")
+    sql = _rewrite_calls(sql, "UTCTimestamp",
+                         lambda a: "current_timestamp()")
+    # wall-time <-> UTC converters: Spark's builtins have the exact CH
+    # signature and semantics
+    sql = _rewrite_calls(
+        sql, "toUTCTimestamp",
+        lambda a: f"to_utc_timestamp({a[0]}, {a[1]})")
+    sql = _rewrite_calls(
+        sql, "fromUTCTimestamp",
+        lambda a: f"from_utc_timestamp({a[0]}, {a[1]})")
+    # sub-second date arithmetic via exact micros (ns stays refused)
+    for _mn, _mul, _sgn in (("addMilliseconds", 1000, "+"),
+                            ("subtractMilliseconds", 1000, "-"),
+                            ("addMicroseconds", 1, "+"),
+                            ("subtractMicroseconds", 1, "-")):
+        sql = _rewrite_calls(
+            sql, _mn,
+            lambda a, m=_mul, s=_sgn: (
+                f"timestamp_micros(unix_micros(CAST({a[0]} AS TIMESTAMP))"
+                f" {s} CAST({a[1]} AS BIGINT) * {m})"
+            ),
+        )
+    sql = _rewrite_calls(
+        sql, "addInterval", lambda a: f"(({a[0]}) + ({a[1]}))")
+    sql = _rewrite_calls(
+        sql, "subtractInterval", lambda a: f"(({a[0]}) - ({a[1]}))")
+    sql = _rewrite_calls(
+        sql, "toModifiedJulianDayOrNull",
+        lambda a: (
+            f"IF(try_cast({a[0]} AS DATE) IS NULL, CAST(NULL AS INT), "
+            f"datediff(try_cast({a[0]} AS DATE), DATE '1858-11-17'))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "fromModifiedJulianDayOrNull",
+        lambda a: f"try_cast(date_add(DATE '1858-11-17', "
+                  f"CAST({a[0]} AS INT)) AS DATE)",
+    )
+    # hasSubsequence family: greedy in-order character walk (byte-wise
+    # in CH; identical on the UTF-8 forms since Spark chars are
+    # codepoints — non-ASCII plain-form inputs are a documented delta)
+    for _hs, _lw in (("hasSubsequence", False),
+                     ("hasSubsequenceUTF8", False),
+                     ("hasSubsequenceCaseInsensitive", True),
+                     ("hasSubsequenceCaseInsensitiveUTF8", True)):
+        sql = _rewrite_calls(
+            sql, _hs,
+            lambda a, lw=_lw: (
+                (lambda h, n:
+                    f"(aggregate(split({h}, ''), 0, (__sq, __sc) -> "
+                    f"IF(__sq < length({n}) AND __sc = "
+                    f"substring({n}, __sq + 1, 1), __sq + 1, __sq)) "
+                    f"= length({n}))"
+                 )(f"lower({a[0]})" if lw else a[0],
+                   f"lower({a[1]})" if lw else a[1])
+            ) if len(a) == 2 else _refuse("hasSubsequence takes (h, n)"),
+        )
+    sql = _rewrite_calls(
+        sql, "countSubstringsCaseInsensitiveUTF8",
+        lambda a: f"countSubstringsCaseInsensitive({', '.join(a)})")
+    sql = _rewrite_calls(
+        sql, "multiSearchAllPositionsUTF8",
+        lambda a: f"multiSearchAllPositions({', '.join(a)})")
     sql = _rewrite_calls(
         sql, "sigmoid",
         lambda a: f"(1.0 / (1.0 + exp(-CAST({a[0]} AS DOUBLE))))",
@@ -4410,7 +4511,7 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(
         sql, "positionCaseInsensitive",
-        lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
     )
     sql = _rewrite_calls(
         sql, "countMatches",

@@ -4499,3 +4499,52 @@ def test_change_date_snowflake_id_and_misc_tail(spark):
                 "SELECT JSONAllPaths(j) FROM t"):
         with _pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_instr_alias_dates_subsequence_tail(spark):
+    """Battery-3 closures: CH's instr is an ALIAS of
+    positionCaseInsensitive (the bare Spark passthrough was
+    case-sensitive — silent divergence, fixed); MJD round trip (Jan 1
+    2020 = 58849, the published value) with OrNull guards; wall-time
+    UTC converters; exact sub-second add/subtract; hasSubsequence
+    family (CH docs 'garbage'/'arg' example); -Array combinator alias
+    spellings; quantileDD riding the shared sketch; RESPECT NULLS
+    forms."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        translate_ch_sql,
+    )
+
+    got, _ = translate_ch_sql(
+        "SELECT instr('Hello World', 'WORLD') AS ins,"
+        " toUTCTimestamp(toDateTime('2024-01-01 12:00:00'),"
+        " 'Asia/Shanghai') AS tut,"
+        " addMilliseconds(toDateTime('2024-01-01 00:00:00'), 1500) AS ams,"
+        " subtractMicroseconds(toDateTime('2024-01-01 00:00:00'), 1)"
+        " AS smu,"
+        " toModifiedJulianDayOrNull('2020-01-01') AS mjd,"
+        " toModifiedJulianDayOrNull('bad') AS mjn,"
+        " fromModifiedJulianDayOrNull(58849) AS fmj,"
+        " hasSubsequence('garbage', 'arg') AS hs1,"
+        " hasSubsequence('garbage', 'arbw') AS hs0,"
+        " hasSubsequenceCaseInsensitive('GARBAGE', 'arg') AS hsc,"
+        " countSubstringsCaseInsensitiveUTF8('AbaBa', 'ba') AS csc,"
+        " multiSearchAllPositionsUTF8('hello', ['l', 'z']) AS msp,"
+        " groupArrayArray(arr) AS gaa, groupUniqArrayArray(arr) AS gua,"
+        " quantileDD(0.01, 0.5)(v) AS qdd,"
+        " anyRespectNulls(v) AS arn"
+        " FROM t GROUP BY g")
+    spark.createDataFrame(
+        [(1, 5, [1, 2])], "g int, v int, arr array<int>"
+    ).createOrReplaceTempView("t")
+    r = spark.sql(got).first()
+    assert r.ins == 7
+    assert str(r.tut) == "2024-01-01 04:00:00"
+    assert r.ams.microsecond == 500000 and r.ams.second == 1
+    assert str(r.smu) == "2023-12-31 23:59:59.999999"
+    assert r.mjd == 58849 and r.mjn is None
+    assert str(r.fmj) == "2020-01-01"
+    assert r.hs1 is True and r.hs0 is False and r.hsc is True
+    assert r.csc == 2
+    assert r.msp == [3, 0]
+    assert r.gaa == [1, 2] and r.gua == [1, 2]
+    assert r.qdd == 5 and r.arn == 5
