@@ -598,6 +598,26 @@ sigmoid / toDate32OrNull/    logistic / try_cast (OrZero → 1900-01-01,
  OrZero                      the Date32 range minimum)
 arrayUnion / arraySym-       N-ary folds of array_union / union minus
  metricDifference            intersection
+instr(h, n)                  = positionCaseInsensitive (its CH alias —
+                             the bare Spark passthrough was case-
+                             SENSITIVE, r9 fix)
+anyRespectNulls family       first/last (Spark's default respects)
+groupArray[Uniq]Array(a)     flatten(collect_list) [+ distinct]
+quantile[s]DD(acc, p)(x)     shared approx sketch (accuracy dropped)
+to/fromUTCTimestamp          Spark builtins, same signature
+add/subtractMilli/Micro-     exact unix_micros arithmetic (ns refuses)
+ seconds
+change<Part>(d, v)           (documented above)
+hasSubsequence family        greedy in-order walk (docs example)
+accurateCast(x, 'T')         ANSI CAST (throws like CH)
+corr/covarSamp/covarPop-     n×n static pairwise-aggregate expansion
+ Matrix(x…)
+groupArrayIntersect(a)       collect_list ∩-fold
+bitPositionsToArray(x)       set-bit positions, LSB-first
+IPv4StringToNumOr-           NULL on invalid / the zero-default base
+ Null/Default
+base64URL[En/De]code /       URL-safe alphabet, CH's stripped padding
+ tryBase64URLDecode          (docs example pinned)
 quantileExactLow/High(0.5)   python median_low/high element selection
   medianExactLow/High        (non-median levels refused)
 … WITH FILL INTERPOLATE      carry-forward window over the spine join:
@@ -983,6 +1003,28 @@ _UNSUPPORTED = {
     "toDecimal256",          # beyond Spark's DECIMAL(38) ceiling
     "toDecimal256OrNull",
     "toDecimal256OrZero",
+    "toInt128",              # Int128/256 and UInt128/256 exceed the
+    "toInt128OrNull",        # DECIMAL(38) carrier's domain
+    "toInt128OrZero",
+    "toInt256",
+    "toInt256OrNull",
+    "toInt256OrZero",
+    "toUInt128",
+    "toUInt128OrNull",
+    "toUInt128OrZero",
+    "toUInt256",
+    "toUInt256OrNull",
+    "toUInt256OrZero",
+    "toColumnTypeName",      # engine introspection
+    "aggThrow",              # CH test-only aggregate
+    "sumMapWithOverflow",    # width-wrapped map sums: the plain sumMap
+                             # translation has no overflow to model
+    "formatRow",             # the CH output-format zoo — use concat_ws
+    "formatRowNoNewline",    # or to_json for the common shapes
+    "sqidEncode",            # Sqids: no local verifier for the
+    "sqidDecode",            # shuffled-alphabet algorithm
+    "geohashesInBox",        # cell-enumeration algorithm (the scalar
+                             # geohashEncode/Decode DO translate)
     "firstSignificantSubdomainCustom",      # needs a custom TLD list
     "cutToFirstSignificantSubdomainCustom", # loaded server-side in CH
     "hammingDistance",       # ambiguous alias: use byteHammingDistance
@@ -3236,6 +3278,41 @@ def _translate_functions(sql: str) -> str:
         ),
     )
     sql = _rewrite_calls(sql, "accurateCastOrNull", _accurate_cast_or_null)
+    sql = _rewrite_calls(sql, "accurateCast", _accurate_cast)
+    for _mx, _mf in (("corrMatrix", "corr"),
+                     ("covarSampMatrix", "covar_samp"),
+                     ("covarPopMatrix", "covar_pop")):
+        sql = _rewrite_calls(sql, _mx, _matrix_agg_fn(_mx, _mf))
+    sql = _rewrite_calls(sql, "groupArrayIntersect", _group_array_intersect)
+    # bit positions of set bits, LSB-first (UInt64 domain via the
+    # unsigned shift)
+    sql = _rewrite_calls(
+        sql, "bitPositionsToArray",
+        lambda a: (
+            f"filter(transform(sequence(0, 63), __bp -> "
+            f"IF((shiftrightunsigned(CAST({a[0]} AS BIGINT), __bp) & 1) "
+            f"= 1, __bp, -1)), __bp -> __bp >= 0)"
+        ),
+    )
+    # IPv4StringToNum variants: the base form zero-defaults (reference
+    # parser convention); OrNull NULLs instead, OrDefault IS the base
+    sql = _rewrite_calls(
+        sql, "IPv4StringToNumOrNull",
+        lambda a: (
+            f"IF({a[0]} RLIKE '{_IPV4_RE_SQL}', "
+            + _ipv4_string_to_num(a) + ", CAST(NULL AS BIGINT))"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "IPv4StringToNumOrDefault", _ipv4_string_to_num)
+    # URL-safe base64 (CH strips '=' padding; docs example pinned)
+    sql = _rewrite_calls(
+        sql, "base64URLEncode", lambda a: f"ch_b64url_encode({a[0]})")
+    sql = _rewrite_calls(
+        sql, "base64URLDecode", lambda a: f"ch_b64url_decode({a[0]})")
+    sql = _rewrite_calls(
+        sql, "tryBase64URLDecode",
+        lambda a: f"ch_b64url_try_decode({a[0]})")
     for ch, ty in _CASTS.items():
         sql = _rewrite_calls(sql, ch, lambda a, t=ty: f"CAST({a[0]} AS {t})")
     for ch, agg in _AGG_IF.items():
@@ -6362,6 +6439,51 @@ _ACCURATE_TYPES = {
 }
 
 
+def _accurate_cast(a: list[str]) -> str:
+    """``accurateCast(x, 'Type')`` — CH throws on overflow; under ANSI
+    the plain CAST does exactly that (same type table as the OrNull
+    form)."""
+    if len(a) != 2:
+        raise ChTranslationError("accurateCast needs (x, 'Type')")
+    t = a[1].strip().strip("'")
+    sp = _ACCURATE_TYPES.get(t)
+    if sp is None:
+        raise ChTranslationError(
+            f"accurateCast target {t!r} not supported "
+            f"(supported: {sorted(_ACCURATE_TYPES)})"
+        )
+    return f"CAST({a[0]} AS {sp})"
+
+
+def _matrix_agg_fn(name: str, agg: str):
+    """``corrMatrix/covar*Matrix(x1, …, xn)`` → n×n nested arrays of the
+    pairwise aggregate (the argument count IS the matrix dimension, so
+    the expansion is static)."""
+    def rw(a: list[str]) -> str:
+        if len(a) < 2:
+            raise ChTranslationError(f"{name} needs at least 2 columns")
+        rows = ", ".join(
+            "array(" + ", ".join(
+                f"{agg}({ai}, {aj})" for aj in a) + ")"
+            for ai in a)
+        return f"array({rows})"
+    return rw
+
+
+def _group_array_intersect(a: list[str]) -> str:
+    """``groupArrayIntersect(arr)`` — the intersection of all the
+    group's array values: one collect_list, then a let-bound
+    array_intersect fold seeded with the first element."""
+    if len(a) != 1:
+        raise ChTranslationError("groupArrayIntersect takes 1 array column")
+    return (
+        f"element_at(transform(array(collect_list({a[0]})), __gi -> "
+        f"aggregate(slice(__gi, 2, greatest(size(__gi) - 1, 0)), "
+        f"array_distinct(try_element_at(__gi, 1)), "
+        f"(__ga, __gv) -> array_intersect(__ga, __gv))), 1)"
+    )
+
+
 def _accurate_cast_or_null(a: list[str]) -> str:
     if len(a) != 2:
         raise ChTranslationError("accurateCastOrNull needs (x, 'Type')")
@@ -8950,6 +9072,15 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
             raise ChTranslationError(
                 f"no faithful Spark translation for {bad}(){hint}"
             )
+    # the whole H3 family at once (~60 names): Uber's H3 icosahedral
+    # indexing needs the H3 library, absent here
+    m_h3 = _first_real(r"\b(h3[A-Z]\w*|stringToH3|h3ToString)\s*\(")
+    if m_h3:
+        raise ChTranslationError(
+            f"no faithful Spark translation for {m_h3.group(1)}() — the"
+            " H3 geo-indexing library is not available; geohashEncode/"
+            "Decode cover the grid-bucketing use case"
+        )
     # PASTE JOIN zips tables by BLOCK POSITION — there is no
     # deterministic row order in a distributed table to zip by
     if _first_real(r"\bPASTE\s+JOIN\b"):

@@ -1338,6 +1338,16 @@ def _parse_time_delta(s: str) -> float:
     return total
 
 
+def _b64url_try(s: str) -> str:
+    """tryBase64URLDecode: '' on any decoding error, like the other
+    try* codecs."""
+    try:
+        return base64.urlsafe_b64decode(
+            s + "=" * ((4 - len(s) % 4) % 4)).decode("utf-8")
+    except Exception:
+        return ""
+
+
 _XML_ENTITIES = {"lt": "<", "gt": ">", "amp": "&", "quot": '"',
                  "apos": "'"}
 
@@ -2073,6 +2083,23 @@ _UDF_SPECS = {
     ),
     "ch_decode_xml": (
         _map1(_decode_xml),
+        "string",
+    ),
+    # URL-safe base64 (RFC 4648 §5 alphabet, CH strips '=' padding; the
+    # CH docs example 'https://clickhouse.com' →
+    # 'aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ' is pinned in tests)
+    "ch_b64url_encode": (
+        _map1(lambda s: base64.urlsafe_b64encode(
+            s.encode("utf-8")).decode().rstrip("=")),
+        "string",
+    ),
+    "ch_b64url_decode": (
+        _map1(lambda s: base64.urlsafe_b64decode(
+            s + "=" * ((4 - len(s) % 4) % 4)).decode("utf-8")),
+        "string",
+    ),
+    "ch_b64url_try_decode": (
+        _map1(_b64url_try),
         "string",
     ),
     # RIPEMD160 via OpenSSL (system libcrypto — an independent C

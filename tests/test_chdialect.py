@@ -4548,3 +4548,55 @@ def test_instr_alias_dates_subsequence_tail(spark):
     assert r.msp == [3, 0]
     assert r.gaa == [1, 2] and r.gua == [1, 2]
     assert r.qdd == 5 and r.arn == 5
+
+
+def test_battery4_tail(spark):
+    """Battery-4 closures: accurateCast (ANSI CAST throws like CH),
+    corr/covar matrix aggregates (n×n static expansion, unit diagonal),
+    groupArrayIntersect (collect_list fold), bitPositionsToArray,
+    IPv4StringToNum OrNull/OrDefault variants, and URL-safe base64 with
+    CH's stripped padding (docs example
+    'https://clickhouse.com' ↔ 'aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ');
+    Int128/256 carriers, the H3 family, sqids and the format zoo refuse
+    with rationale."""
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT accurateCast(300, 'Int64') AS ac,"
+        " corrMatrix(a, b) AS cmx,"
+        " groupArrayIntersect(arr) AS gai,"
+        " bitPositionsToArray(10) AS bpa,"
+        " IPv4StringToNumOrNull('1.2.3.4') AS ip1,"
+        " IPv4StringToNumOrNull('bad') AS ip0,"
+        " IPv4StringToNumOrDefault('bad') AS ipd,"
+        " base64URLEncode('https://clickhouse.com') AS b64e,"
+        " base64URLDecode('aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ') AS b64d,"
+        " tryBase64URLDecode('@@@') AS b64t"
+        " FROM t4 GROUP BY g")
+    spark.createDataFrame(
+        [(1, 1.0, 2.0, [1, 2, 3]), (1, 2.0, 4.0, [2, 3, 4]),
+         (1, 3.0, 5.0, [3, 2])],
+        "g int, a double, b double, arr array<int>",
+    ).createOrReplaceTempView("t4")
+    r = spark.sql(got).first()
+    assert r.ac == 300
+    assert r.cmx[0][0] == 1.0 and r.cmx[1][1] == 1.0
+    assert r.cmx[0][1] == r.cmx[1][0]
+    assert sorted(r.gai) == [2, 3]
+    assert r.bpa == [1, 3]
+    assert r.ip1 == 16909060 and r.ip0 is None and r.ipd == 0
+    assert r.b64e == "aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ"
+    assert r.b64d == "https://clickhouse.com"
+    assert r.b64t == ""
+    for bad in ("SELECT toInt128(s) FROM t", "SELECT h3ToGeo(x) FROM t",
+                "SELECT stringToH3(s) FROM t", "SELECT sqidEncode(1) FROM t",
+                "SELECT formatRow('CSV', a) FROM t"):
+        with _pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
