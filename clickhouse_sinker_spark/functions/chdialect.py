@@ -618,6 +618,16 @@ IPv4StringToNumOr-           NULL on invalid / the zero-default base
  Null/Default
 base64URL[En/De]code /       URL-safe alphabet, CH's stripped padding
  tryBase64URLDecode          (docs example pinned)
+equals/notEquals/less/…      comparison FUNCTION forms → operators
+avgDistinct / min/max-       DISTINCT aggregate forms
+ Distinct
+arrayElement/First/Last-     try_element_at aliases (the base already
+ OrNull                      NULLs on a miss)
+arrayPartialReverseSort      full reverse-sort instance (same
+ (n, a)                      convention as arrayPartialSort)
+toUUIDOrDefault(s, d)        validated form with explicit fallback
+bitmapSubsetInRange/Limit,   filter / sorted-slice / positional
+ subBitmap, bitmapTransform  replace over the distinct-array bitmaps
 quantileExactLow/High(0.5)   python median_low/high element selection
   medianExactLow/High        (non-median levels refused)
 … WITH FILL INTERPOLATE      carry-forward window over the spine join:
@@ -876,7 +886,11 @@ _UNSUPPORTED = {
                       # portable farmFingerprint64 (translated, Guava-proven)
     "neighbor",
     "runningDifference",
+    "runningDifferenceStartingWithFirstValue",
     "runningAccumulate",
+    "emptyArrayToSingle",    # pads with the element type's DEFAULT —
+                             # invisible at SQL level (use IF(empty(a),
+                             # [x], a) with an explicit default)
     "rowNumberInBlock",
     "rowNumberInAllBlocks",
     "sample",
@@ -4290,6 +4304,83 @@ def _translate_functions(sql: str) -> str:
                    f"lower({a[1]})" if lw else a[1])
             ) if len(a) == 2 else _refuse("hasSubsequence takes (h, n)"),
         )
+    # comparison FUNCTION forms (CH registers the operators as callable
+    # names too)
+    for _cn, _co in (("equals", "="), ("notEquals", "!="),
+                     ("less", "<"), ("greater", ">"),
+                     ("lessOrEquals", "<="), ("greaterOrEquals", ">=")):
+        sql = _rewrite_calls(
+            sql, _cn,
+            lambda a, o=_co, n=_cn: f"(({a[0]}) {o} ({a[1]}))"
+            if len(a) == 2 else _refuse(f"{n} takes exactly 2 arguments"),
+        )
+    sql = _rewrite_calls(
+        sql, "avgDistinct", lambda a: f"avg(DISTINCT {a[0]})")
+    sql = _rewrite_calls(
+        sql, "minDistinct", lambda a: f"min({a[0]})")
+    sql = _rewrite_calls(
+        sql, "maxDistinct", lambda a: f"max({a[0]})")
+    # OrNull array accessors: the base emissions already NULL on a miss
+    # (try_element_at), so these are spelled aliases
+    sql = _rewrite_calls(
+        sql, "arrayElementOrNull",
+        lambda a: f"try_element_at({a[0]}, {a[1]})")
+    sql = _rewrite_calls(
+        sql, "arrayFirstOrNull",
+        lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)"
+        if len(a) == 2 else _refuse("arrayFirstOrNull takes (λ, array)"),
+    )
+    sql = _rewrite_calls(
+        sql, "arrayLastOrNull",
+        lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)"
+        if len(a) == 2 else _refuse("arrayLastOrNull takes (λ, array)"),
+    )
+    # partial-sort: same deliberate full-sort instance as arrayPartialSort
+    sql = _rewrite_calls(
+        sql, "arrayPartialReverseSort",
+        lambda a: f"reverse(array_sort({a[1]}))"
+        if len(a) == 2 else _refuse(
+            "arrayPartialReverseSort takes (limit, array)"),
+    )
+    sql = _rewrite_calls(
+        sql, "toUUIDOrDefault",
+        lambda a: (
+            f"CASE WHEN {a[0]} IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN {a[0]} RLIKE '{_UUID_RE_SQL}' THEN lower({a[0]}) "
+            f"ELSE {a[1]} END"
+        ) if len(a) == 2 else _refuse("toUUIDOrDefault takes (s, default)"),
+    )
+    # bitmap subset operations over the distinct-array representation
+    sql = _rewrite_calls(
+        sql, "bitmapSubsetInRange",
+        lambda a: (f"filter(array_distinct({a[0]}), __bs -> "
+                   f"__bs >= ({a[1]}) AND __bs < ({a[2]}))")
+        if len(a) == 3 else _refuse(
+            "bitmapSubsetInRange takes (bitmap, start, end)"),
+    )
+    sql = _rewrite_calls(
+        sql, "bitmapSubsetLimit",
+        lambda a: (f"slice(array_sort(filter(array_distinct({a[0]}), "
+                   f"__bs -> __bs >= ({a[1]}))), 1, CAST({a[2]} AS INT))")
+        if len(a) == 3 else _refuse(
+            "bitmapSubsetLimit takes (bitmap, start, limit)"),
+    )
+    sql = _rewrite_calls(
+        sql, "subBitmap",
+        lambda a: (f"slice(array_sort(array_distinct({a[0]})), "
+                   f"CAST({a[1]} AS INT) + 1, CAST({a[2]} AS INT))")
+        if len(a) == 3 else _refuse(
+            "subBitmap takes (bitmap, offset, limit)"),
+    )
+    sql = _rewrite_calls(
+        sql, "bitmapTransform",
+        lambda a: (
+            f"transform({a[0]}, __bt -> IF(array_position({a[1]}, __bt) "
+            f"> 0, element_at({a[2]}, CAST(array_position({a[1]}, __bt) "
+            f"AS INT)), __bt))"
+        ) if len(a) == 3 else _refuse(
+            "bitmapTransform takes (bitmap, from_array, to_array)"),
+    )
     sql = _rewrite_calls(
         sql, "countSubstringsCaseInsensitiveUTF8",
         lambda a: f"countSubstringsCaseInsensitive({', '.join(a)})")
@@ -9080,6 +9171,28 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
             f"no faithful Spark translation for {m_h3.group(1)}() — the"
             " H3 geo-indexing library is not available; geohashEncode/"
             "Decode cover the grid-bucketing use case"
+        )
+    # the -ArgMin/-ArgMax aggregate combinators (sumArgMin(v, k) etc.):
+    # the inner agg runs over the rows attaining the group's extreme k —
+    # that needs the extreme INSIDE the aggregation (a nested aggregate
+    # Spark cannot express); bare argMin/argMax translate (min_by/max_by)
+    m_am = _first_real(r"\b([a-zA-Z]\w+)(Arg(?:Min|Max))\s*\(")
+    if m_am and m_am.group(1).lower() != "arg" and m_am.group(0).split(
+            "(")[0] not in ("argMin", "argMax"):
+        raise ChTranslationError(
+            f"no faithful Spark translation for {m_am.group(1)}"
+            f"{m_am.group(2)}() — the -ArgMin/-ArgMax combinators embed"
+            " the group extreme inside the aggregate; compute the"
+            " extreme with a window first, then aggregate FILTER rows"
+            " equal to it"
+        )
+    # the -Resample combinator: explicit width_bucket bucketing says the
+    # same thing relationally
+    m_rs = _first_real(r"\b(\w+Resample)\s*\(")
+    if m_rs:
+        raise ChTranslationError(
+            f"no faithful Spark translation for {m_rs.group(1)}() — use"
+            " an explicit width_bucket/floor bucket in GROUP BY"
         )
     # PASTE JOIN zips tables by BLOCK POSITION — there is no
     # deterministic row order in a distributed table to zip by

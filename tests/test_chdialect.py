@@ -4600,3 +4600,50 @@ def test_battery4_tail(spark):
                 "SELECT formatRow('CSV', a) FROM t"):
         with _pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_battery5_tail(spark):
+    """Battery-5 closures: comparison FUNCTION forms, avgDistinct,
+    OrNull array accessors (the try_element_at base already NULLs),
+    arrayPartialReverseSort (full-sort instance), toUUIDOrDefault,
+    the bitmap subset quartet; the -ArgMin/-ArgMax and -Resample
+    combinators refuse with rewrite hints while bare argMin/argMax
+    still translate."""
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    got, _ = translate_ch_sql(
+        "SELECT equals(1, 1) AS eq, notEquals(1, 2) AS ne,"
+        " lessOrEquals(1, 1) AS le, avgDistinct(v) AS ad,"
+        " arrayElementOrNull([1,2], 5) AS aeo,"
+        " arrayFirstOrNull(x -> x > 10, [1,2]) AS afo,"
+        " arrayLastOrNull(x -> x > 1, [1,2,3]) AS alo,"
+        " arrayPartialReverseSort(2, [1,3,2]) AS prs,"
+        " toUUIDOrDefault('bad', 'fallback') AS ud,"
+        " bitmapSubsetInRange(bitmapBuild([1,5,9]), 2, 9) AS bsr,"
+        " bitmapSubsetLimit(bitmapBuild([9,1,5,7]), 4, 2) AS bsl,"
+        " subBitmap(bitmapBuild([9,1,5,7]), 1, 2) AS sb,"
+        " bitmapToArray(bitmapTransform(bitmapBuild([1,2,3]), [2], [20]))"
+        " AS bt FROM t5 GROUP BY g")
+    spark.createDataFrame(
+        [(1, 2.0), (1, 2.0), (1, 4.0)], "g int, v double"
+    ).createOrReplaceTempView("t5")
+    r = spark.sql(got).first()
+    assert r.eq is True and r.ne is True and r.le is True
+    assert r.ad == 3.0
+    assert r.aeo is None and r.afo is None and r.alo == 3
+    assert r.prs == [3, 2, 1]
+    assert r.ud == "fallback"
+    assert r.bsr == [5] and r.bsl == [5, 7] and r.sb == [5, 7]
+    assert r.bt == [1, 3, 20]
+    got2, _ = translate_ch_sql("SELECT argMin(a, b) FROM t")
+    assert "min_by(a, b)" in got2
+    for bad in ("SELECT sumArgMin(v, k) FROM t",
+                "SELECT sumResample(0, 10, 1)(x, r) FROM t",
+                "SELECT emptyArrayToSingle(a) FROM t"):
+        with _pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
