@@ -628,6 +628,9 @@ arrayPartialReverseSort      full reverse-sort instance (same
 toUUIDOrDefault(s, d)        validated form with explicit fallback
 bitmapSubsetInRange/Limit,   filter / sorted-slice / positional
  subBitmap, bitmapTransform  replace over the distinct-array bitmaps
+numbers[_mt](n | off, n)     range() table function, column renamed
+expr::ChType                 CH type name mapped onto Spark's native
+                             :: operator (literal-aware)
 quantileExactLow/High(0.5)   python median_low/high element selection
   medianExactLow/High        (non-median levels refused)
 … WITH FILL INTERPOLATE      carry-forward window over the spine join:
@@ -868,6 +871,7 @@ _CASTS = {
     "toString": "STRING",
 }
 
+
 # aggregate-with-condition combinators → FILTER (WHERE ...) clause
 _AGG_IF = {
     "sumIf": "sum",
@@ -1073,7 +1077,34 @@ _UNSUPPORTED = {
     "getSetting",
     "filesystemAvailable",
     "filesystemCapacity",
+    "remote",                # remote/cluster table functions reach into
+    "remoteSecure",          # other ClickHouse servers — register the
+    "cluster",               # data as a Spark table instead
+    "clusterAllReplicas",
+    "generateRandom",        # nondeterministic row generator (the
+                             # repo's sources/testgen.py is the
+                             # deterministic equivalent)
+    "zeros",
+    "zeros_mt",
 }
+
+# `expr::ChType` cast-operator type names → Spark type names (built
+# from the same table as the to<Type>() casts, plus the date/bool names)
+_COLON_CAST_RE = re.compile(r"::\s*([A-Za-z][A-Za-z0-9]*)")
+_COLON_TYPES: dict = {}  # populated after _CASTS below
+
+
+def _init_colon_types() -> None:
+    for chname, sp in _CASTS.items():
+        if chname.startswith("to"):
+            _COLON_TYPES[chname[2:]] = sp
+    _COLON_TYPES.update({
+        "Date": "DATE", "Date32": "DATE", "DateTime": "TIMESTAMP",
+        "DateTime64": "TIMESTAMP", "Bool": "BOOLEAN",
+    })
+
+
+_init_colon_types()
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -2726,6 +2757,15 @@ def _translate_functions(sql: str) -> str:
         sql, "xxh3",
         _byte_hash_fn("xxh3", "ch_xxh3_ch", "ch_xxh3_u64",
                       r"^to(U)?Int64\s*\("),
+    )
+    # `expr::ChType` cast operator: Spark supports :: natively — only
+    # the CH type NAME needs mapping (unknown names pass through for
+    # Spark's own types like ::INT); literal-aware so a string datum
+    # containing '::Int64' is never rewritten
+    sql = _COLON_CAST_RE.sub(
+        lambda m: m.group(0) if _in_string(sql, m.start())
+        else "::" + _COLON_TYPES.get(m.group(1), m.group(1)),
+        sql,
     )
     # CRC family (case-insensitive in CH; common spellings covered).
     # Plain CRC32 deliberately passes through: Spark's builtin crc32 IS
@@ -4711,6 +4751,21 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "arrayAvg", _array_avg)
     sql = _rewrite_calls(sql, "arrayDifference", _array_difference)
     sql = _rewrite_calls(sql, "range", _range_seq)
+    # numbers()/numbers_mt() table function → Spark's range() TABLE
+    # function with the column renamed to CH's `number` (placed AFTER
+    # the scalar range() rewrite so the emission survives verbatim)
+    for _nb in ("numbers", "numbers_mt"):
+        sql = _rewrite_calls(
+            sql, _nb,
+            lambda a, n=_nb: (
+                f"(SELECT id AS number FROM range({a[0]}))"
+                if len(a) == 1 else
+                f"(SELECT id AS number FROM range({a[0]}, "
+                f"({a[0]}) + ({a[1]})))"
+                if len(a) == 2 else
+                _refuse(f"{n} takes (count) or (offset, count)")
+            ),
+        )
     # weighted mean: sum(x·w)/sum(w); try_divide → NULL on zero weight
     # (never an ANSI runtime error)
     sql = _rewrite_calls(
@@ -9200,6 +9255,13 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
         raise ChTranslationError(
             "PASTE JOIN is positional (block-order) — no faithful Spark"
             " translation; join on explicit row_number() keys instead")
+    # DISTINCT ON keeps one ARBITRARY row per key — CH's own docs note
+    # it is equivalent to LIMIT 1 BY, which this translator DOES rewrite
+    # (ranked-window survivor)
+    if _first_real(r"\bDISTINCT\s+ON\b"):
+        raise ChTranslationError(
+            "DISTINCT ON (cols) — use the equivalent LIMIT 1 BY cols"
+            " (translated as a ranked-window survivor)")
     # -State / -Merge / -SimpleState combinators carry engine-internal
     # aggregate states (AggregateFunction columns) — nothing on the Spark
     # side can hold or merge them

@@ -4647,3 +4647,34 @@ def test_battery5_tail(spark):
                 "SELECT emptyArrayToSingle(a) FROM t"):
         with _pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_numbers_colon_casts_distinct_on(spark):
+    """Battery-6 clause tail: the numbers()/numbers_mt() table function
+    rides Spark's range() with the column renamed (scalar range() still
+    translates to sequence arrays); the ::ChType cast operator maps CH
+    type names onto Spark's native :: (string literals untouched);
+    DISTINCT ON refuses with the LIMIT 1 BY redirect, remote/cluster/
+    generateRandom refuse as table functions."""
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    out, _ = translate_ch_sql(
+        "SELECT number, number::String AS s, '::Int64 raw' AS lit"
+        " FROM numbers(3)")
+    rows = spark.sql(out).collect()
+    assert [r.number for r in rows] == [0, 1, 2]
+    assert rows[0].s == "0" and rows[0].lit == "::Int64 raw"
+    out2, _ = translate_ch_sql("SELECT sum(number) AS s FROM numbers(3, 4)")
+    assert spark.sql(out2).first().s == 18
+    out3, _ = translate_ch_sql("SELECT range(3) AS r")
+    assert spark.sql(out3).first().r == [0, 1, 2]
+    for bad in ("SELECT DISTINCT ON (a) a, b FROM t",
+                "SELECT * FROM remote('h', d.t)",
+                "SELECT * FROM generateRandom('a Int64')"):
+        with _pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
