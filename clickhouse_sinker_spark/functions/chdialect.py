@@ -1077,6 +1077,43 @@ _UNSUPPORTED = {
     "getSetting",
     "filesystemAvailable",
     "filesystemCapacity",
+    "file",                  # external-source TABLE functions: register
+    "url",                   # the data as a Spark table / spark.read
+    "s3",                    # instead — the engine's own connectors own
+    "hdfs",                  # these paths
+    "mysql",
+    "postgresql",
+    "jdbc",
+    "odbc",
+    "mongodb",
+    "input",
+    "viewIfPermitted",       # permission introspection
+    "fullHostName",          # host/engine introspection tail
+    "getOSKernelVersion",
+    "availableRoles",
+    "getClientHTTPHeader",
+    "showCertificate",
+    "tid",
+    "logTrace",
+    "currentQueryID",
+    "hasThreadFuzzer",
+    "filesystemUnreserved",
+    "blockNumber",
+    "blockSerializedSize",
+    "addressToLine",         # debug-symbol introspection
+    "addressToLineWithInlines",
+    "addressToSymbol",
+    "demangle",
+    "trap",
+    "catboostEvaluate",      # model-backed evaluation (no models here)
+    "evalMLMethod",
+    "naturalLanguageProcessing",
+    "dictGetChildren",       # hierarchical dictionary getters
+    "dictGetDescendants",
+    "dictGetHierarchy",
+    "dictIsInHierarchy",
+    "finalizeAggregation",   # aggregate-state plumbing (the -State/
+    "initializeAggregation", # -Merge refusal family)
     "remote",                # remote/cluster table functions reach into
     "remoteSecure",          # other ClickHouse servers — register the
     "cluster",               # data as a Spark table instead
@@ -3207,6 +3244,9 @@ def _translate_functions(sql: str) -> str:
         sql, "minSampleSizeConversion", _min_sample_size("conversion"))
     sql = _rewrite_calls(
         sql, "minSampleSizeContinous", _min_sample_size("continous"))
+    # CH documents the correctly-spelled alias of its (sic) Continous name
+    sql = _rewrite_calls(
+        sql, "minSampleSizeContinuous", _min_sample_size("continous"))
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence(
         sql, "sequenceMatch",
@@ -9240,6 +9280,17 @@ def _translate_ch_sql_inner(sql: str, table_keys) -> tuple[str, list[str]]:
             " the group extreme inside the aggregate; compute the"
             " extreme with a window first, then aggregate FILTER rows"
             " equal to it"
+        )
+    # the text-hash LSH families (ngram/wordShingle × Sim/Min hash, all
+    # case/UTF8 spellings): CH-internal CRC-slot folds with no published
+    # vectors; the repo's dedup_simhash / dedup_minhash_lsh operators
+    # are the supported near-dup path
+    m_sh = _first_real(r"\b((?:ngram|wordShingle)(?:Sim|Min)Hash\w*)\s*\(")
+    if m_sh:
+        raise ChTranslationError(
+            f"no faithful Spark translation for {m_sh.group(1)}() — use"
+            " the engine's dedup_simhash / MinHash-LSH operators for"
+            " near-duplicate detection"
         )
     # the -Resample combinator: explicit width_bucket bucketing says the
     # same thing relationally

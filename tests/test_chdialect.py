@@ -4678,3 +4678,36 @@ def test_numbers_colon_casts_distinct_on(spark):
                 "SELECT * FROM generateRandom('a Int64')"):
         with _pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_battery7_refusal_tail(spark):
+    """Battery-7: external-source table functions, debug/host
+    introspection, model-backed evaluation, hierarchical dict getters,
+    aggregate-state plumbing and the text-hash LSH families all refuse
+    with rationale; minSampleSizeContinuous (the correctly-spelled
+    alias of CH's sic Continous name) translates."""
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    for bad in ("SELECT * FROM s3('http://x')",
+                "SELECT * FROM file('a.csv')",
+                "SELECT * FROM mysql('h','d','t','u','p')",
+                "SELECT fullHostName() FROM t",
+                "SELECT catboostEvaluate('m', a) FROM t",
+                "SELECT dictGetHierarchy('d', k) FROM t",
+                "SELECT finalizeAggregation(s) FROM t",
+                "SELECT ngramSimHashCaseInsensitive(s) FROM t",
+                "SELECT wordShingleMinHashUTF8(s) FROM t"):
+        with _pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+    got, _ = translate_ch_sql(
+        "SELECT minSampleSizeContinuous(100, 10, 0.05, 0.05, 0.2) AS m"
+        " FROM t")
+    assert "minSampleSizeContinuous" not in got
+    # string literals containing the names never trigger the gates
+    got2, _ = translate_ch_sql("SELECT 'call file(x) or url(y)' AS s")
+    assert "file(x)" in got2
