@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER, layout
-    # comment there): a fixed prefix — the 20 round-9 additions receiving
+    # comment there): a fixed prefix — the 21 round-9 additions receiving
     # their first driver hash (checksum/xxh3, stem, bigram-LM scoring,
     # lang drift, train/val split, chunk windows, IVF recall, the closed
     # refusal tail), then the 28 r05-latest stale queries the r8 verdict

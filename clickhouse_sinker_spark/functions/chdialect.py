@@ -22,7 +22,7 @@ dateDiff('u', a, b)          timestampdiff(U, a, b)
 addDays/Hours/...(x, n)      timestampadd(DAY/HOUR/..., n, x)
 subtractDays/...(x, n)       timestampadd(DAY/..., -(n), x)
 formatDateTime(x, '%Y-%m')   date_format(x, 'yyyy-MM')  (%-tokens mapped)
-position(h, n)               instr(h, n)      (1-based in both)
+position(h, n)               locate(n, h)     (1-based, case-SENSITIVE)
 startsWith/endsWith(s, p)    startswith/endswith(s, p)
 leftPad/rightPad(s, n, p)    lpad/rpad(s, n, p)
 trimLeft/trimRight/trimBoth  ltrim/rtrim/trim
@@ -3686,8 +3686,12 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "formatDateTime", _format_datetime)
     sql = _rewrite_calls(
         sql, "position",
-        # CH: position(haystack, needle[, start]); Spark locate flips args
-        lambda a: f"instr({a[0]}, {a[1]})" if len(a) == 2
+        # CH: position(haystack, needle[, start]) is case-SENSITIVE;
+        # Spark locate flips args.  Emit locate() directly — an instr()
+        # spelling here would be re-rewritten by the later instr→
+        # positionCaseInsensitive alias pass and silently lowercase both
+        # sides (r9 ADVICE regression).
+        lambda a: f"locate({a[1]}, {a[0]})" if len(a) == 2
         else f"locate({a[1]}, {a[0]}, {a[2]})" if len(a) == 3
         else f"position({a[0]})",
     )
@@ -4908,7 +4912,10 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(
         sql, "positionUTF8",
-        lambda a: f"instr({a[0]}, {a[1]})" if len(a) == 2
+        # locate (not instr): the later instr→positionCaseInsensitive
+        # alias pass must never see this case-SENSITIVE form (it ran
+        # after by ordering accident before; now structurally immune)
+        lambda a: f"locate({a[1]}, {a[0]})" if len(a) == 2
         else f"locate({a[1]}, {a[0]}, {a[2]})",
     )
     sql = _rewrite_calls(

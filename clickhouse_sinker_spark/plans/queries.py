@@ -5785,7 +5785,9 @@ CH_DIALECT_ASSOC2 = """
                AS f_stat,
            tupleElement(analysisOfVariance(value, user_id % 4), 2)
                BETWEEN 0 AND 1 AS p_ok,
-           groupArraySorted(3)(value) AS small3,
+           arrayStringConcat(
+               arrayMap(x -> toString(toInt64(floor(x * 1000000))),
+                        groupArraySorted(3)(value)), ',') AS small3,
            count(*) AS n
     FROM events
     GROUP BY g
@@ -5859,7 +5861,9 @@ CH_DIALECT_ASSOC2 = """
            round((anv.ssb / (anv.k - 1)) / (anv.ssw / (anv.nt - anv.k)),
                  6) AS f_stat,
            TRUE AS p_ok,
-           gs.small3 AS small3,
+           array_to_string(list_transform(
+               gs.small3, x -> CAST(floor(x * 1000000) AS BIGINT)),
+               ',') AS small3,
            CAST(n AS BIGINT) AS n
     FROM ha
     JOIN hb ON hb.g = ha.g
@@ -5960,25 +5964,30 @@ def ch_dialect_decay_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CH_DIALECT_ARRAY_SPLIT = """
     SELECT n,
-           arrayMap(g -> arrayCount(x -> x = x, g),
-                    arraySplit(x -> x % 3 = 0,
-                               arrayMap(i -> i + n, range(1, 11))))
-               AS sp_sizes,
-           arrayMap(g -> g[1],
-                    arraySplit(x -> x % 3 = 0,
-                               arrayMap(i -> i + n, range(1, 11))))
-               AS sp_heads,
-           arrayMap(g -> arrayCount(x -> x = x, g),
-                    arrayReverseSplit(x -> x % 3 = 0,
-                                      arrayMap(i -> i + n, range(1, 11))))
-               AS rsp_sizes,
-           arrayMap(g -> g[1],
-                    arrayReverseSplit(x -> x % 3 = 0,
-                                      arrayMap(i -> i + n, range(1, 11))))
-               AS rsp_heads,
-           arrayMap((x, y) -> x + y,
-                    arrayMap(i -> i + n, range(1, 4)), [100, 200, 300])
-               AS zip_map,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               arrayMap(g -> arrayCount(x -> x = x, g),
+                        arraySplit(x -> x % 3 = 0,
+                                   arrayMap(i -> i + n, range(1, 11))))),
+               ',') AS sp_sizes,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               arrayMap(g -> g[1],
+                        arraySplit(x -> x % 3 = 0,
+                                   arrayMap(i -> i + n, range(1, 11))))),
+               ',') AS sp_heads,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               arrayMap(g -> arrayCount(x -> x = x, g),
+                        arrayReverseSplit(x -> x % 3 = 0,
+                                          arrayMap(i -> i + n, range(1, 11))))),
+               ',') AS rsp_sizes,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               arrayMap(g -> g[1],
+                        arrayReverseSplit(x -> x % 3 = 0,
+                                          arrayMap(i -> i + n, range(1, 11))))),
+               ',') AS rsp_heads,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               arrayMap((x, y) -> x + y,
+                        arrayMap(i -> i + n, range(1, 4)), [100, 200, 300])),
+               ',') AS zip_map,
            arrayCount((x, y) -> x = y,
                       arrayMap(i -> i + n, range(1, 4)), [2, 2, 2]) AS zc
     FROM (SELECT DISTINCT user_id % 10 AS n FROM events)
@@ -6009,8 +6018,13 @@ CH_DIALECT_ARRAY_SPLIT = """
     rspl AS (SELECT n, list(CAST(c AS INT) ORDER BY grp) AS rsp_sizes,
                     list(h ORDER BY grp) AS rsp_heads
              FROM rsp GROUP BY n)
-    SELECT spl.n AS n, sp_sizes, sp_heads, rsp_sizes, rsp_heads,
-           [1 + n + 100, 2 + n + 200, 3 + n + 300] AS zip_map,
+    SELECT spl.n AS n,
+           array_to_string(sp_sizes, ',') AS sp_sizes,
+           array_to_string(sp_heads, ',') AS sp_heads,
+           array_to_string(rsp_sizes, ',') AS rsp_sizes,
+           array_to_string(rsp_heads, ',') AS rsp_heads,
+           array_to_string([1 + n + 100, 2 + n + 200, 3 + n + 300], ',')
+               AS zip_map,
            CAST(CASE WHEN n = 0 THEN 1 WHEN n = 1 THEN 1 ELSE 0 END
                 AS INT) AS zc
     FROM spl JOIN rspl USING (n) ORDER BY n
@@ -7022,19 +7036,27 @@ CH_DIALECT_URL_READABLE = """
       'http://www.' || min_src || '.com/a/b#f' AS cut,
       CAST(20210815102030 AS BIGINT) AS pin_ts,
       -- formatReadableTimeDelta re-derived relationally (docs wording:
-      -- ', ' between units, ' and ' before the last, singular at 1)
-      CASE WHEN a.n_docs < 60 THEN
-             CAST(a.n_docs AS VARCHAR) || ' second' ||
-             (CASE WHEN a.n_docs = 1 THEN '' ELSE 's' END)
-           WHEN a.n_docs % 60 = 0 THEN
-             CAST(a.n_docs // 60 AS VARCHAR) || ' minute' ||
-             (CASE WHEN a.n_docs // 60 = 1 THEN '' ELSE 's' END)
-           ELSE
-             CAST(a.n_docs // 60 AS VARCHAR) || ' minute' ||
-             (CASE WHEN a.n_docs // 60 = 1 THEN '' ELSE 's' END) ||
-             ' and ' ||
-             CAST(a.n_docs % 60 AS VARCHAR) || ' second' ||
-             (CASE WHEN a.n_docs % 60 = 1 THEN '' ELSE 's' END)
+      -- ', ' between units, ' and ' before the last, singular at 1,
+      -- zero units skipped).  Covers hours (r9 ADVICE: a 3600+-doc lang
+      -- group used to break the minutes-only decomposition).
+      CASE WHEN a.n_docs = 0 THEN '0 seconds' ELSE
+        (SELECT CASE WHEN len(p) = 1 THEN p[1]
+                     WHEN len(p) = 2 THEN p[1] || ' and ' || p[2]
+                     ELSE p[1] || ', ' || p[2] || ' and ' || p[3] END
+         FROM (SELECT list_filter([
+             CASE WHEN a.n_docs // 3600 > 0 THEN
+                  CAST(a.n_docs // 3600 AS VARCHAR) || ' hour' ||
+                  (CASE WHEN a.n_docs // 3600 = 1 THEN '' ELSE 's' END)
+             END,
+             CASE WHEN (a.n_docs % 3600) // 60 > 0 THEN
+                  CAST((a.n_docs % 3600) // 60 AS VARCHAR) || ' minute' ||
+                  (CASE WHEN (a.n_docs % 3600) // 60 = 1
+                        THEN '' ELSE 's' END)
+             END,
+             CASE WHEN a.n_docs % 60 > 0 THEN
+                  CAST(a.n_docs % 60 AS VARCHAR) || ' second' ||
+                  (CASE WHEN a.n_docs % 60 = 1 THEN '' ELSE 's' END)
+             END], x -> x IS NOT NULL) AS p))
       END AS td_docs,
       '13 years, 8 months, 17 days, 7 hours, 48 minutes and 54 seconds'
         AS pin_td
@@ -9187,96 +9209,82 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # It never changes between two calls in the same checkout; any change to it
 # is an ordinary reviewed source edit.
 #
-# Layout of ``DRIVER_ORDER`` (round 9: staleness rotation per VERDICT r8
-# order #2 — front-load the five r9 first-time hashes, then the ENTIRE
-# r05-latest tail the r8 verdict flagged (28 queries, 4 rounds stale if
-# skipped), then the nine long-green per-family anchors the r8 window
-# displaced, then the oldest of the r6-latest block) — 50 slots:
-# 1. The 21 round-9 additions (checksum/xxh3 family, Snowball stem,
-#    bigram-LM document scoring, corpus lang-slice drift, leakage-safe
-#    train/val split, chunk windows, IVF recall@10 report, per-source
-#    datasheet, association/power-analysis tail,
-#    arrayAUC, pointInPolygon, IDNA, ngram similarity, time-decay
-#    window forms, arraySplit, keyed-SipHash family, tuple arithmetic,
-#    SRP-LSH embedding near-dup, in-engine BPE merge training,
-#    fixed-point TextRank keywords, Zipf corpus diagnostics) —
-#    first-time hashes.
-# 2. The 28 queries whose latest green is r05 (VERDICT r8 "what's
-#    missing" #3 list) — the max-hash-age set.
-# 3. The 9 family anchors (tpch_q1_pricing, tpch_q9_profit,
-#    window_sessionize, agg_grouping_sets, etl_parse_project,
-#    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
-#    mm_binary_meta) — r06/r07-latest, rotated back per the r8 note.
-# 4. The 21 new + 28 r05-tail fill 49 slots; tpch_q1_pricing completes
-#    the 50.  The other 8 anchors of the original rotation plan —
-#    tpch_q9_profit, window_sessionize, agg_grouping_sets,
-#    etl_parse_project, dedup_minhash_lsh (the last three
-#    bench-exercised every round regardless), knn_cosine_topk,
-#    ch_dialect_hourly_stats, mm_binary_meta (all r07-latest, age 2) —
-#    were displaced by the r9 additions and MUST lead the r10 rotation
-#    together with the r6-latest block (dedup_incremental_minhash,
-#    knn_range_search, emb_quantize_int8, window_range_trailing_hour,
-#    ts_counter_increase, ts_ohlc_hourly, …).
+# Layout of ``DRIVER_ORDER`` (round 10: staleness rotation per VERDICT r9
+# order #3 — reds first, new first-time hashes, then the ENTIRE
+# r06-latest block, then as many displaced anchors as fit) — 50 slots:
+# 1. The two r9 RED rows (ch_dialect_array_split, ch_dialect_assoc2) —
+#    output-shape fix (raw ARRAY result columns serialized per repo
+#    convention); must re-hash green this round.
+# 2. The round-10 additions (first-time hashes).
+# 3. The 41 queries whose latest green is r06 (3 rounds old — skipping
+#    any of them would breach the max-hash-age ≤ 3 bar at r11).
+# 4. Remaining slots: the displaced r07 anchors in the r9-verdict order
+#    (tpch_q9_profit, window_sessionize, agg_grouping_sets,
+#    etl_parse_project, dedup_minhash_lsh, knn_cosine_topk,
+#    ch_dialect_hourly_stats, mm_binary_meta).  Anchors left out are
+#    r07-latest (age 3 at r10 — inside the bar) and lead the r11
+#    rotation together with the 48-query r07-latest block.
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
-    # --- round-9 additions (first-time hashes) ---
-    "ch_dialect_checksums",
-    "ch_dialect_stem",
-    "text_bigram_lm_score",
-    "corpus_lang_drift",
-    "pipeline_train_val_split",
-    "pipeline_chunk_windows",
-    "knn_ivf_recall",
-    "corpus_datasheet",
-    "corpus_zipf_stats",
-    "text_pagerank_keywords",
-    "pipeline_bpe_train_merges",
-    "dedup_embedding_srp",
-    "ch_dialect_tuple_arith",
-    "ch_dialect_siphash_keyed",
-    "ch_dialect_decay_window",
+    # --- the two r9 red rows, fixed (array columns now serialized) ---
     "ch_dialect_array_split",
     "ch_dialect_assoc2",
-    "ch_dialect_auc",
-    "ch_dialect_pip",
-    "ch_dialect_idna",
-    "ch_dialect_ngram",
-    # --- the r05-latest tail (oldest hashes in the registry) ---
-    "window_tumbling_1h",
-    "etl_default_on_error",
-    "etl_datetime_layouts",
-    "etl_null_reject",
-    "etl_dedup_offsets",
-    "etl_schema_infer_keys",
-    "series_latest_per_key",
-    "series_labels_json",
-    "dedup_exact_docs",
-    "text_quality",
-    "agg_rollup",
-    "etl_map_explode",
-    "asof_join_events",
-    "etl_csv_parse",
-    "tpch_q18_having",
-    "window_session_agg",
-    "range_join_recent_events",
-    "funnel_window_3step",
-    "agg_salted_user_stats",
-    "knn_kmeans_assign",
-    "mm_bmp_decode_real",
-    "mm_wav_features_real",
-    "quality_gopher_rules",
-    "dedup_passage_ccnet",
-    "knn_pq_topk",
-    "seq_match_funnel",
-    "cohort_weekly_retention",
-    "text_langid_trigram",
-    # --- per-family anchor (1 of the original 9 — the other 8 were
-    # displaced by the 21 r9 additions; see layout note #4) ---
-    "tpch_q1_pricing",
+    # --- round-10 additions (first-time hashes) ---
+    # (inserted here as they land)
+    # --- the r06-latest block (oldest hashes in the registry) ---
+    "ts_ohlc_hourly",
+    "ts_counter_increase",
+    "window_range_trailing_hour",
+    "emb_quantize_int8",
+    "knn_range_search",
+    "dedup_incremental_minhash",
+    "pipeline_split_assign",
+    "pipeline_chunk_documents",
+    "dedup_components_star",
+    "knn_ivf_trained",
+    "asof_join_tolerance",
+    "tpch_q4_semijoin",
+    "tpch_q12_case_agg",
+    "window_moving_avg",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers",
+    "tpch_q2_top_supplier_region",
+    "window_cumulative_revenue",
+    "window_lag_delta",
+    "agg_cube_orders",
+    "agg_pivot_status",
+    "funnel_signup_purchase",
+    "retention_next_day",
+    "agg_percentile_qty",
+    "dedup_semantic_clusters",
+    "tpch_q11_important_stock",
+    "tpch_q20_top_shippers",
+    "tpch_q21_last_shipper",
+    "ch_dialect_final",
+    "ch_dialect_window_funnel",
+    "ch_dialect_funnel_strict",
+    "ch_dialect_retention",
+    "ch_dialect_sequence_match",
+    # --- displaced r07 anchors, in verdict order, filling to 50 ---
+    "tpch_q9_profit",
+    "window_sessionize",
+    "agg_grouping_sets",
+    "etl_parse_project",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "ch_dialect_hourly_stats",
 ]
 
 DRIVER_WINDOW = 50

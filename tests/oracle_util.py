@@ -26,16 +26,66 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return v
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return tuple(_norm(x) for x in v)
     return v
 
 
+def scalar_schema_violations(spark_df) -> list:
+    """Names of result columns the DRIVER's canonicalizer cannot handle.
+
+    The driver sorts the result frame with pandas ``sort_values``, which
+    raises ``TypeError: unhashable type`` on list/dict cells — so any
+    ARRAY/MAP/STRUCT column in an oracle-paired query's final schema is a
+    guaranteed red row (this is exactly how ``ch_dialect_array_split`` /
+    ``ch_dialect_assoc2`` shipped red in r9 while the old tuple-norming
+    local mirror passed them).  Serialize arrays with
+    ``arrayStringConcat`` / ``array_to_string`` in the final SELECT
+    instead (repo convention)."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
+def _complex_cells(df) -> list:
+    """Columns of a pandas frame holding unhashable cells (lists, dicts,
+    ndarrays) — what pandas ``sort_values`` would throw on driver-side."""
+    bad = []
+    for c in df.columns:
+        for v in df[c].head(50):
+            if isinstance(v, (list, dict, set)) or type(v).__name__ == "ndarray":
+                bad.append(c)
+                break
+    return bad
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 0.0):
-    """Returns (ok, message).  Column-name-sorted, order-insensitive."""
+    """Returns (ok, message).  Column-name-sorted, order-insensitive.
+
+    Driver-faithful: complex-typed (ARRAY/MAP/STRUCT) result columns are
+    REJECTED on both sides rather than normalized — the driver's pandas
+    ``sort_values`` canonicalizer cannot sort them, so a query that
+    returns one is broken under the hard gate even when its values are
+    correct."""
+    bad = scalar_schema_violations(spark_df)
+    if bad:
+        return False, (
+            f"driver-incompatible complex-typed Spark result columns {bad}: "
+            "the driver canonicalizer (pandas sort_values) throws on "
+            "list cells — serialize with arrayStringConcat(...) in the "
+            "final SELECT"
+        )
     sdf = spark_df.toPandas()
     con = duck_con(sf_dir)
     odf = con.sql(oracle_sql).df()
+    bad = _complex_cells(odf)
+    if bad:
+        return False, (
+            f"driver-incompatible complex-typed ORACLE result columns {bad}: "
+            "serialize with array_to_string(...) in the oracle's final SELECT"
+        )
     s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
     if s_cols != o_cols:
         return False, f"columns differ: spark={s_cols} oracle={o_cols}"

@@ -1656,6 +1656,27 @@ def test_bit_functions_and_position_start(spark):
     assert r["p"] == 2 and r["p3"] == 5  # 1-based; start=3 skips first hit
 
 
+def test_position_is_case_sensitive(spark):
+    """CH's 2-arg position() is case-SENSITIVE; the r9 instr rewrite was
+    re-rewriting position's emitted instr() into the case-INSENSITIVE
+    locate(lower, lower) form (ADVICE r9 high).  position('Hello',
+    'hello') must be 0; instr (= positionCaseInsensitive alias) must
+    still be 1; positionUTF8 stays case-sensitive too."""
+    from clickhouse_sinker_spark.functions.chdialect import translate_ch_sql
+
+    got, _ = translate_ch_sql(
+        "SELECT position('Hello', 'hello') AS p, "
+        "positionUTF8('Hello', 'hello') AS pu, "
+        "position('Hello', 'llo') AS ps, "
+        "instr('Hello', 'hello') AS ci"
+    )
+    assert "lower(lower(" not in got
+    r = spark.sql(got).first()
+    assert r["p"] == 0 and r["pu"] == 0
+    assert r["ps"] == 3
+    assert r["ci"] == 1
+
+
 def test_escaped_quote_literals_do_not_blind_scanners(spark):
     r"""A \'-escaped quote inside an earlier literal must not flip the
     string-aware scanners' state (review r6 batch 3): the re-escape pass

@@ -9,7 +9,7 @@ import pytest
 from clickhouse_sinker_spark.plans.queries import ORACLES, QUERIES
 
 from .conftest import SF_DIR
-from .oracle_util import compare
+from .oracle_util import compare, scalar_schema_violations
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -17,6 +17,35 @@ def test_oracle_match(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     ok, msg = compare(df, ORACLES[name], SF_DIR)
     assert ok, f"{name}: {msg}"
+
+
+def test_lint_rejects_complex_spark_result_columns(spark):
+    """An oracle-paired query returning a raw ARRAY column must be caught
+    locally — the driver canonicalizer would red it (r9 regression class:
+    ch_dialect_array_split / ch_dialect_assoc2)."""
+    df = spark.sql("SELECT array(1, 2, 3) AS a, 1 AS b")
+    ok, msg = compare(df, "SELECT [1, 2, 3] AS a, 1 AS b", SF_DIR)
+    assert not ok and "complex-typed" in msg
+
+
+def test_lint_rejects_complex_oracle_result_columns(spark):
+    """Same guard on the DuckDB side: scalar Spark schema but list-typed
+    oracle cells must also fail loudly."""
+    df = spark.sql("SELECT '1,2,3' AS a")
+    ok, msg = compare(df, "SELECT [1, 2, 3] AS a", SF_DIR)
+    assert not ok and "complex-typed" in msg
+
+
+def test_registry_lint_all_oracle_schemas_scalar(spark):
+    """Registry-wide lint: no oracle-paired query may reach DRIVER_ORDER
+    with an ARRAY/MAP/STRUCT column in its final schema (analysis-only,
+    no execution)."""
+    bad = {}
+    for name in sorted(ORACLES):
+        cols = scalar_schema_violations(QUERIES[name](spark, SF_DIR))
+        if cols:
+            bad[name] = cols
+    assert not bad, f"complex-typed final schemas: {bad}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
