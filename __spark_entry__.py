@@ -23,13 +23,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER, layout
-    # comment there): a fixed prefix — the 21 round-9 additions receiving
-    # their first driver hash (checksum/xxh3, stem, bigram-LM scoring,
-    # lang drift, train/val split, chunk windows, IVF recall, the closed
-    # refusal tail), then the 28 r05-latest stale queries the r8 verdict
-    # ordered rotated in, then the per-family anchors — followed by every
-    # remaining registered query in source order.  Deterministic; no
-    # runtime state feeds the ordering.
+    # comment there): a fixed prefix — the two r9 red rows re-hashing
+    # their output-shape fix, the 4 round-10 additions receiving their
+    # first driver hash (kolmogorovSmirnovTest, geohashesInBox, LTTB,
+    # sumMapWithOverflow — the r9-verdict refusal-tail orders), then the
+    # ENTIRE 41-query r06-latest block (max-hash-age set), then the
+    # displaced r07 anchors that fit — followed by every remaining
+    # registered query in source order.  Deterministic; no runtime
+    # state feeds the ordering.
     return {n: QUERIES[n] for n in ordered_query_names()}
 
 

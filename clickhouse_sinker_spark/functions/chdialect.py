@@ -137,6 +137,8 @@ Left/Right(to[U]IntN(x)…)    supplies the wrap width)
 sumWithOverflow(to[U]IntN)   exact DECIMAL(38) sum reduced mod 2^bits
 geohashEncode/Decode         Niemeyer's published scheme; decode =
                              cell center (lon, lat) like CH
+geohashesInBox(...)          snap-to-grid cell sweep (lon-outer),
+                             coverage-pinned vs geohashEncode
 JSONType(j[, path])          Arrow UDF: simdjson-style type names
 JSONExtractArrayRaw(j[, p])  Arrow UDF: raw JSON element slices
 JSONExtractKeysAndValues     from_json(map<string,string>) + per-entry
@@ -150,6 +152,10 @@ nonNegativeDerivative        window fn → clamped LAG rate over the
  (m, t[, INTERVAL]) OVER w   captured window spec
 mannWhitneyUTest[(p)](v, i)  two-sided tie/continuity-corrected U + p
                              (one Arrow UDF per group; one-sided refuses)
+kolmogorovSmirnovTest        ('two-sided','asymp') D + Kolmogorov-series
+ (alt, method)(v, i)         p; 'exact'/'auto'/one-sided refuse
+largestTriangleThreeBuckets  Steinarsson-2013 reference bucket rule,
+ /lttb(n)(x, y)              (x,y)-sorted fold → array of tuples
 meanZTest(σx²,σy²,cl)(v, i)  known-variance z, p via erfc, CI via
                              bisection-exact normal quantile
 proportionsZTest(sx,sy,      two-proportion z (pooled/unpooled), pure
@@ -432,6 +438,8 @@ entropy(x)                   -Σ p·log2 p over SORTED distinct values —
 topKWeighted(N)(x, w)        exact: ranked by per-value weight sums,
                              ties by value asc (like topK)
 sumMapFiltered([ks])(k, v)   per-row map_filter before the sumMap fold
+sumMapWithOverflow(k, v)     sumMap fold, values wrapped mod 2^bits
+                             (width from the to[U]IntN spelling)
 mapPopulateSeries(k, v[, m]) sequence(min, max) fill, absent keys → 0;
                              keys widened to BIGINT (noted)
 replaceRegexpOne(s, p, r)    first-match regexp_instr/extract splice;
@@ -986,7 +994,9 @@ _UNSUPPORTED = {
     "kostikConsistentHash",  # Yandex sumbur algorithm: no public pinnable
                              # reference implementation in this environment
     "wyHash64",
-    "sumMapFilteredWithOverflow",
+    "sumMapFilteredWithOverflow",  # (sumMapWithOverflow translates; the
+                             # filtered+overflow composition stays
+                             # refused pending a width-visible use case)
     "groupBitmapAnd",        # bitmap-state aggregates
     "groupBitmapOr",
     "groupBitmapXor",
@@ -1003,10 +1013,7 @@ _UNSUPPORTED = {
     "subtractTupleOfIntervals",
     "groupArrayLast",        # insertion-order-dependent aggregates
     "groupArraySample",      # nondeterministic sampling
-    "largestTriangleThreeBuckets",  # LTTB bucket boundaries are
-                             # implementation-defined
     "arrayRandomSample",     # nondeterministic
-    "kolmogorovSmirnovTest",
     "lowCardinalityKeys",    # engine introspection
     "lowCardinalityIndices",
     "toIntervalNanosecond",  # Spark intervals are microsecond-resolution
@@ -1035,14 +1042,10 @@ _UNSUPPORTED = {
     "toUInt256OrZero",
     "toColumnTypeName",      # engine introspection
     "aggThrow",              # CH test-only aggregate
-    "sumMapWithOverflow",    # width-wrapped map sums: the plain sumMap
-                             # translation has no overflow to model
     "formatRow",             # the CH output-format zoo — use concat_ws
     "formatRowNoNewline",    # or to_json for the common shapes
     "sqidEncode",            # Sqids: no local verifier for the
     "sqidDecode",            # shuffled-alphabet algorithm
-    "geohashesInBox",        # cell-enumeration algorithm (the scalar
-                             # geohashEncode/Decode DO translate)
     "firstSignificantSubdomainCustom",      # needs a custom TLD list
     "cutToFirstSignificantSubdomainCustom", # loaded server-side in CH
     "hammingDistance",       # ambiguous alias: use byteHammingDistance
@@ -2285,6 +2288,71 @@ def _mann_whitney_pass(sql: str) -> str:
         sql = sql[:at] + expr + sql[endall:]
 
 
+def _ks_test_pass(sql: str) -> str:
+    """``kolmogorovSmirnovTest['two-sided'[, 'asymp']](sample_data,
+    sample_index)`` → (d_statistic, p_value) (r10; previously refused).
+    The two-sided D statistic is a deterministic sorted merge fold —
+    sup_x |ECDF₀ − ECDF₁| evaluated per tie group — and the asymptotic
+    p-value is the published Kolmogorov series
+    2·Σ(−1)^{k−1}e^{−2k²λ²}, λ = D·√(n₀n₁/(n₀+n₁)) (the scipy
+    ks_2samp(mode='asymp') convention CH's stateless tests compare
+    against — the same residual convention surface as
+    mannWhitneyUTest, stated because no local CH instance can pin it).
+    'greater'/'less' REFUSE (one-sided orientation unpinnable, as MWU);
+    'exact'/'auto' REFUSE — CH's exact method is a recursive
+    lattice-path count whose tie handling cannot be verified locally,
+    and 'auto' silently switches to it below 10k rows.  One
+    collect_list fold per group (grouped-stats contract)."""
+    while True:
+        at = _find_call(sql, "kolmogorovSmirnovTest")
+        if at < 0:
+            return sql
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if rest.startswith("("):
+            open2 = end1 + (len(sql[end1:]) - len(rest))
+            end2 = _balanced(sql, open2)
+            params = _split_args(sql[open1 + 1 : end1 - 1])
+            args = _split_args(sql[open2 + 1 : end2 - 1])
+            endall = end2
+        else:
+            params, args, endall = [], _split_args(sql[open1 + 1 : end1 - 1]), end1
+        if not params:
+            raise ChTranslationError(
+                "kolmogorovSmirnovTest without parameters defaults to"
+                " computation_method 'auto', which switches to CH's exact"
+                " lattice-path recursion below 10k rows — not locally"
+                " pinnable; spell kolmogorovSmirnovTest('two-sided',"
+                " 'asymp')(sample_data, sample_index) explicitly")
+        alt = params[0].strip().strip("'")
+        if alt != "two-sided":
+            raise ChTranslationError(
+                "kolmogorovSmirnovTest alternative 'two-sided' only — the"
+                " one-sided D⁺/D⁻ orientation convention has no locally"
+                " verifiable pin (see docstring; same surface as"
+                " mannWhitneyUTest)")
+        method = (params[1].strip().strip("'")
+                  if len(params) > 1 else "auto")
+        if method not in ("asymp", "asymptotic"):
+            raise ChTranslationError(
+                f"kolmogorovSmirnovTest computation_method {method!r} is"
+                " not translatable: 'exact' is CH's recursive"
+                " lattice-path count (tie convention unpinnable without"
+                " a live server) and 'auto' silently selects it below"
+                " 10k rows; use 'asymp'")
+        if len(args) != 2:
+            raise ChTranslationError(
+                "kolmogorovSmirnovTest takes (sample_data, sample_index)")
+        v, i = args
+        pairs = (
+            f"collect_list(CASE WHEN ({v}) IS NOT NULL"
+            f" AND ({i}) IS NOT NULL THEN named_struct("
+            f"'v', CAST({v} AS DOUBLE), 'i', CAST({i} AS BIGINT)) END)"
+        )
+        sql = sql[:at] + f"ch_ks_test({pairs})" + sql[endall:]
+
+
 def _mean_z_test(param: str, a: list[str]) -> str:
     """``meanZTest(σx², σy², confidence)(sample_data, sample_index)`` →
     (z, p, ci_low, ci_high): two-sample z with KNOWN population
@@ -2960,6 +3028,12 @@ def _translate_functions(sql: str) -> str:
         sql, "sumWithOverflow",
         _width_gated_fn("sumWithOverflow", 1, _sum_overflow),
     )
+    # sumMapWithOverflow (r10, previously refused): the sumMap fold
+    # composed with the modular width-wrap above.  RAW args (like
+    # sumWithOverflow) — the recursive arg translation would erase the
+    # to[U]IntN width spellings the gate reads; later passes translate
+    # the embedded spellings in the emitted fold.
+    sql = _rewrite_calls_raw(sql, "sumMapWithOverflow", _sum_map_overflow)
     # geohash — Niemeyer's published scheme; decode returns the CELL
     # CENTER (longitude, latitude) like CH
     sql = _rewrite_calls(
@@ -2973,6 +3047,17 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(
         sql, "geohashDecode",
         lambda a: f"ch_geohash_decode({a[0]})",
+    )
+    sql = _rewrite_calls(
+        sql, "geohashesInBox",
+        lambda a: (
+            f"ch_geohashes_in_box(CAST({a[0]} AS DOUBLE),"
+            f" CAST({a[1]} AS DOUBLE), CAST({a[2]} AS DOUBLE),"
+            f" CAST({a[3]} AS DOUBLE), {a[4]})"
+            if len(a) == 5
+            else _refuse(
+                "geohashesInBox(longitude_min, latitude_min,"
+                " longitude_max, latitude_max, precision)")),
     )
     sql = _rewrite_calls_raw(
         sql, "bitRotateLeft",
@@ -3089,6 +3174,25 @@ def _translate_functions(sql: str) -> str:
     sql = _rewrite_calls(sql, "welchTTest", _ttest_fn("welchTTest"))
     sql = _rewrite_calls(sql, "studentTTest", _ttest_fn("studentTTest"))
     sql = _mann_whitney_pass(sql)
+    sql = _ks_test_pass(sql)
+    # largestTriangleThreeBuckets/lttb (r10, previously refused):
+    # Steinarsson 2013's published reference bucket rule (floor
+    # boundaries, next-bucket mean, strict > so the earliest maximal
+    # candidate wins), sorted by (x, y) for deterministic ties — one
+    # collect_list fold per group (grouped-stats contract)
+    for _ln in ("largestTriangleThreeBuckets", "lttb"):
+        sql = _rewrite_parametric(
+            sql, _ln,
+            lambda p, a, n=_ln: (
+                f"ch_lttb(collect_list(CASE WHEN ({a[0]}) IS NOT NULL"
+                f" AND ({a[1]}) IS NOT NULL THEN named_struct("
+                f"'x', CAST({a[0]} AS DOUBLE),"
+                f" 'y', CAST({a[1]} AS DOUBLE)) END), {p})"
+                if len(a) == 2 and re.fullmatch(r"\d+", p.strip())
+                else _refuse(
+                    f"{n}(n_buckets)(x, y) with a literal integer"
+                    " bucket count")),
+        )
     sql = _rewrite_parametric(sql, "meanZTest", _mean_z_test)
     # analysisOfVariance(value, group): one-way ANOVA — moments + exact
     # incomplete-beta p in ONE Arrow UDF over the group's pair array
@@ -5913,7 +6017,8 @@ def _rename_calls(sql: str, name: str, new: str) -> str:
 # one of these, the value is an array and Spark needs size(), not length()
 _ARRAY_PRODUCERS = re.compile(
     r"^\s*(split|collect_list|collect_set|array|sequence|slice|array_distinct|"
-    r"array_sort|sort_array|transform|filter|flatten|explode)\s*\(",
+    r"array_sort|sort_array|transform|filter|flatten|explode|"
+    r"ch_geohashes_in_box|geohashesInBox)\s*\(",
 )
 
 
@@ -6758,6 +6863,84 @@ def _agg_map(a: list[str], combine: str, name: str) -> str:
             lambda ent: (
                 f"named_struct('keys', transform({ent}, __e -> __e.key), "
                 f"'values', transform({ent}, __e -> __e.value))"
+            ),
+        ),
+    )
+
+
+def _sum_map_overflow(a: list[str]) -> str:
+    """``sumMapWithOverflow(keys, values)`` (r10, previously refused):
+    the sumMap map_zip_with fold with the ARGUMENT's value width KEPT
+    and wrapped — sumWithOverflow's modular DECIMAL(38) machinery
+    composed into the per-key combine.  Width comes from the to[U]IntN
+    spelling inside the values argument (the SQL text cannot see column
+    types — the same gate sumWithOverflow uses); every per-row value is
+    pre-wrapped so single-row groups wrap too, and every combine
+    re-reduces mod 2^bits, keeping magnitudes inside DECIMAL(38) at
+    every step (mod is a ring homomorphism, so stepwise ≡ final-sum
+    wrapping).  Unsigned renders DECIMAL(20,0), signed re-centers to
+    BIGINT — as sumWithOverflow."""
+    if len(a) != 2:
+        raise ChTranslationError(
+            "sumMapWithOverflow takes (keys_array, values_array) — the"
+            " single-map form has no visible value width")
+    m_arr = re.match(r"^\s*array\s*\(", a[1])
+    if m_arr:
+        open_idx = a[1].index("(")
+        elems = _split_args(a[1][open_idx + 1 : _balanced(a[1], open_idx) - 1])
+    else:
+        elems = [a[1]]
+    widths = set()
+    for el in elems:
+        m = re.match(_WIDTH_RE, el.strip())
+        if m is None:
+            widths.add(None)
+        else:
+            widths.add((m.group(1) or "", m.group(2)))
+    if len(widths) != 1 or None in widths:
+        raise ChTranslationError(
+            "sumMapWithOverflow needs the values width visible in the"
+            " SQL text: each value element's OUTERMOST wrapper must be"
+            " the same to[U]IntN(...) (the sumWithOverflow gate)")
+    ((u, bits_s),) = widths
+    bits = int(bits_s)
+    modulus = 1 << bits
+    if u:
+        def wrap(x: str) -> str:
+            return f"pmod({x}, {modulus})"
+
+        def out(x: str) -> str:
+            return f"CAST({x} AS DECIMAL(20, 0))"
+    else:
+        half = 1 << (bits - 1)
+
+        def wrap(x: str) -> str:
+            return f"(pmod(({x}) + {half}, {modulus}) - {half})"
+
+        def out(x: str) -> str:
+            return f"CAST({x} AS BIGINT)"
+    row = (
+        f"map_from_arrays({a[0]}, transform({a[1]},"
+        f" __x -> {wrap('CAST(__x AS DECIMAL(38, 0))')}))"
+    )
+    combine = wrap("coalesce(__a, 0) + coalesce(__b, 0)")
+    merged = _bind_arr(
+        f"collect_list({row})",
+        lambda lst: (
+            f"CASE WHEN size({lst}) = 0 THEN NULL "
+            f"ELSE aggregate(slice({lst}, 2, size({lst}) - 1), "
+            f"element_at({lst}, 1), "
+            f"(__acc, __m) -> map_zip_with(__acc, __m, "
+            f"(__k, __a, __b) -> {combine})) END"
+        ),
+    )
+    return _bind_arr(
+        merged,
+        lambda m: _bind_arr(
+            f"sort_array(map_entries({m}))",
+            lambda ent: (
+                f"named_struct('keys', transform({ent}, __e -> __e.key), "
+                f"'values', transform({ent}, __e -> {out('__e.value')}))"
             ),
         ),
     )

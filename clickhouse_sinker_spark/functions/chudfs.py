@@ -1668,6 +1668,60 @@ def _geohash_decode(s: str):
     return {"_1": (lo[0] + lo[1]) / 2, "_2": (la[0] + la[1]) / 2}
 
 
+def _geohashes_in_box(lon_min, lat_min, lon_max, lat_max, precision):
+    """CH ``geohashesInBox`` cell enumeration (reference:
+    src/Functions/GeoHash.cpp geohashesInBoxPrepare/geohashesInBox):
+    clamp the box to the valid coordinate ranges, snap min DOWN and max
+    UP to the precision's cell grid ("align max to the right border ...
+    to ensure that cell is in result"), then emit the geohash of every
+    grid corner in a lon-outer / lat-inner sweep — each corner encodes
+    to exactly its own cell because the lower edge is inclusive in
+    Niemeyer's bisection.  A box whose max touches a cell boundary
+    therefore EXCLUDES the next cell, and an empty/inverted box yields
+    [].  Cell steps 360/2^lon_bits and 180/2^lat_bits are exact binary
+    fractions (360 and 180 have finite mantissas), so the accumulation
+    loop is fp-exact — no drift, no dedup needed.  Convention surfaces
+    that cannot be pinned without a live server (enumeration order,
+    boundary inclusion) are stated here; the cell SET is pinned in
+    pytest against the already-vector-pinned geohashEncode via a dense
+    coverage property."""
+    import math
+
+    precision = max(1, min(12, int(precision)))
+    if (lon_min > lon_max or lat_min > lat_max
+            or any(math.isnan(c) for c in
+                   (lon_min, lat_min, lon_max, lat_max))):
+        return []
+    lon_min = max(-180.0, float(lon_min))
+    lat_min = max(-90.0, float(lat_min))
+    lon_max = min(180.0, float(lon_max))
+    lat_max = min(90.0, float(lat_max))
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2          # longitude leads the interleave
+    lat_bits = bits // 2
+    lon_step = 360.0 / (1 << lon_bits)
+    lat_step = 180.0 / (1 << lat_bits)
+    lon0 = math.floor(lon_min / lon_step) * lon_step
+    lat0 = math.floor(lat_min / lat_step) * lat_step
+    lon1 = math.ceil(lon_max / lon_step) * lon_step
+    lat1 = math.ceil(lat_max / lat_step) * lat_step
+    n_cells = (max(0.0, lon1 - lon0) / lon_step) * (
+        max(0.0, lat1 - lat0) / lat_step)
+    if n_cells > 1_000_000:
+        raise ValueError(
+            f"geohashesInBox would enumerate ~{int(n_cells)} cells "
+            "(> 1e6): raise precision granularity or shrink the box")
+    out = []
+    lon = lon0
+    while lon < lon1:
+        lat = lat0
+        while lat < lat1:
+            out.append(_geohash_encode(lon, lat, precision))
+            lat += lat_step
+        lon += lon_step
+    return out
+
+
 def _extract_host(url: str) -> str:
     """CH ``domain()``-style host extraction: optional scheme, optional
     userinfo, stop at path/query/fragment/port; bare hosts pass through;
@@ -1711,6 +1765,109 @@ def _fss_parts(url: str):
     )
     idx = -3 if valid else -2
     return labels[idx], ".".join(labels[idx:])
+
+
+def _ks_test(pairs):
+    """Two-sample Kolmogorov-Smirnov ('two-sided', 'asymp') over (v, i)
+    pairs — reference parity for CH ``kolmogorovSmirnovTest``
+    (docs/en/sql-reference/aggregate-functions/reference/
+    kolmogorovsmirnovtest.md).  D = sup_x |ECDF₀(x) − ECDF₁(x)|,
+    evaluated once per tie group in a single merged sorted pass (the
+    standard published construction — comparing mid-tie would overstate
+    D).  p via the published asymptotic Kolmogorov series
+    Q(λ) = 2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²} with λ = D·√(n₀n₁/(n₀+n₁))
+    — the scipy ks_2samp(mode='asymp') convention CH's own stateless
+    tests compare against (same precedent as mannWhitneyUTest).  1000
+    series terms: the tail term is ≤ e^{−2k²λ²}, monotone vanishing for
+    any λ the driver data reaches.  Runs per GROUP (the aggregate's
+    pair array crosses Arrow once per group — the same state CH's own
+    AggregateFunctionKolmogorovSmirnov holds)."""
+    from math import exp, sqrt
+
+    if pairs is None:
+        return None
+    vals = sorted((float(p["v"]), int(p["i"])) for p in pairs)
+    n = len(vals)
+    n0 = sum(1 for _, i in vals if i == 0)
+    n1 = n - n0
+    if n0 == 0 or n1 == 0:
+        return {"_1": None, "_2": None}
+    c0 = c1 = 0
+    d = 0.0
+    k = 0
+    while k < n:
+        j = k
+        while j + 1 < n and vals[j + 1][0] == vals[k][0]:
+            j += 1
+        for m in range(k, j + 1):
+            if vals[m][1] == 0:
+                c0 += 1
+            else:
+                c1 += 1
+        d = max(d, abs(c0 / n0 - c1 / n1))
+        k = j + 1
+    lam = d * sqrt(n0 * n1 / (n0 + n1))
+    # below λ=0.02 the 1000-term series has not yet converged, but the
+    # true survival value Q(λ) is 1.0 to full double precision there
+    # (P(K ≤ 0.02) ~ e^{-3000}) — return it exactly
+    if lam < 0.02:
+        return {"_1": d, "_2": 1.0}
+    s = 0.0
+    for t in range(1, 1001):
+        s += (-1.0) ** (t + 1) * exp(-2.0 * t * t * lam * lam)
+    return {"_1": d, "_2": min(1.0, max(0.0, 2.0 * s))}
+
+
+def _lttb(pairs, n_out: int):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    "Downsampling Time Series for Visual Representation", §4.2 — the
+    published reference implementation's exact bucket rule: first and
+    last points kept, floor-based bucket boundaries
+    [⌊i·every⌋+1, ⌊(i+1)·every⌋+1) with every = (n−2)/(n_out−2), the
+    candidate maximizing the triangle area against the PREVIOUSLY
+    SELECTED point and the NEXT bucket's mean, strict ``>`` so the
+    earliest maximal candidate wins).  CH parity surface
+    (largestTriangleThreeBuckets/lttb): CH sorts by x first like this
+    fold; our sort is by (x, y) so tied x is deterministic — stated
+    because aggregation input order is engine-undefined.  n_out ≤ 0 or
+    ≥ n returns all points sorted; n_out 1/2 degenerate forms return
+    the first / first+last points."""
+    from math import floor
+
+    if pairs is None:
+        return None
+    pts = sorted((float(p["x"]), float(p["y"])) for p in pairs)
+    n = len(pts)
+    n_out = int(n_out)
+    if n_out <= 0 or n_out >= n:
+        return [{"_1": x, "_2": y} for x, y in pts]
+    if n_out == 1:
+        return [{"_1": pts[0][0], "_2": pts[0][1]}]
+    if n_out == 2:
+        return [{"_1": pts[0][0], "_2": pts[0][1]},
+                {"_1": pts[-1][0], "_2": pts[-1][1]}]
+    every = (n - 2) / (n_out - 2)
+    out = [pts[0]]
+    for i in range(n_out - 2):
+        avg_start = int(floor((i + 1) * every)) + 1
+        avg_end = min(int(floor((i + 2) * every)) + 1, n)
+        cnt = avg_end - avg_start
+        avg_x = sum(p[0] for p in pts[avg_start:avg_end]) / cnt
+        avg_y = sum(p[1] for p in pts[avg_start:avg_end]) / cnt
+        range_start = int(floor(i * every)) + 1
+        range_end = int(floor((i + 1) * every)) + 1
+        ax, ay = out[-1]
+        max_area = -1.0
+        chosen = pts[range_start]
+        for j in range(range_start, range_end):
+            area = abs((ax - avg_x) * (pts[j][1] - ay)
+                       - (ax - pts[j][0]) * (avg_y - ay)) * 0.5
+            if area > max_area:
+                max_area = area
+                chosen = pts[j]
+        out.append(chosen)
+    out.append(pts[-1])
+    return [{"_1": x, "_2": y} for x, y in out]
 
 
 def _mw_utest(pairs, cc: int):
@@ -2412,6 +2569,15 @@ _UDF_SPECS = {
         ]),
         "string",
     ),
+    "ch_geohashes_in_box": (
+        lambda s1, s2, s3, s4, s5: pd.Series(
+            [None if None in (a, b, c, d, p)
+             else _geohashes_in_box(float(a), float(b), float(c),
+                                    float(d), int(p))
+             for a, b, c, d, p in zip(s1, s2, s3, s4, s5)]
+        ),
+        "array<string>",
+    ),
     "ch_geohash_decode": (
         lambda s: pd.DataFrame(
             [(lambda d: {"_1": None, "_2": None} if d is None else d)(
@@ -2435,6 +2601,21 @@ _UDF_SPECS = {
             [(lambda r: {"_1": None, "_2": None} if r is None else r)(
                 _mw_utest(a, int(b)))
              for a, b in zip(s1, s2)]
+        ),
+        "struct<_1: double, _2: double>",
+    ),
+    "ch_lttb": (
+        lambda s1, s2: pd.Series(
+            [None if a is None else _lttb(a, b)
+             for a, b in zip(s1, s2)]
+        ),
+        "array<struct<_1: double, _2: double>>",
+    ),
+    "ch_ks_test": (
+        lambda s1: pd.DataFrame(
+            [(lambda r: {"_1": None, "_2": None} if r is None else r)(
+                _ks_test(a))
+             for a in s1]
         ),
         "struct<_1: double, _2: double>",
     ),

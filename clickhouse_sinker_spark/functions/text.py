@@ -484,7 +484,8 @@ def chunk_spans(toks: Column | str, chunk: int = 128, overlap: int = 16) -> Colu
     )
 
 
-def bpe_train_merges(df, text_col: str = "text", n_merges: int = 5):
+def bpe_train_merges(df, text_col: str = "text", n_merges: int = 5,
+                     sample_fraction: float | None = None):
     """Learn the top-N byte-pair-encoding merges from a corpus IN-ENGINE
     (Sennrich et al. 2016: repeatedly merge the most frequent adjacent
     token pair) — the tokenizer-training step of an LLM data pipeline,
@@ -505,8 +506,29 @@ def bpe_train_merges(df, text_col: str = "text", n_merges: int = 5):
     argmax collect (control plane, like kmeans_lloyd's seeds).  At
     100 TB the corpus is touched ONCE; iterations run on the vocabulary.
 
+    **BPE at 100 TB trains on a SAMPLE.**  Even with the vocabulary-
+    table optimization above, exact BPE still pays one full-corpus
+    tokenize+shuffle to build that table, and the distinct-word
+    vocabulary of a web-scale corpus (typos, URLs, numbers) itself
+    grows with Heaps' law into the billions — while merge statistics
+    converge after a tiny fraction of the data (this is how practical
+    tokenizers — GPT-2's BPE, SentencePiece — are trained: on corpus
+    samples of a few GB).  Pass ``sample_fraction`` to train on a
+    DETERMINISTIC content-hash Bernoulli sample of the documents
+    (xxhash64(text) bucket < fraction — reproducible across runs and
+    cluster sizes, no RNG): the scan prunes before the tokenize
+    explode, so cost scales with the fraction.  None/1.0 = exact
+    full-corpus training (fine at test scale; deliberate at 100 TB).
+
     Returns a DataFrame (rank, l, r, c) of the merges in order.
     """
+    if sample_fraction is not None and not 0.0 < sample_fraction <= 1.0:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(text_col)), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
     sep = "\x1f"
     words = (
         df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))

@@ -5893,6 +5893,278 @@ def ch_dialect_assoc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, CH_DIALECT_ASSOC2, sf_dir)
 
 
+CH_DIALECT_KSTEST = """
+    SELECT user_id % 3 AS g,
+           round(tupleElement(kolmogorovSmirnovTest('two-sided', 'asymp')
+                 (value, user_id % 2), 1), 6) AS d_stat,
+           round(tupleElement(kolmogorovSmirnovTest('two-sided', 'asymp')
+                 (value, user_id % 2), 2), 6) AS p_val,
+           count(*) AS n
+    FROM events
+    GROUP BY g
+"""
+
+
+@query(
+    "ch_dialect_kstest",
+    """
+    WITH s AS (SELECT user_id % 3 AS g, user_id % 2 AS i,
+                      CAST(value AS DOUBLE) AS v
+               FROM events WHERE value IS NOT NULL),
+    ns AS (SELECT g, sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS n0,
+                  sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS n1
+           FROM s GROUP BY g),
+    r AS (SELECT g, v,
+           sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) OVER
+             (PARTITION BY g ORDER BY v
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+           sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) OVER
+             (PARTITION BY g ORDER BY v
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
+          FROM s),
+    d AS (SELECT r.g AS g,
+                 max(abs(CAST(c0 AS DOUBLE) / n0
+                         - CAST(c1 AS DOUBLE) / n1)) AS dd
+          FROM r JOIN ns USING (g) GROUP BY r.g),
+    l AS (SELECT d.g AS g, dd,
+                 dd * sqrt(CAST(n0 * n1 AS DOUBLE) / (n0 + n1)) AS lam
+          FROM d JOIN ns USING (g)),
+    cnt AS (SELECT user_id % 3 AS g, count(*) AS n FROM events GROUP BY 1)
+    SELECT l.g AS g, round(dd, 6) AS d_stat,
+           round(CASE WHEN lam < 0.02 THEN 1.0 ELSE
+             least(1.0, greatest(0.0, 2 * list_sum(
+               [power(-1.0, k + 1) * exp(-2.0 * k * k * lam * lam)
+                for k in range(1, 1001)])))
+           END, 6) AS p_val,
+           CAST(cnt.n AS BIGINT) AS n
+    FROM l JOIN cnt USING (g)
+    """,
+)
+def ch_dialect_kstest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``kolmogorovSmirnovTest('two-sided', 'asymp')`` (r10 — VERDICT r9
+    order #4, previously refused): two-sample D as a per-tie-group ECDF
+    sup fold and the published asymptotic Kolmogorov-series p (scipy
+    ks_2samp mode='asymp' convention; same residual convention surface
+    as mannWhitneyUTest — stated in ``_ks_test_pass``).  'exact'/'auto'
+    still refuse with the source-cited reason.  The DuckDB oracle
+    re-derives D RELATIONALLY — RANGE-frame cumulative per-sample counts
+    give the post-tie ECDFs, max over rows gives the sup — and the
+    p-series via an unrolled 1000-term list comprehension with the same
+    λ<0.02 full-precision guard; independent of the collect_list fold.
+    Scale: per-group pair array on one executor (grouped-stats contract,
+    as rankCorr/MWU); single grouped shuffle, one ArrowEvalPython."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_KSTEST, sf_dir)
+
+
+CH_DIALECT_SUMMAP_OVERFLOW = """
+    SELECT user_id % 7 AS g,
+           arrayStringConcat(sumMapWithOverflow([event_type],
+               [toInt8(toInt64(floor(ifNull(value, 0))) % 50)]).keys,
+               ',') AS ks,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               sumMapWithOverflow([event_type],
+               [toInt8(toInt64(floor(ifNull(value, 0))) % 50)]).values),
+               ',') AS v8,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               sumMapWithOverflow([event_type],
+               [toUInt16(abs(toInt64(floor(ifNull(value, 0) * 3)))
+                         % 40000)]).values), ',') AS v16,
+           count(*) AS n
+    FROM events
+    GROUP BY g
+"""
+
+
+@query(
+    "ch_dialect_summap_overflow",
+    """
+    WITH b AS (SELECT user_id % 7 AS g, event_type AS k,
+                      CAST(floor(coalesce(value, 0)) AS BIGINT) % 50 AS w8,
+                      abs(CAST(floor(coalesce(value, 0) * 3) AS BIGINT))
+                          % 40000 AS w16
+               FROM events),
+    m AS (SELECT g, k,
+                 ((sum(w8) + 128) % 256 + 256) % 256 - 128 AS s8,
+                 (sum(w16) % 65536 + 65536) % 65536 AS s16
+          FROM b GROUP BY g, k),
+    cnt AS (SELECT user_id % 7 AS g, count(*) AS n FROM events GROUP BY 1)
+    SELECT m.g AS g,
+           string_agg(m.k, ',' ORDER BY m.k) AS ks,
+           string_agg(CAST(m.s8 AS VARCHAR), ',' ORDER BY m.k) AS v8,
+           string_agg(CAST(m.s16 AS VARCHAR), ',' ORDER BY m.k) AS v16,
+           CAST(max(cnt.n) AS BIGINT) AS n
+    FROM m JOIN cnt ON cnt.g = m.g
+    GROUP BY m.g
+    """,
+)
+def ch_dialect_summap_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sumMapWithOverflow`` (r10 — VERDICT r9 stretch order #9,
+    previously refused): the sumMap map_zip_with fold composed with
+    sumWithOverflow's modular width-wrap — values keep the argument's
+    to[U]IntN width and wrap mod 2^bits (signed re-centered), per-row
+    pre-wrap + per-combine re-reduction so every intermediate stays in
+    range (mod is a ring homomorphism).  The DuckDB oracle re-derives
+    the per-(group, key) sums RELATIONALLY from GROUP BY and applies
+    the same modular reduction once at the end — stepwise ≡ final by
+    the same homomorphism, so agreement checks the fold.  Scale: one
+    grouped shuffle, zero Python (pure-JVM higher-order fold)."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_SUMMAP_OVERFLOW, sf_dir)
+
+
+CH_DIALECT_GEO_CELLS = """
+    SELECT n,
+           arrayStringConcat(
+               geohashesInBox(n * 3.5 - 17.5, n * 2.5 - 12.5,
+                              n * 3.5 - 15.7, n * 2.5 - 11.3, 3),
+               ',') AS cells,
+           length(geohashesInBox(n * 3.5 - 17.5, n * 2.5 - 12.5,
+                                 n * 3.5 - 15.7, n * 2.5 - 11.3, 3))
+               AS n_cells,
+           length(geohashesInBox(1.0, 1.0, 0.0, 0.0, 5)) AS inv_empty
+    FROM (SELECT DISTINCT toUInt64(user_id % 10) AS n FROM events)
+    ORDER BY n
+"""
+
+
+@query(
+    "ch_dialect_geo_cells",
+    """
+    WITH g(gn, cells) AS (VALUES
+        (0, '7tg,7tu'),
+        (1, '7wn,7wq,7wp,7wr'),
+        (2, '7y8,7yb,7y9,7yc'),
+        (3, '7z5,7z7,7zh,7zk'),
+        (4, '7zt,7zv,7zw,7zy'),
+        (5, 's00,s01'),
+        (6, 's06,s0d,s07,s0e'),
+        (7, 's0u,s1h,s0v,s1j,s0y,s1n'),
+        (8, 's1r,s1x,s32,s38'),
+        (9, 's3c,s3f,s3g'))
+    SELECT CAST(d.n AS BIGINT) AS n, g.cells,
+           CAST(len(string_split(g.cells, ',')) AS INT) AS n_cells,
+           0 AS inv_empty
+    FROM (SELECT DISTINCT user_id % 10 AS n FROM events) d
+    JOIN g ON g.gn = d.n
+    ORDER BY n
+    """,
+)
+def ch_dialect_geo_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geohashesInBox`` (r10 — VERDICT r9 order #5, previously
+    refused): snap-to-grid Niemeyer cell sweep (min snapped down, max
+    snapped up, lon-outer/lat-inner corner encoding — see
+    ``_geohashes_in_box`` for the stated convention surfaces).  The
+    oracle pins were derived INDEPENDENTLY of the UDF's float sweep:
+    integer cell-index ranges (floor/ceil on index space) encoded
+    per-corner with the already-vector-pinned geohashEncode (the
+    gh-pin precedent of ch_dialect_domains); pytest additionally holds
+    a dense coverage property (cell set == encode set of a 41×41 box
+    sample).  Inverted boxes pin to empty.  Scale: one distinct
+    shuffle; one ArrowEvalPython projection."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_GEO_CELLS, sf_dir)
+
+
+CH_DIALECT_LTTB = """
+    SELECT g,
+           arrayStringConcat(arrayMap(
+               t -> concat(toString(toInt64(tupleElement(t, 1))), ':',
+                           toString(toInt64(tupleElement(t, 2)))),
+               largestTriangleThreeBuckets(4)(x, y)), ',') AS pts,
+           count(*) AS n
+    FROM (SELECT user_id % 5 AS g, toUnixTimestamp(ts) AS x,
+                 floor(ifNull(value, 0) * 100) AS y
+          FROM events WHERE user_id % 7 = 1)
+    GROUP BY g
+"""
+
+
+@query(
+    "ch_dialect_lttb",
+    """
+    WITH s AS (SELECT user_id % 5 AS g,
+                      CAST(floor(epoch(ts)) AS DOUBLE) AS x,
+                      CAST(floor(coalesce(value, 0) * 100) AS DOUBLE) AS y
+               FROM events WHERE user_id % 7 = 1),
+    r AS (SELECT g, x, y,
+                 row_number() OVER (PARTITION BY g ORDER BY x, y) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM s),
+    e AS (SELECT g, n, (n - 2) / 2.0 AS ev
+          FROM (SELECT DISTINCT g, n FROM r)),
+    p0 AS (SELECT g, x AS ax, y AS ay FROM r WHERE rn = 1),
+    a0 AS (SELECT r.g AS g, sum(r.x) / count(*) AS mx,
+                  sum(r.y) / count(*) AS my
+           FROM r JOIN e USING (g)
+           WHERE r.rn >= floor(e.ev) + 2
+             AND r.rn < least(floor(2 * e.ev) + 2, e.n + 1)
+           GROUP BY r.g),
+    c0 AS (SELECT r.g AS g, r.x, r.y, r.rn,
+                  abs((p0.ax - a0.mx) * (r.y - p0.ay)
+                      - (p0.ax - r.x) * (a0.my - p0.ay)) * 0.5 AS area
+           FROM r JOIN e USING (g)
+           JOIN p0 ON p0.g = r.g JOIN a0 ON a0.g = r.g
+           WHERE r.rn >= 2 AND r.rn < floor(e.ev) + 2),
+    s1 AS (SELECT g, x AS bx, y AS byy FROM (
+             SELECT g, x, y, row_number() OVER
+               (PARTITION BY g ORDER BY area DESC, rn ASC) AS k
+             FROM c0) WHERE k = 1),
+    a1 AS (SELECT r.g AS g, sum(r.x) / count(*) AS mx,
+                  sum(r.y) / count(*) AS my
+           FROM r JOIN e USING (g)
+           WHERE r.rn >= floor(2 * e.ev) + 2
+             AND r.rn < least(floor(3 * e.ev) + 2, e.n + 1)
+           GROUP BY r.g),
+    c1 AS (SELECT r.g AS g, r.x, r.y, r.rn,
+                  abs((s1.bx - a1.mx) * (r.y - s1.byy)
+                      - (s1.bx - r.x) * (a1.my - s1.byy)) * 0.5 AS area
+           FROM r JOIN e USING (g)
+           JOIN s1 ON s1.g = r.g JOIN a1 ON a1.g = r.g
+           WHERE r.rn >= floor(e.ev) + 2 AND r.rn < floor(2 * e.ev) + 2),
+    s2 AS (SELECT g, x AS cx, y AS cy FROM (
+             SELECT g, x, y, row_number() OVER
+               (PARTITION BY g ORDER BY area DESC, rn ASC) AS k
+             FROM c1) WHERE k = 1),
+    pn AS (SELECT g, x AS zx, y AS zy FROM r WHERE rn = n)
+    SELECT p0.g AS g,
+           concat_ws(',',
+             CAST(CAST(p0.ax AS BIGINT) AS VARCHAR) || ':' ||
+               CAST(CAST(p0.ay AS BIGINT) AS VARCHAR),
+             CAST(CAST(s1.bx AS BIGINT) AS VARCHAR) || ':' ||
+               CAST(CAST(s1.byy AS BIGINT) AS VARCHAR),
+             CAST(CAST(s2.cx AS BIGINT) AS VARCHAR) || ':' ||
+               CAST(CAST(s2.cy AS BIGINT) AS VARCHAR),
+             CAST(CAST(pn.zx AS BIGINT) AS VARCHAR) || ':' ||
+               CAST(CAST(pn.zy AS BIGINT) AS VARCHAR)) AS pts,
+           CAST(e.n AS BIGINT) AS n
+    FROM p0 JOIN s1 USING (g) JOIN s2 USING (g) JOIN pn USING (g)
+    JOIN e USING (g)
+    """,
+)
+def ch_dialect_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``largestTriangleThreeBuckets(4)(x, y)`` / ``lttb`` (r10 — VERDICT
+    r9 order #6, previously refused): Steinarsson 2013's published
+    reference bucket rule — floor bucket boundaries, candidate vs the
+    NEXT bucket's mean and the PREVIOUSLY selected point, strict > so
+    the earliest maximal candidate wins, first/last points kept —
+    as a (x, y)-sorted collect_list fold (see ``_lttb``).  The DuckDB
+    oracle UNROLLS the n_buckets=4 selection RELATIONALLY (the
+    TextRank/BPE unrolled-oracle pattern): row_number gives the sorted
+    index, each of the two middle selections is an argmax via
+    ORDER BY area DESC, rn ASC over the bucket's rows against the
+    previous CTE's point — independent of the fold.  Integer-valued x
+    (epoch seconds) and y (floor(value·100)) keep every area/mean
+    fp-exact on both sides.  Scale: per-group pair array on one
+    executor (grouped-stats contract); single grouped shuffle."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_LTTB, sf_dir)
+
+
 CH_DIALECT_DECAY_WINDOW = """
     SELECT user_id, eid,
            round(exponentialTimeDecayedSum(604800)(value, tse) OVER
@@ -9219,11 +9491,12 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. The 41 queries whose latest green is r06 (3 rounds old — skipping
 #    any of them would breach the max-hash-age ≤ 3 bar at r11).
 # 4. Remaining slots: the displaced r07 anchors in the r9-verdict order
-#    (tpch_q9_profit, window_sessionize, agg_grouping_sets,
-#    etl_parse_project, dedup_minhash_lsh, knn_cosine_topk,
-#    ch_dialect_hourly_stats, mm_binary_meta).  Anchors left out are
-#    r07-latest (age 3 at r10 — inside the bar) and lead the r11
-#    rotation together with the 48-query r07-latest block.
+#    (tpch_q9_profit, window_sessionize, agg_grouping_sets fit; the
+#    rest — etl_parse_project + dedup_minhash_lsh, both bench-exercised
+#    every round regardless, knn_cosine_topk, ch_dialect_hourly_stats,
+#    mm_binary_meta — were displaced by the 4 r10 additions).  Anchors
+#    left out are r07-latest (age 3 at r10 — inside the bar) and lead
+#    the r11 rotation together with the 48-query r07-latest block.
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -9234,7 +9507,10 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_array_split",
     "ch_dialect_assoc2",
     # --- round-10 additions (first-time hashes) ---
-    # (inserted here as they land)
+    "ch_dialect_kstest",
+    "ch_dialect_geo_cells",
+    "ch_dialect_lttb",
+    "ch_dialect_summap_overflow",
     # --- the r06-latest block (oldest hashes in the registry) ---
     "ts_ohlc_hourly",
     "ts_counter_increase",
@@ -9281,10 +9557,6 @@ DRIVER_ORDER: list[str] = [
     "tpch_q9_profit",
     "window_sessionize",
     "agg_grouping_sets",
-    "etl_parse_project",
-    "dedup_minhash_lsh",
-    "knn_cosine_topk",
-    "ch_dialect_hourly_stats",
 ]
 
 DRIVER_WINDOW = 50

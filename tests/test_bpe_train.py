@@ -41,6 +41,35 @@ def test_bpe_runs_and_tiebreak(spark):
     assert got2 == [("p", "q", 2)]
 
 
+def test_bpe_sample_fraction(spark):
+    """sample_fraction trains on a deterministic content-hash Bernoulli
+    sample: the same fraction selects the same documents on every run
+    (no RNG), 1.0/None is exact full-corpus training, and out-of-range
+    fractions refuse.  The 100 TB practice note lives in the docstring:
+    exact BPE pays a full-corpus tokenize — web-scale training uses a
+    sample."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    docs = [f"w{i} common common" for i in range(40)]
+    df = _corpus(spark, docs)
+    full = [(r["l"], r["r"]) for r in bpe_train_merges(df, "text", 1).collect()]
+    assert full == [("c", "o")]  # 'common' dominates every sample
+    s1 = bpe_train_merges(df, "text", 1, sample_fraction=0.5).collect()
+    s2 = bpe_train_merges(df, "text", 1, sample_fraction=0.5).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]  # deterministic
+    # the sampled count is strictly below the full count (some docs
+    # hashed out) but the dominant merge is unchanged
+    assert s1[0]["l"] == "c" and s1[0]["r"] == "o"
+    # (c,o) appears once per 'common' = 2 per document: 80 in full,
+    # strictly fewer in the 0.5 hash-sample (deterministically so)
+    assert s1[0]["c"] < 80 and s1[0]["c"] % 2 == 0 and s1[0]["c"] > 0
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            bpe_train_merges(df, "text", 1, sample_fraction=bad)
+
+
 def test_bpe_separator_stripped(spark):
     # U+001F inside input words is stripped before wrapping (documented)
     df = _corpus(spark, ["a\x1fb a\x1fb"])

@@ -3591,6 +3591,54 @@ def test_mann_whitney_and_mean_z(spark):
         translate_ch_sql("SELECT mannWhitneyUTest('less')(v, i) FROM t")
 
 
+def test_kolmogorov_smirnov(spark):
+    """kolmogorovSmirnovTest('two-sided','asymp') against analytically
+    derivable cases: disjoint samples (D=1, p = 2Σ(−1)^{k−1}e^{−2k²λ²}
+    at λ=√1.5 — the published Kolmogorov series), a hand-folded tie
+    case (D=0.5), identical samples (D=0, p=1 via the λ<0.02
+    full-precision guard), and the typed refusals for 'exact', bare
+    'auto' default, and one-sided alternatives."""
+    import math
+
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT kolmogorovSmirnovTest('two-sided', 'asymp')(v, i) AS ks"
+        " FROM VALUES (1.0,0),(2.0,0),(3.0,0),(4.0,1),(5.0,1),(6.0,1)"
+        " AS x(v, i)"
+    )
+    r = spark.sql(got).collect()[0]
+    lam = math.sqrt(1.5)
+    p = 2 * sum((-1.0) ** (k + 1) * math.exp(-2 * k * k * lam * lam)
+                for k in range(1, 1001))
+    assert r["ks"]["_1"] == 1.0
+    assert abs(r["ks"]["_2"] - p) < 1e-15
+    # ties: pooled 1(0) 2(0) 2(0) 2(1) 3(0) 3(1) 3(1) 4(1) — per-tie-
+    # group ECDF gaps .25/.5/.25/0 -> D = 0.5
+    got2, _ = translate_ch_sql(
+        "SELECT kolmogorovSmirnovTest('two-sided', 'asymp')(v, i) AS ks"
+        " FROM VALUES (1.0,0),(2.0,0),(2.0,0),(3.0,0),"
+        "(2.0,1),(3.0,1),(3.0,1),(4.0,1) AS x(v, i)"
+    )
+    assert spark.sql(got2).collect()[0]["ks"]["_1"] == 0.5
+    # identical samples: D = 0, p exactly 1 (guard, not the series)
+    got3, _ = translate_ch_sql(
+        "SELECT kolmogorovSmirnovTest('two-sided', 'asymp')(v, i) AS ks"
+        " FROM VALUES (1.0,0),(2.0,0),(1.0,1),(2.0,1) AS x(v, i)"
+    )
+    r3 = spark.sql(got3).collect()[0]
+    assert r3["ks"]["_1"] == 0.0 and r3["ks"]["_2"] == 1.0
+    for bad in (
+        "SELECT kolmogorovSmirnovTest(v, i) FROM t",
+        "SELECT kolmogorovSmirnovTest('two-sided', 'exact')(v, i) FROM t",
+        "SELECT kolmogorovSmirnovTest('two-sided', 'auto')(v, i) FROM t",
+        "SELECT kolmogorovSmirnovTest('greater', 'asymp')(v, i) FROM t",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+
+
 def test_norm_quantile_published_values(spark):
     """Bisection-exact Φ⁻¹ against published normal-table constants."""
     from clickhouse_sinker_spark.functions.chudfs import _norm_quantile
@@ -3730,6 +3778,106 @@ def test_geohash_and_sum_with_overflow(spark):
                 "SELECT geohashEncode(x) FROM t"):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)
+
+
+def test_geohashes_in_box(spark):
+    """geohashesInBox (r10, previously refused): the returned cell SET
+    must equal the set of geohashEncode values over a dense sample of
+    the box (coverage property against the vector-pinned encoder), the
+    grid math is hand-checked (precision 3: 1.40625° cells, box
+    [10,12]×[10,11] spans exactly 2×1 cells in lon-outer order), and the
+    documented edges hold: inverted box → [], degenerate point on a grid
+    corner → [] (max snaps to itself), off-corner point → its 1 cell."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _geohash_encode,
+        _geohashes_in_box,
+        register_ch_udfs,
+    )
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT arrayStringConcat("
+        "geohashesInBox(10.0, 10.0, 12.0, 11.0, 3), ',') AS cells,"
+        " length(geohashesInBox(1.0, 1.0, 0.0, 0.0, 5)) AS inv,"
+        " length(geohashesInBox(0.0, 0.0, 0.0, 0.0, 4)) AS corner,"
+        " arrayStringConcat("
+        "geohashesInBox(24.48, 57.0, 24.48, 57.0, 4), ',') AS pt"
+    )
+    r = spark.sql(got).collect()[0]
+    # hand math: lon cells start 9.84375 (=7×1.40625) and 11.25;
+    # lat cell starts 9.84375 — encode those corners independently
+    assert r["cells"] == ",".join([
+        _geohash_encode(9.84375, 9.84375, 3),
+        _geohash_encode(11.25, 9.84375, 3),
+    ])
+    assert r["inv"] == 0 and r["corner"] == 0
+    assert r["pt"] == _geohash_encode(24.48, 57.0, 4)
+    # coverage property at two precisions
+    for box, p in (((24.48, 57.0, 24.51, 57.02), 4),
+                   ((-5.7, 42.5, -5.5, 42.7), 5)):
+        cells = set(_geohashes_in_box(*box, p))
+        lon0, lat0, lon1, lat1 = box
+        sampled = {
+            _geohash_encode(lon0 + (lon1 - lon0) * i / 40,
+                            lat0 + (lat1 - lat0) * j / 40, p)
+            for i in range(41) for j in range(41)
+        }
+        assert sampled == cells
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT geohashesInBox(1.0, 2.0, 3.0) FROM t")
+
+
+def test_sum_map_with_overflow(spark):
+    """sumMapWithOverflow keeps the ARGUMENT's value width and wraps
+    (the sumWithOverflow machinery composed into the sumMap fold):
+    signed Int8 200 → −56, unsigned UInt8 reinterprets −2 as 254; the
+    width gate refuses when no to[U]IntN spelling is visible."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT arrayStringConcat("
+        "sumMapWithOverflow([k], [toInt8(v)]).keys, ',') AS ks,"
+        " arrayStringConcat(arrayMap(x -> toString(x),"
+        " sumMapWithOverflow([k], [toInt8(v)]).values), ',') AS vs,"
+        " arrayStringConcat(arrayMap(x -> toString(x),"
+        " sumMapWithOverflow([k], [toUInt8(v)]).values), ',') AS vu"
+        " FROM VALUES ('a', 100), ('a', 100), ('b', 1), ('b', -2)"
+        " AS t(k, v)"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["ks"] == "a,b"
+    assert r["vs"] == "-56,-1"   # 200 wraps signed int8; 1 + (-2) = -1
+    assert r["vu"] == "200,255"  # unsigned: 200; 254 + 1
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT sumMapWithOverflow([k], [v]) FROM t")
+
+
+def test_lttb(spark):
+    """largestTriangleThreeBuckets(4)(x, y) against a fully hand-worked
+    Steinarsson example (10 points, every = 4: bucket 1 candidates idx
+    1–4 against the mean of idx 5–8 pick the (2,9) spike — areas 1.5 /
+    25.75 / 2 / 3.75; bucket 2 candidates idx 5–8 against (9,3) pick
+    (5,2) — areas 15.5 / 12.5 / 11.5 / 6.5), the n≥len passthrough, and
+    the literal-bucket-count refusal."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    vals = [0, 1, 9, 1, 1, 2, 2, 8, 2, 3]
+    rows = ",".join(f"({i}.0,{v}.0)" for i, v in enumerate(vals))
+    got, _ = translate_ch_sql(
+        "SELECT largestTriangleThreeBuckets(4)(x, y) AS s,"
+        " lttb(99)(x, y) AS allpts"
+        f" FROM VALUES {rows} AS t(x, y)"
+    )
+    r = spark.sql(got).collect()[0]
+    assert [(p["_1"], p["_2"]) for p in r["s"]] == [
+        (0.0, 0.0), (2.0, 9.0), (5.0, 2.0), (9.0, 3.0)]
+    assert len(r["allpts"]) == 10
+    assert [p["_1"] for p in r["allpts"]] == sorted(
+        p["_1"] for p in r["allpts"])
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT largestTriangleThreeBuckets(n)(x, y) FROM t")
 
 
 def test_signed_width_bit_ops(spark):
