@@ -24,9 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER, layout
     # comment there): a fixed prefix — the two r9 red rows re-hashing
-    # their output-shape fix, the 4 round-10 additions receiving their
+    # their output-shape fix, the 5 round-10 additions receiving their
     # first driver hash (kolmogorovSmirnovTest, geohashesInBox, LTTB,
-    # sumMapWithOverflow — the r9-verdict refusal-tail orders), then the
+    # sumMapWithOverflow — the r9-verdict refusal-tail orders — plus the
+    # CCNet head/middle/tail perplexity-tercile split), then the
     # ENTIRE 41-query r06-latest block (max-hash-age set), then the
     # displaced r07 anchors that fit — followed by every remaining
     # registered query in source order.  Deterministic; no runtime

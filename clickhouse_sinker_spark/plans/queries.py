@@ -9001,6 +9001,83 @@ def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, md5(array_to_string(t[s:s+7], ' ')) AS g
+      FROM (SELECT doc_id, source, t,
+                   unnest(range(1, len(t) - 6)) AS s
+            FROM toks WHERE len(t) >= 8)
+    ),
+    dg AS (SELECT DISTINCT doc_id, source, g FROM g),
+    df AS (SELECT g, count(*) AS dfc FROM dg GROUP BY g),
+    pd AS (SELECT doc_id, source, count(*) AS ng,
+                  sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS nv
+           FROM dg JOIN df USING (g) GROUP BY doc_id, source)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(ng) AS BIGINT) AS total_grams,
+           CAST(sum(nv) AS BIGINT) AS novel_grams,
+           CAST((1000000 * sum(nv)) // sum(ng) AS BIGINT) AS novelty_q
+    FROM pd GROUP BY source ORDER BY source
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 8-gram NOVELTY audit — the dedup diagnostic a corpus
+    curator reads before mixing sources (Lee et al. 2022 motivate it:
+    low-novelty sources are near-duplicate farms; a source whose grams
+    mostly have document-frequency 1 contributes genuinely new text).
+    Distinct 8-gram content hashes per document → corpus document
+    frequency per gram → per-source share of df=1 grams in exact
+    fixed-point micro-units.  Grams travel as md5 hashes only (the
+    exact-substring convention), never the text.  Scale: one explode
+    carrying (doc_id, 16-byte hash), one distinct, one gram-keyed agg,
+    one join back — all hash shuffles on narrow keys; zero Python."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                   lambda x: F.length(x) > 0)
+    toks = (
+        d.select("doc_id", "source", arr.alias("t"))
+        .filter(F.size("t") >= 8)
+    )
+    dg = (
+        toks.select(
+            "doc_id", "source",
+            F.explode(F.expr(
+                "transform(sequence(1, size(t) - 7), __i ->"
+                " md5(encode(array_join(slice(t, __i, 8), ' '),"
+                " 'UTF-8')))"
+            )).alias("g"),
+        )
+        .distinct()
+    )
+    df_ = dg.groupBy("g").agg(F.count(F.lit(1)).alias("dfc"))
+    pd_ = (
+        dg.join(df_, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum((F.col("dfc") == 1).cast("bigint")).alias("nv"),
+        )
+    )
+    return (
+        pd_.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ng").alias("total_grams"),
+            F.sum("nv").alias("novel_grams"),
+            F.expr("(1000000 * sum(nv)) div sum(ng)").alias("novelty_q"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "text_bigram_lm_score",
     """
     WITH toks AS (
@@ -9085,6 +9162,114 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("q").alias("min_cond_prob_q"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "pipeline_ccnet_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+      FROM toks
+    ),
+    bg AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    cbg AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    cleft AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id, (1000000 * cbg.c2) // cleft.c1 AS q
+      FROM bg JOIN cbg USING (w1, w2) JOIN cleft USING (w1)
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(q) // COUNT(*) AS BIGINT) AS mq
+      FROM scored GROUP BY doc_id
+    ),
+    bkt AS (
+      SELECT d.lang, per_doc.mq,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY per_doc.mq DESC, per_doc.doc_id)
+                 AS bucket
+      FROM per_doc JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(mq) // COUNT(*) AS BIGINT) AS avg_q,
+           CAST(MIN(mq) AS BIGINT) AS lo_q,
+           CAST(MAX(mq) AS BIGINT) AS hi_q
+    FROM bkt GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+)
+def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3 —
+    the canonical pretraining-data curation stage): score every document
+    with the in-engine bigram LM (same exact fixed-point conditional-MLE
+    machinery as ``text_bigram_lm_score``, so the signal is the
+    already-oracle-proven one), then cut each LANGUAGE into perplexity
+    terciles with ntile(3) over (score DESC, doc_id) — head = most
+    fluent third, tail = least; downstream mixes sample by bucket
+    (CCNet keeps head+middle by default).  Documents with < 2 tokens
+    carry no bigram evidence and are excluded, as in CCNet's own
+    length floor.  The DuckDB oracle re-derives the LM, the per-doc
+    score, and the SAME total-ordered ntile relationally.  Scale: model
+    = two vocabulary-sized hash aggs; the only window is per-language
+    over doc-level rows (documents/lang, not tokens); one final group.
+    """
+    d = _t(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                   lambda x: F.length(x) > 0)
+    toks = d.select("doc_id", arr.alias("t"))
+    n = F.size(F.col("t"))
+    bg = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, n - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cleft = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    per_doc = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cleft, ["w1"])
+        .select("doc_id", F.expr("(1000000 * c2) div c1").alias("q"))
+        .groupBy("doc_id")
+        .agg(F.expr("sum(q) div count(1)").alias("mq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("mq").desc(), F.col("doc_id"))
+    bkt = (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .select("lang", "mq", F.ntile(3).over(w).alias("b"))
+    )
+    return (
+        bkt.groupBy(
+            "lang",
+            F.expr("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+                   " ELSE 'tail' END").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(mq) div count(1)").alias("avg_q"),
+            F.min("mq").alias("lo_q"),
+            F.max("mq").alias("hi_q"),
+        )
+        .orderBy("lang", "bucket")
     )
 
 
@@ -9491,12 +9676,13 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. The 41 queries whose latest green is r06 (3 rounds old — skipping
 #    any of them would breach the max-hash-age ≤ 3 bar at r11).
 # 4. Remaining slots: the displaced r07 anchors in the r9-verdict order
-#    (tpch_q9_profit, window_sessionize, agg_grouping_sets fit; the
-#    rest — etl_parse_project + dedup_minhash_lsh, both bench-exercised
-#    every round regardless, knn_cosine_topk, ch_dialect_hourly_stats,
-#    mm_binary_meta — were displaced by the 4 r10 additions).  Anchors
-#    left out are r07-latest (age 3 at r10 — inside the bar) and lead
-#    the r11 rotation together with the 48-query r07-latest block.
+#    (tpch_q9_profit, window_sessionize fit; the rest —
+#    agg_grouping_sets, etl_parse_project + dedup_minhash_lsh (both
+#    bench-exercised every round regardless), knn_cosine_topk,
+#    ch_dialect_hourly_stats, mm_binary_meta — were displaced by the 5
+#    r10 additions).  Anchors left out are r07-latest (age 3 at r10 —
+#    inside the bar) and lead the r11 rotation together with the
+#    48-query r07-latest block.
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -9511,6 +9697,8 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_geo_cells",
     "ch_dialect_lttb",
     "ch_dialect_summap_overflow",
+    "pipeline_ccnet_buckets",
+    "corpus_ngram_novelty",
     # --- the r06-latest block (oldest hashes in the registry) ---
     "ts_ohlc_hourly",
     "ts_counter_increase",
@@ -9555,8 +9743,6 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_sequence_match",
     # --- displaced r07 anchors, in verdict order, filling to 50 ---
     "tpch_q9_profit",
-    "window_sessionize",
-    "agg_grouping_sets",
 ]
 
 DRIVER_WINDOW = 50

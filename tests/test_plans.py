@@ -659,6 +659,32 @@ def test_r9_dialect_plan_shapes(spark):
     assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
 
 
+def test_r10_dialect_plan_shapes(spark):
+    """r10 additions hold their scale shapes: sumMapWithOverflow is a
+    pure-JVM higher-order fold (ZERO Python); the KS test and LTTB ride
+    exactly ONE Arrow batch over per-group pair arrays; geohashesInBox
+    is one Arrow projection over the 10-row distinct; the CCNet bucket
+    split carries no Python at all (LM + ntile are all JVM).  Nothing
+    falls back to BatchEvalPython or a cartesian product."""
+    jvm_only = {
+        "ch_dialect_summap_overflow": 2,   # grouped agg + implicit sort
+        "pipeline_ccnet_buckets": 8,       # LM joins + window + final agg
+    }
+    one_arrow = {
+        "ch_dialect_kstest": 3,            # grouped agg + count join
+        "ch_dialect_lttb": 2,              # grouped agg (+ sort)
+        "ch_dialect_geo_cells": 2,         # distinct + order
+    }
+    for name, max_exch in {**jvm_only, **one_arrow}.items():
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("+- Exchange") <= max_exch, (
+            name, plan.count("+- Exchange"))
+        expected_arrow = 1 if name in one_arrow else 0
+        assert plan.count("+- ArrowEvalPython") == expected_arrow, name
+
+
 def test_crc_single_arrow_pass(spark):
     """ch_dialect_checksums: CRC32IEEE + CRC64 + both xxh3 forms +
     native crc32 must ride ONE ArrowEvalPython batch over the 10-group
