@@ -9078,6 +9078,114 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> length(x) > 0),
+               x -> lower(x)) AS t
+      FROM documents
+    ),
+    q(term) AS (VALUES ('the'), ('data'), ('model')),
+    tf AS (
+      SELECT toks.doc_id, q.term,
+             len(list_filter(toks.t, x -> x = q.term)) AS tf,
+             len(toks.t) AS dl
+      FROM toks CROSS JOIN q
+    ),
+    stats AS (SELECT count(DISTINCT doc_id) AS n,
+                     CAST(sum(dl) AS BIGINT) AS tt
+              FROM (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY doc_id)),
+    df AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+           FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             CASE WHEN tf.tf = 0 THEN 0 ELSE
+               (22 * ((1000000 * stats.n) // (df.df + 1)) * tf.tf
+                * stats.tt)
+               // (10 * stats.tt * tf.tf + 3 * stats.tt
+                   + 9 * tf.dl * stats.n)
+             END AS c,
+             tf.dl
+      FROM tf JOIN df USING (term) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_q,
+             CAST(max(dl) AS BIGINT) AS dl
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score_q, dl
+    FROM (SELECT doc_id, score_q, dl,
+                 row_number() OVER (ORDER BY score_q DESC, doc_id) AS rk
+          FROM scored WHERE score_q > 0)
+    WHERE rk <= 10 ORDER BY rk
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 retrieval scoring (Robertson & Walker's Okapi
+    weighting, k1 = 1.2, b = 0.75 — the Lucene defaults) — the ranking
+    primitive behind retrieval-based curation and query-driven
+    decontamination audits.  All arithmetic is EXACT integers: the
+    k1/b rationals clear through ×10·T (contribution =
+    22·idf_q·tf·T div (10·T·tf + 3·T + 9·dl·N), avgdl = T/N cleared),
+    and the IDF is the repo's integer-quantized form
+    (10^6·N div (df+1), the text_tfidf_top_terms convention) — so the
+    DuckDB oracle re-deriving the same formula relationally is
+    bit-identical with zero float-parity surface.  Top-10 by
+    (score DESC, doc_id) via one window.  Scale: tf is a zero-shuffle
+    per-doc map (terms are a 3-row broadcast), df/N/T are tiny
+    aggregates, the only data-sized shuffle is the final top-k sort —
+    replaced by TakeOrdered in the physical plan.  Zero Python."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                 lambda x: F.length(x) > 0),
+        lambda x: F.lower(x),
+    )
+    toks = d.select("doc_id", arr.alias("t"))
+    terms = spark.createDataFrame([("the",), ("data",), ("model",)],
+                                  "term string")
+    tf = toks.crossJoin(F.broadcast(terms)).select(
+        "doc_id", "term",
+        F.size(F.expr("filter(t, x -> x = term)")).alias("tf"),
+        F.size("t").alias("dl"),
+    )
+    per_doc = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("tt"),
+    )
+    df_ = tf.groupBy("term").agg(
+        F.sum((F.col("tf") > 0).cast("bigint")).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "dl",
+            F.expr(
+                "CASE WHEN tf = 0 THEN 0 ELSE"
+                " (22 * ((1000000 * n) div (df + 1)) * tf * tt)"
+                " div (10 * tt * tf + 3 * tt + 9 * dl * n) END"
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("score_q"),
+        F.max("dl").cast("bigint").alias("dl"))
+    w = Window.orderBy(F.col("score_q").desc(), F.col("doc_id"))
+    return (
+        scored.filter(F.col("score_q") > 0)
+        .select("doc_id", "score_q", "dl",
+                F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "score_q", "dl")
+        .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+    )
+
+
+@query(
     "text_bigram_lm_score",
     """
     WITH toks AS (
@@ -9675,14 +9783,14 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. The round-10 additions (first-time hashes).
 # 3. The 41 queries whose latest green is r06 (3 rounds old — skipping
 #    any of them would breach the max-hash-age ≤ 3 bar at r11).
-# 4. Remaining slots: the displaced r07 anchors in the r9-verdict order
-#    (tpch_q9_profit, window_sessionize fit; the rest —
-#    agg_grouping_sets, etl_parse_project + dedup_minhash_lsh (both
-#    bench-exercised every round regardless), knn_cosine_topk,
-#    ch_dialect_hourly_stats, mm_binary_meta — were displaced by the 5
-#    r10 additions).  Anchors left out are r07-latest (age 3 at r10 —
-#    inside the bar) and lead the r11 rotation together with the
-#    48-query r07-latest block.
+# 4. The 7 r10 first-time hashes fill the window to exactly 50 — every
+#    displaced r07 anchor of the r9-verdict list (tpch_q9_profit,
+#    window_sessionize, agg_grouping_sets, etl_parse_project,
+#    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
+#    mm_binary_meta; the first of these plus etl_parse_project and
+#    dedup_minhash_lsh are bench-exercised every round regardless) is
+#    r07-latest (age 3 at r10 — inside the bar) and MUST lead the r11
+#    rotation together with the 48-query r07-latest block.
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
@@ -9699,6 +9807,7 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_summap_overflow",
     "pipeline_ccnet_buckets",
     "corpus_ngram_novelty",
+    "text_bm25_topk",
     # --- the r06-latest block (oldest hashes in the registry) ---
     "ts_ohlc_hourly",
     "ts_counter_increase",
@@ -9741,8 +9850,6 @@ DRIVER_ORDER: list[str] = [
     "ch_dialect_funnel_strict",
     "ch_dialect_retention",
     "ch_dialect_sequence_match",
-    # --- displaced r07 anchors, in verdict order, filling to 50 ---
-    "tpch_q9_profit",
 ]
 
 DRIVER_WINDOW = 50
