@@ -139,6 +139,9 @@ geohashEncode/Decode         Niemeyer's published scheme; decode =
                              cell center (lon, lat) like CH
 geohashesInBox(...)          snap-to-grid cell sweep (lon-outer),
                              coverage-pinned vs geohashEncode
+readWKTPoint/Ring/Polygon/   OGC WKT parsers → nested tuple arrays;
+ MultiPolygon(s)             WKT literals fold into pointInPolygon
+                             at translate time (wkt()/svg() refuse)
 JSONType(j[, path])          Arrow UDF: simdjson-style type names
 JSONExtractArrayRaw(j[, p])  Arrow UDF: raw JSON element slices
 JSONExtractKeysAndValues     from_json(map<string,string>) + per-entry
@@ -946,11 +949,13 @@ _UNSUPPORTED = {
                                       # a formula; out of scope
     "polygonConvexHullCartesian",     # hull VERTEX ORDER/start point is
                                       # implementation-defined
-    "readWKTPoint",                   # WKT geometry codec family: no
-    "readWKTPolygon",                 # typed geometry values to carry
-    "readWKTMultiPolygon",            # them in Spark SQL
-    "readWKTRing",
-    "wkt",
+    "wkt",                            # the RENDER direction stays
+                                      # refused: CH prints Float64 via
+                                      # shortest-decimal with its own
+                                      # exponent conventions — no local
+                                      # pin (the readWKT* PARSERS
+                                      # translate: nested tuple arrays
+                                      # carry the geometry)
     "initialQueryStartTime",          # engine introspection
     "dictGetUInt64",                  # no external dictionaries
     "JSONAllPaths",          # CH JSON-type internals introspection
@@ -2667,6 +2672,32 @@ def _polygon_fold_fn(name: str, edge_expr: str, per_ring_wrap: str):
     return rw
 
 
+def _pip_wkt_literal_rings(text: str):
+    """If ``text`` is ``readWKTRing('...')`` or ``readWKTPolygon('...')``
+    over a plain string literal, parse the WKT at translate time and
+    return the list of rings as (x, y) float lists; else None."""
+    # both the CH spelling and the already-rewritten UDF spelling occur
+    # here: _rewrite_calls translates arguments before emit, so by the
+    # time pointInPolygon sees them, readWKTRing may already be
+    # ch_read_wkt_ring
+    m = re.match(
+        r"^\s*(?:readWKT(Ring|Polygon)|ch_read_wkt_(ring|polygon))"
+        r"\s*\(\s*'([^']*)'\s*\)\s*$", text)
+    if m is None:
+        return None
+    kind = (m.group(1) or m.group(2) or "").lower()
+    wkt_text = m.group(3)
+    from .chudfs import _read_wkt_polygon, _read_wkt_ring
+
+    try:
+        if kind == "ring":
+            return [[(p["_1"], p["_2"]) for p in _read_wkt_ring(wkt_text)]]
+        return [[(p["_1"], p["_2"]) for p in ring]
+                for ring in _read_wkt_polygon(wkt_text)]
+    except ValueError as e:
+        raise ChTranslationError(f"malformed WKT literal: {e}") from e
+
+
 def _point_in_polygon(a: list[str]) -> str:
     """``pointInPolygon((x, y), ring[, hole...])`` — even-odd
     ray-casting (the textbook PNPOLY crossing test), pure JVM: the
@@ -2687,11 +2718,25 @@ def _point_in_polygon(a: list[str]) -> str:
             "pointInPolygon needs a 2-tuple point: (x, y)")
     rings = []
     for ring_text in a[1:]:
+        # r10: a readWKTRing/readWKTPolygon call over a LITERAL string
+        # is parsed AT TRANSLATE TIME into its vertex literals — the
+        # WKT text is fully visible, so the tuple-layout restriction
+        # below doesn't apply and WKT geometry composes with the
+        # ray-cast directly
+        wkt_rings = _pip_wkt_literal_rings(ring_text)
+        if wkt_rings is not None:
+            for wr in wkt_rings:
+                if len(wr) < 3:
+                    raise ChTranslationError(
+                        "pointInPolygon WKT rings need ≥3 vertices")
+                rings.append([(repr(x), repr(y)) for x, y in wr])
+            continue
         ring = _pip_parse_ring(ring_text)
         if ring is None or len(ring) < 3:
             raise ChTranslationError(
                 "pointInPolygon rings must be literal arrays of ≥3"
-                " 2-tuples — [(x1, y1), (x2, y2), ...]")
+                " 2-tuples — [(x1, y1), (x2, y2), ...] — or a"
+                " readWKTRing/readWKTPolygon('...') literal")
         rings.append(ring)
 
     def vstruct(p):
@@ -3048,6 +3093,22 @@ def _translate_functions(sql: str) -> str:
         sql, "geohashDecode",
         lambda a: f"ch_geohash_decode({a[0]})",
     )
+    # OGC WKT parsers (r10, previously refused): boost::geometry
+    # conventions CH inherits — Point tuple, Ring from the POLYGON
+    # spelling, Polygon = outer ring + holes, MultiPolygon nesting.
+    # Geometry travels as nested tuple arrays (tupleElement works);
+    # the render direction (wkt/svg) stays refused — float text
+    # formatting has no local pin.
+    for _wn, _wu in (("readWKTPoint", "ch_read_wkt_point"),
+                     ("readWKTRing", "ch_read_wkt_ring"),
+                     ("readWKTPolygon", "ch_read_wkt_polygon"),
+                     ("readWKTMultiPolygon", "ch_read_wkt_multipolygon")):
+        sql = _rewrite_calls(
+            sql, _wn,
+            lambda a, u=_wu, n=_wn: (
+                f"{u}({a[0]})" if len(a) == 1
+                else _refuse(f"{n} takes one WKT string")),
+        )
     sql = _rewrite_calls(
         sql, "geohashesInBox",
         lambda a: (
@@ -6018,7 +6079,9 @@ def _rename_calls(sql: str, name: str, new: str) -> str:
 _ARRAY_PRODUCERS = re.compile(
     r"^\s*(split|collect_list|collect_set|array|sequence|slice|array_distinct|"
     r"array_sort|sort_array|transform|filter|flatten|explode|"
-    r"ch_geohashes_in_box|geohashesInBox)\s*\(",
+    r"ch_geohashes_in_box|geohashesInBox|"
+    r"ch_read_wkt_ring|ch_read_wkt_polygon|ch_read_wkt_multipolygon|"
+    r"readWKTRing|readWKTPolygon|readWKTMultiPolygon)\s*\(",
 )
 
 

@@ -1722,6 +1722,112 @@ def _geohashes_in_box(lon_min, lat_min, lon_max, lat_max, precision):
     return out
 
 
+def _wkt_numbers(seg: str):
+    """One WKT coordinate pair 'x y' → (float, float); raises on
+    malformed input like CH's BAD_ARGUMENTS."""
+    parts = seg.split()
+    if len(parts) != 2:
+        raise ValueError(f"WKT coordinate pair expected, got {seg!r}")
+    return float(parts[0]), float(parts[1])
+
+
+def _wkt_split_top(s: str) -> list:
+    """Split a WKT body on top-level commas (depth-0 of parentheses)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("unbalanced WKT parentheses")
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if depth != 0:
+        raise ValueError("unbalanced WKT parentheses")
+    out.append("".join(cur))
+    return out
+
+
+def _wkt_body(s: str, tag: str) -> str:
+    """Strip 'TAG ( ... )' (case-insensitive tag, optional space) and
+    return the inner text without the outermost parentheses."""
+    t = s.strip()
+    if not t.upper().startswith(tag):
+        raise ValueError(f"expected WKT {tag}, got {s!r}")
+    t = t[len(tag):].strip()
+    if not (t.startswith("(") and t.endswith(")")):
+        raise ValueError(f"malformed WKT {tag}: {s!r}")
+    return t[1:-1].strip()
+
+
+def _read_wkt_point(s: str):
+    """OGC Simple Features WKT 'POINT (x y)' → CH Point (a 2-tuple).
+    Reference parity: CH readWKTPoint via boost::geometry::read_wkt
+    (docs/en/sql-reference/functions/geo/coordinates.md)."""
+    x, y = _wkt_numbers(_wkt_body(s, "POINT"))
+    return {"_1": x, "_2": y}
+
+
+def _read_wkt_ring(s: str):
+    """CH readWKTRing: a Ring is parsed FROM THE POLYGON SPELLING
+    ('POLYGON((x y, ...))' — the boost::geometry ring WKT convention CH
+    inherits); returns the flat point array of the single ring."""
+    body = _wkt_body(s, "POLYGON")
+    rings = _wkt_split_top(body)
+    if len(rings) != 1:
+        raise ValueError("readWKTRing expects exactly one ring")
+    inner = rings[0].strip()
+    if not (inner.startswith("(") and inner.endswith(")")):
+        raise ValueError(f"malformed ring: {s!r}")
+    return [
+        {"_1": x, "_2": y}
+        for x, y in (_wkt_numbers(p) for p in _wkt_split_top(inner[1:-1]))
+    ]
+
+
+def _read_wkt_polygon(s: str):
+    """'POLYGON((outer), (hole), ...)' → Array(Ring): outer ring first,
+    holes after — the layout our pointInPolygon even-odd test consumes
+    directly."""
+    body = _wkt_body(s, "POLYGON")
+    out = []
+    for ring in _wkt_split_top(body):
+        r = ring.strip()
+        if not (r.startswith("(") and r.endswith(")")):
+            raise ValueError(f"malformed ring in polygon: {s!r}")
+        out.append([
+            {"_1": x, "_2": y}
+            for x, y in (_wkt_numbers(p) for p in _wkt_split_top(r[1:-1]))
+        ])
+    return out
+
+
+def _read_wkt_multipolygon(s: str):
+    """'MULTIPOLYGON(((...)), ((...)))' → Array(Polygon)."""
+    body = _wkt_body(s, "MULTIPOLYGON")
+    out = []
+    for poly in _wkt_split_top(body):
+        p = poly.strip()
+        if not (p.startswith("(") and p.endswith(")")):
+            raise ValueError(f"malformed polygon in multipolygon: {s!r}")
+        rings = []
+        for ring in _wkt_split_top(p[1:-1]):
+            r = ring.strip()
+            if not (r.startswith("(") and r.endswith(")")):
+                raise ValueError(f"malformed ring in multipolygon: {s!r}")
+            rings.append([
+                {"_1": x, "_2": y}
+                for x, y in
+                (_wkt_numbers(q) for q in _wkt_split_top(r[1:-1]))
+            ])
+        out.append(rings)
+    return out
+
+
 def _extract_host(url: str) -> str:
     """CH ``domain()``-style host extraction: optional scheme, optional
     userinfo, stop at path/query/fragment/port; bare hosts pass through;
@@ -2577,6 +2683,29 @@ _UDF_SPECS = {
              for a, b, c, d, p in zip(s1, s2, s3, s4, s5)]
         ),
         "array<string>",
+    ),
+    # OGC WKT readers (boost::geometry conventions CH inherits); the
+    # RENDER direction (wkt()/svg()) stays refused — float text
+    # formatting conventions differ per engine
+    "ch_read_wkt_point": (
+        # StructType returns must be a DataFrame (the ch_mw_utest shape)
+        lambda s1: pd.DataFrame(
+            [({"_1": None, "_2": None} if v is None
+              else _read_wkt_point(v)) for v in s1]
+        ),
+        "struct<_1: double, _2: double>",
+    ),
+    "ch_read_wkt_ring": (
+        _map1(_read_wkt_ring),
+        "array<struct<_1: double, _2: double>>",
+    ),
+    "ch_read_wkt_polygon": (
+        _map1(_read_wkt_polygon),
+        "array<array<struct<_1: double, _2: double>>>",
+    ),
+    "ch_read_wkt_multipolygon": (
+        _map1(_read_wkt_multipolygon),
+        "array<array<array<struct<_1: double, _2: double>>>>",
     ),
     "ch_geohash_decode": (
         lambda s: pd.DataFrame(

@@ -6024,7 +6024,13 @@ CH_DIALECT_GEO_CELLS = """
            length(geohashesInBox(n * 3.5 - 17.5, n * 2.5 - 12.5,
                                  n * 3.5 - 15.7, n * 2.5 - 11.3, 3))
                AS n_cells,
-           length(geohashesInBox(1.0, 1.0, 0.0, 0.0, 5)) AS inv_empty
+           length(geohashesInBox(1.0, 1.0, 0.0, 0.0, 5)) AS inv_empty,
+           round(tupleElement(readWKTPoint(
+               concat('POINT(', toString(n), ' 2.5)')), 1), 4) AS wkt_x,
+           pointInPolygon((toFloat64(n) + 0.5, 0.5),
+               readWKTRing('POLYGON((0 0, 5 0, 5 1, 0 1))')) AS in_strip,
+           length(readWKTMultiPolygon('MULTIPOLYGON(((0 0, 1 0, 1 1)),
+               ((5 5, 6 5, 6 6)))')) AS n_polys
     FROM (SELECT DISTINCT toUInt64(user_id % 10) AS n FROM events)
     ORDER BY n
 """
@@ -6046,7 +6052,10 @@ CH_DIALECT_GEO_CELLS = """
         (9, 's3c,s3f,s3g'))
     SELECT CAST(d.n AS BIGINT) AS n, g.cells,
            CAST(len(string_split(g.cells, ',')) AS INT) AS n_cells,
-           0 AS inv_empty
+           0 AS inv_empty,
+           round(CAST(d.n AS DOUBLE), 4) AS wkt_x,
+           CAST(CASE WHEN d.n <= 4 THEN 1 ELSE 0 END AS INT) AS in_strip,
+           2 AS n_polys
     FROM (SELECT DISTINCT user_id % 10 AS n FROM events) d
     JOIN g ON g.gn = d.n
     ORDER BY n
@@ -6062,8 +6071,13 @@ def ch_dialect_geo_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-corner with the already-vector-pinned geohashEncode (the
     gh-pin precedent of ch_dialect_domains); pytest additionally holds
     a dense coverage property (cell set == encode set of a 41×41 box
-    sample).  Inverted boxes pin to empty.  Scale: one distinct
-    shuffle; one ArrowEvalPython projection."""
+    sample).  Inverted boxes pin to empty.  Also drives the r10 OGC
+    WKT parsers: a runtime readWKTPoint over a dynamic string, a WKT
+    ring folded into pointInPolygon AT TRANSLATE TIME (strip membership
+    re-derived as CASE n <= 4 by the oracle), and readWKTMultiPolygon
+    nesting depth.  Scale: one distinct shuffle; one ArrowEvalPython
+    projection (Spark coalesces the geohash + WKT scalars into a
+    single Arrow batch — pinned)."""
     from ..functions.chdialect import ch_sql
 
     return ch_sql(spark, CH_DIALECT_GEO_CELLS, sf_dir)

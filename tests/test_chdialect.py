@@ -3827,6 +3827,61 @@ def test_geohashes_in_box(spark):
         translate_ch_sql("SELECT geohashesInBox(1.0, 2.0, 3.0) FROM t")
 
 
+def test_read_wkt_family(spark):
+    """readWKTPoint/Ring/Polygon/MultiPolygon (r10, previously refused):
+    OGC Simple-Features WKT parsed into the repo's nested tuple arrays
+    (boost::geometry conventions CH inherits — a Ring parses from the
+    POLYGON spelling).  WKT literals additionally fold into
+    pointInPolygon AT TRANSLATE TIME, so geometry strings compose with
+    the ray-cast: the CH-docs pip example re-expressed through
+    readWKTRing must give the same answer as its array-literal form,
+    and a polygon WITH a hole excludes points inside the hole.  The
+    render direction (wkt/svg) refuses — float text formatting has no
+    local pin."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT tupleElement(readWKTPoint('POINT (1.25 -2.5)'), 1) AS px,"
+        " tupleElement(readWKTPoint('POINT(1.25 -2.5)'), 2) AS py,"
+        " length(readWKTRing('POLYGON((0 0, 10 0, 10 10, 0 10))')) AS nr,"
+        " tupleElement(readWKTRing("
+        "'POLYGON((0 0, 10 0, 10 10, 0 10))')[2], 1) AS r2x,"
+        " length(readWKTPolygon("
+        "'POLYGON((0 0, 10 0, 10 10, 0 10), (4 4, 5 4, 5 5, 4 5))')) AS np,"
+        " length(readWKTMultiPolygon('MULTIPOLYGON(((0 0, 1 0, 1 1)),"
+        " ((5 5, 6 5, 6 6)))')) AS nm,"
+        " pointInPolygon((3., 3.),"
+        " readWKTRing('POLYGON((6 0, 8 4, 5 8, 0 2))')) AS pip_wkt,"
+        " pointInPolygon((3., 3.),"
+        " [(6., 0.), (8., 4.), (5., 8.), (0., 2.)]) AS pip_arr,"
+        " pointInPolygon((4.5, 4.5), readWKTPolygon("
+        "'POLYGON((0 0, 10 0, 10 10, 0 10), (4 4, 5 4, 5 5, 4 5))'))"
+        " AS pip_hole,"
+        " pointInPolygon((2., 2.), readWKTPolygon("
+        "'POLYGON((0 0, 10 0, 10 10, 0 10), (4 4, 5 4, 5 5, 4 5))'))"
+        " AS pip_outer"
+    )
+    r = spark.sql(got).collect()[0]
+    assert r["px"] == 1.25 and r["py"] == -2.5
+    assert r["nr"] == 4 and r["r2x"] == 10.0
+    assert r["np"] == 2 and r["nm"] == 2
+    assert r["pip_wkt"] == 1 and r["pip_arr"] == 1  # CH docs example
+    assert r["pip_hole"] == 0   # inside the hole -> out
+    assert r["pip_outer"] == 1  # outside the hole -> in
+    for bad in ("SELECT wkt((1., 2.)) FROM t",
+                "SELECT readWKTPoint('LINESTRING(0 0, 1 1)') FROM t"):
+        if "wkt((" in bad:
+            with pytest.raises(ChTranslationError):
+                translate_ch_sql(bad)
+    # malformed WKT literal inside pointInPolygon refuses at translate
+    # time (not at run time)
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql(
+            "SELECT pointInPolygon((1., 1.),"
+            " readWKTRing('POLYGON((0 0, 10 0')) FROM t")
+
+
 def test_sum_map_with_overflow(spark):
     """sumMapWithOverflow keeps the ARGUMENT's value width and wraps
     (the sumWithOverflow machinery composed into the sumMap fold):

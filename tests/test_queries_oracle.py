@@ -36,6 +36,25 @@ def test_lint_rejects_complex_oracle_result_columns(spark):
     assert not ok and "complex-typed" in msg
 
 
+def test_driver_window_invariants():
+    """The hash window must stay exactly DRIVER_WINDOW slots of unique,
+    registered, ORACLE-PAIRED queries — a rows-only query in the window
+    would silently downgrade its correctness check, and a duplicate or
+    unregistered name would shrink the effective window."""
+    from clickhouse_sinker_spark.plans.queries import (
+        DRIVER_ORDER,
+        DRIVER_WINDOW,
+        ORACLES,
+        QUERIES,
+    )
+
+    assert len(DRIVER_ORDER) == DRIVER_WINDOW == 50
+    assert len(set(DRIVER_ORDER)) == len(DRIVER_ORDER)
+    missing = [n for n in DRIVER_ORDER if n not in QUERIES]
+    unpaired = [n for n in DRIVER_ORDER if n not in ORACLES]
+    assert not missing and not unpaired, (missing, unpaired)
+
+
 def test_registry_lint_all_oracle_schemas_scalar(spark):
     """Registry-wide lint: no oracle-paired query may reach DRIVER_ORDER
     with an ARRAY/MAP/STRUCT column in its final schema (analysis-only,
