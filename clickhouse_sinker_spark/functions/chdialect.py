@@ -903,9 +903,6 @@ _UNSUPPORTED = {
     "runningDifference",
     "runningDifferenceStartingWithFirstValue",
     "runningAccumulate",
-    "emptyArrayToSingle",    # pads with the element type's DEFAULT —
-                             # invisible at SQL level (use IF(empty(a),
-                             # [x], a) with an explicit default)
     "rowNumberInBlock",
     "rowNumberInAllBlocks",
     "sample",
@@ -2672,6 +2669,43 @@ def _polygon_fold_fn(name: str, edge_expr: str, per_ring_wrap: str):
     return rw
 
 
+def _empty_array_to_single(a: list[str]) -> str:
+    """``emptyArrayToSingle(arr)``: empty → [default-of-element-type],
+    non-empty → unchanged.  The element default is a TYPE property the
+    SQL text usually can't see — translatable for the two visible
+    shapes: a typed ``CAST(array() AS ARRAY<T>)`` (what the
+    emptyArray<T>() constructors rewrite to) and a non-empty array
+    literal (identity).  CH defaults: numerics 0, String '', Date /
+    DateTime the epoch."""
+    if len(a) != 1:
+        raise ChTranslationError("emptyArrayToSingle takes one array")
+    t = a[0].strip()
+    m = re.match(
+        r"^CAST\s*\(\s*array\s*\(\s*\)\s*AS\s+ARRAY<([A-Za-z0-9(),\s]+)>"
+        r"\s*\)$", t, re.IGNORECASE)
+    if m:
+        ty = m.group(1).strip().upper()
+        default = {
+            "STRING": "''",
+            "DATE": "DATE '1970-01-01'",
+            "TIMESTAMP": "TIMESTAMP '1970-01-01 00:00:00'",
+        }.get(ty, "0")
+        return f"array(CAST({default} AS {ty}))"
+    if re.match(r"^array\s*\(", t):
+        open_idx = t.index("(")
+        inner = t[open_idx + 1 : _balanced(t, open_idx) - 1].strip()
+        if inner:
+            return t  # a non-empty literal is already its own answer
+        raise ChTranslationError(
+            "emptyArrayToSingle on an UNTYPED empty array literal — the"
+            " element default is invisible; use emptyArray<T>()")
+    raise ChTranslationError(
+        "emptyArrayToSingle pads with the element type's DEFAULT, which"
+        " is invisible for arbitrary expressions at SQL-text level — use"
+        " IF(empty(a), [x], a) with an explicit default, or pass an"
+        " emptyArray<T>() constructor")
+
+
 def _pip_wkt_literal_rings(text: str):
     """If ``text`` is ``readWKTRing('...')`` or ``readWKTPolygon('...')``
     over a plain string literal, parse the WKT at translate time and
@@ -4263,6 +4297,15 @@ def _translate_functions(sql: str) -> str:
             sql, f"emptyArray{suffix}",
             lambda a, t=ty: f"CAST(array() AS ARRAY<{t}>)",
         )
+    # emptyArrayToSingle (r10, previously refused): pads an empty array
+    # with the element TYPE's default — translatable exactly when the
+    # type is visible: an emptyArray<T>() constructor (already rewritten
+    # to its typed CAST by the loop above — recursive arg translation
+    # means we see that form) or a non-empty array literal (identity).
+    # Arbitrary expressions still refuse: the element default is
+    # invisible at SQL-text level.
+    sql = _rewrite_calls(
+        sql, "emptyArrayToSingle", _empty_array_to_single)
     sql = _rewrite_calls(
         sql, "formatReadableSize",
         lambda a: _format_readable(

