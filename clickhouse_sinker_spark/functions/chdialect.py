@@ -985,10 +985,6 @@ _UNSUPPORTED = {
                              # stem() translates — same libstemmer CH links
     "generateULID",          # nondeterministic generators
     "cityHash128",
-    "MD4",                   # OpenSSL 3 dropped MD4 from the default
-                             # provider on this host — no verifier and no
-                             # implementation to ride (RIPEMD160 rides
-                             # OpenSSL and translates)
     "randomString",          # nondeterministic
     "randomPrintableASCII",
     "randomFixedString",
@@ -5588,6 +5584,10 @@ def _translate_functions(sql: str) -> str:
     )
     sql = _rewrite_calls(
         sql, "RIPEMD160", _crc_fn("RIPEMD160", "ch_ripemd160"))
+    # MD4 (r10, previously refused): rides OpenSSL's LEGACY provider —
+    # same string-only argument contract as the other digests; raw 16
+    # bytes so hex(MD4(s)) composes like the MD5 family
+    sql = _rewrite_calls(sql, "MD4", _crc_fn("MD4", "ch_md4"))
     # extractKeyValuePairs: the DEFAULT grammar only (':' key-value
     # delimiter, ' ,;' pair delimiters); custom delimiters / quoting
     # refuse — CH's state machine also honors quoting, a documented

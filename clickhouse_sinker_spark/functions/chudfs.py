@@ -1412,6 +1412,55 @@ def _fmt_time_delta(sec: float, max_unit: str) -> str:
     return ", ".join(parts[:-1]) + " and " + parts[-1]
 
 
+_MD4_EVP = None
+
+
+def _md4_bind():
+    """Bind OpenSSL's MD4 through the LEGACY provider (OpenSSL 3 moved
+    MD4 out of the default provider; the algorithm itself still ships).
+    The r-earlier refusal said 'no verifier and no implementation to
+    ride' — the legacy provider IS loadable on this host, giving an
+    independent C implementation to ride (the libsodium/libstemmer
+    proof-chain pattern) with the RFC 1320 test vectors as pins."""
+    global _MD4_EVP
+    if _MD4_EVP is None:
+        import ctypes
+        import ctypes.util
+
+        path = ctypes.util.find_library("crypto")
+        if path is None:
+            raise RuntimeError("MD4: libcrypto not found on this host")
+        lc = ctypes.CDLL(path)
+        lc.OSSL_PROVIDER_load.restype = ctypes.c_void_p
+        lc.OSSL_PROVIDER_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        if not lc.OSSL_PROVIDER_load(None, b"legacy"):
+            raise RuntimeError(
+                "MD4: OpenSSL legacy provider unavailable on this host")
+        lc.EVP_Q_digest.restype = ctypes.c_int
+        lc.EVP_Q_digest.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        _MD4_EVP = lc
+    return _MD4_EVP
+
+
+def _md4(data: bytes) -> bytes:
+    """Raw 16-byte MD4 digest (CH returns FixedString(16); hex(MD4(s))
+    composes like the MD5/SHA family's unhex-wrapped raw bytes)."""
+    import ctypes
+
+    lc = _md4_bind()
+    out = ctypes.create_string_buffer(16)
+    n = ctypes.c_size_t(0)
+    rc = lc.EVP_Q_digest(None, b"MD4", None, data, len(data),
+                         out, ctypes.byref(n))
+    if rc != 1 or n.value != 16:
+        raise RuntimeError("MD4: EVP_Q_digest failed")
+    return out.raw[:16]
+
+
 _SB_LIB = None
 _SB_STEMMERS: dict = {}
 
@@ -2364,6 +2413,13 @@ _UDF_SPECS = {
     "ch_b64url_try_decode": (
         _map1(_b64url_try),
         "string",
+    ),
+    # MD4 via OpenSSL's LEGACY provider (r10, previously refused as
+    # unavailable — the provider loads on this host); raw 16 bytes like
+    # CH's FixedString(16), RFC 1320 vectors pinned in tests
+    "ch_md4": (
+        _map1(lambda s: _md4(s.encode("utf-8"))),
+        "binary",
     ),
     # RIPEMD160 via OpenSSL (system libcrypto — an independent C
     # implementation; the published 'abc' check vector is pinned in

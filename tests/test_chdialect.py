@@ -4695,7 +4695,32 @@ def test_parse_time_delta_and_decode_tail(spark):
     with _pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT RIPEMD160(x) FROM t")  # typed gate
     with _pytest.raises(ChTranslationError):
-        translate_ch_sql("SELECT MD4(s) FROM t")
+        translate_ch_sql("SELECT MD4(s) FROM t")  # same string-only gate
+
+
+def test_md4_rfc1320_vectors(spark):
+    """MD4 (r10, previously refused as unavailable): OpenSSL's legacy
+    provider DOES load on this host, so MD4 rides it like RIPEMD160
+    rides libcrypto — pinned to the RFC 1320 appendix test vectors."""
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _md4_bind,
+        register_ch_udfs,
+    )
+
+    try:
+        _md4_bind()
+    except RuntimeError as e:  # dependency-gated like libsodium
+        _pytest.skip(str(e))
+    register_ch_udfs(spark)
+    got, _ = translate_ch_sql(
+        "SELECT lower(hex(MD4(''))) AS e, lower(hex(MD4('abc'))) AS a,"
+        " lower(hex(MD4('message digest'))) AS m")
+    r = spark.sql(got).first()
+    assert r["e"] == "31d6cfe0d16ae931b73c59d7e0c089c0"
+    assert r["a"] == "a448017aaf21d8525fc10ae87aa6729d"
+    assert r["m"] == "d9130a8164549fe818874806e1c7014b"
 
 
 def test_change_date_snowflake_id_and_misc_tail(spark):
