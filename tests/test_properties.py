@@ -792,3 +792,39 @@ def test_geohashes_in_box_coverage_property(lon0, lat0, dlon, dlat, p):
         for i in range(13) for j in range(13)
     }
     assert sampled <= set(cells), (lon0, lat0, dlon, dlat, p)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                       st.integers(min_value=-300, max_value=300)),
+             min_size=1, max_size=40),
+    st.sampled_from([8, 16]),
+)
+def test_summap_overflow_matches_python_model(spark, rows, bits):
+    """sumMapWithOverflow vs a dict model: per-key sums reduced mod
+    2^bits (signed re-centered for toIntN, unsigned reinterpretation
+    for toUIntN) — checks the ring-homomorphism claim that per-combine
+    wrapping equals wrapping the final sum, on arbitrary inputs."""
+    from clickhouse_sinker_spark.functions.chudfs import register_ch_udfs
+
+    register_ch_udfs(spark)
+    m = 1 << bits
+    half = m >> 1
+    signed, unsigned = {}, {}
+    for k, v in rows:
+        signed[k] = signed.get(k, 0) + v
+        unsigned[k] = unsigned.get(k, 0) + (v % m)
+    want_s = {k: (v + half) % m - half for k, v in signed.items()}
+    want_u = {k: v % m for k, v in unsigned.items()}
+    lit = ",".join(f"('{k}',{v})" for k, v in rows)
+    r = _run_ch(
+        spark,
+        f"SELECT sumMapWithOverflow([k], [toInt{bits}(v)]) AS s,"
+        f" sumMapWithOverflow([k], [toUInt{bits}(v)]) AS u"
+        f" FROM VALUES {lit} AS t(k, v)").first()
+    got_s = dict(zip(r["s"]["keys"], [int(x) for x in r["s"]["values"]]))
+    got_u = dict(zip(r["u"]["keys"], [int(x) for x in r["u"]["values"]]))
+    assert got_s == want_s, (rows, bits)
+    assert got_u == want_u, (rows, bits)
+    assert list(r["s"]["keys"]) == sorted(want_s)  # CH sorts keys asc
