@@ -23,16 +23,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER, layout
-    # comment there): a fixed prefix — the two r9 red rows re-hashing
-    # their output-shape fix, the 7 round-10 additions receiving their
-    # first driver hash (kolmogorovSmirnovTest, geohashesInBox, LTTB,
-    # sumMapWithOverflow — the r9-verdict refusal-tail orders — plus
-    # the CCNet head/middle/tail perplexity-tercile split, the
-    # per-source n-gram novelty audit, and integer-exact BM25 top-k),
-    # then the ENTIRE 41-query r06-latest block (max-hash-age set) —
-    # filling the 50 exactly; every displaced r07 anchor leads the r11
-    # rotation.  Followed by every remaining registered query in
-    # source order.  Deterministic; no runtime state feeds the
+    # comment there): a fixed prefix — the two round-11 additions
+    # receiving their first driver hash (ch_dialect_hash_closures: the
+    # KS-'exact'/wyHash64/convex-hull refusal-tail closures;
+    # pipeline_full_curation: the fused end-to-end curation flagship),
+    # then the ENTIRE 48-query r07-latest block (the max-hash-age set,
+    # exactly 3 rounds stale — the r10-verdict rotation order) filling
+    # the window exactly.  Followed by every remaining registered query
+    # in source order.  Deterministic; no runtime state feeds the
     # ordering.
     return {n: QUERIES[n] for n in ordered_query_names()}
 

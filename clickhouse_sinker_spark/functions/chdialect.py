@@ -112,6 +112,9 @@ formatReadableTimeDelta      365d-year/30.5d-month decomposition, both
                              form refuses — CH-version-dependent)
 cityHash64(x)                CityHash v1.0.2 as frozen by CH (r8; absl-
                              proven primitives, see chudfs note)
+wyHash64(s)                  wyhash FINAL VERSION 3, seed 0 (r11; the
+                             revision settled empirically — CH docs
+                             vector + all 7 published f3 vectors)
 murmurHash2_32/64(x)         MurmurHash2 / MurmurHash64A seed 0 (r8;
                              SMHasher + libstdc++ proofs)
 murmurHash3_32/64/128(x)     Murmur3 x86_32 / x64_128-low / x64_128
@@ -155,8 +158,11 @@ nonNegativeDerivative        window fn → clamped LAG rate over the
  (m, t[, INTERVAL]) OVER w   captured window spec
 mannWhitneyUTest[(p)](v, i)  two-sided tie/continuity-corrected U + p
                              (one Arrow UDF per group; one-sided refuses)
-kolmogorovSmirnovTest        ('two-sided','asymp') D + Kolmogorov-series
- (alt, method)(v, i)         p; 'exact'/'auto'/one-sided refuse
+kolmogorovSmirnovTest        two-sided D + p: 'asymp' Kolmogorov
+ [(alt[, method])](v, i)     series; 'exact'/'auto' (r11) lattice-path
+                             permutation count over the exact integer
+                             deviation, brute-force-model-pinned;
+                             one-sided refuses
 largestTriangleThreeBuckets  Steinarsson-2013 reference bucket rule,
  /lttb(n)(x, y)              (x,y)-sorted fold → array of tuples
 meanZTest(σx²,σy²,cl)(v, i)  known-variance z, p via erfc, CI via
@@ -186,6 +192,10 @@ polygonAreaCartesian /       signed shoelace (boost orientation, CH
  ([[ring][, holes…]])        Euclidean edges incl. the closing one (r9)
 pointInPolygon((x,y), ring   even-odd ray casting, literal rings,
  [, hole…])                  holes XOR (r9; CH docs example pinned)
+polygonConvexHullCartesian   translate-time monotone-chain fold of a
+ (polygon literal)           literal polygon — boost graham_andrew
+                             output convention (clockwise, closed,
+                             lex-min start, strict corners) (r11)
 arrayNormalizedGini(p, l)    published normalized Gini: exact-rational
                              cumulative-share folds, rounded once
                              (tuple of pred/ideal/normalized)
@@ -944,8 +954,8 @@ _UNSUPPORTED = {
     "polygonsIntersectionCartesian",  # boost polygon clipping — an
                                       # algorithmic geometry kernel, not
                                       # a formula; out of scope
-    "polygonConvexHullCartesian",     # hull VERTEX ORDER/start point is
-                                      # implementation-defined
+    # polygonConvexHullCartesian translates as of r11 (literal fold —
+    # boost graham_andrew output convention, see _convex_hull_fold)
     "wkt",                            # the RENDER direction stays
                                       # refused: CH prints Float64 via
                                       # shortest-decimal with its own
@@ -984,14 +994,32 @@ _UNSUPPORTED = {
     "synonyms",              # (CH throws without them server-side too);
                              # stem() translates — same libstemmer CH links
     "generateULID",          # nondeterministic generators
-    "cityHash128",
+    "cityHash128",           # r11 re-check per VERDICT order #3: the
+                             # assumed proof chain does NOT exist here —
+                             # nm -D libabsl_city.so.20220623 exports
+                             # ONLY CityHash32/64/WithSeed(s); the
+                             # 128-bit composition (CityMurmur + the
+                             # 1.0.2 tail loop) has NO independent local
+                             # verifier, and the repo's bar for hash
+                             # translations is a bit-proof, not a
+                             # from-memory transcription.  Refused
+                             # until a verifier (chdb, network, or a
+                             # lib exporting CityHash128) appears.
     "randomString",          # nondeterministic
     "randomPrintableASCII",
     "randomFixedString",
     "fuzzBits",
-    "kostikConsistentHash",  # Yandex sumbur algorithm: no public pinnable
-                             # reference implementation in this environment
-    "wyHash64",
+    "kostikConsistentHash",  # r11 re-check per VERDICT order #6: unlike
+                             # jumpConsistentHash (a 5-line PUBLISHED
+                             # paper formula, Lamping & Veach 2014,
+                             # reproduced from the paper in r8), Oblakov's
+                             # algorithm exists only as CH contrib code
+                             # (contrib/consistent-hashing) with no paper
+                             # and no published test vectors; the single
+                             # CH docs example (one input) cannot pin the
+                             # popcount-branch structure of a from-memory
+                             # transcription.  Refused until the source
+                             # or a verifier is locally available.
     "sumMapFilteredWithOverflow",  # (sumMapWithOverflow translates; the
                              # filtered+overflow composition stays
                              # refused pending a width-visible use case)
@@ -2296,11 +2324,18 @@ def _ks_test_pass(sql: str) -> str:
     ks_2samp(mode='asymp') convention CH's stateless tests compare
     against — the same residual convention surface as
     mannWhitneyUTest, stated because no local CH instance can pin it).
-    'greater'/'less' REFUSE (one-sided orientation unpinnable, as MWU);
-    'exact'/'auto' REFUSE — CH's exact method is a recursive
-    lattice-path count whose tie handling cannot be verified locally,
-    and 'auto' silently switches to it below 10k rows.  One
-    collect_list fold per group (grouped-stats contract)."""
+    r11 (VERDICT order #7): 'exact' and 'auto' now TRANSLATE — the
+    exact p-value is the lattice-path permutation count (Schröer &
+    Trenkler 1995 / Viehmann 2021, the construction CH's own source
+    cites), computed over the EXACT integer deviation h = max|c0·n1 −
+    c1·n0| (no rounding convention exists to mismatch, so the one
+    surface that made r10 refuse is gone) and brute-force-model-pinned
+    at small n in tests/test_properties.py; 'auto' applies CH's
+    documented ≤10 000-samples switch inside the UDF per group.  Tie
+    convention stated in the UDF docstring (continuous-case lattice,
+    the R/scipy standard).  'greater'/'less' still REFUSE (one-sided
+    orientation unpinnable, as MWU).  One collect_list fold per group
+    (grouped-stats contract)."""
     while True:
         at = _find_call(sql, "kolmogorovSmirnovTest")
         if at < 0:
@@ -2316,14 +2351,9 @@ def _ks_test_pass(sql: str) -> str:
             endall = end2
         else:
             params, args, endall = [], _split_args(sql[open1 + 1 : end1 - 1]), end1
-        if not params:
-            raise ChTranslationError(
-                "kolmogorovSmirnovTest without parameters defaults to"
-                " computation_method 'auto', which switches to CH's exact"
-                " lattice-path recursion below 10k rows — not locally"
-                " pinnable; spell kolmogorovSmirnovTest('two-sided',"
-                " 'asymp')(sample_data, sample_index) explicitly")
-        alt = params[0].strip().strip("'")
+        # parameterless form: CH defaults ('two-sided', 'auto') — both
+        # translate as of r11
+        alt = (params[0].strip().strip("'") if params else "two-sided")
         if alt != "two-sided":
             raise ChTranslationError(
                 "kolmogorovSmirnovTest alternative 'two-sided' only — the"
@@ -2332,13 +2362,14 @@ def _ks_test_pass(sql: str) -> str:
                 " mannWhitneyUTest)")
         method = (params[1].strip().strip("'")
                   if len(params) > 1 else "auto")
-        if method not in ("asymp", "asymptotic"):
+        udf = {"asymp": "ch_ks_test", "asymptotic": "ch_ks_test",
+               "exact": "ch_ks_test_exact",
+               "auto": "ch_ks_test_auto"}.get(method)
+        if udf is None:
             raise ChTranslationError(
                 f"kolmogorovSmirnovTest computation_method {method!r} is"
-                " not translatable: 'exact' is CH's recursive"
-                " lattice-path count (tie convention unpinnable without"
-                " a live server) and 'auto' silently selects it below"
-                " 10k rows; use 'asymp'")
+                " not a CH method: use 'exact', 'asymp'/'asymptotic',"
+                " or 'auto'")
         if len(args) != 2:
             raise ChTranslationError(
                 "kolmogorovSmirnovTest takes (sample_data, sample_index)")
@@ -2348,7 +2379,7 @@ def _ks_test_pass(sql: str) -> str:
             f" AND ({i}) IS NOT NULL THEN named_struct("
             f"'v', CAST({v} AS DOUBLE), 'i', CAST({i} AS BIGINT)) END)"
         )
-        sql = sql[:at] + f"ch_ks_test({pairs})" + sql[endall:]
+        sql = sql[:at] + f"{udf}({pairs})" + sql[endall:]
 
 
 def _mean_z_test(param: str, a: list[str]) -> str:
@@ -2665,6 +2696,88 @@ def _polygon_fold_fn(name: str, edge_expr: str, per_ring_wrap: str):
     return rw
 
 
+def _convex_hull_fold(a: list[str]) -> str:
+    """``polygonConvexHullCartesian(polygon)`` → the hull POLYGON as a
+    constant (r11, previously refused).  The hull of a literal is a
+    literal, so the computation folds at translate time — Andrew's
+    monotone chain emitting exactly boost::geometry::graham_andrew's
+    output convention, which CH inherits (Functions/polygonConvexHull.cpp
+    instantiates boost::geometry::convex_hull over CartesianPolygon):
+
+    * vertex order CLOCKWISE — boost's default polygon orientation;
+      graham_andrew's ``result(..., Clockwise=true)`` emits the upper
+      hull left→right then the lower hull right→left;
+    * ring CLOSED (first vertex repeated) — boost's default closure,
+      and CH's polygon serializer emits ring points verbatim (the same
+      reason polygonsUnionCartesian docs examples show closed rings);
+    * start vertex = the LEXICOGRAPHICALLY SMALLEST point (min x, then
+      min y) — graham_andrew's ``get_extremes`` least point leads the
+      upper hull;
+    * strictly convex vertices only — graham_andrew keeps strict-side
+      turns, dropping collinear points.
+
+    All rings' points (outer + holes) feed the hull, matching boost's
+    range adaptation of a full polygon.  Input must be a polygon
+    LITERAL or readWKT{Ring,Polygon}('…') of a literal (the same
+    visibility gate as pointInPolygon); degenerate hulls (< 3 distinct
+    non-collinear points) refuse — boost's output for degenerate
+    geometry is not pinned."""
+    if len(a) != 1:
+        raise ChTranslationError(
+            "polygonConvexHullCartesian takes exactly 1 polygon")
+    rings = _pip_wkt_literal_rings(a[0])
+    if rings is None:
+        parsed = _pip_parse_polygon(a[0])
+        if parsed is None:
+            raise ChTranslationError(
+                "polygonConvexHullCartesian needs a polygon LITERAL"
+                " ([[(x1, y1), …][, holes…]]) or a readWKTPolygon('…')"
+                " literal — the point layout of an arbitrary expression"
+                " is invisible at SQL-text level")
+        rings = []
+        for ring in parsed:
+            pts = []
+            for xt, yt in ring:
+                try:
+                    pts.append((float(xt), float(yt)))
+                except ValueError:
+                    raise ChTranslationError(
+                        "polygonConvexHullCartesian vertices must be"
+                        " numeric literals (the hull folds at translate"
+                        f" time): {xt!r}, {yt!r}") from None
+            rings.append(pts)
+    pts = sorted({p for ring in rings for p in ring})
+    if len(pts) < 3:
+        raise ChTranslationError(
+            "polygonConvexHullCartesian: fewer than 3 distinct points —"
+            " boost's degenerate-hull output is not pinned")
+
+    def cross(o, q, r):
+        return ((q[0] - o[0]) * (r[1] - o[1])
+                - (q[1] - o[1]) * (r[0] - o[0]))
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    ccw = lower[:-1] + upper[:-1]  # counterclockwise, starts at lex-min
+    if len(ccw) < 3:
+        raise ChTranslationError(
+            "polygonConvexHullCartesian: all points collinear —"
+            " boost's degenerate-hull output is not pinned")
+    ring = [ccw[0]] + ccw[1:][::-1] + [ccw[0]]  # clockwise, closed
+    body = ", ".join(
+        f"named_struct('_1', CAST({x!r} AS DOUBLE),"
+        f" '_2', CAST({y!r} AS DOUBLE))" for x, y in ring)
+    return f"array(array({body}))"
+
+
 def _empty_array_to_single(a: list[str]) -> str:
     """``emptyArrayToSingle(arr)``: empty → [default-of-element-type],
     non-empty → unchanged.  The element default is a TYPE property the
@@ -2970,6 +3083,16 @@ def _translate_functions(sql: str) -> str:
         sql, "cityHash64",
         _byte_hash_fn("cityHash64", "ch_cityhash64_ch", "ch_cityhash64_u64",
                       r"^to(U)?Int64\s*\("),
+    )
+    # wyHash64 (r11, previously refused): wyhash final version 3 with
+    # seed 0 — the revision CH's contrib pins, settled EMPIRICALLY in
+    # tests/test_chhashes.py (CH docs vector 'ClickHouse' →
+    # 12336419557878201794 plus all seven published f3 vectors across
+    # every length branch; final v4 matches neither).  String-only —
+    # CH's own signature is wyHash64(string).
+    sql = _rewrite_calls_raw(
+        sql, "wyHash64",
+        _byte_hash_fn("wyHash64", "ch_wyhash64", "ch_wyhash64", _NO_INT),
     )
     sql = _rewrite_calls_raw(
         sql, "murmurHash2_32",
@@ -3333,6 +3456,8 @@ def _translate_functions(sql: str) -> str:
             "(-({f}) / 2)",
         ),
     )
+    sql = _rewrite_calls(
+        sql, "polygonConvexHullCartesian", _convex_hull_fold)
     sql = _rewrite_calls(
         sql, "polygonPerimeterCartesian",
         _polygon_fold_fn(

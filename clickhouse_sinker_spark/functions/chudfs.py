@@ -945,6 +945,71 @@ def _hl16mul(u: int, v: int, mul: int) -> int:
     return (b * mul) & _M64
 
 
+# wyhash FINAL VERSION 3 default secret (wangyi-fudan/wyhash, public
+# domain).  The REVISION question the r10 VERDICT ordered resolved is
+# settled empirically in tests/test_chhashes.py: this implementation
+# reproduces the ClickHouse docs example wyHash64('ClickHouse') =
+# 12336419557878201794 (docs/en/sql-reference/functions/hash-functions.md)
+# AND all seven published final-v3 test vectors (covering every length
+# branch: 0, 1-3, 4-16, 17-48, >48 loop) — final version 4 matches
+# NEITHER, so CH's contrib pin is final version 3.
+_WYP = (0xA0761D6478BD642F, 0xE7037ED1A0B428DB,
+        0x8EBC6AF09C88C6E3, 0x589965CC75374CC3)
+
+
+def _wymix(a: int, b: int) -> int:
+    r = (a & _M64) * (b & _M64)
+    return (r & _M64) ^ (r >> 64)
+
+
+def _wyr3(p: bytes, k: int) -> int:
+    return (p[0] << 16) | (p[k >> 1] << 8) | p[k - 1]
+
+
+def _wyhash64(key: bytes, seed: int = 0) -> int:
+    """wyhash final version 3 (wangyi-fudan/wyhash), default secret —
+    CH ``wyHash64(s)`` is this with seed 0 (reference name pinned in
+    clickhouse_sinker's supported-function surface via the CH server it
+    targets; algorithm pinned against the CH docs vector + the
+    published final-v3 test vectors, see _WYP note)."""
+    p, ln = key, len(key)
+    seed = (seed ^ _WYP[0]) & _M64
+    if ln <= 16:
+        if ln >= 4:
+            a = ((_fetch32(p) << 32)
+                 | _fetch32(p, (ln >> 3) << 2))
+            b = ((_fetch32(p, ln - 4) << 32)
+                 | _fetch32(p, ln - 4 - ((ln >> 3) << 2)))
+        elif ln > 0:
+            a, b = _wyr3(p, ln), 0
+        else:
+            a = b = 0
+    else:
+        i, off = ln, 0
+        if i > 48:
+            see1 = see2 = seed
+            while True:
+                seed = _wymix(_fetch64(p, off) ^ _WYP[1],
+                              _fetch64(p, off + 8) ^ seed)
+                see1 = _wymix(_fetch64(p, off + 16) ^ _WYP[2],
+                              _fetch64(p, off + 24) ^ see1)
+                see2 = _wymix(_fetch64(p, off + 32) ^ _WYP[3],
+                              _fetch64(p, off + 40) ^ see2)
+                off += 48
+                i -= 48
+                if i <= 48:
+                    break
+            seed ^= see1 ^ see2
+        while i > 16:
+            seed = _wymix(_fetch64(p, off) ^ _WYP[1],
+                          _fetch64(p, off + 8) ^ seed)
+            i -= 16
+            off += 16
+        a = _fetch64(p, off + i - 16)
+        b = _fetch64(p, off + i - 8)
+    return _wymix(_WYP[1] ^ ln, _wymix(a ^ _WYP[1], b ^ seed))
+
+
 def _dec_ident(v: int):
     from decimal import Decimal
 
@@ -1973,6 +2038,93 @@ def _ks_test(pairs):
     return {"_1": d, "_2": min(1.0, max(0.0, 2.0 * s))}
 
 
+def _ks_exact_pvalue(n0: int, n1: int, h: int) -> float:
+    """Exact two-sample KS p-value P(D ≥ h/(n0·n1)) under H0 — all
+    C(n0+n1, n0) interleavings equally likely (the no-ties permutation
+    null, the same convention R's ks.test and scipy's method='exact'
+    use; CH's own 'exact' cites the identical construction, Schröer &
+    Trenkler 1995 / Viehmann 2021).  Complement of the inside-count
+    lattice DP: A[i][j] = A[i-1][j] + A[i][j-1] while |i·n1 − j·n0| < h
+    (strict — reaching EXACTLY h counts as D ≥ h), so
+    p = 1 − A[n0][n1]/C(n0+n1, n0).  h is an exact INTEGER (max of
+    |c0·n1 − c1·n0| over the tie-group walk), so there is no rounding
+    convention at all — the boundary cases that make float·n0·n1
+    snapping ambiguous cannot arise.  Numerics: per-row the inside band
+    is one contiguous j-interval, so each row is a single numpy cumsum;
+    counts are renormalized by 2⁻⁵¹² when large and the final ratio
+    goes through logs (lgamma) — exact-integer-verified against a
+    brute-force path-counting model in tests/test_properties.py.
+    p values below ~1e-15 underflow to 0.0 through the final ``1 −
+    ratio`` subtraction (same surface scipy documents for its exact
+    mode)."""
+    from math import exp, lgamma, log
+
+    import numpy as np
+
+    if h <= 0:
+        return 1.0
+    a = np.zeros(n1 + 1)
+    a[: min(n1, (h - 1) // n0) + 1] = 1.0  # row 0: j·n0 < h
+    shift = 0
+    for i in range(1, n0 + 1):
+        # inside band: i*n1 - h < j*n0 < i*n1 + h
+        jlo = max(0, (i * n1 - h) // n0 + 1)
+        jhi = min(n1, -((-(i * n1 + h)) // n0) - 1)  # (ceil of y) - 1 < y
+        b = np.zeros(n1 + 1)
+        if jlo <= jhi:
+            b[jlo:jhi + 1] = np.cumsum(a[jlo:jhi + 1])
+        a = b
+        m = a.max()
+        if m > 1e280:
+            a *= 2.0 ** -512
+            shift += 512
+    inside = a[n1]
+    if inside <= 0.0:
+        return 1.0
+    log_inside = log(inside) + shift * log(2.0)
+    log_comb = (lgamma(n0 + n1 + 1) - lgamma(n0 + 1) - lgamma(n1 + 1))
+    return min(1.0, max(0.0, 1.0 - exp(log_inside - log_comb)))
+
+
+def _ks_test_exact(pairs, auto: bool = False):
+    """CH ``kolmogorovSmirnovTest('two-sided', 'exact')`` (and 'auto'):
+    the same tie-group D walk as :func:`_ks_test`, plus the exact
+    integer deviation h = max |c0·n1 − c1·n0| feeding the lattice-path
+    p-value.  'auto' follows the CH docs rule — 'exact' while
+    max(n0, n1) ≤ 10 000, else the asymptotic series (the threshold is
+    stated in CH's kolmogorovsmirnovtest.md).  Ties: D is tie-aware but
+    the permutation null is the standard continuous-case lattice (the
+    R/scipy convention; stated because no local CH instance can pin the
+    tie surface)."""
+    if pairs is None:
+        return None
+    vals = sorted((float(p["v"]), int(p["i"])) for p in pairs)
+    n = len(vals)
+    n0 = sum(1 for _, i in vals if i == 0)
+    n1 = n - n0
+    if n0 == 0 or n1 == 0:
+        return {"_1": None, "_2": None}
+    if auto and max(n0, n1) > 10_000:
+        return _ks_test(pairs)
+    c0 = c1 = 0
+    d = 0.0
+    h = 0
+    k = 0
+    while k < n:
+        j = k
+        while j + 1 < n and vals[j + 1][0] == vals[k][0]:
+            j += 1
+        for m in range(k, j + 1):
+            if vals[m][1] == 0:
+                c0 += 1
+            else:
+                c1 += 1
+        d = max(d, abs(c0 / n0 - c1 / n1))
+        h = max(h, abs(c0 * n1 - c1 * n0))
+        k = j + 1
+    return {"_1": d, "_2": _ks_exact_pvalue(n0, n1, h)}
+
+
 def _lttb(pairs, n_out: int):
     """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
     "Downsampling Time Series for Visual Representation", §4.2 — the
@@ -2465,6 +2617,13 @@ _UDF_SPECS = {
         _map1(_dec(lambda v: _city64(_u64_bytes(v)))),
         "decimal(20,0)",
     ),
+    # wyHash64 — wyhash final version 3, seed 0 (revision pinned
+    # empirically: CH docs vector + all published f3 test vectors, see
+    # the _WYP note; string-only like CH's own signature)
+    "ch_wyhash64": (
+        _map1(_dec(lambda s: _wyhash64(s.encode("utf-8")))),
+        "decimal(20,0)",
+    ),
     "ch_murmur2_32_ch": (
         _map1(lambda s: _murmur2_32(s.encode("utf-8"))),
         "bigint",
@@ -2800,6 +2959,24 @@ _UDF_SPECS = {
         lambda s1: pd.DataFrame(
             [(lambda r: {"_1": None, "_2": None} if r is None else r)(
                 _ks_test(a))
+             for a in s1]
+        ),
+        "struct<_1: double, _2: double>",
+    ),
+    # r11: the 'exact' lattice-path p-value (brute-force-model-pinned in
+    # tests/test_properties.py) and the 'auto' size switch (≤10k → exact)
+    "ch_ks_test_exact": (
+        lambda s1: pd.DataFrame(
+            [(lambda r: {"_1": None, "_2": None} if r is None else r)(
+                _ks_test_exact(a))
+             for a in s1]
+        ),
+        "struct<_1: double, _2: double>",
+    ),
+    "ch_ks_test_auto": (
+        lambda s1: pd.DataFrame(
+            [(lambda r: {"_1": None, "_2": None} if r is None else r)(
+                _ks_test_exact(a, auto=True))
              for a in s1]
         ),
         "struct<_1: double, _2: double>",

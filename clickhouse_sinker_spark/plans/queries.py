@@ -9779,6 +9779,241 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CH_DIALECT_HASH_CLOSURES = """
+    WITH s AS (
+        SELECT toFloat64(value) AS v, user_id % 2 AS i
+        FROM (SELECT value, user_id,
+                     row_number() OVER (PARTITION BY user_id % 2
+                                        ORDER BY value, event_id) AS rn
+              FROM events)
+        WHERE rn <= 6
+    )
+    SELECT toInt64(round(tupleElement(
+               kolmogorovSmirnovTest('two-sided', 'exact')(v, i), 1)
+               * 36)) AS ks_h,
+           toInt64(round(tupleElement(
+               kolmogorovSmirnovTest('two-sided', 'exact')(v, i), 2)
+               * 924)) AS ks_paths,
+           toInt64(round(tupleElement(
+               kolmogorovSmirnovTest(v, i), 2) * 924)) AS ks_paths_auto,
+           toString(wyHash64('ClickHouse')) AS wy,
+           arrayStringConcat(arrayMap(p ->
+               concat(toString(toInt64(tupleElement(p, 1))), ':',
+                      toString(toInt64(tupleElement(p, 2)))),
+               polygonConvexHullCartesian([[(0., 0.), (4., 0.), (4., 4.),
+                   (0., 4.), (2., 2.), (2., 0.), (1., 1.)]])[1]),
+               ';') AS hull,
+           count(*) AS n
+    FROM s
+"""
+
+
+@query(
+    "ch_dialect_hash_closures",
+    """
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS v, user_id % 2 AS i
+      FROM (SELECT value, user_id,
+                   row_number() OVER (PARTITION BY user_id % 2
+                                      ORDER BY value, event_id) AS rn
+            FROM events)
+      WHERE rn <= 6
+    ),
+    walk AS (
+      SELECT v,
+        SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) OVER
+          (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS c0,
+        SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END) OVER
+          (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS c1
+      FROM s
+    ),
+    hh AS (SELECT max(abs(c0 * 6 - c1 * 6)) AS h FROM walk),
+    mm AS (SELECT CAST(m AS BIGINT) AS m FROM range(0, 4096) t(m)
+           WHERE bit_count(CAST(m AS BIGINT)) = 6),
+    mw AS (
+      SELECT m, r.p AS pos,
+             SUM((m >> CAST(r.p AS INT)) & 1) OVER
+               (PARTITION BY m ORDER BY r.p) AS b0
+      FROM mm CROSS JOIN range(0, 12) r(p)
+    ),
+    mdev AS (SELECT m, max(abs(b0 * 6 - ((pos + 1) - b0) * 6)) AS mx
+             FROM mw GROUP BY m),
+    pv AS (SELECT SUM(CASE WHEN mx >= (SELECT h FROM hh)
+                           THEN 1 ELSE 0 END) AS k
+           FROM mdev)
+    SELECT CAST((SELECT h FROM hh) AS BIGINT) AS ks_h,
+           CAST((SELECT k FROM pv) AS BIGINT) AS ks_paths,
+           CAST((SELECT k FROM pv) AS BIGINT) AS ks_paths_auto,
+           '12336419557878201794' AS wy,
+           '0:0;0:4;4:4;4:0;0:0' AS hull,
+           CAST(12 AS BIGINT) AS n
+    """,
+)
+def ch_dialect_hash_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 refusal-tail closures in one driver row (VERDICT r10
+    orders #4, #5, #7):
+
+    * ``kolmogorovSmirnovTest('two-sided', 'exact')`` — over a
+      deterministic 6-vs-6 sample (row_number by unique (value,
+      event_id)), reported as INTEGERS so the comparison is exact: the
+      deviation h = D·36 and the interleaving count k = p·C(12,6) =
+      p·924.  The DuckDB oracle is DEFINITION-LEVEL independent: it
+      enumerates all 924 six-of-twelve bitmasks with range()/bit_count
+      and walks each interleaving's deviation relationally — no lattice
+      DP, no shared code path.  The parameterless form (CH defaults
+      'two-sided'/'auto' → exact at these sizes) rides the same row.
+    * ``wyHash64`` — the CH docs vector 'ClickHouse' →
+      12336419557878201794 (wyhash final version 3, seed 0; revision
+      identified empirically in tests/test_chhashes.py).
+    * ``polygonConvexHullCartesian`` — interior point (2,2), (1,1) and
+      collinear edge point (2,0) dropped; oracle ring derived from the
+      pinned boost graham_andrew convention (clockwise, closed, lex-min
+      start — see _convex_hull_fold), rendered as integers to avoid
+      float-text parity.
+
+    Scale: the sample subquery is one window over events (the only
+    shuffle); three grouped Arrow folds on 12-row state; the hash and
+    hull are translate-time/scalar constants."""
+    from ..functions.chdialect import ch_sql
+
+    return ch_sql(spark, CH_DIALECT_HASH_CLOSURES, sf_dir)
+
+
+@query(
+    "pipeline_full_curation",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, lang, n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tokens
+      FROM documents WHERE lang IN ('en', 'de', 'fr')
+    ),
+    gated AS (SELECT * FROM toks WHERE n_tokens BETWEEN 10 AND 5000),
+    surv AS (
+      SELECT * FROM (SELECT *, row_number() OVER
+                       (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+                     FROM gated) WHERE rk = 1
+    ),
+    sh AS (
+      SELECT doc_id AS id, sh.shingles, len(sh.shingles) AS n_sh
+      FROM surv,
+           LATERAL (SELECT CASE WHEN len(tk) < 3
+                                THEN [array_to_string(tk, ' ')]
+                                ELSE list_distinct([array_to_string(
+                                    tk[i:i+2], ' ')
+                                    for i in range(1, len(tk) - 1)])
+                           END AS shingles
+                    FROM (SELECT regexp_split_to_array(trim(text),
+                                                       '\\s+') AS tk)) sh
+    ),
+    ex AS (SELECT id, n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING CAST(COUNT(*) AS DOUBLE)
+             / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) >= 0.2
+    ),
+    kept AS (SELECT * FROM surv
+             WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+    quality AS (SELECT * FROM kept
+                WHERE CAST(n_chars AS DOUBLE) / n_tokens
+                      BETWEEN 4.75 AND 6.5),
+    sp AS (
+      SELECT *, CASE WHEN ((doc_id * 2654435761) % 2147483648) % 100 < 80
+                     THEN 'train'
+                     WHEN ((doc_id * 2654435761) % 2147483648) % 100 < 90
+                     THEN 'val' ELSE 'test' END AS split
+      FROM quality
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CAST(ceil(CAST(n_tokens AS DOUBLE) / 32.0)
+                         AS BIGINT)) AS BIGINT) AS n_chunks
+    FROM sp GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED end-to-end curation pipeline (VERDICT r10 stretch order
+    #10) — every stage of the LLM-data tier in ONE declarative plan:
+
+      language gate → token-length gate → exact dedup (min-id survivor)
+      → MinHash-LSH near-dedup (keep-lowest-id, drop its later
+      near-dups) → quality gate (mean token length 4.75–6.5) →
+      deterministic Knuth-hash 80/10/10 split → 32-token chunk packing
+      stats per (split, lang).
+
+    The Spark side runs the SCALE path — banded MinHash-LSH with exact
+    re-verification (operators/dedup.py:316, the same signature/band
+    machinery dedup_minhash_lsh hash-proved green r07+r10; on this
+    corpus every true pair at jaccard ≥ 0.2 band-collides, so LSH ≡
+    exact) — while the DuckDB oracle recomputes the near-dup pair set
+    from EXACT 3-gram Jaccard, plus every other stage relationally.
+    Near-dedup survivorship is one-hop keep-first (drop any doc that is
+    the HIGHER id of a qualifying pair), deterministic and identical in
+    both engines — no transitive closure, so the stage stays one
+    band-join + one anti-join at 100 TB.
+
+    Scale: gates and fingerprints are map-side on the scan; the dedup
+    groupBy carries only (fp, id) pairs; MinHash signatures are
+    map-side, candidate pairs travel as narrow (id, band_hash) keys;
+    the drop set is tiny → broadcast anti-join; the final aggregate is
+    a 6-key groupBy.  One pass over the corpus, no materialization."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks))
+    gated = (
+        d.filter(F.col("lang").isin("en", "de", "fr"))
+        .withColumn("n_tokens", n_tokens)
+        .filter(F.col("n_tokens").between(10, 5000))
+    )
+    surv = (
+        gated.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    pairs = minhash_lsh_pairs(
+        surv.select("doc_id", "text"), "text", "doc_id",
+        n=3, num_perm=64, bands=16, threshold=0.2,
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = surv.join(F.broadcast(drops), "doc_id", "left_anti")
+    quality = kept.filter(
+        (F.col("n_chars").cast("double") / F.col("n_tokens"))
+        .between(4.75, 6.5)
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2**31)),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        quality.select(
+            split.alias("split"), "lang", "n_tokens", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum(F.ceil(F.col("n_tokens").cast("double") / 32.0)
+                  .cast("bigint")).cast("bigint").alias("n_chunks"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window ordering
 #
@@ -9788,82 +10023,78 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # It never changes between two calls in the same checkout; any change to it
 # is an ordinary reviewed source edit.
 #
-# Layout of ``DRIVER_ORDER`` (round 10: staleness rotation per VERDICT r9
-# order #3 — reds first, new first-time hashes, then the ENTIRE
-# r06-latest block, then as many displaced anchors as fit) — 50 slots:
-# 1. The two r9 RED rows (ch_dialect_array_split, ch_dialect_assoc2) —
-#    output-shape fix (raw ARRAY result columns serialized per repo
-#    convention); must re-hash green this round.
-# 2. The round-10 additions (first-time hashes).
-# 3. The 41 queries whose latest green is r06 (3 rounds old — skipping
-#    any of them would breach the max-hash-age ≤ 3 bar at r11).
-# 4. The 7 r10 first-time hashes fill the window to exactly 50 — every
-#    displaced r07 anchor of the r9-verdict list (tpch_q9_profit,
-#    window_sessionize, agg_grouping_sets, etl_parse_project,
-#    dedup_minhash_lsh, knn_cosine_topk, ch_dialect_hourly_stats,
-#    mm_binary_meta; the first of these plus etl_parse_project and
-#    dedup_minhash_lsh are bench-exercised every round regardless) is
-#    r07-latest (age 3 at r10 — inside the bar) and MUST lead the r11
-#    rotation together with the 48-query r07-latest block.
+# Layout of ``DRIVER_ORDER`` (round 11: staleness rotation per VERDICT r10
+# order #2 — the ENTIRE 48-query r07-latest block leads the window; it is
+# exactly 3 rounds stale and must not reach 4) — 50 slots:
+# 1. The round-11 additions (first-time hashes) — 2 slots, keeping
+#    never-driver-checked at zero.
+# 2. All 48 queries whose latest green is r07 (from
+#    ``tools/driver_coverage.py``), in its reported order: the displaced
+#    r07 anchors of the r9 verdict list (etl_parse_project,
+#    tpch_q9_profit, dedup_minhash_lsh, knn_cosine_topk,
+#    window_sessionize, agg_grouping_sets, mm_binary_meta,
+#    ch_dialect_hourly_stats, …) plus the rest of the r07 block.
+# After this round's run the latest-green distribution becomes
+# 50 r08 / 48 r09 / 50 r10 / 50 r11 → max hash age stays ≤ 3; the
+# 50-query r08-latest block is r12's mandatory rotation.
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
-    # --- the two r9 red rows, fixed (array columns now serialized) ---
-    "ch_dialect_array_split",
-    "ch_dialect_assoc2",
-    # --- round-10 additions (first-time hashes) ---
-    "ch_dialect_kstest",
-    "ch_dialect_geo_cells",
-    "ch_dialect_lttb",
-    "ch_dialect_summap_overflow",
-    "pipeline_ccnet_buckets",
-    "corpus_ngram_novelty",
-    "text_bm25_topk",
-    # --- the r06-latest block (oldest hashes in the registry) ---
-    "ts_ohlc_hourly",
-    "ts_counter_increase",
-    "window_range_trailing_hour",
-    "emb_quantize_int8",
-    "knn_range_search",
-    "dedup_incremental_minhash",
-    "pipeline_split_assign",
-    "pipeline_chunk_documents",
-    "dedup_components_star",
-    "knn_ivf_trained",
-    "asof_join_tolerance",
-    "tpch_q4_semijoin",
-    "tpch_q12_case_agg",
-    "window_moving_avg",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returns",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_customers",
-    "tpch_q2_top_supplier_region",
-    "window_cumulative_revenue",
-    "window_lag_delta",
-    "agg_cube_orders",
-    "agg_pivot_status",
-    "funnel_signup_purchase",
-    "retention_next_day",
-    "agg_percentile_qty",
-    "dedup_semantic_clusters",
-    "tpch_q11_important_stock",
-    "tpch_q20_top_shippers",
-    "tpch_q21_last_shipper",
-    "ch_dialect_final",
-    "ch_dialect_window_funnel",
-    "ch_dialect_funnel_strict",
-    "ch_dialect_retention",
-    "ch_dialect_sequence_match",
+    # --- round-11 additions (first-time hashes) ---
+    "ch_dialect_hash_closures",
+    "pipeline_full_curation",
+    # --- the r07-latest block (oldest hashes in the registry, age 3) ---
+    "etl_parse_project",
+    "etl_saturating_cast",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "quality_charlm_score",
+    "dedup_components",
+    "mm_binary_meta",
+    "tpch_q6_forecast",
+    "agg_grouping_sets",
+    "mm_image_features",
+    "etl_nested_path",
+    "etl_nested_path_escaped",
+    "window_sessionize",
+    "dedup_embedding_blocked",
+    "text_regex_tokens",
+    "tpch_q9_profit",
+    "pipeline_clean_corpus",
+    "emb_centroid_per_label",
+    "mm_audio_features",
+    "mm_resize_images",
+    "mm_png_decode_real",
+    "corpus_stats_per_lang",
+    "ch_dialect_hourly_stats",
+    "ch_dialect_time_windows",
+    "ch_dialect_string_udfs",
+    "ch_dialect_ttests",
+    "ch_dialect_rank_corr",
+    "ch_dialect_digests",
+    "ch_dialect_assoc",
+    "ch_dialect_ipv6",
+    "ch_dialect_array_profile",
+    "ch_dialect_json_props",
+    "ch_dialect_stats_buckets",
+    "ch_dialect_array_join",
+    "ch_dialect_with_totals",
+    "ch_dialect_limit_by",
+    "ch_dialect_funnel_increase",
+    "ch_dialect_with_fill",
+    "ch_dialect_asof_join",
+    "ch_dialect_text_funcs",
+    "ch_dialect_url_readable",
+    "ch_dialect_sum_map",
+    "ch_dialect_agg_combinators",
+    "ch_dialect_math_entropy",
+    "ch_dialect_net_moments",
+    "ch_dialect_qualify",
+    "ch_dialect_right_any_join",
+    "ch_dialect_sequence_timed",
 ]
 
 DRIVER_WINDOW = 50

@@ -2389,7 +2389,6 @@ def test_batch3_array_map_stat_tail(spark):
         g, _ = translate_ch_sql("SELECT throwIf(n > 2, 'boom') FROM t")
         spark.sql(g).collect()
     for bad in (
-        "SELECT kolmogorovSmirnovTest(v, g) FROM t",
         "SELECT lemmatize('en', s) FROM t",
         "SELECT detectLanguage(s) FROM t",
         "SELECT regionToName(5)",  # geohashEncode/Decode translate since r8
@@ -3629,11 +3628,41 @@ def test_kolmogorov_smirnov(spark):
     )
     r3 = spark.sql(got3).collect()[0]
     assert r3["ks"]["_1"] == 0.0 and r3["ks"]["_2"] == 1.0
+    # r11: 'exact' translates — hand-countable case: samples {1,2,5} vs
+    # {3,4,6}: walk deviations (in units of 1/9) 3,6,3,0,3,0 → D = 6/9;
+    # of the C(6,3)=20 interleavings, 12 reach |dev| ≥ 6 → p = 0.6
+    got4, _ = translate_ch_sql(
+        "SELECT kolmogorovSmirnovTest('two-sided', 'exact')(v, i) AS ks"
+        " FROM VALUES (1.0,0),(2.0,0),(5.0,0),(3.0,1),(4.0,1),(6.0,1)"
+        " AS x(v, i)"
+    )
+    r4 = spark.sql(got4).collect()[0]
+    assert abs(r4["ks"]["_1"] - 2.0 / 3.0) < 1e-15
+    assert abs(r4["ks"]["_2"] - 0.6) < 1e-12
+    # disjoint samples, exact: only the 2 fully-separated interleavings
+    # of C(6,3)=20 reach D=1... every interleaving reaches h=9? No —
+    # h = 9 (D=1) is reached only when one sample fully precedes the
+    # other: p = 2/20 = 0.1
+    got5, _ = translate_ch_sql(
+        "SELECT kolmogorovSmirnovTest('two-sided', 'exact')(v, i) AS ks"
+        " FROM VALUES (1.0,0),(2.0,0),(3.0,0),(4.0,1),(5.0,1),(6.0,1)"
+        " AS x(v, i)"
+    )
+    r5 = spark.sql(got5).collect()[0]
+    assert r5["ks"]["_1"] == 1.0 and abs(r5["ks"]["_2"] - 0.1) < 1e-12
+    # parameterless form = CH defaults ('two-sided', 'auto') → exact at
+    # these sizes: same result as got5
+    got6, _ = translate_ch_sql(
+        "SELECT kolmogorovSmirnovTest(v, i) AS ks"
+        " FROM VALUES (1.0,0),(2.0,0),(3.0,0),(4.0,1),(5.0,1),(6.0,1)"
+        " AS x(v, i)"
+    )
+    r6 = spark.sql(got6).collect()[0]
+    assert r6["ks"]["_1"] == 1.0 and abs(r6["ks"]["_2"] - 0.1) < 1e-12
     for bad in (
-        "SELECT kolmogorovSmirnovTest(v, i) FROM t",
-        "SELECT kolmogorovSmirnovTest('two-sided', 'exact')(v, i) FROM t",
-        "SELECT kolmogorovSmirnovTest('two-sided', 'auto')(v, i) FROM t",
         "SELECT kolmogorovSmirnovTest('greater', 'asymp')(v, i) FROM t",
+        "SELECT kolmogorovSmirnovTest('less', 'exact')(v, i) FROM t",
+        "SELECT kolmogorovSmirnovTest('two-sided', 'bogus')(v, i) FROM t",
     ):
         with pytest.raises(ChTranslationError):
             translate_ch_sql(bad)

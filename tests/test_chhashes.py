@@ -562,3 +562,61 @@ def test_xxh3_translation_gate():
         translate_ch_sql("SELECT xxh3(x) FROM t")
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT xxh3('a', 'b') FROM t")
+
+
+# ---------------------------------------------------------------------------
+# wyHash64 — wyhash final version 3 (r11; the REVISION question of the
+# r10 VERDICT order #4 settled empirically)
+# ---------------------------------------------------------------------------
+
+def test_wyhash64_ch_docs_vector():
+    """The ClickHouse docs example (hash-functions.md): wyHash64(
+    'ClickHouse') = 12336419557878201794 — computed by a live CH
+    server, so matching it pins BOTH the algorithm revision and the
+    seed (0) / secret (default) choices at once."""
+    from clickhouse_sinker_spark.functions.chudfs import _wyhash64
+
+    assert _wyhash64(b"ClickHouse") == 12336419557878201794
+
+
+def test_wyhash64_final_v3_published_vectors():
+    """All seven test vectors published in wangyi-fudan/wyhash for
+    final version 3 (test_vector.cpp; seed = vector index) — they
+    cover every length branch: 0, 1-3 (_wyr3), 4-16 (dual 4-byte
+    reads), 17-48 (single-lane loop), >48 (three-lane loop).  wyhash
+    final version 4 matches NONE of these (its seed initialisation and
+    final mix differ), which is how the contrib revision was
+    identified."""
+    from clickhouse_sinker_spark.functions.chudfs import _wyhash64
+
+    vectors = [
+        (b"", 0, 0x42BC986DC5EEC4D3),
+        (b"a", 1, 0x84508DC903C31551),
+        (b"abc", 2, 0x0BC54887CFC9ECB1),
+        (b"message digest", 3, 0x6E2FF3298208A67C),
+        (b"abcdefghijklmnopqrstuvwxyz", 4, 0x9A64E42E897195B9),
+        (b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+         b"0123456789", 5, 0x9199383239C32554),
+        (b"1234567890123456789012345678901234567890123456789012345678"
+         b"9012345678901234567890", 6, 0x7C1CCF6BBA30F5A5),
+    ]
+    for data, seed, want in vectors:
+        assert _wyhash64(data, seed) == want, data
+
+
+def test_wyhash64_translation_gate():
+    from clickhouse_sinker_spark.functions.chdialect import (
+        ChTranslationError,
+        translate_ch_sql,
+    )
+
+    out, _ = translate_ch_sql("SELECT wyHash64('ClickHouse') AS h FROM t")
+    assert "ch_wyhash64('ClickHouse')" in out
+    # CH's signature is wyHash64(string) — integers refuse instead of
+    # silently hashing a stringified value
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT wyHash64(toUInt64(7)) FROM t")
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT wyHash64(x) FROM t")
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql("SELECT wyHash64('a', 'b') FROM t")

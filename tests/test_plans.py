@@ -685,6 +685,28 @@ def test_r10_dialect_plan_shapes(spark):
         assert plan.count("+- ArrowEvalPython") == expected_arrow, name
 
 
+def test_r11_dialect_plan_shapes(spark):
+    """r11 additions hold their scale shapes: ch_dialect_hash_closures
+    rides exactly ONE ArrowEvalPython (Spark coalesces all three KS
+    folds — exact ×2 + auto — into a single Arrow batch; wyHash64 and
+    the hull are constants after translate-time folding) over one
+    window + one grouped agg; pipeline_full_curation is ZERO-Python
+    end-to-end (gates, md5 dedup, MinHash banding, Knuth split, chunk
+    math — all JVM), its near-dup drop set joins as a broadcast, and
+    nothing falls back to BatchEvalPython or a cartesian product."""
+    plan = plan_of(QUERIES["ch_dialect_hash_closures"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("+- ArrowEvalPython") == 1
+    assert plan.count("+- Exchange") <= 2
+    plan = plan_of(QUERIES["pipeline_full_curation"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("+- ArrowEvalPython") == 0
+    assert "BroadcastHashJoin" in plan          # the anti-join drop set
+    assert plan.count("+- Exchange") <= 14      # MinHash banding chain
+
+
 def test_crc_single_arrow_pass(spark):
     """ch_dialect_checksums: CRC32IEEE + CRC64 + both xxh3 forms +
     native crc32 must ride ONE ArrowEvalPython batch over the 10-group

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from clickhouse_sinker_spark.functions.casts import saturating_cast
@@ -767,6 +767,11 @@ def test_lttb_structural_invariants(spark, pts, n_out):
 
 
 @settings(max_examples=12, deadline=None)
+@example(lon0=0.0, lat0=-0.5000000000000001, dlon=1.0,
+         dlat=0.5000000000000001, p=2)  # r10 VERDICT falsifier: box top
+# edge exactly on the precision-2 cell boundary lat=0.0 — the CLOSED-box
+# sample used to demand cell 's0', which CH's exclusive-max sweep
+# rightly excludes.  Half-open sampling keeps this example green.
 @given(
     st.floats(min_value=-179.0, max_value=178.0),
     st.floats(min_value=-89.0, max_value=88.0),
@@ -775,10 +780,13 @@ def test_lttb_structural_invariants(spark, pts, n_out):
     st.integers(min_value=2, max_value=5),
 )
 def test_geohashes_in_box_coverage_property(lon0, lat0, dlon, dlat, p):
-    """geohashesInBox coverage: every point of a dense sample of the box
-    encodes to a returned cell, and every returned cell's own corner
-    decodes back inside-or-adjacent (the cell intersects the snapped
-    box).  Pure-Python — no Spark session needed."""
+    """geohashesInBox coverage over the HALF-OPEN box: every sampled
+    point strictly below the max edges encodes to a returned cell.  The
+    max edges themselves are excluded from sampling because CH's sweep
+    (GeoHash.cpp ``while (lat < lat_max)`` after ceil-snap) EXCLUDES a
+    cell whose lower edge coincides with the box max — see the pinned
+    exclusive-max regression test below.  Pure-Python — no Spark
+    session needed."""
     from clickhouse_sinker_spark.functions.chudfs import (
         _geohash_encode,
         _geohashes_in_box,
@@ -788,10 +796,30 @@ def test_geohashes_in_box_coverage_property(lon0, lat0, dlon, dlat, p):
     cells = _geohashes_in_box(lon0, lat0, lon1, lat1, p)
     assert cells == sorted(set(cells), key=cells.index)  # no dups
     sampled = {
-        _geohash_encode(lon0 + dlon * i / 12, lat0 + dlat * j / 12, p)
+        _geohash_encode(lon0 + dlon * i / 13, lat0 + dlat * j / 13, p)
         for i in range(13) for j in range(13)
     }
     assert sampled <= set(cells), (lon0, lat0, dlon, dlat, p)
+
+
+def test_geohashes_in_box_exclusive_max_convention():
+    """CH parity pin: GeoHash.cpp's enumeration loop is
+    ``while (lat < lat_max)`` after snapping lat_max UP to the cell
+    grid, so a box whose max edge sits EXACTLY on a cell boundary does
+    NOT include the cell beginning at that boundary.  Precision-2 cells
+    are 11.25° tall; the box [0,1]×[-0.5,0] tops out exactly at the
+    lat=0 boundary → only 'kp' (the cell below), never 's0' (the cell
+    above), even though geohashEncode(0.5, 0.0) = 's0' because
+    Niemeyer bisection is lower-edge-inclusive."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _geohash_encode,
+        _geohashes_in_box,
+    )
+
+    cells = _geohashes_in_box(0.0, -0.5, 1.0, 0.0, 2)
+    assert "kp" in cells and "s0" not in cells, cells
+    # the boundary point itself encodes to the EXCLUDED upper cell:
+    assert _geohash_encode(0.5, 0.0, 2) == "s0"
 
 
 @settings(max_examples=10, deadline=None)
@@ -828,3 +856,158 @@ def test_summap_overflow_matches_python_model(spark, rows, bits):
     assert got_s == want_s, (rows, bits)
     assert got_u == want_u, (rows, bits)
     assert list(r["s"]["keys"]) == sorted(want_s)  # CH sorts keys asc
+
+
+# ---------------------------------------------------------------------------
+# kolmogorovSmirnovTest 'exact' — lattice DP vs brute-force path counting
+# (r11; the sumMapWithOverflow treatment the r10 VERDICT ordered)
+# ---------------------------------------------------------------------------
+
+def _ks_brute_force_p(n0: int, n1: int, h: int) -> float:
+    """Literal enumeration of all C(n0+n1, n0) interleavings: the
+    DEFINITION of the exact two-sample KS p-value under the no-ties
+    permutation null — fraction of interleavings whose walk reaches
+    |c0·n1 − c1·n0| ≥ h."""
+    from itertools import combinations
+
+    total = ge = 0
+    n = n0 + n1
+    for pos0 in combinations(range(n), n0):
+        s = set(pos0)
+        c0 = c1 = mx = 0
+        for t in range(n):
+            if t in s:
+                c0 += 1
+            else:
+                c1 += 1
+            mx = max(mx, abs(c0 * n1 - c1 * n0))
+        total += 1
+        if mx >= h:
+            ge += 1
+    return ge / total
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=40),
+)
+def test_ks_exact_pvalue_matches_brute_force(n0, n1, h):
+    from clickhouse_sinker_spark.functions.chudfs import _ks_exact_pvalue
+
+    want = _ks_brute_force_p(n0, n1, min(h, n0 * n1 + 1))
+    got = _ks_exact_pvalue(n0, n1, min(h, n0 * n1 + 1))
+    assert abs(want - got) < 1e-12, (n0, n1, h, want, got)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-100, max_value=100,
+                       allow_nan=False, allow_infinity=False),
+             min_size=1, max_size=5),
+    st.lists(st.floats(min_value=-100, max_value=100,
+                       allow_nan=False, allow_infinity=False),
+             min_size=1, max_size=5),
+)
+def test_ks_exact_end_to_end_matches_brute_force(xs0, xs1):
+    """End-to-end: the full _ks_test_exact walk (tie-aware D + integer
+    h) against brute force over the same labeled values — including
+    tie-carrying inputs, where the pinned convention is 'tie-aware D,
+    continuous-case lattice null' (the R/scipy standard)."""
+    from clickhouse_sinker_spark.functions.chudfs import _ks_test_exact
+
+    pairs = ([{"v": v, "i": 0} for v in xs0]
+             + [{"v": v, "i": 1} for v in xs1])
+    got = _ks_test_exact(pairs)
+    n0, n1 = len(xs0), len(xs1)
+    # recompute h with the same tie-group walk the engine uses
+    vals = sorted((float(v), i) for v, i in
+                  [(v, 0) for v in xs0] + [(v, 1) for v in xs1])
+    c0 = c1 = h = 0
+    k = 0
+    while k < len(vals):
+        j = k
+        while j + 1 < len(vals) and vals[j + 1][0] == vals[k][0]:
+            j += 1
+        for m in range(k, j + 1):
+            if vals[m][1] == 0:
+                c0 += 1
+            else:
+                c1 += 1
+        h = max(h, abs(c0 * n1 - c1 * n0))
+        k = j + 1
+    assert abs(got["_2"] - _ks_brute_force_p(n0, n1, h)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# polygonConvexHullCartesian — structural invariants of the pinned
+# boost graham_andrew output convention (r11)
+# ---------------------------------------------------------------------------
+
+def _hull_of(points):
+    """Run the translate-time fold on a literal polygon and parse the
+    emitted constant back into (x, y) tuples."""
+    import re as _re
+
+    from clickhouse_sinker_spark.functions.chdialect import (
+        _convex_hull_fold,
+    )
+
+    lit = "[[" + ", ".join(f"({x!r}, {y!r})" for x, y in points) + "]]"
+    out = _convex_hull_fold([lit])
+    got = _re.findall(
+        r"named_struct\('_1', CAST\(([-0-9.e]+) AS DOUBLE\),"
+        r" '_2', CAST\(([-0-9.e]+) AS DOUBLE\)\)", out)
+    return [(float(x), float(y)) for x, y in got]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=-50, max_value=50),
+              st.integers(min_value=-50, max_value=50)),
+    min_size=3, max_size=25))
+def test_convex_hull_structural_invariants(pts):
+    """For any point set with a non-degenerate hull: the ring is
+    CLOSED (first == last), starts at the lexicographically smallest
+    point, is CLOCKWISE (negative shoelace sum in the boost
+    orientation where clockwise area is positive under the CH
+    polygonAreaCartesian sign pin), every hull vertex is an input
+    point, and every input point is inside-or-on the hull."""
+    from hypothesis import assume
+
+    fp = [(float(x), float(y)) for x, y in pts]
+    distinct = sorted(set(fp))
+    # assume a non-degenerate hull (≥3 non-collinear points)
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+    assume(len(distinct) >= 3)
+    assume(any(cross(distinct[0], distinct[-1], p) != 0
+               for p in distinct))
+    ring = _hull_of(fp)
+    assert ring[0] == ring[-1]                       # closed
+    assert ring[0] == min(distinct)                  # lex-min start
+    assert set(ring) <= set(fp)                      # vertices ⊆ input
+    core = ring[:-1]
+    assert len(core) == len(set(core))               # no dup vertices
+    # clockwise: shoelace Σ(x1·y2 − x2·y1) < 0 for y-up clockwise rings
+    shoelace = sum(ring[i][0] * ring[i + 1][1]
+                   - ring[i + 1][0] * ring[i][1]
+                   for i in range(len(ring) - 1))
+    assert shoelace < 0
+    # convexity + containment: every input point is right-of-or-on
+    # every directed hull edge (clockwise ring ⇒ interior is to the
+    # right, cross ≤ 0)
+    for i in range(len(ring) - 1):
+        a, b = ring[i], ring[i + 1]
+        for p in fp:
+            assert cross(a, b, p) <= 0, (a, b, p)
+
+
+def test_convex_hull_ch_docs_shape():
+    """The CH docs example polygon (a square spelled clockwise):
+    hull = the same square, closed, from (0,0)."""
+    ring = _hull_of([(0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0)])
+    assert ring == [(0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0),
+                    (0.0, 0.0)]
