@@ -53,6 +53,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_langid",
     "knn_cosine_topk",
+    # r11 flagship: the fused end-to-end curation plan (gate → exact dedup
+    # → MinHash near-dedup → quality → split → chunk stats in one pass)
+    "pipeline_full_curation",
 ]
 
 

@@ -452,6 +452,8 @@ topKWeighted(N)(x, w)        exact: ranked by per-value weight sums,
                              ties by value asc (like topK)
 sumMapFiltered([ks])(k, v)   per-row map_filter before the sumMap fold
 sumMapWithOverflow(k, v)     sumMap fold, values wrapped mod 2^bits
+sumMapFilteredWithOverflow   both composed (r11): filter before the
+ ([ks])(k, v)                width-gated modular fold
                              (width from the to[U]IntN spelling)
 mapPopulateSeries(k, v[, m]) sequence(min, max) fill, absent keys → 0;
                              keys widened to BIGINT (noted)
@@ -1020,9 +1022,8 @@ _UNSUPPORTED = {
                              # popcount-branch structure of a from-memory
                              # transcription.  Refused until the source
                              # or a verifier is locally available.
-    "sumMapFilteredWithOverflow",  # (sumMapWithOverflow translates; the
-                             # filtered+overflow composition stays
-                             # refused pending a width-visible use case)
+    # sumMapFilteredWithOverflow translates as of r11 (the filtered
+    # per-row map composed into the width-gated modular fold)
     "groupBitmapAnd",        # bitmap-state aggregates
     "groupBitmapOr",
     "groupBitmapXor",
@@ -3231,6 +3232,28 @@ def _translate_functions(sql: str) -> str:
     # sumWithOverflow) — the recursive arg translation would erase the
     # to[U]IntN width spellings the gate reads; later passes translate
     # the embedded spellings in the emitted fold.
+    # sumMapFilteredWithOverflow([keys])(k, v) (r11, previously refused
+    # "pending a width-visible use case" — the width gate below IS that
+    # case): the sumMapFiltered per-row map_filter composed into the
+    # modular fold.  RAW inner args for the same reason as the unfiltered
+    # form; the keep list translates normally.
+    while True:
+        at = _find_call(sql, "sumMapFilteredWithOverflow")
+        if at < 0:
+            break
+        open1 = sql.index("(", at)
+        end1 = _balanced(sql, open1)
+        rest = sql[end1:].lstrip()
+        if not rest.startswith("("):
+            raise ChTranslationError(
+                "sumMapFilteredWithOverflow requires the"
+                " (keys_to_keep)(keys, values) combinator form")
+        open2 = end1 + (len(sql[end1:]) - len(rest))
+        end2 = _balanced(sql, open2)
+        keep = _translate_functions(sql[open1 + 1 : end1 - 1]).strip()
+        inner = _split_args(sql[open2 + 1 : end2 - 1])
+        sql = (sql[:at] + _sum_map_overflow(inner, keep=keep)
+               + sql[end2:])
     sql = _rewrite_calls_raw(sql, "sumMapWithOverflow", _sum_map_overflow)
     # geohash — Niemeyer's published scheme; decode returns the CELL
     # CENTER (longitude, latitude) like CH
@@ -7099,7 +7122,7 @@ def _agg_map(a: list[str], combine: str, name: str) -> str:
     )
 
 
-def _sum_map_overflow(a: list[str]) -> str:
+def _sum_map_overflow(a: list[str], keep: str | None = None) -> str:
     """``sumMapWithOverflow(keys, values)`` (r10, previously refused):
     the sumMap map_zip_with fold with the ARGUMENT's value width KEPT
     and wrapped — sumWithOverflow's modular DECIMAL(38) machinery
@@ -7110,7 +7133,12 @@ def _sum_map_overflow(a: list[str]) -> str:
     re-reduces mod 2^bits, keeping magnitudes inside DECIMAL(38) at
     every step (mod is a ring homomorphism, so stepwise ≡ final-sum
     wrapping).  Unsigned renders DECIMAL(20,0), signed re-centers to
-    BIGINT — as sumWithOverflow."""
+    BIGINT — as sumWithOverflow.  ``keep`` (r11) is the already-
+    translated keys_to_keep array of the sumMapFilteredWithOverflow
+    combinator: the per-row map is filtered BEFORE the fold, exactly
+    the sumMapFiltered shape, so dropped keys never enter the state —
+    filtering commutes with the per-key modular fold, which is why the
+    composition needs no new convention."""
     if len(a) != 2:
         raise ChTranslationError(
             "sumMapWithOverflow takes (keys_array, values_array) — the"
@@ -7154,6 +7182,9 @@ def _sum_map_overflow(a: list[str]) -> str:
         f"map_from_arrays({a[0]}, transform({a[1]},"
         f" __x -> {wrap('CAST(__x AS DECIMAL(38, 0))')}))"
     )
+    if keep is not None:
+        row = (f"map_filter({row},"
+               f" (__mk, __mv) -> array_contains({keep}, __mk))")
     combine = wrap("coalesce(__a, 0) + coalesce(__b, 0)")
     merged = _bind_arr(
         f"collect_list({row})",

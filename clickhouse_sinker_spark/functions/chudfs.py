@@ -2052,8 +2052,10 @@ def _ks_exact_pvalue(n0: int, n1: int, h: int) -> float:
     snapping ambiguous cannot arise.  Numerics: per-row the inside band
     is one contiguous j-interval, so each row is a single numpy cumsum;
     counts are renormalized by 2⁻⁵¹² when large and the final ratio
-    goes through logs (lgamma) — exact-integer-verified against a
-    brute-force path-counting model in tests/test_properties.py.
+    goes through logs (lgamma) — verified two independent ways in
+    tests/test_properties.py: a brute-force path-counting model at
+    small n, and the published Gnedenko-Korolyuk closed form
+    2·Σ(−1)^{j−1}C(2n, n−jc)/C(2n, n) (equal sizes) up to n = 40.
     p values below ~1e-15 underflow to 0.0 through the final ``1 −
     ratio`` subtraction (same surface scipy documents for its exact
     mode)."""

@@ -3956,6 +3956,26 @@ def test_sum_map_with_overflow(spark):
     assert r["vu"] == "200,255"  # unsigned: 200; 254 + 1
     with pytest.raises(ChTranslationError):
         translate_ch_sql("SELECT sumMapWithOverflow([k], [v]) FROM t")
+    # r11: the filtered+overflow composition — dropped keys never enter
+    # the fold, kept keys wrap exactly as the unfiltered form
+    got2, _ = translate_ch_sql(
+        "SELECT arrayStringConcat("
+        "sumMapFilteredWithOverflow(['a'])([k], [toInt8(v)]).keys, ',')"
+        " AS ks,"
+        " arrayStringConcat(arrayMap(x -> toString(x),"
+        " sumMapFilteredWithOverflow(['a'])([k], [toInt8(v)]).values),"
+        " ',') AS vs"
+        " FROM VALUES ('a', 100), ('a', 100), ('b', 1), ('b', -2)"
+        " AS t(k, v)"
+    )
+    r2 = spark.sql(got2).collect()[0]
+    assert r2["ks"] == "a" and r2["vs"] == "-56"
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql(
+            "SELECT sumMapFilteredWithOverflow(['a'])([k], [v]) FROM t")
+    with pytest.raises(ChTranslationError):
+        translate_ch_sql(
+            "SELECT sumMapFilteredWithOverflow([k], [toInt8(v)]) FROM t")
 
 
 def test_lttb(spark):

@@ -1011,3 +1011,36 @@ def test_convex_hull_ch_docs_shape():
     ring = _hull_of([(0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0)])
     assert ring == [(0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0),
                     (0.0, 0.0)]
+
+
+def test_ks_exact_pvalue_matches_gnedenko_korolyuk_closed_form():
+    """Second, INDEPENDENT pin for the exact-KS lattice DP, at 40× the
+    brute-force scale: for equal sample sizes the two-sided exact
+    p-value has the published closed form (Gnedenko & Korolyuk 1951)
+
+        P(D_{n,n} ≥ c/n) = 2 · Σ_{j≥1} (−1)^{j−1} C(2n, n−jc) / C(2n, n)
+
+    evaluated here in exact rational arithmetic.  With n0 = n1 = n the
+    walk's integer deviation h is always n·c, so the DP's h-parameter
+    maps exactly — no rounding at the interface."""
+    from fractions import Fraction
+    from math import comb
+
+    from clickhouse_sinker_spark.functions.chudfs import _ks_exact_pvalue
+
+    def closed_form(n: int, c: int) -> float:
+        if c <= 0:
+            return 1.0
+        tot = Fraction(0)
+        j = 1
+        while n - j * c >= 0:
+            tot += (-1) ** (j - 1) * Fraction(
+                comb(2 * n, n - j * c), comb(2 * n, n))
+            j += 1
+        return min(1.0, float(2 * tot))
+
+    for n in (2, 3, 5, 8, 13, 21, 40):
+        for c in range(0, n + 1):
+            got = _ks_exact_pvalue(n, n, c * n)
+            want = closed_form(n, c)
+            assert abs(got - want) < 1e-11, (n, c, got, want)
