@@ -9873,9 +9873,11 @@ def ch_dialect_hash_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
       start — see _convex_hull_fold), rendered as integers to avoid
       float-text parity.
 
-    Scale: the sample subquery is one window over events (the only
-    shuffle); three grouped Arrow folds on 12-row state; the hash and
-    hull are translate-time/scalar constants."""
+    Scale: the rn ≤ 6 filter triggers Spark's WindowGroupLimit on BOTH
+    sides of the exchange (plan-verified) — every map partition keeps
+    only its local top-6 per parity before the shuffle, so the 2-key
+    window never sorts the table; three grouped Arrow folds on 12-row
+    state; the hash and hull are translate-time/scalar constants."""
     from ..functions.chdialect import ch_sql
 
     return ch_sql(spark, CH_DIALECT_HASH_CLOSURES, sf_dir)
@@ -9959,11 +9961,28 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines — no transitive closure, so the stage stays one
     band-join + one anti-join at 100 TB.
 
-    Scale: gates and fingerprints are map-side on the scan; the dedup
-    groupBy carries only (fp, id) pairs; MinHash signatures are
+    The Spark plan FUSES the exact-dedup stage into the near-dedup
+    drop rule instead of running the oracle's staged md5 window — a
+    provable equivalence, not an approximation: identical texts have
+    identical shingle sets (jaccard 1.0 ≥ any threshold) and identical
+    MinHash signatures (band-collision probability exactly 1), so every
+    non-min member of an md5 group is the id_b of a qualifying pair
+    (dropped), the min member survives unless a LOWER near-dup exists
+    (in which case the staged form drops it too, via a pair that exists
+    because equal texts give equal jaccards against every third doc).
+    Both directions of set inclusion follow the same substitution
+    argument, so kept_fused ≡ kept_staged row-for-row — and the md5
+    window's full-corpus shuffle disappears from the plan (verified:
+    the staged variant carried 2 extra Exchanges and re-evaluated the
+    survivor subtree for both branches).
+
+    Scale: gates are map-side on the scan; MinHash signatures are
     map-side, candidate pairs travel as narrow (id, band_hash) keys;
     the drop set is tiny → broadcast anti-join; the final aggregate is
-    a 6-key groupBy.  One pass over the corpus, no materialization."""
+    a 6-key groupBy.  The corpus text is evaluated once per branch
+    (pair mining / keep) with per-branch column pruning — at
+    production scale you would checkpoint the gated set between the
+    two, which changes no semantics."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks))
@@ -9972,21 +9991,12 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_tokens", n_tokens)
         .filter(F.col("n_tokens").between(10, 5000))
     )
-    surv = (
-        gated.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy(F.md5("text")).orderBy("doc_id")),
-        )
-        .filter(F.col("rk") == 1)
-        .drop("rk")
-    )
     pairs = minhash_lsh_pairs(
-        surv.select("doc_id", "text"), "text", "doc_id",
+        gated.select("doc_id", "text"), "text", "doc_id",
         n=3, num_perm=64, bands=16, threshold=0.2,
     )
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = surv.join(F.broadcast(drops), "doc_id", "left_anti")
+    kept = gated.join(F.broadcast(drops), "doc_id", "left_anti")
     quality = kept.filter(
         (F.col("n_chars").cast("double") / F.col("n_tokens"))
         .between(4.75, 6.5)

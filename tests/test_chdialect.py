@@ -5030,3 +5030,43 @@ def test_battery7_refusal_tail(spark):
     # string literals containing the names never trigger the gates
     got2, _ = translate_ch_sql("SELECT 'call file(x) or url(y)' AS s")
     assert "file(x)" in got2
+
+
+def test_polygon_convex_hull_cartesian(spark):
+    """polygonConvexHullCartesian (r11, previously refused): literal
+    polygons fold at translate time into the boost graham_andrew output
+    convention — clockwise, CLOSED ring, lexicographically-smallest
+    start, collinear points dropped; hole-ring points participate in
+    the hull (boost's range adaptation walks all rings); composes with
+    readWKTPolygon literals; non-literal and degenerate inputs refuse."""
+    got, _ = translate_ch_sql(
+        "SELECT polygonConvexHullCartesian([[(0., 0.), (4., 0.),"
+        " (4., 4.), (0., 4.), (2., 2.), (2., 0.), (1., 1.)]]) AS h")
+    r = spark.sql(got).collect()[0]["h"]
+    ring = [(p["_1"], p["_2"]) for p in r[0]]
+    assert ring == [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0),
+                    (0.0, 0.0)]
+    # a hole vertex OUTSIDE the outer ring extends the hull (boost walks
+    # every ring of the polygon)
+    got2, _ = translate_ch_sql(
+        "SELECT polygonConvexHullCartesian([[(0., 0.), (4., 0.),"
+        " (4., 4.), (0., 4.)], [(1., 1.), (9., 1.), (1., 2.)]]) AS h")
+    r2 = spark.sql(got2).collect()[0]["h"]
+    ring2 = [(p["_1"], p["_2"]) for p in r2[0]]
+    assert (9.0, 1.0) in ring2 and ring2[0] == ring2[-1] == (0.0, 0.0)
+    # WKT literal composes
+    got3, _ = translate_ch_sql(
+        "SELECT polygonConvexHullCartesian(readWKTPolygon("
+        "'POLYGON((0 0, 0 5, 5 5, 5 0))')) AS h")
+    r3 = spark.sql(got3).collect()[0]["h"]
+    assert [(p["_1"], p["_2"]) for p in r3[0]] == [
+        (0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0), (0.0, 0.0)]
+    for bad in (
+        "SELECT polygonConvexHullCartesian(poly_col) FROM t",
+        # all collinear → degenerate hull refuses
+        "SELECT polygonConvexHullCartesian([[(0., 0.), (1., 1.),"
+        " (2., 2.), (3., 3.)]])",
+        "SELECT polygonConvexHullCartesian([[(0., 0.), (1., 1.)]])",
+    ):
+        with pytest.raises(ChTranslationError):
+            translate_ch_sql(bad)

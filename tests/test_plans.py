@@ -691,9 +691,12 @@ def test_r11_dialect_plan_shapes(spark):
     folds — exact ×2 + auto — into a single Arrow batch; wyHash64 and
     the hull are constants after translate-time folding) over one
     window + one grouped agg; pipeline_full_curation is ZERO-Python
-    end-to-end (gates, md5 dedup, MinHash banding, Knuth split, chunk
-    math — all JVM), its near-dup drop set joins as a broadcast, and
-    nothing falls back to BatchEvalPython or a cartesian product."""
+    end-to-end (gates, MinHash banding, Knuth split, chunk math — all
+    JVM), its near-dup drop set joins as a broadcast, the oracle's
+    staged md5-dedup stage is provably SUBSUMED by the pair drop rule
+    (no full-corpus window shuffle — the query docstring carries the
+    equivalence argument), and nothing falls back to BatchEvalPython
+    or a cartesian product."""
     plan = plan_of(QUERIES["ch_dialect_hash_closures"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
@@ -704,7 +707,8 @@ def test_r11_dialect_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("+- ArrowEvalPython") == 0
     assert "BroadcastHashJoin" in plan          # the anti-join drop set
-    assert plan.count("+- Exchange") <= 14      # MinHash banding chain
+    assert plan.count("+- Exchange") <= 11      # MinHash banding chain
+    assert "Window" not in plan                 # md5 dedup fused away
 
 
 def test_crc_single_arrow_pass(spark):
