@@ -5061,6 +5061,13 @@ def test_polygon_convex_hull_cartesian(spark):
     r3 = spark.sql(got3).collect()[0]["h"]
     assert [(p["_1"], p["_2"]) for p in r3[0]] == [
         (0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0), (0.0, 0.0)]
+    # hull output composes with the other polygon folds: area of the
+    # hull of the 4×4 square + interior point = 16 (the closed ring's
+    # duplicate vertex contributes a zero-length edge to the shoelace)
+    got4, _ = translate_ch_sql(
+        "SELECT polygonAreaCartesian(polygonConvexHullCartesian("
+        "[[(0., 0.), (4., 0.), (4., 4.), (0., 4.), (2., 2.)]])) AS a")
+    assert spark.sql(got4).collect()[0]["a"] == 16.0
     for bad in (
         "SELECT polygonConvexHullCartesian(poly_col) FROM t",
         # all collinear → degenerate hull refuses

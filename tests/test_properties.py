@@ -1044,3 +1044,25 @@ def test_ks_exact_pvalue_matches_gnedenko_korolyuk_closed_form():
             got = _ks_exact_pvalue(n, n, c * n)
             want = closed_form(n, c)
             assert abs(got - want) < 1e-11, (n, c, got, want)
+
+
+def test_ks_auto_switches_to_asymp_above_10k():
+    """'auto' follows CH's documented size rule: exact while
+    max(n0, n1) ≤ 10 000, asymptotic beyond — pinned by crossing the
+    threshold with one extra row and comparing against both branches."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ks_test,
+        _ks_test_exact,
+    )
+
+    def mk(n0, n1):
+        return ([{"v": float(2 * i), "i": 0} for i in range(n0)]
+                + [{"v": float(2 * i + 1), "i": 1} for i in range(n1)])
+
+    at = mk(10_000, 50)       # max == 10k → still exact
+    above = mk(10_001, 50)    # max > 10k → asymp
+    r_at = _ks_test_exact(at, auto=True)
+    assert r_at == _ks_test_exact(at)              # exact branch
+    r_above = _ks_test_exact(above, auto=True)
+    assert r_above == _ks_test(above)              # asymp branch
+    assert r_above != _ks_test_exact(above)        # and they differ here
