@@ -76,3 +76,95 @@ def test_bpe_separator_stripped(spark):
     got = [(r["l"], r["r"], r["c"])
            for r in bpe_train_merges(df, "text", 1).collect()]
     assert got == [("a", "b", 2)]
+
+
+def _ref_bpe_encode(text: str, merges) -> list:
+    """Independent classic BPE encoder (dict/list model, Sennrich §3.2):
+    per word, start from characters and replay each merge in rank order
+    as a left-to-right non-overlapping scan."""
+    out = []
+    for word in text.split():
+        toks = list(word.replace("\x1f", ""))
+        if not toks:
+            continue
+        for left, right in merges:
+            i, new = 0, []
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == left
+                        and toks[i + 1] == right):
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            toks = new
+        out.extend(toks)
+    return out
+
+
+def test_bpe_encode_matches_reference_model(spark):
+    """bpe_encode_tokens (r11): the replace-chain encoder matches an
+    independent per-word scan model on crafted cases — runs ('aaaa' →
+    [aa, aa]), cross-word isolation (no merge straddles a space),
+    merge-order sensitivity, and untouched characters."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.functions.text import bpe_encode_tokens
+
+    merges = [("a", "b"), ("ab", "ab"), ("a", "a")]
+    texts = [
+        "abab abab ab",
+        "aaaa baab",
+        "xyz",
+        "a b ab ba abab",
+        "",
+        "   ",
+        "aaab abaa",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["t"] for r in
+           df.select(bpe_encode_tokens("text", merges).alias("t")).collect()]
+    for text, g in zip(texts, got):
+        assert g == _ref_bpe_encode(text, merges), (text, g)
+
+
+def test_bpe_encode_roundtrip_with_training(spark):
+    """Encode with the merges the engine itself trained: every trained
+    merge's concatenation appears as a token, and token counts shrink
+    monotonically as merges apply (the packing-stage contract)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.functions.text import (
+        bpe_encode_tokens,
+        bpe_train_merges,
+    )
+
+    corpus = ["abab abab abab ab ab", "abba baba", "aaaa"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    trained = [(r["l"], r["r"])
+               for r in bpe_train_merges(df, "text", 3).collect()]
+    assert trained[0] == ("a", "b")
+    enc = df.select(
+        F.size(bpe_encode_tokens("text", trained)).alias("n_bpe"),
+        F.size(bpe_encode_tokens("text", [])).alias("n_chars"),
+    ).collect()
+    for r in enc:
+        assert 0 < r["n_bpe"] <= r["n_chars"]
+    # reference-model agreement on the engine-trained merges too
+    got = [r["t"] for r in df.select(
+        bpe_encode_tokens("text", trained).alias("t")).collect()]
+    for text, g in zip(corpus, got):
+        assert g == _ref_bpe_encode(text, trained), (text, trained, g)
+
+
+def test_bpe_encode_is_pure_jvm(spark):
+    """The encode plan carries no Python and no shuffle — one codegen'd
+    projection stage."""
+    from clickhouse_sinker_spark.functions.text import bpe_encode_tokens
+
+    df = spark.createDataFrame([("abab ab",)], "text string")
+    out = df.select(bpe_encode_tokens("text", [("a", "b")]).alias("t"))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
