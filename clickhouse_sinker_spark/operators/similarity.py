@@ -504,6 +504,154 @@ def pq_topk(
     )
 
 
+def _with_residual(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: int = BROADCAST_CENTROID_THRESHOLD,
+) -> DataFrame:
+    """Attach ``cluster`` (nearest coarse centroid) and ``__residual``
+    (v − centroid[cluster], element-wise) — the IVF-PQ residual step.
+    The centroid matrix rides the plan as literals up to ``threshold``
+    cells, else as a broadcast one-row matrix (the same two-path rule as
+    ``_assign_with_dist``, which this reuses for the assignment)."""
+    a = _assign_with_dist(df, vec_col, centroids, threshold,
+                          d2_col="__ivfpq_d2").drop("__ivfpq_d2")
+    v = F.col(vec_col).cast("array<double>")
+    if len(centroids) <= threshold:
+        mat = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+        cent = F.element_at(mat, F.col("cluster") + 1)
+        return a.withColumn(
+            "__residual", F.zip_with(v, cent, lambda x, c: x - c))
+    spark = df.sparkSession
+    m = [[float(x) for x in c] for c in centroids]
+    mdf = spark.createDataFrame([(m,)], "__rcmat: array<array<double>>")
+    cent = F.element_at(F.col("__rcmat"), F.col("cluster") + 1)
+    return (
+        a.crossJoin(F.broadcast(mdf))
+        .withColumn("__residual", F.zip_with(v, cent, lambda x, c: x - c))
+        .drop("__rcmat")
+    )
+
+
+def ivfpq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on IVF RESIDUALS (v − nearest coarse centroid)
+    — the canonical IVF-ADC composition (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search", §IV.A: residuals
+    have far less energy than raw vectors, so the same code budget
+    quantizes them finer).  One residual projection (map-side, centroid
+    matrix as literals/broadcast) feeding the fused multi-subspace
+    ``pq_train`` — the 100 TB cost is unchanged: ``iters`` corpus scans
+    total.  Deterministic end-to-end (same seed/tie/empty-cluster rules
+    as every Lloyd trainer here)."""
+    r = _with_residual(df, vec_col, centroids)
+    return pq_train(
+        r.select(F.col(id_col), F.col("__residual")),
+        "__residual", id_col, m=m, k=k, iters=iters)
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Encode each vector as (cluster, residual PQ code) — run once at
+    landing, store both columns with the corpus, partition by
+    ``cluster``.  Pure column expressions, zero shuffle (codebooks and
+    centroids compile into the plan); ties break toward the lower
+    centroid id everywhere."""
+    r = _with_residual(df, vec_col, centroids)
+    rv = F.col("__residual")
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sv = F.slice(rv, s * sub + 1, sub)
+        dists = F.array(*[_dist2_to(sv, c) for c in cb])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return r.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("cluster"),
+        F.array(*codes).alias("pq_code"),
+    )
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-ADC top-k: probe each query's ``nprobe`` nearest coarse cells
+    and rank that subset by asymmetric distance over RESIDUAL codes.
+
+    Per (query, probed cell) the m×K lookup table is built driver-side
+    on the query's residual against THAT cell's centroid (queries are
+    the tiny collected side, same contract as ``pq_topk``; the LUT
+    frame is nprobe·m·K doubles per query).  The scan side touches only
+    (cluster, pq_code): the broadcast hash join on ``cluster`` IS the
+    cell pruning — a corpus partitioned by ``cluster`` at landing scans
+    just the probed partitions — and distance is m array lookups per
+    (row, probe).  The only shuffle is the final per-query top-k
+    window.  Ranking quality beats raw-vector PQ at equal code size
+    (residual energy argument above); recall is pinned against
+    ``cosine_topk`` in tests."""
+    mm = len(codebooks)
+    kk = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    qrows = queries.select(
+        "query_id", F.col("vec").cast("array<double>").alias("v")).collect()
+    spark = codes.sparkSession
+    lut_rows = []
+    for r in qrows:
+        qv = list(r["v"])
+        d2 = [
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), i)
+            for i, c in enumerate(centroids)
+        ]
+        probes = [i for _, i in sorted(d2)[:nprobe]]
+        for cell in probes:
+            res = [a - b for a, b in zip(qv, centroids[cell])]
+            lut = []
+            for s in range(mm):
+                qs = res[s * sub : (s + 1) * sub]
+                for j in range(kk):
+                    c = codebooks[s][j]
+                    lut.append(float(sum(
+                        (a - b) * (a - b) for a, b in zip(qs, c))))
+            lut_rows.append((r["query_id"], cell, lut))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, cluster int, lut array<double>")
+    dist = None
+    for s in range(mm):
+        term = F.element_at(
+            F.col("lut"),
+            F.element_at(F.col("pq_code"), s + 1) + F.lit(s * kk) + 1)
+        dist = term if dist is None else dist + term
+    scored = codes.join(F.broadcast(luts), "cluster").select(
+        "query_id", "corpus_id", dist.alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "adc_dist", "rank")
+    )
+
+
 def srp_near_dup(
     df: DataFrame,
     vec_col: str = "embedding",

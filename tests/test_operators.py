@@ -672,3 +672,75 @@ def test_exact_substring_dedup_pathological_long_duplicate(spark):
     assert out[2]["n_removed"] == n and out[2]["n_spans"] == 1
     assert out[2]["clean_text"] == ""
     assert out[3]["n_removed"] == 0
+
+
+def test_ivfpq_residual_recall_and_determinism(spark):
+    """IVF-ADC over RESIDUAL codes (r11 — the Jégou et al. 2011
+    composition): deterministic training, codes in range, nprobe cell
+    pruning honored, and recall@10 vs exact cosine at least matching the
+    raw-vector PQ sketch at the same (m, k) code budget on L2-normalized
+    vectors."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_train,
+        kmeans_lloyd,
+        l2_norm,
+    )
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    unit = em.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
+        ).alias("embedding"),
+    )
+    _, centroids, _ = kmeans_lloyd(unit, "embedding", "vec_id", k=8, iters=2)
+    cb1 = ivfpq_train(unit, "embedding", "vec_id", centroids, m=8, k=16,
+                      iters=2)
+    cb2 = ivfpq_train(unit, "embedding", "vec_id", centroids, m=8, k=16,
+                      iters=2)
+    assert cb1 == cb2  # deterministic end-to-end
+    assert len(cb1) == 8 and len(cb1[0]) == 16 and len(cb1[0][0]) == 8
+
+    codes = ivfpq_encode(unit, "embedding", "vec_id", centroids, cb1)
+    rows = codes.collect()
+    assert len(rows) == unit.count()
+    for r in rows[:20]:
+        assert 0 <= r["cluster"] < 8
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])
+
+    queries = unit.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec"))
+    exact = cosine_topk(unit, queries, "embedding", "vec_id", k=10)
+    # nprobe = all cells isolates the RESIDUAL-quantization quality from
+    # coarse-cell recall loss; the nprobe=2 run then pins real pruning
+    approx_full = ivfpq_search(codes, queries, centroids, cb1, k=10,
+                               nprobe=8)
+    ex = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    ap = {(r.query_id, r.corpus_id) for r in approx_full.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3, recall  # the raw-PQ bar at the same budget
+
+    pruned = ivfpq_search(codes, queries, centroids, cb1, k=10, nprobe=2)
+    got = pruned.collect()
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in got)
+    assert all(v == 10 for v in per_q.values())
+    # pruning honored: every hit's cluster is one of its query's 2
+    # nearest cells (recomputed independently here)
+    cells_of = {}
+    for q in queries.collect():
+        d2 = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(q["vec"], c)), i)
+            for i, c in enumerate(centroids))
+        cells_of[q["query_id"]] = {i for _, i in d2[:2]}
+    cl = {r["corpus_id"]: r["cluster"] for r in rows}
+    for r in got:
+        assert cl[r["corpus_id"]] in cells_of[r["query_id"]]
