@@ -1,19 +1,30 @@
 """Staleness-rotation lint (r11): the judge's window-policy bar, encoded.
 
-Two invariants the VERDICTs enforce each round, checked here against the
-committed CORRECTNESS_r*.json history and the CURRENT ``DRIVER_ORDER``:
+The VERDICTs enforce two invariants on the driver window each round;
+these were manual audits in r9-r11 (the r9 VERDICT caught a
+breach-in-waiting by hand) — a failing test is cheaper than a judge
+finding.  Checked against the committed CORRECTNESS_r*.json history and
+the CURRENT ``DRIVER_ORDER``:
 
-1. after the upcoming driver run, NO query's newest green hash may be
-   older than 3 rounds (queries in the window re-hash now; everything
-   else keeps its current age + 1);
-2. never-driver-checked must be 0 after the run — i.e. every registered
-   query outside the window has been hashed before (new queries must
-   occupy window slots the round they are added).
+1. no registered query's newest green driver hash may fall more than 3
+   rounds behind;
+2. never-driver-checked must be 0 after every run — new queries must
+   occupy window slots the round they are added.
 
-These were manual audits in r9-r11 (the r9 VERDICT caught a breach-in-
-waiting by hand); a failing test is cheaper than a judge finding.  The
-runtime ordering itself never reads these artifacts — this is a lint
-over committed history, deterministic for a given checkout.
+Two observation points need different rules, distinguished
+AUTOMATICALLY by whether the newest artifact's key set equals the
+current window (i.e. the committed window has already been run):
+
+* POST-RUN (judge time / untouched window): every non-window query's
+  age relative to the newest artifact round must be ≤ 3 — the bar as
+  the judge states it;
+* PRE-RUN (the window was edited since the last artifacts — mid-
+  rotation): the NEXT run must repair all staleness, so every query
+  that would reach age > 3 at the upcoming round must sit in the
+  window, and no registered query may be left never-checked.
+
+The runtime ordering itself never reads these artifacts — this is a
+lint over committed history, deterministic for a given checkout.
 """
 
 from __future__ import annotations
@@ -33,54 +44,62 @@ MAX_HASH_AGE = 3  # the VERDICT staleness bar
 
 
 def _history():
-    """{query: newest round with a green driver hash}, plus the newest
-    round number seen at all."""
+    """({query: newest green round}, {every query ever attempted},
+    newest round, key set of the newest artifact)."""
     newest_green: dict[str, int] = {}
+    attempted: set[str] = set()
     newest_round = 0
+    newest_keys: set[str] = set()
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1))
-        newest_round = max(newest_round, rnd)
         with open(path) as f:
-            for name, res in json.load(f).items():
-                ok = res.get("hash_match") or (
-                    res.get("hash_match") is None and res.get("rows_match"))
-                if ok:
-                    newest_green[name] = max(newest_green.get(name, 0), rnd)
-    return newest_green, newest_round
+            data = json.load(f)
+        attempted.update(data)
+        if rnd > newest_round:
+            newest_round, newest_keys = rnd, set(data)
+        for name, res in data.items():
+            ok = res.get("hash_match") or (
+                res.get("hash_match") is None and res.get("rows_match"))
+            if ok:
+                newest_green[name] = max(newest_green.get(name, 0), rnd)
+    return newest_green, attempted, newest_round, newest_keys
 
 
-def test_no_query_exceeds_max_hash_age_after_this_rounds_run():
-    newest_green, newest_round = _history()
+def test_driver_window_staleness_bar():
+    newest_green, attempted, newest_round, newest_keys = _history()
     if newest_round == 0:
         return  # fresh checkout without artifacts — nothing to lint
-    upcoming = newest_round + 1
     order = ordered_query_names()
-    window = set(order[:DRIVER_WINDOW])
-    stale = [
+    window = order[:DRIVER_WINDOW]
+    if set(window) == newest_keys:
+        # POST-RUN: the committed window is the one the newest artifact
+        # ran — window queries are age 0; everything else must be ≤ bar
+        stale = [
+            (n, newest_round - newest_green[n])
+            for n in order
+            if n not in newest_keys and n in newest_green
+            and newest_round - newest_green[n] > MAX_HASH_AGE
+        ]
+        assert not stale, (
+            f"queries past the {MAX_HASH_AGE}-round staleness bar at "
+            f"r{newest_round}: {stale} — the window that just ran did "
+            "not rotate them in time")
+        return
+    # PRE-RUN: the window was edited after the newest artifacts — the
+    # upcoming run must repair ALL staleness
+    upcoming = newest_round + 1
+    wset = set(window)
+    breach = [
         (n, upcoming - newest_green[n])
         for n in order
-        if n not in window and n in newest_green
+        if n not in wset and n in newest_green
         and upcoming - newest_green[n] > MAX_HASH_AGE
     ]
-    assert not stale, (
-        f"queries breaching the {MAX_HASH_AGE}-round staleness bar at "
-        f"r{upcoming} unless rotated into DRIVER_ORDER: {stale}")
-
-
-def test_no_registered_query_left_never_checked_after_this_rounds_run():
-    newest_green, newest_round = _history()
-    if newest_round == 0:
-        return
-    # any query with NO artifact row at all (green or red) counts as
-    # never-checked; red-but-attempted queries are covered by the age lint
-    attempted: set[str] = set()
-    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            attempted.update(json.load(f))
-    order = ordered_query_names()
-    window = set(order[:DRIVER_WINDOW])
-    never_after = [n for n in order if n not in attempted and n not in window]
+    assert not breach, (
+        f"queries that will breach the {MAX_HASH_AGE}-round staleness "
+        f"bar at r{upcoming} unless added to DRIVER_ORDER: {breach}")
+    never_after = [n for n in order if n not in attempted and n not in wset]
     assert not never_after, (
         "registered queries that would stay never-driver-checked after "
         f"this round's run (add them to DRIVER_ORDER slots): {never_after}")
