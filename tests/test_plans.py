@@ -780,3 +780,33 @@ def test_datasheet_scale_shape(spark):
     plan = plan_of(QUERIES["corpus_datasheet"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_search_plan_shape(spark):
+    """ivfpq_search scale shape: the probe join is a BROADCAST hash join
+    on cluster (the LUT side is tiny — that join IS the nprobe cell
+    pruning), no cartesian product, no Python, and the only wide
+    shuffle is the per-query top-k window."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_train,
+        kmeans_lloyd,
+    )
+    from clickhouse_sinker_spark.sources.tables import load_table
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    _, cents, _ = kmeans_lloyd(em, "embedding", "vec_id", k=4, iters=1)
+    cb = ivfpq_train(em, "embedding", "vec_id", cents, m=4, k=4, iters=1)
+    codes = ivfpq_encode(em, "embedding", "vec_id", cents, cb)
+    queries = em.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("vec"))
+    out = ivfpq_search(codes, queries, cents, cb, k=5, nprobe=2)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
