@@ -10033,78 +10033,73 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # It never changes between two calls in the same checkout; any change to it
 # is an ordinary reviewed source edit.
 #
-# Layout of ``DRIVER_ORDER`` (round 11: staleness rotation per VERDICT r10
-# order #2 — the ENTIRE 48-query r07-latest block leads the window; it is
-# exactly 3 rounds stale and must not reach 4) — 50 slots:
-# 1. The round-11 additions (first-time hashes) — 2 slots, keeping
-#    never-driver-checked at zero.
-# 2. All 48 queries whose latest green is r07 (from
-#    ``tools/driver_coverage.py``), in its reported order: the displaced
-#    r07 anchors of the r9 verdict list (etl_parse_project,
-#    tpch_q9_profit, dedup_minhash_lsh, knn_cosine_topk,
-#    window_sessionize, agg_grouping_sets, mm_binary_meta,
-#    ch_dialect_hourly_stats, …) plus the rest of the r07 block.
+# Layout of ``DRIVER_ORDER`` (round 12: staleness rotation per VERDICT r11
+# order #2 — the ENTIRE 50-query r08-latest block IS the window; it is
+# exactly 3 rounds stale and must not reach 4).  The block fills ALL 50
+# slots, so round 12 registers ZERO new driver queries (new capability
+# lands library-tier with pytest-only coverage and registers in r13,
+# whose rotation block is the 48-query r09 set leaving 2 free slots).
+# Order within the window is ``tools/driver_coverage.py``'s reported
+# order for the r08 block.
 # After this round's run the latest-green distribution becomes
-# 50 r08 / 48 r09 / 50 r10 / 50 r11 → max hash age stays ≤ 3; the
-# 50-query r08-latest block is r12's mandatory rotation.
+# 48 r09 / 50 r10 / 50 r11 / 50 r12 → max hash age stays ≤ 3.
 # Every remaining registered query follows in registration (source)
 # order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
-    # --- round-11 additions (first-time hashes) ---
-    "ch_dialect_hash_closures",
-    "pipeline_full_curation",
-    # --- the r07-latest block (oldest hashes in the registry, age 3) ---
-    "etl_parse_project",
-    "etl_saturating_cast",
-    "dedup_minhash_lsh",
-    "knn_cosine_topk",
-    "quality_charlm_score",
-    "dedup_components",
-    "mm_binary_meta",
-    "tpch_q6_forecast",
-    "agg_grouping_sets",
-    "mm_image_features",
-    "etl_nested_path",
-    "etl_nested_path_escaped",
-    "window_sessionize",
-    "dedup_embedding_blocked",
-    "text_regex_tokens",
-    "tpch_q9_profit",
-    "pipeline_clean_corpus",
-    "emb_centroid_per_label",
-    "mm_audio_features",
-    "mm_resize_images",
-    "mm_png_decode_real",
-    "corpus_stats_per_lang",
-    "ch_dialect_hourly_stats",
-    "ch_dialect_time_windows",
-    "ch_dialect_string_udfs",
-    "ch_dialect_ttests",
-    "ch_dialect_rank_corr",
-    "ch_dialect_digests",
-    "ch_dialect_assoc",
-    "ch_dialect_ipv6",
-    "ch_dialect_array_profile",
-    "ch_dialect_json_props",
-    "ch_dialect_stats_buckets",
-    "ch_dialect_array_join",
-    "ch_dialect_with_totals",
-    "ch_dialect_limit_by",
-    "ch_dialect_funnel_increase",
-    "ch_dialect_with_fill",
-    "ch_dialect_asof_join",
-    "ch_dialect_text_funcs",
-    "ch_dialect_url_readable",
-    "ch_dialect_sum_map",
-    "ch_dialect_agg_combinators",
-    "ch_dialect_math_entropy",
-    "ch_dialect_net_moments",
-    "ch_dialect_qualify",
-    "ch_dialect_right_any_join",
-    "ch_dialect_sequence_timed",
+    # --- the r08-latest block (oldest hashes in the registry, age 3) ---
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "window_topk_per_customer",
+    "setop_except_distinct",
+    "setop_intersect",
+    "agg_distinct_exact",
+    "agg_approx_distinct",
+    "agg_hll_rollup",
+    "agg_percentile_approx",
+    "pipeline_pretraining_corpus",
+    "ts_gap_fill",
+    "etl_epoch_scale",
+    "etl_ip_validate",
+    "etl_shard_stripe",
+    "etl_shard_knuth",
+    "etl_shard_hash_xx",
+    "etl_sortingkey_shard",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_ivf",
+    "text_langid",
+    "text_repetition_quality",
+    "decontam_ngram_overlap",
+    "etl_pii_scrub",
+    "dedup_incremental_exact",
+    "corpus_mix_sample",
+    "corpus_temperature_mix",
+    "pipeline_quality_gate",
+    "pack_token_budget",
+    "text_tokens",
+    "text_fingerprint",
+    "text_bpe_tokens",
+    "text_winnow_fingerprint",
+    "dedup_winnow_overlap",
+    "dedup_exact_substring",
+    "dedup_levenshtein",
+    "pipeline_dedup_survivors",
+    "text_tfidf_top_terms",
+    "sample_stratified",
+    "window_rank_distribution",
+    "etl_array_cast",
+    "mm_frame_sample",
+    "ch_dialect_hash_family",
+    "ch_dialect_json_extract",
+    "ch_dialect_time_decay",
+    "ch_dialect_stat_tests",
+    "ch_dialect_domains",
+    "ch_dialect_decimal_arith",
+    "ch_dialect_hash_family2",
 ]
 
 DRIVER_WINDOW = 50
