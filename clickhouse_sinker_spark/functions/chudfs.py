@@ -2088,16 +2088,33 @@ def _ks_exact_pvalue(n0: int, n1: int, h: int) -> float:
     return min(1.0, max(0.0, 1.0 - exp(log_inside - log_comb)))
 
 
+# 'auto' exact-branch DP budget: the lattice DP is O(n0·n1) numpy band
+# operations INSIDE one Arrow batch (on top of the collect_list fold that
+# already materialized the group), so a group near the documented 10k
+# size cap could cost ~1e8 row-ops and stall an executor for minutes.
+# Under 'auto' — where CH's own rule is an unspecified performance
+# heuristic and the caller asked for automatic method selection — we
+# additionally require n0·n1 within this budget (≈1 s of numpy) before
+# taking the exact branch; beyond it 'auto' falls back to the same
+# asymptotic series CH uses past its size cap.  An EXPLICIT 'exact'
+# never falls back: the caller opted into the O(n0·n1) cost.
+_KS_EXACT_AUTO_BUDGET = 25_000_000
+
+
 def _ks_test_exact(pairs, auto: bool = False):
     """CH ``kolmogorovSmirnovTest('two-sided', 'exact')`` (and 'auto'):
     the same tie-group D walk as :func:`_ks_test`, plus the exact
     integer deviation h = max |c0·n1 − c1·n0| feeding the lattice-path
     p-value.  'auto' follows the CH docs rule — 'exact' while
     max(n0, n1) ≤ 10 000, else the asymptotic series (the threshold is
-    stated in CH's kolmogorovsmirnovtest.md).  Ties: D is tie-aware but
-    the permutation null is the standard continuous-case lattice (the
-    R/scipy convention; stated because no local CH instance can pin the
-    tie surface)."""
+    stated in CH's kolmogorovsmirnovtest.md) — PLUS a DP cost budget:
+    the exact branch also requires n0·n1 ≤ ``_KS_EXACT_AUTO_BUDGET``
+    (see the constant's comment; a deliberate, documented deviation for
+    near-cap group shapes where the O(n0·n1) lattice DP would stall an
+    executor — explicit 'exact' is never budgeted).  Ties: D is
+    tie-aware but the permutation null is the standard continuous-case
+    lattice (the R/scipy convention; stated because no local CH
+    instance can pin the tie surface)."""
     if pairs is None:
         return None
     vals = sorted((float(p["v"]), int(p["i"])) for p in pairs)
@@ -2106,7 +2123,7 @@ def _ks_test_exact(pairs, auto: bool = False):
     n1 = n - n0
     if n0 == 0 or n1 == 0:
         return {"_1": None, "_2": None}
-    if auto and max(n0, n1) > 10_000:
+    if auto and (max(n0, n1) > 10_000 or n0 * n1 > _KS_EXACT_AUTO_BUDGET):
         return _ks_test(pairs)
     c0 = c1 = 0
     d = 0.0

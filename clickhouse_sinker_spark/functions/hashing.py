@@ -64,9 +64,18 @@ def shard_hash(col: Column | str, shards: int) -> Column:
 def shard_knuth(col: Column | str, shards: int) -> Column:
     """Multiplicative (Knuth) hash shard for numeric keys — used where an
     external ANSI-SQL oracle must reproduce the routing exactly (xxhash64 is
-    Spark/ClickHouse-specific).  ``((v * 2654435761) % 2^31) % shards``."""
+    Spark/ClickHouse-specific).  ``(((v % 2^31) * 2654435761) % 2^31) %
+    shards``.  The key is reduced mod 2^31 BEFORE the multiply so the
+    product stays within signed 64-bit for EVERY bigint key: without the
+    reduction, v ≥ ~3.47e9 overflows — Spark wraps silently (a different
+    bucket than true integer math) while an ANSI engine raises, so the
+    routing would diverge between engines exactly at the id ranges a
+    100 TB corpus reaches.  The Knuth mix only ever keeps the low 31
+    bits, so pre-reducing loses nothing for ids below 2^31 (bit-identical
+    buckets) and stays a well-mixed deterministic hash above it."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(F.pmod(c.cast("bigint") * F.lit(2654435761), F.lit(2**31)), F.lit(int(shards))).cast("int")
+    low = F.pmod(c.cast("bigint"), F.lit(2**31))
+    return F.pmod(F.pmod(low * F.lit(2654435761), F.lit(2**31)), F.lit(int(shards))).cast("int")
 
 
 def sorting_key_shard(cols: list[Column | str], shards: int) -> Column:

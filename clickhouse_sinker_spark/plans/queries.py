@@ -956,7 +956,7 @@ def etl_shard_stripe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl_shard_knuth",
     """
-    SELECT CAST(((user_id * 2654435761) % 2147483648) % 8 AS INTEGER) AS shard, COUNT(*) AS n
+    SELECT CAST((((user_id % 2147483648) * 2654435761) % 2147483648) % 8 AS INTEGER) AS shard, COUNT(*) AS n
     FROM events GROUP BY 1
     """,
 )
@@ -2007,7 +2007,7 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_chars,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-             ((doc_id * 2654435761) % 2147483648) % 100 AS bucket
+             (((doc_id % 2147483648) * 2654435761) % 2147483648) % 100 AS bucket
       FROM documents
     )
     SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -2030,8 +2030,13 @@ def pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     it stable across runs AND engines.  Map-side bucket arithmetic + one
     grouped aggregate — no shuffle other than the 3-key groupBy."""
     d = _t(spark, sf_dir, "documents")
+    # key reduced mod 2^31 BEFORE the multiply (see shard_knuth): keeps
+    # the product inside signed 64-bit for every doc_id, so Spark and the
+    # ANSI oracle agree at 100 TB id ranges (identical below 2^31)
     bucket = F.pmod(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2**31)), F.lit(100)
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(2**31)) * F.lit(2654435761),
+               F.lit(2**31)),
+        F.lit(100),
     )
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -2973,7 +2978,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang
     FROM documents
-    WHERE (doc_id * 2654435761 % 4294967296) % 100 <
+    WHERE ((doc_id % 2147483648) * 2654435761 % 4294967296) % 100 <
           CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
     """,
 )
@@ -2984,7 +2989,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, runs and partitionings, and the predicate pushes to
     the scan (no shuffle at all)."""
     d = _t(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    # mod-2^31 pre-reduction (see shard_knuth): overflow-safe in both
+    # engines for every doc_id, bit-identical below 2^31
+    bucket = (
+        F.pmod(F.col("doc_id"), F.lit(2**31)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % 100
     rate = (
         F.when(F.col("lang") == "en", 50).when(F.col("lang") == "de", 25).otherwise(10)
     )
@@ -9925,9 +9934,11 @@ def ch_dialect_hash_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE CAST(n_chars AS DOUBLE) / n_tokens
                       BETWEEN 4.75 AND 6.5),
     sp AS (
-      SELECT *, CASE WHEN ((doc_id * 2654435761) % 2147483648) % 100 < 80
+      SELECT *, CASE WHEN (((doc_id % 2147483648) * 2654435761)
+                           % 2147483648) % 100 < 80
                      THEN 'train'
-                     WHEN ((doc_id * 2654435761) % 2147483648) % 100 < 90
+                     WHEN (((doc_id % 2147483648) * 2654435761)
+                           % 2147483648) % 100 < 90
                      THEN 'val' ELSE 'test' END AS split
       FROM quality
     )
@@ -10001,8 +10012,14 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.col("n_tokens"))
         .between(4.75, 6.5)
     )
+    # doc_id reduced mod 2^31 BEFORE the Knuth multiply (r11 ADVICE):
+    # without it, doc_id >= ~3.47e9 overflows signed 64-bit — Spark
+    # wraps silently to a different bucket while the ANSI oracle raises,
+    # so split assignment would diverge at 100 TB id ranges.  Identical
+    # buckets below 2^31.
     bucket = F.pmod(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2**31)),
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(2**31)) * F.lit(2654435761),
+               F.lit(2**31)),
         F.lit(100),
     )
     split = (

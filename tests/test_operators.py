@@ -12,7 +12,7 @@ from clickhouse_sinker_spark.sources.schema import specs_from_columns, system_co
 from clickhouse_sinker_spark.sources.tables import load_table
 from clickhouse_sinker_spark.streaming.metrics import observe_counters
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, SF_DIR_01
 
 
 def test_asof_join_semantics(spark):
@@ -44,6 +44,96 @@ def test_shard_hash_stability_golden(spark):
         "k", F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("s")).collect()}
     assert got == golden
     assert set(got.values()) <= set(range(8))
+
+
+def test_curation_lsh_candidates_equal_exact_pairs(spark):
+    """r11 ADVICE diagnostic: ``pipeline_full_curation``'s hash parity
+    with its exact-Jaccard DuckDB oracle rests on the corpus-contingent
+    claim that every true pair at jaccard ≥ 0.2 band-collides at
+    (64 perms, 16 bands) — the S-curve midpoint sits near 0.5, so
+    pairs NEAR 0.2 only collide probabilistically.  True on this corpus
+    because its near-dups have jaccard ≈ 1; if the seed data is ever
+    regenerated or rescaled, the curation driver row would go red with
+    no code change and no clue.  THIS test makes that failure
+    diagnosable: it recomputes the exact ≥ 0.2 pair set brute-force in
+    Python over the same gate→exact-dedup survivors and asserts the
+    Spark LSH path returns exactly that set (completeness = every exact
+    pair band-collided; soundness = the built-in exact re-check).  A
+    red HERE with a green unit suite means: corpus changed, LSH missed
+    a borderline pair — lower rows-per-band or re-seed, don't debug the
+    plan."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from clickhouse_sinker_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"'{SF_DIR_01}/documents.parquet' "
+        "WHERE lang IN ('en','de','fr')"
+    ).fetchall()
+    # gate: 10 ≤ n_tokens ≤ 5000 (same as the curation query)
+    gated = []
+    for doc_id, text in rows:
+        tk = re.split(r"\s+", text.strip()) if text.strip() else []
+        if 10 <= len(tk) <= 5000:
+            gated.append((doc_id, text, tk))
+    # exact dedup: keep min doc_id per md5(text)
+    best: dict = {}
+    for doc_id, text, tk in gated:
+        k = hashlib.md5(text.encode()).hexdigest()
+        if k not in best or doc_id < best[k][0]:
+            best[k] = (doc_id, text, tk)
+    surv = sorted(best.values())
+    shingle = {
+        doc_id: (
+            frozenset({" ".join(tk)}) if len(tk) < 3
+            else frozenset(" ".join(tk[j:j + 3]) for j in range(len(tk) - 2))
+        )
+        for doc_id, _, tk in surv
+    }
+    exact = set()
+    ids = sorted(shingle)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(shingle[a] & shingle[b])
+            if inter and inter / (len(shingle[a]) + len(shingle[b]) - inter) >= 0.2:
+                exact.add((a, b))
+    assert exact, "seed corpus lost its near-dup pairs entirely"
+    df = spark.createDataFrame(
+        [(d, t) for d, t, _ in surv], "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", n=3, num_perm=64, bands=16, threshold=0.2
+        ).select("id_a", "id_b").collect()
+    }
+    assert got == exact, (
+        f"LSH pair set != exact pair set: missed={sorted(exact - got)} "
+        f"spurious={sorted(got - exact)} — the curation oracle's "
+        "band-collision assumption no longer holds on this corpus")
+
+
+def test_shard_knuth_large_id_no_overflow(spark):
+    """r11 ADVICE regression: the Knuth split/shard hash must agree with
+    exact integer math (and hence any ANSI oracle) for ids past the
+    signed-64 overflow point ~3.47e9.  The key is reduced mod 2^31
+    before the multiply, so the product never wraps; below 2^31 the
+    buckets are bit-identical to the pre-fix formula."""
+    from clickhouse_sinker_spark.functions.hashing import shard_knuth
+
+    ids = [0, 1, 2**31 - 1, 2**31, 3_470_000_000, 2**40 + 123,
+           2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r.id: r.s for r in
+           df.select("id", shard_knuth("id", 8).alias("s")).collect()}
+    for i in ids:
+        want = (((i % 2**31) * 2654435761) % 2**31) % 8  # exact int math
+        assert got[i] == want, (i, got[i], want)
+        if i < 2**31:  # pre-fix formula identical below 2^31
+            assert want == ((i * 2654435761) % 2**31) % 8
 
 
 def test_simhash_similar_texts_close(spark):

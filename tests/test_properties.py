@@ -1117,10 +1117,39 @@ def test_ks_auto_switches_to_asymp_above_10k():
         return ([{"v": float(2 * i), "i": 0} for i in range(n0)]
                 + [{"v": float(2 * i + 1), "i": 1} for i in range(n1)])
 
-    at = mk(10_000, 50)       # max == 10k → still exact
+    at = mk(10_000, 50)       # max == 10k, product 5e5 → still exact
     above = mk(10_001, 50)    # max > 10k → asymp
     r_at = _ks_test_exact(at, auto=True)
     assert r_at == _ks_test_exact(at)              # exact branch
     r_above = _ks_test_exact(above, auto=True)
     assert r_above == _ks_test(above)              # asymp branch
     assert r_above != _ks_test_exact(above)        # and they differ here
+
+
+def test_ks_auto_dp_cost_budget():
+    """'auto' also budgets the exact DP (r11 ADVICE): a group whose
+    n0·n1 exceeds _KS_EXACT_AUTO_BUDGET falls back to the asymptotic
+    series even when max(n0, n1) ≤ 10 000 — a documented deviation that
+    keeps one near-cap group from stalling an executor for minutes.
+    Explicit 'exact' (auto=False) is never budgeted."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _KS_EXACT_AUTO_BUDGET,
+        _ks_test,
+        _ks_test_exact,
+    )
+
+    def mk(n0, n1):
+        return ([{"v": float(2 * i), "i": 0} for i in range(n0)]
+                + [{"v": float(2 * i + 1), "i": 1} for i in range(n1)])
+
+    n = 6_000                          # 3.6e7 > the 2.5e7 budget
+    assert n * n > _KS_EXACT_AUTO_BUDGET and n <= 10_000
+    over = mk(n, n)
+    assert _ks_test_exact(over, auto=True) == _ks_test(over)
+    # under budget → exact branch; a location shift gives a mid-range p
+    # where the exact lattice p and the asymptotic series visibly differ
+    under = ([{"v": float(i), "i": 0} for i in range(4_000)]
+             + [{"v": i + 100.5, "i": 1} for i in range(4_000)])
+    assert 4_000 * 4_000 <= _KS_EXACT_AUTO_BUDGET
+    r = _ks_test_exact(under, auto=True)
+    assert r == _ks_test_exact(under) and r != _ks_test(under)
