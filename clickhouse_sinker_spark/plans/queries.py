@@ -5341,6 +5341,202 @@ FROM (
     return "".join(sql)
 
 
+def _ivfpq_oracle_sql(
+    kc_coarse: int = 8,
+    citers: int = 2,
+    m: int = 8,
+    kc: int = 16,
+    piters: int = 2,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    """Unrolled relational IVF-PQ for DuckDB — replays the full residual
+    composition (Jégou et al. 2011 §IV.A) the Spark path runs:
+    coarse Lloyd's k-means (``kmeans_lloyd`` conventions: seeds = lowest
+    ids, ties to lower cluster, empty clusters keep their centroid,
+    centroids updated after EVERY pass incl. the last), a fresh coarse
+    assignment for the residual projection v − c[cluster]
+    (``_with_residual``), per-subspace PQ training ON THE RESIDUALS
+    (``pq_train`` fused-subspace conventions, seeds = lowest-id residual
+    slices), argmin encoding against the final codebooks
+    (``ivfpq_encode``), then per-query nprobe coarse-cell pruning and
+    ADC ranking over residual LUTs (``ivfpq_search``): LUT(q, cell, s,
+    j) = ‖(q − c[cell])ₛ − codebook[s][j]‖², distance = Σₛ LUT lookups,
+    rank window tie-broken (adc_dist, corpus_id).  Distances rounded to
+    6 decimals on both sides."""
+    sub = 64 // m
+    sql = [f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ed AS (
+  SELECT id, UNNEST(v) AS x, generate_subscripts(v, 1) AS idx FROM e
+),
+cc0 AS (
+  SELECT sd.cluster, d.idx, d.x AS cx
+  FROM (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster
+        FROM (SELECT id FROM e ORDER BY id LIMIT {kc_coarse})) sd
+  JOIN ed d ON d.id = sd.id
+)"""]
+    # coarse training: citers assignment passes, centroids updated after
+    # each (kmeans_lloyd updates after the final pass too)
+    for i in range(citers):
+        sql.append(f""",
+a{i} AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM (
+      SELECT ed.id, cd.cluster, SUM((ed.x - cd.cx) * (ed.x - cd.cx)) AS d2
+      FROM ed JOIN cc{i} cd ON ed.idx = cd.idx
+      GROUP BY ed.id, cd.cluster
+    )
+  ) WHERE rn = 1
+),
+cc{i + 1} AS (
+  SELECT cd.cluster, cd.idx, COALESCE(mu.mx, cd.cx) AS cx
+  FROM cc{i} cd LEFT JOIN (
+    SELECT a.cluster, ed.idx, SUM(ed.x) / COUNT(*) AS mx
+    FROM a{i} a JOIN ed ON ed.id = a.id
+    GROUP BY a.cluster, ed.idx
+  ) mu ON mu.cluster = cd.cluster AND mu.idx = cd.idx
+)""")
+    # fresh assignment against the final coarse centroids (the encode-time
+    # assignment _with_residual performs), then the residual projection
+    sql.append(f""",
+ca AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM (
+      SELECT ed.id, cd.cluster, SUM((ed.x - cd.cx) * (ed.x - cd.cx)) AS d2
+      FROM ed JOIN cc{citers} cd ON ed.idx = cd.idx
+      GROUP BY ed.id, cd.cluster
+    )
+  ) WHERE rn = 1
+),
+rds AS (
+  SELECT ed.id, ca.cluster, ed.idx, ed.x - cd.cx AS x,
+         CAST((ed.idx - 1) // {sub} AS INTEGER) AS s
+  FROM ed JOIN ca ON ca.id = ed.id
+  JOIN cc{citers} cd ON cd.cluster = ca.cluster AND cd.idx = ed.idx
+),
+pc0 AS (
+  SELECT sd.pj, d.s, d.idx, d.x AS cx
+  FROM (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS pj
+        FROM (SELECT id FROM e ORDER BY id LIMIT {kc})) sd
+  JOIN rds d ON d.id = sd.id
+)""")
+    # PQ training on residuals: piters passes with updates, plus the final
+    # encode assignment p{piters} against the post-update codebooks
+    for i in range(piters + 1):
+        sql.append(f""",
+p{i} AS (
+  SELECT id, s, pj FROM (
+    SELECT id, s, pj,
+           row_number() OVER (PARTITION BY id, s ORDER BY d2 ASC, pj ASC) AS rn
+    FROM (
+      SELECT rd.id, rd.s, cb.pj, SUM((rd.x - cb.cx) * (rd.x - cb.cx)) AS d2
+      FROM rds rd JOIN pc{i} cb ON rd.idx = cb.idx
+      GROUP BY rd.id, rd.s, cb.pj
+    )
+  ) WHERE rn = 1
+)""")
+        if i < piters:
+            sql.append(f""",
+pc{i + 1} AS (
+  SELECT cb.pj, cb.s, cb.idx, COALESCE(mu.mx, cb.cx) AS cx
+  FROM pc{i} cb LEFT JOIN (
+    SELECT p.pj, rd.idx, SUM(rd.x) / COUNT(*) AS mx
+    FROM p{i} p JOIN rds rd ON rd.id = p.id AND rd.s = p.s
+    GROUP BY p.pj, rd.idx
+  ) mu ON mu.pj = cb.pj AND mu.idx = cb.idx
+)""")
+    sql.append(f""",
+qprob AS (
+  SELECT id AS query_id, cluster AS cell FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cluster ASC) AS pr
+    FROM (
+      SELECT ed.id, cd.cluster, SUM((ed.x - cd.cx) * (ed.x - cd.cx)) AS d2
+      FROM ed JOIN cc{citers} cd ON ed.idx = cd.idx
+      WHERE ed.id < 3
+      GROUP BY ed.id, cd.cluster
+    )
+  ) WHERE pr <= {nprobe}
+),
+lutq AS (
+  SELECT qp.query_id, qp.cell, cb.s, cb.pj,
+         SUM((ed.x - cd.cx - cb.cx) * (ed.x - cd.cx - cb.cx)) AS qd2
+  FROM qprob qp
+  JOIN ed ON ed.id = qp.query_id
+  JOIN cc{citers} cd ON cd.cluster = qp.cell AND cd.idx = ed.idx
+  JOIN pc{piters} cb ON cb.idx = ed.idx
+  GROUP BY qp.query_id, qp.cell, cb.s, cb.pj
+),
+adc AS (
+  SELECT l.query_id, enc.id AS corpus_id, SUM(l.qd2) AS adc_dist
+  FROM p{piters} enc
+  JOIN ca ON ca.id = enc.id
+  JOIN lutq l ON l.cell = ca.cluster AND l.s = enc.s AND l.pj = enc.pj
+  GROUP BY l.query_id, enc.id
+)
+SELECT query_id, corpus_id, ROUND(adc_dist, 6) AS adc_dist,
+       CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT query_id, corpus_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, corpus_id ASC) AS rn
+  FROM adc
+) WHERE rn <= {topk}""")
+    return "".join(sql)
+
+
+IVFPQ_TOPK_ORACLE_SQL = _ivfpq_oracle_sql()
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN end-to-end (Jégou et al. 2011 IVF-ADC, the textbook
+    production shape): coarse k-means (k=8×2 iters) partitions the
+    corpus into cells; PQ codebooks (m=8, K=16, 2 iters) train on
+    RESIDUALS v − c[cluster] (less energy → finer quantization at the
+    same 8-byte code budget); search probes each query's nprobe=2
+    nearest cells only — the broadcast LUT join on ``cluster`` IS the
+    cell pruning, distance is m array lookups per (row, probe), and the
+    only shuffle is the per-query top-k window.  At 100 TB the corpus
+    is partitioned by ``cluster`` at landing, so a query scans ~nprobe/
+    k_coarse of the codes (and 0% of the raw vectors).  The DuckDB
+    oracle replays the ENTIRE composition relationally (see
+    ``_ivfpq_oracle_sql``).
+
+    NOT driver-registered in round 12 — the r08 rotation block fills
+    all 50 window slots (rotation lint enforces it).  r13 registration:
+    wrap with ``@query("ivfpq_topk", IVFPQ_TOPK_ORACLE_SQL)`` when the
+    r09 rotation block leaves 2 slots free; oracle parity is pinned
+    this round by ``tests/test_queries_oracle.py::test_ivfpq_topk_
+    oracle_parity_staged``."""
+    from ..operators.similarity import (
+        ivfpq_encode,
+        ivfpq_search,
+        ivfpq_train,
+        kmeans_lloyd,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    _, centroids, _ = kmeans_lloyd(em, "embedding", "vec_id", k=8, iters=2)
+    cb = ivfpq_train(em, "embedding", "vec_id", centroids, m=8, k=16, iters=2)
+    codes = ivfpq_encode(em, "embedding", "vec_id", centroids, cb)
+    queries_df = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    out = ivfpq_search(codes, queries_df, centroids, cb, k=10, nprobe=2)
+    return out.select(
+        "query_id", "corpus_id",
+        F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank",
+    )
+
+
 @query("knn_pq_topk", _pq_oracle_sql())
 def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN end-to-end (Jégou et al. 2011, public):

@@ -71,3 +71,26 @@ def test_registry_lint_all_oracle_schemas_scalar(spark):
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_ivfpq_topk_oracle_parity_staged(spark):
+    """r12 staging slot for ``ivfpq_topk`` (r11 VERDICT order #3): the
+    query is deliberately NOT driver-registered this round — the r08
+    rotation block fills all 50 window slots, and the rotation lint
+    forbids new registrations that would sit never-driver-checked.  Its
+    full oracle parity (coarse k-means → residual → PQ train → encode →
+    nprobe ADC, replayed relationally in DuckDB) is therefore pinned
+    HERE with exactly the driver's compare, at both local SFs, so r13
+    registration is a one-line @query wrap with zero new risk."""
+    from clickhouse_sinker_spark.plans.queries import (
+        IVFPQ_TOPK_ORACLE_SQL,
+        ivfpq_topk,
+    )
+    from .conftest import SF_DIR_01
+
+    for sf in (SF_DIR, SF_DIR_01):
+        df = ivfpq_topk(spark, sf)
+        ok, msg = compare(df, IVFPQ_TOPK_ORACLE_SQL, sf)
+        assert ok, f"ivfpq_topk @ {sf}: {msg}"
+    # guard: must stay out of the registry until a window slot frees
+    assert "ivfpq_topk" not in QUERIES and "ivfpq_topk" not in ORACLES
