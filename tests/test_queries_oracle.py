@@ -94,3 +94,25 @@ def test_ivfpq_topk_oracle_parity_staged(spark):
         assert ok, f"ivfpq_topk @ {sf}: {msg}"
     # guard: must stay out of the registry until a window slot frees
     assert "ivfpq_topk" not in QUERIES and "ivfpq_topk" not in ORACLES
+
+
+def test_pipeline_pack_bpe_oracle_parity_staged(spark):
+    """r12 staging slot for ``pipeline_pack_bpe`` (r11 VERDICT order
+    #4): BPE-token-exact packing — train 8 merges in-engine, count each
+    document's trained-BPE tokens with the pure-JVM replay chain, pack
+    with the running-sum window.  The DuckDB oracle replays training,
+    encoding AND packing relationally; parity pinned here with the
+    driver's exact compare at both local SFs (registration is a
+    one-line @query wrap in r13 when the window has free slots)."""
+    from clickhouse_sinker_spark.plans.queries import (
+        PIPELINE_PACK_BPE_ORACLE_SQL,
+        pipeline_pack_bpe,
+    )
+    from .conftest import SF_DIR_01
+
+    for sf in (SF_DIR, SF_DIR_01):
+        df = pipeline_pack_bpe(spark, sf)
+        ok, msg = compare(df, PIPELINE_PACK_BPE_ORACLE_SQL, sf)
+        assert ok, f"pipeline_pack_bpe @ {sf}: {msg}"
+    assert ("pipeline_pack_bpe" not in QUERIES
+            and "pipeline_pack_bpe" not in ORACLES)
