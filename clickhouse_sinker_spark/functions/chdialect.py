@@ -959,10 +959,36 @@ _UNSUPPORTED = {
     # polygonConvexHullCartesian translates as of r11 (literal fold —
     # boost graham_andrew output convention, see _convex_hull_fold)
     "wkt",                            # the RENDER direction stays
-                                      # refused: CH prints Float64 via
-                                      # shortest-decimal with its own
-                                      # exponent conventions — no local
-                                      # pin (the readWKT* PARSERS
+                                      # refused — STRENGTHENED r12 per
+                                      # the VERDICT order: shortest-
+                                      # round-trip fixes the DIGITS but
+                                      # not the NOTATION, and the
+                                      # notation diverges INSIDE the
+                                      # exponent-free coordinate range.
+                                      # Concrete mismatch: the double
+                                      # 1.0 renders "1.0" (Python/Spark
+                                      # repr), "1" (double-conversion
+                                      # EcmaScriptConverter, CH's
+                                      # pre-23 float writer), "1E0"
+                                      # (dragonbox to_chars, vendored
+                                      # by newer CH) — all round-trip,
+                                      # all shortest, all different;
+                                      # integer-valued coordinates are
+                                      # the COMMON case in geometry.
+                                      # Threshold families differ too:
+                                      # 1e16 is "1e+16" (Python) vs
+                                      # "10000000000000000" (ECMA
+                                      # decimal range ends at 1e21).
+                                      # Which notation CH's wkt() emits
+                                      # is a version-contingent
+                                      # implementation detail no local
+                                      # pin can resolve (no server, no
+                                      # docs vector with a fractional +
+                                      # an integer-valued coordinate).
+                                      # Evidence test:
+                                      # tests/test_chdialect.py::
+                                      # test_wkt_render_refusal_notation_evidence
+                                      # (the readWKT* PARSERS
                                       # translate: nested tuple arrays
                                       # carry the geometry)
     "initialQueryStartTime",          # engine introspection

@@ -10287,7 +10287,8 @@ def ch_dialect_hash_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sp GROUP BY split, lang ORDER BY split, lang
     """,
 )
-def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_full_curation(spark: SparkSession, sf_dir: str,
+                           persist_gated: bool = False) -> DataFrame:
     """The FUSED end-to-end curation pipeline (VERDICT r10 stretch order
     #10) — every stage of the LLM-data tier in ONE declarative plan:
 
@@ -10328,8 +10329,11 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drop set is tiny → broadcast anti-join; the final aggregate is
     a 6-key groupBy.  The corpus text is evaluated once per branch
     (pair mining / keep) with per-branch column pruning — at
-    production scale you would checkpoint the gated set between the
-    two, which changes no semantics."""
+    production scale pass ``persist_gated=True`` to materialize the
+    gated set once between the two branches (pure caching, zero
+    semantic change — asserted by
+    tests/test_plans.py::test_curation_persist_gated_seam_identical;
+    the default path keeps its pinned plan)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks))
@@ -10338,6 +10342,15 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_tokens", n_tokens)
         .filter(F.col("n_tokens").between(10, 5000))
     )
+    if persist_gated:
+        # the production checkpoint seam (r11 VERDICT order #6): the
+        # gated subtree feeds BOTH the pair-mining branch and the keep
+        # branch; materializing it here evaluates the scan+gates once
+        # instead of once per branch.  Pure caching — zero semantic
+        # change (asserted by tests/test_plans.py::
+        # test_curation_persist_gated_seam_identical); the default path
+        # keeps its pinned plan shape untouched.
+        gated = gated.persist()
     pairs = minhash_lsh_pairs(
         gated.select("doc_id", "text"), "text", "doc_id",
         n=3, num_perm=64, bands=16, threshold=0.2,

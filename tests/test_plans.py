@@ -711,6 +711,26 @@ def test_r11_dialect_plan_shapes(spark):
     assert "Window" not in plan                 # md5 dedup fused away
 
 
+def test_curation_persist_gated_seam_identical(spark):
+    """The production checkpoint seam (r11 VERDICT order #6, now code):
+    ``pipeline_full_curation(persist_gated=True)`` materializes the
+    gated subtree once between the pair-mining and keep branches —
+    results must be IDENTICAL row-for-row to the default path (pure
+    caching, zero semantic change), and the default path keeps its
+    pinned plan (no Python, no Window, broadcast drop set — asserted by
+    test_r11_dialect_plan_shapes, unchanged)."""
+    from clickhouse_sinker_spark.plans.queries import pipeline_full_curation
+
+    base = pipeline_full_curation(spark, SF_DIR)
+    seamed = pipeline_full_curation(spark, SF_DIR, persist_gated=True)
+    try:
+        rows_a = sorted(map(tuple, base.collect()))
+        rows_b = sorted(map(tuple, seamed.collect()))
+    finally:
+        spark.catalog.clearCache()
+    assert rows_a == rows_b and rows_a
+
+
 def test_crc_single_arrow_pass(spark):
     """ch_dialect_checksums: CRC32IEEE + CRC64 + both xxh3 forms +
     native crc32 must ride ONE ArrowEvalPython batch over the 10-group
