@@ -2092,12 +2092,19 @@ def _ks_exact_pvalue(n0: int, n1: int, h: int) -> float:
 # operations INSIDE one Arrow batch (on top of the collect_list fold that
 # already materialized the group), so a group near the documented 10k
 # size cap could cost ~1e8 row-ops and stall an executor for minutes.
-# Under 'auto' — where CH's own rule is an unspecified performance
-# heuristic and the caller asked for automatic method selection — we
-# additionally require n0·n1 within this budget (≈1 s of numpy) before
-# taking the exact branch; beyond it 'auto' falls back to the same
-# asymptotic series CH uses past its size cap.  An EXPLICIT 'exact'
-# never falls back: the caller opted into the O(n0·n1) cost.
+# Under 'auto' we additionally require n0·n1 within this budget (≈1 s of
+# numpy) before taking the exact branch; beyond it 'auto' falls back to
+# the same asymptotic series CH uses past its size cap.  BE CLEAR ABOUT
+# WHAT THIS IS: a deliberate CH-PARITY BREAK for the near-cap shapes —
+# CH's documented rule gates only on max(n0, n1) ≤ 10 000, so a live
+# server WOULD take the exact branch at e.g. n0=n1=6000 where this
+# engine returns the (numerically different) asymptotic p-value.  The
+# trade is executor liveness for tail-digit parity in a region the
+# caller declared "pick for me" ('auto'); a consumer needing server-
+# bit-parity at those shapes must say 'exact', which NEVER falls back —
+# the caller opted into the O(n0·n1) cost.  (r11 ADVICE-sanctioned;
+# sharpened after the r12 self-review flagged the original wording as
+# implying compatibility.)
 _KS_EXACT_AUTO_BUDGET = 25_000_000
 
 

@@ -70,9 +70,16 @@ def shard_knuth(col: Column | str, shards: int) -> Column:
     reduction, v ≥ ~3.47e9 overflows — Spark wraps silently (a different
     bucket than true integer math) while an ANSI engine raises, so the
     routing would diverge between engines exactly at the id ranges a
-    100 TB corpus reaches.  The Knuth mix only ever keeps the low 31
-    bits, so pre-reducing loses nothing for ids below 2^31 (bit-identical
-    buckets) and stays a well-mixed deterministic hash above it."""
+    100 TB corpus reaches.  The reduction here is ``pmod`` (always
+    nonnegative); the paired SQL oracles spell it
+    ``(v % 2^31 + 2^31) % 2^31`` because ANSI ``%`` keeps the sign —
+    a bare ``v % 2^31`` would diverge for NEGATIVE keys (DuckDB -5 →
+    bucket -17 while pmod gives 2^31-5 → bucket 31; found in the r12
+    self-review, pinned incl. negatives in
+    tests/test_operators.py::test_shard_knuth_large_id_no_overflow).
+    The Knuth mix only ever keeps the low 31 bits, so pre-reducing
+    loses nothing for ids below 2^31 (bit-identical buckets) and stays
+    a well-mixed deterministic hash everywhere else."""
     c = F.col(col) if isinstance(col, str) else col
     low = F.pmod(c.cast("bigint"), F.lit(2**31))
     return F.pmod(F.pmod(low * F.lit(2654435761), F.lit(2**31)), F.lit(int(shards))).cast("int")

@@ -956,7 +956,7 @@ def etl_shard_stripe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl_shard_knuth",
     """
-    SELECT CAST((((user_id % 2147483648) * 2654435761) % 2147483648) % 8 AS INTEGER) AS shard, COUNT(*) AS n
+    SELECT CAST(((((user_id % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 2147483648) % 8 AS INTEGER) AS shard, COUNT(*) AS n
     FROM events GROUP BY 1
     """,
 )
@@ -2007,7 +2007,8 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_chars,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-             (((doc_id % 2147483648) * 2654435761) % 2147483648) % 100 AS bucket
+             ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+               * 2654435761) % 2147483648) % 100 AS bucket
       FROM documents
     )
     SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -2030,9 +2031,10 @@ def pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     it stable across runs AND engines.  Map-side bucket arithmetic + one
     grouped aggregate — no shuffle other than the 3-key groupBy."""
     d = _t(spark, sf_dir, "documents")
-    # key reduced mod 2^31 BEFORE the multiply (see shard_knuth): keeps
-    # the product inside signed 64-bit for every doc_id, so Spark and the
-    # ANSI oracle agree at 100 TB id ranges (identical below 2^31)
+    # key pmod-reduced mod 2^31 BEFORE the multiply (see shard_knuth):
+    # keeps the product inside signed 64-bit for every doc_id; the
+    # oracle spells the reduction (v % 2^31 + 2^31) % 2^31 so negative
+    # ids agree too (ANSI % keeps the sign, pmod doesn't)
     bucket = F.pmod(
         F.pmod(F.pmod(F.col("doc_id"), F.lit(2**31)) * F.lit(2654435761),
                F.lit(2**31)),
@@ -2480,65 +2482,82 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ORACLE_HEAD = """
+    WITH words AS MATERIALIZED (
+      SELECT replace(w, chr(31), '') AS w, count(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE length(replace(w, chr(31), '')) > 0
+      GROUP BY 1
+    ),
+    w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s,
+             cnt
+      FROM words
+    )
+"""
+
+# Shared per-merge template (also composed by _bpe_pack_oracle_sql):
+# pair counts over the wrapped vocabulary, the (c DESC, l, r) argmax,
+# and the vocabulary update as one non-overlapping replace().  The
+# COALESCE(..., chr(30)) guard makes an EXHAUSTED merge round (empty
+# b{k} — every word a single token) a no-op replace of a never-
+# occurring byte instead of replace(s, NULL, ...) NULLing the whole
+# vocabulary (latent in the unguarded original; r12 self-review).
+_BPE_ORACLE_ITER = """
+    , p{k} AS MATERIALIZED (
+      SELECT t[i] AS l, t[i+1] AS r, SUM(cnt) AS c
+      FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+                                chr(31) || chr(31)) AS t, cnt
+            FROM w{k}),
+           LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    w{k1} AS MATERIALIZED (
+      SELECT replace(s,
+          COALESCE(chr(31) || (SELECT l FROM b{k}) || chr(31) || chr(31)
+                  || (SELECT r FROM b{k}) || chr(31), chr(30)),
+          COALESCE(chr(31) || (SELECT l FROM b{k}) || (SELECT r FROM b{k})
+                  || chr(31), chr(30))) AS s, cnt
+      FROM w{k}
+    )
+"""
+
+
 def _bpe_pack_oracle_sql(n_merges: int = 8, budget: int = 512) -> str:
-    """Unrolled relational BPE train → encode → pack for DuckDB: each
-    merge is one MATERIALIZED CTE pair — pair counts over the
-    \\x1F-wrapped vocabulary (all adjacent pairs, weighted by word
-    count, argmax tie-broken (count DESC, l ASC, r ASC) exactly like
-    ``bpe_train_merges``) and the vocabulary update as one left-to-right
-    non-overlapping ``replace()`` (the identical primitive both engines
-    implement, so even the 'aaa' → [aa, a] run handling is bit-equal).
-    Every document then encodes through the same replace chain; its
-    token count is n_words + the number of ``\\x1F\\x1F`` token joints
-    (counted by length delta — no splitting), and the packing window is
+    """Unrolled relational BPE train → encode → pack for DuckDB,
+    COMPOSED from the same ``_BPE_ORACLE_HEAD``/``_BPE_ORACLE_ITER``
+    templates that back ``pipeline_bpe_train_merges`` (one merge-chain
+    definition, two oracles — the r12 self-review flagged the original
+    second copy as a sync hazard).  Each merge is one MATERIALIZED CTE
+    pair: pair counts over the \\x1F-wrapped vocabulary (all adjacent
+    pairs, weighted by word count, argmax tie-broken (count DESC, l
+    ASC, r ASC) exactly like ``bpe_train_merges``) and the vocabulary
+    update as one left-to-right non-overlapping ``replace()`` — the
+    identical primitive both engines implement, so even the 'aaa' →
+    [aa, a] run handling is bit-equal.  Every document then encodes
+    through the same guarded replace chain; its token count is n_words
+    + the number of ``\\x1F\\x1F`` token joints (counted by length
+    delta — no splitting), and the packing window is
     ``pack_token_budget``'s running-sum bin assignment verbatim.
     MATERIALIZED matters: each CTE is referenced by every later stage,
     and without it DuckDB re-inlines the whole training chain per
     reference (observed >100× blowup)."""
-    sql = [r"""
-WITH w0 AS MATERIALIZED (
-  SELECT w, COUNT(*) AS cnt FROM (
-    SELECT replace(wx, chr(31), '') AS w FROM (
-      SELECT unnest(regexp_split_to_array(coalesce(text, ''), '\s+')) AS wx
-      FROM documents)
-  ) WHERE length(w) > 0 GROUP BY w
-),
-v0 AS MATERIALIZED (
-  SELECT regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS s, cnt
-  FROM w0
-)"""]
-    for i in range(n_merges):
-        sql.append(f""",
-b{i} AS MATERIALIZED (
-  SELECT l, r FROM (
-    SELECT t[j] AS l, t[j + 1] AS r, SUM(cnt) AS c
-    FROM (SELECT cnt,
-                 string_split(substr(s, 2, length(s) - 2),
-                              chr(31) || chr(31)) AS t
-          FROM v{i}),
-         LATERAL (SELECT unnest(range(1, len(t))) AS j) rj
-    GROUP BY t[j], t[j + 1]
-  ) ORDER BY c DESC, l ASC, r ASC LIMIT 1
-),
-v{i + 1} AS MATERIALIZED (
-  SELECT replace(s,
-           COALESCE((SELECT chr(31) || l || chr(31) || chr(31) || r
-                            || chr(31) FROM b{i}), chr(30)),
-           COALESCE((SELECT chr(31) || l || r || chr(31) FROM b{i}),
-                    chr(30))) AS s,
-         cnt
-  FROM v{i}
-)""")
+    sql = [_BPE_ORACLE_HEAD]
+    sql.extend(
+        _BPE_ORACLE_ITER.format(k=k, k1=k + 1) for k in range(n_merges))
     enc = r"""array_to_string(list_transform(
         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
                     w -> length(replace(w, chr(31), '')) > 0),
         w -> regexp_replace(replace(w, chr(31), ''), '(.)',
                             chr(31) || '\1' || chr(31), 'g')), ' ')"""
-    for i in range(n_merges):
+    for k in range(n_merges):
         enc = f"""replace({enc},
-  COALESCE((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31)
-            FROM b{i}), chr(30)),
-  COALESCE((SELECT chr(31) || l || r || chr(31) FROM b{i}), chr(30)))"""
+  COALESCE(chr(31) || (SELECT l FROM b{k}) || chr(31) || chr(31)
+          || (SELECT r FROM b{k}) || chr(31), chr(30)),
+  COALESCE(chr(31) || (SELECT l FROM b{k}) || (SELECT r FROM b{k})
+          || chr(31), chr(30)))"""
     sql.append(f""",
 de AS (
   SELECT doc_id, source,
@@ -3118,7 +3137,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang
     FROM documents
-    WHERE ((doc_id % 2147483648) * 2654435761 % 4294967296) % 100 <
+    WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648)
+           * 2654435761 % 4294967296) % 100 <
           CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
     """,
 )
@@ -3129,8 +3149,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, runs and partitionings, and the predicate pushes to
     the scan (no shuffle at all)."""
     d = _t(spark, sf_dir, "documents")
-    # mod-2^31 pre-reduction (see shard_knuth): overflow-safe in both
-    # engines for every doc_id, bit-identical below 2^31
+    # pmod-2^31 pre-reduction (see shard_knuth): overflow-safe in both
+    # engines for every doc_id incl. negatives (oracle uses the
+    # (v % m + m) % m spelling), bit-identical below 2^31
     bucket = (
         F.pmod(F.col("doc_id"), F.lit(2**31)) * F.lit(2654435761)
     ) % F.lit(4294967296) % 100
@@ -9904,41 +9925,6 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_near_dup(em, "embedding", "vec_id")
 
 
-_BPE_ORACLE_HEAD = """
-    WITH words AS MATERIALIZED (
-      SELECT replace(w, chr(31), '') AS w, count(*) AS cnt
-      FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
-            FROM documents)
-      WHERE length(replace(w, chr(31), '')) > 0
-      GROUP BY 1
-    ),
-    w0 AS MATERIALIZED (
-      SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s,
-             cnt
-      FROM words
-    )
-"""
-
-_BPE_ORACLE_ITER = """
-    , p{k} AS MATERIALIZED (
-      SELECT t[i] AS l, t[i+1] AS r, SUM(cnt) AS c
-      FROM (SELECT string_split(substr(s, 2, length(s) - 2),
-                                chr(31) || chr(31)) AS t, cnt
-            FROM w{k}),
-           LATERAL (SELECT unnest(range(1, len(t))) AS i)
-      GROUP BY 1, 2
-    ),
-    b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-    w{k1} AS MATERIALIZED (
-      SELECT replace(s,
-          chr(31) || (SELECT l FROM b{k}) || chr(31) || chr(31)
-                  || (SELECT r FROM b{k}) || chr(31),
-          chr(31) || (SELECT l FROM b{k}) || (SELECT r FROM b{k})
-                  || chr(31)) AS s, cnt
-      FROM w{k}
-    )
-"""
-
 _BPE_ORACLE = (
     _BPE_ORACLE_HEAD
     + "".join(_BPE_ORACLE_ITER.format(k=k, k1=k + 1) for k in range(5))
@@ -10270,10 +10256,12 @@ def ch_dialect_hash_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE CAST(n_chars AS DOUBLE) / n_tokens
                       BETWEEN 4.75 AND 6.5),
     sp AS (
-      SELECT *, CASE WHEN (((doc_id % 2147483648) * 2654435761)
+      SELECT *, CASE WHEN ((((doc_id % 2147483648 + 2147483648)
+                             % 2147483648) * 2654435761)
                            % 2147483648) % 100 < 80
                      THEN 'train'
-                     WHEN (((doc_id % 2147483648) * 2654435761)
+                     WHEN ((((doc_id % 2147483648 + 2147483648)
+                             % 2147483648) * 2654435761)
                            % 2147483648) % 100 < 90
                      THEN 'val' ELSE 'test' END AS split
       FROM quality
@@ -10342,6 +10330,7 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str,
         .withColumn("n_tokens", n_tokens)
         .filter(F.col("n_tokens").between(10, 5000))
     )
+    gated_handle = None
     if persist_gated:
         # the production checkpoint seam (r11 VERDICT order #6): the
         # gated subtree feeds BOTH the pair-mining branch and the keep
@@ -10349,8 +10338,15 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str,
         # instead of once per branch.  Pure caching — zero semantic
         # change (asserted by tests/test_plans.py::
         # test_curation_persist_gated_seam_identical); the default path
-        # keeps its pinned plan shape untouched.
+        # keeps its pinned plan shape untouched.  OWNERSHIP: the caller
+        # releases the cache by calling ``.unpersist()`` on the
+        # ``gated_handle`` attribute attached to the returned DataFrame
+        # (the result is lazy, so this function cannot unpersist for
+        # you; a repeated-call production loop that never releases it
+        # would otherwise accumulate cached corpus partitions — r12
+        # self-review).
         gated = gated.persist()
+        gated_handle = gated
     pairs = minhash_lsh_pairs(
         gated.select("doc_id", "text"), "text", "doc_id",
         n=3, num_perm=64, bands=16, threshold=0.2,
@@ -10361,11 +10357,13 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str,
         (F.col("n_chars").cast("double") / F.col("n_tokens"))
         .between(4.75, 6.5)
     )
-    # doc_id reduced mod 2^31 BEFORE the Knuth multiply (r11 ADVICE):
-    # without it, doc_id >= ~3.47e9 overflows signed 64-bit — Spark
-    # wraps silently to a different bucket while the ANSI oracle raises,
-    # so split assignment would diverge at 100 TB id ranges.  Identical
-    # buckets below 2^31.
+    # doc_id pmod-reduced mod 2^31 BEFORE the Knuth multiply (r11
+    # ADVICE): without it, doc_id >= ~3.47e9 overflows signed 64-bit —
+    # Spark wraps silently to a different bucket while the ANSI oracle
+    # raises, so split assignment would diverge at 100 TB id ranges.
+    # The oracle spells the reduction (v % 2^31 + 2^31) % 2^31 so
+    # NEGATIVE ids agree too (ANSI % keeps the sign, pmod doesn't —
+    # r12 self-review).  Identical buckets below 2^31.
     bucket = F.pmod(
         F.pmod(F.pmod(F.col("doc_id"), F.lit(2**31)) * F.lit(2654435761),
                F.lit(2**31)),
@@ -10375,7 +10373,7 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str,
         F.when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test")
     )
-    return (
+    out = (
         quality.select(
             split.alias("split"), "lang", "n_tokens", "n_chars")
         .groupBy("split", "lang")
@@ -10388,6 +10386,10 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str,
         )
         .orderBy("split", "lang")
     )
+    if gated_handle is not None:
+        # cache-ownership handle for the persist_gated seam (see above)
+        out.gated_handle = gated_handle
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -117,22 +117,32 @@ def test_curation_lsh_candidates_equal_exact_pairs(spark):
 
 
 def test_shard_knuth_large_id_no_overflow(spark):
-    """r11 ADVICE regression: the Knuth split/shard hash must agree with
-    exact integer math (and hence any ANSI oracle) for ids past the
-    signed-64 overflow point ~3.47e9.  The key is reduced mod 2^31
-    before the multiply, so the product never wraps; below 2^31 the
-    buckets are bit-identical to the pre-fix formula."""
+    """r11 ADVICE regression (+ r12 self-review extension): the Knuth
+    split/shard hash must agree with exact integer math AND with the
+    literal SQL the oracles use, for ids past the signed-64 overflow
+    point ~3.47e9 and for NEGATIVE ids.  The key is pmod-reduced
+    mod 2^31 before the multiply so the product never wraps; the SQL
+    spelling ``(v % 2^31 + 2^31) % 2^31`` matches pmod for negative
+    keys where a bare ANSI ``%`` (sign-keeping) would diverge."""
+    import duckdb
+
     from clickhouse_sinker_spark.functions.hashing import shard_knuth
 
     ids = [0, 1, 2**31 - 1, 2**31, 3_470_000_000, 2**40 + 123,
-           2**62, 2**63 - 1]
+           2**62, 2**63 - 1, -1, -5, -(2**31), -(2**40 + 123),
+           -(2**63) + 1]
     df = spark.createDataFrame([(i,) for i in ids], "id long")
     got = {r.id: r.s for r in
            df.select("id", shard_knuth("id", 8).alias("s")).collect()}
     for i in ids:
-        want = (((i % 2**31) * 2654435761) % 2**31) % 8  # exact int math
+        # exact integer math with the pmod (nonnegative) reduction
+        want = (((i % 2**31) * 2654435761) % 2**31) % 8  # Python % == pmod
         assert got[i] == want, (i, got[i], want)
-        if i < 2**31:  # pre-fix formula identical below 2^31
+        # the oracle SQL spelling agrees in a real ANSI engine
+        sql = (f"SELECT ((((CAST({i} AS BIGINT) % 2147483648 + 2147483648)"
+               " % 2147483648) * 2654435761) % 2147483648) % 8")
+        assert duckdb.sql(sql).fetchone()[0] == want, i
+        if 0 <= i < 2**31:  # pre-fix formula identical below 2^31
             assert want == ((i * 2654435761) % 2**31) % 8
 
 

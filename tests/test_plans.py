@@ -723,11 +723,18 @@ def test_curation_persist_gated_seam_identical(spark):
 
     base = pipeline_full_curation(spark, SF_DIR)
     seamed = pipeline_full_curation(spark, SF_DIR, persist_gated=True)
+    assert not hasattr(base, "gated_handle")  # default path: no cache
     try:
         rows_a = sorted(map(tuple, base.collect()))
         rows_b = sorted(map(tuple, seamed.collect()))
     finally:
-        spark.catalog.clearCache()
+        # cache ownership: the caller releases via the attached handle
+        # (a repeated-call production loop must not leak cached corpus
+        # partitions — r12 self-review)
+        handle = seamed.gated_handle
+        assert handle.storageLevel.useMemory  # it really was cached
+        handle.unpersist(blocking=True)
+        assert not handle.storageLevel.useMemory  # and really released
     assert rows_a == rows_b and rows_a
 
 
