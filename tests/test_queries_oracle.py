@@ -116,3 +116,24 @@ def test_pipeline_pack_bpe_oracle_parity_staged(spark):
         assert ok, f"pipeline_pack_bpe @ {sf}: {msg}"
     assert ("pipeline_pack_bpe" not in QUERIES
             and "pipeline_pack_bpe" not in ORACLES)
+
+
+def test_knuth_oracle_modulo_is_nonnegative_spelled():
+    """Defect-class lint (r12 self-review → lint, the established
+    pattern): any oracle using the Knuth multiplicative constant as a
+    ROUTING/SPLIT hash must spell the pre-reduction
+    ``(v % 2^31 + 2^31) % 2^31`` — ANSI ``%`` keeps the sign while the
+    Spark side uses nonnegative ``pmod``, so a bare ``v % 2^31``
+    silently diverges for negative keys.  ``ch_dialect_*`` oracles are
+    exempt: there the constant generates CH test values under CH's own
+    wrap semantics, which IS the behavior under test."""
+    import re
+
+    for name, sql in ORACLES.items():
+        if "2654435761" not in sql or name.startswith("ch_dialect_"):
+            continue
+        flat = re.sub(r"\s+", " ", sql)
+        assert "+ 2147483648) % 2147483648" in flat, (
+            f"{name}: Knuth routing hash without the nonnegative-mod "
+            "spelling — negative ids would diverge between pmod (Spark) "
+            "and sign-keeping ANSI %")
