@@ -737,3 +737,164 @@ def srp_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimized Product Quantization (Ge, He, Ke & Sun, CVPR 2013 — public):
+# learn an orthogonal rotation R that aligns the data with the PQ
+# subspace decomposition before quantizing, shrinking quantization error
+# at the SAME code budget.  Non-parametric alternation: fix R → train
+# PQ on R·v; fix codebooks → solve the orthogonal Procrustes problem
+# R = U·Vᵀ from the SVD of the data/reconstruction correlation.
+# ---------------------------------------------------------------------------
+
+
+def rotate_vectors(df: DataFrame, vec_col: str, rotation: list[list[float]],
+                   out_col: str = "__rot") -> DataFrame:
+    """Apply an orthogonal rotation map-side: ``out = R · v`` per row.
+
+    One Arrow-batched ``mapInPandas`` doing a single numpy matmul per
+    batch — the vectorized right answer for a dense d×d multiply (64
+    higher-order-function passes per row would stay JVM-side but
+    re-walk the array per output dimension; BLAS beats that by an
+    order of magnitude and the transfer is one Arrow batch each way).
+    Zero shuffle; the d×d matrix ships inside the serialized closure
+    (driver-tiny, like the k-means centroid literals)."""
+    import numpy as np
+
+    spark_schema = df.schema
+    names = [f.name for f in spark_schema.fields]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in spark_schema.fields]
+        + [f"{out_col} array<double>"])
+    r_mat = np.asarray(rotation, dtype=np.float64)
+
+    def _rot(batches):
+        for pdf in batches:
+            vs = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            out = pdf.copy()
+            out[out_col] = list(vs @ r_mat.T)
+            yield out
+
+    return df.mapInPandas(_rot, out_schema)[[*names, out_col]]
+
+
+def opq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    pq_iters: int = 2,
+    opq_iters: int = 3,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Learn (rotation, codebooks) by OPQ's non-parametric alternation.
+
+    Identity init (alternation 0 therefore trains EXACTLY the plain PQ
+    this engine already ships), then per alternation: train PQ on the
+    rotated corpus (the existing fused-subspace ``pq_train`` —
+    deterministic seeding/tie-breaks), reconstruct each row from its
+    codes map-side, accumulate the d×d correlation A = Σ y·xᵀ with one
+    per-partition numpy partial (``mapInPandas`` → 64×64 floats per
+    partition, driver-summed — the k-means-stats collect shape), and
+    solve Procrustes R = U·Vᵀ from numpy's SVD of A.  The pair with
+    the LOWEST measured quantization error across alternations is
+    returned, so ``error(opq) ≤ error(plain PQ)`` holds BY
+    CONSTRUCTION on any corpus (alternation 0 IS plain PQ) — the test
+    pins that plus determinism and orthogonality.  Scale: each
+    alternation costs pq_iters + 2 corpus passes, all map-side except
+    pq_train's narrow stats aggregations; SVD is driver-side on a
+    64×64 matrix."""
+    import numpy as np
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    dim = len(base.select("v").first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    r_cur = np.eye(dim)
+    best: tuple[float, np.ndarray, list] | None = None
+    for _ in range(opq_iters):
+        rot = rotate_vectors(base, "v", r_cur.tolist(), "rv")
+        cb = pq_train(rot, "rv", "id", m=m, k=k, iters=pq_iters)
+        cbm = np.asarray(cb, dtype=np.float64)  # (m, k, sub)
+
+        def _stats(batches, _cb=cbm, _r=r_cur):
+            a_part = np.zeros((dim, dim))
+            err_part = 0.0
+            n_part = 0
+            for pdf in batches:
+                x = np.asarray(list(pdf["v"]), dtype=np.float64)
+                rx = x @ _r.T
+                y = np.empty_like(rx)
+                for s in range(m):
+                    seg = rx[:, s * sub:(s + 1) * sub]
+                    d2 = ((seg[:, None, :] - _cb[s][None, :, :]) ** 2
+                          ).sum(axis=2)
+                    codes = d2.argmin(axis=1)  # numpy argmin = lowest index
+                    y[:, s * sub:(s + 1) * sub] = _cb[s][codes]
+                a_part += y.T @ x
+                err_part += float(((rx - y) ** 2).sum())
+                n_part += len(x)
+            import pandas as pd
+
+            yield pd.DataFrame({
+                "a": [a_part.ravel().tolist()],
+                "err": [err_part],
+                "n": [n_part],
+            })
+
+        parts = base.mapInPandas(
+            _stats, "a array<double>, err double, n long").collect()
+        a_mat = np.zeros((dim, dim))
+        err = 0.0
+        for row in parts:
+            a_mat += np.asarray(row["a"]).reshape(dim, dim)
+            err += row["err"]
+        if best is None or err < best[0]:
+            best = (err, r_cur.copy(), cb)
+        u, _, vt = np.linalg.svd(a_mat)
+        r_cur = u @ vt  # Procrustes: max tr(Rᵀ·A), R orthogonal
+    assert best is not None
+    return best[1].tolist(), best[2]
+
+
+def opq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Rotate then PQ-encode — run once at landing, store the code
+    column (same contract as ``pq_encode``; the rotation rides the
+    same Arrow batch as the matmul)."""
+    rot = rotate_vectors(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col,
+        rotation, "__rot")
+    return pq_encode(rot, "__rot", id_col, codebooks)
+
+
+def opq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k in the rotated space: queries (the tiny collected
+    side) are rotated driver-side, then ranking is exactly
+    ``pq_topk`` — the scan still touches only the code column."""
+    import numpy as np
+
+    r_mat = np.asarray(rotation, dtype=np.float64)
+    qrows = queries.select(
+        "query_id", F.col("vec").cast("array<double>").alias("v")).collect()
+    spark = codes.sparkSession
+    rot_q = spark.createDataFrame(
+        [(r["query_id"], (r_mat @ np.asarray(r["v"])).tolist())
+         for r in qrows],
+        "query_id long, vec array<double>")
+    return pq_topk(codes, rot_q, codebooks, k=k)

@@ -844,3 +844,65 @@ def test_ivfpq_residual_recall_and_determinism(spark):
     cl = {r["corpus_id"]: r["cluster"] for r in rows}
     for r in got:
         assert cl[r["corpus_id"]] in cells_of[r["query_id"]]
+
+
+def test_opq_rotation_determinism_and_error_bound(spark):
+    """OPQ (Ge et al. 2013, r12 library tier): the learned rotation must
+    be orthogonal, training deterministic, and the returned
+    (rotation, codebooks) pair's quantization error must be <= plain
+    PQ's at the same (m, k) budget — guaranteed BY CONSTRUCTION because
+    alternation 0 trains with the identity rotation (exactly plain PQ)
+    and opq_train returns the best alternation by measured error.
+    opq_topk must return k ranked rows per query over the code column
+    only."""
+    import numpy as np
+
+    from clickhouse_sinker_spark.operators.similarity import (
+        opq_encode,
+        opq_topk,
+        opq_train,
+        pq_train,
+    )
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    r1, cb1 = opq_train(em, "embedding", "vec_id", m=8, k=16,
+                        pq_iters=2, opq_iters=3)
+    r2, cb2 = opq_train(em, "embedding", "vec_id", m=8, k=16,
+                        pq_iters=2, opq_iters=3)
+    assert r1 == r2 and cb1 == cb2  # deterministic end-to-end
+    rm = np.asarray(r1)
+    assert np.allclose(rm @ rm.T, np.eye(64), atol=1e-9)  # orthogonal
+
+    # quantization error measured identically for both quantizers,
+    # driver-side on the collected corpus (500 x 64 — tiny)
+    x = np.asarray(
+        [r["v"] for r in em.select(
+            F.col("embedding").cast("array<double>").alias("v")).collect()])
+
+    def q_error(rot, cbs):
+        rx = x @ np.asarray(rot).T
+        cbm = np.asarray(cbs)
+        err = 0.0
+        for s in range(8):
+            seg = rx[:, s * 8:(s + 1) * 8]
+            d2 = ((seg[:, None, :] - cbm[s][None, :, :]) ** 2).sum(axis=2)
+            err += float(d2.min(axis=1).sum())
+        return err
+
+    plain = pq_train(em, "embedding", "vec_id", m=8, k=16, iters=2)
+    err_opq = q_error(r1, cb1)
+    err_pq = q_error(np.eye(64).tolist(), plain)
+    assert err_opq <= err_pq + 1e-6, (err_opq, err_pq)
+
+    codes = opq_encode(em, "embedding", "vec_id", r1, cb1)
+    row = codes.first()
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_code"])
+    queries = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("vec"))
+    got = opq_topk(codes, queries, r1, cb1, k=10).collect()
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in got)
+    assert set(per_q) == {0, 1, 2} and all(v == 10 for v in per_q.values())
