@@ -22,16 +22,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER, layout
-    # comment there): a fixed prefix — the two round-11 additions
-    # receiving their first driver hash (ch_dialect_hash_closures: the
-    # KS-'exact'/wyHash64/convex-hull refusal-tail closures;
-    # pipeline_full_curation: the fused end-to-end curation flagship),
-    # then the ENTIRE 48-query r07-latest block (the max-hash-age set,
-    # exactly 3 rounds stale — the r10-verdict rotation order) filling
-    # the window exactly.  Followed by every remaining registered query
-    # in source order.  Deterministic; no runtime state feeds the
-    # ordering.
+    # Deliberate, STATIC ordering (plans/queries.py:DRIVER_ORDER — the
+    # layout comment there is authoritative and current).  Round 13: a
+    # fixed prefix of the two r12-staged queries receiving their first
+    # driver hash (ivfpq_topk, pipeline_pack_bpe), then the ENTIRE
+    # 48-query r09-latest block (the max-hash-age set, exactly 3 rounds
+    # stale — the r12-verdict rotation order) filling the window
+    # exactly.  Followed by every remaining registered query in source
+    # order.  Deterministic; no runtime state feeds the ordering.
     return {n: QUERIES[n] for n in ordered_query_names()}
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 # checkout back-to-back on the same host and report the ratio.  Updated
 # each round to the previous round's final commit.  Disable with
 # SPARK_GRAFT_AB=0 or --no-ab; override the ref with --ab <git-ref>.
-AB_BASELINE_REF = "dcd1d96"  # round-11 final code commit
+AB_BASELINE_REF = "ce66600"  # round-12 final code commit
 
 HEADLINE = [
     "tpch_q1_pricing",

@@ -2592,6 +2592,7 @@ FROM c""")
 PIPELINE_PACK_BPE_ORACLE_SQL = _bpe_pack_oracle_sql()
 
 
+@query("pipeline_pack_bpe", PIPELINE_PACK_BPE_ORACLE_SQL)
 def pipeline_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKEN-EXACT sequence packing (r11 VERDICT order #4): the
     ``pack_token_budget`` packing contract, but counting TRAINED-BPE
@@ -2608,11 +2609,11 @@ def pipeline_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pack_token_budget``).  The DuckDB oracle replays ALL of it —
     training included — relationally (``_bpe_pack_oracle_sql``).
 
-    NOT driver-registered in round 12 (window full; rotation lint).
-    r13 registration: wrap with ``@query("pipeline_pack_bpe",
-    PIPELINE_PACK_BPE_ORACLE_SQL)``; parity pinned this round by
+    Staged library-tier in round 12 (window full; rotation lint),
+    driver-registered in round 13 when the r09 rotation block left 2
+    free slots; oracle parity was already pinned at both local SFs by
     ``tests/test_queries_oracle.py::test_pipeline_pack_bpe_oracle_
-    parity_staged``."""
+    parity_staged`` before registration."""
     from ..functions.text import bpe_encode_tokens, bpe_train_merges
 
     d = _t(spark, sf_dir, "documents")
@@ -5656,6 +5657,7 @@ FROM (
 IVFPQ_TOPK_ORACLE_SQL = _ivfpq_oracle_sql()
 
 
+@query("ivfpq_topk", IVFPQ_TOPK_ORACLE_SQL)
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN end-to-end (Jégou et al. 2011 IVF-ADC, the textbook
     production shape): coarse k-means (k=8×2 iters) partitions the
@@ -5670,12 +5672,11 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the ENTIRE composition relationally (see
     ``_ivfpq_oracle_sql``).
 
-    NOT driver-registered in round 12 — the r08 rotation block fills
-    all 50 window slots (rotation lint enforces it).  r13 registration:
-    wrap with ``@query("ivfpq_topk", IVFPQ_TOPK_ORACLE_SQL)`` when the
-    r09 rotation block leaves 2 slots free; oracle parity is pinned
-    this round by ``tests/test_queries_oracle.py::test_ivfpq_topk_
-    oracle_parity_staged``."""
+    Staged library-tier in round 12 (the r08 rotation block filled all
+    50 window slots), driver-registered in round 13 in one of the r09
+    block's 2 free slots; oracle parity was already pinned at both
+    local SFs by ``tests/test_queries_oracle.py::test_ivfpq_topk_
+    oracle_parity_staged`` before registration."""
     from ..operators.similarity import (
         ivfpq_encode,
         ivfpq_search,
@@ -10401,73 +10402,78 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str,
 # It never changes between two calls in the same checkout; any change to it
 # is an ordinary reviewed source edit.
 #
-# Layout of ``DRIVER_ORDER`` (round 12: staleness rotation per VERDICT r11
-# order #2 — the ENTIRE 50-query r08-latest block IS the window; it is
-# exactly 3 rounds stale and must not reach 4).  The block fills ALL 50
-# slots, so round 12 registers ZERO new driver queries (new capability
-# lands library-tier with pytest-only coverage and registers in r13,
-# whose rotation block is the 48-query r09 set leaving 2 free slots).
-# Order within the window is ``tools/driver_coverage.py``'s reported
-# order for the r08 block.
-# After this round's run the latest-green distribution becomes
-# 48 r09 / 50 r10 / 50 r11 / 50 r12 → max hash age stays ≤ 3.
-# Every remaining registered query follows in registration (source)
-# order.  Nothing is ever unregistered — ALL queries are
+# Layout of ``DRIVER_ORDER`` (round 13: staleness rotation per VERDICT r12
+# order #1 — the window is the 48-query r09-latest block, exactly 3 rounds
+# stale, PLUS the two r12-staged queries registered this round
+# (``ivfpq_topk``, ``pipeline_pack_bpe``) in the 2 remaining slots,
+# front-loaded because they are first-time hashes).  This brings the
+# registry to 200 = 50 x 4: from r14 onward every rotation block is a
+# full 50-query window with ZERO free slots — all further capability is
+# library-tier (pytest-only) by construction, and max hash age can never
+# exceed 3 as long as each round's window is exactly the
+# oldest-latest-green block (see tests/test_driver_rotation.py::
+# test_post_cap_rotation_calendar_closes).
+# Order within the r09 block is ``tools/driver_coverage.py``'s reported
+# order for that block.  After this round's run the latest-green
+# distribution becomes 50 r10 / 50 r11 / 50 r12 / 50 r13 -> max hash age
+# stays <= 3.  Every remaining registered query follows in registration
+# (source) order.  Nothing is ever unregistered — ALL queries are
 # pytest-oracle-checked on every test run regardless of position.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
-    # --- the r08-latest block (oldest hashes in the registry, age 3) ---
-    "tpch_q3_topk",
-    "tpch_q5_region_revenue",
-    "window_topk_per_customer",
-    "setop_except_distinct",
-    "setop_intersect",
-    "agg_distinct_exact",
-    "agg_approx_distinct",
-    "agg_hll_rollup",
-    "agg_percentile_approx",
-    "pipeline_pretraining_corpus",
-    "ts_gap_fill",
-    "etl_epoch_scale",
-    "etl_ip_validate",
-    "etl_shard_stripe",
-    "etl_shard_knuth",
-    "etl_shard_hash_xx",
-    "etl_sortingkey_shard",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "knn_ivf",
-    "text_langid",
-    "text_repetition_quality",
-    "decontam_ngram_overlap",
-    "etl_pii_scrub",
-    "dedup_incremental_exact",
-    "corpus_mix_sample",
-    "corpus_temperature_mix",
-    "pipeline_quality_gate",
-    "pack_token_budget",
-    "text_tokens",
-    "text_fingerprint",
-    "text_bpe_tokens",
-    "text_winnow_fingerprint",
-    "dedup_winnow_overlap",
-    "dedup_exact_substring",
-    "dedup_levenshtein",
-    "pipeline_dedup_survivors",
-    "text_tfidf_top_terms",
-    "sample_stratified",
-    "window_rank_distribution",
-    "etl_array_cast",
-    "mm_frame_sample",
-    "ch_dialect_hash_family",
-    "ch_dialect_json_extract",
-    "ch_dialect_time_decay",
-    "ch_dialect_stat_tests",
-    "ch_dialect_domains",
-    "ch_dialect_decimal_arith",
-    "ch_dialect_hash_family2",
+    # --- first-time hashes: the two r12-staged queries (front-loaded) ---
+    "ivfpq_topk",
+    "pipeline_pack_bpe",
+    # --- the r09-latest block (oldest hashes in the registry, age 3) ---
+    "tpch_q1_pricing",
+    "window_tumbling_1h",
+    "etl_default_on_error",
+    "etl_datetime_layouts",
+    "etl_null_reject",
+    "etl_dedup_offsets",
+    "etl_schema_infer_keys",
+    "series_latest_per_key",
+    "series_labels_json",
+    "dedup_exact_docs",
+    "text_quality",
+    "agg_rollup",
+    "etl_map_explode",
+    "asof_join_events",
+    "etl_csv_parse",
+    "tpch_q18_having",
+    "window_session_agg",
+    "range_join_recent_events",
+    "funnel_window_3step",
+    "agg_salted_user_stats",
+    "knn_kmeans_assign",
+    "mm_bmp_decode_real",
+    "mm_wav_features_real",
+    "quality_gopher_rules",
+    "dedup_passage_ccnet",
+    "knn_pq_topk",
+    "seq_match_funnel",
+    "cohort_weekly_retention",
+    "ch_dialect_decay_window",
+    "ch_dialect_auc",
+    "ch_dialect_pip",
+    "ch_dialect_idna",
+    "ch_dialect_ngram",
+    "text_langid_trigram",
+    "ch_dialect_siphash_keyed",
+    "ch_dialect_tuple_arith",
+    "ch_dialect_checksums",
+    "ch_dialect_stem",
+    "corpus_datasheet",
+    "knn_ivf_recall",
+    "pipeline_train_val_split",
+    "pipeline_chunk_windows",
+    "text_bigram_lm_score",
+    "corpus_lang_drift",
+    "dedup_embedding_srp",
+    "pipeline_bpe_train_merges",
+    "text_pagerank_keywords",
+    "corpus_zipf_stats",
 ]
 
 DRIVER_WINDOW = 50

@@ -103,3 +103,52 @@ def test_driver_window_staleness_bar():
     assert not never_after, (
         "registered queries that would stay never-driver-checked after "
         f"this round's run (add them to DRIVER_ORDER slots): {never_after}")
+
+
+def test_post_cap_rotation_calendar_closes():
+    """r12 VERDICT next-#2: codify the post-cap steady state.
+
+    After round 13 the registry is CAPPED at 200 = 50 x 4 — zero free
+    window slots forever, so the only rotation policy left is "window :=
+    the oldest-latest-green 50-query block, every round".  This test
+    proves that calendar CLOSES: the capacity identity holds exactly
+    (len(registry) == DRIVER_WINDOW * (MAX_HASH_AGE + 1) — any larger
+    registry makes the age bar unsatisfiable, any smaller leaves slack
+    that invites un-lintable ad-hoc windows), and a direct simulation of
+    the cadence from the post-r13 state (50 each at latest-green r10/
+    r11/r12/r13) shows max hash age can never exceed MAX_HASH_AGE at any
+    post-run observation point, indefinitely (the schedule is periodic
+    with period 4, so 40 simulated rounds is 10 full cycles).
+
+    Consequence, stated for the README dev-note: all future capability
+    is library-tier (pytest-only) BY CONSTRUCTION — registering a 201st
+    query would break the identity asserted here, so this lint is also
+    the registration freeze."""
+    from clickhouse_sinker_spark.plans.queries import QUERIES
+
+    n = len(QUERIES)
+    assert n == DRIVER_WINDOW * (MAX_HASH_AGE + 1), (
+        f"registry size {n} breaks the post-cap calendar: with a "
+        f"{DRIVER_WINDOW}-slot window and a {MAX_HASH_AGE}-round age "
+        f"bar the registry must be exactly "
+        f"{DRIVER_WINDOW * (MAX_HASH_AGE + 1)} (50 x 4); a larger "
+        "registry makes the bar unsatisfiable, a smaller one is "
+        "un-lintable slack — new capability stays library-tier")
+
+    # Simulate the steady-state cadence from the post-r13 distribution.
+    names = ordered_query_names()
+    latest = {}
+    for i, name in enumerate(names):
+        latest[name] = 10 + (i // DRIVER_WINDOW)  # r10/r11/r12/r13 blocks
+    for rnd in range(14, 54):
+        window = sorted(latest, key=lambda q: (latest[q], q))[:DRIVER_WINDOW]
+        oldest_in_window = max(rnd - latest[q] for q in window)
+        assert oldest_in_window == MAX_HASH_AGE + 1, (
+            "sanity: each round the oldest block is exactly at the edge "
+            "of the bar — the calendar has no slack")
+        for q in window:
+            latest[q] = rnd
+        worst = max(rnd - r for r in latest.values())
+        assert worst <= MAX_HASH_AGE, (
+            f"post-run age {worst} at simulated r{rnd} — the oldest-"
+            "block-every-round calendar failed to hold the bar")

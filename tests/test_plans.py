@@ -837,3 +837,38 @@ def test_ivfpq_search_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_r13_registered_query_plan_shapes(spark):
+    """r12 VERDICT order #3: plan-pin the two queries registered in the
+    r13 rotation — keeps the registered shapes honest at 100x the way
+    ``pipeline_full_curation``'s pins do.
+
+    ``ivfpq_topk``: the nprobe cell pruning IS a BroadcastHashJoin on
+    ``cluster`` (codebooks/LUTs are control-plane tiny), the only wide
+    shuffle is the per-query top-k window, nothing cartesian, zero
+    Python — ADC distance is m array lookups in JVM expressions.
+
+    ``pipeline_pack_bpe``: the trained merge table is an 8-row
+    control-plane collect BEFORE this plan, so the returned plan is
+    pure JVM (the encode replay chain is built-in expressions — zero
+    Arrow/Batch Python), with exactly the running-sum Window
+    partitioned by ``source`` (one Exchange feeding it) and no
+    row-UDF anywhere."""
+    plan = plan_of(QUERIES["ivfpq_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    # the per-query top-k window is the ONLY wide shuffle
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Arguments: hashpartitioning(query_id" in plan, plan
+
+    plan = plan_of(QUERIES["pipeline_pack_bpe"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "Window" in plan
+    # running-sum window keyed by source: its shuffle is the plan's only
+    # (wide) exchange
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Arguments: hashpartitioning(source" in plan, plan

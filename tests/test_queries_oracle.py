@@ -92,8 +92,8 @@ def test_ivfpq_topk_oracle_parity_staged(spark):
         df = ivfpq_topk(spark, sf)
         ok, msg = compare(df, IVFPQ_TOPK_ORACLE_SQL, sf)
         assert ok, f"ivfpq_topk @ {sf}: {msg}"
-    # guard: must stay out of the registry until a window slot frees
-    assert "ivfpq_topk" not in QUERIES and "ivfpq_topk" not in ORACLES
+    # r13: registered in one of the rotation block's 2 free slots
+    assert "ivfpq_topk" in QUERIES and "ivfpq_topk" in ORACLES
 
 
 def test_pipeline_pack_bpe_oracle_parity_staged(spark):
@@ -114,8 +114,9 @@ def test_pipeline_pack_bpe_oracle_parity_staged(spark):
         df = pipeline_pack_bpe(spark, sf)
         ok, msg = compare(df, PIPELINE_PACK_BPE_ORACLE_SQL, sf)
         assert ok, f"pipeline_pack_bpe @ {sf}: {msg}"
-    assert ("pipeline_pack_bpe" not in QUERIES
-            and "pipeline_pack_bpe" not in ORACLES)
+    # r13: registered in one of the rotation block's 2 free slots
+    assert ("pipeline_pack_bpe" in QUERIES
+            and "pipeline_pack_bpe" in ORACLES)
 
 
 def test_knuth_oracle_modulo_is_nonnegative_spelled():
