@@ -2105,20 +2105,35 @@ def _ks_exact_pvalue(n0: int, n1: int, h: int) -> float:
 # the caller opted into the O(n0·n1) cost.  (r11 ADVICE-sanctioned;
 # sharpened after the r12 self-review flagged the original wording as
 # implying compatibility.)
-_KS_EXACT_AUTO_BUDGET = 25_000_000
+#
+# CONFIGURABLE (r12 ADVICE): the env var below overrides the default at
+# module import — set it in the EXECUTOR environment (e.g.
+# ``spark.executorEnv.CLICKHOUSE_SINKER_SPARK_KS_AUTO_BUDGET``) because
+# Python workers import this module fresh; a driver-side global mutation
+# would silently not ship.  A value ≤ 0 DISABLES the budget entirely =
+# parity-strict mode: 'auto' then follows CH's documented
+# max(n0, n1) ≤ 10 000 rule alone, taking the exact branch at near-cap
+# shapes (n0=n1=6000 etc.) exactly as a live server would — the caller
+# accepts the O(n0·n1) DP cost in exchange for server-identical tail
+# digits.
+_KS_EXACT_AUTO_BUDGET = int(
+    __import__("os").environ.get(
+        "CLICKHOUSE_SINKER_SPARK_KS_AUTO_BUDGET", 25_000_000))
 
 
-def _ks_test_exact(pairs, auto: bool = False):
+def _ks_test_exact(pairs, auto: bool = False, budget: int | None = None):
     """CH ``kolmogorovSmirnovTest('two-sided', 'exact')`` (and 'auto'):
     the same tie-group D walk as :func:`_ks_test`, plus the exact
     integer deviation h = max |c0·n1 − c1·n0| feeding the lattice-path
     p-value.  'auto' follows the CH docs rule — 'exact' while
     max(n0, n1) ≤ 10 000, else the asymptotic series (the threshold is
     stated in CH's kolmogorovsmirnovtest.md) — PLUS a DP cost budget:
-    the exact branch also requires n0·n1 ≤ ``_KS_EXACT_AUTO_BUDGET``
-    (see the constant's comment; a deliberate, documented deviation for
-    near-cap group shapes where the O(n0·n1) lattice DP would stall an
-    executor — explicit 'exact' is never budgeted).  Ties: D is
+    the exact branch also requires n0·n1 ≤ ``budget`` (default
+    ``_KS_EXACT_AUTO_BUDGET``, env-overridable — see the constant's
+    comment; a deliberate, documented deviation for near-cap group
+    shapes where the O(n0·n1) lattice DP would stall an executor —
+    explicit 'exact' is never budgeted, and ``budget ≤ 0`` disables the
+    gate for parity-strict 'auto').  Ties: D is
     tie-aware but the permutation null is the standard continuous-case
     lattice (the R/scipy convention; stated because no local CH
     instance can pin the tie surface)."""
@@ -2130,7 +2145,9 @@ def _ks_test_exact(pairs, auto: bool = False):
     n1 = n - n0
     if n0 == 0 or n1 == 0:
         return {"_1": None, "_2": None}
-    if auto and (max(n0, n1) > 10_000 or n0 * n1 > _KS_EXACT_AUTO_BUDGET):
+    if budget is None:
+        budget = _KS_EXACT_AUTO_BUDGET
+    if auto and (max(n0, n1) > 10_000 or (budget > 0 and n0 * n1 > budget)):
         return _ks_test(pairs)
     c0 = c1 = 0
     d = 0.0

@@ -23,6 +23,7 @@ map-side only.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -5433,30 +5434,14 @@ def corpus_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle_sql(m: int = 8, kc: int = 16, iters: int = 2, topk: int = 10) -> str:
-    """Unrolled relational product quantization for DuckDB — replays the
-    whole ``pq_train`` → ``pq_encode`` → ADC ``pq_topk`` pipeline in SQL:
-    per-subspace Lloyd's k-means (all m subspaces trained at once by
-    carrying a subspace column through the same explode-join-agg shape as
-    ``_kmeans_oracle_sql``), argmin encoding against the final codebooks,
-    per-query LUT distances, and the rank window with the same (dist,
-    corpus_id) tie-break.  Distances rounded to 6 decimals on both sides."""
-    sub = 64 // m
-    sql = [f"""
-WITH e AS (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-eds AS (
-  SELECT id, x, idx, CAST((idx - 1) // {sub} AS INTEGER) AS s FROM (
-    SELECT id, UNNEST(v) AS x, generate_subscripts(v, 1) AS idx FROM e
-  )
-),
-cd0 AS (
-  SELECT sd.cluster, d.s, d.idx, d.x AS cx
-  FROM (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster
-        FROM (SELECT id FROM e ORDER BY id LIMIT {kc})) sd
-  JOIN eds d ON d.id = sd.id
-)"""]
+def _pq_chain_sql(iters: int, topk: int) -> list[str]:
+    """The shared PQ train → encode → ADC-search SQL chain (the r12 BPE
+    shared-template pattern: ONE chain definition, two oracles).  The
+    caller's prelude must define CTEs ``eds`` (id, x, idx, s — the
+    per-component corpus view the chain trains/encodes/searches over;
+    for OPQ this is the ROTATED view, so queries are rotated for free)
+    and ``cd0`` (the deterministic first-kc-ids seeds)."""
+    sql: list[str] = []
     for i in range(iters + 1):
         # iters assignment+update passes, plus one extra assignment (i ==
         # iters) that is the encoding step against the final codebooks.
@@ -5500,6 +5485,77 @@ FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, corpus_id ASC) AS rn
   FROM adc
 ) WHERE rn <= {topk}""")
+    return sql
+
+
+def _pq_oracle_sql(m: int = 8, kc: int = 16, iters: int = 2, topk: int = 10) -> str:
+    """Unrolled relational product quantization for DuckDB — replays the
+    whole ``pq_train`` → ``pq_encode`` → ADC ``pq_topk`` pipeline in SQL:
+    per-subspace Lloyd's k-means (all m subspaces trained at once by
+    carrying a subspace column through the same explode-join-agg shape as
+    ``_kmeans_oracle_sql``), argmin encoding against the final codebooks,
+    per-query LUT distances, and the rank window with the same (dist,
+    corpus_id) tie-break.  Distances rounded to 6 decimals on both sides."""
+    sub = 64 // m
+    sql = [f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+eds AS (
+  SELECT id, x, idx, CAST((idx - 1) // {sub} AS INTEGER) AS s FROM (
+    SELECT id, UNNEST(v) AS x, generate_subscripts(v, 1) AS idx FROM e
+  )
+),
+cd0 AS (
+  SELECT sd.cluster, d.s, d.idx, d.x AS cx
+  FROM (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster
+        FROM (SELECT id FROM e ORDER BY id LIMIT {kc})) sd
+  JOIN eds d ON d.id = sd.id
+)"""]
+    sql += _pq_chain_sql(iters, topk)
+    return "".join(sql)
+
+
+def _opq_oracle_sql(rotation: list[list[float]], m: int = 8, kc: int = 16,
+                    iters: int = 2, topk: int = 10) -> str:
+    """OPQ end-to-end oracle (r12 VERDICT next-#4): given the TRAINED
+    rotation as a literal (training R itself needs an SVD — pinned
+    separately by determinism/orthogonality/error-bound tests in
+    ``tests/test_operators.py``), everything downstream is replayed
+    engine-independently: the rotated corpus view is an explicit
+    matrix-vector product in SQL (``list_dot_product`` of each rotation
+    ROW with the embedding — exactly ``rotate_vectors``' ``R·v``), and
+    then the SAME shared PQ chain as ``_pq_oracle_sql`` trains/encodes/
+    ADC-searches over it; query vectors are rotated for free because
+    the lut CTE reads the rotated ``eds`` view.  Pytest-tier only: the
+    registry is capped at 200, and the rotation literal is data-
+    dependent (built from the in-engine ``opq_train`` result at test
+    time)."""
+    sub = len(rotation) // m
+    rows = ",\n    ".join(
+        "({}, [{}])".format(i + 1, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(rotation))
+    sql = [f"""
+WITH raw AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+rot(i, rrow) AS (
+  VALUES {rows}
+),
+eds AS (
+  SELECT raw.id,
+         list_dot_product(CAST(r.rrow AS DOUBLE[]), raw.v) AS x,
+         CAST(r.i AS BIGINT) AS idx,
+         CAST((r.i - 1) // {sub} AS INTEGER) AS s
+  FROM raw CROSS JOIN rot r
+),
+cd0 AS (
+  SELECT sd.cluster, d.s, d.idx, d.x AS cx
+  FROM (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster
+        FROM (SELECT id FROM raw ORDER BY id LIMIT {kc})) sd
+  JOIN eds d ON d.id = sd.id
+)"""]
+    sql += _pq_chain_sql(iters, topk)
     return "".join(sql)
 
 
@@ -10388,9 +10444,33 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str,
         .orderBy("split", "lang")
     )
     if gated_handle is not None:
-        # cache-ownership handle for the persist_gated seam (see above)
+        # cache-ownership handle for the persist_gated seam (see above).
+        # CAVEAT (r12 ADVICE): this is a dynamic attribute — any further
+        # transformation (.filter/.select/.cache) returns a NEW
+        # DataFrame without it, so capture the handle (or use the
+        # structural ``curation_persisted`` context manager below)
+        # BEFORE composing on the result.
         out.gated_handle = gated_handle
     return out
+
+
+@contextmanager
+def curation_persisted(spark: SparkSession, sf_dir: str):
+    """Structural cache ownership for the ``persist_gated`` seam (r12
+    ADVICE): ``with curation_persisted(spark, sf) as df: ...`` yields the
+    ``pipeline_full_curation(persist_gated=True)`` result and GUARANTEES
+    the gated subtree's cache is released on exit — even if the caller
+    composes further transformations on ``df`` (which would drop the
+    ``gated_handle`` attribute, losing the only attribute-carried
+    unpersist path) or raises.  The repeated-call production loop should
+    use this form; release is blocking so a tight loop cannot stack
+    cached corpus generations."""
+    df = pipeline_full_curation(spark, sf_dir, persist_gated=True)
+    handle = df.gated_handle  # captured BEFORE the caller can transform
+    try:
+        yield df
+    finally:
+        handle.unpersist(blocking=True)
 
 
 # ---------------------------------------------------------------------------

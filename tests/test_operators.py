@@ -906,3 +906,60 @@ def test_opq_rotation_determinism_and_error_bound(spark):
 
     per_q = Counter(r["query_id"] for r in got)
     assert set(per_q) == {0, 1, 2} and all(v == 10 for v in per_q.values())
+
+
+def test_pq_family_recall_gauge(spark):
+    """r12 VERDICT next-#5: the in-engine recall@10 report over the full
+    PQ family at the same 8-byte code budget.  Pins (a) the report shape
+    (one row per method, macro recall in (0, 1]), and (b) the claim the
+    README sells — recall(OPQ) >= recall(PQ) on the fixture corpus — so
+    the "error <= PQ by construction" bound stays USER-VISIBLE and
+    regression-guarded, not just an internal objective value."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.operators.similarity import pq_family_recall
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    q = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("vec"))
+    rows = {r["method"]: r for r in pq_family_recall(
+        em, "embedding", "vec_id", q, k=10).collect()}
+    assert set(rows) == {"pq", "ivfpq", "opq"}
+    for r in rows.values():
+        assert r["n_queries"] == 3
+        assert 0.0 < r["recall_at_k"] <= 1.0, r
+    assert rows["opq"]["recall_at_k"] >= rows["pq"]["recall_at_k"], (
+        rows["opq"]["recall_at_k"], rows["pq"]["recall_at_k"])
+
+
+def test_rotate_vectors_batch_guard(spark):
+    """r12 ADVICE: a NULL or ragged vector reaching rotate_vectors must
+    fail with a ValueError NAMING the column, not an opaque numpy shape
+    error; an empty input yields an empty result (zero-row Arrow batches
+    are skipped, not matmul'd)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from clickhouse_sinker_spark.operators.similarity import rotate_vectors
+
+    eye = np.eye(3).tolist()
+    good = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "id long, v array<double>")
+    out = rotate_vectors(good, "v", eye, "rv").collect()
+    assert list(out[0]["rv"]) == [1.0, 2.0, 3.0]
+
+    bad_null = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None)], "id long, v array<double>")
+    with _pytest.raises(Exception) as ei:
+        rotate_vectors(bad_null, "v", eye, "rv").collect()
+    assert "column 'v'" in str(ei.value)
+
+    bad_ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0])], "id long, v array<double>")
+    with _pytest.raises(Exception) as ei:
+        rotate_vectors(bad_ragged, "v", eye, "rv").collect()
+    assert "column 'v'" in str(ei.value)
+
+    empty = good.filter(F.col("id") < 0)
+    assert rotate_vectors(empty, "v", eye, "rv").count() == 0

@@ -872,3 +872,31 @@ def test_r13_registered_query_plan_shapes(spark):
     # (wide) exchange
     assert plan.count("+- Exchange") == 1, plan
     assert "Arguments: hashpartitioning(source" in plan, plan
+
+
+def test_curation_persisted_context_manager_releases(spark):
+    """r12 ADVICE: the attribute-carried ``gated_handle`` is lost the
+    moment a caller composes on the result — ``curation_persisted``
+    makes release STRUCTURAL.  The cache must be live inside the block
+    (even after further transformations drop the attribute), identical
+    in content to the default path, and released on exit — including
+    the exception path."""
+    from clickhouse_sinker_spark.plans.queries import (
+        curation_persisted,
+        pipeline_full_curation,
+    )
+
+    base = sorted(map(tuple, pipeline_full_curation(spark, SF_DIR).collect()))
+    with curation_persisted(spark, SF_DIR) as df:
+        composed = df.filter("n_docs >= 0")          # drops the attribute
+        assert not hasattr(composed, "gated_handle")
+        handle = df.gated_handle
+        assert handle.storageLevel.useMemory
+        assert sorted(map(tuple, composed.collect())) == base
+    assert not handle.storageLevel.useMemory         # released on exit
+
+    with pytest.raises(RuntimeError):
+        with curation_persisted(spark, SF_DIR) as df:
+            handle = df.gated_handle
+            raise RuntimeError("caller blew up mid-block")
+    assert not handle.storageLevel.useMemory         # released anyway

@@ -1153,3 +1153,32 @@ def test_ks_auto_dp_cost_budget():
     assert 4_000 * 4_000 <= _KS_EXACT_AUTO_BUDGET
     r = _ks_test_exact(under, auto=True)
     assert r == _ks_test_exact(under) and r != _ks_test(under)
+
+
+def test_ks_auto_budget_configurable_and_parity_strict():
+    """r12 ADVICE: the 'auto' DP budget is configurable — a ``budget``
+    argument (defaulting to the env-overridable module constant) lets a
+    caller tighten it, and ``budget ≤ 0`` is PARITY-STRICT mode: 'auto'
+    then follows CH's documented max(n0, n1) ≤ 10 000 rule alone, so a
+    consumer needing server-identical 'auto' tail digits at near-cap
+    shapes no longer has to discover the deviation in a docstring.  The
+    max-size rule itself is never relaxed."""
+    from clickhouse_sinker_spark.functions.chudfs import (
+        _ks_test,
+        _ks_test_exact,
+    )
+
+    def mk(n0, n1):
+        return ([{"v": float(2 * i), "i": 0} for i in range(n0)]
+                + [{"v": float(2 * i + 1), "i": 1} for i in range(n1)])
+
+    # a shape the DEFAULT budget would allow, but a tight one refuses
+    small = mk(40, 40)
+    assert _ks_test_exact(small, auto=True) == _ks_test_exact(small)
+    assert _ks_test_exact(small, auto=True, budget=100) == _ks_test(small)
+    # parity-strict: budget disabled → exact branch even past any budget
+    assert (_ks_test_exact(small, auto=True, budget=0)
+            == _ks_test_exact(small))
+    # ...but CH's own documented size cap still applies under strict mode
+    above = mk(10_001, 5)
+    assert _ks_test_exact(above, auto=True, budget=0) == _ks_test(above)

@@ -74,14 +74,12 @@ def test_rows_only_queries_run(spark, name):
 
 
 def test_ivfpq_topk_oracle_parity_staged(spark):
-    """r12 staging slot for ``ivfpq_topk`` (r11 VERDICT order #3): the
-    query is deliberately NOT driver-registered this round — the r08
-    rotation block fills all 50 window slots, and the rotation lint
-    forbids new registrations that would sit never-driver-checked.  Its
+    """Staged in r12 (r11 VERDICT order #3), driver-registered in r13:
     full oracle parity (coarse k-means → residual → PQ train → encode →
-    nprobe ADC, replayed relationally in DuckDB) is therefore pinned
-    HERE with exactly the driver's compare, at both local SFs, so r13
-    registration is a one-line @query wrap with zero new risk."""
+    nprobe ADC, replayed relationally in DuckDB) stays pinned HERE with
+    exactly the driver's compare, at both local SFs — the registration
+    was a one-line @query wrap with zero new risk because this test
+    existed first."""
     from clickhouse_sinker_spark.plans.queries import (
         IVFPQ_TOPK_ORACLE_SQL,
         ivfpq_topk,
@@ -97,13 +95,12 @@ def test_ivfpq_topk_oracle_parity_staged(spark):
 
 
 def test_pipeline_pack_bpe_oracle_parity_staged(spark):
-    """r12 staging slot for ``pipeline_pack_bpe`` (r11 VERDICT order
-    #4): BPE-token-exact packing — train 8 merges in-engine, count each
+    """Staged in r12 (r11 VERDICT order #4), driver-registered in r13:
+    BPE-token-exact packing — train 8 merges in-engine, count each
     document's trained-BPE tokens with the pure-JVM replay chain, pack
     with the running-sum window.  The DuckDB oracle replays training,
-    encoding AND packing relationally; parity pinned here with the
-    driver's exact compare at both local SFs (registration is a
-    one-line @query wrap in r13 when the window has free slots)."""
+    encoding AND packing relationally; parity stays pinned here with
+    the driver's exact compare at both local SFs."""
     from clickhouse_sinker_spark.plans.queries import (
         PIPELINE_PACK_BPE_ORACLE_SQL,
         pipeline_pack_bpe,
@@ -127,14 +124,63 @@ def test_knuth_oracle_modulo_is_nonnegative_spelled():
     Spark side uses nonnegative ``pmod``, so a bare ``v % 2^31``
     silently diverges for negative keys.  ``ch_dialect_*`` oracles are
     exempt: there the constant generates CH test values under CH's own
-    wrap semantics, which IS the behavior under test."""
+    wrap semantics, which IS the behavior under test.
+
+    Strengthened per r12 ADVICE: the check is PER MULTIPLY SITE, not
+    whole-oracle — an oracle mixing one guarded and one bare
+    ``id * 2654435761`` routing use must fail on the unguarded site,
+    so every occurrence of the constant must be directly preceded by
+    the ``… + 2147483648) % 2147483648)`` reduction."""
     import re
 
     for name, sql in ORACLES.items():
         if "2654435761" not in sql or name.startswith("ch_dialect_"):
             continue
         flat = re.sub(r"\s+", " ", sql)
-        assert "+ 2147483648) % 2147483648" in flat, (
-            f"{name}: Knuth routing hash without the nonnegative-mod "
-            "spelling — negative ids would diverge between pmod (Spark) "
-            "and sign-keeping ANSI %")
+        for m in re.finditer("2654435761", flat):
+            pre = flat[max(0, m.start() - 60):m.start()]
+            assert re.search(
+                r"\+ 2147483648\) % 2147483648\) \* $", pre), (
+                f"{name}: Knuth routing multiply at …{pre!r} is not "
+                "directly fed by the nonnegative-mod pre-reduction — "
+                "negative ids would diverge between pmod (Spark) and "
+                "sign-keeping ANSI %")
+        # and a bare identifier must never multiply the constant
+        assert not re.search(r"\w\s*\*\s*2654435761", flat), (
+            f"{name}: bare identifier multiplies the Knuth constant")
+
+
+def test_opq_topk_oracle_parity(spark):
+    """r12 VERDICT next-#4: OPQ end-to-end gets an engine-independent
+    relational oracle like every other ANN path (``knn_pq_topk``,
+    ``ivfpq_topk``), even though it cannot driver-register (the 200-cap
+    calendar — see test_post_cap_rotation_calendar_closes).  The TRAINED
+    rotation is injected as a d×d SQL literal (training R needs an SVD;
+    its determinism/orthogonality/error bound are pinned in
+    test_operators.py) and EVERYTHING downstream — the R·v rotation,
+    per-subspace PQ training, argmin encode, query rotation, ADC
+    top-k — replays relationally in DuckDB via the shared
+    ``_pq_chain_sql`` over the rotated corpus view.  Exactly the
+    driver's compare, at sf0.001 (pytest tier)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.operators.similarity import (
+        opq_encode,
+        opq_topk,
+        opq_train,
+    )
+    from clickhouse_sinker_spark.plans.queries import _opq_oracle_sql
+    from clickhouse_sinker_spark.sources.tables import load_table
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    rotation, cb = opq_train(
+        em, "embedding", "vec_id", m=8, k=16, pq_iters=2, opq_iters=2)
+    codes = opq_encode(em, "embedding", "vec_id", rotation, cb)
+    queries_df = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("vec"))
+    out = opq_topk(codes, queries_df, rotation, cb, k=10).select(
+        "query_id", "corpus_id",
+        F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank")
+    ok, msg = compare(out, _opq_oracle_sql(rotation), SF_DIR)
+    assert ok, f"opq_topk: {msg}"
