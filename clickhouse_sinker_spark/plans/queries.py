@@ -5559,17 +5559,25 @@ cd0 AS (
     return "".join(sql)
 
 
-def _ivfpq_oracle_sql(
-    kc_coarse: int = 8,
-    citers: int = 2,
-    m: int = 8,
-    kc: int = 16,
-    piters: int = 2,
-    nprobe: int = 2,
-    topk: int = 10,
-) -> str:
-    """Unrolled relational IVF-PQ for DuckDB — replays the full residual
-    composition (Jégou et al. 2011 §IV.A) the Spark path runs:
+def _ivfpq_chain_sql(
+    kc_coarse: int,
+    citers: int,
+    m: int,
+    kc: int,
+    piters: int,
+    nprobe: int,
+    topk: int,
+) -> list[str]:
+    """The shared IVF-PQ train → residual-PQ → nprobe-ADC SQL chain
+    (same sharing pattern as ``_pq_chain_sql``): the caller's prelude
+    must define CTE ``e`` (id, v DOUBLE[]) — the corpus view the whole
+    composition runs over.  For OPQ+IVF-PQ the prelude provides the
+    ROTATED corpus as ``e``, so the coarse quantizer, residuals, PQ
+    training AND the query probes (``WHERE ed.id < 3`` reads ``ed``,
+    derived from ``e``) all live in the rotated space for free.
+
+    Replays the full residual composition (Jégou et al. 2011 §IV.A)
+    the Spark path runs:
     coarse Lloyd's k-means (``kmeans_lloyd`` conventions: seeds = lowest
     ids, ties to lower cluster, empty clusters keep their centroid,
     centroids updated after EVERY pass incl. the last), a fresh coarse
@@ -5583,10 +5591,7 @@ def _ivfpq_oracle_sql(
     rank window tie-broken (adc_dist, corpus_id).  Distances rounded to
     6 decimals on both sides."""
     sub = 64 // m
-    sql = [f"""
-WITH e AS (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
+    sql = [f""",
 ed AS (
   SELECT id, UNNEST(v) AS x, generate_subscripts(v, 1) AS idx FROM e
 ),
@@ -5707,6 +5712,70 @@ FROM (
                             ORDER BY adc_dist ASC, corpus_id ASC) AS rn
   FROM adc
 ) WHERE rn <= {topk}""")
+    return sql
+
+
+def _ivfpq_oracle_sql(
+    kc_coarse: int = 8,
+    citers: int = 2,
+    m: int = 8,
+    kc: int = 16,
+    piters: int = 2,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    """Unrolled relational IVF-PQ for DuckDB over the RAW corpus —
+    the prelude binds ``e`` to the embeddings table and the shared
+    ``_ivfpq_chain_sql`` does the rest (see its docstring for the full
+    replayed composition)."""
+    sql = ["""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)"""]
+    sql += _ivfpq_chain_sql(kc_coarse, citers, m, kc, piters, nprobe, topk)
+    return "".join(sql)
+
+
+def _opq_ivfpq_oracle_sql(
+    rotation: list[list[float]],
+    kc_coarse: int = 8,
+    citers: int = 2,
+    m: int = 8,
+    kc: int = 16,
+    piters: int = 2,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    """OPQ+IVF-PQ oracle — the production FAISS index shape (OPQ
+    pretransform, then IVF-ADC over residual PQ; both constructions
+    published: Ge et al. 2013, Jégou et al. 2011): the TRAINED rotation
+    enters as a d×d literal (the SVD training is pinned separately),
+    the prelude binds ``e`` to the ROTATED corpus (ordered list_agg of
+    per-row rotation-row dot products = ``rotate_vectors``' R·v), and
+    the ENTIRE IVF-PQ composition — coarse k-means, residuals, PQ
+    training, nprobe probing, ADC — replays in the rotated space via
+    the shared ``_ivfpq_chain_sql``.  Pytest-tier only (registry capped
+    at 200; the literal is data-dependent, built at test time)."""
+    sub = len(rotation) // m
+    assert sub * m == len(rotation)
+    rows = ",\n    ".join(
+        "({}, [{}])".format(i + 1, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(rotation))
+    sql = [f"""
+WITH raw AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+rot(i, rrow) AS (
+  VALUES {rows}
+),
+e AS (
+  SELECT raw.id,
+         list(list_dot_product(CAST(r.rrow AS DOUBLE[]), raw.v)
+              ORDER BY r.i) AS v
+  FROM raw CROSS JOIN rot r
+  GROUP BY raw.id
+)"""]
+    sql += _ivfpq_chain_sql(kc_coarse, citers, m, kc, piters, nprobe, topk)
     return "".join(sql)
 
 

@@ -925,7 +925,7 @@ def test_pq_family_recall_gauge(spark):
         F.col("embedding").cast("array<double>").alias("vec"))
     rows = {r["method"]: r for r in pq_family_recall(
         em, "embedding", "vec_id", q, k=10).collect()}
-    assert set(rows) == {"pq", "ivfpq", "opq"}
+    assert set(rows) == {"pq", "ivfpq", "opq", "opq_ivfpq"}
     for r in rows.values():
         assert r["n_queries"] == 3
         assert 0.0 < r["recall_at_k"] <= 1.0, r

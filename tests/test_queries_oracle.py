@@ -184,3 +184,38 @@ def test_opq_topk_oracle_parity(spark):
         F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank")
     ok, msg = compare(out, _opq_oracle_sql(rotation), SF_DIR)
     assert ok, f"opq_topk: {msg}"
+
+
+def test_opq_ivfpq_oracle_parity(spark):
+    """OPQ+IVF-PQ (the combined FAISS index shape: learned-rotation
+    pretransform, then cell-pruned residual PQ) replayed end-to-end in
+    DuckDB: the trained rotation enters as a literal, the rotated corpus
+    becomes the shared IVF-PQ chain's ``e`` view, and coarse k-means →
+    residual PQ train → encode → nprobe ADC all verify relationally —
+    the same bar every other ANN path meets.  Pytest tier (registry
+    capped at 200), sf0.001, the driver's exact compare."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.operators.similarity import (
+        opq_ivfpq_index,
+        opq_ivfpq_search,
+        opq_train,
+    )
+    from clickhouse_sinker_spark.plans.queries import _opq_ivfpq_oracle_sql
+    from clickhouse_sinker_spark.sources.tables import load_table
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    rotation, _ = opq_train(
+        em, "embedding", "vec_id", m=8, k=16, pq_iters=2, opq_iters=2)
+    cents, cb, codes = opq_ivfpq_index(
+        em, "embedding", "vec_id", rotation,
+        coarse_k=8, coarse_iters=2, m=8, k=16, iters=2)
+    queries_df = em.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("vec"))
+    out = opq_ivfpq_search(
+        codes, queries_df, rotation, cents, cb, k=10, nprobe=2).select(
+        "query_id", "corpus_id",
+        F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank")
+    ok, msg = compare(out, _opq_ivfpq_oracle_sql(rotation), SF_DIR)
+    assert ok, f"opq_ivfpq: {msg}"
