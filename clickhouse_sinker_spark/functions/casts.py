@@ -66,8 +66,16 @@ _SPARK_INT_TYPE = {
 
 _FLOAT_MAX32 = 3.4028234663852886e38
 
+# value range of each Spark integral type, for the integral-source fast path
+_SPARK_INTEGRAL_RANGE = {
+    "tinyint": (-(2**7), 2**7 - 1),
+    "smallint": (-(2**15), 2**15 - 1),
+    "int": (-(2**31), 2**31 - 1),
+    "bigint": (-(2**63), 2**63 - 1),
+}
 
-def saturating_cast(col: Column | str, ch_int: str) -> Column:
+
+def saturating_cast(col: Column | str, ch_int: str, src_type: str | None = None) -> Column:
     """Clamp-then-cast a numeric column to an integer type.
 
     Reference semantics (parser/fastjson.go:129-173): values outside the
@@ -78,9 +86,54 @@ def saturating_cast(col: Column | str, ch_int: str) -> Column:
     ``least(greatest(trunc(x), min), max)`` which Catalyst folds into
     codegen.  Non-numeric input should be pre-converted (``try_cast``
     upstream).
+
+    ``src_type`` (optional, a Spark type name: tinyint/smallint/int/bigint/
+    float/double) enables a bit-identical FAST PATH: the general expression
+    widens every value through decimal(38,0) so that UInt64 and
+    beyond-long decimals clamp exactly, but when the source is a known
+    integral or binary-float column those branches are unreachable and the
+    whole clamp stays in long/double arithmetic (the decimal ops dominated
+    the projection stage of the ETL bench; see OPTIMIZATION_r13.md).
+    Equivalence is pinned by tests/test_casts.py::test_fast_paths_match_general.
     """
     c = F.col(col) if isinstance(col, str) else col
     lo, hi = INT_BOUNDS[ch_int]
+
+    if src_type in _SPARK_INTEGRAL_RANGE:
+        # Integral source: values are exact; truncation is a no-op.
+        slo, shi = _SPARK_INTEGRAL_RANGE[src_type]
+        out_t = _SPARK_INT_TYPE[ch_int]
+        lng = c.cast("bigint")
+        if ch_int == "UInt64":
+            # only the low clamp can apply (long max < UInt64 max); gate
+            # NULL explicitly — greatest/least SKIP nulls in Spark
+            return F.when(lng.isNotNull(), F.greatest(lng, F.lit(0))).cast(out_t)
+        if slo >= lo and shi <= hi:
+            return c.cast(out_t)  # source range fits: plain widening cast
+        return F.when(
+            lng.isNotNull(), F.least(F.greatest(lng, F.lit(lo)), F.lit(hi))
+        ).cast(out_t)
+
+    if src_type in ("float", "double") and ch_int != "UInt64":
+        # Binary-float source, long-representable bounds: ANSI double→long
+        # truncates toward zero and try_cast nulls only beyond long range
+        # (with the documented 2^63 saturation edge, handled below), so the
+        # clamp never needs decimals.
+        d = c.cast("double")
+        lng = d.try_cast("long")
+        return (
+            F.when(F.isnan(d), F.lit(None).cast("long"))
+            # d < 2^63 gate: double(2^63) saturates try_cast to Long.MAX
+            # instead of nulling (same edge as the general path); route it
+            # to the sign clamp, which yields the identical hi bound.
+            .when(
+                lng.isNotNull() & (d < F.lit(float(1 << 63))),
+                F.least(F.greatest(lng, F.lit(lo)), F.lit(hi)),
+            )
+            .when(d > 0, F.lit(hi))
+            .when(d < 0, F.lit(lo))
+            .cast(_SPARK_INT_TYPE[ch_int])
+        )
     # bounds as string literals: UInt64's max exceeds the JVM long that a
     # plain python-int literal would be marshalled into
     lo_d = F.lit(str(lo)).cast("decimal(38,0)")

@@ -166,10 +166,17 @@ def _cast_expr(
         if src_type is not None and isinstance(src_type, ST.NumericType):
             # Native numeric source: saturating_cast alone is already exact
             # for integral types and truncate-toward-zero / ±inf-clamping
-            # for floats — no string inspection in the hot path.
-            out = saturating_cast(src, name)
+            # for floats — no string inspection in the hot path.  Pass the
+            # source Spark type so the clamp takes the decimal-free fast
+            # path (bit-identical; see saturating_cast docstring).
+            hint = (
+                src_type.simpleString()
+                if isinstance(src_type, (ST.IntegralType, ST.FloatType, ST.DoubleType))
+                else None
+            )
+            out = saturating_cast(src, name, src_type=hint)
         elif isinstance(src_type, ST.BooleanType):
-            out = saturating_cast(src.cast("int"), name)
+            out = saturating_cast(src.cast("int"), name, src_type="int")
         else:
             # String (or unknown) source: only a plain integer literal earns
             # the exact decimal path (lossless at 2^63/2^64 where a double
@@ -177,10 +184,19 @@ def _cast_expr(
             # which decimal(38,9) would round up before truncation could
             # see it) goes through the double.
             dec = src.try_cast("decimal(38,9)")
-            is_int_literal = src.cast("string").rlike(r"^-?\d+$")
+            # integer-literal test ≡ rlike('^-?\\d+$') without per-row regex
+            # machinery: strip all digits; an integer literal leaves "" (all
+            # digits, non-empty) or exactly a leading "-" with ≥1 digit.
+            s = src.cast("string")
+            residue = F.translate(s, "0123456789", "")
+            is_int_literal = ((residue == "") & (s != "")) | (
+                (residue == "-") & s.startswith("-") & (F.length(s) >= 2)
+            )
             out = F.when(
                 dec.isNotNull() & is_int_literal, saturating_cast(dec, name)
-            ).otherwise(saturating_cast(src.try_cast("double"), name))
+            ).otherwise(
+                saturating_cast(src.try_cast("double"), name, src_type="double")
+            )
     elif name == "Float32":
         out = saturating_cast_float32(src.try_cast("double"))
     elif name == "Float64":

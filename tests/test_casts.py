@@ -336,3 +336,75 @@ def test_gjson_escaped_dot_and_array_paths(spark):
     assert apply_projection(fj_df, fj_specs).first()["lit"] == 9
     # source_col quoting survives backticks in names
     assert source_col("weird`name").__class__ is F.col("x").__class__
+
+
+# ---------------------------------------------------------------------------
+# r13: decimal-free fast paths (src_type hint) must be bit-identical to the
+# general decimal(38,0) clamp for every reachable input of that source type.
+# ---------------------------------------------------------------------------
+
+_FAST_EDGE_DOUBLES = [
+    0.0, -0.0, 1.5, -2.7, 127.0, 128.0, -128.0, -129.0, 255.0, 256.0,
+    2.0**31, -(2.0**31) - 1, 2.0**53, -(2.0**53), 2.0**53 + 2, 2.0**58,
+    2.0**62, 2.0**63, -(2.0**63), 2.0**63 - 2**10, 2.0**64, -(2.0**64),
+    1e300, -1e300, float("inf"), float("-inf"), float("nan"), None,
+    0.9999999999999999, -0.9999999999999999, 1.0000000000000002,
+]
+
+_FAST_EDGE_LONGS = [
+    0, 1, -1, 127, 128, -128, -129, 255, 256, 65535, 65536, 2**31 - 1,
+    2**31, -(2**31), -(2**31) - 1, 2**53, 2**53 + 1, 2**62, 2**63 - 1,
+    -(2**63), None,
+]
+
+
+@pytest.mark.parametrize("ch", ["Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32", "UInt64"])
+def test_fast_paths_match_general(spark, ch):
+    rows = [(float(v) if v is not None else None,) for v in _FAST_EDGE_DOUBLES]
+    df = spark.createDataFrame(rows, "v double")
+    if ch != "UInt64":  # double fast path excludes UInt64 (bounds beyond long)
+        got = df.select(
+            saturating_cast(F.col("v"), ch, src_type="double").alias("f"),
+            saturating_cast(F.col("v"), ch).alias("g"),
+        ).collect()
+        for r, v in zip(got, _FAST_EDGE_DOUBLES):
+            assert r.f == r.g, f"{ch} double fast path diverges at {v!r}: {r.f} != {r.g}"
+
+    ldf = spark.createDataFrame([(v,) for v in _FAST_EDGE_LONGS], "v bigint")
+    got = ldf.select(
+        saturating_cast(F.col("v"), ch, src_type="bigint").alias("f"),
+        saturating_cast(F.col("v"), ch).alias("g"),
+    ).collect()
+    for r, v in zip(got, _FAST_EDGE_LONGS):
+        assert r.f == r.g, f"{ch} bigint fast path diverges at {v!r}: {r.f} != {r.g}"
+
+    idf = spark.createDataFrame([(v,) for v in _FAST_EDGE_LONGS if v is None or -(2**31) <= v < 2**31], "v int")
+    got = idf.select(
+        saturating_cast(F.col("v"), ch, src_type="int").alias("f"),
+        saturating_cast(F.col("v"), ch).alias("g"),
+    ).collect()
+    for r in got:
+        assert r.f == r.g, f"{ch} int fast path diverges: {r.f} != {r.g}"
+
+
+def test_int_literal_translate_predicate_matches_regex(spark):
+    """The translate-based integer-literal test in _cast_expr must accept and
+    reject exactly what rlike('^-?\\d+$') did (r13: regex removed from the
+    string→int hot path)."""
+    cases = [
+        "5", "-5", "007", "-007", "", "-", "--5", "5-3", "-5-3", "+5", " 5",
+        "5 ", "5.0", "-5.0", "5e3", "abc", "0", "-0", "9" * 40, "-" + "9" * 40,
+        "٥",  # Arabic-Indic digit: Java \d does NOT match it
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    residue = F.translate(F.col("s"), "0123456789", "")
+    fast = ((residue == "") & (F.col("s") != "")) | (
+        (residue == "-") & F.col("s").startswith("-") & (F.length("s") >= 2)
+    )
+    got = df.select(
+        fast.alias("fast"), F.col("s").rlike(r"^-?\d+$").alias("re")
+    ).collect()
+    for r, c in zip(got, cases):
+        # NULL input: both forms yield NULL → same falsy branch in CaseWhen
+        assert bool(r.fast) == bool(r.re), f"predicate diverges at {c!r}"
