@@ -34,6 +34,7 @@ __all__ = [
     "shard_knuth",
     "sorting_key_shard",
     "minhash_signature",
+    "minhash_signature_sql",
     "simhash64",
     "simhash60_md5",
     "md5_hash60",
@@ -132,6 +133,23 @@ def minhash_signature(shingles: Column | str, num_perm: int = 64) -> Column:
         hashed,
         F.array_repeat(F.lit(m).cast("long"), num_perm),
         lambda acc, p: F.zip_with(acc, candidates(p), lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_signature_sql(shingles_sql: str, num_perm: int = 64) -> str:
+    """Spark-SQL text form of :func:`minhash_signature` — the identical
+    Carter-Wegman construction emitted as ONE expression string, so building
+    the plan costs a single py4j round trip instead of ~300 (r13:
+    Python-side construction was ~half the bench wall; parity pinned by
+    tests/test_operators.py::test_sql_expr_builders_match_column_forms)."""
+    m = (1 << 31) - 1
+    cands = ", ".join(f"pmod(p.h1 + {i} * p.h2, {m})" for i in range(num_perm))
+    return (
+        f"aggregate("
+        f"transform({shingles_sql}, s -> named_struct("
+        f"'h1', pmod(xxhash64(s), {m}), 'h2', pmod(xxhash64(s, 1), {m}) + 1)), "
+        f"array_repeat(CAST({m} AS BIGINT), {num_perm}), "
+        f"(acc, p) -> zip_with(acc, array({cands}), (a, b) -> least(a, b)))"
     )
 
 

@@ -17,6 +17,10 @@ __all__ = [
     "char_ngrams",
     "word_shingles",
     "shingles_from_tokens",
+    "shingles_from_tokens_sql",
+    "langid_scores_sql",
+    "script_counts_sql",
+    "langid_pred_sql",
     "positional_ngrams",
     "pii_patterns",
     "pii_scrub",
@@ -144,6 +148,83 @@ def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
                 lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
             )
         )
+    )
+
+
+def shingles_from_tokens_sql(toks_sql: str, n: int = 3) -> str:
+    """Spark-SQL text form of :func:`shingles_from_tokens` — semantically
+    identical expression, built as ONE string so the caller pays a single
+    py4j round trip instead of ~20 (r13: Python-side query construction was
+    ~half the bench wall; parity pinned by
+    tests/test_operators.py::test_sql_expr_builders_match_column_forms).
+    ``toks_sql`` must reference a MATERIALIZED token array column (same
+    no-CSE-in-lambdas caveat as the Column form)."""
+    elems = ", ".join(
+        f"element_at({toks_sql}, CAST(i + {j + 1} AS INT))" for j in range(n)
+    )
+    return (
+        f"CASE WHEN size({toks_sql}) - {n - 1} <= 0 "
+        f"THEN array(concat_ws(' ', {toks_sql})) "
+        f"ELSE array_distinct(transform(sequence(0, size({toks_sql}) - {n}), "
+        f"i -> concat_ws(' ', {elems}))) END"
+    )
+
+
+def langid_scores_sql(toks_sql: str) -> dict[str, str]:
+    """Spark-SQL text form of :func:`langid_scores_from_tokens` (one string
+    per language; same stopword tables, parity test-pinned)."""
+    out = {}
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        out[lang] = f"CAST(size(filter({toks_sql}, t -> t IN ({lst}))) AS INT)"
+    return out
+
+
+def script_counts_sql(text_sql: str) -> dict[str, str]:
+    """Spark-SQL text form of :func:`script_counts` — the regex classes embed
+    the same literal BMP code points as the Column form."""
+    out = {}
+    for s, ranges in SCRIPT_RANGES.items():
+        cls = "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges)
+        out[s] = (
+            f"CAST(length({text_sql}) - "
+            f"length(regexp_replace({text_sql}, '[{cls}]', '')) AS INT)"
+        )
+    return out
+
+
+def langid_pred_sql(
+    scores: dict[str, str], sc: dict[str, str], n_chars_sql: str
+) -> str:
+    """Spark-SQL text form of :func:`langid_pred` — the same two-stage
+    decision tree generated as one CASE expression (first-match-wins CASE ≡
+    the Column form's reversed when/otherwise fold)."""
+    langs = sorted(scores)
+    mx = "GREATEST(" + ", ".join(scores[l] for l in langs) + ")"
+    stop_whens = " ".join(f"WHEN {scores[l]} = {mx} THEN '{l}'" for l in langs)
+    stop_pred = (
+        f"CASE WHEN {mx} <= 0 THEN 'und' "
+        f"ELSE CASE {stop_whens} ELSE 'und' END END"
+    )
+    total = "(" + " + ".join(sc[s] for s in SCRIPT_RANGES) + ")"
+    cascade = [(s, l) for s, l in SCRIPT_LANGS if s != "kana"]
+    whens = []
+    for i, (s, lang) in enumerate(cascade):
+        rest = [sc[s2] for s2, _ in cascade[i + 1 :]]
+        if not rest:
+            cond = f"{sc[s]} > -1"
+        elif len(rest) == 1:
+            cond = f"{sc[s]} >= {rest[0]}"
+        else:
+            cond = f"{sc[s]} >= GREATEST({', '.join(rest)})"
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    script_pred = (
+        f"CASE WHEN {sc['kana']} > 0 THEN 'ja' "
+        f"ELSE CASE {' '.join(whens)} ELSE 'und' END END"
+    )
+    return (
+        f"CASE WHEN {total} > 0 AND {total} * 5 >= {n_chars_sql} "
+        f"THEN {script_pred} ELSE {stop_pred} END"
     )
 
 

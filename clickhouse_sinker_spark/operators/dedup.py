@@ -27,8 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import fingerprint_md5, minhash_signature, simhash60_md5, simhash64
-from ..functions.text import shingles_from_tokens
+from ..functions.hashing import (
+    fingerprint_md5,
+    minhash_signature,
+    minhash_signature_sql,
+    simhash60_md5,
+    simhash64,
+)
+from ..functions.text import shingles_from_tokens, shingles_from_tokens_sql
 
 
 def _rebalance(df: DataFrame) -> DataFrame:
@@ -291,7 +297,7 @@ def ngram_jaccard_pairs(
     df = _rebalance(df)
     sh = (
         df.select(F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
-        .select("id", shingles_from_tokens("toks", n).alias("shingles"))
+        .select("id", F.expr(shingles_from_tokens_sql("`toks`", n)).alias("shingles"))
         .withColumn("n_sh", F.size("shingles"))
     )
     ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
@@ -343,23 +349,21 @@ def minhash_lsh_pairs(
     """
     df = _rebalance(df)
     r = num_perm // bands
+    # hot constructions built as single expr() strings (r13): identical
+    # expressions to the Column forms (parity test-pinned), ~2 py4j round
+    # trips instead of ~350 — Python-side plan construction sat inside the
+    # bench's timed region and dominated this operator's small-scale wall.
     sh = (
         df.select(F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
-        .select("id", shingles_from_tokens("toks", n).alias("shingles"))
+        .select("id", F.expr(shingles_from_tokens_sql("`toks`", n)).alias("shingles"))
+    )
+    band_arr = ", ".join(
+        f"xxhash64(concat_ws(',', slice(`sig`, {b * r + 1}, {r})), {b})"
+        for b in range(bands)
     )
     banded = (
-        sh.withColumn("sig", minhash_signature(F.col("shingles"), num_perm))
-        .select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)), F.lit(b))
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bh"),
-        )
+        sh.withColumn("sig", F.expr(minhash_signature_sql("`shingles`", num_perm)))
+        .select("id", F.explode(F.expr(f"array({band_arr})")).alias("bh"))
         .persist()
     )
     a, b = banded.alias("a"), banded.alias("b")

@@ -189,23 +189,38 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier revenue by nation.  region/nation/supplier/customer are
-    dimension tables → broadcast joins (no shuffle of lineitem except the
-    orderkey join); one final small shuffle on n_name."""
+    """Local-supplier revenue by nation.  region/nation/supplier are
+    dimension tables → broadcast joins; customer is pre-filtered to the
+    ASIA nations and joined with real size estimates.
+
+    r13 (guide §3.2): the region⋈nation subtree made the customer side's
+    size estimate a join-output guess, so the planner shuffled BOTH the
+    lineitem⋈orders fact side and customer into a SortMergeJoin even when
+    customer trivially fit a broadcast.  The ASIA nation keys are a
+    5-row control-plane lookup (same tier as the k-means-centroid
+    collects): semi-join-reduce them to an IN filter pushed into the
+    customer SCAN — the customer relation is then a plain filtered file
+    scan whose size estimate lets the planner pick broadcast at bench
+    scale and sort-merge at 100 TB scale on its own (2 Exchanges + SMJ
+    removed at sf0.1; plans/r13/tpch_q5_region_revenue_*.txt)."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
+    asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    asia_keys = [row[0] for row in asia.select("n_nationkey").collect()]
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(asia_keys)
+    ).select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     revenue = _dec("l_extendedprice") * _one_minus("l_discount")
-    dims = (
-        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == n.n_nationkey)
-    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(dims, o.o_custkey == dims.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")))
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("decimal(30,6)").cast("double").alias("revenue"))
     )
@@ -801,11 +816,14 @@ def etl_saturating(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return e.select(
         "event_id",
-        saturating_cast(F.floor("value"), "Int8").alias("v_int8"),
-        saturating_cast(F.floor("value"), "UInt8").alias("v_uint8"),
-        saturating_cast(F.floor(F.col("value") * 100), "Int16").alias("v_int16"),
-        saturating_cast(F.floor("value"), "UInt32").cast("bigint").alias("v_uint32"),
-        saturating_cast(big_i64, "Int64").alias("v_int64_big"),
+        # src_type hints (r13): floor(double) yields bigint, big_i64 is a
+        # double — the decimal-free fast clamps are bit-identical
+        # (tests/test_casts.py::test_fast_paths_match_general)
+        saturating_cast(F.floor("value"), "Int8", src_type="bigint").alias("v_int8"),
+        saturating_cast(F.floor("value"), "UInt8", src_type="bigint").alias("v_uint8"),
+        saturating_cast(F.floor(F.col("value") * 100), "Int16", src_type="bigint").alias("v_int16"),
+        saturating_cast(F.floor("value"), "UInt32", src_type="bigint").cast("bigint").alias("v_uint32"),
+        saturating_cast(big_i64, "Int64", src_type="double").alias("v_int64_big"),
         saturating_cast(big_u64, "UInt64").cast("string").alias("v_uint64_hi"),
     )
 
@@ -1597,33 +1615,41 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same stopword/script tables."""
     from ..functions.text import (
         SCRIPT_RANGES,
-        langid_pred,
-        langid_scores_from_tokens,
-        script_counts,
+        langid_pred_sql,
+        langid_scores_sql,
+        script_counts_sql,
     )
 
     d = _t(spark, sf_dir, "documents")
     # token array materialized ONCE, then evidence columns, then the pred
     # from the columns — no CSE across HOF expressions, so both the split
     # and each score must be a bound column before reuse (19 languages ×
-    # inline split measured 1.6 s vs 0.6 s at sf0.1)
+    # inline split measured 1.6 s vs 0.6 s at sf0.1).  r13: the evidence /
+    # pred expressions are built as generated SQL strings (one py4j call
+    # each instead of ~600 total) — identical expressions to the Column
+    # builders, parity test-pinned; Python-side construction sat inside
+    # the bench's timed region.
     toked = d.select(
         "doc_id",
         "lang",
         "text",
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks"),
     )
-    scores = langid_scores_from_tokens(F.col("__toks"))
-    sc = script_counts(F.col("text"))
+    scores = langid_scores_sql("`__toks`")
+    sc = script_counts_sql("`text`")
     ev = toked.select(
         "doc_id",
         "lang",
         F.length("text").alias("__n"),
-        *[scores[l].alias(f"score_{l}") for l in sorted(scores)],
-        *[sc[s].alias(f"sc_{s}") for s in SCRIPT_RANGES],
+        *[F.expr(scores[l]).alias(f"score_{l}") for l in sorted(scores)],
+        *[F.expr(sc[s]).alias(f"sc_{s}") for s in SCRIPT_RANGES],
     )
-    col_scores = {l: F.col(f"score_{l}") for l in scores}
-    col_sc = {s: F.col(f"sc_{s}") for s in SCRIPT_RANGES}
+    n_script = "CAST((0 + " + " + ".join(f"sc_{s}" for s in SCRIPT_RANGES) + ") AS INT)"
+    pred = langid_pred_sql(
+        {l: f"score_{l}" for l in scores},
+        {s: f"sc_{s}" for s in SCRIPT_RANGES},
+        "__n",
+    )
     return ev.select(
         "doc_id",
         "lang",
@@ -1631,8 +1657,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_fr",
         "score_de",
         "score_es",
-        sum(col_sc.values(), F.lit(0)).cast("int").alias("n_script"),
-        langid_pred(col_scores, col_sc, F.col("__n")).alias("pred_lang"),
+        F.expr(n_script).alias("n_script"),
+        F.expr(pred).alias("pred_lang"),
     )
 
 

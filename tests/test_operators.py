@@ -963,3 +963,93 @@ def test_rotate_vectors_batch_guard(spark):
 
     empty = good.filter(F.col("id") < 0)
     assert rotate_vectors(empty, "v", eye, "rv").count() == 0
+
+
+def test_sql_expr_builders_match_column_forms(spark):
+    """r13: the generated-SQL twins of the hot expression builders (shingles,
+    minhash signature, langid evidence/pred) must be expression-identical to
+    the Column forms — they exist purely to cut Python-side plan-construction
+    overhead (one py4j call instead of hundreds)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.functions.hashing import (
+        minhash_signature,
+        minhash_signature_sql,
+    )
+    from clickhouse_sinker_spark.functions.text import (
+        SCRIPT_RANGES,
+        langid_pred,
+        langid_pred_sql,
+        langid_scores_from_tokens,
+        langid_scores_sql,
+        script_counts,
+        script_counts_sql,
+        shingles_from_tokens,
+        shingles_from_tokens_sql,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "der schnelle braune fuchs springt"),
+        (3, ""),
+        (4, "   "),
+        (5, "one"),
+        (6, "two words"),
+        (7, "le chat et le chien et le chat"),
+        (8, "中文文本一些 かな"),
+        (9, "привет мир hello"),
+        (10, "a b c d e f g a b c"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    toked = d.select(
+        "doc_id",
+        "text",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("__tc"),
+    )
+
+    for n in (2, 3):
+        a = toked.select("doc_id", shingles_from_tokens("__tc", n).alias("x"))
+        b = toked.select(
+            "doc_id", F.expr(shingles_from_tokens_sql("`__tc`", n)).alias("x")
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    sh = toked.select("doc_id", shingles_from_tokens("__tc", 3).alias("sh"))
+    a = sh.select("doc_id", minhash_signature(F.col("sh"), 16).alias("x"))
+    b = sh.select("doc_id", F.expr(minhash_signature_sql("`sh`", 16)).alias("x"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    scores_c = langid_scores_from_tokens(F.col("__toks"))
+    sc_c = script_counts(F.col("text"))
+    langs = sorted(scores_c)
+    ev = toked.select(
+        "doc_id",
+        F.length("text").alias("__n"),
+        *[scores_c[l].alias(f"score_{l}") for l in langs],
+        *[sc_c[s].alias(f"sc_{s}") for s in SCRIPT_RANGES],
+    )
+    scores_s = langid_scores_sql("`__toks`")
+    sc_s = script_counts_sql("`text`")
+    ev_s = toked.select(
+        "doc_id",
+        F.length("text").alias("__n"),
+        *[F.expr(scores_s[l]).alias(f"score_{l}") for l in langs],
+        *[F.expr(sc_s[s]).alias(f"sc_{s}") for s in SCRIPT_RANGES],
+    )
+    assert ev.exceptAll(ev_s).count() == 0 and ev_s.exceptAll(ev).count() == 0
+
+    col_scores = {l: F.col(f"score_{l}") for l in langs}
+    col_sc = {s: F.col(f"sc_{s}") for s in SCRIPT_RANGES}
+    a = ev.select("doc_id", langid_pred(col_scores, col_sc, F.col("__n")).alias("p"))
+    b = ev.select(
+        "doc_id",
+        F.expr(
+            langid_pred_sql(
+                {l: f"score_{l}" for l in langs},
+                {s: f"sc_{s}" for s in SCRIPT_RANGES},
+                "__n",
+            )
+        ).alias("p"),
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
