@@ -1053,3 +1053,35 @@ def test_sql_expr_builders_match_column_forms(spark):
         ).alias("p"),
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dist2_sql_twin_matches_column_form(spark):
+    """r13: the SQL-text distance builder used by the k-means/PQ trainers
+    must be expression-identical to the Column form _dist2_to (incl. the
+    double-literal round trip through repr + Double.parseDouble)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_spark.operators.similarity import (
+        _dist2_array_sql,
+        _dist2_to,
+    )
+
+    cents = [
+        [0.0, 1.5, -2.25],
+        [0.1, -0.3, 1e-17],          # 0.1/0.3: not exactly representable
+        [1.0000000000000002, 2.0**53, -(2.0**53) - 2],
+        [123456789.123456789, -9.87e-5, 3.141592653589793],
+    ]
+    d = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, [-1.0, 0.0, 1e-16]), (3, [2.0**52, -5.5, 0.25])],
+        "id bigint, v array<double>",
+    )
+    a = d.select(
+        "id", F.array(*[_dist2_to(F.col("v"), c) for c in cents]).alias("x")
+    )
+    b = d.select(
+        "id", F.expr(_dist2_array_sql("CAST(`v` AS ARRAY<DOUBLE>)", cents)).alias("x")
+    )
+    rows_a = {r["id"]: r["x"] for r in a.collect()}
+    rows_b = {r["id"]: r["x"] for r in b.collect()}
+    assert rows_a == rows_b  # bit-exact doubles
