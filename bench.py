@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 # checkout back-to-back on the same host and report the ratio.  Updated
 # each round to the previous round's final commit.  Disable with
 # SPARK_GRAFT_AB=0 or --no-ab; override the ref with --ab <git-ref>.
-AB_BASELINE_REF = "ce66600"  # round-12 final code commit
+AB_BASELINE_REF = "e71e497"  # round-13 final code commit
 
 HEADLINE = [
     "tpch_q1_pricing",
@@ -267,12 +267,23 @@ def main() -> None:
     timings["etl_pipeline_1m"] = min(etl_runs[1:])
 
     total = round(sum(timings.values()), 3)
+    # r14 (VERDICT r13 item 2): the printed stdout line must stay SMALL —
+    # r12's stored bench tail was truncated before the line start because
+    # the ~1.5 KB methodology string and run arrays pushed the JSON past
+    # the capture bound, so the driver could not parse any prev-round
+    # number (PERF_r13 n_common=0).  The stdout line now carries only the
+    # contract keys (metric/value/unit/queries/sf + ab_ratio); everything
+    # else — methodology prose, env block, etl run arrays, A/B detail —
+    # ships as a second JSON line on STDERR ("BENCH_DETAIL ...").  Query
+    # keys are unchanged (may be added, never removed).
     payload = {
         "metric": "headline_query_set_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail = {
         "etl_pipeline_1m_runs": etl_runs,
         "etl_pipeline_1m_cold": etl_runs[0],
         "etl_pipeline_1m_median35": sorted(etl_runs[2:])[len(etl_runs[2:]) // 2],
@@ -339,7 +350,10 @@ def main() -> None:
                 else:
                     payload["ab_ratio"] = ab["ratio_pre"]
             del ab["ref_queries"]
-        payload["ab"] = ab
+        detail["ab"] = ab
+    # leading \n: Spark's stderr progress bar ends with a bare \r, which
+    # would otherwise glue this onto its line and break startswith filters
+    print("\nBENCH_DETAIL " + json.dumps(detail), file=sys.stderr)
     print(json.dumps(payload))
 
 

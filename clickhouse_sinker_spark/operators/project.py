@@ -58,6 +58,32 @@ def _quote(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def int_literal_predicate(s: Column) -> Column:
+    """``s rlike '^-?\\d+$'`` without per-row regex machinery (r13), exactly:
+    strip all digits with ``translate``; an integer literal leaves "" (all
+    digits, non-empty) or exactly a leading "-" with ≥1 digit.  Java's
+    non-MULTILINE ``$`` also matches just before ONE final line terminator
+    (\\n, \\r\\n, \\r, \\u0085, \\u2028, \\u2029), so '123\\n' was accepted
+    by the regex — replicate by dropping one trailing terminator before the
+    residue test (r14, ADVICE fix: '288...747\\n' previously took the exact
+    decimal path and must keep doing so)."""
+    slen = F.length(s)
+    tail1 = s.substr(slen, F.lit(1))
+    tail2 = s.substr(slen - F.lit(1), F.lit(2))
+    core = (
+        F.when(tail2 == "\r\n", s.substr(F.lit(1), slen - F.lit(2)))
+        .when(
+            tail1.isin("\n", "\r", "\u0085", "\u2028", "\u2029"),
+            s.substr(F.lit(1), slen - F.lit(1)),
+        )
+        .otherwise(s)
+    )
+    residue = F.translate(core, "0123456789", "")
+    return ((residue == "") & (core != "")) | (
+        (residue == "-") & core.startswith("-") & (F.length(core) >= 2)
+    )
+
+
 def source_col(name: str, parser: str = "fastjson") -> Column:
     """Source-field access with the parser's path semantics.
 
@@ -184,14 +210,7 @@ def _cast_expr(
             # which decimal(38,9) would round up before truncation could
             # see it) goes through the double.
             dec = src.try_cast("decimal(38,9)")
-            # integer-literal test ≡ rlike('^-?\\d+$') without per-row regex
-            # machinery: strip all digits; an integer literal leaves "" (all
-            # digits, non-empty) or exactly a leading "-" with ≥1 digit.
-            s = src.cast("string")
-            residue = F.translate(s, "0123456789", "")
-            is_int_literal = ((residue == "") & (s != "")) | (
-                (residue == "-") & s.startswith("-") & (F.length(s) >= 2)
-            )
+            is_int_literal = int_literal_predicate(src.cast("string"))
             out = F.when(
                 dec.isNotNull() & is_int_literal, saturating_cast(dec, name)
             ).otherwise(

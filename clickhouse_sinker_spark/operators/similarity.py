@@ -190,8 +190,20 @@ def _dist2_to(vec: Column, cent: list[float]) -> Column:
 def _dbl_sql(x: float) -> str:
     """Double literal as Spark-SQL text.  Python's shortest round-trip repr
     parses back to the IDENTICAL double under Java's correctly-rounded
-    Double.parseDouble, so the SQL literal equals F.lit(float(x))."""
-    return repr(float(x)) + "D"
+    Double.parseDouble, so the SQL literal equals F.lit(float(x)).
+    Non-finite values (possible when training data contains NaN/Inf
+    vectors) have no bare-literal syntax — repr gives 'inf'/'nan' which
+    Spark's parser rejects — so emit the cast form, which constant-folds
+    to the same double the Column twin F.lit(float(x)) carries (r14
+    ADVICE fix)."""
+    v = float(x)
+    if v != v:
+        return "double('NaN')"
+    if v == float("inf"):
+        return "double('Infinity')"
+    if v == float("-inf"):
+        return "double('-Infinity')"
+    return repr(v) + "D"
 
 
 def _dist2_sql(vec_sql: str, cent: list[float]) -> str:

@@ -208,6 +208,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
         "n_nationkey", "n_name"
     )
+    # EAGER-BUILD NOTE (r14, ADVICE): this collect() runs a bounded 25-row
+    # Spark job at plan-CONSTRUCTION time, so building this DataFrame
+    # requires readable data (explain-only tooling pays it too).  Bench and
+    # profiler timings include construction, so the measurement is honest.
     asia_keys = [row[0] for row in asia.select("n_nationkey").collect()]
     c = _t(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(asia_keys)

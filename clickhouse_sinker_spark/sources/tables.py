@@ -34,8 +34,30 @@ NANOS_TS_COLUMNS = {
     "lineitem": ("l_shipdate",),
 }
 
-# (absolute path, mtime) -> inferred StructType.  See module docstring.
-_SCHEMA_CACHE: dict[tuple[str, float], ST.StructType] = {}
+# (absolute path, tree signature) -> inferred StructType.  See module
+# docstring.  Bounded: the loader serves a fixed, small set of bench/test
+# tables; evict oldest past the cap so a long-lived driver loading many
+# arbitrary paths cannot grow it without bound (r14 ADVICE fix).
+_SCHEMA_CACHE: dict[tuple[str, tuple], ST.StructType] = {}
+_SCHEMA_CACHE_MAX = 256
+
+
+def _tree_signature(path: str) -> tuple:
+    """(file count, total bytes, max mtime) over the path tree.  A plain
+    file signs as itself; for a directory of part files this catches an
+    in-place part rewrite even when the directory mtime does not change
+    (r14 ADVICE fix — the r13 key was the top-level mtime only)."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (1, st.st_size, st.st_mtime)
+    count, total, newest = 0, 0, st.st_mtime
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            s = os.stat(os.path.join(root, f))
+            count += 1
+            total += s.st_size
+            newest = max(newest, s.st_mtime)
+    return (count, total, newest)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,13 +65,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     try:
-        key = (os.path.abspath(path), os.path.getmtime(path))
+        key = (os.path.abspath(path), _tree_signature(path))
     except OSError:
         key = None
     schema = _SCHEMA_CACHE.get(key) if key is not None else None
     if schema is None:
         df = spark.read.parquet(path)
         if key is not None:
+            while len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+                _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
             _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)

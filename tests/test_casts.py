@@ -390,20 +390,28 @@ def test_fast_paths_match_general(spark, ch):
 def test_int_literal_translate_predicate_matches_regex(spark):
     """The translate-based integer-literal test in _cast_expr must accept and
     reject exactly what rlike('^-?\\d+$') did (r13: regex removed from the
-    string→int hot path)."""
+    string→int hot path).  Java's non-MULTILINE $ matches before ONE final
+    line terminator, so trailing \\n / \\r\\n / \\r / NEL / LS / PS cases are
+    accepted by the regex and must be accepted by the fast predicate too
+    (r14 ADVICE fix — '5\\n' previously diverged)."""
+    from clickhouse_sinker_spark.operators.project import int_literal_predicate
+
     cases = [
         "5", "-5", "007", "-007", "", "-", "--5", "5-3", "-5-3", "+5", " 5",
         "5 ", "5.0", "-5.0", "5e3", "abc", "0", "-0", "9" * 40, "-" + "9" * 40,
         "٥",  # Arabic-Indic digit: Java \d does NOT match it
+        # one trailing line terminator: the regex ACCEPTS all of these
+        "5\n", "-5\r\n", "123\r", "5\u0085", "5\u2028", "5\u2029",
+        "288230376151711747\n",  # >2^53: decimal-vs-double path visibly differs
+        # terminator anywhere else (or doubled): the regex REJECTS
+        "12\n3", "\n5", "5\n\n", "5\r\n\r\n", "5\n\r", "-\n", "\n", "\r\n",
+        "5\t",  # tab is NOT a line terminator
         None,
     ]
     df = spark.createDataFrame([(c,) for c in cases], "s string")
-    residue = F.translate(F.col("s"), "0123456789", "")
-    fast = ((residue == "") & (F.col("s") != "")) | (
-        (residue == "-") & F.col("s").startswith("-") & (F.length("s") >= 2)
-    )
     got = df.select(
-        fast.alias("fast"), F.col("s").rlike(r"^-?\d+$").alias("re")
+        int_literal_predicate(F.col("s")).alias("fast"),
+        F.col("s").rlike(r"^-?\d+$").alias("re"),
     ).collect()
     for r, c in zip(got, cases):
         # NULL input: both forms yield NULL → same falsy branch in CaseWhen

@@ -1071,6 +1071,10 @@ def test_dist2_sql_twin_matches_column_form(spark):
         [0.1, -0.3, 1e-17],          # 0.1/0.3: not exactly representable
         [1.0000000000000002, 2.0**53, -(2.0**53) - 2],
         [123456789.123456789, -9.87e-5, 3.141592653589793],
+        # non-finite centroid components (NaN/Inf training vectors): repr
+        # has no bare SQL literal, so _dbl_sql emits the cast form (r14
+        # ADVICE fix — previously raised ParseException)
+        [float("nan"), float("inf"), float("-inf")],
     ]
     d = spark.createDataFrame(
         [(1, [0.1, 0.2, 0.3]), (2, [-1.0, 0.0, 1e-16]), (3, [2.0**52, -5.5, 0.25])],
@@ -1082,6 +1086,11 @@ def test_dist2_sql_twin_matches_column_form(spark):
     b = d.select(
         "id", F.expr(_dist2_array_sql("CAST(`v` AS ARRAY<DOUBLE>)", cents)).alias("x")
     )
-    rows_a = {r["id"]: r["x"] for r in a.collect()}
-    rows_b = {r["id"]: r["x"] for r in b.collect()}
-    assert rows_a == rows_b  # bit-exact doubles
+    import struct
+
+    def bits(xs):
+        return [struct.pack("<d", v) for v in xs]
+
+    rows_a = {r["id"]: bits(r["x"]) for r in a.collect()}
+    rows_b = {r["id"]: bits(r["x"]) for r in b.collect()}
+    assert rows_a == rows_b  # bit-exact doubles (NaN-aware)
