@@ -1226,7 +1226,17 @@ def _find_call(sql: str, name: str, start: int = 0) -> int:
     """Index of the next ``name(`` call site (word-boundary match) at or
     after ``start`` that is OUTSIDE string literals, or -1.  Matching
     inside a literal would corrupt data values — e.g. a row containing
-    the text ``any(`` must never be rewritten."""
+    the text ``any(`` must never be rewritten.
+
+    r14 fast path: the translator runs ~625 single-name passes per
+    translation unit and recursion multiplies the units, so the vast
+    majority of probes are for names that do not appear in the string at
+    all.  One C-level ``str.find`` answers those in ~0.1 µs before any
+    regex/dict machinery is touched (the r13 cached-regex probe still
+    cost ~7 µs of Python plumbing per miss — 2.1 s of the 2.3 s
+    translation wall on ch_dialect_array_split)."""
+    if sql.find(name, start) < 0:
+        return -1
     pats = _CALL_RE_CACHE.get(name)
     if pats is None:
         pats = (
@@ -1306,6 +1316,8 @@ def _rewrite_calls(sql: str, name: str, emit) -> str:
     emitter may RECONSTRUCT the call unchanged (``name(...)``) to decline a
     form it doesn't own — e.g. ANSI ``EXTRACT(unit FROM x)`` vs ClickHouse
     ``extract(s, 're')``; the scan then advances past it instead of looping."""
+    if name not in sql:  # r14: C-level gate before any loop machinery
+        return sql
     pos = 0
     while True:
         at = _find_call(sql, name, pos)
@@ -2243,6 +2255,8 @@ def _rewrite_calls_raw(sql: str, name: str, emit) -> str:
     spelling — e.g. the byte-hash width gate must distinguish
     ``toUInt32(x)`` from ``toInt64(x)``, which the cast pass collapses to
     the same ``CAST(x AS BIGINT)``."""
+    if name not in sql:  # r14: C-level gate before any loop machinery
+        return sql
     pos = 0
     while True:
         at = _find_call(sql, name, pos)
@@ -6304,6 +6318,8 @@ def _rename_calls(sql: str, name: str, new: str) -> str:
     """Rename ``name(`` call sites to ``new(`` using the same
     string-literal-aware scanner as every other rewrite — a bare re.sub
     would also rewrite occurrences INSIDE quoted data values."""
+    if name not in sql:  # r14: C-level gate before any loop machinery
+        return sql
     pos = 0
     while True:
         at = _find_call(sql, name, pos)

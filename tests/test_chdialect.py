@@ -5108,3 +5108,35 @@ def test_wkt_render_refusal_notation_evidence():
     # and the refusal is loud:
     with pytest.raises(ChTranslationError, match="wkt"):
         translate_ch_sql("SELECT wkt((1., 2.)) AS w")
+
+
+def test_scanner_fast_gate_preserves_semantics():
+    """r14: _find_call and the per-name pass helpers short-circuit through
+    a C-level str.find before any regex machinery.  The gate is a superset
+    test (substring presence), so it must never change what the precise
+    word-boundary scanner finds — in particular a name embedded in a
+    LONGER identifier or only inside a string literal still rewrites
+    nothing, and a real call site after such decoys still rewrites."""
+    from clickhouse_sinker_spark.functions.chdialect import (
+        _find_call,
+        _rename_calls,
+        _rewrite_calls,
+    )
+
+    # absent name: identity (and the gate returns the same object)
+    s = "SELECT a, b FROM t"
+    assert _rewrite_calls(s, "any", lambda a: "FIRST(" + a[0] + ")") is s
+    assert _find_call(s, "any") == -1
+    # present only as a suffix of a longer identifier: no match
+    assert _find_call("SELECT many(x) FROM t", "any") == -1
+    # present only inside a string literal: no match
+    assert _find_call("SELECT 'any(' FROM t", "any") == -1
+    # decoys first, real call later: found at the right offset
+    s2 = "SELECT many(x), 'any(', any(y) FROM t"
+    at = _find_call(s2, "any")
+    assert s2[at:at + 4] == "any("
+    assert _rename_calls(s2, "any", "first") == (
+        "SELECT many(x), 'any(', first(y) FROM t"
+    )
+    # start-offset anchoring still honors the historical slice semantics
+    assert _find_call("xany(1)", "any", 1) == 1
