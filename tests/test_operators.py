@@ -116,6 +116,61 @@ def test_curation_lsh_candidates_equal_exact_pairs(spark):
         "band-collision assumption no longer holds on this corpus")
 
 
+def test_minhash_band_join_shapes_identical(spark):
+    """r14: minhash_lsh_pairs mines band-collision candidates with either
+    the historical banded self-join (small inputs) or one groupBy(bh) +
+    in-bucket pair expansion (above the size threshold, guide §2/§3).
+    Both shapes must return the IDENTICAL pair set with identical exact
+    jaccard values — force each via the conf threshold and compare row
+    multisets on a corpus with real near-dups, cross-band duplicate
+    collisions, and a sub-3-token doc (single-shingle path)."""
+    from clickhouse_sinker_spark.operators.dedup import (
+        _LSH_GROUPED_BYTES_CONF,
+        minhash_lsh_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "pack my box with five dozen liquor jugs before the night ends",
+        "sphinx of black quartz judge my vow said the old librarian",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((10 * i, t))
+        rows.append((10 * i + 1, t + " extra"))          # near-dup of t
+        rows.append((10 * i + 2, t))                     # exact dup of t
+    rows.append((97, "tiny doc"))                        # < 3 tokens
+    rows.append((98, "tiny doc"))                        # its exact dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, num_perm=64, bands=16, threshold=0.2)
+
+    def run(limit: str):
+        old = spark.conf.get(_LSH_GROUPED_BYTES_CONF, None)
+        spark.conf.set(_LSH_GROUPED_BYTES_CONF, limit)
+        try:
+            out = minhash_lsh_pairs(df, "text", "doc_id", **kw)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            return sorted(out.collect()), plan
+        finally:
+            if old is None:
+                spark.conf.unset(_LSH_GROUPED_BYTES_CONF)
+            else:
+                spark.conf.set(_LSH_GROUPED_BYTES_CONF, old)
+
+    # force the historical self-join: local-relation inputs report UNKNOWN
+    # stats as Long.MaxValue, so the limit must sit ABOVE MaxValue
+    joined, plan_j = run(str(1 << 64))
+    grouped, plan_g = run("0")           # force grouped aggregation
+    # the conf actually switched the physical shape
+    assert "collect_list" not in plan_j and "collect_list" in plan_g
+    assert joined == grouped and len(joined) >= 7
+    # doubles bit-identical, not just repr-equal
+    import struct
+
+    for a, b in zip(joined, grouped):
+        assert struct.pack("<d", a.jaccard) == struct.pack("<d", b.jaccard)
+
+
 def test_shard_knuth_large_id_no_overflow(spark):
     """r11 ADVICE regression (+ r12 self-review extension): the Knuth
     split/shard hash must agree with exact integer math AND with the
