@@ -209,12 +209,34 @@ def _cast_expr(
             # would round); everything else (incl. 0.9999999999999999,
             # which decimal(38,9) would round up before truncation could
             # see it) goes through the double.
+            #
+            # r14 fast path (guide §4, measured: the k column cost 2.09 s
+            # of etl_parse_project's 2.28 s noop at sf1): an int literal
+            # within long range parses with the cheap long parser and
+            # clamps in long arithmetic — bit-identical to the decimal
+            # route because decimal(38,9) holds any long-range literal
+            # exactly and both clamps are exact (r13's
+            # test_fast_paths_match_general).  The decimal parse now runs
+            # only for rows whose long parse nulls (beyond ±2^63 — where
+            # the decimal path is still needed for exact UInt64/clamp
+            # semantics) instead of for EVERY row: CaseWhen evaluates
+            # branch conditions in order.  try_cast('long') trims
+            # whitespace (a superset of the predicate's one-terminator
+            # allowance), so it never nulls on a predicate-accepted
+            # literal in range.  Parity across the seam is pinned by
+            # tests/test_casts.py::test_string_cast_long_fast_path_matches_decimal_path.
             dec = src.try_cast("decimal(38,9)")
             is_int_literal = int_literal_predicate(src.cast("string"))
-            out = F.when(
-                dec.isNotNull() & is_int_literal, saturating_cast(dec, name)
-            ).otherwise(
-                saturating_cast(src.try_cast("double"), name, src_type="double")
+            lng = src.try_cast("long")
+            out = (
+                F.when(
+                    lng.isNotNull() & is_int_literal,
+                    saturating_cast(lng, name, src_type="bigint"),
+                )
+                .when(dec.isNotNull() & is_int_literal, saturating_cast(dec, name))
+                .otherwise(
+                    saturating_cast(src.try_cast("double"), name, src_type="double")
+                )
             )
     elif name == "Float32":
         out = saturating_cast_float32(src.try_cast("double"))

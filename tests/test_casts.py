@@ -387,6 +387,50 @@ def test_fast_paths_match_general(spark, ch):
         assert r.f == r.g, f"{ch} int fast path diverges: {r.f} != {r.g}"
 
 
+@pytest.mark.parametrize(
+    "ch", ["Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32", "UInt64"]
+)
+def test_string_cast_long_fast_path_matches_decimal_path(spark, ch):
+    """r14: the string→integer cast tries a cheap long parse before the
+    decimal(38,9) route (guide §4 — the decimal parse per row dominated
+    the ETL projection at sf1).  For every edge string and every target,
+    the three-branch form (long → decimal → double) must be bit-identical
+    to the historical two-branch form (decimal → double)."""
+    from clickhouse_sinker_spark.functions.casts import saturating_cast
+    from clickhouse_sinker_spark.operators.project import int_literal_predicate
+
+    cases = [
+        "5", "-5", "007", "-007", "0", "-0", "", "-", "--5", "+5", " 5 ",
+        "5.0", "5.7", "-5.9", "0.9999999999999999", "1e3", "-1e3", "abc",
+        "9" * 19, "9" * 20, "9" * 40, "-" + "9" * 20, "٥",
+        "9223372036854775807", "9223372036854775808",     # long max, max+1
+        "-9223372036854775808", "-9223372036854775809",   # long min, min-1
+        "18446744073709551615", "18446744073709551616",   # uint64 max, max+1
+        "288230376151711747",  # >2^53: long/decimal exact, double rounds
+        "288230376151711747\n", "5\n", "-5\r\n", "123\r", "12\n3",
+        "000000000000000000000000000000000000000042",     # >38 chars, tiny value
+        "inf", "-inf", "nan", "NaN", None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    src = F.col("s")
+    dec = src.try_cast("decimal(38,9)")
+    lit = int_literal_predicate(src.cast("string"))
+    lng = src.try_cast("long")
+    old = F.when(dec.isNotNull() & lit, saturating_cast(dec, ch)).otherwise(
+        saturating_cast(src.try_cast("double"), ch, src_type="double")
+    )
+    new = (
+        F.when(lng.isNotNull() & lit, saturating_cast(lng, ch, src_type="bigint"))
+        .when(dec.isNotNull() & lit, saturating_cast(dec, ch))
+        .otherwise(saturating_cast(src.try_cast("double"), ch, src_type="double"))
+    )
+    got = df.select(old.alias("o"), new.alias("n")).collect()
+    for r, c in zip(got, cases):
+        assert r.o == r.n and (r.o is None) == (r.n is None), (
+            f"{ch} diverges at {c!r}: {r.o} != {r.n}"
+        )
+
+
 def test_int_literal_translate_predicate_matches_regex(spark):
     """The translate-based integer-literal test in _cast_expr must accept and
     reject exactly what rlike('^-?\\d+$') did (r13: regex removed from the
