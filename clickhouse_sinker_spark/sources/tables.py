@@ -60,9 +60,43 @@ def _tree_signature(path: str) -> tuple:
     return (count, total, newest)
 
 
+def _pin_dataframe_debugging_off(spark: SparkSession) -> None:
+    """r14 (guide §5): PySpark 4's DataFrame-debugging feature captures a
+    Python call-site stack trace on EVERY Column/DataFrame API call (for
+    richer error messages) — measured ~3 ms per wrapped call, which makes
+    plan CONSTRUCTION 1.5–3.4× slower across this library's queries
+    (etl_parse_project build 368 → 110 ms, pipeline_full_curation
+    696 → 327 ms).  It is a diagnostics-only feature (error messages lose
+    the Python line number of the failing op; results and plans are
+    untouched), so the library pins it OFF like the other runtime confs —
+    unless the USER explicitly set the conf either way, which is
+    respected.  PySpark caches the flag module-globally after the first
+    wrapped call, so the cache is synced too (guarded: private attr)."""
+    try:
+        # STATIC conf: only settable at session build — read-only here.
+        # None ⇒ the user never chose; pin the library default (off).
+        explicit = spark.conf.get(
+            "spark.python.sql.dataFrameDebugging.enabled", None
+        )
+        _apply_debugging_cache(explicit)
+    except Exception:  # noqa: BLE001 — purely an optimization; never fail a load
+        pass
+
+
+def _apply_debugging_cache(explicit: str | None) -> None:
+    """Sync pyspark's module-global debugging flag: an explicit
+    session-build choice wins; otherwise the capture is disabled."""
+    from pyspark.errors import utils as _eu
+
+    enable = explicit is not None and explicit.lower() == "true"
+    if getattr(_eu, "_enable_debugging_cache", None) != enable:
+        _eu._enable_debugging_cache = enable
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_dataframe_debugging_off(spark)
     path = f"{sf_dir}/{name}.parquet"
     try:
         key = (os.path.abspath(path), _tree_signature(path))
